@@ -1,0 +1,61 @@
+"""Smoke tests for sources/io.py and operators/reshape.py."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from time_series_prediction_spark.operators.reshape import long_to_wide, wide_to_long
+from time_series_prediction_spark.sources.io import (
+    date_sequence_col,
+    integer_range,
+    read_table,
+)
+
+
+def test_read_fixture_tables(spark, sf_dir):
+    li = read_table(spark, sf_dir, "lineitem")
+    assert li.count() > 1000
+    assert "l_quantity" in li.columns
+
+
+def test_integer_range(spark):
+    df = integer_range(spark, 10)
+    assert df.columns == ["primaryaccountholder"]
+    assert df.count() == 10
+
+
+def test_date_sequence_col(spark):
+    df = spark.range(3).withColumn(
+        "transactiondate", date_sequence_col("2018-12-01", "2020-03-31")
+    )
+    row = df.select(F.size("transactiondate").alias("n")).first()
+    assert row["n"] == 487
+    first = df.select(F.element_at("transactiondate", 1).alias("d")).first()
+    assert first["d"] == dt.date(2018, 12, 1)
+
+
+def test_wide_long_roundtrip(spark):
+    wide = (
+        spark.range(5)
+        .toDF("primaryaccountholder")
+        .withColumn("transactiondate", date_sequence_col("2020-01-01", "2020-01-10"))
+        .withColumn(
+            "balance",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(10)),
+                lambda i: (i + F.col("primaryaccountholder")).cast("float"),
+            ),
+        )
+    )
+    long_df = wide_to_long(wide)
+    assert long_df.count() == 50
+    assert set(long_df.columns) == {"primaryaccountholder", "pos", "ds", "value"}
+
+    back = long_to_wide(long_df)
+    orig = wide.select(
+        "primaryaccountholder", "transactiondate", F.col("balance")
+    ).orderBy("primaryaccountholder")
+    rt = back.orderBy("primaryaccountholder")
+    assert [r.asDict() for r in rt.collect()] == [r.asDict() for r in orig.collect()]

@@ -1,0 +1,153 @@
+"""IO layer: scans and sinks.
+
+Covers the reference's source/sink inventory (SURVEY §2.1):
+  S1 integer-range source         -> spark.range
+  S2 date-sequence source         -> F.sequence column expression (no
+                                     1-row-DF crossJoin; reference
+                                     ``src/demo/create_time_series.py:193-195``)
+  S3 Parquet scan / S6 sink       -> spark.read.parquet / df.write.parquet
+  S4 Delta scan / S7 sink         -> optional: falls back to parquet when
+                                     delta-spark jars are absent
+  S5 JSON config scan             -> config.load_json_config (driver-side)
+  S8 managed-table sink           -> saveAsTable
+  S9 driver collect               -> built-in (toPandas/show/count)
+
+Also the engine's fixture-table registry for the driver-generated
+TPC-H-ish tables under /root/testdata/sf*/.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan (S3). Column pruning + predicate pushdown come free
+    as long as downstream operators stay in native expressions."""
+    return spark.read.parquet(path)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table, e.g. read_table(spark, '/root/testdata/sf0.01', 'lineitem').
+
+    The events table stores ``ts`` as parquet TIMESTAMP(NANOS), which
+    Spark reads only as a raw long (``spark.sql.legacy.parquet.nanosAsLong``,
+    set in session defaults); convert to a microsecond timestamp here so
+    downstream code sees a real timestamp column (DuckDB performs the
+    same ns→us truncation, keeping oracle comparisons exact).
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_TABLES
+) -> dict[str, DataFrame]:
+    """Load the fixture star schema as a dict of DataFrames."""
+    return {n: read_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_TABLES
+) -> None:
+    """Register fixture tables as temp views for spark.sql queries."""
+    for n in names:
+        read_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def integer_range(spark: SparkSession, n: int, col: str = "primaryaccountholder") -> DataFrame:
+    """S1: id-range source (reference ``src/demo/create_time_series.py:170``).
+
+    ``spark.range`` is already parallel: the range splits across
+    executors with no data movement, so series generation fans out
+    linearly with cluster size.
+    """
+    return spark.range(n).toDF(col)
+
+
+def date_sequence_col(start: dt.date | str, end: dt.date | str) -> F.Column:
+    """S2: shared date-axis as a column expression.
+
+    The reference builds a single-row DataFrame from
+    ``SELECT sequence(to_date(..), to_date(..), interval 1 day)`` and
+    crossJoins it onto every series row
+    (``src/demo/create_time_series.py:193-195``). A literal sequence
+    expression computes the identical array with no join at all —
+    constant-folded by Catalyst, zero shuffle at any scale.
+    """
+    return F.sequence(
+        F.lit(str(start)).cast("date"),
+        F.lit(str(end)).cast("date"),
+        F.expr("interval 1 day"),
+    )
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S6: parquet sink (reference ``src/demo/create_time_series.py:210``)."""
+    df.write.mode(mode).parquet(path)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Partitioned parquet sink — the 100 TB layout: partition pruning on
+    ``partition_cols`` turns full scans into directory-level skips."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def _delta_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.org.apache.spark.sql.delta.DeltaLog  # noqa: SLF001
+        return True
+    except Exception:
+        return False
+
+
+def read_delta(spark: SparkSession, path: str) -> DataFrame:
+    """S4: Delta scan with parquet fallback (reference
+    ``src/demo/training.py:158``). Delta jars are not in this image, so
+    the fallback path is the live one; the API surface is identical."""
+    if _delta_available(spark):
+        return spark.read.format("delta").load(path)
+    return spark.read.parquet(path)
+
+
+def write_delta(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S7: Delta sink with parquet fallback (reference
+    ``notebooks/training_new_petastorm.py:182``)."""
+    if _delta_available(df.sparkSession):
+        df.write.format("delta").mode(mode).save(path)
+    else:
+        df.write.mode(mode).parquet(path)
+
+
+def save_as_table(
+    df: DataFrame, name: str, partition_cols: list[str] | None = None, mode: str = "overwrite"
+) -> None:
+    """S8: managed-table sink (reference
+    ``notebooks/synthetic_data_generation.py:271-272``)."""
+    writer = df.write.mode(mode)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.saveAsTable(name)
