@@ -3,36 +3,63 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Queries are declared in ``time_series_prediction_spark.plans`` (each
+Spark plan lives beside its oracle SQL so names and value determinism
+stay aligned).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from time_series_prediction_spark.plans.relational import RELATIONAL_QUERIES
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
+
+def _all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
+    registry: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+    registry.update(RELATIONAL_QUERIES)
+    try:  # populated as operator coverage widens
+        from time_series_prediction_spark.plans.timeseries_queries import (
+            TIMESERIES_QUERIES,
+        )
+
+        registry.update(TIMESERIES_QUERIES)
+    except ImportError:
+        pass
+    try:
+        from time_series_prediction_spark.plans.text_queries import TEXT_QUERIES
+
+        registry.update(TEXT_QUERIES)
+    except ImportError:
+        pass
+    return registry
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from time_series_prediction_spark.plans.relational import q1_pricing_summary
+
+    return q1_pricing_summary(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {name: fn for name, (fn, _) in _all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query; omitted for non-SQL-expressible
+    ops (driver then records a weaker rows-only check)."""
+    return {
+        name: sql for name, (_, sql) in _all_queries().items() if sql is not None
+    }
