@@ -37,6 +37,16 @@ def _all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], 
     except ImportError:
         pass
     try:
+        from time_series_prediction_spark.plans.flagship import (
+            cashflow_wide_pipeline,
+        )
+
+        # wide-array pipeline: statsmodels-parity trend + sequential-fold
+        # extrapolation are not ANSI-SQL-expressible → rows-only check
+        registry["cashflow_wide_pipeline"] = (cashflow_wide_pipeline, None)
+    except ImportError:
+        pass
+    try:
         from time_series_prediction_spark.plans.text_queries import TEXT_QUERIES
 
         registry.update(TEXT_QUERIES)
@@ -46,10 +56,15 @@ def _all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], 
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    from time_series_prediction_spark.plans.relational import q1_pricing_summary
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
-    return q1_pricing_summary(spark, SMOKE_SF_DIR)
+    The reference's cashflow-forecast lifecycle (clean → trend →
+    extrapolate → trajectory) on per-user daily series derived from
+    the events fixture — all native expressions, one shuffle.
+    """
+    from time_series_prediction_spark.plans.flagship import cashflow_wide_pipeline
+
+    return cashflow_wide_pipeline(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

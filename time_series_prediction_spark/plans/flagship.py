@@ -1,0 +1,63 @@
+"""Flagship end-to-end query: the reference's cashflow-forecast
+pipeline applied to the driver's events fixture.
+
+events → exact-cents daily series per user → wide arrays (long→wide
+reshape) → cleaning flag → seasonal-decompose trend (freq=7 for the
+~30-day fixtures) → linear trend extrapolation 14 days ahead →
+trajectory slope metric — i.e. the reference lifecycle (SURVEY §3.3
+serving path) compressed to one lazy DataFrame: generation-scale
+array math with no Python UDFs and exactly ONE shuffle (the
+groupBy(user, day) rollup; long_to_wide reuses the same hash
+partitioning on user_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from time_series_prediction_spark.operators import timeseries as ts
+from time_series_prediction_spark.operators.reshape import long_to_wide
+from time_series_prediction_spark.plans.timeseries_queries import daily_series
+
+
+def cashflow_wide_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    freq: int = 7,
+    horizon_days: int = 14,
+    trend_window_days: int = 7,
+    threshold_count: int = 5,
+) -> DataFrame:
+    """Per-user forecast summary: (user_id, n_days, keep_ts,
+    trajectory, forecast array<float> of len horizon_days)."""
+    long_df = daily_series(spark, sf_dir).select(
+        "user_id", "day", (F.col("cents") / 100.0).alias("value")
+    )
+    wide = long_to_wide(
+        long_df,
+        id_col="user_id",
+        ds_col="day",
+        value_col="value",
+        out_date="days",
+        out_value="balance",
+    )
+    return (
+        wide.withColumn("n_days", F.size("balance"))
+        .where(F.col("n_days") >= freq + 2)
+        .withColumn("keep_ts", ts.keep_ts("balance", threshold_count))
+        .where(F.col("keep_ts") == 1)
+        .withColumn("trend", ts.trend("balance", freq=freq))
+        .withColumn(
+            "forecast",
+            ts.extrapolate_trend(
+                "trend",
+                window_days=trend_window_days,
+                horizon_days=horizon_days,
+                median=True,
+                serving=True,
+            ),
+        )
+        .withColumn("trajectory", ts.trajectory("trend", window_months=1))
+        .select("user_id", "n_days", "keep_ts", "trajectory", "forecast")
+    )

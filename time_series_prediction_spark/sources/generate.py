@@ -1,0 +1,134 @@
+"""Seeded synthetic cashflow-series generator, fully native columns.
+
+Replicates the reference generator's signal model (reference
+``src/demo/utils.py:128-197``, wired as a zero-arg nondeterministic
+Python UDF at ``src/demo/create_time_series.py:172-190``):
+
+    trend     sign · salary · exp(trend_exp · linspace(0, 1, n))
+    seasonal  sine / sawtooth / triangle / square, period 30.5 days,
+              random phase (scipy.signal conventions: sawtooth rises
+              -1→1 per period; square is +1 for the first half period)
+    noise     N(0, noise_sd · salary) per day
+    spikes    3 level shifts at uniform integer times in
+              [n-457, n-92), each ±N(3·salary, salary), applied from
+              the spike time to the end of the series
+    params    salary = max(N(15000, 5000), 100); trend_exp = U(1, 2);
+              noise_sd = |N(0, 0.01)| + 0.1; values rounded half-even
+              to 2 decimals, stored float32
+
+The one intentional semantic upgrade (SURVEY §7.4.5): the reference's
+RNG is unseeded per-row Python, so its output is irreproducible. Here
+every random draw is a hash of (seed, series_id, purpose-tag[, day]) —
+``xxhash64``-derived uniforms, Box-Muller normals — so the same call
+always produces the same table, on any cluster, at any parallelism.
+Parity with the reference generator is distributional, not per-value.
+
+Everything is a Column expression: generation runs inside whole-stage
+codegen, embarrassingly parallel over ``spark.range`` splits — 2.5M
+series (the reference's serving scale) is ~100 ms of planning and pure
+executor-side compute, and 2.5B series would scale the same way.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from time_series_prediction_spark.sources.io import date_sequence_col
+
+_M = 1_000_000_007  # modulus for hash→uniform
+
+
+def _u(id_col: str, seed: int, tag: int, extra: str = "0L") -> str:
+    """Uniform(0,1) from xxhash64(seed, id, tag, extra) (SQL fragment)."""
+    return (
+        f"((pmod(xxhash64({seed}L, {id_col}, {tag}L, {extra}), {_M}) + 0.5D) / {_M}.0D)"
+    )
+
+
+def _normal(id_col: str, seed: int, tag: int, extra: str = "0L") -> str:
+    """Standard normal via Box-Muller from two hash uniforms."""
+    u1 = _u(id_col, seed, tag * 2 + 1, extra)
+    u2 = _u(id_col, seed, tag * 2 + 2, extra)
+    return f"(sqrt(-2.0D * ln({u1})) * cos({2 * math.pi}D * {u2}))"
+
+
+def generate_series_frame(
+    spark: SparkSession,
+    n_series: int,
+    start_date: str = "2018-12-01",
+    end_date: str = "2020-03-31",
+    seed: int = 42,
+    cycle_period: float = 30.5,
+    n_spikes: int = 3,
+    id_col: str = "primaryaccountholder",
+) -> DataFrame:
+    """Generate the ``ts_balance`` table (FIXTURES.md A1 schema):
+    (primaryaccountholder, transactiondate array<date>, balance
+    array<float>, signal_type int)."""
+    df = spark.range(n_series).toDF(id_col)
+
+    salary = f"greatest({_normal(id_col, seed, 1)} * 5000.0D + 15000.0D, 100.0D)"
+    trend_exp = f"({_u(id_col, seed, 5)} + 1.0D)"  # U(1,2)
+    noise_sd = f"(abs({_normal(id_col, seed, 3)} * 0.01D) + 0.1D)"
+    sign = f"(CASE WHEN {_u(id_col, seed, 7)} < 0.5D THEN -1.0D ELSE 1.0D END)"
+    phase = f"(({_u(id_col, seed, 9)} * 2.0D - 1.0D) * {math.pi}D)"
+    # random.choice(['sine','sawtooth','triangle','square']) then the
+    # reference's int mapping sine→1 triangle→2 square→3 sawtooth→4
+    choice = f"CAST(floor({_u(id_col, seed, 11)} * 4.0D) AS INT)"
+
+    df = (
+        df.withColumn("_salary", F.expr(salary))
+        .withColumn("_trend_exp", F.expr(trend_exp))
+        .withColumn("_noise_sd", F.expr(noise_sd))
+        .withColumn("_sign", F.expr(sign))
+        .withColumn("_phase", F.expr(phase))
+        .withColumn("_choice", F.expr(choice))
+        .withColumn(
+            "signal_type",
+            F.expr(
+                "CASE _choice WHEN 0 THEN 1 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 3 END"
+            ),
+        )
+        .withColumn("transactiondate", date_sequence_col(start_date, end_date))
+        .withColumn("_n", F.size("transactiondate"))
+    )
+
+    # spike times/amplitudes: k = 0..n_spikes-1
+    spike_terms = []
+    for k in range(n_spikes):
+        t_k = (
+            f"(_n - 457 + CAST(floor({_u(id_col, seed, 20 + k)} * 365.0D) AS INT))"
+        )
+        s_k = f"(CASE WHEN {_u(id_col, seed, 30 + k)} < 0.5D THEN -1.0D ELSE 1.0D END)"
+        a_k = f"({s_k} * (3.0D * _salary + _salary * {_normal(id_col, seed, 40 + k)}))"
+        spike_terms.append(
+            f"(CASE WHEN i >= {t_k} THEN {a_k} ELSE 0.0D END)"
+        )
+    spikes = " + ".join(spike_terms) if spike_terms else "0.0D"
+
+    # linspace(-n/2, n/2, n): t_i = -n/2 + i*n/(n-1); x = 2π t/P + phase
+    t_i = "(-_n / 2.0D + CAST(i AS DOUBLE) * _n / (_n - 1.0D))"
+    x = f"({2 * math.pi}D * {t_i} / {cycle_period}D + _phase)"
+    frac = f"(({x}) / {2 * math.pi}D - floor(({x}) / {2 * math.pi}D))"
+    saw = f"(2.0D * {frac} - 1.0D)"  # scipy sawtooth, width=1
+    square = f"(CASE WHEN {frac} < 0.5D THEN 1.0D ELSE -1.0D END)"
+    seasonal = (
+        f"(CASE _choice "
+        f"WHEN 0 THEN 0.5D * _salary * sin({x}) "
+        f"WHEN 1 THEN -0.5D * _salary * {saw} "
+        f"WHEN 2 THEN _salary * abs({saw}) - 1.0D "
+        f"ELSE 0.5D * _salary * {square} END)"
+    )
+    trend_ts = f"(_sign * _salary * exp(_trend_exp * CAST(i AS DOUBLE) / (_n - 1.0D)))"
+    noise = f"(_noise_sd * _salary * {_normal(id_col, seed, 50, 'CAST(i AS BIGINT)')})"
+
+    balance = (
+        f"transform(sequence(0, _n - 1), i -> "
+        f"CAST(bround({seasonal} + {trend_ts} + {noise} + {spikes}, 2) AS FLOAT))"
+    )
+    return df.withColumn("balance", F.expr(balance)).select(
+        id_col, "transactiondate", "balance", "signal_type"
+    )
