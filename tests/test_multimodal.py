@@ -1,0 +1,57 @@
+"""Multimodal binary-column plumbing tests (stubbed decode)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from time_series_prediction_spark.operators.multimodal import (
+    FEATURE_DIM,
+    attach_binary_payload,
+    decode_real,
+    extract_features,
+)
+from time_series_prediction_spark.sources.io import read_table
+
+
+def test_binary_payload_schema_and_metadata(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents").limit(50)
+    bin_df = attach_binary_payload(docs)
+    assert dict(bin_df.dtypes) == {
+        "doc_id": "bigint",
+        "modality": "string",
+        "payload": "binary",
+        "n_bytes": "bigint",
+        "content_md5": "string",
+    }
+    r = bin_df.join(docs, "doc_id").select("n_bytes", F.length("text").alias("n")).first()
+    assert r["n_bytes"] == r["n"]  # ascii fixture text
+
+
+def test_extract_features_deterministic_and_shaped(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents").limit(40)
+    bin_df = attach_binary_payload(docs)
+    feats = extract_features(bin_df).orderBy("doc_id")
+    rows = feats.collect()
+    assert len(rows) == 40
+    for r in rows:
+        assert len(r["features"]) == FEATURE_DIM
+        v = np.asarray(r["features"], dtype=float)
+        assert abs(v.sum() - 1.0) < 1e-6  # normalized histogram
+    # deterministic across runs
+    rows2 = extract_features(bin_df).orderBy("doc_id").collect()
+    assert [r["features"] for r in rows] == [r["features"] for r in rows2]
+
+
+def test_extract_features_small_batches_match(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents").limit(30)
+    bin_df = attach_binary_payload(docs)
+    a = extract_features(bin_df, batch_size=7).orderBy("doc_id").collect()
+    b = extract_features(bin_df, batch_size=1000).orderBy("doc_id").collect()
+    assert [r["features"] for r in a] == [r["features"] for r in b]
+
+
+def test_real_decoder_is_clearly_stubbed():
+    with pytest.raises(NotImplementedError, match="media libraries"):
+        decode_real(b"\x00", "image")

@@ -1,0 +1,114 @@
+"""Oracle checks for text/dedup/similarity queries + quality checks
+for the hash-based (rows-only) operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.oracle_harness import assert_matches_oracle, duck_connection
+from time_series_prediction_spark.operators import dedup, similarity
+from time_series_prediction_spark.plans.text_queries import TEXT_QUERIES
+from time_series_prediction_spark.sources.io import read_table
+
+ORACLE_QUERIES = sorted(n for n, (_, sql) in TEXT_QUERIES.items() if sql)
+ROWS_ONLY = sorted(n for n, (_, sql) in TEXT_QUERIES.items() if not sql)
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duck_connection(sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_text_query_matches_oracle(spark, sf_dir, duck, name):
+    fn, sql = TEXT_QUERIES[name]
+    assert_matches_oracle(fn(spark, sf_dir), duck, sql, name=name)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(spark, sf_dir, name):
+    fn, _ = TEXT_QUERIES[name]
+    df = fn(spark, sf_dir)
+    assert df.count() >= 0  # runs, stable schema
+    assert len(df.columns) >= 2
+
+
+def test_minhash_estimates_track_exact_jaccard(spark, sf_dir):
+    """MinHash estimate within 0.25 of exact Jaccard for sampled pairs."""
+    docs = read_table(spark, sf_dir, "documents").limit(60)
+    sh = docs.select(
+        "doc_id", dedup.word_shingles().alias("shingles")
+    ).where(F.size("shingles") > 0)
+    sigs = sh.select(
+        "doc_id", dedup.minhash_signature("shingles", 64).alias("sig"), "shingles"
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    pairs = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.expr(
+                "CAST(size(array_intersect(a.shingles, b.shingles)) AS DOUBLE)"
+                " / size(array_union(a.shingles, b.shingles))"
+            ).alias("exact"),
+            dedup.minhash_estimate("a.sig", "b.sig").alias("est"),
+        )
+    )
+    stats = pairs.agg(
+        F.max(F.abs(F.col("exact") - F.col("est"))).alias("max_err"),
+        F.avg(F.abs(F.col("exact") - F.col("est"))).alias("avg_err"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    assert stats["n"] > 1000
+    assert stats["avg_err"] < 0.08, f"avg err {stats['avg_err']}"
+    assert stats["max_err"] < 0.35, f"max err {stats['max_err']}"
+
+
+def test_lsh_ann_recall_vs_brute_force(spark, sf_dir):
+    """LSH ANN must recover most of the exact top-10 neighbors."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(emb, queries, k=10).select(
+        "query_id", "corpus_id"
+    )
+    # fixture embeddings are near-random (top-10 cosine ~0.25-0.39), so
+    # the operating point needs shallow tables: p_collide ~ 0.6^planes
+    # per table -> 4 planes x 16 tables gives ~0.9 expected recall
+    approx = similarity.lsh_ann_topk(
+        emb, queries, k=10, n_planes=4, n_tables=16
+    ).select("query_id", "corpus_id")
+    n_exact = exact.count()
+    n_hit = exact.join(approx, ["query_id", "corpus_id"]).count()
+    recall = n_hit / n_exact
+    assert n_exact == 100
+    assert recall >= 0.6, f"LSH recall {recall:.2f}"
+
+
+def test_simhash_separates_near_dups_from_random_pairs(spark, sf_dir):
+    """SimHash Hamming distance of a doc vs its ~90%-overlap mutation
+    must be clearly below the distance between unrelated docs."""
+    docs = read_table(spark, sf_dir, "documents").limit(60)
+    # mutated copy: drop every 10th word -> high shingle overlap
+    mutated = docs.select(
+        "doc_id",
+        F.expr(
+            "array_join(filter(split(text, ' '), (w, i) -> i % 10 != 0), ' ')"
+        ).alias("text"),
+    )
+    sig = lambda df: df.select(
+        "doc_id", dedup.word_shingles().alias("shingles")
+    ).where(F.size("shingles") > 0).select(
+        "doc_id", dedup.simhash64("shingles").alias("sig")
+    )
+    orig_sigs, mut_sigs = sig(docs), sig(mutated)
+    near = orig_sigs.alias("a").join(
+        mut_sigs.alias("b"), F.col("a.doc_id") == F.col("b.doc_id")
+    ).select(dedup.hamming64("a.sig", "b.sig").alias("ham"))
+    far = orig_sigs.alias("a").join(
+        orig_sigs.alias("b"), F.col("a.doc_id") < F.col("b.doc_id")
+    ).select(dedup.hamming64("a.sig", "b.sig").alias("ham"))
+    near_mean = near.agg(F.avg("ham")).first()[0]
+    far_mean = far.agg(F.avg("ham")).first()[0]
+    assert near_mean < far_mean * 0.6, f"near={near_mean:.1f} far={far_mean:.1f}"

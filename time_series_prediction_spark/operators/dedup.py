@@ -1,0 +1,248 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Beyond-reference scope (SURVEY §7.1.8). Design target is 100 TB:
+
+* exact_dedup — hash-groupBy on md5(text): one shuffle on the hash,
+  map-side partial aggregation; the canonical survivor is min(doc_id).
+* ngram_jaccard_pairs — blocked self-join: candidate pairs only within
+  a blocking key (default: same (lang, n_chars)), so the join is an
+  equi-join Catalyst can hash-partition, NOT an O(n²) cross join. At
+  100 TB the blocking key bounds the per-bucket pair count.
+* minhash_signatures / minhash_lsh_pairs — word-shingle MinHash with k
+  hash functions (xxhash64 seeded per function: JVM-side, no Python),
+  banded LSH: signatures split into b bands of r rows; docs sharing a
+  band-hash land in a bucket (equi-join on band value), and only
+  bucket-mates are compared. Shuffle = one explode(b bands) + one
+  equi-join — the standard scalable near-dup pipeline.
+* simhash64 — 64-bit SimHash over shingle hashes; near-dups have small
+  Hamming distance; pairs blocked on 16-bit prefix bands.
+
+MinHash/SimHash use xxhash64, which DuckDB lacks → those queries are
+rows-only for the driver oracle; their QUALITY is validated in pytest
+against exact Jaccard (see tests/test_dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one canonical row (min id) per exact text hash.
+
+    Aggregation (min over groupBy) rather than row_number-over-window:
+    both shuffle once, but the agg gets map-side combine."""
+    h = F.md5(F.col(text_col))
+    return (
+        df.select(F.col(id_col), h.alias("text_md5"))
+        .groupBy("text_md5")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles + exact n-gram Jaccard (blocked)
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(text_col: str = "text", n: int = 3) -> Column:
+    """Distinct word n-gram shingles as array<string>."""
+    w = f"split({text_col}, ' ')"
+    joined = " || ' ' || ".join(f"{w}[i + {j}]" for j in range(n))
+    return F.expr(
+        f"array_distinct(transform(sequence(0, size({w}) - {n}), i -> {joined}))"
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: tuple[str, ...] = ("lang", "n_chars"),
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact Jaccard over word n-grams for candidate pairs sharing a
+    blocking key. jaccard = |intersect| / |union| — exact integer
+    counts, deterministic double division."""
+    sh = df.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col),
+        word_shingles(text_col, n).alias("shingles"),
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
+    cond.append(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    inter = F.expr("size(array_intersect(a.shingles, b.shingles))")
+    union = F.expr("size(array_union(a.shingles, b.shingles))")
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("doc_id_a"),
+            F.col(f"b.{id_col}").alias("doc_id_b"),
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(
+    shingles_col: str = "shingles", num_hashes: int = 32
+) -> Column:
+    """MinHash signature: for hash function k, min over shingles of
+    xxhash64(shingle, k). array<bigint> of length num_hashes."""
+    return F.expr(
+        f"transform(sequence(0, {num_hashes - 1}), k -> "
+        f"array_min(transform({shingles_col}, s -> xxhash64(s, k))))"
+    )
+
+
+def minhash_estimate(sig_a: str, sig_b: str) -> Column:
+    """Estimated Jaccard = fraction of matching signature positions."""
+    return F.expr(
+        f"CAST(size(filter(zip_with({sig_a}, {sig_b}, (x, y) -> x = y), v -> v)) AS DOUBLE)"
+        f" / size({sig_a})"
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Banded-LSH near-dup candidates with MinHash-estimated Jaccard.
+
+    bands=b, rows r=num_hashes/b: a pair with true Jaccard j collides
+    in ≥1 band with prob 1-(1-j^r)^b (the standard S-curve). Pipeline:
+    signature → explode b band-hashes → equi-join on (band, value) →
+    dedup pairs → estimate — every join is a hash join on a small key,
+    no cross product.
+    """
+    rows = num_hashes // bands
+    sigs = (
+        df.select(F.col(id_col), word_shingles(text_col, n).alias("shingles"))
+        .where(F.size("shingles") > 0)
+        .select(
+            F.col(id_col), minhash_signature("shingles", num_hashes).alias("sig")
+        )
+    )
+    banded = sigs.select(
+        id_col,
+        "sig",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> "
+                f"xxhash64(array_join(transform(slice(sig, b * {rows} + 1, {rows}), "
+                f"v -> CAST(v AS STRING)), ',')))"
+            )
+        ).alias("band", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_id_a"),
+            F.col(f"b.{id_col}").alias("doc_id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+    )
+    return pairs.select(
+        "doc_id_a",
+        "doc_id_b",
+        minhash_estimate("sig_a", "sig_b").alias("est_jaccard"),
+    ).where(F.col("est_jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(shingles_col: str = "shingles") -> Column:
+    """64-bit SimHash: for each bit position, sum +1/-1 votes of the
+    shingle hashes' bits; bit = 1 if the sum is positive. Computed
+    bit-parallel: for each of 64 positions count set bits among
+    hashes, compare against half the count."""
+    return F.expr(
+        f"aggregate(sequence(0, 63), 0L, (acc, bit) -> "
+        f"acc + CASE WHEN 2 * size(filter({shingles_col}, "
+        f"s -> ((xxhash64(s) >> bit) & 1) = 1)) > size({shingles_col}) "
+        f"THEN shiftleft(1L, bit) ELSE 0L END)"
+    )
+
+
+def hamming64(a: str, b: str) -> Column:
+    """Hamming distance between two 64-bit signatures via popcount."""
+    return F.expr(f"bit_count({a} ^ {b})")
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on each of the four 16-bit
+    words of the signature (two docs within Hamming distance 3 share
+    at least one exact word; wider distances trade recall), then exact
+    Hamming filter within buckets."""
+    sigs = (
+        df.select(F.col(id_col), word_shingles(text_col, n).alias("shingles"))
+        .where(F.size("shingles") > 0)
+        .select(F.col(id_col), simhash64("shingles").alias("sig"))
+    )
+    banded = sigs.select(
+        id_col,
+        "sig",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, 3), w -> (sig >> (w * 16)) & 65535L)"
+            )
+        ).alias("word", "word_val"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.word_val") == F.col("b.word_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_id_a"),
+            F.col(f"b.{id_col}").alias("doc_id_b"),
+            hamming64("a.sig", "b.sig").alias("hamming"),
+        )
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,334 @@
+"""Declared queries for the LLM-data-pipeline operators (documents +
+embeddings fixtures): text analysis, dedup, similarity search.
+
+Oracle-checked queries output scalar columns only (the driver's
+value-hash is cleanest over scalars) and follow the exact-integer
+determinism contract (see plans/relational.py). MinHash / SimHash /
+LSH queries depend on xxhash64, which DuckDB lacks → rows-only checks;
+their retrieval QUALITY is validated in pytest against exact Jaccard /
+brute-force cosine (tests/test_dedup.py, tests/test_similarity.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from time_series_prediction_spark.operators import dedup, similarity, text
+from time_series_prediction_spark.sources.io import read_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_STOP = ", ".join(f"'{w}'" for w in text.STOPWORDS)
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/quality statistics (token counting, quality
+    scoring — SURVEY §7.1.8 text-analysis ops)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        text.token_count().cast("bigint").alias("n_tokens"),
+        text.bpe_ish_token_count().alias("n_subword_tokens"),
+        text.avg_token_len().alias("avg_token_len"),
+        text.stopword_count().alias("n_stopwords"),
+        text.quality_score().alias("quality"),
+    )
+
+
+DOC_TEXT_STATS_SQL = f"""
+SELECT doc_id, lang,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(list_sum(list_transform(string_split(text, ' '),
+                     w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT)
+         AS n_subword_tokens,
+       CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+         / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len,
+       CAST(len(list_filter(string_split(text, ' '), t -> t IN ({_STOP}))) AS BIGINT)
+         AS n_stopwords,
+       0.4 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+       + least(0.3, 0.3 * (CAST(len(list_filter(string_split(text, ' '),
+                                t -> t IN ({_STOP}))) AS DOUBLE)
+                           / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 4.0)
+       + 0.3 * least((CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                      / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 8.0, 1.0)
+         AS quality
+FROM documents
+"""
+
+
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-based language identification + agreement flag against
+    the labeled lang column."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        text.lang_id().alias("predicted_lang"),
+        (text.lang_id() == F.col("lang")).alias("agrees"),
+    )
+
+
+DOC_LANG_ID_SQL = f"""
+SELECT doc_id, lang,
+       {text.lang_id_case_sql()} AS predicted_lang,
+       ({text.lang_id_case_sql()}) = lang AS agrees
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: md5(text) → canonical min doc_id + copies."""
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs)
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_md5,
+       min(doc_id) AS keep_id,
+       count(*)    AS n_copies
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+def doc_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-fingerprint blocking groups (document fingerprinting)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", text.fingerprint().alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("group_size"), F.min("doc_id").alias("keep_id"))
+    )
+
+
+DOC_FINGERPRINT_SQL = """
+SELECT md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS fp,
+       count(*)    AS group_size,
+       min(doc_id) AS keep_id
+FROM documents
+GROUP BY md5(array_to_string(string_split(text, ' ')[1:5], ' '))
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup detection, prefix-fingerprint
+    blocked. The corpus has no organic near-dups (random word salad ⇒
+    pairwise Jaccard ≈ 0), so the query unions in deterministic
+    ~90%-overlap mutations (doc_id + 1000000, every 10th word dropped,
+    prefix preserved) — the operator then has real positives to find,
+    and the oracle must agree on every pair AND its exact Jaccard.
+    Blocking key = (lang, md5 of first-3-token prefix): candidate
+    pairs form an equi-join, never a cross product."""
+    docs = read_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "lang", F.col("text"))
+    mutated = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "lang",
+        F.expr(
+            "array_join(filter(split(text, ' '), (w, i) -> i % 10 != 5), ' ')"
+        ).alias("text"),
+    )
+    both = base.unionAll(mutated)
+    sh = both.select(
+        "doc_id",
+        "lang",
+        F.expr("md5(array_join(slice(split(text, ' '), 1, 3), ' '))").alias("fp"),
+        dedup.word_shingles("text", 3).alias("shingles"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.expr("size(array_intersect(a.shingles, b.shingles))")
+    union = F.expr("size(array_union(a.shingles, b.shingles))")
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.2)
+    )
+
+
+# NOTE: DuckDB lambda indices are 1-based (Spark's are 0-based) — the
+# mutation drops 0-based index 5 ≡ 1-based index 6.
+DEDUP_NGRAM_SQL = """
+WITH both_docs AS (
+  SELECT doc_id, lang, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, lang,
+         array_to_string(list_filter(string_split(text, ' '),
+                                     (w, i) -> i % 10 != 6), ' ') AS text
+  FROM documents
+), sh AS (
+  SELECT doc_id, lang,
+         md5(array_to_string(string_split(text, ' ')[1:3], ' ')) AS fp,
+         list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+           i -> string_split(text, ' ')[i] || ' ' ||
+                string_split(text, ' ')[i + 1] || ' ' ||
+                string_split(text, ' ')[i + 2])) AS shingles
+  FROM both_docs
+)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+         / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE)
+         AS jaccard
+FROM sh a JOIN sh b
+  ON a.lang = b.lang AND a.fp = b.fp AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE)
+      >= 0.2
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates (rows-only: xxhash64-based)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, threshold=0.5)
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates (rows-only: xxhash64-based)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(docs, max_hamming=8)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force (quantized-exact) cosine top-10 for the first 10
+    vectors as queries."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=10)
+
+
+_QVEC = "list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1048576) AS BIGINT))"
+
+EMBEDDING_COSINE_TOPK_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, {_QVEC} AS qvec FROM embeddings WHERE vec_id < 10
+), c AS (
+  SELECT vec_id AS corpus_id, {_QVEC} AS cvec FROM embeddings
+), scored AS (
+  SELECT query_id, corpus_id,
+         CAST(list_sum(list_transform(range(1, len(qvec) + 1),
+                                      i -> qvec[i] * cvec[i])) AS DOUBLE)
+           / (sqrt(CAST(list_sum(list_transform(qvec, v -> v * v)) AS DOUBLE))
+              * sqrt(CAST(list_sum(list_transform(cvec, v -> v * v)) AS DOUBLE)))
+           AS cosine
+  FROM c, q WHERE corpus_id != query_id
+)
+SELECT query_id, corpus_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, corpus_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= 10
+"""
+
+
+def embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-10 (rows-only: xxhash64 planes);
+    recall vs brute force asserted in tests/test_text_queries.py.
+    Operating point (4 planes × 16 tables) tuned for the fixtures'
+    near-random vectors (top-10 cosine ~0.3)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_ann_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=10, n_planes=4, n_tables=16
+    )
+
+
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid components from exact quantized sums
+    (scalar output: one row per (label, dim))."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    dim_df = emb.select(
+        "label", F.posexplode(similarity.quantize("embedding")).alias("dim", "q")
+    )
+    return (
+        dim_df.groupBy("label", "dim")
+        .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "label",
+            F.col("dim").cast("int").alias("dim"),
+            (F.col("s").cast("double") / F.col("n") / F.lit(1048576)).alias(
+                "centroid_value"
+            ),
+            F.col("n").cast("bigint").alias("n_vectors"),
+        )
+    )
+
+
+EMBEDDING_CENTROIDS_SQL = """
+SELECT label,
+       CAST(i - 1 AS INTEGER) AS dim,
+       CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / count(*) / 1048576 AS centroid_value,
+       count(*) AS n_vectors
+FROM (
+  SELECT label,
+         generate_subscripts(embedding, 1) AS i,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1048576) AS BIGINT) AS q
+  FROM embeddings
+)
+GROUP BY label, i
+"""
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction via iterator mapInPandas
+    (rows-only: the decode stage is Python-side by design; decode
+    itself is stubbed deterministically — see operators/multimodal)."""
+    from time_series_prediction_spark.operators.multimodal import (
+        attach_binary_payload,
+        extract_features,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    feats = extract_features(attach_binary_payload(docs))
+    return feats.select(
+        "doc_id",
+        "modality",
+        "n_bytes",
+        "content_md5",
+        F.expr("round(aggregate(features, 0D, (a, v) -> a + v), 6)").alias(
+            "feature_sum"
+        ),
+    )
+
+
+TEXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "doc_text_stats": (doc_text_stats, DOC_TEXT_STATS_SQL),
+    "doc_lang_id": (doc_lang_id, DOC_LANG_ID_SQL),
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "doc_fingerprint_groups": (doc_fingerprint_groups, DOC_FINGERPRINT_SQL),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, None),
+    "dedup_simhash": (dedup_simhash, None),
+    "embedding_cosine_topk": (embedding_cosine_topk, EMBEDDING_COSINE_TOPK_SQL),
+    "embedding_lsh_ann": (embedding_lsh_ann, None),
+    "embedding_label_centroids": (
+        embedding_label_centroids,
+        EMBEDDING_CENTROIDS_SQL,
+    ),
+    "multimodal_features": (multimodal_features, None),
+}
