@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Benchmark: run the engine's headline queries and print ONE JSON line.
+
+  {"metric": "total_query_seconds", "value": N, "unit": "sec",
+   "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+Data dir from $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1);
+cores from $SPARK_GRAFT_CPUS (default 32). Each query is executed to
+completion with a count() action (forces the full plan incl. joins,
+windows, and array math; result sets are small aggregates so count()
+is not a shortcut).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from time_series_prediction_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    try:
+        sf = float(Path(sf_dir).name.replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    spark = get_spark(
+        app_name="tsps-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(int(cpus), 4) if cpus.isdigit() else 32,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.queries()
+
+    # Warm the JVM + file cache with one cheap query (not timed).
+    queries["q6_revenue_change"](spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    for name in sorted(queries):
+        fn = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,59 @@
+"""End-to-end serve path: pre_process -> iterator-pandas_udf scoring ->
+post_process -> R2, with stub models (TF not in this image)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from time_series_prediction_spark.model.scoring import (
+    keras_cnn_factory,
+    last_value_model_factory,
+    score_dataframe,
+    zero_model_factory,
+)
+from time_series_prediction_spark.plans.preprocess import (
+    clean_series,
+    post_processing,
+    pre_processing,
+    r2_metrics,
+)
+from time_series_prediction_spark.sources.generate import generate_series_frame
+
+
+def test_full_serve_path_with_stub_model(spark):
+    raw = generate_series_frame(spark, 30, seed=5)
+    pre = pre_processing(clean_series(raw), "2020-03-31", serving=True)
+    scored = score_dataframe(pre, zero_model_factory())
+    post = post_processing(scored)
+    rows = post.select("mean", "y_pred", "y_pred_rescaled").collect()
+    assert all(len(r["y_pred"]) == 92 for r in rows)
+    for r in rows:
+        np.testing.assert_allclose(
+            np.asarray(r["y_pred_rescaled"], dtype=float),
+            np.full(92, r["mean"]),
+            rtol=1e-5,
+        )
+
+
+def test_last_value_model_beats_zero_model_on_r2(spark):
+    raw = generate_series_frame(spark, 60, seed=11)
+    pre = pre_processing(clean_series(raw), "2020-03-31", serving=False)
+    out = {}
+    for name, factory in {
+        "zero": zero_model_factory(),
+        "last": last_value_model_factory(),
+    }.items():
+        scored = post_processing(score_dataframe(pre, factory))
+        m = r2_metrics(scored, y_pred_col="y_pred_rescaled_retrended").first()
+        out[name] = m["r2_3month"]
+    # persistence forecast must explain more variance than the mean
+    assert out["last"] > out["zero"]
+
+
+def test_keras_factory_raises_without_tf(spark):
+    raw = generate_series_frame(spark, 5, seed=1)
+    pre = pre_processing(clean_series(raw), "2020-03-31", serving=True)
+    scored = score_dataframe(pre, keras_cnn_factory("/nonexistent"))
+    with pytest.raises(Exception, match="tensorflow|NotImplementedError"):
+        scored.select("y_pred").collect()

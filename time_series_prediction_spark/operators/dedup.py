@@ -56,11 +56,15 @@ def exact_dedup(
 
 
 def word_shingles(text_col: str = "text", n: int = 3) -> Column:
-    """Distinct word n-gram shingles as array<string>."""
-    w = f"split({text_col}, ' ')"
-    joined = " || ' ' || ".join(f"{w}[i + {j}]" for j in range(n))
+    """Distinct word n-gram shingles as array<string>.
+
+    The token array is bound ONCE via a single-element transform
+    (poor man's let) — inlining ``split()`` into the per-shingle lambda
+    would re-tokenize the document for every shingle (O(len²))."""
+    joined = " || ' ' || ".join(f"_w[i + {j}]" for j in range(n))
     return F.expr(
-        f"array_distinct(transform(sequence(0, size({w}) - {n}), i -> {joined}))"
+        f"transform(array(split({text_col}, ' ')), _w -> "
+        f"array_distinct(transform(sequence(0, size(_w) - {n}), i -> {joined})))[0]"
     )
 
 
@@ -105,11 +109,15 @@ def ngram_jaccard_pairs(
 def minhash_signature(
     shingles_col: str = "shingles", num_hashes: int = 32
 ) -> Column:
-    """MinHash signature: for hash function k, min over shingles of
-    xxhash64(shingle, k). array<bigint> of length num_hashes."""
+    """MinHash signature: array<bigint> of length num_hashes.
+
+    Each shingle STRING is hashed once (``_h``); the k permutations
+    re-hash only the resulting 8-byte value (xxhash64(v, k)) — k× the
+    string-hashing cost would dominate otherwise."""
     return F.expr(
+        f"transform(array(transform({shingles_col}, s -> xxhash64(s))), _h -> "
         f"transform(sequence(0, {num_hashes - 1}), k -> "
-        f"array_min(transform({shingles_col}, s -> xxhash64(s, k))))"
+        f"array_min(transform(_h, v -> xxhash64(v, k)))))[0]"
     )
 
 
@@ -188,14 +196,16 @@ def minhash_lsh_pairs(
 
 def simhash64(shingles_col: str = "shingles") -> Column:
     """64-bit SimHash: for each bit position, sum +1/-1 votes of the
-    shingle hashes' bits; bit = 1 if the sum is positive. Computed
-    bit-parallel: for each of 64 positions count set bits among
-    hashes, compare against half the count."""
+    shingle hashes' bits; bit = 1 if the sum is positive.
+
+    Shingle hashes are computed ONCE into ``_h`` (not per bit — that
+    would be 64× the hashing work), then each bit position counts set
+    bits across the hash array."""
     return F.expr(
+        f"transform(array(transform({shingles_col}, s -> xxhash64(s))), _h -> "
         f"aggregate(sequence(0, 63), 0L, (acc, bit) -> "
-        f"acc + CASE WHEN 2 * size(filter({shingles_col}, "
-        f"s -> ((xxhash64(s) >> bit) & 1) = 1)) > size({shingles_col}) "
-        f"THEN shiftleft(1L, bit) ELSE 0L END)"
+        f"acc + CASE WHEN 2 * size(filter(_h, v -> (shiftright(v, bit) & 1) = 1)) > size(_h) "
+        f"THEN shiftleft(1L, bit) ELSE 0L END))[0]"
     )
 
 
@@ -225,7 +235,7 @@ def simhash_near_pairs(
         "sig",
         F.posexplode(
             F.expr(
-                "transform(sequence(0, 3), w -> (sig >> (w * 16)) & 65535L)"
+                "transform(sequence(0, 3), w -> shiftright(sig, w * 16) & 65535L)"
             )
         ).alias("word", "word_val"),
     )

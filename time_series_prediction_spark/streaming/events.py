@@ -1,0 +1,119 @@
+"""Structured Streaming ingestion for the events table.
+
+The reference has NO streaming surface (SURVEY §2.9 — batch arrays
+only); this is engine stretch scope: the same events analytics as
+plans/relational.events_hourly, expressed as an incremental streaming
+query with watermarking, so the engine covers continuous ingestion at
+the 100 TB tier (file/kafka source → windowed state → append sink).
+
+Patterns covered:
+* tumbling/sliding window aggregation with a watermark bounding state
+* session windows (``F.session_window``) — the streaming twin of the
+  batch lag+cumsum sessionization
+* ``foreachBatch`` parquet sink for exactly-once-style materialization
+
+Tests drive these with the fixture parquet files as a file-stream
+source and ``processAllAvailable()`` (a bounded drain), which executes
+the real incremental engine — not a batch rewrite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+EVENTS_RAW_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (ts stored as
+    TIMESTAMP(NANOS) → read as long, converted like io.read_table)."""
+    # file-stream sources require a directory: stream the fixture dir
+    # with a glob filter selecting only the events file
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_counts_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Windowed aggregation with watermark: count/sum per (hour,
+    event_type). The watermark bounds state: late rows beyond it are
+    dropped and completed windows are emitted/evicted — the property
+    that keeps state size constant on an unbounded stream."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("hour"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session-window aggregation: the streaming equivalent of
+    plans/relational.events_sessionization (30-min inactivity gap),
+    with state eviction driven by the watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("session_value"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def run_to_memory_sink(
+    df: DataFrame, name: str, output_mode: str = "append"
+) -> StreamingQuery:
+    """Start the streaming query into an in-memory table (tests /
+    smoke); caller drains with processAllAvailable()."""
+    return (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+
+
+def run_to_parquet_sink(
+    df: DataFrame, path: str, checkpoint: str, output_mode: str = "append"
+) -> StreamingQuery:
+    """Materialize via foreachBatch parquet append — the pattern for
+    exactly-once-style sinks without a transactional table format."""
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("append").parquet(path)
+
+    return (
+        df.writeStream.outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(write_batch)
+        .start()
+    )
