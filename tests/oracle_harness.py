@@ -49,11 +49,11 @@ def assert_matches_oracle(spark_df, con: duckdb.DuckDBPyConnection, sql: str, na
     )
     for c in got.columns:
         g, w = got[c].to_numpy(), want[c].to_numpy()
+        both_na = pd.isna(g) & pd.isna(w)
         if np.issubdtype(g.dtype, np.floating):
-            both_nan = pd.isna(g) & pd.isna(w)
-            eq = np.isclose(g, w, rtol=0, atol=1e-9) | both_nan
+            eq = np.isclose(g, w, rtol=0, atol=1e-9) | both_na
         else:
-            eq = g == w
+            eq = (g == w) | both_na
         if not np.all(eq):
             bad = np.where(~eq)[0][:5]
             raise AssertionError(

@@ -6,9 +6,10 @@ reshape) → cleaning flag → seasonal-decompose trend (freq=7 for the
 ~30-day fixtures) → linear trend extrapolation 14 days ahead →
 trajectory slope metric — i.e. the reference lifecycle (SURVEY §3.3
 serving path) compressed to one lazy DataFrame: generation-scale
-array math with no Python UDFs and exactly ONE shuffle (the
-groupBy(user, day) rollup; long_to_wide reuses the same hash
-partitioning on user_id).
+array math with no Python UDFs and exactly TWO small shuffles — the
+(user, day) rollup exchange and the per-user collect exchange, both
+over already-aggregated rows; all per-series math afterwards is
+shuffle-free array expressions.
 """
 
 from __future__ import annotations

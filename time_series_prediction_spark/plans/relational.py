@@ -402,6 +402,33 @@ GROUP BY ROLLUP (r_name, n_name)
 """
 
 
+def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping-sets coverage: order counts + totals across every
+    combination of (priority, status)."""
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_cents("o_totalprice")).alias("_st"),
+        )
+        .select(
+            "o_orderpriority",
+            "o_orderstatus",
+            "n_orders",
+            (F.col("_st") / 100.0).alias("total_price"),
+        )
+    )
+
+
+ORDERS_CUBE_SQL = f"""
+SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+       CAST(sum({_sql_cents('o_totalprice')}) AS DOUBLE) / 100.0 AS total_price
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
 def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q8-flavored: each nation's share of yearly revenue (join + agg +
     window-normalized ratio). The share window reuses the groupBy
@@ -652,6 +679,7 @@ RELATIONAL_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "priority_order_counts": (priority_order_counts, PRIORITY_SQL),
     "top_orders_per_customer": (top_orders_per_customer, TOP_ORDERS_SQL),
     "nation_rollup": (nation_rollup, NATION_ROLLUP_SQL),
+    "orders_cube": (orders_cube, ORDERS_CUBE_SQL),
     "market_share_by_year": (market_share_by_year, MARKET_SHARE_SQL),
     "customers_without_urgent_orders": (
         customers_without_urgent_orders,

@@ -359,7 +359,47 @@ LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
 )
 
 
+def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event annotated with the user's most recent
+    purchase at-or-before it (operators/asof union-carry construction —
+    one shuffle; DuckDB cross-checks with its native ASOF JOIN)."""
+    from time_series_prediction_spark.operators.asof import asof_join
+
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    joined = asof_join(
+        ev.select("event_id", "user_id", "ts", "event_type", "value"),
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["purchase_value"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.col("ts_asof").alias("last_purchase_ts"),
+        F.col("purchase_value_asof").alias("last_purchase_value"),
+    )
+
+
+EVENTS_ASOF_SQL = """
+SELECT e.event_id, e.user_id, e.ts, e.event_type,
+       p.ts    AS last_purchase_ts,
+       p.value AS last_purchase_value
+FROM events e
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id AND e.ts >= p.ts
+"""
+
+
 TIMESERIES_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "events_asof_last_purchase": (events_asof_last_purchase, EVENTS_ASOF_SQL),
     "ts_daily_series": (ts_daily_series, TS_DAILY_SQL),
     "ts_weekly_trend": (ts_weekly_trend, TS_WEEKLY_TREND_SQL),
     "ts_gradient": (ts_gradient, TS_GRADIENT_SQL),
