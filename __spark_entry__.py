@@ -28,12 +28,28 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 def _all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
     registry: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
     registry.update(RELATIONAL_QUERIES)
+    try:
+        from time_series_prediction_spark.plans.relational2 import (
+            RELATIONAL2_QUERIES,
+        )
+
+        registry.update(RELATIONAL2_QUERIES)
+    except ImportError:
+        pass
     try:  # populated as operator coverage widens
         from time_series_prediction_spark.plans.timeseries_queries import (
             TIMESERIES_QUERIES,
         )
 
         registry.update(TIMESERIES_QUERIES)
+    except ImportError:
+        pass
+    try:
+        from time_series_prediction_spark.plans.timeseries_queries2 import (
+            TIMESERIES2_QUERIES,
+        )
+
+        registry.update(TIMESERIES2_QUERIES)
     except ImportError:
         pass
     try:

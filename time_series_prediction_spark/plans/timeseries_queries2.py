@@ -1,0 +1,315 @@
+"""Time-series analytics, batch 2: rolling statistics, OHLC
+downsampling, EWMA, anomaly flags, autocorrelation, retention.
+
+Long-form window plans over the exact-cents daily series (see
+plans/timeseries_queries.DAILY_CTE), same cross-engine determinism
+contract: all statistics from exact integer window sums, one final
+IEEE expression.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from time_series_prediction_spark.plans.timeseries_queries import (
+    DAILY_CTE,
+    daily_series,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def ts_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-row rolling min/max/mean/std per user — rolling std
+    from exact integer sums: var = (ss - s*s/n)/n."""
+    d = daily_series(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("day").rowsBetween(-6, 0)
+    s = F.sum("cents").over(w).cast("double")
+    ss = F.sum(F.col("cents") * F.col("cents")).over(w).cast("double")
+    n = F.count(F.lit(1)).over(w).cast("double")
+    return d.select(
+        "user_id",
+        "day",
+        (F.col("cents") / 100.0).alias("value"),
+        (F.min("cents").over(w) / 100.0).alias("roll_min"),
+        (F.max("cents").over(w) / 100.0).alias("roll_max"),
+        (s / (100.0 * n)).alias("roll_mean"),
+        (F.sqrt((ss - s * s / n) / n) / 100.0).alias("roll_std"),
+    )
+
+
+TS_ROLLING_SQL = (
+    DAILY_CTE
+    + """
+SELECT user_id, day,
+       CAST(cents AS DOUBLE) / 100.0 AS value,
+       CAST(min(cents) OVER w AS DOUBLE) / 100.0 AS roll_min,
+       CAST(max(cents) OVER w AS DOUBLE) / 100.0 AS roll_max,
+       CAST(sum(cents) OVER w AS DOUBLE) / (100.0 * count(*) OVER w) AS roll_mean,
+       sqrt((CAST(sum(cents * cents) OVER w AS DOUBLE)
+             - CAST(sum(cents) OVER w AS DOUBLE) * CAST(sum(cents) OVER w AS DOUBLE)
+               / count(*) OVER w)
+            / count(*) OVER w) / 100.0 AS roll_std
+FROM daily
+WINDOW w AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+)
+
+
+def ts_weekly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample daily series to weekly OHLC bars: open/close via
+    min_by/max_by on the day (DuckDB arg_min/arg_max), high/low/volume
+    exact."""
+    d = daily_series(spark, sf_dir)
+    wk = F.date_trunc("week", F.col("day")).alias("week")
+    return (
+        d.groupBy("user_id", wk)
+        .agg(
+            (F.min_by("cents", "day") / 100.0).alias("open"),
+            (F.max("cents") / 100.0).alias("high"),
+            (F.min("cents") / 100.0).alias("low"),
+            (F.max_by("cents", "day") / 100.0).alias("close"),
+            F.count(F.lit(1)).alias("n_days"),
+            (F.sum("cents") / 100.0).alias("total"),
+        )
+    )
+
+
+TS_OHLC_SQL = (
+    DAILY_CTE
+    + """
+SELECT user_id, date_trunc('week', day) AS week,
+       CAST(arg_min(cents, day) AS DOUBLE) / 100.0 AS open,
+       CAST(max(cents) AS DOUBLE) / 100.0          AS high,
+       CAST(min(cents) AS DOUBLE) / 100.0          AS low,
+       CAST(arg_max(cents, day) AS DOUBLE) / 100.0 AS close,
+       count(*)                                    AS n_days,
+       CAST(sum(cents) AS DOUBLE) / 100.0          AS total
+FROM daily
+GROUP BY user_id, date_trunc('week', day)
+"""
+)
+
+
+def ts_ewma_7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed EWMA (α=0.5, 7-day horizon): weights 0.5^k over the
+    last 7 observations, normalized. Exact closed form per row:
+    both engines evaluate sum(v_k·w_k)/sum(w_k) over identical
+    integer-cent inputs with power-of-two weights (exact in binary),
+    ordered identically — deterministic.
+
+    Full-history EWMA is a recurrence (not window-expressible); the
+    7-term truncation keeps the operator incremental at any scale and
+    its tail weight (0.5^7) is negligible."""
+    d = daily_series(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("day")
+    terms = []
+    weights = []
+    for k in range(7):
+        v = F.lag("cents", k).over(w)
+        wt = 0.5**k
+        terms.append(F.when(v.isNotNull(), v * F.lit(wt)).otherwise(F.lit(0.0)))
+        weights.append(
+            F.when(v.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+        )
+    num = terms[0]
+    for t in terms[1:]:
+        num = num + t
+    den = weights[0]
+    for t in weights[1:]:
+        den = den + t
+    return d.select(
+        "user_id",
+        "day",
+        (F.col("cents") / 100.0).alias("value"),
+        (num / (100.0 * den)).alias("ewma7"),
+    )
+
+
+def _ewma_sql() -> str:
+    nums = []
+    dens = []
+    for k in range(7):
+        v = f"lag(cents, {k}) OVER w"
+        nums.append(f"CASE WHEN {v} IS NOT NULL THEN {v} * {0.5 ** k!r} ELSE 0.0 END")
+        dens.append(f"CASE WHEN {v} IS NOT NULL THEN {0.5 ** k!r} ELSE 0.0 END")
+    return (
+        DAILY_CTE
+        + f"""
+SELECT user_id, day,
+       CAST(cents AS DOUBLE) / 100.0 AS value,
+       ({' + '.join(nums)}) / (100.0 * ({' + '.join(dens)})) AS ewma7
+FROM daily
+WINDOW w AS (PARTITION BY user_id ORDER BY day)
+"""
+    )
+
+
+TS_EWMA_SQL = _ewma_sql()
+
+
+def ts_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly detection: flag days whose value deviates more than 2
+    population-σ from the user's mean (exact integer sums)."""
+    d = daily_series(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    s = F.sum("cents").over(w).cast("double")
+    ss = F.sum(F.col("cents") * F.col("cents")).over(w).cast("double")
+    n = F.count(F.lit(1)).over(w).cast("double")
+    mean_c = s / n
+    std_c = F.sqrt((ss - s * s / n) / n)
+    dev = F.abs(F.col("cents") - mean_c)
+    return d.select(
+        "user_id",
+        "day",
+        (F.col("cents") / 100.0).alias("value"),
+        F.when(std_c > 0, (dev > 2 * std_c).cast("int"))
+        .otherwise(F.lit(0))
+        .alias("is_anomaly"),
+    ).where(F.col("is_anomaly") == 1)
+
+
+TS_ANOMALY_SQL = (
+    DAILY_CTE
+    + """
+SELECT user_id, day, value, is_anomaly
+FROM (
+  SELECT user_id, day,
+         CAST(cents AS DOUBLE) / 100.0 AS value,
+         CASE WHEN sqrt((ss - s * s / n) / n) > 0
+              THEN CAST(abs(cents - s / n) > 2 * sqrt((ss - s * s / n) / n) AS INTEGER)
+              ELSE 0 END AS is_anomaly
+  FROM (
+    SELECT user_id, day, cents,
+           CAST(sum(cents)         OVER w AS DOUBLE) AS s,
+           CAST(sum(cents * cents) OVER w AS DOUBLE) AS ss,
+           CAST(count(*)           OVER w AS DOUBLE) AS n
+    FROM daily
+    WINDOW w AS (PARTITION BY user_id)
+  )
+)
+WHERE is_anomaly = 1
+"""
+)
+
+
+def ts_lag1_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lag-1 autocorrelation from exact integer sums over the
+    aligned (v, lag(v)) pairs: r = (n·Σxy − Σx·Σy) /
+    (sqrt(n·Σx² − (Σx)²)·sqrt(n·Σy² − (Σy)²)) — one deterministic
+    closed form, no float accumulation."""
+    d = daily_series(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("day")
+    pairs = d.select(
+        "user_id",
+        F.col("cents").alias("x"),
+        F.lag("cents").over(w).alias("y"),
+    ).where(F.col("y").isNotNull())
+    agg = pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = agg.n * agg.sxy - agg.sx * agg.sy
+    den = F.sqrt((agg.n * agg.sxx - agg.sx * agg.sx).cast("double")) * F.sqrt(
+        (agg.n * agg.syy - agg.sy * agg.sy).cast("double")
+    )
+    return agg.select(
+        "user_id",
+        F.col("n").alias("n_pairs"),
+        F.when(den > 0, num.cast("double") / den).alias("lag1_autocorr"),
+    )
+
+
+TS_AUTOCORR_SQL = (
+    DAILY_CTE
+    + """
+, pairs AS (
+  SELECT user_id, cents AS x,
+         lag(cents) OVER (PARTITION BY user_id ORDER BY day) AS y
+  FROM daily
+), agg AS (
+  SELECT user_id, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,   CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM pairs WHERE y IS NOT NULL
+  GROUP BY user_id
+)
+SELECT user_id, n AS n_pairs,
+       CASE WHEN sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                 * sqrt(CAST(n * syy - sy * sy AS DOUBLE)) > 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+       END AS lag1_autocorr
+FROM agg
+"""
+)
+
+
+def events_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day retention: of the users active on day D, how many
+    were also active on D+1 (distinct-user self-join on adjacent
+    days)."""
+    from time_series_prediction_spark.sources.io import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    active = ev.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    nxt = active.select(
+        F.date_sub("day", 1).alias("day"), F.col("user_id").alias("u2")
+    )
+    return (
+        active.join(
+            nxt,
+            (active.day == nxt.day) & (active.user_id == nxt.u2),
+            "left",
+        )
+        .groupBy(active.day)
+        .agg(
+            F.count(F.lit(1)).alias("active_users"),
+            F.count("u2").alias("retained_next_day"),
+        )
+        .select(
+            "day",
+            "active_users",
+            "retained_next_day",
+            (
+                F.col("retained_next_day").cast("double")
+                / F.col("active_users")
+            ).alias("retention_rate"),
+        )
+    )
+
+
+EVENTS_RETENTION_SQL = """
+WITH active AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+)
+SELECT a.day,
+       count(*) AS active_users,
+       count(b.user_id) AS retained_next_day,
+       CAST(count(b.user_id) AS DOUBLE) / count(*) AS retention_rate
+FROM active a
+LEFT JOIN active b
+  ON b.user_id = a.user_id AND b.day = a.day + INTERVAL 1 DAY
+GROUP BY a.day
+"""
+
+
+TIMESERIES2_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "ts_rolling_stats": (ts_rolling_stats, TS_ROLLING_SQL),
+    "ts_weekly_ohlc": (ts_weekly_ohlc, TS_OHLC_SQL),
+    "ts_ewma_7": (ts_ewma_7, TS_EWMA_SQL),
+    "ts_anomaly_flags": (ts_anomaly_flags, TS_ANOMALY_SQL),
+    "ts_lag1_autocorr": (ts_lag1_autocorr, TS_AUTOCORR_SQL),
+    "events_daily_retention": (events_daily_retention, EVENTS_RETENTION_SQL),
+}
