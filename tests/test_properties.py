@@ -1,0 +1,102 @@
+"""Property-based tests (hypothesis) for the array-expression operators.
+
+Each example round-trips one generated series through the Spark
+expression and checks an invariant or the numpy oracle. max_examples
+kept small: every example is a Spark job.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql.types import ArrayType, FloatType, StructField, StructType
+
+from tests.oracle import numpy_reference as ref
+from time_series_prediction_spark.operators import timeseries as ts
+
+SERIES = st.lists(
+    st.floats(
+        min_value=-1e5, max_value=1e5, allow_nan=False, allow_infinity=False
+    ),
+    min_size=40,
+    max_size=120,
+)
+
+SCHEMA = StructType([StructField("balance", ArrayType(FloatType()))])
+
+
+def _one_row(spark, xs):
+    return spark.createDataFrame([([float(np.float32(v)) for v in xs],)], SCHEMA)
+
+
+@settings(max_examples=12, deadline=None)
+@given(SERIES)
+def test_scaling_rescaling_identity(spark, xs):
+    df = (
+        _one_row(spark, xs)
+        .withColumn("m", ts.series_mean("balance"))
+        .withColumn("s", ts.series_std("balance"))
+        .withColumn("scaled", ts.scaling("balance", "m", "s"))
+        .withColumn("back", ts.rescaling("scaled", "m", "s"))
+    )
+    r = df.first()
+    if r["s"] == 0:
+        return
+    orig = np.asarray(r["balance"], dtype=float)
+    back = np.asarray(r["back"], dtype=float)
+    # two roundings (scale then rescale) plus float32: tolerance scales
+    # with sigma and magnitude
+    tol = abs(r["s"]) * 1.2e-3 + np.abs(orig) * 3e-7 + 2e-2
+    assert np.all(np.abs(orig - back) <= tol)
+
+
+@settings(max_examples=12, deadline=None)
+@given(SERIES)
+def test_gradient_matches_numpy(spark, xs):
+    df = _one_row(spark, xs).withColumn("g", ts.gradient("balance"))
+    got = np.asarray(df.first()["g"], dtype=float)
+    want = ref.ref_gradient(np.asarray(xs, dtype=np.float32).astype(float))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-9)
+
+
+@settings(max_examples=12, deadline=None)
+@given(SERIES, st.integers(min_value=1, max_value=60))
+def test_keep_ts_matches_numpy_and_monotone(spark, xs, threshold):
+    df = (
+        _one_row(spark, xs)
+        .withColumn("k", ts.keep_ts("balance", threshold))
+        .withColumn("k2", ts.keep_ts("balance", threshold + 5))
+    )
+    r = df.first()
+    want = ref.ref_keep_ts(np.asarray(xs, dtype=np.float32).astype(float), threshold)
+    assert r["k"] == want
+    assert r["k"] >= r["k2"]  # higher threshold can only drop more
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.floats(min_value=-100, max_value=100, allow_nan=False),
+    st.floats(min_value=-5, max_value=5, allow_nan=False),
+)
+def test_gradient_of_linear_series_is_constant_slope(spark, intercept, slope):
+    xs = [intercept + slope * i for i in range(50)]
+    df = _one_row(spark, xs).withColumn("g", ts.gradient("balance"))
+    g = np.asarray(df.first()["g"], dtype=float)
+    # float32 storage quantizes the inputs; slope error is bounded by ulp
+    ulp = 2 ** -23 * (abs(intercept) + abs(slope) * 50 + 1)
+    assert np.all(np.abs(g - slope) <= 2 * ulp + 1e-6)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.floats(min_value=-1e4, max_value=1e4, allow_nan=False), min_size=1, max_size=50))
+def test_nanmedian_fragment_matches_numpy(spark, xs):
+    from pyspark.sql import functions as F
+
+    df = _one_row(spark, xs).select(
+        F.expr(ts._nanmedian("balance")).alias("med")
+    )
+    got = df.first()["med"]
+    want = float(np.median(np.asarray(xs, dtype=np.float32).astype(float)))
+    assert got == pytest.approx(want, abs=1e-9)

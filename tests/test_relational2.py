@@ -18,5 +18,27 @@ def duck(sf_dir):
 @pytest.mark.parametrize("name", sorted(RELATIONAL2_QUERIES))
 def test_relational2_query_matches_oracle(spark, sf_dir, duck, name):
     fn, sql = RELATIONAL2_QUERIES[name]
-    assert sql is not None
+    if sql is None:  # approx/rows-only: runs with stable schema
+        df = fn(spark, sf_dir)
+        assert df.count() > 0
+        return
     assert_matches_oracle(fn(spark, sf_dir), duck, sql, name=name)
+
+
+def test_approx_dau_within_rsd_of_exact(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from time_series_prediction_spark.plans.relational import daily_active_users
+    from time_series_prediction_spark.plans.relational2 import (
+        approx_distinct_users_daily,
+    )
+
+    exact = daily_active_users(spark, sf_dir).select("day", "dau")
+    approx = approx_distinct_users_daily(spark, sf_dir).select(
+        "day", "approx_dau"
+    )
+    joined = exact.join(approx, "day")
+    bad = joined.where(
+        F.abs(F.col("approx_dau") - F.col("dau")) > F.col("dau") * 0.1 + 2
+    ).count()
+    assert bad == 0

@@ -59,10 +59,12 @@ def _nanmedian(arr: str) -> str:
     is per-row (hundreds of elements): O(len·log len) JVM work, no
     shuffle.
     """
+    # elements cast to double BEFORE the average: on float32 arrays,
+    # float+float stays float32 in Spark and loses precision
     body = (
         "CASE WHEN size(_s) = 0 THEN CAST('NaN' AS DOUBLE) ELSE "
-        "(element_at(_s, CAST((size(_s) + 1) / 2 AS INT)) + "
-        " element_at(_s, CAST(size(_s) / 2 + 1 AS INT))) / 2.0D END"
+        "(CAST(element_at(_s, CAST((size(_s) + 1) / 2 AS INT)) AS DOUBLE) + "
+        " CAST(element_at(_s, CAST(size(_s) / 2 + 1 AS INT)) AS DOUBLE)) / 2.0D END"
     )
     return _let(f"array_sort(filter({arr}, v -> NOT isnan(v)))", "_s", body)
 

@@ -343,7 +343,52 @@ GROUP BY l_suppkey
 """
 
 
+def salted_event_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe aggregation: event value totals per event_type via the
+    two-phase salted groupBy (operators/skew). The oracle is the PLAIN
+    GROUP BY — the salted plan must reproduce it exactly, which the
+    exact-cents domain guarantees."""
+    from time_series_prediction_spark.operators.skew import salted_sum_count
+
+    ev = read_table(spark, sf_dir, "events")
+    out = salted_sum_count(
+        ev,
+        ["event_type"],
+        F.expr("CAST(round(value * 100) AS BIGINT)"),
+        n_salts=16,
+        sum_alias="_sc",
+        count_alias="n_events",
+    )
+    return out.select(
+        "event_type",
+        (F.col("_sc") / 100.0).alias("total_value"),
+        "n_events",
+    )
+
+
+SALTED_TOTALS_SQL = """
+SELECT event_type,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value,
+       count(*) AS n_events
+FROM events
+GROUP BY event_type
+"""
+
+
+def approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog approximate distinct (the 100 TB scale path for
+    cardinality; exact twin is daily_active_users). Rows-only: HLL
+    estimates are engine-specific by construction."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_dau"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 RELATIONAL2_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "salted_event_type_totals": (salted_event_type_totals, SALTED_TOTALS_SQL),
+    "approx_distinct_users_daily": (approx_distinct_users_daily, None),
     "q4_order_priority": (q4_order_priority, Q4_SQL),
     "q14_promo_revenue_share": (q14_promo_revenue_share, Q14_SQL),
     "q18_large_volume_customers": (q18_large_volume_customers, Q18_SQL),
