@@ -1,0 +1,54 @@
+"""Plan-quality regression tests: the scale-relevant physical-plan
+properties must not silently regress (pushdown, pruning, broadcast
+strategy, shuffle counts)."""
+
+from __future__ import annotations
+
+from time_series_prediction_spark.plans.flagship import cashflow_wide_pipeline
+from time_series_prediction_spark.plans.preprocess import pre_processing
+from time_series_prediction_spark.plans.relational import (
+    q1_pricing_summary,
+    q5_local_supplier_volume,
+)
+from time_series_prediction_spark.sources.generate import generate_series_frame
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(q1_pricing_summary(spark, sf_dir))
+    # shipdate predicate reaches the parquet scan
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # only the needed 7 of 11 lineitem columns are read
+    assert "l_orderkey" not in plan.split("ReadSchema")[1][:400]
+    # exactly one exchange (partial agg -> final agg)
+    assert plan.count("Exchange") == 1
+
+
+def test_q5_broadcasts_every_dimension(spark, sf_dir):
+    plan = _plan(q5_local_supplier_volume(spark, sf_dir))
+    # all five joins resolve to broadcast-hash at fixture sizes: the
+    # lineitem side must never shuffle-exchange for a join
+    assert plan.count("BroadcastHashJoin") == 5
+    assert "SortMergeJoin" not in plan
+    # one exchange total (the final groupBy)
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_preprocessing_is_single_narrow_stage(spark):
+    raw = generate_series_frame(spark, 10, seed=1)
+    pre = pre_processing(raw, "2020-03-31", serving=True)
+    plan = _plan(pre)
+    # per-series math must not introduce any shuffle or Python worker
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_flagship_shuffle_budget(spark, sf_dir):
+    plan = _plan(cashflow_wide_pipeline(spark, sf_dir))
+    # rollup exchange + collect exchange only
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "BatchEvalPython" not in plan

@@ -305,7 +305,64 @@ GROUP BY a.day
 """
 
 
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-column extraction (semi-structured path): parse the props
+    JSON string, bucket by the extracted k value."""
+    from time_series_prediction_spark.sources.io import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .where(F.col("k").isNotNull())
+        .groupBy("event_type", (F.floor(F.col("k") / 10)).alias("k_decade"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("k").alias("k_total"))
+    )
+
+
+EVENTS_JSON_SQL = """
+SELECT event_type,
+       CAST(floor(CAST(json_extract_string(props, '$.k') AS BIGINT) / 10) AS BIGINT)
+         AS k_decade,
+       count(*) AS n_events,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS k_total
+FROM events
+WHERE json_extract_string(props, '$.k') IS NOT NULL
+GROUP BY event_type,
+         CAST(floor(CAST(json_extract_string(props, '$.k') AS BIGINT) / 10) AS BIGINT)
+"""
+
+
+def cashflow_synthetic_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's actual workload, end to end on generated data:
+    1000 seeded 487-day series → clean → statsmodels-parity trend →
+    scale → window → extrapolate → trajectory (serving mode), reduced
+    to per-signal-type summary stats. Rows-only (generator + trend are
+    not ANSI-SQL) — this is the bench's reference-parity headline.
+    ``sf_dir`` is unused: the workload is generation-bound by design."""
+    from time_series_prediction_spark.plans.preprocess import (
+        clean_series,
+        pre_processing,
+    )
+    from time_series_prediction_spark.sources.generate import (
+        generate_series_frame,
+    )
+
+    raw = generate_series_frame(spark, 1000, seed=42)
+    pre = pre_processing(clean_series(raw), "2020-03-31", serving=True)
+    return pre.groupBy("signal_type").agg(
+        F.count(F.lit(1)).alias("n_series"),
+        F.avg("trajectory_6months").alias("avg_trajectory"),
+        F.avg(F.expr("CAST(trend_next_3months_1MW[91] AS DOUBLE)")).alias(
+            "avg_day92_forecast"
+        ),
+    )
+
+
 TIMESERIES2_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "events_json_props": (events_json_props, EVENTS_JSON_SQL),
+    "cashflow_synthetic_pipeline": (cashflow_synthetic_pipeline, None),
     "ts_rolling_stats": (ts_rolling_stats, TS_ROLLING_SQL),
     "ts_weekly_ohlc": (ts_weekly_ohlc, TS_OHLC_SQL),
     "ts_ewma_7": (ts_ewma_7, TS_EWMA_SQL),
