@@ -68,6 +68,14 @@ def _all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], 
         registry.update(TEXT_QUERIES)
     except ImportError:
         pass
+    try:
+        from time_series_prediction_spark.plans.window_queries import (
+            WINDOW_QUERIES,
+        )
+
+        registry.update(WINDOW_QUERIES)
+    except ImportError:
+        pass
     return registry
 
 
