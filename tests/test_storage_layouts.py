@@ -1,0 +1,92 @@
+"""Storage-layout tests: partition pruning, bucketed co-located joins,
+CSV/JSON sources — the physical-layout levers for 100 TB scans."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from time_series_prediction_spark.sources.io import (
+    read_table,
+    write_partitioned,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_partitioned_write_prunes_scans(spark, sf_dir, tmp_path):
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    out = str(tmp_path / "events_by_day")
+    write_partitioned(ev, out, ["day"])
+    back = spark.read.parquet(out).where(F.col("day") == "2024-01-05")
+    plan = _plan(back)
+    # partition filter present -> non-matching directories never read
+    assert "PartitionFilters: [isnotnull(day" in plan
+    n = back.count()
+    want = ev.where(F.col("day") == "2024-01-05").count()
+    assert n == want > 0
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir):
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    (
+        orders.write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable("b_orders")
+    )
+    (
+        li.write.mode("overwrite")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable("b_lineitem")
+    )
+    a = spark.table("b_lineitem")
+    b = spark.table("b_orders")
+    joined = a.join(
+        b.hint("merge"), a.l_orderkey == b.o_orderkey
+    ).groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+    plan = _plan(joined)
+    # co-located buckets: the join itself needs NO exchange — only the
+    # final aggregation exchanges
+    join_part = plan.split("SortMergeJoin")[-1]
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    assert joined.count() == 5
+    del join_part
+
+
+def test_csv_and_json_sources_roundtrip(spark, sf_dir, tmp_path):
+    nation = read_table(spark, sf_dir, "nation")
+    csv_path = str(tmp_path / "nation_csv")
+    json_path = str(tmp_path / "nation_json")
+    nation.write.mode("overwrite").option("header", True).csv(csv_path)
+    nation.write.mode("overwrite").json(json_path)
+
+    csv_back = spark.read.csv(
+        csv_path, header=True, schema="n_nationkey int, n_name string, n_regionkey int"
+    )
+    json_back = spark.read.json(
+        json_path, schema="n_nationkey int, n_name string, n_regionkey int"
+    )
+    assert csv_back.count() == json_back.count() == nation.count()
+    want = {r["n_nationkey"]: r["n_name"] for r in nation.collect()}
+    assert {r["n_nationkey"]: r["n_name"] for r in csv_back.collect()} == want
+    assert {r["n_nationkey"]: r["n_name"] for r in json_back.collect()} == want
+
+
+@pytest.fixture()
+def tmp_path():
+    with tempfile.TemporaryDirectory() as d:
+        import pathlib
+
+        yield pathlib.Path(d)
