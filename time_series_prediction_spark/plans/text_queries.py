@@ -168,8 +168,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # NOTE: DuckDB lambda indices are 1-based (Spark's are 0-based) — the
 # mutation drops 0-based index 5 ≡ 1-based index 6.
-DEDUP_NGRAM_SQL = """
-WITH both_docs AS (
+_NGRAM_PAIRS_CTES = """
+both_docs AS (
   SELECT doc_id, lang, text FROM documents
   UNION ALL
   SELECT doc_id + 1000000 AS doc_id, lang,
@@ -184,16 +184,49 @@ WITH both_docs AS (
                 string_split(text, ' ')[i + 1] || ' ' ||
                 string_split(text, ' ')[i + 2])) AS shingles
   FROM both_docs
+), pairs AS (
+  SELECT * FROM (
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE)
+             AS jaccard
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.fp = b.fp AND a.doc_id < b.doc_id
+  ) WHERE jaccard >= 0.2
 )
-SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-       CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-         / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE)
-         AS jaccard
-FROM sh a JOIN sh b
-  ON a.lang = b.lang AND a.fp = b.fp AND a.doc_id < b.doc_id
-WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-        / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE)
-      >= 0.2
+"""
+
+DEDUP_NGRAM_SQL = f"WITH {_NGRAM_PAIRS_CTES} SELECT * FROM pairs"
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from the Jaccard pairs: iterative min-label
+    connected components (operators/components) → (doc_id,
+    canonical_id). The oracle computes the same components with a
+    recursive transitive-closure CTE — Spark's iterative join loop
+    must converge to identical clusters."""
+    from time_series_prediction_spark.operators.components import (
+        dedup_canonical_assignment,
+    )
+
+    return dedup_canonical_assignment(dedup_ngram_jaccard(spark, sf_dir))
+
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_NGRAM_PAIRS_CTES},
+edges AS (
+  SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+  UNION
+  SELECT doc_id_b AS a, doc_id_a AS b FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, least(a, min(b)) AS canonical_id
+FROM reach
+GROUP BY a
 """
 
 
@@ -322,6 +355,7 @@ TEXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "doc_fingerprint_groups": (doc_fingerprint_groups, DOC_FINGERPRINT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
+    "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, None),
     "dedup_simhash": (dedup_simhash, None),
     "embedding_cosine_topk": (embedding_cosine_topk, EMBEDDING_COSINE_TOPK_SQL),
