@@ -34,10 +34,17 @@ def test_partitioned_write_prunes_scans(spark, sf_dir, tmp_path):
 
 
 def test_bucketed_tables_join_without_shuffle(spark, sf_dir):
+    import shutil
+
     orders = read_table(spark, sf_dir, "orders")
     li = read_table(spark, sf_dir, "lineitem")
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    # the warehouse dir outlives the session's in-memory catalog: a
+    # stale location would fail saveAsTable even after DROP TABLE
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("b_orders", "b_lineitem"):
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
     (
         orders.write.mode("overwrite")
         .bucketBy(8, "o_orderkey")

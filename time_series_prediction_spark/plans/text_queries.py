@@ -280,6 +280,58 @@ WHERE rank <= 10
 """
 
 
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: label-blocked candidate pairs
+    with quantized-exact cosine ≥ 0.35 (blocking bounds the pair count;
+    the LSH-bucketed variant is the unblocked scale path,
+    embedding_lsh_ann)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    # norms precomputed PER VECTOR, not per pair — 200k pairs × three
+    # 64-element folds would otherwise dominate (folds are interpreted)
+    q = emb.select(
+        "label",
+        F.col("vec_id"),
+        similarity.quantize("embedding").alias("qv"),
+    ).withColumn(
+        "nrm",
+        F.expr("sqrt(CAST(aggregate(qv, 0L, (a, v) -> a + v * v) AS DOUBLE))"),
+    )
+    a, b = q.alias("a"), q.alias("b")
+    dot = F.expr(
+        "CAST(aggregate(zip_with(a.qv, b.qv, (x, y) -> x * y), 0L, "
+        "(acc, v) -> acc + v) AS DOUBLE)"
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id_a"),
+            F.col("b.vec_id").alias("vec_id_b"),
+            (dot / (F.col("a.nrm") * F.col("b.nrm"))).alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.35)
+    )
+
+
+DEDUP_EMBEDDING_SQL = f"""
+WITH q AS (
+  SELECT label, vec_id, qv,
+         sqrt(CAST(list_sum(list_transform(qv, v -> v * v)) AS DOUBLE)) AS nrm
+  FROM (SELECT label, vec_id, {_QVEC} AS qv FROM embeddings)
+)
+SELECT * FROM (
+  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+         CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+                                      i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+           / (a.nrm * b.nrm) AS cosine
+  FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id
+) WHERE cosine >= 0.35
+"""
+
+
 def embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-10 (rows-only: xxhash64 planes);
     recall vs brute force asserted in tests/test_text_queries.py.
@@ -359,6 +411,7 @@ TEXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_minhash_lsh": (dedup_minhash_lsh, None),
     "dedup_simhash": (dedup_simhash, None),
     "embedding_cosine_topk": (embedding_cosine_topk, EMBEDDING_COSINE_TOPK_SQL),
+    "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_SQL),
     "embedding_lsh_ann": (embedding_lsh_ann, None),
     "embedding_label_centroids": (
         embedding_label_centroids,
