@@ -360,9 +360,98 @@ def cashflow_synthetic_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample to a dense daily grid with LINEAR interpolation between
+    observations (companion to ts_resample_ffill): for a gap day d
+    between observations (d0,v0) and (d1,v1),
+    value = v0 + (v1-v0)·(d-d0)/(d1-d0) — a single deterministic
+    closed form over exact day counts and cents.
+
+    Construction: dense grid per user → left join observations →
+    carry last observation forward AND next observation backward with
+    (last/first, ignorenulls) windows → interpolate."""
+    d = daily_series(spark, sf_dir)
+    grid = (
+        d.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("d0"), F.col("d1"), F.expr("interval 1 day"))
+            ).alias("day"),
+        )
+    )
+    j = grid.join(d, ["user_id", "day"], "left")
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    prev_c = F.last("cents", ignorenulls=True).over(w_back)
+    prev_d = F.last(
+        F.when(F.col("cents").isNotNull(), F.col("day")), ignorenulls=True
+    ).over(w_back)
+    next_c = F.first("cents", ignorenulls=True).over(w_fwd)
+    next_d = F.first(
+        F.when(F.col("cents").isNotNull(), F.col("day")), ignorenulls=True
+    ).over(w_fwd)
+    gap = F.datediff(next_d, prev_d)
+    offs = F.datediff(F.col("day"), prev_d)
+    interp = F.when(F.col("cents").isNotNull(), F.col("cents").cast("double"))
+    interp = interp.otherwise(
+        prev_c + (next_c - prev_c).cast("double") * offs / gap
+    )
+    return j.select(
+        "user_id",
+        "day",
+        (interp / 100.0).alias("value_interp"),
+        F.col("cents").isNotNull().alias("observed"),
+    )
+
+
+TS_INTERPOLATE_SQL = (
+    DAILY_CTE
+    + """
+, grid AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id)
+), joined AS (
+  SELECT g.user_id, g.day, d.cents
+  FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+), carried AS (
+  SELECT user_id, day, cents,
+         last_value(cents IGNORE NULLS) OVER wb AS prev_c,
+         last_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS) OVER wb AS prev_d,
+         first_value(cents IGNORE NULLS) OVER wf AS next_c,
+         first_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS) OVER wf AS next_d
+  FROM joined
+  WINDOW wb AS (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, day,
+       CASE WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE)
+            ELSE prev_c + CAST(next_c - prev_c AS DOUBLE)
+                 * date_diff('day', prev_d, day) / date_diff('day', prev_d, next_d)
+       END / 100.0 AS value_interp,
+       cents IS NOT NULL AS observed
+FROM carried
+"""
+)
+
+
 TIMESERIES2_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "events_json_props": (events_json_props, EVENTS_JSON_SQL),
     "cashflow_synthetic_pipeline": (cashflow_synthetic_pipeline, None),
+    "ts_resample_interpolate": (ts_resample_interpolate, TS_INTERPOLATE_SQL),
     "ts_rolling_stats": (ts_rolling_stats, TS_ROLLING_SQL),
     "ts_weekly_ohlc": (ts_weekly_ohlc, TS_OHLC_SQL),
     "ts_ewma_7": (ts_ewma_7, TS_EWMA_SQL),
