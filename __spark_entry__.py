@@ -26,56 +26,30 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def _all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
+    # imports intentionally NOT wrapped in try/except: a broken plans
+    # module must fail loudly here, not silently shrink the declared
+    # query surface
+    from time_series_prediction_spark.plans.flagship import cashflow_wide_pipeline
+    from time_series_prediction_spark.plans.relational2 import RELATIONAL2_QUERIES
+    from time_series_prediction_spark.plans.text_queries import TEXT_QUERIES
+    from time_series_prediction_spark.plans.timeseries_queries import (
+        TIMESERIES_QUERIES,
+    )
+    from time_series_prediction_spark.plans.timeseries_queries2 import (
+        TIMESERIES2_QUERIES,
+    )
+    from time_series_prediction_spark.plans.window_queries import WINDOW_QUERIES
+
     registry: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
     registry.update(RELATIONAL_QUERIES)
-    try:
-        from time_series_prediction_spark.plans.relational2 import (
-            RELATIONAL2_QUERIES,
-        )
-
-        registry.update(RELATIONAL2_QUERIES)
-    except ImportError:
-        pass
-    try:  # populated as operator coverage widens
-        from time_series_prediction_spark.plans.timeseries_queries import (
-            TIMESERIES_QUERIES,
-        )
-
-        registry.update(TIMESERIES_QUERIES)
-    except ImportError:
-        pass
-    try:
-        from time_series_prediction_spark.plans.timeseries_queries2 import (
-            TIMESERIES2_QUERIES,
-        )
-
-        registry.update(TIMESERIES2_QUERIES)
-    except ImportError:
-        pass
-    try:
-        from time_series_prediction_spark.plans.flagship import (
-            cashflow_wide_pipeline,
-        )
-
-        # wide-array pipeline: statsmodels-parity trend + sequential-fold
-        # extrapolation are not ANSI-SQL-expressible → rows-only check
-        registry["cashflow_wide_pipeline"] = (cashflow_wide_pipeline, None)
-    except ImportError:
-        pass
-    try:
-        from time_series_prediction_spark.plans.text_queries import TEXT_QUERIES
-
-        registry.update(TEXT_QUERIES)
-    except ImportError:
-        pass
-    try:
-        from time_series_prediction_spark.plans.window_queries import (
-            WINDOW_QUERIES,
-        )
-
-        registry.update(WINDOW_QUERIES)
-    except ImportError:
-        pass
+    registry.update(RELATIONAL2_QUERIES)
+    registry.update(TIMESERIES_QUERIES)
+    registry.update(TIMESERIES2_QUERIES)
+    registry.update(TEXT_QUERIES)
+    registry.update(WINDOW_QUERIES)
+    # wide-array pipeline: statsmodels-parity trend + sequential-fold
+    # extrapolation are not ANSI-SQL-expressible → rows-only check
+    registry["cashflow_wide_pipeline"] = (cashflow_wide_pipeline, None)
     return registry
 
 

@@ -65,11 +65,9 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir):
     plan = _plan(joined)
     # co-located buckets: the join itself needs NO exchange — only the
     # final aggregation exchanges
-    join_part = plan.split("SortMergeJoin")[-1]
     assert "Exchange hashpartitioning(l_orderkey" not in plan
     assert "Exchange hashpartitioning(o_orderkey" not in plan
     assert joined.count() == 5
-    del join_part
 
 
 def test_csv_and_json_sources_roundtrip(spark, sf_dir, tmp_path):
