@@ -30,6 +30,7 @@ def _all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], 
     # module must fail loudly here, not silently shrink the declared
     # query surface
     from time_series_prediction_spark.plans.flagship import cashflow_wide_pipeline
+    from time_series_prediction_spark.plans.rangejoin_queries import RANGEJOIN_QUERIES
     from time_series_prediction_spark.plans.relational2 import RELATIONAL2_QUERIES
     from time_series_prediction_spark.plans.text_queries import TEXT_QUERIES
     from time_series_prediction_spark.plans.timeseries_queries import (
@@ -47,6 +48,7 @@ def _all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], 
     registry.update(TIMESERIES2_QUERIES)
     registry.update(TEXT_QUERIES)
     registry.update(WINDOW_QUERIES)
+    registry.update(RANGEJOIN_QUERIES)
     # wide-array pipeline: statsmodels-parity trend + sequential-fold
     # extrapolation are not ANSI-SQL-expressible → rows-only check
     registry["cashflow_wide_pipeline"] = (cashflow_wide_pipeline, None)

@@ -1,0 +1,133 @@
+"""Range join (bucketed point-in-interval) + IVF ANN coverage:
+oracle match for the range-join query, recall and determinism for the
+IVF coarse quantizer, and operator-level unit checks."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.oracle_harness import assert_matches_oracle, duck_connection
+from time_series_prediction_spark.operators import similarity
+from time_series_prediction_spark.operators.rangejoin import range_join
+from time_series_prediction_spark.plans.rangejoin_queries import (
+    RANGEJOIN_QUERIES,
+)
+from time_series_prediction_spark.sources.io import read_table
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duck_connection(sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n, (_, sql) in RANGEJOIN_QUERIES.items() if sql)
+)
+def test_rangejoin_query_matches_oracle(spark, sf_dir, duck, name):
+    fn, sql = RANGEJOIN_QUERIES[name]
+    assert_matches_oracle(fn(spark, sf_dir), duck, sql, name=name)
+
+
+def test_range_join_no_equi_keys_vs_naive(spark):
+    """Bucketed range join == naive BETWEEN join on synthetic data,
+    including intervals much longer than the bucket (multi-bucket
+    expansion) and points on interval boundaries."""
+    points = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "pid long, p double"
+    )
+    intervals = spark.createDataFrame(
+        [
+            (0, 0.0, 5.0),      # short
+            (1, 3.0, 47.0),     # many buckets
+            (2, 95.0, 200.0),   # runs past the point domain
+            (3, 50.0, 50.0),    # empty (end-exclusive)
+            (4, -10.0, 2.0),    # negative start
+        ],
+        "iid long, s double, e double",
+    )
+    got = (
+        range_join(points, intervals, "p", "s", "e", bucket_width=8.0)
+        .groupBy("iid")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("pid").alias("sp"))
+        .orderBy("iid")
+        .collect()
+    )
+    naive = (
+        points.join(
+            intervals, (F.col("p") >= F.col("s")) & (F.col("p") < F.col("e"))
+        )
+        .groupBy("iid")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("pid").alias("sp"))
+        .orderBy("iid")
+        .collect()
+    )
+    assert [r.asDict() for r in got] == [r.asDict() for r in naive]
+    # end-inclusive variant picks up the boundary point
+    inc = (
+        range_join(
+            points, intervals, "p", "s", "e", bucket_width=8.0, end_inclusive=True
+        )
+        .where(F.col("iid") == 3)
+        .count()
+    )
+    assert inc == 1
+
+
+def test_range_join_plan_has_no_nested_loop(spark):
+    """The scale contract: bucket expansion turns the interval join
+    into an equi join — no BroadcastNestedLoopJoin in the plan."""
+    points = spark.range(10).select(
+        F.col("id").alias("pid"), (F.col("id") * 1.0).alias("p")
+    )
+    intervals = spark.range(3).select(
+        F.col("id").alias("iid"),
+        (F.col("id") * 3.0).alias("s"),
+        (F.col("id") * 3.0 + 4).alias("e"),
+    )
+    plan = range_join(
+        points, intervals, "p", "s", "e", bucket_width=4.0
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ivf_centroids_deterministic(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    c1 = similarity.ivf_centroids(emb, n_cells=8, n_iters=2)
+    c2 = similarity.ivf_centroids(emb, n_cells=8, n_iters=2)
+    assert c1.shape == (8, len(emb.first()["embedding"]))
+    np.testing.assert_array_equal(c1, c2)
+
+
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    """IVF with nprobe=8/16 cells must recover most of the exact
+    top-5 neighbours. The fixture embeddings are near-uniform (worst
+    case for any partition-based ANN — no cluster structure to
+    exploit), so the bound reflects measured 0.72–0.76 recall across
+    all three fixture scales, not a tuned-to-one-dataset number."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = similarity.cosine_topk(emb, queries, k=5)
+    approx = similarity.ivf_ann_topk(emb, queries, k=5, n_cells=16, nprobe=8)
+    e = {(r["query_id"], r["corpus_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["corpus_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.65, f"IVF recall@5 {recall:.2f}"
+
+
+def test_ivf_nprobe_full_equals_exact(spark, sf_dir):
+    """Probing every cell makes IVF exhaustive — identical to the
+    brute-force top-k (the classic IVF correctness limit)."""
+    emb = read_table(spark, sf_dir, "embeddings").limit(120)
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(emb, queries, k=3)
+    full = similarity.ivf_ann_topk(
+        emb, queries, k=3, n_cells=4, nprobe=4, n_iters=1
+    )
+    e = sorted(map(tuple, exact.select("query_id", "corpus_id", "rank").collect()))
+    f = sorted(map(tuple, full.select("query_id", "corpus_id", "rank").collect()))
+    assert e == f
