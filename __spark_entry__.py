@@ -32,6 +32,7 @@ def _all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], 
     from time_series_prediction_spark.plans.flagship import cashflow_wide_pipeline
     from time_series_prediction_spark.plans.rangejoin_queries import RANGEJOIN_QUERIES
     from time_series_prediction_spark.plans.relational2 import RELATIONAL2_QUERIES
+    from time_series_prediction_spark.plans.relational3 import RELATIONAL3_QUERIES
     from time_series_prediction_spark.plans.text_queries import TEXT_QUERIES
     from time_series_prediction_spark.plans.timeseries_queries import (
         TIMESERIES_QUERIES,
@@ -44,6 +45,7 @@ def _all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], 
     registry: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
     registry.update(RELATIONAL_QUERIES)
     registry.update(RELATIONAL2_QUERIES)
+    registry.update(RELATIONAL3_QUERIES)
     registry.update(TIMESERIES_QUERIES)
     registry.update(TIMESERIES2_QUERIES)
     registry.update(TEXT_QUERIES)

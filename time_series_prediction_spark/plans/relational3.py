@@ -1,0 +1,320 @@
+"""Relational coverage batch 6: the remaining TPC-H-shaped queries
+expressible over the fixture star schema (q7, q13, q15, q16, q17,
+q19) plus the approximate-quantile scale path.
+
+Same contract as plans/relational.py: each Spark plan beside its
+DuckDB oracle, money in exact integer cents, dimension joins
+broadcast, predicates native so they push into the parquet scan.
+The fixture lacks partsupp and some lineitem columns (shipmode,
+receiptdate, container), so q16/q17/q19 substitute equivalent
+predicates over the columns that exist — the plan *shapes* (distinct
+aggregation, correlated per-group average, disjunctive multi-column
+predicate) are the point, and each is noted inline.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from time_series_prediction_spark.plans.relational import _cents
+from time_series_prediction_spark.sources.io import read_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: shipping volume between two nations by year.
+
+    Plan shape: lineitem is the only large input; supplier/customer
+    join via orders, nation twice (aliased) — both broadcast. The
+    nation-pair disjunction is applied AFTER the joins (it references
+    both sides), but each nation scan itself prunes to the two names,
+    shrinking the broadcast to 2 rows."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    pair = ("NATION_1", "NATION_2")
+    n1 = nation.where(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.where(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(rev).alias("_r"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.col("l_year").cast("long").alias("l_year"),
+            (F.col("_r") / 1e4).alias("revenue"),
+        )
+    )
+
+
+Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(vol) AS DOUBLE) / 1e4 AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS vol
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+    AND n2.n_name IN ('NATION_1', 'NATION_2')
+    AND n1.n_name <> n2.n_name
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+) GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of customers by order count (including
+    zero-order customers via left outer join — the classic
+    outer-join-then-double-aggregate shape). The priority filter
+    stands in for Q13's comment NOT LIKE predicate."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .select(F.col("c_count").cast("long"), F.col("custdist").cast("long"))
+    )
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+                  AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) GROUP BY c_count
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with maximum revenue over one quarter —
+    aggregate, then a scalar-subquery max over the aggregate. Exact
+    integer-cents revenue makes the max and the equality
+    engine-independent (no float ties)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    supp = read_table(spark, sf_dir, "supplier")
+    rev = _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    revenue = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(rev).alias("_r"))
+    )
+    top = revenue.agg(F.max("_r").alias("_m"))
+    return (
+        revenue.join(F.broadcast(top), F.col("_r") == F.col("_m"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").cast("long"),
+            "s_name",
+            (F.col("_r") / 1e4).alias("total_revenue"),
+        )
+    )
+
+
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) / 1e4 AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+"""
+
+
+def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: COUNT(DISTINCT supplier) per part attribute
+    group, with an excluded brand. The fixture has no partsupp, so the
+    part↔supplier relation comes from lineitem (same distinct-agg
+    plan: expand → two-phase distinct aggregation)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#13") & (F.col("p_size") <= 25)
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .select(
+            "p_brand",
+            "p_type",
+            F.col("p_size").cast("long"),
+            F.col("supplier_cnt").cast("long"),
+        )
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#13' AND p_size <= 25
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: average yearly revenue lost if small-quantity orders
+    (< 20% of the part's average order quantity) were not filled.
+
+    The correlated per-part average becomes a self-aggregate + join;
+    the 20%-of-average comparison is kept in pure integers
+    (5·qty·cnt < Σqty ⇔ qty < 0.2·avg) so both engines decide ties
+    identically. p_size < 10 stands in for Q17's container filter."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") == "Brand#13") & (F.col("p_size") < 10)
+    )
+    qty = F.col("l_quantity").cast("long")  # integer-valued doubles
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(qty).alias("sq"), F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(per_part, F.col("l_partkey") == F.col("pk"))
+        .where(qty * 5 * F.col("cnt") < F.col("sq"))
+        .agg((F.sum(_cents("l_extendedprice")) / 100.0 / 7.0).alias("avg_yearly"))
+    )
+
+
+Q17_SQL = """
+WITH pq AS (
+  SELECT l_partkey AS pk, SUM(CAST(l_quantity AS BIGINT)) AS sq,
+         COUNT(*) AS cnt
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+         / 100.0 / 7.0 AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN pq ON l_partkey = pk
+WHERE p_brand = 'Brand#13' AND p_size < 10
+  AND CAST(l_quantity AS BIGINT) * 5 * cnt < sq
+"""
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under a three-branch disjunctive
+    predicate spanning both join sides (brand × size-range ×
+    quantity-range). Exercises OR-of-ANDs predicate handling: Catalyst
+    extracts the common l_partkey=p_partkey conjunct so the join stays
+    an equi hash join, with the residual disjunction as a post-join
+    filter (container/shipmode branches replaced by size bands)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    qty = F.col("l_quantity")
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & qty.between(1, 15)
+        )
+        | (
+            (F.col("p_brand") == "Brand#7")
+            & F.col("p_size").between(1, 25)
+            & qty.between(10, 25)
+        )
+        | (
+            (F.col("p_brand") == "Brand#20")
+            & F.col("p_size").between(1, 35)
+            & qty.between(20, 35)
+        )
+    )
+    rev = _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .where(branch)
+        .agg((F.sum(rev) / 1e4).alias("revenue"))
+    )
+
+
+Q19_SQL = """
+SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+            * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)
+         / 1e4 AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1  AND 15)
+   OR (p_brand = 'Brand#7'  AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 25)
+   OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 35)
+"""
+
+
+def lineitem_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (Greenwald-Khanna sketch) of
+    l_extendedprice per returnflag — the single-pass, bounded-memory
+    scale path beside the exact sort-based percentiles
+    (price_percentiles_by_segment). Sketches merge associatively
+    across partitions, so at 100 TB this is one scan + tiny exchange
+    of sketch state, no full sort. Engine-specific sketch ⇒ rows-only
+    driver check; the error bound vs exact percentiles is pinned in
+    tests/test_relational3.py."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx(
+                "l_extendedprice", [0.25, 0.5, 0.75, 0.95], 10000
+            ).alias("approx_quantiles"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+
+
+RELATIONAL3_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "q7_volume_shipping": (q7_volume_shipping, Q7_SQL),
+    "q13_customer_distribution": (q13_customer_distribution, Q13_SQL),
+    "q15_top_supplier": (q15_top_supplier, Q15_SQL),
+    "q16_part_supplier_counts": (q16_part_supplier_counts, Q16_SQL),
+    "q17_small_quantity_revenue": (q17_small_quantity_revenue, Q17_SQL),
+    "q19_disjunctive_revenue": (q19_disjunctive_revenue, Q19_SQL),
+    "lineitem_quantiles_approx": (lineitem_quantiles_approx, None),
+}
