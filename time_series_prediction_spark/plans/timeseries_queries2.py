@@ -448,7 +448,71 @@ FROM carried
 )
 
 
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full additive seasonal decomposition on the long form —
+    value = trend + seasonal + remainder, the complete statsmodels
+    `seasonal_decompose` surface (the reference consumes only `.trend`,
+    SURVEY §2.5 W1; this exposes the other two components).
+
+    Period = 7 (weekday). Trend = centered 7-day MA over full windows
+    (NaN edges, statsmodels semantics before extrapolation); seasonal =
+    per-(user, weekday) mean of the detrended series (uncentered);
+    remainder = detrended − seasonal.
+
+    Determinism: detrended is carried as exact integer 700ths
+    (700·cents − Σ₇cents), so every aggregate is a bigint sum; each
+    output is a fixed sequence of IEEE ops on exact integers, identical
+    in DuckDB. Scale shape: two window passes over the same
+    user-partitioning — one shuffle on user_id, the weekday partition
+    is a sub-partition so AQE reuses the exchange."""
+    d = daily_series(spark, sf_dir)
+    w7 = Window.partitionBy("user_id").orderBy("day").rowsBetween(-3, 3)
+    det700 = F.when(
+        F.count(F.lit(1)).over(w7) == 7,
+        F.lit(700) * F.col("cents") - F.sum("cents").over(w7),
+    )
+    t = d.select("user_id", "day", "cents", det700.alias("det700"))
+    ws = Window.partitionBy("user_id", F.dayofweek("day"))
+    seasonal = (
+        F.sum("det700").over(ws).cast("double") / F.count("det700").over(ws)
+    ) / 700.0
+    return t.select(
+        "user_id",
+        "day",
+        (F.col("cents") / 100.0).alias("value"),
+        ((F.lit(700) * F.col("cents") - F.col("det700")) / 700.0).alias("trend7"),
+        seasonal.alias("seasonal"),
+        (F.col("det700") / 700.0 - seasonal).alias("remainder"),
+    )
+
+
+TS_DECOMPOSE_SQL = (
+    DAILY_CTE
+    + """
+, t AS (
+  SELECT user_id, day, cents,
+         CASE WHEN count(*) OVER w = 7
+              THEN 700 * cents - sum(cents) OVER w END AS det700
+  FROM daily
+  WINDOW w AS (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+)
+SELECT user_id, day,
+       CAST(cents AS DOUBLE) / 100.0 AS value,
+       CAST(700 * cents - det700 AS DOUBLE) / 700.0 AS trend7,
+       (CAST(sum(det700) OVER ws AS DOUBLE) / count(det700) OVER ws) / 700.0
+         AS seasonal,
+       CAST(det700 AS DOUBLE) / 700.0
+         - (CAST(sum(det700) OVER ws AS DOUBLE) / count(det700) OVER ws) / 700.0
+         AS remainder
+FROM t
+WINDOW ws AS (PARTITION BY user_id, dayofweek(day))
+"""
+)
+
+
 TIMESERIES2_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "ts_seasonal_decompose": (ts_seasonal_decompose, TS_DECOMPOSE_SQL),
     "events_json_props": (events_json_props, EVENTS_JSON_SQL),
     "cashflow_synthetic_pipeline": (cashflow_synthetic_pipeline, None),
     "ts_resample_interpolate": (ts_resample_interpolate, TS_INTERPOLATE_SQL),
