@@ -78,3 +78,39 @@ def test_foreach_batch_parquet_sink(spark, sf_dir):
             "n_events",
             "total_value",
         }
+
+
+def test_dedup_stream_suppresses_replays(spark, sf_dir):
+    """Feed the events file TWICE (a replay) through the streaming
+    dedup; output must contain each event_id at most once and cover
+    every id (all replays land well inside the watermark horizon)."""
+    from time_series_prediction_spark.sources.io import read_table
+    from time_series_prediction_spark.streaming.events import dedup_stream
+
+    ev = read_table(spark, sf_dir, "events")
+    n_distinct = ev.select("event_id").distinct().count()
+    with tempfile.TemporaryDirectory() as d:
+        src = f"{d}/src"
+        raw = spark.read.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+        raw.write.mode("append").parquet(src)
+        raw.write.mode("append").parquet(src)  # the replay
+
+        stream = (
+            spark.readStream.schema(raw.schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")  # replay arrives in a later batch
+            .load(src)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+        q = run_to_memory_sink(
+            dedup_stream(stream), "dedup_out", output_mode="append"
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    out = spark.sql(
+        "SELECT count(*) AS n, count(DISTINCT event_id) AS nd FROM dedup_out"
+    ).first()
+    assert out["n"] == out["nd"], "a duplicate event_id got through"
+    assert out["n"] == n_distinct

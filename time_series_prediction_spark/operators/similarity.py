@@ -241,6 +241,7 @@ def ivf_centroids(
     df = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     if train_fraction is not None:
         df = df.sample(fraction=train_fraction, seed=seed)
+    df = df.cache()  # reused by init + every Lloyd iteration
     init_rows = (
         df.orderBy(F.xxhash64("_id", F.lit(seed)), "_id")
         .limit(n_cells)
@@ -269,6 +270,7 @@ def ivf_centroids(
         nonempty = counts > 0
         new[nonempty] = sums[nonempty] / counts[nonempty, None]
         cents = new
+    df.unpersist()
     return cents
 
 

@@ -89,6 +89,20 @@ def session_stream(
     )
 
 
+def dedup_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact deduplication on event_id —
+    ``dropDuplicatesWithinWatermark``: the streaming twin of
+    dedup.exact_dedup. State holds only ids younger than the
+    watermark, so memory is bounded on an unbounded stream (a plain
+    dropDuplicates would grow state forever); any replay/duplicate
+    arriving within the watermark horizon is suppressed."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def run_to_memory_sink(
     df: DataFrame, name: str, output_mode: str = "append"
 ) -> StreamingQuery:
