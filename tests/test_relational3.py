@@ -58,3 +58,27 @@ def test_q19_plan_keeps_equi_join(spark, sf_dir):
     plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """Salted join is bit-identical to the plain equi join on skewed
+    data (one hot user dominates), for inner and left joins."""
+    from time_series_prediction_spark.operators.skew import salted_join
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", F.when(F.col("user_id") % 3 == 0, 0).otherwise(
+            F.col("user_id")
+        ).alias("uid"), "value"
+    )
+    dim = (
+        read_table(spark, sf_dir, "events")
+        .select((F.col("user_id") % 50).alias("uid"))
+        .distinct()
+        .withColumn("grp", F.col("uid") % 7)
+    )
+    for how in ("inner", "left"):
+        got = salted_join(ev, dim, ["uid"], n_salts=8, how=how)
+        want = ev.join(dim, ["uid"], how)
+        assert got.count() == want.count()
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0

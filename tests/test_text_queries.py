@@ -112,3 +112,28 @@ def test_simhash_separates_near_dups_from_random_pairs(spark, sf_dir):
     near_mean = near.agg(F.avg("ham")).first()[0]
     far_mean = far.agg(F.avg("ham")).first()[0]
     assert near_mean < far_mean * 0.6, f"near={near_mean:.1f} far={far_mean:.1f}"
+
+
+def test_stratified_sample_deterministic_and_proportional(spark, sf_dir):
+    """Seeded sampleBy: identical resample on re-run; per-stratum
+    counts within binomial noise of the target fractions."""
+    from time_series_prediction_spark.plans.text_queries import (
+        doc_stratified_sample,
+    )
+
+    a = {r["lang"]: r["n_sampled"] for r in doc_stratified_sample(spark, sf_dir).collect()}
+    b = {r["lang"]: r["n_sampled"] for r in doc_stratified_sample(spark, sf_dir).collect()}
+    assert a == b, "seeded sample not deterministic"
+    totals = {
+        r["lang"]: r["n"]
+        for r in read_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    fractions = {"en": 0.2, "fr": 0.6, "de": 0.6, "es": 0.6, "it": 0.6}
+    for lang, n in totals.items():
+        frac = fractions.get(lang, 0.5)
+        got = a.get(lang, 0)
+        sd = (n * frac * (1 - frac)) ** 0.5
+        assert abs(got - n * frac) <= max(4 * sd, 5), (lang, got, n * frac)

@@ -401,7 +401,74 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK, _STEP = 64, 48  # 64-token chunks, 16-token overlap
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking for LLM training: split each document into
+    64-token windows overlapping by 16 tokens (stride 48) — the
+    sequence-packing precursor. One narrow stage: split → explode of a
+    computed start sequence → slice; no shuffle at all, so at 100 TB
+    it is a pure map over the corpus scan. Trailing chunks are
+    truncated, never dropped (slice past the end returns the
+    remainder in both engines)."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(_STEP)
+    )
+    return (
+        docs.select(
+            "doc_id", toks.alias("_toks"), F.explode(starts).alias("chunk_start")
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_start").cast("long").alias("chunk_start"),
+            F.expr(f"slice(_toks, chunk_start, {_CHUNK})").alias("_c"),
+        )
+        .select(
+            "doc_id",
+            "chunk_start",
+            F.size("_c").cast("long").alias("n_chunk_tokens"),
+            F.md5(F.array_join(F.col("_c"), " ")).alias("chunk_md5"),
+        )
+    )
+
+
+DOC_CHUNKS_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       CAST(gs AS BIGINT) AS chunk_start,
+       CAST(len(toks[gs : gs + {_CHUNK - 1}]) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(toks[gs : gs + {_CHUNK - 1}], ' ')) AS chunk_md5
+FROM t, unnest(generate_series(1, greatest(len(toks), 1), {_STEP})) AS u(gs)
+"""
+
+
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified (per-language) seeded sampling — the corpus-mixing
+    primitive of a training-data pipeline (e.g. upsample low-resource
+    languages). ``sampleBy`` is a per-row Bernoulli keyed by the
+    stratum fraction: embarrassingly parallel, no shuffle. Seeded RNG
+    is engine-specific ⇒ rows-only driver check; proportions and
+    determinism are pinned in tests/test_text_queries.py."""
+    docs = read_table(spark, sf_dir, "documents")
+    fractions = {"en": 0.2, "fr": 0.6, "de": 0.6, "es": 0.6, "it": 0.6}
+    strata = docs.withColumn(
+        "_stratum",
+        F.when(F.col("lang").isin(*fractions), F.col("lang")).otherwise("other"),
+    )
+    sampled = strata.sampleBy(
+        "_stratum", {**fractions, "other": 0.5}, seed=42
+    )
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled")
+    )
+
+
 TEXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "doc_chunks": (doc_chunks, DOC_CHUNKS_SQL),
+    "doc_stratified_sample": (doc_stratified_sample, None),
     "doc_text_stats": (doc_text_stats, DOC_TEXT_STATS_SQL),
     "doc_lang_id": (doc_lang_id, DOC_LANG_ID_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
