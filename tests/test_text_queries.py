@@ -137,3 +137,26 @@ def test_stratified_sample_deterministic_and_proportional(spark, sf_dir):
         got = a.get(lang, 0)
         sd = (n * frac * (1 - frac)) ** 0.5
         assert abs(got - n * frac) <= max(4 * sd, 5), (lang, got, n * frac)
+
+
+def test_packing_invariants(spark, sf_dir):
+    """Every doc packed exactly once; no bin over budget unless it
+    holds a single oversized doc; deterministic across runs."""
+    from time_series_prediction_spark.operators import text
+    from time_series_prediction_spark.operators.packing import pack_documents
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", text.token_count("text").alias("n_tokens")
+    )
+    packed = pack_documents(docs, budget=512, n_groups=8).cache()
+    n_docs = docs.count()
+    assert packed.count() == n_docs
+    assert packed.select("doc_id").distinct().count() == n_docs
+    bins = packed.groupBy("bin_id").agg(
+        F.sum("n_tokens").alias("fill"), F.count(F.lit(1)).alias("n")
+    )
+    over = bins.where((F.col("fill") > 512) & (F.col("n") > 1)).count()
+    assert over == 0, "multi-doc bin exceeds budget"
+    again = pack_documents(docs, budget=512, n_groups=8)
+    assert packed.exceptAll(again).count() == 0
+    packed.unpersist()

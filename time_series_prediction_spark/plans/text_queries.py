@@ -466,9 +466,55 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary induction: the 100 most frequent tokens with
+    document frequency — the counting pass behind BPE/WordPiece vocab
+    building. Explode → two-phase count (partial map-side agg) →
+    top-k; ties broken lexically so the cut is engine-independent."""
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).where(F.col("token") != "")
+    counts = tok.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"),
+        F.count_distinct("doc_id").cast("long").alias("df"),
+    )
+    return counts.orderBy(F.desc("tf"), F.asc("token")).limit(100)
+
+
+CORPUS_VOCAB_SQL = """
+SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+WHERE token <> ''
+GROUP BY token
+ORDER BY tf DESC, token ASC
+LIMIT 100
+"""
+
+
+def doc_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bin stats of greedy sequence packing (512-token budget over
+    whitespace token counts). Partition-local FFD is engine-specific
+    (operators/packing.py) ⇒ rows-only driver check; packing
+    invariants are pinned in tests/test_text_queries.py."""
+    from time_series_prediction_spark.operators import text
+    from time_series_prediction_spark.operators.packing import pack_documents
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", text.token_count("text").alias("n_tokens")
+    )
+    packed = pack_documents(docs, budget=512, n_groups=8)
+    return packed.groupBy("bin_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("bin_tokens"),
+    )
+
+
 TEXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "doc_chunks": (doc_chunks, DOC_CHUNKS_SQL),
     "doc_stratified_sample": (doc_stratified_sample, None),
+    "corpus_vocab_topk": (corpus_vocab_topk, CORPUS_VOCAB_SQL),
+    "doc_packing_stats": (doc_packing_stats, None),
     "doc_text_stats": (doc_text_stats, DOC_TEXT_STATS_SQL),
     "doc_lang_id": (doc_lang_id, DOC_LANG_ID_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
