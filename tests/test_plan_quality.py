@@ -52,3 +52,25 @@ def test_flagship_shuffle_budget(spark, sf_dir):
     # rollup exchange + collect exchange only
     assert plan.count("Exchange hashpartitioning") == 2
     assert "BatchEvalPython" not in plan
+
+
+def test_doc_chunks_is_shuffle_free(spark, sf_dir):
+    """Chunking must stay a pure map over the corpus scan — at 100 TB
+    any exchange here would reshuffle the whole corpus."""
+    from time_series_prediction_spark.plans.text_queries import doc_chunks
+
+    plan = _plan(doc_chunks(spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_q7_broadcasts_nations_no_nested_loop(spark, sf_dir):
+    """Q7's two nation joins must be broadcast hash joins; the
+    fact-side joins must never degrade to nested loops."""
+    from time_series_prediction_spark.plans.relational3 import (
+        q7_volume_shipping,
+    )
+
+    plan = _plan(q7_volume_shipping(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
