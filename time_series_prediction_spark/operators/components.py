@@ -34,14 +34,21 @@ def connected_components(
     """Return (vertex, component) where component = min vertex id
     reachable. Edges are undirected (both directions added here)."""
     fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    und = fwd.unionAll(
-        fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct()
-
-    labels = (
-        und.select(F.col("a").alias("vertex"))
+    und = (
+        fwd.unionAll(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .withColumn("component", F.col("vertex"))
+        .localCheckpoint()  # reused every round: materialize once
+    )
+
+    # Seed with round 0 fused into initialization: label = min(self,
+    # direct neighbors) in ONE aggregation — saves a full join round.
+    labels = (
+        und.groupBy("a")
+        .agg(F.min("b").alias("_nmin"))
+        .select(
+            F.col("a").alias("vertex"),
+            F.least(F.col("a"), F.col("_nmin")).alias("component"),
+        )
         .localCheckpoint()
     )
 
