@@ -511,8 +511,76 @@ WINDOW ws AS (PARTITION BY user_id, dayofweek(day))
 )
 
 
+def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per user: the day where the
+    cumulative deviation from the series mean peaks — the classic
+    single-changepoint estimator for a level shift (the reference's
+    generator plants exactly such 'spike' level shifts,
+    SURVEY §2.5 W12).
+
+    Exactness: cusum_t = Σ₁..t(x−x̄) is held as n·S_t − t·total in
+    integer cents (never a float mean), so the argmax and tiebreak
+    (earliest day) are engine-independent; the reported magnitude is
+    one final division. Shape: two window passes over one user_id
+    shuffle + a per-user argmax (row_number = 1)."""
+    d = daily_series(spark, sf_dir)
+    wo = Window.partitionBy("user_id").orderBy("day")
+    wall = Window.partitionBy("user_id")
+    t = d.select(
+        "user_id",
+        "day",
+        F.sum("cents").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("_s"),
+        F.row_number().over(wo).alias("_t"),
+        F.sum("cents").over(wall).alias("_tot"),
+        F.count(F.lit(1)).over(wall).alias("_n"),
+    ).select(
+        "user_id",
+        "day",
+        "_n",
+        (F.col("_n") * F.col("_s") - F.col("_t") * F.col("_tot")).alias("_dev"),
+    )
+    pick = Window.partitionBy("user_id").orderBy(
+        F.abs(F.col("_dev")).desc(), F.asc("day")
+    )
+    return (
+        t.withColumn("_rk", F.row_number().over(pick))
+        .where(F.col("_rk") == 1)
+        .select(
+            "user_id",
+            F.col("day").alias("changepoint_day"),
+            (F.abs(F.col("_dev")) / (F.col("_n") * 100.0)).alias("cusum_peak"),
+        )
+    )
+
+
+TS_CUSUM_SQL = (
+    DAILY_CTE
+    + """
+, t AS (
+  SELECT user_id, day,
+         count(*) OVER wa AS n,
+         count(*) OVER wa * sum(cents) OVER wo
+           - (row_number() OVER wo) * (sum(cents) OVER wa) AS dev
+  FROM daily
+  WINDOW wo AS (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wa AS (PARTITION BY user_id)
+)
+SELECT user_id, day AS changepoint_day,
+       CAST(abs(dev) AS DOUBLE) / (n * 100.0) AS cusum_peak
+FROM (
+  SELECT user_id, day, n, dev,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY abs(dev) DESC, day ASC) AS rk
+  FROM t
+) WHERE rk = 1
+"""
+)
+
+
 TIMESERIES2_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "ts_seasonal_decompose": (ts_seasonal_decompose, TS_DECOMPOSE_SQL),
+    "ts_changepoint_cusum": (ts_changepoint_cusum, TS_CUSUM_SQL),
     "events_json_props": (events_json_props, EVENTS_JSON_SQL),
     "cashflow_synthetic_pipeline": (cashflow_synthetic_pipeline, None),
     "ts_resample_interpolate": (ts_resample_interpolate, TS_INTERPOLATE_SQL),
