@@ -25,3 +25,43 @@ def test_timeseries2_query_matches_oracle(spark, sf_dir, duck, name):
         assert df.count() > 0
         return
     assert_matches_oracle(fn(spark, sf_dir), duck, sql, name=name)
+
+
+def test_holt_forecast_matches_numpy(spark, sf_dir):
+    """The aggregate-fold Holt recurrence must match a NumPy reference
+    implementation (classic init: l=x1, b=x2-x1, iterate from t=2)."""
+    import numpy as np
+
+    from time_series_prediction_spark.plans.timeseries_queries import (
+        daily_series,
+    )
+    from time_series_prediction_spark.plans.timeseries_queries2 import (
+        _ALPHA,
+        _BETA,
+        ts_holt_forecast,
+    )
+
+    got = {
+        r["user_id"]: r
+        for r in ts_holt_forecast(spark, sf_dir).collect()
+    }
+    pdf = daily_series(spark, sf_dir).toPandas()
+    for uid, g in pdf.groupby("user_id"):
+        xs = (g.sort_values("day")["cents"].to_numpy() / 100.0).astype(float)
+        if len(xs) < 2:
+            assert uid not in got
+            continue
+        l, b = xs[0], xs[1] - xs[0]
+        for x in xs[1:]:
+            l_new = _ALPHA * x + (1 - _ALPHA) * (l + b)
+            b = _BETA * (l_new - l) + (1 - _BETA) * b
+            l = l_new
+        row = got[uid]
+        assert row["n_days"] == len(xs)
+        np.testing.assert_allclose(row["level"], round(l, 6), atol=1e-6)
+        np.testing.assert_allclose(row["trend"], round(b, 6), atol=1e-6)
+        np.testing.assert_allclose(
+            row["forecast"][:5],
+            [round(l + h * b, 6) for h in range(1, 6)],
+            atol=1e-6,
+        )

@@ -230,6 +230,56 @@ GROUP BY a
 """
 
 
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup: the corpus that SURVIVES near-dup removal —
+    one canonical document per cluster (the min id) plus every
+    unclustered document, with byte/token accounting. Composition:
+    Jaccard pairs → connected components → LEFT ANTI join of the
+    corpus against non-canonical cluster members. The anti join
+    broadcasts the (tiny) victim list against the (huge) corpus scan —
+    the shape that matters at 100 TB."""
+    from time_series_prediction_spark.operators.components import (
+        dedup_canonical_assignment,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    assign = dedup_canonical_assignment(dedup_ngram_jaccard(spark, sf_dir))
+    victims = assign.where(F.col("doc_id") != F.col("canonical_id")).select(
+        "doc_id"
+    )
+    return (
+        docs.join(F.broadcast(victims), "doc_id", "left_anti")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+DEDUP_SURVIVORS_SQL = f"""
+WITH RECURSIVE {_NGRAM_PAIRS_CTES},
+edges AS (
+  SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+  UNION
+  SELECT doc_id_b AS a, doc_id_a AS b FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+victims AS (
+  SELECT a AS doc_id FROM reach
+  GROUP BY a HAVING least(a, min(b)) <> a
+)
+SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM victims)
+GROUP BY lang
+"""
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates (rows-only: xxhash64-based)."""
     docs = read_table(spark, sf_dir, "documents")
@@ -521,6 +571,7 @@ TEXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "doc_fingerprint_groups": (doc_fingerprint_groups, DOC_FINGERPRINT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
     "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
+    "dedup_survivors": (dedup_survivors, DEDUP_SURVIVORS_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, None),
     "dedup_simhash": (dedup_simhash, None),
     "embedding_cosine_topk": (embedding_cosine_topk, EMBEDDING_COSINE_TOPK_SQL),

@@ -578,7 +578,57 @@ FROM (
 )
 
 
+_ALPHA, _BETA, _HORIZON = 0.5, 0.3, 30
+
+
+def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear (double-exponential) smoothing per series, 30-day
+    forecast — the classical upgrade of the reference's median-slope
+    linear extrapolation (W9): level and trend adapt exponentially
+    instead of being a single robust slope.
+
+    The recurrence is inherently sequential, so it runs as ONE
+    `aggregate` fold over the per-series value array (state =
+    struct(level, trend)) — per-series arrays stay on their executor,
+    the only shuffle is the per-user collect. Engine-specific fold ⇒
+    rows-only driver check; the recurrence is golden-tested against a
+    NumPy reference in tests/test_timeseries_queries2.py."""
+    d = daily_series(spark, sf_dir)
+    series = (
+        d.groupBy("user_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("day", "cents"))).alias("_s")
+        )
+        .select(
+            "user_id",
+            F.expr("transform(_s, p -> CAST(p.cents AS DOUBLE) / 100.0)").alias("xs"),
+        )
+        .where(F.size("xs") >= 2)
+    )
+    a, b = _ALPHA, _BETA
+    # NB: Spark's bracket indexing xs[i] is 0-based; slice() is 1-based.
+    fold = (
+        f"aggregate(slice(xs, 3, size(xs) - 2), "
+        f"named_struct('l', CAST({a} * xs[1] + {1-a} * (xs[0] + (xs[1] - xs[0])) AS DOUBLE), "
+        f"             'b', CAST({b} * ({a} * xs[1] + {1-a} * (xs[0] + (xs[1] - xs[0])) - xs[0]) + {1-b} * (xs[1] - xs[0]) AS DOUBLE)), "
+        f"(acc, x) -> named_struct("
+        f"'l', {a} * x + {1-a} * (acc.l + acc.b), "
+        f"'b', {b} * (({a} * x + {1-a} * (acc.l + acc.b)) - acc.l) + {1-b} * acc.b))"
+    )
+    return series.select(
+        "user_id",
+        F.size("xs").cast("long").alias("n_days"),
+        F.expr(f"round({fold}.l, 6)").alias("level"),
+        F.expr(f"round({fold}.b, 6)").alias("trend"),
+        F.expr(
+            f"transform(sequence(1, {_HORIZON}), "
+            f"h -> round({fold}.l + h * {fold}.b, 6))"
+        ).alias("forecast"),
+    )
+
+
 TIMESERIES2_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "ts_holt_forecast": (ts_holt_forecast, None),
     "ts_seasonal_decompose": (ts_seasonal_decompose, TS_DECOMPOSE_SQL),
     "ts_changepoint_cusum": (ts_changepoint_cusum, TS_CUSUM_SQL),
     "events_json_props": (events_json_props, EVENTS_JSON_SQL),
