@@ -309,7 +309,43 @@ def lineitem_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind cube/rollup,
+    both covered elsewhere): per (type, day), per type, and grand
+    total in ONE pass — Catalyst plans a single Expand + aggregation
+    rather than three scans + union. grouping() flags disambiguate
+    'null because rolled up' from 'null in the data'."""
+    read_table(spark, sf_dir, "events").createOrReplaceTempView("_ev_gs")
+    return spark.sql(
+        """
+        SELECT event_type,
+               to_date(ts) AS day,
+               CAST(grouping(event_type) AS BIGINT) AS g_type,
+               CAST(grouping(to_date(ts)) AS BIGINT) AS g_day,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+                 AS total_value
+        FROM _ev_gs
+        GROUP BY GROUPING SETS ((event_type, to_date(ts)), (event_type), ())
+        """
+    )
+
+
+EVENTS_GROUPING_SETS_SQL = """
+SELECT event_type,
+       CAST(ts AS DATE) AS day,
+       CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+       CAST(GROUPING(CAST(ts AS DATE)) AS BIGINT) AS g_day,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_value
+FROM events
+GROUP BY GROUPING SETS ((event_type, CAST(ts AS DATE)), (event_type), ())
+"""
+
+
 RELATIONAL3_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "events_grouping_sets": (events_grouping_sets, EVENTS_GROUPING_SETS_SQL),
     "q7_volume_shipping": (q7_volume_shipping, Q7_SQL),
     "q13_customer_distribution": (q13_customer_distribution, Q13_SQL),
     "q15_top_supplier": (q15_top_supplier, Q15_SQL),
