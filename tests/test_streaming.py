@@ -114,3 +114,31 @@ def test_dedup_stream_suppresses_replays(spark, sf_dir):
     ).first()
     assert out["n"] == out["nd"], "a duplicate event_id got through"
     assert out["n"] == n_distinct
+
+
+def test_stream_static_join_matches_batch(spark, sf_dir):
+    """Stream-static enrichment == the same join+agg run as batch."""
+    from time_series_prediction_spark.sources.io import read_table
+    from time_series_prediction_spark.streaming.events import (
+        enriched_counts_stream,
+    )
+
+    dim = (
+        read_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("cohort", F.col("user_id") % 5)
+    )
+    stream = enriched_counts_stream(read_events_stream(spark, sf_dir), dim)
+    q = run_to_memory_sink(stream, "enriched_out", output_mode="append")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql(
+        "SELECT CAST(sum(n_events) AS BIGINT) AS n FROM enriched_out"
+    ).first()["n"]
+    ev = read_table(spark, sf_dir, "events")
+    want = ev.join(dim, "user_id").count()
+    assert got is not None and got <= want
+    assert got >= int(want * 0.9), f"stream={got} batch={want}"

@@ -89,6 +89,25 @@ def session_stream(
     )
 
 
+def enriched_counts_stream(
+    events: DataFrame, dim: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-static join + windowed aggregation: each micro-batch
+    hash-joins against the static dimension (broadcast — it never
+    changes mid-query), then counts per (hour, dimension attribute).
+    The pattern for enriching an event firehose with slowly-changing
+    reference data at ingest time; the static side is re-read per
+    batch only if its source supports it, so keep it small or cached.
+    ``dim`` must carry (user_id, cohort)."""
+    joined = events.join(F.broadcast(dim), "user_id")
+    return (
+        joined.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), F.col("cohort"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("hour"), "cohort", "n_events")
+    )
+
+
 def dedup_stream(
     events: DataFrame, watermark: str = "2 hours"
 ) -> DataFrame:
