@@ -344,7 +344,42 @@ GROUP BY GROUPING SETS ((event_type, CAST(ts AS DATE)), (event_type), ())
 """
 
 
+def order_cohort_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation composition: customers ordering in BOTH 1996 and
+    1997 (INTERSECT) minus customers who ever placed an URGENT order
+    (EXCEPT). Complements the INTERSECT-only query in plans/relational;
+    Catalyst rewrites both ops to semi/anti joins — no sort-unique
+    pass over the data."""
+    orders = read_table(spark, sf_dir, "orders")
+
+    def keys(year: int) -> DataFrame:
+        return orders.where(F.year("o_orderdate") == year).select("o_custkey")
+
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
+    return (
+        keys(1996)
+        .intersect(keys(1997))
+        .subtract(urgent)  # EXCEPT (distinct) — matches the SQL twin
+        .select(F.col("o_custkey").cast("long").alias("custkey"))
+    )
+
+
+ORDER_COHORT_SETOPS_SQL = """
+SELECT CAST(o_custkey AS BIGINT) AS custkey FROM (
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+)
+EXCEPT
+SELECT CAST(o_custkey AS BIGINT) FROM orders
+WHERE o_orderpriority = '1-URGENT'
+"""
+
+
 RELATIONAL3_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "order_cohort_setops": (order_cohort_setops, ORDER_COHORT_SETOPS_SQL),
     "events_grouping_sets": (events_grouping_sets, EVENTS_GROUPING_SETS_SQL),
     "q7_volume_shipping": (q7_volume_shipping, Q7_SQL),
     "q13_customer_distribution": (q13_customer_distribution, Q13_SQL),
