@@ -33,7 +33,11 @@ def connected_components(
 ) -> DataFrame:
     """Return (vertex, component) where component = min vertex id
     reachable. Edges are undirected (both directions added here)."""
-    fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # Materialize the directed edges FIRST: the union below references
+    # the subtree twice (forward + swapped), and the upstream pair
+    # generation (shingling + similarity join) is the expensive part —
+    # without this the whole candidate pipeline runs twice.
+    fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint()
     und = (
         fwd.unionAll(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
