@@ -378,7 +378,65 @@ WHERE o_orderpriority = '1-URGENT'
 """
 
 
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: quartile scores for Recency (latest order),
+    Frequency (order count), Monetary (lifetime cents), combined into
+    a 3-digit segment code, then segment-level accounting. Every ntile
+    ORDER BY carries the unique custkey tiebreak so quartile cuts are
+    engine-independent (ntile over ties is otherwise row-order-
+    dependent). One aggregation + three windows over the same
+    partitioning + one small re-aggregation."""
+    orders = read_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    base = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(_cents("o_totalprice")).alias("monetary_cents"),
+    )
+    r = F.ntile(4).over(
+        Window.orderBy(F.desc("last_order"), F.asc("o_custkey"))
+    )
+    f = F.ntile(4).over(
+        Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    )
+    m = F.ntile(4).over(
+        Window.orderBy(F.desc("monetary_cents"), F.asc("o_custkey"))
+    )
+    scored = base.select(
+        "o_custkey",
+        "monetary_cents",
+        (r * 100 + f * 10 + m).alias("rfm_segment"),
+    )
+    return scored.groupBy("rfm_segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        (F.sum("monetary_cents") / 100.0).alias("segment_value"),
+    )
+
+
+CUSTOMER_RFM_SQL = """
+WITH base AS (
+  SELECT o_custkey,
+         MAX(o_orderdate) AS last_order,
+         COUNT(*) AS frequency,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS monetary_cents
+  FROM orders GROUP BY o_custkey
+), scored AS (
+  SELECT o_custkey, monetary_cents,
+         ntile(4) OVER (ORDER BY last_order DESC, o_custkey ASC) * 100
+       + ntile(4) OVER (ORDER BY frequency DESC, o_custkey ASC) * 10
+       + ntile(4) OVER (ORDER BY monetary_cents DESC, o_custkey ASC)
+         AS rfm_segment
+  FROM base
+)
+SELECT rfm_segment, COUNT(*) AS n_customers,
+       CAST(SUM(monetary_cents) AS DOUBLE) / 100.0 AS segment_value
+FROM scored GROUP BY rfm_segment
+"""
+
+
 RELATIONAL3_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "customer_rfm_segments": (customer_rfm_segments, CUSTOMER_RFM_SQL),
     "order_cohort_setops": (order_cohort_setops, ORDER_COHORT_SETOPS_SQL),
     "events_grouping_sets": (events_grouping_sets, EVENTS_GROUPING_SETS_SQL),
     "q7_volume_shipping": (q7_volume_shipping, Q7_SQL),
