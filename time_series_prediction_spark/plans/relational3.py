@@ -435,7 +435,55 @@ FROM scored GROUP BY rfm_segment
 """
 
 
+def part_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: top-50 pairs of part types bought
+    in the same order. Plan shape: distinct (order, type) pairs, then
+    a SELF equi join on orderkey — the shuffle is keyed by order, so
+    the quadratic blow-up is bounded per order (basket size), never
+    global; ordered-pair predicate halves the output; lexical
+    tiebreaks make the top-50 cut engine-independent."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    ot = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_orderkey", "p_type")
+        .distinct()
+    )
+    a, b = ot.alias("a"), ot.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.p_type") < F.col("b.p_type")),
+    ).select(
+        F.col("a.p_type").alias("type_a"), F.col("b.p_type").alias("type_b")
+    )
+    return (
+        pairs.groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("type_a"), F.asc("type_b"))
+        .limit(50)
+    )
+
+
+PART_TYPE_COOCCURRENCE_SQL = """
+WITH ot AS (
+  SELECT DISTINCT l_orderkey, p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+SELECT a.p_type AS type_a, b.p_type AS type_b, COUNT(*) AS n_orders
+FROM ot a JOIN ot b
+  ON a.l_orderkey = b.l_orderkey AND a.p_type < b.p_type
+GROUP BY a.p_type, b.p_type
+ORDER BY n_orders DESC, type_a ASC, type_b ASC
+LIMIT 50
+"""
+
+
 RELATIONAL3_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "part_type_cooccurrence": (
+        part_type_cooccurrence,
+        PART_TYPE_COOCCURRENCE_SQL,
+    ),
     "customer_rfm_segments": (customer_rfm_segments, CUSTOMER_RFM_SQL),
     "order_cohort_setops": (order_cohort_setops, ORDER_COHORT_SETOPS_SQL),
     "events_grouping_sets": (events_grouping_sets, EVENTS_GROUPING_SETS_SQL),
