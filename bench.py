@@ -2,7 +2,11 @@
 """Benchmark: run the engine's headline queries and print ONE JSON line.
 
   {"metric": "total_query_seconds", "value": N, "unit": "sec",
-   "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+   "queries": {...slowest 10...}, "n_queries": N, "sf": 0.1}
+
+The printed line is kept compact (slowest-10 only) so it survives
+line-capture buffers; the FULL per-query dict is written to
+bench_times.json beside this script.
 
 Data dir from $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1);
 cores from $SPARK_GRAFT_CPUS (default 32). Each query is executed to
@@ -54,13 +58,25 @@ def main() -> None:
         times[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(times.values()), 3)
+    full = {
+        "metric": "total_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "n_queries": len(times),
+        "sf": sf,
+    }
+    side = Path(__file__).resolve().parent / "bench_times.json"
+    side.write_text(json.dumps(full, indent=1) + "\n")
+    slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:10])
     print(
         json.dumps(
             {
                 "metric": "total_query_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": times,
+                "queries": slowest,
+                "n_queries": len(times),
                 "sf": sf,
             }
         )

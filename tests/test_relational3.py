@@ -35,7 +35,7 @@ def test_approx_quantiles_close_to_exact(spark, sf_dir):
     parameter 10000 ⇒ 1/10000 rank error bound; we assert a loose
     value-space bound against numpy exact quantiles)."""
     got = {
-        r["l_returnflag"]: r["approx_quantiles"]
+        r["l_returnflag"]: [r["p25"], r["p50"], r["p75"], r["p95"]]
         for r in lineitem_quantiles_approx(spark, sf_dir).collect()
     }
     li = read_table(spark, sf_dir, "lineitem").select(

@@ -296,15 +296,24 @@ def lineitem_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     across partitions, so at 100 TB this is one scan + tiny exchange
     of sketch state, no full sort. Engine-specific sketch ⇒ rows-only
     driver check; the error bound vs exact percentiles is pinned in
-    tests/test_relational3.py."""
+    tests/test_relational3.py.
+
+    Output is four scalar columns (p25/p50/p75/p95) rather than one
+    array column — array cells are unhashable for downstream
+    canonicalizers (pandas sort) and scalar columns are the friendlier
+    relational shape anyway."""
     li = read_table(spark, sf_dir, "lineitem")
+    q = F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75, 0.95], 10000)
     return (
         li.groupBy("l_returnflag")
-        .agg(
-            F.percentile_approx(
-                "l_extendedprice", [0.25, 0.5, 0.75, 0.95], 10000
-            ).alias("approx_quantiles"),
-            F.count(F.lit(1)).cast("long").alias("n"),
+        .agg(q.alias("_q"), F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            "l_returnflag",
+            F.col("_q")[0].alias("p25"),
+            F.col("_q")[1].alias("p50"),
+            F.col("_q")[2].alias("p75"),
+            F.col("_q")[3].alias("p95"),
+            "n",
         )
     )
 

@@ -48,11 +48,17 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table, e.g. read_table(spark, '/root/testdata/sf0.01', 'lineitem').
 
     The events table stores ``ts`` as parquet TIMESTAMP(NANOS), which
-    Spark reads only as a raw long (``spark.sql.legacy.parquet.nanosAsLong``,
-    set in session defaults); convert to a microsecond timestamp here so
-    downstream code sees a real timestamp column (DuckDB performs the
-    same ns→us truncation, keeping oracle comparisons exact).
+    Spark reads only as a raw long (``spark.sql.legacy.parquet.nanosAsLong``);
+    convert to a microsecond timestamp here so downstream code sees a real
+    timestamp column (DuckDB performs the same ns→us truncation, keeping
+    oracle comparisons exact).
+
+    The nanos conf is self-provisioned here (it is runtime-settable SQL
+    conf, not a Spark-core conf) so read_table works on ANY SparkSession —
+    including vanilla ones the engine didn't build. Relying on session.py
+    defaults alone broke every events read on external harness sessions.
     """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer division — float division loses microsecond precision
