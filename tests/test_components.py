@@ -1,0 +1,70 @@
+"""Connected-components hardening: long chains (pointer jumping),
+union-find parity on random graphs, and loud non-convergence.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from time_series_prediction_spark.operators.components import (
+    connected_components,
+)
+
+
+def _spark_components(spark, edge_list, **kw):
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    rows = connected_components(edges, **kw).collect()
+    return {r["vertex"]: r["component"] for r in rows}
+
+
+def _union_find(edge_list):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical: min vertex per component
+    comp: dict[int, int] = {}
+    for v in parent:
+        comp[v] = find(v)
+    return comp
+
+
+def test_long_chain_converges_in_log_rounds(spark):
+    """A 1000-node path graph has diameter 999; plain min-label
+    propagation would need ~999 rounds. Pointer jumping must converge
+    within max_iterations=15 (~log2 diameter + margin)."""
+    edge_list = [(i, i + 1) for i in range(999)]
+    got = _spark_components(spark, edge_list, max_iterations=15)
+    assert len(got) == 1000
+    assert set(got.values()) == {0}
+
+
+def test_random_graph_matches_union_find(spark):
+    rng = random.Random(7)
+    # 300 vertices, sparse edges -> many non-trivial components
+    edge_list = [
+        (rng.randrange(300), rng.randrange(300)) for _ in range(160)
+    ]
+    edge_list = [(a, b) for a, b in edge_list if a != b]
+    got = _spark_components(spark, edge_list, max_iterations=15)
+    want = _union_find(edge_list)
+    assert got == want
+
+
+def test_nonconvergence_raises(spark):
+    """Partial labels must never be returned silently: a chain too deep
+    for the iteration budget raises instead of mislabeling clusters."""
+    edge_list = [(i, i + 1) for i in range(200)]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _spark_components(spark, edge_list, max_iterations=2)

@@ -8,6 +8,7 @@ import numpy as np
 
 from time_series_prediction_spark.model.train import (
     export_training_parquet,
+    partition_trainer_feed,
     training_batches,
 )
 from time_series_prediction_spark.plans.preprocess import (
@@ -29,6 +30,47 @@ def test_training_batches_shapes(spark):
         assert bx.shape[1] == 365 and by.shape[1] == 92
         assert bx.dtype == np.float32 and by.dtype == np.float32
     assert all(b[0].shape[0] == 16 for b in batches[:-1])
+
+
+def _sum_stats_trainer(batches):
+    """Toy trainer: sufficient statistics (sums), mergeable across
+    partitions — stands in for per-worker SGD / normal equations."""
+    n, sx, sy = 0, 0.0, 0.0
+    for bx, by in batches:
+        n += bx.shape[0]
+        sx += float(bx.sum())
+        sy += float(by.sum())
+    return {"n": n, "sum_x": sx, "sum_y": sy}
+
+
+def test_partition_trainer_feed_no_driver_funnel(spark):
+    """The distributed feed path: trainer runs per partition inside
+    mapInPandas (never a driver toLocalIterator); per-partition stats
+    merge to the exact global statistics."""
+    raw = generate_series_frame(spark, 40, seed=5)
+    pre = pre_processing(clean_series(raw), "2020-03-31", serving=False)
+    train, _, _ = train_val_test_split(pre)
+    train = train.repartition(4)
+
+    out = partition_trainer_feed(train, _sum_stats_trainer, batch_size=8)
+    # lazily planned: the trainer output is itself a DataFrame (executor
+    # side), with one row per non-empty partition
+    rows = out.collect()
+    assert 1 <= len(rows) <= 4
+    # plan must be a mapInPandas over the scan — no driver collect node
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+
+    total_n = sum(r["n_rows"] for r in rows)
+    assert total_n == train.count()
+    assert total_n == sum(int(r["result"]["n"]) for r in rows)
+
+    # partition-merged stats equal the driver-side feed's stats exactly
+    want = _sum_stats_trainer(training_batches(train, batch_size=8))
+    got_sx = sum(r["result"]["sum_x"] for r in rows)
+    got_sy = sum(r["result"]["sum_y"] for r in rows)
+    assert np.isclose(got_sx, want["sum_x"], rtol=1e-6)
+    assert np.isclose(got_sy, want["sum_y"], rtol=1e-6)
 
 
 def test_export_training_parquet_roundtrip(spark):

@@ -12,6 +12,11 @@ this image; the engine provides the same contract two ways:
 * ``export_training_parquet`` — the Petastorm-style materialization:
   (X, y) written as parquet for any external data-loader (Petastorm's
   SparkDatasetConverter does exactly this under the hood).
+* ``partition_trainer_feed`` — the 100 TB shape: each PARTITION streams
+  its (X, y) rows as numpy batches into a trainer callback inside the
+  executor (``mapInPandas``), so training data never crosses the
+  driver; the driver sees only the tiny per-partition results
+  (parameter-averaging / sufficient-statistics topology).
 
 ``fit_keras_cnn`` wires the reference's 1-D CNN when tensorflow is
 importable; otherwise raises NotImplementedError with the contract.
@@ -19,9 +24,10 @@ importable; otherwise raises NotImplementedError with the contract.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 
 
@@ -46,6 +52,67 @@ def training_batches(
             buf_x, buf_y = [], []
     if buf_x:
         yield np.stack(buf_x), np.stack(buf_y)
+
+
+def partition_trainer_feed(
+    train: DataFrame,
+    trainer_fn: Callable[
+        [Iterator[tuple[np.ndarray, np.ndarray]]], dict[str, float]
+    ],
+    batch_size: int = 200,
+    x_col: str = "X",
+    y_col: str = "y",
+) -> DataFrame:
+    """Distributed trainer feed — no driver funnel.
+
+    ``trainer_fn`` consumes an iterator of (X, y) float32 numpy batches
+    and returns a small dict of float results (losses, partial weights
+    flattened to scalars, sufficient statistics). It runs INSIDE each
+    executor via iterator ``mapInPandas``: memory stays bounded by the
+    Arrow batch, and the only thing shipped back is one
+    (n_rows, result map) row per non-empty partition. The caller
+    combines partition results (parameter averaging, stat merging) —
+    the standard data-parallel topology that replaces
+    ``training_batches``'s driver-side ``toLocalIterator`` at scale.
+
+    Repartition the input first to set the worker count:
+    ``train.repartition(n_workers)``.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_rows = 0
+
+        def np_batches() -> Iterator[tuple[np.ndarray, np.ndarray]]:
+            nonlocal n_rows
+            for pdf in batches:
+                for start in range(0, len(pdf), batch_size):
+                    chunk = pdf.iloc[start : start + batch_size]
+                    if len(chunk) == 0:
+                        continue
+                    n_rows += len(chunk)
+                    yield (
+                        np.stack(
+                            [np.asarray(v, dtype=np.float32) for v in chunk[x_col]]
+                        ),
+                        np.stack(
+                            [np.asarray(v, dtype=np.float32) for v in chunk[y_col]]
+                        ),
+                    )
+
+        result = trainer_fn(np_batches())
+        if n_rows > 0:
+            yield pd.DataFrame(
+                {
+                    "n_rows": pd.Series([n_rows], dtype="int64"),
+                    "result": [
+                        {str(k): float(v) for k, v in (result or {}).items()}
+                    ],
+                }
+            )
+
+    return train.select(x_col, y_col).mapInPandas(
+        run, schema="n_rows bigint, result map<string,double>"
+    )
 
 
 def fit_keras_cnn(

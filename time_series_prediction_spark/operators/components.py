@@ -7,16 +7,23 @@ connected components.
 
 Algorithm (the standard large-graph approach — no driver-side graph):
 every vertex starts labeled with itself; each round, every vertex
-takes the min label among itself and its neighbors; repeat until no
-label changes. Each round is one join + one aggregation (both
-hash-partitioned on vertex), so a round costs O(E) shuffle;
-convergence needs at most diameter rounds — near-dup graphs are
-star-like, so typically 2–3.
+takes the min label among itself and its neighbors (one-hop
+propagation), then every vertex shortcuts to its label's label
+(pointer jumping / path halving — labels are themselves vertex ids,
+so ``label := label[label]`` is one equi self-join). Propagation
+alone needs diameter rounds — fine for star-like dup graphs, fatal
+for chains; the pointer jump compresses label chains geometrically,
+giving O(log diameter) rounds total (the same idea as two-phase
+large-star/small-star). Each round is two joins + one aggregation,
+all hash-partitioned on vertex, so a round costs O(E) shuffle.
 
 Spark-specific care: the loop grows the lineage, so labels are
 localCheckpoint()ed each round (truncates the plan; at cluster scale
 use reliable checkpointing to the DFS instead); convergence is
 detected with a count of changed labels (one small action per round).
+Exhausting max_iterations with labels still changing RAISES — a
+partially-converged labeling would silently merge or split dedup
+clusters downstream.
 """
 
 from __future__ import annotations
@@ -60,27 +67,45 @@ def connected_components(
         neighbor_min = (
             und.join(labels, und.b == labels.vertex)
             .groupBy(und.a)
-            .agg(F.min("component").alias("nmin"))
+            .agg(F.min("component").alias("_nmin"))
         )
-        updated = (
+        step = (
             labels.join(neighbor_min, labels.vertex == neighbor_min.a, "left")
             .select(
                 "vertex",
+                F.col("component").alias("_old"),
                 F.least(
-                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
-                ).alias("component"),
-                (
-                    F.col("nmin").isNotNull()
-                    & (F.col("nmin") < F.col("component"))
-                ).alias("_changed"),
+                    F.col("component"), F.coalesce(F.col("_nmin"), F.col("component"))
+                ).alias("_c1"),
             )
+            .localCheckpoint()  # referenced twice below (self-join)
         )
-        updated = updated.localCheckpoint()
-        changed = updated.where(F.col("_changed")).count()
-        labels = updated.drop("_changed")
+        # pointer jump: component := label[component]. Every label is a
+        # vertex id, so this is a unique-key equi self-join; labels only
+        # decrease, so the shortcut stays within the component.
+        jump = step.select(
+            F.col("vertex").alias("_jv"), F.col("_c1").alias("_jc")
+        )
+        updated = (
+            step.join(jump, step["_c1"] == jump["_jv"], "left")
+            .select(
+                "vertex",
+                "_old",
+                F.least(
+                    F.col("_c1"), F.coalesce(F.col("_jc"), F.col("_c1"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = updated.where(F.col("component") < F.col("_old")).count()
+        labels = updated.drop("_old")
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} "
+        f"iterations ({changed} labels still changing) — graph diameter "
+        f"exceeds 2^iterations; raise max_iterations"
+    )
 
 
 def dedup_canonical_assignment(

@@ -66,15 +66,31 @@ def _stub_features(payload: bytes) -> list[float]:
     return [c / n for c in counts]
 
 
-def decode_real(payload: bytes, modality: str):  # pragma: no cover
+def _pil():  # pragma: no cover - environment-dependent
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
+def decode_real(payload: bytes, modality: str):
     """Integration point for real decoders.
 
     Contract: return a per-item feature vector (list[float] of
-    FEATURE_DIM) from the raw bytes. Wire PIL (image: decode → resize
-    → channel stats), soundfile/librosa (audio: sample → spectral
-    moments), or pyav (video: frame-sample → per-frame image path).
-    None of those libraries exist in this container.
+    FEATURE_DIM) from the raw bytes. Images use PIL when it is
+    importable (decode → grayscale → 4×4 thumbnail → 16 normalized
+    pixel intensities); audio/video would wire soundfile/librosa or
+    pyav the same way. When the library is absent (this container),
+    raises NotImplementedError — callers keep the deterministic stub.
     """
+    Image = _pil()
+    if modality == "image" and Image is not None:  # pragma: no cover
+        import io  # noqa: PLC0415
+
+        img = Image.open(io.BytesIO(payload)).convert("L").resize((4, 4))
+        return [px / 255.0 for px in img.getdata()]
     raise NotImplementedError(
         f"real {modality} decoding requires media libraries not present "
         "in this environment; use the deterministic stub extractor"
@@ -100,17 +116,21 @@ def resize_images(
     (byte stream cycled/truncated to width·height — real impl: PIL
     ``Image.open(...).resize((w, h))`` per ``decode_real``'s
     contract); the Spark-side shape is real: schema evolution, bounded
-    Arrow batches, partition inheritance."""
+    Arrow batches, partition inheritance.
+
+    Corrupt-input policy (shared with sample_frames): empty/None
+    payloads are DROPPED, not emitted as zero images — downstream row
+    accounting must see only decodable media."""
     import hashlib
 
     target = width * height
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            keep = pdf["payload"].map(lambda p: p is not None and len(p) > 0)
+            pdf = pdf[keep]
             resized = [
-                bytes((p * (target // max(len(p), 1) + 1))[:target])
-                if p is not None and len(p) > 0
-                else bytes(target)
+                bytes((p * (target // len(p) + 1))[:target])
                 for p in pdf["payload"]
             ]
             yield pd.DataFrame(

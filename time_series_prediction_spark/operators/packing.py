@@ -3,23 +3,34 @@
 chunking/dedup/sampling.
 
 Optimal bin packing is NP-hard and inherently sequential; the
-distributed form used here is partition-local first-fit-decreasing
-(FFD): documents are hashed to P independent packing groups, each
+distributed form used here is partition-local best-fit-decreasing
+(BFD): documents are hashed to P independent packing groups, each
 group packs its own documents in one Arrow batch (applyInPandas),
-bin ids are namespaced by group. FFD within a group guarantees
-≤ (11/9·OPT + 1) bins for that group, groups are independent, and P
-scales with the cluster — no global state, one shuffle on the group
-key. A document longer than the budget gets a bin of its own (callers
-should chunk first — see plans/text_queries.doc_chunks).
+bin ids are namespaced by group. BFD within a group guarantees
+≤ (11/9·OPT + 1) bins for that group (same bound as FFD), groups are
+independent, and P scales with the cluster — no global state, one
+shuffle on the group key. A document longer than the budget gets a
+bin of its own (callers should chunk first — see
+plans/text_queries.doc_chunks).
+
+Placement is O(log n_bins) per document: bins are kept as a sorted
+list of (residual, bin) pairs and the smallest adequate residual is
+found by bisect — no linear scan over all open bins, so a
+multi-million-doc group stays near-linear.
 """
 
 from __future__ import annotations
+
+from bisect import bisect_left, insort
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_GROUP_SPAN = 1_000_000  # bin ids: group * span + local index
+# bin ids: (group << _LOCAL_BITS) | local index. 2^40 bins per group at
+# budget 2048 ≈ 2.3e15 tokens per group before overflow — and _pack
+# asserts rather than silently colliding across groups.
+_LOCAL_BITS = 40
 
 
 def pack_documents(
@@ -32,7 +43,8 @@ def pack_documents(
     """→ (doc_id, n_tokens, bin_id): every input doc exactly once;
     sum(n_tokens) per bin ≤ budget unless the bin holds a single
     oversized doc. Deterministic: group = xxhash64(doc_id) mod P,
-    FFD order = (length desc, id asc)."""
+    BFD order = (length desc, id asc); ties in residual capacity go to
+    the lower bin id."""
     grouped = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(len_col).cast("long").alias("n_tokens"),
@@ -44,19 +56,25 @@ def pack_documents(
             ["n_tokens", "doc_id"], ascending=[False, True]
         ).reset_index(drop=True)
         grp = int(pdf["_grp"].iloc[0])
-        fills: list[int] = []  # current fill per local bin
+        open_bins: list[tuple[int, int]] = []  # (residual, bin) ascending
+        n_bins = 0
         assign: list[int] = []
         for n in pdf["n_tokens"]:
             n = int(n)
-            for b, fill in enumerate(fills):  # first fit
-                if fill + n <= budget:
-                    fills[b] = fill + n
-                    assign.append(b)
-                    break
+            # best fit: smallest residual that still holds n
+            i = bisect_left(open_bins, (n, -1))
+            if i < len(open_bins):
+                residual, b = open_bins.pop(i)
+                insort(open_bins, (residual - n, b))
             else:
-                fills.append(n)
-                assign.append(len(fills) - 1)
-        pdf["bin_id"] = [grp * _GROUP_SPAN + b for b in assign]
+                b = n_bins
+                n_bins += 1
+                insort(open_bins, (max(0, budget - n), b))
+            assign.append(b)
+        assert n_bins < (1 << _LOCAL_BITS), (
+            f"packing group {grp} overflowed {n_bins} bins; raise n_groups"
+        )
+        pdf["bin_id"] = [(grp << _LOCAL_BITS) | b for b in assign]
         return pdf[["doc_id", "n_tokens", "bin_id"]]
 
     return grouped.groupBy("_grp").applyInPandas(

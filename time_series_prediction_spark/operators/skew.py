@@ -68,7 +68,19 @@ def salted_join(
     Cost model: replication multiplies the right side's shuffle volume
     by n_salts — use when |right| ≪ |left| but right is too big (or
     too skew-matched) to broadcast outright.
+
+    ``how`` is restricted to left-preserving joins: with the right side
+    replicated n_salts×, a right/full outer join would emit every
+    UNMATCHED right row n_salts times, diverging from the plain join.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — the replicated right "
+            f"side duplicates unmatched right rows under right/full outer "
+            f"joins; use one of {sorted(allowed)}"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
     l_salted = left.withColumn("_salt", salt)
     r_salted = right.withColumn(

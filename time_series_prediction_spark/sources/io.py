@@ -123,8 +123,13 @@ def write_partitioned(
 
 
 def _delta_available(spark: SparkSession) -> bool:
+    # NB: attribute access on spark._jvm is lazy (py4j returns a
+    # JavaPackage without touching the JVM), so probing an attribute
+    # never raises — resolve the class by name instead.
     try:
-        spark._jvm.org.apache.spark.sql.delta.DeltaLog  # noqa: SLF001
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.spark.sql.delta.DeltaLog"
+        )
         return True
     except Exception:
         return False
