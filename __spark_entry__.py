@@ -34,6 +34,7 @@ def _all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], 
     from time_series_prediction_spark.plans.relational2 import RELATIONAL2_QUERIES
     from time_series_prediction_spark.plans.relational3 import RELATIONAL3_QUERIES
     from time_series_prediction_spark.plans.text_queries import TEXT_QUERIES
+    from time_series_prediction_spark.plans.text_queries2 import TEXT2_QUERIES
     from time_series_prediction_spark.plans.timeseries_queries import (
         TIMESERIES_QUERIES,
     )
@@ -49,6 +50,7 @@ def _all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], 
     registry.update(TIMESERIES_QUERIES)
     registry.update(TIMESERIES2_QUERIES)
     registry.update(TEXT_QUERIES)
+    registry.update(TEXT2_QUERIES)
     registry.update(WINDOW_QUERIES)
     registry.update(RANGEJOIN_QUERIES)
     # wide-array pipeline: statsmodels-parity trend + sequential-fold

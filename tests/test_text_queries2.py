@@ -1,0 +1,50 @@
+"""Corpus-curation queries part 2: oracle parity + semantic invariants."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.oracle_harness import assert_matches_oracle, duck_connection
+from time_series_prediction_spark.plans.text_queries2 import (
+    TEXT2_QUERIES,
+    corpus_mixture_weights,
+    doc_token_budget_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duck_connection(sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n, (_, sql) in TEXT2_QUERIES.items() if sql)
+)
+def test_text2_matches_oracle(spark, sf_dir, duck, name):
+    fn, sql = TEXT2_QUERIES[name]
+    assert_matches_oracle(fn(spark, sf_dir), duck, sql, name=name)
+
+
+def test_budget_sample_respects_budget(spark, sf_dir):
+    rows = doc_token_budget_sample(spark, sf_dir, budget_chars=5000).collect()
+    per_lang: dict[str, int] = {}
+    for r in rows:
+        per_lang[r["lang"]] = max(per_lang.get(r["lang"], 0), r["cum_chars"])
+    assert per_lang, "selection must be non-empty at a 5k budget"
+    for lang, cum in per_lang.items():
+        assert cum <= 5000, (lang, cum)
+
+
+def test_mixture_weights_sum_to_one_and_flatten(spark, sf_dir):
+    rows = corpus_mixture_weights(spark, sf_dir).collect()
+    assert abs(sum(r["raw_share"] for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r["temp_weight"] for r in rows) - 1.0) < 1e-9
+    # temperature mixing flattens: smallest language gains share,
+    # largest loses share
+    lo = min(rows, key=lambda r: r["n_chars"])
+    hi = max(rows, key=lambda r: r["n_chars"])
+    if lo["n_chars"] < hi["n_chars"]:
+        assert lo["temp_weight"] >= lo["raw_share"]
+        assert hi["temp_weight"] <= hi["raw_share"]

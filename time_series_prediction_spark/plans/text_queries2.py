@@ -1,0 +1,244 @@
+"""Corpus-curation queries, part 2: repetition-based quality filters,
+token-budget corpus selection, mixture weights, and n-gram statistics —
+the selection/mixing stages of an LLM training-data pipeline that sit
+between per-doc scoring (text_queries.doc_text_stats) and packing
+(doc_packing_stats).
+
+All four are oracle-backed. Determinism: ratios are single IEEE double
+divisions of exact integers (bit-identical across engines); the only
+non-linear function used is sqrt (correctly rounded per IEEE-754, so
+also engine-identical) — pow() with an arbitrary exponent is
+deliberately avoided.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from time_series_prediction_spark.plans.text_queries import QueryFn
+from time_series_prediction_spark.sources.io import read_table
+
+# ---------------------------------------------------------------------------
+# repetition / quality filtering (Gopher-style rules)
+# ---------------------------------------------------------------------------
+
+
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals: token count, distinct-token
+    count, type-token ratio, and the most-frequent-token share (the
+    Gopher rule family: high top-token share ⇒ boilerplate/spam).
+
+    Shape: explode → two groupBys, both keyed by doc_id — partial
+    aggregation (map-side combine) keeps the shuffle at one row per
+    (doc, distinct token) then one per doc; no windows, no skew beyond
+    document length itself.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        freq.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            F.max("c").cast("bigint").alias("top_count"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            (F.col("n_distinct").cast("double") / F.col("n_tokens")).alias(
+                "type_token_ratio"
+            ),
+            (F.col("top_count").cast("double") / F.col("n_tokens")).alias(
+                "top_token_share"
+            ),
+            (
+                F.col("top_count").cast("double") / F.col("n_tokens") > 0.1
+            ).alias("repetitive"),
+        )
+    )
+
+
+DOC_REPETITION_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), freq AS (
+  SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT)   AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(count(*) AS DOUBLE) / sum(c) AS type_token_ratio,
+       CAST(max(c) AS DOUBLE) / sum(c)   AS top_token_share,
+       (CAST(max(c) AS DOUBLE) / sum(c)) > 0.1 AS repetitive
+FROM freq
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# token-budget corpus selection
+# ---------------------------------------------------------------------------
+
+
+def doc_token_budget_sample(
+    spark: SparkSession, sf_dir: str, budget_chars: int = 100_000
+) -> DataFrame:
+    """Budget-constrained selection: per language, take documents in
+    (n_chars DESC, doc_id) priority order until the cumulative
+    character budget is exhausted — the 'fill the training mix to N
+    tokens per language' step.
+
+    Implementation: one cumulative-sum window per language. NOTE the
+    scale shape: a running sum serializes each language into one
+    ordered partition — fine for O(100) languages × bounded docs/lang,
+    but at 100 TB per-language, switch to the threshold form: compute
+    the priority-score cutoff whose prefix hits the budget via
+    distributed quantile sketch, then filter score >= cutoff (one scan,
+    no per-lang ordering)."""
+    docs = read_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.sum("n_chars").over(w).cast("bigint").alias("cum_chars"),
+        )
+        .where(F.col("cum_chars") <= budget_chars)
+    )
+
+
+DOC_TOKEN_BUDGET_SQL = """
+SELECT doc_id, lang, n_chars, cum_chars
+FROM (
+  SELECT doc_id, lang, n_chars,
+         CAST(sum(n_chars) OVER (
+           PARTITION BY lang ORDER BY n_chars DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum_chars
+  FROM documents
+)
+WHERE cum_chars <= 100000
+"""
+
+
+# ---------------------------------------------------------------------------
+# mixture weights (temperature-scaled language sampling)
+# ---------------------------------------------------------------------------
+
+
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled sampling weights per language: raw share
+    p_l = chars_l / Σchars, reweighted w_l = sqrt(p_l) / Σ sqrt(p) —
+    the α=0.5 temperature mix that upsamples low-resource languages
+    (multilingual-LM standard). sqrt keeps the math engine-exact.
+
+    Tiny aggregate (one row per language) joined back via a broadcast
+    of the 1-row total — no full-data second pass."""
+    docs = read_table(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    )
+    tot = per_lang.agg(
+        F.sum("n_chars").alias("_tot_chars"),
+        F.sum(F.sqrt(F.col("n_chars").cast("double"))).alias("_tot_sqrt"),
+    )
+    return (
+        per_lang.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            "n_chars",
+            (F.col("n_chars").cast("double") / F.col("_tot_chars")).alias(
+                "raw_share"
+            ),
+            (
+                F.sqrt(F.col("n_chars").cast("double")) / F.col("_tot_sqrt")
+            ).alias("temp_weight"),
+        )
+    )
+
+
+CORPUS_MIXTURE_SQL = """
+WITH per_lang AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT)     AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars
+  FROM documents GROUP BY lang
+), tot AS (
+  SELECT CAST(sum(n_chars) AS DOUBLE) AS tot_chars,
+         sum(sqrt(CAST(n_chars AS DOUBLE))) AS tot_sqrt
+  FROM per_lang
+)
+SELECT lang, n_docs, n_chars,
+       CAST(n_chars AS DOUBLE) / tot_chars       AS raw_share,
+       sqrt(CAST(n_chars AS DOUBLE)) / tot_sqrt  AS temp_weight
+FROM per_lang, tot
+"""
+
+
+# ---------------------------------------------------------------------------
+# corpus n-gram statistics
+# ---------------------------------------------------------------------------
+
+
+def corpus_bigram_topk(
+    spark: SparkSession, sf_dir: str, k: int = 20
+) -> DataFrame:
+    """Top-k word bigrams across the corpus (n-gram LM statistics /
+    contamination probes). Bigrams are formed inside the array domain
+    (transform over an index sequence — no window, no per-token
+    shuffle): each document emits its n−1 bigrams, then one
+    combiner-friendly count + deterministic top-k
+    (count DESC, bigram ASC)."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.expr(
+        "transform(sequence(0, size(_toks) - 2), "
+        "i -> concat(_toks[i], ' ', _toks[i + 1]))"
+    )
+    return (
+        docs.select(toks.alias("_toks"))
+        .where(F.size("_toks") >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(k)
+    )
+
+
+CORPUS_BIGRAM_SQL = """
+WITH toks AS (
+  SELECT string_split(text, ' ') AS t FROM documents
+), bg AS (
+  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]))
+           AS bigram
+  FROM toks WHERE len(t) >= 2
+)
+SELECT bigram, CAST(count(*) AS BIGINT) AS n
+FROM bg GROUP BY bigram
+ORDER BY n DESC, bigram ASC
+LIMIT 20
+"""
+
+
+TEXT2_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "doc_repetition_stats": (doc_repetition_stats, DOC_REPETITION_SQL),
+    "doc_token_budget_sample": (doc_token_budget_sample, DOC_TOKEN_BUDGET_SQL),
+    "corpus_mixture_weights": (corpus_mixture_weights, CORPUS_MIXTURE_SQL),
+    "corpus_bigram_topk": (corpus_bigram_topk, CORPUS_BIGRAM_SQL),
+}
