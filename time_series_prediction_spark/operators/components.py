@@ -64,27 +64,30 @@ def connected_components(
     )
 
     for _ in range(max_iterations):
+        # Both steps read only the CHECKPOINTED labels, so the round
+        # needs exactly one new checkpoint (of its output): a one-hop
+        # neighbor-min propagation plus a pointer jump through the
+        # previous round's pointers (component := labels[component] —
+        # every label is a vertex id, so a unique-key equi self-join).
+        # The stale-by-one jump still compresses label chains
+        # geometrically (convergence on a 1000-node path within 15
+        # rounds is pinned in tests/test_components.py).
         neighbor_min = (
             und.join(labels, und.b == labels.vertex)
             .groupBy(und.a)
             .agg(F.min("component").alias("_nmin"))
         )
-        step = (
-            labels.join(neighbor_min, labels.vertex == neighbor_min.a, "left")
-            .select(
-                "vertex",
-                F.col("component").alias("_old"),
-                F.least(
-                    F.col("component"), F.coalesce(F.col("_nmin"), F.col("component"))
-                ).alias("_c1"),
-            )
-            .localCheckpoint()  # referenced twice below (self-join)
+        jump = labels.select(
+            F.col("vertex").alias("_jv"), F.col("component").alias("_jc")
         )
-        # pointer jump: component := label[component]. Every label is a
-        # vertex id, so this is a unique-key equi self-join; labels only
-        # decrease, so the shortcut stays within the component.
-        jump = step.select(
-            F.col("vertex").alias("_jv"), F.col("_c1").alias("_jc")
+        step = labels.join(
+            neighbor_min, labels.vertex == neighbor_min.a, "left"
+        ).select(
+            "vertex",
+            F.col("component").alias("_old"),
+            F.least(
+                F.col("component"), F.coalesce(F.col("_nmin"), F.col("component"))
+            ).alias("_c1"),
         )
         updated = (
             step.join(jump, step["_c1"] == jump["_jv"], "left")
