@@ -41,6 +41,9 @@ def _all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], 
     from time_series_prediction_spark.plans.timeseries_queries2 import (
         TIMESERIES2_QUERIES,
     )
+    from time_series_prediction_spark.plans.warehouse_queries import (
+        WAREHOUSE_QUERIES,
+    )
     from time_series_prediction_spark.plans.window_queries import WINDOW_QUERIES
 
     registry: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
@@ -52,6 +55,7 @@ def _all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], 
     registry.update(TEXT_QUERIES)
     registry.update(TEXT2_QUERIES)
     registry.update(WINDOW_QUERIES)
+    registry.update(WAREHOUSE_QUERIES)
     registry.update(RANGEJOIN_QUERIES)
     # wide-array pipeline: statsmodels-parity trend + sequential-fold
     # extrapolation are not ANSI-SQL-expressible → rows-only check

@@ -1,0 +1,220 @@
+"""Warehouse-pattern queries over the events stream: SCD2 dimension
+builds, funnel conversion, and lifecycle lag — the modeling layer a
+production analytics engine needs beside raw rollups.
+
+Determinism: every window/array ordering is totalized with event_id as
+the tie-break (two events can share a timestamp), and all aggregates
+follow the exact-integer contract (counts, timestamp comparisons, one
+final double division).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from time_series_prediction_spark.plans.text_queries import QueryFn
+from time_series_prediction_spark.sources.io import read_table
+
+
+def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from an event stream:
+    collapse each user's event_type stream into validity intervals
+    (user_id, event_type, valid_from, valid_to, is_current), where a
+    new interval opens whenever the type CHANGES (consecutive repeats
+    collapse into one interval) and the latest interval is open-ended.
+
+    Shape: two window passes over ONE (user_id)-partitioning — lag for
+    change detection, lead for interval close — so the whole build is
+    a single shuffle; at 100 TB this is the standard merge-free SCD2
+    derivation (no MERGE INTO round-trips per batch).
+    """
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select("user_id", "event_id", "ts", "event_type")
+        .withColumn("_prev", F.lag("event_type").over(w))
+        .where(F.col("_prev").isNull() | (F.col("_prev") != F.col("event_type")))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+    )
+
+
+EVENTS_SCD2_SQL = """
+SELECT user_id, event_type,
+       ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       lead(ts) OVER w IS NULL AS is_current
+FROM (
+  SELECT user_id, event_id, ts, event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev_type
+  FROM events
+)
+WHERE prev_type IS NULL OR prev_type <> event_type
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (view → click → purchase): a user
+    converts step k only with an event AFTER their step-k−1 time.
+
+    Computed in the ARRAY domain: one groupBy collects each user's
+    sorted (ts, event_id, type) structs — a single shuffle — then the
+    sequential min-after-previous-step logic is pure array expressions
+    (filter/transform/array_min), not three cascaded join-aggregates.
+    Per-user event counts are bounded (retention window), so the
+    collected array is bounded; the alternative 3-shuffle join chain is
+    what this replaces at 100 TB.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    per_user = (
+        ev.select("user_id", "event_id", "ts", "event_type")
+        .groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("_evs")
+        )
+        .select(
+            "user_id",
+            F.expr(
+                "array_min(transform(filter(_evs, x -> x.event_type = 'view'),"
+                " x -> x.ts))"
+            ).alias("t_view"),
+            F.col("_evs").alias("_evs"),
+        )
+        .select(
+            "user_id",
+            "t_view",
+            F.expr(
+                "array_min(transform(filter(_evs, x -> x.event_type = 'click'"
+                " AND x.ts > t_view), x -> x.ts))"
+            ).alias("t_click"),
+            F.col("_evs").alias("_evs"),
+        )
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            F.expr(
+                "array_min(transform(filter(_evs, x -> x.event_type = 'purchase'"
+                " AND x.ts > t_click), x -> x.ts))"
+            ).alias("t_purchase"),
+        )
+    )
+    return per_user.agg(
+        F.count("t_view").cast("bigint").alias("n_viewed"),
+        F.count("t_click").cast("bigint").alias("n_clicked"),
+        F.count("t_purchase").cast("bigint").alias("n_purchased"),
+        (
+            F.count("t_click").cast("double") / F.count("t_view")
+        ).alias("view_to_click"),
+        (
+            F.count("t_purchase").cast("double") / F.count("t_click")
+        ).alias("click_to_purchase"),
+    )
+
+
+EVENTS_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT CAST(count(v.user_id) AS BIGINT) AS n_viewed,
+       CAST(count(c.user_id) AS BIGINT) AS n_clicked,
+       CAST(count(p.user_id) AS BIGINT) AS n_purchased,
+       CAST(count(c.user_id) AS DOUBLE) / count(v.user_id)
+         AS view_to_click,
+       CAST(count(p.user_id) AS DOUBLE) / count(c.user_id)
+         AS click_to_purchase
+FROM v
+LEFT JOIN c ON v.user_id = c.user_id
+LEFT JOIN p ON v.user_id = p.user_id
+"""
+
+
+def events_signup_to_purchase_lag(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Lifecycle lag histogram: whole days between a user's first
+    signup and their first purchase AFTER it, bucketed — time-to-value
+    analytics. One user-keyed aggregation (array domain again) + one
+    tiny histogram aggregation."""
+    ev = read_table(spark, sf_dir, "events")
+    lag_days = (
+        ev.select("user_id", "ts", "event_type")
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+                "t_signup"
+            ),
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("event_type") == "purchase", F.col("ts")
+                    )
+                )
+            ).alias("_purchases"),
+        )
+        .select(
+            "user_id",
+            F.expr(
+                "array_min(filter(_purchases, t -> t > t_signup))"
+            ).alias("t_purchase"),
+            "t_signup",
+        )
+        .where(F.col("t_signup").isNotNull() & F.col("t_purchase").isNotNull())
+        .select(
+            F.datediff(
+                F.to_date("t_purchase"), F.to_date("t_signup")
+            ).cast("bigint").alias("lag_days")
+        )
+    )
+    return (
+        lag_days.groupBy("lag_days")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
+
+
+EVENTS_SIGNUP_LAG_SQL = """
+WITH s AS (
+  SELECT user_id, min(ts) AS t_signup FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN s ON e.user_id = s.user_id AND e.ts > s.t_signup
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT CAST(date_diff('day', CAST(s.t_signup AS DATE),
+                      CAST(p.t_purchase AS DATE)) AS BIGINT) AS lag_days,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM s JOIN p ON s.user_id = p.user_id
+GROUP BY 1
+"""
+
+
+WAREHOUSE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "events_scd2_intervals": (events_scd2_intervals, EVENTS_SCD2_SQL),
+    "events_funnel": (events_funnel, EVENTS_FUNNEL_SQL),
+    "events_signup_to_purchase_lag": (
+        events_signup_to_purchase_lag,
+        EVENTS_SIGNUP_LAG_SQL,
+    ),
+}
