@@ -116,6 +116,90 @@ def test_dedup_stream_suppresses_replays(spark, sf_dir):
     assert out["n"] == n_distinct
 
 
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """Stream-stream attribution join == the same time-bounded join as
+    batch (subset: append emission withholds rows still inside the
+    final watermark; require >=90% coverage and no phantom pairs)."""
+    from time_series_prediction_spark.sources.io import read_table
+    from time_series_prediction_spark.streaming.events import (
+        click_purchase_join_stream,
+    )
+
+    clicks = read_events_stream(spark, sf_dir).where(
+        F.col("event_type") == "click"
+    )
+    purchases = read_events_stream(spark, sf_dir).where(
+        F.col("event_type") == "purchase"
+    )
+    stream = click_purchase_join_stream(clicks, purchases)
+    q = run_to_memory_sink(stream, "attrib_out", output_mode="append")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    ev = read_table(spark, sf_dir, "events")
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch_pairs = {
+        (r["click_id"], r["purchase_id"])
+        for r in c.join(
+            p,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("interval 1 hour")
+            ),
+        ).collect()
+    }
+    got_pairs = {
+        (r["click_id"], r["purchase_id"])
+        for r in spark.sql(
+            "SELECT click_id, purchase_id FROM attrib_out"
+        ).collect()
+    }
+    assert got_pairs <= batch_pairs, "stream emitted a pair batch does not have"
+    assert len(batch_pairs) == 0 or len(got_pairs) >= int(
+        len(batch_pairs) * 0.9
+    ), f"stream={len(got_pairs)} batch={len(batch_pairs)}"
+
+
+def test_idempotent_epoch_sink_replay_safe(spark, sf_dir):
+    """Epoch-keyed overwrite sink: output files land under
+    epoch_id=N dirs and re-running the SAME checkpointed query over
+    unchanged input produces no duplicate rows."""
+    from time_series_prediction_spark.streaming.events import (
+        run_idempotent_epoch_sink,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        def run_once():
+            stream = hourly_counts_stream(read_events_stream(spark, sf_dir))
+            q = run_idempotent_epoch_sink(
+                stream, f"{tmp}/out", checkpoint=f"{tmp}/ckpt"
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+
+        run_once()
+        n1 = spark.read.parquet(f"{tmp}/out").count()
+        assert n1 > 0
+        run_once()  # restart from checkpoint: no new input, no new rows
+        n2 = spark.read.parquet(f"{tmp}/out").count()
+        assert n2 == n1
+
+
 def test_stream_static_join_matches_batch(spark, sf_dir):
     """Stream-static enrichment == the same join+agg run as batch."""
     from time_series_prediction_spark.sources.io import read_table

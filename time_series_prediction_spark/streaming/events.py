@@ -122,6 +122,76 @@ def dedup_stream(
     )
 
 
+def click_purchase_join_stream(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """STREAM-STREAM inner join: each click matches the same user's
+    purchases within ``horizon`` after it — the attribution join.
+
+    Both sides carry watermarks AND the join condition bounds event
+    time on both sides; together these let the engine evict buffered
+    rows once they can no longer match (without the time bound, both
+    sides would be retained forever). State ≈ one horizon+watermark
+    window of each stream, constant on an unbounded firehose."""
+    c = (
+        clicks.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"interval {horizon}")),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
+def run_idempotent_epoch_sink(
+    df: DataFrame, path: str, checkpoint: str, output_mode: str = "append"
+) -> StreamingQuery:
+    """foreachBatch sink with exactly-once EFFECT on a plain parquet
+    target: each micro-batch overwrites its own ``epoch_id=N``
+    directory, so a replayed epoch (restart between sink write and
+    checkpoint commit) rewrites the same files instead of appending
+    duplicates. Idempotent-by-path is the standard exactly-once recipe
+    when the sink has no transactions (with Delta, foreachBatch would
+    MERGE on a key instead)."""
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            f"{path}/epoch_id={epoch_id}"
+        )
+
+    return (
+        df.writeStream.outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(write_batch)
+        .start()
+    )
+
+
 def run_to_memory_sink(
     df: DataFrame, name: str, output_mode: str = "append"
 ) -> StreamingQuery:
