@@ -79,11 +79,16 @@ def ngram_jaccard_pairs(
     """Exact Jaccard over word n-grams for candidate pairs sharing a
     blocking key. jaccard = |intersect| / |union| — exact integer
     counts, deterministic double division."""
+    # materialize the shingle arrays ONCE: the self-join below
+    # references this subtree twice and Spark does not reuse the scan
+    # (verified: without this the O(len·n) shingling runs per side).
+    # At cluster scale, persist(DISK_ONLY) or a reliable checkpoint
+    # plays the same role.
     sh = df.select(
         *[F.col(c) for c in block_cols],
         F.col(id_col),
         word_shingles(text_col, n).alias("shingles"),
-    )
+    ).localCheckpoint()
     a = sh.alias("a")
     b = sh.alias("b")
     cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
@@ -164,7 +169,7 @@ def minhash_lsh_pairs(
                 f"v -> CAST(v AS STRING)), ',')))"
             )
         ).alias("band", "band_hash"),
-    )
+    ).localCheckpoint()  # signature+banding feeds BOTH self-join sides
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -238,7 +243,7 @@ def simhash_near_pairs(
                 "transform(sequence(0, 3), w -> shiftright(sig, w * 16) & 65535L)"
             )
         ).alias("word", "word_val"),
-    )
+    ).localCheckpoint()  # the 64-bit vote fold feeds BOTH join sides
     a = banded.alias("a")
     b = banded.alias("b")
     return (
