@@ -345,7 +345,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "nrm",
         F.expr("sqrt(CAST(aggregate(qv, 0L, (a, v) -> a + v * v) AS DOUBLE))"),
-    )
+    ).localCheckpoint()  # quantize+norm feed BOTH self-join sides
     a, b = q.alias("a"), q.alias("b")
     dot = F.expr(
         "CAST(aggregate(zip_with(a.qv, b.qv, (x, y) -> x * y), 0L, "
