@@ -29,7 +29,7 @@ def _all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], 
     # imports intentionally NOT wrapped in try/except: a broken plans
     # module must fail loudly here, not silently shrink the declared
     # query surface
-    from time_series_prediction_spark.plans.flagship import cashflow_wide_pipeline
+    from time_series_prediction_spark.plans.flagship import cashflow_wide_summary
     from time_series_prediction_spark.plans.rangejoin_queries import RANGEJOIN_QUERIES
     from time_series_prediction_spark.plans.relational2 import RELATIONAL2_QUERIES
     from time_series_prediction_spark.plans.relational3 import RELATIONAL3_QUERIES
@@ -58,8 +58,10 @@ def _all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], 
     registry.update(WAREHOUSE_QUERIES)
     registry.update(RANGEJOIN_QUERIES)
     # wide-array pipeline: statsmodels-parity trend + sequential-fold
-    # extrapolation are not ANSI-SQL-expressible → rows-only check
-    registry["cashflow_wide_pipeline"] = (cashflow_wide_pipeline, None)
+    # extrapolation are not ANSI-SQL-expressible → rows-only check;
+    # the registry form projects the forecast array to scalar endpoints
+    # (canonicalizers hash scalar cells only)
+    registry["cashflow_wide_pipeline"] = (cashflow_wide_summary, None)
     return registry
 
 

@@ -60,8 +60,7 @@ def test_holt_forecast_matches_numpy(spark, sf_dir):
         assert row["n_days"] == len(xs)
         np.testing.assert_allclose(row["level"], round(l, 6), atol=1e-6)
         np.testing.assert_allclose(row["trend"], round(b, 6), atol=1e-6)
+        np.testing.assert_allclose(row["yhat_1"], round(l + b, 6), atol=1e-6)
         np.testing.assert_allclose(
-            row["forecast"][:5],
-            [round(l + h * b, 6) for h in range(1, 6)],
-            atol=1e-6,
+            row["yhat_30"], round(l + 30 * b, 6), atol=1e-6
         )

@@ -62,3 +62,20 @@ def cashflow_wide_pipeline(
         .withColumn("trajectory", ts.trajectory("trend", window_months=1))
         .select("user_id", "n_days", "keep_ts", "trajectory", "forecast")
     )
+
+
+def cashflow_wide_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry-facing scalar projection of cashflow_wide_pipeline:
+    result canonicalizers hash scalar cells, so the forecast array is
+    reduced to its endpoints (day-1, final-day) plus the horizon
+    length. entry() still returns the full-array form."""
+    wide = cashflow_wide_pipeline(spark, sf_dir)
+    return wide.select(
+        "user_id",
+        "n_days",
+        "keep_ts",
+        "trajectory",
+        F.element_at("forecast", 1).cast("double").alias("forecast_d1"),
+        F.element_at("forecast", -1).cast("double").alias("forecast_last"),
+        F.size("forecast").cast("bigint").alias("horizon_days"),
+    )

@@ -615,15 +615,18 @@ def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"'l', {a} * x + {1-a} * (acc.l + acc.b), "
         f"'b', {b} * (({a} * x + {1-a} * (acc.l + acc.b)) - acc.l) + {1-b} * acc.b))"
     )
+    # scalar output only (forecast endpoints, not the whole horizon
+    # array): result canonicalizers hash scalar cells; the full curve
+    # is l + h·b for any h anyway
     return series.select(
         "user_id",
         F.size("xs").cast("long").alias("n_days"),
         F.expr(f"round({fold}.l, 6)").alias("level"),
         F.expr(f"round({fold}.b, 6)").alias("trend"),
-        F.expr(
-            f"transform(sequence(1, {_HORIZON}), "
-            f"h -> round({fold}.l + h * {fold}.b, 6))"
-        ).alias("forecast"),
+        F.expr(f"round({fold}.l + 1 * {fold}.b, 6)").alias("yhat_1"),
+        F.expr(f"round({fold}.l + {_HORIZON} * {fold}.b, 6)").alias(
+            f"yhat_{_HORIZON}"
+        ),
     )
 
 
