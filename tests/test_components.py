@@ -68,3 +68,10 @@ def test_nonconvergence_raises(spark):
     edge_list = [(i, i + 1) for i in range(200)]
     with pytest.raises(RuntimeError, match="did not converge"):
         _spark_components(spark, edge_list, max_iterations=2)
+
+
+def test_invalid_iteration_budget_raises(spark):
+    """max_iterations < 1 is a caller error — clean ValueError up front,
+    not a NameError from the never-entered loop."""
+    with pytest.raises(ValueError, match="max_iterations"):
+        _spark_components(spark, [(1, 2)], max_iterations=0)

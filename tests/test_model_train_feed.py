@@ -73,6 +73,27 @@ def test_partition_trainer_feed_no_driver_funnel(spark):
     assert np.isclose(got_sy, want["sum_y"], rtol=1e-6)
 
 
+def test_partition_trainer_feed_early_stopping_trainer(spark):
+    """A trainer that stops after the first batch (early stopping) must
+    still produce a result row with the FULL partition row count — the
+    feed drains unconsumed batches after the trainer returns."""
+    raw = generate_series_frame(spark, 30, seed=7)
+    pre = pre_processing(clean_series(raw), "2020-03-31", serving=False)
+    train, _, _ = train_val_test_split(pre)
+    train = train.repartition(2)
+
+    def early_stop_trainer(batches):
+        for bx, _by in batches:
+            return {"seen": bx.shape[0]}  # consume exactly one batch
+        return {"seen": 0}
+
+    rows = partition_trainer_feed(train, early_stop_trainer, batch_size=4).collect()
+    assert len(rows) >= 1
+    # n_rows counts the whole partition, not just the consumed batch
+    assert sum(r["n_rows"] for r in rows) == train.count()
+    assert all(r["result"]["seen"] <= 4 for r in rows)
+
+
 def test_export_training_parquet_roundtrip(spark):
     raw = generate_series_frame(spark, 30, seed=2)
     pre = pre_processing(clean_series(raw), "2020-03-31", serving=False)

@@ -99,7 +99,14 @@ def partition_trainer_feed(
                         ),
                     )
 
-        result = trainer_fn(np_batches())
+        feed = np_batches()
+        result = trainer_fn(feed)
+        # trainer_fn may return early (early stopping, sampling). Drain
+        # the rest so n_rows counts the whole partition and the result
+        # row is emitted whenever the partition held data — otherwise an
+        # early-stopping trainer's output would be silently dropped.
+        for _ in feed:
+            pass
         if n_rows > 0:
             yield pd.DataFrame(
                 {

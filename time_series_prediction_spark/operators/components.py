@@ -40,6 +40,8 @@ def connected_components(
 ) -> DataFrame:
     """Return (vertex, component) where component = min vertex id
     reachable. Edges are undirected (both directions added here)."""
+    if max_iterations < 1:
+        raise ValueError(f"max_iterations must be >= 1, got {max_iterations}")
     # Materialize the directed edges FIRST: the union below references
     # the subtree twice (forward + swapped), and the upstream pair
     # generation (shingling + similarity join) is the expensive part —
@@ -106,8 +108,9 @@ def connected_components(
             return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} "
-        f"iterations ({changed} labels still changing) — graph diameter "
-        f"exceeds 2^iterations; raise max_iterations"
+        f"iterations ({changed} labels still changing) — with pointer "
+        f"jumping convergence needs ~log2(diameter) rounds; raise "
+        f"max_iterations"
     )
 
 

@@ -71,9 +71,12 @@ def pack_documents(
                 n_bins += 1
                 insort(open_bins, (max(0, budget - n), b))
             assign.append(b)
-        assert n_bins < (1 << _LOCAL_BITS), (
-            f"packing group {grp} overflowed {n_bins} bins; raise n_groups"
-        )
+        # Not an assert: under `python -O` asserts are stripped and an
+        # overflowing group would silently collide bin ids across groups.
+        if n_bins >= (1 << _LOCAL_BITS):
+            raise ValueError(
+                f"packing group {grp} overflowed {n_bins} bins; raise n_groups"
+            )
         pdf["bin_id"] = [(grp << _LOCAL_BITS) | b for b in assign]
         return pdf[["doc_id", "n_tokens", "bin_id"]]
 

@@ -115,11 +115,16 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t_view").cast("bigint").alias("n_viewed"),
         F.count("t_click").cast("bigint").alias("n_clicked"),
         F.count("t_purchase").cast("bigint").alias("n_purchased"),
+        # nullif the denominators: on an empty funnel stage Spark's
+        # double division yields NULL but recent DuckDB yields inf —
+        # pin both engines to NULL.
         (
-            F.count("t_click").cast("double") / F.count("t_view")
+            F.count("t_click").cast("double")
+            / F.nullif(F.count("t_view"), F.lit(0))
         ).alias("view_to_click"),
         (
-            F.count("t_purchase").cast("double") / F.count("t_click")
+            F.count("t_purchase").cast("double")
+            / F.nullif(F.count("t_click"), F.lit(0))
         ).alias("click_to_purchase"),
     )
 
@@ -140,9 +145,9 @@ WITH v AS (
 SELECT CAST(count(v.user_id) AS BIGINT) AS n_viewed,
        CAST(count(c.user_id) AS BIGINT) AS n_clicked,
        CAST(count(p.user_id) AS BIGINT) AS n_purchased,
-       CAST(count(c.user_id) AS DOUBLE) / count(v.user_id)
+       CAST(count(c.user_id) AS DOUBLE) / nullif(count(v.user_id), 0)
          AS view_to_click,
-       CAST(count(p.user_id) AS DOUBLE) / count(c.user_id)
+       CAST(count(p.user_id) AS DOUBLE) / nullif(count(c.user_id), 0)
          AS click_to_purchase
 FROM v
 LEFT JOIN c ON v.user_id = c.user_id

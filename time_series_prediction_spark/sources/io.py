@@ -59,6 +59,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     defaults alone broke every events read on external harness sessions.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Self-provision UTC alongside the nanos conf: external vanilla
+    # sessions inherit the host timezone, and date bucketing
+    # (to_date/datediff over events.ts) must agree with the tz-naive
+    # DuckDB oracle (CAST(ts AS DATE)) regardless of host locale.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer division — float division loses microsecond precision
