@@ -36,6 +36,44 @@ def test_rows_only_queries_run(spark, sf_dir, name):
     assert len(df.columns) >= 2
 
 
+def test_embedding_dedup_band_blocks_bounded(spark, sf_dir):
+    """dedup_embedding_cosine's candidate blocks are (label, table,
+    sign-band) — banding must SUBDIVIDE every label so no label forms
+    one quadratic block (the round-2 scale flag). Pins the observed
+    block bound: max band-block ≪ max label size, and total candidate
+    pairs well under the unblocked label-pair count."""
+    from time_series_prediction_spark.plans.text_queries import (
+        _BANDS_SPARK,
+        N_BAND_TABLES,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "label", "vec_id", similarity.quantize("embedding").alias("qv")
+    )
+    blocks = (
+        q.select("label", F.posexplode(F.expr(_BANDS_SPARK)).alias("tbl", "band"))
+        .groupBy("label", "tbl", "band")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    label_sizes = q.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    max_block = blocks.agg(F.max("n")).first()[0]
+    max_label = label_sizes.agg(F.max("n")).first()[0]
+    # every label splits into ~2^BAND_BITS buckets per table: the
+    # largest block must be a small fraction of the largest label
+    assert max_block <= max(4, max_label // 4)
+    # candidate pairs (sum over blocks of C(n,2), ×tables) stay well
+    # under the unblocked per-label pair count
+    cand_pairs = blocks.agg(
+        F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("p")
+    ).first()[0]
+    unblocked_pairs = label_sizes.agg(
+        F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("p")
+    ).first()[0]
+    assert cand_pairs < unblocked_pairs  # strict reduction incl. 8-table union
+    assert cand_pairs / N_BAND_TABLES < unblocked_pairs / 8
+
+
 def test_minhash_estimates_track_exact_jaccard(spark, sf_dir):
     """MinHash estimate within 0.25 of exact Jaccard for sampled pairs."""
     docs = read_table(spark, sf_dir, "documents").limit(60)

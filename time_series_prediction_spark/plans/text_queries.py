@@ -330,14 +330,48 @@ WHERE rank <= 10
 """
 
 
+# SimHash-band blocking for dedup_embedding_cosine: the 64 coordinate
+# sign bits of the quantized vector, split into N_BAND_TABLES bands of
+# BAND_BITS bits (MinHash-LSH banding logic applied to the sign
+# pattern). Signs of the quantized INTEGER coords are bit-identical in
+# Spark and DuckDB (no FP-order ambiguity), so both engines block
+# identically. Table t owns dims [t*BAND_BITS, (t+1)*BAND_BITS).
+N_BAND_TABLES = 8
+BAND_BITS = 8
+
+_BANDS_SPARK = (
+    f"transform(sequence(0, {N_BAND_TABLES - 1}), t -> "
+    f"aggregate(sequence(0, {BAND_BITS - 1}), 0L, (acc, j) -> "
+    f"acc + CASE WHEN qv[t * {BAND_BITS} + j] > 0 THEN shiftleft(1L, j) "
+    f"ELSE 0L END))"
+)
+_BANDS_DUCK = "[" + ", ".join(
+    "("
+    + " + ".join(
+        f"(CASE WHEN qv[{t * BAND_BITS + j + 1}] > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(BAND_BITS)
+    )
+    + ")"
+    for t in range(N_BAND_TABLES)
+) + "]"
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs: label-blocked candidate pairs
-    with quantized-exact cosine ≥ 0.35 (blocking bounds the pair count;
-    the LSH-bucketed variant is the unblocked scale path,
-    embedding_lsh_ann)."""
+    """Embedding near-dup pairs, SimHash-band blocked: candidates share
+    (label, band table, 8-bit sign band); survivors re-ranked with
+    quantized-exact cosine ≥ 0.35.
+
+    Scale shape: the old label-only blocking made one hot label a
+    single quadratic block (~5e13 comparisons at 10M vectors). The
+    conjoined sign band splits every label into ~2^8 buckets per table,
+    so candidate pairs are bounded by band-bucket sizes — explode(8
+    tables) + equi-join, the same pipeline shape as MinHash LSH.
+    Candidate pairs are distinct'd (id pairs only — tiny shuffle)
+    BEFORE vectors are re-attached, so each pair pays one cosine."""
     emb = read_table(spark, sf_dir, "embeddings")
-    # norms precomputed PER VECTOR, not per pair — 200k pairs × three
-    # 64-element folds would otherwise dominate (folds are interpreted)
+    # norms precomputed PER VECTOR, not per pair — candidate pairs ×
+    # three 64-element folds would otherwise dominate (folds are
+    # interpreted)
     q = emb.select(
         "label",
         F.col("vec_id"),
@@ -345,21 +379,35 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "nrm",
         F.expr("sqrt(CAST(aggregate(qv, 0L, (a, v) -> a + v * v) AS DOUBLE))"),
-    ).localCheckpoint()  # quantize+norm feed BOTH self-join sides
-    a, b = q.alias("a"), q.alias("b")
-    dot = F.expr(
-        "CAST(aggregate(zip_with(a.qv, b.qv, (x, y) -> x * y), 0L, "
-        "(acc, v) -> acc + v) AS DOUBLE)"
+    ).localCheckpoint()  # feeds band explode AND both re-rank sides
+    bands = q.select(
+        "label", "vec_id", F.posexplode(F.expr(_BANDS_SPARK)).alias("tbl", "band")
     )
-    return (
-        a.join(
-            b,
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
             (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.band") == F.col("b.band"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
             F.col("a.vec_id").alias("vec_id_a"),
             F.col("b.vec_id").alias("vec_id_b"),
+        )
+        .distinct()
+    )
+    dot = F.expr(
+        "CAST(aggregate(zip_with(a.qv, b.qv, (x, y) -> x * y), 0L, "
+        "(acc, v) -> acc + v) AS DOUBLE)"
+    )
+    return (
+        cand.join(q.alias("a"), cand.vec_id_a == F.col("a.vec_id"))
+        .join(q.alias("b"), cand.vec_id_b == F.col("b.vec_id"))
+        .select(
+            "vec_id_a",
+            "vec_id_b",
             (dot / (F.col("a.nrm") * F.col("b.nrm"))).alias("cosine"),
         )
         .where(F.col("cosine") >= 0.35)
@@ -371,13 +419,25 @@ WITH q AS (
   SELECT label, vec_id, qv,
          sqrt(CAST(list_sum(list_transform(qv, v -> v * v)) AS DOUBLE)) AS nrm
   FROM (SELECT label, vec_id, {_QVEC} AS qv FROM embeddings)
+), bands AS (
+  SELECT label, vec_id,
+         unnest(range({N_BAND_TABLES})) AS tbl,
+         unnest({_BANDS_DUCK}) AS band
+  FROM q
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+  FROM bands a JOIN bands b
+    ON a.label = b.label AND a.tbl = b.tbl AND a.band = b.band
+   AND a.vec_id < b.vec_id
 )
 SELECT * FROM (
-  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+  SELECT c.vec_id_a, c.vec_id_b,
          CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
                                       i -> a.qv[i] * b.qv[i])) AS DOUBLE)
            / (a.nrm * b.nrm) AS cosine
-  FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id
+  FROM cand c
+  JOIN q a ON c.vec_id_a = a.vec_id
+  JOIN q b ON c.vec_id_b = b.vec_id
 ) WHERE cosine >= 0.35
 """
 
