@@ -590,9 +590,11 @@ def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     The recurrence is inherently sequential, so it runs as ONE
     `aggregate` fold over the per-series value array (state =
     struct(level, trend)) — per-series arrays stay on their executor,
-    the only shuffle is the per-user collect. Engine-specific fold ⇒
-    rows-only driver check; the recurrence is golden-tested against a
-    NumPy reference in tests/test_timeseries_queries2.py."""
+    the only shuffle is the per-user collect. Oracle: the same fold as
+    a DuckDB recursive CTE with expression structure mirrored term by
+    term (identical IEEE evaluation order ⇒ identical doubles); also
+    golden-tested against a NumPy reference in
+    tests/test_timeseries_queries2.py."""
     d = daily_series(spark, sf_dir)
     series = (
         d.groupBy("user_id")
@@ -630,8 +632,54 @@ def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Holt fold as a recursive CTE. Every arithmetic expression mirrors the
+# Spark fold TERM BY TERM (same literals, same parenthesization, same
+# left-to-right order) so both engines produce bit-identical doubles
+# before the final round(…, 6) — the same technique the
+# extrapolate_trend oracle uses for its sequential fold.
+TS_HOLT_SQL = f"""
+WITH RECURSIVE daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events
+  GROUP BY user_id, CAST(ts AS DATE)
+),
+ordered AS (
+  SELECT user_id, CAST(cents AS DOUBLE) / 100.0 AS x,
+         row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+  FROM daily
+),
+sizes AS (
+  SELECT user_id, max(rn) AS n_days FROM ordered GROUP BY user_id
+),
+holt AS (
+  SELECT o2.user_id, 2 AS rn,
+         {_ALPHA} * o2.x + {1 - _ALPHA} * (o1.x + (o2.x - o1.x)) AS l,
+         {_BETA} * (({_ALPHA} * o2.x + {1 - _ALPHA} * (o1.x + (o2.x - o1.x)))
+                    - o1.x)
+           + {1 - _BETA} * (o2.x - o1.x) AS b
+  FROM ordered o1 JOIN ordered o2
+    ON o1.user_id = o2.user_id AND o1.rn = 1 AND o2.rn = 2
+  UNION ALL
+  SELECT h.user_id, h.rn + 1,
+         {_ALPHA} * o.x + {1 - _ALPHA} * (h.l + h.b) AS l,
+         {_BETA} * (({_ALPHA} * o.x + {1 - _ALPHA} * (h.l + h.b)) - h.l)
+           + {1 - _BETA} * h.b AS b
+  FROM holt h JOIN ordered o ON o.user_id = h.user_id AND o.rn = h.rn + 1
+)
+SELECT h.user_id,
+       CAST(s.n_days AS BIGINT) AS n_days,
+       round(h.l, 6) AS level,
+       round(h.b, 6) AS trend,
+       round(h.l + 1 * h.b, 6) AS yhat_1,
+       round(h.l + {_HORIZON} * h.b, 6) AS yhat_{_HORIZON}
+FROM holt h
+JOIN sizes s ON h.user_id = s.user_id AND h.rn = s.n_days
+"""
+
+
 TIMESERIES2_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
-    "ts_holt_forecast": (ts_holt_forecast, None),
+    "ts_holt_forecast": (ts_holt_forecast, TS_HOLT_SQL),
     "ts_seasonal_decompose": (ts_seasonal_decompose, TS_DECOMPOSE_SQL),
     "ts_changepoint_cusum": (ts_changepoint_cusum, TS_CUSUM_SQL),
     "events_json_props": (events_json_props, EVENTS_JSON_SQL),
