@@ -18,8 +18,9 @@ large-star/small-star). Each round is two joins + one aggregation,
 all hash-partitioned on vertex, so a round costs O(E) shuffle.
 
 Spark-specific care: the loop grows the lineage, so labels are
-localCheckpoint()ed each round (truncates the plan; at cluster scale
-use reliable checkpointing to the DFS instead); convergence is
+materialize()d each round (localCheckpoint by default — truncates
+the plan; spark.tsp.materialize.mode=reliable switches to a
+DFS-backed checkpoint for real clusters); convergence is
 detected with a count of changed labels (one small action per round).
 Exhausting max_iterations with labels still changing RAISES — a
 partially-converged labeling would silently merge or split dedup
@@ -30,6 +31,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from time_series_prediction_spark.operators.materialize import materialize
 
 
 def connected_components(
@@ -46,12 +49,12 @@ def connected_components(
     # the subtree twice (forward + swapped), and the upstream pair
     # generation (shingling + similarity join) is the expensive part —
     # without this the whole candidate pipeline runs twice.
-    fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint()
+    fwd = materialize(edges.select(F.col(src).alias("a"), F.col(dst).alias("b")))
     und = (
         fwd.unionAll(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .localCheckpoint()  # reused every round: materialize once
     )
+    und = materialize(und)  # reused every round: materialize once
 
     # Seed with round 0 fused into initialization: label = min(self,
     # direct neighbors) in ONE aggregation — saves a full join round.
@@ -62,8 +65,8 @@ def connected_components(
             F.col("a").alias("vertex"),
             F.least(F.col("a"), F.col("_nmin")).alias("component"),
         )
-        .localCheckpoint()
     )
+    labels = materialize(labels)
 
     for _ in range(max_iterations):
         # Both steps read only the CHECKPOINTED labels, so the round
@@ -100,8 +103,8 @@ def connected_components(
                     F.col("_c1"), F.coalesce(F.col("_jc"), F.col("_c1"))
                 ).alias("component"),
             )
-            .localCheckpoint()
         )
+        updated = materialize(updated)
         changed = updated.where(F.col("component") < F.col("_old")).count()
         labels = updated.drop("_old")
         if changed == 0:

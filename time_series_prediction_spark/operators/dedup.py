@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from time_series_prediction_spark.operators.materialize import materialize
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -88,7 +90,8 @@ def ngram_jaccard_pairs(
         *[F.col(c) for c in block_cols],
         F.col(id_col),
         word_shingles(text_col, n).alias("shingles"),
-    ).localCheckpoint()
+    )
+    sh = materialize(sh)
     a = sh.alias("a")
     b = sh.alias("b")
     cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
@@ -169,7 +172,8 @@ def minhash_lsh_pairs(
                 f"v -> CAST(v AS STRING)), ',')))"
             )
         ).alias("band", "band_hash"),
-    ).localCheckpoint()  # signature+banding feeds BOTH self-join sides
+    )
+    banded = materialize(banded)  # signature+banding feeds BOTH self-join sides
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -243,7 +247,8 @@ def simhash_near_pairs(
                 "transform(sequence(0, 3), w -> shiftright(sig, w * 16) & 65535L)"
             )
         ).alias("word", "word_val"),
-    ).localCheckpoint()  # the 64-bit vote fold feeds BOTH join sides
+    )
+    banded = materialize(banded)  # the 64-bit vote fold feeds BOTH join sides
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from time_series_prediction_spark.operators import dedup, similarity, text
+from time_series_prediction_spark.operators.materialize import materialize
 from time_series_prediction_spark.sources.io import read_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -379,7 +380,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "nrm",
         F.expr("sqrt(CAST(aggregate(qv, 0L, (a, v) -> a + v * v) AS DOUBLE))"),
-    ).localCheckpoint()  # feeds band explode AND both re-rank sides
+    )
+    q = materialize(q)  # feeds band explode AND both re-rank sides
     bands = q.select(
         "label", "vec_id", F.posexplode(F.expr(_BANDS_SPARK)).alias("tbl", "band")
     )
