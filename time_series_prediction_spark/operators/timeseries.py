@@ -329,13 +329,28 @@ def keep_ts(x: str, threshold_count: int = 20) -> Column:
 
     Native predicate — unlike the reference's UDF flag this composes
     with Catalyst: the filter stays JVM-side with no Python round-trip.
+
+    ``x`` is bound ONCE via ``_let``: when this predicate is pushed
+    below the projection that computes ``x`` (e.g. the synthetic
+    generator), the optimizer substitutes the producing expression into
+    EVERY reference — and higher-order functions run interpreted with
+    no common-subexpression elimination, so a multi-reference predicate
+    would recompute the whole series once per reference (measured 5-6×
+    on the generation pipeline).
     """
     changes = (
-        f"size(filter(zip_with(slice({x}, 2, size({x}) - 1), "
-        f"slice({x}, 1, size({x}) - 1), "
-        f"(a, b) -> CAST(a AS DOUBLE) - CAST(b AS DOUBLE)), d -> d != 0D))"
+        "size(filter(zip_with(slice(_x, 2, size(_x) - 1), "
+        "slice(_x, 1, size(_x) - 1), "
+        "(a, b) -> CAST(a AS DOUBLE) - CAST(b AS DOUBLE)), d -> d != 0D))"
     )
+    # all-equal via exists (O(n)), not array_distinct (O(n²) on float
+    # arrays). Spark's NaN semantics (NaN = NaN is true) keep this
+    # equivalent to the distinct-count form for NaN-bearing series.
     return F.expr(
-        f"CASE WHEN size(array_distinct({x})) <= 1 THEN 0 "
-        f"WHEN {changes} < {threshold_count} THEN 0 ELSE 1 END"
+        _let(
+            x,
+            "_x",
+            f"CASE WHEN NOT exists(_x, v -> v != _x[0]) THEN 0 "
+            f"WHEN {changes} < {threshold_count} THEN 0 ELSE 1 END",
+        )
     )
