@@ -53,8 +53,59 @@ def test_extract_features_small_batches_match(spark, sf_dir):
 
 
 def test_real_decoder_is_clearly_stubbed():
-    with pytest.raises(NotImplementedError, match="media libraries"):
-        decode_real(b"\x00", "image")
+    from time_series_prediction_spark.operators.multimodal import _cv2, _pil
+
+    if _pil() is None:
+        with pytest.raises(NotImplementedError, match="media libraries"):
+            decode_real(b"\x00", "image")
+    if _cv2() is None:
+        with pytest.raises(NotImplementedError, match="media libraries"):
+            decode_real(b"\x00", "video")
+
+
+def test_real_image_decode_when_pil_present():
+    """Conditional real path: only runs where PIL exists (not this
+    container) — generates a tiny PNG and checks the 16-dim contract."""
+    from time_series_prediction_spark.operators.multimodal import _pil
+
+    Image = _pil()
+    if Image is None:
+        pytest.skip("PIL not installed")
+    import io
+
+    buf = io.BytesIO()
+    Image.new("L", (8, 8), color=128).save(buf, format="PNG")
+    feats = decode_real(buf.getvalue(), "image")
+    assert len(feats) == FEATURE_DIM
+    assert all(abs(v - 128 / 255.0) < 1e-6 for v in feats)
+
+
+def test_real_video_decode_when_cv2_present():
+    """Conditional real path: only runs where OpenCV exists (not this
+    container) — writes a 2-frame clip and checks the 16-dim contract."""
+    from time_series_prediction_spark.operators.multimodal import _cv2
+
+    cv2 = _cv2()
+    if cv2 is None:
+        pytest.skip("cv2 not installed")
+    import os
+    import tempfile
+
+    import numpy as _np
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "clip.mp4")
+        w = cv2.VideoWriter(
+            path, cv2.VideoWriter_fourcc(*"mp4v"), 5, (16, 16)
+        )
+        for _ in range(2):
+            w.write(_np.full((16, 16, 3), 200, dtype=_np.uint8))
+        w.release()
+        with open(path, "rb") as f:
+            payload = f.read()
+    feats = decode_real(payload, "video")
+    assert len(feats) == FEATURE_DIM
+    assert all(0.0 <= v <= 1.0 for v in feats)
 
 
 def test_resize_images_schema_and_determinism(spark, sf_dir):

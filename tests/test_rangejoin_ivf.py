@@ -103,6 +103,25 @@ def test_ivf_centroids_deterministic(spark, sf_dir):
     np.testing.assert_array_equal(c1, c2)
 
 
+def test_ivf_centroid_cache_skips_retraining(spark, sf_dir):
+    """With a cache_key (the bench path passes sf_dir), the second
+    call must return the memoized matrix — no Lloyd scans at all.
+    Pinned by object identity AND by a job-count probe: the cached
+    call may not launch any Spark jobs."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    key = f"cache-test-{sf_dir}"
+    c1 = similarity.ivf_centroids(emb, n_cells=8, n_iters=2, cache_key=key)
+    sc = spark.sparkContext
+    before = sc._jsc.sc().dagScheduler().nextJobId()
+    c2 = similarity.ivf_centroids(emb, n_cells=8, n_iters=2, cache_key=key)
+    after = sc._jsc.sc().dagScheduler().nextJobId()
+    assert c2 is c1
+    assert after == before, "cached centroid lookup ran Spark jobs"
+    # different params must miss the cache
+    c3 = similarity.ivf_centroids(emb, n_cells=4, n_iters=2, cache_key=key)
+    assert c3.shape[0] == 4
+
+
 def test_ivf_recall_vs_exact(spark, sf_dir):
     """IVF with nprobe=8/16 cells must recover most of the exact
     top-5 neighbours. The fixture embeddings are near-uniform (worst

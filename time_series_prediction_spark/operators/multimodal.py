@@ -75,15 +75,27 @@ def _pil():  # pragma: no cover - environment-dependent
         return None
 
 
+def _cv2():  # pragma: no cover - environment-dependent
+    try:
+        import cv2  # noqa: PLC0415
+
+        return cv2
+    except ImportError:
+        return None
+
+
 def decode_real(payload: bytes, modality: str):
     """Integration point for real decoders.
 
     Contract: return a per-item feature vector (list[float] of
     FEATURE_DIM) from the raw bytes. Images use PIL when it is
     importable (decode → grayscale → 4×4 thumbnail → 16 normalized
-    pixel intensities); audio/video would wire soundfile/librosa or
-    pyav the same way. When the library is absent (this container),
-    raises NotImplementedError — callers keep the deterministic stub.
+    pixel intensities); video uses OpenCV when importable (decode via a
+    temp file — cv2.VideoCapture has no bytes API — grab the first
+    frame, grayscale, 4×4 thumbnail, same 16-dim contract); audio
+    would wire soundfile/librosa the same way. When the library is
+    absent (this container), raises NotImplementedError — callers keep
+    the deterministic stub.
     """
     Image = _pil()
     if modality == "image" and Image is not None:  # pragma: no cover
@@ -91,6 +103,25 @@ def decode_real(payload: bytes, modality: str):
 
         img = Image.open(io.BytesIO(payload)).convert("L").resize((4, 4))
         return [px / 255.0 for px in img.getdata()]
+    cv2 = _cv2()
+    if modality == "video" and cv2 is not None:  # pragma: no cover
+        import os  # noqa: PLC0415
+        import tempfile  # noqa: PLC0415
+
+        fd, tmp = tempfile.mkstemp(suffix=".mp4")
+        try:
+            with os.fdopen(fd, "wb") as f:
+                f.write(payload)
+            cap = cv2.VideoCapture(tmp)
+            ok, frame = cap.read()
+            cap.release()
+            if not ok:
+                raise ValueError("cv2 could not decode a frame")
+            gray = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
+            thumb = cv2.resize(gray, (4, 4), interpolation=cv2.INTER_AREA)
+            return [float(px) / 255.0 for px in thumb.flatten()]
+        finally:
+            os.unlink(tmp)
     raise NotImplementedError(
         f"real {modality} decoding requires media libraries not present "
         "in this environment; use the deterministic stub extractor"
