@@ -60,6 +60,81 @@ def test_session_stream_produces_sessions(spark, sf_dir):
     assert bad == 0
 
 
+def test_stateful_running_stats_matches_batch_fold(spark, sf_dir):
+    """applyInPandasWithState custom operator: state carried ACROSS
+    micro-batches must reproduce the exact per-user fold a batch
+    computation gives. The events file is split in two by time and fed
+    as separate micro-batches (maxFilesPerTrigger=1, oldest first), so
+    a correct result REQUIRES cross-batch state — a per-batch
+    recomputation would get n_events/ewma wrong."""
+    import time as _time
+
+    from time_series_prediction_spark.sources.io import read_table
+    from time_series_prediction_spark.streaming.events import (
+        user_running_stats_stream,
+    )
+
+    ev = read_table(spark, sf_dir, "events").where(F.col("user_id") < 40)
+    split_ts = ev.agg(F.expr("percentile(CAST(ts AS DOUBLE), 0.5)")).first()[0]
+    with tempfile.TemporaryDirectory() as d:
+        src = f"{d}/src"
+        raw = ev.select(
+            "event_id", F.col("ts").cast("timestamp").alias("ts"),
+            "user_id", "value",
+        )
+        raw.where(F.expr(f"CAST(ts AS DOUBLE) <= {split_ts}")).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        _time.sleep(1.1)  # distinct mtimes: early file trips first
+        raw.where(F.expr(f"CAST(ts AS DOUBLE) > {split_ts}")).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+        stream = (
+            spark.readStream.schema(raw.schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .load(src)
+        )
+        q = run_to_memory_sink(
+            user_running_stats_stream(stream), "state_out", output_mode="update"
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    # last update per user = final state
+    got = {
+        r["user_id"]: r
+        for r in spark.sql(
+            """SELECT * FROM (
+                 SELECT *, row_number() OVER (PARTITION BY user_id
+                          ORDER BY n_events DESC) AS rk FROM state_out
+               ) WHERE rk = 1"""
+        ).collect()
+    }
+    # driver-side oracle: same fold in (ts, event_id) order
+    rows = sorted(
+        raw.collect(), key=lambda r: (r["ts"], r["event_id"])
+    )
+    want: dict[int, list] = {}
+    for r in rows:
+        cents = int(round(r["value"] * 100))
+        st = want.setdefault(r["user_id"], [0, 0, None])
+        st[0] += 1
+        st[1] += cents
+        v = cents / 100.0
+        st[2] = v if st[2] is None else 0.5 * v + 0.5 * st[2]
+    assert set(got) == set(want)
+    for uid, (n, total, ewma) in want.items():
+        g = got[uid]
+        assert g["n_events"] == n, uid
+        assert g["total_cents"] == total, uid
+        assert abs(g["ewma"] - ewma) < 1e-9, uid
+
+
 def test_foreach_batch_parquet_sink(spark, sf_dir):
     with tempfile.TemporaryDirectory() as tmp:
         stream = hourly_counts_stream(read_events_stream(spark, sf_dir))
