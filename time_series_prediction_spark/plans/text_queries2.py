@@ -236,7 +236,83 @@ LIMIT 20
 """
 
 
+# ---------------------------------------------------------------------------
+# PII redaction (scrubbing stage of a training-data pipeline)
+# ---------------------------------------------------------------------------
+
+# Character classes only — Java regex (Spark) and RE2 (DuckDB) agree on
+# these exactly; no lookarounds/backrefs (RE2 lacks them).
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]+"
+_NUM_RE = "[0-9][0-9][0-9]+"  # runs of 3+ digits (ids, phones, SSNs)
+
+
+def doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: replace emails with <EMAIL> and 3+-digit runs
+    with <NUM>, reporting per-doc redaction counts + the redacted-text
+    md5 (scalar proof the rewrite is byte-identical across engines).
+
+    The fixture corpus is clean word salad, so deterministic positives
+    are injected first (every 3rd doc gains a contact line derived from
+    doc_id) — the redactor then has real matches, and the oracle must
+    agree on every count and every redacted byte. Pure per-row
+    ``regexp_replace``/``regexp_count`` column expressions: no shuffle,
+    embarrassingly parallel at any corpus size."""
+    docs = read_table(spark, sf_dir, "documents")
+    injected = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or call 555123"),
+            F.col("doc_id").cast("string"),
+        ),
+    ).otherwise(F.col("text"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(injected, _EMAIL_RE, "<EMAIL>"), _NUM_RE, "<NUM>"
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.regexp_count(injected, F.lit(_EMAIL_RE))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.regexp_count(
+            F.regexp_replace(injected, _EMAIL_RE, "<EMAIL>"), F.lit(_NUM_RE)
+        )
+        .cast("bigint")
+        .alias("n_numbers"),
+        F.md5(redacted).alias("redacted_md5"),
+        F.length(redacted).cast("bigint").alias("n_chars_redacted"),
+    )
+
+
+DOC_PII_SQL = f"""
+WITH injected AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@mail.example.com or call 555123'
+                   || CAST(doc_id AS VARCHAR)
+              ELSE text END AS t
+  FROM documents
+), red AS (
+  SELECT doc_id, lang, t,
+         regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g') AS t1
+  FROM injected
+)
+SELECT doc_id, lang,
+       CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t1, '{_NUM_RE}')) AS BIGINT) AS n_numbers,
+       md5(regexp_replace(t1, '{_NUM_RE}', '<NUM>', 'g')) AS redacted_md5,
+       CAST(length(regexp_replace(t1, '{_NUM_RE}', '<NUM>', 'g')) AS BIGINT)
+         AS n_chars_redacted
+FROM red
+"""
+
+
 TEXT2_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "doc_pii_redact": (doc_pii_redact, DOC_PII_SQL),
     "doc_repetition_stats": (doc_repetition_stats, DOC_REPETITION_SQL),
     "doc_token_budget_sample": (doc_token_budget_sample, DOC_TOKEN_BUDGET_SQL),
     "corpus_mixture_weights": (corpus_mixture_weights, CORPUS_MIXTURE_SQL),
