@@ -311,7 +311,125 @@ FROM red
 """
 
 
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+_DECON_N = 5  # 5-gram overlap — the standard decontamination unit
+
+
+def corpus_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any word
+    5-gram with a held-out benchmark set (every 25th doc, which is
+    EXCLUDED from the training side). The fixture corpus is random
+    word salad (no organic overlap), so deterministic positives are
+    injected: every 10th training doc gets one benchmark doc's leading
+    5 words appended — a planted leak the scan must find with exact
+    counts.
+
+    Scale shape: explode both sides to (shingle-hash, doc) and
+    equi-join on the hash — the same bounded-bucket pipeline as
+    MinHash-LSH, never all-pairs; at 100 TB the benchmark side is tiny
+    and broadcastable."""
+    from time_series_prediction_spark.operators.dedup import word_shingles
+
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 25 == 0)
+    leak_src = bench.select(
+        (F.col("doc_id") / 25).cast("bigint").alias("_k"),
+        F.expr("array_join(slice(split(text, ' '), 1, 5), ' ')").alias("_leak"),
+    )
+    n_bench = bench.count()
+    train = (
+        docs.where(F.col("doc_id") % 25 != 0)
+        .withColumn("_k", (F.col("doc_id") % F.lit(max(n_bench, 1))).cast("bigint"))
+        .join(F.broadcast(leak_src), "_k", "left")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 10 == 0,
+                F.concat(F.col("text"), F.lit(" "), F.col("_leak")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    t_sh = train.select(
+        "doc_id",
+        F.explode(word_shingles("text", _DECON_N)).alias("shingle"),
+    ).select("doc_id", F.md5("shingle").alias("h"))
+    b_sh = (
+        bench.select(
+            F.col("doc_id").alias("bench_id"),
+            F.explode(word_shingles("text", _DECON_N)).alias("shingle"),
+        )
+        .select("bench_id", F.md5("shingle").alias("h"))
+        .distinct()
+    )
+    return (
+        t_sh.join(F.broadcast(b_sh), "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shared_shingles"),
+            F.countDistinct("bench_id").cast("bigint").alias("n_bench_docs_hit"),
+        )
+    )
+
+
+# DuckDB twin: same injection (k = doc_id % n_bench indexes the
+# benchmark docs ordered by doc_id), same 5-gram shingles, same
+# hash-join. n_bench is data-dependent → computed inside the CTE.
+CORPUS_DECON_SQL = f"""
+WITH bench AS (
+  SELECT doc_id, text,
+         CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS k
+  FROM documents WHERE doc_id % 25 = 0
+), leak AS (
+  SELECT CAST(doc_id / 25 AS BIGINT) AS k,
+         array_to_string(string_split(text, ' ')[1:5], ' ') AS leak
+  FROM documents WHERE doc_id % 25 = 0
+), train AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 10 = 0 THEN d.text || ' ' || l.leak
+              ELSE d.text END AS text
+  FROM documents d
+  LEFT JOIN leak l
+    ON l.k = d.doc_id % (SELECT greatest(count(*), 1) FROM bench)
+  WHERE d.doc_id % 25 != 0
+), t_sh AS (
+  SELECT doc_id, md5(s) AS h FROM (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+             range(1, len(string_split(text, ' ')) - {_DECON_N - 2}),
+             i -> string_split(text, ' ')[i] || ' ' ||
+                  string_split(text, ' ')[i + 1] || ' ' ||
+                  string_split(text, ' ')[i + 2] || ' ' ||
+                  string_split(text, ' ')[i + 3] || ' ' ||
+                  string_split(text, ' ')[i + 4]))) AS s
+    FROM train
+  )
+), b_sh AS (
+  SELECT DISTINCT bench_id, h FROM (
+    SELECT doc_id AS bench_id, md5(unnest(list_distinct(list_transform(
+             range(1, len(string_split(text, ' ')) - {_DECON_N - 2}),
+             i -> string_split(text, ' ')[i] || ' ' ||
+                  string_split(text, ' ')[i + 1] || ' ' ||
+                  string_split(text, ' ')[i + 2] || ' ' ||
+                  string_split(text, ' ')[i + 3] || ' ' ||
+                  string_split(text, ' ')[i + 4])))) AS h
+    FROM bench
+  )
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shared_shingles,
+       CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs_hit
+FROM t_sh t JOIN b_sh b ON t.h = b.h
+GROUP BY t.doc_id
+"""
+
+
 TEXT2_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "corpus_decontamination": (corpus_decontamination, CORPUS_DECON_SQL),
     "doc_pii_redact": (doc_pii_redact, DOC_PII_SQL),
     "doc_repetition_stats": (doc_repetition_stats, DOC_REPETITION_SQL),
     "doc_token_budget_sample": (doc_token_budget_sample, DOC_TOKEN_BUDGET_SQL),
