@@ -446,26 +446,29 @@ FROM scored GROUP BY rfm_segment
 
 def part_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence: top-50 pairs of part types bought
-    in the same order. Plan shape: distinct (order, type) pairs, then
-    a SELF equi join on orderkey — the shuffle is keyed by order, so
-    the quadratic blow-up is bounded per order (basket size), never
-    global; ordered-pair predicate halves the output; lexical
-    tiebreaks make the top-50 cut engine-independent."""
+    in the same order. Plan shape: ONE shuffle (groupBy order) collects
+    each basket's sorted distinct types, then ordered pairs are
+    generated IN-ARRAY and exploded — no self equi-join, so the
+    order-keyed subtree is computed once, and the quadratic blow-up is
+    bounded per order (basket size), never global; lexical tiebreaks
+    make the top-50 cut engine-independent."""
     li = read_table(spark, sf_dir, "lineitem")
     part = read_table(spark, sf_dir, "part")
     ot = (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .select("l_orderkey", "p_type")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("p_type")).alias("ts"))
     )
-    a, b = ot.alias("a"), ot.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.p_type") < F.col("b.p_type")),
-    ).select(
-        F.col("a.p_type").alias("type_a"), F.col("b.p_type").alias("type_b")
-    )
+    pairs = ot.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(ts) < 2 THEN array() ELSE "
+                "flatten(transform(sequence(0, size(ts) - 2), i -> "
+                "transform(sequence(i + 1, size(ts) - 1), j -> "
+                "struct(ts[i] AS type_a, ts[j] AS type_b)))) END"
+            )
+        ).alias("p")
+    ).select("p.*")
     return (
         pairs.groupBy("type_a", "type_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
