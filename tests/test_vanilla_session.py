@@ -41,6 +41,13 @@ assert df.count() >= 0
 qs = entrymod.queries()
 n = qs["events_hourly"](spark, {sf_dir!r}).count()
 assert n > 0, n
+
+# read_table must also have pinned UTC: date bucketing (to_date /
+# datediff on events.ts) would otherwise follow the host timezone and
+# silently diverge from the tz-naive DuckDB oracle on non-UTC hosts
+assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+lag = qs["events_signup_to_purchase_lag"](spark, {sf_dir!r}).count()
+assert lag >= 0
 print("VANILLA_OK", n)
 spark.stop()
 """
