@@ -49,12 +49,18 @@ def connected_components(
     # the subtree twice (forward + swapped), and the upstream pair
     # generation (shingling + similarity join) is the expensive part —
     # without this the whole candidate pipeline runs twice.
-    fwd = materialize(edges.select(F.col(src).alias("a"), F.col(dst).alias("b")))
+    # fwd stays EAGER: the union below references it twice inside one
+    # job — a lazy checkpoint would race both branches into computing
+    # the expensive upstream pair pipeline concurrently.
+    fwd = materialize(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    )
     und = (
         fwd.unionAll(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
     )
-    und = materialize(und)  # reused every round: materialize once
+    und = materialize(und, eager=False)  # reused every round; the seed
+    # aggregation below is the materializing action
 
     # Seed with round 0 fused into initialization: label = min(self,
     # direct neighbors) in ONE aggregation — saves a full join round.
@@ -66,7 +72,7 @@ def connected_components(
             F.least(F.col("a"), F.col("_nmin")).alias("component"),
         )
     )
-    labels = materialize(labels)
+    labels = materialize(labels, eager=False)  # round 1 materializes it
 
     for _ in range(max_iterations):
         # Both steps read only the CHECKPOINTED labels, so the round
@@ -104,7 +110,9 @@ def connected_components(
                 ).alias("component"),
             )
         )
-        updated = materialize(updated)
+        updated = materialize(updated, eager=False)
+        # the convergence count IS the materializing action (one job,
+        # not checkpoint-job + count-job)
         changed = updated.where(F.col("component") < F.col("_old")).count()
         labels = updated.drop("_old")
         if changed == 0:

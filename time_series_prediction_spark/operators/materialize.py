@@ -31,15 +31,24 @@ MODE_CONF = "spark.tsp.materialize.mode"
 CHECKPOINT_DIR_CONF = "spark.tsp.materialize.checkpointDir"
 
 
-def materialize(df: DataFrame, mode: str | None = None) -> DataFrame:
+def materialize(
+    df: DataFrame, mode: str | None = None, eager: bool = True
+) -> DataFrame:
     """Materialize ``df`` once so downstream reuse (self-joins, loop
     rounds) does not recompute its subtree. Mode comes from the
-    argument, else the session conf, else ``local``."""
+    argument, else the session conf, else ``local``.
+
+    ``eager=False`` defers the checkpoint to the FIRST action over the
+    returned frame — use when the caller immediately runs one (e.g. an
+    iterative loop's convergence count): the action materializes the
+    checkpoint as a side effect, saving one Spark job per call. Ignored
+    by ``persist`` mode, which must force to give compute-once
+    semantics."""
     spark = df.sparkSession
     if mode is None:
         mode = spark.conf.get(MODE_CONF, "local")
     if mode == "local":
-        return df.localCheckpoint()
+        return df.localCheckpoint(eager=eager)
     if mode == "reliable":
         sc = spark.sparkContext
         if sc.getCheckpointDir() is None:
@@ -51,7 +60,7 @@ def materialize(df: DataFrame, mode: str | None = None) -> DataFrame:
                     f"{CHECKPOINT_DIR_CONF}"
                 )
             sc.setCheckpointDir(ckdir)
-        return df.checkpoint()
+        return df.checkpoint(eager=eager)
     if mode == "persist":
         out = df.persist(StorageLevel.DISK_ONLY)
         out.count()  # force now: callers rely on compute-once semantics
