@@ -70,7 +70,7 @@ def test_stateful_running_stats_matches_batch_fold(spark, sf_dir):
     import time as _time
 
     from time_series_prediction_spark.sources.io import read_table
-    from time_series_prediction_spark.streaming.events import (
+    from time_series_prediction_spark.streaming.stateful import (
         user_running_stats_stream,
     )
 

@@ -76,3 +76,65 @@ def running_user_totals(
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+USER_STATE_SCHEMA = (
+    "user_id bigint, n_events bigint, total_cents bigint, ewma double, "
+    "last_ts timestamp"
+)
+
+
+def user_running_stats_stream(
+    events: DataFrame, decay: float = 0.5
+) -> DataFrame:
+    """Per-user running statistics with an ORDER-DEPENDENT fold: unlike
+    ``running_user_totals`` (commutative sums — batch arrival order
+    irrelevant), the exponentially-weighted mean depends on event
+    order, so each micro-batch must fold its rows in (ts, event_id)
+    order into the carried state (the streaming twin of the batch
+    ``ts_ewma_7``).
+
+    State per user = (n_events, total_cents, ewma, last_ts); each
+    micro-batch folds its rows in (ts, event_id) order into the carried
+    state and emits one update row per touched user. State size is
+    O(distinct users), independent of stream length — the scale
+    property that matters on an unbounded firehose. Exact integer cents
+    keep n/total deterministic; the ewma fold order is pinned by the
+    (ts, event_id) sort.
+    """
+    def fold(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            n, total, ewma, last_us = state.get
+        else:
+            n, total, ewma, last_us = 0, 0, None, None
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for cents, ts in zip(
+                (pdf["value"] * 100).round().astype("int64"), pdf["ts"]
+            ):
+                n += 1
+                total += int(cents)
+                v = cents / 100.0
+                ewma = v if ewma is None else decay * v + (1 - decay) * ewma
+                last_us = int(ts.value // 1000)  # ns -> us
+        state.update((n, total, ewma, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([user_id], dtype="int64"),
+                "n_events": pd.Series([n], dtype="int64"),
+                "total_cents": pd.Series([total], dtype="int64"),
+                "ewma": pd.Series([ewma], dtype="float64"),
+                "last_ts": pd.Series(
+                    [pd.Timestamp(last_us * 1000)], dtype="datetime64[ns]"
+                ),
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=USER_STATE_SCHEMA,
+        stateStructType="n bigint, total bigint, ewma double, last_us bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
