@@ -90,6 +90,44 @@ def test_gradient_of_linear_series_is_constant_slope(spark, intercept, slope):
 
 
 @settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-1e4, max_value=1e4, allow_nan=False),
+        min_size=2,
+        max_size=60,
+    ),
+)
+def test_holt_fold_matches_numpy(spark, xs):
+    """The Holt aggregate() fold (now also the DuckDB-oracle recursive
+    CTE) must equal the straightforward numpy recurrence to float
+    noise, for any series."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    a, b = 0.5, 0.3
+    schema = StructType([StructField("xs", ArrayType(DoubleType()))])
+    df = spark.createDataFrame([([float(v) for v in xs],)], schema)
+    fold = (
+        f"aggregate(slice(xs, 3, size(xs) - 2), "
+        f"named_struct('l', CAST({a} * xs[1] + {1-a} * (xs[0] + (xs[1] - xs[0])) AS DOUBLE), "
+        f"             'b', CAST({b} * ({a} * xs[1] + {1-a} * (xs[0] + (xs[1] - xs[0])) - xs[0]) + {1-b} * (xs[1] - xs[0]) AS DOUBLE)), "
+        f"(acc, x) -> named_struct("
+        f"'l', {a} * x + {1-a} * (acc.l + acc.b), "
+        f"'b', {b} * (({a} * x + {1-a} * (acc.l + acc.b)) - acc.l) + {1-b} * acc.b))"
+    )
+    r = df.select(
+        F.expr(f"{fold}.l").alias("l"), F.expr(f"{fold}.b").alias("b")
+    ).first()
+    lv, bv = xs[0], xs[1] - xs[0]
+    for x in xs[1:]:
+        nl = a * x + (1 - a) * (lv + bv)
+        bv = b * (nl - lv) + (1 - b) * bv
+        lv = nl
+    assert r["l"] == pytest.approx(lv, rel=1e-12, abs=1e-9)
+    assert r["b"] == pytest.approx(bv, rel=1e-12, abs=1e-9)
+
+
+@settings(max_examples=10, deadline=None)
 @given(st.lists(st.floats(min_value=-1e4, max_value=1e4, allow_nan=False), min_size=1, max_size=50))
 def test_nanmedian_fragment_matches_numpy(spark, xs):
     from pyspark.sql import functions as F
