@@ -33,6 +33,7 @@ def _all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], 
     from time_series_prediction_spark.plans.rangejoin_queries import RANGEJOIN_QUERIES
     from time_series_prediction_spark.plans.relational2 import RELATIONAL2_QUERIES
     from time_series_prediction_spark.plans.relational3 import RELATIONAL3_QUERIES
+    from time_series_prediction_spark.plans.relational4 import RELATIONAL4_QUERIES
     from time_series_prediction_spark.plans.text_queries import TEXT_QUERIES
     from time_series_prediction_spark.plans.text_queries2 import TEXT2_QUERIES
     from time_series_prediction_spark.plans.timeseries_queries import (
@@ -50,6 +51,7 @@ def _all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], 
     registry.update(RELATIONAL_QUERIES)
     registry.update(RELATIONAL2_QUERIES)
     registry.update(RELATIONAL3_QUERIES)
+    registry.update(RELATIONAL4_QUERIES)
     registry.update(TIMESERIES_QUERIES)
     registry.update(TIMESERIES2_QUERIES)
     registry.update(TEXT_QUERIES)
