@@ -48,3 +48,34 @@ def test_mixture_weights_sum_to_one_and_flatten(spark, sf_dir):
     if lo["n_chars"] < hi["n_chars"]:
         assert lo["temp_weight"] >= lo["raw_share"]
         assert hi["temp_weight"] <= hi["raw_share"]
+
+
+def test_gopher_rule_counts_consistent(spark, sf_dir):
+    """Rule-failure accounting: kept docs fail nothing, so n_kept +
+    (docs failing >=1 rule) == n_docs, and no single-rule count can
+    exceed the failing-doc total."""
+    from time_series_prediction_spark.plans.text_queries2 import doc_quality_gopher
+    from time_series_prediction_spark.sources.io import read_table
+
+    rows = doc_quality_gopher(spark, sf_dir).collect()
+    assert rows
+    n_total = read_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_total
+    for r in rows:
+        failing = r["n_docs"] - r["n_kept"]
+        for rule in (
+            "fail_word_count",
+            "fail_mean_word_len",
+            "fail_stopword",
+            "fail_singleton",
+            "fail_repetition",
+        ):
+            assert 0 <= r[rule] <= failing
+        assert (
+            r["fail_word_count"]
+            + r["fail_mean_word_len"]
+            + r["fail_stopword"]
+            + r["fail_singleton"]
+            + r["fail_repetition"]
+            >= failing
+        )

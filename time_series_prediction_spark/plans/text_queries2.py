@@ -428,7 +428,122 @@ GROUP BY t.doc_id
 """
 
 
+def doc_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality filtering, reported as per-rule
+    failure counts by language (the go/no-go audit a curation run
+    emits before dropping documents). Five rules, all exact-integer
+    comparisons so both engines agree bit-for-bit:
+
+      word_count     20 <= n_words <= 2000
+      mean_word_len  3 <= mean <= 10     (as 3·n <= sum_len <= 10·n)
+      stopwords      >= 2 distinct stopwords present
+      singletons     <= 10% single-character words (10·n_single <= n)
+      repetition     top word <= 20% of words   (5·max_rep <= n)
+
+    Scale shape: every signal is a per-row array expression over the
+    token list — narrow stage, no explode, no shuffle until the final
+    per-language count aggregate (25 rows). The repetition signal is
+    O(distinct·n) per document, bounded by document length, not by
+    corpus size — on 100 TB this is scan-rate work."""
+    from time_series_prediction_spark.operators.text import STOPWORDS
+
+    docs = read_table(spark, sf_dir, "documents")
+    stop_arr = ", ".join(f"'{w}'" for w in STOPWORDS)
+    toks = "filter(split(text, ' '), t -> t <> '')"
+    d = docs.select(
+        "lang",
+        F.expr(f"size({toks})").alias("_n"),
+        F.expr(
+            f"aggregate({toks}, 0L, (a, t) -> a + length(t))"
+        ).alias("_sum_wl"),
+        F.expr(f"size(filter({toks}, t -> length(t) = 1))").alias("_n_single"),
+        F.expr(
+            f"array_max(transform(array_distinct({toks}), "
+            f"d -> size(filter({toks}, t -> t = d))))"
+        ).alias("_max_rep"),
+        F.expr(
+            f"size(filter(array({stop_arr}), s -> array_contains({toks}, s)))"
+        ).alias("_n_stop"),
+    )
+    fails = d.select(
+        "lang",
+        ((F.col("_n") < 20) | (F.col("_n") > 2000)).alias("f_wc"),
+        (
+            (F.col("_sum_wl") < 3 * F.col("_n"))
+            | (F.col("_sum_wl") > 10 * F.col("_n"))
+        ).alias("f_mwl"),
+        (F.col("_n_stop") < 2).alias("f_stop"),
+        (F.col("_n_single") * 10 > F.col("_n")).alias("f_single"),
+        (F.col("_max_rep") * 5 > F.col("_n")).alias("f_rep"),
+    )
+    agg = [
+        F.sum(F.col(c).cast("long")).cast("long").alias(out)
+        for c, out in [
+            ("f_wc", "fail_word_count"),
+            ("f_mwl", "fail_mean_word_len"),
+            ("f_stop", "fail_stopword"),
+            ("f_single", "fail_singleton"),
+            ("f_rep", "fail_repetition"),
+        ]
+    ]
+    kept = (
+        ~F.col("f_wc")
+        & ~F.col("f_mwl")
+        & ~F.col("f_stop")
+        & ~F.col("f_single")
+        & ~F.col("f_rep")
+    )
+    return fails.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        *agg,
+        F.sum(kept.cast("long")).cast("long").alias("n_kept"),
+    )
+
+
+def _gopher_sql() -> str:
+    from time_series_prediction_spark.operators.text import STOPWORDS
+
+    stop_arr = ", ".join(f"'{w}'" for w in STOPWORDS)
+    toks = "list_filter(string_split(text, ' '), t -> t <> '')"
+    return f"""
+WITH d AS (
+  SELECT lang,
+         len({toks}) AS _n,
+         list_sum(list_transform({toks}, t -> length(t))) AS _sum_wl,
+         len(list_filter({toks}, t -> length(t) = 1)) AS _n_single,
+         list_max(list_transform(list_distinct({toks}),
+                  d -> len(list_filter({toks}, t -> t = d)))) AS _max_rep,
+         len(list_filter([{stop_arr}],
+                  s -> list_contains({toks}, s))) AS _n_stop
+  FROM documents
+), f AS (
+  SELECT lang,
+         (_n < 20 OR _n > 2000)                          AS f_wc,
+         (_sum_wl < 3 * _n OR _sum_wl > 10 * _n)         AS f_mwl,
+         (_n_stop < 2)                                   AS f_stop,
+         (_n_single * 10 > _n)                           AS f_single,
+         (_max_rep * 5 > _n)                             AS f_rep
+  FROM d
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT)                AS n_docs,
+       CAST(sum(CASE WHEN f_wc     THEN 1 ELSE 0 END) AS BIGINT) AS fail_word_count,
+       CAST(sum(CASE WHEN f_mwl    THEN 1 ELSE 0 END) AS BIGINT) AS fail_mean_word_len,
+       CAST(sum(CASE WHEN f_stop   THEN 1 ELSE 0 END) AS BIGINT) AS fail_stopword,
+       CAST(sum(CASE WHEN f_single THEN 1 ELSE 0 END) AS BIGINT) AS fail_singleton,
+       CAST(sum(CASE WHEN f_rep    THEN 1 ELSE 0 END) AS BIGINT) AS fail_repetition,
+       CAST(sum(CASE WHEN NOT (f_wc OR f_mwl OR f_stop OR f_single OR f_rep)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM f
+GROUP BY lang
+"""
+
+
+DOC_QUALITY_GOPHER_SQL = _gopher_sql()
+
+
 TEXT2_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "doc_quality_gopher": (doc_quality_gopher, DOC_QUALITY_GOPHER_SQL),
     "corpus_decontamination": (corpus_decontamination, CORPUS_DECON_SQL),
     "doc_pii_redact": (doc_pii_redact, DOC_PII_SQL),
     "doc_repetition_stats": (doc_repetition_stats, DOC_REPETITION_SQL),
