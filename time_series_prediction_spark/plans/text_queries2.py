@@ -542,8 +542,76 @@ GROUP BY lang
 DOC_QUALITY_GOPHER_SQL = _gopher_sql()
 
 
+N_SHARDS = 32
+
+
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + sharding manifest — the write
+    stage of a training-data pipeline (shuffle the corpus, split into
+    N fixed-size-ish shards, emit per-shard stats for the trainer's
+    data loader).
+
+    Shard = first two md5 hex digits of the doc id, mod N_SHARDS: a
+    pure per-row expression, so sharding is a narrow map — NO global
+    sort or row_number (a global rank is the classic anti-scale
+    shuffle-writer mistake; hash sharding gives the same statistical
+    shuffle with zero coordination). md5 is bit-identical on every
+    engine, which makes the manifest oracle-checkable. Within-shard
+    read order is (md5, doc_id) — also engine-independent.
+
+    Output: one row per shard with doc count, char sum, distinct
+    langs, and the first document in shard order (pins the intra-shard
+    ordering in the oracle comparison; md5 keys are unique per doc_id
+    so min_by needs no tiebreak)."""
+    docs = read_table(spark, sf_dir, "documents")
+    hexd = "0123456789abcdef"
+    shard = F.expr(
+        f"CAST(((instr('{hexd}', substr(md5(CAST(doc_id AS STRING)), 1, 1)) - 1) * 16 "
+        f"+ instr('{hexd}', substr(md5(CAST(doc_id AS STRING)), 2, 1)) - 1) "
+        f"% {N_SHARDS} AS BIGINT)"
+    )
+    d = docs.select(
+        shard.alias("shard"),
+        F.expr("md5(CAST(doc_id AS STRING))").alias("h"),
+        "doc_id",
+        "n_chars",
+        "lang",
+    )
+    return (
+        d.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.count_distinct("lang").cast("long").alias("n_langs"),
+            F.min_by("doc_id", "h").alias("first_doc_id"),
+        )
+        .orderBy("shard")
+    )
+
+
+CORPUS_SHUFFLE_SHARDS_SQL = f"""
+WITH d AS (
+  SELECT ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+          + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+         % {N_SHARDS} AS shard,
+         md5(CAST(doc_id AS VARCHAR)) AS h,
+         doc_id, n_chars, lang
+  FROM documents
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       min_by(doc_id, h) AS first_doc_id
+FROM d
+GROUP BY shard
+ORDER BY shard
+"""
+
+
 TEXT2_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "doc_quality_gopher": (doc_quality_gopher, DOC_QUALITY_GOPHER_SQL),
+    "corpus_shuffle_shards": (corpus_shuffle_shards, CORPUS_SHUFFLE_SHARDS_SQL),
     "corpus_decontamination": (corpus_decontamination, CORPUS_DECON_SQL),
     "doc_pii_redact": (doc_pii_redact, DOC_PII_SQL),
     "doc_repetition_stats": (doc_repetition_stats, DOC_REPETITION_SQL),
