@@ -24,6 +24,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from time_series_prediction_spark.operators.materialize import materialize
 from time_series_prediction_spark.plans.relational import (
     _cents,
     _revenue_e4,
@@ -112,7 +113,10 @@ def q11_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
     )
-    per_part = base.groupBy("l_partkey").agg(_revenue_e4().alias("_v"))
+    per_part = materialize(
+        base.groupBy("l_partkey").agg(_revenue_e4().alias("_v"))
+    )  # feeds the threshold branch AND its own total: without pinning,
+    # the lineitem join subtree executes twice (verified: 2 FileScans)
     total = per_part.agg(
         F.sum("_v").alias("_t"), F.count(F.lit(1)).alias("_n")
     )
