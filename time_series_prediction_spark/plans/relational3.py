@@ -140,6 +140,11 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(F.sum(rev).alias("_r"))
     )
+    # the aggregate feeds its own max AND the equality join: pin it so
+    # the filtered lineitem scan runs once (verified: 2 FileScans without)
+    from time_series_prediction_spark.operators.materialize import materialize
+
+    revenue = materialize(revenue)
     top = revenue.agg(F.max("_r").alias("_m"))
     return (
         revenue.join(F.broadcast(top), F.col("_r") == F.col("_m"))

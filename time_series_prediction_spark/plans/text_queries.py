@@ -148,6 +148,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("md5(array_join(slice(split(text, ' '), 1, 3), ' '))").alias("fp"),
         dedup.word_shingles("text", 3).alias("shingles"),
     )
+    # the self-join references the shingled frame twice: without
+    # pinning, the O(len·n) shingling AND both document scans run per
+    # side (verified: 4 FileScans of documents without, 0 with)
+    sh = materialize(sh)
     a, b = sh.alias("a"), sh.alias("b")
     inter = F.expr("size(array_intersect(a.shingles, b.shingles))")
     union = F.expr("size(array_union(a.shingles, b.shingles))")

@@ -98,23 +98,43 @@ WINDOW w AS (ORDER BY _tc DESC, o_custkey ASC)
 def events_multi_granularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style rollup: the same measure at day/week/month
     grains in one result (UNION ALL of grains with a grain label) —
-    the precomputed-rollup pattern continuous aggregates rely on."""
+    the precomputed-rollup pattern continuous aggregates rely on.
+
+    Scale shape: ONE scan + one shuffle builds the day grain; week and
+    month re-aggregate the day rows (day buckets nest exactly inside
+    both, and the cent sums are associative integers) — the classic
+    rollup hierarchy. The naive per-grain form scans and shuffles the
+    fact three times; this reads it once and re-rolls O(days) rows.
+    The day aggregate feeds three branches, so it is pinned."""
+    from time_series_prediction_spark.operators.materialize import materialize
+
     ev = read_table(spark, sf_dir, "events")
     cents = F.expr("CAST(round(value * 100) AS BIGINT)")
+    day = materialize(
+        ev.groupBy(F.date_trunc("day", "ts").alias("bucket")).agg(
+            F.sum(cents).alias("_sc"), F.count(F.lit(1)).alias("n_events")
+        )
+    )
 
-    def grain(unit: str) -> DataFrame:
-        return (
-            ev.groupBy(F.date_trunc(unit, "ts").alias("bucket"))
-            .agg(F.sum(cents).alias("_sc"), F.count(F.lit(1)).alias("n_events"))
-            .select(
-                F.lit(unit).alias("grain"),
-                "bucket",
-                (F.col("_sc") / 100.0).alias("total_value"),
-                "n_events",
-            )
+    def emit(df: DataFrame, unit: str) -> DataFrame:
+        return df.select(
+            F.lit(unit).alias("grain"),
+            "bucket",
+            (F.col("_sc") / 100.0).alias("total_value"),
+            "n_events",
         )
 
-    return grain("day").unionAll(grain("week")).unionAll(grain("month"))
+    def reroll(unit: str) -> DataFrame:
+        return (
+            day.groupBy(F.date_trunc(unit, "bucket").alias("bucket"))
+            .agg(F.sum("_sc").alias("_sc"), F.sum("n_events").alias("n_events"))
+        )
+
+    return (
+        emit(day, "day")
+        .unionAll(emit(reroll("week"), "week"))
+        .unionAll(emit(reroll("month"), "month"))
+    )
 
 
 EVENTS_GRAINS_SQL = """
