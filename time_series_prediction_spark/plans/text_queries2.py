@@ -147,10 +147,16 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Tiny aggregate (one row per language) joined back via a broadcast
     of the 1-row total — no full-data second pass."""
+    from time_series_prediction_spark.operators.materialize import materialize
+
     docs = read_table(spark, sf_dir, "documents")
-    per_lang = docs.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    # feeds its own total AND the output select: pin so the corpus
+    # scan runs once (same double-use shape as relational4.q11)
+    per_lang = materialize(
+        docs.groupBy("lang").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
     )
     tot = per_lang.agg(
         F.sum("n_chars").alias("_tot_chars"),
@@ -332,9 +338,15 @@ def corpus_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash-LSH, never all-pairs; at 100 TB the benchmark side is tiny
     and broadcastable."""
     from time_series_prediction_spark.operators.dedup import word_shingles
+    from time_series_prediction_spark.operators.materialize import materialize
 
     docs = read_table(spark, sf_dir, "documents")
-    bench = docs.where(F.col("doc_id") % 25 == 0)
+    # the benchmark subset feeds three consumers (leak source, its own
+    # count, the shingle side): pin it once instead of re-scanning the
+    # corpus per consumer
+    bench = materialize(
+        docs.where(F.col("doc_id") % 25 == 0).select("doc_id", "text")
+    )
     leak_src = bench.select(
         (F.col("doc_id") / 25).cast("bigint").alias("_k"),
         F.expr("array_join(slice(split(text, ' '), 1, 5), ' ')").alias("_leak"),
