@@ -621,7 +621,63 @@ ORDER BY shard
 """
 
 
+HH_SUPPORT_DEN = 200  # heavy hitter = token count * 200 > total tokens
+
+
+def corpus_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter vocabulary terms (count > 0.5% of all tokens) via
+    sketch-accelerated candidate generation + exact verification.
+
+    ``freqItems`` (Karp-Papadimitriou-Shenker) finds candidates in ONE
+    narrow pass with NO shuffle and guarantees no false negatives
+    above the support threshold; the exact pass then counts only the
+    ≤1/support candidate tokens (broadcast isin filter), so the result
+    is EXACTLY the true heavy-hitter set — sketch speed, exact answer,
+    hence a full DuckDB oracle. The naive plan shuffles the entire
+    vocabulary; this shuffles ≤200 candidate tokens. The candidate
+    list crosses the driver but is bounded at 1/support items by the
+    algorithm (same bounded-collect justification as IVF centroids).
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).where(F.col("token") != "")
+    total = toks.count()
+    support = 1.0 / HH_SUPPORT_DEN
+    cands = toks.freqItems(["token"], support=support).collect()[0][0]
+    return (
+        toks.where(F.col("token").isin(list(cands)))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .where(F.col("n") * HH_SUPPORT_DEN > F.lit(int(total)))
+        .select(
+            "token",
+            "n",
+            (F.col("n").cast("double") / float(total)).alias("share"),
+        )
+        .orderBy(F.desc("n"), F.asc("token"))
+    )
+
+
+CORPUS_HEAVY_HITTERS_SQL = f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+), t AS (
+  SELECT token FROM toks WHERE token <> ''
+), tot AS (
+  SELECT count(*) AS n_total FROM t
+)
+SELECT token, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) AS DOUBLE) / (SELECT n_total FROM tot) AS share
+FROM t
+GROUP BY token
+HAVING count(*) * {HH_SUPPORT_DEN} > (SELECT n_total FROM tot)
+ORDER BY n DESC, token ASC
+"""
+
+
 TEXT2_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "corpus_heavy_hitters": (corpus_heavy_hitters, CORPUS_HEAVY_HITTERS_SQL),
     "doc_quality_gopher": (doc_quality_gopher, DOC_QUALITY_GOPHER_SQL),
     "corpus_shuffle_shards": (corpus_shuffle_shards, CORPUS_SHUFFLE_SHARDS_SQL),
     "corpus_decontamination": (corpus_decontamination, CORPUS_DECON_SQL),
