@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Scale-up probe: run representative registry queries at every
+fixture SF and print the warm wall-clock per SF plus the measured
+scaling exponent between the two largest SFs (time ratio per 10x of
+data; 1.0 would be perfectly linear, < 1 sub-linear because fixed
+costs still dominate locally).
+
+Usage: python scripts/scaling_probe.py [q1,q3,...]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+DEFAULT = [
+    "q1_pricing_summary",        # scan + wide aggregate
+    "q3_shipping_priority",      # 3-way join + top-k
+    "events_sessionization",     # window gap sessionize
+    "dedup_exact",               # hash groupBy dedup
+    "dedup_minhash_lsh",         # shingle + banded LSH join
+    "embedding_cosine_topk",     # broadcast ANN scan
+    "doc_quality_gopher",        # per-row array expressions
+    "corpus_shuffle_shards",     # hash shard manifest
+]
+
+SFS = ["sf0.001", "sf0.01", "sf0.1"]
+
+
+def main() -> int:
+    names = sys.argv[1].split(",") if len(sys.argv) > 1 else DEFAULT
+
+    import __spark_entry__ as entrymod
+    from time_series_prediction_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="scaling-probe", master="local[32]", shuffle_partitions=32
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    out: dict[str, dict[str, float]] = {}
+    for name in names:
+        fn = qs[name]
+        per_sf: dict[str, float] = {}
+        for sf in SFS:
+            sf_dir = f"/root/testdata/{sf}"
+            fn(spark, sf_dir).count()  # warm: plan + code cache
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            per_sf[sf] = round(time.time() - t0, 3)
+        ratio = per_sf["sf0.1"] / max(per_sf["sf0.01"], 1e-9)
+        per_sf["x_per_10x"] = round(ratio, 2)
+        out[name] = per_sf
+        print(f"{name:28s} " + "  ".join(f"{sf}={per_sf[sf]:6.2f}s" for sf in SFS)
+              + f"  ratio(0.01->0.1)={per_sf['x_per_10x']:.2f}x")
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
