@@ -150,3 +150,89 @@ def test_ivf_nprobe_full_equals_exact(spark, sf_dir):
     e = sorted(map(tuple, exact.select("query_id", "corpus_id", "rank").collect()))
     f = sorted(map(tuple, full.select("query_id", "corpus_id", "rank").collect()))
     assert e == f
+
+
+def test_pq_codebooks_deterministic_and_shaped(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    b1 = similarity.pq_codebooks(emb, n_sub=8, n_codes=16, n_iters=2)
+    b2 = similarity.pq_codebooks(emb, n_sub=8, n_codes=16, n_iters=2)
+    dim = len(emb.first()["embedding"])
+    assert b1.shape == (8, 16, dim // 8)
+    np.testing.assert_array_equal(b1, b2)
+
+
+def test_pq_encode_reconstruction_improves_with_codes(spark, sf_dir):
+    """More codes per subspace => lower quantization error (the basic
+    rate-distortion property); also pins the encode shape and range."""
+    emb = read_table(spark, sf_dir, "embeddings").limit(200)
+    errs = {}
+    for n_codes in (4, 32):
+        books = similarity.pq_codebooks(emb, n_sub=8, n_codes=n_codes, n_iters=2)
+        enc = emb.select(
+            "vec_id",
+            "embedding",
+            similarity.pq_encode_udf(books)(F.col("embedding")).alias("code"),
+        ).collect()
+        tot = 0.0
+        for r in enc:
+            v = np.asarray(r["embedding"], dtype=np.float64)
+            v = v / (np.linalg.norm(v) or 1.0)
+            code = r["code"]
+            assert len(code) == 8 and all(0 <= c < n_codes for c in code)
+            rec = np.concatenate([books[m][code[m]] for m in range(8)])
+            tot += float(((v - rec) ** 2).sum())
+        errs[n_codes] = tot
+    assert errs[32] < errs[4]
+
+
+def test_pq_recall_vs_exact(spark, sf_dir):
+    """ADC top-5 must recover most of the exact top-5. The fixture
+    embeddings are near-uniform (no cluster structure — the PQ worst
+    case), so the bound reflects measured recall, not a tuned number."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = similarity.cosine_topk(emb, queries, k=5)
+    e = {(r["query_id"], r["corpus_id"]) for r in exact.collect()}
+    # pure ADC: code quantization alone (16 subspaces x 32 codes on
+    # 64-dim uniform vectors) recovers a plurality
+    adc = similarity.pq_ann_topk(
+        emb, queries, k=5, n_sub=16, n_codes=32, n_iters=2
+    )
+    a = {(r["query_id"], r["corpus_id"]) for r in adc.collect()}
+    assert len(e & a) / len(e) >= 0.3, "pure-ADC recall collapsed"
+    # the standard refine stage (exact re-rank of a 5x shortlist)
+    # recovers most of the exact set — measured 0.84 at sf0.01
+    refined = similarity.pq_ann_topk(
+        emb, queries, k=5, n_sub=16, n_codes=32, n_iters=2, rerank=5
+    )
+    r = {(r["query_id"], r["corpus_id"]) for r in refined.collect()}
+    recall = len(e & r) / len(e)
+    assert recall >= 0.7, f"PQ+rerank recall@5 {recall:.2f}"
+
+
+def test_pq_adc_score_matches_lut_sum(spark, sf_dir):
+    """The native zip_with ADC expression must equal the numpy
+    LUT-sum for every (query, corpus) pair scored."""
+    emb = read_table(spark, sf_dir, "embeddings").limit(50)
+    queries = emb.where(F.col("vec_id") < 3)
+    books = similarity.pq_codebooks(emb, n_sub=8, n_codes=8, n_iters=1)
+    got = similarity.pq_ann_topk(
+        emb, queries, k=3, books=books
+    ).collect()
+    corpus = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    sub_dim = books.shape[2]
+    for r in got:
+        qv = corpus[r["query_id"]]
+        cv = corpus[r["corpus_id"]]
+        qv = qv / (np.linalg.norm(qv) or 1.0)
+        cvn = cv / (np.linalg.norm(cv) or 1.0)
+        want = 0.0
+        for m in range(books.shape[0]):
+            sub = cvn[m * sub_dim : (m + 1) * sub_dim]
+            d2 = ((sub[None, :] - books[m]) ** 2).sum(axis=1)
+            code = int(np.argmin(d2))
+            want += float(books[m][code] @ qv[m * sub_dim : (m + 1) * sub_dim])
+        assert abs(r["adc_score"] - want) < 1e-9

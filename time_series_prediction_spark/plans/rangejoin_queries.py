@@ -107,10 +107,33 @@ def embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized (ADC) ANN top-5 for the first 10 vectors as
+    queries — the compressed-corpus half of an IVF-PQ index: vectors
+    become 16 code bytes, scans sum 16 table lookups in codegen.
+    Iterative codebook training is not ANSI-SQL-expressible →
+    rows-only driver check; recall vs the exact baseline is pinned in
+    tests/test_rangejoin_ivf.py."""
+    from time_series_prediction_spark.operators.similarity import pq_ann_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return pq_ann_topk(
+        emb,
+        emb.where(F.col("vec_id") < 10),
+        k=5,
+        n_sub=16,
+        n_codes=32,
+        n_iters=2,
+        cache_key=sf_dir,  # codebooks deterministic per (corpus, params)
+        rerank=5,  # exact re-rank of the 5x ADC shortlist (refine stage)
+    )
+
+
 RANGEJOIN_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "events_range_join_windows": (
         events_range_join_windows,
         EVENTS_RANGE_JOIN_SQL,
     ),
     "embedding_ivf_ann": (embedding_ivf_ann, None),
+    "embedding_pq_ann": (embedding_pq_ann, None),
 }
