@@ -175,7 +175,7 @@ def test_dedup_stream_suppresses_replays(spark, sf_dir):
             .format("parquet")
             .option("maxFilesPerTrigger", "1")  # replay arrives in a later batch
             .load(src)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .withColumn("ts", F.col("ts").cast("timestamp"))
         )
         q = run_to_memory_sink(
             dedup_stream(stream), "dedup_out", output_mode="append"

@@ -65,10 +65,18 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # DuckDB oracle (CAST(ts AS DATE)) regardless of host locale.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if name == "events" and ts_type == "bigint":
         # integer division — float division loses microsecond precision
         # on ~1.7e18 nanosecond epoch values (double has 53-bit mantissa)
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif name == "events" and ts_type == "timestamp_ntz":
+        # parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) reads as
+        # TIMESTAMP_NTZ under Spark 4's inferTimestampNTZ default, which
+        # unix_micros/to_utc_timestamp reject. The session timezone is
+        # pinned UTC above, so the NTZ→TZ cast is a pure reinterpretation
+        # (bit-identical instant) and matches DuckDB's naive TIMESTAMP.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -24,14 +24,16 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 EVENTS_RAW_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string, "
     "value double, props string"
 )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (ts stored as
-    TIMESTAMP(NANOS) → read as long, converted like io.read_table)."""
+    TIMESTAMP(MICROS, isAdjustedToUTC=false) → read as TIMESTAMP_NTZ,
+    reinterpreted as a UTC instant exactly like io.read_table)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     # file-stream sources require a directory: stream the fixture dir
     # with a glob filter selecting only the events file
     raw = (
@@ -40,7 +42,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def hourly_counts_stream(
