@@ -314,7 +314,78 @@ LIMIT 20
 """
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the supplier in one
+    region offering it at minimum cost — the correlated-MIN-subquery
+    pattern. partsupp is absent, so the (part, supplier) cost table is
+    derived from lineitem: cost = the cheapest line price (exact
+    integer cents, no float division) that supplier ever shipped the
+    part at. Part filter keeps the original's size + type-suffix
+    predicates; region is EUROPE; ties on min cost keep all suppliers,
+    as in the original.
+
+    Scale: the only wide shuffle is the (l_partkey, l_suppkey)
+    aggregate — map-side combine collapses it to one row per pair
+    before the exchange. part/supplier/nation/region are broadcast
+    (part filtered BEFORE broadcast), and the correlated min is a
+    window over the pair table partitioned by part — no join-back, no
+    second scan of lineitem."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").where(
+        (F.col("p_size") == 15) & F.col("p_type").endswith("BRASS")
+    )
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    pair_cost = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey", "p_name")
+        .agg(F.min(_cents("l_extendedprice")).alias("_cost_c"))
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        pair_cost.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .withColumn("_min_c", F.min("_cost_c").over(w))
+        .where(F.col("_cost_c") == F.col("_min_c"))
+        .select(
+            F.col("s_acctbal"),
+            F.col("s_name"),
+            F.col("n_name"),
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("p_name"),
+            (F.col("_cost_c") / 100.0).alias("min_cost"),
+        )
+    )
+
+
+Q2_SQL = f"""
+WITH pair_cost AS (
+  SELECT l_partkey AS p_partkey, l_suppkey, p_name,
+         min({_sql_cents('l_extendedprice')}) AS _cost_c
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_size = 15 AND p_type LIKE '%BRASS'
+  GROUP BY l_partkey, l_suppkey, p_name
+), regional AS (
+  SELECT pc.*, s_acctbal, s_name, n_name,
+         min(_cost_c) OVER (PARTITION BY p_partkey) AS _min_c
+  FROM pair_cost pc
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+       CAST(_cost_c AS DOUBLE) / 100.0 AS min_cost
+FROM regional
+WHERE _cost_c = _min_c
+"""
+
+
 RELATIONAL4_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
     "q9_profit_by_nation_year": (q9_profit_by_nation_year, Q9_SQL),
     "q11_important_part_values": (q11_important_part_values, Q11_SQL),
     "q12_late_shipment_priority": (q12_late_shipment_priority, Q12_SQL),
