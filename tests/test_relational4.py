@@ -30,6 +30,26 @@ def test_relational4_matches_oracle(spark, sf_dir, duck, name):
     assert_matches_oracle(fn(spark, sf_dir), duck, sql, name=name)
 
 
+def test_q2_nonempty_and_min_per_part(spark, sf_dir):
+    """Guard against a fixture-empty predicate (the round-3 p_type
+    LIKE '%BRASS' filter matched nothing, so the oracle 'pass' was
+    0 == 0): q2 must select rows, and every surviving row's cost must
+    be the minimum among its part's survivors."""
+    from collections import defaultdict
+
+    from time_series_prediction_spark.plans.relational4 import (
+        q2_min_cost_supplier,
+    )
+
+    rows = q2_min_cost_supplier(spark, sf_dir).collect()
+    assert rows, "q2 predicate selected nothing on the fixture"
+    by_part = defaultdict(list)
+    for r in rows:
+        by_part[r["p_partkey"]].append(r["min_cost"])
+    for costs in by_part.values():
+        assert all(c == costs[0] for c in costs)
+
+
 def test_q11_values_exceed_share_threshold(spark, sf_dir):
     """The HAVING predicate restated independently: recompute every
     part's EUROPE-supplier revenue with plain groupBy and check the

@@ -320,9 +320,12 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern. partsupp is absent, so the (part, supplier) cost table is
     derived from lineitem: cost = the cheapest line price (exact
     integer cents, no float division) that supplier ever shipped the
-    part at. Part filter keeps the original's size + type-suffix
-    predicates; region is EUROPE; ties on min cost keep all suppliers,
-    as in the original.
+    part at. The original's size + type-suffix filter is adapted to
+    the fixture's p_type domain ({ECONOMY..SMALL}, no BRASS suffix):
+    p_size = 15 AND p_type IN (PROMO, LARGE) — selective but nonempty
+    at every fixture scale, like q9/q11 adapt their predicates.
+    Region is EUROPE; ties on min cost keep all suppliers, as in the
+    original.
 
     Scale: the only wide shuffle is the (l_partkey, l_suppkey)
     aggregate — map-side combine collapses it to one row per pair
@@ -332,7 +335,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     second scan of lineitem."""
     li = read_table(spark, sf_dir, "lineitem")
     part = read_table(spark, sf_dir, "part").where(
-        (F.col("p_size") == 15) & F.col("p_type").endswith("BRASS")
+        (F.col("p_size") == 15) & F.col("p_type").isin("PROMO", "LARGE")
     )
     supp = read_table(spark, sf_dir, "supplier")
     nation = read_table(spark, sf_dir, "nation")
@@ -366,7 +369,7 @@ WITH pair_cost AS (
          min({_sql_cents('l_extendedprice')}) AS _cost_c
   FROM lineitem
   JOIN part ON l_partkey = p_partkey
-  WHERE p_size = 15 AND p_type LIKE '%BRASS'
+  WHERE p_size = 15 AND p_type IN ('PROMO', 'LARGE')
   GROUP BY l_partkey, l_suppkey, p_name
 ), regional AS (
   SELECT pc.*, s_acctbal, s_name, n_name,
