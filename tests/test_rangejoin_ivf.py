@@ -210,6 +210,130 @@ def test_pq_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.7, f"PQ+rerank recall@5 {recall:.2f}"
 
 
+def test_sampled_training_deterministic_and_shared(spark, sf_dir):
+    """Driver-side sampled training (the constant-cost path at scale):
+    deterministic per seed, init identical to the distributed path's
+    (same hash-ordered head), and one TakeOrdered job feeds BOTH
+    trainers via the shared sample cache."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    c1 = similarity.ivf_centroids(emb, n_cells=8, n_iters=2, train_sample=256)
+    c2 = similarity.ivf_centroids(emb, n_cells=8, n_iters=2, train_sample=256)
+    np.testing.assert_array_equal(c1, c2)
+    b1 = similarity.pq_codebooks(emb, n_sub=8, n_codes=16, n_iters=2,
+                                 train_sample=256)
+    b2 = similarity.pq_codebooks(emb, n_sub=8, n_codes=16, n_iters=2,
+                                 train_sample=256)
+    np.testing.assert_array_equal(b1, b2)
+    # shared sample: one fetch, zero Spark jobs for the second trainer
+    key = f"sample-share-{sf_dir}"
+    similarity.ivf_centroids(
+        emb, n_cells=8, n_iters=1, train_sample=256, cache_key=key
+    )
+    sc = spark.sparkContext
+    before = sc._jsc.sc().dagScheduler().nextJobId()
+    similarity.pq_codebooks(
+        emb, n_sub=8, n_codes=16, n_iters=1, train_sample=256, cache_key=key
+    )
+    after = sc._jsc.sc().dagScheduler().nextJobId()
+    assert after == before, "second trainer re-fetched the shared sample"
+
+
+def test_ivfpq_candidates_bounded_below_corpus(spark, sf_dir):
+    """The IVF-PQ composition's point: with nprobe < n_cells the ADC
+    stage scores strictly fewer pairs than queries x corpus (the flat
+    full-scan property is gone), and exactly the pairs whose corpus
+    cell is among the query's probed cells."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    books = similarity.pq_codebooks(emb, n_sub=8, n_codes=16, n_iters=1)
+    cents = similarity.ivf_centroids(emb, n_cells=16, n_iters=2)
+    n_corpus, n_q = emb.count(), queries.count()
+    cand = similarity.pq_adc_candidates(
+        emb, queries, books, centroids=cents, nprobe=8
+    )
+    n_cand = cand.count()
+    assert n_cand < n_q * (n_corpus - 1), "IVF pruning scanned every pair"
+    # exact expectation: per query, the corpus rows in its 8 probed cells
+    cell_of = {
+        r["vec_id"]: r["cell"]
+        for r in emb.select(
+            "vec_id",
+            similarity.nearest_cells_udf(cents, nprobe=1)(F.col("embedding"))[
+                0
+            ].alias("cell"),
+        ).collect()
+    }
+    probed = {
+        r["vec_id"]: set(r["cells"])
+        for r in queries.select(
+            "vec_id",
+            similarity.nearest_cells_udf(cents, nprobe=8)(
+                F.col("embedding")
+            ).alias("cells"),
+        ).collect()
+    }
+    want = sum(
+        1
+        for qid, cells in probed.items()
+        for cid, cell in cell_of.items()
+        if cell in cells and cid != qid
+    )
+    assert n_cand == want
+
+
+def test_ivfpq_nprobe_full_equals_flat_pq(spark, sf_dir):
+    """Probing every cell makes IVF-PQ exhaustive — identical to the
+    flat ADC scan (the IVF correctness limit, on the PQ path)."""
+    emb = read_table(spark, sf_dir, "embeddings").limit(150)
+    queries = emb.where(F.col("vec_id") < 5)
+    books = similarity.pq_codebooks(emb, n_sub=8, n_codes=8, n_iters=1)
+    flat = similarity.pq_ann_topk(emb, queries, k=3, books=books)
+    full = similarity.pq_ann_topk(
+        emb, queries, k=3, books=books, n_cells=4, nprobe=4, ivf_iters=1
+    )
+    f = sorted(map(tuple, flat.select("query_id", "corpus_id", "rank").collect()))
+    g = sorted(map(tuple, full.select("query_id", "corpus_id", "rank").collect()))
+    assert f == g
+
+
+def test_ivfpq_plan_has_no_nested_loop(spark, sf_dir):
+    """Flat ADC is a deliberate broadcast nested loop; the IVF-PQ path
+    must be an equi-join on cell id (hash join) instead."""
+    emb = read_table(spark, sf_dir, "embeddings").limit(100)
+    queries = emb.where(F.col("vec_id") < 3)
+    books = similarity.pq_codebooks(emb, n_sub=8, n_codes=8, n_iters=1)
+    cents = similarity.ivf_centroids(emb, n_cells=4, n_iters=1)
+    plan = (
+        similarity.pq_adc_candidates(
+            emb, queries, books, centroids=cents, nprobe=2
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ivfpq_recall_vs_exact(spark, sf_dir):
+    """The bench configuration (16 cells, nprobe 10, 16x32 codes,
+    12x refine, sampled training) against the exact top-5. Both
+    approximations compound on the near-uniform fixture (worst case
+    for partition ANN), so the bound is the measured floor across
+    fixture scales, not flat-PQ's. Measured: 0.72 at sf0.1."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = similarity.cosine_topk(emb, queries, k=5)
+    e = {(r["query_id"], r["corpus_id"]) for r in exact.collect()}
+    got = similarity.pq_ann_topk(
+        emb, queries, k=5, n_sub=16, n_codes=32, n_iters=2,
+        rerank=12, n_cells=16, nprobe=10, ivf_iters=2, train_sample=4096,
+    )
+    g = {(r["query_id"], r["corpus_id"]) for r in got.collect()}
+    recall = len(e & g) / len(e)
+    assert recall >= 0.55, f"IVF-PQ recall@5 {recall:.2f}"
+
+
 def test_pq_adc_score_matches_lut_sum(spark, sf_dir):
     """The native zip_with ADC expression must equal the numpy
     LUT-sum for every (query, corpus) pair scored."""

