@@ -198,3 +198,29 @@ def test_packing_invariants(spark, sf_dir):
     again = pack_documents(docs, budget=512, n_groups=8)
     assert packed.exceptAll(again).count() == 0
     packed.unpersist()
+
+
+def test_packing_group_count_scales_with_corpus(spark, sf_dir):
+    """The scale contract: with the derived default, per-group row
+    count stays under a ceiling no matter the corpus size (each group
+    is one in-memory Arrow batch). rows_per_group=50 on the fixture
+    forces multiple groups; hash placement is uneven, so the bound
+    allows 2x slack over the target."""
+    from time_series_prediction_spark.operators import text
+    from time_series_prediction_spark.operators.packing import pack_documents
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", text.token_count("text").alias("n_tokens")
+    )
+    n_docs = docs.count()
+    assert n_docs > 100  # the fixture is big enough to force >2 groups
+    packed = pack_documents(docs, budget=512, rows_per_group=50)
+    per_group = (
+        packed.groupBy(F.shiftright("bin_id", 40).alias("grp"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    expect_groups = -(-n_docs // 50)
+    assert len(per_group) <= expect_groups
+    assert max(r["n"] for r in per_group) <= 2 * 50, "group exceeded ceiling"
+    assert sum(r["n"] for r in per_group) == n_docs

@@ -38,13 +38,26 @@ def pack_documents(
     budget: int = 2048,
     id_col: str = "doc_id",
     len_col: str = "n_tokens",
-    n_groups: int = 32,
+    n_groups: int | None = None,
+    rows_per_group: int = 1_000_000,
 ) -> DataFrame:
     """→ (doc_id, n_tokens, bin_id): every input doc exactly once;
     sum(n_tokens) per bin ≤ budget unless the bin holds a single
     oversized doc. Deterministic: group = xxhash64(doc_id) mod P,
     BFD order = (length desc, id asc); ties in residual capacity go to
-    the lower bin id."""
+    the lower bin id.
+
+    Group sizing: each group is ONE applyInPandas task holding all its
+    documents' (id, length) rows in memory, so the group count must
+    grow with the corpus. With ``n_groups=None`` (the default) it is
+    derived as ceil(rows / rows_per_group) from one narrow count scan
+    — at 10^10 docs that is 10^4 groups of ~1M (id, length) pairs
+    (~tens of MB per task), never 32 groups of 300M. Pass ``n_groups``
+    explicitly to pin a layout (bin ids are only comparable across
+    runs that used the same group count)."""
+    if n_groups is None:
+        n_rows = docs.count()
+        n_groups = max(1, -(-n_rows // rows_per_group))
     grouped = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(len_col).cast("long").alias("n_tokens"),
