@@ -153,25 +153,38 @@ def test_simhash_separates_near_dups_from_random_pairs(spark, sf_dir):
 
 
 def test_stratified_sample_deterministic_and_proportional(spark, sf_dir):
-    """Seeded sampleBy: identical resample on re-run; per-stratum
-    counts within binomial noise of the target fractions."""
+    """Hash-threshold sampling: identical resample on re-run, exact
+    per-stratum counts recomputable in plain Python from the md5 rule,
+    and counts within binomial noise of the target fractions."""
+    import hashlib
+
     from time_series_prediction_spark.plans.text_queries import (
+        _STRATA_FRACTIONS,
+        _STRATA_OTHER,
+        _STRATA_SEED,
+        _stratum_threshold_hex,
         doc_stratified_sample,
     )
 
     a = {r["lang"]: r["n_sampled"] for r in doc_stratified_sample(spark, sf_dir).collect()}
     b = {r["lang"]: r["n_sampled"] for r in doc_stratified_sample(spark, sf_dir).collect()}
-    assert a == b, "seeded sample not deterministic"
-    totals = {
-        r["lang"]: r["n"]
-        for r in read_table(spark, sf_dir, "documents")
-        .groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
-    fractions = {"en": 0.2, "fr": 0.6, "de": 0.6, "es": 0.6, "it": 0.6}
+    assert a == b, "hash-threshold sample not deterministic"
+    # exact expected counts: replay the md5 rule in Python
+    rows = (
+        read_table(spark, sf_dir, "documents").select("doc_id", "lang").collect()
+    )
+    expect: dict[str, int] = {}
+    for r in rows:
+        frac = _STRATA_FRACTIONS.get(r["lang"], _STRATA_OTHER)
+        u = hashlib.md5(f"{r['doc_id']}:{_STRATA_SEED}".encode()).hexdigest()[:8]
+        if u < _stratum_threshold_hex(frac):
+            expect[r["lang"]] = expect.get(r["lang"], 0) + 1
+    assert a == expect, "Spark sample differs from the md5 rule"
+    totals: dict[str, int] = {}
+    for r in rows:
+        totals[r["lang"]] = totals.get(r["lang"], 0) + 1
     for lang, n in totals.items():
-        frac = fractions.get(lang, 0.5)
+        frac = _STRATA_FRACTIONS.get(lang, _STRATA_OTHER)
         got = a.get(lang, 0)
         sd = (n * frac * (1 - frac)) ** 0.5
         assert abs(got - n * frac) <= max(4 * sd, 5), (lang, got, n * frac)
@@ -224,3 +237,45 @@ def test_packing_group_count_scales_with_corpus(spark, sf_dir):
     assert len(per_group) <= expect_groups
     assert max(r["n"] for r in per_group) <= 2 * 50, "group exceeded ceiling"
     assert sum(r["n"] for r in per_group) == n_docs
+
+
+def test_packing_bin_sums_match_duckdb(spark, sf_dir, duck):
+    """Cross-engine check of everything except the (engine-specific)
+    BFD placement itself: hand DuckDB only the emitted (doc_id →
+    bin_id) assignment and let it recompute token counts from the raw
+    documents table plus the per-bin aggregation; the result must
+    equal doc_packing_stats' output exactly."""
+    from time_series_prediction_spark.plans.text_queries import (
+        doc_packing_stats,
+    )
+    from time_series_prediction_spark.operators import text
+    from time_series_prediction_spark.operators.packing import pack_documents
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", text.token_count("text").alias("n_tokens")
+    )
+    assignment = (
+        pack_documents(docs, budget=512, n_groups=8)
+        .select("doc_id", "bin_id")
+        .toPandas()
+    )
+    duck.register("assignment", assignment)
+    want = {
+        (r[0], r[1], r[2])
+        for r in duck.execute(
+            """
+            SELECT a.bin_id,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(string_split(d.text, ' '))) AS BIGINT)
+                     AS bin_tokens
+            FROM assignment a JOIN documents d ON a.doc_id = d.doc_id
+            GROUP BY a.bin_id
+            """
+        ).fetchall()
+    }
+    got = {
+        (r["bin_id"], r["n_docs"], r["bin_tokens"])
+        for r in doc_packing_stats(spark, sf_dir).collect()
+    }
+    duck.unregister("assignment")
+    assert got == want

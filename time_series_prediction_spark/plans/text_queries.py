@@ -561,25 +561,63 @@ FROM t, unnest(generate_series(1, greatest(len(toks), 1), {_STEP})) AS u(gs)
 """
 
 
+_STRATA_FRACTIONS = {"en": 0.2, "fr": 0.6, "de": 0.6, "es": 0.6, "it": 0.6}
+_STRATA_OTHER = 0.5
+_STRATA_SEED = 42
+
+
+def _stratum_threshold_hex(fraction: float) -> str:
+    """fraction → 8-hex-digit threshold: keep a row iff the first 8
+    hex chars of its md5 draw sort below this string. 2^-32 fraction
+    granularity."""
+    return format(int(fraction * (1 << 32)), "08x")
+
+
 def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified (per-language) seeded sampling — the corpus-mixing
-    primitive of a training-data pipeline (e.g. upsample low-resource
-    languages). ``sampleBy`` is a per-row Bernoulli keyed by the
-    stratum fraction: embarrassingly parallel, no shuffle. Seeded RNG
-    is engine-specific ⇒ rows-only driver check; proportions and
-    determinism are pinned in tests/test_text_queries.py."""
+    """Stratified (per-language) DETERMINISTIC sampling — the
+    corpus-mixing primitive of a training-data pipeline (e.g.
+    upsample low-resource languages). Keep a doc iff the first 8 hex
+    chars of md5(doc_id || ':' || seed) sort below the stratum's
+    threshold (fraction · 2^32 in hex): a per-row hash Bernoulli with
+    no shuffle, reproducible on ANY engine — unlike ``sampleBy``,
+    whose seeded RNG is implementation-specific. The same rule in
+    ANSI SQL makes this fully oracle-checkable; exact per-stratum
+    counts are additionally pinned in tests/test_text_queries.py."""
     docs = read_table(spark, sf_dir, "documents")
-    fractions = {"en": 0.2, "fr": 0.6, "de": 0.6, "es": 0.6, "it": 0.6}
-    strata = docs.withColumn(
-        "_stratum",
-        F.when(F.col("lang").isin(*fractions), F.col("lang")).otherwise("other"),
+    u = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{_STRATA_SEED}"))),
+        1,
+        8,
     )
-    sampled = strata.sampleBy(
-        "_stratum", {**fractions, "other": 0.5}, seed=42
+    thr_expr = F.lit(_stratum_threshold_hex(_STRATA_OTHER))
+    for lang, frac in _STRATA_FRACTIONS.items():
+        thr_expr = F.when(
+            F.col("lang") == lang, F.lit(_stratum_threshold_hex(frac))
+        ).otherwise(thr_expr)
+    return (
+        docs.where(u < thr_expr)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sampled"))
     )
-    return sampled.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("long").alias("n_sampled")
-    )
+
+
+_STRATA_CASE_SQL = " ".join(
+    f"WHEN '{lang}' THEN '{_stratum_threshold_hex(frac)}'"
+    for lang, frac in _STRATA_FRACTIONS.items()
+)
+
+DOC_STRATIFIED_SQL = f"""
+WITH s AS (
+  SELECT lang,
+         substring(md5(CAST(doc_id AS VARCHAR) || ':{_STRATA_SEED}'), 1, 8) AS u,
+         CASE lang {_STRATA_CASE_SQL}
+              ELSE '{_stratum_threshold_hex(_STRATA_OTHER)}' END AS thr
+  FROM documents
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled
+FROM s WHERE u < thr
+GROUP BY lang
+"""
 
 
 def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -628,7 +666,7 @@ def doc_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TEXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "doc_chunks": (doc_chunks, DOC_CHUNKS_SQL),
-    "doc_stratified_sample": (doc_stratified_sample, None),
+    "doc_stratified_sample": (doc_stratified_sample, DOC_STRATIFIED_SQL),
     "corpus_vocab_topk": (corpus_vocab_topk, CORPUS_VOCAB_SQL),
     "doc_packing_stats": (doc_packing_stats, None),
     "doc_text_stats": (doc_text_stats, DOC_TEXT_STATS_SQL),
