@@ -75,3 +75,39 @@ def test_invalid_iteration_budget_raises(spark):
     not a NameError from the never-entered loop."""
     with pytest.raises(ValueError, match="max_iterations"):
         _spark_components(spark, [(1, 2)], max_iterations=0)
+
+
+def test_dedup_clusters_reliable_checkpoints_end_to_end(spark, sf_dir, tmp_path):
+    """The cluster-mode path proven on the real query, not just the
+    materialize() unit test: run the full dedup_clusters pipeline
+    (shingling -> candidate pairs -> iterative CC) with
+    materialize(mode='reliable'), assert the clusters are identical to
+    the default local-checkpoint run AND that reliable checkpoints
+    actually landed in the configured directory."""
+    import os
+
+    from time_series_prediction_spark.operators.materialize import (
+        CHECKPOINT_DIR_CONF,
+        MODE_CONF,
+    )
+    from time_series_prediction_spark.plans.text_queries import dedup_clusters
+
+    baseline = sorted(
+        map(tuple, dedup_clusters(spark, sf_dir).collect())
+    )
+    ckdir = str(tmp_path / "reliable-ck")
+    spark.conf.set(MODE_CONF, "reliable")
+    spark.conf.set(CHECKPOINT_DIR_CONF, ckdir)
+    try:
+        got = sorted(map(tuple, dedup_clusters(spark, sf_dir).collect()))
+    finally:
+        spark.conf.unset(MODE_CONF)
+        spark.conf.unset(CHECKPOINT_DIR_CONF)
+    assert got == baseline
+    landed = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(ckdir)
+        for f in fs
+        if not f.startswith(".")
+    ]
+    assert landed, "no reliable checkpoint files written"
