@@ -41,6 +41,48 @@ def test_hourly_stream_matches_batch_counts(spark, sf_dir):
     assert got >= int(want * 0.9), f"stream={got} batch={want}"
 
 
+def test_events_stream_reads_legacy_nanos_fixture(spark, sf_dir, tmp_path):
+    """read_events_stream must accept BOTH fixture encodings (the same
+    compat surface as io.read_table): synthesize a rounds-1/2-style
+    events.parquet with TIMESTAMP(NANOS)-as-bigint ts and stream it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base_us = 1_700_000_000_000_000
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array(
+                [base_us * 1000, (base_us + 60_000_000) * 1000,
+                 (base_us + 120_000_000) * 1000],
+                pa.int64(),
+            ),
+            "user_id": pa.array([10, 11, 10], pa.int64()),
+            "event_type": pa.array(["view", "purchase", "view"]),
+            "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+            "props": pa.array(["{}", "{}", "{}"]),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    stream = read_events_stream(spark, str(tmp_path))
+    q = run_to_memory_sink(
+        stream.select("event_id", "ts"), "legacy_events_out",
+        output_mode="append",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql(
+        "SELECT event_id, unix_micros(ts) AS us FROM legacy_events_out "
+        "ORDER BY event_id"
+    ).collect()
+    assert [r["event_id"] for r in rows] == [1, 2, 3]
+    assert [r["us"] for r in rows] == [
+        base_us, base_us + 60_000_000, base_us + 120_000_000
+    ]
+
+
 def test_session_stream_produces_sessions(spark, sf_dir):
     stream = session_stream(read_events_stream(spark, sf_dir))
     q = run_to_memory_sink(stream, "session_out", output_mode="append")

@@ -47,11 +47,18 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table, e.g. read_table(spark, '/root/testdata/sf0.01', 'lineitem').
 
-    The events table stores ``ts`` as parquet TIMESTAMP(NANOS), which
-    Spark reads only as a raw long (``spark.sql.legacy.parquet.nanosAsLong``);
-    convert to a microsecond timestamp here so downstream code sees a real
-    timestamp column (DuckDB performs the same ns→us truncation, keeping
-    oracle comparisons exact).
+    The events table's ``ts`` encoding has varied across fixture
+    generations, and BOTH forms are normalized here to a plain UTC
+    timestamp so downstream code never branches:
+
+    * parquet TIMESTAMP(NANOS) — Spark reads it only as a raw long
+      (``spark.sql.legacy.parquet.nanosAsLong``); converted via exact
+      integer ns→us division (DuckDB truncates identically, keeping
+      oracle comparisons exact).
+    * parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) — reads as
+      TIMESTAMP_NTZ under Spark 4's inferTimestampNTZ; with the
+      session pinned to UTC the NTZ→TZ cast is a bit-identical
+      reinterpretation matching DuckDB's naive TIMESTAMP.
 
     The nanos conf is self-provisioned here (it is runtime-settable SQL
     conf, not a Spark-core conf) so read_table works on ANY SparkSession —

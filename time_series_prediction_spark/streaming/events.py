@@ -30,19 +30,39 @@ EVENTS_RAW_SCHEMA = (
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (ts stored as
-    TIMESTAMP(MICROS, isAdjustedToUTC=false) → read as TIMESTAMP_NTZ,
-    reinterpreted as a UTC instant exactly like io.read_table)."""
+    """File-source stream over the events parquet, normalizing ``ts``
+    to a plain UTC timestamp for BOTH fixture encodings — the same
+    compat surface as io.read_table (file streams need an explicit
+    schema, so the stored type is probed first with one batch
+    footer read):
+
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) → TIMESTAMP_NTZ,
+      reinterpreted as a UTC instant.
+    * legacy TIMESTAMP(NANOS) → bigint under nanosAsLong, converted
+      by exact integer ns→us division.
+    """
+    import os
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_type = dict(
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet")).dtypes
+    ).get("ts")
+    if ts_type == "bigint":  # rounds-1/2 nanos fixtures
+        schema = EVENTS_RAW_SCHEMA.replace("ts timestamp_ntz", "ts bigint")
+        ts_conv = F.timestamp_micros(F.expr("ts div 1000"))
+    else:
+        schema = EVENTS_RAW_SCHEMA
+        ts_conv = F.col("ts").cast("timestamp")
     # file-stream sources require a directory: stream the fixture dir
     # with a glob filter selecting only the events file
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw.withColumn("ts", ts_conv)
 
 
 def hourly_counts_stream(
