@@ -51,15 +51,23 @@ def materialize(
         return df.localCheckpoint(eager=eager)
     if mode == "reliable":
         sc = spark.sparkContext
-        if sc.getCheckpointDir() is None:
-            ckdir = spark.conf.get(CHECKPOINT_DIR_CONF, None)
-            if not ckdir:
-                raise ValueError(
-                    "materialize(mode='reliable') needs a checkpoint dir: "
-                    "call sparkContext.setCheckpointDir(...) or set "
-                    f"{CHECKPOINT_DIR_CONF}"
-                )
-            sc.setCheckpointDir(ckdir)
+        ckdir = spark.conf.get(CHECKPOINT_DIR_CONF, None)
+        if ckdir:
+            # The session conf WINS over a previously-pinned context
+            # dir (setCheckpointDir appends a random subdir, so compare
+            # by prefix after stripping the scheme): a caller that set
+            # the conf expects checkpoints to land under THAT dir, not
+            # wherever an earlier caller pointed the shared context.
+            cur = sc.getCheckpointDir()
+            want = ckdir.removeprefix("file:")
+            if cur is None or not cur.removeprefix("file:").startswith(want):
+                sc.setCheckpointDir(ckdir)
+        elif sc.getCheckpointDir() is None:
+            raise ValueError(
+                "materialize(mode='reliable') needs a checkpoint dir: "
+                "call sparkContext.setCheckpointDir(...) or set "
+                f"{CHECKPOINT_DIR_CONF}"
+            )
         return df.checkpoint(eager=eager)
     if mode == "persist":
         out = df.persist(StorageLevel.DISK_ONLY)
