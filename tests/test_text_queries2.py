@@ -27,6 +27,42 @@ def test_text2_matches_oracle(spark, sf_dir, duck, name):
     assert_matches_oracle(fn(spark, sf_dir), duck, sql, name=name)
 
 
+def test_containment_finds_every_planted_fragment(spark, sf_dir):
+    """Every planted fragment (first 60% of a doc's words) has its
+    3-gram shingle set fully inside its source doc, so it must surface
+    as contained_id with containment exactly 1.0 — and the short side
+    is always reported as the contained one."""
+    from time_series_prediction_spark.plans.text_queries2 import (
+        dedup_containment,
+    )
+    from time_series_prediction_spark.sources.io import read_table
+
+    n_docs = read_table(spark, sf_dir, "documents").count()
+    rows = dedup_containment(spark, sf_dir).collect()
+    frag_pairs = {
+        r["contained_id"]: r
+        for r in rows
+        if r["contained_id"] >= 2000000
+        and r["container_id"] == r["contained_id"] - 2000000
+    }
+    assert len(frag_pairs) == n_docs, (
+        f"{len(frag_pairs)}/{n_docs} planted fragments recovered"
+    )
+    assert all(r["containment"] == 1.0 for r in frag_pairs.values())
+    # upsampling property of the temperature sampler: the rarest
+    # language's keep rate exceeds the most common language's
+    from time_series_prediction_spark.plans.text_queries2 import (
+        corpus_temperature_sample,
+    )
+
+    trows = corpus_temperature_sample(spark, sf_dir).collect()
+    lo = min(trows, key=lambda r: r["n_docs"])
+    hi = max(trows, key=lambda r: r["n_docs"])
+    if lo["n_docs"] < hi["n_docs"]:
+        assert lo["rate"] > hi["rate"]
+    assert all(r["n_sampled"] <= r["n_docs"] for r in trows)
+
+
 def test_budget_sample_respects_budget(spark, sf_dir):
     rows = doc_token_budget_sample(spark, sf_dir, budget_chars=5000).collect()
     per_lang: dict[str, int] = {}

@@ -676,7 +676,197 @@ ORDER BY n DESC, token ASC
 """
 
 
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup detection (the RefinedWeb-style complement
+    of Jaccard): a short document living INSIDE a longer one scores
+    low Jaccard (union is large) but high CONTAINMENT
+    |A∩B| / min(|A|,|B|) over word-3-gram shingles. The corpus has no
+    organic containments, so the query unions in deterministic
+    fragments (doc_id + 2000000, the first 60% of each doc's words,
+    prefix preserved) — real positives the operator must find with
+    exact scores. Blocking key = (lang, md5 of first-3-token prefix):
+    candidate pairs form an equi-join, never a cross product; the
+    shingled frame is pinned once (two join sides, one scan).
+
+    Scale: identical shape to dedup_ngram_jaccard — the standard
+    blocked-pair pipeline, shuffle keyed on the block."""
+    from time_series_prediction_spark.operators import dedup
+    from time_series_prediction_spark.operators.materialize import (
+        materialize,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "lang", "text")
+    fragment = docs.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        "lang",
+        F.expr(
+            "array_join(slice(split(text, ' '), 1, "
+            "greatest(CAST(floor(size(split(text, ' ')) * 0.6) AS INT), 3)), ' ')"
+        ).alias("text"),
+    )
+    both = base.unionAll(fragment)
+    sh = both.select(
+        "doc_id",
+        "lang",
+        F.expr("md5(array_join(slice(split(text, ' '), 1, 3), ' '))").alias("fp"),
+        dedup.word_shingles("text", 3).alias("shingles"),
+    )
+    sh = materialize(sh)
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.expr("size(array_intersect(a.shingles, b.shingles))")
+    sa = F.expr("size(a.shingles)")
+    sb = F.expr("size(b.shingles)")
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(F.least(sa, sb) > 0)
+        .select(
+            F.when(sa <= sb, F.col("a.doc_id"))
+            .otherwise(F.col("b.doc_id"))
+            .alias("contained_id"),
+            F.when(sa <= sb, F.col("b.doc_id"))
+            .otherwise(F.col("a.doc_id"))
+            .alias("container_id"),
+            (
+                inter.cast("double") / F.least(sa, sb).cast("double")
+            ).alias("containment"),
+        )
+        .where(F.col("containment") >= 0.9)
+    )
+
+
+# NOTE: DuckDB slices are 1-based inclusive; [1:k] keeps the first k
+# tokens, matching Spark's slice(arr, 1, k).
+DEDUP_CONTAINMENT_SQL = """
+WITH both_docs AS (
+  SELECT doc_id, lang, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, lang,
+         array_to_string(
+           string_split(text, ' ')[1:greatest(
+             CAST(floor(len(string_split(text, ' ')) * 0.6) AS INT), 3)],
+           ' ') AS text
+  FROM documents
+), sh AS (
+  SELECT doc_id, lang,
+         md5(array_to_string(string_split(text, ' ')[1:3], ' ')) AS fp,
+         list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+           i -> string_split(text, ' ')[i] || ' ' ||
+                string_split(text, ' ')[i + 1] || ' ' ||
+                string_split(text, ' ')[i + 2])) AS shingles
+  FROM both_docs
+)
+SELECT * FROM (
+  SELECT CASE WHEN len(a.shingles) <= len(b.shingles)
+              THEN a.doc_id ELSE b.doc_id END AS contained_id,
+         CASE WHEN len(a.shingles) <= len(b.shingles)
+              THEN b.doc_id ELSE a.doc_id END AS container_id,
+         CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+           / CAST(least(len(a.shingles), len(b.shingles)) AS DOUBLE)
+           AS containment
+  FROM sh a JOIN sh b
+    ON a.lang = b.lang AND a.fp = b.fp AND a.doc_id < b.doc_id
+  WHERE least(len(a.shingles), len(b.shingles)) > 0
+) WHERE containment >= 0.9
+"""
+
+
+_TEMP_SEED = 42
+_TEMP_BUDGET_FRAC = 2  # keep ~N/2 docs total
+
+
+def corpus_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based (τ=0.5) multilingual mixture sampling — the
+    XLM-R-style rebalancing step: per-language sampling weight
+    ∝ share^τ, i.e. low-resource languages are upsampled relative to
+    their share. Keep rate_l = min(1, T·w_l / (W·n_l)) with
+    w_l = floor(sqrt(n_l)·10⁶), W = Σw_l, T = N/2 — every step is
+    integer arithmetic or a single correctly-rounded IEEE op, so both
+    engines derive BIT-IDENTICAL rates; the per-doc keep decision is
+    the deterministic md5-threshold rule (rate·2³² as 8 hex digits),
+    making the whole query oracle-checkable. One tiny lang-level agg
+    (broadcast back), no extra shuffle over the docs."""
+    docs = read_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    # NB: Spark resolves column names case-insensitively — helper
+    # names must differ by more than case.
+    w = F.expr("CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT)")
+    wtot = Window.partitionBy()
+    rates = (
+        counts.withColumn("_wl", w)
+        .withColumn("_wsum", F.sum("_wl").over(wtot))
+        .withColumn(
+            "_budget",
+            F.expr(f"CAST(sum(n) OVER () div {_TEMP_BUDGET_FRAC} AS BIGINT)"),
+        )
+        .select(
+            "lang",
+            "n",
+            F.expr(
+                "CAST(_budget * _wl AS DOUBLE) / CAST(_wsum * n AS DOUBLE)"
+            ).alias("rate"),
+        )
+    )
+    u = F.substring(
+        F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.lit(f":temp{_TEMP_SEED}"))
+        ),
+        1,
+        8,
+    )
+    thr = F.expr(
+        "format_string('%08x', CAST(floor(least(rate, 1.0D) * 4294967296D) AS BIGINT))"
+    )
+    kept = (
+        docs.join(F.broadcast(rates), "lang")
+        .where((F.col("rate") >= 1.0) | (u < thr))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sampled"))
+    )
+    return rates.join(kept, "lang", "left").select(
+        "lang",
+        F.col("n").cast("long").alias("n_docs"),
+        F.round("rate", 9).alias("rate"),
+        F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
+    )
+
+
+CORPUS_TEMPERATURE_SQL = f"""
+WITH counts AS (
+  SELECT lang, count(*) AS n FROM documents GROUP BY lang
+), rates AS (
+  SELECT lang, n,
+         CAST((SELECT CAST(sum(n) AS BIGINT) // {_TEMP_BUDGET_FRAC} FROM counts)
+              * CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS DOUBLE)
+         / CAST((SELECT sum(CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT))
+                 FROM counts) * n AS DOUBLE) AS rate
+  FROM counts
+), kept AS (
+  SELECT d.lang, CAST(count(*) AS BIGINT) AS n_sampled
+  FROM documents d JOIN rates r ON d.lang = r.lang
+  WHERE r.rate >= 1.0
+     OR substring(md5(CAST(d.doc_id AS VARCHAR) || ':temp{_TEMP_SEED}'), 1, 8)
+        < printf('%08x', CAST(floor(least(r.rate, 1.0) * 4294967296) AS BIGINT))
+  GROUP BY d.lang
+)
+SELECT r.lang, CAST(r.n AS BIGINT) AS n_docs,
+       round(r.rate, 9) AS rate,
+       CAST(coalesce(k.n_sampled, 0) AS BIGINT) AS n_sampled
+FROM rates r LEFT JOIN kept k ON r.lang = k.lang
+"""
+
+
 TEXT2_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "dedup_containment": (dedup_containment, DEDUP_CONTAINMENT_SQL),
+    "corpus_temperature_sample": (
+        corpus_temperature_sample,
+        CORPUS_TEMPERATURE_SQL,
+    ),
     "corpus_heavy_hitters": (corpus_heavy_hitters, CORPUS_HEAVY_HITTERS_SQL),
     "doc_quality_gopher": (doc_quality_gopher, DOC_QUALITY_GOPHER_SQL),
     "corpus_shuffle_shards": (corpus_shuffle_shards, CORPUS_SHUFFLE_SHARDS_SQL),
