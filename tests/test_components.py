@@ -86,23 +86,26 @@ def test_dedup_clusters_reliable_checkpoints_end_to_end(spark, sf_dir, tmp_path)
     actually landed in the configured directory."""
     import os
 
+    import time_series_prediction_spark.plans.text_queries as tq
     from time_series_prediction_spark.operators.materialize import (
         CHECKPOINT_DIR_CONF,
         MODE_CONF,
     )
-    from time_series_prediction_spark.plans.text_queries import dedup_clusters
 
+    tq._ASSIGN_CACHE.clear()  # force a real run for each mode
     baseline = sorted(
-        map(tuple, dedup_clusters(spark, sf_dir).collect())
+        map(tuple, tq.dedup_clusters(spark, sf_dir).collect())
     )
     ckdir = str(tmp_path / "reliable-ck")
     spark.conf.set(MODE_CONF, "reliable")
     spark.conf.set(CHECKPOINT_DIR_CONF, ckdir)
+    tq._ASSIGN_CACHE.clear()
     try:
-        got = sorted(map(tuple, dedup_clusters(spark, sf_dir).collect()))
+        got = sorted(map(tuple, tq.dedup_clusters(spark, sf_dir).collect()))
     finally:
         spark.conf.unset(MODE_CONF)
         spark.conf.unset(CHECKPOINT_DIR_CONF)
+        tq._ASSIGN_CACHE.clear()  # don't leak reliable-mode frames
     assert got == baseline
     landed = [
         os.path.join(dp, f)
