@@ -1,0 +1,92 @@
+"""File-stats manifest: footer-only stats, correct pruning, and
+result equality with the unpruned scan (z-ordered and baseline)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from time_series_prediction_spark.operators.manifest import (
+    build_stats_manifest,
+    list_parquet_files,
+    prune_files,
+    pruned_scan,
+)
+from time_series_prediction_spark.operators.zorder import write_zordered
+
+
+@pytest.fixture(scope="module")
+def layout(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("manifest")
+    grid = spark.range(40_000).select(
+        (F.col("id") % 200).alias("x"),
+        (F.col("id") / 200).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    zpath = str(base / "zordered")
+    write_zordered(grid, zpath, ["x", "y"], n_files=16)
+    return zpath, grid
+
+
+def test_manifest_stats_match_footers(spark, layout):
+    zpath, grid = layout
+    man = build_stats_manifest(spark, zpath, ["x", "y", "payload"]).cache()
+    rows = man.collect()
+    files = list_parquet_files(zpath)
+    assert {r["file"] for r in rows} == set(files)
+    # every (file, col) present; totals add up to the table
+    per_file = {(r["file"], r["col"]): r for r in rows}
+    assert len(per_file) == len(files) * 3
+    total = sum(
+        r["n_rows"] for r in rows if r["col"] == "x"
+    )
+    assert total == grid.count()
+    # manifest mins/maxes bound the global domain
+    xs = [r for r in rows if r["col"] == "x"]
+    assert min(r["vmin"] for r in xs) == 0.0
+    assert max(r["vmax"] for r in xs) == 199.0
+    man.unpersist()
+
+
+def test_pruned_scan_equals_full_scan(spark, layout):
+    zpath, grid = layout
+    man = build_stats_manifest(spark, zpath, ["x", "y"]).cache()
+    preds = {"x": (10.0, 22.0), "y": (30.0, 80.0)}
+    kept = prune_files(man, preds)
+    assert 0 < len(kept) < len(list_parquet_files(zpath)), (
+        "manifest pruned nothing on a z-ordered layout"
+    )
+    got = (
+        pruned_scan(spark, man, preds)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("payload").alias("s"),
+        )
+        .first()
+    )
+    want = (
+        spark.read.parquet(zpath)
+        .where(F.col("x").between(10, 22) & F.col("y").between(30, 80))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("payload").alias("s"),
+        )
+        .first()
+    )
+    assert (got["n"], got["s"]) == (want["n"], want["s"])
+    assert got["n"] > 0
+    man.unpersist()
+
+
+def test_prune_keeps_stat_less_columns(spark, layout):
+    """A predicate on a column absent from the manifest must not prune
+    anything (skipping is an optimization, never a filter)."""
+    zpath, _ = layout
+    man = build_stats_manifest(spark, zpath, ["x"])
+    kept = prune_files(man, {"payload": (0.0, 1.0)})
+    assert set(kept) == set(list_parquet_files(zpath))
+
+
+def test_empty_dir_raises(spark, tmp_path):
+    with pytest.raises(ValueError, match="no parquet files"):
+        build_stats_manifest(spark, str(tmp_path), ["x"])
