@@ -74,3 +74,29 @@ def test_q7_broadcasts_nations_no_nested_loop(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_containment_pairs_are_equi_joined(spark, sf_dir):
+    """The containment self-join must stay a blocked equi-join — a
+    cross product over the corpus is the classic near-dup scale
+    failure."""
+    from time_series_prediction_spark.plans.text_queries2 import (
+        dedup_containment,
+    )
+
+    plan = _plan(dedup_containment(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_temperature_sample_single_corpus_shuffle(spark, sf_dir):
+    """The rate table must come back to the corpus as a broadcast —
+    the docs scan joins without a shuffle exchange on its side, and
+    only the lang-level aggregates repartition."""
+    from time_series_prediction_spark.plans.text_queries2 import (
+        corpus_temperature_sample,
+    )
+
+    plan = _plan(corpus_temperature_sample(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
