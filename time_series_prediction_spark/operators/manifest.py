@@ -42,18 +42,11 @@ def list_parquet_files(path: str) -> list[str]:
     )
 
 
-def build_stats_manifest(
-    spark: SparkSession, path: str, cols: list[str]
-) -> DataFrame:
-    """One manifest row per (file, column): min/max over the file's row
-    groups (numeric columns), row count, and null presence. Footer
-    reads happen executor-side via mapInPandas over the parallelized
-    file list — metadata only, no data pages."""
+def _footer_stats(file_df: DataFrame, cols: list[str]) -> DataFrame:
+    """mapInPandas footer scan over a one-column (file) frame —
+    metadata only, no data pages; executor-side via pyarrow."""
     import pandas as pd
 
-    files = list_parquet_files(path)
-    if not files:
-        raise ValueError(f"no parquet files under {path}")
     want = list(cols)
 
     def read_footers(batches):
@@ -92,10 +85,60 @@ def build_stats_manifest(
                 ],
             )
 
+    return file_df.mapInPandas(read_footers, schema=_MANIFEST_SCHEMA)
+
+
+def build_stats_manifest(
+    spark: SparkSession, path: str, cols: list[str]
+) -> DataFrame:
+    """One manifest row per (file, column): min/max over the file's row
+    groups (numeric columns), row count, and null presence. Footer
+    reads happen executor-side via mapInPandas over the parallelized
+    file list — metadata only, no data pages."""
+    files = list_parquet_files(path)
+    if not files:
+        raise ValueError(f"no parquet files under {path}")
     file_df = spark.createDataFrame(
         [(f,) for f in files], "file string"
     ).repartition(min(len(files), 64))
-    return file_df.mapInPandas(read_footers, schema=_MANIFEST_SCHEMA)
+    return _footer_stats(file_df, cols)
+
+
+def update_manifest(
+    spark: SparkSession,
+    manifest: DataFrame,
+    path: str,
+    cols: list[str],
+) -> DataFrame:
+    """Incrementally maintain a manifest after appends/deletes: stats
+    are built ONLY for files on disk that the manifest has not seen,
+    and rows for files that vanished (compaction, retention) are
+    dropped. Equivalent to a full rebuild (pinned in tests) at the
+    cost of footer-reading just the delta — the property that makes a
+    manifest viable on a table receiving thousands of appends a day."""
+    on_disk = set(list_parquet_files(path))
+    known = {r["file"] for r in manifest.select("file").distinct().collect()}
+    new_files = sorted(on_disk - known)
+    if on_disk:
+        disk_df = spark.createDataFrame([(f,) for f in sorted(on_disk)], "file string")
+        kept = manifest.join(disk_df, "file", "left_semi")
+    else:
+        kept = manifest.where(F.lit(False))
+    if not new_files:
+        return kept
+    fresh = build_stats_manifest_for_files(spark, new_files, cols)
+    return kept.unionByName(fresh)
+
+
+def build_stats_manifest_for_files(
+    spark: SparkSession, files: list[str], cols: list[str]
+) -> DataFrame:
+    """build_stats_manifest over an explicit file list (the
+    incremental-update entry point)."""
+    if not files:
+        raise ValueError("empty file list")
+    tmp = spark.createDataFrame([(f,) for f in files], "file string")
+    return _footer_stats(tmp.repartition(min(len(files), 64)), cols)
 
 
 def prune_files(
