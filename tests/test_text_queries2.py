@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from tests.oracle_harness import assert_matches_oracle, duck_connection
 from time_series_prediction_spark.plans.text_queries2 import (
@@ -25,6 +26,42 @@ def duck(sf_dir):
 def test_text2_matches_oracle(spark, sf_dir, duck, name):
     fn, sql = TEXT2_QUERIES[name]
     assert_matches_oracle(fn(spark, sf_dir), duck, sql, name=name)
+
+
+def test_curation_funnel_monotone_and_raw_counts(spark, sf_dir):
+    """The funnel can only shrink left-to-right, its raw counts must
+    equal the corpus construction (non-bench docs + planted copies),
+    and each stage must actually remove something somewhere (planted
+    dups at dedup; bench copies at decontamination)."""
+    from time_series_prediction_spark.plans.text_queries2 import (
+        corpus_curation_funnel,
+    )
+    from time_series_prediction_spark.sources.io import read_table
+
+    rows = corpus_curation_funnel(spark, sf_dir).collect()
+    docs = read_table(spark, sf_dir, "documents")
+    expect_raw = {
+        r["lang"]: r["n"]
+        for r in docs.where(F.col("doc_id") % 25 != 0)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in docs.where(F.col("doc_id") % 20 == 0).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")
+    ).collect():
+        expect_raw[r["lang"]] = expect_raw.get(r["lang"], 0) + r["n"]
+    assert {r["lang"]: r["n_raw"] for r in rows} == expect_raw
+    for r in rows:
+        assert (
+            r["n_raw"] >= r["n_quality"] >= r["n_unique"] >= r["n_clean"]
+        ), r
+    assert sum(r["n_quality"] for r in rows) > sum(
+        r["n_unique"] for r in rows
+    ), "dedup stage removed nothing (planted dups missed)"
+    assert sum(r["n_unique"] for r in rows) > sum(
+        r["n_clean"] for r in rows
+    ), "decontamination removed nothing (bench copies missed)"
 
 
 def test_containment_finds_every_planted_fragment(spark, sf_dir):

@@ -440,6 +440,43 @@ GROUP BY t.doc_id
 """
 
 
+def _gopher_flags(docs: DataFrame, keep_cols: list[str]) -> DataFrame:
+    """The five Gopher rule-failure flags (f_wc/f_mwl/f_stop/f_single/
+    f_rep) as exact-integer per-row expressions, plus ``keep_cols``
+    passed through — shared by the audit query and the end-to-end
+    curation funnel so both apply the identical predicate."""
+    from time_series_prediction_spark.operators.text import STOPWORDS
+
+    stop_arr = ", ".join(f"'{w}'" for w in STOPWORDS)
+    toks = "filter(split(text, ' '), t -> t <> '')"
+    d = docs.select(
+        *keep_cols,
+        F.expr(f"size({toks})").alias("_n"),
+        F.expr(
+            f"aggregate({toks}, 0L, (a, t) -> a + length(t))"
+        ).alias("_sum_wl"),
+        F.expr(f"size(filter({toks}, t -> length(t) = 1))").alias("_n_single"),
+        F.expr(
+            f"array_max(transform(array_distinct({toks}), "
+            f"d -> size(filter({toks}, t -> t = d))))"
+        ).alias("_max_rep"),
+        F.expr(
+            f"size(filter(array({stop_arr}), s -> array_contains({toks}, s)))"
+        ).alias("_n_stop"),
+    )
+    return d.select(
+        *keep_cols,
+        ((F.col("_n") < 20) | (F.col("_n") > 2000)).alias("f_wc"),
+        (
+            (F.col("_sum_wl") < 3 * F.col("_n"))
+            | (F.col("_sum_wl") > 10 * F.col("_n"))
+        ).alias("f_mwl"),
+        (F.col("_n_stop") < 2).alias("f_stop"),
+        (F.col("_n_single") * 10 > F.col("_n")).alias("f_single"),
+        (F.col("_max_rep") * 5 > F.col("_n")).alias("f_rep"),
+    )
+
+
 def doc_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style rule-based quality filtering, reported as per-rule
     failure counts by language (the go/no-go audit a curation run
@@ -457,37 +494,7 @@ def doc_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-language count aggregate (25 rows). The repetition signal is
     O(distinct·n) per document, bounded by document length, not by
     corpus size — on 100 TB this is scan-rate work."""
-    from time_series_prediction_spark.operators.text import STOPWORDS
-
-    docs = read_table(spark, sf_dir, "documents")
-    stop_arr = ", ".join(f"'{w}'" for w in STOPWORDS)
-    toks = "filter(split(text, ' '), t -> t <> '')"
-    d = docs.select(
-        "lang",
-        F.expr(f"size({toks})").alias("_n"),
-        F.expr(
-            f"aggregate({toks}, 0L, (a, t) -> a + length(t))"
-        ).alias("_sum_wl"),
-        F.expr(f"size(filter({toks}, t -> length(t) = 1))").alias("_n_single"),
-        F.expr(
-            f"array_max(transform(array_distinct({toks}), "
-            f"d -> size(filter({toks}, t -> t = d))))"
-        ).alias("_max_rep"),
-        F.expr(
-            f"size(filter(array({stop_arr}), s -> array_contains({toks}, s)))"
-        ).alias("_n_stop"),
-    )
-    fails = d.select(
-        "lang",
-        ((F.col("_n") < 20) | (F.col("_n") > 2000)).alias("f_wc"),
-        (
-            (F.col("_sum_wl") < 3 * F.col("_n"))
-            | (F.col("_sum_wl") > 10 * F.col("_n"))
-        ).alias("f_mwl"),
-        (F.col("_n_stop") < 2).alias("f_stop"),
-        (F.col("_n_single") * 10 > F.col("_n")).alias("f_single"),
-        (F.col("_max_rep") * 5 > F.col("_n")).alias("f_rep"),
-    )
+    fails = _gopher_flags(read_table(spark, sf_dir, "documents"), ["lang"])
     agg = [
         F.sum(F.col(c).cast("long")).cast("long").alias(out)
         for c, out in [
@@ -861,7 +868,170 @@ FROM rates r LEFT JOIN kept k ON r.lang = k.lang
 """
 
 
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pipeline as ONE query — raw corpus → Gopher
+    quality gate → exact dedup → benchmark decontamination — reported
+    as a per-language funnel (n_raw / n_quality / n_unique / n_clean /
+    chars_clean). Every stage is SQL-expressible, so the END-TO-END
+    composition is oracle-checked, not just each stage alone.
+
+    Deterministic positives, no extra fixtures: every 20th doc is
+    planted again under doc_id + 3000000 (an exact duplicate the
+    dedup stage must drop — unless its source is in the benchmark
+    holdout doc_id % 25 == 0, in which case the copy is NOT a dup of
+    anything in-corpus, survives dedup, and must be caught by the
+    decontamination stage instead, sharing every 5-gram with its
+    benchmark source). The stages interlock: quality drops rule
+    failures, dedup keeps the min doc_id per md5(text) among quality
+    survivors, decontamination drops canonical docs sharing any word
+    5-gram with the holdout.
+
+    Scale shape: one corpus pass for flags, one md5-keyed window for
+    dedup, one shingle equi-join against the broadcast benchmark side
+    (never all-pairs), two small per-lang aggregates."""
+    from time_series_prediction_spark.operators.dedup import word_shingles
+
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 25 == 0)
+    dups = docs.where(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"), "lang", "text", "n_chars"
+    )
+    corpus = (
+        docs.where(F.col("doc_id") % 25 != 0)
+        .select("doc_id", "lang", "text", "n_chars")
+        .unionByName(dups)
+    )
+    flags = _gopher_flags(corpus, ["doc_id", "lang", "n_chars", "text"])
+    kept = ~(
+        F.col("f_wc")
+        | F.col("f_mwl")
+        | F.col("f_stop")
+        | F.col("f_single")
+        | F.col("f_rep")
+    )
+    w = Window.partitionBy("_m").orderBy("doc_id")
+    q = (
+        flags.where(kept)
+        .withColumn("_m", F.md5("text"))
+        .withColumn("_rn", F.row_number().over(w))
+    )
+    t_sh = (
+        q.where(F.col("_rn") == 1)
+        .select(
+            "doc_id", F.explode(word_shingles("text", _DECON_N)).alias("s")
+        )
+        .select("doc_id", F.md5("s").alias("h"))
+    )
+    b_sh = (
+        bench.select(F.explode(word_shingles("text", _DECON_N)).alias("s"))
+        .select(F.md5("s").alias("h"))
+        .distinct()
+    )
+    hits = (
+        t_sh.join(F.broadcast(b_sh), "h")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    canon = F.col("_rn") == 1
+    clean = canon & F.col("_hit").isNull()
+    per_stage = (
+        q.join(F.broadcast(hits), "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_quality"),
+            F.sum(canon.cast("long")).cast("long").alias("n_unique"),
+            F.sum(clean.cast("long")).cast("long").alias("n_clean"),
+            F.coalesce(
+                F.sum(F.when(clean, F.col("n_chars"))), F.lit(0)
+            ).cast("long").alias("chars_clean"),
+        )
+    )
+    raw = corpus.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_raw")
+    )
+    return raw.join(per_stage, "lang", "left").select(
+        "lang",
+        "n_raw",
+        F.coalesce("n_quality", F.lit(0)).cast("long").alias("n_quality"),
+        F.coalesce("n_unique", F.lit(0)).cast("long").alias("n_unique"),
+        F.coalesce("n_clean", F.lit(0)).cast("long").alias("n_clean"),
+        F.coalesce("chars_clean", F.lit(0)).cast("long").alias("chars_clean"),
+    )
+
+
+def _funnel_sql() -> str:
+    from time_series_prediction_spark.operators.text import STOPWORDS
+
+    stop_arr = ", ".join(f"'{w}'" for w in STOPWORDS)
+    toks = "list_filter(string_split(text, ' '), t -> t <> '')"
+    shingle5 = f"""list_distinct(list_transform(
+             range(1, len(string_split(text, ' ')) - {_DECON_N - 2}),
+             i -> string_split(text, ' ')[i] || ' ' ||
+                  string_split(text, ' ')[i + 1] || ' ' ||
+                  string_split(text, ' ')[i + 2] || ' ' ||
+                  string_split(text, ' ')[i + 3] || ' ' ||
+                  string_split(text, ' ')[i + 4]))"""
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, lang, text, n_chars FROM documents WHERE doc_id % 25 != 0
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id, lang, text, n_chars
+  FROM documents WHERE doc_id % 20 = 0
+), sig AS (
+  SELECT doc_id, lang, n_chars, text,
+         len({toks}) AS _n,
+         list_sum(list_transform({toks}, t -> length(t))) AS _sum_wl,
+         len(list_filter({toks}, t -> length(t) = 1)) AS _n_single,
+         list_max(list_transform(list_distinct({toks}),
+                  d -> len(list_filter({toks}, t -> t = d)))) AS _max_rep,
+         len(list_filter([{stop_arr}],
+                  s -> list_contains({toks}, s))) AS _n_stop
+  FROM corpus
+), q AS (
+  SELECT doc_id, lang, n_chars, text,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM sig
+  WHERE NOT ((_n < 20 OR _n > 2000)
+          OR (_sum_wl < 3 * _n OR _sum_wl > 10 * _n)
+          OR (_n_stop < 2)
+          OR (_n_single * 10 > _n)
+          OR (_max_rep * 5 > _n))
+), b_sh AS (
+  SELECT DISTINCT md5(s) AS h
+  FROM (SELECT unnest({shingle5}) AS s
+        FROM documents WHERE doc_id % 25 = 0)
+), hits AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id, md5(unnest({shingle5})) AS h FROM q WHERE rn = 1) t
+  JOIN b_sh USING (h)
+), agg AS (
+  SELECT q.lang,
+         CAST(count(*) AS BIGINT) AS n_quality,
+         CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+         CAST(sum(CASE WHEN rn = 1 AND h.doc_id IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_clean,
+         CAST(coalesce(sum(CASE WHEN rn = 1 AND h.doc_id IS NULL
+                                THEN q.n_chars END), 0) AS BIGINT)
+           AS chars_clean
+  FROM q LEFT JOIN hits h ON q.doc_id = h.doc_id
+  GROUP BY q.lang
+)
+SELECT r.lang, CAST(r.n_raw AS BIGINT) AS n_raw,
+       CAST(coalesce(a.n_quality, 0) AS BIGINT) AS n_quality,
+       CAST(coalesce(a.n_unique, 0) AS BIGINT) AS n_unique,
+       CAST(coalesce(a.n_clean, 0) AS BIGINT) AS n_clean,
+       CAST(coalesce(a.chars_clean, 0) AS BIGINT) AS chars_clean
+FROM (SELECT lang, count(*) AS n_raw FROM corpus GROUP BY lang) r
+LEFT JOIN agg a ON r.lang = a.lang
+"""
+
+
+CORPUS_FUNNEL_SQL = _funnel_sql()
+
+
 TEXT2_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "corpus_curation_funnel": (corpus_curation_funnel, CORPUS_FUNNEL_SQL),
     "dedup_containment": (dedup_containment, DEDUP_CONTAINMENT_SQL),
     "corpus_temperature_sample": (
         corpus_temperature_sample,
