@@ -26,6 +26,9 @@ DEFAULT = [
     "embedding_cosine_topk",     # broadcast ANN scan
     "doc_quality_gopher",        # per-row array expressions
     "corpus_shuffle_shards",     # hash shard manifest
+    "embedding_pq_ann",          # r4: IVF-pruned ADC scan + refine
+    "dedup_containment",         # r4: blocked containment self-join
+    "corpus_curation_funnel",    # r4: quality+dedup+decon composition
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
