@@ -42,3 +42,40 @@ def test_approx_dau_within_rsd_of_exact(spark, sf_dir):
         F.abs(F.col("approx_dau") - F.col("dau")) > F.col("dau") * 0.1 + 2
     ).count()
     assert bad == 0
+
+
+def test_dau_sketch_rollup_merge_lossless_and_bounded(spark, sf_dir):
+    """The HLL mergeability contract: the shard-partial-then-union
+    estimate must EQUAL the direct single-sketch estimate (same lgK —
+    union is lossless), and both must sit within the sketch's error
+    bound of the exact DAU."""
+    from pyspark.sql import functions as F
+
+    from time_series_prediction_spark.plans.relational import daily_active_users
+    from time_series_prediction_spark.plans.relational2 import (
+        events_dau_sketch_rollup,
+    )
+    from time_series_prediction_spark.sources.io import read_table
+
+    merged = events_dau_sketch_rollup(spark, sf_dir)
+    direct = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(12))
+            ).alias("direct_est")
+        )
+    )
+    j = merged.join(direct, "day")
+    assert j.where(F.col("dau_est") != F.col("direct_est")).count() == 0, (
+        "sharded union estimate differs from the direct sketch"
+    )
+    exact = daily_active_users(spark, sf_dir).select("day", "dau")
+    bad = (
+        merged.join(exact, "day")
+        .where(F.abs(F.col("dau_est") - F.col("dau")) > F.col("dau") * 0.1 + 2)
+        .count()
+    )
+    assert bad == 0
+    assert merged.agg(F.max("n_partials")).first()[0] <= 8

@@ -386,9 +386,40 @@ def approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_dau_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch DAU: per-(day, shard) HyperLogLog partials
+    unioned into a daily estimate — the pattern that maintains
+    distinct counts incrementally at 100 TB (persist the tiny partial
+    sketches; a new batch unions its sketch in, no rescan of history,
+    and region/day partials roll up to any coarser grain without the
+    raw data). Two-level plan: narrow partial `hll_sketch_agg` per
+    shard (map-side, bounded sketch bytes), then `hll_union_agg` over
+    ≤ n_shards rows per day. Rows-only: sketch estimates are
+    engine-specific; the union-vs-direct equivalence and the error
+    bound vs exact DAU are pinned in tests/test_relational2.py."""
+    ev = read_table(spark, sf_dir, "events")
+    partials = (
+        ev.select(
+            F.to_date("ts").alias("day"),
+            F.pmod(F.col("user_id"), F.lit(8)).alias("_shard"),
+            "user_id",
+        )
+        .groupBy("day", "_shard")
+        .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("_sk"))
+    )
+    return (
+        partials.groupBy("day")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("dau_est"),
+            F.count(F.lit(1)).cast("long").alias("n_partials"),
+        )
+    )
+
+
 RELATIONAL2_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "salted_event_type_totals": (salted_event_type_totals, SALTED_TOTALS_SQL),
     "approx_distinct_users_daily": (approx_distinct_users_daily, None),
+    "events_dau_sketch_rollup": (events_dau_sketch_rollup, None),
     "q4_order_priority": (q4_order_priority, Q4_SQL),
     "q14_promo_revenue_share": (q14_promo_revenue_share, Q14_SQL),
     "q18_large_volume_customers": (q18_large_volume_customers, Q18_SQL),
