@@ -92,6 +92,36 @@ def test_empty_dir_raises(spark, tmp_path):
         build_stats_manifest(spark, str(tmp_path), ["x"])
 
 
+def test_pruned_scan_equals_full_scan_randomized(spark, layout):
+    """Seeded sweep of 12 random range predicates (single- and
+    two-column, including empty-result and full-domain ranges): the
+    pruned scan must agree with the unpruned filter on count and
+    checksum every time."""
+    import random
+
+    zpath, _ = layout
+    man = build_stats_manifest(spark, zpath, ["x", "y"]).cache()
+    man.count()
+    rng = random.Random(4)
+    full = spark.read.parquet(zpath)
+    for _ in range(12):
+        preds = {}
+        for col, dom in (("x", 200), ("y", 200)):
+            if rng.random() < 0.7:
+                lo = rng.uniform(-10, dom)
+                preds[col] = (lo, lo + rng.uniform(0, dom / 2))
+        if not preds:
+            preds["x"] = (0.0, 200.0)
+        got = pruned_scan(spark, man, preds)
+        want = full
+        for c, (lo, hi) in preds.items():
+            want = want.where(F.col(c).between(lo, hi))
+        g = got.agg(F.count(F.lit(1)), F.sum("payload")).first()
+        w = want.agg(F.count(F.lit(1)), F.sum("payload")).first()
+        assert tuple(g) == tuple(w), preds
+    man.unpersist()
+
+
 def test_incremental_update_equals_rebuild(spark, tmp_path):
     """Append new files + delete an old one, update incrementally,
     compare to a from-scratch rebuild: identical manifests, and only
