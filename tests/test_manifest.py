@@ -92,6 +92,56 @@ def test_empty_dir_raises(spark, tmp_path):
         build_stats_manifest(spark, str(tmp_path), ["x"])
 
 
+def test_out_of_domain_predicate_returns_empty(spark, layout):
+    """A consistent range entirely OUTSIDE the data domain (x in
+    [250, 300] when max(x)=199) legitimately prunes every file — the
+    pruned scan must return the correctly-empty result with the full
+    table schema, not raise."""
+    zpath, _ = layout
+    man = build_stats_manifest(spark, zpath, ["x", "y"])
+    preds = {"x": (250.0, 300.0)}
+    assert prune_files(man, preds) == []
+    got = pruned_scan(spark, man, preds)
+    assert got.count() == 0
+    assert set(got.columns) == set(spark.read.parquet(zpath).columns)
+
+
+def test_partitioned_zordered_pruned_scan(spark, tmp_path):
+    """Manifest over a PARTITIONED + z-ordered table: the recursive
+    listing finds the leaf files under col=value dirs, partition
+    values prune like data-column stats, and the basePath-aware
+    pruned scan matches the full scan (schema included)."""
+    from time_series_prediction_spark.sources.io import write_partitioned
+
+    path = str(tmp_path / "ptbl")
+    grid = spark.range(20_000).select(
+        (F.col("id") % 4).alias("bucket"),
+        (F.col("id") % 200).alias("x"),
+        F.col("id").alias("payload"),
+    )
+    write_partitioned(grid, path, ["bucket"])
+    files = list_parquet_files(path, spark)
+    assert files and all("bucket=" in f for f in files)
+    man = build_stats_manifest(spark, path, ["bucket", "x"]).cache()
+    man.count()
+    # partition-column rows exist with vmin == vmax == the dir value
+    brows = man.where(F.col("col") == "bucket").collect()
+    assert brows and all(r["vmin"] == r["vmax"] for r in brows)
+    preds = {"bucket": (1.0, 2.0), "x": (10.0, 50.0)}
+    kept = prune_files(man, preds)
+    assert 0 < len(kept) < len(files), "partition pruning did nothing"
+    assert all(("bucket=1" in f) or ("bucket=2" in f) for f in kept)
+    got = pruned_scan(spark, man, preds, base_path=path)
+    full = spark.read.parquet(path).where(
+        F.col("bucket").between(1, 2) & F.col("x").between(10, 50)
+    )
+    assert set(got.columns) == set(full.columns)
+    g = got.agg(F.count(F.lit(1)), F.sum("payload")).first()
+    w = full.agg(F.count(F.lit(1)), F.sum("payload")).first()
+    assert tuple(g) == tuple(w) and g[0] > 0
+    man.unpersist()
+
+
 def test_pruned_scan_equals_full_scan_randomized(spark, layout):
     """Seeded sweep of 12 random range predicates (single- and
     two-column, including empty-result and full-domain ranges): the

@@ -31,23 +31,96 @@ _MANIFEST_SCHEMA = (
 )
 
 
-def list_parquet_files(path: str) -> list[str]:
-    """Data files under ``path`` (non-recursive, skips _SUCCESS etc.)."""
+def _is_data_file(rel: str) -> bool:
+    """True for ``a=1/b=2/part-0.parquet``-style relative paths: every
+    component must be visible (no ``.``/``_`` prefix — that filters
+    _SUCCESS, _delta_log/, .crc) and the leaf must be parquet.
+    Partition directories (``col=value``) pass untouched."""
+    parts = [p for p in rel.split("/") if p]
+    if not parts or not parts[-1].endswith(".parquet"):
+        return False
+    return not any(p.startswith((".", "_")) for p in parts)
+
+
+def list_parquet_files(
+    path: str, spark: SparkSession | None = None
+) -> list[str]:
+    """RECURSIVE data-file listing under ``path`` — composes with
+    partitioned (``col=value/`` dirs) and z-ordered output, not just
+    flat directories.
+
+    Listing goes through the Hadoop FileSystem API when a Spark
+    session is available (the same code path Spark's own file index
+    uses), so it works against any Spark-supported filesystem —
+    local, HDFS, S3A — not just the driver's local disk; falls back
+    to ``os.walk`` with no session. Hidden files and directories
+    (``.``/``_`` prefixed) are skipped at every level."""
+    spark = spark or SparkSession.getActiveSession()
+    if spark is not None:
+        jvm = spark._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(hconf)
+        if not fs.exists(jpath):
+            return []
+        status = fs.getFileStatus(jpath)
+        base_uri = status.getPath().toUri()
+        base = base_uri.getPath().rstrip("/")
+        scheme = base_uri.getScheme()
+        local = scheme in (None, "file")
+        if status.isFile():
+            return [path] if path.endswith(".parquet") else []
+        it = fs.listFiles(jpath, True)  # recursive
+        out = []
+        while it.hasNext():
+            fpath = it.next().getPath()
+            p = fpath.toUri().getPath()
+            if not _is_data_file(p[len(base):]):
+                continue
+            out.append(p if local else fpath.toString())
+        return sorted(out)
+    # no-session fallback: local filesystem walk
     if os.path.isfile(path):
         return [path]
-    return sorted(
-        os.path.join(path, f)
-        for f in os.listdir(path)
-        if f.endswith(".parquet") and not f.startswith((".", "_"))
-    )
+    out = []
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith((".", "_")):
+                out.append(os.path.join(root, f))
+    return sorted(out)
 
 
-def _footer_stats(file_df: DataFrame, cols: list[str]) -> DataFrame:
+def _partition_values(rel: str) -> dict[str, float]:
+    """Numeric partition-column values parsed from a Hive-style
+    relative path (``x=5/y=2/part-0.parquet`` → {x: 5.0, y: 2.0}).
+    Non-numeric values are skipped (the double-typed manifest cannot
+    represent them; skipping only disables pruning on that column)."""
+    out: dict[str, float] = {}
+    for comp in rel.split("/")[:-1]:
+        if "=" not in comp:
+            continue
+        k, _, v = comp.partition("=")
+        try:
+            out[k] = float(v)
+        except ValueError:
+            continue
+    return out
+
+
+def _footer_stats(
+    file_df: DataFrame, cols: list[str], base: str | None = None
+) -> DataFrame:
     """mapInPandas footer scan over a one-column (file) frame —
-    metadata only, no data pages; executor-side via pyarrow."""
+    metadata only, no data pages; executor-side via pyarrow. With
+    ``base`` given, Hive-style partition components of each file's
+    path also yield manifest rows (vmin = vmax = the partition
+    value), so partition-column predicates prune exactly like
+    data-column ones."""
     import pandas as pd
 
     want = list(cols)
+    base_n = base.rstrip("/") if base else None
 
     def read_footers(batches):
         import pyarrow.parquet as pq
@@ -60,7 +133,14 @@ def _footer_stats(file_df: DataFrame, cols: list[str]) -> DataFrame:
                     meta.schema.column(i).path: i
                     for i in range(meta.num_columns)
                 }
+                pvals = {}
+                if base_n and f.startswith(base_n + "/"):
+                    pvals = _partition_values(f[len(base_n) + 1:])
                 for c in want:
+                    if c in pvals and c not in idx:
+                        v = pvals[c]
+                        out.append((f, c, meta.num_rows, v, v, False))
+                        continue
                     if c not in idx:
                         continue
                     mn = mx = None
@@ -94,14 +174,16 @@ def build_stats_manifest(
     """One manifest row per (file, column): min/max over the file's row
     groups (numeric columns), row count, and null presence. Footer
     reads happen executor-side via mapInPandas over the parallelized
-    file list — metadata only, no data pages."""
-    files = list_parquet_files(path)
+    file list — metadata only, no data pages. The listing is
+    recursive, so Hive-partitioned layouts work: requested columns
+    that are partition keys get rows from the path components."""
+    files = list_parquet_files(path, spark)
     if not files:
         raise ValueError(f"no parquet files under {path}")
     file_df = spark.createDataFrame(
         [(f,) for f in files], "file string"
     ).repartition(min(len(files), 64))
-    return _footer_stats(file_df, cols)
+    return _footer_stats(file_df, cols, base=path)
 
 
 def update_manifest(
@@ -116,7 +198,7 @@ def update_manifest(
     dropped. Equivalent to a full rebuild (pinned in tests) at the
     cost of footer-reading just the delta — the property that makes a
     manifest viable on a table receiving thousands of appends a day."""
-    on_disk = set(list_parquet_files(path))
+    on_disk = set(list_parquet_files(path, spark))
     known = {r["file"] for r in manifest.select("file").distinct().collect()}
     new_files = sorted(on_disk - known)
     if on_disk:
@@ -126,19 +208,22 @@ def update_manifest(
         kept = manifest.where(F.lit(False))
     if not new_files:
         return kept
-    fresh = build_stats_manifest_for_files(spark, new_files, cols)
+    fresh = build_stats_manifest_for_files(spark, new_files, cols, base=path)
     return kept.unionByName(fresh)
 
 
 def build_stats_manifest_for_files(
-    spark: SparkSession, files: list[str], cols: list[str]
+    spark: SparkSession,
+    files: list[str],
+    cols: list[str],
+    base: str | None = None,
 ) -> DataFrame:
     """build_stats_manifest over an explicit file list (the
     incremental-update entry point)."""
     if not files:
         raise ValueError("empty file list")
     tmp = spark.createDataFrame([(f,) for f in files], "file string")
-    return _footer_stats(tmp.repartition(min(len(files), 64)), cols)
+    return _footer_stats(tmp.repartition(min(len(files), 64)), cols, base=base)
 
 
 def prune_files(
@@ -175,18 +260,31 @@ def pruned_scan(
     spark: SparkSession,
     manifest: DataFrame,
     predicates: dict[str, tuple[float, float]],
+    base_path: str | None = None,
 ) -> DataFrame:
     """Scan only the files the manifest cannot rule out, then re-apply
     the exact predicate — identical results to the full scan, touching
-    a subset of files. Returns an empty-but-typed frame when every
-    file prunes away is not needed here: at least one file always
-    survives a consistent predicate, and callers with impossible
-    predicates get the correctly-empty result from the re-applied
-    filter."""
+    a subset of files. A consistent range predicate that lies entirely
+    outside the data domain (e.g. x in [250, 300] when max(x)=199)
+    legitimately prunes EVERY file; in that case we return an
+    empty-but-typed frame by reading the schema of one manifest file
+    under a false filter, so callers see the same (empty) result the
+    full scan would produce.
+
+    ``base_path`` (the table root) makes Hive-partitioned layouts
+    work: Spark's ``basePath`` option re-derives the partition
+    columns from the leaf-file paths, so the pruned scan's schema
+    matches the full table's."""
     files = prune_files(manifest, predicates)
+    reader = spark.read
+    if base_path:
+        reader = reader.option("basePath", base_path)
     if not files:
-        raise ValueError("every file pruned away — check the predicates")
-    df = spark.read.parquet(*files)
+        any_file = manifest.select("file").first()
+        if any_file is None:
+            raise ValueError("empty manifest — build it first")
+        return reader.parquet(any_file["file"]).where(F.lit(False))
+    df = reader.parquet(*files)
     for c, (lo, hi) in predicates.items():
         df = df.where((F.col(c) >= lo) & (F.col(c) <= hi))
     return df

@@ -59,8 +59,14 @@ def materialize(
             # the conf expects checkpoints to land under THAT dir, not
             # wherever an earlier caller pointed the shared context.
             cur = sc.getCheckpointDir()
-            want = ckdir.removeprefix("file:")
-            if cur is None or not cur.removeprefix("file:").startswith(want):
+            want = ckdir.removeprefix("file:").rstrip("/")
+            cur_path = (
+                None if cur is None else cur.removeprefix("file:").rstrip("/")
+            )
+            # Component-wise prefix: /tmp/ck-old must NOT match /tmp/ck.
+            if cur_path is None or not (
+                cur_path == want or cur_path.startswith(want + "/")
+            ):
                 sc.setCheckpointDir(ckdir)
         elif sc.getCheckpointDir() is None:
             raise ValueError(

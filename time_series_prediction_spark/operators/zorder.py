@@ -73,12 +73,26 @@ def zorder_code(
     top = (1 << bits) - 1
     for c in cols:
         mn, mx = stats[f"_mn_{c}"], stats[f"_mx_{c}"]
+        if mn is None or mx is None:
+            raise ValueError(
+                f"z-order column {c!r} has no non-null values — "
+                "drop it from the layout key or filter nulls first"
+            )
         span = (mx - mn) or 1.0
-        rank = F.least(
-            F.lit(top).cast("long"),
-            F.floor(
-                (F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * (top + 1)
-            ).cast("long"),
+        # Null values rank at 0: they cluster into the low end of the
+        # curve instead of collapsing the whole row's Morton code to
+        # null (which would dump every such row into one partition
+        # with no stats benefit).
+        rank = F.coalesce(
+            F.least(
+                F.lit(top).cast("long"),
+                F.floor(
+                    (F.col(c).cast("double") - F.lit(mn))
+                    / F.lit(span)
+                    * (top + 1)
+                ).cast("long"),
+            ),
+            F.lit(0).cast("long"),
         )
         out = out.withColumn(f"_zr_{c}", rank)
         rank_cols.append(f"_zr_{c}")

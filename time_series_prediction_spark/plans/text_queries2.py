@@ -814,8 +814,13 @@ def corpus_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "lang",
             "n",
+            # Operands cast to DOUBLE BEFORE multiplying: at the
+            # large-corpus regime (n_l ~ 1e10 → w_l ~ 1e11) a BIGINT
+            # product _budget*_wl exceeds 2^63. The rate only needs a
+            # correctly-rounded ratio, not exact integer products.
             F.expr(
-                "CAST(_budget * _wl AS DOUBLE) / CAST(_wsum * n AS DOUBLE)"
+                "(CAST(_budget AS DOUBLE) * CAST(_wl AS DOUBLE))"
+                " / (CAST(_wsum AS DOUBLE) * CAST(n AS DOUBLE))"
             ).alias("rate"),
         )
     )
@@ -848,10 +853,10 @@ WITH counts AS (
   SELECT lang, count(*) AS n FROM documents GROUP BY lang
 ), rates AS (
   SELECT lang, n,
-         CAST((SELECT CAST(sum(n) AS BIGINT) // {_TEMP_BUDGET_FRAC} FROM counts)
-              * CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS DOUBLE)
-         / CAST((SELECT sum(CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT))
-                 FROM counts) * n AS DOUBLE) AS rate
+         (CAST((SELECT CAST(sum(n) AS BIGINT) // {_TEMP_BUDGET_FRAC} FROM counts) AS DOUBLE)
+              * CAST(CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS DOUBLE))
+         / (CAST((SELECT sum(CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT))
+                 FROM counts) AS DOUBLE) * CAST(n AS DOUBLE)) AS rate
   FROM counts
 ), kept AS (
   SELECT d.lang, CAST(count(*) AS BIGINT) AS n_sampled
