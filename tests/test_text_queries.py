@@ -152,6 +152,84 @@ def test_simhash_separates_near_dups_from_random_pairs(spark, sf_dir):
     assert near_mean < far_mean * 0.6, f"near={near_mean:.1f} far={far_mean:.1f}"
 
 
+def test_simhash_blocking_plan_scales():
+    """Plan math: fixture scale degenerates to the classic four 16-bit
+    words; web scale widens keys so EXPECTED bucket membership
+    n / 2^key_bits stays bounded instead of growing linearly."""
+    import math
+
+    from time_series_prediction_spark.operators.dedup import (
+        simhash_blocking_plan,
+    )
+
+    assert simhash_blocking_plan(60_000) == (4, [(0,), (1,), (2,), (3,)])
+    for n in (10**8, 10**10, 10**12):
+        m, combos = simhash_blocking_plan(n)
+        key_bits = (m - 3) * (64 // m)
+        assert n / 2.0**key_bits <= 1024, (n, m)
+        assert len(combos) == math.comb(m, 3)
+        assert all(len(c) == m - 3 for c in combos)
+
+
+def test_simhash_adaptive_banding_same_pairs_and_bounded_buckets(
+    spark, sf_dir
+):
+    """Forcing the web-scale plan (as if the corpus were 1e11 docs,
+    i.e. a >100× skew vs the actual rows) on fixture data must (a)
+    still find every planted exact duplicate and the identical
+    Hamming≤3 pair set as the small-corpus plan — the pigeonhole
+    guarantee — and (b) keep max observed bucket membership at the
+    duplicate multiplicity, not corpus-sized."""
+    from time_series_prediction_spark.operators.dedup import (
+        _block_key_expr,
+        simhash_blocking_plan,
+    )
+
+    base = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .limit(200)
+    )
+    planted = base.limit(30).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    docs = base.unionByName(planted)
+    small = dedup.simhash_near_pairs(docs, n_docs=230)
+    big = dedup.simhash_near_pairs(docs, n_docs=10**11)
+    s3 = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in small.where("hamming <= 3").collect()
+    }
+    b3 = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in big.where("hamming <= 3").collect()
+    }
+    assert s3 == b3
+    planted_pairs = {
+        (r["doc_id"], r["doc_id"] + 1_000_000) for r in base.limit(30).collect()
+    }
+    assert planted_pairs <= b3
+    # bucket membership under the forced web-scale plan
+    m, combos = simhash_blocking_plan(10**11)
+    assert m > 4
+    sigs = (
+        docs.select("doc_id", dedup.word_shingles().alias("shingles"))
+        .where(F.size("shingles") > 0)
+        .select("doc_id", dedup.simhash64("shingles").alias("sig"))
+    )
+    keys = ", ".join(_block_key_expr("sig", c, m) for c in combos)
+    max_bucket = (
+        sigs.select(
+            F.posexplode(F.expr(f"array({keys})")).alias("word", "word_val")
+        )
+        .groupBy("word", "word_val")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert max_bucket <= 8, max_bucket
+
+
 def test_stratified_sample_deterministic_and_proportional(spark, sf_dir):
     """Hash-threshold sampling: identical resample on re-run, exact
     per-stratum counts recomputable in plain Python from the md5 rule,

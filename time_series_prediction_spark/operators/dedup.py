@@ -223,30 +223,93 @@ def hamming64(a: str, b: str) -> Column:
     return F.expr(f"bit_count({a} ^ {b})")
 
 
+def simhash_blocking_plan(
+    n_docs: int,
+    guarantee_hamming: int = 3,
+    target_bucket: int = 1024,
+) -> tuple[int, list[tuple[int, ...]]]:
+    """Scale-adaptive blocking plan (Manku et al., WWW'07 near-dup
+    detection): split the 64-bit signature into ``m`` blocks and key
+    buckets on every (m - k)-subset of blocks, k = guarantee_hamming.
+    Pigeonhole: two signatures within Hamming distance k differ in at
+    most k blocks, so they AGREE on some (m - k)-subset and are
+    guaranteed to co-bucket — recall within k is exact for any m.
+
+    ``m`` is derived from the corpus size the way pack_documents
+    derives its group count: the smallest m whose key width
+    (m - k) * (64 // m) bits keeps EXPECTED bucket membership
+    n_docs / 2^key_bits at or below ``target_bucket``. At fixture
+    scale this yields m = k + 1 = 4 (the classic four 16-bit words —
+    one block per key, 4 tables); at n_docs ~ 1e11 it yields m = 8
+    (40-bit keys, C(8,3) = 56 tables) — per-bucket membership stays
+    bounded instead of growing linearly with the corpus.
+
+    Returns (m, key combinations)."""
+    if not 1 <= guarantee_hamming <= 8:
+        raise ValueError("guarantee_hamming must be in [1, 8]")
+    from itertools import combinations
+
+    k = guarantee_hamming
+    m = k + 1
+    while m < 16:
+        key_bits = (m - k) * (64 // m)
+        if (2.0 ** key_bits) * target_bucket >= max(n_docs, 1):
+            break
+        m += 1
+    return m, list(combinations(range(m), m - k))
+
+
+def _block_key_expr(sig: str, combo: tuple[int, ...], m: int) -> str:
+    """Pack the combo's block values into one long (widths sum ≤ 63
+    bits for every plan simhash_blocking_plan emits). Block i covers
+    bits [i*w, (i+1)*w) with w = 64 // m; the last block absorbs the
+    remainder."""
+    w = 64 // m
+    parts = []
+    shift = 0
+    for i in reversed(combo):
+        width = 64 - (m - 1) * w if i == m - 1 else w
+        mask = (1 << width) - 1
+        parts.append(
+            f"shiftleft(shiftright({sig}, {i * w}) & {mask}L, {shift})"
+        )
+        shift += width
+    return " | ".join(parts)
+
+
 def simhash_near_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
     max_hamming: int = 8,
+    n_docs: int | None = None,
+    target_bucket: int = 1024,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: block on each of the four 16-bit
-    words of the signature (two docs within Hamming distance 3 share
-    at least one exact word; wider distances trade recall), then exact
-    Hamming filter within buckets."""
+    """Near-dup pairs by SimHash with scale-adaptive banding: block on
+    every (m-3)-subset of the signature's m blocks (m derived from
+    corpus size via simhash_blocking_plan — expected bucket size stays
+    ≤ target_bucket at ANY corpus size), then exact Hamming filter
+    within buckets. Pairs within Hamming distance 3 are always
+    co-bucketed; wider distances (up to ``max_hamming``) are kept when
+    discovered. At fixture scale the plan degenerates to the classic
+    four 16-bit words, so small-corpus results are unchanged.
+
+    ``n_docs`` skips the sizing count when the caller already knows
+    the corpus size."""
+    if n_docs is None:
+        n_docs = df.count()  # narrow count — sizing only
+    m, combos = simhash_blocking_plan(n_docs, 3, target_bucket)
     sigs = (
         df.select(F.col(id_col), word_shingles(text_col, n).alias("shingles"))
         .where(F.size("shingles") > 0)
         .select(F.col(id_col), simhash64("shingles").alias("sig"))
     )
+    keys = ", ".join(_block_key_expr("sig", c, m) for c in combos)
     banded = sigs.select(
         id_col,
         "sig",
-        F.posexplode(
-            F.expr(
-                "transform(sequence(0, 3), w -> shiftright(sig, w * 16) & 65535L)"
-            )
-        ).alias("word", "word_val"),
+        F.posexplode(F.expr(f"array({keys})")).alias("word", "word_val"),
     )
     banded = materialize(banded)  # the 64-bit vote fold feeds BOTH join sides
     a = banded.alias("a")
