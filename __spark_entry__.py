@@ -30,6 +30,7 @@ def _all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], 
     # module must fail loudly here, not silently shrink the declared
     # query surface
     from time_series_prediction_spark.plans.flagship import cashflow_wide_summary
+    from time_series_prediction_spark.plans.layout_queries import LAYOUT_QUERIES
     from time_series_prediction_spark.plans.rangejoin_queries import RANGEJOIN_QUERIES
     from time_series_prediction_spark.plans.relational2 import RELATIONAL2_QUERIES
     from time_series_prediction_spark.plans.relational3 import RELATIONAL3_QUERIES
@@ -59,6 +60,7 @@ def _all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], 
     registry.update(WINDOW_QUERIES)
     registry.update(WAREHOUSE_QUERIES)
     registry.update(RANGEJOIN_QUERIES)
+    registry.update(LAYOUT_QUERIES)
     # wide-array pipeline: statsmodels-parity trend + sequential-fold
     # extrapolation are not ANSI-SQL-expressible → rows-only check;
     # the registry form projects the forecast array to scalar endpoints

@@ -172,6 +172,47 @@ def test_pruned_scan_equals_full_scan_randomized(spark, layout):
     man.unpersist()
 
 
+def test_events_layout_pruned_scan_reads_fewer_files(spark):
+    """Registry query events_layout_pruned_scan: the pruned frame's
+    inputFiles must be a strict subset of the layout's files (the
+    layout lever is actually engaged, not just correct), and the
+    result must match the plain full-table query."""
+    from time_series_prediction_spark.plans.layout_queries import (
+        _PRED,
+        _manifest_for,
+        events_layout_pruned_scan,
+        events_zorder_layout,
+    )
+    from time_series_prediction_spark.sources.io import read_table
+
+    sf_dir = "/root/testdata/sf0.01"
+    layout = events_zorder_layout(spark, sf_dir)
+    pruned = pruned_scan(
+        spark, _manifest_for(spark, layout), _PRED, base_path=layout
+    )
+    n_read = len(pruned.inputFiles())
+    n_total = len(list_parquet_files(layout, spark))
+    assert 0 < n_read < n_total, (n_read, n_total)
+    got = {
+        (r["event_type"], r["n_events"], r["total_cents"])
+        for r in events_layout_pruned_scan(spark, sf_dir).collect()
+    }
+    want = {
+        (r["event_type"], r["n_events"], r["total_cents"])
+        for r in read_table(spark, sf_dir, "events")
+        .where(F.col("user_id").between(3, 9) & F.col("value").between(25, 75))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias(
+                "total_cents"
+            ),
+        )
+        .collect()
+    }
+    assert got == want and got
+
+
 def test_incremental_update_equals_rebuild(spark, tmp_path):
     """Append new files + delete an old one, update incrementally,
     compare to a from-scratch rebuild: identical manifests, and only

@@ -1,0 +1,117 @@
+"""Storage-layout queries: the Z-order + file-stats-manifest levers
+(operators/zorder.py, operators/manifest.py) surfaced as oracle-backed
+registry queries, so the driver gate exercises the round-4 layout work
+end-to-end, not only pytest.
+
+Beyond-reference scope (the reference writes whatever order the
+shuffle produced — ``src/demo/training.py:70-90``). The query:
+
+1. materializes a Z-ordered copy of the events table (once per
+   fixture content — the layout dir is keyed by the source parquet's
+   identity, so a regenerated fixture rebuilds it);
+2. builds the footer-stats manifest over the layout;
+3. answers a selective range predicate through ``pruned_scan`` —
+   reading ONLY the files whose stats overlap the predicate — and
+   aggregates.
+
+Correctness: the pruned scan re-applies the exact predicate, so the
+result is identical to the full-table query DuckDB runs (the oracle
+never sees the layout). The pruning itself (fewer files actually
+read) is plan-asserted in tests/test_manifest.py via ``inputFiles``.
+
+100 TB shape: the write is one range-repartition shuffle paid once;
+every subsequent query skips most files via footer stats exactly the
+way Delta/Iceberg data-skipping does — no format dependency.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from time_series_prediction_spark.operators.manifest import (
+    build_stats_manifest,
+    pruned_scan,
+)
+from time_series_prediction_spark.operators.materialize import materialize
+from time_series_prediction_spark.operators.zorder import write_zordered
+from time_series_prediction_spark.sources.io import read_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# predicate chosen to be non-empty at every fixture scale (user_id
+# domains grow with sf; 3..9 exists from sf0.001 up)
+_PRED = {"user_id": (3.0, 9.0), "value": (25.0, 75.0)}
+_ZCOLS = ["user_id", "value"]
+_N_FILES = 16
+
+# manifest cache: the layout is immutable per path, so the footer
+# stats are too — materialize once per (session, path)
+_MANIFEST_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def events_zorder_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Z-ordered copy of events under the system temp dir, built at
+    most once per fixture content: the dir name is keyed by the source
+    file's (path, size, mtime) identity, and a completed write is
+    detected via parquet's _SUCCESS marker."""
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    key = f"{abs(hash((os.path.abspath(src), st.st_size, st.st_mtime_ns))):x}"
+    path = os.path.join(
+        tempfile.gettempdir(), "tsp_layouts", f"events_z_{key}"
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        ev = read_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        write_zordered(ev, path, _ZCOLS, n_files=_N_FILES)
+    return path
+
+
+def _manifest_for(spark: SparkSession, path: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, path)
+    man = _MANIFEST_CACHE.get(key)
+    if man is None:
+        man = materialize(build_stats_manifest(spark, path, _ZCOLS))
+        _MANIFEST_CACHE[key] = man
+    return man
+
+
+def events_layout_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective range aggregate answered through the Z-order layout +
+    stats manifest: scan only the files whose footer stats overlap
+    (user_id ∈ [3, 9], value ∈ [25, 75]), re-apply the exact
+    predicate, aggregate per event_type. Result is identical to the
+    full-table scan (the oracle runs on the raw events parquet)."""
+    layout = events_zorder_layout(spark, sf_dir)
+    man = _manifest_for(spark, layout)
+    df = pruned_scan(spark, man, _PRED, base_path=layout)
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias(
+            "total_cents"
+        ),
+    )
+
+
+EVENTS_LAYOUT_PRUNED_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events
+WHERE user_id BETWEEN 3 AND 9 AND value BETWEEN 25 AND 75
+GROUP BY event_type
+"""
+
+
+LAYOUT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "events_layout_pruned_scan": (
+        events_layout_pruned_scan,
+        EVENTS_LAYOUT_PRUNED_SQL,
+    ),
+}
