@@ -334,6 +334,77 @@ def test_ivfpq_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.55, f"IVF-PQ recall@5 {recall:.2f}"
 
 
+def test_residual_adc_score_matches_numpy(spark, sf_dir):
+    """Residual IVF-PQ scoring (q·cent_c + ADC over residual codes)
+    must equal the numpy recomputation pair-for-pair."""
+    emb = read_table(spark, sf_dir, "embeddings").limit(80)
+    queries = emb.where(F.col("vec_id") < 3)
+    cents = similarity.ivf_centroids(emb, n_cells=4, n_iters=1)
+    books = similarity.pq_codebooks(
+        emb, n_sub=8, n_codes=8, n_iters=1, centroids=cents
+    )
+    got = similarity.pq_adc_candidates(
+        emb, queries, books, centroids=cents, nprobe=4, residual=True
+    ).collect()
+    assert got
+    corpus = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    unit = similarity._unit_centroid_mat(cents)
+    sub_dim = books.shape[2]
+    for r in got:
+        qv, cv = corpus[r["query_id"]], corpus[r["corpus_id"]]
+        qn = qv / (np.linalg.norm(qv) or 1.0)
+        cn = cv / (np.linalg.norm(cv) or 1.0)
+        cos = cn @ unit
+        cell = int(np.lexsort((np.arange(len(cos)), -cos))[0])
+        resid = cn - unit.T[cell]
+        want = float(qn @ unit.T[cell])
+        for m in range(books.shape[0]):
+            sub = resid[m * sub_dim : (m + 1) * sub_dim]
+            code = int(np.argmin(((sub[None, :] - books[m]) ** 2).sum(axis=1)))
+            want += float(books[m][code] @ qn[m * sub_dim : (m + 1) * sub_dim])
+        assert abs(r["adc_score"] - want) < 1e-9
+
+
+def test_residual_pq_beats_raw_on_clustered_data(spark):
+    """The point of residual encoding (Jégou et al. IVF-PQ): on data
+    with coarse-quantizer structure, residual codebooks quantize finer
+    at identical code size. Fully seeded → deterministic: residual
+    ADC-only recall must beat raw ADC-only recall on a clustered
+    synthetic corpus. (The embeddings FIXTURE is near-iid-random — the
+    degenerate case where centroids carry no signal — so the registry
+    query keeps raw encoding there; measured 0.80 raw vs 0.76 residual
+    at sf0.1 with rerank.)"""
+    rng = np.random.RandomState(7)
+    dim, n_clusters, per = 64, 12, 150
+    centers = rng.randn(n_clusters, dim)
+    centers /= np.linalg.norm(centers, axis=1)[:, None]
+    vecs = np.repeat(centers, per, axis=0) + 0.15 * rng.randn(
+        n_clusters * per, dim
+    )
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.where(F.col("vec_id") % 150 < 2)
+    exact = similarity.cosine_topk(emb, queries, k=5)
+    e = {(r["query_id"], r["corpus_id"]) for r in exact.collect()}
+    cents = similarity.ivf_centroids(emb, n_cells=12, n_iters=3)
+    recalls = {}
+    for res in (False, True):
+        books = similarity.pq_codebooks(
+            emb, n_sub=8, n_codes=16, n_iters=3,
+            centroids=cents if res else None,
+        )
+        got = similarity.pq_ann_topk(
+            emb, queries, k=5, books=books, centroids=cents,
+            nprobe=12, residual=res,
+        )
+        g = {(r["query_id"], r["corpus_id"]) for r in got.collect()}
+        recalls[res] = len(e & g) / len(e)
+    assert recalls[True] > recalls[False], recalls
+
+
 def test_pq_adc_score_matches_lut_sum(spark, sf_dir):
     """The native zip_with ADC expression must equal the numpy
     LUT-sum for every (query, corpus) pair scored."""

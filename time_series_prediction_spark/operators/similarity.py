@@ -513,6 +513,18 @@ def ivf_ann_topk(
 _PQ_CODEBOOK_CACHE: dict[tuple, np.ndarray] = {}
 
 
+def _residualize(matn: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """Residuals of unit-normalized vectors to their nearest (cosine,
+    ties → lowest id) UNIT coarse centroid — the quantity IVF-PQ
+    encodes. Matches pq_encode_cells_udf's cell assignment exactly."""
+    unit = _unit_centroid_mat(centroids)
+    cos = matn @ unit
+    order = np.lexsort(
+        (np.arange(cos.shape[1])[None, :].repeat(len(matn), 0), -cos), axis=1
+    )
+    return matn - unit.T[order[:, 0]]
+
+
 def pq_codebooks(
     corpus: DataFrame,
     n_sub: int = 16,
@@ -523,6 +535,7 @@ def pq_codebooks(
     seed: int = 42,
     cache_key: str | None = None,
     train_sample: int | None = None,
+    centroids: np.ndarray | None = None,
 ) -> np.ndarray:
     """Train PQ codebooks: (n_sub, n_codes, sub_dim) sub-centroids via
     per-subspace Lloyd on UNIT-NORMALIZED vectors (so summed partial
@@ -546,9 +559,19 @@ def pq_codebooks(
 
     Init mirrors ivf_centroids: the n_codes seeded-hash-smallest
     vectors seed every subspace's codebook (identical in both paths —
-    they are the first n_codes rows of the hash-ordered sample)."""
+    they are the first n_codes rows of the hash-ordered sample).
+
+    With ``centroids`` given, codebooks are trained on RESIDUALS to
+    the nearest coarse centroid (standard IVF-PQ, Jégou et al. 2011):
+    residual magnitudes are much smaller than raw coordinates, so the
+    same code budget quantizes finer — better recall at identical code
+    size. The caller must then encode/score residuals too
+    (pq_adc_candidates residual mode)."""
     memo = (
-        (cache_key, n_sub, n_codes, n_iters, vec_col, id_col, seed, train_sample)
+        (
+            cache_key, n_sub, n_codes, n_iters, vec_col, id_col, seed,
+            train_sample, centroids is not None,
+        )
         if cache_key is not None
         else None
     )
@@ -562,6 +585,8 @@ def pq_codebooks(
         vn = np.linalg.norm(mat, axis=1)
         vn[vn == 0] = 1.0
         mat = mat / vn[:, None]
+        if centroids is not None:
+            mat = _residualize(mat, centroids)
         books = _pq_books_init(mat[:n_codes], n_sub)
         sub_dim = books.shape[2]
         for _ in range(n_iters):
@@ -590,10 +615,12 @@ def pq_codebooks(
     vn = np.linalg.norm(init, axis=1)
     vn[vn == 0] = 1.0
     init = init / vn[:, None]
+    if centroids is not None:
+        init = _residualize(init, centroids)
     books = _pq_books_init(init, n_sub)
 
     for _ in range(n_iters):
-        stats = _pq_partials(df, books).collect()
+        stats = _pq_partials(df, books, centroids).collect()
         sums = np.zeros_like(books)
         counts = np.zeros((n_sub, n_codes))
         for r in sorted(stats, key=lambda r: (r["sub"], r["cell"], r["part_id"])):
@@ -621,11 +648,14 @@ def _pq_books_init(init_unit: np.ndarray, n_sub: int) -> np.ndarray:
     )
 
 
-def _pq_partials(df: DataFrame, books: np.ndarray) -> DataFrame:
+def _pq_partials(
+    df: DataFrame, books: np.ndarray, centroids: np.ndarray | None = None
+) -> DataFrame:
     """One fused PQ-Lloyd scan: per partition, assign every vector's
     n_sub sub-vectors to their nearest sub-centroids (Euclidean,
     ties → lowest code, matching pq_encode_udf) and emit per-(sub,
-    cell) partial sums. ≤ partitions · n_sub · n_codes output rows."""
+    cell) partial sums. ≤ partitions · n_sub · n_codes output rows.
+    With ``centroids``, trains on coarse-centroid residuals."""
     n_sub, n_codes, sub_dim = books.shape
 
     def part(batches):
@@ -642,6 +672,8 @@ def _pq_partials(df: DataFrame, books: np.ndarray) -> DataFrame:
             vn = np.linalg.norm(mat, axis=1)
             vn[vn == 0] = 1.0
             mat = mat / vn[:, None]
+            if centroids is not None:
+                mat = _residualize(mat, centroids)
             for m in range(n_sub):
                 sub = mat[:, m * sub_dim : (m + 1) * sub_dim]
                 # B × n_codes squared distances; argmin ties → lowest code
@@ -730,14 +762,21 @@ def _unit_centroid_mat(centroids: np.ndarray) -> np.ndarray:
     return (centroids / norms[:, None]).T
 
 
-def pq_encode_cells_udf(books: np.ndarray, centroids: np.ndarray):
+def pq_encode_cells_udf(
+    books: np.ndarray, centroids: np.ndarray, residual: bool = False
+):
     """Fused corpus-side UDF: vector → struct(code: array<int>,
     cell: int) — PQ codes AND the IVF cell in ONE Arrow pass. The
     vectors are the expensive thing to move into Python; computing
     both outputs per batch halves the corpus-side UDF stages vs
     separate encode + assign passes (measured 1.7 s → 0.8 s at
     sf0.1). Cell assignment reproduces nearest_cells_udf exactly
-    (cosine, ties → lowest cell id); codes reproduce pq_encode_udf."""
+    (cosine, ties → lowest cell id); codes reproduce pq_encode_udf.
+
+    ``residual=True`` (standard IVF-PQ) encodes the vector's residual
+    to its assigned UNIT centroid instead of the raw subvectors —
+    requires residual-trained ``books`` (pq_codebooks with
+    centroids)."""
     n_sub, n_codes, sub_dim = books.shape
     unit = _unit_centroid_mat(centroids)
 
@@ -749,16 +788,17 @@ def pq_encode_cells_udf(books: np.ndarray, centroids: np.ndarray):
         vn = np.linalg.norm(mat, axis=1)
         vn[vn == 0] = 1.0
         matn = mat / vn[:, None]
-        codes = np.empty((len(mat), n_sub), dtype=np.int32)
-        for m in range(n_sub):
-            sub = matn[:, m * sub_dim : (m + 1) * sub_dim]
-            d2 = ((sub[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
-            codes[:, m] = np.argmin(d2, axis=1)
         cos = matn @ unit
         order = np.lexsort(
             (np.arange(cos.shape[1])[None, :].repeat(len(mat), 0), -cos),
             axis=1,
         )
+        enc = matn - unit.T[order[:, 0]] if residual else matn
+        codes = np.empty((len(mat), n_sub), dtype=np.int32)
+        for m in range(n_sub):
+            sub = enc[:, m * sub_dim : (m + 1) * sub_dim]
+            d2 = ((sub[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+            codes[:, m] = np.argmin(d2, axis=1)
         return pd.DataFrame(
             {"code": list(codes), "cell": order[:, 0].astype(np.int32)}
         )
@@ -768,17 +808,25 @@ def pq_encode_cells_udf(books: np.ndarray, centroids: np.ndarray):
 
 def pq_lut_cells_udf(books: np.ndarray, centroids: np.ndarray, nprobe: int):
     """Fused query-side UDF: vector → struct(lut: array<array<double>>,
-    cells: array<int>) — the ADC lookup table AND the nprobe probed
-    cells in one Arrow pass (same fusion rationale as
-    pq_encode_cells_udf)."""
+    cells: array<int>, biases: array<double>) — the ADC lookup table,
+    the nprobe probed cells, AND the per-cell score bias q·centroid in
+    one Arrow pass (same fusion rationale as pq_encode_cells_udf).
+
+    The bias is what residual scoring needs: with x ≈ cent_c + r̂,
+    q·x ≈ q·cent_c + Σ_m lut[m][code_m]. Raw (non-residual) scoring
+    simply ignores the biases column — the LUT itself is identical in
+    both modes (books @ query subvectors)."""
     n_sub, n_codes, sub_dim = books.shape
     unit = _unit_centroid_mat(centroids)
     np_probe = min(nprobe, len(centroids))
 
-    @pandas_udf("struct<lut: array<array<double>>, cells: array<int>>")
+    @pandas_udf(
+        "struct<lut: array<array<double>>, cells: array<int>, "
+        "biases: array<double>>"
+    )
     def _lut(vecs: pd.Series) -> pd.DataFrame:
         if len(vecs) == 0:
-            return pd.DataFrame({"lut": [], "cells": []})
+            return pd.DataFrame({"lut": [], "cells": [], "biases": []})
         mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
         vn = np.linalg.norm(mat, axis=1)
         vn[vn == 0] = 1.0
@@ -795,8 +843,14 @@ def pq_lut_cells_udf(books: np.ndarray, centroids: np.ndarray, nprobe: int):
             (np.arange(cos.shape[1])[None, :].repeat(len(mat), 0), -cos),
             axis=1,
         )
+        probed = order[:, :np_probe]
+        biases = np.take_along_axis(cos, probed, axis=1)
         return pd.DataFrame(
-            {"lut": luts, "cells": list(order[:, :np_probe].astype(np.int32))}
+            {
+                "lut": luts,
+                "cells": list(probed.astype(np.int32)),
+                "biases": [list(map(float, b)) for b in biases],
+            }
         )
 
     return _lut
@@ -810,6 +864,7 @@ def pq_adc_candidates(
     id_col: str = "vec_id",
     centroids: np.ndarray | None = None,
     nprobe: int = 4,
+    residual: bool = False,
 ) -> DataFrame:
     """ADC-scored candidate pairs (query_id, corpus_id, adc_score).
 
@@ -826,6 +881,8 @@ def pq_adc_candidates(
     score = F.expr(
         "aggregate(zip_with(code, lut, (cd, row) -> row[cd]), 0D, (a, v) -> a + v)"
     )
+    if residual and centroids is None:
+        raise ValueError("residual ADC requires coarse centroids")
     if centroids is None:
         c = corpus.select(
             F.col(id_col).alias("corpus_id"),
@@ -840,7 +897,9 @@ def pq_adc_candidates(
         ).select("query_id", "corpus_id", score.alias("adc_score"))
     c = corpus.select(
         F.col(id_col).alias("corpus_id"),
-        pq_encode_cells_udf(books, centroids)(F.col(vec_col)).alias("_s"),
+        pq_encode_cells_udf(books, centroids, residual=residual)(
+            F.col(vec_col)
+        ).alias("_s"),
     ).select("corpus_id", F.col("_s.code").alias("code"), F.col("_s.cell").alias("cell"))
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -848,12 +907,20 @@ def pq_adc_candidates(
     ).select(
         "query_id",
         F.col("_s.lut").alias("lut"),
-        F.explode(F.col("_s.cells")).alias("cell"),
+        F.explode(
+            F.arrays_zip(F.col("_s.cells").alias("cell"), F.col("_s.biases").alias("bias"))
+        ).alias("_cb"),
+    ).select(
+        "query_id",
+        "lut",
+        F.col("_cb.cell").alias("cell"),
+        F.col("_cb.bias").alias("bias"),
     )
+    final_score = (F.col("bias") + score) if residual else score
     return (
         c.join(F.broadcast(q), ["cell"])
         .where(F.col("corpus_id") != F.col("query_id"))
-        .select("query_id", "corpus_id", score.alias("adc_score"))
+        .select("query_id", "corpus_id", final_score.alias("adc_score"))
     )
 
 
@@ -875,6 +942,7 @@ def pq_ann_topk(
     ivf_iters: int = 2,
     centroids: np.ndarray | None = None,
     train_sample: int | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """PQ-compressed approximate top-k by ADC scan, optionally refined
     by an exact re-rank of the ADC shortlist (``rerank`` = oversample
@@ -899,23 +967,31 @@ def pq_ann_topk(
     only its ``nprobe`` probed cells. That caps the scanned candidates
     at ~corpus·nprobe/n_cells per query — the flat-ADC full scan is
     gone, which is what survives a billion-vector corpus. nprobe =
-    n_cells degenerates to the flat scan (pinned in tests)."""
-    if books is None:
-        books = pq_codebooks(
-            corpus, n_sub=n_sub, n_codes=n_codes, n_iters=n_iters,
-            vec_col=vec_col, id_col=id_col, seed=seed, cache_key=cache_key,
-            train_sample=train_sample,
-        )
+    n_cells degenerates to the flat scan (pinned in tests).
+
+    ``residual=True`` (standard IVF-PQ; requires the coarse quantizer)
+    trains the codebooks on coarse-centroid residuals and scores
+    q·cent_c + ADC(residual) — better recall at identical code size,
+    since residual magnitudes are far smaller than raw coordinates."""
+    if residual and n_cells is None and centroids is None:
+        raise ValueError("residual PQ requires n_cells or centroids")
     if centroids is None and n_cells is not None:
         centroids = ivf_centroids(
             corpus, n_cells=n_cells, n_iters=ivf_iters,
             vec_col=vec_col, id_col=id_col, seed=seed, cache_key=cache_key,
             train_sample=train_sample,
         )
+    if books is None:
+        books = pq_codebooks(
+            corpus, n_sub=n_sub, n_codes=n_codes, n_iters=n_iters,
+            vec_col=vec_col, id_col=id_col, seed=seed, cache_key=cache_key,
+            train_sample=train_sample,
+            centroids=centroids if residual else None,
+        )
     scored = pq_adc_candidates(
         corpus, queries, books,
         vec_col=vec_col, id_col=id_col,
-        centroids=centroids, nprobe=nprobe,
+        centroids=centroids, nprobe=nprobe, residual=residual,
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("adc_score"), F.asc("corpus_id")
