@@ -29,7 +29,10 @@ def _all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], 
     # imports intentionally NOT wrapped in try/except: a broken plans
     # module must fail loudly here, not silently shrink the declared
     # query surface
-    from time_series_prediction_spark.plans.flagship import cashflow_wide_summary
+    from time_series_prediction_spark.plans.flagship import (
+        cashflow_scoring_pipeline,
+        cashflow_wide_summary,
+    )
     from time_series_prediction_spark.plans.layout_queries import LAYOUT_QUERIES
     from time_series_prediction_spark.plans.rangejoin_queries import RANGEJOIN_QUERIES
     from time_series_prediction_spark.plans.relational2 import RELATIONAL2_QUERIES
@@ -66,6 +69,10 @@ def _all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], 
     # the registry form projects the forecast array to scalar endpoints
     # (canonicalizers hash scalar cells only)
     registry["cashflow_wide_pipeline"] = (cashflow_wide_summary, None)
+    # S.1→S.3+E.2 scoring lifecycle (pre_process → pandas_udf scoring →
+    # post_process → distributed R²): the scoring stage is a pandas_udf
+    # → rows-only; quality ordering pinned in tests/test_model_scoring.py
+    registry["cashflow_scoring_pipeline"] = (cashflow_scoring_pipeline, None)
     return registry
 
 

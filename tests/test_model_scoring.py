@@ -51,6 +51,25 @@ def test_last_value_model_beats_zero_model_on_r2(spark):
     assert out["last"] > out["zero"]
 
 
+def test_cashflow_scoring_pipeline_registry_shape(spark, sf_dir):
+    """The registry e2e (S.1→S.3 + E.2 on the events fixture): one
+    row, every series that passed cleaning scored, finite metrics,
+    and run-to-run determinism."""
+    import math
+
+    from time_series_prediction_spark.plans.flagship import (
+        cashflow_scoring_pipeline,
+    )
+
+    a = cashflow_scoring_pipeline(spark, sf_dir).collect()
+    b = cashflow_scoring_pipeline(spark, sf_dir).collect()
+    assert len(a) == 1
+    row = a[0]
+    assert row["n_series"] > 0
+    assert math.isfinite(row["r2_horizon"]) and math.isfinite(row["r2_3day"])
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
 def test_keras_factory_raises_without_tf(spark):
     raw = generate_series_frame(spark, 5, seed=1)
     pre = pre_processing(clean_series(raw), "2020-03-31", serving=True)

@@ -64,6 +64,72 @@ def cashflow_wide_pipeline(
     )
 
 
+def cashflow_scoring_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    x_days: int = 14,
+    y_days: int = 7,
+    freq: int = 7,
+    threshold_count: int = 5,
+) -> DataFrame:
+    """The reference's FULL scoring lifecycle S.1 → S.3 + E.2 (SURVEY
+    §3.3; reference ``notebooks/scoring.py:184-488``) as one registry
+    query: events → wide per-user series → clean (native keep_ts
+    predicate) → pre_processing (trend/detrend/scale/get_X/get_y,
+    evaluation mode) → iterator-pandas_udf scoring with the
+    last-value persistence model → post_processing (rescale +
+    as-shipped no-op retrend) → Spark-native R² (reference
+    ``metric_extraction``, utils.py:502-538, computed distributed
+    instead of toPandas).
+
+    Horizons are scaled to the fixture (series are 21-30 days):
+    X = 14 days, y = 7 days, R² at the full horizon and at 3 days.
+    Rows-only driver check — the pandas_udf scoring stage is not
+    ANSI-SQL-expressible; model-quality ordering (last-value beats
+    zero model) is pinned in tests/test_model_scoring.py."""
+    from time_series_prediction_spark.model.scoring import (
+        last_value_model_factory,
+        score_dataframe,
+    )
+    from time_series_prediction_spark.plans.preprocess import (
+        clean_series,
+        post_processing,
+        pre_processing,
+        r2_metrics,
+    )
+
+    long_df = daily_series(spark, sf_dir).select(
+        "user_id", "day", (F.col("cents") / 100.0).alias("value")
+    )
+    wide = long_to_wide(
+        long_df,
+        id_col="user_id",
+        ds_col="day",
+        value_col="value",
+        out_date="days",
+        out_value="balance",
+    ).where(F.size("balance") >= x_days + y_days)
+    cleaned = clean_series(wide, threshold_count=threshold_count)
+    pre = pre_processing(
+        cleaned,
+        end_date="2024-01-01",
+        serving=False,
+        freq=freq,
+        x_days=x_days,
+        y_days=y_days,
+        trend_window_days=freq,
+    )
+    scored = score_dataframe(
+        pre, last_value_model_factory(y_days), horizon=y_days
+    )
+    post = post_processing(scored)
+    return r2_metrics(post, y_days=y_days, one_month_days=3).select(
+        F.col("r2_3month").alias("r2_horizon"),
+        F.col("r2_1month").alias("r2_3day"),
+        F.col("n_series").cast("long").alias("n_series"),
+    )
+
+
 def cashflow_wide_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry-facing scalar projection of cashflow_wide_pipeline:
     result canonicalizers hash scalar cells, so the forecast array is
