@@ -644,23 +644,38 @@ def corpus_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary; this shuffles ≤200 candidate tokens. The candidate
     list crosses the driver but is bounded at 1/support items by the
     algorithm (same bounded-collect justification as IVF centroids).
-    """
+
+    TWO corpus scans total: freqItems, then ONE fused aggregation that
+    counts each candidate AND the grand token total together (every
+    non-candidate token collapses into a sentinel group, so the total
+    is just sum(n) over ≤1/support+1 grouped rows — no separate
+    count() pass)."""
     docs = read_table(spark, sf_dir, "documents")
     toks = docs.select(
         F.explode(F.split(F.col("text"), " ")).alias("token")
     ).where(F.col("token") != "")
-    total = toks.count()
     support = 1.0 / HH_SUPPORT_DEN
     cands = toks.freqItems(["token"], support=support).collect()[0][0]
+    # "" is safe as the non-candidate sentinel: empty tokens are
+    # filtered out of `toks` above
+    grouped = toks.groupBy(
+        F.when(F.col("token").isin(list(cands)), F.col("token"))
+        .otherwise(F.lit(""))
+        .alias("token")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    wtot = Window.partitionBy()
     return (
-        toks.where(F.col("token").isin(list(cands)))
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .where(F.col("n") * HH_SUPPORT_DEN > F.lit(int(total)))
+        grouped.withColumn("_total", F.sum("n").over(wtot))
+        .where(
+            (F.col("token") != "")
+            & (F.col("n") * HH_SUPPORT_DEN > F.col("_total"))
+        )
         .select(
             "token",
             "n",
-            (F.col("n").cast("double") / float(total)).alias("share"),
+            (F.col("n").cast("double") / F.col("_total").cast("double")).alias(
+                "share"
+            ),
         )
         .orderBy(F.desc("n"), F.asc("token"))
     )
