@@ -242,3 +242,34 @@ def test_incremental_update_equals_rebuild(spark, tmp_path):
     assert u == r
     assert victim not in {t[0] for t in u}
     man0.unpersist()
+
+
+def test_layout_cache_key_stable_across_processes():
+    """The layout dir must be identical from different Python
+    processes: the original implementation keyed it with hash(),
+    which PYTHONHASHSEED salts per process, so every run rebuilt the
+    (expensive) Z-ordered copy instead of hitting the cache."""
+    import os
+    import pathlib
+    import subprocess
+    import sys
+
+    prog = (
+        "from time_series_prediction_spark.plans.layout_queries import "
+        "layout_cache_path; "
+        "print(layout_cache_path('/root/testdata/sf0.001/events.parquet'))"
+    )
+    env = dict(os.environ)
+    outs = set()
+    for seed in ("1", "7"):
+        env["PYTHONHASHSEED"] = seed
+        out = subprocess.run(
+            [sys.executable, "-c", prog],
+            capture_output=True,
+            text=True,
+            env=env,
+            cwd=str(pathlib.Path(__file__).resolve().parent.parent),
+            check=True,
+        ).stdout.strip()
+        outs.add(out)
+    assert len(outs) == 1, outs

@@ -26,6 +26,7 @@ way Delta/Iceberg data-skipping does — no format dependency.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 from collections.abc import Callable
@@ -54,17 +55,26 @@ _N_FILES = 16
 _MANIFEST_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+def layout_cache_path(src: str) -> str:
+    """Stable cache dir for a layout derived from ``src``, keyed by
+    the source file's (path, size, mtime) identity via hashlib — NOT
+    hash(), which PYTHONHASHSEED salts per process and would defeat
+    the cross-process cache, rebuilding the layout on every run."""
+    st = os.stat(src)
+    ident = f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}"
+    key = hashlib.md5(ident.encode()).hexdigest()[:16]
+    return os.path.join(
+        tempfile.gettempdir(), "tsp_layouts", f"events_z_{key}"
+    )
+
+
 def events_zorder_layout(spark: SparkSession, sf_dir: str) -> str:
     """Z-ordered copy of events under the system temp dir, built at
     most once per fixture content: the dir name is keyed by the source
     file's (path, size, mtime) identity, and a completed write is
     detected via parquet's _SUCCESS marker."""
     src = os.path.join(sf_dir, "events.parquet")
-    st = os.stat(src)
-    key = f"{abs(hash((os.path.abspath(src), st.st_size, st.st_mtime_ns))):x}"
-    path = os.path.join(
-        tempfile.gettempdir(), "tsp_layouts", f"events_z_{key}"
-    )
+    path = layout_cache_path(src)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         ev = read_table(spark, sf_dir, "events").select(
             "event_id", "user_id", "event_type", "value"
