@@ -273,3 +273,43 @@ def test_layout_cache_key_stable_across_processes():
         ).stdout.strip()
         outs.add(out)
     assert len(outs) == 1, outs
+
+
+def test_layout_gc_removes_stale_keeps_current(tmp_path):
+    """_gc_stale_layouts: dirs whose recorded source identity no longer
+    matches the file on disk are removed; current layouts (matching
+    _IDENT) and the in-use dir are kept; dirs without _IDENT are
+    stale by construction."""
+    import os
+
+    from time_series_prediction_spark.plans.layout_queries import (
+        _gc_stale_layouts,
+        _layout_ident,
+    )
+
+    root = tmp_path / "layouts"
+    root.mkdir()
+    src = tmp_path / "events.parquet"
+    src.write_bytes(b"x" * 64)
+
+    current = root / "events_z_current"
+    current.mkdir()
+    (current / "_IDENT").write_text(_layout_ident(str(src), os.stat(src)))
+
+    stale = root / "events_z_stale"
+    stale.mkdir()
+    (stale / "_IDENT").write_text(f"{src}|999|123")  # identity mismatch
+
+    no_ident = root / "events_z_legacy"
+    no_ident.mkdir()
+
+    gone_src = root / "events_z_gone"
+    gone_src.mkdir()
+    (gone_src / "_IDENT").write_text(f"{tmp_path/'vanished.parquet'}|1|2")
+
+    in_use = root / "events_z_inuse"
+    in_use.mkdir()  # no _IDENT yet (mid-build) but passed as keep
+
+    _gc_stale_layouts(str(root), keep=str(in_use))
+    left = {p.name for p in root.iterdir()}
+    assert left == {"events_z_current", "events_z_inuse"}, left

@@ -61,18 +61,51 @@ def layout_cache_path(src: str) -> str:
     hash(), which PYTHONHASHSEED salts per process and would defeat
     the cross-process cache, rebuilding the layout on every run."""
     st = os.stat(src)
-    ident = f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}"
+    ident = _layout_ident(src, st)
     key = hashlib.md5(ident.encode()).hexdigest()[:16]
     return os.path.join(
         tempfile.gettempdir(), "tsp_layouts", f"events_z_{key}"
     )
 
 
+def _layout_ident(src: str, st: os.stat_result) -> str:
+    return f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}"
+
+
+def _gc_stale_layouts(root: str, keep: str) -> None:
+    """Remove cached layouts whose recorded source identity no longer
+    matches the file on disk (fixture regenerated → new key → the old
+    dir would otherwise live in the temp dir forever). Each layout
+    records its identity in an ``_IDENT`` file at build time; dirs
+    without one (pre-identity builds) are stale by construction. Never
+    touches ``keep`` (the layout being built/used now)."""
+    import shutil
+
+    try:
+        siblings = os.listdir(root)
+    except OSError:
+        return
+    for name in siblings:
+        d = os.path.join(root, name)
+        if d == keep or not os.path.isdir(d):
+            continue
+        try:
+            with open(os.path.join(d, "_IDENT")) as fh:
+                ident = fh.read().strip()
+            src = ident.split("|", 1)[0]
+            if ident == _layout_ident(src, os.stat(src)):
+                continue  # still current (e.g. another sf dir's layout)
+        except OSError:
+            pass  # unreadable/missing _IDENT or vanished source → stale
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def events_zorder_layout(spark: SparkSession, sf_dir: str) -> str:
     """Z-ordered copy of events under the system temp dir, built at
     most once per fixture content: the dir name is keyed by the source
     file's (path, size, mtime) identity, and a completed write is
-    detected via parquet's _SUCCESS marker."""
+    detected via parquet's _SUCCESS marker. Stale layouts (source
+    regenerated since they were built) are garbage-collected."""
     src = os.path.join(sf_dir, "events.parquet")
     path = layout_cache_path(src)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
@@ -80,6 +113,12 @@ def events_zorder_layout(spark: SparkSession, sf_dir: str) -> str:
             "event_id", "user_id", "event_type", "value"
         )
         write_zordered(ev, path, _ZCOLS, n_files=_N_FILES)
+        _gc_stale_layouts(os.path.dirname(path), keep=path)
+    if not os.path.exists(os.path.join(path, "_IDENT")):
+        # written on build; also adopts a pre-_IDENT cached dir so GC
+        # never evicts a layout that is still current
+        with open(os.path.join(path, "_IDENT"), "w") as fh:
+            fh.write(_layout_ident(src, os.stat(src)))
     return path
 
 
