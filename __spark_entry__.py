@@ -40,6 +40,7 @@ def _all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], 
     from time_series_prediction_spark.plans.relational4 import RELATIONAL4_QUERIES
     from time_series_prediction_spark.plans.text_queries import TEXT_QUERIES
     from time_series_prediction_spark.plans.text_queries2 import TEXT2_QUERIES
+    from time_series_prediction_spark.plans.text_queries3 import TEXT3_QUERIES
     from time_series_prediction_spark.plans.timeseries_queries import (
         TIMESERIES_QUERIES,
     )
@@ -60,6 +61,7 @@ def _all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], 
     registry.update(TIMESERIES2_QUERIES)
     registry.update(TEXT_QUERIES)
     registry.update(TEXT2_QUERIES)
+    registry.update(TEXT3_QUERIES)
     registry.update(WINDOW_QUERIES)
     registry.update(WAREHOUSE_QUERIES)
     registry.update(RANGEJOIN_QUERIES)

@@ -1,0 +1,81 @@
+"""Round-5 corpus-maintenance queries: oracle parity + semantic
+invariants for incremental batch dedup and source-overlap analysis."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.oracle_harness import assert_matches_oracle, duck_connection
+from time_series_prediction_spark.plans.text_queries3 import (
+    TEXT3_QUERIES,
+    dedup_incremental_batch,
+    corpus_source_overlap,
+)
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duck_connection(sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n, (_, sql) in TEXT3_QUERIES.items() if sql)
+)
+def test_text3_matches_oracle(spark, sf_dir, duck, name):
+    fn, sql = TEXT3_QUERIES[name]
+    assert_matches_oracle(fn(spark, sf_dir), duck, sql, name=name)
+
+
+def test_incremental_batch_verdict_tiers(spark, sf_dir):
+    """Every planted verbatim arrival must be exact_dup, every planted
+    suffix-mutated arrival must be near_dup (fingerprint preserved, md5
+    changed), and all three tiers must be non-empty — the query can't
+    go green with a dead tier."""
+    out = dedup_incremental_batch(spark, sf_dir).cache()
+    by_verdict = {
+        r["verdict"]: r["n"]
+        for r in out.groupBy("verdict").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(by_verdict) == {"exact_dup", "near_dup", "novel"}, by_verdict
+    planted_exact = out.where(
+        F.col("doc_id").between(1_000_000, 1_999_999)
+    )
+    assert (
+        planted_exact.where(F.col("verdict") != "exact_dup").count() == 0
+        and planted_exact.count() > 0
+    )
+    planted_near = out.where(F.col("doc_id") >= 2_000_000)
+    assert (
+        planted_near.where(F.col("verdict") != "near_dup").count() == 0
+        and planted_near.count() > 0
+    )
+    out.unpersist()
+
+
+def test_source_overlap_is_symmetric_upper_triangle(spark, sf_dir):
+    """Pairs are emitted once with source_a < source_b, jaccard is in
+    (0, 1], and shared_fps never exceeds either side's fingerprint
+    count."""
+    from time_series_prediction_spark.operators import text
+    from time_series_prediction_spark.sources.io import read_table
+
+    rows = corpus_source_overlap(spark, sf_dir).collect()
+    assert rows, "fixture should have cross-source fingerprint overlap"
+    sizes = {
+        r["source"]: r["n"]
+        for r in read_table(spark, sf_dir, "documents")
+        .select("source", text.fingerprint().alias("fp"))
+        .distinct()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        assert 0 < r["jaccard"] <= 1
+        assert 0 < r["shared_fps"] <= min(
+            sizes[r["source_a"]], sizes[r["source_b"]]
+        )

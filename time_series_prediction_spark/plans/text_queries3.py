@@ -1,0 +1,220 @@
+"""Round-5 corpus-maintenance queries: incremental ingestion dedup and
+cross-source overlap analysis.
+
+Beyond-reference scope (the reference has no text/corpus processing;
+its data surface is the cashflow tables — ``src/demo/training.py``).
+These are the operations a production training-data pipeline runs
+every ingestion cycle:
+
+- ``dedup_incremental_batch``: dedup a NEWLY ARRIVED batch against the
+  existing corpus without re-deduplicating the corpus itself — the
+  steady-state form of dedup at 100 TB, where re-clustering the full
+  corpus per ingest is unaffordable. Two-tier verdict per new doc:
+  ``exact_dup`` (md5 hit in the corpus), ``near_dup`` (prefix
+  fingerprint hit only), else ``novel``. The fixture's texts are all
+  distinct (no organic exact copies), so the batch unions in
+  deterministic planted arrivals — verbatim copies (exact tier) and
+  suffix-mutated copies (near tier) — the same planted-positive
+  technique ``dedup_ngram_jaccard`` uses; the oracle plants
+  identically and must agree on every verdict.
+- ``corpus_source_overlap``: for every pair of sources, how many
+  distinct blocking fingerprints they share — the provenance matrix
+  that predicts which source pairs will generate near-dup candidate
+  pairs (fingerprints ARE the blocking keys) before you pick a dedup
+  priority order.
+
+100 TB shape: both are distinct-then-equi-join plans. The corpus key
+sets (md5 / fingerprint) are narrow ``distinct`` shuffles (map-side
+combined); the batch side joins them with ordinary shuffled
+equi-joins — no cross product, no driver-side state. When the batch
+is small relative to the corpus (the usual case), AQE broadcasts the
+batch side automatically; the left joins against deduplicated key
+sets cannot duplicate rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from time_series_prediction_spark.operators import text
+from time_series_prediction_spark.plans.text_queries import QueryFn
+from time_series_prediction_spark.sources.io import read_table
+
+# deterministic "newly arrived batch": every doc_id ≡ 7 (mod 10) plus
+# planted arrivals derived from corpus docs (ids offset so they can't
+# collide with organic ids).
+_BATCH_MOD, _BATCH_REM = 10, 7
+_EXACT_OFF, _NEAR_OFF = 1_000_000, 2_000_000
+
+
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-new-doc dedup verdict against the existing corpus:
+    ``exact_dup`` if md5(text) already appears in the corpus,
+    ``near_dup`` if only the first-5-token fingerprint does,
+    ``novel`` otherwise. Precedence exact > near. Planted arrivals:
+    every corpus doc with doc_id ≡ 0 (mod 20) re-arrives verbatim
+    (exact tier), every doc_id ≡ 5 (mod 20) re-arrives with a suffix
+    token appended — fingerprint preserved, md5 changed (near tier)."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    is_batch = (F.col("doc_id") % _BATCH_MOD) == _BATCH_REM
+    corpus = docs.where(~is_batch)
+    exact_arrivals = corpus.where((F.col("doc_id") % 20) == 0).select(
+        (F.col("doc_id") + _EXACT_OFF).alias("doc_id"), "lang", "text"
+    )
+    near_arrivals = corpus.where((F.col("doc_id") % 20) == 5).select(
+        (F.col("doc_id") + _NEAR_OFF).alias("doc_id"),
+        "lang",
+        F.concat(F.col("text"), F.lit(" zz_mutation")).alias("text"),
+    )
+    batch = (
+        docs.where(is_batch)
+        .unionByName(exact_arrivals)
+        .unionByName(near_arrivals)
+        .select(
+            "doc_id",
+            "lang",
+            F.md5("text").alias("h"),
+            text.fingerprint().alias("fp"),
+        )
+    )
+    corpus_h = corpus.select(F.md5("text").alias("h")).distinct().withColumn(
+        "exact_hit", F.lit(True)
+    )
+    corpus_fp = (
+        corpus.select(text.fingerprint().alias("fp"))
+        .distinct()
+        .withColumn("fp_hit", F.lit(True))
+    )
+    return (
+        batch.join(corpus_h, "h", "left")
+        .join(corpus_fp, "fp", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.when(F.col("exact_hit"), F.lit("exact_dup"))
+            .when(F.col("fp_hit"), F.lit("near_dup"))
+            .otherwise(F.lit("novel"))
+            .alias("verdict"),
+        )
+    )
+
+
+DEDUP_INCREMENTAL_SQL = f"""
+WITH corpus_docs AS (
+  SELECT doc_id, lang, text FROM documents
+  WHERE doc_id % {_BATCH_MOD} <> {_BATCH_REM}
+),
+batch AS (
+  SELECT doc_id, lang, text FROM documents
+  WHERE doc_id % {_BATCH_MOD} = {_BATCH_REM}
+  UNION ALL
+  SELECT doc_id + {_EXACT_OFF}, lang, text FROM corpus_docs
+  WHERE doc_id % 20 = 0
+  UNION ALL
+  SELECT doc_id + {_NEAR_OFF}, lang, text || ' zz_mutation'
+  FROM corpus_docs WHERE doc_id % 20 = 5
+),
+keyed AS (
+  SELECT doc_id, lang,
+         md5(text) AS h,
+         md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS fp
+  FROM batch
+),
+corpus AS (
+  SELECT md5(text) AS h,
+         md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS fp
+  FROM corpus_docs
+)
+SELECT k.doc_id, k.lang,
+       CASE WHEN k.h  IN (SELECT h  FROM corpus) THEN 'exact_dup'
+            WHEN k.fp IN (SELECT fp FROM corpus) THEN 'near_dup'
+            ELSE 'novel' END AS verdict
+FROM keyed k
+"""
+
+
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct shared blocking fingerprints per (source_a < source_b)
+    pair, plus each pair's Jaccard overlap of distinct-fingerprint
+    sets — which feeds will generate near-dup candidates against each
+    other, and how strongly."""
+    docs = read_table(spark, sf_dir, "documents")
+    sh = docs.select("source", text.fingerprint().alias("fp")).distinct()
+    sizes = sh.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fps")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+    )
+    return (
+        shared.join(
+            sizes.withColumnRenamed("source", "source_a").withColumnRenamed(
+                "n_fps", "n_a"
+            ),
+            "source_a",
+        )
+        .join(
+            sizes.withColumnRenamed("source", "source_b").withColumnRenamed(
+                "n_fps", "n_b"
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "shared_fps",
+            F.round(
+                F.col("shared_fps")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared_fps")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+CORPUS_SOURCE_OVERLAP_SQL = """
+WITH sh AS (
+  SELECT DISTINCT source,
+         md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS fp
+  FROM documents
+),
+sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n_fps
+          FROM sh GROUP BY source),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS shared_fps
+  FROM sh a JOIN sh b ON a.fp = b.fp AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT s.source_a, s.source_b, s.shared_fps,
+       round(s.shared_fps
+             / (na.n_fps + nb.n_fps - s.shared_fps), 6) AS jaccard
+FROM shared s
+JOIN sizes na ON na.source = s.source_a
+JOIN sizes nb ON nb.source = s.source_b
+"""
+
+
+TEXT3_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "dedup_incremental_batch": (
+        dedup_incremental_batch,
+        DEDUP_INCREMENTAL_SQL,
+    ),
+    "corpus_source_overlap": (
+        corpus_source_overlap,
+        CORPUS_SOURCE_OVERLAP_SQL,
+    ),
+}
