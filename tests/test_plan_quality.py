@@ -100,3 +100,30 @@ def test_temperature_sample_single_corpus_shuffle(spark, sf_dir):
     plan = _plan(corpus_temperature_sample(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_batch_dedup_equi_joins_only(spark, sf_dir):
+    """Both corpus-key lookups must be hash equi-joins (no nested loop
+    or cartesian — at 100 TB the corpus side is the big one), and the
+    corpus/batch split predicates must reach the parquet scan."""
+    from time_series_prediction_spark.plans.text_queries3 import (
+        dedup_incremental_batch,
+    )
+
+    plan = _plan(dedup_incremental_batch(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_source_overlap_is_blocked_equi_join(spark, sf_dir):
+    """The source-pair overlap self-join must join on the fingerprint
+    equality (the source ordering is a post-join filter) — never a
+    cross product of sources."""
+    from time_series_prediction_spark.plans.text_queries3 import (
+        corpus_source_overlap,
+    )
+
+    plan = _plan(corpus_source_overlap(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
