@@ -79,3 +79,61 @@ def test_source_overlap_is_symmetric_upper_triangle(spark, sf_dir):
         assert 0 < r["shared_fps"] <= min(
             sizes[r["source_a"]], sizes[r["source_b"]]
         )
+
+
+def test_leakage_safe_split_never_splits_a_group(spark, sf_dir):
+    """Structural guarantee made visible: every fingerprint group
+    lands in exactly one split; a naive doc-id-level split on the
+    same corpus DOES scatter at least one group across splits (the
+    bug this query exists to prevent); and the three splits cover
+    all docs."""
+    from time_series_prediction_spark.operators import text
+    from time_series_prediction_spark.plans.text_queries3 import (
+        corpus_leakage_safe_split,
+    )
+    from time_series_prediction_spark.sources.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", text.fingerprint().alias("fp")
+    )
+    hexd = "0123456789abcdef"
+
+    def byte_of(col):
+        return (
+            f"(instr('{hexd}', substr(md5({col}), 1, 1)) - 1) * 16 "
+            f"+ instr('{hexd}', substr(md5({col}), 2, 1)) - 1"
+        )
+
+    group_split = docs.withColumn(
+        "split", F.expr(f"CASE WHEN ({byte_of('fp')}) < 204 THEN 't' "
+                        f"WHEN ({byte_of('fp')}) < 230 THEN 'v' ELSE 'e' END")
+    )
+    assert (
+        group_split.groupBy("fp")
+        .agg(F.countDistinct("split").alias("k"))
+        .where(F.col("k") > 1)
+        .count()
+        == 0
+    )
+    naive = docs.withColumn(
+        "split",
+        F.expr(
+            f"CASE WHEN ({byte_of('CAST(doc_id AS STRING)')}) < 204 "
+            f"THEN 't' WHEN ({byte_of('CAST(doc_id AS STRING)')}) < 230 "
+            f"THEN 'v' ELSE 'e' END"
+        ),
+    )
+    leaked = (
+        naive.groupBy("fp")
+        .agg(F.countDistinct("split").alias("k"))
+        .where(F.col("k") > 1)
+        .count()
+    )
+    assert leaked > 0, (
+        "fixture has multi-doc fingerprint groups; a doc-level split "
+        "must scatter at least one"
+    )
+    totals = corpus_leakage_safe_split(spark, sf_dir).collect()
+    assert sum(r["n_docs"] for r in totals) == read_table(
+        spark, sf_dir, "documents"
+    ).count()

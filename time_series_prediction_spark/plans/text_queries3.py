@@ -208,6 +208,68 @@ JOIN sizes nb ON nb.source = s.source_b
 """
 
 
+def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the split is assigned per
+    DEDUP GROUP (blocking fingerprint), not per document, so near
+    duplicates can never straddle splits — the classic eval-leakage
+    bug in training pipelines that split at the document level. The
+    assignment byte is the first two md5 hex digits of the
+    fingerprint (engine-identical): < 204 train (~80%), < 230 val
+    (~10%), else test (~10%).
+
+    100 TB shape: one narrow projection + one groupBy(split) — the
+    split column is a pure expression over the fingerprint, no join
+    and no extra shuffle beyond the 3-row aggregate."""
+    docs = read_table(spark, sf_dir, "documents")
+    hexd = "0123456789abcdef"
+    byte = (
+        f"(instr('{hexd}', substr(md5(fp), 1, 1)) - 1) * 16 "
+        f"+ instr('{hexd}', substr(md5(fp), 2, 1)) - 1"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "n_chars",
+            text.fingerprint().alias("fp"),
+        )
+        .withColumn(
+            "split",
+            F.expr(
+                f"CASE WHEN ({byte}) < 204 THEN 'train' "
+                f"WHEN ({byte}) < 230 THEN 'val' ELSE 'test' END"
+            ),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("fp").cast("long").alias("n_groups"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+    )
+
+
+CORPUS_LEAKAGE_SAFE_SPLIT_SQL = """
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS fp
+  FROM documents
+),
+assigned AS (
+  SELECT doc_id, n_chars, fp,
+         (strpos('0123456789abcdef', substr(md5(fp), 1, 1)) - 1) * 16
+         + strpos('0123456789abcdef', substr(md5(fp), 2, 1)) - 1 AS b
+  FROM keyed
+)
+SELECT CASE WHEN b < 204 THEN 'train'
+            WHEN b < 230 THEN 'val' ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT fp) AS BIGINT) AS n_groups,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars
+FROM assigned
+GROUP BY 1
+"""
+
+
 TEXT3_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_incremental_batch": (
         dedup_incremental_batch,
@@ -216,5 +278,9 @@ TEXT3_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "corpus_source_overlap": (
         corpus_source_overlap,
         CORPUS_SOURCE_OVERLAP_SQL,
+    ),
+    "corpus_leakage_safe_split": (
+        corpus_leakage_safe_split,
+        CORPUS_LEAKAGE_SAFE_SPLIT_SQL,
     ),
 }
