@@ -127,3 +127,19 @@ def test_source_overlap_is_blocked_equi_join(spark, sf_dir):
     plan = _plan(corpus_source_overlap(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dup_substring_spans_no_python_no_cartesian(spark, sf_dir):
+    """The substring-span pipeline must stay JVM-side (pure expressions
+    + window) with equi-only joins — the shingle table is |tokens| rows
+    and any nested loop or Python stage over it would dominate at
+    scale."""
+    from time_series_prediction_spark.plans.text_queries3 import (
+        corpus_dup_substring_spans,
+    )
+
+    plan = _plan(corpus_dup_substring_spans(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan

@@ -137,3 +137,30 @@ def test_leakage_safe_split_never_splits_a_group(spark, sf_dir):
     assert sum(r["n_docs"] for r in totals) == read_table(
         spark, sf_dir, "documents"
     ).count()
+
+
+def test_dup_substring_spans_invariants(spark, sf_dir):
+    """Interval-merge sanity: coverage never exceeds the doc, every
+    merged span covers at least K tokens (so dup_tokens >= K * n_spans),
+    duplication takes two — if any doc has a span, at least one other
+    doc must too — and span-free docs still report a zero row."""
+    from time_series_prediction_spark.plans.text_queries3 import (
+        _SPAN_K,
+        corpus_dup_substring_spans,
+    )
+    from time_series_prediction_spark.sources.io import read_table
+
+    out = corpus_dup_substring_spans(spark, sf_dir).cache()
+    assert out.count() == read_table(spark, sf_dir, "documents").count()
+    assert out.where(F.col("dup_tokens") > F.col("n_tokens")).count() == 0
+    assert (
+        out.where(
+            (F.col("n_spans") > 0)
+            & (F.col("dup_tokens") < _SPAN_K * F.col("n_spans"))
+        ).count()
+        == 0
+    )
+    with_spans = out.where(F.col("n_spans") > 0).count()
+    assert with_spans != 1, "a duplicated substring needs two documents"
+    assert with_spans > 0, "fixture has organic cross-doc duplicated runs"
+    out.unpersist()

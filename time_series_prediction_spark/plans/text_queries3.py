@@ -22,6 +22,14 @@ every ingestion cycle:
   that predicts which source pairs will generate near-dup candidate
   pairs (fingerprints ARE the blocking keys) before you pick a dedup
   priority order.
+- ``corpus_leakage_safe_split``: train/val/test assignment hashed per
+  dedup group (blocking fingerprint), so near-duplicates can never
+  straddle splits — the doc-level-split eval-leakage bug, prevented
+  structurally.
+- ``corpus_dup_substring_spans``: cross-document duplicated-substring
+  coverage (Lee et al. 2022 exact substring dedup): maximal ≥K-token
+  runs appearing in ≥2 docs, found via shingle frequency + per-doc
+  interval merge — window math, no re-explosion, no UDF.
 
 100 TB shape: both are distinct-then-equi-join plans. The corpus key
 sets (md5 / fingerprint) are narrow ``distinct`` shuffles (map-side
@@ -34,7 +42,7 @@ sets cannot duplicate rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from time_series_prediction_spark.operators import text
@@ -270,6 +278,145 @@ GROUP BY 1
 """
 
 
+_SPAN_K = 8  # tokens per shingle = the minimum duplicated-run length
+
+
+def corpus_dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-substring spans, the data-curation
+    operation behind exact substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): find
+    every maximal token run of length ≥ K that also appears in some
+    OTHER document, and report per-doc duplicated-token coverage.
+
+    Plan (all native expressions, no UDF):
+    1. explode each doc into K-token shingle starts (md5 shingle key,
+       engine-identical);
+    2. one groupBy(h) keeps shingles seen in ≥ 2 docs — map-side
+       combined, the only corpus-wide shuffle;
+    3. left-semi join marks each doc's duplicated start positions;
+    4. gaps-and-islands over (doc, position): a running max of
+       interval ends splits the sorted starts into maximal merged
+       spans — window math, no re-explosion of covered positions;
+    5. per-doc aggregate, left-joined back so span-free docs report
+       zeros (stable row count = corpus size).
+
+    100 TB shape: the shingle table is |tokens| narrow rows; frequency
+    filter + semi join are hash-partitioned equi ops; the island pass
+    shuffles once on doc_id. Nothing quadratic, nothing driver-side."""
+    k = _SPAN_K
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    sh = docs.where(F.size("t") >= k).select(
+        "doc_id",
+        F.posexplode(F.expr(f"sequence(0, size(t) - {k})")).alias("_i", "p"),
+        F.col("t"),
+    ).select(
+        "doc_id",
+        "p",
+        F.expr(f"md5(array_join(slice(t, p + 1, {k}), ' '))").alias("h"),
+    )
+    dup_h = (
+        sh.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    starts = sh.join(dup_h, "h", "left_semi")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = (
+        starts.withColumn("prev_end", F.max(F.col("p") + k).over(w))
+        .withColumn(
+            "is_new",
+            F.when(
+                F.col("prev_end").isNull() | (F.col("p") > F.col("prev_end")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "island",
+            F.sum("is_new").over(
+                Window.partitionBy("doc_id")
+                .orderBy("p")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("doc_id", "island")
+        .agg((F.max("p") + k - F.min("p")).alias("covered"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum("covered").cast("long").alias("dup_tokens"),
+        )
+    )
+    return (
+        docs.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
+        .join(islands, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("dup_tokens", F.lit(0))
+            .cast("long")
+            .alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens"), 6
+            ).alias("dup_frac"),
+        )
+    )
+
+
+CORPUS_DUP_SUBSTRING_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id, p - 1 AS p,
+         md5(array_to_string(t[p:p + {_SPAN_K} - 1], ' ')) AS h
+  FROM toks, unnest(range(1, len(t) - {_SPAN_K} + 2)) AS u(p)
+),
+dup_h AS (
+  SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+),
+starts AS (
+  SELECT s.doc_id, s.p FROM sh s WHERE s.h IN (SELECT h FROM dup_h)
+),
+marked AS (
+  SELECT doc_id, p,
+         max(p + {_SPAN_K}) OVER (
+           PARTITION BY doc_id ORDER BY p
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM starts
+),
+islands AS (
+  SELECT doc_id, p,
+         sum(CASE WHEN prev_end IS NULL OR p > prev_end THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY p
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM marked
+),
+per_island AS (
+  SELECT doc_id, island, max(p) + {_SPAN_K} - min(p) AS covered
+  FROM islands GROUP BY doc_id, island
+),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(covered) AS BIGINT) AS dup_tokens
+  FROM per_island GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(len(d.t) AS BIGINT) AS n_tokens,
+       CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       round(coalesce(p.dup_tokens, 0) / CAST(len(d.t) AS DOUBLE), 6)
+         AS dup_frac
+FROM toks d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+
 TEXT3_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_incremental_batch": (
         dedup_incremental_batch,
@@ -282,5 +429,9 @@ TEXT3_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "corpus_leakage_safe_split": (
         corpus_leakage_safe_split,
         CORPUS_LEAKAGE_SAFE_SPLIT_SQL,
+    ),
+    "corpus_dup_substring_spans": (
+        corpus_dup_substring_spans,
+        CORPUS_DUP_SUBSTRING_SQL,
     ),
 }
