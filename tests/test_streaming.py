@@ -343,3 +343,76 @@ def test_stream_static_join_matches_batch(spark, sf_dir):
     want = ev.join(dim, "user_id").count()
     assert got is not None and got <= want
     assert got >= int(want * 0.9), f"stream={got} batch={want}"
+
+
+def test_docs_ingest_dedup_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming dedup-on-arrival == the batch incremental-dedup
+    truth: exact corpus duplicates never reach the sink, near
+    duplicates arrive flagged, and the verdict for every surviving
+    doc matches the batch computation over the same arrival set."""
+    from time_series_prediction_spark.plans.text_queries3 import (
+        dedup_incremental_batch,
+    )
+    from time_series_prediction_spark.sources.io import read_table
+    from time_series_prediction_spark.streaming.docs import (
+        corpus_key_sets,
+        ingest_dedup_stream,
+        read_docs_stream,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    is_batch = (F.col("doc_id") % 10) == 7
+    corpus = docs.where(~is_batch)
+    # identical arrival set to the batch query: organic batch docs +
+    # planted verbatim copies + planted suffix mutations
+    arrivals = (
+        docs.where(is_batch)
+        .unionByName(
+            corpus.where((F.col("doc_id") % 20) == 0).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"),
+                "text",
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+        .unionByName(
+            corpus.where((F.col("doc_id") % 20) == 5).select(
+                (F.col("doc_id") + 2_000_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zz_mutation")).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
+    inbox = str(tmp_path / "inbox")
+    arrivals.write.mode("overwrite").parquet(inbox)
+
+    hashes, fps = corpus_key_sets(corpus)
+    hashes, fps = hashes.cache(), fps.cache()
+    out = ingest_dedup_stream(read_docs_stream(spark, inbox), hashes, fps)
+    q = run_to_memory_sink(out, "docs_ingest_out", output_mode="append")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["doc_id"]: r["verdict"]
+        for r in spark.sql("SELECT doc_id, verdict FROM docs_ingest_out").collect()
+    }
+    want_all = {
+        r["doc_id"]: r["verdict"]
+        for r in dedup_incremental_batch(spark, sf_dir).collect()
+    }
+    want = {d: v for d, v in want_all.items() if v != "exact_dup"}
+    assert got == want
+    # exact arrivals (planted verbatim copies) were dropped on arrival
+    assert not any(1_000_000 <= d < 2_000_000 for d in got)
+    # planted mutations arrived flagged
+    assert all(
+        got[d] == "near_dup" for d in got if d >= 2_000_000
+    ) and any(d >= 2_000_000 for d in got)
+    hashes.unpersist()
+    fps.unpersist()
