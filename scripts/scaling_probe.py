@@ -29,6 +29,9 @@ DEFAULT = [
     "embedding_pq_ann",          # r4: IVF-pruned ADC scan + refine
     "dedup_containment",         # r4: blocked containment self-join
     "corpus_curation_funnel",    # r4: quality+dedup+decon composition
+    "dedup_incremental_batch",   # r5: batch-vs-corpus key-set joins
+    "corpus_dup_substring_spans",  # r5: shingle freq + interval merge
+    "corpus_leakage_safe_split",   # r5: group-hash split aggregate
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
