@@ -164,3 +164,37 @@ def test_dup_substring_spans_invariants(spark, sf_dir):
     assert with_spans != 1, "a duplicated substring needs two documents"
     assert with_spans > 0, "fixture has organic cross-doc duplicated runs"
     out.unpersist()
+
+
+def test_merged_span_stats_matches_brute_force(spark):
+    """Property check of the gaps-and-islands window math: 60 random
+    (doc, starts, k) cases — merged-span count and covered-token total
+    must equal the brute-force union of [p, p+k) position sets."""
+    import random
+
+    from time_series_prediction_spark.plans.text_queries3 import (
+        merged_span_stats,
+    )
+
+    rng = random.Random(11)
+    for trial in range(6):
+        k = rng.randint(1, 9)
+        rows, want = [], {}
+        for doc in range(10):
+            n = rng.randint(1, 25)
+            starts = sorted(rng.sample(range(0, 120), n))
+            rows += [(doc, p) for p in starts]
+            covered = set()
+            for p in starts:
+                covered.update(range(p, p + k))
+            # count maximal contiguous runs of covered positions
+            spans = sum(
+                1 for x in covered if x - 1 not in covered
+            )
+            want[doc] = (spans, len(covered))
+        df = spark.createDataFrame(rows, "doc_id long, p long")
+        got = {
+            r["doc_id"]: (r["n_spans"], r["dup_tokens"])
+            for r in merged_span_stats(df, k).collect()
+        }
+        assert got == want, (trial, k)

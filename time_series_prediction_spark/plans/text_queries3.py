@@ -281,6 +281,45 @@ GROUP BY 1
 _SPAN_K = 8  # tokens per shingle = the minimum duplicated-run length
 
 
+def merged_span_stats(starts: DataFrame, k: int) -> DataFrame:
+    """Gaps-and-islands interval merge: ``starts`` holds (doc_id, p)
+    interval starts, each covering [p, p + k); returns per-doc
+    (n_spans, dup_tokens) for the MERGED maximal spans (overlapping or
+    adjacent intervals coalesce). A running max of interval ends over
+    the sorted starts marks island boundaries — pure window math, no
+    re-explosion of covered positions, one shuffle on doc_id."""
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        starts.withColumn("prev_end", F.max(F.col("p") + k).over(w))
+        .withColumn(
+            "is_new",
+            F.when(
+                F.col("prev_end").isNull() | (F.col("p") > F.col("prev_end")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "island",
+            F.sum("is_new").over(
+                Window.partitionBy("doc_id")
+                .orderBy("p")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("doc_id", "island")
+        .agg((F.max("p") + k - F.min("p")).alias("covered"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum("covered").cast("long").alias("dup_tokens"),
+        )
+    )
+
+
 def corpus_dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicated-substring spans, the data-curation
     operation behind exact substring dedup (Lee et al. 2022,
@@ -323,36 +362,7 @@ def corpus_dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("h")
     )
     starts = sh.join(dup_h, "h", "left_semi")
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("p")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    islands = (
-        starts.withColumn("prev_end", F.max(F.col("p") + k).over(w))
-        .withColumn(
-            "is_new",
-            F.when(
-                F.col("prev_end").isNull() | (F.col("p") > F.col("prev_end")),
-                1,
-            ).otherwise(0),
-        )
-        .withColumn(
-            "island",
-            F.sum("is_new").over(
-                Window.partitionBy("doc_id")
-                .orderBy("p")
-                .rowsBetween(Window.unboundedPreceding, 0)
-            ),
-        )
-        .groupBy("doc_id", "island")
-        .agg((F.max("p") + k - F.min("p")).alias("covered"))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_spans"),
-            F.sum("covered").cast("long").alias("dup_tokens"),
-        )
-    )
+    islands = merged_span_stats(starts, k)
     return (
         docs.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
         .join(islands, "doc_id", "left")
