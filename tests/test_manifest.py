@@ -172,7 +172,7 @@ def test_pruned_scan_equals_full_scan_randomized(spark, layout):
     man.unpersist()
 
 
-def test_events_layout_pruned_scan_reads_fewer_files(spark):
+def test_events_layout_pruned_scan_reads_fewer_files(spark, sf_dir):
     """Registry query events_layout_pruned_scan: the pruned frame's
     inputFiles must be a strict subset of the layout's files (the
     layout lever is actually engaged, not just correct), and the
@@ -185,7 +185,6 @@ def test_events_layout_pruned_scan_reads_fewer_files(spark):
     )
     from time_series_prediction_spark.sources.io import read_table
 
-    sf_dir = "/root/testdata/sf0.01"
     layout = events_zorder_layout(spark, sf_dir)
     pruned = pruned_scan(
         spark, _manifest_for(spark, layout), _PRED, base_path=layout
@@ -310,6 +309,22 @@ def test_layout_gc_removes_stale_keeps_current(tmp_path):
     in_use = root / "events_z_inuse"
     in_use.mkdir()  # no _IDENT yet (mid-build) but passed as keep
 
+    fresh_no_ident = root / "events_z_concurrent"
+    fresh_no_ident.mkdir()  # another process's build in progress
+
+    # age everything except the concurrent build past the GC grace
+    # period (fresh dirs are protected so a mid-build sibling of a
+    # concurrent process is never deleted)
+    import time
+
+    old = time.time() - 7200
+    for d in (current, stale, no_ident, gone_src, in_use):
+        os.utime(d, (old, old))
+
     _gc_stale_layouts(str(root), keep=str(in_use))
     left = {p.name for p in root.iterdir()}
-    assert left == {"events_z_current", "events_z_inuse"}, left
+    assert left == {
+        "events_z_current",
+        "events_z_inuse",
+        "events_z_concurrent",
+    }, left

@@ -431,3 +431,35 @@ def test_pq_adc_score_matches_lut_sum(spark, sf_dir):
             code = int(np.argmin(d2))
             want += float(books[m][code] @ qv[m * sub_dim : (m + 1) * sub_dim])
         assert abs(r["adc_score"] - want) < 1e-9
+
+
+def test_pq_codebook_cache_distinguishes_coarse_quantizers(spark, sf_dir):
+    """Regression: the codebook memo must key on WHICH coarse centroids
+    residuals were trained against — the same cache_key with a
+    different quantizer (different n_cells) must retrain, not serve
+    the other quantizer's residual codebooks."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    key = f"cache-cent-{sf_dir}"
+    c8 = similarity.ivf_centroids(
+        emb, n_cells=8, n_iters=1, train_sample=256, cache_key=key
+    )
+    c16 = similarity.ivf_centroids(
+        emb, n_cells=16, n_iters=1, train_sample=256, cache_key=key
+    )
+    b8 = similarity.pq_codebooks(
+        emb, n_sub=8, n_codes=16, n_iters=2, train_sample=256,
+        cache_key=key, centroids=c8,
+    )
+    b16 = similarity.pq_codebooks(
+        emb, n_sub=8, n_codes=16, n_iters=2, train_sample=256,
+        cache_key=key, centroids=c16,
+    )
+    assert not np.array_equal(b8, b16), (
+        "residual codebooks for different coarse quantizers must differ"
+    )
+    # same quantizer again → cache hit must return identical books
+    b8_again = similarity.pq_codebooks(
+        emb, n_sub=8, n_codes=16, n_iters=2, train_sample=256,
+        cache_key=key, centroids=c8,
+    )
+    np.testing.assert_array_equal(b8, b8_again)

@@ -377,7 +377,10 @@ def test_docs_ingest_dedup_stream_matches_batch(spark, sf_dir, tmp_path):
             )
         )
         .unionByName(
-            corpus.where((F.col("doc_id") % 20) == 5).select(
+            corpus.where(
+                ((F.col("doc_id") % 20) == 5)
+                & (F.size(F.split("text", " ")) >= 5)
+            ).select(
                 (F.col("doc_id") + 2_000_000).alias("doc_id"),
                 F.concat(F.col("text"), F.lit(" zz_mutation")).alias("text"),
                 "lang",

@@ -240,9 +240,10 @@ def simhash_blocking_plan(
     (m - k) * (64 // m) bits keeps EXPECTED bucket membership
     n_docs / 2^key_bits at or below ``target_bucket``. At fixture
     scale this yields m = k + 1 = 4 (the classic four 16-bit words —
-    one block per key, 4 tables); at n_docs ~ 1e11 it yields m = 8
-    (40-bit keys, C(8,3) = 56 tables) — per-bucket membership stays
-    bounded instead of growing linearly with the corpus.
+    one block per key, 4 tables); at n_docs ~ 1e11 it yields m = 6
+    (30-bit keys, C(6,3) = 20 tables), at ~1e13 m = 7 (36-bit keys,
+    35 tables) — per-bucket membership stays bounded instead of
+    growing linearly with the corpus.
 
     Returns (m, key combinations)."""
     if not 1 <= guarantee_hamming <= 8:

@@ -51,10 +51,18 @@ def list_parquet_files(
 
     Listing goes through the Hadoop FileSystem API when a Spark
     session is available (the same code path Spark's own file index
-    uses), so it works against any Spark-supported filesystem —
-    local, HDFS, S3A — not just the driver's local disk; falls back
-    to ``os.walk`` with no session. Hidden files and directories
-    (``.``/``_`` prefixed) are skipped at every level."""
+    uses), so the LISTING works against any Spark-supported
+    filesystem — local, HDFS, S3A — not just the driver's local
+    disk; falls back to ``os.walk`` with no session. Hidden files and
+    directories (``.``/``_`` prefixed) are skipped at every level.
+
+    Note: remote listings return full scheme URIs (``s3a://…``).
+    The footer reader (``_footer_stats``) opens files with pyarrow,
+    which handles local paths and ``s3://``/``hdfs://``-style URIs it
+    has filesystems for — an ``s3a://`` URI must be mapped to
+    pyarrow's S3 filesystem (or read through Spark) before footer
+    scanning; only the local path flow is exercised in this repo's
+    tests."""
     spark = spark or SparkSession.getActiveSession()
     if spark is not None:
         jvm = spark._jvm
@@ -69,7 +77,9 @@ def list_parquet_files(
         scheme = base_uri.getScheme()
         local = scheme in (None, "file")
         if status.isFile():
-            return [path] if path.endswith(".parquet") else []
+            # caller pointed at a file explicitly — treat it as a data
+            # file regardless of suffix, matching the no-session branch
+            return [path]
         it = fs.listFiles(jpath, True)  # recursive
         out = []
         while it.hasNext():

@@ -567,10 +567,24 @@ def pq_codebooks(
     same code budget quantizes finer — better recall at identical code
     size. The caller must then encode/score residuals too
     (pq_adc_candidates residual mode)."""
+    # the memo must identify WHICH coarse centroids residuals were
+    # trained against, not merely that residual mode was on — otherwise
+    # codebooks trained for one quantizer are silently served for
+    # another and ADC scores are wrong with no error
+    import hashlib as _hashlib
+
+    cent_id = (
+        None
+        if centroids is None
+        else (
+            centroids.shape,
+            _hashlib.md5(np.ascontiguousarray(centroids).tobytes()).hexdigest(),
+        )
+    )
     memo = (
         (
             cache_key, n_sub, n_codes, n_iters, vec_col, id_col, seed,
-            train_sample, centroids is not None,
+            train_sample, cent_id,
         )
         if cache_key is not None
         else None

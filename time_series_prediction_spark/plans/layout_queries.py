@@ -55,11 +55,22 @@ _N_FILES = 16
 _MANIFEST_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+# columns the layout materializes; part of the cache identity so a
+# code change here (or to _ZCOLS/_N_FILES) invalidates cached dirs
+# instead of serving an incompatible layout
+_LAYOUT_COLS = ["event_id", "user_id", "event_type", "value"]
+# grace period protecting a concurrent process's mid-build dir from GC
+_GC_MIN_AGE_S = 3600.0
+
+
 def layout_cache_path(src: str) -> str:
     """Stable cache dir for a layout derived from ``src``, keyed by
-    the source file's (path, size, mtime) identity via hashlib — NOT
-    hash(), which PYTHONHASHSEED salts per process and would defeat
-    the cross-process cache, rebuilding the layout on every run."""
+    the source file's (path, size, mtime) identity AND the layout
+    generation parameters (columns, z-order keys, file count), via
+    hashlib — NOT hash(), which PYTHONHASHSEED salts per process and
+    would defeat the cross-process cache, rebuilding the layout on
+    every run. Changing the generation parameters changes the key, so
+    stale-but-_SUCCESS dirs from older code are never served."""
     st = os.stat(src)
     ident = _layout_ident(src, st)
     key = hashlib.md5(ident.encode()).hexdigest()[:16]
@@ -69,7 +80,8 @@ def layout_cache_path(src: str) -> str:
 
 
 def _layout_ident(src: str, st: os.stat_result) -> str:
-    return f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}"
+    gen = f"{','.join(_LAYOUT_COLS)}|{','.join(_ZCOLS)}|{_N_FILES}"
+    return f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}|{gen}"
 
 
 def _gc_stale_layouts(root: str, keep: str) -> None:
@@ -77,9 +89,12 @@ def _gc_stale_layouts(root: str, keep: str) -> None:
     matches the file on disk (fixture regenerated → new key → the old
     dir would otherwise live in the temp dir forever). Each layout
     records its identity in an ``_IDENT`` file at build time; dirs
-    without one (pre-identity builds) are stale by construction. Never
-    touches ``keep`` (the layout being built/used now)."""
+    without one are stale — unless they are younger than the grace
+    period, which protects another process's build in progress (its
+    ``_IDENT`` lands right after the write). Never touches ``keep``
+    (the layout being built/used now)."""
     import shutil
+    import time
 
     try:
         siblings = os.listdir(root)
@@ -90,6 +105,8 @@ def _gc_stale_layouts(root: str, keep: str) -> None:
         if d == keep or not os.path.isdir(d):
             continue
         try:
+            if time.time() - os.stat(d).st_mtime < _GC_MIN_AGE_S:
+                continue  # possibly mid-build by a concurrent process
             with open(os.path.join(d, "_IDENT")) as fh:
                 ident = fh.read().strip()
             src = ident.split("|", 1)[0]
@@ -103,29 +120,40 @@ def _gc_stale_layouts(root: str, keep: str) -> None:
 def events_zorder_layout(spark: SparkSession, sf_dir: str) -> str:
     """Z-ordered copy of events under the system temp dir, built at
     most once per fixture content: the dir name is keyed by the source
-    file's (path, size, mtime) identity, and a completed write is
-    detected via parquet's _SUCCESS marker. Stale layouts (source
-    regenerated since they were built) are garbage-collected."""
+    file's identity + generation parameters, and a completed build is
+    detected via the ``_IDENT`` marker written after the parquet
+    write. Builds go to a process-private temp dir and are published
+    with an atomic rename, so two concurrent processes can never
+    interleave writes into the same final dir — the loser discards its
+    copy. Stale layouts (source regenerated since they were built) are
+    garbage-collected."""
+    import shutil
+
     src = os.path.join(sf_dir, "events.parquet")
     path = layout_cache_path(src)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        ev = read_table(spark, sf_dir, "events").select(
-            "event_id", "user_id", "event_type", "value"
-        )
-        write_zordered(ev, path, _ZCOLS, n_files=_N_FILES)
-        _gc_stale_layouts(os.path.dirname(path), keep=path)
     if not os.path.exists(os.path.join(path, "_IDENT")):
-        # written on build; also adopts a pre-_IDENT cached dir so GC
-        # never evicts a layout that is still current
-        with open(os.path.join(path, "_IDENT"), "w") as fh:
+        ev = read_table(spark, sf_dir, "events").select(*_LAYOUT_COLS)
+        tmp = f"{path}.build-{os.getpid()}"
+        write_zordered(ev, tmp, _ZCOLS, n_files=_N_FILES)
+        with open(os.path.join(tmp, "_IDENT"), "w") as fh:
             fh.write(_layout_ident(src, os.stat(src)))
+        try:
+            os.rename(tmp, path)  # atomic publish
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # concurrent winner
+        _gc_stale_layouts(os.path.dirname(path), keep=path)
     return path
 
 
 def _manifest_for(spark: SparkSession, path: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, path)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, path)
     man = _MANIFEST_CACHE.get(key)
     if man is None:
+        # evict entries from stopped sessions: they pin dead plans and
+        # checkpoint files and would accumulate across session restarts
+        for k in [k for k in _MANIFEST_CACHE if k[0] != app_id]:
+            del _MANIFEST_CACHE[k]
         man = materialize(build_stats_manifest(spark, path, _ZCOLS))
         _MANIFEST_CACHE[key] = man
     return man

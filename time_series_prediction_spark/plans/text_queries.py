@@ -310,10 +310,28 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(docs, threshold=0.5)
 
 
+_NDOCS_CACHE: dict[tuple[str, str], int] = {}
+
+
+def _documents_count(spark: SparkSession, sf_dir: str) -> int:
+    """Corpus row count for plan sizing, memoized per (session, path):
+    the SimHash blocking plan needs only the corpus's order of
+    magnitude, so paying the sizing count once per session — not on
+    every invocation — is the right cost at any scale."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    n = _NDOCS_CACHE.get(key)
+    if n is None:
+        n = read_table(spark, sf_dir, "documents").count()
+        _NDOCS_CACHE[key] = n
+    return n
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates (rows-only: xxhash64-based)."""
     docs = read_table(spark, sf_dir, "documents")
-    return dedup.simhash_near_pairs(docs, max_hamming=8)
+    return dedup.simhash_near_pairs(
+        docs, max_hamming=8, n_docs=_documents_count(spark, sf_dir)
+    )
 
 
 # ---------------------------------------------------------------------------

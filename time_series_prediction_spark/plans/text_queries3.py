@@ -72,7 +72,13 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_arrivals = corpus.where((F.col("doc_id") % 20) == 0).select(
         (F.col("doc_id") + _EXACT_OFF).alias("doc_id"), "lang", "text"
     )
-    near_arrivals = corpus.where((F.col("doc_id") % 20) == 5).select(
+    # the suffix mutation preserves the first-5-token fingerprint only
+    # when the doc has at least 5 tokens — shorter docs would plant as
+    # 'novel', so they are excluded from the near tier (both engines)
+    near_arrivals = corpus.where(
+        ((F.col("doc_id") % 20) == 5)
+        & (F.size(F.split("text", " ")) >= 5)
+    ).select(
         (F.col("doc_id") + _NEAR_OFF).alias("doc_id"),
         "lang",
         F.concat(F.col("text"), F.lit(" zz_mutation")).alias("text"),
@@ -123,7 +129,8 @@ batch AS (
   WHERE doc_id % 20 = 0
   UNION ALL
   SELECT doc_id + {_NEAR_OFF}, lang, text || ' zz_mutation'
-  FROM corpus_docs WHERE doc_id % 20 = 5
+  FROM corpus_docs
+  WHERE doc_id % 20 = 5 AND len(string_split(text, ' ')) >= 5
 ),
 keyed AS (
   SELECT doc_id, lang,
@@ -348,7 +355,7 @@ def corpus_dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = docs.where(F.size("t") >= k).select(
         "doc_id",
-        F.posexplode(F.expr(f"sequence(0, size(t) - {k})")).alias("_i", "p"),
+        F.explode(F.expr(f"sequence(0, size(t) - {k})")).alias("p"),
         F.col("t"),
     ).select(
         "doc_id",
