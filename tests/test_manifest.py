@@ -328,3 +328,25 @@ def test_layout_gc_removes_stale_keeps_current(tmp_path):
         "events_z_inuse",
         "events_z_concurrent",
     }, left
+
+
+def test_layout_persists_manifest_at_commit(spark, sf_dir):
+    """The layout build writes its footer-stats manifest beside the
+    data (lakehouse pattern); the persisted copy must match a fresh
+    footer scan row-for-row, and readers must prefer it."""
+    import os
+
+    from time_series_prediction_spark.plans.layout_queries import (
+        _ZCOLS,
+        _manifest_for,
+        events_zorder_layout,
+    )
+
+    layout = events_zorder_layout(spark, sf_dir)
+    persisted = os.path.join(layout, "_manifest")
+    assert os.path.exists(persisted)
+    got = sorted(map(tuple, _manifest_for(spark, layout).collect()))
+    want = sorted(
+        map(tuple, build_stats_manifest(spark, layout, _ZCOLS).collect())
+    )
+    assert got == want

@@ -139,6 +139,13 @@ def events_zorder_layout(spark: SparkSession, sf_dir: str) -> str:
             fh.write(_layout_ident(src, os.stat(src)))
         try:
             os.rename(tmp, path)  # atomic publish
+            # persist the footer-stats manifest beside the data (the
+            # lakehouse pattern: stats are written once at commit
+            # time, not re-derived by every reader). Built AFTER the
+            # publish so the recorded file paths are the final ones.
+            build_stats_manifest(spark, path, _ZCOLS).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(path, "_manifest"))
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)  # concurrent winner
         _gc_stale_layouts(os.path.dirname(path), keep=path)
@@ -154,7 +161,12 @@ def _manifest_for(spark: SparkSession, path: str) -> DataFrame:
         # checkpoint files and would accumulate across session restarts
         for k in [k for k in _MANIFEST_CACHE if k[0] != app_id]:
             del _MANIFEST_CACHE[k]
-        man = materialize(build_stats_manifest(spark, path, _ZCOLS))
+        persisted = os.path.join(path, "_manifest")
+        if os.path.exists(persisted):
+            # written at layout-commit time — no footer re-scan needed
+            man = spark.read.parquet(persisted)
+        else:  # layout predates persisted manifests (or write failed)
+            man = materialize(build_stats_manifest(spark, path, _ZCOLS))
         _MANIFEST_CACHE[key] = man
     return man
 
