@@ -47,8 +47,19 @@ def main() -> None:
 
     queries = entrymod.queries()
 
-    # Warm the JVM + file cache with one cheap query (not timed).
+    # Warm the JVM + file cache with one cheap query (not timed), and
+    # pre-fork the Python worker pool with a trivial Arrow-batched UDF
+    # so the timed pandas_udf queries measure steady-state execution,
+    # not one-time worker spin-up (workers are reused across queries).
     queries["q6_revenue_change"](spark, sf_dir).count()
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _noop(s):  # type: ignore[no-untyped-def]
+        return s
+
+    spark.range(1000).select(_noop(F.col("id"))).count()
 
     times: dict[str, float] = {}
     for name in sorted(queries):

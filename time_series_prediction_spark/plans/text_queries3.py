@@ -348,7 +348,11 @@ def corpus_dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: the shingle table is |tokens| narrow rows; frequency
     filter + semi join are hash-partitioned equi ops; the island pass
-    shuffles once on doc_id. Nothing quadratic, nothing driver-side."""
+    shuffles once on doc_id. Nothing quadratic, nothing driver-side.
+    Skew: a boilerplate shingle shared by millions of docs makes its
+    hash a hot key in the semi join — the session enables AQE skew-join
+    splitting (session.py), which subdivides that partition at runtime;
+    no salting needed because the join is existence-only."""
     k = _SPAN_K
     docs = read_table(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("t")
