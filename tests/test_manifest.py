@@ -350,3 +350,60 @@ def test_layout_persists_manifest_at_commit(spark, sf_dir):
         map(tuple, build_stats_manifest(spark, layout, _ZCOLS).collect())
     )
     assert got == want
+
+
+def test_layout_concurrent_builds_one_winner(tmp_path):
+    """Two processes racing to build the SAME layout must both end up
+    with one valid published dir: the atomic-rename publish lets one
+    build win, the loser discards its private temp copy, and both
+    return the identical path with full row count and an _IDENT
+    marker."""
+    import os
+    import shutil
+    import subprocess
+    import sys
+
+    sf_src = tmp_path / "sfcopy"
+    sf_src.mkdir()
+    shutil.copy(
+        "/root/testdata/sf0.001/events.parquet",
+        sf_src / "events.parquet",
+    )
+    prog = f"""
+import sys
+from time_series_prediction_spark.session import get_spark
+from time_series_prediction_spark.plans.layout_queries import (
+    events_zorder_layout,
+)
+spark = get_spark(app_name="race-" + sys.argv[1], master="local[4]",
+                  shuffle_partitions=4)
+spark.sparkContext.setLogLevel("ERROR")
+path = events_zorder_layout(spark, {str(sf_src)!r})
+n = spark.read.parquet(path).count()
+print("RESULT", path, n)
+spark.stop()
+"""
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", prog, tag],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            text=True,
+            cwd="/root/repo",
+        )
+        for tag in ("a", "b")
+    ]
+    results = []
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        assert p.returncode == 0, out
+        line = [ln for ln in out.splitlines() if ln.startswith("RESULT")][0]
+        _, path, n = line.split()
+        results.append((path, int(n)))
+    (pa, na), (pb, nb) = results
+    assert pa == pb, "both processes must converge on one layout dir"
+    assert na == nb > 0
+    assert os.path.exists(os.path.join(pa, "_IDENT"))
+    # no orphaned .build-* temp dirs left behind
+    siblings = os.listdir(os.path.dirname(pa))
+    assert not any(".build-" in s for s in siblings), siblings
