@@ -45,10 +45,15 @@ def test_approx_dau_within_rsd_of_exact(spark, sf_dir):
 
 
 def test_dau_sketch_rollup_merge_lossless_and_bounded(spark, sf_dir):
-    """The HLL mergeability contract: the shard-partial-then-union
-    estimate must EQUAL the direct single-sketch estimate (same lgK —
-    union is lossless), and both must sit within the sketch's error
-    bound of the exact DAU."""
+    """The HLL mergeability contract: the union merges the partials'
+    REGISTERS losslessly, but its estimate may legitimately differ
+    from a directly-built sketch's — a direct sketch uses the HIP
+    estimator, which a union result cannot (the sparse regime, where
+    both are exact, coincides only at small scale; at sf0.1 daily
+    cardinality ~1300 leaves sparse mode and the estimators diverge
+    by up to ~1×RSE ≈ 1.6% at lgK=12). The contract tested: union and
+    direct agree within 2×RSE, and both sit within the sketch's error
+    bound of the exact DAU — at EVERY fixture scale."""
     from pyspark.sql import functions as F
 
     from time_series_prediction_spark.plans.relational import daily_active_users
@@ -68,8 +73,14 @@ def test_dau_sketch_rollup_merge_lossless_and_bounded(spark, sf_dir):
         )
     )
     j = merged.join(direct, "day")
-    assert j.where(F.col("dau_est") != F.col("direct_est")).count() == 0, (
-        "sharded union estimate differs from the direct sketch"
+    # 2×RSE at lgK=12 (1.04/sqrt(2^12) ≈ 1.6%) + slack for tiny days
+    bad_vs_direct = j.where(
+        F.abs(F.col("dau_est") - F.col("direct_est"))
+        > F.col("direct_est") * 0.033 + 2
+    ).count()
+    assert bad_vs_direct == 0, (
+        "sharded union estimate diverges from the direct sketch beyond "
+        "the HIP-vs-composite estimator gap"
     )
     exact = daily_active_users(spark, sf_dir).select("day", "dau")
     bad = (
