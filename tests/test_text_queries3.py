@@ -198,3 +198,35 @@ def test_merged_span_stats_matches_brute_force(spark):
             for r in merged_span_stats(df, k).collect()
         }
         assert got == want, (trial, k)
+
+
+def test_dup_substring_spans_boilerplate_hot_key(spark):
+    """The hot-key case: EVERY doc shares an identical 8-token header
+    (one shingle hash carries the whole corpus through the semi join)
+    followed by a unique body. Expected per-doc coverage is exactly
+    the header span [0, 8) — one span, 8 tokens — computed over a
+    planted corpus, not the fixture."""
+    from time_series_prediction_spark.plans.text_queries3 import (
+        dup_substring_spans_frame,
+    )
+
+    n_docs = 400
+    header = " ".join(f"h{i}" for i in range(8))
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit(header + " "),
+            # unique body: 12 tokens derived from doc_id, shared with
+            # no other doc
+            F.expr(
+                "array_join(transform(sequence(0, 11), "
+                "i -> concat('b', id, '_', i)), ' ')"
+            ),
+        ).alias("text"),
+    )
+    out = dup_substring_spans_frame(docs, 8).collect()
+    assert len(out) == n_docs
+    for r in out:
+        assert r["n_tokens"] == 20
+        assert r["n_spans"] == 1, r
+        assert r["dup_tokens"] == 8, r

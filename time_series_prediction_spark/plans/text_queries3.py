@@ -353,11 +353,17 @@ def corpus_dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash a hot key in the semi join — the session enables AQE skew-join
     splitting (session.py), which subdivides that partition at runtime;
     no salting needed because the join is existence-only."""
-    k = _SPAN_K
-    docs = read_table(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("t")
-    )
-    sh = docs.where(F.size("t") >= k).select(
+    docs = read_table(spark, sf_dir, "documents")
+    return dup_substring_spans_frame(docs, _SPAN_K)
+
+
+def dup_substring_spans_frame(docs: DataFrame, k: int) -> DataFrame:
+    """The span pipeline over an arbitrary (doc_id, text) frame — the
+    registry query binds it to the documents fixture; tests feed it
+    planted corpora (e.g. a boilerplate header shared by every doc, the
+    hot-key case the AQE skew-join note above describes)."""
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    sh = toks.where(F.size("t") >= k).select(
         "doc_id",
         F.explode(F.expr(f"sequence(0, size(t) - {k})")).alias("p"),
         F.col("t"),
@@ -375,7 +381,7 @@ def corpus_dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     starts = sh.join(dup_h, "h", "left_semi")
     islands = merged_span_stats(starts, k)
     return (
-        docs.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
+        toks.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
         .join(islands, "doc_id", "left")
         .select(
             "doc_id",
