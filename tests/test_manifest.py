@@ -407,3 +407,53 @@ spark.stop()
     # no orphaned .build-* temp dirs left behind
     siblings = os.listdir(os.path.dirname(pa))
     assert not any(".build-" in s for s in siblings), siblings
+
+
+def test_zordered_append_with_incremental_manifest(spark, tmp_path):
+    """The ingestion flow: base layout + z-ordered APPEND batch +
+    incremental manifest update. The updated manifest must equal a
+    full rebuild, the pruned scan must match the full filtered scan
+    over base+batch, and stats pruning must still skip files."""
+    from time_series_prediction_spark.operators.manifest import (
+        update_manifest,
+    )
+    from time_series_prediction_spark.operators.zorder import (
+        append_zordered,
+    )
+
+    path = str(tmp_path / "ingest")
+    grid = spark.range(40_000).select(
+        (F.col("id") % 200).alias("x"),
+        (F.col("id") / 200).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    base = grid.where(F.col("id") % 2 == 0)
+    batch = grid.where(F.col("id") % 2 == 1)
+    write_zordered(base, path, ["x", "y"], n_files=8)
+    man0 = build_stats_manifest(spark, path, ["x", "y"]).cache()
+    man0.count()
+    append_zordered(batch, path, ["x", "y"], n_files=8)
+    man1 = update_manifest(spark, man0, path, ["x", "y"]).cache()
+    rebuilt = build_stats_manifest(spark, path, ["x", "y"])
+    assert sorted(map(tuple, man1.collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )
+    files = list_parquet_files(path, spark)
+    assert len(files) == 16  # base 8 + batch 8, history untouched
+    preds = {"x": (10.0, 22.0), "y": (30.0, 80.0)}
+    kept = prune_files(man1, preds)
+    assert 0 < len(kept) < len(files), "append killed stats pruning"
+    got = (
+        pruned_scan(spark, man1, preds)
+        .agg(F.count(F.lit(1)), F.sum("payload"))
+        .first()
+    )
+    want = (
+        spark.read.parquet(path)
+        .where(F.col("x").between(10, 22) & F.col("y").between(30, 80))
+        .agg(F.count(F.lit(1)), F.sum("payload"))
+        .first()
+    )
+    assert tuple(got) == tuple(want) and got[0] > 0
+    man0.unpersist()
+    man1.unpersist()

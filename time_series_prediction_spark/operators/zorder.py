@@ -123,6 +123,34 @@ def write_zordered(
     )
 
 
+def append_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 8,
+    bits: int = 16,
+) -> None:
+    """Append ``df`` to an existing layout as NEW z-ordered files —
+    the lakehouse ingestion flow: history is never rewritten, the
+    batch arrives as its own ``n_files`` Morton-sorted files, and an
+    incremental ``update_manifest`` folds just their footers in.
+
+    The batch's ranks normalize over the BATCH's min/max (each append
+    clusters within itself, exactly like per-batch OPTIMIZE ZORDER in
+    Delta): stats pruning stays effective per file; cross-batch curve
+    overlap is the standard accumulating cost that periodic
+    re-optimization (a full ``write_zordered``) resets."""
+    ranked, code = zorder_code(df, cols, bits=bits)
+    ranked = ranked.withColumn("_zcode", code)
+    (
+        ranked.repartitionByRange(n_files, "_zcode")
+        .sortWithinPartitions("_zcode")
+        .drop("_zcode", *[f"_zr_{c}" for c in cols])
+        .write.mode("append")
+        .parquet(path)
+    )
+
+
 def rowgroup_pruning_fraction(
     path: str, col: str, lo: float, hi: float
 ) -> float:
