@@ -401,12 +401,18 @@ spark.stop()
         _, path, n = line.split()
         results.append((path, int(n)))
     (pa, na), (pb, nb) = results
-    assert pa == pb, "both processes must converge on one layout dir"
-    assert na == nb > 0
-    assert os.path.exists(os.path.join(pa, "_IDENT"))
-    # no orphaned .build-* temp dirs left behind
-    siblings = os.listdir(os.path.dirname(pa))
-    assert not any(".build-" in s for s in siblings), siblings
+    try:
+        assert pa == pb, "both processes must converge on one layout dir"
+        assert na == nb > 0
+        assert os.path.exists(os.path.join(pa, "_IDENT"))
+        # no orphaned .build-* temp dirs left behind
+        siblings = os.listdir(os.path.dirname(pa))
+        assert not any(".build-" in s for s in siblings), siblings
+    finally:
+        # the source dir is pytest-temp; don't leave the layout for GC
+        shutil.rmtree(pa, ignore_errors=True)
+        if pb != pa:
+            shutil.rmtree(pb, ignore_errors=True)
 
 
 def test_zordered_append_with_incremental_manifest(spark, tmp_path):
