@@ -9,17 +9,20 @@ Beyond-reference scope (SURVEY §7.1.8). Design target is 100 TB:
   equi-join Catalyst can hash-partition, NOT an O(n²) cross join. At
   100 TB the blocking key bounds the per-bucket pair count.
 * minhash_signatures / minhash_lsh_pairs — word-shingle MinHash with k
-  hash functions (xxhash64 seeded per function: JVM-side, no Python),
-  banded LSH: signatures split into b bands of r rows; docs sharing a
-  band-hash land in a bucket (equi-join on band value), and only
-  bucket-mates are compared. Shuffle = one explode(b bands) + one
-  equi-join — the standard scalable near-dup pipeline.
+  hash functions (md5-prefix shingle hash + seeded arithmetic
+  permutations: JVM-side, no Python, and ENGINE-REPRODUCIBLE — the
+  same constants drive the DuckDB oracle, so the query is
+  oracle-backed end-to-end), banded LSH: signatures split into b
+  bands of r rows; docs sharing a band-hash land in a bucket
+  (equi-join on band value), and only bucket-mates are compared.
+  Shuffle = one explode(b bands) + one equi-join — the standard
+  scalable near-dup pipeline.
 * simhash64 — 64-bit SimHash over shingle hashes; near-dups have small
   Hamming distance; pairs blocked on 16-bit prefix bands.
 
-MinHash/SimHash use xxhash64, which DuckDB lacks → those queries are
-rows-only for the driver oracle; their QUALITY is validated in pytest
-against exact Jaccard (see tests/test_dedup.py).
+SimHash uses xxhash64, which DuckDB lacks → that query stays
+rows-only for the driver oracle; its QUALITY is validated in pytest
+against exact separation properties.
 """
 
 from __future__ import annotations
@@ -114,18 +117,48 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+# Engine-reproducible MinHash parameters: shingles hash to the first 7
+# md5 hex chars (28-bit value — md5 is identical in every engine), and
+# the k "hash functions" are seeded arithmetic permutations
+# h_k = (a_k·h + b_k) mod p over the Mersenne prime p = 2^31 − 1
+# (a < 2^31, h < 2^28 ⇒ products < 2^59: no int64 overflow in either
+# engine). The SAME constants feed the Spark expression and the DuckDB
+# oracle SQL, so signatures — and therefore LSH pairs and estimates —
+# are bit-identical across engines.
+MINHASH_PRIME = 2_147_483_647  # 2^31 - 1
+
+
+def _minhash_perms(num_hashes: int) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(1301)
+    return [
+        (rng.randrange(1, MINHASH_PRIME), rng.randrange(0, MINHASH_PRIME))
+        for _ in range(num_hashes)
+    ]
+
+
+_MINHASH_PERMS = _minhash_perms(64)  # shared pool; slices serve any k ≤ 64
+
+
 def minhash_signature(
     shingles_col: str = "shingles", num_hashes: int = 32
 ) -> Column:
-    """MinHash signature: array<bigint> of length num_hashes.
-
-    Each shingle STRING is hashed once (``_h``); the k permutations
-    re-hash only the resulting 8-byte value (xxhash64(v, k)) — k× the
-    string-hashing cost would dominate otherwise."""
+    """MinHash signature: array<bigint> of length num_hashes,
+    engine-reproducible (md5-prefix shingle hash + arithmetic
+    permutations — see module constants). Each shingle STRING is
+    hashed once (``_h``); the k permutations are integer multiply-adds
+    over the 28-bit value — k× the string-hashing cost would dominate
+    otherwise."""
+    if num_hashes > len(_MINHASH_PERMS):
+        raise ValueError(f"num_hashes > {len(_MINHASH_PERMS)} unsupported")
+    a_lit = ", ".join(str(a) for a, _ in _MINHASH_PERMS[:num_hashes])
+    b_lit = ", ".join(str(b) for _, b in _MINHASH_PERMS[:num_hashes])
     return F.expr(
-        f"transform(array(transform({shingles_col}, s -> xxhash64(s))), _h -> "
-        f"transform(sequence(0, {num_hashes - 1}), k -> "
-        f"array_min(transform(_h, v -> xxhash64(v, k)))))[0]"
+        f"transform(array(transform({shingles_col}, "
+        f"s -> CAST(conv(substr(md5(s), 1, 7), 16, 10) AS BIGINT))), _h -> "
+        f"zip_with(array({a_lit}), array({b_lit}), (a, b) -> "
+        f"array_min(transform(_h, v -> (a * v + b) % {MINHASH_PRIME}))))[0]"
     )
 
 
@@ -168,7 +201,7 @@ def minhash_lsh_pairs(
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, {bands - 1}), b -> "
-                f"xxhash64(array_join(transform(slice(sig, b * {rows} + 1, {rows}), "
+                f"md5(array_join(transform(slice(sig, b * {rows} + 1, {rows}), "
                 f"v -> CAST(v AS STRING)), ',')))"
             )
         ).alias("band", "band_hash"),

@@ -3,10 +3,11 @@ embeddings fixtures): text analysis, dedup, similarity search.
 
 Oracle-checked queries output scalar columns only (the driver's
 value-hash is cleanest over scalars) and follow the exact-integer
-determinism contract (see plans/relational.py). MinHash / SimHash /
-LSH queries depend on xxhash64, which DuckDB lacks → rows-only checks;
-their retrieval QUALITY is validated in pytest against exact Jaccard /
-brute-force cosine (tests/test_dedup.py, tests/test_similarity.py).
+determinism contract (see plans/relational.py). MinHash is
+engine-reproducible (md5-prefix hash + shared permutation constants)
+and oracle-backed end-to-end; SimHash / embedding-LSH depend on
+xxhash64, which DuckDB lacks → rows-only checks; retrieval QUALITY is
+validated in pytest against exact Jaccard / brute-force cosine.
 """
 
 from __future__ import annotations
@@ -305,9 +306,73 @@ GROUP BY lang
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidates (rows-only: xxhash64-based)."""
+    """MinHash-LSH near-dup candidates — oracle-backed end-to-end:
+    the md5-prefix shingle hash and the seeded arithmetic permutation
+    constants are shared with the DuckDB SQL below, so signatures,
+    LSH buckets, candidate pairs AND estimates are bit-identical
+    across engines."""
     docs = read_table(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(docs, threshold=0.5)
+
+
+def _minhash_lsh_sql(num_hashes: int = 32, bands: int = 8) -> str:
+    """DuckDB mirror of minhash_lsh_pairs (n=3 shingles, threshold
+    0.5), generated from the SAME permutation constants the Spark
+    expression embeds."""
+    p = dedup.MINHASH_PRIME
+    rows = num_hashes // bands
+    perms = dedup._MINHASH_PERMS[:num_hashes]
+    sig_items = ",\n    ".join(
+        f"list_min(list_transform(h, v -> ({a} * v + {b}) % {p}))"
+        for a, b in perms
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, sig, {b} AS band, "
+        f"md5(array_to_string(list_transform("
+        f"sig[{b * rows + 1}:{b * rows + rows}], "
+        f"v -> CAST(v AS VARCHAR)), ',')) AS bh FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(t) - 1), i ->
+           array_to_string(t[i:i + 2], ' '))) AS s
+  FROM toks WHERE len(t) >= 3
+),
+hv AS (
+  SELECT doc_id,
+         list_transform(s, x -> ('0x' || substr(md5(x), 1, 7))::BIGINT) AS h
+  FROM sh WHERE len(s) > 0
+),
+sig AS (
+  SELECT doc_id, [
+    {sig_items}
+  ] AS sig FROM hv
+),
+banded AS (
+{band_selects}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                  a.sig AS sa, b.sig AS sb
+  FROM banded a
+  JOIN banded b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT doc_id_a, doc_id_b,
+         CAST(list_sum(list_transform(range(1, {num_hashes + 1}),
+           i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) AS DOUBLE)
+           / {num_hashes} AS est_jaccard
+  FROM pairs
+)
+SELECT doc_id_a, doc_id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+"""
+
+
+DEDUP_MINHASH_LSH_SQL = _minhash_lsh_sql()
 
 
 _NDOCS_CACHE: dict[tuple[str, str], int] = {}
@@ -713,7 +778,7 @@ TEXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
     "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
     "dedup_survivors": (dedup_survivors, DEDUP_SURVIVORS_SQL),
-    "dedup_minhash_lsh": (dedup_minhash_lsh, None),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL),
     "dedup_simhash": (dedup_simhash, None),
     "embedding_cosine_topk": (embedding_cosine_topk, EMBEDDING_COSINE_TOPK_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_SQL),
