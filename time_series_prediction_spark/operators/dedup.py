@@ -18,11 +18,13 @@ Beyond-reference scope (SURVEY §7.1.8). Design target is 100 TB:
   Shuffle = one explode(b bands) + one equi-join — the standard
   scalable near-dup pipeline.
 * simhash64 — 64-bit SimHash over shingle hashes; near-dups have small
-  Hamming distance; pairs blocked on 16-bit prefix bands.
-
-SimHash uses xxhash64, which DuckDB lacks → that query stays
-rows-only for the driver oracle; its QUALITY is validated in pytest
-against exact separation properties.
+  Hamming distance; pairs blocked on scale-adaptive signature-block
+  subsets. Like MinHash, the shingle hash is md5-derived (two 32-bit
+  halves of the digest), so the generated DuckDB oracle reproduces
+  signatures, buckets, pairs and Hamming distances bit-identically —
+  both near-dup families are oracle-backed end-to-end; quality
+  (separation of near-dups from random pairs) is additionally
+  validated in pytest.
 """
 
 from __future__ import annotations
@@ -65,11 +67,20 @@ def word_shingles(text_col: str = "text", n: int = 3) -> Column:
 
     The token array is bound ONCE via a single-element transform
     (poor man's let) — inlining ``split()`` into the per-shingle lambda
-    would re-tokenize the document for every shingle (O(len²))."""
+    would re-tokenize the document for every shingle (O(len²)).
+
+    Documents shorter than ``n`` tokens yield an EMPTY array, not
+    ``[null]``: ``sequence(0, size - n)`` DESCENDS when size < n, so
+    the unguarded transform would emit null shingles that all hash
+    identically — every short doc would land in one shared LSH bucket
+    (a quadratic pair blowup on short-doc-heavy corpora). The empty
+    array matches the DuckDB oracles' ``len(t) >= n`` prefilter."""
     joined = " || ' ' || ".join(f"_w[i + {j}]" for j in range(n))
     return F.expr(
         f"transform(array(split({text_col}, ' ')), _w -> "
-        f"array_distinct(transform(sequence(0, size(_w) - {n}), i -> {joined})))[0]"
+        f"CASE WHEN size(_w) < {n} THEN array() ELSE "
+        f"array_distinct(transform(sequence(0, size(_w) - {n}), i -> {joined})) "
+        f"END)[0]"
     )
 
 
@@ -240,11 +251,22 @@ def simhash64(shingles_col: str = "shingles") -> Column:
     """64-bit SimHash: for each bit position, sum +1/-1 votes of the
     shingle hashes' bits; bit = 1 if the sum is positive.
 
-    Shingle hashes are computed ONCE into ``_h`` (not per bit — that
-    would be 64× the hashing work), then each bit position counts set
-    bits across the hash array."""
+    The per-shingle 64-bit hash is built from md5 (two 32-bit halves
+    from the first 16 hex chars, hi << 32 | lo) rather than xxhash64:
+    md5 exists in every engine, so the SAME signatures come out of the
+    generated DuckDB oracle SQL and the query is oracle-backed
+    end-to-end (the MinHash graduation template). The md5 digest is
+    bound ONCE per shingle via a single-element transform; shingle
+    hashes are computed ONCE into ``_h`` (not per bit — that would be
+    64× the hashing work), then each bit position counts set bits
+    across the hash array. ``shiftleft(1L, 63)`` wraps to the sign
+    bit, which is exactly the two's-complement contribution bit 63
+    should add."""
     return F.expr(
-        f"transform(array(transform({shingles_col}, s -> xxhash64(s))), _h -> "
+        f"transform(array(transform({shingles_col}, s -> "
+        f"transform(array(md5(s)), m -> "
+        f"shiftleft(CAST(conv(substr(m, 1, 8), 16, 10) AS BIGINT), 32) | "
+        f"CAST(conv(substr(m, 9, 8), 16, 10) AS BIGINT))[0])), _h -> "
         f"aggregate(sequence(0, 63), 0L, (acc, bit) -> "
         f"acc + CASE WHEN 2 * size(filter(_h, v -> (shiftright(v, bit) & 1) = 1)) > size(_h) "
         f"THEN shiftleft(1L, bit) ELSE 0L END))[0]"

@@ -392,11 +392,92 @@ def _documents_count(spark: SparkSession, sf_dir: str) -> int:
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates (rows-only: xxhash64-based)."""
+    """SimHash near-dup candidates — oracle-backed end-to-end: the
+    md5-derived 64-bit shingle hash, the vote fold, the m=4 block keys
+    and the Hamming filter are all mirrored in generated DuckDB SQL,
+    so signatures, buckets, pairs and distances are bit-identical
+    across engines (same graduation path MinHash took in round 5).
+    The oracle encodes the m=4 blocking plan, which
+    ``simhash_blocking_plan`` selects for any corpus below ~6.7e7
+    docs — every fixture scale; beyond that the engine's adaptive
+    banding diverges from the static SQL by design."""
     docs = read_table(spark, sf_dir, "documents")
     return dedup.simhash_near_pairs(
         docs, max_hamming=8, n_docs=_documents_count(spark, sf_dir)
     )
+
+
+def _simhash_sql(n: int = 3, max_hamming: int = 8) -> str:
+    """DuckDB mirror of simhash_near_pairs at the m=4 blocking plan.
+
+    DuckDB's ``<<`` overflow-checks (unlike Java's), so 64-bit values
+    are assembled from 32-bit halves via HUGEINT arithmetic and
+    wrapped back to signed BIGINT two's-complement; ``>>`` + mask
+    extracts bits identically in both engines regardless of sign."""
+    m, combos = dedup.simhash_blocking_plan(10_000_000)
+    assert m == 4 and all(len(c) == 1 for c in combos)
+    w = 64 // m
+    # 64-bit md5-derived shingle hash: hi<<32|lo in two's complement
+    wrap = (
+        "({hi}::HUGEINT * 4294967296 + {lo} - CASE WHEN {neg} "
+        "THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)::BIGINT"
+    )
+    h64 = wrap.format(
+        hi="('0x' || substr(m, 1, 8))::BIGINT",
+        lo="('0x' || substr(m, 9, 8))::BIGINT",
+        neg="substr(m, 1, 1) >= '8'",
+    )
+    vote = (
+        "list_sum(list_transform(range({lo}, {hi}), bit -> "
+        "CASE WHEN 2 * len(list_filter(h, v -> ((v >> bit) & 1) = 1)) > len(h) "
+        "THEN (1::BIGINT << (bit - {lo})) ELSE 0::BIGINT END))"
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, sig, {i} AS word, "
+        f"(sig >> {c[0] * w}) & 65535 AS word_val FROM sig"
+        for i, c in enumerate(combos)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(t) - {n - 2}), i ->
+           array_to_string(t[i:i + {n - 1}], ' '))) AS s
+  FROM toks WHERE len(t) >= {n}
+),
+hv AS (
+  SELECT doc_id, list_transform(s, x ->
+    list_transform([md5(x)], m -> {h64})[1]) AS h
+  FROM sh WHERE len(s) > 0
+),
+sigp AS (
+  SELECT doc_id,
+         {vote.format(lo=32, hi=64)} AS sig_hi,
+         {vote.format(lo=0, hi=32)} AS sig_lo
+  FROM hv
+),
+sig AS (
+  SELECT doc_id, {wrap.format(hi="sig_hi", lo="sig_lo", neg="sig_hi >= 2147483648")} AS sig
+  FROM sigp
+),
+banded AS (
+{band_selects}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                  a.sig AS sa, b.sig AS sb
+  FROM banded a
+  JOIN banded b
+    ON a.word = b.word AND a.word_val = b.word_val AND a.doc_id < b.doc_id
+)
+SELECT doc_id_a, doc_id_b,
+       CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+FROM pairs
+WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+"""
+
+
+DEDUP_SIMHASH_SQL = _simhash_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -779,7 +860,7 @@ TEXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
     "dedup_survivors": (dedup_survivors, DEDUP_SURVIVORS_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL),
-    "dedup_simhash": (dedup_simhash, None),
+    "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "embedding_cosine_topk": (embedding_cosine_topk, EMBEDDING_COSINE_TOPK_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_SQL),
     "embedding_lsh_ann": (embedding_lsh_ann, None),
