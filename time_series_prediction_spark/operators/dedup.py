@@ -34,6 +34,22 @@ from pyspark.sql import functions as F
 
 from time_series_prediction_spark.operators.materialize import materialize
 
+
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's default parallelism when the
+    scan produced fewer partitions — a small corpus arriving as one
+    parquet file (or one row group) would otherwise run the CPU-heavy
+    per-document stages (shingling, per-shingle md5) on a single core.
+    At real scale the scan already has >= defaultParallelism splits and
+    this is a no-op, so the extra shuffle is only ever paid on inputs
+    small enough for it to be trivial."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -200,27 +216,36 @@ def minhash_lsh_pairs(
     """
     rows = num_hashes // bands
     sigs = (
-        df.select(F.col(id_col), word_shingles(text_col, n).alias("shingles"))
+        ensure_parallelism(df)
+        .select(F.col(id_col), word_shingles(text_col, n).alias("shingles"))
         .where(F.size("shingles") > 0)
         .select(
             F.col(id_col), minhash_signature("shingles", num_hashes).alias("sig")
         )
     )
+    # the band key is the band's raw value string — a hash of it would
+    # cost b extra md5 calls per doc and buys nothing: the join is an
+    # equi-join either way, and the string is ~r small integers wide
     banded = sigs.select(
         id_col,
         "sig",
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, {bands - 1}), b -> "
-                f"md5(array_join(transform(slice(sig, b * {rows} + 1, {rows}), "
-                f"v -> CAST(v AS STRING)), ',')))"
+                f"array_join(transform(slice(sig, b * {rows} + 1, {rows}), "
+                f"v -> CAST(v AS STRING)), ','))"
             )
         ).alias("band", "band_hash"),
     )
     banded = materialize(banded)  # signature+banding feeds BOTH self-join sides
     a = banded.alias("a")
     b = banded.alias("b")
-    pairs = (
+    # estimate + threshold BEFORE the pair dedup: the dropDuplicates
+    # shuffle then carries (a, b, est) scalars instead of two
+    # num_hashes-long signature arrays, and the threshold prunes rows
+    # ahead of the exchange. est is deterministic per pair, so
+    # dedup-after-filter returns the same set.
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -230,16 +255,11 @@ def minhash_lsh_pairs(
         .select(
             F.col(f"a.{id_col}").alias("doc_id_a"),
             F.col(f"b.{id_col}").alias("doc_id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            minhash_estimate("a.sig", "b.sig").alias("est_jaccard"),
         )
+        .where(F.col("est_jaccard") >= threshold)
         .dropDuplicates(["doc_id_a", "doc_id_b"])
     )
-    return pairs.select(
-        "doc_id_a",
-        "doc_id_b",
-        minhash_estimate("sig_a", "sig_b").alias("est_jaccard"),
-    ).where(F.col("est_jaccard") >= threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -357,7 +377,8 @@ def simhash_near_pairs(
         n_docs = df.count()  # narrow count — sizing only
     m, combos = simhash_blocking_plan(n_docs, 3, target_bucket)
     sigs = (
-        df.select(F.col(id_col), word_shingles(text_col, n).alias("shingles"))
+        ensure_parallelism(df)
+        .select(F.col(id_col), word_shingles(text_col, n).alias("shingles"))
         .where(F.size("shingles") > 0)
         .select(F.col(id_col), simhash64("shingles").alias("sig"))
     )
@@ -370,6 +391,8 @@ def simhash_near_pairs(
     banded = materialize(banded)  # the 64-bit vote fold feeds BOTH join sides
     a = banded.alias("a")
     b = banded.alias("b")
+    # Hamming filter BEFORE the pair dedup: deterministic per pair, so
+    # filtering first prunes the dropDuplicates exchange.
     return (
         a.join(
             b,
@@ -382,6 +405,6 @@ def simhash_near_pairs(
             F.col(f"b.{id_col}").alias("doc_id_b"),
             hamming64("a.sig", "b.sig").alias("hamming"),
         )
-        .dropDuplicates(["doc_id_a", "doc_id_b"])
         .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
     )

@@ -328,9 +328,9 @@ def _minhash_lsh_sql(num_hashes: int = 32, bands: int = 8) -> str:
     )
     band_selects = "\n  UNION ALL\n".join(
         f"  SELECT doc_id, sig, {b} AS band, "
-        f"md5(array_to_string(list_transform("
+        f"array_to_string(list_transform("
         f"sig[{b * rows + 1}:{b * rows + rows}], "
-        f"v -> CAST(v AS VARCHAR)), ',')) AS bh FROM sig"
+        f"v -> CAST(v AS VARCHAR)), ',') AS bh FROM sig"
         for b in range(bands)
     )
     return f"""
