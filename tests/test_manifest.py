@@ -306,6 +306,15 @@ def test_layout_gc_removes_stale_keeps_current(tmp_path):
     gone_src.mkdir()
     (gone_src / "_IDENT").write_text(f"{tmp_path/'vanished.parquet'}|1|2")
 
+    # same source triple but DIFFERENT generation params: built by
+    # another code version that may still be running — must be kept
+    foreign = root / "events_z_foreign"
+    foreign.mkdir()
+    st = os.stat(src)
+    (foreign / "_IDENT").write_text(
+        f"{src}|{st.st_size}|{st.st_mtime_ns}|old_cols|old_z|99"
+    )
+
     in_use = root / "events_z_inuse"
     in_use.mkdir()  # no _IDENT yet (mid-build) but passed as keep
 
@@ -318,7 +327,7 @@ def test_layout_gc_removes_stale_keeps_current(tmp_path):
     import time
 
     old = time.time() - 7200
-    for d in (current, stale, no_ident, gone_src, in_use):
+    for d in (current, stale, no_ident, gone_src, in_use, foreign):
         os.utime(d, (old, old))
 
     _gc_stale_layouts(str(root), keep=str(in_use))
@@ -327,6 +336,7 @@ def test_layout_gc_removes_stale_keeps_current(tmp_path):
         "events_z_current",
         "events_z_inuse",
         "events_z_concurrent",
+        "events_z_foreign",
     }, left
 
 
@@ -463,3 +473,61 @@ def test_zordered_append_with_incremental_manifest(spark, tmp_path):
     assert tuple(got) == tuple(want) and got[0] > 0
     man0.unpersist()
     man1.unpersist()
+
+
+def test_manifest_base_normalization_file_uri_and_relative(spark, tmp_path):
+    """Partition-value manifest rows must appear even when the caller
+    passes a ``file:``-prefixed URI or a relative path as the table
+    base: the base is resolved through the same FileSystem/URI
+    normalization as the listing, so the prefix check matches the
+    listed absolute paths (a textual mismatch would silently disable
+    partition pruning)."""
+    import os
+
+    from time_series_prediction_spark.sources.io import write_partitioned
+
+    path = str(tmp_path / "ptbl_uri")
+    grid = spark.range(2_000).select(
+        (F.col("id") % 4).alias("bucket"),
+        F.col("id").alias("payload"),
+    )
+    write_partitioned(grid, path, ["bucket"])
+
+    for variant in (
+        f"file:{path}",
+        os.path.relpath(path, os.getcwd()),
+    ):
+        man = build_stats_manifest(spark, variant, ["bucket", "payload"])
+        brows = man.where(F.col("col") == "bucket").collect()
+        assert brows, f"no partition rows for base variant {variant!r}"
+        assert all(r["vmin"] == r["vmax"] for r in brows)
+
+
+def test_manifest_for_ignores_half_committed_manifest(spark, sf_dir):
+    """A ``_manifest`` dir without its ``_SUCCESS`` marker (crashed or
+    in-flight write) must NOT be preferred: readers fall back to a
+    live footer scan and still produce the correct manifest."""
+    import os
+
+    from time_series_prediction_spark.plans.layout_queries import (
+        _MANIFEST_CACHE,
+        _ZCOLS,
+        _manifest_for,
+        events_zorder_layout,
+    )
+
+    layout = events_zorder_layout(spark, sf_dir)
+    success = os.path.join(layout, "_manifest", "_SUCCESS")
+    assert os.path.exists(success)
+    os.remove(success)
+    _MANIFEST_CACHE.clear()
+    try:
+        got = sorted(map(tuple, _manifest_for(spark, layout).collect()))
+        want = sorted(
+            map(tuple, build_stats_manifest(spark, layout, _ZCOLS).collect())
+        )
+        assert got == want
+    finally:
+        # restore the marker for later tests reusing the cached layout
+        open(success, "w").close()
+        _MANIFEST_CACHE.clear()

@@ -101,6 +101,30 @@ def list_parquet_files(
     return sorted(out)
 
 
+def _resolve_base(path: str, spark: SparkSession | None = None) -> str:
+    """Normalize ``path`` through the SAME FileSystem/URI resolution
+    the listing uses, so the partition-value prefix check in
+    ``_footer_stats`` matches the listed absolute paths even when the
+    caller passed a relative path or a ``file:``-prefixed URI (the
+    listing returns resolved paths; a textual mismatch would silently
+    disable partition-column pruning rows)."""
+    spark = spark or SparkSession.getActiveSession()
+    if spark is not None:
+        try:
+            jvm = spark._jvm
+            hconf = spark.sparkContext._jsc.hadoopConfiguration()
+            jpath = jvm.org.apache.hadoop.fs.Path(path)
+            fs = jpath.getFileSystem(hconf)
+            status = fs.getFileStatus(jpath)
+            uri = status.getPath().toUri()
+            if uri.getScheme() in (None, "file"):
+                return uri.getPath().rstrip("/")
+            return status.getPath().toString().rstrip("/")
+        except Exception:  # noqa: BLE001 — path may not exist yet
+            pass
+    return os.path.abspath(path).rstrip("/")
+
+
 def _partition_values(rel: str) -> dict[str, float]:
     """Numeric partition-column values parsed from a Hive-style
     relative path (``x=5/y=2/part-0.parquet`` → {x: 5.0, y: 2.0}).
@@ -193,7 +217,7 @@ def build_stats_manifest(
     file_df = spark.createDataFrame(
         [(f,) for f in files], "file string"
     ).repartition(min(len(files), 64))
-    return _footer_stats(file_df, cols, base=path)
+    return _footer_stats(file_df, cols, base=_resolve_base(path, spark))
 
 
 def update_manifest(
@@ -207,15 +231,23 @@ def update_manifest(
     and rows for files that vanished (compaction, retention) are
     dropped. Equivalent to a full rebuild (pinned in tests) at the
     cost of footer-reading just the delta — the property that makes a
-    manifest viable on a table receiving thousands of appends a day."""
-    on_disk = set(list_parquet_files(path, spark))
-    known = {r["file"] for r in manifest.select("file").distinct().collect()}
-    new_files = sorted(on_disk - known)
-    if on_disk:
-        disk_df = spark.createDataFrame([(f,) for f in sorted(on_disk)], "file string")
-        kept = manifest.join(disk_df, "file", "left_semi")
-    else:
-        kept = manifest.where(F.lit(False))
+    manifest viable on a table receiving thousands of appends a day.
+
+    Only the NEW files are collected to the driver (disk list
+    anti-join manifest): at 10⁶ known files the driver holds the disk
+    listing it produced anyway, never the manifest's accumulated file
+    set — steady-state cost is proportional to the delta."""
+    on_disk = list_parquet_files(path, spark)
+    if not on_disk:
+        return manifest.where(F.lit(False))
+    disk_df = spark.createDataFrame([(f,) for f in on_disk], "file string")
+    new_files = sorted(
+        r["file"]
+        for r in disk_df.join(
+            manifest.select("file").distinct(), "file", "left_anti"
+        ).collect()
+    )
+    kept = manifest.join(disk_df, "file", "left_semi")
     if not new_files:
         return kept
     fresh = build_stats_manifest_for_files(spark, new_files, cols, base=path)
@@ -233,7 +265,10 @@ def build_stats_manifest_for_files(
     if not files:
         raise ValueError("empty file list")
     tmp = spark.createDataFrame([(f,) for f in files], "file string")
-    return _footer_stats(tmp.repartition(min(len(files), 64)), cols, base=base)
+    resolved = _resolve_base(base, spark) if base else None
+    return _footer_stats(
+        tmp.repartition(min(len(files), 64)), cols, base=resolved
+    )
 
 
 def prune_files(

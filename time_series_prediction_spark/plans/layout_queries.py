@@ -85,14 +85,20 @@ def _layout_ident(src: str, st: os.stat_result) -> str:
 
 
 def _gc_stale_layouts(root: str, keep: str) -> None:
-    """Remove cached layouts whose recorded source identity no longer
+    """Remove cached layouts whose recorded SOURCE identity no longer
     matches the file on disk (fixture regenerated → new key → the old
     dir would otherwise live in the temp dir forever). Each layout
     records its identity in an ``_IDENT`` file at build time; dirs
     without one are stale — unless they are younger than the grace
     period, which protects another process's build in progress (its
     ``_IDENT`` lands right after the write). Never touches ``keep``
-    (the layout being built/used now)."""
+    (the layout being built/used now).
+
+    Only the source triple (path, size, mtime) decides staleness — a
+    layout whose generation params (_LAYOUT_COLS/_ZCOLS/_N_FILES)
+    differ from the current code's was built by a DIFFERENT code
+    version that may still be running against it; such foreign
+    layouts are kept until their source actually changes."""
     import shutil
     import time
 
@@ -109,11 +115,14 @@ def _gc_stale_layouts(root: str, keep: str) -> None:
                 continue  # possibly mid-build by a concurrent process
             with open(os.path.join(d, "_IDENT")) as fh:
                 ident = fh.read().strip()
-            src = ident.split("|", 1)[0]
-            if ident == _layout_ident(src, os.stat(src)):
-                continue  # still current (e.g. another sf dir's layout)
-        except OSError:
-            pass  # unreadable/missing _IDENT or vanished source → stale
+            src, size_s, mtime_s = ident.split("|")[:3]
+            st = os.stat(src)
+            if st.st_size == int(size_s) and st.st_mtime_ns == int(mtime_s):
+                # source unchanged: current layout, another sf dir's,
+                # or a foreign code version's — all still live
+                continue
+        except (OSError, ValueError):
+            pass  # unreadable/corrupt _IDENT or vanished source → stale
         shutil.rmtree(d, ignore_errors=True)
 
 
@@ -142,10 +151,19 @@ def events_zorder_layout(spark: SparkSession, sf_dir: str) -> str:
             # persist the footer-stats manifest beside the data (the
             # lakehouse pattern: stats are written once at commit
             # time, not re-derived by every reader). Built AFTER the
-            # publish so the recorded file paths are the final ones.
+            # publish so the recorded file paths are the final ones,
+            # and published with its OWN atomic rename so readers
+            # never see a half-written _manifest dir: they gate on
+            # _manifest/_SUCCESS (see _manifest_for) and fall back to
+            # a live footer scan until the rename lands.
+            mtmp = os.path.join(path, f"_manifest.build-{os.getpid()}")
             build_stats_manifest(spark, path, _ZCOLS).write.mode(
                 "overwrite"
-            ).parquet(os.path.join(path, "_manifest"))
+            ).parquet(mtmp)
+            try:
+                os.rename(mtmp, os.path.join(path, "_manifest"))
+            except OSError:  # concurrent manifest winner
+                shutil.rmtree(mtmp, ignore_errors=True)
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)  # concurrent winner
         _gc_stale_layouts(os.path.dirname(path), keep=path)
@@ -162,8 +180,11 @@ def _manifest_for(spark: SparkSession, path: str) -> DataFrame:
         for k in [k for k in _MANIFEST_CACHE if k[0] != app_id]:
             del _MANIFEST_CACHE[k]
         persisted = os.path.join(path, "_manifest")
-        if os.path.exists(persisted):
-            # written at layout-commit time — no footer re-scan needed
+        if os.path.exists(os.path.join(persisted, "_SUCCESS")):
+            # written + atomically renamed at layout-commit time — no
+            # footer re-scan needed. Gating on the _SUCCESS marker
+            # (not the bare dir) means a crashed or in-flight manifest
+            # write is ignored rather than preferred forever.
             man = spark.read.parquet(persisted)
         else:  # layout predates persisted manifests (or write failed)
             man = materialize(build_stats_manifest(spark, path, _ZCOLS))
