@@ -419,3 +419,92 @@ def test_docs_ingest_dedup_stream_matches_batch(spark, sf_dir, tmp_path):
     ) and any(d >= 2_000_000 for d in got)
     hashes.unpersist()
     fps.unpersist()
+
+
+def test_streaming_zorder_ingest_builds_pruned_layout(spark, tmp_path):
+    """The continuous lakehouse ingestion loop: a file stream lands
+    micro-batch by micro-batch as z-ordered batch dirs with an
+    incrementally maintained, atomically versioned stats manifest.
+    After the stream drains: the committed manifest equals a full
+    rebuild, range queries through it prune files yet match the full
+    scan, every source row landed exactly once, and replaying a batch
+    (same batch_id) changes nothing."""
+    import os
+
+    from time_series_prediction_spark.operators.manifest import (
+        build_stats_manifest,
+        list_parquet_files,
+        prune_files,
+        pruned_scan,
+    )
+    from time_series_prediction_spark.streaming.layout import (
+        current_manifest,
+        manifest_root,
+        read_layout,
+        zorder_ingest_sink,
+    )
+
+    src = str(tmp_path / "src")
+    grid = spark.range(30_000).select(
+        (F.col("id") % 100).alias("x"),
+        (F.col("id") / 300).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    grid.repartition(3).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "tbl")
+    stream = (
+        spark.readStream.schema("x long, y long, payload long")
+        .option("maxFilesPerTrigger", "1")  # force multiple batches
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(zorder_ingest_sink(out, ["x", "y"]))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    batch_dirs = [d for d in os.listdir(out) if d.startswith("batch-")]
+    assert len(batch_dirs) >= 2, "expected multiple micro-batches"
+    man = current_manifest(spark, manifest_root(out))
+    assert man is not None
+    rebuilt = build_stats_manifest(spark, out, ["x", "y"])
+    assert sorted(map(tuple, man.collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )
+    # stats pruning engages and the pruned result matches the full scan
+    preds = {"x": (10.0, 25.0)}
+    kept = prune_files(man, preds)
+    files = list_parquet_files(out, spark)
+    assert 0 < len(kept) < len(files), (len(kept), len(files))
+    got = (
+        pruned_scan(spark, man, preds)
+        .agg(F.count(F.lit(1)), F.sum("payload"))
+        .first()
+    )
+    want = (
+        read_layout(spark, out)
+        .where(F.col("x").between(10, 25))
+        .agg(F.count(F.lit(1)), F.sum("payload"))
+        .first()
+    )
+    assert tuple(got) == tuple(want) and got[0] > 0
+    # exactly-once landing across the whole stream
+    assert read_layout(spark, out).count() == 30_000
+
+    # replay: re-running a batch with the same batch_id overwrites its
+    # own directory and republishes a consistent manifest — no dupes
+    sink = zorder_ingest_sink(out, ["x", "y"])
+    extra = grid.where(F.col("payload") < 1_000)
+    sink(extra, 999)
+    assert read_layout(spark, out).count() == 31_000
+    sink(extra, 999)  # replay
+    assert read_layout(spark, out).count() == 31_000
+    man2 = current_manifest(spark, manifest_root(out))
+    rebuilt2 = build_stats_manifest(spark, out, ["x", "y"])
+    assert sorted(map(tuple, man2.collect())) == sorted(
+        map(tuple, rebuilt2.collect())
+    )

@@ -219,9 +219,135 @@ GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# streamed ingestion loop surfaced as a registry query
+# ---------------------------------------------------------------------------
+
+_SPRED = {"user_id": (2.0, 7.0), "value": (10.0, 60.0)}
+
+
+def events_streamed_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Events landed through the CONTINUOUS ingestion loop
+    (streaming/layout.py): the fixture is split into several inbox
+    files, streamed one file per micro-batch through
+    ``zorder_ingest_sink`` (per-batch z-ordered dirs + incrementally
+    maintained, atomically versioned manifest), and published under
+    the layout cache with the same identity/GC protocol as the batch
+    layout. Built at most once per fixture content."""
+    import shutil
+
+    from time_series_prediction_spark.streaming.layout import (
+        manifest_root,
+        zorder_ingest_sink,
+    )
+
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    gen = f"stream|{','.join(_LAYOUT_COLS)}|{','.join(_ZCOLS)}"
+    ident = f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}|{gen}"
+    key = hashlib.md5(ident.encode()).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), "tsp_layouts")
+    path = os.path.join(root, f"events_s_{key}")
+    if not os.path.exists(os.path.join(path, "_IDENT")):
+        tmp = f"{path}.build-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        ev = read_table(spark, sf_dir, "events").select(*_LAYOUT_COLS)
+        inbox = os.path.join(tmp, "_inbox")
+        ev.repartition(3).write.mode("overwrite").parquet(inbox)
+        data = os.path.join(tmp, "data")
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(inbox)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                zorder_ingest_sink(data, _ZCOLS, n_files=4)
+            )
+            .option("checkpointLocation", os.path.join(tmp, "_ck"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # the streamed manifest recorded BUILD-dir paths; commit one
+        # final version with the published prefix before the rename
+        # (versions are tiny — this is a metadata-only rewrite)
+        from time_series_prediction_spark.streaming.layout import (
+            current_manifest,
+            publish_manifest,
+        )
+
+        mroot = manifest_root(data)
+        man = current_manifest(spark, mroot)
+        assert man is not None, "stream published no manifest"
+        final_data = os.path.join(path, "data")
+        fixed = man.withColumn(
+            "file",
+            F.concat(F.lit(final_data), F.expr(f"substr(file, {len(data) + 1})")),
+        )
+        last = max(
+            int(d[1:]) for d in os.listdir(mroot) if d.startswith("v")
+        )
+        publish_manifest(fixed, mroot, last + 1)
+        with open(os.path.join(tmp, "_IDENT"), "w") as fh:
+            fh.write(ident)
+        try:
+            os.rename(tmp, path)  # atomic publish
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # concurrent winner
+        _gc_stale_layouts(root, keep=path)
+    return os.path.join(path, "data")
+
+
+def events_streamed_ingest_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Range aggregate answered through the STREAMED layout: the
+    events fixture arrives micro-batch by micro-batch via the
+    foreachBatch z-ingest sink, then the committed manifest version
+    prunes the scan. Result is identical to the plain full-table
+    query the oracle runs — the streaming path only changes HOW the
+    bytes landed."""
+    from time_series_prediction_spark.streaming.layout import (
+        current_manifest,
+        manifest_root,
+    )
+
+    data = events_streamed_layout(spark, sf_dir)
+    man = current_manifest(spark, manifest_root(data))
+    if man is None:  # pointer missing/incomplete — rebuild live
+        df = pruned_scan(
+            spark, build_stats_manifest(spark, data, _ZCOLS), _SPRED
+        )
+    else:
+        df = pruned_scan(spark, man, _SPRED)
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias(
+            "total_cents"
+        ),
+    )
+
+
+EVENTS_STREAMED_INGEST_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events
+WHERE user_id BETWEEN 2 AND 7 AND value BETWEEN 10 AND 60
+GROUP BY event_type
+"""
+
+
 LAYOUT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "events_layout_pruned_scan": (
         events_layout_pruned_scan,
         EVENTS_LAYOUT_PRUNED_SQL,
+    ),
+    "events_streamed_ingest_scan": (
+        events_streamed_ingest_scan,
+        EVENTS_STREAMED_INGEST_SQL,
     ),
 }
