@@ -143,3 +143,69 @@ def test_dup_substring_spans_no_python_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# plan budgets for EVERY rows-only registry query
+# ---------------------------------------------------------------------------
+
+# Queries without a DuckDB oracle get their scale posture pinned here
+# instead: no row-at-a-time Python, no nested-loop/cartesian join, a
+# bounded number of exchanges, and Arrow/pandas stages only where the
+# query DECLARES a genuine Python stage (vector math, model scoring,
+# per-shard packing, multimodal decode). Ceilings are the measured
+# plan shapes — a regression that adds an exchange or a Python stage
+# fails loudly.
+_ROWS_ONLY_BUDGET = {
+    # name: (max_exchanges, max_arrow_stages, max_pandas_group_stages)
+    "approx_distinct_users_daily": (1, 0, 0),
+    "cashflow_scoring_pipeline": (3, 1, 0),  # iterator pandas_udf scorer
+    "cashflow_synthetic_pipeline": (1, 0, 0),
+    "cashflow_wide_pipeline": (2, 0, 0),
+    "doc_packing_stats": (2, 0, 1),  # applyInPandas per shard
+    "embedding_ivf_ann": (2, 3, 0),  # vectorized cell/ADC scoring
+    "embedding_lsh_ann": (3, 4, 0),
+    "embedding_pq_ann": (4, 3, 0),
+    "events_dau_sketch_rollup": (2, 0, 0),
+    "lineitem_quantiles_approx": (1, 0, 0),
+    "multimodal_features": (0, 1, 0),  # mapInPandas decode counts as arrow
+}
+
+
+def test_rows_only_budget_covers_registry():
+    """Every rows-only registry query must have a plan budget here —
+    adding a query without an oracle requires declaring its plan
+    shape."""
+    import __spark_entry__ as entrymod
+
+    rows_only = set(entrymod.queries()) - set(entrymod.oracle_sql())
+    assert rows_only == set(_ROWS_ONLY_BUDGET), (
+        rows_only ^ set(_ROWS_ONLY_BUDGET)
+    )
+
+
+def test_rows_only_queries_meet_plan_budget(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    failures = []
+    for name, (max_ex, max_arrow, max_pgroups) in sorted(
+        _ROWS_ONLY_BUDGET.items()
+    ):
+        plan = _plan(qs[name](spark, sf_dir))
+        arrow = plan.count("ArrowEvalPython") + plan.count("MapInPandas")
+        checks = [
+            (plan.count("BatchEvalPython") == 0, "row-at-a-time Python"),
+            (plan.count("BroadcastNestedLoopJoin") == 0, "nested-loop join"),
+            (plan.count("CartesianProduct") == 0, "cartesian product"),
+            (plan.count("Exchange") <= max_ex, "exchange budget"),
+            (arrow <= max_arrow, "arrow-stage budget"),
+            (
+                plan.count("FlatMapGroupsInPandas") <= max_pgroups,
+                "pandas-group budget",
+            ),
+        ]
+        for ok, what in checks:
+            if not ok:
+                failures.append(f"{name}: {what}")
+    assert not failures, failures
