@@ -32,6 +32,12 @@ DEFAULT = [
     "dedup_incremental_batch",   # r5: batch-vs-corpus key-set joins
     "corpus_dup_substring_spans",  # r5: shingle freq + interval merge
     "corpus_leakage_safe_split",   # r5: group-hash split aggregate
+    # r6: the rest of the dedup + ANN families
+    "dedup_simhash",             # md5 simhash + adaptive banding
+    "dedup_ngram_jaccard",       # blocked exact-Jaccard self-join
+    "dedup_clusters",            # LSH pairs -> connected components
+    "embedding_lsh_ann",         # hyperplane-bucketed ANN
+    "embedding_ivf_ann",         # Lloyd cells + probed scan
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
@@ -61,9 +67,17 @@ def main() -> int:
             per_sf[sf] = round(time.time() - t0, 3)
         ratio = per_sf["sf0.1"] / max(per_sf["sf0.01"], 1e-9)
         per_sf["x_per_10x"] = round(ratio, 2)
+        # fitted scaling exponent for t ~ n^e between the two largest
+        # SFs: e = log10(ratio). e <= 1 is at-most-linear; anything
+        # clearly above 1 is flagged super-linear.
+        import math
+
+        per_sf["exponent"] = round(math.log10(max(ratio, 1e-9)), 2)
         out[name] = per_sf
+        flag = "  ** SUPER-LINEAR **" if per_sf["exponent"] > 1.05 else ""
         print(f"{name:28s} " + "  ".join(f"{sf}={per_sf[sf]:6.2f}s" for sf in SFS)
-              + f"  ratio(0.01->0.1)={per_sf['x_per_10x']:.2f}x")
+              + f"  ratio(0.01->0.1)={per_sf['x_per_10x']:.2f}x"
+              + f"  e={per_sf['exponent']:.2f}{flag}")
     print(json.dumps(out))
     return 0
 

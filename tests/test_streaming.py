@@ -508,3 +508,71 @@ def test_streaming_zorder_ingest_builds_pruned_layout(spark, tmp_path):
     assert sorted(map(tuple, man2.collect())) == sorted(
         map(tuple, rebuilt2.collect())
     )
+
+
+def test_streaming_layout_compact_vacuum_cycle(spark, tmp_path):
+    """The full lakehouse maintenance cycle on a streamed layout:
+    OPTIMIZE rewrites the accumulated per-batch generations into one
+    z-ordered generation behind an atomic manifest flip (content
+    identical, pruning intact), VACUUM reclaims superseded dirs after
+    the retention window, and ingestion continues cleanly on the
+    compacted table."""
+    import os
+
+    from time_series_prediction_spark.operators.manifest import (
+        list_parquet_files,
+        prune_files,
+    )
+    from time_series_prediction_spark.streaming.layout import (
+        compact_layout,
+        current_manifest,
+        manifest_root,
+        read_committed,
+        read_layout,
+        vacuum_layout,
+        zorder_ingest_sink,
+    )
+
+    out = str(tmp_path / "tbl")
+    grid = spark.range(24_000).select(
+        (F.col("id") % 100).alias("x"),
+        (F.col("id") / 300).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    sink = zorder_ingest_sink(out, ["x", "y"], n_files=3)
+    for i in range(4):  # four small generations, as a stream would land
+        sink(grid.where(F.col("payload") % 4 == i), i)
+    before = sorted(
+        map(tuple, read_committed(spark, out).collect())
+    )
+    assert len(before) == 24_000
+
+    cdir = compact_layout(spark, out, ["x", "y"], n_files=4)
+    assert cdir is not None and os.path.isdir(cdir)
+    # content is unchanged, committed reads now hit ONLY the new gen
+    after = sorted(map(tuple, read_committed(spark, out).collect()))
+    assert after == before
+    man = current_manifest(spark, manifest_root(out))
+    committed_files = set(prune_files(man, {}))
+    assert committed_files == set(list_parquet_files(cdir, spark))
+    # raw recursive scan would double-count until vacuum
+    assert read_layout(spark, out).count() == 48_000
+    # stats pruning works on the compacted generation
+    kept = prune_files(man, {"x": (10.0, 25.0)})
+    assert 0 < len(kept) < len(committed_files)
+
+    # vacuum: grace keeps everything, then zero-grace reclaims
+    assert vacuum_layout(spark, out) == []
+    removed = vacuum_layout(spark, out, grace_s=0.0)
+    assert len(removed) == 4 and all("batch-" in d for d in removed)
+    assert read_layout(spark, out).count() == 24_000
+    assert sorted(
+        map(tuple, read_committed(spark, out).collect())
+    ) == before
+
+    # ingestion continues on the compacted table
+    extra = grid.where(F.col("payload") < 500).withColumn(
+        "payload", F.col("payload") + 1_000_000
+    )
+    sink(extra, 50)
+    assert read_committed(spark, out).count() == 24_500

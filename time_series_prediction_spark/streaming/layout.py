@@ -40,9 +40,12 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from time_series_prediction_spark.operators.manifest import (
     build_stats_manifest,
-    update_manifest,
+    prune_files,
+    pruned_scan,
 )
 from time_series_prediction_spark.operators.zorder import write_zordered
 
@@ -94,6 +97,19 @@ def current_manifest(spark: SparkSession, root: str) -> DataFrame | None:
     return spark.read.parquet(vdir)
 
 
+def _next_version(root: str) -> int:
+    """Next manifest version number: one past the newest published
+    version (streaming batches and compactions share one monotonic
+    sequence, so the ``_LATEST`` pointer never moves backwards)."""
+    try:
+        versions = [
+            int(d[1:]) for d in os.listdir(root) if d.startswith("v")
+        ]
+    except OSError:
+        return 0
+    return max(versions, default=-1) + 1
+
+
 def zorder_ingest_sink(
     data_path: str,
     zcols: list[str],
@@ -103,7 +119,15 @@ def zorder_ingest_sink(
     """``foreachBatch`` function landing each micro-batch as its own
     z-ordered ``batch-{id}`` directory and committing an incrementally
     updated manifest version. Pass to
-    ``stream.writeStream.foreachBatch(...)``."""
+    ``stream.writeStream.foreachBatch(...)``.
+
+    The manifest update is LOG-IS-TRUTH (the Delta discipline): the
+    new version = previous version minus any rows for this batch's
+    directory (a replay overwrote it) plus footer stats for the files
+    just written. No disk-wide listing per commit — the per-batch
+    metadata cost is proportional to the batch, independent of how
+    many files the table has accumulated, and files awaiting vacuum
+    after a compaction are never resurrected by a listing."""
     root = root or manifest_root(data_path)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -114,14 +138,104 @@ def zorder_ingest_sink(
         # overwrite the SAME per-batch dir → replay-idempotent
         write_zordered(batch_df, bdir, zcols, n_files=n_files)
         prev = current_manifest(spark, root)
-        man = (
-            build_stats_manifest(spark, data_path, zcols)
-            if prev is None
-            else update_manifest(spark, prev, data_path, zcols)
-        )
-        publish_manifest(man, root, batch_id)
+        fresh = build_stats_manifest(spark, bdir, zcols)
+        if prev is None:
+            # bootstrap: fold in whatever already lives in the table
+            man = build_stats_manifest(spark, data_path, zcols)
+        else:
+            kept = prev.where(
+                ~F.col("file").startswith(bdir.rstrip("/") + "/")
+            )
+            man = kept.unionByName(fresh)
+        publish_manifest(man, root, _next_version(root))
 
     return _sink
+
+
+def compact_layout(
+    spark: SparkSession,
+    data_path: str,
+    zcols: list[str],
+    n_files: int = 8,
+    root: str | None = None,
+) -> str | None:
+    """OPTIMIZE: rewrite every file the current manifest commits to —
+    the small per-batch generations streaming accumulates — into one
+    fresh z-ordered ``compact-{gen}`` generation, then commit a
+    manifest version that references ONLY the new generation. Readers
+    switch atomically at the pointer flip; superseded generations
+    stay on disk (an in-flight reader may hold the old version) until
+    ``vacuum_layout`` reclaims them. Returns the new generation dir,
+    or None when nothing has been committed yet.
+
+    This resets the cross-batch curve overlap ``append_zordered``'s
+    per-batch normalization accumulates — the periodic re-optimize
+    every lakehouse runs."""
+    root = root or manifest_root(data_path)
+    man = current_manifest(spark, root)
+    if man is None:
+        return None
+    files = prune_files(man, {})
+    gen = _next_version(root)
+    cdir = os.path.join(data_path, f"compact-{gen}")
+    write_zordered(spark.read.parquet(*files), cdir, zcols, n_files=n_files)
+    publish_manifest(build_stats_manifest(spark, cdir, zcols), root, gen)
+    return cdir
+
+
+def vacuum_layout(
+    spark: SparkSession,
+    data_path: str,
+    root: str | None = None,
+    grace_s: float = 3600.0,
+) -> list[str]:
+    """Reclaim data generations no longer referenced by the CURRENT
+    manifest version (superseded by compaction), keeping anything
+    younger than ``grace_s`` — the retention window protecting
+    readers still holding an older manifest version and concurrent
+    in-flight writes. Returns the removed directories.
+
+    Deletion here is a driver-side local-filesystem operation (this
+    repo's test/bench surface); against an object store the same loop
+    runs through the Hadoop FileSystem API."""
+    import shutil
+    import time
+
+    root = root or manifest_root(data_path)
+    man = current_manifest(spark, root)
+    if man is None:
+        return []
+    referenced = set(prune_files(man, {}))
+    removed = []
+    for name in sorted(os.listdir(data_path)):
+        if name.startswith(("_", ".")):
+            continue
+        d = os.path.join(data_path, name)
+        if not os.path.isdir(d):
+            continue
+        if time.time() - os.stat(d).st_mtime < grace_s:
+            continue
+        from time_series_prediction_spark.operators.manifest import (
+            list_parquet_files,
+        )
+
+        dirfiles = list_parquet_files(d, spark)
+        if dirfiles and referenced.isdisjoint(dirfiles):
+            shutil.rmtree(d, ignore_errors=True)
+            removed.append(d)
+    return removed
+
+
+def read_committed(spark: SparkSession, data_path: str, root: str | None = None) -> DataFrame:
+    """Read exactly the files the current manifest version commits to
+    — the only correct full-table read once compactions run (a raw
+    recursive scan would double-count superseded generations awaiting
+    vacuum)."""
+    root = root or manifest_root(data_path)
+    man = current_manifest(spark, root)
+    if man is None:
+        raise ValueError(f"no committed manifest under {root}")
+    return pruned_scan(spark, man, {})
 
 
 def read_layout(spark: SparkSession, data_path: str) -> DataFrame:
