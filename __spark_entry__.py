@@ -33,6 +33,7 @@ def _all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], 
         cashflow_scoring_pipeline,
         cashflow_wide_summary,
     )
+    from time_series_prediction_spark.plans.bucketed_queries import BUCKETED_QUERIES
     from time_series_prediction_spark.plans.layout_queries import LAYOUT_QUERIES
     from time_series_prediction_spark.plans.rangejoin_queries import RANGEJOIN_QUERIES
     from time_series_prediction_spark.plans.relational2 import RELATIONAL2_QUERIES
@@ -66,6 +67,7 @@ def _all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], 
     registry.update(WAREHOUSE_QUERIES)
     registry.update(RANGEJOIN_QUERIES)
     registry.update(LAYOUT_QUERIES)
+    registry.update(BUCKETED_QUERIES)
     # wide-array pipeline: statsmodels-parity trend + sequential-fold
     # extrapolation are not ANSI-SQL-expressible → rows-only check;
     # the registry form projects the forecast array to scalar endpoints

@@ -1,0 +1,99 @@
+"""Bucketed-table layout: the join must be exchange-free and
+sort-free, one file per bucket, and change nothing but the plan."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from time_series_prediction_spark.operators.bucketing import (
+    bucketed_join,
+    ensure_bucketed,
+)
+from time_series_prediction_spark.plans.bucketed_queries import (
+    bucketed_orders_revenue,
+)
+from time_series_prediction_spark.sources.io import read_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_no_exchange_no_sort(spark, sf_dir):
+    """The whole point of the layout: join over pre-clustered,
+    pre-sorted buckets — the only exchange left is the final agg's."""
+    df = bucketed_orders_revenue(spark, sf_dir)
+    plan = _plan(df)
+    assert "SortMergeJoin" in plan
+    assert plan.count("Exchange") == 1  # groupBy only
+    # sortBy at write time: SMJ needs no Sort on either side
+    assert plan.count("Sort ") == 0
+    assert "Bucketed: true" in plan
+
+
+def test_bucketed_one_file_per_bucket(spark, sf_dir):
+    name = ensure_bucketed(
+        spark, sf_dir, "orders", "o_orderkey", 8,
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    loc = spark.table(name).inputFiles()
+    assert len(loc) == 8
+    # one parquet file per bucket id (no tasks×buckets explosion)
+    base = os.path.dirname(loc[0].removeprefix("file:"))
+    files = glob.glob(os.path.join(base, "part-*"))
+    assert len(files) == 8
+
+
+def test_bucketed_join_matches_plain_join(spark, sf_dir):
+    bucketed = bucketed_orders_revenue(spark, sf_dir)
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    plain = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .where(F.col("o_orderdate") >= F.lit("1995-01-01"))
+        .groupBy(
+            "o_orderpriority", F.year("o_orderdate").cast("int").alias("o_year")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(
+                F.expr(
+                    "CAST(round(l_extendedprice * (1 - l_discount) * 100)"
+                    " AS BIGINT)"
+                )
+            ).alias("revenue_cents"),
+        )
+    )
+    a = sorted(map(tuple, bucketed.collect()))
+    b = sorted(map(tuple, plain.collect()))
+    assert a == b
+
+
+def test_ensure_bucketed_is_idempotent_per_process(spark, sf_dir):
+    n1 = ensure_bucketed(
+        spark, sf_dir, "orders", "o_orderkey", 8,
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    files1 = sorted(spark.table(n1).inputFiles())
+    n2 = ensure_bucketed(
+        spark, sf_dir, "orders", "o_orderkey", 8,
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    assert n1 == n2
+    assert sorted(spark.table(n2).inputFiles()) == files1
+
+
+def test_bucketed_spec_change_rebuilds(spark, sf_dir):
+    n8 = ensure_bucketed(
+        spark, sf_dir, "orders", "o_orderkey", 8,
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    n4 = ensure_bucketed(
+        spark, sf_dir, "orders", "o_orderkey", 4,
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    assert n8 != n4
+    assert len(spark.table(n4).inputFiles()) == 4

@@ -1,0 +1,88 @@
+"""Bucketed-warehouse queries: the co-located-join layout lever
+(operators/bucketing.py) surfaced as an oracle-backed registry query.
+
+Beyond-reference scope (the reference re-shuffles its join inputs on
+every run — ``src/demo/training.py:70-90``). The query materializes
+orders and lineitem bucketed by orderkey (once per process+fixture),
+then answers a fact-fact join+agg whose physical plan contains ONE
+exchange total (the final groupBy) — the join itself runs over the
+pre-clustered, pre-sorted buckets with no shuffle and no sort. The
+oracle never sees the layout: DuckDB runs the same join over the raw
+parquet, so correctness pins that bucketing changed nothing but the
+plan. Plan shape is asserted in tests/test_bucketed.py.
+
+100 TB shape: one write-time shuffle per table amortized over every
+subsequent orderkey join; scans prune to the selected columns; the
+only per-query exchange moves the tiny (priority, year) aggregate.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from time_series_prediction_spark.operators.bucketing import (
+    bucketed_join,
+    ensure_bucketed,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_N_BUCKETS = 8
+
+
+def bucketed_orders_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = ensure_bucketed(
+        spark,
+        sf_dir,
+        "orders",
+        "o_orderkey",
+        _N_BUCKETS,
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    lineitem = ensure_bucketed(
+        spark,
+        sf_dir,
+        "lineitem",
+        "l_orderkey",
+        _N_BUCKETS,
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    joined = bucketed_join(spark, orders, lineitem, "o_orderkey", "l_orderkey")
+    return (
+        joined.where(F.col("o_orderdate") >= F.lit("1995-01-01"))
+        .groupBy(
+            "o_orderpriority", F.year("o_orderdate").cast("int").alias("o_year")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(
+                F.expr(
+                    "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
+                )
+            ).alias("revenue_cents"),
+        )
+    )
+
+
+BUCKETED_ORDERS_REVENUE_SQL = """
+SELECT o_orderpriority,
+       CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderdate >= DATE '1995-01-01'
+GROUP BY o_orderpriority, o_year
+"""
+
+
+BUCKETED_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "bucketed_orders_revenue": (
+        bucketed_orders_revenue,
+        BUCKETED_ORDERS_REVENUE_SQL,
+    ),
+}

@@ -35,6 +35,12 @@ _DEFAULTS = {
     # The fixture events table stores TIMESTAMP(NANOS) which Spark's
     # parquet reader rejects; read as long and convert in io.read_table.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Bucketed tables written by operators/bucketing.py are always
+    # sortBy(bucket_col) with one file per bucket, so reporting the
+    # write-time sort order is safe and elides both SMJ sorts; Spark
+    # 3+ gates it behind this flag because a multi-file bucket would
+    # need a merge-read (a shape ensure_bucketed never produces).
+    "spark.sql.legacy.bucketedTableScan.outputOrdering": "true",
 }
 
 
