@@ -37,6 +37,7 @@ def _all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], 
     from time_series_prediction_spark.plans.layout_queries import LAYOUT_QUERIES
     from time_series_prediction_spark.plans.rangejoin_queries import RANGEJOIN_QUERIES
     from time_series_prediction_spark.plans.relational2 import RELATIONAL2_QUERIES
+    from time_series_prediction_spark.plans.semantic_queries import SEMANTIC_QUERIES
     from time_series_prediction_spark.plans.relational3 import RELATIONAL3_QUERIES
     from time_series_prediction_spark.plans.relational4 import RELATIONAL4_QUERIES
     from time_series_prediction_spark.plans.text_queries import TEXT_QUERIES
@@ -68,6 +69,7 @@ def _all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], 
     registry.update(RANGEJOIN_QUERIES)
     registry.update(LAYOUT_QUERIES)
     registry.update(BUCKETED_QUERIES)
+    registry.update(SEMANTIC_QUERIES)
     # wide-array pipeline: statsmodels-parity trend + sequential-fold
     # extrapolation are not ANSI-SQL-expressible → rows-only check;
     # the registry form projects the forecast array to scalar endpoints
