@@ -123,7 +123,10 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned ids, matching 'corpus rows removed by semantic dedup'.
     """
     emb = read_table(spark, sf_dir, "embeddings")
-    q = _assigned(emb, _N_CELLS, cache_key=f"sem|{sf_dir}")
+    # cache_key=sf_dir with embedding_ivf_ann/pq's exact params: the
+    # session memo is shared, so centroid training is paid once
+    # across the whole ANN/semantic query family
+    q = _assigned(emb, _N_CELLS, cache_key=sf_dir)
     pruned = _prune_pairs_from(q, _TAU).groupBy("cell").agg(
         F.countDistinct("pruned_id").cast("long").alias("n_pruned")
     )
