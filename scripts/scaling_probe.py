@@ -38,6 +38,11 @@ DEFAULT = [
     "dedup_clusters",            # LSH pairs -> connected components
     "embedding_lsh_ann",         # hyperplane-bucketed ANN
     "embedding_ivf_ann",         # Lloyd cells + probed scan
+    # r6 session 2: layout + semantic additions
+    "bucketed_orders_revenue",   # bucketed co-located fact join
+    "dedup_semantic_prune",      # SemDeDup k-means cell pruning
+    "embedding_hard_negatives",  # cross-label exact top-k
+    "events_streamed_ingest_scan",  # streamed z-layout pruned scan
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
