@@ -33,6 +33,8 @@ import hashlib
 import os
 import shutil
 import tempfile
+import threading
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -42,6 +44,43 @@ from time_series_prediction_spark.sources.io import read_table
 # dir is immutable once written, so within a process the catalog
 # entry is reused rather than rewritten
 _TABLE_CACHE: dict[tuple[str, str], str] = {}
+
+# layout builds may be submitted from concurrent threads (the
+# bootstrap intentionally parallelizes independent tables); serialize
+# per table name so two callers never interleave a check+rmtree+write
+_LOCKS_GUARD = threading.Lock()
+_BUILD_LOCKS: dict[str, threading.Lock] = {}
+
+# per-process dirs from finished runs are dead the moment their
+# process exits; anything idle past the grace window is reclaimable
+# (same policy as the layout cache GC)
+_GC_MIN_AGE_S = 3600.0
+
+
+def _build_lock(name: str) -> threading.Lock:
+    with _LOCKS_GUARD:
+        return _BUILD_LOCKS.setdefault(name, threading.Lock())
+
+
+def _gc_stale_bucket_dirs(root: str, keep: str) -> None:
+    """Best-effort reclaim of other processes' abandoned bucket dirs
+    (each process writes under unique pid-suffixed names, so stale
+    dirs accumulate otherwise). Only dirs untouched for the grace
+    window are removed — a live writer's dir always has fresh mtimes."""
+    try:
+        entries = os.listdir(root)
+    except OSError:
+        return
+    now = time.time()
+    for entry in entries:
+        path = os.path.join(root, entry)
+        if path == keep:
+            continue
+        try:
+            if now - os.stat(path).st_mtime > _GC_MIN_AGE_S:
+                shutil.rmtree(path, ignore_errors=True)
+        except OSError:
+            continue
 
 
 def _src_ident(sf_dir: str, table: str) -> str:
@@ -67,27 +106,30 @@ def ensure_bucketed(
     spec = f"{table}|{bucket_col}|{n_buckets}|{','.join(columns or [])}"
     key = hashlib.md5(f"{_src_ident(sf_dir, table)}|{spec}".encode()).hexdigest()[:16]
     name = f"tsp_bkt_{table}_{key}_{os.getpid()}"
-    cache_key = (spark.sparkContext.applicationId, name)
-    if cache_key in _TABLE_CACHE and spark.catalog.tableExists(name):
-        return name
+    with _build_lock(name):
+        cache_key = (spark.sparkContext.applicationId, name)
+        if cache_key in _TABLE_CACHE and spark.catalog.tableExists(name):
+            return name
 
-    loc = os.path.join(tempfile.gettempdir(), "tsp_buckets", name)
-    if os.path.exists(loc):  # crashed prior attempt in THIS process
-        shutil.rmtree(loc, ignore_errors=True)
-    df = read_table(spark, sf_dir, table)
-    if columns:
-        df = df.select(*columns)
-    (
-        df.repartition(n_buckets, bucket_col)
-        .write.mode("overwrite")
-        .bucketBy(n_buckets, bucket_col)
-        .sortBy(bucket_col)
-        .option("path", loc)
-        .format("parquet")
-        .saveAsTable(name)
-    )
-    _TABLE_CACHE[cache_key] = name
-    return name
+        root = os.path.join(tempfile.gettempdir(), "tsp_buckets")
+        loc = os.path.join(root, name)
+        _gc_stale_bucket_dirs(root, keep=loc)
+        if os.path.exists(loc):  # crashed prior attempt in THIS process
+            shutil.rmtree(loc, ignore_errors=True)
+        df = read_table(spark, sf_dir, table)
+        if columns:
+            df = df.select(*columns)
+        (
+            df.repartition(n_buckets, bucket_col)
+            .write.mode("overwrite")
+            .bucketBy(n_buckets, bucket_col)
+            .sortBy(bucket_col)
+            .option("path", loc)
+            .format("parquet")
+            .saveAsTable(name)
+        )
+        _TABLE_CACHE[cache_key] = name
+        return name
 
 
 def bucketed_join(
