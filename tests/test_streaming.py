@@ -576,3 +576,39 @@ def test_streaming_layout_compact_vacuum_cycle(spark, tmp_path):
     )
     sink(extra, 50)
     assert read_committed(spark, out).count() == 24_500
+
+
+def test_zorder_sink_replay_with_unnormalized_path(spark, tmp_path):
+    """Replay idempotence must survive an UNNORMALIZED data_path
+    (here a ``/./`` segment — same physical dirs for the OS, but
+    Hadoop's Path normalizes it away, so the manifest's resolved
+    ``file`` values never textually start with the caller's string):
+    the sink's drop-this-batch filter must normalize before the
+    prefix match, or the overwritten batch's stale rows (pointing at
+    vanished files) survive every replay."""
+    from time_series_prediction_spark.operators.manifest import (
+        build_stats_manifest,
+    )
+    from time_series_prediction_spark.streaming.layout import (
+        current_manifest,
+        manifest_root,
+        read_layout,
+        zorder_ingest_sink,
+    )
+
+    grid = spark.range(2_000).select(
+        (F.col("id") % 40).alias("x"),
+        (F.col("id") / 50).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    out = str(tmp_path) + "/./tbl_dot"
+    sink = zorder_ingest_sink(out, ["x", "y"])
+    sink(grid, 0)
+    sink(grid, 1)
+    sink(grid, 1)  # replay of batch 1 under the unnormalized path
+    man = current_manifest(spark, manifest_root(out))
+    rebuilt = build_stats_manifest(spark, out, ["x", "y"])
+    assert sorted(map(tuple, man.collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )
+    assert read_layout(spark, out).count() == 4_000

@@ -143,9 +143,17 @@ def zorder_ingest_sink(
             # bootstrap: fold in whatever already lives in the table
             man = build_stats_manifest(spark, data_path, zcols)
         else:
-            kept = prev.where(
-                ~F.col("file").startswith(bdir.rstrip("/") + "/")
+            # the replay filter must compare in the LISTING's resolved
+            # path form — a relative/`file:`-URI data_path would never
+            # textually prefix-match the manifest's absolute `file`
+            # values, silently resurrecting the overwritten batch's
+            # old rows (the same normalization _footer_stats uses)
+            from time_series_prediction_spark.operators.manifest import (
+                _resolve_base,
             )
+
+            rbdir = _resolve_base(bdir, spark)
+            kept = prev.where(~F.col("file").startswith(rbdir + "/"))
             man = kept.unionByName(fresh)
         publish_manifest(man, root, _next_version(root))
 
