@@ -678,7 +678,122 @@ JOIN sizes s ON h.user_id = s.user_id AND h.rn = s.n_days
 """
 
 
+# Rolling-origin backtest: the model-evaluation loop every forecast
+# pipeline runs. Three train cutoffs, five-day horizon; per (user,
+# cutoff) an OLS line is fit on the daily-cents history ≤ cutoff and
+# scored against the actuals that materialized after it. ALL model
+# math is exact integer rational arithmetic — slope = num/den and
+# pred(x) = (sy·den − num·sx + n·num·x)/(n·den) with BIGINT
+# numerators — so both engines divide the same integers and the
+# resulting doubles are bit-identical (FP-sum order never matters;
+# the only float reduction is over rounded milli-cent errors, which
+# are integers again). This is the evaluation analogue of
+# ts_linear_forecast (reference notebooks/utils.py:222-245 forecasts
+# but never backtests — beyond-reference scope).
+_BT_CUTOFFS = ("2024-01-15", "2024-01-20", "2024-01-25")
+_BT_H = 5
+_BT_EPOCH = "2024-01-01"
+
+
+def ts_backtest_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = daily_series(spark, sf_dir).withColumn(
+        "x", F.datediff("day", F.lit(_BT_EPOCH).cast("date")).cast("long")
+    )
+    cuts = spark.createDataFrame(
+        [(c,) for c in _BT_CUTOFFS], "cutoff string"
+    ).select(F.col("cutoff").cast("date").alias("cutoff"))
+    agg = (
+        d.join(F.broadcast(cuts), d.day <= F.col("cutoff"))
+        .groupBy("user_id", "cutoff")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("cents").alias("sy"),
+            F.sum(F.col("x") * F.col("cents")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+        .where(F.col("n") >= 2)
+        .withColumn("num", F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .withColumn("den", F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .where(F.col("den") != 0)
+    )
+    preds = (
+        agg.select("*", F.explode(F.expr(f"sequence(1, {_BT_H})")).alias("i"))
+        .withColumn("fday", F.expr("date_add(cutoff, i)"))
+        .withColumn(
+            "fx", F.datediff("fday", F.lit(_BT_EPOCH).cast("date")).cast("long")
+        )
+    )
+    actual = d.select(
+        "user_id", F.col("day").alias("fday"), F.col("cents").alias("actual")
+    )
+    err = F.abs(
+        F.col("actual").cast("double")
+        - (
+            F.col("sy") * F.col("den")
+            - F.col("num") * F.col("sx")
+            + F.col("n") * F.col("num") * F.col("fx")
+        ).cast("double")
+        / (F.col("n") * F.col("den")).cast("double")
+    )
+    return (
+        preds.join(actual, ["user_id", "fday"])
+        .select(F.col("cutoff").alias("cutoff_day"), err.alias("err"))
+        .groupBy("cutoff_day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pred"),
+            F.sum(F.expr("CAST(round(err * 1000) AS BIGINT)")).alias(
+                "sum_abs_err_mc"
+            ),
+        )
+    )
+
+
+TS_BACKTEST_SQL = (
+    DAILY_CTE
+    + f"""
+, d AS (
+  SELECT user_id, day, cents,
+         CAST(day - DATE '{_BT_EPOCH}' AS BIGINT) AS x
+  FROM daily
+), cuts AS (
+  SELECT unnest([{", ".join(f"DATE '{c}'" for c in _BT_CUTOFFS)}]) AS cutoff
+), agg AS (
+  SELECT user_id, cutoff,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(cents) AS BIGINT) AS sy,
+         CAST(sum(x * cents) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM d JOIN cuts ON d.day <= cuts.cutoff
+  GROUP BY user_id, cutoff
+  HAVING count(*) >= 2
+), model AS (
+  SELECT *, n * sxy - sx * sy AS num, n * sxx - sx * sx AS den
+  FROM agg
+  WHERE n * sxx - sx * sx != 0
+), preds AS (
+  SELECT m.*, m.cutoff + CAST(h.i AS INTEGER) AS fday,
+         CAST(m.cutoff + CAST(h.i AS INTEGER) - DATE '{_BT_EPOCH}' AS BIGINT) AS fx
+  FROM model m, (SELECT unnest(range(1, {_BT_H + 1})) AS i) h
+), scored AS (
+  SELECT p.cutoff AS cutoff_day,
+         abs(CAST(d.cents AS DOUBLE)
+             - CAST(p.sy * p.den - p.num * p.sx + p.n * p.num * p.fx AS DOUBLE)
+               / CAST(p.n * p.den AS DOUBLE)) AS err
+  FROM preds p JOIN d ON d.user_id = p.user_id AND d.day = p.fday
+)
+SELECT cutoff_day,
+       CAST(count(*) AS BIGINT) AS n_pred,
+       CAST(sum(CAST(round(err * 1000) AS BIGINT)) AS BIGINT) AS sum_abs_err_mc
+FROM scored
+GROUP BY cutoff_day
+"""
+)
+
+
 TIMESERIES2_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "ts_backtest_linear": (ts_backtest_linear, TS_BACKTEST_SQL),
     "ts_holt_forecast": (ts_holt_forecast, TS_HOLT_SQL),
     "ts_seasonal_decompose": (ts_seasonal_decompose, TS_DECOMPOSE_SQL),
     "ts_changepoint_cusum": (ts_changepoint_cusum, TS_CUSUM_SQL),
