@@ -215,6 +215,92 @@ GROUP BY 1
 """
 
 
+def orders_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit (operators/quality_checks.py)
+    over the orders/lineitem feed: completeness, domain, uniqueness,
+    and referential integrity in three scans TOTAL (one conditional-
+    aggregate pass per table + one distinct-key anti-join), however
+    many checks are declared. The gate a 100 TB ingest runs before
+    anything trains on the batch; zero violations on the clean
+    fixture is the expected — and asserted — answer."""
+    from time_series_prediction_spark.operators.quality_checks import (
+        audit_columns,
+        audit_reference,
+        in_range,
+        not_null,
+        satisfies,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    o_report = audit_columns(
+        orders,
+        [
+            not_null("o_custkey"),
+            not_null("o_orderdate"),
+            in_range("o_totalprice", lo=0.0),
+            satisfies(
+                "o_status_valid", F.col("o_orderstatus").isin("O", "F", "P")
+            ),
+        ],
+        unique_cols=["o_orderkey"],
+    )
+    l_report = audit_columns(
+        lineitem,
+        [
+            in_range("l_quantity", lo=1.0, hi=50.0),
+            in_range("l_discount", lo=0.0, hi=0.1),
+            satisfies(
+                "l_flags_valid",
+                F.col("l_returnflag").isin("A", "N", "R")
+                & F.col("l_linestatus").isin("O", "F"),
+            ),
+        ],
+    )
+    fk = audit_reference(
+        lineitem, "l_orderkey", orders, "o_orderkey", "l_orderkey_fk"
+    )
+    return o_report.unionByName(l_report).unionByName(fk)
+
+
+ORDERS_QUALITY_AUDIT_SQL = """
+WITH o AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_custkey,
+         CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_orderdate,
+         CAST(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_totalprice,
+         CAST(sum(CASE WHEN NOT coalesce(o_orderstatus IN ('O','F','P'), FALSE)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS v_status,
+         CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT) AS v_unique
+  FROM orders
+), l AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+         CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
+         CAST(sum(CASE WHEN NOT coalesce(l_returnflag IN ('A','N','R')
+                                         AND l_linestatus IN ('O','F'), FALSE)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS v_flags
+  FROM lineitem
+), ck AS (
+  SELECT DISTINCT l_orderkey AS k FROM lineitem WHERE l_orderkey IS NOT NULL
+), fk AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v
+  FROM ck LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+    ON ck.k = o.o_orderkey
+)
+SELECT 'o_custkey_not_null' AS check_name, n AS n_checked, v_custkey AS n_violations FROM o
+UNION ALL SELECT 'o_orderdate_not_null', n, v_orderdate FROM o
+UNION ALL SELECT 'o_totalprice_in_range', n, v_totalprice FROM o
+UNION ALL SELECT 'o_status_valid', n, v_status FROM o
+UNION ALL SELECT 'o_orderkey_unique', n, v_unique FROM o
+UNION ALL SELECT 'l_quantity_in_range', n, v_qty FROM l
+UNION ALL SELECT 'l_discount_in_range', n, v_disc FROM l
+UNION ALL SELECT 'l_flags_valid', n, v_flags FROM l
+UNION ALL SELECT 'l_orderkey_fk', n, v FROM fk
+"""
+
+
 WAREHOUSE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "events_scd2_intervals": (events_scd2_intervals, EVENTS_SCD2_SQL),
     "events_funnel": (events_funnel, EVENTS_FUNNEL_SQL),
@@ -222,4 +308,5 @@ WAREHOUSE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
         events_signup_to_purchase_lag,
         EVENTS_SIGNUP_LAG_SQL,
     ),
+    "orders_quality_audit": (orders_quality_audit, ORDERS_QUALITY_AUDIT_SQL),
 }
