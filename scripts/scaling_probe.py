@@ -43,6 +43,8 @@ DEFAULT = [
     "dedup_semantic_prune",      # SemDeDup k-means cell pruning
     "embedding_hard_negatives",  # cross-label exact top-k
     "events_streamed_ingest_scan",  # streamed z-layout pruned scan
+    "ts_backtest_linear",        # rolling-origin OLS backtest
+    "orders_quality_audit",      # one-pass declarative validation
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
