@@ -210,3 +210,31 @@ def test_rows_only_queries_meet_plan_budget(spark, sf_dir):
             if not ok:
                 failures.append(f"{name}: {what}")
     assert not failures, failures
+
+
+def test_quality_audit_scan_budget(spark, sf_dir):
+    """One conditional-aggregate pass per table + one single-pass FK
+    join: exactly four file scans however many checks are declared,
+    and zero Python."""
+    from time_series_prediction_spark.plans.warehouse_queries import (
+        orders_quality_audit,
+    )
+
+    plan = _plan(orders_quality_audit(spark, sf_dir))
+    assert plan.count("FileScan") == 4
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_backtest_shuffle_budget(spark, sf_dir):
+    """Rolling-origin backtest: broadcast cutoffs (the daily scan must
+    not shuffle for the train join), bounded exchanges, no Python."""
+    from time_series_prediction_spark.plans.timeseries_queries2 import (
+        ts_backtest_linear,
+    )
+
+    plan = _plan(ts_backtest_linear(spark, sf_dir))
+    assert plan.count("FileScan") == 2  # train pass + actuals pass
+    assert plan.count("Exchange") <= 6
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan

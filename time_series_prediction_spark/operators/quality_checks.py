@@ -92,14 +92,21 @@ def audit_reference(
     ckeys = child.select(F.col(child_key).alias("_k")).where(
         F.col(child_key).isNotNull()
     ).distinct()
-    pkeys = parent.select(F.col(parent_key).alias("_k")).distinct()
-    orphans = ckeys.join(pkeys, "_k", "left_anti")
+    pkeys = (
+        parent.select(F.col(parent_key).alias("_k"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    # one left join + one aggregate: n_checked and the orphan count
+    # come from the SAME pass, so the child is scanned exactly once
+    # (an anti-join + separate count would scan it twice)
     return (
-        ckeys.agg(F.count(F.lit(1)).cast("long").alias("n_checked"))
-        .crossJoin(
-            orphans.agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+        ckeys.join(pkeys, "_k", "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_checked"),
+            F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_violations"),
         )
-        .select(
-            F.lit(name).alias("check_name"), "n_checked", "n_violations"
-        )
+        .select(F.lit(name).alias("check_name"), "n_checked", "n_violations")
     )
