@@ -301,6 +301,76 @@ UNION ALL SELECT 'l_orderkey_fk', n, v FROM fk
 """
 
 
+def events_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift monitoring (operators/profile.py): profile user_id/value
+    (numeric) and event_type (categorical) over the first vs second
+    half of the events window and report per-column before/after
+    stats — ONE scan produces both sides (the halves are slices of
+    the same grouped aggregate). All metrics are exact integers or
+    exact data values, so the report is oracle-checkable; at 100 TB
+    the same call profiles a daily partition against a stored
+    reference profile."""
+    from time_series_prediction_spark.operators.profile import (
+        drift_report,
+        profile_columns,
+    )
+
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "half",
+        F.when(F.to_date("ts") < F.lit("2024-01-16"), "before").otherwise(
+            "after"
+        ),
+    )
+    prof = profile_columns(
+        ev,
+        numeric_cols=["user_id", "value"],
+        categorical_cols=["event_type"],
+        slice_col="half",
+    )
+    return drift_report(prof, "half", "before", "after")
+
+
+EVENTS_PROFILE_DRIFT_SQL = """
+WITH h AS (
+  SELECT CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+              THEN 'before' ELSE 'after' END AS half,
+         user_id, value, event_type
+  FROM events
+), agg AS (
+  SELECT half,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS u_null,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS u_dist,
+         CAST(min(user_id) AS DOUBLE) AS u_min,
+         CAST(max(user_id) AS DOUBLE) AS u_max,
+         CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null,
+         CAST(count(DISTINCT value) AS BIGINT) AS v_dist,
+         CAST(min(value) AS DOUBLE) AS v_min,
+         CAST(max(value) AS DOUBLE) AS v_max,
+         CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS t_null,
+         CAST(count(DISTINCT event_type) AS BIGINT) AS t_dist
+  FROM h GROUP BY half
+), p AS (
+  SELECT half, n, 'user_id' AS col, u_null AS n_null, u_dist AS n_distinct,
+         u_min AS min_d, u_max AS max_d FROM agg
+  UNION ALL
+  SELECT half, n, 'value', v_null, v_dist, v_min, v_max FROM agg
+  UNION ALL
+  SELECT half, n, 'event_type', t_null, t_dist,
+         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM agg
+)
+SELECT b.col AS column,
+       b.n AS n_before, b.n_null AS n_null_before,
+       b.n_distinct AS n_distinct_before,
+       b.min_d AS min_d_before, b.max_d AS max_d_before,
+       a.n AS n_after, a.n_null AS n_null_after,
+       a.n_distinct AS n_distinct_after,
+       a.min_d AS min_d_after, a.max_d AS max_d_after
+FROM p b JOIN p a ON b.col = a.col
+WHERE b.half = 'before' AND a.half = 'after'
+"""
+
+
 WAREHOUSE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "events_scd2_intervals": (events_scd2_intervals, EVENTS_SCD2_SQL),
     "events_funnel": (events_funnel, EVENTS_FUNNEL_SQL),
@@ -309,4 +379,5 @@ WAREHOUSE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
         EVENTS_SIGNUP_LAG_SQL,
     ),
     "orders_quality_audit": (orders_quality_audit, ORDERS_QUALITY_AUDIT_SQL),
+    "events_profile_drift": (events_profile_drift, EVENTS_PROFILE_DRIFT_SQL),
 }
