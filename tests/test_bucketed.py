@@ -97,3 +97,37 @@ def test_bucketed_spec_change_rebuilds(spark, sf_dir):
     )
     assert n8 != n4
     assert len(spark.table(n4).inputFiles()) == 4
+
+
+def test_bucketed_reregisters_published_layout(spark, sf_dir):
+    """Cross-process reuse: with the catalog entry gone but the
+    published files present (a fresh process), ensure_bucketed must
+    re-register via DDL — same files, still a bucketed scan."""
+    name = ensure_bucketed(
+        spark, sf_dir, "orders", "o_orderkey", 8,
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    files = sorted(spark.table(name).inputFiles())
+    spark.sql(f"DROP TABLE {name}")  # catalog forgets; bytes remain
+    name2 = ensure_bucketed(
+        spark, sf_dir, "orders", "o_orderkey", 8,
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    assert name2 == name
+    assert sorted(spark.table(name2).inputFiles()) == files
+    # the re-registered DDL must carry the bucket spec: a self-join on
+    # the bucket key runs bucketed with no exchange and no sort
+    a = spark.table(name2).alias("a")
+    b = spark.table(name2).selectExpr(
+        "o_orderkey AS k2", "o_orderpriority AS p2"
+    ).alias("b")
+    plan = (
+        a.hint("merge")
+        .join(b, a.o_orderkey == b.k2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Bucketed: true") == 2
+    assert "Exchange" not in plan
+    assert plan.count("Sort ") == 0

@@ -20,11 +20,16 @@ avoids the tasks×buckets small-file explosion, and Spark only reports
 the per-bucket sort order (eliding the SMJ sorts) when every bucket
 has a single file.
 
-Tables are written as EXTERNAL tables under a per-process temp dir
-keyed by the source's (path, size, mtime) identity and the bucketing
-parameters — a regenerated fixture or changed spec rebuilds, and
-concurrent processes never race on a shared path (unlike a shared
-warehouse dir, where two writers could interleave files).
+The layout is a CROSS-PROCESS content-keyed cache (the same protocol
+as the z-order layout cache): the dir name hashes the source's
+(path, size, mtime) identity plus the bucketing spec, a build lands
+in a pid-suffixed temp dir and publishes via one atomic ``os.rename``
+(losers of a publish race discard their build), and later processes
+re-register the existing files with ``CREATE TABLE … CLUSTERED BY …
+LOCATION`` DDL — the bucket metadata lives in the catalog entry, the
+bytes are written once per fixture content. This is exactly how a
+production warehouse treats bucketed tables: layout amortized across
+every job that joins on the key.
 """
 
 from __future__ import annotations
@@ -40,20 +45,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 from time_series_prediction_spark.sources.io import read_table
 
-# (session, src ident, spec) -> registered table name; the external
-# dir is immutable once written, so within a process the catalog
-# entry is reused rather than rewritten
-_TABLE_CACHE: dict[tuple[str, str], str] = {}
-
-# layout builds may be submitted from concurrent threads (the
-# bootstrap intentionally parallelizes independent tables); serialize
-# per table name so two callers never interleave a check+rmtree+write
+# builds may be submitted from concurrent threads (the bootstrap
+# intentionally parallelizes independent tables); serialize per table
+# name so two callers never interleave a check+build+register
 _LOCKS_GUARD = threading.Lock()
 _BUILD_LOCKS: dict[str, threading.Lock] = {}
 
-# per-process dirs from finished runs are dead the moment their
-# process exits; anything idle past the grace window is reclaimable
-# (same policy as the layout cache GC)
+# grace window protecting another process's IN-FLIGHT `.build-` dir;
+# published dirs are the shared cache and are never GC'd here
 _GC_MIN_AGE_S = 3600.0
 
 
@@ -62,20 +61,19 @@ def _build_lock(name: str) -> threading.Lock:
         return _BUILD_LOCKS.setdefault(name, threading.Lock())
 
 
-def _gc_stale_bucket_dirs(root: str, keep: str) -> None:
-    """Best-effort reclaim of other processes' abandoned bucket dirs
-    (each process writes under unique pid-suffixed names, so stale
-    dirs accumulate otherwise). Only dirs untouched for the grace
-    window are removed — a live writer's dir always has fresh mtimes."""
+def _gc_stale_build_dirs(root: str) -> None:
+    """Reclaim ABANDONED build temp dirs (crashed writers) past the
+    grace window. Published layout dirs are left alone — they are the
+    cross-process cache other sessions are actively reading."""
     try:
         entries = os.listdir(root)
     except OSError:
         return
     now = time.time()
     for entry in entries:
-        path = os.path.join(root, entry)
-        if path == keep:
+        if ".build-" not in entry:
             continue
+        path = os.path.join(root, entry)
         try:
             if now - os.stat(path).st_mtime > _GC_MIN_AGE_S:
                 shutil.rmtree(path, ignore_errors=True)
@@ -89,6 +87,27 @@ def _src_ident(sf_dir: str, table: str) -> str:
     return f"{os.path.realpath(path)}|{st.st_size}|{st.st_mtime_ns}"
 
 
+def _register_existing(
+    spark: SparkSession,
+    name: str,
+    loc: str,
+    df: DataFrame,
+    bucket_col: str,
+    n_buckets: int,
+) -> None:
+    """Catalog entry over an already-published bucketed dir: the DDL
+    declares the bucketing/sort spec so scans read the layout
+    co-located and pre-sorted without rewriting a byte."""
+    cols = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {name} ({cols}) USING parquet "
+        f"CLUSTERED BY ({bucket_col}) SORTED BY ({bucket_col}) "
+        f"INTO {n_buckets} BUCKETS LOCATION '{loc}'"
+    )
+
+
 def ensure_bucketed(
     spark: SparkSession,
     sf_dir: str,
@@ -100,35 +119,48 @@ def ensure_bucketed(
     """Materialize ``table`` bucketed+sorted by ``bucket_col`` into
     ``n_buckets`` and register it; returns the catalog table name.
 
-    Idempotent per (process, source identity, spec): the one-time
-    write is the shuffle every later join on ``bucket_col`` skips.
+    Idempotent per (source identity, spec) ACROSS processes: the
+    first caller anywhere pays the one-time shuffle; everyone else
+    (including later bench/validate runs) re-registers the published
+    files via DDL in milliseconds.
     """
     spec = f"{table}|{bucket_col}|{n_buckets}|{','.join(columns or [])}"
     key = hashlib.md5(f"{_src_ident(sf_dir, table)}|{spec}".encode()).hexdigest()[:16]
-    name = f"tsp_bkt_{table}_{key}_{os.getpid()}"
+    name = f"tsp_bkt_{table}_{key}"
     with _build_lock(name):
-        cache_key = (spark.sparkContext.applicationId, name)
-        if cache_key in _TABLE_CACHE and spark.catalog.tableExists(name):
+        if spark.catalog.tableExists(name):
             return name
-
-        root = os.path.join(tempfile.gettempdir(), "tsp_buckets")
-        loc = os.path.join(root, name)
-        _gc_stale_bucket_dirs(root, keep=loc)
-        if os.path.exists(loc):  # crashed prior attempt in THIS process
-            shutil.rmtree(loc, ignore_errors=True)
         df = read_table(spark, sf_dir, table)
         if columns:
             df = df.select(*columns)
-        (
-            df.repartition(n_buckets, bucket_col)
-            .write.mode("overwrite")
-            .bucketBy(n_buckets, bucket_col)
-            .sortBy(bucket_col)
-            .option("path", loc)
-            .format("parquet")
-            .saveAsTable(name)
-        )
-        _TABLE_CACHE[cache_key] = name
+
+        root = os.path.join(tempfile.gettempdir(), "tsp_buckets")
+        loc = os.path.join(root, name)
+        _gc_stale_build_dirs(root)
+        if not os.path.exists(os.path.join(loc, "_SUCCESS")):
+            tmp = f"{loc}.build-{os.getpid()}"
+            tmp_name = f"{name}_build_{os.getpid()}"
+            shutil.rmtree(tmp, ignore_errors=True)
+            (
+                df.repartition(n_buckets, bucket_col)
+                .write.mode("overwrite")
+                .bucketBy(n_buckets, bucket_col)
+                .sortBy(bucket_col)
+                .option("path", tmp)
+                .format("parquet")
+                .saveAsTable(tmp_name)
+            )
+            spark.sql(f"DROP TABLE {tmp_name}")  # files stay; re-point below
+            try:
+                os.rename(tmp, loc)  # atomic publish
+            except OSError:
+                # lost the publish race to another process's identical
+                # build — theirs is complete (rename is the commit)
+                if os.path.exists(os.path.join(loc, "_SUCCESS")):
+                    shutil.rmtree(tmp, ignore_errors=True)
+                else:
+                    raise
+        _register_existing(spark, name, loc, df, bucket_col, n_buckets)
         return name
 
 
