@@ -162,7 +162,7 @@ _ROWS_ONLY_BUDGET = {
     "cashflow_scoring_pipeline": (3, 1, 0),  # iterator pandas_udf scorer
     "cashflow_synthetic_pipeline": (1, 0, 0),
     "cashflow_wide_pipeline": (2, 0, 0),
-    "dedup_semantic_prune": (4, 2, 0),  # cell-assign pandas_udf × 2 scans
+    "dedup_semantic_prune": (4, 2, 0),  # one cell-assign pandas_udf pass
     "doc_packing_stats": (2, 0, 1),  # applyInPandas per shard
     "embedding_ivf_ann": (2, 3, 0),  # vectorized cell/ADC scoring
     "embedding_lsh_ann": (3, 4, 0),

@@ -138,3 +138,76 @@ def test_nanmedian_fragment_matches_numpy(spark, xs):
     got = df.first()["med"]
     want = float(np.median(np.asarray(xs, dtype=np.float32).astype(float)))
     assert got == pytest.approx(want, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# quality-audit + profile properties (r6): the one-pass aggregates must
+# agree with a plain pandas computation on arbitrary data
+# ---------------------------------------------------------------------------
+
+ROWS = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(min_value=-50, max_value=50)),
+        st.one_of(
+            st.none(),
+            st.floats(
+                min_value=-100, max_value=100,
+                allow_nan=False, allow_infinity=False,
+            ),
+        ),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(ROWS)
+def test_audit_counts_match_pandas(spark, rows):
+    from time_series_prediction_spark.operators.quality_checks import (
+        audit_columns,
+        in_range,
+        not_null,
+    )
+
+    df = spark.createDataFrame(rows, "k int, v double")
+    rep = {
+        r.check_name: (r.n_checked, r.n_violations)
+        for r in audit_columns(
+            df,
+            [not_null("k"), in_range("v", lo=-10.0, hi=10.0)],
+            unique_cols=["k"],
+        ).collect()
+    }
+    n = len(rows)
+    n_null_k = sum(1 for k, _ in rows if k is None)
+    n_bad_v = sum(1 for _, v in rows if v is not None and (v < -10 or v > 10))
+    ks = [k for k, _ in rows if k is not None]
+    n_dup = len(ks) - len(set(ks))
+    assert rep["k_not_null"] == (n, n_null_k)
+    assert rep["v_in_range"] == (n, n_bad_v)
+    assert rep["k_unique"] == (n, n_dup)
+
+
+@settings(max_examples=10, deadline=None)
+@given(ROWS)
+def test_profile_stats_match_pandas(spark, rows):
+    from time_series_prediction_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(rows, "k int, v double")
+    prof = {
+        r.column: r
+        for r in profile_columns(df, numeric_cols=["k", "v"]).collect()
+    }
+    for col, idx in (("k", 0), ("v", 1)):
+        vals = [r[idx] for r in rows]
+        present = [x for x in vals if x is not None]
+        p = prof[col]
+        assert p.n == len(rows)
+        assert p.n_null == len(vals) - len(present)
+        assert p.n_distinct == len(set(present))
+        if present:
+            assert p.min_d == float(min(present))
+            assert p.max_d == float(max(present))
+        else:
+            assert p.min_d is None and p.max_d is None
