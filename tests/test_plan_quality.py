@@ -235,6 +235,6 @@ def test_backtest_shuffle_budget(spark, sf_dir):
 
     plan = _plan(ts_backtest_linear(spark, sf_dir))
     assert plan.count("FileScan") == 2  # train pass + actuals pass
-    assert plan.count("Exchange") <= 6
+    assert plan.count("Exchange") <= 5
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan

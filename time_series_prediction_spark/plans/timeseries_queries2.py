@@ -699,18 +699,39 @@ def ts_backtest_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = daily_series(spark, sf_dir).withColumn(
         "x", F.datediff("day", F.lit(_BT_EPOCH).cast("date")).cast("long")
     )
-    cuts = spark.createDataFrame(
-        [(c,) for c in _BT_CUTOFFS], "cutoff string"
-    ).select(F.col("cutoff").cast("date").alias("cutoff"))
+    # conditional aggregation instead of a broadcast-join against the
+    # cutoff list: every cutoff's training sums come from ONE
+    # groupBy(user) over the un-duplicated daily table (the join form
+    # shuffles |cutoffs|× the data — at 100 TB with a dense backtest
+    # grid that multiplier is the whole cost). The per-cutoff rows are
+    # then unfolded from the single aggregate row with a stack.
+    sums = []
+    for i, c in enumerate(_BT_CUTOFFS):
+        within = F.col("day") <= F.lit(c).cast("date")
+        zl = F.lit(0).cast("long")
+        sums += [
+            F.sum(F.when(within, 1).otherwise(0)).cast("long").alias(f"n_{i}"),
+            F.sum(F.when(within, F.col("x")).otherwise(zl)).alias(f"sx_{i}"),
+            F.sum(F.when(within, F.col("cents")).otherwise(zl)).alias(f"sy_{i}"),
+            F.sum(
+                F.when(within, F.col("x") * F.col("cents")).otherwise(zl)
+            ).alias(f"sxy_{i}"),
+            F.sum(
+                F.when(within, F.col("x") * F.col("x")).otherwise(zl)
+            ).alias(f"sxx_{i}"),
+        ]
+    wide = d.groupBy("user_id").agg(*sums)
+    stack = ", ".join(
+        f"CAST('{c}' AS DATE), n_{i}, sx_{i}, sy_{i}, sxy_{i}, sxx_{i}"
+        for i, c in enumerate(_BT_CUTOFFS)
+    )
     agg = (
-        d.join(F.broadcast(cuts), d.day <= F.col("cutoff"))
-        .groupBy("user_id", "cutoff")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum("x").alias("sx"),
-            F.sum("cents").alias("sy"),
-            F.sum(F.col("x") * F.col("cents")).alias("sxy"),
-            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        wide.select(
+            "user_id",
+            F.expr(
+                f"stack({len(_BT_CUTOFFS)}, {stack}) AS "
+                "(cutoff, n, sx, sy, sxy, sxx)"
+            ),
         )
         .where(F.col("n") >= 2)
         .withColumn("num", F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
