@@ -85,3 +85,62 @@ def test_duplicate_key_gate(spark, tmp_path):
     with pytest.raises(AuditFailure) as ei:
         wap_publish(dup, tbl, "b", _checks(), unique_cols=["k"])
     assert any(n == "k_unique" and v == 5 for n, _, v in ei.value.report)
+
+
+def test_wap_ingest_sink_through_a_stream(spark, tmp_path):
+    """Streamed WAP: a poisoned micro-batch is rejected with its
+    artifacts while the stream continues publishing clean batches;
+    replaying the rejected batch after relaxing the contract
+    publishes it."""
+    from time_series_prediction_spark.operators.wap import wap_ingest_sink
+
+    src = str(tmp_path / "src")
+    rows = spark.range(3_000).select(
+        F.col("id").alias("k"),
+        F.when((F.col("id") >= 1_000) & (F.col("id") < 2_000), -1.0)
+        .otherwise((F.col("id") % 100).cast("double"))
+        .alias("v"),
+    )
+    # one file per 1000-row slice so the middle BATCH is exactly the
+    # poisoned slice (range repartitioning samples boundaries and
+    # would smear the poison across files)
+    for i in range(3):
+        rows.where(
+            (F.col("k") >= i * 1_000) & (F.col("k") < (i + 1) * 1_000)
+        ).coalesce(1).write.mode("append").parquet(src)
+    tbl = str(tmp_path / "tbl")
+    stream = (
+        spark.readStream.schema("k long, v double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(wap_ingest_sink(tbl, _checks()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    published = read_published(spark, tbl)
+    assert published.count() == 2_000
+    assert published.where(F.col("v") < 0).count() == 0
+    rejected = [
+        d for d in os.listdir(tbl) if d.startswith("_rejected-batch-")
+    ]
+    assert len(rejected) == 1
+    rej_dir = os.path.join(tbl, rejected[0])
+    assert spark.read.option("pathGlobFilter", "*.parquet").parquet(
+        rej_dir
+    ).count() == 1_000
+
+    # contract relaxed → replaying the rejected batch publishes it
+    bad_batch = spark.read.option("pathGlobFilter", "*.parquet").parquet(
+        rej_dir
+    )
+    batch_id = rejected[0].removeprefix("_rejected-")
+    sink = wap_ingest_sink(tbl, [not_null("k")])  # no range check now
+    sink(bad_batch, int(batch_id.removeprefix("batch-")))
+    assert read_published(spark, tbl).count() == 3_000

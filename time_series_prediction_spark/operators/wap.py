@@ -89,6 +89,10 @@ def wap_publish(
     ]
     if bad:
         rejected = os.path.join(table_dir, f"_rejected-{batch_name}")
+        if os.path.exists(rejected):  # replayed rejected batch: the
+            import shutil  # retry recomputed the same artifacts
+
+            shutil.rmtree(rejected, ignore_errors=True)
         os.rename(staged, rejected)
         # report is already collected — write it from the rows, never
         # from report_df, whose lineage still points at the moved
@@ -121,3 +125,36 @@ def read_published(spark: SparkSession, table_dir: str) -> DataFrame:
         .option("pathGlobFilter", "*.parquet")
         .parquet(table_dir)
     )
+
+
+def wap_ingest_sink(
+    table_dir: str,
+    checks: list[ColumnCheck],
+    unique_cols: list[str] = (),
+    max_violation_rate: float = 0.0,
+):
+    """``foreachBatch`` form of the WAP gate: each micro-batch stages,
+    audits, and publishes as ``batch-{id}`` — a red batch lands in
+    ``_rejected-batch-{id}`` (data + report) and the STREAM CONTINUES;
+    one poisoned batch must not take down ingestion, and the rejected
+    artifacts are the on-call debugging surface. Replays are safe in
+    both directions: a published batch re-delivers as a no-op, a
+    rejected batch re-audits (the contract may have been fixed) and
+    replaces its old rejection artifacts."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        try:
+            wap_publish(
+                batch_df,
+                table_dir,
+                f"batch-{batch_id}",
+                checks,
+                unique_cols=unique_cols,
+                max_violation_rate=max_violation_rate,
+            )
+        except AuditFailure:
+            pass  # artifacts preserved under _rejected-batch-{id}
+
+    return _sink
