@@ -131,3 +131,26 @@ def test_bucketed_reregisters_published_layout(spark, sf_dir):
     assert plan.count("Bucketed: true") == 2
     assert "Exchange" not in plan
     assert plan.count("Sort ") == 0
+
+
+def test_bucketed_groupby_needs_no_exchange(spark, sf_dir):
+    """The layout serves aggregation too: a groupBy on the bucket key
+    reads pre-clustered buckets and aggregates with ZERO exchanges —
+    at 100 TB this is the difference between a full-table shuffle per
+    rollup and none."""
+    name = ensure_bucketed(
+        spark, sf_dir, "lineitem", "l_orderkey", 8,
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    agg = spark.table(name).groupBy("l_orderkey").agg(
+        F.sum(
+            F.expr(
+                "CAST(round(l_extendedprice * (1 - l_discount) * 100)"
+                " AS BIGINT)"
+            )
+        ).alias("rev_cents")
+    )
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Bucketed: true" in plan
+    assert agg.count() > 0
