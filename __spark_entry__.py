@@ -34,6 +34,7 @@ def _all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], 
         cashflow_wide_summary,
     )
     from time_series_prediction_spark.plans.bucketed_queries import BUCKETED_QUERIES
+    from time_series_prediction_spark.plans.ingest_queries import INGEST_QUERIES
     from time_series_prediction_spark.plans.layout_queries import LAYOUT_QUERIES
     from time_series_prediction_spark.plans.rangejoin_queries import RANGEJOIN_QUERIES
     from time_series_prediction_spark.plans.relational2 import RELATIONAL2_QUERIES
@@ -70,6 +71,7 @@ def _all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], 
     registry.update(LAYOUT_QUERIES)
     registry.update(BUCKETED_QUERIES)
     registry.update(SEMANTIC_QUERIES)
+    registry.update(INGEST_QUERIES)
     # wide-array pipeline: statsmodels-parity trend + sequential-fold
     # extrapolation are not ANSI-SQL-expressible → rows-only check;
     # the registry form projects the forecast array to scalar endpoints

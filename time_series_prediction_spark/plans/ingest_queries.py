@@ -1,0 +1,129 @@
+"""Audited-ingestion registry query: the streaming quarantine-split
+gate (streaming/audit.py) exercised end-to-end under the driver's
+oracle, the way layout_queries does for z-ordered ingestion.
+
+The documents fixture streams through ``audited_ingest_sink`` one
+inbox file per micro-batch; the landing zone then answers a per-lang
+aggregate. Because the sink splits at ROW level (not batch level),
+the landed set is exactly "rows passing every declared check"
+regardless of how the stream happened to batch — so DuckDB's oracle
+is the same checks as a WHERE clause over the raw table, and the
+comparison pins the whole loop: check compilation, quarantine split,
+per-batch landing, replay-idempotent layout, recursive read-back.
+
+Built at most once per fixture content (same identity/cache protocol
+as the streamed z-layout)."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from time_series_prediction_spark.sources.io import read_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# the quality contract: rejects real fixture rows (zh docs, extreme
+# lengths), so the quarantine path is exercised with live data
+_MIN_CHARS, _MAX_CHARS = 60, 500
+_KNOWN_LANGS = ("en", "es", "de", "fr")
+_SPEC = f"v1|{_MIN_CHARS}|{_MAX_CHARS}|{','.join(_KNOWN_LANGS)}"
+
+
+def _checks():
+    from time_series_prediction_spark.operators.quality_checks import (
+        in_range,
+        not_null,
+        satisfies,
+    )
+
+    return [
+        not_null("text"),
+        in_range("n_chars", lo=float(_MIN_CHARS), hi=float(_MAX_CHARS)),
+        satisfies("lang_known", F.col("lang").isin(*_KNOWN_LANGS)),
+    ]
+
+
+def docs_audited_landing(spark: SparkSession, sf_dir: str) -> str:
+    """Documents landed through the streaming quarantine gate; built
+    once per fixture content under the shared temp cache."""
+    from time_series_prediction_spark.streaming.audit import (
+        audited_ingest_sink,
+    )
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    ident = f"{os.path.realpath(src)}|{st.st_size}|{st.st_mtime_ns}|{_SPEC}"
+    key = hashlib.md5(ident.encode()).hexdigest()[:16]
+    path = os.path.join(tempfile.gettempdir(), "tsp_layouts", f"docs_q_{key}")
+    if os.path.exists(os.path.join(path, "_IDENT")):
+        return path
+    tmp = f"{path}.build-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    docs = read_table(spark, sf_dir, "documents")
+    inbox = os.path.join(tmp, "_inbox")
+    docs.repartition(3).write.mode("overwrite").parquet(inbox)
+    data = os.path.join(tmp, "data")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inbox)
+    )
+    q = (
+        stream.writeStream.foreachBatch(audited_ingest_sink(data, _checks()))
+        .option("checkpointLocation", os.path.join(tmp, "_ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    with open(os.path.join(tmp, "_IDENT"), "w") as fh:
+        fh.write(ident)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        if os.path.exists(os.path.join(path, "_IDENT")):
+            shutil.rmtree(tmp, ignore_errors=True)  # lost a benign race
+        else:
+            raise
+    return path
+
+
+def docs_quarantine_ingest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    layout = docs_audited_landing(spark, sf_dir)
+    landed = (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(os.path.join(layout, "data"))
+    )
+    return landed.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+DOCS_QUARANTINE_SQL = f"""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE text IS NOT NULL
+  AND NOT coalesce(n_chars < {_MIN_CHARS} OR n_chars > {_MAX_CHARS}, FALSE)
+  AND coalesce(lang IN ({", ".join(f"'{lang}'" for lang in _KNOWN_LANGS)}), FALSE)
+GROUP BY lang
+"""
+
+
+INGEST_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "docs_quarantine_ingest_scan": (
+        docs_quarantine_ingest_scan,
+        DOCS_QUARANTINE_SQL,
+    ),
+}
