@@ -45,6 +45,7 @@ DEFAULT = [
     "events_streamed_ingest_scan",  # streamed z-layout pruned scan
     "ts_backtest_linear",        # rolling-origin OLS backtest
     "orders_quality_audit",      # one-pass declarative validation
+    "docs_quarantine_ingest_scan",  # audited streaming landing scan
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
