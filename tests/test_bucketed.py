@@ -154,3 +154,20 @@ def test_bucketed_groupby_needs_no_exchange(spark, sf_dir):
     assert "Exchange" not in plan
     assert "Bucketed: true" in plan
     assert agg.count() > 0
+
+
+def test_user_features_zero_exchange(spark, sf_dir):
+    """The feature-table build: groupBy(user_id) INCLUDING the
+    distinct-day aggregate runs entirely on the bucketed layout —
+    zero exchanges in the whole plan (HashPartitioning(user_id)
+    satisfies the (user_id, day) clustering of the inner distinct
+    aggregate)."""
+    from time_series_prediction_spark.plans.bucketed_queries import (
+        events_user_features,
+    )
+
+    df = events_user_features(spark, sf_dir)
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert "Bucketed: true" in plan
+    assert df.count() > 0

@@ -91,9 +91,52 @@ GROUP BY o_orderpriority, o_year
 """
 
 
+def events_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user feature rollup (the feature table every ML pipeline
+    builds from its event log) over a user_id-bucketed events layout:
+    the groupBy reads pre-clustered buckets and aggregates with ZERO
+    exchanges — at 100 TB this turns the single most frequent shuffle
+    in the warehouse (events by user) into a free scan, amortized by
+    one write-time clustering. The distinct-day count also rides the
+    layout: HashPartitioning(user_id) satisfies the (user_id, day)
+    clustering of the inner distinct aggregate, so no exchange there
+    either (plan-pinned in tests/test_bucketed.py)."""
+    events = ensure_bucketed(
+        spark,
+        sf_dir,
+        "events",
+        "user_id",
+        _N_BUCKETS,
+        columns=["user_id", "value", "ts"],
+    )
+    ev = spark.table(events)
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct(F.to_date("ts")).cast("long").alias("n_active_days"),
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias(
+            "total_cents"
+        ),
+        F.min(F.to_date("ts")).alias("first_day"),
+        F.max(F.to_date("ts")).alias("last_day"),
+    )
+
+
+EVENTS_USER_FEATURES_SQL = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_active_days,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       min(CAST(ts AS DATE)) AS first_day,
+       max(CAST(ts AS DATE)) AS last_day
+FROM events
+GROUP BY user_id
+"""
+
+
 BUCKETED_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "bucketed_orders_revenue": (
         bucketed_orders_revenue,
         BUCKETED_ORDERS_REVENUE_SQL,
     ),
+    "events_user_features": (events_user_features, EVENTS_USER_FEATURES_SQL),
 }
