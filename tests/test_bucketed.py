@@ -156,6 +156,113 @@ def test_bucketed_groupby_needs_no_exchange(spark, sf_dir):
     assert agg.count() > 0
 
 
+def test_corrupted_published_layout_rebuilds(spark, sf_dir):
+    """Safety precondition of the session-wide sort-elision flag:
+    a published dir where some bucket has TWO files (partial publish,
+    foreign writer) must be detected and rebuilt at registration —
+    never registered as-is (sorts would be elided unsoundly)."""
+    import shutil
+
+    name = ensure_bucketed(
+        spark, sf_dir, "supplier", "s_suppkey", 4,
+        columns=["s_suppkey", "s_name"],
+    )
+    loc = os.path.dirname(
+        spark.table(name).inputFiles()[0].removeprefix("file:")
+    )
+    truth = sorted(map(tuple, spark.table(name).collect()))
+    spark.sql(f"DROP TABLE {name}")
+    # duplicate one bucket's file under a different task prefix: same
+    # `_NNNNN` bucket id, so the bucket now has two files
+    victim = sorted(glob.glob(os.path.join(loc, "part-*")))[0]
+    dup = os.path.join(loc, "part-99999-" + os.path.basename(victim).split("-", 2)[2])
+    shutil.copyfile(victim, dup)
+    name2 = ensure_bucketed(
+        spark, sf_dir, "supplier", "s_suppkey", 4,
+        columns=["s_suppkey", "s_name"],
+    )
+    assert name2 == name
+    # rebuilt: invariant restored, content identical, no dup rows
+    loc2 = os.path.dirname(
+        spark.table(name2).inputFiles()[0].removeprefix("file:")
+    )
+    files = glob.glob(os.path.join(loc2, "part-*"))
+    ids = [f.rsplit("_", 1)[1] for f in files]
+    assert len(ids) == len(set(ids))
+    assert sorted(map(tuple, spark.table(name2).collect())) == truth
+
+
+_RACE_SCRIPT = r"""
+import sys
+from pyspark.sql import SparkSession
+from time_series_prediction_spark.operators.bucketing import ensure_bucketed
+
+sf_dir = sys.argv[1]
+spark = (
+    SparkSession.builder.master("local[2]")
+    .appName(f"race-{sys.argv[2]}")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    .getOrCreate()
+)
+name = ensure_bucketed(
+    spark, sf_dir, "customer", "c_custkey", 4,
+    columns=["c_custkey", "c_nationkey"],
+)
+n = spark.table(name).count()
+print(f"RESULT {name} {n}", flush=True)
+spark.stop()
+"""
+
+
+def test_cross_process_publish_race(spark, sf_dir, tmp_path):
+    """Brief #7: two real processes build the SAME layout spec
+    concurrently — exactly one publish wins the atomic rename, the
+    loser discards its build, BOTH register and read identical data,
+    and no half-built dirs survive."""
+    import shutil
+    import subprocess
+    import sys
+    import tempfile
+
+    # a private copy of the fixture => a layout key unique to this
+    # test, so both children race on a cache entry nobody else owns
+    race_sf = tmp_path / "sf"
+    race_sf.mkdir()
+    shutil.copy(
+        os.path.join(sf_dir, "customer.parquet"),
+        race_sf / "customer.parquet",
+    )
+    script = tmp_path / "race_child.py"
+    script.write_text(_RACE_SCRIPT)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(race_sf), str(i)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            cwd="/root/repo",
+            env={**os.environ, "PYTHONPATH": "/root/repo"},
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=300) for p in procs]
+    results = []
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"child failed:\n{out}\n{err}"
+        line = [ln for ln in out.splitlines() if ln.startswith("RESULT ")][0]
+        results.append(tuple(line.split()[1:]))
+    # same table name, same row count from both processes
+    assert results[0] == results[1]
+    name = results[0][0]
+    # one published dir, zero leftover build dirs for this key
+    root = os.path.join(tempfile.gettempdir(), "tsp_buckets")
+    leftovers = [e for e in os.listdir(root) if e.startswith(f"{name}.build-")]
+    assert leftovers == []
+    assert os.path.exists(os.path.join(root, name, "_SUCCESS"))
+
+
 def test_user_features_zero_exchange(spark, sf_dir):
     """The feature-table build: groupBy(user_id) INCLUDING the
     distinct-day aggregate runs entirely on the bucketed layout —

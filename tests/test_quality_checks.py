@@ -97,3 +97,12 @@ def test_orders_audit_clean_fixture(spark, sf_dir):
     assert len(rep) == 9
     assert all(v == 0 for (_, v) in rep.values()), rep
     assert rep["o_orderkey_unique"][0] == rep["o_custkey_not_null"][0]
+
+
+def test_audit_empty_checks_raises(spark):
+    """An empty audit must fail loudly, not build stack(0, )."""
+    import pytest
+
+    df = spark.range(3)
+    with pytest.raises(ValueError, match="at least one check"):
+        audit_columns(df, [], unique_cols=[])

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import re
 import shutil
 import tempfile
 import threading
@@ -85,6 +86,34 @@ def _src_ident(sf_dir: str, table: str) -> str:
     path = os.path.join(sf_dir, f"{table}.parquet")
     st = os.stat(path)
     return f"{os.path.realpath(path)}|{st.st_size}|{st.st_mtime_ns}"
+
+
+# Spark bucketed file names carry the bucket id as the `_NNNNN`
+# suffix before the codec extension: part-00000-<uuid>_00003.c000...
+_BUCKET_ID_RE = re.compile(r"_(\d{5})\.")
+
+
+def _one_file_per_bucket(loc: str, n_buckets: int) -> bool:
+    """Safety precondition for the session-wide
+    ``legacy.bucketedTableScan.outputOrdering`` flag (session.py):
+    per-bucket sort order only holds when each bucket is a SINGLE
+    file (multi-file buckets are concatenated, not merged, so the
+    elided SMJ sorts would silently produce wrong joins). Verified
+    cheaply from the published dir's file names before every DDL
+    re-registration rather than assumed from write discipline."""
+    try:
+        entries = os.listdir(loc)
+    except OSError:
+        return False
+    seen: set[str] = set()
+    for entry in entries:
+        if not entry.endswith(".parquet"):
+            continue
+        m = _BUCKET_ID_RE.search(entry)
+        if m is None or m.group(1) in seen:
+            return False
+        seen.add(m.group(1))
+    return 0 < len(seen) <= n_buckets
 
 
 def _register_existing(
@@ -137,6 +166,14 @@ def ensure_bucketed(
         root = os.path.join(tempfile.gettempdir(), "tsp_buckets")
         loc = os.path.join(root, name)
         _gc_stale_build_dirs(root)
+        if os.path.exists(
+            os.path.join(loc, "_SUCCESS")
+        ) and not _one_file_per_bucket(loc, n_buckets):
+            # published dir violates the one-file-per-bucket invariant
+            # (partial publish or a foreign writer config): rebuild
+            # instead of registering a layout that would break the
+            # sort-elision safety precondition
+            shutil.rmtree(loc, ignore_errors=True)
         if not os.path.exists(os.path.join(loc, "_SUCCESS")):
             tmp = f"{loc}.build-{os.getpid()}"
             tmp_name = f"{name}_build_{os.getpid()}"
@@ -160,6 +197,12 @@ def ensure_bucketed(
                     shutil.rmtree(tmp, ignore_errors=True)
                 else:
                     raise
+        if not _one_file_per_bucket(loc, n_buckets):
+            raise RuntimeError(
+                f"bucketed layout {loc} does not have one file per "
+                f"bucket; refusing to register it (sort elision would "
+                f"be unsound)"
+            )
         _register_existing(spark, name, loc, df, bucket_col, n_buckets)
         return name
 

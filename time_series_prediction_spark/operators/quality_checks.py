@@ -64,6 +64,11 @@ def audit_columns(
 ) -> DataFrame:
     """(check_name, n_checked, n_violations) for every check — ONE
     aggregate over ONE scan, however many checks are declared."""
+    if not checks and not unique_cols:
+        raise ValueError(
+            "audit_columns needs at least one check or unique_col "
+            "(an empty audit would build a malformed stack(0) expr)"
+        )
     aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
     for c in checks:
         aggs.append(

@@ -75,7 +75,12 @@ def wap_publish(
     final = os.path.join(table_dir, batch_name)
     if os.path.exists(final):
         return None
-    staged = os.path.join(table_dir, f"_staged-{batch_name}")
+    # pid-suffixed staging dir: two concurrent retries of the same
+    # batch each stage privately, so the atomic rename into ``final``
+    # is the ONLY cross-process contention point (same build protocol
+    # as operators/bucketing.py) — a shared staging path would let one
+    # process rename a dir the other is mid-overwrite on
+    staged = os.path.join(table_dir, f"_staged-{batch_name}-{os.getpid()}")
     df.write.mode("overwrite").parquet(staged)
 
     # audit the STAGED bytes — what would actually publish

@@ -20,6 +20,7 @@ import hashlib
 import os
 import shutil
 import tempfile
+import threading
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -34,6 +35,18 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _MIN_CHARS, _MAX_CHARS = 60, 500
 _KNOWN_LANGS = ("en", "es", "de", "fr")
 _SPEC = f"v1|{_MIN_CHARS}|{_MAX_CHARS}|{','.join(_KNOWN_LANGS)}"
+
+# two threads in one process building the same layout would share a
+# pid-keyed temp dir and interleave the stream's inbox/checkpoint
+# writes — serialize builds per layout key (same discipline as
+# operators/bucketing.ensure_bucketed)
+_LOCKS_GUARD = threading.Lock()
+_BUILD_LOCKS: dict[str, threading.Lock] = {}
+
+
+def _build_lock(key: str) -> threading.Lock:
+    with _LOCKS_GUARD:
+        return _BUILD_LOCKS.setdefault(key, threading.Lock())
 
 
 def _checks():
@@ -62,38 +75,39 @@ def docs_audited_landing(spark: SparkSession, sf_dir: str) -> str:
     ident = f"{os.path.realpath(src)}|{st.st_size}|{st.st_mtime_ns}|{_SPEC}"
     key = hashlib.md5(ident.encode()).hexdigest()[:16]
     path = os.path.join(tempfile.gettempdir(), "tsp_layouts", f"docs_q_{key}")
-    if os.path.exists(os.path.join(path, "_IDENT")):
-        return path
-    tmp = f"{path}.build-{os.getpid()}"
-    shutil.rmtree(tmp, ignore_errors=True)
-    docs = read_table(spark, sf_dir, "documents")
-    inbox = os.path.join(tmp, "_inbox")
-    docs.repartition(3).write.mode("overwrite").parquet(inbox)
-    data = os.path.join(tmp, "data")
-    stream = (
-        spark.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(inbox)
-    )
-    q = (
-        stream.writeStream.foreachBatch(audited_ingest_sink(data, _checks()))
-        .option("checkpointLocation", os.path.join(tmp, "_ck"))
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    with open(os.path.join(tmp, "_IDENT"), "w") as fh:
-        fh.write(ident)
-    try:
-        os.rename(tmp, path)
-    except OSError:
+    with _build_lock(path):
         if os.path.exists(os.path.join(path, "_IDENT")):
-            shutil.rmtree(tmp, ignore_errors=True)  # lost a benign race
-        else:
-            raise
-    return path
+            return path
+        tmp = f"{path}.build-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        docs = read_table(spark, sf_dir, "documents")
+        inbox = os.path.join(tmp, "_inbox")
+        docs.repartition(3).write.mode("overwrite").parquet(inbox)
+        data = os.path.join(tmp, "data")
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(inbox)
+        )
+        q = (
+            stream.writeStream.foreachBatch(audited_ingest_sink(data, _checks()))
+            .option("checkpointLocation", os.path.join(tmp, "_ck"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        with open(os.path.join(tmp, "_IDENT"), "w") as fh:
+            fh.write(ident)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            if os.path.exists(os.path.join(path, "_IDENT")):
+                shutil.rmtree(tmp, ignore_errors=True)  # lost a benign race
+            else:
+                raise
+        return path
 
 
 def docs_quarantine_ingest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
