@@ -30,6 +30,7 @@ def _all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], 
     # module must fail loudly here, not silently shrink the declared
     # query surface
     from time_series_prediction_spark.plans.flagship import (
+        CASHFLOW_WIDE_SQL,
         cashflow_scoring_pipeline,
         cashflow_wide_summary,
     )
@@ -72,11 +73,13 @@ def _all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], 
     registry.update(BUCKETED_QUERIES)
     registry.update(SEMANTIC_QUERIES)
     registry.update(INGEST_QUERIES)
-    # wide-array pipeline: statsmodels-parity trend + sequential-fold
-    # extrapolation are not ANSI-SQL-expressible → rows-only check;
+    # wide-array pipeline: oracle-backed via generated DuckDB
+    # list-lambda SQL replicating the exact IEEE op sequence
+    # (statsmodels-parity trend, sequential-fold extrapolation,
+    # shortest-repr half-even rounding) — bit-exact at sf0.01/sf0.1;
     # the registry form projects the forecast array to scalar endpoints
     # (canonicalizers hash scalar cells only)
-    registry["cashflow_wide_pipeline"] = (cashflow_wide_summary, None)
+    registry["cashflow_wide_pipeline"] = (cashflow_wide_summary, CASHFLOW_WIDE_SQL)
     # S.1→S.3+E.2 scoring lifecycle (pre_process → pandas_udf scoring →
     # post_process → distributed R²): the scoring stage is a pandas_udf
     # → rows-only; quality ordering pinned in tests/test_model_scoring.py

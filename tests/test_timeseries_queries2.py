@@ -64,3 +64,30 @@ def test_holt_forecast_matches_numpy(spark, sf_dir):
         np.testing.assert_allclose(
             row["yhat_30"], round(l + 30 * b, 6), atol=1e-6
         )
+
+
+def test_cashflow_wide_summary_matches_oracle_exactly(spark, sf_dir):
+    """Round-7 graduation: the flagship W1→W9→W10 pipeline must be
+    BIT-exact against the generated DuckDB list-lambda oracle — same
+    IEEE op sequence, same shortest-repr half-even rounding. Stricter
+    than assert_matches_oracle (no float tolerance): the driver's
+    t2 gate hashes values."""
+    import numpy as np
+    import pandas as pd
+
+    from tests.oracle_harness import _normalize, duck_connection
+    from time_series_prediction_spark.plans.flagship import (
+        CASHFLOW_WIDE_SQL,
+        cashflow_wide_summary,
+    )
+
+    con = duck_connection(sf_dir)
+    got = _normalize(cashflow_wide_summary(spark, sf_dir).toPandas())
+    want = _normalize(con.execute(CASHFLOW_WIDE_SQL).df())
+    con.close()
+    assert got.shape == want.shape
+    assert got.shape[0] > 0
+    for c in got.columns:
+        g, w = got[c].to_numpy(), want[c].to_numpy()
+        eq = (g == w) | (pd.isna(g) & pd.isna(w))
+        assert np.all(eq), (c, got[~eq].head(), want[~eq].head())

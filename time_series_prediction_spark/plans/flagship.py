@@ -130,6 +130,138 @@ def cashflow_scoring_pipeline(
     )
 
 
+def _bround3(v: str) -> str:
+    """DuckDB mirror of Spark's ``bround(v, 3)`` on DOUBLE.
+
+    Spark routes doubles through ``BigDecimal.valueOf`` — i.e. the
+    SHORTEST decimal representation of the double, not its exact
+    binary expansion — then rounds HALF_EVEN. DuckDB's ``round`` does
+    neither, so this builds the same semantics from exact pieces:
+    the VARCHAR cast is DuckDB's shortest round-trip repr, the
+    DECIMAL(38,20) parse is exact on it, and the floor/remainder CASE
+    is textbook half-even. Fuzz-verified identical to Spark on 67k
+    doubles including planted dyadic midpoints (odd/16)."""
+    d = f"CAST(CAST({v} AS VARCHAR) AS DECIMAL(38,20)) * 1000"
+    return (
+        f"list_transform([{d}], _s -> "
+        f"list_transform([floor(_s)], _f -> "
+        f"CASE WHEN _s - _f > 0.5 THEN _f + 1 "
+        f"WHEN _s - _f < 0.5 THEN _f "
+        f"WHEN CAST(_f AS BIGINT) % 2 = 0 THEN _f "
+        f"ELSE _f + 1 END)[1])[1] / 1000.0"
+    )
+
+
+def _cashflow_wide_sql(
+    freq: int = 7,
+    horizon_days: int = 14,
+    threshold_count: int = 5,
+) -> str:
+    """DuckDB oracle for ``cashflow_wide_summary`` — the reference's
+    semantic core (W1 trend → W9 extrapolation → W10 trajectory)
+    re-derived as list-lambda SQL with the IDENTICAL sequence of IEEE
+    operations the Spark array expressions perform: float32-truncated
+    series, sequential left-fold window sums, statsmodels npoints=1
+    edge extrapolation, np.gradient, exact medians with Spark's
+    truncating index arithmetic, the day-by-day forecast recurrence as
+    a left fold, and shortest-repr half-even rounding (``_bround3``).
+    Only freq=7 (odd ⇒ plain centered MA) is generated — the fixture
+    configuration; the Spark operators themselves take any freq."""
+    assert freq == 7, "oracle template generated for the odd freq=7 form"
+    trim = (freq - 1) // 2
+    h = horizon_days
+    tc = threshold_count
+    from time_series_prediction_spark.plans.timeseries_queries import DAILY_CTE
+
+    trend_case = (
+        f"CASE WHEN j <= {trim} THEN "
+        f"vf * ({trim}.0 * CAST(j - 1 AS DOUBLE) + 1.0) / ({trim * trim} + 1.0) "
+        f"WHEN j >= n - {trim - 1} THEN "
+        f"vb * (x0b * CAST(j - 1 AS DOUBLE) + 1.0) / (x0b * x0b + 1.0) "
+        f"ELSE raw[j] END"
+    )
+    f_last = (
+        f"list_reduce(list_prepend(anchor, "
+        f"list_transform(range(1, {h + 1}), _d -> slope)), (a, v) -> a + v)"
+    )
+    return (
+        DAILY_CTE
+        + f"""
+, series AS (
+  SELECT user_id,
+         list_transform(array_agg(cents ORDER BY day),
+                        c -> CAST(CAST(c AS DOUBLE) / 100.0 AS FLOAT)) AS b,
+         CAST(count(*) AS INT) AS n
+  FROM daily GROUP BY user_id
+),
+kept AS (
+  SELECT * FROM series
+  WHERE n >= {freq + 2}
+    AND len(list_filter(b, v -> v != b[1])) > 0
+    AND len(list_filter(range(2, n + 1), j ->
+          (CAST(b[j] AS DOUBLE) - CAST(b[j - 1] AS DOUBLE)) != 0.0)) >= {tc}
+),
+rawt AS (
+  SELECT user_id, n, b,
+    list_transform(range(1, n + 1), j ->
+      CASE WHEN j >= {trim + 1} AND j <= n - {trim} THEN
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(b[j - {trim}:j + {trim}], v -> CAST(v AS DOUBLE))),
+          (a, v) -> a + v) / {freq}.0
+      ELSE NULL END) AS raw
+  FROM kept
+),
+edges AS (
+  SELECT user_id, n, raw,
+         raw[{trim + 1}] AS vf,
+         raw[n - {trim + 1}] AS vb,
+         CAST(n - {trim + 2} AS DOUBLE) AS x0b
+  FROM rawt
+),
+trended AS (
+  SELECT user_id, n,
+    list_transform(range(1, n + 1), j ->
+      CAST({_bround3(trend_case)} AS FLOAT)) AS t
+  FROM edges
+),
+grads AS (
+  SELECT user_id, n, t,
+    list_transform(range(1, n + 1), j -> CASE
+      WHEN j = 1 THEN CAST(t[2] AS DOUBLE) - CAST(t[1] AS DOUBLE)
+      WHEN j = n THEN CAST(t[n] AS DOUBLE) - CAST(t[n - 1] AS DOUBLE)
+      ELSE (CAST(t[j + 1] AS DOUBLE) - CAST(t[j - 1] AS DOUBLE)) / 2.0 END) AS g
+  FROM trended
+),
+fc AS (
+  SELECT user_id, n,
+    list_sort(g[n - {freq - 1}:n]) AS s7,
+    list_sort(g[greatest(n - 29, 1):n]) AS s30,
+    CAST(t[n] AS DOUBLE) AS anchor
+  FROM grads
+),
+sc AS (
+  SELECT user_id, n, anchor,
+    (CAST(s7[(len(s7) + 1) // 2] AS DOUBLE)
+     + CAST(s7[len(s7) // 2 + 1] AS DOUBLE)) / 2.0 AS slope,
+    (CAST(s30[(len(s30) + 1) // 2] AS DOUBLE)
+     + CAST(s30[len(s30) // 2 + 1] AS DOUBLE)) / 2.0 AS med30
+  FROM fc
+)
+SELECT user_id,
+       n AS n_days,
+       1 AS keep_ts,
+       CAST({_bround3("med30 * 30.5")} AS FLOAT) AS trajectory,
+       CAST(CAST({_bround3("slope + anchor")} AS FLOAT) AS DOUBLE) AS forecast_d1,
+       CAST(CAST({_bround3(f_last)} AS FLOAT) AS DOUBLE) AS forecast_last,
+       CAST({h} AS BIGINT) AS horizon_days
+FROM sc
+"""
+    )
+
+
+CASHFLOW_WIDE_SQL = _cashflow_wide_sql()
+
+
 def cashflow_wide_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry-facing scalar projection of cashflow_wide_pipeline:
     result canonicalizers hash scalar cells, so the forecast array is
