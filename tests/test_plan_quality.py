@@ -161,7 +161,6 @@ _ROWS_ONLY_BUDGET = {
     "approx_distinct_users_daily": (1, 0, 0),
     "cashflow_scoring_pipeline": (3, 1, 0),  # iterator pandas_udf scorer
     "cashflow_synthetic_pipeline": (1, 0, 0),
-    "dedup_semantic_prune": (4, 2, 0),  # one cell-assign pandas_udf pass
     "doc_packing_stats": (2, 0, 1),  # applyInPandas per shard
     "embedding_ivf_ann": (2, 3, 0),  # vectorized cell/ADC scoring
     "embedding_lsh_ann": (3, 4, 0),

@@ -102,3 +102,46 @@ def test_hard_negatives_are_the_exact_cross_label_topk(spark, sf_dir):
     ):
         got.setdefault(r.query_id, []).append(r.corpus_id)
     assert got == want
+
+
+def test_semantic_prune_matches_oracle_exactly(spark, sf_dir):
+    """Round-7 graduation: the whole SemDeDup pipeline — exact-integer
+    Lloyd training included — replays bit-for-bit in DuckDB (zero
+    float tolerance; the driver's t2 gate hashes values)."""
+    import numpy as np
+    import pandas as pd
+
+    from tests.oracle_harness import _normalize, duck_connection
+    from time_series_prediction_spark.plans.semantic_queries import (
+        DEDUP_SEMANTIC_SQL,
+    )
+
+    con = duck_connection(sf_dir)
+    got = _normalize(dedup_semantic_prune(spark, sf_dir).toPandas())
+    want = _normalize(con.execute(DEDUP_SEMANTIC_SQL).df())
+    con.close()
+    assert got.shape == want.shape
+    assert got.shape[0] > 0
+    for c in got.columns:
+        g, w = got[c].to_numpy(), want[c].to_numpy()
+        eq = (g == w) | (pd.isna(g) & pd.isna(w))
+        assert np.all(eq), (c, got[~eq].head(), want[~eq].head())
+
+
+def test_lloyd_assignment_has_no_python_stage(spark, sf_dir):
+    """The exact-Lloyd assignment must be pure JVM expressions — no
+    Arrow/pandas stage anywhere (the round-6 IVF path paid one)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    from time_series_prediction_spark.operators.kmeans_exact import (
+        lloyd_assign,
+    )
+
+    plan = (
+        lloyd_assign(emb)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan

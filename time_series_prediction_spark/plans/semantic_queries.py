@@ -10,12 +10,14 @@ training-data pipeline runs beside near-dup removal:
   (cosine ≥ τ). Clustering is the blocking device: pair cost is
   bounded by cell occupancy (corpus²/k in expectation), never
   corpus². At 100 TB, k grows with the corpus (n_cells ∝ √n keeps
-  cells constant-size) and centroids train on a bounded seeded
+  cells constant-size) and centroids train on a bounded deterministic
   sample, so the only full-corpus stages are one assignment map and
   one equi-join on cell id — the same shape MinHash-LSH uses with
-  band buckets. Iterative Lloyd training is not ANSI-SQL-expressible
-  → rows-only driver check; pruned pairs are pinned against
-  brute-force cosine in tests/test_semantic.py.
+  band buckets. Since round 7 the clustering is the exact-integer
+  Lloyd of ``operators/kmeans_exact.py`` — reproducible ACROSS
+  engines, so the whole pipeline (training included, unrolled as
+  CTEs) is DuckDB-oracle-backed; soundness against brute-force
+  cosine stays pinned in tests/test_semantic.py.
 
 * ``embedding_hard_negatives`` — for each query vector, the top-k
   most-similar corpus vectors with a DIFFERENT label: the classic
@@ -33,8 +35,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from time_series_prediction_spark.operators import similarity
-from time_series_prediction_spark.operators.materialize import materialize
+from time_series_prediction_spark.operators import kmeans_exact, similarity
 from time_series_prediction_spark.sources.io import read_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -45,31 +46,17 @@ _NEG_K = 5
 
 
 def _assigned(
-    emb: DataFrame, n_cells: int, cache_key: str | None
+    emb: DataFrame, n_cells: int, cache_key: str | None = None
 ) -> DataFrame:
-    """Materialized (vec_id, qv, nrm, cell) assignment frame: the one
-    pandas_udf pass over the corpus, shared by every downstream use
-    (pair join sides AND membership counts) — assignment is the only
-    full-corpus Python stage, so it must be paid exactly once."""
-    cents = similarity.ivf_centroids(
-        emb,
-        n_cells=n_cells,
-        n_iters=2,
-        cache_key=cache_key,
-        train_sample=4096,
-    )
-    assign = similarity.nearest_cells_udf(cents, nprobe=1)
-    q = emb.select(
-        "vec_id",
-        similarity.quantize("embedding").alias("qv"),
-        assign(F.col("embedding"))[0].alias("cell"),
-    )
-    return materialize(
-        q.withColumn(
-            "nrm",
-            F.expr("sqrt(CAST(aggregate(qv, 0L, (a, v) -> a + v * v) AS DOUBLE))"),
-        )
-    )
+    """Materialized (vec_id, qv, nrm, cell) assignment frame shared by
+    every downstream use (pair join sides AND membership counts).
+    Cells come from the cross-engine-deterministic exact-integer Lloyd
+    (``operators/kmeans_exact.py``) — no Python stage anywhere in the
+    plan, and the identical procedure unrolls into the DuckDB oracle
+    below. ``cache_key`` is retained for signature stability (the
+    memoization now lives in the materialize call)."""
+    del cache_key
+    return kmeans_exact.lloyd_assign(emb, n_cells=n_cells)
 
 
 def _prune_pairs_from(q: DataFrame, tau: float) -> DataFrame:
@@ -123,10 +110,7 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned ids, matching 'corpus rows removed by semantic dedup'.
     """
     emb = read_table(spark, sf_dir, "embeddings")
-    # cache_key=sf_dir with embedding_ivf_ann/pq's exact params: the
-    # session memo is shared, so centroid training is paid once
-    # across the whole ANN/semantic query family
-    q = _assigned(emb, _N_CELLS, cache_key=sf_dir)
+    q = _assigned(emb, _N_CELLS)
     pruned = _prune_pairs_from(q, _TAU).groupBy("cell").agg(
         F.countDistinct("pruned_id").cast("long").alias("n_pruned")
     )
@@ -174,6 +158,42 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EMB_DIMS = 64  # driver fixture embedding width (all scale factors)
+
+
+def _semantic_prune_sql(dims: int = _EMB_DIMS) -> str:
+    """DuckDB oracle for ``dedup_semantic_prune``: the exact-integer
+    Lloyd procedure unrolled as CTEs (``kmeans_exact.lloyd_cells_sql``
+    — training included, not a snapshot of trained centroids), then
+    the same cell self-join, exact-int cosine, and per-cell rollup."""
+    return (
+        kmeans_exact.lloyd_cells_sql(dims, n_cells=_N_CELLS)
+        + f"""
+, prn AS (
+  SELECT a.cell AS cell, b.vec_id AS pruned_id
+  FROM final a JOIN final b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(1, {dims + 1}), i -> a.qv[i] * b.qv[i])),
+          (acc, v) -> acc + v) AS DOUBLE)
+        / (a.nrm * b.nrm) >= {_TAU}
+), pruned AS (
+  SELECT cell, CAST(count(DISTINCT pruned_id) AS BIGINT) AS n_pruned
+  FROM prn GROUP BY cell
+), members AS (
+  SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs FROM final GROUP BY cell
+)
+SELECT CAST(m.cell AS INTEGER) AS cell,
+       m.n_vecs AS n_vecs,
+       CAST(coalesce(p.n_pruned, 0) AS BIGINT) AS n_pruned
+FROM members m LEFT JOIN pruned p USING (cell)
+"""
+    )
+
+
+DEDUP_SEMANTIC_SQL = _semantic_prune_sql()
+
+
 _QVEC = "list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1048576) AS BIGINT))"
 
 EMBEDDING_HARD_NEGATIVES_SQL = f"""
@@ -203,7 +223,7 @@ WHERE rank <= {_NEG_K}
 
 
 SEMANTIC_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
-    "dedup_semantic_prune": (dedup_semantic_prune, None),
+    "dedup_semantic_prune": (dedup_semantic_prune, DEDUP_SEMANTIC_SQL),
     "embedding_hard_negatives": (
         embedding_hard_negatives,
         EMBEDDING_HARD_NEGATIVES_SQL,
