@@ -255,8 +255,8 @@ def test_layout_cache_key_stable_across_processes():
 
     prog = (
         "from time_series_prediction_spark.plans.layout_queries import "
-        "layout_cache_path; "
-        "print(layout_cache_path('/root/testdata/sf0.001/events.parquet'))"
+        "_ident_key; "
+        "print(_ident_key('file:/x/events.parquet|64|1700000000000|gen'))"
     )
     env = dict(os.environ)
     outs = set()
@@ -274,7 +274,7 @@ def test_layout_cache_key_stable_across_processes():
     assert len(outs) == 1, outs
 
 
-def test_layout_gc_removes_stale_keeps_current(tmp_path):
+def test_layout_gc_removes_stale_keeps_current(spark, tmp_path):
     """_gc_stale_layouts: dirs whose recorded source identity no longer
     matches the file on disk are removed; current layouts (matching
     _IDENT) and the in-use dir are kept; dirs without _IDENT are
@@ -285,7 +285,9 @@ def test_layout_gc_removes_stale_keeps_current(tmp_path):
         _gc_stale_layouts,
         _layout_ident,
     )
+    from time_series_prediction_spark.sources.fsops import fs_for
 
+    fs = fs_for(spark, str(tmp_path))
     root = tmp_path / "layouts"
     root.mkdir()
     src = tmp_path / "events.parquet"
@@ -293,7 +295,7 @@ def test_layout_gc_removes_stale_keeps_current(tmp_path):
 
     current = root / "events_z_current"
     current.mkdir()
-    (current / "_IDENT").write_text(_layout_ident(str(src), os.stat(src)))
+    (current / "_IDENT").write_text(_layout_ident(fs, str(src)))
 
     stale = root / "events_z_stale"
     stale.mkdir()
@@ -310,9 +312,9 @@ def test_layout_gc_removes_stale_keeps_current(tmp_path):
     # another code version that may still be running — must be kept
     foreign = root / "events_z_foreign"
     foreign.mkdir()
-    st = os.stat(src)
+    size_b, mtime_ms = fs.status(str(src))
     (foreign / "_IDENT").write_text(
-        f"{src}|{st.st_size}|{st.st_mtime_ns}|old_cols|old_z|99"
+        f"{src}|{size_b}|{mtime_ms}|old_cols|old_z|99"
     )
 
     in_use = root / "events_z_inuse"
@@ -330,7 +332,7 @@ def test_layout_gc_removes_stale_keeps_current(tmp_path):
     for d in (current, stale, no_ident, gone_src, in_use, foreign):
         os.utime(d, (old, old))
 
-    _gc_stale_layouts(str(root), keep=str(in_use))
+    _gc_stale_layouts(fs, str(root), keep=str(in_use))
     left = {p.name for p in root.iterdir()}
     assert left == {
         "events_z_current",

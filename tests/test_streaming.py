@@ -612,3 +612,64 @@ def test_zorder_sink_replay_with_unnormalized_path(spark, tmp_path):
         map(tuple, rebuilt.collect())
     )
     assert read_layout(spark, out).count() == 4_000
+
+
+def test_layout_commit_protocol_over_file_uri(spark, sf_dir, tmp_path):
+    """Round-7 FS port: the versioned-manifest commit protocol must
+    work when every path is a ``file:`` URI routed through the Hadoop
+    FileSystem API (the HDFS-portability contract) — publish, pointer
+    flip, version pruning, committed read."""
+    import os
+
+    from time_series_prediction_spark.sources.io import read_table
+    from time_series_prediction_spark.streaming.layout import (
+        current_manifest,
+        manifest_root,
+        publish_manifest,
+        read_committed,
+        zorder_ingest_sink,
+    )
+
+    out = "file:" + str(tmp_path / "t")
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    ).limit(200)
+    sink = zorder_ingest_sink(out, ["user_id", "value"], n_files=2)
+    sink(ev.where("event_id % 2 = 0"), 0)
+    sink(ev.where("event_id % 2 = 1"), 1)
+    root = manifest_root(out)
+    man = current_manifest(spark, root)
+    assert man is not None
+    committed = read_committed(spark, out)
+    assert committed.count() == ev.count()
+    # a replayed batch must not duplicate rows in the committed view
+    sink(ev.where("event_id % 2 = 1"), 1)
+    assert read_committed(spark, out).count() == ev.count()
+    # explicit publish + pointer flip over the file: URI
+    v = publish_manifest(current_manifest(spark, root), root, 99)
+    assert v.startswith("file:")
+    assert current_manifest(spark, root) is not None
+
+
+def test_fsops_publish_dir_race_semantics(spark, tmp_path):
+    """publish_dir: first publisher wins; the loser's rename must NOT
+    nest its build inside the winner's published dir (the Hadoop
+    move-into-existing-dir trap)."""
+    import os
+
+    from time_series_prediction_spark.sources.fsops import fs_for
+
+    fs = fs_for(spark, str(tmp_path))
+    a = str(tmp_path / "x.build-1")
+    b = str(tmp_path / "x.build-2")
+    dst = str(tmp_path / "x")
+    for d in (a, b):
+        fs.mkdirs(d)
+        fs.write_text(os.path.join(d, "_SUCCESS"), "")
+    assert fs.publish_dir(a, dst) is True
+    assert fs.publish_dir(b, dst) is False
+    # winner's content intact, no nested stray, loser still discardable
+    assert fs.exists(os.path.join(dst, "_SUCCESS"))
+    assert fs.list_names(dst) == ["_SUCCESS"]
+    fs.delete(b)
+    assert not fs.exists(b)

@@ -23,13 +23,17 @@ has a single file.
 The layout is a CROSS-PROCESS content-keyed cache (the same protocol
 as the z-order layout cache): the dir name hashes the source's
 (path, size, mtime) identity plus the bucketing spec, a build lands
-in a pid-suffixed temp dir and publishes via one atomic ``os.rename``
+in a pid-suffixed temp dir and publishes via one atomic rename
 (losers of a publish race discard their build), and later processes
 re-register the existing files with ``CREATE TABLE … CLUSTERED BY …
 LOCATION`` DDL — the bucket metadata lives in the catalog entry, the
 bytes are written once per fixture content. This is exactly how a
 production warehouse treats bucketed tables: layout amortized across
 every job that joins on the key.
+
+All filesystem touches go through the Hadoop FileSystem API
+(``sources/fsops.py``) so the cache works on ``file:`` URIs and HDFS
+alike; see fsops' module doc for the S3 no-atomic-rename caveat.
 """
 
 from __future__ import annotations
@@ -37,13 +41,13 @@ from __future__ import annotations
 import hashlib
 import os
 import re
-import shutil
 import tempfile
 import threading
 import time
 
 from pyspark.sql import DataFrame, SparkSession
 
+from time_series_prediction_spark.sources.fsops import Fs, fs_for
 from time_series_prediction_spark.sources.io import read_table
 
 # builds may be submitted from concurrent threads (the bootstrap
@@ -62,30 +66,26 @@ def _build_lock(name: str) -> threading.Lock:
         return _BUILD_LOCKS.setdefault(name, threading.Lock())
 
 
-def _gc_stale_build_dirs(root: str) -> None:
+def _gc_stale_build_dirs(fs: Fs, root: str) -> None:
     """Reclaim ABANDONED build temp dirs (crashed writers) past the
     grace window. Published layout dirs are left alone — they are the
     cross-process cache other sessions are actively reading."""
-    try:
-        entries = os.listdir(root)
-    except OSError:
-        return
-    now = time.time()
-    for entry in entries:
+    now_ms = time.time() * 1000.0
+    for entry in fs.list_names(root):
         if ".build-" not in entry:
             continue
         path = os.path.join(root, entry)
-        try:
-            if now - os.stat(path).st_mtime > _GC_MIN_AGE_S:
-                shutil.rmtree(path, ignore_errors=True)
-        except OSError:
-            continue
+        st = fs.status(path)
+        if st is not None and now_ms - st[1] > _GC_MIN_AGE_S * 1000.0:
+            fs.delete(path)
 
 
-def _src_ident(sf_dir: str, table: str) -> str:
+def _src_ident(fs: Fs, sf_dir: str, table: str) -> str:
     path = os.path.join(sf_dir, f"{table}.parquet")
-    st = os.stat(path)
-    return f"{os.path.realpath(path)}|{st.st_size}|{st.st_mtime_ns}"
+    st = fs.status(path)
+    if st is None:
+        raise FileNotFoundError(path)
+    return f"{fs.qualified(path)}|{st[0]}|{st[1]}"
 
 
 # Spark bucketed file names carry the bucket id as the `_NNNNN`
@@ -93,7 +93,7 @@ def _src_ident(sf_dir: str, table: str) -> str:
 _BUCKET_ID_RE = re.compile(r"_(\d{5})\.")
 
 
-def _one_file_per_bucket(loc: str, n_buckets: int) -> bool:
+def _one_file_per_bucket(fs: Fs, loc: str, n_buckets: int) -> bool:
     """Safety precondition for the session-wide
     ``legacy.bucketedTableScan.outputOrdering`` flag (session.py):
     per-bucket sort order only holds when each bucket is a SINGLE
@@ -101,9 +101,8 @@ def _one_file_per_bucket(loc: str, n_buckets: int) -> bool:
     elided SMJ sorts would silently produce wrong joins). Verified
     cheaply from the published dir's file names before every DDL
     re-registration rather than assumed from write discipline."""
-    try:
-        entries = os.listdir(loc)
-    except OSError:
+    entries = fs.list_names(loc)
+    if not entries:
         return False
     seen: set[str] = set()
     for entry in entries:
@@ -153,8 +152,12 @@ def ensure_bucketed(
     (including later bench/validate runs) re-registers the published
     files via DDL in milliseconds.
     """
+    root = os.path.join(tempfile.gettempdir(), "tsp_buckets")
+    fs = fs_for(spark, root)
     spec = f"{table}|{bucket_col}|{n_buckets}|{','.join(columns or [])}"
-    key = hashlib.md5(f"{_src_ident(sf_dir, table)}|{spec}".encode()).hexdigest()[:16]
+    key = hashlib.md5(
+        f"{_src_ident(fs, sf_dir, table)}|{spec}".encode()
+    ).hexdigest()[:16]
     name = f"tsp_bkt_{table}_{key}"
     with _build_lock(name):
         if spark.catalog.tableExists(name):
@@ -163,21 +166,20 @@ def ensure_bucketed(
         if columns:
             df = df.select(*columns)
 
-        root = os.path.join(tempfile.gettempdir(), "tsp_buckets")
         loc = os.path.join(root, name)
-        _gc_stale_build_dirs(root)
-        if os.path.exists(
+        _gc_stale_build_dirs(fs, root)
+        if fs.exists(
             os.path.join(loc, "_SUCCESS")
-        ) and not _one_file_per_bucket(loc, n_buckets):
+        ) and not _one_file_per_bucket(fs, loc, n_buckets):
             # published dir violates the one-file-per-bucket invariant
             # (partial publish or a foreign writer config): rebuild
             # instead of registering a layout that would break the
             # sort-elision safety precondition
-            shutil.rmtree(loc, ignore_errors=True)
-        if not os.path.exists(os.path.join(loc, "_SUCCESS")):
+            fs.delete(loc)
+        if not fs.exists(os.path.join(loc, "_SUCCESS")):
             tmp = f"{loc}.build-{os.getpid()}"
             tmp_name = f"{name}_build_{os.getpid()}"
-            shutil.rmtree(tmp, ignore_errors=True)
+            fs.delete(tmp)
             (
                 df.repartition(n_buckets, bucket_col)
                 .write.mode("overwrite")
@@ -188,16 +190,17 @@ def ensure_bucketed(
                 .saveAsTable(tmp_name)
             )
             spark.sql(f"DROP TABLE {tmp_name}")  # files stay; re-point below
-            try:
-                os.rename(tmp, loc)  # atomic publish
-            except OSError:
+            if not fs.publish_dir(tmp, loc):
                 # lost the publish race to another process's identical
-                # build — theirs is complete (rename is the commit)
-                if os.path.exists(os.path.join(loc, "_SUCCESS")):
-                    shutil.rmtree(tmp, ignore_errors=True)
+                # build — verify theirs is complete, then discard ours
+                if fs.exists(os.path.join(loc, "_SUCCESS")):
+                    fs.delete(tmp)
                 else:
-                    raise
-        if not _one_file_per_bucket(loc, n_buckets):
+                    raise RuntimeError(
+                        f"publish of {tmp} to {loc} failed with no "
+                        f"complete winner present"
+                    )
+        if not _one_file_per_bucket(fs, loc, n_buckets):
             raise RuntimeError(
                 f"bucketed layout {loc} does not have one file per "
                 f"bucket; refusing to register it (sort elision would "

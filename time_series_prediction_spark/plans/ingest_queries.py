@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import hashlib
 import os
-import shutil
 import tempfile
 import threading
 from collections.abc import Callable
@@ -70,16 +69,21 @@ def docs_audited_landing(spark: SparkSession, sf_dir: str) -> str:
         audited_ingest_sink,
     )
 
+    from time_series_prediction_spark.sources.fsops import fs_for
+
     src = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(src)
-    ident = f"{os.path.realpath(src)}|{st.st_size}|{st.st_mtime_ns}|{_SPEC}"
+    fs = fs_for(spark, tempfile.gettempdir())
+    st = fs.status(src)
+    if st is None:
+        raise FileNotFoundError(src)
+    ident = f"{fs.qualified(src)}|{st[0]}|{st[1]}|{_SPEC}"
     key = hashlib.md5(ident.encode()).hexdigest()[:16]
     path = os.path.join(tempfile.gettempdir(), "tsp_layouts", f"docs_q_{key}")
     with _build_lock(path):
-        if os.path.exists(os.path.join(path, "_IDENT")):
+        if fs.exists(os.path.join(path, "_IDENT")):
             return path
         tmp = f"{path}.build-{os.getpid()}"
-        shutil.rmtree(tmp, ignore_errors=True)
+        fs.delete(tmp)
         docs = read_table(spark, sf_dir, "documents")
         inbox = os.path.join(tmp, "_inbox")
         docs.repartition(3).write.mode("overwrite").parquet(inbox)
@@ -98,15 +102,14 @@ def docs_audited_landing(spark: SparkSession, sf_dir: str) -> str:
             q.processAllAvailable()
         finally:
             q.stop()
-        with open(os.path.join(tmp, "_IDENT"), "w") as fh:
-            fh.write(ident)
-        try:
-            os.rename(tmp, path)
-        except OSError:
-            if os.path.exists(os.path.join(path, "_IDENT")):
-                shutil.rmtree(tmp, ignore_errors=True)  # lost a benign race
+        fs.write_text(os.path.join(tmp, "_IDENT"), ident)
+        if not fs.publish_dir(tmp, path):
+            if fs.exists(os.path.join(path, "_IDENT")):
+                fs.delete(tmp)  # lost a benign race
             else:
-                raise
+                raise RuntimeError(
+                    f"publish of {tmp} to {path} failed with no winner"
+                )
         return path
 
 

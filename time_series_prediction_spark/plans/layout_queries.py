@@ -29,6 +29,7 @@ from __future__ import annotations
 import hashlib
 import os
 import tempfile
+import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -40,6 +41,7 @@ from time_series_prediction_spark.operators.manifest import (
 )
 from time_series_prediction_spark.operators.materialize import materialize
 from time_series_prediction_spark.operators.zorder import write_zordered
+from time_series_prediction_spark.sources.fsops import Fs, fs_for
 from time_series_prediction_spark.sources.io import read_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -63,7 +65,7 @@ _LAYOUT_COLS = ["event_id", "user_id", "event_type", "value"]
 _GC_MIN_AGE_S = 3600.0
 
 
-def layout_cache_path(src: str) -> str:
+def layout_cache_path(fs: Fs, src: str) -> str:
     """Stable cache dir for a layout derived from ``src``, keyed by
     the source file's (path, size, mtime) identity AND the layout
     generation parameters (columns, z-order keys, file count), via
@@ -71,20 +73,28 @@ def layout_cache_path(src: str) -> str:
     would defeat the cross-process cache, rebuilding the layout on
     every run. Changing the generation parameters changes the key, so
     stale-but-_SUCCESS dirs from older code are never served."""
-    st = os.stat(src)
-    ident = _layout_ident(src, st)
-    key = hashlib.md5(ident.encode()).hexdigest()[:16]
     return os.path.join(
-        tempfile.gettempdir(), "tsp_layouts", f"events_z_{key}"
+        tempfile.gettempdir(),
+        "tsp_layouts",
+        f"events_z_{_ident_key(_layout_ident(fs, src))}",
     )
 
 
-def _layout_ident(src: str, st: os.stat_result) -> str:
+def _ident_key(ident: str) -> str:
+    """Process-stable digest of an identity string (md5, never
+    ``hash()`` — PYTHONHASHSEED salts the latter per process)."""
+    return hashlib.md5(ident.encode()).hexdigest()[:16]
+
+
+def _layout_ident(fs: Fs, src: str) -> str:
+    st = fs.status(src)
+    if st is None:
+        raise FileNotFoundError(src)
     gen = f"{','.join(_LAYOUT_COLS)}|{','.join(_ZCOLS)}|{_N_FILES}"
-    return f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}|{gen}"
+    return f"{fs.qualified(src)}|{st[0]}|{st[1]}|{gen}"
 
 
-def _gc_stale_layouts(root: str, keep: str) -> None:
+def _gc_stale_layouts(fs: Fs, root: str, keep: str) -> None:
     """Remove cached layouts whose recorded SOURCE identity no longer
     matches the file on disk (fixture regenerated → new key → the old
     dir would otherwise live in the temp dir forever). Each layout
@@ -99,31 +109,27 @@ def _gc_stale_layouts(root: str, keep: str) -> None:
     differ from the current code's was built by a DIFFERENT code
     version that may still be running against it; such foreign
     layouts are kept until their source actually changes."""
-    import shutil
-    import time
-
-    try:
-        siblings = os.listdir(root)
-    except OSError:
-        return
-    for name in siblings:
+    for name in fs.list_names(root):
         d = os.path.join(root, name)
-        if d == keep or not os.path.isdir(d):
+        if d == keep or not fs.is_dir(d):
             continue
         try:
-            if time.time() - os.stat(d).st_mtime < _GC_MIN_AGE_S:
+            dst = fs.status(d)
+            if (
+                dst is not None
+                and time.time() * 1000.0 - dst[1] < _GC_MIN_AGE_S * 1000.0
+            ):
                 continue  # possibly mid-build by a concurrent process
-            with open(os.path.join(d, "_IDENT")) as fh:
-                ident = fh.read().strip()
+            ident = fs.read_text(os.path.join(d, "_IDENT")).strip()
             src, size_s, mtime_s = ident.split("|")[:3]
-            st = os.stat(src)
-            if st.st_size == int(size_s) and st.st_mtime_ns == int(mtime_s):
+            st = fs.status(src)
+            if st is not None and st[0] == int(size_s) and st[1] == int(mtime_s):
                 # source unchanged: current layout, another sf dir's,
                 # or a foreign code version's — all still live
                 continue
-        except (OSError, ValueError):
+        except Exception:
             pass  # unreadable/corrupt _IDENT or vanished source → stale
-        shutil.rmtree(d, ignore_errors=True)
+        fs.delete(d)
 
 
 def events_zorder_layout(spark: SparkSession, sf_dir: str) -> str:
@@ -136,18 +142,15 @@ def events_zorder_layout(spark: SparkSession, sf_dir: str) -> str:
     interleave writes into the same final dir — the loser discards its
     copy. Stale layouts (source regenerated since they were built) are
     garbage-collected."""
-    import shutil
-
     src = os.path.join(sf_dir, "events.parquet")
-    path = layout_cache_path(src)
-    if not os.path.exists(os.path.join(path, "_IDENT")):
+    fs = fs_for(spark, tempfile.gettempdir())
+    path = layout_cache_path(fs, src)
+    if not fs.exists(os.path.join(path, "_IDENT")):
         ev = read_table(spark, sf_dir, "events").select(*_LAYOUT_COLS)
         tmp = f"{path}.build-{os.getpid()}"
         write_zordered(ev, tmp, _ZCOLS, n_files=_N_FILES)
-        with open(os.path.join(tmp, "_IDENT"), "w") as fh:
-            fh.write(_layout_ident(src, os.stat(src)))
-        try:
-            os.rename(tmp, path)  # atomic publish
+        fs.write_text(os.path.join(tmp, "_IDENT"), _layout_ident(fs, src))
+        if fs.publish_dir(tmp, path):
             # persist the footer-stats manifest beside the data (the
             # lakehouse pattern: stats are written once at commit
             # time, not re-derived by every reader). Built AFTER the
@@ -160,13 +163,11 @@ def events_zorder_layout(spark: SparkSession, sf_dir: str) -> str:
             build_stats_manifest(spark, path, _ZCOLS).write.mode(
                 "overwrite"
             ).parquet(mtmp)
-            try:
-                os.rename(mtmp, os.path.join(path, "_manifest"))
-            except OSError:  # concurrent manifest winner
-                shutil.rmtree(mtmp, ignore_errors=True)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)  # concurrent winner
-        _gc_stale_layouts(os.path.dirname(path), keep=path)
+            if not fs.publish_dir(mtmp, os.path.join(path, "_manifest")):
+                fs.delete(mtmp)  # concurrent manifest winner
+        else:
+            fs.delete(tmp)  # concurrent layout winner
+        _gc_stale_layouts(fs, os.path.dirname(path), keep=path)
     return path
 
 
@@ -180,7 +181,7 @@ def _manifest_for(spark: SparkSession, path: str) -> DataFrame:
         for k in [k for k in _MANIFEST_CACHE if k[0] != app_id]:
             del _MANIFEST_CACHE[k]
         persisted = os.path.join(path, "_manifest")
-        if os.path.exists(os.path.join(persisted, "_SUCCESS")):
+        if fs_for(spark, path).exists(os.path.join(persisted, "_SUCCESS")):
             # written + atomically renamed at layout-commit time — no
             # footer re-scan needed. Gating on the _SUCCESS marker
             # (not the bare dir) means a crashed or in-flight manifest
@@ -234,23 +235,24 @@ def events_streamed_layout(spark: SparkSession, sf_dir: str) -> str:
     maintained, atomically versioned manifest), and published under
     the layout cache with the same identity/GC protocol as the batch
     layout. Built at most once per fixture content."""
-    import shutil
-
     from time_series_prediction_spark.streaming.layout import (
         manifest_root,
         zorder_ingest_sink,
     )
 
     src = os.path.join(sf_dir, "events.parquet")
-    st = os.stat(src)
-    gen = f"stream|{','.join(_LAYOUT_COLS)}|{','.join(_ZCOLS)}"
-    ident = f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}|{gen}"
-    key = hashlib.md5(ident.encode()).hexdigest()[:16]
     root = os.path.join(tempfile.gettempdir(), "tsp_layouts")
+    fs = fs_for(spark, root)
+    st = fs.status(src)
+    if st is None:
+        raise FileNotFoundError(src)
+    gen = f"stream|{','.join(_LAYOUT_COLS)}|{','.join(_ZCOLS)}"
+    ident = f"{fs.qualified(src)}|{st[0]}|{st[1]}|{gen}"
+    key = hashlib.md5(ident.encode()).hexdigest()[:16]
     path = os.path.join(root, f"events_s_{key}")
-    if not os.path.exists(os.path.join(path, "_IDENT")):
+    if not fs.exists(os.path.join(path, "_IDENT")):
         tmp = f"{path}.build-{os.getpid()}"
-        shutil.rmtree(tmp, ignore_errors=True)
+        fs.delete(tmp)
         ev = read_table(spark, sf_dir, "events").select(*_LAYOUT_COLS)
         inbox = os.path.join(tmp, "_inbox")
         ev.repartition(3).write.mode("overwrite").parquet(inbox)
@@ -288,16 +290,13 @@ def events_streamed_layout(spark: SparkSession, sf_dir: str) -> str:
             F.concat(F.lit(final_data), F.expr(f"substr(file, {len(data) + 1})")),
         )
         last = max(
-            int(d[1:]) for d in os.listdir(mroot) if d.startswith("v")
+            int(d[1:]) for d in fs.list_names(mroot) if d.startswith("v")
         )
         publish_manifest(fixed, mroot, last + 1)
-        with open(os.path.join(tmp, "_IDENT"), "w") as fh:
-            fh.write(ident)
-        try:
-            os.rename(tmp, path)  # atomic publish
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)  # concurrent winner
-        _gc_stale_layouts(root, keep=path)
+        fs.write_text(os.path.join(tmp, "_IDENT"), ident)
+        if not fs.publish_dir(tmp, path):
+            fs.delete(tmp)  # concurrent winner
+        _gc_stale_layouts(fs, root, keep=path)
     return os.path.join(path, "data")
 
 

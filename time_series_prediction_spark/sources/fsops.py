@@ -1,0 +1,165 @@
+"""Hadoop FileSystem operations for the layout-cache commit protocols.
+
+The content-keyed layout caches (bucketed tables, z-order layouts,
+streamed-manifest versions) were committed with ``os.rename`` /
+``os.stat`` / ``os.listdir`` through round 6 — correct on a single
+machine, dead on HDFS. This module routes every filesystem touch
+through the Hadoop FileSystem API resolved from the path's scheme, so
+the same protocol runs against ``file:`` URIs, plain local paths, and
+``hdfs://`` without code changes.
+
+Commit-protocol semantics on each backend:
+
+* **HDFS**: ``FileSystem.rename`` is atomic within a namespace; the
+  publish rename and the marker files behave exactly as locally.
+* **local / file:**: ``RawLocalFileSystem.rename`` is the ``rename``
+  syscall — atomic, and returns ``False`` (instead of raising) when
+  the destination exists, which the callers treat as "lost the
+  publish race".
+* **S3A (caveat, documented not special-cased)**: S3 has NO atomic
+  rename — ``rename`` is copy+delete, so the dir-rename publish is
+  not a safe commit there. The protocol still degrades safely
+  because every reader gates on a MARKER file (``_SUCCESS`` /
+  ``_IDENT`` / the manifest ``latest`` pointer) that is written
+  LAST: a half-copied dir is ignored, never served. For real S3
+  deployments the layout root should live behind a consistent
+  committer (S3A magic committer, or an HDFS/EFS scratch tier) —
+  the standard lakehouse guidance.
+
+The ``latest`` manifest pointer needs rename-WITH-OVERWRITE
+(``os.replace`` semantics), which ``FileSystem.rename`` does not
+offer; ``replace_file`` uses the ``FileContext`` API whose
+``Options.Rename.OVERWRITE`` is atomic on HDFS and the local FS.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+class Fs:
+    """Thin py4j wrapper over one resolved ``FileSystem`` instance.
+
+    All methods take/return PLAIN PATH STRINGS (any scheme the
+    resolved filesystem serves); timestamps are integer milliseconds
+    (Hadoop's resolution — coarser than ``st_mtime_ns``, which only
+    changes the opaque cache-key strings)."""
+
+    def __init__(self, spark: SparkSession, any_path: str):
+        jvm = spark.sparkContext._jvm
+        self._jvm = jvm
+        self._gateway = spark.sparkContext._gateway
+        self._conf = spark.sparkContext._jsc.hadoopConfiguration()
+        self._jfs = jvm.org.apache.hadoop.fs.Path(any_path).getFileSystem(
+            self._conf
+        )
+
+    def _p(self, path: str):
+        return self._jvm.org.apache.hadoop.fs.Path(path)
+
+    def qualified(self, path: str) -> str:
+        return str(self._jfs.makeQualified(self._p(path)).toString())
+
+    def exists(self, path: str) -> bool:
+        return bool(self._jfs.exists(self._p(path)))
+
+    def status(self, path: str) -> tuple[int, int] | None:
+        """(size_bytes, mtime_ms) or None if the path is missing.
+        For a directory, size is 0 and mtime is the dir's."""
+        try:
+            st = self._jfs.getFileStatus(self._p(path))
+        except Exception:  # FileNotFoundException via py4j
+            return None
+        return int(st.getLen()), int(st.getModificationTime())
+
+    def list_names(self, path: str) -> list[str]:
+        """Child entry names (not full paths); [] if missing."""
+        try:
+            statuses = self._jfs.listStatus(self._p(path))
+        except Exception:
+            return []
+        return [str(s.getPath().getName()) for s in statuses]
+
+    def is_dir(self, path: str) -> bool:
+        try:
+            return bool(self._jfs.getFileStatus(self._p(path)).isDirectory())
+        except Exception:
+            return False
+
+    def mkdirs(self, path: str) -> None:
+        self._jfs.mkdirs(self._p(path))
+
+    def delete(self, path: str) -> None:
+        """Recursive delete, ignore-missing (shutil.rmtree
+        ignore_errors analogue)."""
+        try:
+            self._jfs.delete(self._p(path), True)
+        except Exception:
+            pass
+
+    def rename(self, src: str, dst: str) -> bool:
+        """Atomic publish rename (no overwrite). False = destination
+        already exists / source missing — i.e. lost the race."""
+        try:
+            return bool(self._jfs.rename(self._p(src), self._p(dst)))
+        except Exception:
+            return False
+
+    def publish_dir(self, src: str, dst: str) -> bool:
+        """Atomic build-dir publish: True iff ``src`` became ``dst``.
+
+        Encapsulates a Hadoop rename trap: renaming onto an EXISTING
+        directory does not fail — it moves ``src`` INSIDE ``dst``
+        (``mv a b`` semantics). A loser of a publish race would nest
+        its build into the winner's published layout. So: pre-check,
+        rename, then verify no nested stray appeared (build dirs are
+        ``*.build-{pid}`` names that never occur inside a legitimate
+        layout); a stray is removed and the publish reports
+        lost-race. The caller discards its build on False."""
+        if self.exists(dst):
+            return False
+        if not self.rename(src, dst):
+            return False
+        nested = dst.rstrip("/") + "/" + src.rstrip("/").rsplit("/", 1)[-1]
+        if self.exists(nested):
+            self.delete(nested)
+            return False
+        return True
+
+    def replace_file(self, src: str, dst: str) -> None:
+        """``os.replace`` semantics for a single FILE via FileContext
+        Options.Rename.OVERWRITE (atomic on HDFS and local)."""
+        jvm = self._jvm
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            self._p(dst).toUri(), self._conf
+        )
+        overwrite = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+        arr = self._gateway.new_array(
+            jvm.org.apache.hadoop.fs.Options.Rename, 1
+        )
+        arr[0] = overwrite
+        fc.rename(self._p(src), self._p(dst), arr)
+
+    def write_text(self, path: str, text: str) -> None:
+        out = self._jfs.create(self._p(path), True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+
+    def read_text(self, path: str) -> str:
+        stream = self._jfs.open(self._p(path))
+        try:
+            return str(
+                self._jvm.org.apache.commons.io.IOUtils.toString(
+                    stream, "UTF-8"
+                )
+            )
+        finally:
+            stream.close()
+
+
+def fs_for(spark: SparkSession, path: str) -> Fs:
+    """FileSystem handle for ``path``'s scheme (schemeless paths
+    resolve to the default FS — local in tests, HDFS on a cluster)."""
+    return Fs(spark, path)

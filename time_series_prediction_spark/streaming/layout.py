@@ -18,11 +18,13 @@ Design points (the Delta/Iceberg commit protocol, minus the format):
   duplicates. The manifest update then sees the replay's fresh file
   names (old ones vanish, new ones appear) and stays consistent.
 * **Atomic manifest versions.** Each batch publishes the manifest as
-  a new ``v{batch_id}`` directory and then atomically ``os.replace``s
-  a tiny ``_LATEST`` pointer file (the ``_last_checkpoint`` pattern):
-  readers either see the previous complete version or the new one,
-  never a half-written directory. The pointed-to version is
-  additionally gated on its ``_SUCCESS`` marker.
+  a new ``v{batch_id}`` directory and then atomically replaces a tiny
+  ``_LATEST`` pointer file (the ``_last_checkpoint`` pattern, via the
+  Hadoop FileContext rename-with-OVERWRITE — atomic on HDFS and the
+  local FS; see ``sources/fsops.py`` for the S3 caveat): readers
+  either see the previous complete version or the new one, never a
+  half-written directory. The pointed-to version is additionally
+  gated on its ``_SUCCESS`` marker.
 * **Bounded metadata.** Only the newest manifest versions are kept
   (``keep_versions``); the per-batch update footer-reads ONLY the new
   files, so steady-state cost is proportional to the batch, not the
@@ -36,7 +38,6 @@ Design points (the Delta/Iceberg commit protocol, minus the format):
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -48,6 +49,7 @@ from time_series_prediction_spark.operators.manifest import (
     pruned_scan,
 )
 from time_series_prediction_spark.operators.zorder import write_zordered
+from time_series_prediction_spark.sources.fsops import Fs, fs_for
 
 _LATEST = "_LATEST"
 
@@ -66,19 +68,19 @@ def publish_manifest(
     ``root/_LATEST`` at it; prune all but the newest
     ``keep_versions`` version dirs. Single-writer (the streaming
     query) by construction — the pointer flip is the commit."""
-    os.makedirs(root, exist_ok=True)
+    fs = fs_for(man.sparkSession, root)
+    fs.mkdirs(root)
     vname = f"v{version}"
     man.write.mode("overwrite").parquet(os.path.join(root, vname))
     tmp = os.path.join(root, f".latest.tmp.{os.getpid()}")
-    with open(tmp, "w") as fh:
-        fh.write(vname)
-    os.replace(tmp, os.path.join(root, _LATEST))  # atomic commit
+    fs.write_text(tmp, vname)
+    fs.replace_file(tmp, os.path.join(root, _LATEST))  # atomic commit
     versions = sorted(
-        (d for d in os.listdir(root) if d.startswith("v")),
+        (d for d in fs.list_names(root) if d.startswith("v")),
         key=lambda d: int(d[1:]),
     )
     for stale in versions[:-keep_versions]:
-        shutil.rmtree(os.path.join(root, stale), ignore_errors=True)
+        fs.delete(os.path.join(root, stale))
     return os.path.join(root, vname)
 
 
@@ -86,27 +88,22 @@ def current_manifest(spark: SparkSession, root: str) -> DataFrame | None:
     """The manifest version the ``_LATEST`` pointer commits to, or
     None when nothing has been published (or the pointed-to write
     never completed — its ``_SUCCESS`` is the completeness gate)."""
+    fs = fs_for(spark, root)
     try:
-        with open(os.path.join(root, _LATEST)) as fh:
-            vname = fh.read().strip()
-    except OSError:
+        vname = fs.read_text(os.path.join(root, _LATEST)).strip()
+    except Exception:
         return None
     vdir = os.path.join(root, vname)
-    if not os.path.exists(os.path.join(vdir, "_SUCCESS")):
+    if not fs.exists(os.path.join(vdir, "_SUCCESS")):
         return None
     return spark.read.parquet(vdir)
 
 
-def _next_version(root: str) -> int:
+def _next_version(fs: Fs, root: str) -> int:
     """Next manifest version number: one past the newest published
     version (streaming batches and compactions share one monotonic
     sequence, so the ``_LATEST`` pointer never moves backwards)."""
-    try:
-        versions = [
-            int(d[1:]) for d in os.listdir(root) if d.startswith("v")
-        ]
-    except OSError:
-        return 0
+    versions = [int(d[1:]) for d in fs.list_names(root) if d.startswith("v")]
     return max(versions, default=-1) + 1
 
 
@@ -155,7 +152,7 @@ def zorder_ingest_sink(
             rbdir = _resolve_base(bdir, spark)
             kept = prev.where(~F.col("file").startswith(rbdir + "/"))
             man = kept.unionByName(fresh)
-        publish_manifest(man, root, _next_version(root))
+        publish_manifest(man, root, _next_version(fs_for(spark, root), root))
 
     return _sink
 
@@ -184,7 +181,7 @@ def compact_layout(
     if man is None:
         return None
     files = prune_files(man, {})
-    gen = _next_version(root)
+    gen = _next_version(fs_for(spark, root), root)
     cdir = os.path.join(data_path, f"compact-{gen}")
     write_zordered(spark.read.parquet(*files), cdir, zcols, n_files=n_files)
     publish_manifest(build_stats_manifest(spark, cdir, zcols), root, gen)
@@ -203,25 +200,25 @@ def vacuum_layout(
     readers still holding an older manifest version and concurrent
     in-flight writes. Returns the removed directories.
 
-    Deletion here is a driver-side local-filesystem operation (this
-    repo's test/bench surface); against an object store the same loop
-    runs through the Hadoop FileSystem API."""
-    import shutil
+    Deletion runs through the Hadoop FileSystem API, so the same loop
+    reclaims local dirs, HDFS dirs, or object-store prefixes."""
     import time
 
     root = root or manifest_root(data_path)
+    fs = fs_for(spark, data_path)
     man = current_manifest(spark, root)
     if man is None:
         return []
     referenced = set(prune_files(man, {}))
     removed = []
-    for name in sorted(os.listdir(data_path)):
+    for name in sorted(fs.list_names(data_path)):
         if name.startswith(("_", ".")):
             continue
         d = os.path.join(data_path, name)
-        if not os.path.isdir(d):
+        if not fs.is_dir(d):
             continue
-        if time.time() - os.stat(d).st_mtime < grace_s:
+        st = fs.status(d)
+        if st is not None and time.time() * 1000.0 - st[1] < grace_s * 1000.0:
             continue
         from time_series_prediction_spark.operators.manifest import (
             list_parquet_files,
@@ -229,7 +226,7 @@ def vacuum_layout(
 
         dirfiles = list_parquet_files(d, spark)
         if dirfiles and referenced.isdisjoint(dirfiles):
-            shutil.rmtree(d, ignore_errors=True)
+            fs.delete(d)
             removed.append(d)
     return removed
 
