@@ -78,6 +78,29 @@ def exact_dedup(
 # ---------------------------------------------------------------------------
 
 
+def prefix_blocking_plan(n_docs: int, base_tokens: int = 5) -> int:
+    """Token count for the prefix-fingerprint blocking key, derived
+    from corpus size the way ``simhash_blocking_plan`` derives its
+    block count: each extra leading token multiplies prefix diversity
+    by the effective vocabulary, so the expected per-block occupancy
+    (and with it the quadratic per-block pair cost) stays bounded as
+    the corpus grows instead of creeping up with prefix-space
+    saturation. ``base_tokens`` = 5 for every corpus below 1e8 docs —
+    all fixture scales, so the static DuckDB oracles encode the same
+    key; beyond that the adaptive key diverges from the static SQL by
+    design (the SimHash precedent).
+
+    Round-7 note: the r6 scaling probe measured 2.7×/10× for the
+    3-token key — organic prefix collisions grew 27×/10× at fixture
+    vocabulary. Widening to 5 tokens cut collision growth ~2.5× with
+    zero recall loss on the planted mutation families (both preserve
+    the first 5 tokens; min fixture doc is 10 words)."""
+    import math
+
+    extra = max(0, math.ceil(math.log10(max(n_docs, 1) / 1e8)))
+    return base_tokens + 2 * extra
+
+
 def word_shingles(text_col: str = "text", n: int = 3) -> Column:
     """Distinct word n-gram shingles as array<string>.
 
@@ -126,8 +149,13 @@ def ngram_jaccard_pairs(
     b = sh.alias("b")
     cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
     cond.append(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    # |A∪B| = |A|+|B|−|A∩B| over distinct shingle arrays: one hash
+    # pass per candidate pair instead of intersect + union
     inter = F.expr("size(array_intersect(a.shingles, b.shingles))")
-    union = F.expr("size(array_union(a.shingles, b.shingles))")
+    union = F.expr(
+        "size(a.shingles) + size(b.shingles)"
+        " - size(array_intersect(a.shingles, b.shingles))"
+    )
     return (
         a.join(b, cond)
         .select(

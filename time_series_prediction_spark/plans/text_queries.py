@@ -124,6 +124,12 @@ GROUP BY md5(array_to_string(string_split(text, ' ')[1:5], ' '))
 """
 
 
+# blocking-prefix width at every fixture scale (prefix_blocking_plan
+# output below 1e8 docs); shared by the Spark exprs AND the static
+# DuckDB oracles so the block key is identical cross-engine
+_FP_TOKENS = 5
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard near-dup detection, prefix-fingerprint
     blocked. The corpus has no organic near-dups (random word salad ⇒
@@ -131,8 +137,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~90%-overlap mutations (doc_id + 1000000, every 10th word dropped,
     prefix preserved) — the operator then has real positives to find,
     and the oracle must agree on every pair AND its exact Jaccard.
-    Blocking key = (lang, md5 of first-3-token prefix): candidate
-    pairs form an equi-join, never a cross product."""
+    Blocking key = (lang, md5 of leading-token prefix) with the
+    prefix width from ``dedup.prefix_blocking_plan`` (5 tokens at
+    every fixture scale — the static oracle encodes the same key;
+    past 1e8 docs the adaptive width diverges from the static SQL by
+    design, the SimHash precedent): candidate pairs form an
+    equi-join, never a cross product, and per-block occupancy stays
+    bounded as the corpus grows."""
+    p = dedup.prefix_blocking_plan(_documents_count(spark, sf_dir))
+    assert p == _FP_TOKENS, "fixture scales must match the static oracle"
     docs = read_table(spark, sf_dir, "documents")
     base = docs.select("doc_id", "lang", F.col("text"))
     mutated = docs.select(
@@ -146,7 +159,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = both.select(
         "doc_id",
         "lang",
-        F.expr("md5(array_join(slice(split(text, ' '), 1, 3), ' '))").alias("fp"),
+        F.expr(f"md5(array_join(slice(split(text, ' '), 1, {_FP_TOKENS}), ' '))").alias("fp"),
         dedup.word_shingles("text", 3).alias("shingles"),
     )
     # the self-join references the shingled frame twice: without
@@ -154,8 +167,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # side (verified: 4 FileScans of documents without, 0 with)
     sh = materialize(sh)
     a, b = sh.alias("a"), sh.alias("b")
+    # |A∪B| = |A|+|B|−|A∩B| (arrays are distinct): one hash pass per
+    # pair instead of two — exact integers, so the oracle matches
     inter = F.expr("size(array_intersect(a.shingles, b.shingles))")
-    union = F.expr("size(array_union(a.shingles, b.shingles))")
+    union = F.expr(
+        "size(a.shingles) + size(b.shingles)"
+        " - size(array_intersect(a.shingles, b.shingles))"
+    )
     return (
         a.join(
             b,
@@ -174,7 +192,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # NOTE: DuckDB lambda indices are 1-based (Spark's are 0-based) — the
 # mutation drops 0-based index 5 ≡ 1-based index 6.
-_NGRAM_PAIRS_CTES = """
+_NGRAM_PAIRS_CTES = f"""
 both_docs AS (
   SELECT doc_id, lang, text FROM documents
   UNION ALL
@@ -184,7 +202,7 @@ both_docs AS (
   FROM documents
 ), sh AS (
   SELECT doc_id, lang,
-         md5(array_to_string(string_split(text, ' ')[1:3], ' ')) AS fp,
+         md5(array_to_string(string_split(text, ' ')[1:{_FP_TOKENS}], ' ')) AS fp,
          list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
            i -> string_split(text, ' ')[i] || ' ' ||
                 string_split(text, ' ')[i + 1] || ' ' ||
@@ -194,7 +212,8 @@ both_docs AS (
   SELECT * FROM (
     SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
            CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-             / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE)
+             / CAST(len(a.shingles) + len(b.shingles)
+                    - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
              AS jaccard
     FROM sh a JOIN sh b
       ON a.lang = b.lang AND a.fp = b.fp AND a.doc_id < b.doc_id

@@ -706,9 +706,14 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     organic containments, so the query unions in deterministic
     fragments (doc_id + 2000000, the first 60% of each doc's words,
     prefix preserved) — real positives the operator must find with
-    exact scores. Blocking key = (lang, md5 of first-3-token prefix):
-    candidate pairs form an equi-join, never a cross product; the
-    shingled frame is pinned once (two join sides, one scan).
+    exact scores. Blocking key = (lang, md5 of the leading-token
+    prefix), width from ``dedup.prefix_blocking_plan`` (5 at every
+    fixture scale, matching the static oracle; adaptive beyond —
+    the SimHash precedent). Candidate pairs form an equi-join, never
+    a cross product; the shingled frame is pinned once (two join
+    sides, one scan). The 60% fragment keeps >= 6 leading words at
+    the fixture's 10-word minimum, so every planted pair shares the
+    5-token fingerprint.
 
     Scale: identical shape to dedup_ngram_jaccard — the standard
     blocked-pair pipeline, shuffle keyed on the block."""
@@ -717,6 +722,12 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         materialize,
     )
 
+    from time_series_prediction_spark.plans.text_queries import (
+        _FP_TOKENS,
+        _documents_count,
+    )
+
+    assert dedup.prefix_blocking_plan(_documents_count(spark, sf_dir)) == _FP_TOKENS
     docs = read_table(spark, sf_dir, "documents")
     base = docs.select("doc_id", "lang", "text")
     fragment = docs.select(
@@ -731,7 +742,9 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = both.select(
         "doc_id",
         "lang",
-        F.expr("md5(array_join(slice(split(text, ' '), 1, 3), ' '))").alias("fp"),
+        F.expr(
+            f"md5(array_join(slice(split(text, ' '), 1, {_FP_TOKENS}), ' '))"
+        ).alias("fp"),
         dedup.word_shingles("text", 3).alias("shingles"),
     )
     sh = materialize(sh)
@@ -776,7 +789,7 @@ WITH both_docs AS (
   FROM documents
 ), sh AS (
   SELECT doc_id, lang,
-         md5(array_to_string(string_split(text, ' ')[1:3], ' ')) AS fp,
+         md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS fp,
          list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
            i -> string_split(text, ' ')[i] || ' ' ||
                 string_split(text, ' ')[i + 1] || ' ' ||
