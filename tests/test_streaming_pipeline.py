@@ -1,0 +1,159 @@
+"""Composed ingestion sink: validate → WAP → z-append in one body.
+
+The round-7 unification (brief #5): one poisoned batch must lose only
+its bad ROWS, a batch violating a batch-level invariant must be
+wholly rejected with artifacts, clean batches must be audited +
+published + z-appended, and the committed pruned scan must equal the
+raw truth of everything that landed."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from time_series_prediction_spark.operators.quality_checks import (
+    in_range,
+    not_null,
+)
+from time_series_prediction_spark.sources.io import read_table
+from time_series_prediction_spark.streaming.layout import (
+    manifest_root,
+    read_committed,
+)
+from time_series_prediction_spark.streaming.pipeline import (
+    lakehouse_ingest_sink,
+    read_quarantine,
+    read_reports,
+    rejected_batches,
+)
+
+
+@pytest.fixture()
+def events_batches(spark, sf_dir):
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "value")
+        .where("event_id < 600")
+    )
+    return [
+        ev.where("event_id % 3 = 0"),
+        ev.where("event_id % 3 = 1"),
+        ev.where("event_id % 3 = 2"),
+    ]
+
+
+def _sink_for(out, **kw):
+    defaults = dict(
+        row_checks=[not_null("value"), in_range("value", lo=0.0)],
+        zcols=["user_id", "value"],
+        unique_cols=["event_id"],
+        n_files=2,
+    )
+    defaults.update(kw)
+    return lakehouse_ingest_sink(out, **defaults)
+
+
+def test_composed_sink_end_to_end(spark, events_batches, tmp_path):
+    """Clean batch published; poisoned batch loses only its bad rows;
+    duplicate-key batch wholly rejected; committed scan == truth."""
+    out = str(tmp_path / "t")
+    sink = _sink_for(out)
+    b0, b1, b2 = events_batches
+
+    # batch 0: clean
+    sink(b0, 0)
+    # batch 1: poison some rows (negative value fails in_range)
+    poisoned = b1.withColumn(
+        "value",
+        F.when(F.col("event_id") % 7 == 0, -F.col("value")).otherwise(
+            F.col("value")
+        ),
+    )
+    sink(poisoned, 1)
+    # batch 2: duplicate a key -> batch-level uniqueness violation
+    dup = b2.unionAll(b2.limit(5))
+    sink(dup, 2)
+
+    committed = read_committed(spark, out)
+    truth_rows = b0.count() + poisoned.where("value >= 0").count()
+    assert committed.count() == truth_rows
+
+    # quarantined rows carry their failure reasons
+    q = read_quarantine(spark, out + "_quarantine")
+    assert q.count() == poisoned.where("value < 0").count()
+    assert all(
+        "value_in_range" in r._failed_checks for r in q.collect()
+    )
+
+    # the duplicate-key batch left rejection artifacts, not data
+    rej = rejected_batches(spark, out)
+    assert rej == ["_rejected-batch-2"]
+    report = spark.read.parquet(
+        os.path.join(out, "_rejected-batch-2", "_audit_report")
+    ).collect()
+    assert any(r.check_name == "event_id_unique" and r.n_violations > 0 for r in report)
+
+    # per-batch reports recorded each verdict
+    reports = {r.batch_id: r for r in read_reports(spark, out + "_report").collect()}
+    assert reports[0].verdict == "published"
+    assert reports[1].verdict == "published"
+    assert reports[1].n_quarantined == q.count()
+    assert reports[2].verdict == "rejected"
+
+    # committed content equals the raw truth, value for value
+    got = sorted(
+        map(tuple, committed.select("event_id", "user_id", "value").collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            b0.unionAll(poisoned.where("value >= 0"))
+            .select("event_id", "user_id", "value")
+            .collect(),
+        )
+    )
+    assert got == want
+
+
+def test_composed_sink_replay_idempotent(spark, events_batches, tmp_path):
+    out = str(tmp_path / "t")
+    sink = _sink_for(out)
+    b0, b1, _ = events_batches
+    sink(b0, 0)
+    sink(b1, 1)
+    n = read_committed(spark, out).count()
+    sink(b1, 1)  # re-delivery of the same micro-batch
+    assert read_committed(spark, out).count() == n
+
+
+def test_composed_sink_prunes_committed_scan(spark, events_batches, tmp_path):
+    """The z-append + manifest path must actually skip files on a
+    selective predicate (the reason the commit step exists)."""
+    from time_series_prediction_spark.operators.manifest import pruned_scan
+    from time_series_prediction_spark.streaming.layout import (
+        current_manifest,
+    )
+
+    out = str(tmp_path / "t")
+    sink = _sink_for(out)
+    for i, b in enumerate(events_batches):
+        sink(b, i)
+    man = current_manifest(spark, manifest_root(out))
+    assert man is not None
+    pred = {"user_id": (1.0, 3.0)}
+    pruned = pruned_scan(spark, man, pred)
+    full = read_committed(spark, out).where("user_id BETWEEN 1 AND 3")
+    assert sorted(map(tuple, pruned.where("user_id BETWEEN 1 AND 3").collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    # fewer files actually read than the table holds
+    n_all = len(man.collect())
+    n_pruned = len(set(r.file for r in man.collect() if True)) and len(
+        __import__(
+            "time_series_prediction_spark.operators.manifest",
+            fromlist=["prune_files"],
+        ).prune_files(man, pred)
+    )
+    assert n_pruned < n_all

@@ -138,9 +138,142 @@ GROUP BY lang
 """
 
 
+# --------------------------------------------------------------------------
+# composed validate → WAP → z-append landing (round 7, brief #5)
+# --------------------------------------------------------------------------
+
+_LH_SPEC = f"lh1|{_MIN_CHARS}|{_MAX_CHARS}|{','.join(_KNOWN_LANGS)}"
+_LH_PRED = {"n_chars": (100.0, 400.0)}
+
+
+def docs_lakehouse_landing(spark: SparkSession, sf_dir: str) -> str:
+    """Documents landed through the COMPOSED sink
+    (``streaming/pipeline.lakehouse_ingest_sink``): row-level
+    quarantine + batch-level WAP uniqueness gate + z-append with
+    versioned manifest commits, one ``foreachBatch`` body. Built once
+    per fixture content under the shared temp cache (same protocol as
+    the other streamed landings)."""
+    from time_series_prediction_spark.sources.fsops import fs_for
+    from time_series_prediction_spark.streaming.pipeline import (
+        lakehouse_ingest_sink,
+    )
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    fs = fs_for(spark, tempfile.gettempdir())
+    st = fs.status(src)
+    if st is None:
+        raise FileNotFoundError(src)
+    ident = f"{fs.qualified(src)}|{st[0]}|{st[1]}|{_LH_SPEC}"
+    key = hashlib.md5(ident.encode()).hexdigest()[:16]
+    path = os.path.join(tempfile.gettempdir(), "tsp_layouts", f"docs_lh_{key}")
+    with _build_lock(path):
+        if fs.exists(os.path.join(path, "_IDENT")):
+            return path
+        tmp = f"{path}.build-{os.getpid()}"
+        fs.delete(tmp)
+        docs = read_table(spark, sf_dir, "documents")
+        inbox = os.path.join(tmp, "_inbox")
+        docs.repartition(3).write.mode("overwrite").parquet(inbox)
+        data = os.path.join(tmp, "data")
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(inbox)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lakehouse_ingest_sink(
+                    data,
+                    row_checks=_checks(),
+                    zcols=["n_chars"],
+                    unique_cols=["doc_id"],
+                    n_files=2,
+                )
+            )
+            .option("checkpointLocation", os.path.join(tmp, "_ck"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # re-point the streamed manifest at the published prefix (the
+        # events_streamed_layout protocol — versions are tiny)
+        from time_series_prediction_spark.streaming.layout import (
+            current_manifest,
+            manifest_root,
+            publish_manifest,
+        )
+
+        mroot = manifest_root(data)
+        man = current_manifest(spark, mroot)
+        assert man is not None, "composed sink published no manifest"
+        final_data = os.path.join(path, "data")
+        fixed = man.withColumn(
+            "file",
+            F.concat(F.lit(final_data), F.expr(f"substr(file, {len(data) + 1})")),
+        )
+        last = max(
+            int(d[1:]) for d in fs.list_names(mroot) if d.startswith("v")
+        )
+        publish_manifest(fixed, mroot, last + 1)
+        fs.write_text(os.path.join(tmp, "_IDENT"), ident)
+        if not fs.publish_dir(tmp, path):
+            if fs.exists(os.path.join(path, "_IDENT")):
+                fs.delete(tmp)  # lost a benign race
+            else:
+                raise RuntimeError(
+                    f"publish of {tmp} to {path} failed with no winner"
+                )
+        return path
+
+
+def docs_lakehouse_ingest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range aggregate answered through the composed landing: the
+    committed manifest version prunes the z-layout to the n_chars
+    range, the exact predicate re-applies, and the per-lang rollup
+    must equal the oracle's plain filtered aggregate over the raw
+    table — the composed sink only changed HOW the rows landed."""
+    from time_series_prediction_spark.operators.manifest import pruned_scan
+    from time_series_prediction_spark.streaming.layout import (
+        current_manifest,
+        manifest_root,
+    )
+
+    layout = docs_lakehouse_landing(spark, sf_dir)
+    data = os.path.join(layout, "data")
+    man = current_manifest(spark, manifest_root(data))
+    assert man is not None
+    lo, hi = _LH_PRED["n_chars"]
+    df = pruned_scan(spark, man, _LH_PRED).where(
+        (F.col("n_chars") >= lo) & (F.col("n_chars") <= hi)
+    )
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+DOCS_LAKEHOUSE_SQL = f"""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE text IS NOT NULL
+  AND NOT coalesce(n_chars < {_MIN_CHARS} OR n_chars > {_MAX_CHARS}, FALSE)
+  AND coalesce(lang IN ({", ".join(f"'{lang}'" for lang in _KNOWN_LANGS)}), FALSE)
+  AND n_chars BETWEEN 100 AND 400
+GROUP BY lang
+"""
+
+
 INGEST_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "docs_quarantine_ingest_scan": (
         docs_quarantine_ingest_scan,
         DOCS_QUARANTINE_SQL,
+    ),
+    "docs_lakehouse_ingest_scan": (
+        docs_lakehouse_ingest_scan,
+        DOCS_LAKEHOUSE_SQL,
     ),
 }

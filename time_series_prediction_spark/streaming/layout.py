@@ -130,31 +130,50 @@ def zorder_ingest_sink(
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        spark = batch_df.sparkSession
-        bdir = os.path.join(data_path, f"batch-{batch_id}")
-        # overwrite the SAME per-batch dir → replay-idempotent
-        write_zordered(batch_df, bdir, zcols, n_files=n_files)
-        prev = current_manifest(spark, root)
-        fresh = build_stats_manifest(spark, bdir, zcols)
-        if prev is None:
-            # bootstrap: fold in whatever already lives in the table
-            man = build_stats_manifest(spark, data_path, zcols)
-        else:
-            # the replay filter must compare in the LISTING's resolved
-            # path form — a relative/`file:`-URI data_path would never
-            # textually prefix-match the manifest's absolute `file`
-            # values, silently resurrecting the overwritten batch's
-            # old rows (the same normalization _footer_stats uses)
-            from time_series_prediction_spark.operators.manifest import (
-                _resolve_base,
-            )
-
-            rbdir = _resolve_base(bdir, spark)
-            kept = prev.where(~F.col("file").startswith(rbdir + "/"))
-            man = kept.unionByName(fresh)
-        publish_manifest(man, root, _next_version(fs_for(spark, root), root))
+        commit_zordered_batch(
+            batch_df, batch_id, data_path, zcols, n_files=n_files, root=root
+        )
 
     return _sink
+
+
+def commit_zordered_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    data_path: str,
+    zcols: list[str],
+    n_files: int = 4,
+    root: str | None = None,
+) -> str:
+    """One z-append commit: land ``batch_df`` as the z-ordered
+    ``batch-{id}`` dir (overwrite → replay-idempotent) and publish the
+    incrementally updated manifest version. Shared by the plain
+    z-ingest sink and the composed validate→WAP→z-append sink
+    (``streaming/pipeline.py``). Returns the batch dir."""
+    spark = batch_df.sparkSession
+    root = root or manifest_root(data_path)
+    bdir = os.path.join(data_path, f"batch-{batch_id}")
+    write_zordered(batch_df, bdir, zcols, n_files=n_files)
+    prev = current_manifest(spark, root)
+    fresh = build_stats_manifest(spark, bdir, zcols)
+    if prev is None:
+        # bootstrap: fold in whatever already lives in the table
+        man = build_stats_manifest(spark, data_path, zcols)
+    else:
+        # the replay filter must compare in the LISTING's resolved
+        # path form — a relative/`file:`-URI data_path would never
+        # textually prefix-match the manifest's absolute `file`
+        # values, silently resurrecting the overwritten batch's
+        # old rows (the same normalization _footer_stats uses)
+        from time_series_prediction_spark.operators.manifest import (
+            _resolve_base,
+        )
+
+        rbdir = _resolve_base(bdir, spark)
+        kept = prev.where(~F.col("file").startswith(rbdir + "/"))
+        man = kept.unionByName(fresh)
+    publish_manifest(man, root, _next_version(fs_for(spark, root), root))
+    return bdir
 
 
 def compact_layout(

@@ -1,0 +1,188 @@
+"""The composed ingestion sink: validate → WAP-commit → z-append as
+ONE ``foreachBatch`` body.
+
+Rounds 5–6 built the three ingestion disciplines separately —
+row-level quarantine (``streaming/audit.py``), the batch-level
+write-audit-publish gate (``operators/wap.py``), and z-ordered append
+with incremental manifest commits (``streaming/layout.py``). A real
+pipeline runs them as ONE sink per micro-batch:
+
+1. **Row gate** (quarantine): the declared ``ColumnCheck`` predicates
+   split the batch in one codegen'd pass; violating rows land under
+   ``quarantine/batch-{id}`` WITH the names of the checks they
+   failed. One poisoned row never blocks the batch.
+2. **Batch gate** (WAP): the surviving rows are STAGED (invisible to
+   readers — underscore prefix), and batch-level invariants that a
+   row predicate cannot express (key uniqueness within the batch,
+   bounded violation rates) are audited against the staged bytes.
+   A red audit rejects the WHOLE batch: the staged dir moves to
+   ``_rejected-batch-{id}`` with its audit report beside it, and THE
+   STREAM CONTINUES — rejection artifacts are the on-call surface.
+3. **Commit** (z-append): a green batch is z-order-written as
+   ``batch-{id}`` and the versioned stats manifest advances by one
+   atomic pointer flip. Readers see the batch exactly when the
+   pointer lands; a pruned scan skips non-overlapping files. Note
+   the publish re-orders the audited bytes (Morton sort) but never
+   alters them — the WAP contract of "audit what you publish" holds
+   row-for-row.
+4. **Report**: one row per batch (counts + verdict) under
+   ``report/batch-{id}``, overwritten on replay.
+
+Replay idempotence end-to-end: every artifact is keyed by batch_id
+with overwrite semantics, the staged dir is pid-suffixed, and the
+manifest update drops the replayed batch dir's old rows before
+folding in the fresh footer stats.
+
+All filesystem steps run through ``sources/fsops.py`` (HDFS-portable;
+S3 caveat documented there).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from time_series_prediction_spark.operators.quality_checks import (
+    ColumnCheck,
+    audit_columns,
+)
+from time_series_prediction_spark.operators.wap import violation_summary
+from time_series_prediction_spark.sources.fsops import fs_for
+from time_series_prediction_spark.streaming.audit import split_by_checks
+from time_series_prediction_spark.streaming.layout import (
+    commit_zordered_batch,
+    manifest_root,
+)
+
+
+def lakehouse_ingest_sink(
+    data_path: str,
+    row_checks: list[ColumnCheck],
+    zcols: list[str],
+    batch_checks: list[ColumnCheck] = (),
+    unique_cols: list[str] = (),
+    n_files: int = 4,
+    max_violation_rate: float = 0.0,
+    quarantine_path: str | None = None,
+    report_path: str | None = None,
+    root: str | None = None,
+):
+    """``foreachBatch`` body running the full lakehouse ingestion
+    discipline per micro-batch. See module doc for the contract.
+
+    ``row_checks`` quarantine individual rows; ``batch_checks`` +
+    ``unique_cols`` gate the whole batch (WAP) — typically key
+    uniqueness, which no per-row predicate can see."""
+    quarantine_path = quarantine_path or data_path + "_quarantine"
+    report_path = report_path or data_path + "_report"
+    root = root or manifest_root(data_path)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        fs = fs_for(spark, data_path)
+
+        # 1. row gate
+        clean, bad = split_by_checks(batch_df, row_checks)
+        n_bad = bad.count()
+        if n_bad:
+            bad.write.mode("overwrite").parquet(
+                os.path.join(quarantine_path, f"batch-{batch_id}")
+            )
+        n_clean = clean.count()
+        verdict = "published"
+        if n_clean:
+            # 2. batch gate (WAP): stage invisibly, audit the staged
+            # bytes, reject wholly on red
+            staged = os.path.join(
+                data_path, f"_staged-batch-{batch_id}-{os.getpid()}"
+            )
+            clean.write.mode("overwrite").parquet(staged)
+            staged_df = spark.read.parquet(staged)
+            rejected_dir = os.path.join(
+                data_path, f"_rejected-batch-{batch_id}"
+            )
+            if batch_checks or unique_cols:
+                report_df = audit_columns(
+                    staged_df, list(batch_checks), unique_cols=unique_cols
+                )
+                report = violation_summary(report_df)
+                red = [
+                    (name, n, viol)
+                    for name, n, viol in report
+                    if n > 0 and viol > max_violation_rate * n
+                ]
+            else:
+                report, red = [], []
+            if red:
+                fs.delete(rejected_dir)
+                if not fs.rename(staged, rejected_dir):
+                    fs.delete(staged)  # lost a replay race; keep winner
+                else:
+                    spark.createDataFrame(
+                        report,
+                        "check_name string, n_checked long, n_violations long",
+                    ).write.mode("overwrite").parquet(
+                        os.path.join(rejected_dir, "_audit_report")
+                    )
+                verdict = "rejected"
+            else:
+                # 3. commit: z-append + manifest pointer flip
+                commit_zordered_batch(
+                    staged_df,
+                    batch_id,
+                    data_path,
+                    zcols,
+                    n_files=n_files,
+                    root=root,
+                )
+                fs.delete(staged)
+        else:
+            verdict = "empty"
+
+        # 4. per-batch report row
+        spark.createDataFrame(
+            [
+                (
+                    int(batch_id),
+                    n_clean + n_bad,
+                    n_clean,
+                    n_bad,
+                    verdict,
+                )
+            ],
+            "batch_id long, n_rows long, n_clean long, "
+            "n_quarantined long, verdict string",
+        ).write.mode("overwrite").parquet(
+            os.path.join(report_path, f"batch-{batch_id}")
+        )
+
+    return _sink
+
+
+def read_quarantine(spark, quarantine_path: str) -> DataFrame:
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(quarantine_path)
+    )
+
+
+def read_reports(spark, report_path: str) -> DataFrame:
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(report_path)
+    )
+
+
+def rejected_batches(spark, data_path: str) -> list[str]:
+    """Names of wholly-rejected batches (WAP red audits) awaiting
+    inspection — the on-call debugging surface."""
+    fs = fs_for(spark, data_path)
+    return sorted(
+        n for n in fs.list_names(data_path) if n.startswith("_rejected-")
+    )
