@@ -91,3 +91,28 @@ def test_cashflow_wide_summary_matches_oracle_exactly(spark, sf_dir):
         g, w = got[c].to_numpy(), want[c].to_numpy()
         eq = (g == w) | (pd.isna(g) & pd.isna(w))
         assert np.all(eq), (c, got[~eq].head(), want[~eq].head())
+
+
+def test_backtest_parameterization(spark, sf_dir):
+    """Round-7 brief #6: the backtest is a parameterized grid sweep.
+    Different grids produce per-cutoff rows for exactly their cutoffs;
+    sMAPE terms are bounded by construction (<= 2e6 ppm per
+    prediction); pinball90 penalizes under-forecast 9x over-forecast."""
+    from time_series_prediction_spark.plans.timeseries_queries2 import (
+        linear_backtest,
+    )
+
+    grid = ("2024-01-14", "2024-01-21")
+    df = linear_backtest(
+        spark, sf_dir, cutoffs=grid, horizon=3,
+        losses=("mae", "smape", "pinball90"),
+    )
+    rows = {str(r.cutoff_day): r for r in df.collect()}
+    assert set(rows) == set(grid)
+    for r in rows.values():
+        assert r.n_pred > 0
+        assert 0 <= r.sum_smape_ppm <= 2_000_000 * r.n_pred
+        assert r.sum_abs_err_mc >= 0
+        assert r.sum_pinball90_mc >= 0
+        # pinball at q=0.9 is bounded by 0.9x the MAE mass
+        assert r.sum_pinball90_mc <= 0.9 * r.sum_abs_err_mc + r.n_pred

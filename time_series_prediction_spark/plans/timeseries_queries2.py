@@ -694,10 +694,50 @@ _BT_CUTOFFS = ("2024-01-15", "2024-01-20", "2024-01-25")
 _BT_H = 5
 _BT_EPOCH = "2024-01-01"
 
+# Loss registry for the parameterized backtest (round 7, brief #6).
+# Each term maps (a, f) — actual and forecast as doubles — to an
+# INTEGER per-prediction loss contribution; the integer rounding is
+# what makes the cross-engine aggregate order-free (float sums would
+# differ by reduction order). The SQL fragment is VERBATIM-valid in
+# both Spark SQL and DuckDB, so one string defines each loss for the
+# engine and the oracle.
+_BT_LOSSES: dict[str, tuple[str, str]] = {
+    # milli-cent absolute error
+    "mae": ("sum_abs_err_mc", "CAST(round(abs(a - f) * 1000) AS BIGINT)"),
+    # symmetric MAPE in parts-per-million (0 when both sides are 0,
+    # the standard convention)
+    "smape": (
+        "sum_smape_ppm",
+        "CASE WHEN abs(a) + abs(f) = 0 THEN CAST(0 AS BIGINT) "
+        "ELSE CAST(round(abs(a - f) / ((abs(a) + abs(f)) / 2) * 1000000) "
+        "AS BIGINT) END",
+    ),
+    # milli-cent pinball (quantile) loss at q = 0.9 — the asymmetric
+    # loss a P90 forecaster sweeps
+    "pinball90": (
+        "sum_pinball90_mc",
+        "CAST(round((CASE WHEN a - f >= 0 THEN CAST(0.9 AS DOUBLE) * (a - f) "
+        "ELSE CAST(0.1 AS DOUBLE) * (f - a) END) * 1000) AS BIGINT)",
+    ),
+}
 
-def ts_backtest_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+def linear_backtest(
+    spark: SparkSession,
+    sf_dir: str,
+    cutoffs: tuple[str, ...] = _BT_CUTOFFS,
+    horizon: int = _BT_H,
+    epoch: str = _BT_EPOCH,
+    losses: tuple[str, ...] = ("mae",),
+) -> DataFrame:
+    """Parameterized rolling-origin backtest: per train ``cutoff``, an
+    OLS line fit on daily cents <= cutoff, scored on the actuals in
+    (cutoff, cutoff+horizon] under every requested loss. All model
+    math is exact integer rationals (see the r6 note below); each loss
+    contribution is integer-rounded so aggregation order never
+    matters, making every loss oracle-checkable."""
     d = daily_series(spark, sf_dir).withColumn(
-        "x", F.datediff("day", F.lit(_BT_EPOCH).cast("date")).cast("long")
+        "x", F.datediff("day", F.lit(epoch).cast("date")).cast("long")
     )
     # conditional aggregation instead of a broadcast-join against the
     # cutoff list: every cutoff's training sums come from ONE
@@ -706,7 +746,7 @@ def ts_backtest_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     # grid that multiplier is the whole cost). The per-cutoff rows are
     # then unfolded from the single aggregate row with a stack.
     sums = []
-    for i, c in enumerate(_BT_CUTOFFS):
+    for i, c in enumerate(cutoffs):
         within = F.col("day") <= F.lit(c).cast("date")
         zl = F.lit(0).cast("long")
         sums += [
@@ -723,13 +763,13 @@ def ts_backtest_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide = d.groupBy("user_id").agg(*sums)
     stack = ", ".join(
         f"CAST('{c}' AS DATE), n_{i}, sx_{i}, sy_{i}, sxy_{i}, sxx_{i}"
-        for i, c in enumerate(_BT_CUTOFFS)
+        for i, c in enumerate(cutoffs)
     )
     agg = (
         wide.select(
             "user_id",
             F.expr(
-                f"stack({len(_BT_CUTOFFS)}, {stack}) AS "
+                f"stack({len(cutoffs)}, {stack}) AS "
                 "(cutoff, n, sx, sy, sxy, sxx)"
             ),
         )
@@ -739,46 +779,56 @@ def ts_backtest_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("den") != 0)
     )
     preds = (
-        agg.select("*", F.explode(F.expr(f"sequence(1, {_BT_H})")).alias("i"))
+        agg.select("*", F.explode(F.expr(f"sequence(1, {horizon})")).alias("i"))
         .withColumn("fday", F.expr("date_add(cutoff, i)"))
         .withColumn(
-            "fx", F.datediff("fday", F.lit(_BT_EPOCH).cast("date")).cast("long")
+            "fx", F.datediff("fday", F.lit(epoch).cast("date")).cast("long")
         )
     )
     actual = d.select(
         "user_id", F.col("day").alias("fday"), F.col("cents").alias("actual")
     )
-    err = F.abs(
-        F.col("actual").cast("double")
-        - (
-            F.col("sy") * F.col("den")
-            - F.col("num") * F.col("sx")
-            + F.col("n") * F.col("num") * F.col("fx")
-        ).cast("double")
-        / (F.col("n") * F.col("den")).cast("double")
-    )
-    return (
+    pred = (
+        F.col("sy") * F.col("den")
+        - F.col("num") * F.col("sx")
+        + F.col("n") * F.col("num") * F.col("fx")
+    ).cast("double") / (F.col("n") * F.col("den")).cast("double")
+    scored = (
         preds.join(actual, ["user_id", "fday"])
-        .select(F.col("cutoff").alias("cutoff_day"), err.alias("err"))
-        .groupBy("cutoff_day")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_pred"),
-            F.sum(F.expr("CAST(round(err * 1000) AS BIGINT)")).alias(
-                "sum_abs_err_mc"
-            ),
+        .select(
+            F.col("cutoff").alias("cutoff_day"),
+            F.col("actual").cast("double").alias("a"),
+            pred.alias("f"),
         )
     )
+    loss_aggs = [F.count(F.lit(1)).cast("long").alias("n_pred")]
+    for loss in losses:
+        col_name, term = _BT_LOSSES[loss]
+        loss_aggs.append(F.sum(F.expr(term)).alias(col_name))
+    return scored.groupBy("cutoff_day").agg(*loss_aggs)
 
 
-TS_BACKTEST_SQL = (
-    DAILY_CTE
-    + f"""
+def linear_backtest_sql(
+    cutoffs: tuple[str, ...] = _BT_CUTOFFS,
+    horizon: int = _BT_H,
+    epoch: str = _BT_EPOCH,
+    losses: tuple[str, ...] = ("mae",),
+) -> str:
+    """DuckDB oracle for ``linear_backtest`` — same grid, same loss
+    terms verbatim (the fragments are valid in both dialects)."""
+    loss_cols = ",\n       ".join(
+        f"CAST(sum({_BT_LOSSES[loss][1]}) AS BIGINT) AS {_BT_LOSSES[loss][0]}"
+        for loss in losses
+    )
+    return (
+        DAILY_CTE
+        + f"""
 , d AS (
   SELECT user_id, day, cents,
-         CAST(day - DATE '{_BT_EPOCH}' AS BIGINT) AS x
+         CAST(day - DATE '{epoch}' AS BIGINT) AS x
   FROM daily
 ), cuts AS (
-  SELECT unnest([{", ".join(f"DATE '{c}'" for c in _BT_CUTOFFS)}]) AS cutoff
+  SELECT unnest([{", ".join(f"DATE '{c}'" for c in cutoffs)}]) AS cutoff
 ), agg AS (
   SELECT user_id, cutoff,
          CAST(count(*) AS BIGINT) AS n,
@@ -795,26 +845,56 @@ TS_BACKTEST_SQL = (
   WHERE n * sxx - sx * sx != 0
 ), preds AS (
   SELECT m.*, m.cutoff + CAST(h.i AS INTEGER) AS fday,
-         CAST(m.cutoff + CAST(h.i AS INTEGER) - DATE '{_BT_EPOCH}' AS BIGINT) AS fx
-  FROM model m, (SELECT unnest(range(1, {_BT_H + 1})) AS i) h
+         CAST(m.cutoff + CAST(h.i AS INTEGER) - DATE '{epoch}' AS BIGINT) AS fx
+  FROM model m, (SELECT unnest(range(1, {horizon + 1})) AS i) h
 ), scored AS (
   SELECT p.cutoff AS cutoff_day,
-         abs(CAST(d.cents AS DOUBLE)
-             - CAST(p.sy * p.den - p.num * p.sx + p.n * p.num * p.fx AS DOUBLE)
-               / CAST(p.n * p.den AS DOUBLE)) AS err
+         CAST(d.cents AS DOUBLE) AS a,
+         CAST(p.sy * p.den - p.num * p.sx + p.n * p.num * p.fx AS DOUBLE)
+           / CAST(p.n * p.den AS DOUBLE) AS f
   FROM preds p JOIN d ON d.user_id = p.user_id AND d.day = p.fday
 )
 SELECT cutoff_day,
        CAST(count(*) AS BIGINT) AS n_pred,
-       CAST(sum(CAST(round(err * 1000) AS BIGINT)) AS BIGINT) AS sum_abs_err_mc
+       {loss_cols}
 FROM scored
 GROUP BY cutoff_day
 """
+    )
+
+
+def ts_backtest_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r6 surface, now a thin instantiation of the parameterized
+    backtest: 3 cutoffs, 5-day horizon, MAE."""
+    return linear_backtest(spark, sf_dir)
+
+
+# a DIFFERENT grid + losses for the second registry surface: denser
+# weekly cutoffs, a 7-day horizon, and the sMAPE/pinball pair a
+# forecaster actually sweeps alongside MAE
+_BT2_CUTOFFS = ("2024-01-12", "2024-01-17", "2024-01-22", "2024-01-27")
+_BT2_H = 7
+
+
+def ts_backtest_smape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return linear_backtest(
+        spark,
+        sf_dir,
+        cutoffs=_BT2_CUTOFFS,
+        horizon=_BT2_H,
+        losses=("smape", "pinball90"),
+    )
+
+
+TS_BACKTEST_SQL = linear_backtest_sql()
+TS_BACKTEST_SMAPE_SQL = linear_backtest_sql(
+    cutoffs=_BT2_CUTOFFS, horizon=_BT2_H, losses=("smape", "pinball90")
 )
 
 
 TIMESERIES2_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "ts_backtest_linear": (ts_backtest_linear, TS_BACKTEST_SQL),
+    "ts_backtest_smape": (ts_backtest_smape, TS_BACKTEST_SMAPE_SQL),
     "ts_holt_forecast": (ts_holt_forecast, TS_HOLT_SQL),
     "ts_seasonal_decompose": (ts_seasonal_decompose, TS_DECOMPOSE_SQL),
     "ts_changepoint_cusum": (ts_changepoint_cusum, TS_CUSUM_SQL),
