@@ -38,6 +38,7 @@ def _all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], 
     from time_series_prediction_spark.plans.ingest_queries import INGEST_QUERIES
     from time_series_prediction_spark.plans.layout_queries import LAYOUT_QUERIES
     from time_series_prediction_spark.plans.rangejoin_queries import RANGEJOIN_QUERIES
+    from time_series_prediction_spark.plans.table_queries import TABLE_QUERIES
     from time_series_prediction_spark.plans.relational2 import RELATIONAL2_QUERIES
     from time_series_prediction_spark.plans.semantic_queries import SEMANTIC_QUERIES
     from time_series_prediction_spark.plans.relational3 import RELATIONAL3_QUERIES
@@ -73,6 +74,7 @@ def _all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], 
     registry.update(BUCKETED_QUERIES)
     registry.update(SEMANTIC_QUERIES)
     registry.update(INGEST_QUERIES)
+    registry.update(TABLE_QUERIES)
     # wide-array pipeline: oracle-backed via generated DuckDB
     # list-lambda SQL replicating the exact IEEE op sequence
     # (statsmodels-parity trend, sequential-fold extrapolation,

@@ -1,0 +1,246 @@
+"""Copy-on-write table mutations (operators/cow.py): MERGE upsert,
+DELETE by key, time travel, and the version change feed — verified
+for row-level results (vs pandas truth), file-level economy (only
+overlapping files rewritten; unchanged files carried by reference and
+never re-read by CDC), and commit-protocol consistency (every version
+remains readable until retention)."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from time_series_prediction_spark.operators.cow import (
+    delete_keys,
+    init_table,
+    list_versions,
+    merge_upsert,
+    read_version,
+    version_changes,
+)
+from time_series_prediction_spark.operators.manifest import prune_files
+from time_series_prediction_spark.streaming.layout import (
+    current_manifest,
+    manifest_root,
+    read_committed,
+)
+
+
+def _mk_table(spark, path, n=200, n_files=8):
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).alias("v"),
+        F.concat(F.lit("g"), (F.col("id") % 4).cast("string")).alias("g"),
+    )
+    gen = init_table(spark, path, df, key="k", n_files=n_files,
+                     keep_versions=10)
+    return gen
+
+
+def _pdf(df):
+    return (
+        df.toPandas().sort_values(list(df.columns)).reset_index(drop=True)
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    _mk_table(spark, path)
+    return path
+
+
+def test_init_and_read_committed(spark, table):
+    got = read_committed(spark, table)
+    assert got.count() == 200
+    assert set(got.columns) == {"k", "v", "g"}
+    # key-clustered: files partition the key space
+    man = current_manifest(spark, manifest_root(table))
+    assert len(prune_files(man, {})) == 8
+
+
+def test_merge_updates_and_inserts(spark, table):
+    updates = spark.createDataFrame(
+        [(5, 5555, "gX"), (42, 4242, "gX"), (1000, 1, "gNEW")],
+        "k long, v long, g string",
+    )
+    merge_upsert(spark, table, updates, key="k", keep_versions=10)
+    got = _pdf(read_committed(spark, table))
+    base = pd.DataFrame(
+        {"k": range(200), "v": [i * 10 for i in range(200)],
+         "g": [f"g{i % 4}" for i in range(200)]}
+    )
+    base.loc[base.k == 5, ["v", "g"]] = [5555, "gX"]
+    base.loc[base.k == 42, ["v", "g"]] = [4242, "gX"]
+    want = pd.concat(
+        [base, pd.DataFrame({"k": [1000], "v": [1], "g": ["gNEW"]})]
+    ).sort_values(["k", "v", "g"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["k", "v", "g"]], want)
+
+
+def test_merge_rewrites_only_overlapping_files(spark, table):
+    man0 = current_manifest(spark, manifest_root(table))
+    files0 = set(prune_files(man0, {}))
+    # keys 0..9 live in one key-range file of the 8
+    updates = spark.createDataFrame(
+        [(3, -1, "gX"), (7, -1, "gX")], "k long, v long, g string"
+    )
+    merge_upsert(spark, table, updates, key="k", keep_versions=10)
+    man1 = current_manifest(spark, manifest_root(table))
+    files1 = set(prune_files(man1, {}))
+    carried = files0 & files1
+    # at least 6 of the 8 base files must survive BY REFERENCE
+    assert len(carried) >= 6
+    rewritten_src = files0 - files1
+    assert len(rewritten_src) <= 2
+
+
+def test_merge_rejects_duplicate_update_keys(spark, table):
+    updates = spark.createDataFrame(
+        [(5, 1, "a"), (5, 2, "b")], "k long, v long, g string"
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        merge_upsert(spark, table, updates, key="k")
+
+
+def test_delete_keys_and_noop_outside_domain(spark, table):
+    keys = spark.createDataFrame(
+        [(k,) for k in (0, 13, 199)], "k long"
+    )
+    v = delete_keys(spark, table, keys, key="k", keep_versions=10)
+    got = read_committed(spark, table)
+    assert got.count() == 197
+    assert got.where(F.col("k").isin(0, 13, 199)).count() == 0
+    # keys entirely outside every file's range: no rewrite, no commit
+    far = spark.createDataFrame([(10_000,)], "k long")
+    v2 = delete_keys(spark, table, far, key="k", keep_versions=10)
+    assert v2 == v
+    assert read_committed(spark, table).count() == 197
+
+
+def test_delete_whole_file_publishes_no_empty_file(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    _mk_table(spark, path, n=80, n_files=4)
+    # wipe one full key-range file (0..19 with 4 equal files)
+    keys = spark.range(25).select(F.col("id").alias("k"))
+    delete_keys(spark, path, keys, key="k", keep_versions=10)
+    man = current_manifest(spark, manifest_root(path))
+    rows = man.groupBy("file").agg(F.max("n_rows").alias("n")).collect()
+    assert all(r["n"] > 0 for r in rows)
+    assert read_committed(spark, path).count() == 55
+
+
+def test_time_travel_versions_stay_readable(spark, table):
+    updates = spark.createDataFrame(
+        [(5, -5, "gX")], "k long, v long, g string"
+    )
+    v1 = merge_upsert(spark, table, updates, key="k", keep_versions=10)
+    keys = spark.createDataFrame([(6,), (7,)], "k long")
+    v2 = delete_keys(spark, table, keys, key="k", keep_versions=10)
+    assert list_versions(spark, manifest_root(table)) == [0, v1, v2]
+    v0_df = _pdf(read_version(spark, table, 0))
+    assert len(v0_df) == 200
+    assert v0_df.loc[v0_df.k == 5, "v"].item() == 50  # pre-merge state
+    v1_df = read_version(spark, table, v1)
+    assert v1_df.count() == 200
+    assert v1_df.where("k = 5").first()["v"] == -5
+    assert v1_df.where("k in (6, 7)").count() == 2  # pre-delete
+    assert read_version(spark, table, v2).count() == 198
+
+
+def test_read_version_missing_raises(spark, table):
+    with pytest.raises(ValueError, match="not available"):
+        read_version(spark, table, 99)
+
+
+def test_version_changes_merge_interval(spark, table):
+    updates = spark.createDataFrame(
+        [(5, 5555, "gX"), (1000, 1, "gNEW")], "k long, v long, g string"
+    )
+    v1 = merge_upsert(spark, table, updates, key="k", keep_versions=10)
+    ch = _pdf(version_changes(spark, table, 0, v1))
+    # unmodified rows that merely live in the rewritten file cancel
+    ins = ch[ch._change == "insert"]
+    dels = ch[ch._change == "delete"]
+    assert sorted(ins.k.tolist()) == [5, 1000]
+    assert dels.k.tolist() == [5]
+    assert dels.v.item() == 50
+
+
+def test_version_changes_delete_interval(spark, table):
+    keys = spark.createDataFrame([(3,), (150,)], "k long")
+    v1 = delete_keys(spark, table, keys, key="k", keep_versions=10)
+    ch = _pdf(version_changes(spark, table, 0, v1))
+    assert (ch._change == "delete").all()
+    assert sorted(ch.k.tolist()) == [3, 150]
+
+
+def test_version_changes_skips_unchanged_files(spark, table):
+    """CDC must read ONLY the symmetric-difference files: the union of
+    its scanned inputFiles is disjoint from the carried files."""
+    updates = spark.createDataFrame(
+        [(3, -1, "gX")], "k long, v long, g string"
+    )
+    v1 = merge_upsert(spark, table, updates, key="k", keep_versions=10)
+    files0 = set(
+        prune_files(
+            spark.read.parquet(os.path.join(manifest_root(table), "v0")), {}
+        )
+    )
+    files1 = set(
+        prune_files(current_manifest(spark, manifest_root(table)), {})
+    )
+    carried = files0 & files1
+    scanned = set(version_changes(spark, table, 0, v1).inputFiles())
+    # inputFiles returns URIs; compare by basename to dodge scheme noise
+    carried_names = {os.path.basename(f) for f in carried}
+    scanned_names = {os.path.basename(f) for f in scanned}
+    assert carried_names, "expected some files to be carried"
+    assert not (carried_names & scanned_names)
+
+
+def test_version_changes_identical_versions_raise(spark, table):
+    far = spark.createDataFrame([(10_000,)], "k long")
+    delete_keys(spark, table, far, key="k", keep_versions=10)  # no-op
+    with pytest.raises(ValueError, match="identical file sets"):
+        version_changes(spark, table, 0, 0)
+
+
+def test_merge_into_stats_blind_files_is_conservative(spark, tmp_path):
+    """A file with no usable key stats (all-null key chunk) must be
+    treated as potentially overlapping and rewritten."""
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(None, 1, "a"), (None, 2, "a")], "k long, v long, g string"
+    )
+    good = spark.range(10).select(
+        F.col("id").alias("k"), F.lit(0).alias("v").cast("long"),
+        F.lit("b").alias("g"),
+    )
+    # null keys break zorder ranking — land them as a plain append dir
+    from time_series_prediction_spark.operators.manifest import (
+        build_stats_manifest,
+    )
+    from time_series_prediction_spark.streaming.layout import (
+        publish_manifest,
+    )
+
+    init_table(spark, path, good, key="k", n_files=2, keep_versions=10)
+    nulls_dir = os.path.join(path, "nulls-0")
+    df.coalesce(1).write.parquet(nulls_dir)
+    root = manifest_root(path)
+    man = current_manifest(spark, root).unionByName(
+        build_stats_manifest(spark, nulls_dir, ["k"])
+    )
+    publish_manifest(man, root, 2, keep_versions=10)
+    updates = spark.createDataFrame(
+        [(99, -1, "z")], "k long, v long, g string"
+    )
+    merge_upsert(spark, path, updates, key="k", keep_versions=10)
+    got = read_committed(spark, path)
+    # null-key rows survive the merge (no update key equals null)
+    assert got.where(F.col("k").isNull()).count() == 2
+    assert got.count() == 13

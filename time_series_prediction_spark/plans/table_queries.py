@@ -1,0 +1,322 @@
+"""Copy-on-write table queries: MERGE / DELETE / time travel / CDC
+(operators/cow.py) surfaced as oracle-backed registry queries.
+
+The fixture table derives deterministically from ``orders`` so DuckDB
+can reconstruct every state with plain SQL:
+
+* **v0** — all orders, key-clustered on ``o_orderkey``, money held as
+  integer cents (``round(o_totalprice*100)``) so no float ever enters
+  a mutated column;
+* **v1 (MERGE)** — every ``o_orderkey % 13 == 0`` row in the LOWEST
+  TENTH of the key domain (``o_orderkey * 10 <= max(o_orderkey)`` —
+  a realistic recent-partition touch, and the condition both engines
+  can evaluate from a max-key scalar) is updated (+100000 cents,
+  status → 'R'); every ``o_orderkey % 101 == 0`` row spawns an INSERT
+  under key ``o_orderkey + 10^8`` with priority '6-NEW'. Confining
+  updates to a key band is what makes the copy-on-write economy
+  OBSERVABLE on the fixture: most base files carry into v1 by
+  reference (asserted in tests), which scattered update keys would
+  mask by overlapping every key-range file;
+* **v2 (DELETE)** — every current key with ``key % 17 == 0`` is
+  erased (hits both original and inserted key domains).
+
+The queries then read (a) the final state, (b) the v0 snapshot via
+time travel — proving mutations never disturbed history — and (c) the
+v0→v1 change feed. The oracle never sees the table: it recomputes
+each answer from raw ``orders`` with the same arithmetic, so the
+comparison pins the whole write path — overlap-pruned file rewrites,
+carried-by-reference stats, version retention, symmetric-difference
+CDC.
+
+Beyond-reference scope: the reference rebuilds whole tables per run
+(reference ``src/demo/training.py:70-90``) and has no row-level
+mutation, snapshot, or change-feed surface.
+
+Built at most once per fixture content (same identity / build-lock /
+atomic-publish cache protocol as ``plans/layout_queries.py``); the
+three manifest versions' recorded file paths are re-prefixed to the
+published location before the rename, keeping every snapshot readable
+from the cache.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+import threading
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from time_series_prediction_spark.operators.cow import (
+    delete_keys,
+    init_table,
+    merge_upsert,
+    read_version,
+    version_changes,
+)
+from time_series_prediction_spark.sources.fsops import fs_for
+from time_series_prediction_spark.sources.io import read_table
+from time_series_prediction_spark.streaming.layout import (
+    manifest_root,
+    read_committed,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_SPEC = "cow-orders|v3|13band10|101|17|8"
+_KEEP = 20
+_INSERT_SHIFT = 100_000_000
+
+_LOCKS_GUARD = threading.Lock()
+_BUILD_LOCKS: dict[str, threading.Lock] = {}
+
+
+def _build_lock(key: str) -> threading.Lock:
+    with _LOCKS_GUARD:
+        return _BUILD_LOCKS.setdefault(key, threading.Lock())
+
+
+def _orders_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        "o_orderstatus",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias(
+            "price_cents"
+        ),
+        "o_orderpriority",
+    )
+
+
+def _merge_updates(base: DataFrame) -> DataFrame:
+    mx = base.agg(F.max("o_orderkey")).first()[0]
+    modified = base.where(
+        f"o_orderkey % 13 = 0 AND o_orderkey * 10 <= {mx}"
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("R").alias("o_orderstatus"),
+        (F.col("price_cents") + F.lit(100_000)).alias("price_cents"),
+        "o_orderpriority",
+    )
+    inserted = base.where("o_orderkey % 101 = 0").select(
+        (F.col("o_orderkey") + F.lit(_INSERT_SHIFT)).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        "price_cents",
+        F.lit("6-NEW").alias("o_orderpriority"),
+    )
+    return modified.unionByName(inserted)
+
+
+def _delete_key_set(base: DataFrame) -> DataFrame:
+    original = base.select("o_orderkey").where("o_orderkey % 17 = 0")
+    inserted = base.where("o_orderkey % 101 = 0").select(
+        (F.col("o_orderkey") + F.lit(_INSERT_SHIFT)).alias("o_orderkey")
+    ).where("o_orderkey % 17 = 0")
+    return original.unionByName(inserted)
+
+
+def _reprefix_manifests(
+    spark: SparkSession, root: str, old_data: str, new_data: str
+) -> None:
+    """Rewrite every retained manifest version's ``file`` paths from
+    the build location to the publish location. Versions are tiny
+    (files × stats_cols rows), so collect-and-rewrite is metadata
+    work; collecting first also avoids overwriting a dir the plan is
+    still reading from."""
+    fs = fs_for(spark, root)
+    for name in fs.list_names(root):
+        if not (name.startswith("v") and name[1:].isdigit()):
+            continue
+        vdir = os.path.join(root, name)
+        rows = spark.read.parquet(vdir).collect()
+        fixed = [
+            (
+                new_data + r["file"][len(old_data):]
+                if r["file"].startswith(old_data)
+                else r["file"],
+                r["col"], r["n_rows"], r["vmin"], r["vmax"], r["has_nulls"],
+            )
+            for r in rows
+        ]
+        spark.createDataFrame(
+            fixed,
+            "file string, col string, n_rows long, vmin double, "
+            "vmax double, has_nulls boolean",
+        ).coalesce(1).write.mode("overwrite").parquet(vdir)
+
+
+def orders_cow_layout(spark: SparkSession, sf_dir: str) -> str:
+    """The three-commit cow table under the layout cache; returns the
+    table's data dir. Build-locked per key, atomically published,
+    keyed by the fixture's identity + the mutation spec."""
+    src = os.path.join(sf_dir, "orders.parquet")
+    root = os.path.join(tempfile.gettempdir(), "tsp_layouts")
+    fs = fs_for(spark, root)
+    st = fs.status(src)
+    if st is None:
+        raise FileNotFoundError(src)
+    ident = f"{fs.qualified(src)}|{st[0]}|{st[1]}|{_SPEC}"
+    key = hashlib.md5(ident.encode()).hexdigest()[:16]
+    path = os.path.join(root, f"orders_cow_{key}")
+    with _build_lock(path):
+        if fs.exists(os.path.join(path, "_IDENT")):
+            return os.path.join(path, "data")
+        tmp = f"{path}.build-{os.getpid()}"
+        fs.delete(tmp)
+        data = os.path.join(tmp, "data")
+        base = _orders_state(spark, sf_dir)
+        init_table(
+            spark, data, base, key="o_orderkey", n_files=8,
+            keep_versions=_KEEP,
+        )
+        merge_upsert(
+            spark, data, _merge_updates(base), key="o_orderkey",
+            keep_versions=_KEEP,
+        )
+        delete_keys(
+            spark, data, _delete_key_set(base), key="o_orderkey",
+            keep_versions=_KEEP,
+        )
+        final_data = os.path.join(path, "data")
+        from time_series_prediction_spark.operators.manifest import (
+            _resolve_base,
+        )
+
+        _reprefix_manifests(
+            spark, manifest_root(data), _resolve_base(data, spark),
+            final_data,
+        )
+        fs.write_text(os.path.join(tmp, "_IDENT"), ident)
+        if not fs.publish_dir(tmp, path):
+            fs.delete(tmp)  # concurrent winner published first
+    return os.path.join(path, "data")
+
+
+def orders_cow_current_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final state after MERGE + DELETE, read through the committed
+    manifest (never a raw recursive scan — superseded generations are
+    still on disk awaiting vacuum)."""
+    data = orders_cow_layout(spark, sf_dir)
+    return (
+        read_committed(spark, data)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("price_cents").cast("long").alias("total_cents"),
+        )
+    )
+
+
+ORDERS_COW_CURRENT_SQL = f"""
+WITH mx AS (SELECT max(o_orderkey) AS mk FROM orders),
+state AS (
+    SELECT o_orderkey AS k, o_orderpriority AS prio,
+           CAST(round(o_totalprice * 100) AS BIGINT)
+             + CASE WHEN o_orderkey % 13 = 0
+                     AND o_orderkey * 10 <= (SELECT mk FROM mx)
+                    THEN 100000 ELSE 0 END AS cents
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey + {_INSERT_SHIFT}, '6-NEW',
+           CAST(round(o_totalprice * 100) AS BIGINT)
+    FROM orders WHERE o_orderkey % 101 = 0
+)
+SELECT prio AS o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM state
+WHERE k % 17 <> 0
+GROUP BY prio
+"""
+
+
+def orders_cow_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``VERSION AS OF 0`` after both mutations committed: the
+    original snapshot must still read exactly — the proof that
+    copy-on-write never disturbs history."""
+    data = orders_cow_layout(spark, sf_dir)
+    return (
+        read_version(spark, data, 0)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("price_cents").cast("long").alias("total_cents"),
+        )
+    )
+
+
+ORDERS_COW_TIME_TRAVEL_SQL = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+def orders_cow_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change feed across the MERGE commit (v0 → v1): updated rows
+    surface as delete(old state) + insert(new state), inserted rows
+    as pure inserts; unmodified rows — even ones living in rewritten
+    files — cancel out."""
+    data = orders_cow_layout(spark, sf_dir)
+    return (
+        version_changes(spark, data, 0, 1)
+        .groupBy(
+            F.col("_change").alias("change_type"), "o_orderpriority"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("price_cents").cast("long").alias("total_cents"),
+        )
+    )
+
+
+ORDERS_COW_CHANGES_SQL = f"""
+WITH mx AS (SELECT max(o_orderkey) AS mk FROM orders),
+ins AS (
+    SELECT o_orderpriority,
+           CAST(round(o_totalprice * 100) AS BIGINT) + 100000 AS cents
+    FROM orders
+    WHERE o_orderkey % 13 = 0
+      AND o_orderkey * 10 <= (SELECT mk FROM mx)
+    UNION ALL
+    SELECT '6-NEW', CAST(round(o_totalprice * 100) AS BIGINT)
+    FROM orders WHERE o_orderkey % 101 = 0
+)
+SELECT 'insert' AS change_type, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM ins GROUP BY o_orderpriority
+UNION ALL
+SELECT 'delete' AS change_type, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+WHERE o_orderkey % 13 = 0
+  AND o_orderkey * 10 <= (SELECT mk FROM mx)
+GROUP BY o_orderpriority
+"""
+
+
+TABLE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "orders_cow_current_scan": (
+        orders_cow_current_scan,
+        ORDERS_COW_CURRENT_SQL,
+    ),
+    "orders_cow_time_travel": (
+        orders_cow_time_travel,
+        ORDERS_COW_TIME_TRAVEL_SQL,
+    ),
+    "orders_cow_changes": (
+        orders_cow_changes,
+        ORDERS_COW_CHANGES_SQL,
+    ),
+}
