@@ -244,3 +244,40 @@ def test_merge_into_stats_blind_files_is_conservative(spark, tmp_path):
     # null-key rows survive the merge (no update key equals null)
     assert got.where(F.col("k").isNull()).count() == 2
     assert got.count() == 13
+
+
+def test_compaction_preserves_state_and_cdc_cancels(spark, table):
+    """OPTIMIZE after mutations: same rows, fewer files, empty change
+    feed across the compaction interval, and vacuum reclaims the
+    superseded generations without touching the live ones."""
+    from time_series_prediction_spark.operators.manifest import (
+        list_parquet_files,
+    )
+    from time_series_prediction_spark.streaming.layout import (
+        compact_layout,
+        read_committed,
+        vacuum_layout,
+    )
+
+    updates = spark.createDataFrame(
+        [(5, -5, "gX"), (1000, 1, "gNEW")], "k long, v long, g string"
+    )
+    v1 = merge_upsert(spark, table, updates, key="k", keep_versions=10)
+    before = _pdf(read_committed(spark, table))
+    compact_layout(spark, table, ["k"], n_files=2)
+    root = manifest_root(table)
+    v2 = max(list_versions(spark, root))
+    assert v2 > v1
+    after = _pdf(read_committed(spark, table))
+    pd.testing.assert_frame_equal(before, after)
+    assert len(prune_files(current_manifest(spark, root), {})) == 2
+    # CDC across a pure compaction: every row cancels
+    assert version_changes(spark, table, v1, v2).count() == 0
+    # pre-compaction snapshot still reads while its files survive
+    assert read_version(spark, table, v1).count() == len(before)
+    removed = vacuum_layout(spark, table, grace_s=0.0)
+    assert removed, "superseded generations should be reclaimed"
+    still = _pdf(read_committed(spark, table))
+    pd.testing.assert_frame_equal(before, still)
+    live = set(prune_files(current_manifest(spark, root), {}))
+    assert live == set(list_parquet_files(table, spark))

@@ -81,3 +81,15 @@ def test_cow_layout_cached_second_call_is_noop(spark, sf_dir):
     assert p1 == p2
     for f, t in mtimes.items():
         assert os.path.getmtime(f) == t
+
+
+def test_streamed_merge_matches_oracle(spark, sf_dir, duck):
+    from time_series_prediction_spark.plans.table_queries import (
+        orders_upsert_ingest_scan,
+        ORDERS_UPSERT_INGEST_SQL,
+    )
+
+    assert_matches_oracle(
+        orders_upsert_ingest_scan(spark, sf_dir), duck,
+        ORDERS_UPSERT_INGEST_SQL, name="orders_upsert_ingest_scan",
+    )

@@ -306,7 +306,114 @@ GROUP BY o_orderpriority
 """
 
 
+def orders_upsert_stream_layout(spark: SparkSession, sf_dir: str) -> str:
+    """The MERGE state reached through the STREAMING path: the table
+    bootstraps from base orders, then the same change set arrives as
+    three micro-batches through ``merge_ingest_sink`` (each a
+    file-granular cow commit). Because the change set is key-unique,
+    sequential disjoint merges compose to the one-shot merge — so the
+    batch oracle pins the streaming loop exactly."""
+    from time_series_prediction_spark.streaming.upsert import (
+        merge_ingest_sink,
+    )
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    root = os.path.join(tempfile.gettempdir(), "tsp_layouts")
+    fs = fs_for(spark, root)
+    st = fs.status(src)
+    if st is None:
+        raise FileNotFoundError(src)
+    ident = f"{fs.qualified(src)}|{st[0]}|{st[1]}|stream-{_SPEC}"
+    key = hashlib.md5(ident.encode()).hexdigest()[:16]
+    path = os.path.join(root, f"orders_cowstream_{key}")
+    with _build_lock(path):
+        if fs.exists(os.path.join(path, "_IDENT")):
+            return os.path.join(path, "data")
+        tmp = f"{path}.build-{os.getpid()}"
+        fs.delete(tmp)
+        data = os.path.join(tmp, "data")
+        base = _orders_state(spark, sf_dir)
+        init_table(
+            spark, data, base, key="o_orderkey", n_files=8,
+            keep_versions=_KEEP,
+        )
+        updates = _merge_updates(base)
+        inbox = os.path.join(tmp, "_inbox")
+        updates.repartition(3).write.mode("overwrite").parquet(inbox)
+        sink = merge_ingest_sink(
+            data, key="o_orderkey", n_files=4, keep_versions=_KEEP
+        )
+        stream = (
+            spark.readStream.schema(updates.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(inbox)
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(tmp, "_ck"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        final_data = os.path.join(path, "data")
+        from time_series_prediction_spark.operators.manifest import (
+            _resolve_base,
+        )
+
+        _reprefix_manifests(
+            spark, manifest_root(data), _resolve_base(data, spark),
+            final_data,
+        )
+        fs.write_text(os.path.join(tmp, "_IDENT"), ident)
+        if not fs.publish_dir(tmp, path):
+            fs.delete(tmp)
+    return os.path.join(path, "data")
+
+
+def orders_upsert_ingest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final state of the streamed-merge table — identical to the
+    one-shot MERGE, however the change feed happened to micro-batch."""
+    data = orders_upsert_stream_layout(spark, sf_dir)
+    return (
+        read_committed(spark, data)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("price_cents").cast("long").alias("total_cents"),
+        )
+    )
+
+
+ORDERS_UPSERT_INGEST_SQL = f"""
+WITH mx AS (SELECT max(o_orderkey) AS mk FROM orders),
+state AS (
+    SELECT CASE WHEN o_orderkey % 13 = 0
+                 AND o_orderkey * 10 <= (SELECT mk FROM mx)
+                THEN 'R' ELSE o_orderstatus END AS st,
+           CAST(round(o_totalprice * 100) AS BIGINT)
+             + CASE WHEN o_orderkey % 13 = 0
+                     AND o_orderkey * 10 <= (SELECT mk FROM mx)
+                    THEN 100000 ELSE 0 END AS cents
+    FROM orders
+    UNION ALL
+    SELECT 'N', CAST(round(o_totalprice * 100) AS BIGINT)
+    FROM orders WHERE o_orderkey % 101 = 0
+)
+SELECT st AS o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM state
+GROUP BY st
+"""
+
+
 TABLE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "orders_upsert_ingest_scan": (
+        orders_upsert_ingest_scan,
+        ORDERS_UPSERT_INGEST_SQL,
+    ),
     "orders_cow_current_scan": (
         orders_cow_current_scan,
         ORDERS_COW_CURRENT_SQL,

@@ -1,0 +1,107 @@
+"""Streaming MERGE: apply a change stream to a copy-on-write keyed
+table, one micro-batch at a time — the CDC-apply loop (Delta's
+``foreachBatch`` + ``MERGE INTO`` idiom) on this engine's manifest
+commit protocol.
+
+Semantics per micro-batch:
+
+* rows are upserts keyed by ``key`` (last-writer-wins within the
+  batch by ``seq_col``, a CDC sequence/LSN column that must be unique
+  per key within a batch — real change feeds carry one; without it,
+  intra-batch duplicate keys are rejected rather than resolved
+  arbitrarily);
+* the first non-empty batch bootstraps the table (``init_table``);
+  every later batch is a file-granular ``merge_upsert`` — only files
+  whose key range overlaps the batch's keys are rewritten.
+
+Replay discipline: Structured Streaming re-runs a failed micro-batch
+with the same data. A blind append sink would duplicate rows; this
+sink is STATE-idempotent instead — re-merging identical upserts
+replaces rows with identical rows, so the committed table equals the
+exactly-once result (a replay does burn an extra manifest version,
+which retention reclaims). Pinned in tests by applying a batch twice.
+
+Scale shape: each commit's work is proportional to the batch and the
+overlapping files, never the table; the overlap test is a broadcast
+range join against the tiny manifest (operators/cow.py). A
+key-clustered table receiving localized change batches (the common
+CDC case — recent keys churn) rewrites a sliver of its files per
+commit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from time_series_prediction_spark.operators.cow import (
+    init_table,
+    merge_upsert,
+)
+from time_series_prediction_spark.streaming.layout import (
+    current_manifest,
+    manifest_root,
+)
+
+
+def dedup_last_writer(df: DataFrame, key: str, seq_col: str) -> DataFrame:
+    """One row per key: the greatest ``seq_col`` wins. Raises if any
+    (key, seq) pair repeats — a change feed with a non-unique
+    sequence has no defined winner, and picking one silently would be
+    nondeterministic across retries."""
+    dup = (
+        df.groupBy(key, seq_col).count().where("count > 1").limit(1).count()
+    )
+    if dup:
+        raise ValueError(
+            f"change batch has duplicate ({key}, {seq_col}) pairs — "
+            "no deterministic last writer"
+        )
+    w = Window.partitionBy(key).orderBy(F.col(seq_col).desc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where("_rn = 1")
+        .drop("_rn")
+    )
+
+
+def merge_ingest_sink(
+    data_path: str,
+    key: str,
+    seq_col: str | None = None,
+    drop_seq: bool = False,
+    stats_cols: list[str] | None = None,
+    n_files: int = 4,
+    bootstrap_n_files: int = 8,
+    root: str | None = None,
+    keep_versions: int = 2,
+):
+    """``foreachBatch`` body applying each micro-batch of upserts to
+    the cow table at ``data_path``. ``seq_col`` enables last-writer-
+    wins within a batch (and is dropped from the stored schema when
+    ``drop_seq``); without it, batches must already be key-unique."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        if seq_col is not None:
+            batch_df = dedup_last_writer(batch_df, key, seq_col)
+            if drop_seq:
+                batch_df = batch_df.drop(seq_col)
+        mroot = root or manifest_root(data_path)
+        if current_manifest(spark, mroot) is None:
+            init_table(
+                spark, data_path, batch_df, key=key,
+                stats_cols=stats_cols, n_files=bootstrap_n_files,
+                root=mroot, keep_versions=keep_versions,
+            )
+        else:
+            merge_upsert(
+                spark, data_path, batch_df, key=key,
+                stats_cols=stats_cols, n_files=n_files, root=mroot,
+                keep_versions=keep_versions,
+            )
+
+    return _sink
