@@ -281,3 +281,43 @@ def test_compaction_preserves_state_and_cdc_cancels(spark, table):
     pd.testing.assert_frame_equal(before, still)
     live = set(prune_files(current_manifest(spark, root), {}))
     assert live == set(list_parquet_files(table, spark))
+
+
+def test_schema_evolving_merge(spark, table):
+    """evolve_schema=True: updates add a column; untouched files stay
+    unrewritten; merge-schema reads surface the column as null for
+    pre-evolution rows; CDC across the boundary aligns schemas."""
+    updates = spark.createDataFrame(
+        [(3, -1, "gX", "eu"), (1000, 1, "gNEW", "us")],
+        "k long, v long, g string, region string",
+    )
+    # default: schema drift is an error, not silent widening
+    with pytest.raises(Exception, match="region|UNRESOLVED|resolve"):
+        merge_upsert(spark, table, updates, key="k", keep_versions=10)
+    v1 = merge_upsert(
+        spark, table, updates, key="k", keep_versions=10,
+        evolve_schema=True,
+    )
+    got = read_committed(spark, table, merge_schema=True)
+    assert set(got.columns) == {"k", "v", "g", "region"}
+    assert got.count() == 201
+    assert got.where("region is not null").count() == 2
+    assert got.where("k = 3").first()["region"] == "eu"
+    # untouched base files carried by reference (keys 3,1000 touch at
+    # most 1-2 of the 8 key-range files)
+    root = manifest_root(table)
+    v0_files = set(
+        prune_files(spark.read.parquet(os.path.join(root, "v0")), {})
+    )
+    v1_files = set(prune_files(current_manifest(spark, root), {}))
+    assert len(v0_files & v1_files) >= 6
+    # CDC across the evolution boundary
+    ch = _pdf(version_changes(spark, table, 0, v1))
+    ins = ch[ch._change == "insert"]
+    assert sorted(ins.k.tolist()) == [3, 1000]
+    assert ins.region.notna().all()
+    dels = ch[ch._change == "delete"]
+    assert dels.k.tolist() == [3]
+    assert dels.region.isna().all()
+    # time travel to v0 keeps the ORIGINAL schema
+    assert set(read_version(spark, table, 0).columns) == {"k", "v", "g"}

@@ -116,21 +116,59 @@ def read_version(
     data_path: str,
     version: int,
     root: str | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """``VERSION AS OF``: scan exactly the files manifest version
     ``v{version}`` commits to. Valid as long as the version dir
     survives ``keep_versions`` and its data generations survive
-    vacuum's grace window."""
+    vacuum's grace window. ``merge_schema`` for schema-evolved tables
+    (files predating a column read it as null)."""
     root = root or manifest_root(data_path)
-    return pruned_scan(spark, _manifest_version(spark, root, version), {})
+    return pruned_scan(
+        spark,
+        _manifest_version(spark, root, version),
+        {},
+        merge_schema=merge_schema,
+    )
 
 
-def _scan_files(spark: SparkSession, files: list[str], like: DataFrame):
+def _scan_files(
+    spark: SparkSession,
+    files: list[str],
+    like: DataFrame,
+    merge_schema: bool = False,
+):
     """Scan ``files``; with none, an empty frame in ``like``'s
     schema."""
     if files:
-        return spark.read.parquet(*files)
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*files)
     return like.where(F.lit(False))
+
+
+def _align_columns(a: DataFrame, b: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Project both frames onto the union of their columns (missing
+    ones as typed nulls) in one canonical order, so set operations
+    work across a schema-evolution boundary."""
+    cols: dict[str, object] = {}
+    for df in (a, b):
+        for f in df.schema.fields:
+            cols.setdefault(f.name, f.dataType)
+    order = list(cols)
+
+    def fit(df: DataFrame) -> DataFrame:
+        have = set(df.columns)
+        return df.select(
+            *[
+                F.col(c) if c in have
+                else F.lit(None).cast(cols[c]).alias(c)
+                for c in order
+            ]
+        )
+
+    return fit(a), fit(b)
 
 
 def version_changes(
@@ -162,10 +200,13 @@ def version_changes(
             f"versions {v_old} and {v_new} commit identical file sets"
         )
     probe = spark.read.parquet(sample[0])
-    new_rows = _scan_files(spark, added, probe)
-    old_rows = _scan_files(spark, removed, probe)
+    new_rows = _scan_files(spark, added, probe, merge_schema=True)
+    old_rows = _scan_files(spark, removed, probe, merge_schema=True)
     if not removed:  # append-only fast path: no diff needed at all
         return new_rows.withColumn("_change", F.lit("insert"))
+    # align across a possible schema-evolution boundary: a column the
+    # old version lacks reads as null there and diffs correctly
+    new_rows, old_rows = _align_columns(new_rows, old_rows)
     inserts = new_rows.exceptAll(old_rows).withColumn(
         "_change", F.lit("insert")
     )
@@ -261,6 +302,7 @@ def merge_upsert(
     n_files: int = 4,
     root: str | None = None,
     keep_versions: int = 2,
+    evolve_schema: bool = False,
 ) -> int:
     """MERGE INTO … WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED
     THEN INSERT *: rows of ``updates`` replace same-key table rows;
@@ -271,7 +313,14 @@ def merge_upsert(
     Copy-on-write at file granularity: only files whose key range
     overlaps an update key are rewritten (old rows anti-joined on
     key ∪ updates, re-clustered); all others move to the new manifest
-    version by reference. Returns the committed version."""
+    version by reference. Returns the committed version.
+
+    ``evolve_schema``: updates may carry columns the table lacks (and
+    vice versa) — the rewrite unions the schemas, missing values read
+    as null, and untouched files are NOT rewritten (readers pass
+    ``merge_schema=True``, the Delta ``mergeSchema`` contract). Off
+    by default: a schema mismatch is then an error, not silent
+    widening."""
     root = root or manifest_root(data_path)
     stats_cols = list(stats_cols or [key])
     if key not in stats_cols:
@@ -284,10 +333,12 @@ def merge_upsert(
         raise ValueError("updates carry duplicate keys — merge would "
                          "be nondeterministic; dedup upstream first")
     touched = _overlapping_files(man, key, updates)
-    surviving = _scan_files(spark, touched, updates).join(
-        updates.select(key), key, "left_anti"
+    surviving = _scan_files(
+        spark, touched, updates, merge_schema=evolve_schema
+    ).join(updates.select(key), key, "left_anti")
+    rewritten = surviving.unionByName(
+        updates, allowMissingColumns=evolve_schema
     )
-    rewritten = surviving.unionByName(updates)
     return _commit_rewrite(
         spark, data_path, root, man, touched, rewritten, "merge",
         key, stats_cols, n_files, keep_versions,

@@ -306,6 +306,7 @@ def pruned_scan(
     manifest: DataFrame,
     predicates: dict[str, tuple[float, float]],
     base_path: str | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Scan only the files the manifest cannot rule out, then re-apply
     the exact predicate — identical results to the full scan, touching
@@ -319,11 +320,17 @@ def pruned_scan(
     ``base_path`` (the table root) makes Hive-partitioned layouts
     work: Spark's ``basePath`` option re-derives the partition
     columns from the leaf-file paths, so the pruned scan's schema
-    matches the full table's."""
+    matches the full table's. ``merge_schema`` unions file
+    schemas (for schema-evolved cow tables) instead of sampling one
+    file's."""
     files = prune_files(manifest, predicates)
     reader = spark.read
     if base_path:
         reader = reader.option("basePath", base_path)
+    if merge_schema:
+        # schema-evolved tables: files written before a column existed
+        # must still contribute rows (the column reads as null)
+        reader = reader.option("mergeSchema", "true")
     if not files:
         any_file = manifest.select("file").first()
         if any_file is None:

@@ -250,16 +250,22 @@ def vacuum_layout(
     return removed
 
 
-def read_committed(spark: SparkSession, data_path: str, root: str | None = None) -> DataFrame:
+def read_committed(
+    spark: SparkSession,
+    data_path: str,
+    root: str | None = None,
+    merge_schema: bool = False,
+) -> DataFrame:
     """Read exactly the files the current manifest version commits to
     — the only correct full-table read once compactions run (a raw
     recursive scan would double-count superseded generations awaiting
-    vacuum)."""
+    vacuum). ``merge_schema`` for schema-evolved tables (files
+    predating a column read it as null)."""
     root = root or manifest_root(data_path)
     man = current_manifest(spark, root)
     if man is None:
         raise ValueError(f"no committed manifest under {root}")
-    return pruned_scan(spark, man, {})
+    return pruned_scan(spark, man, {}, merge_schema=merge_schema)
 
 
 def read_layout(spark: SparkSession, data_path: str) -> DataFrame:
