@@ -46,6 +46,11 @@ DEFAULT = [
     "ts_backtest_linear",        # rolling-origin OLS backtest
     "orders_quality_audit",      # one-pass declarative validation
     "docs_quarantine_ingest_scan",  # audited streaming landing scan
+    # r7: copy-on-write table family
+    "orders_cow_current_scan",   # MERGE+DELETE state via committed manifest
+    "orders_cow_changes",        # symmetric-difference CDC feed
+    "orders_cow_view_maintenance",  # CDC-folded incremental rollup
+    "orders_upsert_ingest_scan",  # streamed-merge final state
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]

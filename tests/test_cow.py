@@ -321,3 +321,27 @@ def test_schema_evolving_merge(spark, table):
     assert dels.region.isna().all()
     # time travel to v0 keeps the ORIGINAL schema
     assert set(read_version(spark, table, 0).columns) == {"k", "v", "g"}
+
+
+def test_apply_cdc_to_rollup_drops_zeroed_keys(spark):
+    from time_series_prediction_spark.operators.incremental import (
+        apply_cdc_to_rollup,
+    )
+
+    view = spark.createDataFrame(
+        [("a", 2, 30), ("b", 1, 5)], "g string, n long, total long"
+    )
+    changes = spark.createDataFrame(
+        [
+            ("b", 5, "delete"),        # b drops to n=0 → disappears
+            ("a", 7, "insert"),
+            ("a", 10, "delete"),
+            ("c", 4, "insert"),        # brand-new key
+        ],
+        "g string, v long, _change string",
+    )
+    got = {
+        r["g"]: (r["n"], r["total"])
+        for r in apply_cdc_to_rollup(view, changes, ["g"], "v").collect()
+    }
+    assert got == {"a": (2, 27), "c": (1, 4)}

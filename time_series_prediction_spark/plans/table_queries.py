@@ -409,7 +409,45 @@ GROUP BY st
 """
 
 
+def orders_cow_view_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental materialized-view maintenance: a per-priority
+    rollup built ONCE over the v0 snapshot, then kept current by
+    folding each commit's change feed (v0→v1 merge, v1→v2 delete)
+    through ``apply_cdc_to_rollup`` — history is never re-read. The
+    oracle recomputes the final state from scratch, so the comparison
+    pins fold(commits) == full recompute exactly."""
+    from time_series_prediction_spark.operators.incremental import (
+        apply_cdc_to_rollup,
+    )
+
+    data = orders_cow_layout(spark, sf_dir)
+    view = (
+        read_version(spark, data, 0)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("price_cents").cast("bigint").alias("total"),
+        )
+    )
+    for v_old, v_new in ((0, 1), (1, 2)):
+        changes = version_changes(spark, data, v_old, v_new)
+        view = apply_cdc_to_rollup(
+            view, changes, ["o_orderpriority"], "price_cents"
+        )
+    return view.select(
+        "o_orderpriority",
+        F.col("n").alias("n_orders"),
+        F.col("total").alias("total_cents"),
+    )
+
+
 TABLE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "orders_cow_view_maintenance": (
+        orders_cow_view_maintenance,
+        ORDERS_COW_CURRENT_SQL,  # incremental fold == full recompute
+    ),
     "orders_upsert_ingest_scan": (
         orders_upsert_ingest_scan,
         ORDERS_UPSERT_INGEST_SQL,
