@@ -236,3 +236,23 @@ def test_backtest_shuffle_budget(spark, sf_dir):
     assert plan.count("Exchange") <= 5
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cow_read_path_plans_are_clean(spark, sf_dir):
+    """The cow registry queries' READ path (post-build) must stay
+    pure scan + aggregate: no Python stages, no nested loops, and a
+    single exchange for the final groupBy. The build (footer stats
+    via mapInPandas) happens at commit time, never per query."""
+    from time_series_prediction_spark.plans.table_queries import (
+        orders_cow_current_scan,
+        orders_cow_time_travel,
+    )
+
+    for fn in (orders_cow_current_scan, orders_cow_time_travel):
+        plan = _plan(fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, fn.__name__
+        assert "ArrowEvalPython" not in plan, fn.__name__
+        assert "MapInPandas" not in plan, fn.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert plan.count("Exchange") <= 1, (fn.__name__, plan)
