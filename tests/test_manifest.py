@@ -533,3 +533,18 @@ def test_manifest_for_ignores_half_committed_manifest(spark, sf_dir):
         # restore the marker for later tests reusing the cached layout
         open(success, "w").close()
         _MANIFEST_CACHE.clear()
+
+
+def test_dpp_scan_plans_runtime_partition_pruning(spark, sf_dir):
+    """events_dpp_scan must compile to a scan whose PartitionFilters
+    carry a dynamicpruning subquery — partition dirs are selected at
+    RUNTIME from the dimension's filter result, the star-schema
+    skipping lever. (Result parity with the raw-table oracle is
+    covered by the registry gate.)"""
+    from time_series_prediction_spark.plans.layout_queries import (
+        events_dpp_scan,
+    )
+
+    df = events_dpp_scan(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan

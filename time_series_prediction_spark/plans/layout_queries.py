@@ -340,7 +340,103 @@ GROUP BY event_type
 """
 
 
+
+# ---------------------------------------------------------------------------
+# dynamic partition pruning over a Hive-partitioned layout
+# ---------------------------------------------------------------------------
+
+
+def events_partitioned_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Events written Hive-partitioned by event_type — the star-schema
+    fact layout whose partition dirs a selective dimension join prunes
+    AT RUNTIME (Spark's dynamic partition pruning). Cached per fixture
+    content under the same identity/publish protocol as the z-order
+    layout."""
+    src = os.path.join(sf_dir, "events.parquet")
+    root = os.path.join(tempfile.gettempdir(), "tsp_layouts")
+    fs = fs_for(spark, root)
+    st = fs.status(src)
+    if st is None:
+        raise FileNotFoundError(src)
+    ident = f"{fs.qualified(src)}|{st[0]}|{st[1]}|part-event_type-v1"
+    key = _ident_key(ident)
+    path = os.path.join(root, f"events_p_{key}")
+    if not fs.exists(os.path.join(path, "_IDENT")):
+        ev = read_table(spark, sf_dir, "events").select(*_LAYOUT_COLS)
+        tmp = f"{path}.build-{os.getpid()}"
+        fs.delete(tmp)
+        (
+            ev.repartition("event_type")
+            .write.mode("overwrite")
+            .partitionBy("event_type")
+            .parquet(tmp)
+        )
+        fs.write_text(os.path.join(tmp, "_IDENT"), ident)
+        if not fs.publish_dir(tmp, path):
+            fs.delete(tmp)
+        _gc_stale_layouts(fs, root, keep=path)
+    return path
+
+
+def events_dpp_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective fact scan via DYNAMIC partition pruning: the fact
+    table is Hive-partitioned by event_type; the dimension is a tiny
+    category lookup filtered to one category (the TPC-DS star-join
+    shape). Catalyst cannot know statically which event_type dirs
+    survive the dim's filter, so it plans a DPP subquery: the dim is
+    evaluated first and the fact scan opens ONLY the surviving
+    partition dirs. At 100 TB this is the star-schema lever — fact
+    bytes read scale with the dimension's selectivity, not the fact's
+    size. The oracle recomputes the join on the raw table (the layout
+    only changes which bytes are READ); the runtime-pruned plan shape
+    (DPP subquery present, pruned inputFiles) is asserted in tests."""
+    layout = events_partitioned_layout(spark, sf_dir)
+    fact = spark.read.parquet(layout)
+    dim = spark.createDataFrame(
+        list(_EVENT_CATEGORIES.items()), "event_type string, category string"
+    ).where(F.col("category") == "engagement")
+    joined = fact.join(F.broadcast(dim), "event_type")
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias(
+            "total_cents"
+        ),
+    )
+
+
+# event-type → category lookup (the literal dim both engines share)
+_EVENT_CATEGORIES = {
+    "click": "engagement",
+    "view": "engagement",
+    "purchase": "conversion",
+    "signup": "conversion",
+    "error": "ops",
+}
+
+
+EVENTS_DPP_SQL = """
+WITH dim AS (
+    SELECT * FROM (VALUES
+        ('click', 'engagement'), ('view', 'engagement'),
+        ('purchase', 'conversion'), ('signup', 'conversion'),
+        ('error', 'ops')
+    ) AS t(event_type, category)
+    WHERE category = 'engagement'
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM events e JOIN dim USING (event_type)
+GROUP BY e.event_type
+"""
+
+
 LAYOUT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "events_dpp_scan": (
+        events_dpp_scan,
+        EVENTS_DPP_SQL,
+    ),
     "events_layout_pruned_scan": (
         events_layout_pruned_scan,
         EVENTS_LAYOUT_PRUNED_SQL,
