@@ -278,3 +278,17 @@ def test_user_features_zero_exchange(spark, sf_dir):
     assert "Exchange" not in plan
     assert "Bucketed: true" in plan
     assert df.count() > 0
+
+
+def test_session_stats_bucketed_zero_exchanges(spark, sf_dir):
+    """Sessionization without its shuffle: windows + both aggregates
+    ride HashPartitioning(user_id) from the bucketed scan — the whole
+    plan must contain ZERO exchanges (sorts are allowed: the layout
+    is sorted by user_id alone, the window needs (user_id, ts))."""
+    from time_series_prediction_spark.plans.bucketed_queries import (
+        events_session_stats_bucketed,
+    )
+
+    df = events_session_stats_bucketed(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 0, plan

@@ -133,7 +133,97 @@ GROUP BY user_id
 """
 
 
+def events_session_stats_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-user session summary over the user-bucketed layout with
+    ZERO exchanges end-to-end: the gap-split windows and the final
+    per-user aggregate all ride HashPartitioning(user_id) from the
+    bucketed scan — only an in-partition sort on (user_id, ts) is
+    paid (the layout is sorted by user_id alone). At 100 TB this is
+    sessionization without its shuffle, the dominant cost of every
+    clickstream pipeline; the unbucketed registry twin
+    (events_sessionization, plans/relational.py) pays one exchange
+    for the same answer. Oracle recomputes sessions from the raw
+    table — the layout changes the plan, never the result."""
+    from pyspark.sql.window import Window
+
+    events = ensure_bucketed(
+        spark,
+        sf_dir,
+        "events",
+        "user_id",
+        _N_BUCKETS,
+        columns=["user_id", "value", "ts"],
+    )
+    ev = spark.table(events)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    sessions = (
+        ev.withColumn(
+            "is_new",
+            F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(
+                0
+            ),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("is_new")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("bigint"),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ev"),
+            (
+                F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))
+            ).alias("dur_us"),
+        )
+    )
+    return sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("n_ev").cast("long").alias("total_events"),
+        F.max("n_ev").cast("long").alias("longest_session_events"),
+        F.sum("dur_us").cast("long").alias("total_duration_us"),
+    )
+
+
+EVENTS_SESSION_STATS_SQL = """
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sessions AS (
+  SELECT user_id, ts,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_id
+  FROM gaps
+), per_session AS (
+  SELECT user_id, session_id,
+         CAST(count(*) AS BIGINT) AS n_ev,
+         epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+  FROM sessions
+  GROUP BY user_id, session_id
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(n_ev) AS BIGINT) AS total_events,
+       CAST(max(n_ev) AS BIGINT) AS longest_session_events,
+       CAST(sum(dur_us) AS BIGINT) AS total_duration_us
+FROM per_session
+GROUP BY user_id
+"""
+
+
 BUCKETED_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "events_session_stats_bucketed": (
+        events_session_stats_bucketed,
+        EVENTS_SESSION_STATS_SQL,
+    ),
     "bucketed_orders_revenue": (
         bucketed_orders_revenue,
         BUCKETED_ORDERS_REVENUE_SQL,
