@@ -345,3 +345,66 @@ def test_apply_cdc_to_rollup_drops_zeroed_keys(spark):
         for r in apply_cdc_to_rollup(view, changes, ["g"], "v").collect()
     }
     assert got == {"a": (2, 27), "c": (1, 4)}
+
+
+def test_concurrent_merges_both_commit(spark, tmp_path):
+    """Optimistic concurrency: two writers merging DISJOINT key bands
+    race on the same version number; the CAS loser must rebase and
+    commit on the next version — both updates land, the version
+    history stays linear, and no generation dir is interleaved."""
+    import threading
+
+    path = str(tmp_path / "tbl")
+    _mk_table(spark, path)
+    u1 = spark.createDataFrame(
+        [(5, -5, "t1"), (300, 1, "t1")], "k long, v long, g string"
+    )
+    u2 = spark.createDataFrame(
+        [(150, -150, "t2"), (400, 2, "t2")], "k long, v long, g string"
+    )
+    errs = []
+
+    def run(updates):
+        try:
+            merge_upsert(spark, path, updates, key="k", keep_versions=10)
+        except Exception as e:  # noqa: BLE001 — surfaced below
+            errs.append(e)
+
+    t1 = threading.Thread(target=run, args=(u1,))
+    t2 = threading.Thread(target=run, args=(u2,))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+    root = manifest_root(path)
+    assert list_versions(spark, root) == [0, 1, 2]
+    got = {r["k"]: (r["v"], r["g"])
+           for r in read_committed(spark, path).collect()}
+    assert got[5] == (-5, "t1")
+    assert got[150] == (-150, "t2")
+    assert got[300] == (1, "t1")
+    assert got[400] == (2, "t2")
+    assert len(got) == 202
+
+
+def test_crash_between_version_and_pointer_cannot_hide_commit(
+    spark, tmp_path
+):
+    """The version dir IS the commit: even if the _LATEST pointer was
+    never advanced (writer crashed right after the CAS rename),
+    readers resolve the newest complete version."""
+    from time_series_prediction_spark.sources.fsops import fs_for
+
+    path = str(tmp_path / "tbl")
+    _mk_table(spark, path, n=40, n_files=2)
+    updates = spark.createDataFrame(
+        [(3, -1, "x")], "k long, v long, g string"
+    )
+    v1 = merge_upsert(spark, path, updates, key="k", keep_versions=10)
+    root = manifest_root(path)
+    fs = fs_for(spark, root)
+    # simulate the crash: regress the pointer to v0
+    tmp = os.path.join(root, ".latest.tmp.test")
+    fs.write_text(tmp, "v0")
+    fs.replace_file(tmp, os.path.join(root, "_LATEST"))
+    got = read_committed(spark, path)
+    assert got.where("k = 3").first()["v"] == -1  # v1 still visible
+    assert max(list_versions(spark, root)) == v1

@@ -32,14 +32,20 @@ problem the stats manifest already solves:
   byte-identically (carried through a compaction) cancel out via
   ``exceptAll``; what remains is exactly the logical change.
 
-Commit discipline matches the rest of the engine: single writer per
-table (the streaming sink / maintenance job), data files written
-first into a fresh generation dir, the manifest-pointer flip is the
-atomic commit, superseded generations stay until vacuum.
+Commit discipline: optimistic concurrency. Data files land first in
+an attempt-unique generation dir; the commit is an atomic
+compare-and-swap rename of the staged manifest onto the next version
+number (``streaming/layout.publish_manifest``). A writer that loses
+the CAS discards its generation, re-reads the new current state, and
+REPLANS the whole mutation (bounded retries) — so concurrent
+disjoint-key mutations serialize cleanly and same-key conflicts
+resolve to last-committer-wins over the fresh state, never to a lost
+update. Superseded generations stay on disk until vacuum.
 """
 
 from __future__ import annotations
 
+import itertools
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -53,11 +59,20 @@ from time_series_prediction_spark.operators.manifest import (
 from time_series_prediction_spark.operators.zorder import write_zordered
 from time_series_prediction_spark.sources.fsops import fs_for
 from time_series_prediction_spark.streaming.layout import (
+    ConcurrentCommitError,
     _next_version,
     current_manifest,
     manifest_root,
     publish_manifest,
 )
+
+# generation dirs carry a (pid, counter) suffix so CONCURRENT commit
+# attempts — other processes, other threads, or this writer's own
+# rebase retries — never interleave writes into one data dir; the
+# manifest references whichever files actually committed, and vacuum
+# reclaims the dirs of lost attempts
+_GEN_SEQ = itertools.count()
+_MAX_COMMIT_ATTEMPTS = 4
 
 
 def init_table(
@@ -79,11 +94,18 @@ def init_table(
     stats_cols = list(stats_cols or [key])
     if key not in stats_cols:
         stats_cols = [key, *stats_cols]
-    gen = _next_version(fs_for(spark, root), root)
-    gdir = os.path.join(data_path, f"base-{gen}")
+    fs = fs_for(spark, root)
+    gen = _next_version(fs, root)
+    gdir = os.path.join(
+        data_path, f"base-{gen}-p{os.getpid()}-{next(_GEN_SEQ)}"
+    )
     write_zordered(df, gdir, [key], n_files=n_files)
     man = build_stats_manifest(spark, gdir, stats_cols)
-    publish_manifest(man, root, gen, keep_versions=keep_versions)
+    try:
+        publish_manifest(man, root, gen, keep_versions=keep_versions)
+    except ConcurrentCommitError:
+        fs.delete(gdir)  # a concurrent writer initialized the table
+        raise
     return gen
 
 
@@ -273,7 +295,10 @@ def _commit_rewrite(
 ) -> int:
     """Shared commit tail for MERGE/DELETE: write the rewrite
     generation (if it has rows), carry every untouched file's stats
-    rows by reference, publish the next manifest version."""
+    rows by reference, CAS-publish the next manifest version. Raises
+    ``ConcurrentCommitError`` (after discarding the generation dir)
+    when another writer took the version — callers rebase and
+    retry."""
     fs = fs_for(spark, root)
     gen = _next_version(fs, root)
     if touched:
@@ -282,14 +307,22 @@ def _commit_rewrite(
     else:
         kept = man
     parts = [kept]
+    gdir = None
     if rewritten is not None and not rewritten.isEmpty():
-        gdir = os.path.join(data_path, f"{tag}-{gen}")
+        gdir = os.path.join(
+            data_path, f"{tag}-{gen}-p{os.getpid()}-{next(_GEN_SEQ)}"
+        )
         write_zordered(rewritten, gdir, [key], n_files=n_files)
         parts.append(build_stats_manifest(spark, gdir, stats_cols))
     new_man = parts[0]
     for p in parts[1:]:
         new_man = new_man.unionByName(p)
-    publish_manifest(new_man, root, gen, keep_versions=keep_versions)
+    try:
+        publish_manifest(new_man, root, gen, keep_versions=keep_versions)
+    except ConcurrentCommitError:
+        if gdir is not None:
+            fs.delete(gdir)  # lost attempt's data — never referenced
+        raise
     return gen
 
 
@@ -325,24 +358,30 @@ def merge_upsert(
     stats_cols = list(stats_cols or [key])
     if key not in stats_cols:
         stats_cols = [key, *stats_cols]
-    man = current_manifest(spark, root)
-    if man is None:
-        raise ValueError(f"no committed table under {data_path}")
     dup = updates.groupBy(key).count().where("count > 1").limit(1).count()
     if dup:
         raise ValueError("updates carry duplicate keys — merge would "
                          "be nondeterministic; dedup upstream first")
-    touched = _overlapping_files(man, key, updates)
-    surviving = _scan_files(
-        spark, touched, updates, merge_schema=evolve_schema
-    ).join(updates.select(key), key, "left_anti")
-    rewritten = surviving.unionByName(
-        updates, allowMissingColumns=evolve_schema
-    )
-    return _commit_rewrite(
-        spark, data_path, root, man, touched, rewritten, "merge",
-        key, stats_cols, n_files, keep_versions,
-    )
+    last_err: ConcurrentCommitError | None = None
+    for _ in range(_MAX_COMMIT_ATTEMPTS):
+        man = current_manifest(spark, root)
+        if man is None:
+            raise ValueError(f"no committed table under {data_path}")
+        touched = _overlapping_files(man, key, updates)
+        surviving = _scan_files(
+            spark, touched, updates, merge_schema=evolve_schema
+        ).join(updates.select(key), key, "left_anti")
+        rewritten = surviving.unionByName(
+            updates, allowMissingColumns=evolve_schema
+        )
+        try:
+            return _commit_rewrite(
+                spark, data_path, root, man, touched, rewritten, "merge",
+                key, stats_cols, n_files, keep_versions,
+            )
+        except ConcurrentCommitError as e:
+            last_err = e  # rebase: replan against the new current state
+    raise last_err
 
 
 def delete_keys(
@@ -365,16 +404,22 @@ def delete_keys(
     stats_cols = list(stats_cols or [key])
     if key not in stats_cols:
         stats_cols = [key, *stats_cols]
-    man = current_manifest(spark, root)
-    if man is None:
-        raise ValueError(f"no committed table under {data_path}")
-    touched = _overlapping_files(man, key, keys)
-    if not touched:  # nothing can match — commit nothing
-        return max(list_versions(spark, root))
-    surviving = spark.read.parquet(*touched).join(
-        keys.select(key).distinct(), key, "left_anti"
-    )
-    return _commit_rewrite(
-        spark, data_path, root, man, touched, surviving, "delete",
-        key, stats_cols, n_files, keep_versions,
-    )
+    last_err: ConcurrentCommitError | None = None
+    for _ in range(_MAX_COMMIT_ATTEMPTS):
+        man = current_manifest(spark, root)
+        if man is None:
+            raise ValueError(f"no committed table under {data_path}")
+        touched = _overlapping_files(man, key, keys)
+        if not touched:  # nothing can match — commit nothing
+            return max(list_versions(spark, root))
+        surviving = spark.read.parquet(*touched).join(
+            keys.select(key).distinct(), key, "left_anti"
+        )
+        try:
+            return _commit_rewrite(
+                spark, data_path, root, man, touched, surviving, "delete",
+                key, stats_cols, n_files, keep_versions,
+            )
+        except ConcurrentCommitError as e:
+            last_err = e  # rebase: replan against the new current state
+    raise last_err

@@ -66,7 +66,7 @@ from time_series_prediction_spark.streaming.layout import (
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-_SPEC = "cow-orders|v3|13band10|101|17|8"
+_SPEC = "cow-orders|v4|13band10|101|17|8"
 _KEEP = 20
 _INSERT_SHIFT = 100_000_000
 

@@ -53,6 +53,14 @@ from time_series_prediction_spark.sources.fsops import Fs, fs_for
 
 _LATEST = "_LATEST"
 
+# manifest staging dirs must be unique per commit ATTEMPT, not just
+# per process — two threads racing on the same version number would
+# otherwise interleave writes into one staging dir before the CAS
+import itertools as _itertools
+import threading as _threading
+
+_STAGE_SEQ = _itertools.count()
+
 
 def manifest_root(data_path: str) -> str:
     """Default manifest location: an underscore-prefixed dir inside
@@ -61,42 +69,80 @@ def manifest_root(data_path: str) -> str:
     return os.path.join(data_path, "_manifest_log")
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed this manifest version first — rebase
+    against the new current state and retry with a fresh version."""
+
+
 def publish_manifest(
     man: DataFrame, root: str, version: int, keep_versions: int = 2
 ) -> str:
-    """Write ``man`` as ``root/v{version}`` and atomically repoint
-    ``root/_LATEST`` at it; prune all but the newest
-    ``keep_versions`` version dirs. Single-writer (the streaming
-    query) by construction — the pointer flip is the commit."""
+    """Commit ``man`` as ``root/v{version}`` via stage + atomic
+    compare-and-swap rename — the optimistic-concurrency commit:
+    whoever renames ``v{version}`` into place first OWNS that version
+    number; a concurrent writer that lost the race gets
+    ``ConcurrentCommitError`` (its staging dir is discarded) and must
+    rebase. Streaming sinks are single-writer by construction and
+    never hit the conflict path; cow MERGE/DELETE retry with a
+    rebase loop (operators/cow.py).
+
+    The ``_LATEST`` pointer is maintained afterwards as a
+    monotonically-advancing hint for humans and older readers;
+    READERS resolve the newest COMPLETE version dir (atomic-rename ⇒
+    a version dir is either absent or whole), so a crash between the
+    version rename and the pointer flip cannot hide a commit. All but
+    the newest ``keep_versions`` committed versions are pruned."""
     fs = fs_for(man.sparkSession, root)
     fs.mkdirs(root)
     vname = f"v{version}"
-    man.write.mode("overwrite").parquet(os.path.join(root, vname))
-    tmp = os.path.join(root, f".latest.tmp.{os.getpid()}")
-    fs.write_text(tmp, vname)
-    fs.replace_file(tmp, os.path.join(root, _LATEST))  # atomic commit
+    final = os.path.join(root, vname)
+    staged = os.path.join(
+        root,
+        f".{vname}.build-{os.getpid()}"
+        f"-{_threading.get_ident()}-{next(_STAGE_SEQ)}",
+    )
+    fs.delete(staged)
+    man.write.mode("overwrite").parquet(staged)
+    if not fs.publish_dir(staged, final):
+        fs.delete(staged)
+        raise ConcurrentCommitError(
+            f"manifest version {version} already committed under {root}"
+        )
+    try:
+        cur = fs.read_text(os.path.join(root, _LATEST)).strip()
+        cur_n = int(cur[1:]) if cur.startswith("v") else -1
+    except Exception:  # noqa: BLE001 — pointer absent on first commit
+        cur_n = -1
+    if version > cur_n:  # never move the hint backwards
+        tmp = os.path.join(root, f".latest.tmp.{os.getpid()}")
+        fs.write_text(tmp, vname)
+        fs.replace_file(tmp, os.path.join(root, _LATEST))
     versions = sorted(
         (d for d in fs.list_names(root) if d.startswith("v")),
         key=lambda d: int(d[1:]),
     )
     for stale in versions[:-keep_versions]:
         fs.delete(os.path.join(root, stale))
-    return os.path.join(root, vname)
+    return final
 
 
 def current_manifest(spark: SparkSession, root: str) -> DataFrame | None:
-    """The manifest version the ``_LATEST`` pointer commits to, or
-    None when nothing has been published (or the pointed-to write
-    never completed — its ``_SUCCESS`` is the completeness gate)."""
+    """The newest COMMITTED manifest version, or None when nothing
+    has been published. Commit = the version dir exists complete
+    (``_SUCCESS`` inside — dirs appear atomically via the CAS
+    rename); the ``_LATEST`` pointer is only a hint, so a writer
+    crash between version rename and pointer flip can never hide or
+    un-order a commit."""
     fs = fs_for(spark, root)
-    try:
-        vname = fs.read_text(os.path.join(root, _LATEST)).strip()
-    except Exception:
+    best = -1
+    for name in fs.list_names(root):
+        if name.startswith("v") and name[1:].isdigit():
+            n = int(name[1:])
+            if n > best and fs.exists(os.path.join(root, name, "_SUCCESS")):
+                best = n
+    if best < 0:
         return None
-    vdir = os.path.join(root, vname)
-    if not fs.exists(os.path.join(vdir, "_SUCCESS")):
-        return None
-    return spark.read.parquet(vdir)
+    return spark.read.parquet(os.path.join(root, f"v{best}"))
 
 
 def _next_version(fs: Fs, root: str) -> int:
