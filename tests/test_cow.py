@@ -408,3 +408,36 @@ def test_crash_between_version_and_pointer_cannot_hide_commit(
     got = read_committed(spark, path)
     assert got.where("k = 3").first()["v"] == -1  # v1 still visible
     assert max(list_versions(spark, root)) == v1
+
+
+def test_table_history_and_maintain(spark, table):
+    from time_series_prediction_spark.operators.cow import (
+        maintain_table,
+        table_history,
+    )
+
+    updates = spark.createDataFrame(
+        [(5, -5, "x")], "k long, v long, g string"
+    )
+    merge_upsert(spark, table, updates, key="k", keep_versions=10)
+    root = manifest_root(table)
+    hist = {
+        r["version"]: (r["n_files"], r["n_rows"])
+        for r in table_history(spark, root).collect()
+    }
+    assert hist[0] == (8, 200)
+    assert hist[1][1] == 200  # update, no inserts
+    assert hist[1][0] > 8  # rewrite generation added files
+    # below threshold: no compaction, vacuum keeps referenced dirs
+    rep = maintain_table(spark, table, ["k"], max_files=100, grace_s=0.0)
+    assert rep["compacted_to"] is None
+    assert read_committed(spark, table).count() == 200
+    # force the policy: compact + vacuum
+    rep = maintain_table(
+        spark, table, ["k"], max_files=4, target_files=2, grace_s=0.0
+    )
+    assert rep["compacted_to"] is not None
+    assert rep["vacuumed"], "superseded generations must be reclaimed"
+    assert read_committed(spark, table).count() == 200
+    man = current_manifest(spark, root)
+    assert len(prune_files(man, {})) == 2

@@ -423,3 +423,69 @@ def delete_keys(
         except ConcurrentCommitError as e:
             last_err = e  # rebase: replan against the new current state
     raise last_err
+
+
+def table_history(spark: SparkSession, root: str) -> DataFrame:
+    """DESCRIBE HISTORY: one row per retained committed version with
+    its live file and row counts — straight off the manifest versions
+    (metadata only, no data file is opened). ``n_rows`` per file is
+    constant across its stats columns, so the per-file max collapses
+    the (file, col) grain exactly."""
+    versions = list_versions(spark, root)
+    if not versions:
+        raise ValueError(f"no committed versions under {root}")
+    parts = []
+    for v in versions:
+        man = _manifest_version(spark, root, v)
+        parts.append(
+            man.groupBy("file")
+            .agg(F.max("n_rows").alias("_nr"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_files"),
+                F.sum("_nr").cast("long").alias("n_rows"),
+            )
+            .select(F.lit(v).cast("long").alias("version"), "n_files", "n_rows")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def maintain_table(
+    spark: SparkSession,
+    data_path: str,
+    zcols: list[str],
+    max_files: int = 64,
+    target_files: int = 8,
+    grace_s: float = 3600.0,
+    root: str | None = None,
+) -> dict[str, object]:
+    """The periodic OPTIMIZE+VACUUM policy every ingesting table
+    needs: when the committed file count exceeds ``max_files``
+    (streaming appends and cow rewrites both accrete small
+    generations), rewrite into ``target_files`` via
+    ``compact_layout``, then reclaim unreferenced generations older
+    than ``grace_s``. Returns what it did — callers schedule this
+    from the maintenance cadence, not the query path."""
+    from time_series_prediction_spark.streaming.layout import (
+        compact_layout,
+        vacuum_layout,
+    )
+
+    root = root or manifest_root(data_path)
+    man = current_manifest(spark, root)
+    if man is None:
+        raise ValueError(f"no committed table under {data_path}")
+    n_files = man.select("file").distinct().count()
+    compacted = None
+    if n_files > max_files:
+        compacted = compact_layout(
+            spark, data_path, zcols, n_files=target_files, root=root
+        )
+    removed = vacuum_layout(spark, data_path, root=root, grace_s=grace_s)
+    return {
+        "n_files_before": n_files,
+        "compacted_to": compacted,
+        "vacuumed": removed,
+    }

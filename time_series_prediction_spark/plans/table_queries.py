@@ -443,7 +443,47 @@ def orders_cow_view_maintenance(
     )
 
 
+def orders_cow_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY off the manifest versions — metadata only, no
+    data file opened. Row counts per version are fully determined by
+    the mutation spec, so the oracle recomputes them from raw orders:
+    v0 = all orders, v1 = +inserted, v2 = after the key%17 purge."""
+    from time_series_prediction_spark.operators.cow import table_history
+
+    data = orders_cow_layout(spark, sf_dir)
+    return table_history(spark, manifest_root(data)).select(
+        "version", "n_rows"
+    )
+
+
+ORDERS_COW_HISTORY_SQL = f"""
+WITH mx AS (SELECT max(o_orderkey) AS mk FROM orders),
+n0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders),
+nins AS (
+    SELECT CAST(count(*) AS BIGINT) AS n
+    FROM orders WHERE o_orderkey % 101 = 0
+),
+nfinal AS (
+    SELECT CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT o_orderkey AS k FROM orders
+        UNION ALL
+        SELECT o_orderkey + {_INSERT_SHIFT} FROM orders
+        WHERE o_orderkey % 101 = 0
+    ) WHERE k % 17 <> 0
+)
+SELECT CAST(0 AS BIGINT) AS version, (SELECT n FROM n0) AS n_rows
+UNION ALL
+SELECT 1, (SELECT n FROM n0) + (SELECT n FROM nins)
+UNION ALL
+SELECT 2, (SELECT n FROM nfinal)
+"""
+
+
 TABLE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "orders_cow_history": (
+        orders_cow_history,
+        ORDERS_COW_HISTORY_SQL,
+    ),
     "orders_cow_view_maintenance": (
         orders_cow_view_maintenance,
         ORDERS_COW_CURRENT_SQL,  # incremental fold == full recompute
