@@ -489,3 +489,42 @@ def maintain_table(
         "compacted_to": compacted,
         "vacuumed": removed,
     }
+
+
+def changes_feed(
+    spark: SparkSession,
+    data_path: str,
+    v_from: int,
+    v_to: int,
+    root: str | None = None,
+) -> DataFrame:
+    """Multi-commit change feed: the per-commit CDC rows for every
+    adjacent committed pair in [v_from, v_to], each stamped with the
+    ``_version`` that produced it — what an incremental downstream
+    consumer replays to catch up from its last-seen version (the
+    Delta change-data-feed read shape). No-op intervals (identical
+    file sets) contribute nothing. Cost is the sum of the intervals'
+    symmetric-difference scans; unchanged files are never opened."""
+    root = root or manifest_root(data_path)
+    versions = [
+        v for v in list_versions(spark, root) if v_from <= v <= v_to
+    ]
+    if len(versions) < 2:
+        raise ValueError(
+            f"need two committed versions in [{v_from}, {v_to}]"
+        )
+    parts = []
+    for a, b in zip(versions, versions[1:]):
+        try:
+            ch = version_changes(spark, data_path, a, b, root=root)
+        except ValueError:  # identical file sets — a no-op interval
+            continue
+        parts.append(ch.withColumn("_version", F.lit(b).cast("long")))
+    if not parts:
+        raise ValueError(
+            f"no changes between versions {v_from} and {v_to}"
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -479,7 +479,59 @@ SELECT 2, (SELECT n FROM nfinal)
 """
 
 
+def orders_cow_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-commit change feed a downstream consumer replays:
+    per-version insert/delete row counts across both mutation
+    commits. The oracle derives every count from the mutation spec
+    over raw orders — v1 emits the merge's before/after rows, v2
+    emits exactly the purged rows (its rewrite's surviving rows
+    cancel)."""
+    from time_series_prediction_spark.operators.cow import changes_feed
+
+    data = orders_cow_layout(spark, sf_dir)
+    return (
+        changes_feed(spark, data, 0, 2)
+        .groupBy(
+            F.col("_version").alias("version"),
+            F.col("_change").alias("change_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+
+
+ORDERS_COW_FEED_SQL = f"""
+WITH mx AS (SELECT max(o_orderkey) AS mk FROM orders),
+nmod AS (
+    SELECT CAST(count(*) AS BIGINT) AS n FROM orders
+    WHERE o_orderkey % 13 = 0
+      AND o_orderkey * 10 <= (SELECT mk FROM mx)
+),
+nins AS (
+    SELECT CAST(count(*) AS BIGINT) AS n
+    FROM orders WHERE o_orderkey % 101 = 0
+),
+npurged AS (
+    SELECT CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT o_orderkey AS k FROM orders
+        UNION ALL
+        SELECT o_orderkey + {_INSERT_SHIFT} FROM orders
+        WHERE o_orderkey % 101 = 0
+    ) WHERE k % 17 = 0
+)
+SELECT CAST(1 AS BIGINT) AS version, 'insert' AS change_type,
+       (SELECT n FROM nmod) + (SELECT n FROM nins) AS n_rows
+UNION ALL
+SELECT 1, 'delete', (SELECT n FROM nmod)
+UNION ALL
+SELECT 2, 'delete', (SELECT n FROM npurged)
+"""
+
+
 TABLE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "orders_cow_feed": (
+        orders_cow_feed,
+        ORDERS_COW_FEED_SQL,
+    ),
     "orders_cow_history": (
         orders_cow_history,
         ORDERS_COW_HISTORY_SQL,
