@@ -441,3 +441,10 @@ def test_table_history_and_maintain(spark, table):
     assert read_committed(spark, table).count() == 200
     man = current_manifest(spark, root)
     assert len(prune_files(man, {})) == 2
+
+
+def test_empty_merge_is_a_noop_commit(spark, table):
+    empty = spark.createDataFrame([], "k long, v long, g string")
+    v = merge_upsert(spark, table, empty, key="k", keep_versions=10)
+    assert v == 0
+    assert list_versions(spark, manifest_root(table)) == [0]

@@ -358,6 +358,10 @@ def merge_upsert(
     stats_cols = list(stats_cols or [key])
     if key not in stats_cols:
         stats_cols = [key, *stats_cols]
+    if updates.isEmpty():  # no-op: don't burn a manifest version
+        if current_manifest(spark, root) is None:
+            raise ValueError(f"no committed table under {data_path}")
+        return max(list_versions(spark, root))
     dup = updates.groupBy(key).count().where("count > 1").limit(1).count()
     if dup:
         raise ValueError("updates carry duplicate keys — merge would "
