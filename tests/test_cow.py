@@ -448,3 +448,23 @@ def test_empty_merge_is_a_noop_commit(spark, table):
     v = merge_upsert(spark, table, empty, key="k", keep_versions=10)
     assert v == 0
     assert list_versions(spark, manifest_root(table)) == [0]
+
+
+def test_abandoned_staging_dirs_are_reclaimed(spark, tmp_path, monkeypatch):
+    """A writer that crashed mid-commit leaves a hidden staging dir;
+    the next successful commit garbage-collects it once it is older
+    than the grace window (and never touches a fresh one)."""
+    import time_series_prediction_spark.streaming.layout as layout
+    from time_series_prediction_spark.sources.fsops import fs_for
+
+    path = str(tmp_path / "tbl")
+    _mk_table(spark, path, n=20, n_files=2)
+    root = manifest_root(path)
+    fs = fs_for(spark, root)
+    stale = os.path.join(root, ".v9.build-999-1-0")
+    fs.mkdirs(stale)
+    fs.write_text(os.path.join(stale, "junk"), "x")
+    monkeypatch.setattr(layout, "_STAGING_GC_AGE_S", 0.0)
+    updates = spark.createDataFrame([(3, -1, "x")], "k long, v long, g string")
+    merge_upsert(spark, path, updates, key="k", keep_versions=10)
+    assert not fs.exists(stale)

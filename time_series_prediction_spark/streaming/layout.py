@@ -123,7 +123,26 @@ def publish_manifest(
     )
     for stale in versions[:-keep_versions]:
         fs.delete(os.path.join(root, stale))
+    _gc_abandoned_staging(fs, root)
     return final
+
+
+# staging dirs from writers that crashed mid-commit; reclaim after a
+# grace window long enough that no live commit attempt can be that old
+_STAGING_GC_AGE_S = 3600.0
+
+
+def _gc_abandoned_staging(fs: Fs, root: str) -> None:
+    import time as _time
+
+    now_ms = _time.time() * 1000.0
+    for name in fs.list_names(root):
+        if not (name.startswith(".v") and ".build-" in name):
+            continue
+        p = os.path.join(root, name)
+        st = fs.status(p)
+        if st is not None and now_ms - st[1] > _STAGING_GC_AGE_S * 1000.0:
+            fs.delete(p)
 
 
 def current_manifest(spark: SparkSession, root: str) -> DataFrame | None:
