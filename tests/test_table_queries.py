@@ -93,3 +93,21 @@ def test_streamed_merge_matches_oracle(spark, sf_dir, duck):
         orders_upsert_ingest_scan(spark, sf_dir), duck,
         ORDERS_UPSERT_INGEST_SQL, name="orders_upsert_ingest_scan",
     )
+
+
+def test_dv_scan_matches_oracle_and_rewrote_nothing(spark, sf_dir, duck):
+    from time_series_prediction_spark.plans.table_queries import (
+        ORDERS_DV_SCAN_SQL,
+        orders_dv_layout,
+        orders_dv_scan,
+    )
+
+    assert_matches_oracle(
+        orders_dv_scan(spark, sf_dir), duck, ORDERS_DV_SCAN_SQL,
+        name="orders_dv_scan",
+    )
+    data = orders_dv_layout(spark, sf_dir)
+    root = manifest_root(data)
+    v0 = set(prune_files(spark.read.parquet(os.path.join(root, "v0")), {}))
+    v1 = set(prune_files(spark.read.parquet(os.path.join(root, "v1")), {}))
+    assert v0 == v1, "DV delete must not rewrite any file"

@@ -61,9 +61,12 @@ from time_series_prediction_spark.sources.fsops import fs_for
 from time_series_prediction_spark.streaming.layout import (
     ConcurrentCommitError,
     _next_version,
+    apply_dv,
     current_manifest,
+    current_version,
     manifest_root,
     publish_manifest,
+    version_dv,
 )
 
 # generation dirs carry a (pid, counter) suffix so CONCURRENT commit
@@ -146,11 +149,14 @@ def read_version(
     vacuum's grace window. ``merge_schema`` for schema-evolved tables
     (files predating a column read it as null)."""
     root = root or manifest_root(data_path)
-    return pruned_scan(
-        spark,
-        _manifest_version(spark, root, version),
-        {},
-        merge_schema=merge_schema,
+    return apply_dv(
+        pruned_scan(
+            spark,
+            _manifest_version(spark, root, version),
+            {},
+            merge_schema=merge_schema,
+        ),
+        version_dv(spark, root, version),
     )
 
 
@@ -212,19 +218,53 @@ def version_changes(
     Unchanged files — the overwhelming majority under copy-on-write —
     are never opened."""
     root = root or manifest_root(data_path)
+    man_b = _manifest_version(spark, root, v_new)
     files_a = set(prune_files(_manifest_version(spark, root, v_old), {}))
-    files_b = set(prune_files(_manifest_version(spark, root, v_new), {}))
+    files_b = set(prune_files(man_b, {}))
+    dv_a = version_dv(spark, root, v_old)
+    dv_b = version_dv(spark, root, v_new)
     added = sorted(files_b - files_a)
     removed = sorted(files_a - files_b)
-    sample = added or removed
-    if not sample:
+    common = sorted(files_a & files_b)
+    # DV delta: keys newly tombstoned in this interval (DVs are
+    # cumulative, so anti join = the delta)
+    dv_delta = None
+    if dv_b is not None:
+        dv_delta = (
+            dv_b if dv_a is None
+            else dv_b.join(dv_a, dv_b.columns[0], "left_anti")
+        )
+        if dv_delta.isEmpty():
+            dv_delta = None
+    if not added and not removed and dv_delta is None:
         raise ValueError(
             f"versions {v_old} and {v_new} commit identical file sets"
         )
+    sample = added or removed or common
     probe = spark.read.parquet(sample[0])
-    new_rows = _scan_files(spark, added, probe, merge_schema=True)
-    old_rows = _scan_files(spark, removed, probe, merge_schema=True)
-    if not removed:  # append-only fast path: no diff needed at all
+    # VISIBLE rows on each side: file scans minus that side's DV
+    new_rows = apply_dv(
+        _scan_files(spark, added, probe, merge_schema=True), dv_b
+    )
+    old_rows = apply_dv(
+        _scan_files(spark, removed, probe, merge_schema=True), dv_a
+    )
+    # rows newly tombstoned inside files BOTH versions share: visible
+    # at v_old, hidden at v_new — fetch only the common files whose
+    # stats can contain a delta key
+    extra_deletes = None
+    if dv_delta is not None and common:
+        cdf = spark.createDataFrame([(f,) for f in common], "file string")
+        man_common = man_b.join(cdf, "file", "left_semi")
+        kcol = dv_delta.columns[0]
+        cand = _overlapping_files(man_common, kcol, dv_delta)
+        if cand:
+            extra = spark.read.parquet(*cand).join(
+                F.broadcast(dv_delta), kcol, "left_semi"
+            )
+            extra_deletes = apply_dv(extra, dv_a)
+    if not removed and extra_deletes is None:
+        # append-only fast path: no diff needed at all
         return new_rows.withColumn("_change", F.lit("insert"))
     # align across a possible schema-evolution boundary: a column the
     # old version lacks reads as null there and diffs correctly
@@ -235,7 +275,13 @@ def version_changes(
     deletes = old_rows.exceptAll(new_rows).withColumn(
         "_change", F.lit("delete")
     )
-    return inserts.unionByName(deletes)
+    out = inserts.unionByName(deletes)
+    if extra_deletes is not None:
+        extra_deletes, out_a = _align_columns(
+            extra_deletes.withColumn("_change", F.lit("delete")), out
+        )
+        out = out_a.unionByName(extra_deletes)
+    return out
 
 
 def _overlapping_files(
@@ -292,6 +338,7 @@ def _commit_rewrite(
     stats_cols: list[str],
     n_files: int,
     keep_versions: int,
+    dv: DataFrame | None = None,
 ) -> int:
     """Shared commit tail for MERGE/DELETE: write the rewrite
     generation (if it has rows), carry every untouched file's stats
@@ -318,7 +365,9 @@ def _commit_rewrite(
     for p in parts[1:]:
         new_man = new_man.unionByName(p)
     try:
-        publish_manifest(new_man, root, gen, keep_versions=keep_versions)
+        publish_manifest(
+            new_man, root, gen, keep_versions=keep_versions, dv=dv
+        )
     except ConcurrentCommitError:
         if gdir is not None:
             fs.delete(gdir)  # lost attempt's data — never referenced
@@ -368,20 +417,35 @@ def merge_upsert(
                          "be nondeterministic; dedup upstream first")
     last_err: ConcurrentCommitError | None = None
     for _ in range(_MAX_COMMIT_ATTEMPTS):
-        man = current_manifest(spark, root)
-        if man is None:
+        v = current_version(spark, root)
+        if v is None:
             raise ValueError(f"no committed table under {data_path}")
+        man = _manifest_version(spark, root, v)
+        dv = version_dv(spark, root, v)
         touched = _overlapping_files(man, key, updates)
-        surviving = _scan_files(
-            spark, touched, updates, merge_schema=evolve_schema
+        # apply the DV to the rewrite input: tombstoned rows must not
+        # be resurrected by the file rewrite
+        surviving = apply_dv(
+            _scan_files(spark, touched, updates, merge_schema=evolve_schema),
+            dv,
         ).join(updates.select(key), key, "left_anti")
         rewritten = surviving.unionByName(
             updates, allowMissingColumns=evolve_schema
         )
+        # an upsert un-deletes its key: drop it from the carried DV
+        new_dv = None
+        if dv is not None:
+            new_dv = dv.join(
+                updates.select(F.col(key).alias(dv.columns[0])),
+                dv.columns[0],
+                "left_anti",
+            )
+            if new_dv.isEmpty():
+                new_dv = None
         try:
             return _commit_rewrite(
                 spark, data_path, root, man, touched, rewritten, "merge",
-                key, stats_cols, n_files, keep_versions,
+                key, stats_cols, n_files, keep_versions, dv=new_dv,
             )
         except ConcurrentCommitError as e:
             last_err = e  # rebase: replan against the new current state
@@ -410,22 +474,70 @@ def delete_keys(
         stats_cols = [key, *stats_cols]
     last_err: ConcurrentCommitError | None = None
     for _ in range(_MAX_COMMIT_ATTEMPTS):
-        man = current_manifest(spark, root)
-        if man is None:
+        v = current_version(spark, root)
+        if v is None:
             raise ValueError(f"no committed table under {data_path}")
+        man = _manifest_version(spark, root, v)
+        dv = version_dv(spark, root, v)
         touched = _overlapping_files(man, key, keys)
         if not touched:  # nothing can match — commit nothing
             return max(list_versions(spark, root))
-        surviving = spark.read.parquet(*touched).join(
+        surviving = apply_dv(spark.read.parquet(*touched), dv).join(
             keys.select(key).distinct(), key, "left_anti"
         )
         try:
             return _commit_rewrite(
                 spark, data_path, root, man, touched, surviving, "delete",
-                key, stats_cols, n_files, keep_versions,
+                key, stats_cols, n_files, keep_versions, dv=dv,
             )
         except ConcurrentCommitError as e:
             last_err = e  # rebase: replan against the new current state
+    raise last_err
+
+
+def delete_keys_dv(
+    spark: SparkSession,
+    data_path: str,
+    keys: DataFrame,
+    key: str,
+    root: str | None = None,
+    keep_versions: int = 2,
+) -> int:
+    """Merge-on-read DELETE: commit a new manifest version whose FILE
+    SET is carried unchanged and whose deletion vector gains ``keys``
+    — a metadata-cost commit however scattered the keys are, where
+    the copy-on-write ``delete_keys`` would rewrite every overlapping
+    file (a scattered key set can mean ALL of them). Readers
+    anti-join the broadcast-sized DV; the next compaction
+    materializes it (rewrites visible rows, clears the vector), which
+    is also the actual byte-erasure point for GDPR purposes.
+
+    The trade is the standard merge-on-read one: cheap commits, a
+    per-read anti join until compaction. Returns the committed
+    version."""
+    root = root or manifest_root(data_path)
+    last_err: ConcurrentCommitError | None = None
+    for _ in range(_MAX_COMMIT_ATTEMPTS):
+        v = current_version(spark, root)
+        if v is None:
+            raise ValueError(f"no committed table under {data_path}")
+        man = _manifest_version(spark, root, v)
+        dv_old = version_dv(spark, root, v)
+        add = keys.select(key).distinct()
+        new_dv = (
+            add if dv_old is None
+            else dv_old.select(F.col(dv_old.columns[0]).alias(key))
+            .unionByName(add)
+            .distinct()
+        )
+        gen = _next_version(fs_for(spark, root), root)
+        try:
+            publish_manifest(
+                man, root, gen, keep_versions=keep_versions, dv=new_dv
+            )
+            return gen
+        except ConcurrentCommitError as e:
+            last_err = e  # rebase on the new current version
     raise last_err
 
 
@@ -441,6 +553,8 @@ def table_history(spark: SparkSession, root: str) -> DataFrame:
     parts = []
     for v in versions:
         man = _manifest_version(spark, root, v)
+        dv = version_dv(spark, root, v)
+        n_dv = 0 if dv is None else dv.count()
         parts.append(
             man.groupBy("file")
             .agg(F.max("n_rows").alias("_nr"))
@@ -448,7 +562,12 @@ def table_history(spark: SparkSession, root: str) -> DataFrame:
                 F.count(F.lit(1)).cast("long").alias("n_files"),
                 F.sum("_nr").cast("long").alias("n_rows"),
             )
-            .select(F.lit(v).cast("long").alias("version"), "n_files", "n_rows")
+            .select(
+                F.lit(v).cast("long").alias("version"),
+                "n_files",
+                "n_rows",
+                F.lit(n_dv).cast("long").alias("n_dv_keys"),
+            )
         )
     out = parts[0]
     for p in parts[1:]:

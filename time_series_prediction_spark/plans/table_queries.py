@@ -134,6 +134,14 @@ def _reprefix_manifests(
             continue
         vdir = os.path.join(root, name)
         rows = spark.read.parquet(vdir).collect()
+        # the deletion vector (keys only, no paths) must survive the
+        # in-place rewrite: collect it BEFORE the overwrite wipes the
+        # version dir, restore it after
+        dv_rows = dv_schema = None
+        dvdir = os.path.join(vdir, "_dv")
+        if fs.exists(os.path.join(dvdir, "_SUCCESS")):
+            dvdf = spark.read.parquet(dvdir)
+            dv_rows, dv_schema = dvdf.collect(), dvdf.schema
         fixed = [
             (
                 new_data + r["file"][len(old_data):]
@@ -148,6 +156,10 @@ def _reprefix_manifests(
             "file string, col string, n_rows long, vmin double, "
             "vmax double, has_nulls boolean",
         ).coalesce(1).write.mode("overwrite").parquet(vdir)
+        if dv_rows is not None:
+            spark.createDataFrame(dv_rows, dv_schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(dvdir)
 
 
 def orders_cow_layout(spark: SparkSession, sf_dir: str) -> str:
@@ -527,7 +539,87 @@ SELECT 2, 'delete', (SELECT n FROM npurged)
 """
 
 
+_DV_SPEC = "dv-orders|v1|23|8"
+
+
+def orders_dv_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Orders table with a merge-on-read DELETE of every 23rd key —
+    the deletion-vector commit carries the file set unchanged (a
+    scattered key set that copy-on-write would answer by rewriting
+    every file). Cached per fixture content."""
+    from time_series_prediction_spark.operators.cow import delete_keys_dv
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    root = os.path.join(tempfile.gettempdir(), "tsp_layouts")
+    fs = fs_for(spark, root)
+    st = fs.status(src)
+    if st is None:
+        raise FileNotFoundError(src)
+    ident = f"{fs.qualified(src)}|{st[0]}|{st[1]}|{_DV_SPEC}"
+    key = hashlib.md5(ident.encode()).hexdigest()[:16]
+    path = os.path.join(root, f"orders_dv_{key}")
+    with _build_lock(path):
+        if fs.exists(os.path.join(path, "_IDENT")):
+            return os.path.join(path, "data")
+        tmp = f"{path}.build-{os.getpid()}"
+        fs.delete(tmp)
+        data = os.path.join(tmp, "data")
+        base = _orders_state(spark, sf_dir)
+        init_table(
+            spark, data, base, key="o_orderkey", n_files=8,
+            keep_versions=_KEEP,
+        )
+        dead = base.select("o_orderkey").where("o_orderkey % 23 = 0")
+        delete_keys_dv(
+            spark, data, dead, key="o_orderkey", keep_versions=_KEEP
+        )
+        final_data = os.path.join(path, "data")
+        from time_series_prediction_spark.operators.manifest import (
+            _resolve_base,
+        )
+
+        _reprefix_manifests(
+            spark, manifest_root(data), _resolve_base(data, spark),
+            final_data,
+        )
+        fs.write_text(os.path.join(tmp, "_IDENT"), ident)
+        if not fs.publish_dir(tmp, path):
+            fs.delete(tmp)
+    return os.path.join(path, "data")
+
+
+def orders_dv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read through the deletion vector: the scattered %23 delete is
+    metadata-only (file set unchanged — asserted in tests), and the
+    dv-aware committed read must equal the oracle's plain WHERE over
+    raw orders."""
+    data = orders_dv_layout(spark, sf_dir)
+    return (
+        read_committed(spark, data)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("price_cents").cast("long").alias("total_cents"),
+        )
+    )
+
+
+ORDERS_DV_SCAN_SQL = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+WHERE o_orderkey % 23 <> 0
+GROUP BY o_orderstatus
+"""
+
+
 TABLE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "orders_dv_scan": (
+        orders_dv_scan,
+        ORDERS_DV_SCAN_SQL,
+    ),
     "orders_cow_feed": (
         orders_cow_feed,
         ORDERS_COW_FEED_SQL,

@@ -75,7 +75,11 @@ class ConcurrentCommitError(RuntimeError):
 
 
 def publish_manifest(
-    man: DataFrame, root: str, version: int, keep_versions: int = 2
+    man: DataFrame,
+    root: str,
+    version: int,
+    keep_versions: int = 2,
+    dv: DataFrame | None = None,
 ) -> str:
     """Commit ``man`` as ``root/v{version}`` via stage + atomic
     compare-and-swap rename — the optimistic-concurrency commit:
@@ -103,6 +107,15 @@ def publish_manifest(
     )
     fs.delete(staged)
     man.write.mode("overwrite").parquet(staged)
+    if dv is not None:
+        # deletion vector: the version's CUMULATIVE deleted-key set,
+        # committed atomically inside the version dir (written before
+        # the CAS rename; the underscore prefix hides it from the
+        # manifest parquet read). One single-column frame of keys —
+        # scattered deletes cost metadata, not file rewrites.
+        dv.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(staged, "_dv")
+        )
     if not fs.publish_dir(staged, final):
         fs.delete(staged)
         raise ConcurrentCommitError(
@@ -145,13 +158,12 @@ def _gc_abandoned_staging(fs: Fs, root: str) -> None:
             fs.delete(p)
 
 
-def current_manifest(spark: SparkSession, root: str) -> DataFrame | None:
-    """The newest COMMITTED manifest version, or None when nothing
-    has been published. Commit = the version dir exists complete
-    (``_SUCCESS`` inside — dirs appear atomically via the CAS
-    rename); the ``_LATEST`` pointer is only a hint, so a writer
-    crash between version rename and pointer flip can never hide or
-    un-order a commit."""
+def current_version(spark: SparkSession, root: str) -> int | None:
+    """Newest COMMITTED version number, or None. Commit = the version
+    dir exists complete (``_SUCCESS`` inside — dirs appear atomically
+    via the CAS rename); the ``_LATEST`` pointer is only a hint, so a
+    writer crash between version rename and pointer flip can never
+    hide or un-order a commit."""
     fs = fs_for(spark, root)
     best = -1
     for name in fs.list_names(root):
@@ -159,9 +171,39 @@ def current_manifest(spark: SparkSession, root: str) -> DataFrame | None:
             n = int(name[1:])
             if n > best and fs.exists(os.path.join(root, name, "_SUCCESS")):
                 best = n
-    if best < 0:
+    return None if best < 0 else best
+
+
+def current_manifest(spark: SparkSession, root: str) -> DataFrame | None:
+    """The newest COMMITTED manifest version, or None when nothing
+    has been published (see ``current_version``)."""
+    v = current_version(spark, root)
+    if v is None:
         return None
-    return spark.read.parquet(os.path.join(root, f"v{best}"))
+    return spark.read.parquet(os.path.join(root, f"v{v}"))
+
+
+def version_dv(
+    spark: SparkSession, root: str, version: int
+) -> DataFrame | None:
+    """The deletion vector committed with ``v{version}`` (one column
+    named after the table key, holding the cumulative deleted keys),
+    or None when the version carries no DV."""
+    dvdir = os.path.join(root, f"v{version}", "_dv")
+    if not fs_for(spark, root).exists(os.path.join(dvdir, "_SUCCESS")):
+        return None
+    dv = spark.read.parquet(dvdir)
+    return None if not dv.columns else dv
+
+
+def apply_dv(df: DataFrame, dv: DataFrame | None) -> DataFrame:
+    """Merge-on-read: hide DV keys from a scan (anti join on the DV's
+    own key column — broadcast-sized by construction)."""
+    if dv is None:
+        return df
+    from pyspark.sql import functions as _F
+
+    return df.join(_F.broadcast(dv), dv.columns[0], "left_anti")
 
 
 def _next_version(fs: Fs, root: str) -> int:
@@ -261,13 +303,17 @@ def compact_layout(
     per-batch normalization accumulates — the periodic re-optimize
     every lakehouse runs."""
     root = root or manifest_root(data_path)
-    man = current_manifest(spark, root)
-    if man is None:
+    v = current_version(spark, root)
+    if v is None:
         return None
+    man = spark.read.parquet(os.path.join(root, f"v{v}"))
     files = prune_files(man, {})
     gen = _next_version(fs_for(spark, root), root)
     cdir = os.path.join(data_path, f"compact-{gen}")
-    write_zordered(spark.read.parquet(*files), cdir, zcols, n_files=n_files)
+    # materialize any deletion vector: the compacted generation holds
+    # only VISIBLE rows and the new version carries no DV
+    rows = apply_dv(spark.read.parquet(*files), version_dv(spark, root, v))
+    write_zordered(rows, cdir, zcols, n_files=n_files)
     publish_manifest(build_stats_manifest(spark, cdir, zcols), root, gen)
     return cdir
 
@@ -327,10 +373,14 @@ def read_committed(
     vacuum). ``merge_schema`` for schema-evolved tables (files
     predating a column read it as null)."""
     root = root or manifest_root(data_path)
-    man = current_manifest(spark, root)
-    if man is None:
+    v = current_version(spark, root)
+    if v is None:
         raise ValueError(f"no committed manifest under {root}")
-    return pruned_scan(spark, man, {}, merge_schema=merge_schema)
+    man = spark.read.parquet(os.path.join(root, f"v{v}"))
+    return apply_dv(
+        pruned_scan(spark, man, {}, merge_schema=merge_schema),
+        version_dv(spark, root, v),
+    )
 
 
 def read_layout(spark: SparkSession, data_path: str) -> DataFrame:
