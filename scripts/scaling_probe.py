@@ -51,6 +51,8 @@ DEFAULT = [
     "orders_cow_changes",        # symmetric-difference CDC feed
     "orders_cow_view_maintenance",  # CDC-folded incremental rollup
     "orders_upsert_ingest_scan",  # streamed-merge final state
+    "orders_dv_scan",            # deletion-vector merge-on-read scan
+    "orders_cow_history",        # DESCRIBE HISTORY off manifest metadata
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
