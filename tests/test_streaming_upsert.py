@@ -117,3 +117,74 @@ def test_empty_batch_commits_nothing(spark, tmp_path):
     empty = spark.createDataFrame([], "k long, v long")
     sink(empty, 0)
     assert not os.path.exists(manifest_root(data))
+
+
+def test_cdc_apply_sink_mixed_ops_equal_batch_truth(spark, tmp_path):
+    """Updates, inserts, and deletes interleaved across micro-batches:
+    the final table equals the last-writer state of the whole feed;
+    deletes land as deletion-vector commits (no file rewrites for
+    their half)."""
+    from time_series_prediction_spark.streaming.upsert import (
+        cdc_apply_sink,
+    )
+
+    data = str(tmp_path / "tbl")
+    sink = cdc_apply_sink(data, key="k", seq_col="seq")
+    b0 = spark.range(60).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"),
+        F.lit("U").alias("op"), F.lit(0).cast("long").alias("seq"),
+    )
+    # batch 1: update 5, delete 7 and 30, insert 100; key 9 is
+    # updated then deleted within the batch — delete must win by seq
+    b1 = spark.createDataFrame(
+        [
+            (5, -5, "U", 1),
+            (7, 0, "D", 1),
+            (30, 0, "D", 1),
+            (100, 1, "U", 1),
+            (9, 999, "U", 1),
+            (9, 0, "D", 2),
+        ],
+        "k long, v long, op string, seq long",
+    )
+    # batch 2: re-insert a deleted key — tombstone must clear
+    b2 = spark.createDataFrame(
+        [(7, 77, "U", 3)], "k long, v long, op string, seq long"
+    )
+    for i, b in enumerate([b0, b1, b2]):
+        sink(b, i)
+    from time_series_prediction_spark.streaming.layout import (
+        read_committed,
+    )
+
+    got = {r["k"]: r["v"] for r in read_committed(spark, data).collect()}
+    want = {i: i * 2 for i in range(60)}
+    want.update({5: -5, 100: 1, 7: 77})
+    del want[30], want[9]
+    assert got == want
+
+
+def test_cdc_apply_sink_replay_is_state_idempotent(spark, tmp_path):
+    from time_series_prediction_spark.streaming.upsert import (
+        cdc_apply_sink,
+    )
+    from time_series_prediction_spark.streaming.layout import (
+        read_committed,
+    )
+
+    data = str(tmp_path / "tbl")
+    sink = cdc_apply_sink(data, key="k")
+    b0 = spark.range(30).select(
+        F.col("id").alias("k"), F.lit(1).cast("long").alias("v"),
+        F.lit("U").alias("op"),
+    )
+    b1 = spark.createDataFrame(
+        [(3, -3, "U"), (11, 0, "D")], "k long, v long, op string"
+    )
+    sink(b0, 0)
+    sink(b1, 1)
+    s1 = sorted((r["k"], r["v"]) for r in read_committed(spark, data).collect())
+    sink(b1, 1)  # crash replay
+    s2 = sorted((r["k"], r["v"]) for r in read_committed(spark, data).collect())
+    assert s1 == s2
+    assert len(s2) == 29

@@ -111,3 +111,25 @@ def test_dv_scan_matches_oracle_and_rewrote_nothing(spark, sf_dir, duck):
     v0 = set(prune_files(spark.read.parquet(os.path.join(root, "v0")), {}))
     v1 = set(prune_files(spark.read.parquet(os.path.join(root, "v1")), {}))
     assert v0 == v1, "DV delete must not rewrite any file"
+
+
+def test_cdc_ingest_matches_oracle_and_deletes_were_dv(spark, sf_dir, duck):
+    from time_series_prediction_spark.operators.cow import list_versions
+    from time_series_prediction_spark.plans.table_queries import (
+        ORDERS_CDC_INGEST_SQL,
+        orders_cdc_ingest_scan,
+        orders_cdc_stream_layout,
+    )
+    from time_series_prediction_spark.streaming.layout import version_dv
+
+    assert_matches_oracle(
+        orders_cdc_ingest_scan(spark, sf_dir), duck,
+        ORDERS_CDC_INGEST_SQL, name="orders_cdc_ingest_scan",
+    )
+    data = orders_cdc_stream_layout(spark, sf_dir)
+    root = manifest_root(data)
+    last = max(list_versions(spark, root))
+    dv = version_dv(spark, root, last)
+    assert dv is not None and dv.count() > 0, (
+        "the delete half of the feed must land as deletion vectors"
+    )

@@ -615,7 +615,131 @@ GROUP BY o_orderstatus
 """
 
 
+_CDC_SPEC = "cdc-orders|v1|13|19|8"
+
+
+def orders_cdc_stream_layout(spark: SparkSession, sf_dir: str) -> str:
+    """A FULL change stream (updates + deletes) applied micro-batch by
+    micro-batch through ``cdc_apply_sink``: every %13 key is updated
+    (+100000 cents, status 'R'), every %19-but-not-%13 key deleted —
+    the delete halves land as deletion-vector commits (no rewrite).
+    Key sets are disjoint, so the final state is independent of how
+    the feed batches. Cached per fixture content."""
+    from time_series_prediction_spark.streaming.upsert import (
+        cdc_apply_sink,
+    )
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    root = os.path.join(tempfile.gettempdir(), "tsp_layouts")
+    fs = fs_for(spark, root)
+    st = fs.status(src)
+    if st is None:
+        raise FileNotFoundError(src)
+    ident = f"{fs.qualified(src)}|{st[0]}|{st[1]}|{_CDC_SPEC}"
+    key = hashlib.md5(ident.encode()).hexdigest()[:16]
+    path = os.path.join(root, f"orders_cdc_{key}")
+    with _build_lock(path):
+        if fs.exists(os.path.join(path, "_IDENT")):
+            return os.path.join(path, "data")
+        tmp = f"{path}.build-{os.getpid()}"
+        fs.delete(tmp)
+        data = os.path.join(tmp, "data")
+        base = _orders_state(spark, sf_dir)
+        init_table(
+            spark, data, base, key="o_orderkey", n_files=8,
+            keep_versions=_KEEP,
+        )
+        ups = base.where("o_orderkey % 13 = 0").select(
+            "o_orderkey",
+            "o_custkey",
+            F.lit("R").alias("o_orderstatus"),
+            (F.col("price_cents") + F.lit(100_000)).alias("price_cents"),
+            "o_orderpriority",
+            F.lit("U").alias("op"),
+        )
+        dels = base.where(
+            "o_orderkey % 19 = 0 AND o_orderkey % 13 <> 0"
+        ).select(
+            "o_orderkey",
+            F.lit(None).cast("long").alias("o_custkey"),
+            F.lit(None).cast("string").alias("o_orderstatus"),
+            F.lit(None).cast("long").alias("price_cents"),
+            F.lit(None).cast("string").alias("o_orderpriority"),
+            F.lit("D").alias("op"),
+        )
+        feed = ups.unionByName(dels)
+        inbox = os.path.join(tmp, "_inbox")
+        feed.repartition(3).write.mode("overwrite").parquet(inbox)
+        sink = cdc_apply_sink(
+            data, key="o_orderkey", n_files=4, keep_versions=_KEEP
+        )
+        stream = (
+            spark.readStream.schema(feed.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(inbox)
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(tmp, "_ck"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        final_data = os.path.join(path, "data")
+        from time_series_prediction_spark.operators.manifest import (
+            _resolve_base,
+        )
+
+        _reprefix_manifests(
+            spark, manifest_root(data), _resolve_base(data, spark),
+            final_data,
+        )
+        fs.write_text(os.path.join(tmp, "_IDENT"), ident)
+        if not fs.publish_dir(tmp, path):
+            fs.delete(tmp)
+    return os.path.join(path, "data")
+
+
+def orders_cdc_ingest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final state after the full mixed-op change stream — must equal
+    the batch truth however the feed happened to micro-batch, with
+    deletes visible only through the deletion vectors."""
+    data = orders_cdc_stream_layout(spark, sf_dir)
+    return (
+        read_committed(spark, data)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("price_cents").cast("long").alias("total_cents"),
+        )
+    )
+
+
+ORDERS_CDC_INGEST_SQL = """
+WITH state AS (
+    SELECT o_orderkey AS k,
+           CASE WHEN o_orderkey % 13 = 0 THEN 'R'
+                ELSE o_orderstatus END AS st,
+           CAST(round(o_totalprice * 100) AS BIGINT)
+             + CASE WHEN o_orderkey % 13 = 0 THEN 100000 ELSE 0 END AS cents
+    FROM orders
+)
+SELECT st AS o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM state
+WHERE NOT (k % 19 = 0 AND k % 13 <> 0)
+GROUP BY st
+"""
+
+
 TABLE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "orders_cdc_ingest_scan": (
+        orders_cdc_ingest_scan,
+        ORDERS_CDC_INGEST_SQL,
+    ),
     "orders_dv_scan": (
         orders_dv_scan,
         ORDERS_DV_SCAN_SQL,

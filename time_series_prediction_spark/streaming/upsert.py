@@ -105,3 +105,59 @@ def merge_ingest_sink(
             )
 
     return _sink
+
+
+def cdc_apply_sink(
+    data_path: str,
+    key: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+    seq_col: str | None = None,
+    stats_cols: list[str] | None = None,
+    n_files: int = 4,
+    bootstrap_n_files: int = 8,
+    root: str | None = None,
+    keep_versions: int = 2,
+):
+    """``foreachBatch`` body applying a FULL change stream — upserts
+    and deletes — to the cow table. Per batch: last-writer-wins per
+    key over ``seq_col`` (so a key that is updated then deleted in
+    one batch resolves to its final op), then upserts commit as one
+    file-granular MERGE and deletes as one deletion-vector commit
+    (metadata cost however scattered the deleted keys are —
+    ``operators/cow.delete_keys_dv``). Replays are state-idempotent:
+    re-merging the same upserts rewrites identical rows, re-adding
+    the same tombstones is a set union. Compaction later materializes
+    the accumulated vectors (``operators/cow.maintain_table``)."""
+    from time_series_prediction_spark.operators.cow import delete_keys_dv
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        if seq_col is not None:
+            batch_df = dedup_last_writer(batch_df, key, seq_col)
+            batch_df = batch_df.drop(seq_col)
+        ups = batch_df.where(F.col(op_col) != F.lit(delete_op)).drop(op_col)
+        dels = batch_df.where(F.col(op_col) == F.lit(delete_op)).select(key)
+        mroot = root or manifest_root(data_path)
+        if current_manifest(spark, mroot) is None:
+            if ups.isEmpty():
+                return  # nothing to bootstrap from yet
+            init_table(
+                spark, data_path, ups, key=key, stats_cols=stats_cols,
+                n_files=bootstrap_n_files, root=mroot,
+                keep_versions=keep_versions,
+            )
+        elif not ups.isEmpty():
+            merge_upsert(
+                spark, data_path, ups, key=key, stats_cols=stats_cols,
+                n_files=n_files, root=mroot, keep_versions=keep_versions,
+            )
+        if not dels.isEmpty():
+            delete_keys_dv(
+                spark, data_path, dels, key=key, root=mroot,
+                keep_versions=keep_versions,
+            )
+
+    return _sink
