@@ -21,7 +21,11 @@ problem the stats manifest already solves:
   rewrites ~0.1% of the files. The overlap test is a range join of
   the tiny manifest against the DISTINCT update keys — broadcast,
   never a shuffle of the table.
-* **DELETE by key** — same machinery with no union-in.
+* **DELETE by key** — same machinery with no union-in; or
+  merge-on-read via ``delete_keys_dv`` (deletion vectors: unchanged
+  file set + a cumulative tombstone-key sidecar, materialized by the
+  next compaction) when the key set is scattered and a rewrite would
+  touch most files.
 * **Time travel** — every commit is a complete manifest version
   ``v{n}``; reading version n scans exactly the files it lists.
   Retention is ``keep_versions`` on the manifest plus data-dir grace
