@@ -275,8 +275,16 @@ def test_compaction_preserves_state_and_cdc_cancels(spark, table):
     assert version_changes(spark, table, v1, v2).count() == 0
     # pre-compaction snapshot still reads while its files survive
     assert read_version(spark, table, v1).count() == len(before)
+    # vacuum must NOT reclaim generations a retained version still
+    # references — v1 is retained for time travel and its files must
+    # survive any grace window
+    assert vacuum_layout(spark, table, grace_s=0.0) == []
+    assert read_version(spark, table, v1).count() == len(before)
+    # shrink retention to just the current version; the superseded
+    # generations lose their last reference and vacuum reclaims them
+    compact_layout(spark, table, ["k"], n_files=2, keep_versions=1)
     removed = vacuum_layout(spark, table, grace_s=0.0)
-    assert removed, "superseded generations should be reclaimed"
+    assert removed, "unreferenced generations should be reclaimed"
     still = _pdf(read_committed(spark, table))
     pd.testing.assert_frame_equal(before, still)
     live = set(prune_files(current_manifest(spark, root), {}))
@@ -432,9 +440,12 @@ def test_table_history_and_maintain(spark, table):
     rep = maintain_table(spark, table, ["k"], max_files=100, grace_s=0.0)
     assert rep["compacted_to"] is None
     assert read_committed(spark, table).count() == 200
-    # force the policy: compact + vacuum
+    # force the policy: compact + vacuum. keep_versions=1 so the
+    # superseded generations lose their last manifest reference — a
+    # longer retention would (correctly) protect them for time travel
     rep = maintain_table(
-        spark, table, ["k"], max_files=4, target_files=2, grace_s=0.0
+        spark, table, ["k"], max_files=4, target_files=2, grace_s=0.0,
+        keep_versions=1,
     )
     assert rep["compacted_to"] is not None
     assert rep["vacuumed"], "superseded generations must be reclaimed"

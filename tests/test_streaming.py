@@ -547,7 +547,11 @@ def test_streaming_layout_compact_vacuum_cycle(spark, tmp_path):
     )
     assert len(before) == 24_000
 
-    cdir = compact_layout(spark, out, ["x", "y"], n_files=4)
+    # keep_versions=1: retire the pre-compaction versions so their
+    # batch generations lose their last manifest reference (vacuum
+    # protects files referenced by ANY retained version)
+    cdir = compact_layout(spark, out, ["x", "y"], n_files=4,
+                          keep_versions=1)
     assert cdir is not None and os.path.isdir(cdir)
     # content is unchanged, committed reads now hit ONLY the new gen
     after = sorted(map(tuple, read_committed(spark, out).collect()))

@@ -86,30 +86,38 @@ def init_table(
     spark: SparkSession,
     data_path: str,
     df: DataFrame,
-    key: str,
+    key: str | list[str],
     stats_cols: list[str] | None = None,
     n_files: int = 8,
     root: str | None = None,
     keep_versions: int = 2,
 ) -> int:
     """Bootstrap a copy-on-write table: land ``df`` key-clustered
-    (z-order on ``key`` — single column ⇒ a range sort, so every file
-    owns a narrow key range and MERGE/DELETE touch few files) and
-    commit manifest version 0. ``stats_cols`` (default: just the key)
-    are the columns whose footer stats the manifest tracks."""
+    (z-order on the key columns — a single column ⇒ a range sort, so
+    every file owns a narrow key range; a composite key ⇒ the Morton
+    interleave, so every file owns a small rectangle of the key
+    space) and commit manifest version 0. ``stats_cols`` (default:
+    the key columns) are the columns whose footer stats the manifest
+    tracks; string and date columns get typed stats and prune like
+    numeric ones."""
     root = root or manifest_root(data_path)
-    stats_cols = list(stats_cols or [key])
-    if key not in stats_cols:
-        stats_cols = [key, *stats_cols]
+    key_cols = [key] if isinstance(key, str) else list(key)
+    stats_cols = list(stats_cols or key_cols)
+    stats_cols = [
+        *key_cols, *[c for c in stats_cols if c not in key_cols]
+    ]
     fs = fs_for(spark, root)
     gen = _next_version(fs, root)
     gdir = os.path.join(
         data_path, f"base-{gen}-p{os.getpid()}-{next(_GEN_SEQ)}"
     )
-    write_zordered(df, gdir, [key], n_files=n_files)
+    write_zordered(df, gdir, key_cols, n_files=n_files)
     man = build_stats_manifest(spark, gdir, stats_cols)
     try:
-        publish_manifest(man, root, gen, keep_versions=keep_versions)
+        publish_manifest(
+            man, root, gen, keep_versions=keep_versions,
+            schema_json=df.schema.json(),
+        )
     except ConcurrentCommitError:
         fs.delete(gdir)  # a concurrent writer initialized the table
         raise
@@ -152,16 +160,92 @@ def read_version(
     survives ``keep_versions`` and its data generations survive
     vacuum's grace window. ``merge_schema`` for schema-evolved tables
     (files predating a column read it as null)."""
+    from time_series_prediction_spark.streaming.layout import (
+        version_schema,
+    )
+
     root = root or manifest_root(data_path)
+    man = _manifest_version(spark, root, version)
+    if man.select("file").first() is None:
+        # a DELETE emptied the table at this version: valid state,
+        # read as an empty frame in the recorded schema
+        empty = version_schema(spark, root, version)
+        if empty is not None:
+            return empty
+        raise ValueError(
+            f"manifest v{version} under {root} references no files "
+            "and records no schema — empty manifest, build it first"
+        )
     return apply_dv(
-        pruned_scan(
-            spark,
-            _manifest_version(spark, root, version),
-            {},
-            merge_schema=merge_schema,
-        ),
+        pruned_scan(spark, man, {}, merge_schema=merge_schema),
         version_dv(spark, root, version),
     )
+
+
+def snapshot_read(
+    spark: SparkSession,
+    data_path: str,
+    root: str | None = None,
+    merge_schema: bool = False,
+    attempts: int = 4,
+) -> tuple[int, DataFrame]:
+    """Snapshot-isolation read of the CURRENT table state: resolve
+    the newest committed version, capture the scan plan (the file
+    list is materialized from the manifest at plan time), then VERIFY
+    the resolved version is still committed — if a concurrent
+    ``keep_versions`` prune reclaimed it between resolve and capture,
+    re-resolve and recapture (bounded retries). Returns
+    ``(version, frame)`` so callers can log what they actually read.
+
+    Retention contract (why the returned plan is safe to execute):
+    once the plan is captured its file list is pinned;
+    ``vacuum_layout`` deletes only generation dirs referenced by NO
+    retained manifest version AND older than its ``grace_s`` window
+    (mtime-keyed, default 1 h) — so even if maintenance supersedes
+    and prunes this version immediately after the verify, the pinned
+    files survive at least the grace window. Run the action within
+    it; results that must outlive the window should be persisted, not
+    re-derived from a held plan."""
+    root = root or manifest_root(data_path)
+    fs = fs_for(spark, root)
+    last_err: Exception | None = None
+    for _ in range(attempts):
+        v = current_version(spark, root)
+        if v is None:
+            raise ValueError(f"no committed table under {data_path}")
+        try:
+            df = read_version(
+                spark, data_path, v, root=root, merge_schema=merge_schema
+            )
+        except Exception as e:  # noqa: BLE001 — filtered just below
+            # the version dir (or its manifest parquet) vanished
+            # between resolve and plan capture — a concurrent
+            # retention prune; re-resolve. Anything that is not a
+            # missing-path symptom is a real error and propagates.
+            msg = str(e)
+            if not any(
+                s in msg
+                for s in (
+                    "does not exist",
+                    "not available",
+                    "FileNotFound",
+                    "PATH_NOT_FOUND",
+                    "unable to discover",
+                )
+            ):
+                raise
+            last_err = e
+            continue
+        if fs.exists(os.path.join(root, f"v{v}", "_SUCCESS")):
+            return v, df
+        last_err = ValueError(
+            f"version {v} was pruned during plan capture"
+        )
+    raise RuntimeError(
+        f"could not pin a committed version under {root} after "
+        f"{attempts} attempts — retention is outpacing readers; raise "
+        "keep_versions or the vacuum grace window"
+    ) from last_err
 
 
 def _scan_files(
@@ -261,7 +345,7 @@ def version_changes(
         cdf = spark.createDataFrame([(f,) for f in common], "file string")
         man_common = man_b.join(cdf, "file", "left_semi")
         kcol = dv_delta.columns[0]
-        cand = _overlapping_files(man_common, kcol, dv_delta)
+        cand = _overlapping_files(man_common, [kcol], dv_delta)
         if cand:
             extra = spark.read.parquet(*cand).join(
                 F.broadcast(dv_delta), kcol, "left_semi"
@@ -288,46 +372,80 @@ def version_changes(
     return out
 
 
+def _key_as_stat(col: str, dtype) -> F.Column:
+    """Project a key column into the manifest's stat domain: strings
+    stay strings (typed ``vmin_s/vmax_s`` bounds), dates become
+    days-since-epoch (``manifest._encode_stat``'s encoding), numerics
+    cast to double. Timestamps get no encoding (their footer stats
+    are writer-timezone-dependent, so ``_encode_stat`` leaves those
+    files stats-blind and every file is conservatively rewritten)."""
+    from pyspark.sql.types import DateType, StringType
+
+    if isinstance(dtype, StringType):
+        return F.col(col)
+    if isinstance(dtype, DateType):
+        return F.unix_date(F.col(col)).cast("double")
+    return F.col(col).cast("double")
+
+
 def _overlapping_files(
-    man: DataFrame, key: str, keys: DataFrame
+    man: DataFrame, key_cols: list[str], keys: DataFrame
 ) -> list[str]:
-    """Files whose ``key``-column stats CAN contain one of ``keys`` —
-    the MERGE/DELETE rewrite set. Conservative on missing information:
-    a file with null/absent key stats (all-null chunk, stats-less
-    writer) or with null keys present is kept. The range join
-    broadcasts the manifest (tiny: files × stats_cols rows) against
-    the distinct keys, so selecting the rewrite set never shuffles
-    anything table-sized."""
-    kd = keys.select(F.col(key).cast("double").alias("_k")).distinct()
-    krows = man.where(F.col("col") == key)
-    ranged = (
-        F.broadcast(
-            krows.where(
-                F.col("vmin").isNotNull() & ~F.col("has_nulls")
-            ).select("file", "vmin", "vmax")
+    """Files whose stats CAN contain one of the ``keys`` tuples — the
+    MERGE/DELETE rewrite set. Per key column, a file survives when its
+    typed [vmin, vmax] (string stats for string keys, numeric for
+    numeric/date keys) contains some distinct key value; the rewrite
+    set is the INTERSECTION across key columns (a file holding tuple
+    (a, b) necessarily overlaps a on col1 AND b on col2, so the
+    intersection never misses a match — it is conservative the other
+    way only). With a composite key on a multi-column-clustered table
+    this is what makes a date-bounded MERGE rewrite only
+    date-overlapping files.
+
+    Conservative on missing information: a file with null/absent
+    stats for a key column (all-null chunk, stats-less writer,
+    unencodable type) or with null keys present is kept. Each range
+    join broadcasts the manifest (tiny: files × stats_cols rows)
+    against the distinct keys, so selecting the rewrite set never
+    shuffles anything table-sized."""
+    from pyspark.sql.types import StringType
+
+    file_sets: list[set[str]] = []
+    for kc in key_cols:
+        dt = keys.schema[kc].dataType
+        vmin, vmax = (
+            ("vmin_s", "vmax_s")
+            if isinstance(dt, StringType)
+            else ("vmin", "vmax")
         )
-        .join(
-            kd,
-            (F.col("_k") >= F.col("vmin")) & (F.col("_k") <= F.col("vmax")),
-            "left_semi",
+        kd = keys.select(_key_as_stat(kc, dt).alias("_k")).distinct()
+        krows = man.where(F.col("col") == kc)
+        usable = krows.where(
+            F.col(vmin).isNotNull() & ~F.col("has_nulls")
         )
-        .select("file")
-    )
-    # stats-blind files: no usable key stats → must assume overlap
-    blind = (
-        man.select("file")
-        .distinct()
-        .join(
-            krows.where(
-                F.col("vmin").isNotNull() & ~F.col("has_nulls")
-            ).select("file"),
-            "file",
-            "left_anti",
+        ranged = (
+            F.broadcast(usable.select("file", vmin, vmax))
+            .join(
+                kd,
+                (F.col("_k") >= F.col(vmin))
+                & (F.col("_k") <= F.col(vmax)),
+                "left_semi",
+            )
+            .select("file")
         )
-    )
-    return sorted(
-        r["file"] for r in ranged.unionByName(blind).distinct().collect()
-    )
+        # stats-blind files: no usable stats → must assume overlap
+        blind = (
+            man.select("file")
+            .distinct()
+            .join(usable.select("file"), "file", "left_anti")
+        )
+        file_sets.append(
+            {
+                r["file"]
+                for r in ranged.unionByName(blind).distinct().collect()
+            }
+        )
+    return sorted(set.intersection(*file_sets))
 
 
 def _commit_rewrite(
@@ -338,20 +456,26 @@ def _commit_rewrite(
     touched: list[str],
     rewritten: DataFrame | None,
     tag: str,
-    key: str,
+    cluster_cols: list[str],
     stats_cols: list[str],
     n_files: int,
     keep_versions: int,
+    base_version: int,
     dv: DataFrame | None = None,
 ) -> int:
     """Shared commit tail for MERGE/DELETE: write the rewrite
     generation (if it has rows), carry every untouched file's stats
-    rows by reference, CAS-publish the next manifest version. Raises
-    ``ConcurrentCommitError`` (after discarding the generation dir)
-    when another writer took the version — callers rebase and
-    retry."""
+    rows by reference, CAS-publish version ``base_version + 1`` —
+    PINNED to the version the caller's plan was read from, so any
+    commit that interleaves between plan and publish takes that
+    number first, this CAS fails, and the caller's rebase loop
+    replans over the fresh state. (Committing to whatever
+    ``_next_version`` returns at publish time would let this writer's
+    manifest silently supersede the interleaved commit — a lost
+    update.) Raises ``ConcurrentCommitError`` after discarding the
+    generation dir."""
     fs = fs_for(spark, root)
-    gen = _next_version(fs, root)
+    gen = base_version + 1
     if touched:
         tdf = spark.createDataFrame([(f,) for f in touched], "file string")
         kept = man.join(tdf, "file", "left_anti")
@@ -363,14 +487,16 @@ def _commit_rewrite(
         gdir = os.path.join(
             data_path, f"{tag}-{gen}-p{os.getpid()}-{next(_GEN_SEQ)}"
         )
-        write_zordered(rewritten, gdir, [key], n_files=n_files)
+        write_zordered(rewritten, gdir, cluster_cols, n_files=n_files)
         parts.append(build_stats_manifest(spark, gdir, stats_cols))
     new_man = parts[0]
     for p in parts[1:]:
         new_man = new_man.unionByName(p)
+    schema_json = None if rewritten is None else rewritten.schema.json()
     try:
         publish_manifest(
-            new_man, root, gen, keep_versions=keep_versions, dv=dv
+            new_man, root, gen, keep_versions=keep_versions, dv=dv,
+            schema_json=schema_json,
         )
     except ConcurrentCommitError:
         if gdir is not None:
@@ -383,7 +509,7 @@ def merge_upsert(
     spark: SparkSession,
     data_path: str,
     updates: DataFrame,
-    key: str,
+    key: str | list[str],
     stats_cols: list[str] | None = None,
     n_files: int = 4,
     root: str | None = None,
@@ -395,6 +521,14 @@ def merge_upsert(
     new-key rows are inserted. ``updates`` must carry the full table
     schema and at most one row per key (enforced — a multi-row key
     would make the merge result order-dependent).
+
+    ``key`` may be a COMPOSITE key (list of columns — e.g.
+    ``["o_orderdate", "o_orderkey"]``): matching is on the tuple, and
+    the rewrite set intersects the per-column stats overlaps, so on a
+    table clustered by (date, key) a date-bounded update batch
+    rewrites only date-overlapping files. String and date key columns
+    prune through the manifest's typed stats exactly like numeric
+    ones (UUID-keyed tables keep file granularity).
 
     Copy-on-write at file granularity: only files whose key range
     overlaps an update key are rewritten (old rows anti-joined on
@@ -408,14 +542,19 @@ def merge_upsert(
     by default: a schema mismatch is then an error, not silent
     widening."""
     root = root or manifest_root(data_path)
-    stats_cols = list(stats_cols or [key])
-    if key not in stats_cols:
-        stats_cols = [key, *stats_cols]
+    key_cols = [key] if isinstance(key, str) else list(key)
+    stats_cols = list(stats_cols or key_cols)
+    stats_cols = [
+        *key_cols, *[c for c in stats_cols if c not in key_cols]
+    ]
     if updates.isEmpty():  # no-op: don't burn a manifest version
         if current_manifest(spark, root) is None:
             raise ValueError(f"no committed table under {data_path}")
         return max(list_versions(spark, root))
-    dup = updates.groupBy(key).count().where("count > 1").limit(1).count()
+    dup = (
+        updates.groupBy(*key_cols).count().where("count > 1")
+        .limit(1).count()
+    )
     if dup:
         raise ValueError("updates carry duplicate keys — merge would "
                          "be nondeterministic; dedup upstream first")
@@ -426,13 +565,20 @@ def merge_upsert(
             raise ValueError(f"no committed table under {data_path}")
         man = _manifest_version(spark, root, v)
         dv = version_dv(spark, root, v)
-        touched = _overlapping_files(man, key, updates)
+        if dv is not None and len(key_cols) > 1:
+            raise ValueError(
+                "composite-key MERGE on a table carrying a deletion "
+                "vector is not supported (the single-column DV cannot "
+                "express tuple un-deletes) — compact the table first "
+                "to materialize the vector"
+            )
+        touched = _overlapping_files(man, key_cols, updates)
         # apply the DV to the rewrite input: tombstoned rows must not
         # be resurrected by the file rewrite
         surviving = apply_dv(
             _scan_files(spark, touched, updates, merge_schema=evolve_schema),
             dv,
-        ).join(updates.select(key), key, "left_anti")
+        ).join(updates.select(*key_cols), key_cols, "left_anti")
         rewritten = surviving.unionByName(
             updates, allowMissingColumns=evolve_schema
         )
@@ -440,7 +586,7 @@ def merge_upsert(
         new_dv = None
         if dv is not None:
             new_dv = dv.join(
-                updates.select(F.col(key).alias(dv.columns[0])),
+                updates.select(F.col(key_cols[0]).alias(dv.columns[0])),
                 dv.columns[0],
                 "left_anti",
             )
@@ -449,7 +595,8 @@ def merge_upsert(
         try:
             return _commit_rewrite(
                 spark, data_path, root, man, touched, rewritten, "merge",
-                key, stats_cols, n_files, keep_versions, dv=new_dv,
+                key_cols, stats_cols, n_files, keep_versions,
+                base_version=v, dv=new_dv,
             )
         except ConcurrentCommitError as e:
             last_err = e  # rebase: replan against the new current state
@@ -460,7 +607,7 @@ def delete_keys(
     spark: SparkSession,
     data_path: str,
     keys: DataFrame,
-    key: str,
+    key: str | list[str],
     stats_cols: list[str] | None = None,
     n_files: int = 4,
     root: str | None = None,
@@ -470,12 +617,16 @@ def delete_keys(
     primitive: files whose key range overlaps are rewritten without
     the matching rows; a rewrite left with zero rows publishes no
     file at all (the manifest simply stops referencing the old one).
-    Returns the committed version; superseded bytes persist until
-    ``vacuum_layout``, which is the actual erasure point."""
+    ``key`` may be composite (tuple matching, per-column stats
+    pruning — see ``merge_upsert``). Returns the committed version;
+    superseded bytes persist until ``vacuum_layout``, which is the
+    actual erasure point."""
     root = root or manifest_root(data_path)
-    stats_cols = list(stats_cols or [key])
-    if key not in stats_cols:
-        stats_cols = [key, *stats_cols]
+    key_cols = [key] if isinstance(key, str) else list(key)
+    stats_cols = list(stats_cols or key_cols)
+    stats_cols = [
+        *key_cols, *[c for c in stats_cols if c not in key_cols]
+    ]
     last_err: ConcurrentCommitError | None = None
     for _ in range(_MAX_COMMIT_ATTEMPTS):
         v = current_version(spark, root)
@@ -483,16 +634,17 @@ def delete_keys(
             raise ValueError(f"no committed table under {data_path}")
         man = _manifest_version(spark, root, v)
         dv = version_dv(spark, root, v)
-        touched = _overlapping_files(man, key, keys)
+        touched = _overlapping_files(man, key_cols, keys)
         if not touched:  # nothing can match — commit nothing
             return max(list_versions(spark, root))
         surviving = apply_dv(spark.read.parquet(*touched), dv).join(
-            keys.select(key).distinct(), key, "left_anti"
+            keys.select(*key_cols).distinct(), key_cols, "left_anti"
         )
         try:
             return _commit_rewrite(
                 spark, data_path, root, man, touched, surviving, "delete",
-                key, stats_cols, n_files, keep_versions, dv=dv,
+                key_cols, stats_cols, n_files, keep_versions,
+                base_version=v, dv=dv,
             )
         except ConcurrentCommitError as e:
             last_err = e  # rebase: replan against the new current state
@@ -534,7 +686,9 @@ def delete_keys_dv(
             .unionByName(add)
             .distinct()
         )
-        gen = _next_version(fs_for(spark, root), root)
+        # pinned to v+1: an interleaved commit CAS-fails this one and
+        # the loop re-reads — never a lost update (see _commit_rewrite)
+        gen = v + 1
         try:
             publish_manifest(
                 man, root, gen, keep_versions=keep_versions, dv=new_dv
@@ -587,6 +741,7 @@ def maintain_table(
     target_files: int = 8,
     grace_s: float = 3600.0,
     root: str | None = None,
+    keep_versions: int = 2,
 ) -> dict[str, object]:
     """The periodic OPTIMIZE+VACUUM policy every ingesting table
     needs: when the committed file count exceeds ``max_files``
@@ -606,14 +761,23 @@ def maintain_table(
         raise ValueError(f"no committed table under {data_path}")
     n_files = man.select("file").distinct().count()
     compacted = None
+    conflict = False
     if n_files > max_files:
-        compacted = compact_layout(
-            spark, data_path, zcols, n_files=target_files, root=root
-        )
+        try:
+            compacted = compact_layout(
+                spark, data_path, zcols, n_files=target_files, root=root,
+                keep_versions=keep_versions,
+            )
+        except ConcurrentCommitError:
+            # sustained writer pressure starved compaction's bounded
+            # rebase loop — maintenance is best-effort and periodic,
+            # so report and still vacuum rather than aborting
+            conflict = True
     removed = vacuum_layout(spark, data_path, root=root, grace_s=grace_s)
     return {
         "n_files_before": n_files,
         "compacted_to": compacted,
+        "compaction_conflict": conflict,
         "vacuumed": removed,
     }
 

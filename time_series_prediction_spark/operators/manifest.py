@@ -27,8 +27,13 @@ from pyspark.sql import functions as F
 
 _MANIFEST_SCHEMA = (
     "file string, col string, n_rows long, vmin double, vmax double, "
-    "has_nulls boolean"
+    "has_nulls boolean, vmin_s string, vmax_s string"
 )
+
+# bumped whenever the manifest row schema changes; layout caches fold
+# it into their identity so a cache persisted under an older format
+# rebuilds instead of failing schema comparisons
+MANIFEST_FORMAT = "mf2"
 
 
 def _is_data_file(rel: str) -> bool:
@@ -125,12 +130,12 @@ def _resolve_base(path: str, spark: SparkSession | None = None) -> str:
     return os.path.abspath(path).rstrip("/")
 
 
-def _partition_values(rel: str) -> dict[str, float]:
-    """Numeric partition-column values parsed from a Hive-style
-    relative path (``x=5/y=2/part-0.parquet`` → {x: 5.0, y: 2.0}).
-    Non-numeric values are skipped (the double-typed manifest cannot
-    represent them; skipping only disables pruning on that column)."""
-    out: dict[str, float] = {}
+def _partition_values(rel: str) -> dict[str, object]:
+    """Partition-column values parsed from a Hive-style relative path
+    (``x=5/y=a/part-0.parquet`` → {x: 5.0, y: 'a'}): numeric values
+    land in the double stats columns, everything else in the string
+    ones — so string partition keys prune like numeric ones."""
+    out: dict[str, object] = {}
     for comp in rel.split("/")[:-1]:
         if "=" not in comp:
             continue
@@ -138,8 +143,41 @@ def _partition_values(rel: str) -> dict[str, float]:
         try:
             out[k] = float(v)
         except ValueError:
-            continue
+            out[k] = v
     return out
+
+
+def _encode_stat(v: object) -> tuple[str, object] | None:
+    """Map a parquet row-group statistic to the manifest's typed
+    bounds: ``('n', float)`` for numeric kinds, ``('s', str)`` for
+    string kinds, or None when no faithful order-preserving encoding
+    exists (timestamps with writer-dependent timezone handling,
+    decimals stored as FLBA, undecodable bytes) — the file then stays
+    stats-blind on that column, which only disables skipping, never
+    correctness.
+
+    Date values encode as days-since-epoch, matching Spark's
+    ``unix_date``; UTF-8 bytes decode to ``str`` (Python's code-point
+    order == UTF-8 byte order == Spark's UTF8String binary order, so
+    the three comparers agree)."""
+    import datetime as _dt
+
+    if isinstance(v, bool):
+        return ("n", float(v))
+    if isinstance(v, (int, float)):
+        return ("n", float(v))
+    if isinstance(v, _dt.datetime):  # tz semantics vary by writer
+        return None
+    if isinstance(v, _dt.date):
+        return ("n", float((v - _dt.date(1970, 1, 1)).days))
+    if isinstance(v, str):
+        return ("s", v)
+    if isinstance(v, bytes):
+        try:
+            return ("s", v.decode("utf-8"))
+        except UnicodeDecodeError:
+            return None
+    return None
 
 
 def _footer_stats(
@@ -172,30 +210,44 @@ def _footer_stats(
                     pvals = _partition_values(f[len(base_n) + 1:])
                 for c in want:
                     if c in pvals and c not in idx:
-                        v = pvals[c]
-                        out.append((f, c, meta.num_rows, v, v, False))
+                        kind, v = _encode_stat(pvals[c])
+                        row = (
+                            (f, c, meta.num_rows, v, v, False, None, None)
+                            if kind == "n"
+                            else (f, c, meta.num_rows, None, None, False, v, v)
+                        )
+                        out.append(row)
                         continue
                     if c not in idx:
                         continue
-                    mn = mx = None
+                    mn = mx = None  # numeric bounds
+                    mns = mxs = None  # string bounds
                     nulls = False
                     for g in range(meta.num_row_groups):
                         st = meta.row_group(g).column(idx[c]).statistics
-                        if st is None or st.min is None:
+                        if st is None or not st.has_min_max:
                             nulls = True
                             continue
-                        vmin, vmax = float(st.min), float(st.max)
-                        mn = vmin if mn is None else min(mn, vmin)
-                        mx = vmax if mx is None else max(mx, vmax)
+                        lo, hi = _encode_stat(st.min), _encode_stat(st.max)
+                        if lo is None or hi is None or lo[0] != hi[0]:
+                            nulls = True  # no faithful encoding → blind
+                            continue
+                        if lo[0] == "n":
+                            mn = lo[1] if mn is None else min(mn, lo[1])
+                            mx = hi[1] if mx is None else max(mx, hi[1])
+                        else:
+                            mns = lo[1] if mns is None else min(mns, lo[1])
+                            mxs = hi[1] if mxs is None else max(mxs, hi[1])
                         if st.null_count:
                             nulls = True
                     out.append(
-                        (f, c, meta.num_rows, mn, mx, nulls)
+                        (f, c, meta.num_rows, mn, mx, nulls, mns, mxs)
                     )
             yield pd.DataFrame(
                 out,
                 columns=[
-                    "file", "col", "n_rows", "vmin", "vmax", "has_nulls"
+                    "file", "col", "n_rows", "vmin", "vmax", "has_nulls",
+                    "vmin_s", "vmax_s",
                 ],
             )
 
@@ -272,23 +324,28 @@ def build_stats_manifest_for_files(
 
 
 def prune_files(
-    manifest: DataFrame, predicates: dict[str, tuple[float, float]]
+    manifest: DataFrame, predicates: dict[str, tuple[object, object]]
 ) -> list[str]:
     """Files that might contain rows matching ALL [lo, hi] range
     predicates: a file survives unless some predicate column's stats
     EXCLUDE the range (stats-missing columns keep the file — skipping
-    is only ever an optimization). The collect is file PATHS after
-    pruning — the same driver-side list any format's scan planner
+    is only ever an optimization). String bounds (``lo`` a ``str``)
+    test against the typed ``vmin_s/vmax_s`` stats, numeric bounds
+    against ``vmin/vmax``. The collect is file PATHS after pruning —
+    the same driver-side list any format's scan planner
     materializes."""
     if not predicates:
         return [r["file"] for r in manifest.select("file").distinct().collect()]
     excluded = None
     for c, (lo, hi) in predicates.items():
+        vmin, vmax = (
+            ("vmin_s", "vmax_s") if isinstance(lo, str) else ("vmin", "vmax")
+        )
         miss = (
             (F.col("col") == c)
-            & F.col("vmin").isNotNull()
+            & F.col(vmin).isNotNull()
             & ~F.col("has_nulls")
-            & ((F.col("vmax") < F.lit(lo)) | (F.col("vmin") > F.lit(hi)))
+            & ((F.col(vmax) < F.lit(lo)) | (F.col(vmin) > F.lit(hi)))
         )
         excluded = miss if excluded is None else (excluded | miss)
     bad = manifest.where(excluded).select("file").distinct()

@@ -50,13 +50,35 @@ def _interleave_sql(rank_cols: list[str], bits: int) -> str:
     )
 
 
+def _rank_source(df: DataFrame, c: str) -> Column:
+    """The numeric ordering key the Morton rank normalizes: numerics
+    cast to double, dates to days-since-epoch, and strings to their
+    7-byte binary prefix read as a big-endian integer — an
+    order-preserving embedding (zero-padded, so shorter strings sort
+    before their extensions, matching lexicographic byte order), which
+    is all a LAYOUT needs: rows with nearby prefixes land in the same
+    files and the per-file typed string stats stay narrow."""
+    from pyspark.sql.types import DateType, StringType
+
+    dt = df.schema[c].dataType
+    if isinstance(dt, StringType):
+        return F.expr(
+            f"CAST(conv(hex(substring(rpad(CAST(`{c}` AS BINARY), 7, "
+            f"x'00'), 1, 7)), 16, 10) AS DOUBLE)"
+        )
+    if isinstance(dt, DateType):
+        return F.unix_date(F.col(c)).cast("double")
+    return F.col(c).cast("double")
+
+
 def zorder_code(
     df: DataFrame, cols: list[str], bits: int = 16
 ) -> tuple[DataFrame, Column]:
-    """Attach a Morton code over ``cols`` (numeric or castable to
-    double). Ranks are min/max-normalized to ``bits``-wide integers —
-    one tiny agg collect (2·n_cols values) feeds literals into the
-    expression, so the code computation itself is one narrow pass.
+    """Attach a Morton code over ``cols`` (numeric, date, or string —
+    see ``_rank_source``). Ranks are min/max-normalized to
+    ``bits``-wide integers — one tiny agg collect (2·n_cols values)
+    feeds literals into the expression, so the code computation
+    itself is one narrow pass.
 
     Returns (df_with_helper_cols, code_column). ``bits`` caps at
     63 // n_cols so the interleaved code fits a signed long.
@@ -65,8 +87,8 @@ def zorder_code(
         raise ValueError("zorder_code needs at least one column")
     bits = min(bits, 63 // len(cols))
     stats = df.agg(
-        *[F.min(F.col(c).cast("double")).alias(f"_mn_{c}") for c in cols],
-        *[F.max(F.col(c).cast("double")).alias(f"_mx_{c}") for c in cols],
+        *[F.min(_rank_source(df, c)).alias(f"_mn_{c}") for c in cols],
+        *[F.max(_rank_source(df, c)).alias(f"_mx_{c}") for c in cols],
     ).first()
     rank_cols = []
     out = df
@@ -87,7 +109,7 @@ def zorder_code(
             F.least(
                 F.lit(top).cast("long"),
                 F.floor(
-                    (F.col(c).cast("double") - F.lit(mn))
+                    (_rank_source(df, c) - F.lit(mn))
                     / F.lit(span)
                     * (top + 1)
                 ).cast("long"),

@@ -25,6 +25,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from time_series_prediction_spark.operators.manifest import (
+    MANIFEST_FORMAT,
+)
 from time_series_prediction_spark.sources.io import read_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -142,7 +145,10 @@ GROUP BY lang
 # composed validate → WAP → z-append landing (round 7, brief #5)
 # --------------------------------------------------------------------------
 
-_LH_SPEC = f"lh1|{_MIN_CHARS}|{_MAX_CHARS}|{','.join(_KNOWN_LANGS)}"
+_LH_SPEC = (
+    f"lh1|{_MIN_CHARS}|{_MAX_CHARS}|{','.join(_KNOWN_LANGS)}"
+    f"|{MANIFEST_FORMAT}"
+)
 _LH_PRED = {"n_chars": (100.0, 400.0)}
 
 

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from time_series_prediction_spark.operators.manifest import (
+    MANIFEST_FORMAT,
     build_stats_manifest,
     pruned_scan,
 )
@@ -90,7 +91,10 @@ def _layout_ident(fs: Fs, src: str) -> str:
     st = fs.status(src)
     if st is None:
         raise FileNotFoundError(src)
-    gen = f"{','.join(_LAYOUT_COLS)}|{','.join(_ZCOLS)}|{_N_FILES}"
+    gen = (
+        f"{','.join(_LAYOUT_COLS)}|{','.join(_ZCOLS)}|{_N_FILES}"
+        f"|{MANIFEST_FORMAT}"
+    )
     return f"{fs.qualified(src)}|{st[0]}|{st[1]}|{gen}"
 
 
@@ -246,7 +250,10 @@ def events_streamed_layout(spark: SparkSession, sf_dir: str) -> str:
     st = fs.status(src)
     if st is None:
         raise FileNotFoundError(src)
-    gen = f"stream|{','.join(_LAYOUT_COLS)}|{','.join(_ZCOLS)}"
+    gen = (
+        f"stream|{','.join(_LAYOUT_COLS)}|{','.join(_ZCOLS)}"
+        f"|{MANIFEST_FORMAT}"
+    )
     ident = f"{fs.qualified(src)}|{st[0]}|{st[1]}|{gen}"
     key = hashlib.md5(ident.encode()).hexdigest()[:16]
     path = os.path.join(root, f"events_s_{key}")

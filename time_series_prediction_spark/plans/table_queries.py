@@ -57,6 +57,9 @@ from time_series_prediction_spark.operators.cow import (
     read_version,
     version_changes,
 )
+from time_series_prediction_spark.operators.manifest import (
+    MANIFEST_FORMAT,
+)
 from time_series_prediction_spark.sources.fsops import fs_for
 from time_series_prediction_spark.sources.io import read_table
 from time_series_prediction_spark.streaming.layout import (
@@ -66,7 +69,7 @@ from time_series_prediction_spark.streaming.layout import (
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-_SPEC = "cow-orders|v4|13band10|101|17|8"
+_SPEC = f"cow-orders|v4|13band10|101|17|8|{MANIFEST_FORMAT}"
 _KEEP = 20
 _INSERT_SHIFT = 100_000_000
 
@@ -133,33 +136,36 @@ def _reprefix_manifests(
         if not (name.startswith("v") and name[1:].isdigit()):
             continue
         vdir = os.path.join(root, name)
-        rows = spark.read.parquet(vdir).collect()
-        # the deletion vector (keys only, no paths) must survive the
-        # in-place rewrite: collect it BEFORE the overwrite wipes the
-        # version dir, restore it after
+        mdf = spark.read.parquet(vdir)
+        schema, rows = mdf.schema, mdf.collect()
+        # sidecars (deletion vector, recorded schema — keys/JSON only,
+        # no paths) must survive the in-place rewrite: collect them
+        # BEFORE the overwrite wipes the version dir, restore after
         dv_rows = dv_schema = None
         dvdir = os.path.join(vdir, "_dv")
         if fs.exists(os.path.join(dvdir, "_SUCCESS")):
             dvdf = spark.read.parquet(dvdir)
             dv_rows, dv_schema = dvdf.collect(), dvdf.schema
-        fixed = [
-            (
-                new_data + r["file"][len(old_data):]
-                if r["file"].startswith(old_data)
-                else r["file"],
-                r["col"], r["n_rows"], r["vmin"], r["vmax"], r["has_nulls"],
-            )
-            for r in rows
-        ]
-        spark.createDataFrame(
-            fixed,
-            "file string, col string, n_rows long, vmin double, "
-            "vmax double, has_nulls boolean",
-        ).coalesce(1).write.mode("overwrite").parquet(vdir)
+        schema_txt = None
+        spath = os.path.join(vdir, "_schema.json")
+        if fs.exists(spath):
+            schema_txt = fs.read_text(spath)
+        names = [f.name for f in schema.fields]
+        fixed = []
+        for r in rows:
+            d = r.asDict()
+            if d["file"].startswith(old_data):
+                d["file"] = new_data + d["file"][len(old_data):]
+            fixed.append(tuple(d[n] for n in names))
+        spark.createDataFrame(fixed, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(vdir)
         if dv_rows is not None:
             spark.createDataFrame(dv_rows, dv_schema).coalesce(1).write.mode(
                 "overwrite"
             ).parquet(dvdir)
+        if schema_txt is not None:
+            fs.write_text(spath, schema_txt)
 
 
 def orders_cow_layout(spark: SparkSession, sf_dir: str) -> str:
@@ -539,7 +545,118 @@ SELECT 2, 'delete', (SELECT n FROM npurged)
 """
 
 
-_DV_SPEC = "dv-orders|v1|23|8"
+_STR_SPEC = f"cowstr-orders|v1|31band10|8|{MANIFEST_FORMAT}"
+
+
+def orders_cow_string_layout(spark: SparkSession, sf_dir: str) -> str:
+    """A cow table keyed by a STRING primary key (the UUID-shaped
+    ``'K' || lpad(o_orderkey, 12, '0')`` — zero-padded so string
+    order == numeric order and DuckDB reproduces every state), with
+    one MERGE confined to the lowest tenth of the key space. The
+    typed vmin_s/vmax_s manifest stats are what keep this merge
+    file-granular (a double-only manifest would be stats-blind on
+    every file and rewrite the whole table); the carried-by-reference
+    economy is asserted in tests, the row-level result here by the
+    oracle. Cached per fixture content."""
+    src = os.path.join(sf_dir, "orders.parquet")
+    root = os.path.join(tempfile.gettempdir(), "tsp_layouts")
+    fs = fs_for(spark, root)
+    st = fs.status(src)
+    if st is None:
+        raise FileNotFoundError(src)
+    ident = f"{fs.qualified(src)}|{st[0]}|{st[1]}|{_STR_SPEC}"
+    key = hashlib.md5(ident.encode()).hexdigest()[:16]
+    path = os.path.join(root, f"orders_cowstr_{key}")
+    with _build_lock(path):
+        if fs.exists(os.path.join(path, "_IDENT")):
+            return os.path.join(path, "data")
+        tmp = f"{path}.build-{os.getpid()}"
+        fs.delete(tmp)
+        data = os.path.join(tmp, "data")
+        base = _orders_state(spark, sf_dir).select(
+            F.concat(
+                F.lit("K"),
+                F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+            ).alias("o_key"),
+            "o_orderstatus",
+            "price_cents",
+            "o_orderpriority",
+            "o_orderkey",
+        )
+        init_table(
+            spark, data, base, key="o_key", n_files=8,
+            keep_versions=_KEEP,
+        )
+        mx = base.agg(F.max("o_orderkey")).first()[0]
+        updates = base.where(
+            f"o_orderkey % 31 = 0 AND o_orderkey * 10 <= {mx}"
+        ).select(
+            "o_key",
+            F.lit("S").alias("o_orderstatus"),
+            (F.col("price_cents") + F.lit(55_555)).alias("price_cents"),
+            "o_orderpriority",
+            "o_orderkey",
+        )
+        merge_upsert(
+            spark, data, updates, key="o_key", keep_versions=_KEEP
+        )
+        final_data = os.path.join(path, "data")
+        from time_series_prediction_spark.operators.manifest import (
+            _resolve_base,
+        )
+
+        _reprefix_manifests(
+            spark, manifest_root(data), _resolve_base(data, spark),
+            final_data,
+        )
+        fs.write_text(os.path.join(tmp, "_IDENT"), ident)
+        if not fs.publish_dir(tmp, path):
+            fs.delete(tmp)
+    return os.path.join(path, "data")
+
+
+def orders_cow_string_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final state of the string-keyed cow table after the banded
+    MERGE — grouped by status so the oracle pins every mutated cent.
+    The min/max key bounds additionally pin that the STRING key
+    column itself survived the rewrite path byte-exactly."""
+    data = orders_cow_string_layout(spark, sf_dir)
+    return (
+        read_committed(spark, data)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("price_cents").cast("long").alias("total_cents"),
+            F.min("o_key").alias("min_key"),
+            F.max("o_key").alias("max_key"),
+        )
+    )
+
+
+ORDERS_COW_STRING_SQL = """
+WITH mx AS (SELECT max(o_orderkey) AS mk FROM orders),
+state AS (
+    SELECT 'K' || lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS o_key,
+           CASE WHEN o_orderkey % 31 = 0
+                 AND o_orderkey * 10 <= (SELECT mk FROM mx)
+                THEN 'S' ELSE o_orderstatus END AS st,
+           CAST(round(o_totalprice * 100) AS BIGINT)
+             + CASE WHEN o_orderkey % 31 = 0
+                     AND o_orderkey * 10 <= (SELECT mk FROM mx)
+                    THEN 55555 ELSE 0 END AS cents
+    FROM orders
+)
+SELECT st AS o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       min(o_key) AS min_key,
+       max(o_key) AS max_key
+FROM state
+GROUP BY st
+"""
+
+
+_DV_SPEC = f"dv-orders|v1|23|8|{MANIFEST_FORMAT}"
 
 
 def orders_dv_layout(spark: SparkSession, sf_dir: str) -> str:
@@ -615,7 +732,7 @@ GROUP BY o_orderstatus
 """
 
 
-_CDC_SPEC = "cdc-orders|v1|13|19|8"
+_CDC_SPEC = f"cdc-orders|v1|13|19|8|{MANIFEST_FORMAT}"
 
 
 def orders_cdc_stream_layout(spark: SparkSession, sf_dir: str) -> str:
@@ -743,6 +860,10 @@ TABLE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "orders_dv_scan": (
         orders_dv_scan,
         ORDERS_DV_SCAN_SQL,
+    ),
+    "orders_cow_string_scan": (
+        orders_cow_string_scan,
+        ORDERS_COW_STRING_SQL,
     ),
     "orders_cow_feed": (
         orders_cow_feed,

@@ -80,6 +80,7 @@ def publish_manifest(
     version: int,
     keep_versions: int = 2,
     dv: DataFrame | None = None,
+    schema_json: str | None = None,
 ) -> str:
     """Commit ``man`` as ``root/v{version}`` via stage + atomic
     compare-and-swap rename — the optimistic-concurrency commit:
@@ -116,6 +117,11 @@ def publish_manifest(
         dv.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(staged, "_dv")
         )
+    if schema_json is not None:
+        # the table schema rides inside the version dir so a version
+        # whose manifest references ZERO files (a DELETE emptied the
+        # table) still reads as an empty TYPED frame, not an error
+        fs.write_text(os.path.join(staged, "_schema.json"), schema_json)
     if not fs.publish_dir(staged, final):
         fs.delete(staged)
         raise ConcurrentCommitError(
@@ -196,6 +202,25 @@ def version_dv(
     return None if not dv.columns else dv
 
 
+def version_schema(
+    spark: SparkSession, root: str, version: int
+) -> DataFrame | None:
+    """The empty TYPED frame for the schema recorded with
+    ``v{version}`` (written by cow commits), or None when the version
+    predates schema recording. This is what makes a table whose last
+    DELETE removed every row still readable."""
+    import json
+
+    from pyspark.sql.types import StructType
+
+    p = os.path.join(root, f"v{version}", "_schema.json")
+    fs = fs_for(spark, root)
+    if not fs.exists(p):
+        return None
+    st = StructType.fromJson(json.loads(fs.read_text(p)))
+    return spark.createDataFrame([], st)
+
+
 def apply_dv(df: DataFrame, dv: DataFrame | None) -> DataFrame:
     """Merge-on-read: hide DV keys from a scan (anti join on the DV's
     own key column — broadcast-sized by construction)."""
@@ -261,7 +286,17 @@ def commit_zordered_batch(
     root = root or manifest_root(data_path)
     bdir = os.path.join(data_path, f"batch-{batch_id}")
     write_zordered(batch_df, bdir, zcols, n_files=n_files)
-    prev = current_manifest(spark, root)
+    # resolve the base version ONCE and commit to exactly base+1: if
+    # anything else commits in between, the CAS fails loudly instead
+    # of silently superseding the interleaved manifest (streaming
+    # sinks are single-writer by construction, so this never fires in
+    # the steady state — it turns a misconfiguration into an error)
+    base_v = current_version(spark, root)
+    prev = (
+        None
+        if base_v is None
+        else spark.read.parquet(os.path.join(root, f"v{base_v}"))
+    )
     fresh = build_stats_manifest(spark, bdir, zcols)
     if prev is None:
         # bootstrap: fold in whatever already lives in the table
@@ -279,7 +314,7 @@ def commit_zordered_batch(
         rbdir = _resolve_base(bdir, spark)
         kept = prev.where(~F.col("file").startswith(rbdir + "/"))
         man = kept.unionByName(fresh)
-    publish_manifest(man, root, _next_version(fs_for(spark, root), root))
+    publish_manifest(man, root, (-1 if base_v is None else base_v) + 1)
     return bdir
 
 
@@ -289,6 +324,7 @@ def compact_layout(
     zcols: list[str],
     n_files: int = 8,
     root: str | None = None,
+    keep_versions: int = 2,
 ) -> str | None:
     """OPTIMIZE: rewrite every file the current manifest commits to —
     the small per-batch generations streaming accumulates — into one
@@ -301,21 +337,50 @@ def compact_layout(
 
     This resets the cross-batch curve overlap ``append_zordered``'s
     per-batch normalization accumulates — the periodic re-optimize
-    every lakehouse runs."""
+    every lakehouse runs.
+
+    Concurrency: the commit is PINNED to ``v + 1`` where ``v`` is the
+    version the file set and deletion vector were read from — any
+    writer that lands in between (a merge, a DV delete) takes v+1
+    first, this compaction's CAS fails, and the loop re-reads the new
+    state and replans. Committing to a later number instead would
+    silently drop the interleaved commit (and a dropped DV would
+    RESURRECT its tombstoned rows)."""
     root = root or manifest_root(data_path)
-    v = current_version(spark, root)
-    if v is None:
-        return None
-    man = spark.read.parquet(os.path.join(root, f"v{v}"))
-    files = prune_files(man, {})
-    gen = _next_version(fs_for(spark, root), root)
-    cdir = os.path.join(data_path, f"compact-{gen}")
-    # materialize any deletion vector: the compacted generation holds
-    # only VISIBLE rows and the new version carries no DV
-    rows = apply_dv(spark.read.parquet(*files), version_dv(spark, root, v))
-    write_zordered(rows, cdir, zcols, n_files=n_files)
-    publish_manifest(build_stats_manifest(spark, cdir, zcols), root, gen)
-    return cdir
+    fs = fs_for(spark, root)
+    last_err: ConcurrentCommitError | None = None
+    for _ in range(4):
+        v = current_version(spark, root)
+        if v is None:
+            return None
+        man = spark.read.parquet(os.path.join(root, f"v{v}"))
+        files = prune_files(man, {})
+        gen = v + 1  # pinned: CAS-fails if anyone commits after our read
+        if not files:
+            return None  # nothing to compact (emptied table)
+        cdir = os.path.join(
+            data_path,
+            f"compact-{gen}-p{os.getpid()}-{next(_COMPACT_SEQ)}",
+        )
+        # materialize any deletion vector: the compacted generation
+        # holds only VISIBLE rows and the new version carries no DV
+        rows = apply_dv(
+            spark.read.parquet(*files), version_dv(spark, root, v)
+        )
+        write_zordered(rows, cdir, zcols, n_files=n_files)
+        try:
+            publish_manifest(
+                build_stats_manifest(spark, cdir, zcols), root, gen,
+                keep_versions=keep_versions,
+            )
+            return cdir
+        except ConcurrentCommitError as e:
+            fs.delete(cdir)  # lost attempt's data — never referenced
+            last_err = e  # rebase: replan over the new current state
+    raise last_err
+
+
+_COMPACT_SEQ = _itertools.count()
 
 
 def vacuum_layout(
@@ -324,11 +389,18 @@ def vacuum_layout(
     root: str | None = None,
     grace_s: float = 3600.0,
 ) -> list[str]:
-    """Reclaim data generations no longer referenced by the CURRENT
-    manifest version (superseded by compaction), keeping anything
-    younger than ``grace_s`` — the retention window protecting
-    readers still holding an older manifest version and concurrent
-    in-flight writes. Returns the removed directories.
+    """Reclaim data generations referenced by NO retained manifest
+    version (superseded by compaction/rewrite beyond the retention
+    window), keeping anything younger than ``grace_s`` — the grace
+    protects readers that resolved a version just before it was
+    pruned, and concurrent in-flight writes. Returns the removed
+    directories.
+
+    The referenced set is the UNION over every retained committed
+    version's file list — ``keep_versions`` retains old manifests
+    precisely so time travel and CDC can read them, and a vacuum that
+    honored only the newest would delete files those reads still
+    need. The union costs ≤ keep_versions tiny manifest scans.
 
     Deletion runs through the Hadoop FileSystem API, so the same loop
     reclaims local dirs, HDFS dirs, or object-store prefixes."""
@@ -336,10 +408,19 @@ def vacuum_layout(
 
     root = root or manifest_root(data_path)
     fs = fs_for(spark, data_path)
-    man = current_manifest(spark, root)
-    if man is None:
+    rfs = fs_for(spark, root)
+    referenced: set[str] = set()
+    n_versions = 0
+    for name in rfs.list_names(root):
+        if not (name.startswith("v") and name[1:].isdigit()):
+            continue
+        vdir = os.path.join(root, name)
+        if not rfs.exists(os.path.join(vdir, "_SUCCESS")):
+            continue
+        n_versions += 1
+        referenced.update(prune_files(spark.read.parquet(vdir), {}))
+    if not n_versions:
         return []
-    referenced = set(prune_files(man, {}))
     removed = []
     for name in sorted(fs.list_names(data_path)):
         if name.startswith(("_", ".")):
@@ -377,6 +458,16 @@ def read_committed(
     if v is None:
         raise ValueError(f"no committed manifest under {root}")
     man = spark.read.parquet(os.path.join(root, f"v{v}"))
+    if man.select("file").first() is None:
+        # a DELETE emptied the table: zero files is a valid state —
+        # read it as an empty frame in the recorded schema
+        empty = version_schema(spark, root, v)
+        if empty is not None:
+            return empty
+        raise ValueError(
+            f"manifest v{v} under {root} references no files and "
+            "records no schema — empty manifest, build it first"
+        )
     return apply_dv(
         pruned_scan(spark, man, {}, merge_schema=merge_schema),
         version_dv(spark, root, v),

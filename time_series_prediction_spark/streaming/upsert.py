@@ -118,6 +118,9 @@ def cdc_apply_sink(
     bootstrap_n_files: int = 8,
     root: str | None = None,
     keep_versions: int = 2,
+    maintain_max_files: int | None = None,
+    maintain_target_files: int = 8,
+    maintain_grace_s: float = 3600.0,
 ):
     """``foreachBatch`` body applying a FULL change stream — upserts
     and deletes — to the cow table. Per batch: last-writer-wins per
@@ -127,9 +130,30 @@ def cdc_apply_sink(
     (metadata cost however scattered the deleted keys are —
     ``operators/cow.delete_keys_dv``). Replays are state-idempotent:
     re-merging the same upserts rewrites identical rows, re-adding
-    the same tombstones is a set union. Compaction later materializes
-    the accumulated vectors (``operators/cow.maintain_table``)."""
-    from time_series_prediction_spark.operators.cow import delete_keys_dv
+    the same tombstones is a set union.
+
+    Compaction policy: a long-running stream accretes one MERGE + one
+    DV commit per micro-batch. With ``maintain_max_files`` set, the
+    sink runs ``operators/cow.maintain_table`` after any batch that
+    leaves more committed files than the threshold — OPTIMIZE
+    (materializing accumulated deletion vectors, resetting the file
+    count to ``maintain_target_files``) then vacuum of generations
+    unreferenced by every retained version and older than
+    ``maintain_grace_s`` — so file count and on-disk footprint stay
+    bounded however long the stream runs. The maintenance commit uses
+    the same pinned-version CAS as every other writer; the sink is
+    single-threaded per stream, so it never races its own merges.
+    Default off: tables maintained on an external cadence shouldn't
+    pay compaction inside the ingest path.
+
+    Rows with a NULL ``op_col`` are an error, not a silent drop: a
+    null op matches neither the upsert nor the delete branch, and a
+    CDC row that vanishes without trace is the worst failure mode a
+    change pipeline can have."""
+    from time_series_prediction_spark.operators.cow import (
+        delete_keys_dv,
+        maintain_table,
+    )
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -138,6 +162,13 @@ def cdc_apply_sink(
         if seq_col is not None:
             batch_df = dedup_last_writer(batch_df, key, seq_col)
             batch_df = batch_df.drop(seq_col)
+        if not batch_df.where(F.col(op_col).isNull()).isEmpty():
+            raise ValueError(
+                f"CDC batch {batch_id} carries rows with NULL "
+                f"{op_col!r} — they would match neither the upsert "
+                "nor the delete branch and silently vanish; fix the "
+                "feed or map nulls to an explicit op upstream"
+            )
         ups = batch_df.where(F.col(op_col) != F.lit(delete_op)).drop(op_col)
         dels = batch_df.where(F.col(op_col) == F.lit(delete_op)).select(key)
         mroot = root or manifest_root(data_path)
@@ -157,6 +188,14 @@ def cdc_apply_sink(
         if not dels.isEmpty():
             delete_keys_dv(
                 spark, data_path, dels, key=key, root=mroot,
+                keep_versions=keep_versions,
+            )
+        if maintain_max_files is not None:
+            maintain_table(
+                spark, data_path, zcols=[key],
+                max_files=maintain_max_files,
+                target_files=maintain_target_files,
+                grace_s=maintain_grace_s, root=mroot,
                 keep_versions=keep_versions,
             )
 
