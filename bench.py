@@ -61,6 +61,26 @@ def main() -> None:
 
     spark.range(1000).select(_noop(F.col("id"))).count()
 
+    # The scalar warm-up does NOT cover groupBy().applyInPandas: the
+    # FlatMapGroupsInPandas plan shape compiles its own codegen units
+    # and exercises a different worker entry, and its ~1-2 s one-time
+    # cost otherwise lands on whichever registry query happens to use
+    # it first in alphabetical order (measured: doc_packing_stats
+    # 0.58 s -> 1.92 s between rounds 6 and 7 purely because the
+    # previously-first Python group stage went JVM-native).
+    import pandas as _pd
+
+    def _ident(pdf: "_pd.DataFrame") -> "_pd.DataFrame":
+        return pdf
+
+    (
+        spark.range(10_000)
+        .withColumn("g", F.col("id") % 32)
+        .groupBy("g")
+        .applyInPandas(_ident, "id long, g long")
+        .count()
+    )
+
     times: dict[str, float] = {}
     for name in sorted(queries):
         fn = queries[name]
