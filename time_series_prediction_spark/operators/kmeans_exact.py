@@ -121,6 +121,26 @@ def _argmin_expr(cents_literal: str) -> str:
     )
 
 
+def _fit(
+    emb: DataFrame,
+    n_cells: int,
+    sample_cap: int,
+    n_iters: int,
+) -> tuple[list[tuple[int, list[int], int]], DataFrame, np.ndarray]:
+    """Train the exact-integer cells on the bounded deterministic
+    sample; returns (centroids, quantized corpus frame, sample
+    matrix) — the matrix so PQ codebook training reuses the same
+    collected sample."""
+    q = emb.select("vec_id", quantize("embedding").alias("qv"))
+    sample = (
+        q.where(F.col("vec_id") < sample_cap)
+        .orderBy("vec_id")
+        .collect()
+    )
+    V = np.array([r.qv for r in sample], dtype=np.int64)
+    return _train(V, n_cells, n_iters), q, V
+
+
 def lloyd_assign(
     emb: DataFrame,
     n_cells: int = N_CELLS,
@@ -131,14 +151,7 @@ def lloyd_assign(
     deterministic exact-integer Lloyd procedure above. The returned
     frame is materialized — it feeds both sides of the pair join and
     the membership counts, so the assignment fold is paid once."""
-    q = emb.select("vec_id", quantize("embedding").alias("qv"))
-    sample = (
-        q.where(F.col("vec_id") < sample_cap)
-        .orderBy("vec_id")
-        .collect()
-    )
-    V = np.array([r.qv for r in sample], dtype=np.int64)
-    cents = _train(V, n_cells, n_iters)
+    cents, q, _ = _fit(emb, n_cells, sample_cap, n_iters)
     full = q.withColumn("cell", F.expr(_argmin_expr(_cents_literal(cents))))
     return materialize(
         full.withColumn(
@@ -147,6 +160,132 @@ def lloyd_assign(
                 "sqrt(CAST(aggregate(qv, 0L, (a, v) -> a + v * v) AS DOUBLE))"
             ),
         )
+    )
+
+
+def _probe_expr(cents_literal: str, nprobe: int) -> str:
+    """The ``nprobe`` nearest cells for a query vector ``qv``, in
+    (distance, cell) order — the IVF probe list, same tie discipline
+    as the assignment argmin."""
+    return (
+        f"slice(transform(array_sort(transform({cents_literal}, "
+        f"ct -> named_struct('d', {_dist_sql('qv', 'ct.s', 'ct.m')}, "
+        f"'cell', ct.cell))), x -> x.cell), 1, {nprobe})"
+    )
+
+
+def ivf_ann_exact(
+    emb: DataFrame,
+    k: int = 5,
+    nprobe: int = 8,
+    n_queries: int = 10,
+    n_cells: int = N_CELLS,
+    sample_cap: int = SAMPLE_CAP,
+    n_iters: int = N_ITERS,
+) -> DataFrame:
+    """IVF ANN top-``k`` with the EXACT-integer coarse quantizer: the
+    full IVF pipeline — train cells, assign the corpus, probe each
+    query's ``nprobe`` nearest cells, cosine-score only those cells'
+    members — with every arithmetic step order-deterministic, so the
+    whole procedure (training included) unrolls into the DuckDB SQL
+    of ``ivf_ann_exact_sql`` and the driver can oracle-check it.
+
+    Scale shape is the real IVF one: the corpus is scanned once for
+    assignment (JVM fold over centroid literals, no Python), the
+    candidate join is an equi-join on cell (pair work bounded by cell
+    occupancy × nprobe, never all-pairs), and top-k is one window per
+    query partition. Cosine = exact bigint dot / (double norms) —
+    |q·v| ≤ d·2^40 ≪ 2^63 at d = 64, so the dot never rounds."""
+    from pyspark.sql.window import Window
+
+    cents, q, _ = _fit(emb, n_cells, sample_cap, n_iters)
+    lit = _cents_literal(cents)
+    corpus = materialize(
+        q.withColumn("cell", F.expr(_argmin_expr(lit))).withColumn(
+            "nrm",
+            F.expr(
+                "sqrt(CAST(aggregate(qv, 0L, (a, v) -> a + v * v) AS DOUBLE))"
+            ),
+        )
+    )
+    queries = corpus.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("nrm").alias("q_nrm"),
+        F.explode(F.expr(_probe_expr(lit, nprobe))).alias("cell"),
+    )
+    cand = queries.join(corpus, "cell").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    dot = (
+        "CAST(aggregate(zip_with(q_qv, qv, (a, b) -> a * b), 0L, "
+        "(a, x) -> a + x) AS DOUBLE)"
+    )
+    scored = cand.withColumn(
+        "cosine", F.expr(dot) / (F.col("q_nrm") * F.col("nrm"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("corpus_id"),
+            "cosine",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def ivf_ann_exact_sql(
+    dims: int,
+    k: int = 5,
+    nprobe: int = 8,
+    n_queries: int = 10,
+    n_cells: int = N_CELLS,
+    sample_cap: int = SAMPLE_CAP,
+    n_iters: int = N_ITERS,
+) -> str:
+    """The DuckDB mirror of ``ivf_ann_exact``: the unrolled Lloyd CTE
+    chain (training included), then probe → candidate equi-join →
+    cosine → per-query top-k, all in the same op order."""
+    base = lloyd_cells_sql(dims, n_cells, sample_cap, n_iters)
+    dist = _duck_dist("f.qv", "c.s", "c.m", dims)
+    return (
+        base
+        + f""",
+qp AS (
+  SELECT vec_id AS query_id, qv AS q_qv, nrm AS q_nrm, cell AS pcell
+  FROM (
+    SELECT f.vec_id, f.qv, f.nrm, c.cell,
+           row_number() OVER (PARTITION BY f.vec_id
+                              ORDER BY {dist} ASC, c.cell ASC) AS prn
+    FROM (SELECT * FROM final WHERE vec_id < {n_queries}) f
+    CROSS JOIN c{n_iters} c)
+  WHERE prn <= {nprobe}
+),
+cand AS (
+  SELECT q.query_id, q.q_qv, q.q_nrm,
+         f.vec_id AS corpus_id, f.qv AS cvec, f.nrm AS cnrm
+  FROM qp q JOIN final f ON f.cell = q.pcell
+  WHERE f.vec_id != q.query_id
+),
+scored AS (
+  SELECT query_id, corpus_id,
+         CAST(list_sum(list_transform(range(1, {dims + 1}),
+                                      i -> q_qv[i] * cvec[i])) AS DOUBLE)
+           / (q_nrm * cnrm) AS cosine
+  FROM cand
+)
+SELECT query_id, corpus_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, corpus_id ASC) AS rank
+  FROM scored)
+WHERE rank <= {k}
+"""
     )
 
 
@@ -244,3 +383,304 @@ def lloyd_cells_sql(
 )"""
     )
     return "WITH " + ",\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# exact IVF-PQ: per-subspace codebooks + ADC, same determinism contract
+# ---------------------------------------------------------------------------
+
+N_SUB = 16
+N_CODES = 32
+
+
+def _train_pq(
+    V: np.ndarray, n_sub: int, n_codes: int, n_iters: int
+) -> list[list[tuple[int, list[int], int]]]:
+    """Per-subspace exact-integer Lloyd: subspace s trains on the
+    sample's columns [s·sd, (s+1)·sd) with the same striped init and
+    fixed iteration count — one independent, SQL-unrollable procedure
+    per codebook."""
+    d = V.shape[1]
+    sd = d // n_sub
+    # sorted by cell label: position in the list IS the dense code the
+    # JVM encode/ADC expressions use (see _encode_expr)
+    return [
+        sorted(_train(V[:, s * sd:(s + 1) * sd], n_codes, n_iters))
+        for s in range(n_sub)
+    ]
+
+
+def _books_literal(books: list[list[tuple[int, list[int], int]]]) -> str:
+    subs = []
+    for bs in books:
+        items = ", ".join(
+            f"named_struct('code', CAST({c} AS INT), "
+            f"'s', array({', '.join(f'{v}L' for v in s)}), "
+            f"'m', CAST({m} AS BIGINT))"
+            for c, s, m in bs
+        )
+        subs.append(f"array({items})")
+    return f"array({', '.join(subs)})"
+
+
+def _encode_expr(books_lit: str, n_sub: int, sd: int) -> str:
+    """codes[16] for a corpus row: per subspace, argmin over that
+    subspace's codebook, distances on the 1-indexed slice of ``qv`` —
+    all inside one JVM expression. The emitted code is the DENSE
+    POSITION in the (cell-ascending) codebook array, not the sparse
+    stripe label, so the ADC lookup is one O(1) ``element_at`` per
+    subspace instead of a linear filter over every code. Ties break
+    to the lowest position == lowest cell label — the oracle's tie
+    order, so both engines pick the same centroid (labels themselves
+    are engine-internal; only the centroid, and hence the ADC value,
+    crosses the comparison)."""
+    dist = _dist_sql(f"slice(qv, sb * {sd} + 1, {sd})", "bk.s", "bk.m")
+    return (
+        f"transform(sequence(0, {n_sub - 1}), sb -> "
+        f"element_at(array_sort(transform(element_at({books_lit}, sb + 1), "
+        f"(bk, i) -> named_struct('d', {dist}, 'cell', i))), 1).cell)"
+    )
+
+
+def _adc_expr(books_lit: str, n_sub: int, sd: int) -> str:
+    """Asymmetric distance: Σ_s dist(query subvector s, centroid of
+    the candidate's code in subspace s) — a SEQUENTIAL fold in
+    subspace order (the oracle's array_agg(ORDER BY sub) fold), each
+    term itself the sequential sd-dim fold. ``codes`` holds dense
+    positions (see ``_encode_expr``), so each term's codebook lookup
+    is constant-time."""
+    book = (
+        f"element_at(element_at({books_lit}, t + 1), "
+        f"element_at(codes, t + 1) + 1)"
+    )
+    dist = _dist_sql(
+        f"slice(q_qv, t * {sd} + 1, {sd})", f"{book}.s", f"{book}.m"
+    )
+    return (
+        f"aggregate(sequence(0, {n_sub - 1}), 0D, (acc, t) -> acc + ({dist}))"
+    )
+
+
+def pq_ann_exact(
+    emb: DataFrame,
+    k: int = 5,
+    n_queries: int = 10,
+    n_sub: int = N_SUB,
+    n_codes: int = N_CODES,
+    nprobe: int = 10,
+    shortlist: int = 60,
+    n_cells: int = N_CELLS,
+    sample_cap: int = SAMPLE_CAP,
+    n_iters: int = N_ITERS,
+) -> DataFrame:
+    """Full IVF-PQ ANN with EXACT-integer training end to end: coarse
+    cells and all ``n_sub`` codebooks train on the deterministic
+    sample (integer centroid sums); the corpus is assigned a cell and
+    encoded to ``n_sub`` codes in one JVM-expression scan; each query
+    ADC-scores only its ``nprobe`` probed cells' members against the
+    codebook LUT; the ``shortlist`` best ADC candidates get an exact
+    cosine re-rank into the final top-``k``. Every float op is a
+    sequential fold, so ``pq_ann_exact_sql`` replays the WHOLE
+    pipeline — training, encoding, ADC, re-rank — in DuckDB and the
+    driver hash-checks it.
+
+    Scale shape: train-on-sample (bounded driver work), one corpus
+    scan for assign+encode (no Python), candidate work bounded by
+    cell occupancy × nprobe, ADC per pair is ``n_sub`` LUT folds on
+    16-byte codes instead of a 64-dim float dot — the memory-bound
+    win PQ exists for."""
+    from pyspark.sql.window import Window
+
+    cents, q, V = _fit(emb, n_cells, sample_cap, n_iters)
+    dims = V.shape[1]
+    if dims % n_sub:
+        raise ValueError(f"dims {dims} not divisible by n_sub {n_sub}")
+    sd = dims // n_sub
+    books = _train_pq(V, n_sub, n_codes, n_iters)
+    clit = _cents_literal(cents)
+    blit = _books_literal(books)
+    corpus = materialize(
+        q.withColumn("cell", F.expr(_argmin_expr(clit)))
+        .withColumn("codes", F.expr(_encode_expr(blit, n_sub, sd)))
+        .withColumn(
+            "nrm",
+            F.expr(
+                "sqrt(CAST(aggregate(qv, 0L, (a, v) -> a + v * v) AS DOUBLE))"
+            ),
+        )
+    )
+    queries = corpus.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("nrm").alias("q_nrm"),
+        F.explode(F.expr(_probe_expr(clit, nprobe))).alias("cell"),
+    )
+    cand = queries.join(corpus, "cell").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cand.withColumn("adc", F.expr(_adc_expr(blit, n_sub, sd)))
+    wa = Window.partitionBy("query_id").orderBy(
+        F.asc("adc"), F.asc("vec_id")
+    )
+    short = scored.withColumn("_rn", F.row_number().over(wa)).where(
+        F.col("_rn") <= shortlist
+    )
+    dot = (
+        "CAST(aggregate(zip_with(q_qv, qv, (a, b) -> a * b), 0L, "
+        "(a, x) -> a + x) AS DOUBLE)"
+    )
+    rer = short.withColumn(
+        "cosine", F.expr(dot) / (F.col("q_nrm") * F.col("nrm"))
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("corpus_id"),
+            "cosine",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def _duck_pq_assign(src: str, cents: str, out: str, sd: int) -> str:
+    dist = _duck_dist("r.sv", "c.s", "c.m", sd)
+    return f"""{out} AS (
+  SELECT vec_id, sub, sv, cell FROM (
+    SELECT r.vec_id, r.sub, r.sv, c.cell,
+           row_number() OVER (PARTITION BY r.sub, r.vec_id
+                              ORDER BY {dist} ASC, c.cell ASC) AS prn
+    FROM {src} r JOIN {cents} c ON c.sub = r.sub)
+  WHERE prn = 1
+)"""
+
+
+def _duck_pq_centroid(src: str, out: str, sd: int) -> str:
+    return f"""{out}_d AS (
+  SELECT sub, cell, t.pos AS pos, sum(sv[t.pos]) AS svv
+  FROM {src} CROSS JOIN (SELECT unnest(range(1, {sd + 1})) AS pos) t
+  GROUP BY sub, cell, t.pos
+), {out}_m AS (
+  SELECT sub, cell, CAST(count(*) AS BIGINT) AS m
+  FROM {src} GROUP BY sub, cell
+), {out} AS (
+  SELECT d.sub, d.cell, array_agg(d.svv ORDER BY d.pos) AS s,
+         any_value(m.m) AS m
+  FROM {out}_d d JOIN {out}_m m USING (sub, cell)
+  GROUP BY d.sub, d.cell
+)"""
+
+
+def pq_ann_exact_sql(
+    dims: int,
+    k: int = 5,
+    n_queries: int = 10,
+    n_sub: int = N_SUB,
+    n_codes: int = N_CODES,
+    nprobe: int = 10,
+    shortlist: int = 60,
+    n_cells: int = N_CELLS,
+    sample_cap: int = SAMPLE_CAP,
+    n_iters: int = N_ITERS,
+) -> str:
+    """DuckDB mirror of ``pq_ann_exact``: the coarse-cell Lloyd chain
+    (``lloyd_cells_sql``), the per-subspace codebook Lloyd unrolled
+    over a subspace-unnested relation (one CTE chain covers all 16
+    codebooks — subspace is a column, not 16 copies of the SQL), the
+    corpus encode, ADC via the (query, sub, code) LUT join with an
+    ordered fold, shortlist, exact cosine re-rank, top-k."""
+    sd = dims // n_sub
+    base = lloyd_cells_sql(dims, n_cells, sample_cap, n_iters)
+    sv = f"list_transform(range(1, {sd + 1}), i -> qv[sub * {sd} + i])"
+    parts = [
+        f"""subs AS (SELECT unnest(range(0, {n_sub})) AS sub),
+pq0 AS (
+  SELECT vec_id, sub, {sv} AS sv, rk, mt FROM rks CROSS JOIN subs
+),
+pc0 AS (
+  SELECT sub, cell, s, m FROM (
+    SELECT sub, CAST((rk * {n_codes}) // mt AS INT) AS cell, sv AS s,
+           CAST(1 AS BIGINT) AS m,
+           row_number() OVER (PARTITION BY sub, (rk * {n_codes}) // mt
+                              ORDER BY rk) AS rn
+    FROM pq0)
+  WHERE rn = 1
+)"""
+    ]
+    prev = "pc0"
+    for it in range(1, n_iters + 1):
+        parts.append(_duck_pq_assign("pq0", prev, f"pa{it}", sd))
+        parts.append(_duck_pq_centroid(f"pa{it}", f"pc{it}", sd))
+        prev = f"pc{it}"
+    dist_cent = _duck_dist("f.qv", "c.s", "c.m", dims)
+    term = (
+        f"CAST(q.q_qv[pe.sub * {sd} + i] * b.m - b.s[i] AS DOUBLE)"
+        f" * CAST(q.q_qv[pe.sub * {sd} + i] * b.m - b.s[i] AS DOUBLE)"
+    )
+    pair_d = (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1, {sd + 1}), i -> {term})), "
+        f"(a, x) -> a + x) / CAST(b.m * b.m AS DOUBLE)"
+    )
+    parts.append(
+        f"""pall AS (
+  SELECT vec_id, sub, {sv} AS sv FROM e CROSS JOIN subs
+),
+{_duck_pq_assign("pall", prev, "pencf", sd)[:-1]}
+),
+penc AS (SELECT vec_id, sub, cell AS code FROM pencf),
+qp AS (
+  SELECT vec_id AS query_id, qv AS q_qv, nrm AS q_nrm, cell AS pcell
+  FROM (
+    SELECT f.vec_id, f.qv, f.nrm, c.cell,
+           row_number() OVER (PARTITION BY f.vec_id
+                              ORDER BY {dist_cent} ASC, c.cell ASC) AS prn
+    FROM (SELECT * FROM final WHERE vec_id < {n_queries}) f
+    CROSS JOIN c{n_iters} c)
+  WHERE prn <= {nprobe}
+),
+pairs AS (
+  SELECT q.query_id, f.vec_id AS corpus_id, pe.sub, {pair_d} AS d
+  FROM qp q
+  JOIN final f ON f.cell = q.pcell AND f.vec_id != q.query_id
+  JOIN penc pe ON pe.vec_id = f.vec_id
+  JOIN {prev} b ON b.sub = pe.sub AND b.cell = pe.code
+),
+adc AS (
+  SELECT query_id, corpus_id,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           array_agg(d ORDER BY sub)), (a, x) -> a + x) AS adc
+  FROM pairs GROUP BY query_id, corpus_id
+),
+short AS (
+  SELECT query_id, corpus_id FROM (
+    SELECT query_id, corpus_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc ASC, corpus_id ASC) AS rn
+    FROM adc)
+  WHERE rn <= {shortlist}
+),
+qd AS (SELECT DISTINCT query_id, q_qv, q_nrm FROM qp),
+rer AS (
+  SELECT s.query_id, s.corpus_id,
+         CAST(list_sum(list_transform(range(1, {dims + 1}),
+              i -> q.q_qv[i] * f.qv[i])) AS DOUBLE)
+           / (q.q_nrm * f.nrm) AS cosine
+  FROM short s
+  JOIN qd q USING (query_id)
+  JOIN final f ON f.vec_id = s.corpus_id
+)"""
+    )
+    body = f"""
+SELECT query_id, corpus_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, corpus_id ASC) AS rank
+  FROM rer)
+WHERE rank <= {k}
+"""
+    return base + ",\n" + ",\n".join(parts) + body

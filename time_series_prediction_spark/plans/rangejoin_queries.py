@@ -87,65 +87,72 @@ GROUP BY i.event_id
 """
 
 
+_EMB_DIMS = 64
+
+
 def embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-5 for the first 10 vectors as queries. Iterative
-    (Lloyd) centroid training is not ANSI-SQL-expressible → rows-only
-    driver check; recall vs the exact baseline is pinned in
-    tests/test_text_queries.py."""
-    from time_series_prediction_spark.operators.similarity import ivf_ann_topk
+    """IVF ANN top-5 for the first 10 vectors as queries — the full
+    pipeline (Lloyd training, corpus assignment, nprobe-of-16 probe,
+    in-cell cosine, per-query top-k) on the EXACT-integer quantizer
+    (operators/kmeans_exact.py), so the 'iterative training is not
+    SQL-expressible' barrier falls: the oracle replays training as
+    unrolled CTEs and the driver hash-checks the whole ANN answer.
+    The float-trained generic path (similarity.ivf_ann_topk) remains
+    the library surface for real embeddings; recall floors for it are
+    pinned in tests/test_rangejoin_ivf.py."""
+    from time_series_prediction_spark.operators.kmeans_exact import (
+        ivf_ann_exact,
+    )
 
     emb = read_table(spark, sf_dir, "embeddings")
-    return ivf_ann_topk(
-        emb,
-        emb.where(F.col("vec_id") < 10),
-        k=5,
-        n_cells=16,
-        nprobe=8,
-        n_iters=2,  # measured: recall 0.71 vs 0.72 at 3 iters, 3× cheaper
-        cache_key=sf_dir,  # Lloyd is deterministic per (corpus, params):
-        # repeat invocations (bench loops) skip retraining
-        train_sample=4096,  # bounded seeded sample trains driver-side:
-        # one TakeOrdered job total, zero cluster jobs per iteration
-    )
+    return ivf_ann_exact(emb, k=5, nprobe=8, n_queries=10)
+
+
+EMBEDDING_IVF_ANN_SQL: str | None = None  # built lazily below
 
 
 def embedding_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full IVF-PQ ANN top-5 for the first 10 vectors as queries:
-    corpus vectors compress to 16 code bytes, bucketed by nearest IVF
-    centroid; each query ADC-scores only its 10 probed cells of 16
-    (the pruning that matters at a billion vectors, where n_cells
+    corpus vectors compress to 16 subspace codes bucketed by nearest
+    IVF centroid; each query ADC-scores only its 10 probed cells of
+    16 (the pruning that matters at a billion vectors, where n_cells
     grows with the corpus and nprobe stays a small fraction), then an
-    exact re-rank refines the 12× shortlist. The IVF centroids share
-    ``ivf_centroids``'s session cache with embedding_ivf_ann
-    (identical params), so training is paid once. Measured at sf0.1:
-    recall@5 0.72-0.80 vs the exact baseline (near-uniform fixture —
-    the partition-ANN worst case). Residual encoding
-    (pq_ann_topk(residual=True), the standard IVF-PQ refinement) is
-    implemented and exactness-pinned, but stays OFF here: on this
-    near-iid fixture the coarse centroids carry no signal and raw
-    encoding measures better (0.80 vs 0.76 at sf0.1); on clustered
-    data residual wins (pinned in
-    test_residual_pq_beats_raw_on_clustered_data). Iterative training
-    is not ANSI-SQL-expressible → rows-only driver check; recall and
-    the candidates-scanned bound are pinned in
-    tests/test_rangejoin_ivf.py."""
-    from time_series_prediction_spark.operators.similarity import pq_ann_topk
+    exact cosine re-rank refines the 60-candidate ADC shortlist.
+    Training (coarse cells AND all 16 codebooks), encoding, ADC, and
+    re-rank run on the EXACT-integer quantizer
+    (operators/kmeans_exact.pq_ann_exact), so the oracle replays the
+    whole pipeline as unrolled CTEs and the driver hash-checks it —
+    no rows-only waiver. The float-trained generic path
+    (similarity.pq_ann_topk, incl. residual encoding) remains the
+    library surface; its recall floors and candidate bounds are
+    pinned in tests/test_rangejoin_ivf.py."""
+    from time_series_prediction_spark.operators.kmeans_exact import (
+        pq_ann_exact,
+    )
 
     emb = read_table(spark, sf_dir, "embeddings")
-    return pq_ann_topk(
-        emb,
-        emb.where(F.col("vec_id") < 10),
-        k=5,
-        n_sub=16,
-        n_codes=32,
-        n_iters=2,
-        cache_key=sf_dir,  # codebooks deterministic per (corpus, params)
-        rerank=12,  # exact re-rank of the 12x ADC shortlist (refine stage)
-        n_cells=16,  # IVF pruning: same coarse quantizer as embedding_ivf_ann
-        nprobe=10,
-        ivf_iters=2,
-        train_sample=4096,  # training on a bounded seeded sample:
-        # one TakeOrdered job + driver numpy, constant cost at any corpus
+    return pq_ann_exact(
+        emb, k=5, n_queries=10, n_sub=16, n_codes=32, nprobe=10,
+        shortlist=60,
+    )
+
+
+def _ivf_ann_sql() -> str:
+    from time_series_prediction_spark.operators.kmeans_exact import (
+        ivf_ann_exact_sql,
+    )
+
+    return ivf_ann_exact_sql(_EMB_DIMS, k=5, nprobe=8, n_queries=10)
+
+
+def _pq_ann_sql() -> str:
+    from time_series_prediction_spark.operators.kmeans_exact import (
+        pq_ann_exact_sql,
+    )
+
+    return pq_ann_exact_sql(
+        _EMB_DIMS, k=5, n_queries=10, n_sub=16, n_codes=32, nprobe=10,
+        shortlist=60,
     )
 
 
@@ -154,6 +161,6 @@ RANGEJOIN_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
         events_range_join_windows,
         EVENTS_RANGE_JOIN_SQL,
     ),
-    "embedding_ivf_ann": (embedding_ivf_ann, None),
-    "embedding_pq_ann": (embedding_pq_ann, None),
+    "embedding_ivf_ann": (embedding_ivf_ann, _ivf_ann_sql()),
+    "embedding_pq_ann": (embedding_pq_ann, _pq_ann_sql()),
 }
