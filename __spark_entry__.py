@@ -30,7 +30,9 @@ def _all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], 
     # module must fail loudly here, not silently shrink the declared
     # query surface
     from time_series_prediction_spark.plans.flagship import (
+        CASHFLOW_HOLDOUT_SQL,
         CASHFLOW_WIDE_SQL,
+        cashflow_holdout_eval,
         cashflow_scoring_pipeline,
         cashflow_wide_summary,
     )
@@ -86,6 +88,10 @@ def _all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], 
     # post_process → distributed R²): the scoring stage is a pandas_udf
     # → rows-only; quality ordering pinned in tests/test_model_scoring.py
     registry["cashflow_scoring_pipeline"] = (cashflow_scoring_pipeline, None)
+    # holdout evaluation of the native forecast under the shared loss
+    # registry (operators/losses.py) — training, forecasting, and all
+    # three losses replay in DuckDB
+    registry["cashflow_holdout_eval"] = (cashflow_holdout_eval, CASHFLOW_HOLDOUT_SQL)
     return registry
 
 

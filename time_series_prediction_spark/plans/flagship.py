@@ -123,10 +123,96 @@ def cashflow_scoring_pipeline(
         pre, last_value_model_factory(y_days), horizon=y_days
     )
     post = post_processing(scored)
-    return r2_metrics(post, y_days=y_days, one_month_days=3).select(
+    # distributed metric extraction over the SHARED loss registry
+    # (operators/losses.py — the same definitions the backtest
+    # sweeps), alongside the R² pair: any registered loss is one more
+    # aggregate column, never a toPandas
+    from time_series_prediction_spark.operators.losses import (
+        series_loss_aggs,
+    )
+
+    truth = f"slice(balance, size(balance) - {y_days} + 1, {y_days})"
+    loss_row = post.agg(
+        *series_loss_aggs(
+            ("mae", "smape"), truth, "y_pred_rescaled_retrended"
+        )
+    )
+    r2 = r2_metrics(post, y_days=y_days, one_month_days=3).select(
         F.col("r2_3month").alias("r2_horizon"),
         F.col("r2_1month").alias("r2_3day"),
         F.col("n_series").cast("long").alias("n_series"),
+    )
+    return r2.crossJoin(loss_row)  # two 1-row frames -> one metrics row
+
+
+def cashflow_holdout_eval(
+    spark: SparkSession,
+    sf_dir: str,
+    freq: int = 7,
+    horizon_days: int = 7,
+    trend_window_days: int = 7,
+    threshold_count: int = 5,
+) -> DataFrame:
+    """Holdout evaluation of the NATIVE forecast under the shared
+    loss registry (operators/losses.py): per user, the last
+    ``horizon_days`` are held out, the trend+extrapolation pipeline
+    (W1→W9, the reference's serving math) fits on the remainder, and
+    the forecast is scored against the held-out actuals with every
+    registered loss — one distributed aggregate row (n_series,
+    n_pred, one integer sum per loss). This closes the loop the
+    reference never did: its metric_extraction collects to the driver
+    and only ever computes R² (reference ``notebooks/utils.py:502``);
+    here the same registry serves the backtest sweep, the scoring
+    pipeline, and this evaluation, all shuffle-light (the only
+    exchanges are the daily rollup and the per-user collect).
+    Oracle-backed end to end — training, forecasting, and the losses
+    replay in DuckDB (CASHFLOW_HOLDOUT_SQL)."""
+    from time_series_prediction_spark.operators.losses import (
+        series_loss_aggs,
+    )
+
+    h = horizon_days
+    long_df = daily_series(spark, sf_dir).select(
+        "user_id", "day", (F.col("cents") / 100.0).alias("value")
+    )
+    wide = long_to_wide(
+        long_df,
+        id_col="user_id",
+        ds_col="day",
+        value_col="value",
+        out_date="days",
+        out_value="balance",
+    )
+    df = (
+        wide.withColumn("n", F.size("balance"))
+        .where(F.col("n") >= freq + 2 + h)
+        .withColumn(
+            "train", F.expr(f"slice(balance, 1, size(balance) - {h})")
+        )
+        .withColumn("keep_ts", ts.keep_ts("train", threshold_count))
+        .where(F.col("keep_ts") == 1)
+        .withColumn("trend", ts.trend("train", freq=freq))
+        .withColumn(
+            "forecast",
+            ts.extrapolate_trend(
+                "trend",
+                window_days=trend_window_days,
+                horizon_days=h,
+                median=True,
+                serving=True,
+            ),
+        )
+        .withColumn(
+            "actual",
+            F.expr(f"slice(balance, size(balance) - {h} + 1, {h})"),
+        )
+    )
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_series"),
+        (F.count(F.lit(1)) * h).cast("long").alias("n_pred"),
+        *series_loss_aggs(
+            ("mae", "smape", "pinball90"), "actual", "forecast"
+        ),
     )
 
 
@@ -260,6 +346,119 @@ FROM sc
 
 
 CASHFLOW_WIDE_SQL = _cashflow_wide_sql()
+
+
+def _cashflow_holdout_sql(
+    freq: int = 7,
+    h: int = 7,
+    threshold_count: int = 5,
+) -> str:
+    """DuckDB oracle for ``cashflow_holdout_eval``: the wide-pipeline
+    template (see ``_cashflow_wide_sql`` for the op-sequence notes)
+    applied to the TRAIN slice ``b[1 : n-h]``, a per-day forecast via
+    the sequential-fold recurrence, and the shared registry's loss
+    terms verbatim over the (actual, forecast) pairs."""
+    assert freq == 7, "oracle template generated for the odd freq=7 form"
+    from time_series_prediction_spark.operators.losses import LOSSES
+    from time_series_prediction_spark.plans.timeseries_queries import (
+        DAILY_CTE,
+    )
+
+    trim = (freq - 1) // 2
+    tc = threshold_count
+    trend_case = (
+        f"CASE WHEN j <= {trim} THEN "
+        f"vf * ({trim}.0 * CAST(j - 1 AS DOUBLE) + 1.0) / ({trim * trim} + 1.0) "
+        f"WHEN j >= m - {trim - 1} THEN "
+        f"vb * (x0b * CAST(j - 1 AS DOUBLE) + 1.0) / (x0b * x0b + 1.0) "
+        f"ELSE raw[j] END"
+    )
+    fold_dd = (
+        "list_reduce(list_prepend(anchor, "
+        "list_transform(range(1, dd + 1), _d -> slope)), (a, v) -> a + v)"
+    )
+    loss_cols = ",\n       ".join(
+        f"CAST(sum({LOSSES[loss][1]}) AS BIGINT) AS {LOSSES[loss][0]}"
+        for loss in ("mae", "smape", "pinball90")
+    )
+    return (
+        DAILY_CTE
+        + f"""
+, series AS (
+  SELECT user_id,
+         list_transform(array_agg(cents ORDER BY day),
+                        c -> CAST(CAST(c AS DOUBLE) / 100.0 AS FLOAT)) AS b,
+         CAST(count(*) AS INT) AS n
+  FROM daily GROUP BY user_id
+),
+elig AS (
+  SELECT user_id, b, n, CAST(n - {h} AS INT) AS m, b[1:n - {h}] AS tr
+  FROM series WHERE n >= {freq + 2 + h}
+),
+kept AS (
+  SELECT * FROM elig
+  WHERE len(list_filter(tr, v -> v != tr[1])) > 0
+    AND len(list_filter(range(2, m + 1), j ->
+          (CAST(tr[j] AS DOUBLE) - CAST(tr[j - 1] AS DOUBLE)) != 0.0)) >= {tc}
+),
+rawt AS (
+  SELECT user_id, b, m,
+    list_transform(range(1, m + 1), j ->
+      CASE WHEN j >= {trim + 1} AND j <= m - {trim} THEN
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(tr[j - {trim}:j + {trim}], v -> CAST(v AS DOUBLE))),
+          (a, v) -> a + v) / {freq}.0
+      ELSE NULL END) AS raw
+  FROM kept
+),
+edges AS (
+  SELECT user_id, b, m, raw,
+         raw[{trim + 1}] AS vf,
+         raw[m - {trim + 1}] AS vb,
+         CAST(m - {trim + 2} AS DOUBLE) AS x0b
+  FROM rawt
+),
+trended AS (
+  SELECT user_id, b, m,
+    list_transform(range(1, m + 1), j ->
+      CAST({_bround3(trend_case)} AS FLOAT)) AS t
+  FROM edges
+),
+grads AS (
+  SELECT user_id, b, m, t,
+    list_transform(range(1, m + 1), j -> CASE
+      WHEN j = 1 THEN CAST(t[2] AS DOUBLE) - CAST(t[1] AS DOUBLE)
+      WHEN j = m THEN CAST(t[m] AS DOUBLE) - CAST(t[m - 1] AS DOUBLE)
+      ELSE (CAST(t[j + 1] AS DOUBLE) - CAST(t[j - 1] AS DOUBLE)) / 2.0 END) AS g
+  FROM trended
+),
+fc AS (
+  SELECT user_id, b, m,
+    list_sort(g[m - {freq - 1}:m]) AS s7,
+    CAST(t[m] AS DOUBLE) AS anchor
+  FROM grads
+),
+sc AS (
+  SELECT user_id, b, m, anchor,
+    (CAST(s7[(len(s7) + 1) // 2] AS DOUBLE)
+     + CAST(s7[len(s7) // 2 + 1] AS DOUBLE)) / 2.0 AS slope
+  FROM fc
+),
+pairs AS (
+  SELECT user_id,
+         CAST(b[m + dd] AS DOUBLE) AS a,
+         CAST(CAST({_bround3(fold_dd)} AS FLOAT) AS DOUBLE) AS f
+  FROM sc CROSS JOIN (SELECT unnest(range(1, {h + 1})) AS dd) hh
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM sc) AS n_series,
+       CAST(count(*) AS BIGINT) AS n_pred,
+       {loss_cols}
+FROM pairs
+"""
+    )
+
+
+CASHFLOW_HOLDOUT_SQL = _cashflow_holdout_sql()
 
 
 def cashflow_wide_summary(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -694,32 +694,14 @@ _BT_CUTOFFS = ("2024-01-15", "2024-01-20", "2024-01-25")
 _BT_H = 5
 _BT_EPOCH = "2024-01-01"
 
-# Loss registry for the parameterized backtest (round 7, brief #6).
-# Each term maps (a, f) — actual and forecast as doubles — to an
-# INTEGER per-prediction loss contribution; the integer rounding is
-# what makes the cross-engine aggregate order-free (float sums would
-# differ by reduction order). The SQL fragment is VERBATIM-valid in
-# both Spark SQL and DuckDB, so one string defines each loss for the
-# engine and the oracle.
-_BT_LOSSES: dict[str, tuple[str, str]] = {
-    # milli-cent absolute error
-    "mae": ("sum_abs_err_mc", "CAST(round(abs(a - f) * 1000) AS BIGINT)"),
-    # symmetric MAPE in parts-per-million (0 when both sides are 0,
-    # the standard convention)
-    "smape": (
-        "sum_smape_ppm",
-        "CASE WHEN abs(a) + abs(f) = 0 THEN CAST(0 AS BIGINT) "
-        "ELSE CAST(round(abs(a - f) / ((abs(a) + abs(f)) / 2) * 1000000) "
-        "AS BIGINT) END",
-    ),
-    # milli-cent pinball (quantile) loss at q = 0.9 — the asymmetric
-    # loss a P90 forecaster sweeps
-    "pinball90": (
-        "sum_pinball90_mc",
-        "CAST(round((CASE WHEN a - f >= 0 THEN CAST(0.9 AS DOUBLE) * (a - f) "
-        "ELSE CAST(0.1 AS DOUBLE) * (f - a) END) * 1000) AS BIGINT)",
-    ),
-}
+# Loss registry (round 7, brief #6; unified round 8): the shared
+# operators/losses.py module is the single definition — backtest,
+# scoring-pipeline metric extraction, and holdout evaluation all
+# consume the same (a, f) -> integer-contribution fragments, valid
+# verbatim in both Spark SQL and DuckDB.
+from time_series_prediction_spark.operators.losses import (  # noqa: E402
+    LOSSES as _BT_LOSSES,
+)
 
 
 def linear_backtest(
@@ -801,10 +783,12 @@ def linear_backtest(
             pred.alias("f"),
         )
     )
+    from time_series_prediction_spark.operators.losses import (
+        loss_sum_aggs,
+    )
+
     loss_aggs = [F.count(F.lit(1)).cast("long").alias("n_pred")]
-    for loss in losses:
-        col_name, term = _BT_LOSSES[loss]
-        loss_aggs.append(F.sum(F.expr(term)).alias(col_name))
+    loss_aggs += loss_sum_aggs(losses)
     return scored.groupBy("cutoff_day").agg(*loss_aggs)
 
 
