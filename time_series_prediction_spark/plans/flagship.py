@@ -126,23 +126,16 @@ def cashflow_scoring_pipeline(
     # distributed metric extraction over the SHARED loss registry
     # (operators/losses.py — the same definitions the backtest
     # sweeps), alongside the R² pair: any registered loss is one more
-    # aggregate column, never a toPandas
-    from time_series_prediction_spark.operators.losses import (
-        series_loss_aggs,
-    )
-
-    truth = f"slice(balance, size(balance) - {y_days} + 1, {y_days})"
-    loss_row = post.agg(
-        *series_loss_aggs(
-            ("mae", "smape"), truth, "y_pred_rescaled_retrended"
-        )
-    )
-    r2 = r2_metrics(post, y_days=y_days, one_month_days=3).select(
+    # aggregate column in the SAME single pass, never a toPandas
+    return r2_metrics(
+        post, y_days=y_days, one_month_days=3, losses=("mae", "smape")
+    ).select(
         F.col("r2_3month").alias("r2_horizon"),
         F.col("r2_1month").alias("r2_3day"),
         F.col("n_series").cast("long").alias("n_series"),
+        "sum_abs_err_mc",
+        "sum_smape_ppm",
     )
-    return r2.crossJoin(loss_row)  # two 1-row frames -> one metrics row
 
 
 def cashflow_holdout_eval(

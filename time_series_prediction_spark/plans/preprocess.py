@@ -148,6 +148,7 @@ def r2_metrics(
     y_pred_col: str = "y_pred_rescaled_retrended",
     y_days: int = 92,
     one_month_days: int = 31,
+    losses: tuple[str, ...] = (),
 ) -> DataFrame:
     """Spark-native R² — per-series R² over the prediction window,
     uniform-averaged, at 3 months (full horizon) and 1 month (first 31
@@ -163,7 +164,11 @@ def r2_metrics(
     implements the documented intent: per-series R² over days, with
     the 1-month variant = first 31 days.
 
-    Returns one row: (r2_3month, r2_1month, n_series).
+    Returns one row: (r2_3month, r2_1month, n_series) plus, for every
+    name in ``losses``, the registered distributed loss sum over the
+    same (truth, prediction) window (operators/losses.py — the same
+    registry the backtest sweeps), all computed in the ONE pass over
+    the scored frame.
     """
     truth = f"slice({y_true_col}, size({y_true_col}) - {y_days} + 1, {y_days})"
 
@@ -182,11 +187,22 @@ def r2_metrics(
         )
         return f"(1.0D - {sse} / {sst})"
 
+    from time_series_prediction_spark.operators.losses import (
+        LOSSES,
+        series_loss_expr,
+    )
+
+    loss_names = [LOSSES[loss][0] for loss in losses]
     return df.select(
         F.expr(per_series_r2(y_days)).alias("_r2_3m"),
         F.expr(per_series_r2(one_month_days)).alias("_r2_1m"),
+        *[
+            F.expr(series_loss_expr(loss, truth, y_pred_col)).alias(name)
+            for loss, name in zip(losses, loss_names)
+        ],
     ).agg(
         F.avg("_r2_3m").alias("r2_3month"),
         F.avg("_r2_1m").alias("r2_1month"),
         F.count(F.lit(1)).alias("n_series"),
+        *[F.sum(name).cast("long").alias(name) for name in loss_names],
     )
