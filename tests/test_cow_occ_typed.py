@@ -398,3 +398,58 @@ def test_cdc_sink_auto_maintenance_bounds_files_and_versions(
         os.path.isdir(os.path.join(path, d))
     ]
     assert len(gens) <= 6, f"generation dirs unbounded: {gens}"
+
+
+def test_string_merge_correct_with_long_and_unicode_keys(spark, tmp_path):
+    """Parquet writers TRUNCATE long binary min/max stats (padding the
+    max upward to keep it a bound); non-ASCII keys exercise the
+    UTF-8-byte-order == code-point-order equivalence. Either way the
+    typed-stats overlap test must stay conservative-correct: the
+    merge result is exact regardless of how much pruning the
+    truncated stats still allow."""
+    path = str(tmp_path / "tbl")
+    df = spark.range(400).select(
+        F.concat(
+            F.lit("prefix-é中-"),  # é中 — multi-byte UTF-8
+            F.lpad(F.col("id").cast("string"), 4, "0"),
+            F.lit("-" + "x" * 150),  # push past stats truncation
+        ).alias("k"),
+        F.col("id").alias("v"),
+    )
+    init_table(spark, path, df, key="k", n_files=4, keep_versions=10)
+    updates = df.where("v < 25").select("k", (-F.col("v") - 1).alias("v"))
+    merge_upsert(spark, path, updates, key="k", keep_versions=10)
+    got = {r["k"]: r["v"] for r in read_committed(spark, path).collect()}
+    assert len(got) == 400
+    neg = sum(1 for v in got.values() if v < 0)
+    assert neg == 25
+    dead = df.where("v >= 390").select("k")
+    delete_keys(spark, path, dead, key="k", keep_versions=10)
+    assert read_committed(spark, path).count() == 390
+
+
+def test_timestamp_as_of(spark, tmp_path):
+    """TIMESTAMP AS OF resolves through commit-time (_SUCCESS mtime):
+    an instant between two commits reads the earlier state; before
+    the first retained commit it errors with the retention message."""
+    import time
+
+    from time_series_prediction_spark.operators.cow import (
+        read_timestamp,
+        version_as_of,
+    )
+
+    path = str(tmp_path / "tbl")
+    _mk(spark, path, n=60)
+    t_after_v0 = int(time.time() * 1000)
+    time.sleep(1.1)
+    up = spark.createDataFrame([(1000, 1)], "k long, v long")
+    merge_upsert(spark, path, up, key="k", keep_versions=10)
+    root = manifest_root(path)
+    assert version_as_of(spark, root, t_after_v0) == 0
+    assert read_timestamp(spark, path, t_after_v0).count() == 60
+    now = int(time.time() * 1000)
+    assert version_as_of(spark, root, now) == 1
+    assert read_timestamp(spark, path, now).count() == 61
+    with pytest.raises(ValueError, match="retention|no committed"):
+        version_as_of(spark, root, t_after_v0 - 3_600_000)

@@ -182,6 +182,51 @@ def read_version(
     )
 
 
+def version_as_of(
+    spark: SparkSession, root: str, ts_ms: int
+) -> int:
+    """``TIMESTAMP AS OF``: the newest committed version whose commit
+    time is ≤ ``ts_ms`` (epoch millis). Commit time = the version
+    dir's ``_SUCCESS`` mtime — stamped by the atomic CAS rename that
+    created the commit, so it is the moment the version became
+    visible. Resolution is a listing of the (≤ keep_versions)
+    retained version dirs — metadata only."""
+    fs = fs_for(spark, root)
+    best, best_ts = None, None
+    for name in fs.list_names(root):
+        if not (name.startswith("v") and name[1:].isdigit()):
+            continue
+        st = fs.status(os.path.join(root, name, "_SUCCESS"))
+        if st is None or st[1] > ts_ms:
+            continue
+        v = int(name[1:])
+        if best is None or v > best:
+            best, best_ts = v, st[1]
+    if best is None:
+        raise ValueError(
+            f"no committed version under {root} at or before "
+            f"timestamp {ts_ms} (older versions may have been "
+            "reclaimed by keep_versions retention)"
+        )
+    return best
+
+
+def read_timestamp(
+    spark: SparkSession,
+    data_path: str,
+    ts_ms: int,
+    root: str | None = None,
+    merge_schema: bool = False,
+) -> DataFrame:
+    """``SELECT ... TIMESTAMP AS OF``: scan the table as of a wall
+    clock instant (see ``version_as_of`` for the resolution rule)."""
+    root = root or manifest_root(data_path)
+    return read_version(
+        spark, data_path, version_as_of(spark, root, ts_ms),
+        root=root, merge_schema=merge_schema,
+    )
+
+
 def snapshot_read(
     spark: SparkSession,
     data_path: str,

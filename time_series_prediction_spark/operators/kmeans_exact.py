@@ -121,24 +121,38 @@ def _argmin_expr(cents_literal: str) -> str:
     )
 
 
+# training is deterministic per (corpus, params): registry queries
+# pass cache_key=sf_dir so IVF, PQ, and SemDeDup in one session share
+# one sample collect + train instead of three
+_FIT_CACHE: dict[tuple, tuple[list, np.ndarray]] = {}
+
+
 def _fit(
     emb: DataFrame,
     n_cells: int,
     sample_cap: int,
     n_iters: int,
+    cache_key: str | None = None,
 ) -> tuple[list[tuple[int, list[int], int]], DataFrame, np.ndarray]:
     """Train the exact-integer cells on the bounded deterministic
     sample; returns (centroids, quantized corpus frame, sample
     matrix) — the matrix so PQ codebook training reuses the same
     collected sample."""
     q = emb.select("vec_id", quantize("embedding").alias("qv"))
+    key = (cache_key, n_cells, sample_cap, n_iters)
+    if cache_key is not None and key in _FIT_CACHE:
+        cents, V = _FIT_CACHE[key]
+        return cents, q, V
     sample = (
         q.where(F.col("vec_id") < sample_cap)
         .orderBy("vec_id")
         .collect()
     )
     V = np.array([r.qv for r in sample], dtype=np.int64)
-    return _train(V, n_cells, n_iters), q, V
+    cents = _train(V, n_cells, n_iters)
+    if cache_key is not None:
+        _FIT_CACHE[key] = (cents, V)
+    return cents, q, V
 
 
 def lloyd_assign(
@@ -146,12 +160,13 @@ def lloyd_assign(
     n_cells: int = N_CELLS,
     sample_cap: int = SAMPLE_CAP,
     n_iters: int = N_ITERS,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """(vec_id, qv, nrm, cell) for the full corpus, cells from the
     deterministic exact-integer Lloyd procedure above. The returned
     frame is materialized — it feeds both sides of the pair join and
     the membership counts, so the assignment fold is paid once."""
-    cents, q, _ = _fit(emb, n_cells, sample_cap, n_iters)
+    cents, q, _ = _fit(emb, n_cells, sample_cap, n_iters, cache_key)
     full = q.withColumn("cell", F.expr(_argmin_expr(_cents_literal(cents))))
     return materialize(
         full.withColumn(
@@ -182,6 +197,7 @@ def ivf_ann_exact(
     n_cells: int = N_CELLS,
     sample_cap: int = SAMPLE_CAP,
     n_iters: int = N_ITERS,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """IVF ANN top-``k`` with the EXACT-integer coarse quantizer: the
     full IVF pipeline — train cells, assign the corpus, probe each
@@ -198,7 +214,7 @@ def ivf_ann_exact(
     |q·v| ≤ d·2^40 ≪ 2^63 at d = 64, so the dot never rounds."""
     from pyspark.sql.window import Window
 
-    cents, q, _ = _fit(emb, n_cells, sample_cap, n_iters)
+    cents, q, _ = _fit(emb, n_cells, sample_cap, n_iters, cache_key)
     lit = _cents_literal(cents)
     corpus = materialize(
         q.withColumn("cell", F.expr(_argmin_expr(lit))).withColumn(
@@ -472,6 +488,7 @@ def pq_ann_exact(
     n_cells: int = N_CELLS,
     sample_cap: int = SAMPLE_CAP,
     n_iters: int = N_ITERS,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Full IVF-PQ ANN with EXACT-integer training end to end: coarse
     cells and all ``n_sub`` codebooks train on the deterministic
@@ -491,7 +508,7 @@ def pq_ann_exact(
     win PQ exists for."""
     from pyspark.sql.window import Window
 
-    cents, q, V = _fit(emb, n_cells, sample_cap, n_iters)
+    cents, q, V = _fit(emb, n_cells, sample_cap, n_iters, cache_key)
     dims = V.shape[1]
     if dims % n_sub:
         raise ValueError(f"dims {dims} not divisible by n_sub {n_sub}")

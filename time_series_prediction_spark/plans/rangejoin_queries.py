@@ -105,7 +105,7 @@ def embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = read_table(spark, sf_dir, "embeddings")
-    return ivf_ann_exact(emb, k=5, nprobe=8, n_queries=10)
+    return ivf_ann_exact(emb, k=5, nprobe=8, n_queries=10, cache_key=sf_dir)
 
 
 EMBEDDING_IVF_ANN_SQL: str | None = None  # built lazily below
@@ -133,7 +133,7 @@ def embedding_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     return pq_ann_exact(
         emb, k=5, n_queries=10, n_sub=16, n_codes=32, nprobe=10,
-        shortlist=60,
+        shortlist=60, cache_key=sf_dir,
     )
 
 

@@ -56,7 +56,7 @@ def _assigned(
     below. ``cache_key`` is retained for signature stability (the
     memoization now lives in the materialize call)."""
     del cache_key
-    return kmeans_exact.lloyd_assign(emb, n_cells=n_cells)
+    return kmeans_exact.lloyd_assign(emb, n_cells=n_cells, cache_key=sf_dir)
 
 
 def _prune_pairs_from(q: DataFrame, tau: float) -> DataFrame:
