@@ -188,3 +188,35 @@ def test_cdc_apply_sink_replay_is_state_idempotent(spark, tmp_path):
     s2 = sorted((r["k"], r["v"]) for r in read_committed(spark, data).collect())
     assert s1 == s2
     assert len(s2) == 29
+
+
+def test_cdc_apply_sink_string_keys(spark, tmp_path):
+    """r8: the CDC loop on a STRING primary key — merges prune through
+    the typed string stats, deletes land via a string-keyed deletion
+    vector, and the final state equals the batch truth."""
+    from time_series_prediction_spark.streaming.layout import (
+        read_committed,
+    )
+    from time_series_prediction_spark.streaming.upsert import (
+        cdc_apply_sink,
+    )
+
+    data = str(tmp_path / "tbl")
+    sink = cdc_apply_sink(data, key="k")
+    b0 = spark.range(80).select(
+        F.concat(F.lit("u-"), F.lpad(F.col("id").cast("string"), 4, "0"))
+        .alias("k"),
+        F.col("id").alias("v"),
+        F.lit("U").alias("op"),
+    )
+    b1 = spark.createDataFrame(
+        [("u-0003", -3, "U"), ("u-0011", None, "D"), ("u-9999", 9, "U")],
+        "k string, v long, op string",
+    )
+    sink(b0, 0)
+    sink(b1, 1)
+    got = {r["k"]: r["v"] for r in read_committed(spark, data).collect()}
+    assert len(got) == 80  # 80 - 1 deleted + 1 inserted
+    assert got["u-0003"] == -3
+    assert "u-0011" not in got
+    assert got["u-9999"] == 9

@@ -418,62 +418,108 @@ def _train_pq(
     per codebook."""
     d = V.shape[1]
     sd = d // n_sub
-    # sorted by cell label: position in the list IS the dense code the
-    # JVM encode/ADC expressions use (see _encode_expr)
+    # sorted by cell label: position in the list IS the dense code
+    # the Arrow encode pass and the ADC LUT index by
     return [
         sorted(_train(V[:, s * sd:(s + 1) * sd], n_codes, n_iters))
         for s in range(n_sub)
     ]
 
 
-def _books_literal(books: list[list[tuple[int, list[int], int]]]) -> str:
-    subs = []
-    for bs in books:
-        items = ", ".join(
-            f"named_struct('code', CAST({c} AS INT), "
-            f"'s', array({', '.join(f'{v}L' for v in s)}), "
-            f"'m', CAST({m} AS BIGINT))"
-            for c, s, m in bs
+def _adc_lut_expr(
+    qrows: list,
+    books: list[list[tuple[int, list[int], int]]],
+    n_sub: int,
+    sd: int,
+) -> str:
+    """ADC as a precomputed LUT literal: for the (bounded) query set,
+    every (query, subspace, code) distance is computed driver-side
+    with the exact ``_dists_to`` op sequence and shipped as a
+    ``map<query_id, array<array<double>>>`` literal — the classic PQ
+    LUT. Per candidate pair the JVM then folds 16 O(1) lookups in
+    subspace order instead of re-deriving 16 sd-dim distance folds
+    (Spark HOF lambdas are interpreted, so the lookup form is ~3×
+    cheaper). Doubles serialize via shortest round-trip repr — exact
+    on parse, so the fold consumes bit-identical terms to the
+    oracle's ``pair_d``."""
+    book_np = [
+        [(np.array(s, np.int64), m) for _c, s, m in bs] for bs in books
+    ]
+    entries = []
+    for r in qrows:
+        qv = np.array(r["qv"], dtype=np.int64)[None, :]
+        subs = []
+        for sb in range(n_sub):
+            qsub = qv[:, sb * sd:(sb + 1) * sd]
+            ds = [
+                float(_dists_to(qsub, s, m)[0]) for s, m in book_np[sb]
+            ]
+            subs.append(
+                "array(" + ", ".join(f"{d!r}D" for d in ds) + ")"
+            )
+        entries.append(
+            f"{int(r['vec_id'])}, array({', '.join(subs)})"
         )
-        subs.append(f"array({items})")
-    return f"array({', '.join(subs)})"
-
-
-def _encode_expr(books_lit: str, n_sub: int, sd: int) -> str:
-    """codes[16] for a corpus row: per subspace, argmin over that
-    subspace's codebook, distances on the 1-indexed slice of ``qv`` —
-    all inside one JVM expression. The emitted code is the DENSE
-    POSITION in the (cell-ascending) codebook array, not the sparse
-    stripe label, so the ADC lookup is one O(1) ``element_at`` per
-    subspace instead of a linear filter over every code. Ties break
-    to the lowest position == lowest cell label — the oracle's tie
-    order, so both engines pick the same centroid (labels themselves
-    are engine-internal; only the centroid, and hence the ADC value,
-    crosses the comparison)."""
-    dist = _dist_sql(f"slice(qv, sb * {sd} + 1, {sd})", "bk.s", "bk.m")
+    lut = "map(" + ", ".join(entries) + ")"
     return (
-        f"transform(sequence(0, {n_sub - 1}), sb -> "
-        f"element_at(array_sort(transform(element_at({books_lit}, sb + 1), "
-        f"(bk, i) -> named_struct('d', {dist}, 'cell', i))), 1).cell)"
+        f"aggregate(sequence(0, {n_sub - 1}), 0D, (acc, t) -> acc + "
+        f"element_at(element_at(element_at({lut}, query_id), t + 1), "
+        f"element_at(codes, t + 1) + 1))"
     )
 
 
-def _adc_expr(books_lit: str, n_sub: int, sd: int) -> str:
-    """Asymmetric distance: Σ_s dist(query subvector s, centroid of
-    the candidate's code in subspace s) — a SEQUENTIAL fold in
-    subspace order (the oracle's array_agg(ORDER BY sub) fold), each
-    term itself the sequential sd-dim fold. ``codes`` holds dense
-    positions (see ``_encode_expr``), so each term's codebook lookup
-    is constant-time."""
-    book = (
-        f"element_at(element_at({books_lit}, t + 1), "
-        f"element_at(codes, t + 1) + 1)"
-    )
-    dist = _dist_sql(
-        f"slice(q_qv, t * {sd} + 1, {sd})", f"{book}.s", f"{book}.m"
-    )
-    return (
-        f"aggregate(sequence(0, {n_sub - 1}), 0D, (acc, t) -> acc + ({dist}))"
+def _assign_encode_pass(
+    q: DataFrame,
+    cents: list[tuple[int, list[int], int]],
+    books: list[list[tuple[int, list[int], int]]],
+    n_sub: int,
+    sd: int,
+) -> DataFrame:
+    """One Arrow-batched corpus pass producing (vec_id, qv, cell,
+    codes, nrm): coarse-cell argmin over the full vector, per-subspace
+    dense-position code argmin, and the exact integer norm. All math
+    is ``_dists_to``'s sequential-cumsum contract — bit-identical to
+    the JVM fold expressions and the DuckDB CTEs, as the oracle
+    comparison proves end to end."""
+    import pandas as pd
+
+    cent_np = [(c, np.array(s, np.int64), m) for c, s, m in cents]
+    book_np = [
+        [(np.array(s, np.int64), m) for _c, s, m in bs] for bs in books
+    ]
+    cell_labels = np.array([c for c, _s, _m in cent_np], dtype=np.int32)
+
+    def _pass(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf["qv"].tolist(), dtype=np.int64)
+            D = np.stack(
+                [_dists_to(V, s, m) for _c, s, m in cent_np], axis=1
+            )
+            cell = cell_labels[np.argmin(D, axis=1)]
+            codes = np.empty((len(V), n_sub), dtype=np.int32)
+            for sb in range(n_sub):
+                Vs = V[:, sb * sd:(sb + 1) * sd]
+                Ds = np.stack(
+                    [_dists_to(Vs, s, m) for s, m in book_np[sb]], axis=1
+                )
+                codes[:, sb] = np.argmin(Ds, axis=1)  # dense positions
+            nrm = np.sqrt((V * V).sum(axis=1).astype(np.float64))
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "qv": pdf["qv"],
+                    "cell": cell,
+                    "codes": list(codes),
+                    "nrm": nrm,
+                }
+            )
+
+    return q.mapInPandas(
+        _pass,
+        "vec_id long, qv array<bigint>, cell int, codes array<int>, "
+        "nrm double",
     )
 
 
@@ -493,7 +539,11 @@ def pq_ann_exact(
     """Full IVF-PQ ANN with EXACT-integer training end to end: coarse
     cells and all ``n_sub`` codebooks train on the deterministic
     sample (integer centroid sums); the corpus is assigned a cell and
-    encoded to ``n_sub`` codes in one JVM-expression scan; each query
+    encoded to ``n_sub`` codes in ONE vectorized Arrow pass
+    (``_assign_encode_pass`` — numpy with the identical op sequence
+    the trainer and the oracle use; Spark's higher-order-function
+    lambdas are interpreted per element, which made the
+    JVM-expression encode ~5× slower than the batch math); each query
     ADC-scores only its ``nprobe`` probed cells' members against the
     codebook LUT; the ``shortlist`` best ADC candidates get an exact
     cosine re-rank into the final top-``k``. Every float op is a
@@ -502,7 +552,8 @@ def pq_ann_exact(
     driver hash-checks it.
 
     Scale shape: train-on-sample (bounded driver work), one corpus
-    scan for assign+encode (no Python), candidate work bounded by
+    scan for assign+encode (Arrow-batched vector math — the declared
+    pandas-wins case, like LSH bucketing), candidate work bounded by
     cell occupancy × nprobe, ADC per pair is ``n_sub`` LUT folds on
     16-byte codes instead of a 64-dim float dot — the memory-bound
     win PQ exists for."""
@@ -515,17 +566,7 @@ def pq_ann_exact(
     sd = dims // n_sub
     books = _train_pq(V, n_sub, n_codes, n_iters)
     clit = _cents_literal(cents)
-    blit = _books_literal(books)
-    corpus = materialize(
-        q.withColumn("cell", F.expr(_argmin_expr(clit)))
-        .withColumn("codes", F.expr(_encode_expr(blit, n_sub, sd)))
-        .withColumn(
-            "nrm",
-            F.expr(
-                "sqrt(CAST(aggregate(qv, 0L, (a, v) -> a + v * v) AS DOUBLE))"
-            ),
-        )
-    )
+    corpus = materialize(_assign_encode_pass(q, cents, books, n_sub, sd))
     queries = corpus.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("qv").alias("q_qv"),
@@ -535,7 +576,12 @@ def pq_ann_exact(
     cand = queries.join(corpus, "cell").where(
         F.col("vec_id") != F.col("query_id")
     )
-    scored = cand.withColumn("adc", F.expr(_adc_expr(blit, n_sub, sd)))
+    qrows = (
+        q.where(F.col("vec_id") < n_queries).orderBy("vec_id").collect()
+    )
+    scored = cand.withColumn(
+        "adc", F.expr(_adc_lut_expr(qrows, books, n_sub, sd))
+    )
     wa = Window.partitionBy("query_id").orderBy(
         F.asc("adc"), F.asc("vec_id")
     )

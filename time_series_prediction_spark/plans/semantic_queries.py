@@ -53,10 +53,12 @@ def _assigned(
     Cells come from the cross-engine-deterministic exact-integer Lloyd
     (``operators/kmeans_exact.py``) — no Python stage anywhere in the
     plan, and the identical procedure unrolls into the DuckDB oracle
-    below. ``cache_key`` is retained for signature stability (the
-    memoization now lives in the materialize call)."""
-    del cache_key
-    return kmeans_exact.lloyd_assign(emb, n_cells=n_cells, cache_key=sf_dir)
+    below. ``cache_key`` additionally memoizes the sample
+    collect+train per corpus (shared with the exact IVF/PQ ANN
+    queries)."""
+    return kmeans_exact.lloyd_assign(
+        emb, n_cells=n_cells, cache_key=cache_key
+    )
 
 
 def _prune_pairs_from(q: DataFrame, tau: float) -> DataFrame:
@@ -110,7 +112,7 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned ids, matching 'corpus rows removed by semantic dedup'.
     """
     emb = read_table(spark, sf_dir, "embeddings")
-    q = _assigned(emb, _N_CELLS)
+    q = _assigned(emb, _N_CELLS, cache_key=sf_dir)
     pruned = _prune_pairs_from(q, _TAU).groupBy("cell").agg(
         F.countDistinct("pruned_id").cast("long").alias("n_pruned")
     )
