@@ -1,0 +1,262 @@
+"""Native Delta transaction-log reader (sources/deltalog.py): the
+test tables carry hand-written ``_delta_log`` commits in exactly the
+action format delta-spark produces (published protocol), so the
+reader is exercised against the real on-disk contract without the
+delta jars this image lacks."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from time_series_prediction_spark.sources.deltalog import (
+    DeltaProtocolUnsupported,
+    is_delta_table,
+    read_delta_log,
+)
+from time_series_prediction_spark.sources.io import read_delta
+
+
+def _write_parquet(spark, path, rows, schema):
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path + ".tmp")
+    import glob
+    import shutil
+
+    src = glob.glob(os.path.join(path + ".tmp", "*.parquet"))[0]
+    shutil.move(src, path)
+    shutil.rmtree(path + ".tmp")
+
+
+def _commit(table, v, actions):
+    log = os.path.join(table, "_delta_log")
+    os.makedirs(log, exist_ok=True)
+    with open(os.path.join(log, f"{v:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+
+
+def _meta(schema_json, part_cols=()):
+    return {
+        "metaData": {
+            "id": "00000000-0000-0000-0000-000000000000",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_json,
+            "partitionColumns": list(part_cols),
+            "configuration": {},
+            "createdTime": 0,
+        }
+    }
+
+
+def _add(path, pvals=None, **extra):
+    return {
+        "add": {
+            "path": path,
+            "partitionValues": pvals or {},
+            "size": 1,
+            "modificationTime": 0,
+            "dataChange": True,
+            **extra,
+        }
+    }
+
+
+def _remove(path):
+    return {
+        "remove": {"path": path, "deletionTimestamp": 0,
+                   "dataChange": True}
+    }
+
+
+_PROTO1 = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+
+
+def test_snapshot_excludes_removed_files(spark, tmp_path):
+    """The core Delta semantics a raw parquet scan gets WRONG: a file
+    removed by the log but still on disk (awaiting vacuum) must not
+    contribute rows; time travel re-includes it."""
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    sch = "k long, v long"
+    schema_json = spark.createDataFrame([], sch).schema.json()
+    _write_parquet(spark, os.path.join(table, "A.parquet"),
+                   [(i, i) for i in range(10)], sch)
+    _write_parquet(spark, os.path.join(table, "B.parquet"),
+                   [(i, i) for i in range(10, 20)], sch)
+    _commit(table, 0, [_PROTO1, _meta(schema_json),
+                       _add("A.parquet"), _add("B.parquet")])
+    _write_parquet(spark, os.path.join(table, "C.parquet"),
+                   [(i, i) for i in range(20, 25)], sch)
+    _commit(table, 1, [_remove("A.parquet"), _add("C.parquet")])
+
+    assert is_delta_table(spark, table)
+    got = read_delta(spark, table)
+    assert sorted(r["k"] for r in got.collect()) == list(range(10, 25))
+    # the un-logged scan would have been wrong:
+    raw = spark.read.parquet(table).count()
+    assert raw == 25 and got.count() == 15
+    # VERSION AS OF 0 re-includes A and excludes C
+    v0 = read_delta(spark, table, version=0)
+    assert sorted(r["k"] for r in v0.collect()) == list(range(20))
+
+
+def test_partition_values_attach_typed_columns(spark, tmp_path):
+    """Partition columns live ONLY in the log's partitionValues (the
+    data files do not carry them); paths are URL-encoded per the
+    spec. The reader must attach them typed from schemaString."""
+    table = str(tmp_path / "t")
+    os.makedirs(os.path.join(table, "d=2024-01-01"))
+    os.makedirs(os.path.join(table, "d=2024-01-02"))
+    full = "d date, k long, v long"
+    schema_json = spark.createDataFrame([], full).schema.json()
+    _write_parquet(
+        spark, os.path.join(table, "d=2024-01-01", "p0.parquet"),
+        [(1, 10), (2, 20)], "k long, v long",
+    )
+    _write_parquet(
+        spark, os.path.join(table, "d=2024-01-02", "p0.parquet"),
+        [(3, 30)], "k long, v long",
+    )
+    _commit(table, 0, [
+        _PROTO1, _meta(schema_json, part_cols=["d"]),
+        _add("d%3D2024-01-01/p0.parquet", {"d": "2024-01-01"}),
+        _add("d%3D2024-01-02/p0.parquet", {"d": "2024-01-02"}),
+    ])
+    got = read_delta_log(spark, table)
+    assert got.columns == ["d", "k", "v"]
+    assert got.schema["d"].dataType.simpleString() == "date"
+    day1 = got.where(F.col("d") == F.lit("2024-01-01").cast("date"))
+    assert sorted(r["k"] for r in day1.collect()) == [1, 2]
+    assert got.count() == 3
+
+
+def test_checkpoint_plus_tail_commits(spark, tmp_path):
+    """Snapshot from a checkpoint parquet + the JSON commits after it
+    — with the pre-checkpoint commits aged out (log cleanup), exactly
+    the state a long-lived table is read from."""
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    sch = "k long, v long"
+    schema_json = spark.createDataFrame([], sch).schema.json()
+    for name, lo in (("A", 0), ("B", 10)):
+        _write_parquet(spark, os.path.join(table, f"{name}.parquet"),
+                       [(i, i) for i in range(lo, lo + 10)], sch)
+    # checkpoint at v1 describes: protocol, metaData, live file B
+    # (A was added at v0 and removed at v1 — both commits cleaned up)
+    cp_rows = [
+        ({"minReaderVersion": 1}, None, None),
+        (None, {
+            "id": "x", "format": {"provider": "parquet"},
+            "schemaString": schema_json, "partitionColumns": [],
+        }, None),
+        (None, None, {"path": "B.parquet", "partitionValues": {}}),
+    ]
+    cp_schema = (
+        "protocol struct<minReaderVersion:int>, "
+        "metaData struct<id:string, format:struct<provider:string>, "
+        "schemaString:string, partitionColumns:array<string>>, "
+        "add struct<path:string, partitionValues:map<string,string>>"
+    )
+    log = os.path.join(table, "_delta_log")
+    os.makedirs(log)
+    _write_parquet(
+        spark, os.path.join(log, f"{1:020d}.checkpoint.parquet"),
+        cp_rows, cp_schema,
+    )
+    _write_parquet(spark, os.path.join(table, "C.parquet"),
+                   [(i, i) for i in range(20, 23)], sch)
+    _commit(table, 2, [_add("C.parquet")])
+    got = read_delta_log(spark, table)
+    assert sorted(r["k"] for r in got.collect()) == (
+        list(range(10, 20)) + [20, 21, 22]
+    )
+
+
+def test_unsupported_protocol_refuses(spark, tmp_path):
+    """A table gated on reader features this module does not implement
+    (deletion vectors) must refuse loudly, never return wrong rows."""
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    sch = "k long"
+    schema_json = spark.createDataFrame([], sch).schema.json()
+    _write_parquet(spark, os.path.join(table, "A.parquet"),
+                   [(1,)], sch)
+    _commit(table, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"]}},
+        _meta(schema_json), _add("A.parquet"),
+    ])
+    with pytest.raises(DeltaProtocolUnsupported, match="deletionVectors"):
+        read_delta_log(spark, table)
+
+
+def test_plain_parquet_fallback_still_works(spark, tmp_path):
+    out = str(tmp_path / "plain")
+    spark.range(7).write.parquet(out)
+    assert read_delta(spark, out).count() == 7
+    with pytest.raises(ValueError, match="not a Delta table"):
+        read_delta(spark, out, version=0)
+
+
+def test_write_delta_log_roundtrip_overwrite_append(spark, tmp_path):
+    """The native sink: two overwrites + one append produce a
+    protocol-1 log whose snapshot hides the overwritten generation
+    (still on disk) and stacks the append; version reads recover each
+    state."""
+    from time_series_prediction_spark.sources.deltalog import (
+        write_delta_log,
+    )
+    from time_series_prediction_spark.sources.io import write_delta
+
+    table = str(tmp_path / "t")
+    v0 = write_delta_log(
+        spark.range(10).select(F.col("id").alias("k")), table,
+        mode="overwrite",
+    )
+    v1 = write_delta_log(
+        spark.range(100, 105).select(F.col("id").alias("k")), table,
+        mode="overwrite",
+    )
+    v2 = write_delta_log(
+        spark.range(200, 202).select(F.col("id").alias("k")), table,
+        mode="append",
+    )
+    assert (v0, v1, v2) == (0, 1, 2)
+    got = sorted(r["k"] for r in read_delta(spark, table).collect())
+    assert got == [100, 101, 102, 103, 104, 200, 201]
+    # overwritten generation still on disk, correctly hidden by the log
+    assert spark.read.parquet(table).count() == 17
+    assert sorted(
+        r["k"] for r in read_delta(spark, table, version=0).collect()
+    ) == list(range(10))
+    # io.write_delta routes through the same sink
+    t2 = str(tmp_path / "t2")
+    write_delta(spark.range(3).select(F.col("id").alias("k")), t2)
+    assert read_delta(spark, t2).count() == 3
+
+
+def test_write_delta_log_partitioned(spark, tmp_path):
+    """Partitioned native sink: hive-layout files, partitionValues in
+    the log, and the reader reattaches the typed partition column."""
+    from time_series_prediction_spark.sources.deltalog import (
+        write_delta_log,
+    )
+
+    table = str(tmp_path / "t")
+    df = spark.range(20).select(
+        (F.col("id") % 3).cast("int").alias("g"),
+        F.col("id").alias("k"),
+    )
+    write_delta_log(df, table, partition_cols=["g"])
+    got = read_delta_log(spark, table)
+    assert set(got.columns) == {"g", "k"}
+    assert got.count() == 20
+    assert got.where("g = 1").count() == 7
+    # append with mismatched partitioning is refused
+    with pytest.raises(ValueError, match="partition columns"):
+        write_delta_log(df, table, mode="append", partition_cols=[])

@@ -852,7 +852,95 @@ GROUP BY st
 """
 
 
+_DELTA_SPEC = "delta-orders|v1|3|101|native-log"
+
+
+def orders_delta_layout(spark: SparkSession, sf_dir: str) -> str:
+    """A NATIVE-log Delta table (sources/deltalog.py — protocol-1
+    ``_delta_log``, no delta jars): v0 = all orders, v1 = OVERWRITE
+    keeping only keys with ``o_orderkey % 3 != 0`` (the overwritten
+    generation stays on disk, hidden by the log), v2 = APPEND of the
+    %101 keys shifted into a fresh key range. Reading this correctly
+    REQUIRES honoring the log — a raw parquet scan of the directory
+    would double-count all three generations. Cached per fixture."""
+    from time_series_prediction_spark.sources.deltalog import (
+        write_delta_log,
+    )
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    root = os.path.join(tempfile.gettempdir(), "tsp_layouts")
+    fs = fs_for(spark, root)
+    st = fs.status(src)
+    if st is None:
+        raise FileNotFoundError(src)
+    ident = f"{fs.qualified(src)}|{st[0]}|{st[1]}|{_DELTA_SPEC}"
+    key = hashlib.md5(ident.encode()).hexdigest()[:16]
+    path = os.path.join(root, f"orders_delta_{key}")
+    with _build_lock(path):
+        if fs.exists(os.path.join(path, "_IDENT")):
+            return os.path.join(path, "data")
+        tmp = f"{path}.build-{os.getpid()}"
+        fs.delete(tmp)
+        data = os.path.join(tmp, "data")
+        base = _orders_state(spark, sf_dir)
+        write_delta_log(base, data, mode="overwrite")
+        write_delta_log(
+            base.where("o_orderkey % 3 != 0"), data, mode="overwrite"
+        )
+        write_delta_log(
+            base.where("o_orderkey % 101 = 0").withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(_INSERT_SHIFT)
+            ),
+            data,
+            mode="append",
+        )
+        fs.write_text(os.path.join(tmp, "_IDENT"), ident)
+        if not fs.publish_dir(tmp, path):
+            fs.delete(tmp)
+    return os.path.join(path, "data")
+
+
+def orders_delta_log_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot scan through the native Delta log after
+    overwrite + append: the oracle recomputes the same state from raw
+    orders, so the comparison pins the log semantics (tombstoned
+    generations excluded, appended files included) — the exact
+    behavior the pre-r8 parquet fallback got wrong."""
+    from time_series_prediction_spark.sources.io import read_delta
+
+    data = orders_delta_layout(spark, sf_dir)
+    return (
+        read_delta(spark, data)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("price_cents").cast("long").alias("total_cents"),
+        )
+    )
+
+
+ORDERS_DELTA_LOG_SQL = f"""
+WITH state AS (
+    SELECT o_orderstatus AS st,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders WHERE o_orderkey % 3 <> 0
+    UNION ALL
+    SELECT o_orderstatus, CAST(round(o_totalprice * 100) AS BIGINT)
+    FROM orders WHERE o_orderkey % 101 = 0
+)
+SELECT st AS o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM state
+GROUP BY st
+"""
+
+
 TABLE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "orders_delta_log_scan": (
+        orders_delta_log_scan,
+        ORDERS_DELTA_LOG_SQL,
+    ),
     "orders_cdc_ingest_scan": (
         orders_cdc_ingest_scan,
         ORDERS_CDC_INGEST_SQL,

@@ -155,22 +155,56 @@ def _delta_available(spark: SparkSession) -> bool:
         return False
 
 
-def read_delta(spark: SparkSession, path: str) -> DataFrame:
-    """S4: Delta scan with parquet fallback (reference
-    ``src/demo/training.py:158``). Delta jars are not in this image, so
-    the fallback path is the live one; the API surface is identical."""
+def read_delta(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """S4: Delta scan (reference ``src/demo/training.py:158``).
+
+    Resolution order: the real delta-spark reader when its jars are
+    present; otherwise the NATIVE transaction-log reader
+    (``sources/deltalog.py`` — reconstructs the snapshot from
+    ``_delta_log`` per the published protocol, so removed-but-not-
+    vacuumed files are correctly excluded and ``version`` gives
+    time travel); plain parquet only when the directory carries no
+    Delta log at all. The old parquet-only fallback was silently
+    WRONG on a real Delta table (it read tombstoned files)."""
     if _delta_available(spark):
-        return spark.read.format("delta").load(path)
+        reader = spark.read.format("delta")
+        if version is not None:
+            reader = reader.option("versionAsOf", str(version))
+        return reader.load(path)
+    from time_series_prediction_spark.sources.deltalog import (
+        is_delta_table,
+        read_delta_log,
+    )
+
+    if is_delta_table(spark, path):
+        return read_delta_log(spark, path, version=version)
+    if version is not None:
+        raise ValueError(
+            f"{path} is not a Delta table — no time travel on plain "
+            "parquet"
+        )
     return spark.read.parquet(path)
 
 
 def write_delta(df: DataFrame, path: str, mode: str = "overwrite") -> None:
-    """S7: Delta sink with parquet fallback (reference
-    ``notebooks/training_new_petastorm.py:182``)."""
+    """S7: Delta sink (reference
+    ``notebooks/training_new_petastorm.py:182``): the real delta-spark
+    writer when its jars are present, otherwise the NATIVE
+    transaction-log writer (``sources/deltalog.write_delta_log``) —
+    parquet data plus a protocol-1 ``_delta_log`` commit, readable by
+    any Delta reader (and by ``read_delta``'s log-aware path, so an
+    overwrite correctly hides the previous generation instead of
+    double-counting it the way the old parquet fallback did)."""
     if _delta_available(df.sparkSession):
         df.write.format("delta").mode(mode).save(path)
     else:
-        df.write.mode(mode).parquet(path)
+        from time_series_prediction_spark.sources.deltalog import (
+            write_delta_log,
+        )
+
+        write_delta_log(df, path, mode=mode)
 
 
 def save_as_table(
