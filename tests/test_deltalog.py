@@ -260,3 +260,28 @@ def test_write_delta_log_partitioned(spark, tmp_path):
     # append with mismatched partitioning is refused
     with pytest.raises(ValueError, match="partition columns"):
         write_delta_log(df, table, mode="append", partition_cols=[])
+
+
+def test_delta_stream_sink_exactly_once_on_replay(spark, tmp_path):
+    """The txn-token idempotence contract: a replayed micro-batch
+    (same batch_id) must not append twice; the table equals the
+    batch union and any Delta reader sees the txn actions."""
+    from time_series_prediction_spark.sources.deltalog import (
+        delta_snapshot,
+        delta_stream_sink,
+    )
+
+    table = str(tmp_path / "t")
+    sink = delta_stream_sink(table, app_id="test-app")
+    b0 = spark.range(10).select(F.col("id").alias("k"))
+    b1 = spark.range(10, 15).select(F.col("id").alias("k"))
+    sink(b0, 0)
+    sink(b1, 1)
+    assert read_delta(spark, table).count() == 15
+    sink(b1, 1)  # crash replay of the last batch
+    got = sorted(r["k"] for r in read_delta(spark, table).collect())
+    assert got == list(range(15)), "replay appended duplicates"
+    _f, _m, _v, txns = delta_snapshot(spark, table)
+    assert txns == {"test-app": 1}
+    sink(spark.range(20, 22).select(F.col("id").alias("k")), 2)
+    assert read_delta(spark, table).count() == 17

@@ -936,7 +936,89 @@ GROUP BY st
 """
 
 
+_DELTA_STREAM_SPEC = "delta-events-stream|v1|3batch|replay"
+
+
+def events_delta_stream_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Events streamed micro-batch by micro-batch into a NATIVE-log
+    Delta table through the txn-idempotent sink — with one batch
+    deliberately REPLAYED (the crash-recovery path Structured
+    Streaming takes): the committed table must still equal the batch
+    union, proving the protocol's (appId, version) tokens dedupe the
+    replay. Cached per fixture content."""
+    from time_series_prediction_spark.sources.deltalog import (
+        delta_stream_sink,
+    )
+
+    src = os.path.join(sf_dir, "events.parquet")
+    root = os.path.join(tempfile.gettempdir(), "tsp_layouts")
+    fs = fs_for(spark, root)
+    st = fs.status(src)
+    if st is None:
+        raise FileNotFoundError(src)
+    ident = f"{fs.qualified(src)}|{st[0]}|{st[1]}|{_DELTA_STREAM_SPEC}"
+    key = hashlib.md5(ident.encode()).hexdigest()[:16]
+    path = os.path.join(root, f"events_delta_{key}")
+    with _build_lock(path):
+        if fs.exists(os.path.join(path, "_IDENT")):
+            return os.path.join(path, "data")
+        tmp = f"{path}.build-{os.getpid()}"
+        fs.delete(tmp)
+        data = os.path.join(tmp, "data")
+        ev = read_table(spark, sf_dir, "events").select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias(
+                "value_cents"
+            ),
+        )
+        sink = delta_stream_sink(data, app_id="tsps-events")
+        batches = [
+            ev.where(F.col("event_id") % 3 == i) for i in range(3)
+        ]
+        sink(batches[0], 0)
+        sink(batches[1], 1)
+        sink(batches[1], 1)  # crash replay — must be deduped via txn
+        sink(batches[2], 2)
+        fs.write_text(os.path.join(tmp, "_IDENT"), ident)
+        if not fs.publish_dir(tmp, path):
+            fs.delete(tmp)
+    return os.path.join(path, "data")
+
+
+def events_delta_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan of the streamed native-Delta events table: must equal the
+    plain batch aggregate over raw events however the feed batched —
+    and despite the replayed micro-batch in the build."""
+    from time_series_prediction_spark.sources.io import read_delta
+
+    data = events_delta_stream_layout(spark, sf_dir)
+    return (
+        read_delta(spark, data)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("value_cents").cast("long").alias("total_cents"),
+        )
+    )
+
+
+EVENTS_DELTA_STREAM_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM events
+GROUP BY event_type
+"""
+
+
 TABLE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "events_delta_stream_scan": (
+        events_delta_stream_scan,
+        EVENTS_DELTA_STREAM_SQL,
+    ),
     "orders_delta_log_scan": (
         orders_delta_log_scan,
         ORDERS_DELTA_LOG_SQL,

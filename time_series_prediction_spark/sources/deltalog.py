@@ -88,7 +88,9 @@ def _check_protocol(proto: dict) -> None:
     )
 
 
-def _apply_action(state: dict, action: dict, meta: list) -> None:
+def _apply_action(
+    state: dict, action: dict, meta: list, txns: dict
+) -> None:
     if "add" in action:
         a = action["add"]
         state[urllib.parse.unquote(a["path"])] = (
@@ -101,15 +103,23 @@ def _apply_action(state: dict, action: dict, meta: list) -> None:
         meta[0] = action["metaData"]
     elif "protocol" in action:
         _check_protocol(action["protocol"])
+    elif "txn" in action:
+        tx = action["txn"]
+        if tx.get("appId") is not None and tx.get("version") is not None:
+            txns[tx["appId"]] = max(
+                int(tx["version"]), txns.get(tx["appId"], -1)
+            )
 
 
 def delta_snapshot(
     spark: SparkSession, path: str, version: int | None = None
-) -> tuple[dict[str, dict], dict, int]:
+) -> tuple[dict[str, dict], dict, int, dict[str, int]]:
     """Reconstruct the live-file snapshot of the Delta table at
     ``version`` (default: latest). Returns ``(files, metaData,
-    version)`` where ``files`` maps each live RELATIVE file path to
-    its partitionValues. Only the log is touched — commit JSONs after
+    version, txns)`` where ``files`` maps each live RELATIVE file
+    path to its partitionValues and ``txns`` maps streaming appIds to
+    their last committed transaction version (the protocol's ``txn``
+    idempotence tokens). Only the log is touched — commit JSONs after
     the newest usable checkpoint, plus at most one checkpoint
     parquet."""
     fs = fs_for(spark, path)
@@ -131,6 +141,7 @@ def delta_snapshot(
         )
     state: dict[str, dict] = {}
     meta: list = [None]
+    txns: dict[str, int] = {}
     start = 0
     usable_cp = [cv for cv in checkpoints if cv <= v]
     if usable_cp:
@@ -139,9 +150,9 @@ def delta_snapshot(
         cols = set(cp.columns)
         for row in cp.collect():
             d = row.asDict(recursive=True)
-            for kind in ("protocol", "metaData", "add", "remove"):
+            for kind in ("protocol", "metaData", "add", "remove", "txn"):
                 if kind in cols and d.get(kind) is not None:
-                    _apply_action(state, {kind: d[kind]}, meta)
+                    _apply_action(state, {kind: d[kind]}, meta, txns)
         start = cp_v + 1
     for cv in range(start, v + 1):
         p = commits.get(cv)
@@ -155,12 +166,12 @@ def delta_snapshot(
         for line in fs.read_text(p).splitlines():
             line = line.strip()
             if line:
-                _apply_action(state, json.loads(line), meta)
+                _apply_action(state, json.loads(line), meta, txns)
     if meta[0] is None:
         raise ValueError(
             f"delta log under {log} carries no metaData action"
         )
-    return state, meta[0], v
+    return state, meta[0], v, txns
 
 
 def write_delta_log(
@@ -168,6 +179,7 @@ def write_delta_log(
     path: str,
     mode: str = "overwrite",
     partition_cols: list[str] | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Write ``df`` as a Delta table WITHOUT the delta jars: land the
     data as parquet (UUID part files never clobber prior
@@ -193,7 +205,7 @@ def write_delta_log(
     prev_files: dict[str, dict] = {}
     next_v = 0
     if is_delta_table(spark, path):
-        prev_files, prev_meta, latest = delta_snapshot(spark, path)
+        prev_files, prev_meta, latest, _txns = delta_snapshot(spark, path)
         next_v = latest + 1
         prev_parts = list(prev_meta.get("partitionColumns") or [])
         if part_cols != prev_parts:
@@ -215,6 +227,14 @@ def write_delta_log(
         set(list_parquet_files(path, spark)) - before
     )
     actions: list[dict] = []
+    if txn is not None:
+        # the protocol's streaming idempotence token: readers expose
+        # the last committed (appId -> version), so a replayed
+        # micro-batch can be recognized and skipped
+        actions.append(
+            {"txn": {"appId": txn[0], "version": int(txn[1]),
+                     "lastUpdated": 0}}
+        )
     if next_v == 0:
         actions.append(
             {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
@@ -278,7 +298,7 @@ def read_delta_log(
     attach each file's partition-column literals, typed from the
     table schema. Files are grouped by partition tuple — one reader
     per distinct partition combination, unioned."""
-    files, meta, _v = delta_snapshot(spark, path, version)
+    files, meta, _v, _txns = delta_snapshot(spark, path, version)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = list(meta.get("partitionColumns") or [])
     if not files:
@@ -304,3 +324,33 @@ def read_delta_log(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def delta_stream_sink(
+    path: str,
+    app_id: str,
+    partition_cols: list[str] | None = None,
+):
+    """``foreachBatch`` body appending each micro-batch to a native
+    Delta table EXACTLY-ONCE: every commit carries the protocol's
+    ``txn`` action (appId, batch_id), and a replayed batch — Structured
+    Streaming re-runs the last batch after a crash — is recognized by
+    its already-committed transaction version and skipped instead of
+    appended twice. This is the same idempotence contract the real
+    delta-spark streaming sink implements; any Delta reader sees an
+    exactly-once table."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        if is_delta_table(spark, path):
+            _files, _meta, _v, txns = delta_snapshot(spark, path)
+            if txns.get(app_id, -1) >= batch_id:
+                return  # replayed batch: already committed
+        write_delta_log(
+            batch_df, path, mode="append",
+            partition_cols=partition_cols, txn=(app_id, batch_id),
+        )
+
+    return _sink
