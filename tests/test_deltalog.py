@@ -285,3 +285,38 @@ def test_delta_stream_sink_exactly_once_on_replay(spark, tmp_path):
     assert txns == {"test-app": 1}
     sink(spark.range(20, 22).select(F.col("id").alias("k")), 2)
     assert read_delta(spark, table).count() == 17
+
+
+def test_stream_checkpointing_bounds_log_replay(spark, tmp_path):
+    """25 micro-batches with checkpoint_interval=10 and log cleanup:
+    the superseded JSON commits are gone, snapshot reconstruction
+    runs checkpoint + tail only, and the table still equals the
+    batch union (txn tokens survive the checkpoint, so a replay
+    after cleanup is STILL deduped)."""
+    from time_series_prediction_spark.sources.deltalog import (
+        delta_snapshot,
+        delta_stream_sink,
+    )
+
+    table = str(tmp_path / "t")
+    sink = delta_stream_sink(
+        table, app_id="long", checkpoint_interval=10,
+        clean_old_commits=True,
+    )
+    for b in range(25):
+        sink(
+            spark.range(b * 4, b * 4 + 4).select(F.col("id").alias("k")),
+            b,
+        )
+    log = os.path.join(table, "_delta_log")
+    jsons = [n for n in os.listdir(log) if n.endswith(".json")]
+    cps = [n for n in os.listdir(log) if n.endswith(".checkpoint.parquet")]
+    assert cps, "no checkpoint written"
+    assert len(jsons) <= 11, f"log cleanup ineffective: {len(jsons)}"
+    got = sorted(r["k"] for r in read_delta(spark, table).collect())
+    assert got == list(range(100))
+    # a replay AFTER cleanup: the txn token lives in the checkpoint
+    sink(spark.range(96, 100).select(F.col("id").alias("k")), 24)
+    assert read_delta(spark, table).count() == 100
+    _f, _m, _v, txns = delta_snapshot(spark, table)
+    assert txns["long"] == 24

@@ -64,11 +64,17 @@ class DeltaProtocolUnsupported(RuntimeError):
 
 
 def is_delta_table(spark: SparkSession, path: str) -> bool:
-    """True when ``path`` carries a Delta transaction log."""
+    """True when ``path`` carries a Delta transaction log — either
+    JSON commits or checkpoint parquets count (after log cleanup a
+    long-lived table may be checkpoint-only; treating that as
+    'not a table' would restart the version counter at 0 and the
+    snapshot replay would silently discard the new commits as
+    pre-checkpoint history)."""
     fs = fs_for(spark, path)
     log = os.path.join(path, _LOG_DIR)
     return fs.is_dir(log) and any(
-        n.endswith(".json") and n[:20].isdigit()
+        (n.endswith(".json") or n.endswith(".checkpoint.parquet"))
+        and n[:20].isdigit()
         for n in fs.list_names(log)
     )
 
@@ -326,10 +332,74 @@ def read_delta_log(
     return out
 
 
+def write_checkpoint(
+    spark: SparkSession, path: str, clean_old_commits: bool = False
+) -> int:
+    """Roll the current snapshot into a ``<version>.checkpoint.parquet``
+    (one row per action: protocol, metaData, live adds, txn tokens)
+    plus the ``_last_checkpoint`` pointer — after which snapshot
+    reconstruction reads ONE parquet and only the commits past it,
+    however many micro-batches the log has accumulated.
+    ``clean_old_commits`` then deletes the JSON commits the
+    checkpoint supersedes (log retention; time travel before the
+    checkpoint is gone, exactly Delta's own cleanup trade). Returns
+    the checkpointed version."""
+    files, meta, v, txns = delta_snapshot(spark, path)
+    rows = [
+        ({"minReaderVersion": 1, "minWriterVersion": 2},
+         None, None, None),
+        (None, {
+            "id": meta.get("id", "tsps"),
+            "format": {"provider": "parquet"},
+            "schemaString": meta["schemaString"],
+            "partitionColumns": list(meta.get("partitionColumns") or []),
+        }, None, None),
+    ]
+    for rel in sorted(files):
+        rows.append((None, None, {
+            "path": urllib.parse.quote(rel),
+            "partitionValues": files[rel],
+        }, None))
+    for app, ver in sorted(txns.items()):
+        rows.append((None, None, None, {"appId": app, "version": ver}))
+    cp_schema = (
+        "protocol struct<minReaderVersion:int, minWriterVersion:int>, "
+        "metaData struct<id:string, format:struct<provider:string>, "
+        "schemaString:string, partitionColumns:array<string>>, "
+        "add struct<path:string, partitionValues:map<string,string>>, "
+        "txn struct<appId:string, version:long>"
+    )
+    log = os.path.join(path, _LOG_DIR)
+    cp_tmp = os.path.join(log, f".cp-{os.getpid()}")
+    spark.createDataFrame(rows, cp_schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(cp_tmp)
+    fs = fs_for(spark, path)
+    part = next(
+        n for n in fs.list_names(cp_tmp) if n.endswith(".parquet")
+    )
+    fs.replace_file(
+        os.path.join(cp_tmp, part),
+        os.path.join(log, f"{v:020d}.checkpoint.parquet"),
+    )
+    fs.delete(cp_tmp)
+    fs.write_text(
+        os.path.join(log, "_last_checkpoint"),
+        json.dumps({"version": v, "size": len(rows)}),
+    )
+    if clean_old_commits:
+        for n in list(fs.list_names(log)):
+            if n.endswith(".json") and n[:20].isdigit()                     and int(n[:20]) <= v:
+                fs.delete(os.path.join(log, n))
+    return v
+
+
 def delta_stream_sink(
     path: str,
     app_id: str,
     partition_cols: list[str] | None = None,
+    checkpoint_interval: int | None = None,
+    clean_old_commits: bool = False,
 ):
     """``foreachBatch`` body appending each micro-batch to a native
     Delta table EXACTLY-ONCE: every commit carries the protocol's
@@ -338,7 +408,12 @@ def delta_stream_sink(
     its already-committed transaction version and skipped instead of
     appended twice. This is the same idempotence contract the real
     delta-spark streaming sink implements; any Delta reader sees an
-    exactly-once table."""
+    exactly-once table.
+
+    ``checkpoint_interval=N`` rolls the log into a checkpoint parquet
+    every N commits (optionally deleting the superseded JSON commits)
+    so a long-lived stream's snapshot reconstruction stays O(N), not
+    O(total batches)."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -348,9 +423,13 @@ def delta_stream_sink(
             _files, _meta, _v, txns = delta_snapshot(spark, path)
             if txns.get(app_id, -1) >= batch_id:
                 return  # replayed batch: already committed
-        write_delta_log(
+        v = write_delta_log(
             batch_df, path, mode="append",
             partition_cols=partition_cols, txn=(app_id, batch_id),
         )
+        if checkpoint_interval and v and v % checkpoint_interval == 0:
+            write_checkpoint(
+                spark, path, clean_old_commits=clean_old_commits
+            )
 
     return _sink
