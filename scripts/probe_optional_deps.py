@@ -13,7 +13,7 @@ from __future__ import annotations
 import importlib.util
 
 PROBES = {
-    "delta": "real Delta Lake read/write (sources/io.py S4/S7)",
+    "delta": "delta-spark jars (r8: the NATIVE _delta_log reader/writer in sources/deltalog.py is the live path; jars would add advanced protocol features - deletion vectors, column mapping)",
     "tensorflow": "Keras CNN train/score (model/train.py, model/scoring.py)",
     "mlflow": "MLflow registry backend (model/registry.py)",
     "petastorm": "Petastorm converter (model/train.py S10)",

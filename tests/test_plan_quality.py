@@ -162,11 +162,9 @@ _ROWS_ONLY_BUDGET = {
     "cashflow_scoring_pipeline": (3, 1, 0),  # iterator pandas_udf scorer
     "cashflow_synthetic_pipeline": (1, 0, 0),
     "doc_packing_stats": (2, 0, 1),  # applyInPandas per shard
-    # embedding_ivf_ann / embedding_pq_ann moved OUT of rows-only in
-    # round 8: the exact-integer quantizer made the whole pipeline
-    # (training included) oracle-checkable, and the JVM-expression
-    # assign/encode removed their Arrow stages entirely
-    "embedding_lsh_ann": (3, 4, 0),
+    # embedding_{ivf,pq,lsh}_ann moved OUT of rows-only in round 8:
+    # the exact-integer quantizer/plane families made the whole ANN
+    # pipelines (training included) oracle-checkable
     "events_dau_sketch_rollup": (2, 0, 0),
     "lineitem_quantiles_approx": (1, 0, 0),
     "multimodal_features": (0, 1, 0),  # mapInPandas decode counts as arrow

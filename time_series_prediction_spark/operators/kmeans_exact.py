@@ -747,3 +747,189 @@ FROM (
 WHERE rank <= {k}
 """
     return base + ",\n" + ",\n".join(parts) + body
+
+
+# ---------------------------------------------------------------------------
+# exact LSH ANN: integer random-hyperplane buckets, same contract
+# ---------------------------------------------------------------------------
+
+
+def _lsh_planes_int(
+    n_planes: int, n_tables: int, seed: int, dim: int, scale: int = 1024
+) -> list:
+    """Integer-quantized random hyperplanes: table t draws from
+    rng(seed + 1000·t) like the float family
+    (``similarity.lsh_table_buckets``) and quantizes to
+    ``round(p·scale)`` int64. Signs of INTEGER dot products are exact
+    — no BLAS-order ambiguity — so the bucket ids are reproducible in
+    any engine. The planes are seed-derived constants (not trained on
+    data), so both the Spark plan and the generated SQL embed the
+    same literals."""
+    return [
+        np.round(
+            np.random.default_rng(seed + 1000 * t).standard_normal(
+                (n_planes, dim)
+            )
+            * scale
+        ).astype(np.int64)
+        for t in range(n_tables)
+    ]
+
+
+def lsh_ann_exact(
+    emb: DataFrame,
+    k: int = 10,
+    n_queries: int = 10,
+    n_planes: int = 4,
+    n_tables: int = 16,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """LSH-bucketed ANN top-``k`` on EXACT integer arithmetic end to
+    end: quantized vectors × integer hyperplanes give exact sign
+    bits, candidates share a (table, bucket) in ≥1 of ``n_tables``
+    independent tables (equi-join, never all-pairs), and the exact
+    integer-cosine re-rank picks the top-``k``. Every value is
+    order-free integer math or one double division, so
+    ``lsh_ann_exact_sql`` replays it verbatim and the driver
+    hash-checks the answer — the last of the four ANN families
+    (cosine, IVF, IVF-PQ, LSH) to graduate from rows-only.
+
+    The bucket pass is one Arrow-batched int64 matmul per table
+    (exact in int64 — |qv·p| ≤ d·2^20·2^13 ≪ 2^63), the declared
+    vectorized-Python case."""
+    import pandas as pd
+    from pyspark.sql.window import Window
+    from pyspark.sql.functions import pandas_udf
+
+    planes = _lsh_planes_int(n_planes, n_tables, seed, dim)
+    pows = (1 << np.arange(n_planes, dtype=np.int64))
+
+    @pandas_udf("array<bigint>")
+    def _buckets(vs):  # pandas Series -> pandas Series
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.array(vs.tolist(), dtype=np.int64)
+        out = np.empty((len(mat), n_tables), dtype=np.int64)
+        for t in range(n_tables):
+            bits = (mat @ planes[t].T) > 0  # exact integer signs
+            out[:, t] = bits @ pows
+        return pd.Series(list(out))
+
+    q = emb.select("vec_id", quantize("embedding").alias("qv"))
+    b = q.select(
+        "vec_id",
+        "qv",
+        F.expr(
+            "sqrt(CAST(aggregate(qv, 0L, (a, v) -> a + v * v) AS DOUBLE))"
+        ).alias("nrm"),
+        F.posexplode(_buckets(F.col("qv"))).alias("tbl", "bucket"),
+    )
+    qb = b.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("nrm").alias("q_nrm"),
+        "tbl",
+        "bucket",
+    )
+    cand = (
+        qb.join(b, ["tbl", "bucket"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "q_qv", "q_nrm", "vec_id", "qv", "nrm")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    dot = (
+        "CAST(aggregate(zip_with(q_qv, qv, (a, b) -> a * b), 0L, "
+        "(a, x) -> a + x) AS DOUBLE)"
+    )
+    scored = cand.withColumn(
+        "cosine", F.expr(dot) / (F.col("q_nrm") * F.col("nrm"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("corpus_id"),
+            "cosine",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def lsh_ann_exact_sql(
+    dims: int,
+    k: int = 10,
+    n_queries: int = 10,
+    n_planes: int = 4,
+    n_tables: int = 16,
+    seed: int = 42,
+) -> str:
+    """DuckDB mirror of ``lsh_ann_exact``: the same integer plane
+    literals — materialized ONCE as a (tbl, p, pv) VALUES relation,
+    not inlined per row (DuckDB re-evaluates an inlined nested-list
+    literal per element, which is quadratic) — bucket bits from exact
+    integer dot signs summed as disjoint powers of two (order-free),
+    the (table, bucket) candidate equi-join, and the exact cosine
+    top-k."""
+    planes = _lsh_planes_int(n_planes, n_tables, seed, dims)
+    rows = ",\n    ".join(
+        f"({t}, {p}, [{', '.join(str(int(v)) for v in planes[t][p])}])"
+        for t in range(n_tables)
+        for p in range(n_planes)
+    )
+    return f"""WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           v -> CAST(round(CAST(v AS DOUBLE) * {_SCALE}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+en AS (
+  SELECT vec_id, qv,
+         sqrt(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(qv, v -> v * v)), (a, b) -> a + b) AS DOUBLE))
+           AS nrm
+  FROM e
+),
+pl(tbl, p, pv) AS (
+  VALUES
+    {rows}
+),
+bits AS (
+  SELECT en.vec_id, pl.tbl, 
+         CASE WHEN list_sum(list_transform(range(1, {dims + 1}),
+                i -> en.qv[i] * pl.pv[i])) > 0
+              THEN CAST(1 AS BIGINT) << pl.p
+              ELSE CAST(0 AS BIGINT) END AS bit
+  FROM en CROSS JOIN pl
+),
+b AS (
+  SELECT vec_id, tbl, CAST(sum(bit) AS BIGINT) AS bucket
+  FROM bits GROUP BY vec_id, tbl
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS corpus_id
+  FROM b q
+  JOIN b c ON c.tbl = q.tbl AND c.bucket = q.bucket
+          AND c.vec_id != q.vec_id
+  WHERE q.vec_id < {n_queries}
+),
+scored AS (
+  SELECT cd.query_id, cd.corpus_id,
+         CAST(list_sum(list_transform(range(1, {dims + 1}),
+              i -> q.qv[i] * c.qv[i])) AS DOUBLE)
+           / (q.nrm * c.nrm) AS cosine
+  FROM cand cd
+  JOIN en q ON q.vec_id = cd.query_id
+  JOIN en c ON c.vec_id = cd.corpus_id
+)
+SELECT query_id, corpus_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, corpus_id ASC) AS rank
+  FROM scored)
+WHERE rank <= {k}
+"""

@@ -651,14 +651,30 @@ SELECT * FROM (
 
 
 def embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-10 (rows-only: xxhash64 planes);
-    recall vs brute force asserted in tests/test_text_queries.py.
-    Operating point (4 planes × 16 tables) tuned for the fixtures'
-    near-random vectors (top-10 cosine ~0.3)."""
-    emb = read_table(spark, sf_dir, "embeddings")
-    return similarity.lsh_ann_topk(
-        emb, emb.where(F.col("vec_id") < 10), k=10, n_planes=4, n_tables=16
+    """LSH-bucketed approximate top-10 on the EXACT-integer plane
+    family (kmeans_exact.lsh_ann_exact — integer hyperplane signs,
+    reproducible in any engine), so the whole bucketed-ANN answer is
+    oracle-checked; the float-plane library surface
+    (similarity.lsh_ann_topk) keeps its recall tests. Operating point
+    (4 planes × 16 tables) tuned for the fixtures' near-random
+    vectors (top-10 cosine ~0.3)."""
+    from time_series_prediction_spark.operators.kmeans_exact import (
+        lsh_ann_exact,
     )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return lsh_ann_exact(
+        emb, k=10, n_queries=10, n_planes=4, n_tables=16
+    )
+
+
+def _lsh_ann_sql() -> str:
+    from time_series_prediction_spark.operators.kmeans_exact import (
+        lsh_ann_exact_sql,
+    )
+
+    return lsh_ann_exact_sql(64, k=10, n_queries=10, n_planes=4,
+                             n_tables=16)
 
 
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -882,7 +898,7 @@ TEXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "embedding_cosine_topk": (embedding_cosine_topk, EMBEDDING_COSINE_TOPK_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_SQL),
-    "embedding_lsh_ann": (embedding_lsh_ann, None),
+    "embedding_lsh_ann": (embedding_lsh_ann, _lsh_ann_sql()),
     "embedding_label_centroids": (
         embedding_label_centroids,
         EMBEDDING_CENTROIDS_SQL,
