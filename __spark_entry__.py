@@ -42,6 +42,7 @@ def _all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], 
     from time_series_prediction_spark.plans.rangejoin_queries import RANGEJOIN_QUERIES
     from time_series_prediction_spark.plans.table_queries import TABLE_QUERIES
     from time_series_prediction_spark.plans.relational2 import RELATIONAL2_QUERIES
+    from time_series_prediction_spark.plans.sketch_queries import SKETCH_QUERIES
     from time_series_prediction_spark.plans.semantic_queries import SEMANTIC_QUERIES
     from time_series_prediction_spark.plans.relational3 import RELATIONAL3_QUERIES
     from time_series_prediction_spark.plans.relational4 import RELATIONAL4_QUERIES
@@ -77,6 +78,7 @@ def _all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], 
     registry.update(SEMANTIC_QUERIES)
     registry.update(INGEST_QUERIES)
     registry.update(TABLE_QUERIES)
+    registry.update(SKETCH_QUERIES)
     # wide-array pipeline: oracle-backed via generated DuckDB
     # list-lambda SQL replicating the exact IEEE op sequence
     # (statsmodels-parity trend, sequential-fold extrapolation,

@@ -158,7 +158,8 @@ def test_dup_substring_spans_no_python_no_cartesian(spark, sf_dir):
 # fails loudly.
 _ROWS_ONLY_BUDGET = {
     # name: (max_exchanges, max_arrow_stages, max_pandas_group_stages)
-    "approx_distinct_users_daily": (1, 0, 0),
+    # approx_distinct_users_daily graduated to oracle-backed in round
+    # 8 (portable HLL, operators/sketch_portable.py)
     "cashflow_scoring_pipeline": (3, 1, 0),  # iterator pandas_udf scorer
     "cashflow_synthetic_pipeline": (1, 0, 0),
     "doc_packing_stats": (2, 0, 1),  # applyInPandas per shard

@@ -29,7 +29,7 @@ def test_approx_dau_within_rsd_of_exact(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from time_series_prediction_spark.plans.relational import daily_active_users
-    from time_series_prediction_spark.plans.relational2 import (
+    from time_series_prediction_spark.plans.sketch_queries import (
         approx_distinct_users_daily,
     )
 

@@ -1,0 +1,156 @@
+"""Portable-sketch contracts: cross-engine bit-exactness (the oracle
+discipline), estimator accuracy vs exact answers at the test scale,
+merge losslessness, and plan shape."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from tests.oracle_harness import assert_matches_oracle, duck_connection
+from time_series_prediction_spark.operators.sketch_portable import (
+    portable_hll_daily_sql,
+    portable_quantile_sql,
+)
+from time_series_prediction_spark.plans.sketch_queries import (
+    SKETCH_QUERIES,
+    approx_distinct_users_daily,
+    events_dau_portable_rollup,
+    lineitem_quantiles_portable,
+)
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    return duck_connection(sf_dir)
+
+
+@pytest.mark.parametrize("name", sorted(SKETCH_QUERIES))
+def test_matches_oracle(spark, sf_dir, duck, name):
+    fn, sql = SKETCH_QUERIES[name]
+    assert sql is not None
+    assert_matches_oracle(fn(spark, sf_dir), duck, sql, name=name)
+
+
+def test_hll_accuracy_vs_exact(spark, sf_dir):
+    """Estimate within ~2.2σ of the m=256 RSE (1.04/√256 ≈ 6.5%) of
+    exact daily distincts, with an absolute floor for tiny days.
+    (Measured max on the fixtures: 3.1% at sf0.001, 13.9% at sf0.1.)"""
+    exact = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("dau"))
+    )
+    est = approx_distinct_users_daily(spark, sf_dir)
+    bad = (
+        exact.join(est, "day")
+        .where(
+            F.abs(F.col("approx_dau") - F.col("dau"))
+            > F.col("dau") * 0.15 + 2
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_hll_rollup_bit_identical_to_flat(spark, sf_dir):
+    """MAX-of-MAX register folds are associative, so the two-level
+    (day, shard) rollup must produce the IDENTICAL estimate — not
+    merely a close one. This is the mergeable-sketch guarantee."""
+    flat = approx_distinct_users_daily(spark, sf_dir).toPandas()
+    roll = events_dau_portable_rollup(spark, sf_dir).toPandas()
+    flat = flat.sort_values("day").reset_index(drop=True)
+    roll = roll.sort_values("day").reset_index(drop=True)
+    assert (flat["approx_dau"] == roll["approx_dau"]).all()
+    assert (flat["n_reg"] == roll["n_reg"]).all()
+
+
+def test_hll_spark_duckdb_bit_identical(spark, sf_dir):
+    """Stronger than assert_matches_oracle's 1e-9 tolerance: the
+    estimates must be bit-identical across engines — the module's
+    whole determinism argument, checked end to end."""
+    got = (
+        approx_distinct_users_daily(spark, sf_dir)
+        .toPandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    want = (
+        con.execute(portable_hll_daily_sql("events"))
+        .df()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    assert (
+        got["approx_dau"].to_numpy() == want["approx_dau"].to_numpy()
+    ).all()
+
+
+def test_quantile_error_bound(spark, sf_dir):
+    """Each reported quantile sits within one histogram bucket of the
+    exact value: relative error ≤ 2^-4 = 6.25% by construction."""
+    exact = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95))"
+            ).alias("qs")
+        )
+    )
+    got = lineitem_quantiles_portable(spark, sf_dir)
+    j = exact.join(got, "l_returnflag").collect()
+    assert len(j) > 0
+    for row in j:
+        for i, c in enumerate(["p25", "p50", "p75", "p95"]):
+            rel = abs(row[c] - row["qs"][i]) / row["qs"][i]
+            assert rel <= 0.0625 + 1e-12, (row["l_returnflag"], c, rel)
+
+
+def test_quantile_spark_duckdb_bit_identical(spark, sf_dir):
+    got = (
+        lineitem_quantiles_portable(spark, sf_dir)
+        .toPandas()
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{sf_dir}/lineitem.parquet'"
+    )
+    want = (
+        con.execute(portable_quantile_sql("lineitem"))
+        .df()
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    for c in ["p25", "p50", "p75", "p95", "n"]:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
+def test_hll_determinism_across_partitionings(spark, sf_dir):
+    """The estimate is independent of physical partitioning (register
+    sums are exact powers-of-two partial sums — order-free)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.repartition(13).createOrReplaceTempView("_psk_events")
+    a = spark.sql(portable_hll_daily_sql("_psk_events")).toPandas()
+    ev.repartition(2).createOrReplaceTempView("_psk_events")
+    b = spark.sql(portable_hll_daily_sql("_psk_events")).toPandas()
+    a = a.sort_values("day").reset_index(drop=True)
+    b = b.sort_values("day").reset_index(drop=True)
+    assert (a["approx_dau"] == b["approx_dau"]).all()
+
+
+def test_plan_shape(spark, sf_dir):
+    """Whole pipeline stays JVM-side: no Python stages, and the only
+    exchanges are the register folds (hash partial-agg before them)."""
+    for name, (fn, _) in sorted(SKETCH_QUERIES.items()):
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name

@@ -375,15 +375,11 @@ GROUP BY event_type
 """
 
 
-def approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog approximate distinct (the 100 TB scale path for
-    cardinality; exact twin is daily_active_users). Rows-only: HLL
-    estimates are engine-specific by construction."""
-    ev = read_table(spark, sf_dir, "events")
-    return ev.groupBy(F.to_date("ts").alias("day")).agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_dau"),
-        F.count(F.lit(1)).alias("n_events"),
-    )
+# approx_distinct_users_daily moved to plans/sketch_queries.py in
+# round 8: reimplemented on the portable HLL
+# (operators/sketch_portable.py) so it is oracle-backed; Spark's
+# engine-native approx_count_distinct remains demonstrated by
+# events_dau_sketch_rollup below.
 
 
 def events_dau_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -422,7 +418,6 @@ def events_dau_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 RELATIONAL2_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "salted_event_type_totals": (salted_event_type_totals, SALTED_TOTALS_SQL),
-    "approx_distinct_users_daily": (approx_distinct_users_daily, None),
     "events_dau_sketch_rollup": (events_dau_sketch_rollup, None),
     "q4_order_priority": (q4_order_priority, Q4_SQL),
     "q14_promo_revenue_share": (q14_promo_revenue_share, Q14_SQL),
