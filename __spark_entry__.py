@@ -31,6 +31,7 @@ def _all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], 
     # query surface
     from time_series_prediction_spark.plans.flagship import (
         CASHFLOW_HOLDOUT_SQL,
+        CASHFLOW_SCORING_SQL,
         CASHFLOW_WIDE_SQL,
         cashflow_holdout_eval,
         cashflow_scoring_pipeline,
@@ -87,9 +88,14 @@ def _all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], 
     # (canonicalizers hash scalar cells only)
     registry["cashflow_wide_pipeline"] = (cashflow_wide_summary, CASHFLOW_WIDE_SQL)
     # S.1→S.3+E.2 scoring lifecycle (pre_process → pandas_udf scoring →
-    # post_process → distributed R²): the scoring stage is a pandas_udf
-    # → rows-only; quality ordering pinned in tests/test_model_scoring.py
-    registry["cashflow_scoring_pipeline"] = (cashflow_scoring_pipeline, None)
+    # post_process → distributed R²): oracle-backed since round 8 —
+    # the last-value model's pandas_udf stage is pure float32
+    # passthrough, so the whole lifecycle (ppm-quantized R² included)
+    # replays as DuckDB list algebra (CASHFLOW_SCORING_SQL)
+    registry["cashflow_scoring_pipeline"] = (
+        cashflow_scoring_pipeline,
+        CASHFLOW_SCORING_SQL,
+    )
     # holdout evaluation of the native forecast under the shared loss
     # registry (operators/losses.py) — training, forecasting, and all
     # three losses replay in DuckDB

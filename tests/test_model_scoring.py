@@ -70,6 +70,34 @@ def test_cashflow_scoring_pipeline_registry_shape(spark, sf_dir):
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
 
 
+def test_scoring_pipeline_matches_oracle_exactly(spark, sf_dir):
+    """Round-8 graduation: the FULL serving lifecycle — pandas_udf
+    scoring stage included — must be BIT-exact against the generated
+    DuckDB oracle (no float tolerance; the driver's t2 gate hashes
+    values). Works because the last-value model does no arithmetic
+    (float32 passthrough) and the cross-series R² mean is quantized
+    to integer ppm before averaging (order-free sums)."""
+    import numpy as np
+    import pandas as pd
+
+    from tests.oracle_harness import _normalize, duck_connection
+    from time_series_prediction_spark.plans.flagship import (
+        CASHFLOW_SCORING_SQL,
+        cashflow_scoring_pipeline,
+    )
+
+    con = duck_connection(sf_dir)
+    got = _normalize(cashflow_scoring_pipeline(spark, sf_dir).toPandas())
+    want = _normalize(con.execute(CASHFLOW_SCORING_SQL).df())
+    con.close()
+    assert got.shape == want.shape
+    assert got.shape[0] == 1
+    for c in got.columns:
+        g, w = got[c].to_numpy(), want[c].to_numpy()
+        eq = (g == w) | (pd.isna(g) & pd.isna(w))
+        assert np.all(eq), (c, got[c], want[c])
+
+
 def test_keras_factory_raises_without_tf(spark):
     raw = generate_series_frame(spark, 5, seed=1)
     pre = pre_processing(clean_series(raw), "2020-03-31", serving=True)

@@ -160,7 +160,8 @@ _ROWS_ONLY_BUDGET = {
     # name: (max_exchanges, max_arrow_stages, max_pandas_group_stages)
     # approx_distinct_users_daily graduated to oracle-backed in round
     # 8 (portable HLL, operators/sketch_portable.py)
-    "cashflow_scoring_pipeline": (3, 1, 0),  # iterator pandas_udf scorer
+    # cashflow_scoring_pipeline graduated to oracle-backed in round 8
+    # (last-value pandas_udf is float32 passthrough; ppm-quantized R²)
     "cashflow_synthetic_pipeline": (1, 0, 0),
     "doc_packing_stats": (2, 0, 1),  # applyInPandas per shard
     # embedding_{ivf,pq,lsh}_ann moved OUT of rows-only in round 8:

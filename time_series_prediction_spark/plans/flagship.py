@@ -84,9 +84,13 @@ def cashflow_scoring_pipeline(
 
     Horizons are scaled to the fixture (series are 21-30 days):
     X = 14 days, y = 7 days, R² at the full horizon and at 3 days.
-    Rows-only driver check — the pandas_udf scoring stage is not
-    ANSI-SQL-expressible; model-quality ordering (last-value beats
-    zero model) is pinned in tests/test_model_scoring.py."""
+    Oracle-backed end to end since round 8 (CASHFLOW_SCORING_SQL):
+    the last-value model's pandas_udf stage does no arithmetic
+    (float32 passthrough of X's last element), so the whole lifecycle
+    — pre-processing rounding ladder, udf output, rescale, and the
+    ppm-quantized distributed R² — replays as DuckDB list algebra.
+    Model-quality ordering (last-value beats zero model) is pinned in
+    tests/test_model_scoring.py."""
     from time_series_prediction_spark.model.scoring import (
         last_value_model_factory,
         score_dataframe,
@@ -452,6 +456,158 @@ FROM pairs
 
 
 CASHFLOW_HOLDOUT_SQL = _cashflow_holdout_sql()
+
+
+def _cashflow_scoring_sql(
+    x_days: int = 14,
+    y_days: int = 7,
+    one_month_days: int = 3,
+    threshold_count: int = 5,
+) -> str:
+    """DuckDB oracle for ``cashflow_scoring_pipeline`` — the serving
+    lifecycle value-hash-verified END TO END, pandas_udf stage
+    included.
+
+    The scoring stage is an iterator pandas_udf, but with the
+    last-value persistence model its ARITHMETIC is pure float32
+    passthrough: ``y_pred[j] = X[x_days]`` with no computation, so the
+    udf's output is exactly expressible as list algebra and the whole
+    pipeline replays in DuckDB: exact-cents daily series → float32
+    wide series → keep_ts gate → per-series mean/std as sequential
+    folds (std over the UNROUNDED mean, mirroring numpy's two-pass) →
+    shortest-repr half-even 3-rounding (``_bround3``) at every W4-W7
+    step → repeat-last prediction → W5 rescale → per-series R² folds
+    quantized to integer ppm (see ``r2_metrics``) → order-free
+    integer aggregates. The trend columns the Spark pipeline also
+    computes (W1/W9) do not reach the output — detrend/retrend are
+    the as-shipped no-ops — so the oracle omits them.
+
+    Fixture configuration only (X=14, y=7, R² at 7 and 3 days); the
+    Spark pipeline itself takes any horizon."""
+    x, h, om, tc = x_days, y_days, one_month_days, threshold_count
+    n_min = x + h
+    from time_series_prediction_spark.operators.losses import LOSSES
+    from time_series_prediction_spark.plans.timeseries_queries import (
+        DAILY_CTE,
+    )
+
+    def fold(items: str) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {items}), "
+            f"(a, v) -> a + v)"
+        )
+
+    def sq_dev(arr: str, mean: str) -> str:
+        return (
+            f"list_transform({arr}, v -> (CAST(v AS DOUBLE) - {mean}) "
+            f"* (CAST(v AS DOUBLE) - {mean}))"
+        )
+
+    def sq_err(t: str, p: str, n: int) -> str:
+        d = f"(CAST({t}[j] AS DOUBLE) - CAST({p}[j] AS DOUBLE))"
+        return (
+            f"list_transform(range(1, {n + 1}), j -> {d} * {d})"
+        )
+
+    def ppm(sse: str, sst: str) -> str:
+        return (
+            f"CASE WHEN {sst} = 0.0 THEN CAST(NULL AS BIGINT) "
+            f"ELSE CAST(floor((1.0e0 - {sse} / {sst}) * 1000000.0e0 "
+            f"+ 0.5e0) AS BIGINT) END"
+        )
+
+    loss_cols = ",\n       ".join(
+        f"CAST(sum({LOSSES[loss][1]}) AS BIGINT) AS {LOSSES[loss][0]}"
+        for loss in ("mae", "smape")
+    )
+    var_fold = fold(sq_dev("b", "mraw"))
+    return (
+        DAILY_CTE
+        + f"""
+, series AS (
+  SELECT user_id,
+         list_transform(array_agg(cents ORDER BY day),
+                        c -> CAST(CAST(c AS DOUBLE) / 100.0 AS FLOAT)) AS b,
+         CAST(count(*) AS INT) AS n
+  FROM daily GROUP BY user_id
+),
+kept AS (
+  SELECT * FROM series
+  WHERE n >= {n_min}
+    AND len(list_filter(b, v -> v != b[1])) > 0
+    AND len(list_filter(range(2, n + 1), j ->
+          (CAST(b[j] AS DOUBLE) - CAST(b[j - 1] AS DOUBLE)) != 0.0)) >= {tc}
+),
+ms AS (
+  SELECT user_id, b, n,
+         {fold("list_transform(b, v -> CAST(v AS DOUBLE))")} / n AS mraw
+  FROM kept
+),
+stats AS (
+  SELECT user_id, b, n,
+         CAST({_bround3("mraw")} AS FLOAT) AS mean,
+         CAST({_bround3(f"sqrt({var_fold} / n)")} AS FLOAT) AS sd
+  FROM ms
+),
+scaled AS (
+  SELECT user_id, b, n, mean, sd,
+         list_transform(b, v ->
+           CAST({_bround3("(CAST(v AS DOUBLE) - mean) / sd")} AS FLOAT)) AS s
+  FROM stats
+),
+xp AS (
+  SELECT user_id, b, n, mean, sd,
+         list_transform(s[n - {n_min - 1} : n - {h}], v ->
+           CAST({_bround3("CAST(v AS DOUBLE)")} AS FLOAT)) AS x
+  FROM scaled
+),
+pr AS (
+  SELECT user_id,
+         b[n - {h - 1} : n] AS tr,
+         list_transform(range(1, {h + 1}), _d ->
+           CAST({_bround3(f"CAST(x[{x}] AS DOUBLE) * sd + mean")} AS FLOAT)) AS p
+  FROM xp
+),
+m1 AS (
+  SELECT user_id, tr, p,
+         {fold("list_transform(tr, v -> CAST(v AS DOUBLE))")} / {h} AS mt7,
+         {fold(f"list_transform(tr[1:{om}], v -> CAST(v AS DOUBLE))")} / {om} AS mt3
+  FROM pr
+),
+r2s AS (
+  SELECT user_id, tr, p,
+         {fold(sq_err("tr", "p", h))} AS sse7,
+         {fold(sq_dev("tr", "mt7"))} AS sst7,
+         {fold(sq_err(f"tr[1:{om}]", f"p[1:{om}]", om))} AS sse3,
+         {fold(sq_dev(f"tr[1:{om}]", "mt3"))} AS sst3
+  FROM m1
+),
+ppms AS (
+  SELECT user_id, tr, p,
+         {ppm("sse7", "sst7")} AS ppm7,
+         {ppm("sse3", "sst3")} AS ppm3
+  FROM r2s
+),
+pairs AS (
+  SELECT user_id,
+         CAST(tr[dd] AS DOUBLE) AS a,
+         CAST(p[dd] AS DOUBLE) AS f
+  FROM ppms CROSS JOIN (SELECT unnest(range(1, {h + 1})) AS dd) hh
+)
+SELECT (SELECT CAST(SUM(ppm7) AS DOUBLE)
+               / (CAST(COUNT(ppm7) AS DOUBLE) * 1000000.0e0)
+        FROM ppms) AS r2_horizon,
+       (SELECT CAST(SUM(ppm3) AS DOUBLE)
+               / (CAST(COUNT(ppm3) AS DOUBLE) * 1000000.0e0)
+        FROM ppms) AS r2_3day,
+       (SELECT CAST(count(*) AS BIGINT) FROM ppms) AS n_series,
+       {loss_cols}
+FROM pairs
+"""
+    )
+
+
+CASHFLOW_SCORING_SQL = _cashflow_scoring_sql()
 
 
 def cashflow_wide_summary(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -169,10 +169,22 @@ def r2_metrics(
     same (truth, prediction) window (operators/losses.py — the same
     registry the backtest sweeps), all computed in the ONE pass over
     the scored frame.
+
+    Determinism (round 8): the per-series R² is quantized to integer
+    parts-per-million BEFORE the cross-series average. Per-series R²
+    is a sequential array fold — bit-deterministic — but a float AVG
+    over series depends on reduction order, which varies with
+    partitioning and differs across engines; integer ppm sums are
+    exact and order-free, so the reported mean (sum_ppm / (n·10⁶)) is
+    reproducible on any cluster AND value-hash-verifiable against the
+    DuckDB oracle. Series whose truth window is constant (SST = 0,
+    undefined R²) report NULL and are excluded from the mean — the
+    reference's float path would silently propagate ±inf/NaN there
+    (``notebooks/utils.py:502-538``).
     """
     truth = f"slice({y_true_col}, size({y_true_col}) - {y_days} + 1, {y_days})"
 
-    def per_series_r2(n_days: int) -> str:
+    def per_series_r2_ppm(n_days: int) -> str:
         t = f"slice({truth}, 1, {n_days})"
         p = f"slice({y_pred_col}, 1, {n_days})"
         mean_t = f"(aggregate({t}, 0D, (a, v) -> a + CAST(v AS DOUBLE)) / {n_days})"
@@ -185,24 +197,36 @@ def r2_metrics(
             f"transform(array({mean_t}), _m -> "
             f"aggregate({t}, 0D, (a, v) -> a + (CAST(v AS DOUBLE) - _m) * (CAST(v AS DOUBLE) - _m)))[0]"
         )
-        return f"(1.0D - {sse} / {sst})"
+        # floor(x + 0.5) instead of round(): identical text-portable
+        # semantics in Spark SQL and DuckDB for all doubles (round()
+        # differs between engines on negative halves)
+        return (
+            f"CASE WHEN {sst} = 0.0D THEN CAST(NULL AS BIGINT) "
+            f"ELSE CAST(floor((1.0D - {sse} / {sst}) * 1000000.0D + 0.5D) "
+            f"AS BIGINT) END"
+        )
 
     from time_series_prediction_spark.operators.losses import (
         LOSSES,
         series_loss_expr,
     )
 
+    def ppm_mean(col: str) -> F.Column:
+        return F.sum(col).cast("double") / (
+            F.count(col).cast("double") * F.lit(1000000.0)
+        )
+
     loss_names = [LOSSES[loss][0] for loss in losses]
     return df.select(
-        F.expr(per_series_r2(y_days)).alias("_r2_3m"),
-        F.expr(per_series_r2(one_month_days)).alias("_r2_1m"),
+        F.expr(per_series_r2_ppm(y_days)).alias("_r2_3m_ppm"),
+        F.expr(per_series_r2_ppm(one_month_days)).alias("_r2_1m_ppm"),
         *[
             F.expr(series_loss_expr(loss, truth, y_pred_col)).alias(name)
             for loss, name in zip(losses, loss_names)
         ],
     ).agg(
-        F.avg("_r2_3m").alias("r2_3month"),
-        F.avg("_r2_1m").alias("r2_1month"),
+        ppm_mean("_r2_3m_ppm").alias("r2_3month"),
+        ppm_mean("_r2_1m_ppm").alias("r2_1month"),
         F.count(F.lit(1)).alias("n_series"),
         *[F.sum(name).cast("long").alias(name) for name in loss_names],
     )
