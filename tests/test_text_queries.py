@@ -291,6 +291,36 @@ def test_packing_invariants(spark, sf_dir):
     packed.unpersist()
 
 
+def test_harmonic_packing_invariants(spark, sf_dir):
+    """Harmonic size-class packing: every doc exactly once; no
+    multi-doc bin over budget; every FULL bin (c docs of class c)
+    fills beyond c/(c+1) of the budget — the scheme's provable
+    lower bound (only the last bin per class may be underfull)."""
+    from time_series_prediction_spark.operators import text
+    from time_series_prediction_spark.operators.packing import (
+        pack_documents_harmonic,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", text.token_count("text").alias("n_tokens")
+    )
+    packed = pack_documents_harmonic(docs, budget=512).cache()
+    n_docs = docs.count()
+    assert packed.count() == n_docs
+    assert packed.select("doc_id").distinct().count() == n_docs
+    bins = packed.groupBy(
+        F.shiftright("bin_id", 40).alias("c"), "bin_id"
+    ).agg(F.sum("n_tokens").alias("fill"), F.count(F.lit(1)).alias("n"))
+    assert bins.where((F.col("fill") > 512) & (F.col("n") > 1)).count() == 0
+    underfull = bins.where(
+        (F.col("c") >= 1)
+        & (F.col("n") == F.col("c"))  # full bin of its class
+        & (F.col("fill") * (F.col("c") + 1) <= 512 * F.col("c"))
+    ).count()
+    assert underfull == 0, "full bin at or below the c/(c+1) bound"
+    packed.unpersist()
+
+
 def test_packing_group_count_scales_with_corpus(spark, sf_dir):
     """The scale contract: with the derived default, per-group row
     count stays under a ceiling no matter the corpus size (each group

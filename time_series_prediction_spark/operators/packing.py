@@ -96,3 +96,66 @@ def pack_documents(
     return grouped.groupBy("_grp").applyInPandas(
         _pack, "doc_id long, n_tokens long, bin_id long"
     )
+
+
+def pack_documents_harmonic(
+    docs: DataFrame,
+    budget: int = 2048,
+    id_col: str = "doc_id",
+    len_col: str = "n_tokens",
+) -> DataFrame:
+    """Harmonic size-class packing — the fully closed-form,
+    zero-Python alternative to ``pack_documents``.
+
+    Documents are classed by per-bin capacity c = floor(budget/len)
+    (so lengths fall in (budget/(c+1), budget/c]) and each bin takes
+    exactly c documents of its class, assigned by dense rank (length
+    desc, id asc). Every completely filled bin holds c docs each
+    longer than budget/(c+1), so its fill fraction EXCEEDS c/(c+1) —
+    ≥ 1/2, approaching 1 for short docs; only the last bin of each
+    class can be underfull. Oversized docs (len > budget, c = 0) get
+    singleton bins, same convention as BFD.
+
+    Scale/verifiability trade vs BFD: BFD packs tighter
+    (11/9·OPT + 1 per group) but is sequential per group — an
+    applyInPandas stage whose per-group state must fit one task, and
+    whose algorithm no SQL engine can replay. Harmonic is ONE window
+    rank per class (a sort-shuffle keyed on ~log(budget) classes, no
+    Python, no per-task state) and is plain relational algebra — the
+    DuckDB oracle checks it bin-for-bin (``doc_packing_harmonic``).
+
+    Bin ids are namespaced per class: c·2^40 + within-class index
+    (same ``_LOCAL_BITS`` convention as ``pack_documents``).
+    """
+    from pyspark.sql import Window
+
+    # floor of a double division of ints < 2^53 is exact (quotient is
+    # ≥ 1/len away from the next integer, far beyond one ulp) — the
+    # same dialect-portable idiom the oracle SQL uses
+    cap = (
+        f"CASE WHEN n_tokens > {budget} THEN CAST(0 AS BIGINT) "
+        f"ELSE CAST(floor({float(budget)!r} / n_tokens) AS BIGINT) END"
+    )
+    w = Window.partitionBy("_cap").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(len_col).cast("long").alias("n_tokens"),
+        )
+        .withColumn("_cap", F.expr(cap))
+        .withColumn("_rk", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.col("_cap") * F.lit(1 << _LOCAL_BITS)
+                + F.when(F.col("_cap") <= 1, F.col("_rk") - 1).otherwise(
+                    F.expr(
+                        "CAST(floor(CAST(_rk - 1 AS DOUBLE) / _cap) AS BIGINT)"
+                    )
+                )
+            ).alias("bin_id"),
+        )
+    )

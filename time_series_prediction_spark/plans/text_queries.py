@@ -866,9 +866,11 @@ LIMIT 100
 
 def doc_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-bin stats of greedy sequence packing (512-token budget over
-    whitespace token counts). Partition-local FFD is engine-specific
+    whitespace token counts). Partition-local BFD is engine-specific
     (operators/packing.py) ⇒ rows-only driver check; packing
-    invariants are pinned in tests/test_text_queries.py."""
+    invariants are pinned in tests/test_text_queries.py and the
+    algorithm FAMILY is oracle-backed via the closed-form twin
+    doc_packing_harmonic (bin-for-bin DuckDB match)."""
     from time_series_prediction_spark.operators import text
     from time_series_prediction_spark.operators.packing import pack_documents
 
@@ -882,11 +884,67 @@ def doc_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DOC_PACKING_HARMONIC_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), caps AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN n_tokens > 512 THEN CAST(0 AS BIGINT)
+              ELSE CAST(floor(512.0e0 / n_tokens) AS BIGINT) END AS c
+  FROM toks
+), ranked AS (
+  SELECT doc_id, n_tokens, c,
+         row_number() OVER (PARTITION BY c
+                            ORDER BY n_tokens DESC, doc_id ASC) AS rk
+  FROM caps
+), bins AS (
+  SELECT n_tokens,
+         c * 1099511627776
+         + CASE WHEN c <= 1 THEN rk - 1
+                ELSE CAST(floor(CAST(rk - 1 AS DOUBLE) / c) AS BIGINT)
+           END AS bin_id
+  FROM ranked
+)
+SELECT bin_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+FROM bins GROUP BY bin_id
+"""
+
+
+def doc_packing_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bin stats of harmonic size-class packing (512-token budget,
+    whitespace token counts) — the oracle-backed twin of
+    doc_packing_stats. Capacity classes + window rank are plain
+    relational algebra, so DuckDB replays the assignment bin-for-bin;
+    every full bin's fill exceeds c/(c+1) ≥ 1/2 by construction
+    (operators/packing.pack_documents_harmonic). At 100 TB this is
+    one sort-shuffle over ~log(budget) capacity classes, no Python
+    stage and no per-task working set — the scale path; BFD remains
+    the tighter-fill engine-specific path."""
+    from time_series_prediction_spark.operators import text
+    from time_series_prediction_spark.operators.packing import (
+        pack_documents_harmonic,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", text.token_count("text").alias("n_tokens")
+    )
+    packed = pack_documents_harmonic(docs, budget=512)
+    return packed.groupBy("bin_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("bin_tokens"),
+    )
+
+
 TEXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "doc_chunks": (doc_chunks, DOC_CHUNKS_SQL),
     "doc_stratified_sample": (doc_stratified_sample, DOC_STRATIFIED_SQL),
     "corpus_vocab_topk": (corpus_vocab_topk, CORPUS_VOCAB_SQL),
     "doc_packing_stats": (doc_packing_stats, None),
+    "doc_packing_harmonic": (doc_packing_harmonic, DOC_PACKING_HARMONIC_SQL),
     "doc_text_stats": (doc_text_stats, DOC_TEXT_STATS_SQL),
     "doc_lang_id": (doc_lang_id, DOC_LANG_ID_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
