@@ -146,6 +146,41 @@ def test_hll_determinism_across_partitionings(spark, sf_dir):
     assert (a["approx_dau"] == b["approx_dau"]).all()
 
 
+def test_incremental_registers_bounded_and_bit_identical(spark, sf_dir):
+    """The steady-state contract: after streaming the fixture in 8
+    arbitrary batches, (a) the persisted register state is ≤ m×days
+    rows — independent of how much data streamed through; (b) the
+    estimates from that state are BIT-identical to the flat recompute
+    over raw events (MAX-fold associativity + deterministic
+    estimator)."""
+    import os
+
+    from time_series_prediction_spark.plans.sketch_queries import (
+        _registers_layout,
+        approx_distinct_users_daily,
+        events_dau_incremental,
+    )
+
+    path = _registers_layout(spark, sf_dir)
+    state = spark.read.parquet(os.path.join(path, "state", "current"))
+    days = state.select("day").distinct().count()
+    assert state.count() <= 256 * days
+    inc = (
+        events_dau_incremental(spark, sf_dir)
+        .toPandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    flat = (
+        approx_distinct_users_daily(spark, sf_dir)
+        .toPandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    assert (inc["approx_dau"].to_numpy() == flat["approx_dau"].to_numpy()).all()
+    assert (inc["n_reg"].to_numpy() == flat["n_reg"].to_numpy()).all()
+
+
 def test_plan_shape(spark, sf_dir):
     """Whole pipeline stays JVM-side: no Python stages, and the only
     exchanges are the register folds (hash partial-agg before them)."""

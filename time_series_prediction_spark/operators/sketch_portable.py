@@ -205,12 +205,22 @@ def portable_hll_daily_sql(
             f"FROM reg0 GROUP BY day, bucket)"
         )
 
-    k_case, pow_case = _log2_cases("x", max_e)
     return f"""
 WITH {base},
 {", ".join(rounds)},
 {reg},
-est AS (
+{_estimate_ctes(m)}
+{_estimate_select(m)}
+"""
+
+
+def _estimate_ctes(m: int) -> str:
+    """CTE chain turning a ``reg`` relation (day, bucket, rho) into
+    the per-day estimator inputs."""
+    alpha_m2 = _dlit(0.7213 / (1 + 1.079 / m) * m * m)
+    max_e = m.bit_length() - 1
+    k_case, pow_case = _log2_cases("x", max_e)
+    return f"""est AS (
   SELECT day, COUNT(*) AS nb, SUM({_recip_case("rho")}) AS sobs
   FROM reg GROUP BY day
 ), raw AS (
@@ -225,13 +235,61 @@ est AS (
   SELECT day, nb, e_raw, k, (x/p2 - 1.0e0)/(x/p2 + 1.0e0) AS z FROM lnk
 ), lnz2 AS (
   SELECT day, nb, e_raw, k, z, z*z AS z2 FROM lnz
-)
-SELECT day,
+)"""
+
+
+def _estimate_select(m: int) -> str:
+    ln2 = _dlit(math.log(2))
+    return f"""SELECT day,
        CASE WHEN e_raw <= {_dlit(2.5 * m)} AND nb < {m}
             THEN {_dlit(m)} * (CAST(k AS DOUBLE)*{ln2} + 2.0e0*z*{_ln_poly("z2")})
             ELSE e_raw END AS approx_dau,
        CAST(nb AS BIGINT) AS n_reg
-FROM lnz2
+FROM lnz2"""
+
+
+def portable_hll_registers_sql(
+    table: str,
+    m: int = 256,
+    id_col: str = "user_id",
+    day_expr: str = "CAST(ts AS DATE)",
+) -> str:
+    """(day, bucket, rho) register partial for one slice of data — the
+    persistable sketch state. Registers from ANY partition of the data
+    fold losslessly by MAX(rho) per (day, bucket) into exactly the
+    registers a flat pass would build, so incremental maintenance
+    (fold each new batch into a tiny state table, never rescan
+    history) reproduces the full-recompute estimate BIT-exactly —
+    ``events_dau_incremental``'s oracle is that equality."""
+    assert m & (m - 1) == 0, "m must be a power of two"
+    base = (
+        f"base AS (SELECT {day_expr} AS day, "
+        f"{id_col} % {M - 1} + 1 AS xa, {id_col} % {M - 1} + 1 AS xb "
+        f"FROM {table} WHERE {id_col} IS NOT NULL)"
+    )
+    rounds = [
+        _sq_chain_cte(f"h{k + 1}", f"h{k}" if k else "base", "day", "xa", "xb", k)
+        for k in range(_HASH_ROUNDS)
+    ]
+    last = f"h{_HASH_ROUNDS}"
+    return f"""
+WITH {base},
+{", ".join(rounds)}
+SELECT day, xa % {m} AS bucket, MAX({_rho_case("xb")}) AS rho
+FROM {last} GROUP BY day, xa % {m}
+"""
+
+
+def portable_hll_estimate_sql(reg_table: str, m: int = 256) -> str:
+    """Per-day estimates from a persisted (day, bucket, rho) register
+    table (the other half of ``portable_hll_registers_sql``). Output
+    is identical to ``portable_hll_daily_sql`` run flat over the raw
+    data the registers were folded from."""
+    assert m & (m - 1) == 0, "m must be a power of two"
+    return f"""
+WITH reg AS (SELECT day, bucket, rho FROM {reg_table}),
+{_estimate_ctes(m)}
+{_estimate_select(m)}
 """
 
 

@@ -26,12 +26,19 @@ the heavy fold before the exchange.
 
 from __future__ import annotations
 
+import hashlib
+import os
+import tempfile
+import threading
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from time_series_prediction_spark.operators.sketch_portable import (
     portable_hll_daily_sql,
+    portable_hll_estimate_sql,
+    portable_hll_registers_sql,
     portable_quantile_sql,
 )
 from time_series_prediction_spark.sources.io import read_table
@@ -99,12 +106,125 @@ def lineitem_quantiles_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_QUANTILE_PORTABLE_SPARK)
 
 
+# ---------------------------------------------------------------------------
+# incremental register maintenance: the steady-state 100 TB pattern
+# ---------------------------------------------------------------------------
+
+# serialize same-layout builds within one process (same discipline as
+# plans/ingest_queries and operators/bucketing)
+_LOCKS_GUARD = threading.Lock()
+_BUILD_LOCKS: dict[str, threading.Lock] = {}
+
+
+def _build_lock(key: str) -> threading.Lock:
+    with _LOCKS_GUARD:
+        return _BUILD_LOCKS.setdefault(key, threading.Lock())
+
+
+def _registers_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Stream the events fixture through a foreachBatch sink that
+    maintains the portable-HLL register table INCREMENTALLY: each
+    micro-batch hashes only its own rows into (day, bucket, rho)
+    partials and MAX-folds them into the persisted state — the raw
+    history is never rescanned, and the state stays ≤ 256×days rows
+    however much data has streamed through. Built once per fixture
+    content under the shared temp cache (identity = source path +
+    size + mtime + spec), atomically published."""
+    from time_series_prediction_spark.sources.fsops import fs_for
+
+    spec = "dau_regs_v1|m=256"
+    src = os.path.join(sf_dir, "events.parquet")
+    fs = fs_for(spark, tempfile.gettempdir())
+    st = fs.status(src)
+    if st is None:
+        raise FileNotFoundError(src)
+    ident = f"{fs.qualified(src)}|{st[0]}|{st[1]}|{spec}"
+    key = hashlib.md5(ident.encode()).hexdigest()[:16]
+    path = os.path.join(
+        tempfile.gettempdir(), "tsp_layouts", f"dau_regs_{key}"
+    )
+    with _build_lock(path):
+        if fs.exists(os.path.join(path, "_IDENT")):
+            return path
+        tmp = f"{path}.build-{os.getpid()}"
+        fs.delete(tmp)
+        ev = read_table(spark, sf_dir, "events")
+        inbox = os.path.join(tmp, "_inbox")
+        ev.repartition(8).write.mode("overwrite").parquet(inbox)
+        state = os.path.join(tmp, "state")
+
+        def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+            sp = batch_df.sparkSession
+            batch_df.createOrReplaceTempView("_dau_inc_batch")
+            partial = sp.sql(
+                portable_hll_registers_sql("_dau_inc_batch")
+            )
+            cur = os.path.join(state, "current")
+            if fs.exists(os.path.join(cur, "_SUCCESS")):
+                partial = (
+                    sp.read.parquet(cur)
+                    .unionByName(partial)
+                    .groupBy("day", "bucket")
+                    .agg(F.max("rho").alias("rho"))
+                )
+            nxt = os.path.join(state, f"gen-{batch_id}")
+            partial.coalesce(1).write.mode("overwrite").parquet(nxt)
+            # atomic swap: the reader only ever sees a complete state
+            old = os.path.join(state, f"prev-{batch_id}")
+            if fs.exists(cur):
+                if not fs.rename(cur, old):
+                    raise RuntimeError(f"state swap failed: {cur}")
+            if not fs.rename(nxt, cur):
+                raise RuntimeError(f"state swap failed: {nxt}")
+            fs.delete(old)
+
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(inbox)
+        )
+        q = (
+            stream.writeStream.foreachBatch(fold_batch)
+            .option("checkpointLocation", os.path.join(tmp, "_ck"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        fs.write_text(os.path.join(tmp, "_IDENT"), ident)
+        if not fs.publish_dir(tmp, path):
+            if not fs.exists(os.path.join(path, "_IDENT")):
+                raise RuntimeError(f"layout publish failed: {path}")
+    return path
+
+
+def events_dau_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily DAU estimates read from the INCREMENTALLY maintained
+    register table (built by streaming the fixture batch-by-batch;
+    each batch folded only itself into ≤ 256×days rows of state).
+
+    The oracle is ``portable_hll_daily_sql`` flat over the RAW events
+    — so the driver value-hash-proves the steady-state contract:
+    incremental maintenance over arbitrary batch boundaries produces
+    BIT-identical estimates to a full recompute, because register
+    MAX-folds are associative and the estimator is deterministic
+    arithmetic. This is the sketch-layer sibling of
+    orders_cow_view_maintenance's fold==recompute oracle."""
+    path = _registers_layout(spark, sf_dir)
+    spark.read.parquet(os.path.join(path, "state", "current")) \
+        .createOrReplaceTempView("_psk_dau_regs")
+    return spark.sql(portable_hll_estimate_sql("_psk_dau_regs"))
+
+
 SKETCH_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "approx_distinct_users_daily": (
         approx_distinct_users_daily,
         APPROX_DISTINCT_SQL,
     ),
     "events_dau_portable_rollup": (events_dau_portable_rollup, DAU_ROLLUP_SQL),
+    # oracle = flat recompute: proves incremental fold == full pass
+    "events_dau_incremental": (events_dau_incremental, APPROX_DISTINCT_SQL),
     "lineitem_quantiles_portable": (
         lineitem_quantiles_portable,
         QUANTILE_PORTABLE_SQL,
