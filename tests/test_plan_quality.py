@@ -212,6 +212,33 @@ def test_rows_only_queries_meet_plan_budget(spark, sf_dir):
     assert not failures, failures
 
 
+def test_bloom_pruned_join_injects_runtime_filter(spark, sf_dir):
+    """bloom_pruned_join must carry the injected runtime bloom filter
+    (might_contain on the fact side's join key, bloom_filter_agg over
+    the filtered dim keys) — the semi-join reduction that drops
+    non-matching fact rows BEFORE the shuffle at warehouse scale. And
+    the temporarily tuned session confs must be restored: a fresh,
+    identical join planned afterwards gets NO bloom filter."""
+    from time_series_prediction_spark.plans.relational4 import (
+        bloom_pruned_join,
+    )
+
+    df = bloom_pruned_join(spark, sf_dir)
+    plan = _plan(df)
+    assert "might_contain" in plan, plan[:2000]
+    assert "bloom_filter_agg" in plan
+    # conf restore: defaults back in place, fresh plans unaffected
+    assert (
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    fresh = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+        "o_orderpriority"
+    ).count()
+    assert "might_contain" not in _plan(fresh)
+
+
 def test_quality_audit_scan_budget(spark, sf_dir):
     """One conditional-aggregate pass per table + one single-pass FK
     join: exactly four file scans however many checks are declared,

@@ -387,6 +387,76 @@ WHERE _cost_c = _min_c
 """
 
 
+BLOOM_JOIN_SQL = """
+SELECT o_orderpriority,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_c,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderdate >= TIMESTAMP '1997-03-01'
+  AND o_orderdate < TIMESTAMP '1997-04-01'
+GROUP BY o_orderpriority
+"""
+
+_BLOOM_CONFS = {
+    # thresholds sized for the sf0.1 harness; at warehouse scale the
+    # DEFAULTS (creation ≤ 10 MB, application ≥ 10 GB scan) already
+    # admit exactly this query shape — a month of orders vs years of
+    # lineitem — so production needs no tuning at all
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+    "spark.sql.optimizer.runtime.bloomFilter."
+    "applicationSideScanSizeThreshold": "0",
+}
+
+
+def bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter semi-join reduction: revenue by priority
+    for ONE month of orders joined to the full lineitem scan.
+
+    The 100 TB problem this demonstrates: when the filtered dim side
+    is too big to broadcast, a plain shuffle join shuffles the ENTIRE
+    fact side — petabytes of lineitem — only to drop ~97% of it at
+    the join. Catalyst's InjectRuntimeFilter instead builds a bloom
+    filter over the filtered orders keys (one pass over the small
+    side) and pushes ``might_contain(l_orderkey)`` beneath the fact
+    side's exchange, so non-matching rows are dropped BEFORE they are
+    ever shuffled. The plan is compiled eagerly under temporarily
+    lowered thresholds (local fixture sizes are below the production
+    defaults) and the session confs are restored before returning —
+    the physical plan is cached on the DataFrame, later actions reuse
+    it, and no other query in the session sees the tuned confs
+    (asserted in tests/test_plan_quality.py).
+
+    AQE may still upgrade the join itself to broadcast at runtime at
+    this fixture scale; the injected filter remains in the plan —
+    harmless here, decisive at scale."""
+    saved = {k: spark.conf.get(k) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        orders = read_table(spark, sf_dir, "orders").where(
+            (F.col("o_orderdate") >= F.lit("1997-03-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        li = read_table(spark, sf_dir, "lineitem")
+        out = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.sum(_cents("l_extendedprice")).alias("revenue_c"),
+                F.count(F.lit(1)).cast("long").alias("n_lines"),
+            )
+        )
+        # force physical planning NOW, while the tuned confs are live;
+        # QueryExecution caches the result for every later action
+        out._jdf.queryExecution().executedPlan()
+        return out
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 RELATIONAL4_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
     "q9_profit_by_nation_year": (q9_profit_by_nation_year, Q9_SQL),
@@ -394,4 +464,5 @@ RELATIONAL4_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q12_late_shipment_priority": (q12_late_shipment_priority, Q12_SQL),
     "q20_dominant_part_suppliers": (q20_dominant_part_suppliers, Q20_SQL),
     "q21_last_shipper": (q21_last_shipper, Q21_SQL),
+    "bloom_pruned_join": (bloom_pruned_join, BLOOM_JOIN_SQL),
 }
