@@ -181,6 +181,46 @@ def test_incremental_registers_bounded_and_bit_identical(spark, sf_dir):
     assert (inc["n_reg"].to_numpy() == flat["n_reg"].to_numpy()).all()
 
 
+def test_overlap_inclusion_exclusion_vs_exact(spark, sf_dir):
+    """Pairwise overlap estimates land within combined HLL error of
+    the exact distinct-intersection (3 estimates each within ~2σ of
+    m=256 RSE ⇒ bound the sum at 20% + 3 absolute), and the identity
+    est(A)+est(B)−est(A∪B) is internally consistent: never above
+    min(est A, est B) by more than rounding, since A∪B ⊇ A, B means
+    est(A∪B) ≥ max register-wise."""
+    from time_series_prediction_spark.plans.sketch_queries import (
+        events_type_overlap_sketch,
+    )
+
+    got = events_type_overlap_sketch(spark, sf_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "user_id"
+    ).distinct()
+    a, b = ev.alias("a"), ev.alias("b")
+    exact = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.countDistinct("a.user_id").alias("exact_ov"))
+    )
+    rows = got.join(exact, ["type_a", "type_b"], "left").fillna(
+        0, subset=["exact_ov"]
+    ).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert abs(r["overlap_est"] - r["exact_ov"]) <= (
+            0.2 * r["exact_ov"] + 3
+        ), (r["type_a"], r["type_b"], r["overlap_est"], r["exact_ov"])
+        # union-dominance sanity: overlap cannot exceed either side
+        assert r["overlap_est"] <= min(r["users_a"], r["users_b"]) + 1e-9
+
+
 def test_plan_shape(spark, sf_dir):
     """Whole pipeline stays JVM-side: no Python stages, and the only
     exchanges are the register folds (hash partial-agg before them)."""

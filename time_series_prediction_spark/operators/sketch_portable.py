@@ -214,36 +214,38 @@ WITH {base},
 """
 
 
-def _estimate_ctes(m: int) -> str:
-    """CTE chain turning a ``reg`` relation (day, bucket, rho) into
-    the per-day estimator inputs."""
+def _estimate_ctes(m: int, g: str = "day") -> str:
+    """CTE chain turning a ``reg`` relation (g, bucket, rho) into the
+    per-group estimator inputs; ``g`` is the group column name."""
     alpha_m2 = _dlit(0.7213 / (1 + 1.079 / m) * m * m)
     max_e = m.bit_length() - 1
     k_case, pow_case = _log2_cases("x", max_e)
     return f"""est AS (
-  SELECT day, COUNT(*) AS nb, SUM({_recip_case("rho")}) AS sobs
-  FROM reg GROUP BY day
+  SELECT {g}, COUNT(*) AS nb, SUM({_recip_case("rho")}) AS sobs
+  FROM reg GROUP BY {g}
 ), raw AS (
-  SELECT day, nb,
+  SELECT {g}, nb,
          {alpha_m2} / (CAST({m} - nb AS DOUBLE) + sobs) AS e_raw,
          CASE WHEN nb < {m} THEN {_dlit(m)} / CAST({m} - nb AS DOUBLE)
               ELSE 2.0e0 END AS x
   FROM est
 ), lnk AS (
-  SELECT day, nb, e_raw, x, {k_case} AS k, {pow_case} AS p2 FROM raw
+  SELECT {g}, nb, e_raw, x, {k_case} AS k, {pow_case} AS p2 FROM raw
 ), lnz AS (
-  SELECT day, nb, e_raw, k, (x/p2 - 1.0e0)/(x/p2 + 1.0e0) AS z FROM lnk
+  SELECT {g}, nb, e_raw, k, (x/p2 - 1.0e0)/(x/p2 + 1.0e0) AS z FROM lnk
 ), lnz2 AS (
-  SELECT day, nb, e_raw, k, z, z*z AS z2 FROM lnz
+  SELECT {g}, nb, e_raw, k, z, z*z AS z2 FROM lnz
 )"""
 
 
-def _estimate_select(m: int) -> str:
+def _estimate_select(
+    m: int, g: str = "day", est_alias: str = "approx_dau"
+) -> str:
     ln2 = _dlit(math.log(2))
-    return f"""SELECT day,
+    return f"""SELECT {g},
        CASE WHEN e_raw <= {_dlit(2.5 * m)} AND nb < {m}
             THEN {_dlit(m)} * (CAST(k AS DOUBLE)*{ln2} + 2.0e0*z*{_ln_poly("z2")})
-            ELSE e_raw END AS approx_dau,
+            ELSE e_raw END AS {est_alias},
        CAST(nb AS BIGINT) AS n_reg
 FROM lnz2"""
 
@@ -290,6 +292,80 @@ def portable_hll_estimate_sql(reg_table: str, m: int = 256) -> str:
 WITH reg AS (SELECT day, bucket, rho FROM {reg_table}),
 {_estimate_ctes(m)}
 {_estimate_select(m)}
+"""
+
+
+def portable_hll_overlap_sql(
+    table: str,
+    m: int = 256,
+    id_col: str = "user_id",
+    group_col: str = "event_type",
+) -> str:
+    """Sketch SET OPERATIONS: estimated pairwise overlap of
+    ``id_col`` populations across ``group_col`` values, via
+    inclusion-exclusion on portable HLL registers — one SQL text,
+    bit-identical in Spark SQL and DuckDB.
+
+    |A∩B| ≈ est(A) + est(B) − est(A∪B), where est(A∪B) comes from the
+    MAX-merge of A's and B's registers (HLL union is exact on
+    registers). This is the 100 TB path for cross-corpus contamination
+    / audience-overlap questions: the exact answer needs a distinct
+    self-join of the raw ids per pair; the sketch answer touches the
+    raw data ONCE (one register fold per group, m rows each) and every
+    pairwise combination after that is arithmetic over g×m register
+    rows. All joins are equi-joins over the tiny types/registers
+    relations (pair membership is expressed as two equi-joins unioned,
+    not an OR-join, to keep nested loops out of the plan).
+
+    The estimate can be slightly negative for disjoint sets (the two
+    error terms need not cancel) — standard for inclusion-exclusion on
+    sketches; callers clamp if they need non-negativity. Deterministic
+    end to end, so no rounding is applied.
+    """
+    assert m & (m - 1) == 0, "m must be a power of two"
+    base = (
+        f"base AS (SELECT {group_col} AS et, "
+        f"{id_col} % {M - 1} + 1 AS xa, {id_col} % {M - 1} + 1 AS xb "
+        f"FROM {table} WHERE {id_col} IS NOT NULL "
+        f"AND {group_col} IS NOT NULL)"
+    )
+    rounds = [
+        _sq_chain_cte(f"h{k + 1}", f"h{k}" if k else "base", "et", "xa", "xb", k)
+        for k in range(_HASH_ROUNDS)
+    ]
+    last = f"h{_HASH_ROUNDS}"
+    return f"""
+WITH {base},
+{", ".join(rounds)},
+regs AS (
+  SELECT et, xa % {m} AS bucket, MAX({_rho_case("xb")}) AS rho
+  FROM {last} GROUP BY et, xa % {m}
+),
+types AS (SELECT DISTINCT et FROM regs),
+pairs AS (
+  SELECT a.et AS t1, b.et AS t2 FROM types a JOIN types b ON a.et < b.et
+),
+gregs AS (
+  SELECT et AS g, bucket, rho FROM regs
+  UNION ALL
+  SELECT p.t1 || '|' || p.t2 AS g, r.bucket, r.rho
+  FROM pairs p JOIN regs r ON r.et = p.t1
+  UNION ALL
+  SELECT p.t1 || '|' || p.t2 AS g, r.bucket, r.rho
+  FROM pairs p JOIN regs r ON r.et = p.t2
+),
+reg AS (SELECT g, bucket, MAX(rho) AS rho FROM gregs GROUP BY g, bucket),
+{_estimate_ctes(m, g="g")},
+ests AS ({_estimate_select(m, g="g", est_alias="est")})
+SELECT p.t1 AS type_a,
+       p.t2 AS type_b,
+       ea.est AS users_a,
+       eb.est AS users_b,
+       ea.est + eb.est - eab.est AS overlap_est
+FROM pairs p
+JOIN ests ea ON ea.g = p.t1
+JOIN ests eb ON eb.g = p.t2
+JOIN ests eab ON eab.g = p.t1 || '|' || p.t2
 """
 
 

@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from time_series_prediction_spark.operators.sketch_portable import (
     portable_hll_daily_sql,
     portable_hll_estimate_sql,
+    portable_hll_overlap_sql,
     portable_hll_registers_sql,
     portable_quantile_sql,
 )
@@ -52,9 +53,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 APPROX_DISTINCT_SQL = portable_hll_daily_sql("events")
 DAU_ROLLUP_SQL = portable_hll_daily_sql("events", shard_mod=8)
 QUANTILE_PORTABLE_SQL = portable_quantile_sql("lineitem")
+TYPE_OVERLAP_SQL = portable_hll_overlap_sql("events")
 _APPROX_DISTINCT_SPARK = portable_hll_daily_sql("_psk_events")
 _DAU_ROLLUP_SPARK = portable_hll_daily_sql("_psk_events", shard_mod=8)
 _QUANTILE_PORTABLE_SPARK = portable_quantile_sql("_psk_lineitem")
+_TYPE_OVERLAP_SPARK = portable_hll_overlap_sql("_psk_events")
 
 
 def approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -104,6 +107,20 @@ def lineitem_quantiles_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_psk_lineitem"
     )
     return spark.sql(_QUANTILE_PORTABLE_SPARK)
+
+
+def events_type_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap between event types via HLL
+    inclusion-exclusion (|A∩B| ≈ est A + est B − est A∪B; union =
+    register MAX-merge) — the sketch-algebra answer to the question
+    corpus_source_overlap answers exactly for documents. At 100 TB
+    the exact form needs a distinct self-join per pair over raw ids;
+    this touches the raw data once and derives EVERY pairwise
+    combination from g×256 register rows. Accuracy vs exact overlaps
+    pinned in tests; the oracle value-hash-checks the full algebra
+    (hash → registers → merge → estimator → inclusion-exclusion)."""
+    read_table(spark, sf_dir, "events").createOrReplaceTempView("_psk_events")
+    return spark.sql(_TYPE_OVERLAP_SPARK)
 
 
 # ---------------------------------------------------------------------------
@@ -228,5 +245,9 @@ SKETCH_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "lineitem_quantiles_portable": (
         lineitem_quantiles_portable,
         QUANTILE_PORTABLE_SQL,
+    ),
+    "events_type_overlap_sketch": (
+        events_type_overlap_sketch,
+        TYPE_OVERLAP_SQL,
     ),
 }
