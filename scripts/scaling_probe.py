@@ -53,6 +53,13 @@ DEFAULT = [
     "orders_upsert_ingest_scan",  # streamed-merge final state
     "orders_dv_scan",            # deletion-vector merge-on-read scan
     "orders_cow_history",        # DESCRIBE HISTORY off manifest metadata
+    # r8: portable sketches + packing + runtime-filter join
+    "approx_distinct_users_daily",   # portable HLL register fold
+    "events_type_overlap_sketch",    # register set-algebra pairs
+    "lineitem_quantiles_portable",   # log-linear histogram quantiles
+    "doc_packing_harmonic",          # closed-form size-class packing
+    "bloom_pruned_join",             # runtime bloom semi-join reduction
+    "cashflow_scoring_pipeline",     # serving lifecycle, ppm R2
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]

@@ -113,6 +113,54 @@ def test_delta_roundtrip_when_available(spark, sf_dir, tmp_path):
         assert os.path.isdir(os.path.join(path, "_delta_log"))
 
 
+def test_bloom_index_prunes_and_stays_exact(spark, sf_dir):
+    """The data-skipping contract: (a) a key lookup on the
+    date-ordered layout scans at most ~K + fp files, never all of
+    them (min/max stats would prune NOTHING here — every file spans
+    the whole key range); (b) the pruned result equals the unpruned
+    filter exactly (false positives cost reads, never rows); (c) a
+    key absent from the table prunes to few-to-zero files."""
+    from time_series_prediction_spark.operators.bloomindex import (
+        bloom_may_contain_files,
+    )
+    from time_series_prediction_spark.operators.manifest import (
+        list_parquet_files,
+    )
+    from time_series_prediction_spark.plans.layout_queries import (
+        _BLOOM_SEED,
+        _LOOKUP_KEYS,
+        orders_bloom_layout,
+        orders_bloom_point_lookup,
+    )
+
+    path, bits = orders_bloom_layout(spark, sf_dir)
+    n_files = len(list_parquet_files(path, spark))
+    idx = spark.read.parquet(path + "/_bloomidx")
+    present = [k for k in _LOOKUP_KEYS if k < 1500]  # sf0.001 keyspace
+    mc = bloom_may_contain_files(spark, idx, present, bits, seed=_BLOOM_SEED)
+    assert 0 < len(mc) < n_files, (len(mc), n_files)
+    # absent key: expected fp ~ n_files * fpp ≈ 0
+    mc_absent = bloom_may_contain_files(
+        spark, idx, [987654321], bits, seed=_BLOOM_SEED
+    )
+    assert len(mc_absent) <= max(1, n_files // 8)
+    got = {
+        (r["o_orderkey"], r["o_custkey"], r["total_c"])
+        for r in orders_bloom_point_lookup(spark, sf_dir).collect()
+    }
+    want = {
+        (
+            r["o_orderkey"],
+            r["o_custkey"],
+            int(round(r["o_totalprice"] * 100)),
+        )
+        for r in read_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey").isin(_LOOKUP_KEYS))
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
 @pytest.fixture()
 def tmp_path():
     with tempfile.TemporaryDirectory() as d:

@@ -439,7 +439,112 @@ GROUP BY e.event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# bloom data-skipping index: point lookups on a non-clustered column
+# ---------------------------------------------------------------------------
+
+_BLOOM_COL = "o_orderkey"
+_BLOOM_N_FILES = 32
+_BLOOM_BPR = 16
+_BLOOM_SEED = 77
+# fixed literals so the oracle is a plain IN-list; keys absent at a
+# given scale simply match nothing in BOTH engines
+_LOOKUP_KEYS = [3, 47, 1100, 14990, 149990]
+
+ORDERS_BLOOM_LOOKUP_SQL = f"""
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS total_c
+FROM orders
+WHERE o_orderkey IN ({", ".join(str(k) for k in _LOOKUP_KEYS)})
+"""
+
+
+def orders_bloom_layout(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    """Date-range-partitioned orders (32 files — o_orderkey is
+    deliberately UNCORRELATED with file boundaries, so min/max stats
+    cannot prune a key lookup) plus a persisted per-file bloom index
+    over o_orderkey (operators/bloomindex.py), built once per fixture
+    content with the same identity/atomic-publish protocol as the
+    z-layout. The index is built AFTER the data publish so it records
+    final file paths, and lands with its own atomic rename; its bit
+    count is recorded beside it."""
+    from time_series_prediction_spark.operators.bloomindex import (
+        build_bloom_index,
+    )
+    from time_series_prediction_spark.operators.manifest import (
+        list_parquet_files,
+    )
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    fs = fs_for(spark, tempfile.gettempdir())
+    st = fs.status(src)
+    if st is None:
+        raise FileNotFoundError(src)
+    gen = f"bloom1|{_BLOOM_COL}|{_BLOOM_N_FILES}|{_BLOOM_BPR}|{_BLOOM_SEED}"
+    ident = f"{fs.qualified(src)}|{st[0]}|{st[1]}|{gen}"
+    path = os.path.join(
+        tempfile.gettempdir(), "tsp_layouts", f"orders_bloom_{_ident_key(ident)}"
+    )
+    meta = os.path.join(path, "_bloomidx", "_BITS")
+    if not fs.exists(meta):
+        tmp = f"{path}.build-{os.getpid()}"
+        fs.delete(tmp)
+        read_table(spark, sf_dir, "orders").repartitionByRange(
+            _BLOOM_N_FILES, "o_orderdate"
+        ).write.mode("overwrite").parquet(tmp)
+        fs.write_text(os.path.join(tmp, "_IDENT"), ident)
+        if not fs.publish_dir(tmp, path):
+            fs.delete(tmp)  # concurrent winner published the data
+        if not fs.exists(meta):
+            files = list_parquet_files(path, spark)
+            idx, bits = build_bloom_index(
+                spark, files, _BLOOM_COL,
+                bits_per_row=_BLOOM_BPR, seed=_BLOOM_SEED,
+            )
+            itmp = os.path.join(path, f"_bloomidx.build-{os.getpid()}")
+            idx.coalesce(1).write.mode("overwrite").parquet(itmp)
+            fs.write_text(os.path.join(itmp, "_BITS"), str(bits))
+            if not fs.publish_dir(itmp, os.path.join(path, "_bloomidx")):
+                fs.delete(itmp)  # concurrent index winner
+    return path, int(fs.read_text(meta).strip())
+
+
+def orders_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Needle-in-haystack point lookup via the bloom data-skipping
+    index: fetch a fixed IN-list of order keys from the date-ordered
+    layout, scanning ONLY the may-contain files (measured ~5 of 32 —
+    range stats would prune nothing since every file spans the full
+    key range). The predicate is re-applied after the scan, so bloom
+    false positives cost reads, never wrong rows — the oracle is the
+    plain IN-list over raw orders. At 100 TB this is the difference
+    between touching ~k files and scanning the table for every
+    "fetch entity by id" query on a time-partitioned fact table."""
+    from time_series_prediction_spark.operators.bloomindex import (
+        bloom_may_contain_files,
+    )
+
+    path, bits = orders_bloom_layout(spark, sf_dir)
+    idx = spark.read.parquet(os.path.join(path, "_bloomidx"))
+    files = bloom_may_contain_files(
+        spark, idx, _LOOKUP_KEYS, bits, seed=_BLOOM_SEED
+    )
+    base = spark.read.parquet(*files) if files else (
+        spark.read.parquet(path).where(F.lit(False))
+    )
+    keys = F.col("o_orderkey").isin(_LOOKUP_KEYS)
+    return base.where(keys).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("total_c"),
+    )
+
+
 LAYOUT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "orders_bloom_point_lookup": (
+        orders_bloom_point_lookup,
+        ORDERS_BLOOM_LOOKUP_SQL,
+    ),
     "events_dpp_scan": (
         events_dpp_scan,
         EVENTS_DPP_SQL,
