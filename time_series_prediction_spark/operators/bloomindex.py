@@ -69,9 +69,9 @@ def build_bloom_index(
     if not files:
         raise ValueError("empty file list")
     df = spark.read.parquet(*files).select(
-        # normalize the file:///-style URI to the plain path the
-        # caller's file list uses
-        F.regexp_replace(F.input_file_name(), "^file:", "").alias("file"),
+        # normalize the file:-scheme URI (file:/x or file:///x) to the
+        # plain absolute path the caller's file lists / manifests use
+        F.regexp_replace(F.input_file_name(), "^file:/+", "/").alias("file"),
         F.col(col).alias("_v"),
     ).where(F.col("_v").isNotNull())
     counts = df.groupBy("file").count().agg(F.max("count")).first()[0]
@@ -89,6 +89,53 @@ def build_bloom_index(
         .agg(F.array_sort(F.collect_list(F.struct("slot", "mask"))).alias("entries"))
     )
     return idx, bits
+
+
+def bloom_may_contain_files_df(
+    spark: SparkSession,
+    blooms: DataFrame,
+    keys: DataFrame,
+    kcol: str,
+    seed: int = 77,
+) -> list[str]:
+    """Distributed probe: files (rows of ``blooms``: file, bits,
+    entries) that may contain ANY value of ``keys[kcol]`` — nothing
+    is collected to the driver until the final metadata-sized file
+    list, so the probe scales to arbitrarily large change batches.
+    ``blooms`` may mix bit sizes (one per build generation); probes
+    are computed per distinct size."""
+    sizes = [r["bits"] for r in blooms.select("bits").distinct().collect()]
+    kd = keys.select(F.col(kcol).alias("_v")).where(
+        F.col("_v").isNotNull()
+    ).distinct()
+    out: set[str] = set()
+    for bits in sizes:
+        grp = blooms.where(F.col("bits") == bits)
+        probe = (
+            kd.select(
+                "_v",
+                F.posexplode(_positions(F.col("_v"), int(bits), seed)),
+            )
+            .select(
+                "_v",
+                (F.col("col") / 64).cast("long").alias("slot"),
+                F.expr("shiftleft(1L, CAST(col % 64 AS INT))").alias("m"),
+            )
+        )
+        flat = grp.select(
+            "file", F.explode("entries").alias("e")
+        ).select("file", F.col("e.slot").alias("slot"), F.col("e.mask").alias("mask"))
+        hits = (
+            flat.join(F.broadcast(probe), "slot")
+            .where((F.col("mask").bitwiseAND(F.col("m"))) != 0)
+            .groupBy("file", "_v")
+            .agg(F.count(F.lit(1)).alias("nhit"))
+            .where(F.col("nhit") >= _K)
+            .select("file")
+            .distinct()
+        )
+        out.update(r["file"] for r in hits.collect())
+    return sorted(out)
 
 
 def bloom_may_contain_files(

@@ -57,6 +57,7 @@ from pyspark.sql import functions as F
 
 from time_series_prediction_spark.operators.manifest import (
     build_stats_manifest,
+    list_parquet_files,
     prune_files,
     pruned_scan,
 )
@@ -81,6 +82,91 @@ from time_series_prediction_spark.streaming.layout import (
 _GEN_SEQ = itertools.count()
 _MAX_COMMIT_ATTEMPTS = 4
 
+# opt-in per-file bloom key index (operators/bloomindex.py): marker at
+# the manifest root recording "col|bits_per_row|seed". Typed min/max
+# stats keep file granularity only when the KEY correlates with file
+# boundaries (key-clustered layouts); on a table clustered by one
+# column (say, date) and merged on another (say, a uniform string id),
+# every file spans the whole key range and the rewrite set degrades to
+# the full table. The bloom sidecar restores granularity there: each
+# generation dir carries `_bloomidx` (file, bits, entries) built at
+# commit time, and the rewrite set intersects stats overlap with
+# bloom may-contain. Files without a sidecar (pre-marker generations,
+# compactions) stay conservatively in the rewrite set — mixed state is
+# always safe, and the index can never produce a false negative for a
+# value it indexed.
+_BLOOM_MARKER = "_bloom_cols"
+_BLOOM_IDX_DIR = "_bloomidx"
+
+
+def _bloom_spec(fs, root: str) -> tuple[str, int, int] | None:
+    p = os.path.join(root, _BLOOM_MARKER)
+    if not fs.exists(p):
+        return None
+    col, bpr, seed = fs.read_text(p).strip().split("|")
+    return col, int(bpr), int(seed)
+
+
+def _write_gen_bloom(
+    spark: SparkSession, gdir: str, spec: tuple[str, int, int]
+) -> None:
+    """Build the generation's bloom sidecar BEFORE its manifest is
+    published, so every committed generation under a marked table
+    either has the sidecar or (pre-marker / foreign writer) is
+    treated as blind."""
+    from time_series_prediction_spark.operators.bloomindex import (
+        build_bloom_index,
+    )
+
+    col, bpr, seed = spec
+    files = list_parquet_files(gdir, spark)
+    if not files:
+        return
+    idx, bits = build_bloom_index(
+        spark, files, col, bits_per_row=bpr, seed=seed
+    )
+    idx.withColumn("bits", F.lit(bits)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(gdir, _BLOOM_IDX_DIR))
+
+
+def _bloom_narrow(
+    spark: SparkSession,
+    fs,
+    root: str,
+    touched: list[str],
+    key_cols: list[str],
+    keys: DataFrame,
+) -> list[str]:
+    """Intersect the stats-overlap rewrite set with bloom
+    may-contain. Files whose generation has no sidecar (or whose row
+    is missing from it) are kept — skipping is only ever an
+    optimization, exactly the manifest's contract."""
+    from time_series_prediction_spark.operators.bloomindex import (
+        bloom_may_contain_files_df,
+    )
+
+    spec = _bloom_spec(fs, root)
+    if spec is None or spec[0] not in key_cols or not touched:
+        return touched
+    dirs = sorted({os.path.dirname(f) for f in touched})
+    with_idx = [
+        d for d in dirs
+        if fs.exists(os.path.join(d, _BLOOM_IDX_DIR, "_SUCCESS"))
+    ]
+    if not with_idx:
+        return touched
+    blooms = spark.read.parquet(
+        *[os.path.join(d, _BLOOM_IDX_DIR) for d in with_idx]
+    )
+    covered = {r["file"] for r in blooms.select("file").collect()}
+    may = set(
+        bloom_may_contain_files_df(
+            spark, blooms, keys, spec[0], seed=spec[2]
+        )
+    )
+    return sorted(f for f in touched if f not in covered or f in may)
+
 
 def init_table(
     spark: SparkSession,
@@ -91,6 +177,9 @@ def init_table(
     n_files: int = 8,
     root: str | None = None,
     keep_versions: int = 2,
+    bloom_col: str | None = None,
+    bloom_bits_per_row: int = 16,
+    bloom_seed: int = 77,
 ) -> int:
     """Bootstrap a copy-on-write table: land ``df`` key-clustered
     (z-order on the key columns — a single column ⇒ a range sort, so
@@ -99,7 +188,13 @@ def init_table(
     space) and commit manifest version 0. ``stats_cols`` (default:
     the key columns) are the columns whose footer stats the manifest
     tracks; string and date columns get typed stats and prune like
-    numeric ones."""
+    numeric ones.
+
+    ``bloom_col`` opts the table into the per-file bloom key index
+    (see the module-level note at ``_BLOOM_MARKER``): point/MERGE
+    pruning on a column the LAYOUT does not cluster — the case where
+    min/max stats match every file. Every subsequent mutation builds
+    the sidecar for its new generation automatically."""
     root = root or manifest_root(data_path)
     key_cols = [key] if isinstance(key, str) else list(key)
     stats_cols = list(stats_cols or key_cols)
@@ -113,6 +208,13 @@ def init_table(
     )
     write_zordered(df, gdir, key_cols, n_files=n_files)
     man = build_stats_manifest(spark, gdir, stats_cols)
+    spec = (
+        (bloom_col, bloom_bits_per_row, bloom_seed)
+        if bloom_col is not None
+        else None
+    )
+    if spec is not None:
+        _write_gen_bloom(spark, gdir, spec)
     try:
         publish_manifest(
             man, root, gen, keep_versions=keep_versions,
@@ -121,6 +223,13 @@ def init_table(
     except ConcurrentCommitError:
         fs.delete(gdir)  # a concurrent writer initialized the table
         raise
+    if spec is not None:
+        # marker lands AFTER the winning commit: losers deleted their
+        # gen (sidecar included) above and never mark the table
+        fs.write_text(
+            os.path.join(root, _BLOOM_MARKER),
+            f"{bloom_col}|{bloom_bits_per_row}|{bloom_seed}",
+        )
     return gen
 
 
@@ -534,6 +643,9 @@ def _commit_rewrite(
         )
         write_zordered(rewritten, gdir, cluster_cols, n_files=n_files)
         parts.append(build_stats_manifest(spark, gdir, stats_cols))
+        spec = _bloom_spec(fs, root)
+        if spec is not None and spec[0] in rewritten.columns:
+            _write_gen_bloom(spark, gdir, spec)
     new_man = parts[0]
     for p in parts[1:]:
         new_man = new_man.unionByName(p)
@@ -617,7 +729,10 @@ def merge_upsert(
                 "express tuple un-deletes) — compact the table first "
                 "to materialize the vector"
             )
-        touched = _overlapping_files(man, key_cols, updates)
+        touched = _bloom_narrow(
+            spark, fs_for(spark, root), root,
+            _overlapping_files(man, key_cols, updates), key_cols, updates,
+        )
         # apply the DV to the rewrite input: tombstoned rows must not
         # be resurrected by the file rewrite
         surviving = apply_dv(
@@ -679,7 +794,10 @@ def delete_keys(
             raise ValueError(f"no committed table under {data_path}")
         man = _manifest_version(spark, root, v)
         dv = version_dv(spark, root, v)
-        touched = _overlapping_files(man, key_cols, keys)
+        touched = _bloom_narrow(
+            spark, fs_for(spark, root), root,
+            _overlapping_files(man, key_cols, keys), key_cols, keys,
+        )
         if not touched:  # nothing can match — commit nothing
             return max(list_versions(spark, root))
         surviving = apply_dv(spark.read.parquet(*touched), dv).join(
