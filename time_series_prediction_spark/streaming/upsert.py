@@ -121,6 +121,7 @@ def cdc_apply_sink(
     maintain_max_files: int | None = None,
     maintain_target_files: int = 8,
     maintain_grace_s: float = 3600.0,
+    bloom_col: str | None = None,
 ):
     """``foreachBatch`` body applying a FULL change stream — upserts
     and deletes — to the cow table. Per batch: last-writer-wins per
@@ -175,10 +176,16 @@ def cdc_apply_sink(
         if current_manifest(spark, mroot) is None:
             if ups.isEmpty():
                 return  # nothing to bootstrap from yet
+            # bloom_col opts the bootstrapped table into the per-file
+            # bloom key index (operators/cow._BLOOM_MARKER): every
+            # subsequent per-batch MERGE then keeps file granularity
+            # even when the stream's keys don't correlate with the
+            # clustered layout — without it a uniform-key change
+            # stream rewrites the whole table every batch
             init_table(
                 spark, data_path, ups, key=key, stats_cols=stats_cols,
                 n_files=bootstrap_n_files, root=mroot,
-                keep_versions=keep_versions,
+                keep_versions=keep_versions, bloom_col=bloom_col,
             )
         elif not ups.isEmpty():
             merge_upsert(
