@@ -1,0 +1,160 @@
+"""RESTORE and SHALLOW CLONE (operators/cow.py): restore is a
+metadata-only rollback that preserves history and keeps restored
+files live under vacuum; clone copies manifests only, shares data
+files, and copy-on-writes its own mutations without touching the
+source table."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from time_series_prediction_spark.operators.cow import (
+    clone_table,
+    delete_keys,
+    init_table,
+    list_versions,
+    merge_upsert,
+    read_version,
+    restore_table,
+    table_history,
+)
+from time_series_prediction_spark.operators.manifest import prune_files
+from time_series_prediction_spark.streaming.layout import (
+    manifest_root,
+    read_committed,
+    vacuum_layout,
+)
+
+
+def _mk_table(spark, path, n=200, n_files=8, keep=10):
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).alias("v"),
+    )
+    init_table(spark, path, df, key="k", n_files=n_files,
+               keep_versions=keep)
+    return path
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def mutated(spark, tmp_path):
+    """v0 init, v1 merge (+5 updates, +2 inserts), v2 delete (k%31)."""
+    path = str(tmp_path / "tbl")
+    _mk_table(spark, path)
+    ups = spark.range(5).select(
+        F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+    ).unionByName(
+        spark.range(2).select(
+            (F.col("id") + 1000).alias("k"),
+            F.lit(-2).cast("long").alias("v"),
+        )
+    )
+    merge_upsert(spark, path, ups, key="k", keep_versions=10)
+    dels = spark.range(200).select(F.col("id").alias("k")).where("k % 31 = 0")
+    delete_keys(spark, path, dels, key="k", keep_versions=10)
+    return path
+
+
+def test_restore_head_equals_target_version(spark, mutated):
+    v1 = _rows(read_version(spark, mutated, 1))
+    new_v = restore_table(spark, mutated, 1, keep_versions=10)
+    assert new_v == 3
+    assert _rows(read_committed(spark, mutated)) == v1
+
+
+def test_restore_preserves_history(spark, mutated):
+    v2 = _rows(read_committed(spark, mutated))
+    restore_table(spark, mutated, 0, keep_versions=10)
+    # rolled-back versions stay readable for audit until retention
+    assert list_versions(spark, manifest_root(mutated)) == [0, 1, 2, 3]
+    assert _rows(read_version(spark, mutated, 2)) == v2
+    hist = {r["version"]: r["n_rows"]
+            for r in table_history(spark, manifest_root(mutated)).collect()}
+    assert hist[3] == hist[0] == 200
+
+
+def test_restore_is_metadata_only(spark, mutated):
+    root = manifest_root(mutated)
+    before = set(prune_files(
+        spark.read.parquet(os.path.join(root, "v1")), {}))
+    restore_table(spark, mutated, 1, keep_versions=10)
+    after = set(prune_files(
+        spark.read.parquet(os.path.join(root, "v3")), {}))
+    # the restored head references v1's files verbatim — no rewrite
+    assert after == before
+
+
+def test_restored_files_survive_vacuum(spark, mutated):
+    restore_table(spark, mutated, 0, keep_versions=10)
+    vacuum_layout(spark, mutated, grace_s=0.0)
+    assert _rows(read_committed(spark, mutated)) == _rows(
+        read_version(spark, mutated, 0)
+    )
+
+
+def test_restore_carries_dv(spark, tmp_path):
+    from time_series_prediction_spark.operators.cow import delete_keys_dv
+
+    path = _mk_table(spark, str(tmp_path / "dvt"))
+    dels = spark.range(200).select(F.col("id").alias("k")).where("k % 7 = 0")
+    delete_keys_dv(spark, path, dels, key="k", keep_versions=10)
+    v1 = _rows(read_committed(spark, path))
+    merge_upsert(
+        spark, path,
+        spark.range(3).select(F.col("id").alias("k"),
+                              F.lit(99).cast("long").alias("v")),
+        key="k", keep_versions=10,
+    )
+    restore_table(spark, path, 1, keep_versions=10)
+    assert _rows(read_committed(spark, path)) == v1
+
+
+def test_restore_missing_version_raises(spark, mutated):
+    with pytest.raises(ValueError, match="not available"):
+        restore_table(spark, mutated, 9, keep_versions=10)
+
+
+def test_clone_shares_files_and_diverges_on_write(spark, mutated, tmp_path):
+    clone_root = str(tmp_path / "clone_meta")
+    clone_data = str(tmp_path / "clone_data")
+    versions = clone_table(spark, mutated, clone_root)
+    assert versions == [0, 1, 2]
+    src_rows = _rows(read_committed(spark, mutated))
+    assert _rows(read_committed(spark, clone_data, root=clone_root)) \
+        == src_rows
+    # clone time travel works off the shared files
+    assert _rows(read_version(spark, clone_data, 0, root=clone_root)) \
+        == _rows(read_version(spark, mutated, 0))
+    # mutate the CLONE: source table must not move
+    merge_upsert(
+        spark, clone_data,
+        spark.range(4).select(F.col("id").alias("k"),
+                              F.lit(-9).cast("long").alias("v")),
+        key="k", root=clone_root, keep_versions=10,
+    )
+    assert _rows(read_committed(spark, mutated)) == src_rows
+    got = {r["k"]: r["v"] for r in
+           read_committed(spark, clone_data, root=clone_root).collect()}
+    assert all(got[k] == -9 for k in range(4) if k in got)
+    # the clone's new generation landed in its OWN data dir
+    man = spark.read.parquet(os.path.join(
+        clone_root, f"v{max(list_versions(spark, clone_root))}"))
+    files = prune_files(man, {})
+    assert any(clone_data in f for f in files)
+    assert any(mutated in f for f in files)  # untouched files shared
+
+
+def test_clone_then_restore_clone(spark, mutated, tmp_path):
+    clone_root = str(tmp_path / "cr_meta")
+    clone_data = str(tmp_path / "cr_data")
+    clone_table(spark, mutated, clone_root)
+    restore_table(spark, clone_data, 1, root=clone_root, keep_versions=10)
+    assert _rows(read_committed(spark, clone_data, root=clone_root)) \
+        == _rows(read_version(spark, mutated, 1))

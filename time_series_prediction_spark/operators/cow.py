@@ -982,3 +982,106 @@ def changes_feed(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def restore_table(
+    spark: SparkSession,
+    data_path: str,
+    to_version: int,
+    root: str | None = None,
+    keep_versions: int = 2,
+    max_retries: int = 5,
+) -> int:
+    """``RESTORE TABLE … TO VERSION AS OF``: commit a NEW head whose
+    manifest, deletion vector, and recorded schema are exactly those
+    of ``to_version`` — a metadata-only rollback. History is
+    preserved (the rolled-back versions stay readable for audit and
+    CDC until retention prunes them) and no data file is rewritten,
+    copied, or deleted: the restored head re-references
+    ``to_version``'s files, and vacuum keeps them live because its
+    referenced set is the union over ALL retained versions
+    (``streaming/layout.py:vacuum_layout``). ``to_version``'s data
+    generations are guaranteed present for the same reason — a
+    version that still has a manifest had its files protected by
+    every vacuum since.
+
+    Concurrency: same optimistic CAS discipline as MERGE/DELETE —
+    commit to ``current + 1``; an interleaved commit fails the CAS
+    and the loop re-reads. The restored CONTENT never depends on the
+    head it supersedes, so the retry needs no replan.
+
+    Beyond-reference scope (the reference rebuilds tables from
+    scratch per run, reference ``src/demo/training.py:70-90``); this
+    is Delta Lake's RESTORE semantic on the engine's native manifest
+    format. Returns the new version number."""
+    root = root or manifest_root(data_path)
+    man = _manifest_version(spark, root, to_version)
+    # materialize source metadata BEFORE publishing: the commit may
+    # retention-prune old version dirs, including the one these lazy
+    # plans read from — collect is manifest-sized (metadata only)
+    man_rows, man_schema = man.collect(), man.schema
+    dv = version_dv(spark, root, to_version)
+    dv_rows, dv_schema = (dv.collect(), dv.schema) if dv is not None else (None, None)
+    fs = fs_for(spark, root)
+    sj = os.path.join(root, f"v{to_version}", "_schema.json")
+    schema_json = fs.read_text(sj) if fs.exists(sj) else None
+    last: ConcurrentCommitError | None = None
+    for _ in range(max_retries):
+        base = current_version(spark, root)
+        if base is None:
+            raise ValueError(f"no committed table under {root}")
+        try:
+            publish_manifest(
+                spark.createDataFrame(man_rows, man_schema),
+                root,
+                base + 1,
+                keep_versions=keep_versions,
+                dv=(
+                    spark.createDataFrame(dv_rows, dv_schema)
+                    if dv_rows is not None
+                    else None
+                ),
+                schema_json=schema_json,
+            )
+            return base + 1
+        except ConcurrentCommitError as e:  # lost the CAS — re-read head
+            last = e
+    raise last  # type: ignore[misc]
+
+
+def clone_table(
+    spark: SparkSession,
+    src_data: str,
+    dst_root: str,
+    src_root: str | None = None,
+) -> list[int]:
+    """SHALLOW CLONE: copy every retained committed manifest version
+    (plus DV sidecars and recorded schemas) of the source table under
+    a NEW manifest root. The clone's manifests reference the SOURCE's
+    data files in place — zero data copy, zero shuffle, pure metadata
+    (≤ keep_versions tiny parquet writes) — and a later MERGE/DELETE
+    on the clone copies-on-write into the clone's OWN data dir while
+    untouched files stay shared. This is Delta Lake's SHALLOW CLONE
+    contract, including its caveat: VACUUM on the source does not
+    know about clone references, so reclaiming the source can orphan
+    a clone's shared files — clone from tables whose retention you
+    control, or deep-copy first. Returns the cloned version numbers."""
+    src_root = src_root or manifest_root(src_data)
+    versions = list_versions(spark, src_root)
+    if not versions:
+        raise ValueError(f"no committed versions under {src_root}")
+    fs = fs_for(spark, src_root)
+    for v in versions:
+        man = _manifest_version(spark, src_root, v)
+        dv = version_dv(spark, src_root, v)
+        sj = os.path.join(src_root, f"v{v}", "_schema.json")
+        schema_json = fs.read_text(sj) if fs.exists(sj) else None
+        publish_manifest(
+            man,
+            dst_root,
+            v,
+            keep_versions=len(versions),
+            dv=dv,
+            schema_json=schema_json,
+        )
+    return versions

@@ -1014,7 +1014,134 @@ GROUP BY event_type
 """
 
 
+_CLONE_SPEC = "cow-clone|v1|restore-to-1"
+
+
+def orders_cow_restored_layout(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str]:
+    """SHALLOW CLONE of the cached three-commit cow table, then
+    RESTORE the clone to v1 — both metadata-only (clone copies the
+    tiny manifest versions and references the source's data files in
+    place; restore commits v3 whose manifest is v1's verbatim). The
+    source layout is content-keyed and never vacuumed, so the Delta
+    shallow-clone caveat (source vacuum orphaning shared files)
+    cannot bite here. Cached under the same build-lock /
+    atomic-publish protocol as every layout; no path re-prefixing is
+    needed because the clone's manifests only ever reference the
+    SOURCE's (stable, content-keyed) file paths. Returns
+    (data_dir, manifest_root) of the clone."""
+    from time_series_prediction_spark.operators.cow import (
+        clone_table,
+        restore_table,
+    )
+
+    src_data = orders_cow_layout(spark, sf_dir)
+    root = os.path.join(tempfile.gettempdir(), "tsp_layouts")
+    fs = fs_for(spark, root)
+    ident = f"{fs.qualified(src_data)}|{_CLONE_SPEC}"
+    key = hashlib.md5(ident.encode()).hexdigest()[:16]
+    path = os.path.join(root, f"orders_cow_clone_{key}")
+    with _build_lock(path):
+        if not fs.exists(os.path.join(path, "_IDENT")):
+            tmp = f"{path}.build-{os.getpid()}"
+            fs.delete(tmp)
+            meta_tmp = os.path.join(tmp, "meta")
+            clone_table(spark, src_data, meta_tmp)
+            restore_table(
+                spark, os.path.join(tmp, "data"), 1, root=meta_tmp,
+                keep_versions=_KEEP,
+            )
+            fs.write_text(os.path.join(tmp, "_IDENT"), ident)
+            if not fs.publish_dir(tmp, path):
+                fs.delete(tmp)  # concurrent winner published first
+    return os.path.join(path, "data"), os.path.join(path, "meta")
+
+
+def orders_cow_restore_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Current state of the restored clone == the v1 snapshot (merge
+    applied, the v2 purge rolled back) — proving RESTORE moved the
+    head without rewriting a file and without touching the source
+    table. The oracle recomputes the v1 state from raw orders."""
+    data, meta = orders_cow_restored_layout(spark, sf_dir)
+    return (
+        read_committed(spark, data, root=meta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("price_cents").cast("long").alias("total_cents"),
+        )
+    )
+
+
+ORDERS_COW_RESTORE_SQL = f"""
+WITH mx AS (SELECT max(o_orderkey) AS mk FROM orders),
+state AS (
+    SELECT o_orderpriority AS prio,
+           CAST(round(o_totalprice * 100) AS BIGINT)
+             + CASE WHEN o_orderkey % 13 = 0
+                     AND o_orderkey * 10 <= (SELECT mk FROM mx)
+                    THEN 100000 ELSE 0 END AS cents
+    FROM orders
+    UNION ALL
+    SELECT '6-NEW', CAST(round(o_totalprice * 100) AS BIGINT)
+    FROM orders WHERE o_orderkey % 101 = 0
+)
+SELECT prio AS o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM state
+GROUP BY prio
+"""
+
+
+def orders_cow_restore_history(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DESCRIBE HISTORY of the restored clone: four versions — the
+    three cloned commits plus the restore head, whose row count must
+    equal v1's exactly (restore re-references v1's files; nothing is
+    rewritten). Metadata only; the oracle recomputes every count from
+    the mutation spec over raw orders."""
+    from time_series_prediction_spark.operators.cow import table_history
+
+    _, meta = orders_cow_restored_layout(spark, sf_dir)
+    return table_history(spark, meta).select("version", "n_rows")
+
+
+ORDERS_COW_RESTORE_HISTORY_SQL = f"""
+WITH n0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders),
+nins AS (
+    SELECT CAST(count(*) AS BIGINT) AS n
+    FROM orders WHERE o_orderkey % 101 = 0
+),
+nfinal AS (
+    SELECT CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT o_orderkey AS k FROM orders
+        UNION ALL
+        SELECT o_orderkey + {_INSERT_SHIFT} FROM orders
+        WHERE o_orderkey % 101 = 0
+    ) WHERE k % 17 <> 0
+)
+SELECT CAST(0 AS BIGINT) AS version, (SELECT n FROM n0) AS n_rows
+UNION ALL
+SELECT 1, (SELECT n FROM n0) + (SELECT n FROM nins)
+UNION ALL
+SELECT 2, (SELECT n FROM nfinal)
+UNION ALL
+SELECT 3, (SELECT n FROM n0) + (SELECT n FROM nins)
+"""
+
+
 TABLE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "orders_cow_restore_scan": (
+        orders_cow_restore_scan,
+        ORDERS_COW_RESTORE_SQL,
+    ),
+    "orders_cow_restore_history": (
+        orders_cow_restore_history,
+        ORDERS_COW_RESTORE_HISTORY_SQL,
+    ),
     "events_delta_stream_scan": (
         events_delta_stream_scan,
         EVENTS_DELTA_STREAM_SQL,
