@@ -56,6 +56,9 @@ def _all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], 
     from time_series_prediction_spark.plans.timeseries_queries2 import (
         TIMESERIES2_QUERIES,
     )
+    from time_series_prediction_spark.plans.journey_queries import (
+        JOURNEY_QUERIES,
+    )
     from time_series_prediction_spark.plans.warehouse_queries import (
         WAREHOUSE_QUERIES,
     )
@@ -73,6 +76,7 @@ def _all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], 
     registry.update(TEXT3_QUERIES)
     registry.update(WINDOW_QUERIES)
     registry.update(WAREHOUSE_QUERIES)
+    registry.update(JOURNEY_QUERIES)
     registry.update(RANGEJOIN_QUERIES)
     registry.update(LAYOUT_QUERIES)
     registry.update(BUCKETED_QUERIES)

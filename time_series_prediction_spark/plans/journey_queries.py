@@ -1,0 +1,155 @@
+"""User-journey analytics over the events stream: Markov transition
+matrix and marketing-touch revenue attribution — the path-analysis
+layer that sits beside funnels (plans/warehouse_queries.py) in any
+event warehouse.
+
+Beyond-reference scope: the reference models per-customer cashflow
+series (reference ``src/demo/create_time_series.py``) and has no
+event-path surface; these operators are part of this engine's
+large-scale analytics completeness.
+
+Determinism contract (same as the rest of the registry): every window
+ordering is totalized with ``event_id`` as the tie-break, aggregates
+are exact bigint counts / cents, and each probability or rate is ONE
+final double division of two exact integers — bit-identical in Spark
+and DuckDB.
+
+Scale shape: both queries are a single (user_id)-partitioned window
+pass (one shuffle, whole-stage codegen throughout — no Python) feeding
+a tiny-cardinality aggregate (|event_type|² and |channels| rows) with
+map-side partial combine. At 100 TB the window state per user is one
+row of lag context; nothing is ever collected to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from time_series_prediction_spark.plans.text_queries import QueryFn
+from time_series_prediction_spark.sources.io import read_table
+
+
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types: for every
+    (from_type, to_type) adjacency in a user's (ts, event_id)-ordered
+    stream, the transition count and the row-normalized probability
+    P(to | from). The classic product-analytics "what do users do
+    next" operator."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("_next", F.lead("event_type").over(w))
+        .where(F.col("_next").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("_next").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+    )
+    w_from = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(w_from).cast("double")
+        ).alias("p_transition"),
+    )
+
+
+EVENTS_TRANSITION_SQL = """
+WITH pairs AS (
+    SELECT event_type AS from_type,
+           lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS to_type
+    FROM events
+),
+counts AS (
+    SELECT from_type, to_type,
+           CAST(count(*) AS BIGINT) AS n_transitions
+    FROM pairs WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n_transitions,
+       CAST(n_transitions AS DOUBLE)
+         / CAST(sum(n_transitions) OVER (PARTITION BY from_type)
+                AS DOUBLE) AS p_transition
+FROM counts
+"""
+
+
+def events_attribution_last_touch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Last-touch revenue attribution: each purchase's value (held as
+    exact cents) is credited to the nearest PRECEDING non-purchase
+    event type in the same user's ordered stream — 'direct' when the
+    purchase has no preceding touch. One ignore-nulls window pass
+    (running last-touch context carried per user, never a self-join)
+    then a |channels|-row rollup."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touched = ev.withColumn(
+        "_touch",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        touched.where(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce(F.col("_touch"), F.lit("direct")).alias("channel")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+            .cast("long")
+            .alias("attributed_cents"),
+        )
+    )
+
+
+EVENTS_ATTRIBUTION_SQL = """
+WITH touched AS (
+    SELECT event_type, value,
+           last_value(
+               CASE WHEN event_type <> 'purchase' THEN event_type END
+               IGNORE NULLS
+           ) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS touch
+    FROM events
+)
+SELECT coalesce(touch, 'direct') AS channel,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS attributed_cents
+FROM touched
+WHERE event_type = 'purchase'
+GROUP BY coalesce(touch, 'direct')
+"""
+
+
+JOURNEY_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "events_transition_matrix": (
+        events_transition_matrix,
+        EVENTS_TRANSITION_SQL,
+    ),
+    "events_attribution_last_touch": (
+        events_attribution_last_touch,
+        EVENTS_ATTRIBUTION_SQL,
+    ),
+}
