@@ -59,6 +59,9 @@ def _all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], 
     from time_series_prediction_spark.plans.journey_queries import (
         JOURNEY_QUERIES,
     )
+    from time_series_prediction_spark.plans.stats_queries import (
+        STATS_QUERIES,
+    )
     from time_series_prediction_spark.plans.warehouse_queries import (
         WAREHOUSE_QUERIES,
     )
@@ -77,6 +80,7 @@ def _all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], 
     registry.update(WINDOW_QUERIES)
     registry.update(WAREHOUSE_QUERIES)
     registry.update(JOURNEY_QUERIES)
+    registry.update(STATS_QUERIES)
     registry.update(RANGEJOIN_QUERIES)
     registry.update(LAYOUT_QUERIES)
     registry.update(BUCKETED_QUERIES)
