@@ -229,3 +229,28 @@ def test_plan_shape(spark, sf_dir):
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_cms_overestimates_and_is_tight_on_heavy_tokens(spark, sf_dir):
+    """CMS one-sided error: n_cms ≥ n_exact always, with slack
+    bounded by the classic 2N/w expectation (N = total tokens,
+    w = 512) — heavy hitters are where CMS is designed to be tight."""
+    from time_series_prediction_spark.operators.sketch_portable import (
+        CMS_WIDTH,
+    )
+    from time_series_prediction_spark.plans.sketch_queries import (
+        corpus_cms_heavy_hitters,
+    )
+    from time_series_prediction_spark.sources.io import read_table
+
+    rows = corpus_cms_heavy_hitters(spark, sf_dir).collect()
+    assert len(rows) == 15
+    n_total = (
+        read_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("t"))
+        .where("t <> ''")
+        .count()
+    )
+    for r in rows:
+        assert r["n_cms"] >= r["n_exact"], r["token"]
+        assert r["n_cms"] - r["n_exact"] <= 4 * n_total / CMS_WIDTH, r

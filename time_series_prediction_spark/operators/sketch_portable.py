@@ -454,3 +454,31 @@ WITH vals AS (
 SELECT g AS {group_col}, {q_cols}, MAX(n) AS n
 FROM cdf GROUP BY g
 """
+
+
+# --- Count-Min sketch (portable: md5-prefix token hash + seeded ---
+# --- arithmetic row-hashes; every count is an exact integer)     ---
+
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+
+
+def cms_perms(depth: int = CMS_DEPTH) -> list[tuple[int, int]]:
+    """Seeded (a, b) pairs for the d row-hash functions
+    h_k(t) = ((a_k·H(t) + b_k) mod P) mod w over P = 2^31 − 1, where
+    H is the 28-bit md5-prefix token hash (identical in every engine;
+    the same construction MinHash uses, operators/dedup.py:175).
+    a·H < 2^59 — no int64 overflow anywhere."""
+    import random
+
+    rng = random.Random(731)
+    return [
+        (rng.randrange(1, M), rng.randrange(0, M))
+        for _ in range(depth)
+    ]
+
+
+def cms_bucket_sql(h_expr: str, a: int, b: int, width: int = CMS_WIDTH) -> str:
+    """The row-hash bucket expression — identical text in Spark SQL
+    and DuckDB (``%`` on non-negative bigints agrees)."""
+    return f"(({a} * {h_expr} + {b}) % {M}) % {width}"

@@ -234,7 +234,133 @@ def events_dau_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(portable_hll_estimate_sql("_psk_dau_regs"))
 
 
+def corpus_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch point estimates for the exact top-15 corpus
+    tokens: (token, n_exact, n_cms) with the CMS one-sided guarantee
+    n_cms ≥ n_exact baked into the output (and pinned in tests).
+
+    The sketch is d×w = 4×512 exact-integer counters (md5-prefix token
+    hash + seeded arithmetic row hashes — cms_perms,
+    operators/sketch_portable.py), so the whole pipeline — build,
+    probe, min-over-rows — replays bit-identically in DuckDB: hashes
+    are the MinHash construction's, counters are exact counts, the
+    estimate is an integer MIN. Only the hex→int cast differs by
+    dialect (Spark ``conv``, DuckDB ``::BIGINT`` on a 0x literal).
+
+    Scale shape: the sketch build is one token scan folded map-side
+    into ≤ d·w = 2048 cells (fixed size regardless of corpus — the
+    whole point of CMS at 100 TB: the counter table, not the
+    vocabulary, crosses the exchange); the probe side is 15×4 rows
+    broadcast against those cells. The exact counts exist only to
+    exhibit the error bound on the fixture; production reads the
+    sketch alone."""
+    from time_series_prediction_spark.operators.sketch_portable import (
+        CMS_WIDTH,
+        cms_bucket_sql,
+        cms_perms,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).where(F.col("token") != "")
+    hashed = toks.select(
+        "token",
+        F.expr(
+            "CAST(conv(substr(md5(token), 1, 7), 16, 10) AS BIGINT)"
+        ).alias("h"),
+    )
+    perms = cms_perms()
+    cells = hashed.select(
+        F.posexplode(
+            F.array(
+                *[F.expr(cms_bucket_sql("h", a, b)) for a, b in perms]
+            )
+        ).alias("k", "bucket")
+    )
+    sketch = cells.groupBy("k", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    cand = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("token"))
+        .limit(15)
+    )
+    cand_cells = cand.select(
+        "token",
+        "n_exact",
+        F.expr(
+            "CAST(conv(substr(md5(token), 1, 7), 16, 10) AS BIGINT)"
+        ).alias("h"),
+    ).select(
+        "token",
+        "n_exact",
+        F.posexplode(
+            F.array(
+                *[F.expr(cms_bucket_sql("h", a, b)) for a, b in perms]
+            )
+        ).alias("k", "bucket"),
+    )
+    return (
+        cand_cells.join(F.broadcast(sketch), ["k", "bucket"])
+        .groupBy("token", "n_exact")
+        .agg(F.min("c").cast("long").alias("n_cms"))
+    )
+
+
+def _cms_sql() -> str:
+    from time_series_prediction_spark.operators.sketch_portable import (
+        cms_bucket_sql,
+        cms_perms,
+    )
+
+    perms = cms_perms()
+    h_duck = "(('0x' || substr(md5(token), 1, 7))::BIGINT)"
+    cell_rows = "\n  UNION ALL\n".join(
+        f"  SELECT {k} AS k, {cms_bucket_sql('h', a, b)} AS bucket FROM hv"
+        for k, (a, b) in enumerate(perms)
+    )
+    probe_rows = "\n  UNION ALL\n".join(
+        f"  SELECT token, n_exact, {k} AS k,"
+        f" {cms_bucket_sql('h', a, b)} AS bucket FROM cand_h"
+        for k, (a, b) in enumerate(perms)
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+), t AS (
+  SELECT token FROM toks WHERE token <> ''
+), hv AS (
+  SELECT {h_duck} AS h FROM t
+), cells AS (
+{cell_rows}
+), sketch AS (
+  SELECT k, bucket, CAST(count(*) AS BIGINT) AS c
+  FROM cells GROUP BY k, bucket
+), cand AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n_exact
+  FROM t GROUP BY token
+  ORDER BY n_exact DESC, token ASC LIMIT 15
+), cand_h AS (
+  SELECT token, n_exact, {h_duck} AS h FROM cand
+), probe AS (
+{probe_rows}
+)
+SELECT p.token, p.n_exact, CAST(min(s.c) AS BIGINT) AS n_cms
+FROM probe p JOIN sketch s ON s.k = p.k AND s.bucket = p.bucket
+GROUP BY p.token, p.n_exact
+"""
+
+
+CMS_HEAVY_HITTERS_SQL = _cms_sql()
+
+
 SKETCH_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "corpus_cms_heavy_hitters": (
+        corpus_cms_heavy_hitters,
+        CMS_HEAVY_HITTERS_SQL,
+    ),
     "approx_distinct_users_daily": (
         approx_distinct_users_daily,
         APPROX_DISTINCT_SQL,
