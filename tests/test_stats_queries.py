@@ -49,3 +49,63 @@ def test_correlation_agrees_with_builtin(spark, sf_dir):
         want = li.agg(F.corr(a, b)).first()[0]
         assert abs(r - want) < 1e-9, (pair, r, want)
         assert -1.0 <= r <= 1.0
+
+
+def test_seasonality_matches_oracle(spark, sf_dir, duck):
+    from time_series_prediction_spark.plans.stats_queries import (
+        TS_SEASONALITY_SQL,
+        ts_seasonality_detect,
+    )
+
+    assert_matches_oracle(
+        ts_seasonality_detect(spark, sf_dir),
+        duck,
+        TS_SEASONALITY_SQL,
+        name="ts_seasonality_detect",
+    )
+
+
+def test_seasonality_strength_in_unit_interval(spark, sf_dir):
+    from time_series_prediction_spark.plans.stats_queries import (
+        _PERIODS,
+        ts_seasonality_detect,
+    )
+
+    rows = ts_seasonality_detect(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["strength"] <= 1.0 + 1e-12, r
+        assert r["best_period"] in _PERIODS
+
+
+def test_seasonality_recovers_planted_period(spark, tmp_path):
+    """A pure period-3 square wave must be detected as period 3 with
+    strength ~1; white noise from a seeded LCG must stay weak."""
+    import datetime
+
+    from time_series_prediction_spark.plans.stats_queries import (
+        ts_seasonality_detect,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    state = 11
+    for d in range(30):
+        ts = base + datetime.timedelta(days=d)
+        # user 1: value depends only on (day % 3)
+        rows.append((d * 2, ts, 1, "view", float(10 + 40 * (d % 3)), "{}"))
+        # user 2: seeded LCG noise
+        state = (1103515245 * state + 12345) % (2**31)
+        rows.append((d * 2 + 1, ts, 2, "view", float(state % 97), "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["user_id"]: r
+        for r in ts_seasonality_detect(spark, str(tmp_path)).collect()
+    }
+    assert got[1]["best_period"] == 3
+    assert got[1]["strength"] > 0.999
+    assert got[2]["strength"] < 0.5

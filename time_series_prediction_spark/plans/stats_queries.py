@@ -25,7 +25,7 @@ statistics (its R² is a per-model score, reference
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from time_series_prediction_spark.plans.text_queries import QueryFn
@@ -123,7 +123,170 @@ stats AS (
 LINEITEM_CORR_SQL = _oracle_sql()
 
 
+_PERIODS = (2, 3, 5, 7)
+_SEAS_EPOCH = "2024-01-01"
+_SEAS_MIN_DAYS = 14
+
+
+def ts_seasonality_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant-period detection per user series: for each candidate
+    period p the seasonal STRENGTH is the fraction of the daily-cents
+    variance explained by the calendar-phase means
+    (between-phase SS / total SS — the one-way ANOVA R², the discrete
+    analogue of a periodogram peak without transcendental cos/sin),
+    and the winner is the strongest period (ties → smaller p).
+
+    Exactness: with P = Π n_g (product of phase counts, ≤ 15⁴ here),
+    strength = (n·Σ_g S_g²·(P/n_g) − S²·P) / ((n·Σx² − S²)·P) — every
+    term an exact integer (P/n_g is exact because n_g | P; the one
+    oversized product rides a DECIMAL(38,0)/HUGEINT accumulator), so
+    both engines perform ONE identical double division per (user, p)
+    and the argmax over bit-identical doubles agrees.
+
+    Scale shape: daily rollup (one shuffle), ×|periods| phase rollup
+    with map-side combine, then per-user tiny-group folds — no
+    Python, no self-joins, state per user is |periods|·p cells."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("cents")
+    )
+    u = daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(F.expr("cents * cents")).cast("long").alias("ss"),
+    ).where(F.col("n") >= _SEAS_MIN_DAYS)
+    phased = daily.select(
+        "user_id",
+        "cents",
+        F.explode(
+            F.array(*[F.lit(p) for p in _PERIODS])
+        ).alias("p"),
+        F.expr(f"datediff(day, DATE '{_SEAS_EPOCH}')").alias("_d"),
+    ).withColumn("phase", F.expr("_d % p"))
+    g = phased.groupBy("user_id", "p", "phase").agg(
+        F.sum("cents").cast("long").alias("sg"),
+        F.count(F.lit(1)).cast("long").alias("ng"),
+    )
+    pp = g.groupBy("user_id", "p").agg(
+        F.expr(
+            "aggregate(collect_list(ng), CAST(1 AS BIGINT),"
+            " (acc, x) -> acc * x)"
+        ).alias("bigp")
+    )
+    tt = (
+        g.join(pp, ["user_id", "p"])
+        .groupBy("user_id", "p")
+        .agg(
+            F.sum(
+                F.expr("CAST(sg * sg AS DECIMAL(38,0)) * (bigp div ng)")
+            ).alias("t"),
+            F.max("bigp").alias("bigp"),
+        )
+    )
+    scored = (
+        tt.join(u, "user_id")
+        .where(F.expr("n * ss - s * s > 0"))
+        .select(
+            "user_id",
+            "p",
+            F.col("n").alias("n_days"),
+            F.expr(
+                "CAST(CAST(n AS DECIMAL(38,0)) * t"
+                " - CAST(s * s AS DECIMAL(38,0)) * bigp AS DOUBLE)"
+                " / CAST(CAST(n * ss - s * s AS DECIMAL(38,0))"
+                " * bigp AS DOUBLE)"
+            ).alias("strength"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("strength"), F.asc("p")
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select(
+            "user_id",
+            F.col("p").cast("long").alias("best_period"),
+            "n_days",
+            "strength",
+        )
+    )
+
+
+def _seasonality_sql() -> str:
+    periods = ", ".join(f"({p})" for p in _PERIODS)
+    return f"""
+WITH daily AS (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM events GROUP BY user_id, CAST(ts AS DATE)
+),
+u AS (
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS s,
+           CAST(sum(cents * cents) AS BIGINT) AS ss
+    FROM daily GROUP BY user_id
+    HAVING count(*) >= {_SEAS_MIN_DAYS}
+),
+phased AS (
+    SELECT d.user_id, d.cents, t.p,
+           (d.day - DATE '{_SEAS_EPOCH}') % t.p AS phase
+    FROM daily d CROSS JOIN (VALUES {periods}) t(p)
+),
+g AS (
+    SELECT user_id, p, phase,
+           CAST(sum(cents) AS BIGINT) AS sg,
+           CAST(count(*) AS BIGINT) AS ng
+    FROM phased GROUP BY user_id, p, phase
+),
+pp AS (
+    SELECT user_id, p,
+           list_reduce(
+               list_prepend(CAST(1 AS HUGEINT),
+                            list(CAST(ng AS HUGEINT))),
+               (acc, x) -> acc * x
+           ) AS bigp
+    FROM g GROUP BY user_id, p
+),
+tt AS (
+    SELECT g.user_id, g.p,
+           sum(CAST(g.sg AS HUGEINT) * g.sg * (pp.bigp // g.ng)) AS t,
+           max(pp.bigp) AS bigp
+    FROM g JOIN pp ON pp.user_id = g.user_id AND pp.p = g.p
+    GROUP BY g.user_id, g.p
+),
+scored AS (
+    SELECT tt.user_id, tt.p, u.n AS n_days,
+           CAST(CAST(u.n AS HUGEINT) * tt.t
+                - CAST(u.s * u.s AS HUGEINT) * tt.bigp AS DOUBLE)
+             / CAST(CAST(u.n * u.ss - u.s * u.s AS HUGEINT)
+                    * tt.bigp AS DOUBLE) AS strength
+    FROM tt JOIN u ON u.user_id = tt.user_id
+    WHERE u.n * u.ss - u.s * u.s > 0
+),
+ranked AS (
+    SELECT user_id, p, n_days, strength,
+           row_number() OVER (
+               PARTITION BY user_id ORDER BY strength DESC, p ASC
+           ) AS rk
+    FROM scored
+)
+SELECT user_id, CAST(p AS BIGINT) AS best_period, n_days, strength
+FROM ranked WHERE rk = 1
+"""
+
+
+TS_SEASONALITY_SQL = _seasonality_sql()
+
+
 STATS_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "ts_seasonality_detect": (
+        ts_seasonality_detect,
+        TS_SEASONALITY_SQL,
+    ),
     "lineitem_correlation_matrix": (
         lineitem_correlation_matrix,
         LINEITEM_CORR_SQL,
