@@ -540,7 +540,121 @@ def orders_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SJ_COLS = ["event_id", "ts", "user_id", "event_type", "value"]
+_SJ_HORIZON = "1 hour"
+# ≥ the fixture's 30-day event-time span: nothing is ever evicted on
+# the bounded fixture drain, so append-mode inner join == batch join
+# EXACTLY (production tunes this to the source's disorder bound; the
+# state-eviction behavior itself is covered by
+# tests/test_streaming.py::test_stream_stream_join_matches_batch)
+_SJ_WATERMARK = "45 days"
+_SJ_SPEC = f"streamjoin|v1|{_SJ_HORIZON}|{_SJ_WATERMARK}"
+
+
+def events_streamjoin_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the STREAM-STREAM attribution join once per fixture
+    content: the events fixture arrives as a file stream on BOTH join
+    sides (clicks and purchases), flows through the watermarked
+    interval join (streaming/events.py:click_purchase_join_stream —
+    real symmetric-join state machine, not a batch rewrite), and the
+    matched pairs land via the foreachBatch parquet sink. Cached under
+    the standard identity/build/atomic-publish protocol."""
+    from time_series_prediction_spark.streaming.events import (
+        click_purchase_join_stream,
+        run_to_parquet_sink,
+    )
+
+    src = os.path.join(sf_dir, "events.parquet")
+    root = os.path.join(tempfile.gettempdir(), "tsp_layouts")
+    fs = fs_for(spark, root)
+    st = fs.status(src)
+    if st is None:
+        raise FileNotFoundError(src)
+    ident = f"{fs.qualified(src)}|{st[0]}|{st[1]}|{_SJ_SPEC}"
+    key = hashlib.md5(ident.encode()).hexdigest()[:16]
+    path = os.path.join(root, f"events_sj_{key}")
+    if not fs.exists(os.path.join(path, "_IDENT")):
+        tmp = f"{path}.build-{os.getpid()}"
+        fs.delete(tmp)
+        ev = read_table(spark, sf_dir, "events").select(*_SJ_COLS)
+        inbox = os.path.join(tmp, "_inbox")
+        ev.repartition(3).write.mode("overwrite").parquet(inbox)
+        out = os.path.join(tmp, "pairs")
+
+        def _side(pred: str) -> DataFrame:
+            return (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(inbox)
+                .where(pred)
+            )
+
+        joined = click_purchase_join_stream(
+            _side("event_type = 'click'"),
+            _side("event_type = 'purchase'"),
+            horizon=_SJ_HORIZON,
+            watermark=_SJ_WATERMARK,
+        )
+        q = run_to_parquet_sink(joined, out, os.path.join(tmp, "_ck"))
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # a zero-match fixture would leave no parquet under `pairs`;
+        # land the (empty) schema so the scan never needs inference
+        has_files = fs.exists(out) and any(
+            n.endswith(".parquet") for n in fs.list_names(out)
+        )
+        if not has_files:
+            spark.createDataFrame([], joined.schema).write.mode(
+                "append"
+            ).parquet(out)
+        fs.write_text(os.path.join(tmp, "_IDENT"), ident)
+        if not fs.publish_dir(tmp, path):
+            fs.delete(tmp)  # concurrent winner
+        _gc_stale_layouts(fs, root, keep=path)
+    return os.path.join(path, "pairs")
+
+
+def events_stream_join_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Totals over the stream-stream attribution pairs: every click ×
+    same-user purchase within one hour after it, matched by the
+    streaming symmetric join and landed incrementally. The oracle is
+    the identical time-bounded batch join over raw events — equality
+    pins the whole streaming path (two file streams, watermarked
+    interval join state, append emission, parquet landing)."""
+    pairs = spark.read.parquet(events_streamjoin_layout(spark, sf_dir))
+    return pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.countDistinct("purchase_id").cast("long").alias("n_purchases"),
+        F.sum(
+            F.expr("CAST(round(purchase_value * 100) AS BIGINT)")
+        ).cast("long").alias("paired_cents"),
+    )
+
+
+EVENTS_STREAM_JOIN_SQL = """
+WITH c AS (
+    SELECT user_id AS cu, ts AS cts FROM events WHERE event_type = 'click'
+),
+p AS (
+    SELECT user_id AS pu, event_id AS pid, ts AS pts, value
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT pid) AS BIGINT) AS n_purchases,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS paired_cents
+FROM c JOIN p
+  ON pu = cu AND pts >= cts AND pts <= cts + INTERVAL 1 HOUR
+"""
+
+
 LAYOUT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "events_stream_join_scan": (
+        events_stream_join_scan,
+        EVENTS_STREAM_JOIN_SQL,
+    ),
     "orders_bloom_point_lookup": (
         orders_bloom_point_lookup,
         ORDERS_BLOOM_LOOKUP_SQL,
