@@ -230,3 +230,42 @@ def test_dup_substring_spans_boilerplate_hot_key(spark):
         assert r["n_tokens"] == 20
         assert r["n_spans"] == 1, r
         assert r["dup_tokens"] == 8, r
+
+
+def test_unigram_surprisal_matches_numpy_truth(spark, sf_dir):
+    """The staged portable ln + nano-nat quantization must agree with
+    float math.log scoring to well inside the quantization step."""
+    import math
+    from collections import Counter
+
+    from time_series_prediction_spark.plans.text_queries3 import (
+        doc_unigram_surprisal,
+    )
+    from time_series_prediction_spark.sources.io import read_table
+
+    got = {r["doc_id"]: r for r in doc_unigram_surprisal(spark, sf_dir).collect()}
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    counts: Counter = Counter()
+    total = 0
+    toks_by_doc = {}
+    for r in docs:
+        toks = [t for t in r["text"].split(" ") if t]
+        toks_by_doc[r["doc_id"]] = toks
+        counts.update(toks)
+        total += len(toks)
+    for doc_id, row in got.items():
+        toks = toks_by_doc[doc_id]
+        want = sum(math.log(total / counts[t]) for t in toks) / len(toks)
+        assert abs(row["avg_surprisal"] - want) < 1e-7, (doc_id, row, want)
+        assert row["n_tokens"] == len(toks)
+    # top-20 really are the max-surprisal docs: recompute all and check
+    all_scores = sorted(
+        (
+            sum(math.log(total / counts[t]) for t in toks) / len(toks)
+            for toks in toks_by_doc.values()
+        ),
+        reverse=True,
+    )
+    floor20 = all_scores[19] if len(all_scores) >= 20 else all_scores[-1]
+    for row in got.values():
+        assert row["avg_surprisal"] >= floor20 - 1e-7

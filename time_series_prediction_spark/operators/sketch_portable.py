@@ -482,3 +482,26 @@ def cms_bucket_sql(h_expr: str, a: int, b: int, width: int = CMS_WIDTH) -> str:
     """The row-hash bucket expression — identical text in Spark SQL
     and DuckDB (``%`` on non-negative bigints agrees)."""
     return f"(({a} * {h_expr} + {b}) % {M}) % {width}"
+
+
+def portable_ln_stage_cols(
+    x_col: str = "x", max_e: int = 40
+) -> list[tuple[str, str]]:
+    """Staged column expressions computing ``ln(x_col)`` for x ≥ 1,
+    engine-portably (the HLL linear-counting ln, generalized):
+    range-reduce by the exact power-of-two CASE ladder, then the
+    9-term atanh series on z = (y−1)/(y+1), |z| ≤ 1/3. Apply each
+    (name, expr) in order — as ``withColumn`` stages in Spark and as
+    CTE columns in DuckDB — so every double op sees identical operands
+    in identical order in both engines. The final stage is ``lnx``.
+    Relative truncation error ~5e-11; quantize consumers accordingly
+    (e.g. round to nano-units before integer aggregation)."""
+    k_case, pow_case = _log2_cases(x_col, max_e)
+    ln2 = _dlit(math.log(2))
+    return [
+        ("k", k_case),
+        ("p2", pow_case),
+        ("z", f"({x_col}/p2 - 1.0e0)/({x_col}/p2 + 1.0e0)"),
+        ("z2", "z*z"),
+        ("lnx", f"CAST(k AS DOUBLE)*{ln2} + 2.0e0*z*{_ln_poly('z2')}"),
+    ]

@@ -444,7 +444,123 @@ FROM toks d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 """
 
 
+def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality scoring: each document's mean
+    token surprisal −log p(token) under the corpus's own unigram
+    distribution — the perplexity-style filter every training-data
+    pipeline runs (high surprisal ⇒ rare-token noise, low ⇒
+    boilerplate), here the KenLM-shaped scoring with n=1.
+
+    Oracle-exactness: ln(N/c) is the engine-portable staged series
+    (operators/sketch_portable.py:portable_ln_stage_cols — identical
+    double ops in both engines), and each token's surprisal is
+    quantized to integer NANO-NATS before the per-doc sum, so the
+    aggregation is order-free exact integers and the final mean is
+    one fixed-shape double division. Returns the top-20 most
+    surprising docs (deterministic doc_id tie-break).
+
+    Scale shape: token explode → count shuffle (the vocabulary
+    aggregate every corpus stat already pays) → hash join back →
+    per-doc integer rollup; no Python, no driver collect, no
+    transcendental library calls."""
+    from time_series_prediction_spark.operators.sketch_portable import (
+        portable_ln_stage_cols,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).where(F.col("token") != "")
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = toks.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    j = (
+        toks.join(counts, "token")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "x", F.expr("CAST(n_total AS DOUBLE) / CAST(c AS DOUBLE)")
+        )
+    )
+    for name, expr in portable_ln_stage_cols():
+        j = j.withColumn(name, F.expr(expr))
+    per_doc = (
+        j.withColumn(
+            "surp", F.expr("CAST(round(lnx * 1.0e9) AS BIGINT)")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("surp").cast("long").alias("s"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        )
+    )
+    return (
+        per_doc.select(
+            "doc_id",
+            "n_tokens",
+            F.expr(
+                "CAST(s AS DOUBLE) / CAST(n_tokens AS DOUBLE) / 1.0e9"
+            ).alias("avg_surprisal"),
+        )
+        .orderBy(F.desc("avg_surprisal"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def _unigram_surprisal_sql() -> str:
+    from time_series_prediction_spark.operators.sketch_portable import (
+        portable_ln_stage_cols,
+    )
+
+    stages = portable_ln_stage_cols()
+    ctes, carried, prev = [], ["doc_id", "x"], "s0"
+    for i, (name, expr) in enumerate(stages):
+        cols = ", ".join(carried)
+        ctes.append(
+            f"s{i + 1} AS (SELECT {cols}, {expr} AS {name} FROM {prev})"
+        )
+        carried.append(name)
+        prev = f"s{i + 1}"
+    chain = ",\n".join(ctes)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), t AS (
+  SELECT doc_id, token FROM toks WHERE token <> ''
+), counts AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY token
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_total FROM t
+), s0 AS (
+  SELECT t.doc_id,
+         CAST((SELECT n_total FROM tot) AS DOUBLE)
+           / CAST(c.c AS DOUBLE) AS x
+  FROM t JOIN counts c ON c.token = t.token
+),
+{chain},
+perdoc AS (
+  SELECT doc_id,
+         CAST(sum(CAST(round(lnx * 1.0e9) AS BIGINT)) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n_tokens
+  FROM {prev} GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       CAST(s AS DOUBLE) / CAST(n_tokens AS DOUBLE) / 1.0e9
+         AS avg_surprisal
+FROM perdoc
+ORDER BY avg_surprisal DESC, doc_id ASC
+LIMIT 20
+"""
+
+
+DOC_UNIGRAM_SURPRISAL_SQL = _unigram_surprisal_sql()
+
+
 TEXT3_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "doc_unigram_surprisal": (
+        doc_unigram_surprisal,
+        DOC_UNIGRAM_SURPRISAL_SQL,
+    ),
     "dedup_incremental_batch": (
         dedup_incremental_batch,
         DEDUP_INCREMENTAL_SQL,
