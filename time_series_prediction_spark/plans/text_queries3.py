@@ -556,10 +556,107 @@ LIMIT 20
 DOC_UNIGRAM_SURPRISAL_SQL = _unigram_surprisal_sql()
 
 
+def doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top TF-IDF terms: per (doc, token) score
+    tf · ln(N_docs / df) with the engine-portable staged ln, top-25
+    rows overall (score desc, doc_id, token tie-breaks) — the keyword
+    extraction / salient-term surface of a corpus engine.
+
+    Oracle-exactness: tf and df are exact integers, the idf ln is the
+    shared staged series, and the score is ONE double multiply — both
+    engines rank bit-identical doubles with total tie-breaks.
+
+    Scale shape: two token aggregates (per-doc tf, per-token df) and
+    one hash join back — the same shuffles every vocabulary statistic
+    pays; top-k is a TakeOrdered, never a full sort materialized."""
+    from time_series_prediction_spark.operators.sketch_portable import (
+        portable_ln_stage_cols,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).where(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df_t = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    j = (
+        tf.join(df_t, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "x", F.expr("CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)")
+        )
+    )
+    for name, expr in portable_ln_stage_cols():
+        j = j.withColumn(name, F.expr(expr))
+    return (
+        j.select(
+            "doc_id",
+            "token",
+            "tf",
+            F.expr("CAST(tf AS DOUBLE) * lnx").alias("tfidf"),
+        )
+        .orderBy(F.desc("tfidf"), F.asc("doc_id"), F.asc("token"))
+        .limit(25)
+    )
+
+
+def _tfidf_sql() -> str:
+    from time_series_prediction_spark.operators.sketch_portable import (
+        portable_ln_stage_cols,
+    )
+
+    stages = portable_ln_stage_cols()
+    ctes, carried, prev = [], ["doc_id", "token", "tf", "x"], "s0"
+    for i, (name, expr) in enumerate(stages):
+        cols = ", ".join(carried)
+        ctes.append(
+            f"s{i + 1} AS (SELECT {cols}, {expr} AS {name} FROM {prev})"
+        )
+        carried.append(name)
+        prev = f"s{i + 1}"
+    chain = ",\n".join(ctes)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), t AS (
+  SELECT doc_id, token FROM toks WHERE token <> ''
+), tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM t GROUP BY doc_id, token
+), dft AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token
+), nd AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+), s0 AS (
+  SELECT tf.doc_id, tf.token, tf.tf,
+         CAST((SELECT n_docs FROM nd) AS DOUBLE)
+           / CAST(dft.df AS DOUBLE) AS x
+  FROM tf JOIN dft ON dft.token = tf.token
+),
+{chain}
+SELECT doc_id, token, tf, CAST(tf AS DOUBLE) * lnx AS tfidf
+FROM {prev}
+ORDER BY tfidf DESC, doc_id ASC, token ASC
+LIMIT 25
+"""
+
+
+DOC_TFIDF_SQL = _tfidf_sql()
+
+
 TEXT3_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "doc_unigram_surprisal": (
         doc_unigram_surprisal,
         DOC_UNIGRAM_SURPRISAL_SQL,
+    ),
+    "doc_tfidf_topterms": (
+        doc_tfidf_topterms,
+        DOC_TFIDF_SQL,
     ),
     "dedup_incremental_batch": (
         dedup_incremental_batch,
