@@ -156,7 +156,88 @@ def _pq_ann_sql() -> str:
     )
 
 
+_INC_SPLIT = 256  # base corpus = training prefix; arrivals follow
+
+
+def embedding_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index MAINTENANCE: the coarse quantizer is
+    trained once on the base-corpus prefix and FROZEN; the base
+    inverted lists are built once; a later arrival batch is assigned
+    with the same frozen centroids and appended — the steady-state
+    discipline at 100 TB, where retraining/reassigning the full index
+    per ingest is unaffordable (the real-world FAISS/Milvus add()
+    path). Returns per-cell occupancy + id/first-dim checksums of the
+    MERGED index.
+
+    Oracle = fold == recompute: DuckDB rebuilds the whole index in one
+    flat pass (unrolled exact-integer Lloyd + full assignment —
+    operators/kmeans_exact.lloyd_cells_sql); because assignment under
+    a frozen quantizer is per-row deterministic, the incremental union
+    must match the flat rebuild cell for cell. The quantizer-drift
+    question (when arrivals shift the distribution enough to warrant
+    retraining) is observable from these same occupancy counts."""
+    from time_series_prediction_spark.operators.kmeans_exact import (
+        _argmin_expr,
+        _cents_literal,
+        _fit,
+    )
+    from time_series_prediction_spark.operators.materialize import (
+        materialize,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents, q, _ = _fit(
+        emb, n_cells=16, sample_cap=_INC_SPLIT, n_iters=2,
+        cache_key=f"ivf-inc|{sf_dir}",
+    )
+    lit = _cents_literal(cents)
+    base = materialize(
+        q.where(F.col("vec_id") < _INC_SPLIT).withColumn(
+            "cell", F.expr(_argmin_expr(lit))
+        )
+    )
+    arrivals = materialize(
+        q.where(F.col("vec_id") >= _INC_SPLIT).withColumn(
+            "cell", F.expr(_argmin_expr(lit))
+        )
+    )
+    return (
+        base.unionByName(arrivals)
+        .groupBy(F.col("cell").cast("long").alias("cell"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("vec_id").cast("long").alias("id_sum"),
+            F.sum(F.expr("qv[0]")).cast("long").alias("dim0_sum"),
+        )
+    )
+
+
+def _ivf_incremental_sql() -> str:
+    from time_series_prediction_spark.operators.kmeans_exact import (
+        lloyd_cells_sql,
+    )
+
+    base = lloyd_cells_sql(
+        _EMB_DIMS, n_cells=16, sample_cap=_INC_SPLIT, n_iters=2
+    )
+    return (
+        base
+        + """
+SELECT CAST(cell AS BIGINT) AS cell,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(vec_id) AS BIGINT) AS id_sum,
+       CAST(sum(qv[1]) AS BIGINT) AS dim0_sum
+FROM final
+GROUP BY cell
+"""
+    )
+
+
 RANGEJOIN_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "embedding_ivf_incremental": (
+        embedding_ivf_incremental,
+        _ivf_incremental_sql(),
+    ),
     "events_range_join_windows": (
         events_range_join_windows,
         EVENTS_RANGE_JOIN_SQL,
