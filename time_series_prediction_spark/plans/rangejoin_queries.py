@@ -233,10 +233,131 @@ GROUP BY cell
     )
 
 
+_KNN_K = 7
+_KNN_QUERIES = 20
+
+
+def embedding_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label classification: for each of the first 20 vectors,
+    the majority label among its 7 nearest corpus neighbors by exact
+    cosine (self excluded; ties → more votes, then nearer best
+    neighbor is irrelevant — smaller label wins, totalized). The
+    label-propagation primitive of weak supervision / dataset
+    relabeling pipelines.
+
+    Determinism: cosine = exact bigint dot / double norms (the
+    embedding_cosine_topk contract); votes are integers; every
+    ranking has a total tie-break. Plan: queries broadcast against
+    ONE corpus scan (the brute-force baseline — the IVF/PQ family is
+    the scale path for large query sets), then two tiny windows."""
+    from time_series_prediction_spark.operators.similarity import quantize
+    from pyspark.sql.window import Window
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        "label",
+        quantize("embedding").alias("qv"),
+    ).withColumn(
+        "nrm",
+        F.expr(
+            "sqrt(CAST(aggregate(qv, 0L, (a, v) -> a + v * v) AS DOUBLE))"
+        ),
+    )
+    queries = q.where(F.col("vec_id") < _KNN_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("qv").alias("q_qv"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    dot = (
+        "CAST(aggregate(zip_with(q_qv, qv, (a, b) -> a * b), 0L, "
+        "(a, x) -> a + x) AS DOUBLE)"
+    )
+    scored = (
+        q.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", F.expr(dot) / (F.col("q_nrm") * F.col("nrm")))
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    votes = (
+        scored.withColumn("rk", F.row_number().over(wk))
+        .where(F.col("rk") <= _KNN_K)
+        .groupBy("query_id", "true_label", "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_votes"))
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("label")
+    )
+    return (
+        votes.withColumn("vrk", F.row_number().over(wv))
+        .where(F.col("vrk") == 1)
+        .select(
+            "query_id",
+            F.col("true_label").cast("long").alias("true_label"),
+            F.col("label").cast("long").alias("pred_label"),
+            "n_votes",
+        )
+    )
+
+
+def _knn_classify_sql() -> str:
+    from time_series_prediction_spark.operators.kmeans_exact import _SCALE
+
+    return f"""
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           v -> CAST(round(CAST(v AS DOUBLE) * {_SCALE}) AS BIGINT)) AS qv
+  FROM embeddings
+), n AS (
+  SELECT vec_id, label, qv,
+         sqrt(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(qv, v -> v * v)), (a, b) -> a + b) AS DOUBLE))
+           AS nrm
+  FROM q
+), qs AS (
+  SELECT vec_id AS query_id, label AS true_label,
+         qv AS q_qv, nrm AS q_nrm
+  FROM n WHERE vec_id < {_KNN_QUERIES}
+), scored AS (
+  SELECT qs.query_id, qs.true_label, c.vec_id, c.label,
+         CAST(list_sum(list_transform(range(1, {_EMB_DIMS + 1}),
+                                      i -> qs.q_qv[i] * c.qv[i])) AS DOUBLE)
+           / (qs.q_nrm * c.nrm) AS cosine
+  FROM qs CROSS JOIN n c
+  WHERE c.vec_id != qs.query_id
+), topk AS (
+  SELECT query_id, true_label, label FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id ASC) AS rk
+    FROM scored)
+  WHERE rk <= {_KNN_K}
+), votes AS (
+  SELECT query_id, true_label, label,
+         CAST(count(*) AS BIGINT) AS n_votes
+  FROM topk GROUP BY query_id, true_label, label
+)
+SELECT query_id, CAST(true_label AS BIGINT) AS true_label,
+       CAST(label AS BIGINT) AS pred_label, n_votes
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY n_votes DESC, label ASC) AS vrk
+  FROM votes)
+WHERE vrk = 1
+"""
+
+
 RANGEJOIN_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "embedding_ivf_incremental": (
         embedding_ivf_incremental,
         _ivf_incremental_sql(),
+    ),
+    "embedding_knn_classify": (
+        embedding_knn_classify,
+        _knn_classify_sql(),
     ),
     "events_range_join_windows": (
         events_range_join_windows,
