@@ -1065,23 +1065,37 @@ def clone_table(
     contract, including its caveat: VACUUM on the source does not
     know about clone references, so reclaiming the source can orphan
     a clone's shared files — clone from tables whose retention you
-    control, or deep-copy first. Returns the cloned version numbers."""
+    control, or deep-copy first. Returns the cloned version numbers.
+
+    Mechanics: each version dir is FileUtil-copied whole (manifest
+    parquet + ``_dv`` sidecar + ``_schema.json`` + ``_SUCCESS``) into
+    a hidden staging name, then CAS-renamed into place — no Spark job
+    is ever launched, and the copied dir appears atomically complete
+    exactly like a native commit. Version dirs already committed
+    under the destination are left alone (re-clone is idempotent)."""
     src_root = src_root or manifest_root(src_data)
     versions = list_versions(spark, src_root)
     if not versions:
         raise ValueError(f"no committed versions under {src_root}")
     fs = fs_for(spark, src_root)
+    fs.mkdirs(dst_root)
     for v in versions:
-        man = _manifest_version(spark, src_root, v)
-        dv = version_dv(spark, src_root, v)
-        sj = os.path.join(src_root, f"v{v}", "_schema.json")
-        schema_json = fs.read_text(sj) if fs.exists(sj) else None
-        publish_manifest(
-            man,
-            dst_root,
-            v,
-            keep_versions=len(versions),
-            dv=dv,
-            schema_json=schema_json,
+        final = os.path.join(dst_root, f"v{v}")
+        if fs.exists(os.path.join(final, "_SUCCESS")):
+            continue  # already committed under the clone root
+        staged = os.path.join(
+            dst_root, f".v{v}.build-{os.getpid()}-{next(_GEN_SEQ)}"
         )
+        fs.delete(staged)
+        fs.copy_dir(os.path.join(src_root, f"v{v}"), staged)
+        if not fs.publish_dir(staged, final):
+            fs.delete(staged)
+            raise ConcurrentCommitError(
+                f"clone version {v} already committed under {dst_root}"
+            )
+    # _LATEST hint for human readers; readers proper resolve complete
+    # version dirs (streaming/layout.py:current_version)
+    tmp = os.path.join(dst_root, f".latest.tmp.{os.getpid()}")
+    fs.write_text(tmp, f"v{max(versions)}")
+    fs.replace_file(tmp, os.path.join(dst_root, "_LATEST"))
     return versions

@@ -1133,7 +1133,109 @@ SELECT 3, (SELECT n FROM n0) + (SELECT n FROM nins)
 """
 
 
+_EVO_SPEC = "cow-clone|evo-v1|97|777|backfill"
+
+
+def orders_cow_evolved_layout(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str]:
+    """SHALLOW CLONE of the cached cow table + a SCHEMA-EVOLVING
+    MERGE on the clone: every current key ≡ 0 (mod 97) is updated
+    (+777 cents) and gains a NEW ``channel`` column — pre-evolution
+    files stay carried by reference and surface the column as null
+    under a merge-schema read. Cached like every layout; the merge's
+    new generation lands in the clone's own data dir (re-prefixed to
+    the published location before the rename)."""
+    from time_series_prediction_spark.operators.cow import clone_table
+    from time_series_prediction_spark.operators.manifest import (
+        _resolve_base,
+    )
+
+    src_data = orders_cow_layout(spark, sf_dir)
+    root = os.path.join(tempfile.gettempdir(), "tsp_layouts")
+    fs = fs_for(spark, root)
+    ident = f"{fs.qualified(src_data)}|{_EVO_SPEC}"
+    key = hashlib.md5(ident.encode()).hexdigest()[:16]
+    path = os.path.join(root, f"orders_cow_evo_{key}")
+    with _build_lock(path):
+        if not fs.exists(os.path.join(path, "_IDENT")):
+            tmp = f"{path}.build-{os.getpid()}"
+            fs.delete(tmp)
+            meta_tmp = os.path.join(tmp, "meta")
+            data_tmp = os.path.join(tmp, "data")
+            clone_table(spark, src_data, meta_tmp)
+            cur = read_committed(spark, data_tmp, root=meta_tmp)
+            ups = cur.where("o_orderkey % 97 = 0").select(
+                "o_orderkey",
+                "o_custkey",
+                "o_orderstatus",
+                (F.col("price_cents") + F.lit(777)).alias("price_cents"),
+                "o_orderpriority",
+                F.lit("backfill").alias("channel"),
+            )
+            merge_upsert(
+                spark, data_tmp, ups, key="o_orderkey", root=meta_tmp,
+                keep_versions=_KEEP, evolve_schema=True,
+            )
+            _reprefix_manifests(
+                spark, meta_tmp, _resolve_base(data_tmp, spark),
+                os.path.join(path, "data"),
+            )
+            fs.write_text(os.path.join(tmp, "_IDENT"), ident)
+            if not fs.publish_dir(tmp, path):
+                fs.delete(tmp)  # concurrent winner published first
+    return os.path.join(path, "data"), os.path.join(path, "meta")
+
+
+def orders_cow_schema_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Merge-schema read of the evolved clone: updated rows carry the
+    new ``channel`` column, pre-evolution files read it as null
+    ('legacy') without having been rewritten. The oracle recomputes
+    the evolved state from raw orders with the same arithmetic."""
+    data, meta = orders_cow_evolved_layout(spark, sf_dir)
+    return (
+        read_committed(spark, data, root=meta, merge_schema=True)
+        .groupBy(
+            F.coalesce(F.col("channel"), F.lit("legacy")).alias("channel")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("price_cents").cast("long").alias("total_cents"),
+        )
+    )
+
+
+ORDERS_COW_EVOLUTION_SQL = f"""
+WITH mx AS (SELECT max(o_orderkey) AS mk FROM orders),
+state AS (
+    SELECT o_orderkey AS k,
+           CAST(round(o_totalprice * 100) AS BIGINT)
+             + CASE WHEN o_orderkey % 13 = 0
+                     AND o_orderkey * 10 <= (SELECT mk FROM mx)
+                    THEN 100000 ELSE 0 END AS cents
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey + {_INSERT_SHIFT},
+           CAST(round(o_totalprice * 100) AS BIGINT)
+    FROM orders WHERE o_orderkey % 101 = 0
+)
+SELECT CASE WHEN k % 97 = 0 THEN 'backfill' ELSE 'legacy' END AS channel,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents + CASE WHEN k % 97 = 0 THEN 777 ELSE 0 END)
+            AS BIGINT) AS total_cents
+FROM state
+WHERE k % 17 <> 0
+GROUP BY 1
+"""
+
+
 TABLE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "orders_cow_schema_evolution": (
+        orders_cow_schema_evolution,
+        ORDERS_COW_EVOLUTION_SQL,
+    ),
     "orders_cow_restore_scan": (
         orders_cow_restore_scan,
         ORDERS_COW_RESTORE_SQL,

@@ -126,6 +126,15 @@ class Fs:
             return False
         return True
 
+    def copy_dir(self, src: str, dst: str) -> None:
+        """Recursive copy via Hadoop ``FileUtil.copy`` — no Spark job,
+        so it is the right tool for metadata-sized trees (manifest
+        version dirs); ``dst`` must not exist and becomes the copy."""
+        self._jvm.org.apache.hadoop.fs.FileUtil.copy(
+            self._jfs, self._p(src), self._jfs, self._p(dst),
+            False, True, self._conf,
+        )
+
     def replace_file(self, src: str, dst: str) -> None:
         """``os.replace`` semantics for a single FILE via FileContext
         Options.Rename.OVERWRITE (atomic on HDFS and local)."""
