@@ -62,6 +62,9 @@ def _all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], 
     from time_series_prediction_spark.plans.stats_queries import (
         STATS_QUERIES,
     )
+    from time_series_prediction_spark.plans.graph_queries import (
+        GRAPH_QUERIES,
+    )
     from time_series_prediction_spark.plans.warehouse_queries import (
         WAREHOUSE_QUERIES,
     )
@@ -81,6 +84,7 @@ def _all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], 
     registry.update(WAREHOUSE_QUERIES)
     registry.update(JOURNEY_QUERIES)
     registry.update(STATS_QUERIES)
+    registry.update(GRAPH_QUERIES)
     registry.update(RANGEJOIN_QUERIES)
     registry.update(LAYOUT_QUERIES)
     registry.update(BUCKETED_QUERIES)

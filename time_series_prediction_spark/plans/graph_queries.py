@@ -1,0 +1,207 @@
+"""Graph analytics: PageRank over the part basket-adjacency graph,
+oracle-backed by unrolling the power iteration.
+
+Beside connected components (operators/components.py, the other graph
+operator in the registry), this covers the importance-propagation
+family: nodes are parts, an edge (a, b, w) counts how often the two
+parts appear on ADJACENT lineitems of one order (basket adjacency —
+the linear-size projection of the order–part bipartite graph; the
+full per-order clique would be width² edges), and rank flows along edges under the
+standard 0.85 damping.
+
+Exactness (the registry's integer discipline, applied to an iterative
+algorithm): ranks are held as integer NANO-units end to end —
+r₀ = 10⁹ div N, each edge contribution is (r·w) div wdeg, and the
+damped update is r' = (3·r₀) div 20 + (17·Σcontrib) div 20
+(0.15 = 3/20, 0.85 = 17/20 exactly). Not one floating-point operation
+exists in the whole computation, so sums are shuffle-order-free and
+the THREE unrolled iterations replay verbatim as DuckDB CTEs — the
+same fixed-iteration-count trick that made exact-integer Lloyd
+(operators/kmeans_exact.py) oracle-checkable.
+
+Scale shape: each iteration is one equi-join of the rank vector to
+the edge list plus one map-side-combined aggregate on dst — the
+textbook distributed PageRank round (Pregel's shape without the
+framework); the edge list is built once from a per-order self-join
+linear in the fact table (2 directed edges per adjacent line pair,
+never a per-order clique, never a global cross join). At 100 TB you checkpoint the rank
+vector between iterations exactly as components.py checkpoints its
+label frontier.
+
+No counterpart in the reference repo (its data model is per-customer
+cashflow series); this is engine-side analytics surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from time_series_prediction_spark.plans.text_queries import QueryFn
+from time_series_prediction_spark.sources.io import read_table
+
+_ITERS = 3
+_TOPK = 20
+
+
+def part_basket_pagerank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-20 parts by 3-iteration integer PageRank over the
+    basket-adjacency graph (rank desc, part key tie-break)."""
+    from time_series_prediction_spark.operators.materialize import (
+        materialize,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+    # ONE shuffle builds the edge list: each order's lineitems sorted
+    # by line number, adjacent distinct parts linked in both
+    # directions (≈ 2·|lineitem| edge instances — linear in the fact
+    # table, unlike the width² full co-purchase clique). The oracle
+    # derives the SAME edges via a lead() window; the edge multiset
+    # is plan-independent.
+    # Materialized: three rank iterations re-join these frames — a
+    # lazy plan would rebuild the pair explosion every round.
+    pair = (
+        "filter(flatten(transform(sequence(0, size(ps) - 2), i -> "
+        "array(named_struct('src', ps[i].p, 'dst', ps[i + 1].p), "
+        "named_struct('src', ps[i + 1].p, 'dst', ps[i].p)))), "
+        "e -> e.src != e.dst)"
+    )
+    edges = materialize(
+        li.groupBy("l_orderkey")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("l_linenumber").alias("ln"),
+                        F.col("l_partkey").alias("p"),
+                    )
+                )
+            ).alias("ps")
+        )
+        .where(F.size("ps") >= 2)
+        .select(F.explode(F.expr(pair)).alias("e"))
+        .groupBy(
+            F.col("e.src").alias("src"), F.col("e.dst").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    # symmetric graph: every node has out- and in-edges; wdeg rides
+    # ON the edge list (broadcast join paid once at build) so each
+    # rank iteration joins exactly ONE small side — the rank vector
+    wdeg = edges.groupBy("src").agg(
+        F.sum("w").cast("long").alias("wdeg")
+    )
+    edges = materialize(edges.join(F.broadcast(wdeg), "src"))
+    nodes = wdeg.select(F.col("src").alias("node"))
+    n_nodes = nodes.count()  # scalar: the rank normalization constant
+    r0 = 1_000_000_000 // n_nodes
+    base = (3 * r0) // 20
+    ranks = nodes.select(
+        "node", F.lit(r0).cast("long").alias("r")
+    )
+    for _ in range(_ITERS):
+        contrib = (
+            edges.join(
+                ranks.withColumnRenamed("node", "src"), "src"
+            )
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("(r * w) div wdeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").cast("long").alias("s"))
+        )
+        ranks = (
+            nodes.select("node")
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                F.expr(
+                    f"CAST({base} + (17 * coalesce(s, 0)) div 20 "
+                    "AS BIGINT)"
+                ).alias("r"),
+            )
+        )
+    return (
+        ranks.orderBy(F.desc("r"), F.asc("node"))
+        .limit(_TOPK)
+        .select(
+            F.col("node").cast("long").alias("p_partkey"),
+            F.col("r").alias("rank_nano"),
+        )
+    )
+
+
+def _pagerank_sql() -> str:
+    iters = []
+    prev = "r0"
+    for i in range(1, _ITERS + 1):
+        iters.append(
+            f"""c{i} AS (
+  SELECT e.dst AS node,
+         CAST(sum((r.r * e.w) // d.wdeg) AS BIGINT) AS s
+  FROM edges e
+  JOIN {prev} r ON r.node = e.src
+  JOIN wdeg d ON d.src = e.src
+  GROUP BY e.dst
+), r{i} AS (
+  SELECT n.node,
+         CAST((SELECT base FROM consts)
+              + (17 * coalesce(c.s, 0)) // 20 AS BIGINT) AS r
+  FROM nodes n LEFT JOIN c{i} c ON c.node = n.node
+)"""
+        )
+        prev = f"r{i}"
+    chain = ",\n".join(iters)
+    return f"""
+WITH adj AS (
+  SELECT l_partkey AS src,
+         lead(l_partkey) OVER (
+             PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey
+         ) AS dst
+  FROM lineitem
+),
+und AS (
+  SELECT src, dst FROM adj WHERE dst IS NOT NULL AND dst <> src
+  UNION ALL
+  SELECT dst, src FROM adj WHERE dst IS NOT NULL AND dst <> src
+),
+edges AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+  FROM und GROUP BY src, dst
+),
+wdeg AS (
+  SELECT src, CAST(sum(w) AS BIGINT) AS wdeg FROM edges GROUP BY src
+),
+nodes AS (
+  SELECT src AS node FROM wdeg
+),
+consts AS (
+  SELECT CAST(1000000000 // count(*) AS BIGINT) AS r0,
+         CAST((3 * (1000000000 // count(*))) // 20 AS BIGINT) AS base
+  FROM nodes
+),
+r0 AS (
+  SELECT node, (SELECT r0 FROM consts) AS r FROM nodes
+),
+{chain}
+SELECT CAST(node AS BIGINT) AS p_partkey, r AS rank_nano
+FROM {prev}
+ORDER BY r DESC, node ASC
+LIMIT {_TOPK}
+"""
+
+
+PART_PAGERANK_SQL = _pagerank_sql()
+
+
+GRAPH_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "part_basket_pagerank": (
+        part_basket_pagerank,
+        PART_PAGERANK_SQL,
+    ),
+}
