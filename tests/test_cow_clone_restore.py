@@ -158,3 +158,36 @@ def test_clone_then_restore_clone(spark, mutated, tmp_path):
     restore_table(spark, clone_data, 1, root=clone_root, keep_versions=10)
     assert _rows(read_committed(spark, clone_data, root=clone_root)) \
         == _rows(read_version(spark, mutated, 1))
+
+
+def test_forget_keys_purges_all_rows_of_nonunique_key(spark, tmp_path):
+    """forget_keys tombstones EVERY row of the requested keys in one
+    DV commit (no file rewritten), audits exact purge counts, and
+    verifies absence against the new head; other keys untouched."""
+    from time_series_prediction_spark.operators.cow import forget_keys
+
+    path = str(tmp_path / "ftbl")
+    # non-unique key: 40 groups × 5 rows
+    df = spark.range(200).select(
+        (F.col("id") % 40).alias("g"),
+        F.col("id").alias("v"),
+    )
+    init_table(spark, path, df, key="g", n_files=4, keep_versions=10)
+    victims = spark.createDataFrame([(7,), (13,), (39,)], "g long")
+    v_new, audit = forget_keys(spark, path, victims, "g",
+                               keep_versions=10)
+    rows = {r["g"]: r for r in audit.collect()}
+    assert set(rows) == {7, 13, 39}
+    for g, r in rows.items():
+        assert r["n_rows_purged"] == 5, r
+        assert r["verified_absent"] is True
+    live = read_committed(spark, path)
+    assert live.where("g in (7, 13, 39)").count() == 0
+    assert live.count() == 200 - 15
+    # merge-on-read: the file set is untouched (metadata-only commit)
+    root = manifest_root(path)
+    f0 = set(prune_files(
+        spark.read.parquet(os.path.join(root, "v0")), {}))
+    f1 = set(prune_files(
+        spark.read.parquet(os.path.join(root, f"v{v_new}")), {}))
+    assert f0 == f1

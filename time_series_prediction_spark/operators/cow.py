@@ -1099,3 +1099,53 @@ def clone_table(
     fs.write_text(tmp, f"v{max(versions)}")
     fs.replace_file(tmp, os.path.join(dst_root, "_LATEST"))
     return versions
+
+
+def forget_keys(
+    spark: SparkSession,
+    data_path: str,
+    keys: DataFrame,
+    key: str,
+    root: str | None = None,
+    keep_versions: int = 2,
+) -> tuple[int, DataFrame]:
+    """Right-to-erasure (GDPR Art. 17) over a CoW table: tombstone
+    EVERY row carrying one of ``keys`` (non-unique keys supported —
+    e.g. all events of a user) in one deletion-vector commit, and
+    return ``(version, audit)`` where the audit frame reports, per
+    requested key, ``n_rows_purged`` (from the pinned pre-delete
+    snapshot) and ``verified_absent`` (re-checked against the new
+    head — the erasure evidence a compliance log stores).
+
+    Cost model: the commit is metadata-sized however scattered the
+    keys (that is why this routes through the DV path, not the
+    rewriting delete); actual byte erasure happens at the next
+    compaction (``delete_keys_dv`` docstring) — schedule
+    ``maintain_table`` within the regulatory deadline. The audit is
+    two snapshot scans pinned by version, so a concurrent writer
+    cannot skew the counts."""
+    root = root or manifest_root(data_path)
+    kset = keys.select(key).distinct()
+    v_new = delete_keys_dv(
+        spark, data_path, kset, key, root=root,
+        keep_versions=max(keep_versions, 2),  # audit reads v_new - 1
+    )
+    pre = read_version(spark, data_path, v_new - 1, root=root)
+    post = read_version(spark, data_path, v_new, root=root)
+    purged = pre.join(F.broadcast(kset), key).groupBy(key).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows_purged")
+    )
+    leftover = post.join(F.broadcast(kset), key).groupBy(key).agg(
+        F.count(F.lit(1)).cast("long").alias("_n_left")
+    )
+    audit = (
+        purged.join(leftover, key, "left")
+        .select(
+            key,
+            "n_rows_purged",
+            (F.coalesce(F.col("_n_left"), F.lit(0)) == 0).alias(
+                "verified_absent"
+            ),
+        )
+    )
+    return v_new, audit

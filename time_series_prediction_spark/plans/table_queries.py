@@ -1231,7 +1231,99 @@ GROUP BY 1
 """
 
 
+_FORGET_SPEC = "cow-forget|v1|user%29|dv"
+
+
+def events_forget_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Right-to-erasure fixture: the events stream landed as a CoW
+    table clustered by ``user_id``, then every user ≡ 0 (mod 29)
+    forgotten via ``operators/cow.forget_keys`` (one deletion-vector
+    commit, non-unique key). The per-user erasure audit — rows purged
+    from the pinned pre-delete snapshot, absence re-verified against
+    the new head — is stored beside the table, exactly what a
+    compliance log retains. Cached per fixture content."""
+    from time_series_prediction_spark.operators.cow import (
+        forget_keys,
+        init_table,
+    )
+
+    src = os.path.join(sf_dir, "events.parquet")
+    root = os.path.join(tempfile.gettempdir(), "tsp_layouts")
+    fs = fs_for(spark, root)
+    st = fs.status(src)
+    if st is None:
+        raise FileNotFoundError(src)
+    ident = f"{fs.qualified(src)}|{st[0]}|{st[1]}|{_FORGET_SPEC}"
+    key = hashlib.md5(ident.encode()).hexdigest()[:16]
+    path = os.path.join(root, f"events_forget_{key}")
+    with _build_lock(path):
+        if not fs.exists(os.path.join(path, "_IDENT")):
+            tmp = f"{path}.build-{os.getpid()}"
+            fs.delete(tmp)
+            data = os.path.join(tmp, "data")
+            ev = read_table(spark, sf_dir, "events").select(
+                "event_id",
+                "user_id",
+                "event_type",
+                F.expr("CAST(round(value * 100) AS BIGINT)").alias(
+                    "cents"
+                ),
+            )
+            init_table(
+                spark, data, ev, key="user_id", n_files=8,
+                keep_versions=_KEEP,
+            )
+            victims = ev.select("user_id").where(
+                "user_id % 29 = 0"
+            ).distinct()
+            _, audit = forget_keys(
+                spark, data, victims, "user_id", keep_versions=_KEEP,
+            )
+            audit.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(tmp, "audit")
+            )
+            from time_series_prediction_spark.operators.manifest import (
+                _resolve_base,
+            )
+
+            _reprefix_manifests(
+                spark, manifest_root(data), _resolve_base(data, spark),
+                os.path.join(path, "data"),
+            )
+            fs.write_text(os.path.join(tmp, "_IDENT"), ident)
+            if not fs.publish_dir(tmp, path):
+                fs.delete(tmp)  # concurrent winner published first
+    return path
+
+
+def events_forget_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stored erasure audit: per forgotten user, how many event
+    rows were tombstoned and that none remain visible. The oracle
+    recomputes the purge counts from raw events; ``verified_absent``
+    must be uniformly true — it re-checked the post-delete head."""
+    path = events_forget_layout(spark, sf_dir)
+    return spark.read.parquet(os.path.join(path, "audit")).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "n_rows_purged",
+        "verified_absent",
+    )
+
+
+EVENTS_FORGET_AUDIT_SQL = """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(count(*) AS BIGINT) AS n_rows_purged,
+       true AS verified_absent
+FROM events
+WHERE user_id % 29 = 0
+GROUP BY user_id
+"""
+
+
 TABLE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "events_forget_audit": (
+        events_forget_audit,
+        EVENTS_FORGET_AUDIT_SQL,
+    ),
     "orders_cow_schema_evolution": (
         orders_cow_schema_evolution,
         ORDERS_COW_EVOLUTION_SQL,
