@@ -133,3 +133,27 @@ def test_cdc_ingest_matches_oracle_and_deletes_were_dv(spark, sf_dir, duck):
     assert dv is not None and dv.count() > 0, (
         "the delete half of the feed must land as deletion vectors"
     )
+
+
+def test_composite_clustered_merge_prunes_by_date_band(spark, sf_dir):
+    """The (day, o_orderkey) Morton clustering must confine a
+    30-day-band MERGE to the date-overlapping files: most of v0's 16
+    files carry into v1 by reference, and the final state is correct
+    (oracle-checked by the registry; here we pin the file economy)."""
+    from time_series_prediction_spark.operators.cow import list_versions
+    from time_series_prediction_spark.plans.table_queries import (
+        orders_cow_composite_layout,
+    )
+
+    data = orders_cow_composite_layout(spark, sf_dir)
+    root = manifest_root(data)
+    versions = list_versions(spark, root)
+    assert versions[:2] == [0, 1]
+    f0 = set(prune_files(
+        spark.read.parquet(os.path.join(root, "v0")), {}))
+    f1 = set(prune_files(
+        spark.read.parquet(os.path.join(root, "v1")), {}))
+    carried = f0 & f1
+    assert len(f0) == 16
+    # a ~1.2% date band must not rewrite the whole plane
+    assert len(carried) >= 8, (len(f0), len(carried))

@@ -1319,7 +1319,113 @@ GROUP BY user_id
 """
 
 
+_COMP_SPEC = "cow-composite|v1|day+key|1247-1276|7|555"
+_COMP_EPOCH = "1995-01-01"
+_COMP_D0, _COMP_D1 = 1247, 1276  # 1998-06-01 .. 1998-06-30
+
+
+def orders_cow_composite_layout(spark: SparkSession, sf_dir: str) -> str:
+    """CoW table clustered on the COMPOSITE key (day, o_orderkey) —
+    the Morton interleave gives every file a small rectangle of the
+    (date, key) plane — then a MERGE confined to one 30-day band
+    (~1.2% of the date domain). Per-column typed stats prune the
+    rewrite set to the date-overlapping files only; the carried-file
+    economy is pinned in tests/test_table_queries.py. Cached per
+    fixture content."""
+    from time_series_prediction_spark.operators.manifest import (
+        _resolve_base,
+    )
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    root = os.path.join(tempfile.gettempdir(), "tsp_layouts")
+    fs = fs_for(spark, root)
+    st = fs.status(src)
+    if st is None:
+        raise FileNotFoundError(src)
+    ident = f"{fs.qualified(src)}|{st[0]}|{st[1]}|{_COMP_SPEC}"
+    key = hashlib.md5(ident.encode()).hexdigest()[:16]
+    path = os.path.join(root, f"orders_cow_comp_{key}")
+    with _build_lock(path):
+        if not fs.exists(os.path.join(path, "_IDENT")):
+            tmp = f"{path}.build-{os.getpid()}"
+            fs.delete(tmp)
+            data = os.path.join(tmp, "data")
+            base = read_table(spark, sf_dir, "orders").select(
+                F.expr(
+                    f"datediff(CAST(o_orderdate AS DATE),"
+                    f" DATE '{_COMP_EPOCH}')"
+                ).cast("long").alias("day"),
+                F.col("o_orderkey").cast("long").alias("o_orderkey"),
+                "o_orderstatus",
+                F.expr(
+                    "CAST(round(o_totalprice * 100) AS BIGINT)"
+                ).alias("price_cents"),
+                "o_orderpriority",
+            )
+            init_table(
+                spark, data, base, key=["day", "o_orderkey"],
+                n_files=16, keep_versions=_KEEP,
+            )
+            ups = base.where(
+                f"day BETWEEN {_COMP_D0} AND {_COMP_D1}"
+                " AND o_orderkey % 7 = 0"
+            ).select(
+                "day",
+                "o_orderkey",
+                F.lit("C").alias("o_orderstatus"),
+                (F.col("price_cents") + F.lit(555)).alias("price_cents"),
+                "o_orderpriority",
+            )
+            merge_upsert(
+                spark, data, ups, key=["day", "o_orderkey"],
+                keep_versions=_KEEP,
+            )
+            _reprefix_manifests(
+                spark, manifest_root(data), _resolve_base(data, spark),
+                os.path.join(path, "data"),
+            )
+            fs.write_text(os.path.join(tmp, "_IDENT"), ident)
+            if not fs.publish_dir(tmp, path):
+                fs.delete(tmp)  # concurrent winner published first
+    return os.path.join(path, "data")
+
+
+def orders_cow_composite_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Final state of the composite-clustered table after the
+    date-banded MERGE; the oracle recomputes it from raw orders with
+    the same band arithmetic."""
+    data = orders_cow_composite_layout(spark, sf_dir)
+    return (
+        read_committed(spark, data)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("price_cents").cast("long").alias("total_cents"),
+        )
+    )
+
+
+ORDERS_COW_COMPOSITE_SQL = f"""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)
+            + CASE WHEN (CAST(o_orderdate AS DATE)
+                         - DATE '{_COMP_EPOCH}')
+                        BETWEEN {_COMP_D0} AND {_COMP_D1}
+                    AND o_orderkey % 7 = 0
+                   THEN 555 ELSE 0 END) AS BIGINT) AS total_cents
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
 TABLE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "orders_cow_composite_scan": (
+        orders_cow_composite_scan,
+        ORDERS_COW_COMPOSITE_SQL,
+    ),
     "events_forget_audit": (
         events_forget_audit,
         EVENTS_FORGET_AUDIT_SQL,
