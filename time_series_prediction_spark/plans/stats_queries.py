@@ -282,7 +282,111 @@ FROM ranked WHERE rk = 1
 TS_SEASONALITY_SQL = _seasonality_sql()
 
 
+_XC_LAGS = (0, 1, 2, 3)
+_XC_A, _XC_B = "click", "purchase"
+
+
+def ts_crosscorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between the daily click and purchase
+    revenue series (does click volume LEAD purchases?): Pearson r of
+    (click_t, purchase_{t+lag}) for lags 0–3 — the lead-lag scan every
+    forecasting pipeline runs before picking exogenous features.
+
+    Same exactness contract as the correlation matrix: integer cents,
+    exact bigint sufficient statistics per lag, one fixed-shape
+    double expression shared with the oracle."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("event_type").isin(_XC_A, _XC_B))
+        .groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    a = daily.where(F.col("event_type") == _XC_A).select(
+        F.expr("datediff(day, DATE '2024-01-01')").alias("d"),
+        F.col("cents").alias("x"),
+    )
+    b = daily.where(F.col("event_type") == _XC_B).select(
+        F.expr("datediff(day, DATE '2024-01-01')").alias("d"),
+        F.col("cents").alias("y"),
+    )
+    lagged = a.select(
+        "d",
+        "x",
+        F.explode(F.array(*[F.lit(lg) for lg in _XC_LAGS])).alias("lag"),
+    ).join(
+        b.withColumnRenamed("d", "_bd"),
+        F.expr("_bd = d + lag"),
+    )
+    stats = lagged.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.expr("x * x")).cast("long").alias("sxx"),
+        F.sum(F.expr("y * y")).cast("long").alias("syy"),
+        F.sum(F.expr("x * y")).cast("long").alias("sxy"),
+    )
+    corr = (
+        "(CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / (sqrt(CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        " * sqrt(CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+    )
+    return stats.select(
+        F.col("lag").cast("long").alias("lag"),
+        "n_days",
+        F.expr(corr).alias("crosscorr"),
+    )
+
+
+TS_CROSSCORR_SQL = f"""
+WITH daily AS (
+    SELECT (CAST(ts AS DATE) - DATE '2024-01-01') AS d, event_type,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM events
+    WHERE event_type IN ('{_XC_A}', '{_XC_B}')
+    GROUP BY 1, 2
+),
+a AS (SELECT d, cents AS x FROM daily WHERE event_type = '{_XC_A}'),
+b AS (SELECT d, cents AS y FROM daily WHERE event_type = '{_XC_B}'),
+lagged AS (
+    SELECT t.lag, a.x, b.y
+    FROM a CROSS JOIN (VALUES {", ".join(f"({lg})" for lg in _XC_LAGS)})
+         t(lag)
+    JOIN b ON b.d = a.d + t.lag
+),
+stats AS (
+    SELECT lag,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(x) AS BIGINT) AS sx,
+           CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * x) AS BIGINT) AS sxx,
+           CAST(sum(y * y) AS BIGINT) AS syy,
+           CAST(sum(x * y) AS BIGINT) AS sxy
+    FROM lagged GROUP BY lag
+)
+SELECT CAST(lag AS BIGINT) AS lag, n_days,
+       (CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (sqrt(CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        * sqrt(CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE)
+          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS crosscorr
+FROM stats
+"""
+
+
 STATS_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "ts_crosscorr_lags": (
+        ts_crosscorr_lags,
+        TS_CROSSCORR_SQL,
+    ),
     "ts_seasonality_detect": (
         ts_seasonality_detect,
         TS_SEASONALITY_SQL,
