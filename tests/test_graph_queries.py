@@ -91,3 +91,30 @@ def test_pagerank_partitioning_independent(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert a == b
+
+
+def test_new_analytics_plans_stay_jvm_side(spark, sf_dir):
+    """Journey/stats/graph queries: no Python eval stages, no
+    cartesian products, no nested-loop joins anywhere."""
+    from time_series_prediction_spark.plans.journey_queries import (
+        JOURNEY_QUERIES,
+    )
+    from time_series_prediction_spark.plans.stats_queries import (
+        STATS_QUERIES,
+    )
+    from time_series_prediction_spark.plans.graph_queries import (
+        GRAPH_QUERIES,
+    )
+
+    for name, (fn, _) in {
+        **JOURNEY_QUERIES, **STATS_QUERIES, **GRAPH_QUERIES
+    }.items():
+        plan = fn(spark, sf_dir)._jdf.queryExecution() \
+            .executedPlan().toString()
+        for marker in (
+            "BatchEvalPython",
+            "ArrowEvalPython",
+            "CartesianProduct",
+            "BroadcastNestedLoopJoin",
+        ):
+            assert marker not in plan, (name, marker)
