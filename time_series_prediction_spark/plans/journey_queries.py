@@ -143,7 +143,82 @@ GROUP BY coalesce(touch, 'direct')
 """
 
 
+def events_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by first-active
+    week; for each (cohort_week, week_offset) the distinct users
+    still active and their share of the cohort — the classic
+    triangle every growth dashboard draws. Exact integers + one
+    final division; offset-0 share is 1.0 by construction."""
+    ev = read_table(spark, sf_dir, "events")
+    weekly = (
+        ev.select(
+            "user_id",
+            F.expr(
+                "CAST(datediff(to_date(ts), DATE '2024-01-01') div 7"
+                " AS INT)"
+            ).alias("week"),
+        )
+        .distinct()
+    )
+    cohort = weekly.groupBy("user_id").agg(
+        F.min("week").alias("cohort_week")
+    )
+    sizes = cohort.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    cells = (
+        weekly.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+    return cells.join(F.broadcast(sizes), "cohort_week").select(
+        F.col("cohort_week").cast("long").alias("cohort_week"),
+        F.col("week_offset").cast("long").alias("week_offset"),
+        "n_active",
+        (
+            F.col("n_active").cast("double")
+            / F.col("cohort_size").cast("double")
+        ).alias("retention"),
+    )
+
+
+EVENTS_COHORT_SQL = """
+WITH weekly AS (
+    SELECT DISTINCT user_id,
+           CAST((CAST(ts AS DATE) - DATE '2024-01-01') // 7 AS INT)
+             AS week
+    FROM events
+),
+cohort AS (
+    SELECT user_id, min(week) AS cohort_week FROM weekly GROUP BY user_id
+),
+sizes AS (
+    SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+    FROM cohort GROUP BY cohort_week
+),
+cells AS (
+    SELECT c.cohort_week, w.week - c.cohort_week AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_active
+    FROM weekly w JOIN cohort c ON c.user_id = w.user_id
+    GROUP BY c.cohort_week, w.week - c.cohort_week
+)
+SELECT CAST(cells.cohort_week AS BIGINT) AS cohort_week,
+       CAST(week_offset AS BIGINT) AS week_offset,
+       n_active,
+       CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE)
+         AS retention
+FROM cells JOIN sizes ON sizes.cohort_week = cells.cohort_week
+"""
+
+
 JOURNEY_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "events_cohort_matrix": (
+        events_cohort_matrix,
+        EVENTS_COHORT_SQL,
+    ),
     "events_transition_matrix": (
         events_transition_matrix,
         EVENTS_TRANSITION_SQL,

@@ -1421,7 +1421,98 @@ GROUP BY o_orderpriority
 """
 
 
+def orders_cdc_scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC → SCD2 dimension: the cow table's change feed folded into
+    type-2 validity intervals — (key, attributes, v_from, v_to) where
+    an insert opens an interval and the key's next delete closes it —
+    the standard way a warehouse derives a history dimension from a
+    change stream instead of re-snapshotting the source. v0 rows seed
+    the fold as version-0 inserts; pairing is the i-th-open ↔ i-th
+    close rank join (intervals of one key never overlap).
+
+    The oracle never sees the feed: it regenerates every interval
+    directly from the mutation spec over raw orders (v0 intervals
+    close at 1 if updated / 2 if purged; v1 intervals — updates and
+    inserts — close at 2 if purged), so the comparison pins the CDC
+    path AND the fold. Output: interval counts, distinct keys, and
+    exact cents by currency status."""
+    from time_series_prediction_spark.operators.cow import changes_feed
+
+    data = orders_cow_layout(spark, sf_dir)
+    v0 = (
+        read_version(spark, data, 0)
+        .withColumn("_version", F.lit(0).cast("long"))
+        .withColumn("_change", F.lit("insert"))
+    )
+    feed = changes_feed(spark, data, 0, 2).select(*v0.columns)
+    ev = v0.unionByName(feed)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_orderkey").orderBy("_version")
+    opens = ev.where(F.col("_change") == "insert").withColumn(
+        "_rn", F.row_number().over(w)
+    )
+    closes = (
+        ev.where(F.col("_change") == "delete")
+        .withColumn("_rn", F.row_number().over(w))
+        .select(
+            "o_orderkey",
+            "_rn",
+            F.col("_version").alias("v_to"),
+        )
+    )
+    dim = opens.join(closes, ["o_orderkey", "_rn"], "left").select(
+        "o_orderkey",
+        "price_cents",
+        F.col("_version").alias("v_from"),
+        "v_to",
+    )
+    return dim.groupBy(
+        F.col("v_to").isNull().alias("is_current")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.countDistinct("o_orderkey").cast("long").alias("n_keys"),
+        F.sum("price_cents").cast("long").alias("total_cents"),
+    )
+
+
+ORDERS_CDC_SCD2_SQL = f"""
+WITH mx AS (SELECT max(o_orderkey) AS mk FROM orders),
+base AS (
+    SELECT o_orderkey AS k,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+           (o_orderkey % 13 = 0
+            AND o_orderkey * 10 <= (SELECT mk FROM mx)) AS upd
+    FROM orders
+),
+intervals AS (
+    SELECT k, cents,
+           CASE WHEN upd THEN 1
+                WHEN k % 17 = 0 THEN 2 END AS vt
+    FROM base
+    UNION ALL
+    SELECT k, cents + 100000,
+           CASE WHEN k % 17 = 0 THEN 2 END
+    FROM base WHERE upd
+    UNION ALL
+    SELECT k + {_INSERT_SHIFT}, cents,
+           CASE WHEN (k + {_INSERT_SHIFT}) % 17 = 0 THEN 2 END
+    FROM base WHERE k % 101 = 0
+)
+SELECT vt IS NULL AS is_current,
+       CAST(count(*) AS BIGINT) AS n_intervals,
+       CAST(count(DISTINCT k) AS BIGINT) AS n_keys,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM intervals
+GROUP BY vt IS NULL
+"""
+
+
 TABLE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "orders_cdc_scd2_dim": (
+        orders_cdc_scd2_dim,
+        ORDERS_CDC_SCD2_SQL,
+    ),
     "orders_cow_composite_scan": (
         orders_cow_composite_scan,
         ORDERS_COW_COMPOSITE_SQL,
