@@ -214,10 +214,118 @@ FROM cells JOIN sizes ON sizes.cohort_week = cells.cohort_week
 """
 
 
+def features_pit_training_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Feature-store point-in-time training join: each purchase
+    (label) is attached to the user's LATEST feature snapshot whose
+    availability timestamp precedes the label — daily cumulative
+    features stamped available at next-day midnight, so a label can
+    never see same-day (future-leaking) activity. This is the PIT
+    correctness contract every feature store ships (Feast/Tecton
+    get_historical_features); here it is the engine's as-of join
+    (operators/asof.py — union-and-carry, ONE shuffle, no per-label
+    subquery) against the snapshot stream.
+
+    The oracle replays it with DuckDB's native ASOF JOIN — two
+    independent as-of implementations agreeing on every aggregate.
+    Output: label counts and exact label/feature cents split by
+    whether the user had any pre-label history."""
+    from time_series_prediction_spark.operators.asof import asof_join
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    snap = daily.select(
+        "user_id",
+        F.to_timestamp(F.date_add("day", 1)).alias("avail_ts"),
+        F.sum("n").over(w).cast("long").alias("n_todate"),
+        F.sum("cents").over(w).cast("long").alias("cents_todate"),
+    )
+    labels = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias(
+            "label_cents"
+        ),
+    )
+    j = asof_join(
+        labels,
+        snap,
+        on="user_id",
+        left_ts="ts",
+        right_ts="avail_ts",
+        right_payload=["n_todate", "cents_todate"],
+    )
+    return j.groupBy(
+        F.col("avail_ts_asof").isNotNull().alias("has_history")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_labels"),
+        F.sum("label_cents").cast("long").alias("total_label_cents"),
+        F.sum(F.coalesce(F.col("n_todate_asof"), F.lit(0)))
+        .cast("long")
+        .alias("total_feat_events"),
+        F.sum(F.coalesce(F.col("cents_todate_asof"), F.lit(0)))
+        .cast("long")
+        .alias("total_feat_cents"),
+    )
+
+
+FEATURES_PIT_SQL = """
+WITH daily AS (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM events GROUP BY user_id, CAST(ts AS DATE)
+),
+snap AS (
+    SELECT user_id,
+           CAST(day + 1 AS TIMESTAMP) AS avail_ts,
+           CAST(sum(n) OVER (PARTITION BY user_id ORDER BY day)
+                AS BIGINT) AS n_todate,
+           CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY day)
+                AS BIGINT) AS cents_todate
+    FROM daily
+),
+labels AS (
+    SELECT user_id, ts,
+           CAST(round(value * 100) AS BIGINT) AS label_cents
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT s.avail_ts IS NOT NULL AS has_history,
+       CAST(count(*) AS BIGINT) AS n_labels,
+       CAST(sum(l.label_cents) AS BIGINT) AS total_label_cents,
+       CAST(sum(coalesce(s.n_todate, 0)) AS BIGINT)
+         AS total_feat_events,
+       CAST(sum(coalesce(s.cents_todate, 0)) AS BIGINT)
+         AS total_feat_cents
+FROM labels l
+ASOF LEFT JOIN snap s
+  ON l.user_id = s.user_id AND l.ts >= s.avail_ts
+GROUP BY s.avail_ts IS NOT NULL
+"""
+
+
 JOURNEY_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "events_cohort_matrix": (
         events_cohort_matrix,
         EVENTS_COHORT_SQL,
+    ),
+    "features_pit_training_join": (
+        features_pit_training_join,
+        FEATURES_PIT_SQL,
     ),
     "events_transition_matrix": (
         events_transition_matrix,
