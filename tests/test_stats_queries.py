@@ -109,3 +109,21 @@ def test_seasonality_recovers_planted_period(spark, tmp_path):
     assert got[1]["best_period"] == 3
     assert got[1]["strength"] > 0.999
     assert got[2]["strength"] < 0.5
+
+
+def test_join_cardinality_estimate_within_sampling_error(spark, sf_dir):
+    from time_series_prediction_spark.plans.stats_queries import (
+        JOIN_CARD_SQL,
+        join_cardinality_estimate,
+    )
+
+    assert_matches_oracle(
+        join_cardinality_estimate(spark, sf_dir),
+        duck_connection(sf_dir),
+        JOIN_CARD_SQL,
+        name="join_cardinality_estimate",
+    )
+    r = join_cardinality_estimate(spark, sf_dir).first()
+    assert r["exact_pairs"] > 0
+    # 1/16 key sample over thousands of keys: generous 35% band
+    assert abs(r["rel_err"]) < 0.35, r

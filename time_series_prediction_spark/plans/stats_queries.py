@@ -382,7 +382,78 @@ FROM stats
 """
 
 
+_JCE_MOD = 16
+
+
+def join_cardinality_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Approximate-query-processing join synopsis: estimate the size
+    of the lineitem⋈lineitem self-join on ``l_partkey`` (the
+    co-purchase pair explosion an optimizer must anticipate) from a
+    1/16 KEY-correlated sample — keys are sampled by md5 hash, so
+    matching rows survive sampling TOGETHER, the known fix for why
+    independent row samples estimate joins terribly (join of two p
+    samples keeps only p² of pairs; a key sample keeps p). The
+    deterministic hash makes the whole estimator replayable: est =
+    16 · Σ_{sampled keys} n_k², exact = Σ_k n_k², both from one
+    groupBy synopsis, no join ever materialized.
+
+    At 100 TB this synopsis (distinct keys × count) is what you
+    persist per table to cost joins before running them; the sampled
+    variant is what you compute when even the synopsis is too wide."""
+    li = read_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    agg = counts.agg(
+        F.sum(F.expr("n * n")).cast("long").alias("exact_pairs"),
+        (
+            F.sum(
+                F.expr(
+                    "CASE WHEN CAST(conv(substr(md5(CAST(l_partkey"
+                    f" AS STRING)), 1, 7), 16, 10) AS BIGINT)"
+                    f" % {_JCE_MOD} = 0 THEN n * n ELSE 0 END"
+                )
+            )
+            * _JCE_MOD
+        ).cast("long").alias("est_pairs"),
+    )
+    return agg.select(
+        "exact_pairs",
+        "est_pairs",
+        F.expr(
+            "(CAST(est_pairs AS DOUBLE) - CAST(exact_pairs AS DOUBLE))"
+            " / CAST(exact_pairs AS DOUBLE)"
+        ).alias("rel_err"),
+    )
+
+
+JOIN_CARD_SQL = f"""
+WITH counts AS (
+    SELECT l_partkey, CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_partkey
+),
+agg AS (
+    SELECT CAST(sum(n * n) AS BIGINT) AS exact_pairs,
+           CAST(sum(CASE WHEN ('0x' || substr(md5(CAST(l_partkey
+                    AS VARCHAR)), 1, 7))::BIGINT % {_JCE_MOD} = 0
+                    THEN n * n ELSE 0 END) * {_JCE_MOD} AS BIGINT)
+             AS est_pairs
+    FROM counts
+)
+SELECT exact_pairs, est_pairs,
+       (CAST(est_pairs AS DOUBLE) - CAST(exact_pairs AS DOUBLE))
+         / CAST(exact_pairs AS DOUBLE) AS rel_err
+FROM agg
+"""
+
+
 STATS_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "join_cardinality_estimate": (
+        join_cardinality_estimate,
+        JOIN_CARD_SQL,
+    ),
     "ts_crosscorr_lags": (
         ts_crosscorr_lags,
         TS_CROSSCORR_SQL,
