@@ -356,7 +356,60 @@ GROUP BY p.token, p.n_exact
 CMS_HEAVY_HITTERS_SQL = _cms_sql()
 
 
+def _latency_subquery(dialect: str) -> str:
+    """view→next-purchase latency seconds per user, one window pass.
+    The IGNORE NULLS spelling and epoch/µs functions are the ONLY
+    dialect differences; the quantile machinery downstream is the
+    shared portable text."""
+    if dialect == "spark":
+        us, ign, idiv = "unix_micros(ts)", ") IGNORE NULLS", "div"
+        src = "_psk_events"
+    else:
+        us, ign, idiv = "epoch_us(ts)", " IGNORE NULLS)", "//"
+        src = "events"
+    fv = (
+        f"first_value(CASE WHEN event_type = 'purchase' THEN {us} END"
+        f"{ign} OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)"
+    )
+    return (
+        f"(SELECT 'all' AS grp, (p_us - u) {idiv} 1000000 AS lat_s "
+        f"FROM (SELECT event_type, {us} AS u, {fv} AS p_us "
+        f"FROM {src}) w "
+        "WHERE event_type = 'view' AND p_us IS NOT NULL) tlat"
+    )
+
+
+def _funnel_latency_sql(dialect: str) -> str:
+    return portable_quantile_sql(
+        _latency_subquery(dialect),
+        value_expr="lat_s",
+        group_col="grp",
+        qs=(0.5, 0.9, 0.99),
+    )
+
+
+def events_funnel_latency_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """View→purchase conversion-latency P50/P90/P99 through the
+    portable log-linear histogram: the funnel-latency SLO readout,
+    mergeable at 100 TB because only the ≤ 16·40-cell histogram
+    crosses the exchange — never the raw latencies. Values are
+    (bucket lower bound)/100 in seconds·10⁻², relative error ≤ 1/16;
+    oracle = the same generated SQL over DuckDB's events view (only
+    the epoch/µs and IGNORE-NULLS spellings differ by dialect)."""
+    read_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "_psk_events"
+    )
+    return spark.sql(_funnel_latency_sql("spark"))
+
+
 SKETCH_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "events_funnel_latency_quantiles": (
+        events_funnel_latency_quantiles,
+        _funnel_latency_sql("duck"),
+    ),
     "corpus_cms_heavy_hitters": (
         corpus_cms_heavy_hitters,
         CMS_HEAVY_HITTERS_SQL,
