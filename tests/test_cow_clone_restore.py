@@ -191,3 +191,25 @@ def test_forget_keys_purges_all_rows_of_nonunique_key(spark, tmp_path):
     f1 = set(prune_files(
         spark.read.parquet(os.path.join(root, f"v{v_new}")), {}))
     assert f0 == f1
+
+
+def test_check_table_fsck(spark, mutated):
+    """Healthy table: ok, superseded generations reported as
+    unreferenced only after restore/vacuum churn; corrupting a
+    referenced file flips ok=False with a precise error."""
+    from time_series_prediction_spark.operators.cow import check_table
+    from time_series_prediction_spark.sources.fsops import fs_for
+
+    rep = check_table(spark, mutated)
+    assert rep["ok"], rep["errors"]
+    assert [v["version"] for v in rep["versions"]] == [0, 1, 2]
+    assert all(v["n_missing"] == 0 for v in rep["versions"])
+    # delete one referenced data file → fsck must name it
+    man = spark.read.parquet(
+        os.path.join(manifest_root(mutated), "v2")
+    )
+    victim = sorted(prune_files(man, {}))[0]
+    fs_for(spark, mutated).delete(victim)
+    rep2 = check_table(spark, mutated)
+    assert not rep2["ok"]
+    assert any(victim in e for e in rep2["errors"])

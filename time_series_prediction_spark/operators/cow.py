@@ -1149,3 +1149,91 @@ def forget_keys(
         )
     )
     return v_new, audit
+
+
+def check_table(
+    spark: SparkSession,
+    data_path: str,
+    root: str | None = None,
+) -> dict[str, object]:
+    """fsck for the table format: verify every retained committed
+    version is internally consistent — all referenced data files
+    exist, per-file stats rows agree on ``n_rows`` across stats
+    columns, DV sidecars are readable single-column frames — and
+    report data generations no retained version references (awaiting
+    vacuum; informational, not an error). Metadata-only: the check
+    lists manifests and probes file existence, it never opens a data
+    file's contents.
+
+    Returns {'ok': bool, 'versions': [...per-version dicts...],
+    'unreferenced_dirs': [...], 'errors': [...]}. Run it before
+    trusting a table handed over from another pipeline, after manual
+    surgery, or on a vacuum/retention schedule."""
+    root = root or manifest_root(data_path)
+    fs = fs_for(spark, root)
+    errors: list[str] = []
+    versions_report: list[dict[str, object]] = []
+    referenced: set[str] = set()
+    versions = list_versions(spark, root)
+    if not versions:
+        return {
+            "ok": False,
+            "versions": [],
+            "unreferenced_dirs": [],
+            "errors": [f"no committed versions under {root}"],
+        }
+    for v in versions:
+        man = _manifest_version(spark, root, v)
+        files = prune_files(man, {})
+        referenced.update(files)
+        missing = [f for f in files if not fs.exists(f)]
+        for f in missing:
+            errors.append(f"v{v}: referenced file missing: {f}")
+        # n_rows must be constant per file across its stats rows
+        bad_rows = (
+            man.groupBy("file")
+            .agg(
+                F.countDistinct("n_rows").alias("_n"),
+            )
+            .where(F.col("_n") > 1)
+            .count()
+        )
+        if bad_rows:
+            errors.append(
+                f"v{v}: {bad_rows} file(s) with inconsistent n_rows"
+            )
+        n_dv = 0
+        dv = version_dv(spark, root, v)
+        if dv is not None:
+            if len(dv.columns) != 1:
+                errors.append(
+                    f"v{v}: DV sidecar must be single-column, got "
+                    f"{dv.columns}"
+                )
+            else:
+                n_dv = dv.count()
+        versions_report.append(
+            {
+                "version": v,
+                "n_files": len(files),
+                "n_missing": len(missing),
+                "n_dv_keys": n_dv,
+            }
+        )
+    dfs = fs_for(spark, data_path)
+    unreferenced = []
+    for name in sorted(dfs.list_names(data_path)):
+        if name.startswith(("_", ".")):
+            continue
+        d = os.path.join(data_path, name)
+        if not dfs.is_dir(d):
+            continue
+        dirfiles = list_parquet_files(d, spark)
+        if dirfiles and referenced.isdisjoint(dirfiles):
+            unreferenced.append(d)
+    return {
+        "ok": not errors,
+        "versions": versions_report,
+        "unreferenced_dirs": unreferenced,
+        "errors": errors,
+    }
