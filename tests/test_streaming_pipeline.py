@@ -157,3 +157,39 @@ def test_composed_sink_prunes_committed_scan(spark, events_batches, tmp_path):
         ).prune_files(man, pred)
     )
     assert n_pruned < n_all
+
+
+def test_medallion_bronze_keeps_raw_silver_dedups(spark, sf_dir):
+    """Bronze holds EVERY arriving row exactly-once (injected
+    duplicates included); silver holds the quality-gated distinct
+    keys; the silver table accreted one committed version per
+    non-empty batch (bootstrap + merges)."""
+    import os
+
+    from time_series_prediction_spark.operators.cow import list_versions
+    from time_series_prediction_spark.plans.ingest_queries import (
+        events_medallion_landing,
+    )
+    from time_series_prediction_spark.sources.deltalog import (
+        read_delta_log,
+    )
+    from time_series_prediction_spark.sources.io import read_table
+    from time_series_prediction_spark.streaming.layout import (
+        manifest_root,
+        read_committed,
+    )
+
+    path = events_medallion_landing(spark, sf_dir)
+    ev = read_table(spark, sf_dir, "events")
+    n_raw = ev.count()
+    n_dups = ev.where("event_id % 37 = 0").count()
+    bronze = read_delta_log(spark, os.path.join(path, "bronze"))
+    assert bronze.count() == n_raw + n_dups
+    silver = read_committed(spark, os.path.join(path, "silver"))
+    want = ev.where("value >= 0.5").count()
+    assert silver.count() == want
+    assert silver.select("event_id").distinct().count() == want
+    versions = list_versions(
+        spark, manifest_root(os.path.join(path, "silver"))
+    )
+    assert len(versions) >= 2  # bootstrap + at least one merge

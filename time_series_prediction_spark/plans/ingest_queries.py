@@ -273,7 +273,131 @@ GROUP BY lang
 """
 
 
+_MEDALLION_SPEC = "medallion|v1|dup37|value>=0.5"
+
+
+def events_medallion_landing(spark: SparkSession, sf_dir: str) -> str:
+    """Bronze→silver medallion fixture: the events stream — with a
+    deterministic duplicate slice injected (every event_id ≡ 0
+    (mod 37) arrives twice) — runs through ``medallion_sink``: raw
+    rows land exactly-once in a native-Delta bronze log, quality-
+    gated deduplicated rows MERGE into the silver CoW table. Cached
+    per fixture content; bronze's delta log stores relative paths
+    and silver's manifests are re-prefixed, so the published landing
+    reads from its final location."""
+    from time_series_prediction_spark.operators.manifest import (
+        _resolve_base,
+    )
+    from time_series_prediction_spark.streaming.layout import (
+        manifest_root,
+    )
+    from time_series_prediction_spark.sources.fsops import fs_for
+    from time_series_prediction_spark.streaming.pipeline import (
+        medallion_sink,
+    )
+
+    src = os.path.join(sf_dir, "events.parquet")
+    root = os.path.join(tempfile.gettempdir(), "tsp_layouts")
+    fs = fs_for(spark, root)
+    st = fs.status(src)
+    if st is None:
+        raise FileNotFoundError(src)
+    ident = f"{fs.qualified(src)}|{st[0]}|{st[1]}|{_MEDALLION_SPEC}"
+    key = hashlib.md5(ident.encode()).hexdigest()[:16]
+    path = os.path.join(root, f"events_medallion_{key}")
+    with _build_lock(path):
+        if not fs.exists(os.path.join(path, "_IDENT")):
+            tmp = f"{path}.build-{os.getpid()}"
+            fs.delete(tmp)
+            ev = read_table(spark, sf_dir, "events").select(
+                "event_id",
+                "user_id",
+                "event_type",
+                F.col("value"),
+                F.expr("CAST(round(value * 100) AS BIGINT)").alias(
+                    "cents"
+                ),
+            )
+            feed = ev.unionByName(ev.where("event_id % 37 = 0"))
+            inbox = os.path.join(tmp, "_inbox")
+            feed.repartition(3).write.mode("overwrite").parquet(inbox)
+            bronze = os.path.join(tmp, "bronze")
+            silver = os.path.join(tmp, "silver")
+            stream = (
+                spark.readStream.schema(feed.schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(inbox)
+            )
+            q = (
+                stream.writeStream.foreachBatch(
+                    medallion_sink(
+                        bronze, silver, app_id="medallion-fixture",
+                        key="event_id", quality_pred="value >= 0.5",
+                        keep_versions=20,
+                    )
+                )
+                .option(
+                    "checkpointLocation", os.path.join(tmp, "_ck")
+                )
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+            _reprefix = __import__(
+                "time_series_prediction_spark.plans.table_queries",
+                fromlist=["_reprefix_manifests"],
+            )._reprefix_manifests
+            _reprefix(
+                spark, manifest_root(silver),
+                _resolve_base(silver, spark),
+                os.path.join(path, "silver"),
+            )
+            fs.write_text(os.path.join(tmp, "_IDENT"), ident)
+            if not fs.publish_dir(tmp, path):
+                fs.delete(tmp)  # concurrent winner published first
+    return path
+
+
+def events_medallion_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gold readout over the medallion's silver layer: per-type
+    counts and exact cents. The oracle recomputes from raw events
+    with only the quality predicate — the injected duplicates MUST
+    have collapsed (in-batch dedup + cross-batch MERGE), so equality
+    pins the whole bronze→silver discipline."""
+    from time_series_prediction_spark.streaming.layout import (
+        read_committed,
+    )
+
+    path = events_medallion_landing(spark, sf_dir)
+    silver = os.path.join(path, "silver")
+    return (
+        read_committed(spark, silver)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+    )
+
+
+EVENTS_MEDALLION_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM events
+WHERE value >= 0.5
+GROUP BY event_type
+"""
+
+
 INGEST_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "events_medallion_scan": (
+        events_medallion_scan,
+        EVENTS_MEDALLION_SQL,
+    ),
     "docs_quarantine_ingest_scan": (
         docs_quarantine_ingest_scan,
         DOCS_QUARANTINE_SQL,

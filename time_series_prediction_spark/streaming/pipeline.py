@@ -186,3 +186,50 @@ def rejected_batches(spark, data_path: str) -> list[str]:
     return sorted(
         n for n in fs.list_names(data_path) if n.startswith("_rejected-")
     )
+
+
+def medallion_sink(
+    bronze_path: str,
+    silver_path: str,
+    app_id: str,
+    key: str,
+    quality_pred: str,
+    keep_versions: int = 2,
+):
+    """Bronze → silver as ONE ``foreachBatch`` body — the medallion
+    reference architecture on this engine's native formats:
+
+    1. **Bronze**: the raw batch appends to a native Delta table
+       exactly-once (txn-token idempotence,
+       ``sources/deltalog.delta_stream_sink``) — the immutable
+       replayable log, duplicates and bad rows included.
+    2. **Silver**: the batch filtered by ``quality_pred`` and
+       key-deduplicated (exact-copy duplicates collapse; cross-batch
+       re-arrivals collapse via the MERGE itself) upserts into the
+       CoW table — the clean, queryable, mutation-capable layer.
+
+    Gold is whatever aggregates read silver — e.g. the registry's
+    ``events_medallion_scan``, or an incremental CDC-folded view
+    (``operators/incremental.py``) when rescanning silver per refresh
+    is too expensive."""
+    from time_series_prediction_spark.sources.deltalog import (
+        delta_stream_sink,
+    )
+    from time_series_prediction_spark.streaming.upsert import (
+        merge_ingest_sink,
+    )
+
+    bronze = delta_stream_sink(bronze_path, app_id)
+    silver = merge_ingest_sink(
+        silver_path, key=key, keep_versions=keep_versions,
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        bronze(batch_df, batch_id)
+        clean = batch_df.where(quality_pred).dropDuplicates([key])
+        if not clean.isEmpty():
+            silver(clean, batch_id)
+
+    return _sink
