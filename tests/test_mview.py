@@ -1,0 +1,105 @@
+"""Materialized views: fingerprint-driven refresh, cache hits on
+unchanged sources, invalidation on drift, name isolation."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from time_series_prediction_spark.operators.mview import refresh_if_stale
+
+
+@pytest.fixture()
+def source(spark, tmp_path):
+    p = str(tmp_path / "src.parquet")
+    spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("g")
+    ).write.mode("overwrite").parquet(p)
+    return p
+
+
+def _builder(path):
+    def build(spark):
+        return (
+            spark.read.parquet(path)
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+
+    return build
+
+
+def test_build_once_then_cache_hit(spark, source, tmp_path):
+    base = str(tmp_path / "views")
+    df1, rebuilt1 = refresh_if_stale(
+        spark, "by_g", _builder(source), [source], base=base
+    )
+    assert rebuilt1
+    assert {r["g"]: r["n"] for r in df1.collect()} == {
+        g: 20 for g in range(5)
+    }
+    df2, rebuilt2 = refresh_if_stale(
+        spark, "by_g", _builder(source), [source], base=base
+    )
+    assert not rebuilt2
+    assert sorted(map(tuple, df2.collect())) == sorted(
+        map(tuple, df1.collect())
+    )
+
+
+def test_source_drift_invalidates_and_gc_reclaims(
+    spark, source, tmp_path
+):
+    base = str(tmp_path / "views")
+    refresh_if_stale(spark, "by_g", _builder(source), [source], base=base)
+    time.sleep(1.1)  # mtime resolution
+    spark.range(40).select(
+        F.col("id").alias("k"), F.lit(7).alias("g")
+    ).write.mode("overwrite").parquet(source)
+    df, rebuilt = refresh_if_stale(
+        spark, "by_g", _builder(source), [source], base=base
+    )
+    assert rebuilt
+    assert {r["g"]: r["n"] for r in df.collect()} == {7: 40}
+    # exactly one generation of this view remains
+    gens = [d for d in os.listdir(base) if d.startswith("by_g_")]
+    assert len(gens) == 1
+
+
+def test_version_bump_invalidates(spark, source, tmp_path):
+    base = str(tmp_path / "views")
+    _, r1 = refresh_if_stale(
+        spark, "v", _builder(source), [source], base=base, version="v1"
+    )
+    _, r2 = refresh_if_stale(
+        spark, "v", _builder(source), [source], base=base, version="v2"
+    )
+    assert r1 and r2
+
+
+def test_prefix_sharing_views_are_isolated(spark, source, tmp_path):
+    base = str(tmp_path / "views")
+    refresh_if_stale(spark, "gold", _builder(source), [source], base=base)
+    refresh_if_stale(
+        spark, "gold_daily", _builder(source), [source], base=base
+    )
+    # rebuilding "gold" must not reclaim "gold_daily"
+    time.sleep(1.1)
+    spark.range(10).select(
+        F.col("id").alias("k"), F.lit(1).alias("g")
+    ).write.mode("overwrite").parquet(source)
+    refresh_if_stale(spark, "gold", _builder(source), [source], base=base)
+    daily = [d for d in os.listdir(base) if d.startswith("gold_daily_")]
+    assert len(daily) == 1
+
+
+def test_missing_source_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        refresh_if_stale(
+            spark, "x", lambda s: s.range(1),
+            [str(tmp_path / "absent.parquet")],
+            base=str(tmp_path / "views"),
+        )

@@ -393,7 +393,55 @@ GROUP BY event_type
 """
 
 
+def events_gold_mview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gold daily rollup served through a fingerprint-invalidated
+    materialized view (operators/mview.py): first call builds and
+    publishes, every later call is a metadata staleness check + a
+    parquet read — the refresh primitive a scheduler wraps. The
+    oracle recomputes the rollup from raw events, so the cache path
+    can never drift from the source query."""
+    from time_series_prediction_spark.operators.mview import (
+        refresh_if_stale,
+    )
+
+    src = os.path.join(sf_dir, "events.parquet")
+
+    def build(s: SparkSession) -> DataFrame:
+        return (
+            read_table(s, sf_dir, "events")
+            .groupBy(
+                F.to_date("ts").alias("day"),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.sum(
+                    F.expr("CAST(round(value * 100) AS BIGINT)")
+                ).cast("long").alias("total_cents"),
+            )
+        )
+
+    df, _ = refresh_if_stale(
+        spark, "events_gold_daily", build, [src]
+    )
+    return df
+
+
+EVENTS_GOLD_MVIEW_SQL = """
+SELECT CAST(ts AS DATE) AS day, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM events
+GROUP BY CAST(ts AS DATE), event_type
+"""
+
+
 INGEST_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "events_gold_mview": (
+        events_gold_mview,
+        EVENTS_GOLD_MVIEW_SQL,
+    ),
     "events_medallion_scan": (
         events_medallion_scan,
         EVENTS_MEDALLION_SQL,
