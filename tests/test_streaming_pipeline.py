@@ -193,3 +193,70 @@ def test_medallion_bronze_keeps_raw_silver_dedups(spark, sf_dir):
         spark, manifest_root(os.path.join(path, "silver"))
     )
     assert len(versions) >= 2  # bootstrap + at least one merge
+
+
+def test_medallion_resumes_from_checkpoint_exactly_once(spark, tmp_path):
+    """Stop-and-restart: a second streaming query on the SAME
+    checkpoint picks up only the files the first never processed —
+    bronze holds every row exactly-once across both runs, silver
+    converges to the distinct quality-gated keys."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from time_series_prediction_spark.sources.deltalog import (
+        read_delta_log,
+    )
+    from time_series_prediction_spark.streaming.layout import (
+        read_committed,
+    )
+    from time_series_prediction_spark.streaming.pipeline import (
+        medallion_sink,
+    )
+
+    inbox = str(tmp_path / "inbox")
+    bronze = str(tmp_path / "bronze")
+    silver = str(tmp_path / "silver")
+    ck = str(tmp_path / "ck")
+
+    def batch(lo, hi, tag):
+        df = spark.range(lo, hi).select(
+            F.col("id").alias("event_id"),
+            (F.col("id") % 7).alias("user_id"),
+            F.lit("view").alias("event_type"),
+            (F.col("id") % 3).cast("double").alias("value"),
+            (F.col("id") * 10).alias("cents"),
+        )
+        df.coalesce(1).write.mode("append").parquet(inbox)
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "event_id long, user_id long, event_type string,"
+            " value double, cents long"
+        ).option("maxFilesPerTrigger", "1").parquet(inbox)
+        q = stream.writeStream.foreachBatch(
+            medallion_sink(
+                bronze, silver, app_id="resume-test",
+                key="event_id", quality_pred="value >= 1.0",
+                keep_versions=20,
+            )
+        ).option("checkpointLocation", ck).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    batch(0, 50, "a")
+    batch(50, 100, "b")
+    run_once()
+    n_bronze_1 = read_delta_log(spark, bronze).count()
+    assert n_bronze_1 == 100
+    batch(100, 150, "c")
+    run_once()  # RESTART on the same checkpoint
+    got = read_delta_log(spark, bronze)
+    assert got.count() == 150
+    assert got.select("event_id").distinct().count() == 150
+    sv = read_committed(spark, silver)
+    # value >= 1.0 keeps ids with id % 3 in {1, 2}: 100 of 150
+    assert sv.count() == 100
+    assert sv.select("event_id").distinct().count() == 100
