@@ -199,9 +199,122 @@ LIMIT {_TOPK}
 PART_PAGERANK_SQL = _pagerank_sql()
 
 
+_AR_MIN_SUPPORT = 2
+_AR_TOPK = 15
+
+
+def basket_association_rules(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Market-basket association rules (the Apriori 2-itemset stage):
+    for part pairs co-purchased in ≥ 2 orders, confidence
+    P(y|x) = n_xy/n_x and lift n_xy·N/(n_x·n_y) — top-15 by lift with
+    total tie-breaks. All counts exact integers; each score is one
+    double ratio of exact products (well inside int64), so both
+    engines rank identical doubles.
+
+    Scale shape: the pair counts come from ONE shuffle (per-order
+    sorted distinct item set, i<j combinations exploded locally — the
+    half-matrix of the per-order clique, bounded by basket width²),
+    then two broadcast joins of the tiny per-item counts. The
+    min-support filter is exactly Apriori's candidate pruning."""
+    from time_series_prediction_spark.operators.materialize import (
+        materialize,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    baskets = materialize(
+        li.groupBy("l_orderkey").agg(
+            F.array_sort(F.collect_set("l_partkey")).alias("ps")
+        )
+    )
+    n_orders = baskets.count()
+    item_n = baskets.select(
+        F.explode("ps").alias("item")
+    ).groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("n_item"))
+    combos = (
+        "flatten(transform(sequence(0, size(ps) - 2), i -> "
+        "transform(slice(ps, i + 2, size(ps) - i - 1), "
+        "b -> named_struct('x', ps[i], 'y', b))))"
+    )
+    pairs = (
+        baskets.where(F.size("ps") >= 2)
+        .select(F.explode(F.expr(combos)).alias("p"))
+        .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .where(F.col("n_pair") >= _AR_MIN_SUPPORT)
+    )
+    nx = item_n.select(
+        F.col("item").alias("x"), F.col("n_item").alias("n_x")
+    )
+    ny = item_n.select(
+        F.col("item").alias("y"), F.col("n_item").alias("n_y")
+    )
+    scored = (
+        pairs.join(F.broadcast(nx), "x")
+        .join(F.broadcast(ny), "y")
+        .select(
+            F.col("x").cast("long").alias("x"),
+            F.col("y").cast("long").alias("y"),
+            "n_pair",
+            "n_x",
+            "n_y",
+            F.expr(
+                "CAST(n_pair AS DOUBLE) / CAST(n_x AS DOUBLE)"
+            ).alias("confidence"),
+            F.expr(
+                f"CAST(n_pair * {n_orders} AS DOUBLE)"
+                " / CAST(n_x * n_y AS DOUBLE)"
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("lift"), F.asc("x"), F.asc("y")
+    ).limit(_AR_TOPK)
+
+
+BASKET_RULES_SQL = f"""
+WITH li AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n_orders AS (
+    SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM li
+),
+item_n AS (
+    SELECT l_partkey AS item, CAST(count(*) AS BIGINT) AS n_item
+    FROM li GROUP BY l_partkey
+),
+pairs AS (
+    SELECT a.l_partkey AS x, b.l_partkey AS y,
+           CAST(count(*) AS BIGINT) AS n_pair
+    FROM li a JOIN li b
+      ON b.l_orderkey = a.l_orderkey AND b.l_partkey > a.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    HAVING count(*) >= {_AR_MIN_SUPPORT}
+)
+SELECT CAST(p.x AS BIGINT) AS x, CAST(p.y AS BIGINT) AS y,
+       p.n_pair, nx.n_item AS n_x, ny.n_item AS n_y,
+       CAST(p.n_pair AS DOUBLE) / CAST(nx.n_item AS DOUBLE)
+         AS confidence,
+       CAST(p.n_pair * (SELECT n FROM n_orders) AS DOUBLE)
+         / CAST(nx.n_item * ny.n_item AS DOUBLE) AS lift
+FROM pairs p
+JOIN item_n nx ON nx.item = p.x
+JOIN item_n ny ON ny.item = p.y
+ORDER BY lift DESC, x ASC, y ASC
+LIMIT {_AR_TOPK}
+"""
+
+
 GRAPH_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "part_basket_pagerank": (
         part_basket_pagerank,
         PART_PAGERANK_SQL,
+    ),
+    "basket_association_rules": (
+        basket_association_rules,
+        BASKET_RULES_SQL,
     ),
 }
