@@ -103,3 +103,36 @@ def test_missing_source_raises(spark, tmp_path):
             [str(tmp_path / "absent.parquet")],
             base=str(tmp_path / "views"),
         )
+
+
+def test_concurrent_refresh_builds_once(spark, source, tmp_path):
+    """Four threads race the same cold view: the build lock + publish
+    protocol admit exactly one build; every caller gets the data."""
+    import threading
+
+    base = str(tmp_path / "views")
+    builds = []
+    lock = threading.Lock()
+
+    def build(s):
+        with lock:
+            builds.append(1)
+        return _builder(source)(s)
+
+    results = {}
+
+    def run(i):
+        df, _ = refresh_if_stale(
+            spark, "race", build, [source], base=base
+        )
+        results[i] = sorted(map(tuple, df.collect()))
+
+    threads = [
+        threading.Thread(target=run, args=(i,)) for i in range(4)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(builds) == 1
+    assert len({str(v) for v in results.values()}) == 1
