@@ -213,3 +213,22 @@ def test_check_table_fsck(spark, mutated):
     rep2 = check_table(spark, mutated)
     assert not rep2["ok"]
     assert any(victim in e for e in rep2["errors"])
+
+
+def test_forget_keys_reports_unknown_keys_as_absent(spark, tmp_path):
+    """An erasure request for a key the table never held still gets an
+    audit row: 0 purged, verified absent — the compliance answer."""
+    from time_series_prediction_spark.operators.cow import forget_keys
+
+    path = str(tmp_path / "utbl")
+    df = spark.range(50).select(
+        (F.col("id") % 10).alias("g"), F.col("id").alias("v")
+    )
+    init_table(spark, path, df, key="g", n_files=2, keep_versions=10)
+    victims = spark.createDataFrame([(3,), (777,)], "g long")
+    _, audit = forget_keys(spark, path, victims, "g", keep_versions=10)
+    rows = {r["g"]: r for r in audit.collect()}
+    assert set(rows) == {3, 777}
+    assert rows[3]["n_rows_purged"] == 5
+    assert rows[777]["n_rows_purged"] == 0
+    assert rows[777]["verified_absent"] is True

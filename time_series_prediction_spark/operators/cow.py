@@ -1133,16 +1133,23 @@ def forget_keys(
     pre = read_version(spark, data_path, v_new - 1, root=root)
     post = read_version(spark, data_path, v_new, root=root)
     purged = pre.join(F.broadcast(kset), key).groupBy(key).agg(
-        F.count(F.lit(1)).cast("long").alias("n_rows_purged")
+        F.count(F.lit(1)).cast("long").alias("_n_purged")
     )
     leftover = post.join(F.broadcast(kset), key).groupBy(key).agg(
         F.count(F.lit(1)).cast("long").alias("_n_left")
     )
+    # the audit covers EVERY requested key — an erasure request for a
+    # key the table never held must still be answerable ("0 rows
+    # found, verified absent"), so the spine is the request set, not
+    # the matched rows
     audit = (
-        purged.join(leftover, key, "left")
+        kset.join(purged, key, "left")
+        .join(leftover, key, "left")
         .select(
             key,
-            "n_rows_purged",
+            F.coalesce(F.col("_n_purged"), F.lit(0))
+            .cast("long")
+            .alias("n_rows_purged"),
             (F.coalesce(F.col("_n_left"), F.lit(0)) == 0).alias(
                 "verified_absent"
             ),
