@@ -320,3 +320,61 @@ def test_stream_checkpointing_bounds_log_replay(spark, tmp_path):
     assert read_delta(spark, table).count() == 100
     _f, _m, _v, txns = delta_snapshot(spark, table)
     assert txns["long"] == 24
+
+
+def test_unreadable_log_layout_raises_not_parquet_fallback(
+    spark, tmp_path
+):
+    """A _delta_log holding only a MULTI-PART checkpoint (the layout
+    delta-spark produces after log cleanup on big tables) is still a
+    Delta table: read_delta must refuse loudly, never fall through to
+    a plain parquet scan that would double-count tombstoned files."""
+    from time_series_prediction_spark.sources.deltalog import (
+        has_delta_log,
+    )
+
+    table = str(tmp_path / "t")
+    sch = "k long, v long"
+    _write_parquet(spark, os.path.join(table, "A.parquet"),
+                   [(1, 1)], sch)
+    log = os.path.join(table, "_delta_log")
+    os.makedirs(log)
+    # multi-part checkpoint name: %020d.checkpoint.%010d.%010d.parquet
+    open(os.path.join(
+        log, f"{3:020d}.checkpoint.{1:010d}.{2:010d}.parquet"
+    ), "wb").close()
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        f.write(json.dumps({"version": 3, "size": 1, "parts": 2}))
+
+    assert has_delta_log(spark, table)
+    assert not is_delta_table(spark, table)  # not replayable here
+    with pytest.raises(DeltaProtocolUnsupported, match="cannot"):
+        read_delta(spark, table)
+
+
+def test_checkpoint_add_carries_required_fields(spark, tmp_path):
+    """Checkpoint add structs must carry the protocol-required size /
+    modificationTime and dataChange=false — a real delta-spark reader
+    parses the checkpoint after clean_old_commits deleted the JSON
+    history it could otherwise fall back to."""
+    from time_series_prediction_spark.sources.deltalog import (
+        write_checkpoint,
+        write_delta_log,
+    )
+
+    table = str(tmp_path / "t")
+    df = spark.range(10).select(F.col("id").alias("k"))
+    write_delta_log(df, table, mode="overwrite")
+    v = write_checkpoint(spark, table)
+    cp = spark.read.parquet(
+        os.path.join(table, "_delta_log", f"{v:020d}.checkpoint.parquet")
+    )
+    adds = [r["add"] for r in cp.collect() if r["add"] is not None]
+    assert adds, "checkpoint carries no add entries"
+    for a in adds:
+        assert a["size"] > 0, "size must be the real file length"
+        assert a["modificationTime"] > 0
+        assert a["dataChange"] is False
+    # ... and the checkpoint-only read path keeps those stats intact
+    got = sorted(r["k"] for r in read_delta(spark, table).collect())
+    assert got == list(range(10))

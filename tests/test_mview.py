@@ -60,13 +60,45 @@ def test_source_drift_invalidates_and_gc_reclaims(
         F.col("id").alias("k"), F.lit(7).alias("g")
     ).write.mode("overwrite").parquet(source)
     df, rebuilt = refresh_if_stale(
-        spark, "by_g", _builder(source), [source], base=base
+        spark, "by_g", _builder(source), [source], base=base,
+        stale_grace_s=0,
     )
     assert rebuilt
     assert {r["g"]: r["n"] for r in df.collect()} == {7: 40}
-    # exactly one generation of this view remains
+    # exactly one generation of this view remains (grace disabled)
     gens = [d for d in os.listdir(base) if d.startswith("by_g_")]
     assert len(gens) == 1
+
+
+def test_stale_grace_keeps_recent_generation(spark, source, tmp_path):
+    """Default grace: a just-superseded generation survives the
+    publish so cross-process readers mid-scan on it can finish; it is
+    reclaimed only once its publish marker ages past the window."""
+    base = str(tmp_path / "views")
+    df0, _ = refresh_if_stale(
+        spark, "by_g", _builder(source), [source], base=base
+    )
+    old_rows = sorted(map(tuple, df0.collect()))
+    time.sleep(1.1)  # mtime resolution
+    spark.range(40).select(
+        F.col("id").alias("k"), F.lit(7).alias("g")
+    ).write.mode("overwrite").parquet(source)
+    df, rebuilt = refresh_if_stale(
+        spark, "by_g", _builder(source), [source], base=base
+    )  # default stale_grace_s
+    assert rebuilt
+    gens = [d for d in os.listdir(base) if d.startswith("by_g_")]
+    assert len(gens) == 2  # old generation retained within grace
+    # ... and the old generation is still fully scannable
+    old_gen = next(
+        d for d in gens
+        if (tmp_path / "views" / d / "_IDENT").read_text()
+        != "" and sorted(
+            map(tuple, spark.read.parquet(
+                str(tmp_path / "views" / d / "data")).collect())
+        ) == old_rows
+    )
+    assert old_gen
 
 
 def test_version_bump_invalidates(spark, source, tmp_path):

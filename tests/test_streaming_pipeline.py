@@ -260,3 +260,62 @@ def test_medallion_resumes_from_checkpoint_exactly_once(spark, tmp_path):
     # value >= 1.0 keeps ids with id % 3 in {1, 2}: 100 of 150
     assert sv.count() == 100
     assert sv.select("event_id").distinct().count() == 100
+
+
+def test_medallion_conflicting_duplicates_raise(spark, tmp_path):
+    """Without a seq_col, key-duplicate rows with DIFFERING payloads
+    have no deterministic winner — the sink must raise, not pick one
+    arbitrarily (an arbitrary pick could differ when the batch
+    replays after a crash, breaking silver state idempotence).
+    Exact-copy duplicates still collapse fine."""
+    import pytest as _pytest
+
+    from time_series_prediction_spark.streaming.pipeline import (
+        medallion_sink,
+    )
+
+    sink = medallion_sink(
+        str(tmp_path / "bronze"), str(tmp_path / "silver"),
+        app_id="conflict-test", key="k", quality_pred="v >= 0",
+    )
+    # exact copies: fine
+    ok = spark.createDataFrame([(1, 10), (1, 10), (2, 20)], "k long, v long")
+    sink(ok, 0)
+    # differing payloads under one key: refused
+    bad = spark.createDataFrame([(3, 30), (3, 31)], "k long, v long")
+    with _pytest.raises(ValueError, match="DIFFERING payloads"):
+        sink(bad, 1)
+
+
+def test_medallion_seq_col_picks_last_writer(spark, tmp_path):
+    """With a seq_col the greatest sequence wins deterministically —
+    the same pick on a post-crash replay of the identical batch."""
+    from time_series_prediction_spark.sources.fsops import fs_for
+    from time_series_prediction_spark.streaming.layout import (
+        manifest_root,
+        read_committed,
+    )
+    from time_series_prediction_spark.streaming.pipeline import (
+        medallion_sink,
+    )
+
+    silver = str(tmp_path / "silver")
+    sink = medallion_sink(
+        str(tmp_path / "bronze"), silver,
+        app_id="seq-test", key="k", quality_pred="v >= 0",
+        seq_col="seq",
+    )
+    batch = spark.createDataFrame(
+        [(1, 10, 100), (1, 11, 101), (2, 20, 50)],
+        "k long, v long, seq long",
+    )
+    sink(batch, 0)
+    sink(batch, 0)  # replay: same winner, state unchanged
+    got = {
+        r["k"]: r["v"]
+        for r in read_committed(
+            spark, silver, root=manifest_root(silver)
+        ).collect()
+    }
+    assert got == {1: 11, 2: 20}
+    assert fs_for is not None

@@ -35,6 +35,7 @@ import hashlib
 import os
 import tempfile
 import threading
+import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -57,10 +58,24 @@ def view_root(base: str | None = None) -> str:
 def source_fingerprint(spark: SparkSession, sources: list[str]) -> str:
     """Concatenated (qualified path, size, mtime) of every source —
     the staleness identity. Missing sources raise: a view over
-    nothing is a caller bug, not an empty fingerprint."""
-    fs = fs_for(spark, sources[0])
+    nothing is a caller bug, not an empty fingerprint.
+
+    Caveats (documented, not bugs at current scope): (a) mtime
+    granularity on some object stores is 1 s — a same-second in-place
+    rewrite of a source with identical size is invisible to this
+    fingerprint; writers that rewrite sources in place should bump
+    ``version`` or write a new path (the engine's own CoW/layout
+    sources always publish NEW generation dirs, so their fingerprints
+    always drift). (b) the per-target ``_LOCKS`` map grows by one
+    entry per distinct view name for the process lifetime — bounded
+    by the registry size here; a long-lived service hosting unbounded
+    view names should evict on publish."""
     parts = []
     for s in sources:
+        # one handle PER source — sources may live on different
+        # filesystems/schemes; statting them all through sources[0]'s
+        # handle would fingerprint the wrong path
+        fs = fs_for(spark, s)
         st = fs.status(s)
         if st is None:
             raise FileNotFoundError(s)
@@ -75,10 +90,19 @@ def refresh_if_stale(
     sources: list[str],
     base: str | None = None,
     version: str = "v1",
+    stale_grace_s: float = 300.0,
 ) -> tuple[DataFrame, bool]:
     """Return ``(view_df, rebuilt)`` — the materialized view over
     ``sources``, rebuilt only if their fingerprint drifted (or the
-    caller bumped ``version`` after changing the build logic)."""
+    caller bumped ``version`` after changing the build logic).
+
+    ``stale_grace_s``: older generations of this view are reclaimed
+    only once their publish marker is at least this old — the build
+    lock is process-local, so a reader in ANOTHER process may still
+    be scanning a generation it resolved before this publish;
+    deleting it immediately would fail that scan mid-flight. Same
+    rationale (and default horizon) as ``vacuum_layout``'s grace.
+    Pass 0 for tests / known single-process deployments."""
     root = view_root(base)
     fs = fs_for(spark, root)
     fs.mkdirs(root)
@@ -98,11 +122,14 @@ def refresh_if_stale(
                 fs.delete(tmp)  # concurrent winner published first
             rebuilt = True
             # stale generations of THIS view (older fingerprints) are
-            # reclaimed after the new publish — readers mid-scan on
-            # the old generation finish; the next call won't find it
+            # reclaimed after the new publish AND a grace window —
+            # cross-process readers mid-scan on an old generation
+            # finish; the next resolve won't find it
             prefix = f"{name}_"
+            now_ms = time.time() * 1000.0
             for entry in fs.list_names(root):
                 suffix = entry[len(prefix):]
+                ident_p = os.path.join(root, entry, "_IDENT")
                 if (
                     entry.startswith(prefix)
                     and suffix != key
@@ -110,7 +137,10 @@ def refresh_if_stale(
                     # suffix — never another view sharing the prefix
                     and len(suffix) == 16
                     and all(c in "0123456789abcdef" for c in suffix)
-                    and fs.exists(os.path.join(root, entry, "_IDENT"))
                 ):
-                    fs.delete(os.path.join(root, entry))
+                    st = fs.status(ident_p)
+                    if st is not None and (
+                        now_ms - st[1] >= stale_grace_s * 1000.0
+                    ):
+                        fs.delete(os.path.join(root, entry))
     return spark.read.parquet(os.path.join(target, "data")), rebuilt

@@ -63,13 +63,37 @@ class DeltaProtocolUnsupported(RuntimeError):
     silently wrong."""
 
 
+def has_delta_log(spark: SparkSession, path: str) -> bool:
+    """True when ``path`` carries ANY non-empty ``_delta_log``
+    directory — including log layouts this reader cannot replay
+    (multi-part ``<v>.checkpoint.<i>.<n>.parquet``, v2/UUID
+    checkpoints, sidecars). This is the "is it a Delta table at all"
+    test: a table whose log exists but is unreadable here must RAISE,
+    never fall through to a plain-parquet scan that would include
+    tombstoned files."""
+    fs = fs_for(spark, path)
+    log = os.path.join(path, _LOG_DIR)
+    return fs.is_dir(log) and any(
+        n == "_last_checkpoint"
+        or (n[:20].isdigit() and (".json" in n or ".parquet" in n))
+        for n in fs.list_names(log)
+    )
+
+
 def is_delta_table(spark: SparkSession, path: str) -> bool:
-    """True when ``path`` carries a Delta transaction log — either
-    JSON commits or checkpoint parquets count (after log cleanup a
-    long-lived table may be checkpoint-only; treating that as
-    'not a table' would restart the version counter at 0 and the
-    snapshot replay would silently discard the new commits as
-    pre-checkpoint history)."""
+    """True when ``path`` carries a Delta transaction log THIS reader
+    can replay — classic ``<v>.json`` commits or single-part
+    ``<v>.checkpoint.parquet`` rollups (after log cleanup a long-lived
+    table may be checkpoint-only; treating that as 'not a table' would
+    restart the version counter at 0 and the snapshot replay would
+    silently discard the new commits as pre-checkpoint history).
+
+    Callers deciding "Delta vs plain parquet" must use
+    ``has_delta_log`` instead and treat ``has_delta_log and not
+    is_delta_table`` as an unsupported-layout ERROR — a real Delta
+    table whose log holds only multi-part or v2 checkpoints is still a
+    Delta table, and reading its data dir as parquet double-counts
+    removed files."""
     fs = fs_for(spark, path)
     log = os.path.join(path, _LOG_DIR)
     return fs.is_dir(log) and any(
@@ -99,9 +123,12 @@ def _apply_action(
 ) -> None:
     if "add" in action:
         a = action["add"]
-        state[urllib.parse.unquote(a["path"])] = (
-            a.get("partitionValues") or {}
-        )
+        state[urllib.parse.unquote(a["path"])] = {
+            "partitionValues": a.get("partitionValues") or {},
+            "size": int(a.get("size") or 0),
+            "modificationTime": int(a.get("modificationTime") or 0),
+            "deletionVector": a.get("deletionVector"),
+        }
     elif "remove" in action:
         r = action["remove"]
         state.pop(urllib.parse.unquote(r["path"]), None)
@@ -123,7 +150,9 @@ def delta_snapshot(
     """Reconstruct the live-file snapshot of the Delta table at
     ``version`` (default: latest). Returns ``(files, metaData,
     version, txns)`` where ``files`` maps each live RELATIVE file
-    path to its partitionValues and ``txns`` maps streaming appIds to
+    path to its add payload (``partitionValues``, ``size``,
+    ``modificationTime``, ``deletionVector``) and ``txns`` maps
+    streaming appIds to
     their last committed transaction version (the protocol's ``txn``
     idempotence tokens). Only the log is touched — commit JSONs after
     the newest usable checkpoint, plus at most one checkpoint
@@ -310,7 +339,8 @@ def read_delta_log(
     if not files:
         return spark.createDataFrame([], schema)
     by_part: dict[tuple, list[str]] = {}
-    for rel, pvals in files.items():
+    for rel, add in files.items():
+        pvals = add["partitionValues"]
         key = tuple(pvals.get(c) for c in part_cols)
         by_part.setdefault(key, []).append(os.path.join(path, rel))
     types = {f.name: f.dataType for f in schema.fields}
@@ -356,9 +386,18 @@ def write_checkpoint(
         }, None, None),
     ]
     for rel in sorted(files):
+        add = files[rel]
+        # size / modificationTime are protocol-REQUIRED in checkpoint
+        # add structs, and dataChange=false marks checkpoint entries as
+        # state (not new data) — without these a real delta-spark
+        # reader can refuse the checkpoint after clean_old_commits
+        # deleted the JSON history it would otherwise fall back to.
         rows.append((None, None, {
             "path": urllib.parse.quote(rel),
-            "partitionValues": files[rel],
+            "partitionValues": add["partitionValues"],
+            "size": int(add.get("size") or 0),
+            "modificationTime": int(add.get("modificationTime") or 0),
+            "dataChange": False,
         }, None))
     for app, ver in sorted(txns.items()):
         rows.append((None, None, None, {"appId": app, "version": ver}))
@@ -366,7 +405,8 @@ def write_checkpoint(
         "protocol struct<minReaderVersion:int, minWriterVersion:int>, "
         "metaData struct<id:string, format:struct<provider:string>, "
         "schemaString:string, partitionColumns:array<string>>, "
-        "add struct<path:string, partitionValues:map<string,string>>, "
+        "add struct<path:string, partitionValues:map<string,string>, "
+        "size:long, modificationTime:long, dataChange:boolean>, "
         "txn struct<appId:string, version:long>"
     )
     log = os.path.join(path, _LOG_DIR)

@@ -174,12 +174,27 @@ def read_delta(
             reader = reader.option("versionAsOf", str(version))
         return reader.load(path)
     from time_series_prediction_spark.sources.deltalog import (
+        DeltaProtocolUnsupported,
+        has_delta_log,
         is_delta_table,
         read_delta_log,
     )
 
     if is_delta_table(spark, path):
         return read_delta_log(spark, path, version=version)
+    if has_delta_log(spark, path):
+        # the _delta_log exists but holds no classic commit/checkpoint
+        # chain this reader can replay (multi-part or v2/UUID
+        # checkpoints after log cleanup). It IS a Delta table — a
+        # plain-parquet fallback here would silently include
+        # tombstoned files, the exact wrong answer deltalog.py exists
+        # to prevent.
+        raise DeltaProtocolUnsupported(
+            f"{path} carries a _delta_log this native reader cannot "
+            "replay (no classic <v>.json / <v>.checkpoint.parquet "
+            "chain — likely multi-part or v2 checkpoints); install "
+            "delta-spark to read it"
+        )
     if version is not None:
         raise ValueError(
             f"{path} is not a Delta table — no time travel on plain "

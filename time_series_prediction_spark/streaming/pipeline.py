@@ -194,6 +194,7 @@ def medallion_sink(
     app_id: str,
     key: str,
     quality_pred: str,
+    seq_col: str | None = None,
     keep_versions: int = 2,
 ):
     """Bronze → silver as ONE ``foreachBatch`` body — the medallion
@@ -204,9 +205,19 @@ def medallion_sink(
        ``sources/deltalog.delta_stream_sink``) — the immutable
        replayable log, duplicates and bad rows included.
     2. **Silver**: the batch filtered by ``quality_pred`` and
-       key-deduplicated (exact-copy duplicates collapse; cross-batch
-       re-arrivals collapse via the MERGE itself) upserts into the
-       CoW table — the clean, queryable, mutation-capable layer.
+       key-deduplicated DETERMINISTICALLY, then upserted into the CoW
+       table — the clean, queryable, mutation-capable layer.
+       Cross-batch re-arrivals collapse via the MERGE itself.
+
+    Determinism contract for the intra-batch dedup: a crash between
+    the silver MERGE commit and the stream checkpoint replays the
+    batch, so the per-key pick must be identical both times. With
+    ``seq_col`` the greatest sequence wins (``dedup_last_writer`` —
+    the CDC-feed path). Without it, only EXACT-copy duplicates may
+    collapse: key-duplicate rows whose payloads differ have no
+    defined winner and the sink raises instead of picking one
+    arbitrarily (an arbitrary ``dropDuplicates([key])`` pick could
+    differ on replay, breaking state idempotence).
 
     Gold is whatever aggregates read silver — e.g. the registry's
     ``events_medallion_scan``, or an incremental CDC-folded view
@@ -216,6 +227,7 @@ def medallion_sink(
         delta_stream_sink,
     )
     from time_series_prediction_spark.streaming.upsert import (
+        dedup_last_writer,
         merge_ingest_sink,
     )
 
@@ -228,7 +240,25 @@ def medallion_sink(
         if batch_df.isEmpty():
             return
         bronze(batch_df, batch_id)
-        clean = batch_df.where(quality_pred).dropDuplicates([key])
+        clean = batch_df.where(quality_pred)
+        if seq_col is not None:
+            clean = dedup_last_writer(clean, key, seq_col).drop(seq_col)
+        else:
+            # exact-copy duplicates collapse; differing payloads under
+            # one key are a feed bug this sink must not resolve by an
+            # arbitrary (replay-unstable) pick
+            clean = clean.dropDuplicates()
+            conflicted = (
+                clean.groupBy(key).count().where("count > 1")
+                .limit(1).count()
+            )
+            if conflicted:
+                raise ValueError(
+                    f"medallion batch {batch_id} has key-duplicate "
+                    "rows with DIFFERING payloads and no seq_col — "
+                    "no deterministic per-key winner; pass seq_col "
+                    "or fix the feed"
+                )
         if not clean.isEmpty():
             silver(clean, batch_id)
 
