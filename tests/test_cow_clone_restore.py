@@ -232,3 +232,71 @@ def test_forget_keys_reports_unknown_keys_as_absent(spark, tmp_path):
     assert rows[3]["n_rows_purged"] == 5
     assert rows[777]["n_rows_purged"] == 0
     assert rows[777]["verified_absent"] is True
+
+
+def test_repair_table_reclaims_provably_safe_junk(spark, mutated):
+    """fsck→repair: an orphaned (unreferenced, aged) generation dir
+    and a partial DV sidecar are removed; a second run is a no-op;
+    the table reads green throughout."""
+    from time_series_prediction_spark.operators.cow import (
+        check_table,
+        repair_table,
+    )
+    from time_series_prediction_spark.sources.fsops import fs_for
+
+    root = manifest_root(mutated)
+    fs = fs_for(spark, mutated)
+    truth = _rows(read_committed(spark, mutated))
+
+    # plant an orphaned generation dir (a crashed writer's output no
+    # manifest ever referenced)
+    orphan = os.path.join(mutated, "merge-99-pdead-0")
+    spark.range(5).write.mode("overwrite").parquet(orphan)
+    # plant a partial DV sidecar (crash mid-write: no _SUCCESS)
+    vmax = max(list_versions(spark, root))
+    partial_dv = os.path.join(root, f"v{vmax}", "_dv")
+    spark.range(3).select(F.col("id").alias("k")).write.mode(
+        "overwrite"
+    ).parquet(partial_dv)
+    fs.delete(os.path.join(partial_dv, "_SUCCESS"))
+
+    rep = check_table(spark, mutated)
+    assert orphan in rep["unreferenced_dirs"]
+
+    fixed = repair_table(spark, mutated, grace_s=0)
+    assert orphan in fixed["removed_dirs"]
+    assert partial_dv in fixed["removed_partial_dvs"]
+    assert fixed["remaining_errors"] == []
+    assert not fs.exists(orphan)
+    assert not fs.exists(partial_dv)
+    # table content untouched
+    assert _rows(read_committed(spark, mutated)) == truth
+    # idempotent
+    again = repair_table(spark, mutated, grace_s=0)
+    assert again["removed_dirs"] == []
+    assert again["removed_partial_dvs"] == []
+
+
+def test_repair_table_respects_grace_and_refuses_data_loss(
+    spark, mutated
+):
+    """A RECENT unreferenced dir survives (in-flight commit window);
+    a missing referenced file is reported, never 'repaired'."""
+    from time_series_prediction_spark.operators.cow import repair_table
+    from time_series_prediction_spark.sources.fsops import fs_for
+
+    orphan = os.path.join(mutated, "merge-98-pdead-1")
+    spark.range(5).write.mode("overwrite").parquet(orphan)
+    fixed = repair_table(spark, mutated, grace_s=3600)
+    assert orphan in fixed["kept_recent"]
+    assert fs_for(spark, mutated).exists(orphan)
+
+    # delete a referenced file: repair must leave the manifest alone
+    # and surface the error
+    man = spark.read.parquet(
+        os.path.join(manifest_root(mutated), "v2")
+    )
+    victim = sorted(prune_files(man, {}))[0]
+    fs_for(spark, mutated).delete(victim)
+    fixed2 = repair_table(spark, mutated, grace_s=3600)
+    assert any(victim in e for e in fixed2["remaining_errors"])

@@ -132,10 +132,11 @@ def test_composite_key_merge_prunes_on_every_column(spark, tmp_path):
     )
 
 
-def test_composite_key_merge_rejects_active_dv(spark, tmp_path):
-    """A single-column deletion vector cannot express tuple
-    un-deletes; composite-key MERGE over an active DV must refuse
-    rather than risk resurrection/hiding."""
+def test_mismatched_dv_key_merge_refuses(spark, tmp_path):
+    """A deletion vector keyed differently from the merge (here a
+    single-column DV under a composite-key MERGE) cannot express this
+    merge's un-deletes; the MERGE must refuse rather than risk
+    resurrection/hiding."""
     path = str(tmp_path / "tbl")
     df = spark.range(100).select(
         (F.col("id") % 10).alias("a"), F.col("id").alias("b"),
@@ -148,8 +149,78 @@ def test_composite_key_merge_rejects_active_dv(spark, tmp_path):
         keep_versions=10,
     )
     up = spark.createDataFrame([(1, 1, -1)], "a long, b long, v long")
-    with pytest.raises(ValueError, match="deletion vector"):
+    with pytest.raises(ValueError, match="deletion-vector key"):
         merge_upsert(spark, path, up, key=["a", "b"], keep_versions=10)
+    # ... and a DELETE re-keying the existing vector refuses too
+    with pytest.raises(ValueError, match="deletion-vector key"):
+        delete_keys_dv(
+            spark, path,
+            spark.createDataFrame([(1, 1)], "a long, b long"),
+            key=["a", "b"], keep_versions=10,
+        )
+
+
+def test_composite_dv_delete_then_merge_without_compaction(
+    spark, tmp_path
+):
+    """Round-7 gap closed: a (date, key)-clustered table takes
+    TUPLE deletion-vector deletes and a same-key MERGE right after —
+    no compaction in between. The DV hides exactly the deleted
+    tuples (same key value on another date stays visible), the merge
+    un-deletes exactly the tuples it upserts, and the file set is
+    CARRIED (metadata-cost delete) rather than rewritten."""
+    path = str(tmp_path / "tbl")
+    base_day = dt.date(2024, 1, 1)
+    df = spark.range(2000).select(
+        F.date_add(F.lit(base_day), (F.col("id") % 20).cast("int"))
+        .alias("d"),
+        F.col("id").alias("k"),
+        (F.col("id") * 10).alias("v"),
+    )
+    init_table(
+        spark, path, df, key=["d", "k"], n_files=8, keep_versions=10
+    )
+    before = _files(spark, path)
+    # delete two real tuples — (day0, k=0), (day3, k=3) — plus one
+    # tuple that matches NOTHING: (day1, k=5) (k=5 lives on day5).
+    # Key-granular matching would wrongly hide k=5; tuple matching
+    # must leave it visible.
+    dels = spark.createDataFrame(
+        [
+            (base_day, 0),
+            (base_day + dt.timedelta(days=3), 3),
+            (base_day + dt.timedelta(days=1), 5),
+        ],
+        "d date, k long",
+    )
+    delete_keys_dv(spark, path, dels, key=["d", "k"], keep_versions=10)
+    assert _files(spark, path) == before  # metadata-only commit
+    got = read_committed(spark, path)
+    assert got.count() == 2000 - 2
+    assert got.where(
+        (F.col("d") == F.lit(base_day)) & (F.col("k") == 0)
+    ).count() == 0
+    # (day1, 5) matched nothing: k=5 stays visible on its real day —
+    # tuple, not key, semantics
+    assert got.where("k = 5").count() == 1
+    # same-key MERGE un-deletes exactly the upserted tuple
+    up = spark.createDataFrame(
+        [(base_day, 0, -5)], "d date, k long, v long"
+    )
+    merge_upsert(spark, path, up, key=["d", "k"], keep_versions=10)
+    got2 = read_committed(spark, path)
+    assert got2.count() == 2000 - 1  # (day0,0) back, (day3,3) gone
+    assert got2.where(
+        (F.col("d") == F.lit(base_day)) & (F.col("k") == 0)
+    ).select("v").first()["v"] == -5
+    # the other tombstone survives the merge
+    assert got2.where(
+        (F.col("d") == F.lit(base_day + dt.timedelta(days=3)))
+        & (F.col("k") == 3)
+    ).count() == 0
+    # date-bounded merge kept file granularity despite the DV
+    after = _files(spark, path)
+    assert len(before & after) >= 4
 
 
 # ------------------------------------------------------- OCC lost updates

@@ -118,3 +118,48 @@ def test_new_analytics_plans_stay_jvm_side(spark, sf_dir):
             "BroadcastNestedLoopJoin",
         ):
             assert marker not in plan, (name, marker)
+
+
+def test_association_rules_oracle_and_wide_basket_guard(
+    spark, sf_dir, duck
+):
+    """TPC-H baskets (≤ 7 items) sail under the width cap, so the
+    guarded plan equals the unguarded oracle; a synthetic pathological
+    basket is truncated to the cap before the half-matrix explode, so
+    one wide row can never expand quadratically."""
+    from time_series_prediction_spark.plans.graph_queries import (
+        BASKET_RULES_SQL,
+        association_rules,
+        basket_association_rules,
+        count_truncated_baskets,
+    )
+
+    assert_matches_oracle(
+        basket_association_rules(spark, sf_dir),
+        duck,
+        BASKET_RULES_SQL,
+        name="basket_association_rules",
+    )
+
+    # one 200-item basket + a few normal ones
+    rows = [(0, i) for i in range(200)]
+    rows += [(b, i) for b in (1, 2, 3) for i in range(b, b + 4)]
+    items = spark.createDataFrame(rows, "basket long, item long")
+    cap = 16
+    assert count_truncated_baskets(items, "basket", "item", cap) == 1
+    got = association_rules(
+        items, "basket", "item", min_support=1, top_k=10_000,
+        max_basket_width=cap,
+    )
+    # pairs from the wide basket are bounded by cap*(cap-1)/2, never
+    # 200*199/2; items 1..6 co-occur in the small baskets too
+    wide_only_pairs = got.where("n_pair = 1").count()
+    assert wide_only_pairs <= cap * (cap - 1) // 2
+    assert got.count() <= cap * (cap - 1) // 2 + 3 * 6
+    # truncation keeps the globally most frequent items: items 1..6
+    # appear in 2+ baskets, so the surviving wide-basket items must
+    # include them (frequency-desc cut)
+    kept_x = {r["x"] for r in got.collect()} | {
+        r["y"] for r in got.collect()
+    }
+    assert {1, 2, 3, 4, 5, 6} <= kept_x

@@ -319,3 +319,74 @@ def test_medallion_seq_col_picks_last_writer(spark, tmp_path):
     }
     assert got == {1: 11, 2: 20}
     assert fs_for is not None
+
+
+def test_medallion_kill_between_commits_resumes_exactly_once(
+    spark, tmp_path, monkeypatch
+):
+    """Crash AFTER the bronze Delta commit but BEFORE the silver CoW
+    merge: the replay must fold the batch into silver exactly once
+    (bronze's txn token skips the re-append), record the cross-table
+    commit link, and a further replay with the link present must not
+    burn a manifest version on either table."""
+    from time_series_prediction_spark.operators.cow import list_versions
+    from time_series_prediction_spark.sources.deltalog import (
+        delta_snapshot,
+        read_delta_log,
+    )
+    from time_series_prediction_spark.streaming import upsert as ups_mod
+    from time_series_prediction_spark.streaming.layout import (
+        manifest_root,
+        read_committed,
+    )
+    from time_series_prediction_spark.streaming.pipeline import (
+        medallion_commit_links,
+        medallion_sink,
+    )
+
+    bronze = str(tmp_path / "bronze")
+    silver = str(tmp_path / "silver")
+    sink = medallion_sink(
+        bronze, silver, app_id="kill-test", key="k",
+        quality_pred="v >= 0", keep_versions=20,
+    )
+    b0 = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    sink(b0, 0)
+
+    # batch 1 crashes between the two commits
+    b1 = spark.createDataFrame([(3, 30), (2, 21)], "k long, v long")
+    real_merge = ups_mod.merge_upsert
+
+    def _boom(*a, **k):
+        raise RuntimeError("injected crash before silver commit")
+
+    monkeypatch.setattr(ups_mod, "merge_upsert", _boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        sink(b1, 1)
+    monkeypatch.setattr(ups_mod, "merge_upsert", real_merge)
+
+    # bronze is ahead: batch 1 landed there, not in silver, no link
+    assert read_delta_log(spark, bronze).count() == 4
+    assert read_committed(spark, silver).count() == 2
+    links = medallion_commit_links(spark, silver)
+    assert [r["batch_id"] for r in links] == [0]
+
+    # the stream replays batch 1 (checkpoint never advanced)
+    sink(b1, 1)
+    assert read_delta_log(spark, bronze).count() == 4  # txn-token skip
+    got = {
+        r["k"]: r["v"] for r in read_committed(spark, silver).collect()
+    }
+    assert got == {1: 10, 2: 21, 3: 30}
+    links = medallion_commit_links(spark, silver)
+    assert [r["batch_id"] for r in links] == [0, 1]
+    # the link pins the exact (bronze, silver) version pair
+    _f, _m, bronze_v, _t = delta_snapshot(spark, bronze)
+    assert links[-1]["bronze_version"] == bronze_v
+
+    # pure replay WITH the link present: no version burned anywhere
+    vs_before = list_versions(spark, manifest_root(silver))
+    sink(b1, 1)
+    assert list_versions(spark, manifest_root(silver)) == vs_before
+    _f, _m, bronze_v2, _t = delta_snapshot(spark, bronze)
+    assert bronze_v2 == bronze_v

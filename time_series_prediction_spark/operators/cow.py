@@ -474,7 +474,7 @@ def version_changes(
     if dv_b is not None:
         dv_delta = (
             dv_b if dv_a is None
-            else dv_b.join(dv_a, dv_b.columns[0], "left_anti")
+            else dv_b.join(dv_a, list(dv_b.columns), "left_anti")
         )
         if dv_delta.isEmpty():
             dv_delta = None
@@ -498,11 +498,11 @@ def version_changes(
     if dv_delta is not None and common:
         cdf = spark.createDataFrame([(f,) for f in common], "file string")
         man_common = man_b.join(cdf, "file", "left_semi")
-        kcol = dv_delta.columns[0]
-        cand = _overlapping_files(man_common, [kcol], dv_delta)
+        kcols = list(dv_delta.columns)  # tuple DV for composite keys
+        cand = _overlapping_files(man_common, kcols, dv_delta)
         if cand:
             extra = spark.read.parquet(*cand).join(
-                F.broadcast(dv_delta), kcol, "left_semi"
+                F.broadcast(dv_delta), kcols, "left_semi"
             )
             extra_deletes = apply_dv(extra, dv_a)
     if not removed and extra_deletes is None:
@@ -616,6 +616,7 @@ def _commit_rewrite(
     keep_versions: int,
     base_version: int,
     dv: DataFrame | None = None,
+    rewrite_nonempty: bool = False,
 ) -> int:
     """Shared commit tail for MERGE/DELETE: write the rewrite
     generation (if it has rows), carry every untouched file's stats
@@ -637,15 +638,34 @@ def _commit_rewrite(
         kept = man
     parts = [kept]
     gdir = None
-    if rewritten is not None and not rewritten.isEmpty():
-        gdir = os.path.join(
-            data_path, f"{tag}-{gen}-p{os.getpid()}-{next(_GEN_SEQ)}"
-        )
-        write_zordered(rewritten, gdir, cluster_cols, n_files=n_files)
-        parts.append(build_stats_manifest(spark, gdir, stats_cols))
-        spec = _bloom_spec(fs, root)
-        if spec is not None and spec[0] in rewritten.columns:
-            _write_gen_bloom(spark, gdir, spec)
+    # The rewrite input is executed up to THREE times downstream
+    # (z-order min/max agg, repartitionByRange's range sampling, the
+    # write itself) — and it is a scan+anti-join+union plan whose
+    # re-execution re-reads every touched file. Persist it for the
+    # commit's duration; the rewrite set is bounded by the update
+    # batch's file overlap, not the table.
+    from pyspark import StorageLevel
+
+    if rewritten is not None:
+        rewritten = rewritten.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        # rewrite_nonempty: the caller PROVED the rewrite has rows (a
+        # merge's rewrite contains at least its updates) — skip the
+        # isEmpty probe's extra scheduling round-trip
+        if rewritten is not None and (
+            rewrite_nonempty or not rewritten.isEmpty()
+        ):
+            gdir = os.path.join(
+                data_path, f"{tag}-{gen}-p{os.getpid()}-{next(_GEN_SEQ)}"
+            )
+            write_zordered(rewritten, gdir, cluster_cols, n_files=n_files)
+            parts.append(build_stats_manifest(spark, gdir, stats_cols))
+            spec = _bloom_spec(fs, root)
+            if spec is not None and spec[0] in rewritten.columns:
+                _write_gen_bloom(spark, gdir, spec)
+    finally:
+        if rewritten is not None:
+            rewritten.unpersist()
     new_man = parts[0]
     for p in parts[1:]:
         new_man = new_man.unionByName(p)
@@ -704,17 +724,58 @@ def merge_upsert(
     stats_cols = [
         *key_cols, *[c for c in stats_cols if c not in key_cols]
     ]
-    if updates.isEmpty():  # no-op: don't burn a manifest version
-        if current_manifest(spark, root) is None:
-            raise ValueError(f"no committed table under {data_path}")
-        return max(list_versions(spark, root))
-    dup = (
-        updates.groupBy(*key_cols).count().where("count > 1")
-        .limit(1).count()
-    )
-    if dup:
-        raise ValueError("updates carry duplicate keys — merge would "
-                         "be nondeterministic; dedup upstream first")
+    # ONE job answers "is it empty?" and "any duplicate key?" over a
+    # PERSISTED updates batch: every later step (overlap selection,
+    # bloom probe, the rewrite's anti-join and union) re-reads the
+    # cached batch instead of re-running its lineage — which for the
+    # common self-referential update (updates derived from a scan of
+    # this very table) re-scanned the table once per step. Update
+    # batches are small relative to the table by construction (the
+    # whole point of file-granular CoW), so caching them is safe at
+    # any scale.
+    from pyspark import StorageLevel
+
+    pinned = updates.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        kstat = (
+            pinned.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .agg(
+                F.count(F.lit(1)).alias("n_keys"),
+                F.max("_c").alias("max_per_key"),
+            )
+            .first()
+        )
+        if kstat["n_keys"] == 0:  # no-op: don't burn a manifest version
+            if current_manifest(spark, root) is None:
+                raise ValueError(f"no committed table under {data_path}")
+            return max(list_versions(spark, root))
+        if kstat["max_per_key"] > 1:
+            raise ValueError(
+                "updates carry duplicate keys — merge would "
+                "be nondeterministic; dedup upstream first"
+            )
+        return _merge_pinned(
+            spark, data_path, pinned, key_cols, stats_cols, n_files,
+            root, keep_versions, evolve_schema,
+        )
+    finally:
+        pinned.unpersist()
+
+
+def _merge_pinned(
+    spark: SparkSession,
+    data_path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    stats_cols: list[str],
+    n_files: int,
+    root: str,
+    keep_versions: int,
+    evolve_schema: bool,
+) -> int:
+    """The OCC commit loop of ``merge_upsert`` over an already
+    validated, persisted updates batch (non-empty, key-unique)."""
     last_err: ConcurrentCommitError | None = None
     for _ in range(_MAX_COMMIT_ATTEMPTS):
         v = current_version(spark, root)
@@ -722,12 +783,16 @@ def merge_upsert(
             raise ValueError(f"no committed table under {data_path}")
         man = _manifest_version(spark, root, v)
         dv = version_dv(spark, root, v)
-        if dv is not None and len(key_cols) > 1:
+        if dv is not None and list(dv.columns) != key_cols:
+            # a DV keyed differently from the merge (e.g. a
+            # single-column DV on a composite-key merge) cannot
+            # express this merge's un-deletes — refusing beats a
+            # silently resurrected or still-hidden row
             raise ValueError(
-                "composite-key MERGE on a table carrying a deletion "
-                "vector is not supported (the single-column DV cannot "
-                "express tuple un-deletes) — compact the table first "
-                "to materialize the vector"
+                f"MERGE key {key_cols} does not match the table's "
+                f"deletion-vector key {list(dv.columns)} — delete "
+                "with the same key the table merges on, or compact "
+                "first to materialize the vector"
             )
         touched = _bloom_narrow(
             spark, fs_for(spark, root), root,
@@ -742,13 +807,12 @@ def merge_upsert(
         rewritten = surviving.unionByName(
             updates, allowMissingColumns=evolve_schema
         )
-        # an upsert un-deletes its key: drop it from the carried DV
+        # an upsert un-deletes its key: drop the full key TUPLE from
+        # the carried DV (dv.columns == key_cols — enforced above)
         new_dv = None
         if dv is not None:
             new_dv = dv.join(
-                updates.select(F.col(key_cols[0]).alias(dv.columns[0])),
-                dv.columns[0],
-                "left_anti",
+                updates.select(*key_cols), key_cols, "left_anti"
             )
             if new_dv.isEmpty():
                 new_dv = None
@@ -757,6 +821,9 @@ def merge_upsert(
                 spark, data_path, root, man, touched, rewritten, "merge",
                 key_cols, stats_cols, n_files, keep_versions,
                 base_version=v, dv=new_dv,
+                # a merge's rewrite contains at least its (non-empty)
+                # updates — skip the isEmpty probe
+                rewrite_nonempty=True,
             )
         except ConcurrentCommitError as e:
             last_err = e  # rebase: replan against the new current state
@@ -818,7 +885,7 @@ def delete_keys_dv(
     spark: SparkSession,
     data_path: str,
     keys: DataFrame,
-    key: str,
+    key: str | list[str],
     root: str | None = None,
     keep_versions: int = 2,
 ) -> int:
@@ -831,10 +898,18 @@ def delete_keys_dv(
     materializes it (rewrites visible rows, clears the vector), which
     is also the actual byte-erasure point for GDPR purposes.
 
+    ``key`` may be COMPOSITE (list of columns): the vector then holds
+    deleted key TUPLES, scans anti-join on the tuple, and a later
+    same-key ``merge_upsert`` un-deletes exactly the upserted tuples
+    — so (date, key)-clustered tables take streaming deletes without
+    a compaction in between. A table's DV key must stay consistent
+    across commits (enforced); re-keying requires compacting first.
+
     The trade is the standard merge-on-read one: cheap commits, a
     per-read anti join until compaction. Returns the committed
     version."""
     root = root or manifest_root(data_path)
+    key_cols = [key] if isinstance(key, str) else list(key)
     last_err: ConcurrentCommitError | None = None
     for _ in range(_MAX_COMMIT_ATTEMPTS):
         v = current_version(spark, root)
@@ -842,12 +917,17 @@ def delete_keys_dv(
             raise ValueError(f"no committed table under {data_path}")
         man = _manifest_version(spark, root, v)
         dv_old = version_dv(spark, root, v)
-        add = keys.select(key).distinct()
+        if dv_old is not None and list(dv_old.columns) != key_cols:
+            raise ValueError(
+                f"DELETE key {key_cols} does not match the table's "
+                f"existing deletion-vector key {list(dv_old.columns)} "
+                "— keep one DV key per table, or compact first to "
+                "materialize the vector"
+            )
+        add = keys.select(*key_cols).distinct()
         new_dv = (
             add if dv_old is None
-            else dv_old.select(F.col(dv_old.columns[0]).alias(key))
-            .unionByName(add)
-            .distinct()
+            else dv_old.unionByName(add).distinct()
         )
         # pinned to v+1: an interleaved commit CAS-fails this one and
         # the loop re-reads — never a lost update (see _commit_rewrite)
@@ -1166,7 +1246,7 @@ def check_table(
     """fsck for the table format: verify every retained committed
     version is internally consistent — all referenced data files
     exist, per-file stats rows agree on ``n_rows`` across stats
-    columns, DV sidecars are readable single-column frames — and
+    columns, DV sidecars are readable keyed frames — and
     report data generations no retained version references (awaiting
     vacuum; informational, not an error). Metadata-only: the check
     lists manifests and probes file existence, it never opens a data
@@ -1212,12 +1292,11 @@ def check_table(
         n_dv = 0
         dv = version_dv(spark, root, v)
         if dv is not None:
-            if len(dv.columns) != 1:
-                errors.append(
-                    f"v{v}: DV sidecar must be single-column, got "
-                    f"{dv.columns}"
-                )
+            if not dv.columns:
+                errors.append(f"v{v}: DV sidecar carries no columns")
             else:
+                # single- OR composite-key vectors (one column per
+                # key column of the table's delete key)
                 n_dv = dv.count()
         versions_report.append(
             {
@@ -1243,4 +1322,66 @@ def check_table(
         "versions": versions_report,
         "unreferenced_dirs": unreferenced,
         "errors": errors,
+    }
+
+
+def repair_table(
+    spark: SparkSession,
+    data_path: str,
+    root: str | None = None,
+    grace_s: float = 3600.0,
+) -> dict[str, object]:
+    """fsck → REPAIR: apply exactly the fixes ``check_table``'s
+    findings can PROVE safe, and only those.
+
+    * **Orphaned generation dirs** — data dirs no retained manifest
+      version references. Provably safe once older than ``grace_s``
+      (no retained version can start referencing a dir it doesn't
+      already; the grace covers an in-flight commit that wrote files
+      but hasn't CAS-published yet — same contract as
+      ``vacuum_layout``).
+    * **Partial DV sidecars** — ``_dv`` dirs without ``_SUCCESS``: a
+      writer crashed mid-sidecar. Readers already ignore them
+      (``version_dv`` gates on the marker), so the bytes are inert
+      junk; removing them is a no-op to every reader.
+
+    What it will NOT touch: missing referenced files and inconsistent
+    stats rows are REPORTED, never "repaired" — dropping a reference
+    would silently shrink the table, which is data loss, not repair.
+    Returns {'removed_dirs': [...], 'removed_partial_dvs': [...],
+    'kept_recent': [...], 'remaining_errors': [...]} and is
+    idempotent (a second run finds nothing to do)."""
+    import time as _time
+
+    root = root or manifest_root(data_path)
+    report = check_table(spark, data_path, root=root)
+    fs = fs_for(spark, data_path)
+    now_ms = _time.time() * 1000.0
+    removed_dirs: list[str] = []
+    kept_recent: list[str] = []
+    for d in report["unreferenced_dirs"]:
+        st = fs.status(d)
+        if st is not None and (now_ms - st[1]) >= grace_s * 1000.0:
+            fs.delete(d)
+            removed_dirs.append(d)
+        else:
+            kept_recent.append(d)
+    # partial DV sidecars: _dv without the _SUCCESS marker
+    rfs = fs_for(spark, root)
+    removed_partial: list[str] = []
+    for name in rfs.list_names(root):
+        if not (name.startswith("v") and name[1:].isdigit()):
+            continue
+        dvdir = os.path.join(root, name, "_dv")
+        if rfs.is_dir(dvdir) and not rfs.exists(
+            os.path.join(dvdir, "_SUCCESS")
+        ):
+            rfs.delete(dvdir)
+            removed_partial.append(dvdir)
+    post = check_table(spark, data_path, root=root)
+    return {
+        "removed_dirs": removed_dirs,
+        "removed_partial_dvs": removed_partial,
+        "kept_recent": kept_recent,
+        "remaining_errors": post["errors"],
     }

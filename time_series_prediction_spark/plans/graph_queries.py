@@ -203,37 +203,73 @@ _AR_MIN_SUPPORT = 2
 _AR_TOPK = 15
 
 
-def basket_association_rules(
-    spark: SparkSession, sf_dir: str
+def association_rules(
+    items: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = _AR_MIN_SUPPORT,
+    top_k: int = _AR_TOPK,
+    max_basket_width: int = 64,
 ) -> DataFrame:
-    """Market-basket association rules (the Apriori 2-itemset stage):
-    for part pairs co-purchased in ≥ 2 orders, confidence
-    P(y|x) = n_xy/n_x and lift n_xy·N/(n_x·n_y) — top-15 by lift with
-    total tie-breaks. All counts exact integers; each score is one
-    double ratio of exact products (well inside int64), so both
-    engines rank identical doubles.
+    """Market-basket association rules (the Apriori 2-itemset stage)
+    over an (basket, item) relation: for item pairs co-occurring in
+    ≥ ``min_support`` baskets, confidence P(y|x) = n_xy/n_x and lift
+    n_xy·N/(n_x·n_y) — top-``top_k`` by lift with total tie-breaks.
+    All counts exact integers; each score is one double ratio of
+    exact products (well inside int64), so engines rank identical
+    doubles.
 
-    Scale shape: the pair counts come from ONE shuffle (per-order
+    Scale shape: the pair counts come from ONE shuffle (per-basket
     sorted distinct item set, i<j combinations exploded locally — the
-    half-matrix of the per-order clique, bounded by basket width²),
+    half-matrix of the per-basket clique, bounded by basket width²),
     then two broadcast joins of the tiny per-item counts. The
-    min-support filter is exactly Apriori's candidate pruning."""
+    min-support filter is exactly Apriori's candidate pruning.
+
+    **Wide-basket guard**: one pathological basket (a retail receipt
+    with hundreds of items) would expand width² pairs from a single
+    row — a quadratic hot spot no shuffle strategy fixes. Baskets
+    wider than ``max_basket_width`` are truncated to their
+    ``max_basket_width`` globally most frequent items
+    (deterministic: frequency desc, item asc — the standard
+    FP-growth-style "keep the heavy items" cut, which preserves the
+    high-support pairs the min-support filter would keep anyway).
+    Only baskets over the cap pay the truncation join; count them
+    with ``count_truncated_baskets`` when auditing a feed."""
     from time_series_prediction_spark.operators.materialize import (
         materialize,
     )
 
-    li = read_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    )
     baskets = materialize(
-        li.groupBy("l_orderkey").agg(
-            F.array_sort(F.collect_set("l_partkey")).alias("ps")
+        items.groupBy(basket_col).agg(
+            F.array_sort(F.collect_set(item_col)).alias("ps")
         )
     )
-    n_orders = baskets.count()
+    n_baskets = baskets.count()
     item_n = baskets.select(
         F.explode("ps").alias("item")
     ).groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("n_item"))
+    wide = baskets.where(F.size("ps") > max_basket_width)
+    if not wide.isEmpty():
+        from pyspark.sql.window import Window
+
+        capped = (
+            wide.select(basket_col, F.explode("ps").alias("item"))
+            .join(F.broadcast(item_n), "item")
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy(basket_col).orderBy(
+                        F.desc("n_item"), F.asc("item")
+                    )
+                ),
+            )
+            .where(F.col("_rn") <= max_basket_width)
+            .groupBy(basket_col)
+            .agg(F.array_sort(F.collect_set("item")).alias("ps"))
+        )
+        baskets = baskets.where(
+            F.size("ps") <= max_basket_width
+        ).unionByName(capped)
     combos = (
         "flatten(transform(sequence(0, size(ps) - 2), i -> "
         "transform(slice(ps, i + 2, size(ps) - i - 1), "
@@ -244,7 +280,7 @@ def basket_association_rules(
         .select(F.explode(F.expr(combos)).alias("p"))
         .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
-        .where(F.col("n_pair") >= _AR_MIN_SUPPORT)
+        .where(F.col("n_pair") >= min_support)
     )
     nx = item_n.select(
         F.col("item").alias("x"), F.col("n_item").alias("n_x")
@@ -265,14 +301,42 @@ def basket_association_rules(
                 "CAST(n_pair AS DOUBLE) / CAST(n_x AS DOUBLE)"
             ).alias("confidence"),
             F.expr(
-                f"CAST(n_pair * {n_orders} AS DOUBLE)"
+                f"CAST(n_pair * {n_baskets} AS DOUBLE)"
                 " / CAST(n_x * n_y AS DOUBLE)"
             ).alias("lift"),
         )
     )
     return scored.orderBy(
         F.desc("lift"), F.asc("x"), F.asc("y")
-    ).limit(_AR_TOPK)
+    ).limit(top_k)
+
+
+def count_truncated_baskets(
+    items: DataFrame,
+    basket_col: str,
+    item_col: str,
+    max_basket_width: int = 64,
+) -> int:
+    """How many baskets exceed the width cap (and so were truncated
+    by ``association_rules``) — the audit hook for a new feed."""
+    return (
+        items.groupBy(basket_col)
+        .agg(F.count_distinct(item_col).alias("w"))
+        .where(F.col("w") > max_basket_width)
+        .count()
+    )
+
+
+def basket_association_rules(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Association rules over TPC-H order baskets (≤ 7 lineitems per
+    order — far inside the default width cap, so the guard path stays
+    dormant and the oracle recomputes the identical pairs)."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    return association_rules(li, "l_orderkey", "l_partkey")
 
 
 BASKET_RULES_SQL = f"""

@@ -128,9 +128,20 @@ def _reprefix_manifests(
 ) -> None:
     """Rewrite every retained manifest version's ``file`` paths from
     the build location to the publish location. Versions are tiny
-    (files × stats_cols rows), so collect-and-rewrite is metadata
-    work; collecting first also avoids overwriting a dir the plan is
-    still reading from."""
+    (files × stats_cols rows) — METADATA work, so the rewrite runs on
+    the driver through pyarrow when the cache root is a local path
+    (the layout cache always is: ``tempfile.gettempdir()``). The old
+    Spark-job-per-version implementation cost ~4 s PER VERSION in
+    fixed job overhead (read+collect+coalesce(1).write against a
+    few-KB file) and dominated every cow layout build — 16 s of the
+    ``orders_cow_schema_evolution`` bench line was this loop. Sidecars
+    (deletion vector, recorded schema — keys/JSON only, no paths)
+    are untouched: only the manifest part files are replaced in
+    place, so ``_dv``/``_schema.json``/``_SUCCESS`` survive as-is.
+    Non-local roots fall back to the Spark rewrite."""
+    if os.path.isdir(root):
+        _reprefix_manifests_local(root, old_data, new_data)
+        return
     fs = fs_for(spark, root)
     for name in fs.list_names(root):
         if not (name.startswith("v") and name[1:].isdigit()):
@@ -138,8 +149,7 @@ def _reprefix_manifests(
         vdir = os.path.join(root, name)
         mdf = spark.read.parquet(vdir)
         schema, rows = mdf.schema, mdf.collect()
-        # sidecars (deletion vector, recorded schema — keys/JSON only,
-        # no paths) must survive the in-place rewrite: collect them
+        # sidecars must survive the in-place rewrite: collect them
         # BEFORE the overwrite wipes the version dir, restore after
         dv_rows = dv_schema = None
         dvdir = os.path.join(vdir, "_dv")
@@ -166,6 +176,54 @@ def _reprefix_manifests(
             ).parquet(dvdir)
         if schema_txt is not None:
             fs.write_text(spath, schema_txt)
+
+
+def _reprefix_manifests_local(
+    root: str, old_data: str, new_data: str
+) -> None:
+    """Driver-side manifest re-prefix for local cache roots: read each
+    version's parquet parts with pyarrow, swap the ``file`` prefix,
+    atomically replace the parts with one rewritten file. Zero Spark
+    jobs; Spark reads the result identically (same schema, one part
+    file + the existing ``_SUCCESS``)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    for name in sorted(os.listdir(root)):
+        if not (name.startswith("v") and name[1:].isdigit()):
+            continue
+        vdir = os.path.join(root, name)
+        parts = sorted(
+            f for f in os.listdir(vdir) if f.endswith(".parquet")
+        )
+        if not parts:
+            continue
+        tbl = pa.concat_tables(
+            [pq.read_table(os.path.join(vdir, f)) for f in parts]
+        )
+        files = tbl.column("file")
+        fixed = pc.if_else(
+            pc.starts_with(files, old_data),
+            pc.binary_join_element_wise(
+                pa.scalar(new_data),
+                pc.utf8_slice_codeunits(
+                    files, len(old_data), 2**31 - 1
+                ),
+                "",
+            ),
+            files,
+        )
+        tbl = tbl.set_column(
+            tbl.schema.get_field_index("file"), "file", fixed
+        )
+        out = os.path.join(vdir, "part-00000-reprefix.parquet")
+        tmp = out + ".tmp"
+        pq.write_table(tbl, tmp)
+        for f in parts:
+            if os.path.join(vdir, f) != out:
+                os.remove(os.path.join(vdir, f))
+        os.replace(tmp, out)
 
 
 def orders_cow_layout(spark: SparkSession, sf_dir: str) -> str:
@@ -1207,6 +1265,46 @@ def orders_cow_schema_evolution(
     )
 
 
+def orders_cow_evolution_history(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DESCRIBE HISTORY of the evolved clone: the three cloned
+    commits plus the schema-evolving merge head, whose row count must
+    equal v2's exactly (the merge updates existing keys, inserting
+    none). Shares ``orders_cow_evolved_layout`` with
+    ``orders_cow_schema_evolution`` so the one-time clone+merge build
+    amortizes across both registry entries. Metadata only; the oracle
+    recomputes every count from the mutation spec over raw orders."""
+    from time_series_prediction_spark.operators.cow import table_history
+
+    _, meta = orders_cow_evolved_layout(spark, sf_dir)
+    return table_history(spark, meta).select("version", "n_rows")
+
+
+ORDERS_COW_EVOLUTION_HISTORY_SQL = f"""
+WITH n0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders),
+nins AS (
+    SELECT CAST(count(*) AS BIGINT) AS n
+    FROM orders WHERE o_orderkey % 101 = 0
+),
+nfinal AS (
+    SELECT CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT o_orderkey AS k FROM orders
+        UNION ALL
+        SELECT o_orderkey + {_INSERT_SHIFT} FROM orders
+        WHERE o_orderkey % 101 = 0
+    ) WHERE k % 17 <> 0
+)
+SELECT CAST(0 AS BIGINT) AS version, (SELECT n FROM n0) AS n_rows
+UNION ALL
+SELECT 1, (SELECT n FROM n0) + (SELECT n FROM nins)
+UNION ALL
+SELECT 2, (SELECT n FROM nfinal)
+UNION ALL
+SELECT 3, (SELECT n FROM nfinal)
+"""
+
+
 ORDERS_COW_EVOLUTION_SQL = f"""
 WITH mx AS (SELECT max(o_orderkey) AS mk FROM orders),
 state AS (
@@ -1421,6 +1519,143 @@ GROUP BY o_orderpriority
 """
 
 
+_COMP_DV_SPEC = "cow-composite-dv|v1|del5x10d|undel10x5d|99"
+_COMP_DVD = 9  # delete band: D0 .. D0+9
+_COMP_UND = 4  # un-delete band: D0 .. D0+4
+
+
+def orders_cow_composite_dv_layout(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str]:
+    """Clone of the composite-clustered table + a TUPLE deletion-vector
+    delete (10-day band × keys ≡ 0 mod 5 — metadata-only commit, file
+    set carried) + a same-composite-key MERGE that un-deletes a subset
+    (5-day band × keys ≡ 0 mod 10, re-upserted with +99 cents and
+    status 'U'). The round-8 gap this exercises: (date, key)-clustered
+    tables taking streaming deletes AND merges with no compaction
+    between — the DV holds tuples, the merge un-deletes exactly the
+    upserted tuples. Cached like every layout."""
+    from time_series_prediction_spark.operators.cow import (
+        clone_table,
+        delete_keys_dv,
+    )
+    from time_series_prediction_spark.operators.manifest import (
+        _resolve_base,
+    )
+
+    src_data = orders_cow_composite_layout(spark, sf_dir)
+    root = os.path.join(tempfile.gettempdir(), "tsp_layouts")
+    fs = fs_for(spark, root)
+    ident = f"{fs.qualified(src_data)}|{_COMP_DV_SPEC}"
+    key = hashlib.md5(ident.encode()).hexdigest()[:16]
+    path = os.path.join(root, f"orders_cow_compdv_{key}")
+    with _build_lock(path):
+        if not fs.exists(os.path.join(path, "_IDENT")):
+            tmp = f"{path}.build-{os.getpid()}"
+            fs.delete(tmp)
+            meta_tmp = os.path.join(tmp, "meta")
+            data_tmp = os.path.join(tmp, "data")
+            clone_table(spark, src_data, meta_tmp)
+            cur = read_committed(spark, data_tmp, root=meta_tmp)
+            dels = cur.where(
+                f"day BETWEEN {_COMP_D0} AND {_COMP_D0 + _COMP_DVD}"
+                " AND o_orderkey % 5 = 0"
+            ).select("day", "o_orderkey")
+            delete_keys_dv(
+                spark, data_tmp, dels, key=["day", "o_orderkey"],
+                root=meta_tmp, keep_versions=_KEEP,
+            )
+            undel = (
+                read_table(spark, sf_dir, "orders")
+                .select(
+                    F.expr(
+                        f"datediff(CAST(o_orderdate AS DATE),"
+                        f" DATE '{_COMP_EPOCH}')"
+                    ).cast("long").alias("day"),
+                    F.col("o_orderkey").cast("long").alias("o_orderkey"),
+                    F.lit("U").alias("o_orderstatus"),
+                    (
+                        F.expr(
+                            "CAST(round(o_totalprice * 100) AS BIGINT)"
+                        ) + F.lit(99)
+                    ).alias("price_cents"),
+                    "o_orderpriority",
+                )
+                .where(
+                    f"day BETWEEN {_COMP_D0} AND {_COMP_D0 + _COMP_UND}"
+                    " AND o_orderkey % 10 = 0"
+                )
+            )
+            merge_upsert(
+                spark, data_tmp, undel, key=["day", "o_orderkey"],
+                root=meta_tmp, keep_versions=_KEEP,
+            )
+            _reprefix_manifests(
+                spark, meta_tmp, _resolve_base(data_tmp, spark),
+                os.path.join(path, "data"),
+            )
+            fs.write_text(os.path.join(tmp, "_IDENT"), ident)
+            if not fs.publish_dir(tmp, path):
+                fs.delete(tmp)  # concurrent winner published first
+    return os.path.join(path, "data"), os.path.join(path, "meta")
+
+
+def orders_cow_composite_dv_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Final state of the composite table after tuple-DV delete +
+    un-deleting merge (no compaction in between): counts and exact
+    cents by status. The oracle recomputes the visible set from raw
+    orders with the same band arithmetic."""
+    data, meta = orders_cow_composite_dv_layout(spark, sf_dir)
+    return (
+        read_committed(spark, data, root=meta)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("price_cents").cast("long").alias("total_cents"),
+        )
+    )
+
+
+ORDERS_COW_COMPOSITE_DV_SQL = f"""
+WITH state AS (
+    SELECT (CAST(o_orderdate AS DATE) - DATE '{_COMP_EPOCH}') AS day,
+           o_orderkey AS k,
+           CASE WHEN (CAST(o_orderdate AS DATE) - DATE '{_COMP_EPOCH}')
+                     BETWEEN {_COMP_D0} AND {_COMP_D1}
+                 AND o_orderkey % 7 = 0
+                THEN 'C' ELSE o_orderstatus END AS status,
+           CAST(round(o_totalprice * 100) AS BIGINT)
+             + CASE WHEN (CAST(o_orderdate AS DATE)
+                          - DATE '{_COMP_EPOCH}')
+                         BETWEEN {_COMP_D0} AND {_COMP_D1}
+                     AND o_orderkey % 7 = 0
+                    THEN 555 ELSE 0 END AS cents
+    FROM orders
+),
+visible AS (
+    SELECT day, k, status, cents FROM state
+    WHERE NOT (day BETWEEN {_COMP_D0} AND {_COMP_D0 + _COMP_DVD}
+               AND k % 5 = 0)
+    UNION ALL
+    SELECT day, k, 'U',
+           CAST(round(o_totalprice * 100) AS BIGINT) + 99
+    FROM orders,
+         LATERAL (SELECT (CAST(o_orderdate AS DATE)
+                          - DATE '{_COMP_EPOCH}') AS day,
+                         o_orderkey AS k)
+    WHERE day BETWEEN {_COMP_D0} AND {_COMP_D0 + _COMP_UND}
+      AND k % 10 = 0
+)
+SELECT status AS o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM visible
+GROUP BY status
+"""
+
+
 def orders_cdc_scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC → SCD2 dimension: the cow table's change feed folded into
     type-2 validity intervals — (key, attributes, v_from, v_to) where
@@ -1536,6 +1771,10 @@ TABLE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
         orders_cow_composite_scan,
         ORDERS_COW_COMPOSITE_SQL,
     ),
+    "orders_cow_composite_dv_scan": (
+        orders_cow_composite_dv_scan,
+        ORDERS_COW_COMPOSITE_DV_SQL,
+    ),
     "events_forget_audit": (
         events_forget_audit,
         EVENTS_FORGET_AUDIT_SQL,
@@ -1543,6 +1782,10 @@ TABLE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "orders_cow_schema_evolution": (
         orders_cow_schema_evolution,
         ORDERS_COW_EVOLUTION_SQL,
+    ),
+    "orders_cow_evolution_history": (
+        orders_cow_evolution_history,
+        ORDERS_COW_EVOLUTION_HISTORY_SQL,
     ),
     "orders_cow_restore_scan": (
         orders_cow_restore_scan,

@@ -107,7 +107,14 @@ def publish_manifest(
         f"-{_threading.get_ident()}-{next(_STAGE_SEQ)}",
     )
     fs.delete(staged)
-    man.write.mode("overwrite").parquet(staged)
+    # manifests are metadata-sized (files × stats_cols rows): land
+    # them as ONE part file. repartition — not coalesce — so the
+    # upstream plan (footer-stats mapInPandas, carry-over anti-join)
+    # keeps its parallelism; the 1-row-group shuffle is trivial while
+    # the N-task write it replaces paid the Hadoop commit protocol
+    # once per task. A manifest too big for one file is a table with
+    # ~10⁷ files — shard the table first, not the manifest.
+    man.repartition(1).write.mode("overwrite").parquet(staged)
     if dv is not None:
         # deletion vector: the version's CUMULATIVE deleted-key set,
         # committed atomically inside the version dir (written before
@@ -222,13 +229,14 @@ def version_schema(
 
 
 def apply_dv(df: DataFrame, dv: DataFrame | None) -> DataFrame:
-    """Merge-on-read: hide DV keys from a scan (anti join on the DV's
-    own key column — broadcast-sized by construction)."""
+    """Merge-on-read: hide DV keys from a scan (anti join on ALL of
+    the DV's key columns — tuple matching for composite-key tables,
+    broadcast-sized by construction)."""
     if dv is None:
         return df
     from pyspark.sql import functions as _F
 
-    return df.join(_F.broadcast(dv), dv.columns[0], "left_anti")
+    return df.join(_F.broadcast(dv), list(dv.columns), "left_anti")
 
 
 def _next_version(fs: Fs, root: str) -> int:

@@ -239,6 +239,16 @@ def medallion_sink(
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        spark = batch_df.sparkSession
+        # cross-table commit protocol: bronze and silver commit
+        # independently, so a crash can land BETWEEN them. The link
+        # record written after the silver commit is the proof of
+        # which batches are folded into silver; on replay it also
+        # short-circuits the silver merge (bronze's txn token already
+        # short-circuits the bronze append), so a replayed batch
+        # burns no extra manifest version on either table.
+        if _read_commit_link(spark, silver_path, batch_id) is not None:
+            return  # both tables committed this batch — pure replay
         bronze(batch_df, batch_id)
         clean = batch_df.where(quality_pred)
         if seq_col is not None:
@@ -261,5 +271,86 @@ def medallion_sink(
                 )
         if not clean.isEmpty():
             silver(clean, batch_id)
+        _write_commit_link(spark, bronze_path, silver_path, batch_id)
 
     return _sink
+
+
+_LINK_DIR_SUFFIX = "_txn"
+
+
+def _link_dir(silver_path: str) -> str:
+    return silver_path.rstrip("/") + _LINK_DIR_SUFFIX
+
+
+def _write_commit_link(
+    spark, bronze_path: str, silver_path: str, batch_id: int
+) -> None:
+    """Record (batch_id → bronze version, silver version) AFTER both
+    tables committed — the cross-table watermark that makes 'which
+    bronze versions are folded into silver' provable instead of
+    inferred. Atomic single-file write keyed by batch_id; a replay
+    overwrites with identical content."""
+    import json as _json
+
+    from time_series_prediction_spark.sources.deltalog import (
+        delta_snapshot,
+    )
+    from time_series_prediction_spark.sources.fsops import fs_for
+    from time_series_prediction_spark.streaming.layout import (
+        current_version,
+        manifest_root,
+    )
+
+    _files, _meta, bronze_v, _txns = delta_snapshot(spark, bronze_path)
+    silver_v = current_version(spark, manifest_root(silver_path))
+    fs = fs_for(spark, silver_path)
+    d = _link_dir(silver_path)
+    fs.mkdirs(d)
+    tmp = os.path.join(d, f".batch-{batch_id}.tmp-{os.getpid()}")
+    fs.write_text(
+        tmp,
+        _json.dumps(
+            {
+                "batch_id": int(batch_id),
+                "bronze_version": int(bronze_v),
+                "silver_version": (
+                    None if silver_v is None else int(silver_v)
+                ),
+            }
+        ),
+    )
+    fs.replace_file(tmp, os.path.join(d, f"batch-{batch_id}.json"))
+
+
+def _read_commit_link(
+    spark, silver_path: str, batch_id: int
+) -> dict | None:
+    import json as _json
+
+    from time_series_prediction_spark.sources.fsops import fs_for
+
+    fs = fs_for(spark, silver_path)
+    p = os.path.join(_link_dir(silver_path), f"batch-{batch_id}.json")
+    if not fs.exists(p):
+        return None
+    return _json.loads(fs.read_text(p))
+
+
+def medallion_commit_links(spark, silver_path: str) -> list[dict]:
+    """Every recorded cross-table commit (sorted by batch): the audit
+    surface proving which bronze versions are folded into silver. A
+    bronze version NEWER than the highest linked one with no link is
+    either in flight or a crash landed between the two commits — the
+    stream's replay will fold and link it."""
+    import json as _json
+
+    from time_series_prediction_spark.sources.fsops import fs_for
+
+    fs = fs_for(spark, silver_path)
+    d = _link_dir(silver_path)
+    out = []
+    for name in fs.list_names(d):
+        if name.startswith("batch-") and name.endswith(".json"):
+            out.append(_json.loads(fs.read_text(os.path.join(d, name))))
+    return sorted(out, key=lambda r: r["batch_id"])
