@@ -177,9 +177,10 @@ def test_checkpoint_plus_tail_commits(spark, tmp_path):
     )
 
 
-def test_unsupported_protocol_refuses(spark, tmp_path):
-    """A table gated on reader features this module does not implement
-    (deletion vectors) must refuse loudly, never return wrong rows."""
+def test_dv_gated_table_now_reads(spark, tmp_path):
+    """Round-9 graduation: a deletionVectors-gated table (reader v3)
+    whose adds carry no actual vector reads fine — the feature is
+    implemented, so the gate alone no longer refuses."""
     table = str(tmp_path / "t")
     os.makedirs(table)
     sch = "k long"
@@ -191,8 +192,7 @@ def test_unsupported_protocol_refuses(spark, tmp_path):
                       "readerFeatures": ["deletionVectors"]}},
         _meta(schema_json), _add("A.parquet"),
     ])
-    with pytest.raises(DeltaProtocolUnsupported, match="deletionVectors"):
-        read_delta_log(spark, table)
+    assert [r["k"] for r in read_delta_log(spark, table).collect()] == [1]
 
 
 def test_plain_parquet_fallback_still_works(spark, tmp_path):
@@ -378,3 +378,211 @@ def test_checkpoint_add_carries_required_fields(spark, tmp_path):
     # ... and the checkpoint-only read path keeps those stats intact
     got = sorted(r["k"] for r in read_delta(spark, table).collect())
     assert got == list(range(10))
+
+
+# ------------------------------------------------------------------
+# Protocol breadth: deletion vectors + column mapping ('name' mode).
+# Every byte below is crafted BY HAND following delta.io PROTOCOL.md
+# (and the RoaringFormatSpec), independent of the reader's own
+# serializers — so these pin spec compliance, not round-tripping.
+
+
+def _z85_encode(data: bytes) -> str:
+    alphabet = (
+        "0123456789abcdefghijklmnopqrstuvwxyz"
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+    )
+    assert len(data) % 4 == 0
+    out = []
+    for i in range(0, len(data), 4):
+        v = int.from_bytes(data[i:i + 4], "big")
+        chunk = []
+        for _ in range(5):
+            v, r = divmod(v, 85)
+            chunk.append(alphabet[r])
+        out.extend(reversed(chunk))
+    return "".join(out)
+
+
+def _roaring_array_bytes(positions):
+    """64-bit RoaringBitmapArray, portable serialization, by hand:
+    one 32-bit bitmap, one array container (all positions < 2^16)."""
+    import struct
+
+    vals = sorted(positions)
+    assert all(p < 65536 for p in vals)
+    bm = struct.pack("<I", 12346)            # SERIAL_COOKIE_NO_RUN
+    bm += struct.pack("<I", 1)               # one container
+    bm += struct.pack("<HH", 0, len(vals) - 1)   # key 0, card-1
+    bm += struct.pack("<I", 16)              # container offset
+    bm += struct.pack(f"<{len(vals)}H", *vals)
+    return struct.pack("<i", 1681511377) + struct.pack("<q", 1) + bm
+
+
+def test_deletion_vector_inline_hides_rows(spark, tmp_path):
+    """An add with an INLINE ('i') deletion vector: the z85-encoded
+    roaring bitmap's row positions are hidden from the scan."""
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    sch = "k long, v long"
+    schema_json = spark.createDataFrame([], sch).schema.json()
+    _write_parquet(spark, os.path.join(table, "A.parquet"),
+                   [(i, i * 10) for i in range(10)], sch)
+    dv_bytes = _roaring_array_bytes([1, 3, 7, 8])
+    _commit(table, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        _meta(schema_json),
+        _add("A.parquet", deletionVector={
+            "storageType": "i",
+            "pathOrInlineDv": _z85_encode(dv_bytes),
+            "offset": None,
+            "sizeInBytes": len(dv_bytes),
+            "cardinality": 4,
+        }),
+    ])
+    got = sorted(r["k"] for r in read_delta(spark, table).collect())
+    assert got == [0, 2, 4, 5, 6, 9]
+
+
+def test_deletion_vector_uuid_file_hides_rows(spark, tmp_path):
+    """An add with a FILE-backed ('u') deletion vector: the sidecar
+    ``deletion_vector_<uuid>.bin`` (1-byte version, big-endian size,
+    bitmap, CRC-32) parses and hides exactly its positions; a second
+    file without a DV is untouched."""
+    import struct
+    import uuid
+    import zlib
+
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    sch = "k long, v long"
+    schema_json = spark.createDataFrame([], sch).schema.json()
+    _write_parquet(spark, os.path.join(table, "A.parquet"),
+                   [(i, i) for i in range(8)], sch)
+    _write_parquet(spark, os.path.join(table, "B.parquet"),
+                   [(i, i) for i in range(8, 16)], sch)
+    u = uuid.uuid4()
+    dv_bytes = _roaring_array_bytes([0, 5])
+    payload = (
+        b"\x01"                               # DV file format version
+        + struct.pack(">i", len(dv_bytes))
+        + dv_bytes
+        + struct.pack(">I", zlib.crc32(dv_bytes) & 0xFFFFFFFF)
+    )
+    with open(
+        os.path.join(table, f"deletion_vector_{u}.bin"), "wb"
+    ) as f:
+        f.write(payload)
+    _commit(table, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        _meta(schema_json),
+        _add("A.parquet", deletionVector={
+            "storageType": "u",
+            "pathOrInlineDv": _z85_encode(u.bytes),
+            "offset": 1,
+            "sizeInBytes": len(dv_bytes),
+            "cardinality": 2,
+        }),
+        _add("B.parquet"),
+    ])
+    got = sorted(r["k"] for r in read_delta(spark, table).collect())
+    assert got == [1, 2, 3, 4, 6, 7] + list(range(8, 16))
+
+
+def test_column_mapping_name_mode(spark, tmp_path):
+    """Column mapping 'name' mode: data files carry PHYSICAL column
+    names and partitionValues are keyed by physical name; the scan
+    aliases back to the logical schema."""
+    import json as _json
+
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    # physical schema in the files: col-aaa / col-bbb; logical: k / v;
+    # partition column p is physical col-ppp
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-aaa"}},
+            {"name": "v", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-bbb"}},
+            {"name": "p", "type": "integer", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 3,
+                          "delta.columnMapping.physicalName": "col-ppp"}},
+        ],
+    }
+    _write_parquet(
+        spark, os.path.join(table, "A.parquet"),
+        [(i, i * 2) for i in range(5)], "`col-aaa` long, `col-bbb` long",
+    )
+    meta = _meta(_json.dumps(schema), part_cols=["p"])
+    meta["metaData"]["partitionColumns"] = ["p"]
+    meta["metaData"]["configuration"] = {
+        "delta.columnMapping.mode": "name",
+        "delta.columnMapping.maxColumnId": "3",
+    }
+    _commit(table, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        meta,
+        _add("A.parquet", pvals={"col-ppp": "7"}),
+    ])
+    got = read_delta(spark, table)
+    assert got.columns == ["k", "v", "p"]
+    rows = sorted(map(tuple, got.collect()))
+    assert rows == [(i, i * 2, 7) for i in range(5)]
+
+
+def test_column_mapping_id_mode_refused(spark, tmp_path):
+    """'id' mode resolves by parquet field id, which this reader does
+    not implement — honest refusal, not wrong rows."""
+    import json as _json
+
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    _write_parquet(spark, os.path.join(table, "A.parquet"),
+                   [(1,)], "`col-aaa` long")
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-aaa"}},
+        ],
+    }
+    meta = _meta(_json.dumps(schema))
+    meta["metaData"]["configuration"] = {
+        "delta.columnMapping.mode": "id"
+    }
+    _commit(table, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        meta,
+        _add("A.parquet"),
+    ])
+    with pytest.raises(DeltaProtocolUnsupported, match="id"):
+        read_delta(spark, table).collect()
+
+
+def test_unsupported_reader_feature_still_refused(spark, tmp_path):
+    """v3 tables gated on a feature this reader lacks (e.g. v2
+    checkpoints) must refuse even though DVs/columnMapping are now
+    supported."""
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    sch = "k long"
+    schema_json = spark.createDataFrame([], sch).schema.json()
+    _write_parquet(spark, os.path.join(table, "A.parquet"),
+                   [(1,)], sch)
+    _commit(table, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["v2Checkpoint"]}},
+        _meta(schema_json),
+        _add("A.parquet"),
+    ])
+    with pytest.raises(DeltaProtocolUnsupported):
+        read_delta(spark, table)

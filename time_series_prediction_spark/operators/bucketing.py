@@ -61,6 +61,12 @@ _BUILD_LOCKS: dict[str, threading.Lock] = {}
 _GC_MIN_AGE_S = 3600.0
 
 
+# NOTE: bucketed layouts keep their own build protocol rather than
+# operators/mview.ensure_artifact: the artifact is a CATALOG TABLE
+# (saveAsTable + DDL re-registration) with a one-file-per-bucket
+# invariant re-checked on every entry — catalog state cannot be
+# staged into a tmp dir and renamed. The on-disk race discipline
+# (pid-keyed tmp + atomic publish_dir) is the same.
 def _build_lock(name: str) -> threading.Lock:
     with _LOCKS_GUARD:
         return _BUILD_LOCKS.setdefault(name, threading.Lock())

@@ -55,6 +55,42 @@ def view_root(base: str | None = None) -> str:
     return base or os.path.join(tempfile.gettempdir(), "tsp_mviews")
 
 
+def ensure_artifact(
+    spark: SparkSession,
+    target: str,
+    ident: str,
+    build_into: Callable[[str], None],
+) -> bool:
+    """THE build-once cache protocol — the single implementation every
+    content-keyed on-disk artifact in this engine runs on (mviews here,
+    and every ``plans/`` fixture layout builder): per-target in-process
+    lock → ``_IDENT`` existence check → build into a private pid-keyed
+    tmp dir → ``_IDENT`` written LAST → one atomic ``publish_dir``
+    rename. Concurrent processes race benignly (both build, one
+    publishes, the loser discards); a crashed build leaves only an
+    orphaned ``*.build-{pid}`` dir, never a half-visible artifact.
+    Returns True when THIS call built (and published or lost the
+    race), False on a cache hit.
+
+    ``build_into(tmp_dir)`` materializes the artifact's contents under
+    ``tmp_dir``; everything it writes becomes visible in one rename.
+
+    Centralizing this exists so there is ONE protocol to test for
+    races (see tests/test_mview.py and the subprocess race in
+    tests/test_manifest.py) instead of one copy per module."""
+    fs = fs_for(spark, target)
+    with _lock(target):
+        if fs.exists(os.path.join(target, "_IDENT")):
+            return False
+        tmp = f"{target}.build-{os.getpid()}"
+        fs.delete(tmp)
+        build_into(tmp)
+        fs.write_text(os.path.join(tmp, "_IDENT"), ident)
+        if not fs.publish_dir(tmp, target):
+            fs.delete(tmp)  # concurrent winner published first
+        return True
+
+
 def source_fingerprint(spark: SparkSession, sources: list[str]) -> str:
     """Concatenated (qualified path, size, mtime) of every source —
     the staleness identity. Missing sources raise: a view over
@@ -109,38 +145,34 @@ def refresh_if_stale(
     ident = f"{version}|{source_fingerprint(spark, sources)}"
     key = hashlib.md5(ident.encode()).hexdigest()[:16]
     target = os.path.join(root, f"{name}_{key}")
-    rebuilt = False
-    with _lock(target):
-        if not fs.exists(os.path.join(target, "_IDENT")):
-            tmp = f"{target}.build-{os.getpid()}"
-            fs.delete(tmp)
-            build(spark).write.mode("overwrite").parquet(
-                os.path.join(tmp, "data")
-            )
-            fs.write_text(os.path.join(tmp, "_IDENT"), ident)
-            if not fs.publish_dir(tmp, target):
-                fs.delete(tmp)  # concurrent winner published first
-            rebuilt = True
-            # stale generations of THIS view (older fingerprints) are
-            # reclaimed after the new publish AND a grace window —
-            # cross-process readers mid-scan on an old generation
-            # finish; the next resolve won't find it
-            prefix = f"{name}_"
-            now_ms = time.time() * 1000.0
-            for entry in fs.list_names(root):
-                suffix = entry[len(prefix):]
-                ident_p = os.path.join(root, entry, "_IDENT")
-                if (
-                    entry.startswith(prefix)
-                    and suffix != key
-                    # exactly this view's generations — a 16-hex key
-                    # suffix — never another view sharing the prefix
-                    and len(suffix) == 16
-                    and all(c in "0123456789abcdef" for c in suffix)
+
+    def _build(tmp: str) -> None:
+        build(spark).write.mode("overwrite").parquet(
+            os.path.join(tmp, "data")
+        )
+
+    rebuilt = ensure_artifact(spark, target, ident, _build)
+    if rebuilt:
+        # stale generations of THIS view (older fingerprints) are
+        # reclaimed after the new publish AND a grace window —
+        # cross-process readers mid-scan on an old generation
+        # finish; the next resolve won't find it
+        prefix = f"{name}_"
+        now_ms = time.time() * 1000.0
+        for entry in fs.list_names(root):
+            suffix = entry[len(prefix):]
+            ident_p = os.path.join(root, entry, "_IDENT")
+            if (
+                entry.startswith(prefix)
+                and suffix != key
+                # exactly this view's generations — a 16-hex key
+                # suffix — never another view sharing the prefix
+                and len(suffix) == 16
+                and all(c in "0123456789abcdef" for c in suffix)
+            ):
+                st = fs.status(ident_p)
+                if st is not None and (
+                    now_ms - st[1] >= stale_grace_s * 1000.0
                 ):
-                    st = fs.status(ident_p)
-                    if st is not None and (
-                        now_ms - st[1] >= stale_grace_s * 1000.0
-                    ):
-                        fs.delete(os.path.join(root, entry))
+                    fs.delete(os.path.join(root, entry))
     return spark.read.parquet(os.path.join(target, "data")), rebuilt

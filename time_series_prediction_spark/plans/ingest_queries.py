@@ -19,7 +19,6 @@ from __future__ import annotations
 import hashlib
 import os
 import tempfile
-import threading
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -38,17 +37,12 @@ _MIN_CHARS, _MAX_CHARS = 60, 500
 _KNOWN_LANGS = ("en", "es", "de", "fr")
 _SPEC = f"v1|{_MIN_CHARS}|{_MAX_CHARS}|{','.join(_KNOWN_LANGS)}"
 
-# two threads in one process building the same layout would share a
-# pid-keyed temp dir and interleave the stream's inbox/checkpoint
-# writes — serialize builds per layout key (same discipline as
-# operators/bucketing.ensure_bucketed)
-_LOCKS_GUARD = threading.Lock()
-_BUILD_LOCKS: dict[str, threading.Lock] = {}
-
-
-def _build_lock(key: str) -> threading.Lock:
-    with _LOCKS_GUARD:
-        return _BUILD_LOCKS.setdefault(key, threading.Lock())
+# Layout builds run through operators/mview.ensure_artifact — the
+# engine's ONE build-once protocol (per-target lock → _IDENT → tmp
+# build → atomic publish); two threads building the same layout
+# serialize there instead of interleaving the stream's
+# inbox/checkpoint writes.
+from time_series_prediction_spark.operators.mview import ensure_artifact
 
 
 def _checks():
@@ -82,11 +76,7 @@ def docs_audited_landing(spark: SparkSession, sf_dir: str) -> str:
     ident = f"{fs.qualified(src)}|{st[0]}|{st[1]}|{_SPEC}"
     key = hashlib.md5(ident.encode()).hexdigest()[:16]
     path = os.path.join(tempfile.gettempdir(), "tsp_layouts", f"docs_q_{key}")
-    with _build_lock(path):
-        if fs.exists(os.path.join(path, "_IDENT")):
-            return path
-        tmp = f"{path}.build-{os.getpid()}"
-        fs.delete(tmp)
+    def _build(tmp: str) -> None:
         docs = read_table(spark, sf_dir, "documents")
         inbox = os.path.join(tmp, "_inbox")
         docs.repartition(3).write.mode("overwrite").parquet(inbox)
@@ -97,7 +87,9 @@ def docs_audited_landing(spark: SparkSession, sf_dir: str) -> str:
             .parquet(inbox)
         )
         q = (
-            stream.writeStream.foreachBatch(audited_ingest_sink(data, _checks()))
+            stream.writeStream.foreachBatch(
+                audited_ingest_sink(data, _checks())
+            )
             .option("checkpointLocation", os.path.join(tmp, "_ck"))
             .start()
         )
@@ -105,15 +97,9 @@ def docs_audited_landing(spark: SparkSession, sf_dir: str) -> str:
             q.processAllAvailable()
         finally:
             q.stop()
-        fs.write_text(os.path.join(tmp, "_IDENT"), ident)
-        if not fs.publish_dir(tmp, path):
-            if fs.exists(os.path.join(path, "_IDENT")):
-                fs.delete(tmp)  # lost a benign race
-            else:
-                raise RuntimeError(
-                    f"publish of {tmp} to {path} failed with no winner"
-                )
-        return path
+
+    ensure_artifact(spark, path, ident, _build)
+    return path
 
 
 def docs_quarantine_ingest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -172,11 +158,7 @@ def docs_lakehouse_landing(spark: SparkSession, sf_dir: str) -> str:
     ident = f"{fs.qualified(src)}|{st[0]}|{st[1]}|{_LH_SPEC}"
     key = hashlib.md5(ident.encode()).hexdigest()[:16]
     path = os.path.join(tempfile.gettempdir(), "tsp_layouts", f"docs_lh_{key}")
-    with _build_lock(path):
-        if fs.exists(os.path.join(path, "_IDENT")):
-            return path
-        tmp = f"{path}.build-{os.getpid()}"
-        fs.delete(tmp)
+    def _build(tmp: str) -> None:
         docs = read_table(spark, sf_dir, "documents")
         inbox = os.path.join(tmp, "_inbox")
         docs.repartition(3).write.mode("overwrite").parquet(inbox)
@@ -217,21 +199,17 @@ def docs_lakehouse_landing(spark: SparkSession, sf_dir: str) -> str:
         final_data = os.path.join(path, "data")
         fixed = man.withColumn(
             "file",
-            F.concat(F.lit(final_data), F.expr(f"substr(file, {len(data) + 1})")),
+            F.concat(
+                F.lit(final_data), F.expr(f"substr(file, {len(data) + 1})")
+            ),
         )
         last = max(
             int(d[1:]) for d in fs.list_names(mroot) if d.startswith("v")
         )
         publish_manifest(fixed, mroot, last + 1)
-        fs.write_text(os.path.join(tmp, "_IDENT"), ident)
-        if not fs.publish_dir(tmp, path):
-            if fs.exists(os.path.join(path, "_IDENT")):
-                fs.delete(tmp)  # lost a benign race
-            else:
-                raise RuntimeError(
-                    f"publish of {tmp} to {path} failed with no winner"
-                )
-        return path
+
+    ensure_artifact(spark, path, ident, _build)
+    return path
 
 
 def docs_lakehouse_ingest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -305,58 +283,54 @@ def events_medallion_landing(spark: SparkSession, sf_dir: str) -> str:
     ident = f"{fs.qualified(src)}|{st[0]}|{st[1]}|{_MEDALLION_SPEC}"
     key = hashlib.md5(ident.encode()).hexdigest()[:16]
     path = os.path.join(root, f"events_medallion_{key}")
-    with _build_lock(path):
-        if not fs.exists(os.path.join(path, "_IDENT")):
-            tmp = f"{path}.build-{os.getpid()}"
-            fs.delete(tmp)
-            ev = read_table(spark, sf_dir, "events").select(
-                "event_id",
-                "user_id",
-                "event_type",
-                F.col("value"),
-                F.expr("CAST(round(value * 100) AS BIGINT)").alias(
-                    "cents"
-                ),
-            )
-            feed = ev.unionByName(ev.where("event_id % 37 = 0"))
-            inbox = os.path.join(tmp, "_inbox")
-            feed.repartition(3).write.mode("overwrite").parquet(inbox)
-            bronze = os.path.join(tmp, "bronze")
-            silver = os.path.join(tmp, "silver")
-            stream = (
-                spark.readStream.schema(feed.schema)
-                .option("maxFilesPerTrigger", "1")
-                .parquet(inbox)
-            )
-            q = (
-                stream.writeStream.foreachBatch(
-                    medallion_sink(
-                        bronze, silver, app_id="medallion-fixture",
-                        key="event_id", quality_pred="value >= 0.5",
-                        keep_versions=20,
-                    )
+    def _build(tmp: str) -> None:
+        ev = read_table(spark, sf_dir, "events").select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("value"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        feed = ev.unionByName(ev.where("event_id % 37 = 0"))
+        inbox = os.path.join(tmp, "_inbox")
+        feed.repartition(3).write.mode("overwrite").parquet(inbox)
+        bronze = os.path.join(tmp, "bronze")
+        silver = os.path.join(tmp, "silver")
+        stream = (
+            spark.readStream.schema(feed.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(inbox)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                medallion_sink(
+                    bronze, silver, app_id="medallion-fixture",
+                    key="event_id", quality_pred="value >= 0.5",
+                    keep_versions=20,
                 )
-                .option(
-                    "checkpointLocation", os.path.join(tmp, "_ck")
-                )
-                .start()
             )
-            try:
-                q.processAllAvailable()
-            finally:
-                q.stop()
-            _reprefix = __import__(
-                "time_series_prediction_spark.plans.table_queries",
-                fromlist=["_reprefix_manifests"],
-            )._reprefix_manifests
-            _reprefix(
-                spark, manifest_root(silver),
-                _resolve_base(silver, spark),
-                os.path.join(path, "silver"),
+            .option(
+                "checkpointLocation", os.path.join(tmp, "_ck")
             )
-            fs.write_text(os.path.join(tmp, "_IDENT"), ident)
-            if not fs.publish_dir(tmp, path):
-                fs.delete(tmp)  # concurrent winner published first
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        _reprefix = __import__(
+            "time_series_prediction_spark.plans.table_queries",
+            fromlist=["_reprefix_manifests"],
+        )._reprefix_manifests
+        _reprefix(
+            spark, manifest_root(silver),
+            _resolve_base(silver, spark),
+            os.path.join(path, "silver"),
+        )
+
+    ensure_artifact(spark, path, ident, _build)
     return path
 
 

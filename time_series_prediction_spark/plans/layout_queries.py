@@ -145,7 +145,15 @@ def events_zorder_layout(spark: SparkSession, sf_dir: str) -> str:
     with an atomic rename, so two concurrent processes can never
     interleave writes into the same final dir — the loser discards its
     copy. Stale layouts (source regenerated since they were built) are
-    garbage-collected."""
+    garbage-collected.
+
+    NOTE: this builder intentionally does NOT route through
+    ``operators/mview.ensure_artifact`` (the engine's uniform cache
+    protocol): its stats manifest must be built AFTER the publish so
+    the recorded file paths are final — a post-publish step the
+    uniform build-into-tmp contract cannot express. The cross-process
+    race safety is identical (atomic publish_dir, loser discards) and
+    pinned by tests/test_manifest.py's two-process race."""
     src = os.path.join(sf_dir, "events.parquet")
     fs = fs_for(spark, tempfile.gettempdir())
     path = layout_cache_path(fs, src)

@@ -29,7 +29,6 @@ from __future__ import annotations
 import hashlib
 import os
 import tempfile
-import threading
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -127,15 +126,10 @@ def events_type_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # incremental register maintenance: the steady-state 100 TB pattern
 # ---------------------------------------------------------------------------
 
-# serialize same-layout builds within one process (same discipline as
-# plans/ingest_queries and operators/bucketing)
-_LOCKS_GUARD = threading.Lock()
-_BUILD_LOCKS: dict[str, threading.Lock] = {}
-
-
-def _build_lock(key: str) -> threading.Lock:
-    with _LOCKS_GUARD:
-        return _BUILD_LOCKS.setdefault(key, threading.Lock())
+# layout builds run through operators/mview.ensure_artifact — the
+# engine's single build-once protocol (lock -> _IDENT -> tmp build ->
+# atomic publish), one implementation to test for races
+from time_series_prediction_spark.operators.mview import ensure_artifact
 
 
 def _registers_layout(spark: SparkSession, sf_dir: str) -> str:
@@ -160,11 +154,7 @@ def _registers_layout(spark: SparkSession, sf_dir: str) -> str:
     path = os.path.join(
         tempfile.gettempdir(), "tsp_layouts", f"dau_regs_{key}"
     )
-    with _build_lock(path):
-        if fs.exists(os.path.join(path, "_IDENT")):
-            return path
-        tmp = f"{path}.build-{os.getpid()}"
-        fs.delete(tmp)
+    def _build(tmp: str) -> None:
         ev = read_table(spark, sf_dir, "events")
         inbox = os.path.join(tmp, "_inbox")
         ev.repartition(8).write.mode("overwrite").parquet(inbox)
@@ -209,10 +199,8 @@ def _registers_layout(spark: SparkSession, sf_dir: str) -> str:
             q.processAllAvailable()
         finally:
             q.stop()
-        fs.write_text(os.path.join(tmp, "_IDENT"), ident)
-        if not fs.publish_dir(tmp, path):
-            if not fs.exists(os.path.join(path, "_IDENT")):
-                raise RuntimeError(f"layout publish failed: {path}")
+
+    ensure_artifact(spark, path, ident, _build)
     return path
 
 

@@ -44,7 +44,6 @@ from __future__ import annotations
 import hashlib
 import os
 import tempfile
-import threading
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -60,6 +59,7 @@ from time_series_prediction_spark.operators.cow import (
 from time_series_prediction_spark.operators.manifest import (
     MANIFEST_FORMAT,
 )
+from time_series_prediction_spark.operators.mview import ensure_artifact
 from time_series_prediction_spark.sources.fsops import fs_for
 from time_series_prediction_spark.sources.io import read_table
 from time_series_prediction_spark.streaming.layout import (
@@ -73,13 +73,10 @@ _SPEC = f"cow-orders|v4|13band10|101|17|8|{MANIFEST_FORMAT}"
 _KEEP = 20
 _INSERT_SHIFT = 100_000_000
 
-_LOCKS_GUARD = threading.Lock()
-_BUILD_LOCKS: dict[str, threading.Lock] = {}
-
-
-def _build_lock(key: str) -> threading.Lock:
-    with _LOCKS_GUARD:
-        return _BUILD_LOCKS.setdefault(key, threading.Lock())
+# Layout-cache builds run through operators/mview.ensure_artifact —
+# the engine's ONE build-once protocol (lock → _IDENT → tmp build →
+# atomic publish), so there is a single implementation to test for
+# races instead of one copy per plans module.
 
 
 def _orders_state(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -239,11 +236,7 @@ def orders_cow_layout(spark: SparkSession, sf_dir: str) -> str:
     ident = f"{fs.qualified(src)}|{st[0]}|{st[1]}|{_SPEC}"
     key = hashlib.md5(ident.encode()).hexdigest()[:16]
     path = os.path.join(root, f"orders_cow_{key}")
-    with _build_lock(path):
-        if fs.exists(os.path.join(path, "_IDENT")):
-            return os.path.join(path, "data")
-        tmp = f"{path}.build-{os.getpid()}"
-        fs.delete(tmp)
+    def _build(tmp: str) -> None:
         data = os.path.join(tmp, "data")
         base = _orders_state(spark, sf_dir)
         init_table(
@@ -258,18 +251,16 @@ def orders_cow_layout(spark: SparkSession, sf_dir: str) -> str:
             spark, data, _delete_key_set(base), key="o_orderkey",
             keep_versions=_KEEP,
         )
-        final_data = os.path.join(path, "data")
         from time_series_prediction_spark.operators.manifest import (
             _resolve_base,
         )
 
         _reprefix_manifests(
             spark, manifest_root(data), _resolve_base(data, spark),
-            final_data,
+            os.path.join(path, "data"),
         )
-        fs.write_text(os.path.join(tmp, "_IDENT"), ident)
-        if not fs.publish_dir(tmp, path):
-            fs.delete(tmp)  # concurrent winner published first
+
+    ensure_artifact(spark, path, ident, _build)
     return os.path.join(path, "data")
 
 
@@ -402,11 +393,7 @@ def orders_upsert_stream_layout(spark: SparkSession, sf_dir: str) -> str:
     ident = f"{fs.qualified(src)}|{st[0]}|{st[1]}|stream-{_SPEC}"
     key = hashlib.md5(ident.encode()).hexdigest()[:16]
     path = os.path.join(root, f"orders_cowstream_{key}")
-    with _build_lock(path):
-        if fs.exists(os.path.join(path, "_IDENT")):
-            return os.path.join(path, "data")
-        tmp = f"{path}.build-{os.getpid()}"
-        fs.delete(tmp)
+    def _build(tmp: str) -> None:
         data = os.path.join(tmp, "data")
         base = _orders_state(spark, sf_dir)
         init_table(
@@ -433,18 +420,16 @@ def orders_upsert_stream_layout(spark: SparkSession, sf_dir: str) -> str:
             q.processAllAvailable()
         finally:
             q.stop()
-        final_data = os.path.join(path, "data")
         from time_series_prediction_spark.operators.manifest import (
             _resolve_base,
         )
 
         _reprefix_manifests(
             spark, manifest_root(data), _resolve_base(data, spark),
-            final_data,
+            os.path.join(path, "data"),
         )
-        fs.write_text(os.path.join(tmp, "_IDENT"), ident)
-        if not fs.publish_dir(tmp, path):
-            fs.delete(tmp)
+
+    ensure_artifact(spark, path, ident, _build)
     return os.path.join(path, "data")
 
 
@@ -625,11 +610,7 @@ def orders_cow_string_layout(spark: SparkSession, sf_dir: str) -> str:
     ident = f"{fs.qualified(src)}|{st[0]}|{st[1]}|{_STR_SPEC}"
     key = hashlib.md5(ident.encode()).hexdigest()[:16]
     path = os.path.join(root, f"orders_cowstr_{key}")
-    with _build_lock(path):
-        if fs.exists(os.path.join(path, "_IDENT")):
-            return os.path.join(path, "data")
-        tmp = f"{path}.build-{os.getpid()}"
-        fs.delete(tmp)
+    def _build(tmp: str) -> None:
         data = os.path.join(tmp, "data")
         base = _orders_state(spark, sf_dir).select(
             F.concat(
@@ -658,18 +639,16 @@ def orders_cow_string_layout(spark: SparkSession, sf_dir: str) -> str:
         merge_upsert(
             spark, data, updates, key="o_key", keep_versions=_KEEP
         )
-        final_data = os.path.join(path, "data")
         from time_series_prediction_spark.operators.manifest import (
             _resolve_base,
         )
 
         _reprefix_manifests(
             spark, manifest_root(data), _resolve_base(data, spark),
-            final_data,
+            os.path.join(path, "data"),
         )
-        fs.write_text(os.path.join(tmp, "_IDENT"), ident)
-        if not fs.publish_dir(tmp, path):
-            fs.delete(tmp)
+
+    ensure_artifact(spark, path, ident, _build)
     return os.path.join(path, "data")
 
 
@@ -733,11 +712,7 @@ def orders_dv_layout(spark: SparkSession, sf_dir: str) -> str:
     ident = f"{fs.qualified(src)}|{st[0]}|{st[1]}|{_DV_SPEC}"
     key = hashlib.md5(ident.encode()).hexdigest()[:16]
     path = os.path.join(root, f"orders_dv_{key}")
-    with _build_lock(path):
-        if fs.exists(os.path.join(path, "_IDENT")):
-            return os.path.join(path, "data")
-        tmp = f"{path}.build-{os.getpid()}"
-        fs.delete(tmp)
+    def _build(tmp: str) -> None:
         data = os.path.join(tmp, "data")
         base = _orders_state(spark, sf_dir)
         init_table(
@@ -748,18 +723,16 @@ def orders_dv_layout(spark: SparkSession, sf_dir: str) -> str:
         delete_keys_dv(
             spark, data, dead, key="o_orderkey", keep_versions=_KEEP
         )
-        final_data = os.path.join(path, "data")
         from time_series_prediction_spark.operators.manifest import (
             _resolve_base,
         )
 
         _reprefix_manifests(
             spark, manifest_root(data), _resolve_base(data, spark),
-            final_data,
+            os.path.join(path, "data"),
         )
-        fs.write_text(os.path.join(tmp, "_IDENT"), ident)
-        if not fs.publish_dir(tmp, path):
-            fs.delete(tmp)
+
+    ensure_artifact(spark, path, ident, _build)
     return os.path.join(path, "data")
 
 
@@ -813,11 +786,7 @@ def orders_cdc_stream_layout(spark: SparkSession, sf_dir: str) -> str:
     ident = f"{fs.qualified(src)}|{st[0]}|{st[1]}|{_CDC_SPEC}"
     key = hashlib.md5(ident.encode()).hexdigest()[:16]
     path = os.path.join(root, f"orders_cdc_{key}")
-    with _build_lock(path):
-        if fs.exists(os.path.join(path, "_IDENT")):
-            return os.path.join(path, "data")
-        tmp = f"{path}.build-{os.getpid()}"
-        fs.delete(tmp)
+    def _build(tmp: str) -> None:
         data = os.path.join(tmp, "data")
         base = _orders_state(spark, sf_dir)
         init_table(
@@ -862,18 +831,16 @@ def orders_cdc_stream_layout(spark: SparkSession, sf_dir: str) -> str:
             q.processAllAvailable()
         finally:
             q.stop()
-        final_data = os.path.join(path, "data")
         from time_series_prediction_spark.operators.manifest import (
             _resolve_base,
         )
 
         _reprefix_manifests(
             spark, manifest_root(data), _resolve_base(data, spark),
-            final_data,
+            os.path.join(path, "data"),
         )
-        fs.write_text(os.path.join(tmp, "_IDENT"), ident)
-        if not fs.publish_dir(tmp, path):
-            fs.delete(tmp)
+
+    ensure_artifact(spark, path, ident, _build)
     return os.path.join(path, "data")
 
 
@@ -934,11 +901,7 @@ def orders_delta_layout(spark: SparkSession, sf_dir: str) -> str:
     ident = f"{fs.qualified(src)}|{st[0]}|{st[1]}|{_DELTA_SPEC}"
     key = hashlib.md5(ident.encode()).hexdigest()[:16]
     path = os.path.join(root, f"orders_delta_{key}")
-    with _build_lock(path):
-        if fs.exists(os.path.join(path, "_IDENT")):
-            return os.path.join(path, "data")
-        tmp = f"{path}.build-{os.getpid()}"
-        fs.delete(tmp)
+    def _build(tmp: str) -> None:
         data = os.path.join(tmp, "data")
         base = _orders_state(spark, sf_dir)
         write_delta_log(base, data, mode="overwrite")
@@ -952,9 +915,8 @@ def orders_delta_layout(spark: SparkSession, sf_dir: str) -> str:
             data,
             mode="append",
         )
-        fs.write_text(os.path.join(tmp, "_IDENT"), ident)
-        if not fs.publish_dir(tmp, path):
-            fs.delete(tmp)
+
+    ensure_artifact(spark, path, ident, _build)
     return os.path.join(path, "data")
 
 
@@ -1017,11 +979,7 @@ def events_delta_stream_layout(spark: SparkSession, sf_dir: str) -> str:
     ident = f"{fs.qualified(src)}|{st[0]}|{st[1]}|{_DELTA_STREAM_SPEC}"
     key = hashlib.md5(ident.encode()).hexdigest()[:16]
     path = os.path.join(root, f"events_delta_{key}")
-    with _build_lock(path):
-        if fs.exists(os.path.join(path, "_IDENT")):
-            return os.path.join(path, "data")
-        tmp = f"{path}.build-{os.getpid()}"
-        fs.delete(tmp)
+    def _build(tmp: str) -> None:
         data = os.path.join(tmp, "data")
         ev = read_table(spark, sf_dir, "events").select(
             "event_id",
@@ -1039,9 +997,8 @@ def events_delta_stream_layout(spark: SparkSession, sf_dir: str) -> str:
         sink(batches[1], 1)
         sink(batches[1], 1)  # crash replay — must be deduped via txn
         sink(batches[2], 2)
-        fs.write_text(os.path.join(tmp, "_IDENT"), ident)
-        if not fs.publish_dir(tmp, path):
-            fs.delete(tmp)
+
+    ensure_artifact(spark, path, ident, _build)
     return os.path.join(path, "data")
 
 
@@ -1100,19 +1057,15 @@ def orders_cow_restored_layout(
     ident = f"{fs.qualified(src_data)}|{_CLONE_SPEC}"
     key = hashlib.md5(ident.encode()).hexdigest()[:16]
     path = os.path.join(root, f"orders_cow_clone_{key}")
-    with _build_lock(path):
-        if not fs.exists(os.path.join(path, "_IDENT")):
-            tmp = f"{path}.build-{os.getpid()}"
-            fs.delete(tmp)
-            meta_tmp = os.path.join(tmp, "meta")
-            clone_table(spark, src_data, meta_tmp)
-            restore_table(
-                spark, os.path.join(tmp, "data"), 1, root=meta_tmp,
-                keep_versions=_KEEP,
-            )
-            fs.write_text(os.path.join(tmp, "_IDENT"), ident)
-            if not fs.publish_dir(tmp, path):
-                fs.delete(tmp)  # concurrent winner published first
+    def _build(tmp: str) -> None:
+        meta_tmp = os.path.join(tmp, "meta")
+        clone_table(spark, src_data, meta_tmp)
+        restore_table(
+            spark, os.path.join(tmp, "data"), 1, root=meta_tmp,
+            keep_versions=_KEEP,
+        )
+
+    ensure_artifact(spark, path, ident, _build)
     return os.path.join(path, "data"), os.path.join(path, "meta")
 
 
@@ -1215,33 +1168,29 @@ def orders_cow_evolved_layout(
     ident = f"{fs.qualified(src_data)}|{_EVO_SPEC}"
     key = hashlib.md5(ident.encode()).hexdigest()[:16]
     path = os.path.join(root, f"orders_cow_evo_{key}")
-    with _build_lock(path):
-        if not fs.exists(os.path.join(path, "_IDENT")):
-            tmp = f"{path}.build-{os.getpid()}"
-            fs.delete(tmp)
-            meta_tmp = os.path.join(tmp, "meta")
-            data_tmp = os.path.join(tmp, "data")
-            clone_table(spark, src_data, meta_tmp)
-            cur = read_committed(spark, data_tmp, root=meta_tmp)
-            ups = cur.where("o_orderkey % 97 = 0").select(
-                "o_orderkey",
-                "o_custkey",
-                "o_orderstatus",
-                (F.col("price_cents") + F.lit(777)).alias("price_cents"),
-                "o_orderpriority",
-                F.lit("backfill").alias("channel"),
-            )
-            merge_upsert(
-                spark, data_tmp, ups, key="o_orderkey", root=meta_tmp,
-                keep_versions=_KEEP, evolve_schema=True,
-            )
-            _reprefix_manifests(
-                spark, meta_tmp, _resolve_base(data_tmp, spark),
-                os.path.join(path, "data"),
-            )
-            fs.write_text(os.path.join(tmp, "_IDENT"), ident)
-            if not fs.publish_dir(tmp, path):
-                fs.delete(tmp)  # concurrent winner published first
+    def _build(tmp: str) -> None:
+        meta_tmp = os.path.join(tmp, "meta")
+        data_tmp = os.path.join(tmp, "data")
+        clone_table(spark, src_data, meta_tmp)
+        cur = read_committed(spark, data_tmp, root=meta_tmp)
+        ups = cur.where("o_orderkey % 97 = 0").select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            (F.col("price_cents") + F.lit(777)).alias("price_cents"),
+            "o_orderpriority",
+            F.lit("backfill").alias("channel"),
+        )
+        merge_upsert(
+            spark, data_tmp, ups, key="o_orderkey", root=meta_tmp,
+            keep_versions=_KEEP, evolve_schema=True,
+        )
+        _reprefix_manifests(
+            spark, meta_tmp, _resolve_base(data_tmp, spark),
+            os.path.join(path, "data"),
+        )
+
+    ensure_artifact(spark, path, ident, _build)
     return os.path.join(path, "data"), os.path.join(path, "meta")
 
 
@@ -1354,43 +1303,39 @@ def events_forget_layout(spark: SparkSession, sf_dir: str) -> str:
     ident = f"{fs.qualified(src)}|{st[0]}|{st[1]}|{_FORGET_SPEC}"
     key = hashlib.md5(ident.encode()).hexdigest()[:16]
     path = os.path.join(root, f"events_forget_{key}")
-    with _build_lock(path):
-        if not fs.exists(os.path.join(path, "_IDENT")):
-            tmp = f"{path}.build-{os.getpid()}"
-            fs.delete(tmp)
-            data = os.path.join(tmp, "data")
-            ev = read_table(spark, sf_dir, "events").select(
-                "event_id",
-                "user_id",
-                "event_type",
-                F.expr("CAST(round(value * 100) AS BIGINT)").alias(
-                    "cents"
-                ),
-            )
-            init_table(
-                spark, data, ev, key="user_id", n_files=8,
-                keep_versions=_KEEP,
-            )
-            victims = ev.select("user_id").where(
-                "user_id % 29 = 0"
-            ).distinct()
-            _, audit = forget_keys(
-                spark, data, victims, "user_id", keep_versions=_KEEP,
-            )
-            audit.coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(tmp, "audit")
-            )
-            from time_series_prediction_spark.operators.manifest import (
-                _resolve_base,
-            )
+    def _build(tmp: str) -> None:
+        data = os.path.join(tmp, "data")
+        ev = read_table(spark, sf_dir, "events").select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        init_table(
+            spark, data, ev, key="user_id", n_files=8,
+            keep_versions=_KEEP,
+        )
+        victims = ev.select("user_id").where(
+            "user_id % 29 = 0"
+        ).distinct()
+        _, audit = forget_keys(
+            spark, data, victims, "user_id", keep_versions=_KEEP,
+        )
+        audit.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(tmp, "audit")
+        )
+        from time_series_prediction_spark.operators.manifest import (
+            _resolve_base,
+        )
 
-            _reprefix_manifests(
-                spark, manifest_root(data), _resolve_base(data, spark),
-                os.path.join(path, "data"),
-            )
-            fs.write_text(os.path.join(tmp, "_IDENT"), ident)
-            if not fs.publish_dir(tmp, path):
-                fs.delete(tmp)  # concurrent winner published first
+        _reprefix_manifests(
+            spark, manifest_root(data), _resolve_base(data, spark),
+            os.path.join(path, "data"),
+        )
+
+    ensure_artifact(spark, path, ident, _build)
     return path
 
 
@@ -1443,48 +1388,44 @@ def orders_cow_composite_layout(spark: SparkSession, sf_dir: str) -> str:
     ident = f"{fs.qualified(src)}|{st[0]}|{st[1]}|{_COMP_SPEC}"
     key = hashlib.md5(ident.encode()).hexdigest()[:16]
     path = os.path.join(root, f"orders_cow_comp_{key}")
-    with _build_lock(path):
-        if not fs.exists(os.path.join(path, "_IDENT")):
-            tmp = f"{path}.build-{os.getpid()}"
-            fs.delete(tmp)
-            data = os.path.join(tmp, "data")
-            base = read_table(spark, sf_dir, "orders").select(
-                F.expr(
-                    f"datediff(CAST(o_orderdate AS DATE),"
-                    f" DATE '{_COMP_EPOCH}')"
-                ).cast("long").alias("day"),
-                F.col("o_orderkey").cast("long").alias("o_orderkey"),
-                "o_orderstatus",
-                F.expr(
-                    "CAST(round(o_totalprice * 100) AS BIGINT)"
-                ).alias("price_cents"),
-                "o_orderpriority",
-            )
-            init_table(
-                spark, data, base, key=["day", "o_orderkey"],
-                n_files=16, keep_versions=_KEEP,
-            )
-            ups = base.where(
-                f"day BETWEEN {_COMP_D0} AND {_COMP_D1}"
-                " AND o_orderkey % 7 = 0"
-            ).select(
-                "day",
-                "o_orderkey",
-                F.lit("C").alias("o_orderstatus"),
-                (F.col("price_cents") + F.lit(555)).alias("price_cents"),
-                "o_orderpriority",
-            )
-            merge_upsert(
-                spark, data, ups, key=["day", "o_orderkey"],
-                keep_versions=_KEEP,
-            )
-            _reprefix_manifests(
-                spark, manifest_root(data), _resolve_base(data, spark),
-                os.path.join(path, "data"),
-            )
-            fs.write_text(os.path.join(tmp, "_IDENT"), ident)
-            if not fs.publish_dir(tmp, path):
-                fs.delete(tmp)  # concurrent winner published first
+    def _build(tmp: str) -> None:
+        data = os.path.join(tmp, "data")
+        base = read_table(spark, sf_dir, "orders").select(
+            F.expr(
+                f"datediff(CAST(o_orderdate AS DATE),"
+                f" DATE '{_COMP_EPOCH}')"
+            ).cast("long").alias("day"),
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            "o_orderstatus",
+            F.expr(
+                "CAST(round(o_totalprice * 100) AS BIGINT)"
+            ).alias("price_cents"),
+            "o_orderpriority",
+        )
+        init_table(
+            spark, data, base, key=["day", "o_orderkey"],
+            n_files=16, keep_versions=_KEEP,
+        )
+        ups = base.where(
+            f"day BETWEEN {_COMP_D0} AND {_COMP_D1}"
+            " AND o_orderkey % 7 = 0"
+        ).select(
+            "day",
+            "o_orderkey",
+            F.lit("C").alias("o_orderstatus"),
+            (F.col("price_cents") + F.lit(555)).alias("price_cents"),
+            "o_orderpriority",
+        )
+        merge_upsert(
+            spark, data, ups, key=["day", "o_orderkey"],
+            keep_versions=_KEEP,
+        )
+        _reprefix_manifests(
+            spark, manifest_root(data), _resolve_base(data, spark),
+            os.path.join(path, "data"),
+        )
+
+    ensure_artifact(spark, path, ident, _build)
     return os.path.join(path, "data")
 
 
@@ -1549,54 +1490,50 @@ def orders_cow_composite_dv_layout(
     ident = f"{fs.qualified(src_data)}|{_COMP_DV_SPEC}"
     key = hashlib.md5(ident.encode()).hexdigest()[:16]
     path = os.path.join(root, f"orders_cow_compdv_{key}")
-    with _build_lock(path):
-        if not fs.exists(os.path.join(path, "_IDENT")):
-            tmp = f"{path}.build-{os.getpid()}"
-            fs.delete(tmp)
-            meta_tmp = os.path.join(tmp, "meta")
-            data_tmp = os.path.join(tmp, "data")
-            clone_table(spark, src_data, meta_tmp)
-            cur = read_committed(spark, data_tmp, root=meta_tmp)
-            dels = cur.where(
-                f"day BETWEEN {_COMP_D0} AND {_COMP_D0 + _COMP_DVD}"
-                " AND o_orderkey % 5 = 0"
-            ).select("day", "o_orderkey")
-            delete_keys_dv(
-                spark, data_tmp, dels, key=["day", "o_orderkey"],
-                root=meta_tmp, keep_versions=_KEEP,
-            )
-            undel = (
-                read_table(spark, sf_dir, "orders")
-                .select(
+    def _build(tmp: str) -> None:
+        meta_tmp = os.path.join(tmp, "meta")
+        data_tmp = os.path.join(tmp, "data")
+        clone_table(spark, src_data, meta_tmp)
+        cur = read_committed(spark, data_tmp, root=meta_tmp)
+        dels = cur.where(
+            f"day BETWEEN {_COMP_D0} AND {_COMP_D0 + _COMP_DVD}"
+            " AND o_orderkey % 5 = 0"
+        ).select("day", "o_orderkey")
+        delete_keys_dv(
+            spark, data_tmp, dels, key=["day", "o_orderkey"],
+            root=meta_tmp, keep_versions=_KEEP,
+        )
+        undel = (
+            read_table(spark, sf_dir, "orders")
+            .select(
+                F.expr(
+                    f"datediff(CAST(o_orderdate AS DATE),"
+                    f" DATE '{_COMP_EPOCH}')"
+                ).cast("long").alias("day"),
+                F.col("o_orderkey").cast("long").alias("o_orderkey"),
+                F.lit("U").alias("o_orderstatus"),
+                (
                     F.expr(
-                        f"datediff(CAST(o_orderdate AS DATE),"
-                        f" DATE '{_COMP_EPOCH}')"
-                    ).cast("long").alias("day"),
-                    F.col("o_orderkey").cast("long").alias("o_orderkey"),
-                    F.lit("U").alias("o_orderstatus"),
-                    (
-                        F.expr(
-                            "CAST(round(o_totalprice * 100) AS BIGINT)"
-                        ) + F.lit(99)
-                    ).alias("price_cents"),
-                    "o_orderpriority",
-                )
-                .where(
-                    f"day BETWEEN {_COMP_D0} AND {_COMP_D0 + _COMP_UND}"
-                    " AND o_orderkey % 10 = 0"
-                )
+                        "CAST(round(o_totalprice * 100) AS BIGINT)"
+                    ) + F.lit(99)
+                ).alias("price_cents"),
+                "o_orderpriority",
             )
-            merge_upsert(
-                spark, data_tmp, undel, key=["day", "o_orderkey"],
-                root=meta_tmp, keep_versions=_KEEP,
+            .where(
+                f"day BETWEEN {_COMP_D0} AND {_COMP_D0 + _COMP_UND}"
+                " AND o_orderkey % 10 = 0"
             )
-            _reprefix_manifests(
-                spark, meta_tmp, _resolve_base(data_tmp, spark),
-                os.path.join(path, "data"),
-            )
-            fs.write_text(os.path.join(tmp, "_IDENT"), ident)
-            if not fs.publish_dir(tmp, path):
-                fs.delete(tmp)  # concurrent winner published first
+        )
+        merge_upsert(
+            spark, data_tmp, undel, key=["day", "o_orderkey"],
+            root=meta_tmp, keep_versions=_KEEP,
+        )
+        _reprefix_manifests(
+            spark, meta_tmp, _resolve_base(data_tmp, spark),
+            os.path.join(path, "data"),
+        )
+
+    ensure_artifact(spark, path, ident, _build)
     return os.path.join(path, "data"), os.path.join(path, "meta")
 
 

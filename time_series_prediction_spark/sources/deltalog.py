@@ -53,6 +53,8 @@ _LOG_DIR = "_delta_log"
 # readerFeatures-gated table is an honest refusal
 _SUPPORTED_READER_FEATURES = {
     "timestampNtz",  # plain type support — parquet reader handles it
+    "deletionVectors",  # roaring-bitmap DV files/inline (this module)
+    "columnMapping",  # 'name' mode (physical→logical rename)
 }
 
 
@@ -105,7 +107,10 @@ def is_delta_table(spark: SparkSession, path: str) -> bool:
 
 def _check_protocol(proto: dict) -> None:
     min_reader = int(proto.get("minReaderVersion", 1))
-    if min_reader <= 1:
+    if min_reader <= 2:
+        # v2 adds column mapping, which this reader implements in
+        # 'name' mode ('id' mode is refused at metaData time — the
+        # mode lives in the table configuration, not the protocol)
         return
     feats = set(proto.get("readerFeatures") or [])
     if min_reader == 3 and feats <= _SUPPORTED_READER_FEATURES:
@@ -113,7 +118,7 @@ def _check_protocol(proto: dict) -> None:
     raise DeltaProtocolUnsupported(
         f"delta table requires minReaderVersion={min_reader} "
         f"readerFeatures={sorted(feats)}; this native reader supports "
-        f"version 1 tables (and feature-gated tables using only "
+        f"version ≤2 tables (and feature-gated tables using only "
         f"{sorted(_SUPPORTED_READER_FEATURES)})"
     )
 
@@ -207,6 +212,172 @@ def delta_snapshot(
             f"delta log under {log} carries no metaData action"
         )
     return state, meta[0], v, txns
+
+
+# --------------------------------------------------------------------
+# Deletion vectors (PROTOCOL.md "Deletion Vectors"): per-file roaring
+# bitmaps of deleted ROW POSITIONS, stored inline (z85 in the action),
+# in a UUID-named sidecar under the table, or at an absolute path.
+# The bitmap is the spec's 64-bit "RoaringBitmapArray" in PORTABLE
+# serialization: <4B LE magic 1681511377><8B LE #bitmaps> then each
+# 32-bit bitmap in the standard RoaringFormatSpec portable layout.
+# Everything here is driver-side byte parsing — DVs are metadata-sized
+# by design (cardinality counts, not row data).
+
+_RBM_MAGIC = 1681511377
+_Z85_ALPHABET = (
+    "0123456789abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+)
+_Z85_MAP = {c: i for i, c in enumerate(_Z85_ALPHABET)}
+
+
+def _z85_decode(s: str) -> bytes:
+    """ZeroMQ base-85 (the spec's encoding for inline DVs and DV-file
+    UUIDs): 5 chars → 4 bytes, big-endian base-85."""
+    if len(s) % 5:
+        raise ValueError(f"z85 length {len(s)} not a multiple of 5")
+    out = bytearray()
+    for i in range(0, len(s), 5):
+        v = 0
+        for c in s[i:i + 5]:
+            v = v * 85 + _Z85_MAP[c]
+        out += v.to_bytes(4, "big")
+    return bytes(out)
+
+
+def _parse_roaring32(data: bytes, pos: int) -> tuple[list[int], int]:
+    """One standard 32-bit RoaringBitmap (portable serialization):
+    array / bitset / run containers. Returns (values, next_pos)."""
+    import struct
+
+    cookie, = struct.unpack_from("<I", data, pos)
+    if (cookie & 0xFFFF) == 12347:  # SERIAL_COOKIE: run containers
+        n = (cookie >> 16) + 1
+        pos += 4
+        nrb = (n + 7) // 8
+        run_flags = data[pos:pos + nrb]
+        pos += nrb
+        has_offsets = n >= 4  # NO_OFFSET_THRESHOLD
+    elif cookie == 12346:  # SERIAL_COOKIE_NO_RUNCONTAINER
+        n, = struct.unpack_from("<I", data, pos + 4)
+        pos += 8
+        run_flags = bytes((n + 7) // 8)
+        has_offsets = True
+    else:
+        raise DeltaProtocolUnsupported(
+            f"unknown roaring bitmap cookie {cookie}"
+        )
+    keys, cards = [], []
+    for _ in range(n):
+        k, c = struct.unpack_from("<HH", data, pos)
+        pos += 4
+        keys.append(k)
+        cards.append(c + 1)
+    if has_offsets:
+        pos += 4 * n  # offsets are redundant in a sequential parse
+    values: list[int] = []
+    for i in range(n):
+        base = keys[i] << 16
+        if (run_flags[i // 8] >> (i % 8)) & 1:  # run container
+            n_runs, = struct.unpack_from("<H", data, pos)
+            pos += 2
+            for _ in range(n_runs):
+                s0, ln = struct.unpack_from("<HH", data, pos)
+                pos += 4
+                values.extend(range(base + s0, base + s0 + ln + 1))
+        elif cards[i] <= 4096:  # array container
+            vals = struct.unpack_from(f"<{cards[i]}H", data, pos)
+            pos += 2 * cards[i]
+            values.extend(base + v for v in vals)
+        else:  # bitset container: 1024 × 8-byte words
+            for wi in range(1024):
+                w, = struct.unpack_from("<Q", data, pos + wi * 8)
+                off = base + wi * 64
+                while w:
+                    b = (w & -w).bit_length() - 1
+                    values.append(off + b)
+                    w &= w - 1
+            pos += 8192
+    return values, pos
+
+
+def _parse_roaring_bitmap_array(data: bytes) -> list[int]:
+    """The spec's 64-bit RoaringBitmapArray (portable): value v lives
+    in 32-bit bitmap number v>>32 at low-word v & 0xFFFFFFFF."""
+    import struct
+
+    magic, = struct.unpack_from("<i", data, 0)
+    if magic != _RBM_MAGIC:
+        raise DeltaProtocolUnsupported(
+            f"deletion-vector bitmap magic {magic} != {_RBM_MAGIC}"
+        )
+    n_bitmaps, = struct.unpack_from("<q", data, 4)
+    pos = 12
+    out: list[int] = []
+    for high in range(n_bitmaps):
+        vals, pos = _parse_roaring32(data, pos)
+        base = high << 32
+        out.extend(base | v for v in vals)
+    return out
+
+
+def _dv_positions(fs, table_path: str, dv: dict) -> list[int]:
+    """Deleted row positions for one file's deletionVector descriptor:
+    inline ('i', z85 bitmap in the action), UUID sidecar ('u',
+    ``deletion_vector_<uuid>.bin`` under the table, optional random
+    prefix), or absolute path ('p'). File-backed DVs carry a 1-byte
+    format version, then at ``offset`` a 4-byte big-endian size, the
+    bitmap, and a CRC-32 (big-endian) of the bitmap bytes."""
+    import struct
+    import uuid as _uuid
+    import zlib
+
+    st = dv["storageType"]
+    if st == "i":
+        return _parse_roaring_bitmap_array(
+            _z85_decode(dv["pathOrInlineDv"])
+        )
+    if st == "u":
+        enc = dv["pathOrInlineDv"]
+        prefix, uuid_enc = enc[:-20], enc[-20:]
+        u = _uuid.UUID(bytes=_z85_decode(uuid_enc))
+        parts = [table_path] + ([prefix] if prefix else [])
+        p = os.path.join(*parts, f"deletion_vector_{u}.bin")
+    elif st == "p":
+        p = dv["pathOrInlineDv"]
+    else:
+        raise DeltaProtocolUnsupported(
+            f"deletion-vector storageType {st!r}"
+        )
+    raw = fs.read_bytes(p)
+    off = int(dv.get("offset") or 0)
+    size, = struct.unpack_from(">i", raw, off)
+    data = raw[off + 4: off + 4 + size]
+    crc, = struct.unpack_from(">I", raw, off + 4 + size)
+    if (zlib.crc32(data) & 0xFFFFFFFF) != crc:
+        raise ValueError(f"deletion-vector checksum mismatch in {p}")
+    return _parse_roaring_bitmap_array(data)
+
+
+def _column_mapping(meta: dict, schema: StructType) -> dict[str, str]:
+    """logical → physical column names under column mapping. Empty
+    dict = no mapping (physical == logical). 'id' mode (parquet
+    field-id resolution) is refused honestly."""
+    mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    if mode in ("none", ""):
+        return {}
+    if mode != "name":
+        raise DeltaProtocolUnsupported(
+            f"columnMapping.mode={mode!r} (only 'name' is implemented)"
+        )
+    out = {}
+    for f in schema.fields:
+        md = f.metadata or {}
+        out[f.name] = md.get("delta.columnMapping.physicalName", f.name)
+    return out
 
 
 def write_delta_log(
@@ -332,30 +503,77 @@ def read_delta_log(
     OF`` via ``version``): scan exactly the snapshot's live files and
     attach each file's partition-column literals, typed from the
     table schema. Files are grouped by partition tuple — one reader
-    per distinct partition combination, unioned."""
+    per distinct partition combination, unioned.
+
+    Protocol features implemented natively:
+
+    * **column mapping ('name' mode)** — data files and
+      partitionValues carry PHYSICAL column names
+      (``delta.columnMapping.physicalName`` field metadata); the scan
+      selects physical names and aliases them back to the logical
+      schema. 'id' mode is refused.
+    * **deletion vectors** — a file carrying a ``deletionVector``
+      descriptor scans with the parquet ``_metadata.row_index`` and
+      anti-joins the DV's deleted positions (parsed driver-side from
+      the roaring bitmap — DVs are metadata-sized by design).
+    """
     files, meta, _v, _txns = delta_snapshot(spark, path, version)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = list(meta.get("partitionColumns") or [])
+    mapping = _column_mapping(meta, schema)  # logical -> physical
     if not files:
         return spark.createDataFrame([], schema)
-    by_part: dict[tuple, list[str]] = {}
-    for rel, add in files.items():
-        pvals = add["partitionValues"]
-        key = tuple(pvals.get(c) for c in part_cols)
-        by_part.setdefault(key, []).append(os.path.join(path, rel))
+    fs = fs_for(spark, path)
     types = {f.name: f.dataType for f in schema.fields}
-    parts = []
-    for key, flist in sorted(by_part.items()):
-        df = spark.read.parquet(*sorted(flist))
+    data_fields = [f.name for f in schema.fields if f.name not in part_cols]
+
+    def _logical(df: DataFrame, key: tuple) -> DataFrame:
+        sel = [
+            F.col(mapping.get(c, c)).alias(c) if mapping else F.col(c)
+            for c in data_fields
+        ]
+        out = df.select(*sel)
         for c, raw in zip(part_cols, key):
             # partitionValues are strings (null = missing); cast to
             # the declared type exactly like Spark's partition
             # discovery would
-            df = df.withColumn(
+            out = out.withColumn(
                 c, F.lit(raw).cast(types[c]) if raw is not None
                 else F.lit(None).cast(types[c])
             )
-        parts.append(df.select([f.name for f in schema.fields]))
+        return out.select([f.name for f in schema.fields])
+
+    by_part: dict[tuple, list[str]] = {}
+    dv_parts: list[DataFrame] = []
+    for rel, add in files.items():
+        pvals = add["partitionValues"]
+        key = tuple(
+            pvals.get(mapping.get(c, c)) for c in part_cols
+        )
+        f = os.path.join(path, rel)
+        if add.get("deletionVector"):
+            # per-file DV scan: row positions come from the parquet
+            # reader's _metadata.row_index; deleted positions
+            # anti-join (broadcast — DV cardinality is metadata-sized)
+            positions = _dv_positions(fs, path, add["deletionVector"])
+            pos_df = spark.createDataFrame(
+                [(p,) for p in positions], "_ri long"
+            )
+            raw_df = (
+                spark.read.parquet(f)
+                .select(
+                    F.col("_metadata.row_index").alias("_ri"), "*"
+                )
+                .join(F.broadcast(pos_df), "_ri", "left_anti")
+                .drop("_ri")
+            )
+            dv_parts.append(_logical(raw_df, key))
+        else:
+            by_part.setdefault(key, []).append(f)
+    parts = []
+    for key, flist in sorted(by_part.items()):
+        parts.append(_logical(spark.read.parquet(*sorted(flist)), key))
+    parts.extend(dv_parts)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

@@ -156,6 +156,19 @@ class Fs:
         finally:
             out.close()
 
+    def read_bytes(self, path: str) -> bytes:
+        """Whole-file binary read (metadata-sized files only — Delta
+        deletion-vector sidecars, markers)."""
+        stream = self._jfs.open(self._p(path))
+        try:
+            return bytes(
+                self._jvm.org.apache.commons.io.IOUtils.toByteArray(
+                    stream
+                )
+            )
+        finally:
+            stream.close()
+
     def read_text(self, path: str) -> str:
         stream = self._jfs.open(self._p(path))
         try:
