@@ -586,3 +586,180 @@ def test_unsupported_reader_feature_still_refused(spark, tmp_path):
     ])
     with pytest.raises(DeltaProtocolUnsupported):
         read_delta(spark, table)
+
+
+def test_delta_delete_writes_protocol_dvs(spark, tmp_path):
+    """Native DELETE via deletion vectors: matched positions serialize
+    as protocol roaring bitmaps into a UUID sidecar, the touched adds
+    re-commit with DV descriptors + the v3 protocol upgrade, the
+    spec-pinned reader hides exactly the deleted rows, VERSION AS OF
+    shows the pre-delete state, and a second delete UNIONS positions
+    instead of resurrecting the first batch."""
+    from time_series_prediction_spark.sources.deltalog import (
+        delta_delete,
+        delta_snapshot,
+        write_delta_log,
+    )
+
+    table = str(tmp_path / "t")
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("int").alias("p"),
+        (F.col("id") * 3).alias("v"),
+    )
+    write_delta_log(df, table, mode="overwrite", partition_cols=["p"])
+
+    v1 = delta_delete(spark, table, "k % 10 = 0")
+    assert v1 == 1
+    got = sorted(r["k"] for r in read_delta(spark, table).collect())
+    assert got == [k for k in range(100) if k % 10 != 0]
+    # time travel: pre-delete snapshot intact
+    v0 = read_delta(spark, table, version=0)
+    assert v0.count() == 100
+    # the DV rides the protocol descriptor, not a data rewrite
+    files, _m, _v, _t = delta_snapshot(spark, table)
+    with_dv = [r for r, a in files.items() if a.get("deletionVector")]
+    assert with_dv, "no add carries a deletionVector"
+    for rel, a in files.items():
+        if a.get("deletionVector"):
+            assert a["deletionVector"]["storageType"] == "u"
+            assert a["deletionVector"]["cardinality"] > 0
+    sidecars = [
+        n for n in os.listdir(table)
+        if n.startswith("deletion_vector_") and n.endswith(".bin")
+    ]
+    assert sidecars
+
+    # second delete on overlapping files: positions union
+    v2 = delta_delete(spark, table, "k % 15 = 0")
+    assert v2 == 2
+    got2 = sorted(r["k"] for r in read_delta(spark, table).collect())
+    assert got2 == [
+        k for k in range(100) if k % 10 != 0 and k % 15 != 0
+    ]
+    # predicate matching nothing: no commit burned
+    assert delta_delete(spark, table, "k = -1") == 2
+    # predicate over the PARTITION column works too
+    v3 = delta_delete(spark, table, "p = 3 AND k < 20")
+    got3 = sorted(r["k"] for r in read_delta(spark, table).collect())
+    assert got3 == [
+        k for k in range(100)
+        if k % 10 != 0 and k % 15 != 0 and not (k % 4 == 3 and k < 20)
+    ]
+    assert v3 == 3
+
+
+def test_roaring_serializer_roundtrips_spec_parser(spark):
+    """The DELETE writer's bitmap serializer must round-trip through
+    the spec-pinned parser — including a >4096-value bitset container
+    and values above 2^32 (second positional bitmap)."""
+    from time_series_prediction_spark.sources.deltalog import (
+        _parse_roaring_bitmap_array,
+        _serialize_roaring_bitmap_array,
+    )
+
+    cases = [
+        [],
+        [0],
+        [1, 3, 7, 65535, 65536, 131072 + 5],
+        list(range(5000)),                      # bitset container
+        [2**32 + 7, 2**32 + 9, 5],              # multi-bitmap
+        list(range(0, 200000, 3)),
+    ]
+    for c in cases:
+        got = sorted(_parse_roaring_bitmap_array(
+            _serialize_roaring_bitmap_array(c)
+        ))
+        assert got == sorted(set(c)), f"roundtrip failed for {c[:5]}…"
+
+
+def test_multipart_checkpoint_reads(spark, tmp_path):
+    """A COMPLETE multi-part checkpoint (<v>.checkpoint.<i>.<n>.parquet)
+    replays like a classic one; an incomplete group is ignored (and
+    alone makes the table unreplayable, not wrong)."""
+    from time_series_prediction_spark.sources.deltalog import (
+        read_delta_log,
+    )
+
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    sch = "k long, v long"
+    schema_json = spark.createDataFrame([], sch).schema.json()
+    _write_parquet(spark, os.path.join(table, "A.parquet"),
+                   [(i, i) for i in range(5)], sch)
+    _write_parquet(spark, os.path.join(table, "B.parquet"),
+                   [(i, i) for i in range(5, 10)], sch)
+    log = os.path.join(table, "_delta_log")
+    os.makedirs(log)
+    cp_schema = (
+        "protocol struct<minReaderVersion:int>, "
+        "metaData struct<id:string, format:struct<provider:string>, "
+        "schemaString:string, partitionColumns:array<string>>, "
+        "add struct<path:string, partitionValues:map<string,string>>"
+    )
+    # part 1: protocol + metaData; part 2: the adds
+    _write_parquet(
+        spark,
+        os.path.join(log, f"{1:020d}.checkpoint.{1:010d}.{2:010d}.parquet"),
+        [
+            ({"minReaderVersion": 1}, None, None),
+            (None, {
+                "id": "x", "format": {"provider": "parquet"},
+                "schemaString": schema_json, "partitionColumns": [],
+            }, None),
+        ],
+        cp_schema,
+    )
+    _write_parquet(
+        spark,
+        os.path.join(log, f"{1:020d}.checkpoint.{2:010d}.{2:010d}.parquet"),
+        [
+            (None, None, {"path": "A.parquet", "partitionValues": {}}),
+            (None, None, {"path": "B.parquet", "partitionValues": {}}),
+        ],
+        cp_schema,
+    )
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        f.write(json.dumps({"version": 1, "size": 4, "parts": 2}))
+    assert is_delta_table(spark, table)
+    got = sorted(r["k"] for r in read_delta_log(spark, table).collect())
+    assert got == list(range(10))
+    # commits after the checkpoint replay on top
+    _write_parquet(spark, os.path.join(table, "C.parquet"),
+                   [(10, 10)], sch)
+    _commit(table, 2, [_add("C.parquet"), _remove("A.parquet")])
+    got2 = sorted(r["k"] for r in read_delta_log(spark, table).collect())
+    assert got2 == list(range(5, 11))
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """TIMESTAMP AS OF: commit mtimes resolve to the newest commit at
+    or before the asked instant; asking before the first retained
+    commit raises (cleaned history must not silently answer with a
+    later snapshot)."""
+    import time as _time
+
+    from time_series_prediction_spark.sources.deltalog import (
+        version_at_timestamp,
+        write_delta_log,
+    )
+
+    table = str(tmp_path / "t")
+    df = spark.range(5).select(F.col("id").alias("k"))
+    write_delta_log(df, table, mode="overwrite")
+    _time.sleep(1.1)
+    t_between = int(_time.time() * 1000)
+    _time.sleep(1.1)
+    write_delta_log(
+        spark.range(5, 8).select(F.col("id").alias("k")),
+        table, mode="append",
+    )
+    assert version_at_timestamp(spark, table, t_between) == 0
+    now = int(_time.time() * 1000) + 10_000
+    assert version_at_timestamp(spark, table, now) == 1
+    assert read_delta(
+        spark, table, timestamp_ms=t_between
+    ).count() == 5
+    assert read_delta(spark, table, timestamp_ms=now).count() == 8
+    with pytest.raises(ValueError, match="predates"):
+        version_at_timestamp(spark, table, 1000)

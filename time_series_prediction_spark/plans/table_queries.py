@@ -877,6 +877,79 @@ GROUP BY st
 """
 
 
+_DELTA_DV_SPEC = "delta-orders-dv|v1|29|del-19band|native-dv"
+
+
+def orders_delta_dv_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Native-log Delta table taking TWO protocol deletion-vector
+    DELETEs (``sources/deltalog.delta_delete``): %29 keys everywhere,
+    then a partition-predicate delete on one status. No data file is
+    rewritten — the deletes live as roaring-bitmap sidecars referenced
+    by the re-committed adds (protocol v3 upgrade), and the
+    spec-pinned reader anti-joins row positions. Cached per fixture
+    content."""
+    from time_series_prediction_spark.sources.deltalog import (
+        delta_delete,
+        write_delta_log,
+    )
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    root = os.path.join(tempfile.gettempdir(), "tsp_layouts")
+    fs = fs_for(spark, root)
+    st = fs.status(src)
+    if st is None:
+        raise FileNotFoundError(src)
+    ident = f"{fs.qualified(src)}|{st[0]}|{st[1]}|{_DELTA_DV_SPEC}"
+    key = hashlib.md5(ident.encode()).hexdigest()[:16]
+    path = os.path.join(root, f"orders_deltadv_{key}")
+
+    def _build(tmp: str) -> None:
+        data = os.path.join(tmp, "data")
+        base = _orders_state(spark, sf_dir)
+        write_delta_log(
+            base, data, mode="overwrite",
+            partition_cols=["o_orderstatus"],
+        )
+        delta_delete(spark, data, "o_orderkey % 29 = 0")
+        # partition-column predicate: 'P' rows in the %19 key band
+        delta_delete(
+            spark, data,
+            "o_orderstatus = 'P' AND o_orderkey % 19 = 0",
+        )
+
+    ensure_artifact(spark, path, ident, _build)
+    return os.path.join(path, "data")
+
+
+def orders_delta_dv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan through the deletion vectors: the two DV deletes must
+    equal the oracle's plain WHERE over raw orders — no rewrite
+    happened, only bitmap sidecars."""
+    from time_series_prediction_spark.sources.io import read_delta
+
+    data = orders_delta_dv_layout(spark, sf_dir)
+    return (
+        read_delta(spark, data)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("price_cents").cast("long").alias("total_cents"),
+        )
+    )
+
+
+ORDERS_DELTA_DV_SQL = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+WHERE o_orderkey % 29 <> 0
+  AND NOT (o_orderstatus = 'P' AND o_orderkey % 19 = 0)
+GROUP BY o_orderstatus
+"""
+
+
 _DELTA_SPEC = "delta-orders|v1|3|101|native-log"
 
 
@@ -1739,6 +1812,10 @@ TABLE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "orders_delta_log_scan": (
         orders_delta_log_scan,
         ORDERS_DELTA_LOG_SQL,
+    ),
+    "orders_delta_dv_scan": (
+        orders_delta_dv_scan,
+        ORDERS_DELTA_DV_SQL,
     ),
     "orders_cdc_ingest_scan": (
         orders_cdc_ingest_scan,

@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import urllib.parse
 
 from pyspark.sql import DataFrame, SparkSession
@@ -82,27 +83,57 @@ def has_delta_log(spark: SparkSession, path: str) -> bool:
     )
 
 
+_CP_MULTI = re.compile(
+    r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$"
+)
+
+
+def _checkpoint_groups(names: list[str]) -> dict[int, list[str]]:
+    """Usable checkpoints by version: classic single-part
+    ``<v>.checkpoint.parquet`` and COMPLETE multi-part
+    ``<v>.checkpoint.<i>.<n>.parquet`` groups (all n parts present —
+    a partial group is an in-flight or interrupted checkpoint write
+    and must be ignored, exactly as real readers do)."""
+    out: dict[int, list[str]] = {}
+    multi: dict[tuple[int, int], dict[int, str]] = {}
+    for n in names:
+        if n.endswith(".checkpoint.parquet") and n[:20].isdigit():
+            out[int(n[:20])] = [n]
+            continue
+        m = _CP_MULTI.match(n)
+        if m:
+            v, i, total = int(m[1]), int(m[2]), int(m[3])
+            multi.setdefault((v, total), {})[i] = n
+    for (v, total), parts in multi.items():
+        if len(parts) == total:
+            out.setdefault(v, [parts[i] for i in sorted(parts)])
+    return out
+
+
 def is_delta_table(spark: SparkSession, path: str) -> bool:
     """True when ``path`` carries a Delta transaction log THIS reader
-    can replay — classic ``<v>.json`` commits or single-part
-    ``<v>.checkpoint.parquet`` rollups (after log cleanup a long-lived
-    table may be checkpoint-only; treating that as 'not a table' would
-    restart the version counter at 0 and the snapshot replay would
-    silently discard the new commits as pre-checkpoint history).
+    can replay — classic ``<v>.json`` commits, single-part
+    ``<v>.checkpoint.parquet`` rollups, or complete multi-part
+    ``<v>.checkpoint.<i>.<n>.parquet`` groups (after log cleanup a
+    long-lived table may be checkpoint-only; treating that as 'not a
+    table' would restart the version counter at 0 and the snapshot
+    replay would silently discard the new commits as pre-checkpoint
+    history).
 
     Callers deciding "Delta vs plain parquet" must use
     ``has_delta_log`` instead and treat ``has_delta_log and not
     is_delta_table`` as an unsupported-layout ERROR — a real Delta
-    table whose log holds only multi-part or v2 checkpoints is still a
-    Delta table, and reading its data dir as parquet double-counts
-    removed files."""
+    table whose log holds only v2/UUID checkpoints is still a Delta
+    table, and reading its data dir as parquet double-counts removed
+    files."""
     fs = fs_for(spark, path)
     log = os.path.join(path, _LOG_DIR)
-    return fs.is_dir(log) and any(
-        (n.endswith(".json") or n.endswith(".checkpoint.parquet"))
-        and n[:20].isdigit()
-        for n in fs.list_names(log)
-    )
+    if not fs.is_dir(log):
+        return False
+    names = fs.list_names(log)
+    return any(
+        n.endswith(".json") and n[:20].isdigit() for n in names
+    ) or bool(_checkpoint_groups(names))
 
 
 def _check_protocol(proto: dict) -> None:
@@ -164,13 +195,15 @@ def delta_snapshot(
     parquet."""
     fs = fs_for(spark, path)
     log = os.path.join(path, _LOG_DIR)
+    names = fs.list_names(log)
     commits: dict[int, str] = {}
-    checkpoints: dict[int, str] = {}
-    for n in fs.list_names(log):
+    for n in names:
         if n.endswith(".json") and n[:20].isdigit():
             commits[int(n[:20])] = os.path.join(log, n)
-        elif n.endswith(".checkpoint.parquet") and n[:20].isdigit():
-            checkpoints[int(n[:20])] = os.path.join(log, n)
+    checkpoints: dict[int, list[str]] = {
+        v: [os.path.join(log, p) for p in parts]
+        for v, parts in _checkpoint_groups(names).items()
+    }
     if not commits and not checkpoints:
         raise ValueError(f"no delta log entries under {log}")
     latest = max(list(commits) + list(checkpoints))
@@ -186,7 +219,7 @@ def delta_snapshot(
     usable_cp = [cv for cv in checkpoints if cv <= v]
     if usable_cp:
         cp_v = max(usable_cp)
-        cp = spark.read.parquet(checkpoints[cp_v])
+        cp = spark.read.parquet(*checkpoints[cp_v])
         cols = set(cp.columns)
         for row in cp.collect():
             d = row.asDict(recursive=True)
@@ -212,6 +245,37 @@ def delta_snapshot(
             f"delta log under {log} carries no metaData action"
         )
     return state, meta[0], v, txns
+
+
+def version_at_timestamp(
+    spark: SparkSession, path: str, ts_ms: int
+) -> int:
+    """TIMESTAMP AS OF resolution: the newest commit whose timestamp
+    is ≤ ``ts_ms`` (epoch millis). Commit timestamps are the commit
+    files' modification times — the classic Delta rule (tables with
+    in-commit timestamps would carry them in commitInfo; this reader
+    uses the file clock uniformly). Raises when the timestamp
+    predates the first retained commit — after log cleanup earlier
+    history is gone, and silently answering with a later snapshot
+    would be wrong."""
+    fs = fs_for(spark, path)
+    log = os.path.join(path, _LOG_DIR)
+    stamps: list[tuple[int, int]] = []  # (version, mtime_ms)
+    for n in fs.list_names(log):
+        if n.endswith(".json") and n[:20].isdigit():
+            st = fs.status(os.path.join(log, n))
+            if st is not None:
+                stamps.append((int(n[:20]), st[1]))
+    if not stamps:
+        raise ValueError(f"no delta commits under {log}")
+    eligible = [v for v, m in stamps if m <= ts_ms]
+    if not eligible:
+        first_v, first_m = min(stamps)
+        raise ValueError(
+            f"timestamp {ts_ms} predates the first retained commit "
+            f"(v{first_v} at {first_m}); earlier history was cleaned"
+        )
+    return max(eligible)
 
 
 # --------------------------------------------------------------------
@@ -244,6 +308,66 @@ def _z85_decode(s: str) -> bytes:
             v = v * 85 + _Z85_MAP[c]
         out += v.to_bytes(4, "big")
     return bytes(out)
+
+
+def _z85_encode(data: bytes) -> str:
+    """Inverse of ``_z85_decode`` (4 bytes → 5 chars, big-endian)."""
+    if len(data) % 4:
+        raise ValueError(f"z85 length {len(data)} not a multiple of 4")
+    out = []
+    for i in range(0, len(data), 4):
+        v = int.from_bytes(data[i:i + 4], "big")
+        chunk = []
+        for _ in range(5):
+            v, r = divmod(v, 85)
+            chunk.append(_Z85_ALPHABET[r])
+        out.extend(reversed(chunk))
+    return "".join(out)
+
+
+def _serialize_roaring32(values: list[int]) -> bytes:
+    """One 32-bit RoaringBitmap, portable serialization (no-run
+    cookie; array containers ≤4096 values, bitset above)."""
+    import struct
+
+    by_key: dict[int, list[int]] = {}
+    for v in sorted(set(values)):
+        by_key.setdefault(v >> 16, []).append(v & 0xFFFF)
+    keys = sorted(by_key)
+    n = len(keys)
+    out = struct.pack("<I", 12346) + struct.pack("<I", n)
+    for k in keys:
+        out += struct.pack("<HH", k, len(by_key[k]) - 1)
+    header_len = 4 + 4 + 4 * n + 4 * n
+    offsets = b""
+    containers = b""
+    for k in keys:
+        vals = by_key[k]
+        offsets += struct.pack("<I", header_len + len(containers))
+        if len(vals) <= 4096:
+            containers += struct.pack(f"<{len(vals)}H", *vals)
+        else:
+            words = [0] * 1024
+            for v in vals:
+                words[v >> 6] |= 1 << (v & 63)
+            containers += struct.pack("<1024Q", *words)
+    return out + offsets + containers
+
+
+def _serialize_roaring_bitmap_array(positions: list[int]) -> bytes:
+    """Inverse of ``_parse_roaring_bitmap_array``: the spec's 64-bit
+    portable RoaringBitmapArray. Bitmaps are positional (index =
+    high 32 bits), so intermediate empty bitmaps are emitted."""
+    import struct
+
+    by_high: dict[int, list[int]] = {}
+    for p in sorted(set(positions)):
+        by_high.setdefault(p >> 32, []).append(p & 0xFFFFFFFF)
+    n_bitmaps = (max(by_high) + 1) if by_high else 0
+    out = struct.pack("<i", _RBM_MAGIC) + struct.pack("<q", n_bitmaps)
+    for h in range(n_bitmaps):
+        out += _serialize_roaring32(by_high.get(h, []))
+    return out
 
 
 def _parse_roaring32(data: bytes, pos: int) -> tuple[list[int], int]:
@@ -496,6 +620,143 @@ def write_delta_log(
     return next_v
 
 
+def delta_delete(spark: SparkSession, path: str, predicate: str) -> int:
+    """DELETE FROM the native Delta table WHERE ``predicate`` — via
+    protocol deletion vectors, no jars: matching ROW POSITIONS are
+    found in one scan per partition group (parquet
+    ``_metadata.file_path`` + ``row_index``), serialized as the
+    spec's portable roaring bitmaps into ONE ``deletion_vector_<uuid>
+    .bin`` sidecar (1-byte version, per-DV big-endian size + bitmap +
+    CRC-32), and each touched file's ``add`` is re-committed carrying
+    the DV descriptor. The commit upgrades the table protocol to
+    reader v3 / writer v7 with the ``deletionVectors`` feature — the
+    same upgrade delta-spark performs on first DV write. Files with
+    an existing DV get the UNION of positions (re-pointed at the new
+    sidecar). Returns the committed version (unchanged if nothing
+    matched).
+
+    Scale shape: the scan is distributed and returns only MATCHED
+    (file, position) pairs to the driver — the scattered-delete path
+    where positions are metadata-sized. A delete matching most of the
+    table should rewrite (``write_delta_log`` overwrite) instead;
+    that trade is the same one Delta's own DV writer documents.
+    Column-mapped tables are refused (the predicate would need
+    physical-name rewriting)."""
+    import struct
+    import uuid as _uuid
+    import zlib
+
+    files, meta, v, _txns = delta_snapshot(spark, path)
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    if _column_mapping(meta, schema):
+        raise DeltaProtocolUnsupported(
+            "DELETE on a column-mapped table is not implemented"
+        )
+    part_cols = list(meta.get("partitionColumns") or [])
+    types = {f.name: f.dataType for f in schema.fields}
+    fs = fs_for(spark, path)
+    # group per (partition tuple, directory): filenames are unique
+    # within one directory, so _metadata.file_name maps a matched row
+    # back to its log-relative file unambiguously
+    by_group: dict[tuple, list[str]] = {}
+    for rel, add in files.items():
+        key = tuple(add["partitionValues"].get(c) for c in part_cols)
+        by_group.setdefault((key, os.path.dirname(rel)), []).append(rel)
+    hits: dict[str, list[int]] = {}
+    for (key, _dirn), rels in sorted(by_group.items()):
+        base_map = {os.path.basename(r): r for r in rels}
+        df = spark.read.parquet(
+            *[os.path.join(path, r) for r in sorted(rels)]
+        ).select(
+            F.col("_metadata.file_name").alias("_fn"),
+            F.col("_metadata.row_index").alias("_ri"),
+            "*",
+        )
+        for c, raw in zip(part_cols, key):
+            df = df.withColumn(
+                c, F.lit(raw).cast(types[c]) if raw is not None
+                else F.lit(None).cast(types[c])
+            )
+        matched = df.where(predicate).select("_fn", "_ri").collect()
+        for r in matched:
+            rel = base_map.get(r["_fn"])
+            if rel is None:
+                raise ValueError(
+                    f"cannot map scanned file {r['_fn']} to a live file"
+                )
+            hits.setdefault(rel, []).append(int(r["_ri"]))
+    if not hits:
+        return v  # nothing matched: no commit burned
+    # merge with any existing DV (re-deleting already-hidden rows is
+    # a no-op union, and the old positions must not resurrect)
+    for rel in hits:
+        old = files[rel].get("deletionVector")
+        if old:
+            hits[rel] = sorted(
+                set(hits[rel]) | set(_dv_positions(fs, path, old))
+            )
+    u = _uuid.uuid4()
+    payload = bytearray(b"\x01")  # DV file format version
+    descs: dict[str, dict] = {}
+    for rel in sorted(hits):
+        data = _serialize_roaring_bitmap_array(hits[rel])
+        off = len(payload)
+        payload += struct.pack(">i", len(data))
+        payload += data
+        payload += struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
+        descs[rel] = {
+            "storageType": "u",
+            "pathOrInlineDv": _z85_encode(u.bytes),
+            "offset": off,
+            "sizeInBytes": len(data),
+            "cardinality": len(hits[rel]),
+        }
+    fs.write_bytes(
+        os.path.join(path, f"deletion_vector_{u}.bin"), bytes(payload)
+    )
+    actions: list[dict] = [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"],
+            }
+        }
+    ]
+    for rel in sorted(hits):
+        add = files[rel]
+        actions.append(
+            {
+                "remove": {
+                    "path": urllib.parse.quote(rel),
+                    "deletionTimestamp": 0,
+                    "dataChange": True,
+                }
+            }
+        )
+        actions.append(
+            {
+                "add": {
+                    "path": urllib.parse.quote(rel),
+                    "partitionValues": add["partitionValues"],
+                    "size": int(add.get("size") or 0),
+                    "modificationTime": int(
+                        add.get("modificationTime") or 0
+                    ),
+                    "dataChange": True,
+                    "deletionVector": descs[rel],
+                }
+            }
+        )
+    log = os.path.join(path, _LOG_DIR)
+    fs.write_text(
+        os.path.join(log, f"{v + 1:020d}.json"),
+        "".join(json.dumps(a) + "\n" for a in actions),
+    )
+    return v + 1
+
+
 def read_delta_log(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
@@ -544,7 +805,12 @@ def read_delta_log(
         return out.select([f.name for f in schema.fields])
 
     by_part: dict[tuple, list[str]] = {}
-    dv_parts: list[DataFrame] = []
+    # DV'd files group per (partition tuple, directory): ONE scan per
+    # group with (filename, row_index) anti-joined against the
+    # union of the group's deleted positions — N DV'd files cost one
+    # plan branch, not N. Filenames are unique within a directory by
+    # filesystem law, so (filename, position) identifies a row.
+    dv_groups: dict[tuple, dict[str, list[int]]] = {}
     for rel, add in files.items():
         pvals = add["partitionValues"]
         key = tuple(
@@ -552,28 +818,32 @@ def read_delta_log(
         )
         f = os.path.join(path, rel)
         if add.get("deletionVector"):
-            # per-file DV scan: row positions come from the parquet
-            # reader's _metadata.row_index; deleted positions
-            # anti-join (broadcast — DV cardinality is metadata-sized)
             positions = _dv_positions(fs, path, add["deletionVector"])
-            pos_df = spark.createDataFrame(
-                [(p,) for p in positions], "_ri long"
-            )
-            raw_df = (
-                spark.read.parquet(f)
-                .select(
-                    F.col("_metadata.row_index").alias("_ri"), "*"
-                )
-                .join(F.broadcast(pos_df), "_ri", "left_anti")
-                .drop("_ri")
-            )
-            dv_parts.append(_logical(raw_df, key))
+            gk = (key, os.path.dirname(rel))
+            dv_groups.setdefault(gk, {})[f] = positions
         else:
             by_part.setdefault(key, []).append(f)
     parts = []
     for key, flist in sorted(by_part.items()):
         parts.append(_logical(spark.read.parquet(*sorted(flist)), key))
-    parts.extend(dv_parts)
+    for (key, _dirn), group in sorted(dv_groups.items()):
+        pos_rows = [
+            (os.path.basename(p), pos)
+            for p, plist in group.items()
+            for pos in plist
+        ]
+        pos_df = spark.createDataFrame(pos_rows, "_fn string, _ri long")
+        raw_df = (
+            spark.read.parquet(*sorted(group))
+            .select(
+                F.col("_metadata.file_name").alias("_fn"),
+                F.col("_metadata.row_index").alias("_ri"),
+                "*",
+            )
+            .join(F.broadcast(pos_df), ["_fn", "_ri"], "left_anti")
+            .drop("_fn", "_ri")
+        )
+        parts.append(_logical(raw_df, key))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

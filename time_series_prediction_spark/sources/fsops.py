@@ -156,6 +156,13 @@ class Fs:
         finally:
             out.close()
 
+    def write_bytes(self, path: str, data: bytes) -> None:
+        out = self._jfs.create(self._p(path), True)
+        try:
+            out.write(bytearray(data))
+        finally:
+            out.close()
+
     def read_bytes(self, path: str) -> bytes:
         """Whole-file binary read (metadata-sized files only — Delta
         deletion-vector sidecars, markers)."""

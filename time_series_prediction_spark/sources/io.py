@@ -156,7 +156,10 @@ def _delta_available(spark: SparkSession) -> bool:
 
 
 def read_delta(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    timestamp_ms: int | None = None,
 ) -> DataFrame:
     """S4: Delta scan (reference ``src/demo/training.py:158``).
 
@@ -168,19 +171,33 @@ def read_delta(
     time travel); plain parquet only when the directory carries no
     Delta log at all. The old parquet-only fallback was silently
     WRONG on a real Delta table (it read tombstoned files)."""
+    if version is not None and timestamp_ms is not None:
+        raise ValueError("pass version OR timestamp_ms, not both")
     if _delta_available(spark):
         reader = spark.read.format("delta")
         if version is not None:
             reader = reader.option("versionAsOf", str(version))
+        if timestamp_ms is not None:
+            import datetime as _dt
+
+            reader = reader.option(
+                "timestampAsOf",
+                _dt.datetime.fromtimestamp(
+                    timestamp_ms / 1000.0, tz=_dt.timezone.utc
+                ).strftime("%Y-%m-%d %H:%M:%S"),
+            )
         return reader.load(path)
     from time_series_prediction_spark.sources.deltalog import (
         DeltaProtocolUnsupported,
         has_delta_log,
         is_delta_table,
         read_delta_log,
+        version_at_timestamp,
     )
 
     if is_delta_table(spark, path):
+        if timestamp_ms is not None:
+            version = version_at_timestamp(spark, path, timestamp_ms)
         return read_delta_log(spark, path, version=version)
     if has_delta_log(spark, path):
         # the _delta_log exists but holds no classic commit/checkpoint
