@@ -763,3 +763,92 @@ def test_timestamp_time_travel(spark, tmp_path):
     assert read_delta(spark, table, timestamp_ms=now).count() == 8
     with pytest.raises(ValueError, match="predates"):
         version_at_timestamp(spark, table, 1000)
+
+
+def test_delta_changes_since_tails_appends_exactly_once(
+    spark, tmp_path
+):
+    """The streaming-source tail: three polls over a growing table
+    deliver each appended row exactly once; an empty tail returns
+    (None, latest); rewrite churn within a window (add+remove of the
+    same file) delivers nothing."""
+    from time_series_prediction_spark.sources.deltalog import (
+        delta_changes_since,
+        write_delta_log,
+    )
+
+    table = str(tmp_path / "t")
+    write_delta_log(
+        spark.range(5).select(F.col("id").alias("k")), table,
+        mode="overwrite",
+    )
+    got, v = delta_changes_since(spark, table, -1)
+    assert sorted(r["k"] for r in got.collect()) == list(range(5))
+    assert v == 0
+    none_df, v2 = delta_changes_since(spark, table, v)
+    assert none_df is None and v2 == 0
+    write_delta_log(
+        spark.range(5, 9).select(F.col("id").alias("k")), table,
+        mode="append",
+    )
+    write_delta_log(
+        spark.range(9, 12).select(F.col("id").alias("k")), table,
+        mode="append",
+    )
+    got2, v3 = delta_changes_since(spark, table, v)
+    assert sorted(r["k"] for r in got2.collect()) == list(range(5, 12))
+    assert v3 == 2
+    # total across the polling loop == the table, each row once
+    all_rows = sorted(r["k"] for r in got.collect()) + sorted(
+        r["k"] for r in got2.collect()
+    )
+    assert all_rows == sorted(
+        r["k"] for r in read_delta(spark, table).collect()
+    )
+
+
+def test_delta_changes_since_refuses_deletes(spark, tmp_path):
+    """Deletes inside the tail window (remove-with-dataChange from an
+    overwrite, or a DV attach) must refuse by default — already-
+    delivered rows were deleted and a pure tail cannot retract them;
+    ignore_deletes opts into skipping."""
+    from time_series_prediction_spark.sources.deltalog import (
+        delta_changes_since,
+        delta_delete,
+        write_delta_log,
+    )
+
+    table = str(tmp_path / "t")
+    write_delta_log(
+        spark.range(10).select(F.col("id").alias("k")), table,
+        mode="overwrite",
+    )
+    _got, v = delta_changes_since(spark, table, -1)
+    # overwrite = remove + add
+    write_delta_log(
+        spark.range(20, 24).select(F.col("id").alias("k")), table,
+        mode="overwrite",
+    )
+    with pytest.raises(ValueError, match="already-\ndelivered|deletes data"):
+        delta_changes_since(spark, table, v)
+    got, v2 = delta_changes_since(spark, table, v, ignore_deletes=True)
+    assert sorted(r["k"] for r in got.collect()) == [20, 21, 22, 23]
+
+    # DV attach refuses the same way
+    table2 = str(tmp_path / "t2")
+    write_delta_log(
+        spark.range(10).select(F.col("id").alias("k")), table2,
+        mode="overwrite",
+    )
+    _g, v0 = delta_changes_since(spark, table2, -1)
+    delta_delete(spark, table2, "k < 3")
+    # the DV commit re-commits its file as remove+add, so the generic
+    # delete refusal fires — either message is the right refusal
+    with pytest.raises(
+        ValueError, match="deletes data|deletion vector"
+    ):
+        delta_changes_since(spark, table2, v0)
+    none_df, _ = delta_changes_since(
+        spark, table2, v0, ignore_deletes=True
+    )
+    assert none_df is None  # the DV commit re-adds no NEW data files

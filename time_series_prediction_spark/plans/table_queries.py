@@ -1102,6 +1102,86 @@ GROUP BY event_type
 """
 
 
+_DELTA_TAIL_SPEC = "delta-events-tail|v1|4polls|fold"
+
+
+def events_delta_tail_layout(spark: SparkSession, sf_dir: str) -> str:
+    """A consumer TAILING a native Delta table as it grows: four
+    append batches land in the table, and after each the consumer
+    polls ``delta_changes_since`` from its checkpointed version and
+    folds the delivered rows into an accumulator. The accumulator's
+    aggregate equals the raw truth ONLY if every appended row was
+    delivered exactly once across the polls — the streaming-source
+    contract. An idle poll (no new commits) must deliver nothing.
+    Cached per fixture content."""
+    from time_series_prediction_spark.sources.deltalog import (
+        delta_changes_since,
+        write_delta_log,
+    )
+
+    src = os.path.join(sf_dir, "events.parquet")
+    root = os.path.join(tempfile.gettempdir(), "tsp_layouts")
+    fs = fs_for(spark, root)
+    st = fs.status(src)
+    if st is None:
+        raise FileNotFoundError(src)
+    ident = f"{fs.qualified(src)}|{st[0]}|{st[1]}|{_DELTA_TAIL_SPEC}"
+    key = hashlib.md5(ident.encode()).hexdigest()[:16]
+    path = os.path.join(root, f"events_dtail_{key}")
+
+    def _build(tmp: str) -> None:
+        data = os.path.join(tmp, "data")
+        acc = os.path.join(tmp, "acc")
+        ev = read_table(spark, sf_dir, "events").select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias(
+                "value_cents"
+            ),
+        )
+        last_v = -1
+        for i in range(4):
+            write_delta_log(
+                ev.where(F.col("event_id") % 4 == i), data,
+                mode="append" if i else "overwrite",
+            )
+            delivered, last_v = delta_changes_since(spark, data, last_v)
+            assert delivered is not None, f"poll {i} delivered nothing"
+            delivered.write.mode("append").parquet(acc)
+            # idle re-poll: nothing new may be delivered
+            again, again_v = delta_changes_since(spark, data, last_v)
+            assert again is None and again_v == last_v
+
+    ensure_artifact(spark, path, ident, _build)
+    return path
+
+
+def events_delta_tail_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over the tail-fold accumulator: equality with the
+    raw-events oracle proves exactly-once delivery across the four
+    polls (a duplicate or a miss shifts the counts)."""
+    path = events_delta_tail_layout(spark, sf_dir)
+    return (
+        spark.read.parquet(os.path.join(path, "acc"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("value_cents").cast("long").alias("total_cents"),
+        )
+    )
+
+
+EVENTS_DELTA_TAIL_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM events
+GROUP BY event_type
+"""
+
+
 _CLONE_SPEC = "cow-clone|v1|restore-to-1"
 
 
@@ -1816,6 +1896,10 @@ TABLE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "orders_delta_dv_scan": (
         orders_delta_dv_scan,
         ORDERS_DELTA_DV_SQL,
+    ),
+    "events_delta_tail_scan": (
+        events_delta_tail_scan,
+        EVENTS_DELTA_TAIL_SQL,
     ),
     "orders_cdc_ingest_scan": (
         orders_cdc_ingest_scan,

@@ -850,6 +850,129 @@ def read_delta_log(
     return out
 
 
+def delta_changes_since(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    ignore_deletes: bool = False,
+) -> tuple[DataFrame | None, int]:
+    """Incremental tail of the native Delta log — the streaming-source
+    read: rows ADDED by commits ``from_version+1 .. latest``, plus the
+    latest version to checkpoint. Returns ``(None, latest)`` when
+    nothing new. Each data file is read exactly once across a
+    correctly-checkpointed polling loop, so tailing cost is
+    proportional to the NEW data, never the table.
+
+    Matches Delta's streaming-source contract for non-append changes:
+    a ``remove`` with ``dataChange`` (or a DV appearing/growing on an
+    already-delivered file) means rows this tail already emitted were
+    later deleted — silently continuing would leave the consumer with
+    phantom rows, so it raises unless ``ignore_deletes`` (the
+    ``ignoreDeletes`` option) is set. Optimize/compaction commits
+    (``dataChange=false``) pass through silently in either mode.
+
+    Scale shape: only the tail commits' JSON is parsed (no checkpoint
+    reads, no table scan); the returned frame scans exactly the new
+    files."""
+    fs = fs_for(spark, path)
+    log = os.path.join(path, _LOG_DIR)
+    commits: dict[int, str] = {}
+    for n in fs.list_names(log):
+        if n.endswith(".json") and n[:20].isdigit():
+            commits[int(n[:20])] = os.path.join(log, n)
+    if not commits:
+        raise ValueError(f"no delta commits under {log}")
+    latest = max(commits)
+    if latest <= from_version:
+        return None, latest
+    missing = [
+        v for v in range(from_version + 1, latest + 1)
+        if v not in commits
+    ]
+    if missing:
+        raise ValueError(
+            f"log cleanup removed commits {missing}; this tail's "
+            "history is gone — restart the consumer from a snapshot"
+        )
+    # the tail needs the table metaData for schema/partitions; read it
+    # from the full snapshot resolution (cheap: log-sized)
+    _files, meta, _v, _txns = delta_snapshot(spark, path, latest)
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    if _column_mapping(meta, schema):
+        raise DeltaProtocolUnsupported(
+            "tailing a column-mapped table is not implemented"
+        )
+    part_cols = list(meta.get("partitionColumns") or [])
+    types = {f.name: f.dataType for f in schema.fields}
+    new_adds: dict[str, dict] = {}
+    removed_in_window: set[str] = set()
+    for cv in range(from_version + 1, latest + 1):
+        for line in fs.read_text(commits[cv]).splitlines():
+            line = line.strip()
+            if not line:
+                continue
+            action = json.loads(line)
+            if "remove" in action:
+                r = action["remove"]
+                rel = urllib.parse.unquote(r["path"])
+                if rel in new_adds:
+                    # added and removed within this tail window:
+                    # rewrite churn, rows never delivered — drop it
+                    new_adds.pop(rel)
+                    continue
+                removed_in_window.add(rel)
+                if r.get("dataChange", True) and not ignore_deletes:
+                    raise ValueError(
+                        f"commit {cv} deletes data from already-"
+                        "delivered files (remove with dataChange) — "
+                        "a pure tail cannot express deletes; pass "
+                        "ignore_deletes=True to skip them, or consume "
+                        "the change feed instead"
+                    )
+            elif "add" in action:
+                a = action["add"]
+                rel = urllib.parse.unquote(a["path"])
+                if a.get("deletionVector") and not ignore_deletes:
+                    raise ValueError(
+                        f"commit {cv} attaches a deletion vector — "
+                        "rows already delivered were deleted; pass "
+                        "ignore_deletes=True to skip, or consume the "
+                        "change feed instead"
+                    )
+                if rel in removed_in_window:
+                    # a re-add of a pre-window file (DV attach or
+                    # rewrite): its rows were already delivered —
+                    # re-emitting them would duplicate; under
+                    # ignore_deletes the tail skips the change
+                    continue
+                if a.get("dataChange", True):
+                    new_adds[rel] = a
+    if not new_adds:
+        return None, latest
+    by_part: dict[tuple, list[str]] = {}
+    for rel, a in new_adds.items():
+        key = tuple(
+            (a.get("partitionValues") or {}).get(c) for c in part_cols
+        )
+        by_part.setdefault(key, []).append(os.path.join(path, rel))
+    data_fields = [
+        f.name for f in schema.fields if f.name not in part_cols
+    ]
+    parts = []
+    for key, flist in sorted(by_part.items()):
+        df = spark.read.parquet(*sorted(flist)).select(*data_fields)
+        for c, raw in zip(part_cols, key):
+            df = df.withColumn(
+                c, F.lit(raw).cast(types[c]) if raw is not None
+                else F.lit(None).cast(types[c])
+            )
+        parts.append(df.select([f.name for f in schema.fields]))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out, latest
+
+
 def write_checkpoint(
     spark: SparkSession, path: str, clean_old_commits: bool = False
 ) -> int:
