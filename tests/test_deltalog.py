@@ -569,9 +569,9 @@ def test_column_mapping_id_mode_refused(spark, tmp_path):
 
 
 def test_unsupported_reader_feature_still_refused(spark, tmp_path):
-    """v3 tables gated on a feature this reader lacks (e.g. v2
-    checkpoints) must refuse even though DVs/columnMapping are now
-    supported."""
+    """v3 tables gated on a feature this reader lacks (e.g. variant
+    types) must refuse even though DVs/columnMapping/v2Checkpoint are
+    now supported."""
     table = str(tmp_path / "t")
     os.makedirs(table)
     sch = "k long"
@@ -580,7 +580,7 @@ def test_unsupported_reader_feature_still_refused(spark, tmp_path):
                    [(1,)], sch)
     _commit(table, 0, [
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                      "readerFeatures": ["v2Checkpoint"]}},
+                      "readerFeatures": ["variantType"]}},
         _meta(schema_json),
         _add("A.parquet"),
     ])
@@ -852,3 +852,115 @@ def test_delta_changes_since_refuses_deletes(spark, tmp_path):
         spark, table2, v0, ignore_deletes=True
     )
     assert none_df is None  # the DV commit re-adds no NEW data files
+
+
+def test_v2_uuid_checkpoint_with_sidecars(spark, tmp_path):
+    """A v2 (UUID-named) checkpoint whose FILE actions live in
+    _delta_log/_sidecars parquets replays correctly — checkpoint-only
+    log (history cleaned) plus one tail commit. This was a refusal
+    before round 9."""
+    import uuid
+
+    from time_series_prediction_spark.sources.deltalog import (
+        has_delta_log,
+        read_delta_log,
+    )
+
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    sch = "k long, v long"
+    schema_json = spark.createDataFrame([], sch).schema.json()
+    for name, lo in (("A", 0), ("B", 10)):
+        _write_parquet(spark, os.path.join(table, f"{name}.parquet"),
+                       [(i, i) for i in range(lo, lo + 10)], sch)
+    log = os.path.join(table, "_delta_log")
+    sidecar_dir = os.path.join(log, "_sidecars")
+    os.makedirs(sidecar_dir)
+    # sidecar: the live file actions (A live, B was removed pre-cp)
+    sc_schema = (
+        "add struct<path:string, partitionValues:map<string,string>, "
+        "size:long, modificationTime:long, dataChange:boolean>, "
+        "remove struct<path:string, deletionTimestamp:long, "
+        "dataChange:boolean>"
+    )
+    _write_parquet(
+        spark, os.path.join(sidecar_dir, "sc-1.parquet"),
+        [
+            ({"path": "A.parquet", "partitionValues": {}, "size": 1,
+              "modificationTime": 0, "dataChange": False}, None),
+            (None, {"path": "B.parquet", "deletionTimestamp": 0,
+                    "dataChange": False}),
+        ],
+        sc_schema,
+    )
+    # the v2 checkpoint itself: protocol/metaData/checkpointMetadata +
+    # the sidecar reference
+    cp_schema = (
+        "protocol struct<minReaderVersion:int, minWriterVersion:int, "
+        "readerFeatures:array<string>, writerFeatures:array<string>>, "
+        "metaData struct<id:string, format:struct<provider:string>, "
+        "schemaString:string, partitionColumns:array<string>>, "
+        "checkpointMetadata struct<version:long>, "
+        "sidecar struct<path:string, sizeInBytes:long>"
+    )
+    cp_rows = [
+        ({"minReaderVersion": 3, "minWriterVersion": 7,
+          "readerFeatures": ["v2Checkpoint"],
+          "writerFeatures": ["v2Checkpoint"]}, None, None, None),
+        (None, {
+            "id": "x", "format": {"provider": "parquet"},
+            "schemaString": schema_json, "partitionColumns": [],
+        }, None, None),
+        (None, None, {"version": 5}, None),
+        (None, None, None, {"path": "sc-1.parquet", "sizeInBytes": 1}),
+    ]
+    u = uuid.uuid4()
+    _write_parquet(
+        spark,
+        os.path.join(log, f"{5:020d}.checkpoint.{u}.parquet"),
+        cp_rows, cp_schema,
+    )
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        f.write(json.dumps({"version": 5, "size": 4}))
+    assert has_delta_log(spark, table)
+    assert is_delta_table(spark, table)  # v2 now replayable
+    got = sorted(r["k"] for r in read_delta_log(spark, table).collect())
+    assert got == list(range(10))  # A live, B hidden
+    # tail commit on top of the v2 checkpoint
+    _write_parquet(spark, os.path.join(table, "C.parquet"),
+                   [(100, 100)], sch)
+    _commit(table, 6, [_add("C.parquet")])
+    got2 = sorted(
+        r["k"] for r in read_delta_log(spark, table).collect()
+    )
+    assert got2 == list(range(10)) + [100]
+
+
+def test_in_commit_timestamps_beat_file_clock(spark, tmp_path):
+    """commitInfo.inCommitTimestamp takes precedence over the commit
+    file's mtime for TIMESTAMP AS OF — the protocol's clock-skew-proof
+    rule."""
+    from time_series_prediction_spark.sources.deltalog import (
+        version_at_timestamp,
+    )
+
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    sch = "k long"
+    schema_json = spark.createDataFrame([], sch).schema.json()
+    _write_parquet(spark, os.path.join(table, "A.parquet"), [(1,)], sch)
+    _write_parquet(spark, os.path.join(table, "B.parquet"), [(2,)], sch)
+    # both commits written NOW (same mtime) but carrying explicit
+    # in-commit timestamps far in the past
+    _commit(table, 0, [
+        {"commitInfo": {"inCommitTimestamp": 1_000_000}},
+        _PROTO1, _meta(schema_json), _add("A.parquet"),
+    ])
+    _commit(table, 1, [
+        {"commitInfo": {"inCommitTimestamp": 2_000_000}},
+        _add("B.parquet"),
+    ])
+    assert version_at_timestamp(spark, table, 1_500_000) == 0
+    assert version_at_timestamp(spark, table, 2_000_000) == 1
+    with pytest.raises(ValueError, match="predates"):
+        version_at_timestamp(spark, table, 999_999)

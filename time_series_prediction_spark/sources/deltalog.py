@@ -22,11 +22,14 @@ only:
   in the data files), typed via the ``metaData.schemaString`` Spark
   schema JSON.
 
-Protocol honesty: tables whose ``protocol`` action demands reader
-capabilities this module does not implement (``minReaderVersion`` > 1
-beyond plain ``readerFeatures``-gated tables with no unsupported
-feature — deletion vectors, column mapping, v2 checkpoints …) raise a
-clear error instead of returning silently wrong rows.
+Implemented protocol surface (round 9): deletion vectors (read AND
+write — ``delta_delete``), column mapping 'name' mode, classic
+multi-part checkpoints, v2 UUID-named checkpoints with sidecar files,
+TIMESTAMP AS OF (in-commit timestamps preferred), and streaming-source
+tailing (``delta_changes_since``). Protocol honesty: tables gated on
+reader capabilities beyond these (column-mapping 'id' mode, variant
+types, …) raise a clear error instead of returning silently wrong
+rows.
 
 Scale shape: the snapshot computation touches only the log (tiny JSON
 + one checkpoint parquet — the same metadata a real Delta reader
@@ -56,6 +59,8 @@ _SUPPORTED_READER_FEATURES = {
     "timestampNtz",  # plain type support — parquet reader handles it
     "deletionVectors",  # roaring-bitmap DV files/inline (this module)
     "columnMapping",  # 'name' mode (physical→logical rename)
+    "v2Checkpoint",  # UUID-named checkpoints + sidecar files
+    "inCommitTimestamp",  # commitInfo timestamps (version_at_timestamp)
 }
 
 
@@ -86,14 +91,19 @@ def has_delta_log(spark: SparkSession, path: str) -> bool:
 _CP_MULTI = re.compile(
     r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$"
 )
+# v2 (UUID-named) checkpoint: <v>.checkpoint.<uniqueStr>.parquet where
+# uniqueStr is NOT the numeric <i>.<n> multi-part shape
+_CP_V2 = re.compile(r"^(\d{20})\.checkpoint\.([A-Za-z0-9_-]+)\.parquet$")
 
 
 def _checkpoint_groups(names: list[str]) -> dict[int, list[str]]:
     """Usable checkpoints by version: classic single-part
-    ``<v>.checkpoint.parquet`` and COMPLETE multi-part
+    ``<v>.checkpoint.parquet``, COMPLETE multi-part
     ``<v>.checkpoint.<i>.<n>.parquet`` groups (all n parts present —
     a partial group is an in-flight or interrupted checkpoint write
-    and must be ignored, exactly as real readers do)."""
+    and must be ignored, exactly as real readers do), and v2
+    UUID-named ``<v>.checkpoint.<uuid>.parquet`` checkpoints (their
+    ``sidecar`` actions are resolved at replay time)."""
     out: dict[int, list[str]] = {}
     multi: dict[tuple[int, int], dict[int, str]] = {}
     for n in names:
@@ -104,6 +114,12 @@ def _checkpoint_groups(names: list[str]) -> dict[int, list[str]]:
         if m:
             v, i, total = int(m[1]), int(m[2]), int(m[3])
             multi.setdefault((v, total), {})[i] = n
+            continue
+        m2 = _CP_V2.match(n)
+        if m2:
+            # prefer classic if both exist for a version (setdefault
+            # below keeps whichever landed first; either is complete)
+            out.setdefault(int(m2[1]), [n])
     for (v, total), parts in multi.items():
         if len(parts) == total:
             out.setdefault(v, [parts[i] for i in sorted(parts)])
@@ -221,11 +237,28 @@ def delta_snapshot(
         cp_v = max(usable_cp)
         cp = spark.read.parquet(*checkpoints[cp_v])
         cols = set(cp.columns)
+        sidecars: list[str] = []
         for row in cp.collect():
             d = row.asDict(recursive=True)
             for kind in ("protocol", "metaData", "add", "remove", "txn"):
                 if kind in cols and d.get(kind) is not None:
                     _apply_action(state, {kind: d[kind]}, meta, txns)
+            # v2 checkpoints move file actions into sidecar parquets
+            # under _delta_log/_sidecars/ and reference them here
+            if "sidecar" in cols and d.get("sidecar") is not None:
+                sidecars.append(d["sidecar"]["path"])
+        for sc in sidecars:
+            sc_df = spark.read.parquet(
+                os.path.join(log, "_sidecars", sc)
+            )
+            sc_cols = set(sc_df.columns)
+            for row in sc_df.collect():
+                d = row.asDict(recursive=True)
+                for kind in ("add", "remove"):
+                    if kind in sc_cols and d.get(kind) is not None:
+                        _apply_action(
+                            state, {kind: d[kind]}, meta, txns
+                        )
         start = cp_v + 1
     for cv in range(start, v + 1):
         p = commits.get(cv)
@@ -251,21 +284,35 @@ def version_at_timestamp(
     spark: SparkSession, path: str, ts_ms: int
 ) -> int:
     """TIMESTAMP AS OF resolution: the newest commit whose timestamp
-    is ≤ ``ts_ms`` (epoch millis). Commit timestamps are the commit
-    files' modification times — the classic Delta rule (tables with
-    in-commit timestamps would carry them in commitInfo; this reader
-    uses the file clock uniformly). Raises when the timestamp
-    predates the first retained commit — after log cleanup earlier
-    history is gone, and silently answering with a later snapshot
-    would be wrong."""
+    is ≤ ``ts_ms`` (epoch millis). A commit's timestamp is its
+    ``commitInfo.inCommitTimestamp`` when present (the protocol's
+    clock-skew-proof monotonic timestamps), else the commit file's
+    modification time — the classic Delta rule. Raises when the
+    timestamp predates the first retained commit — after log cleanup
+    earlier history is gone, and silently answering with a later
+    snapshot would be wrong."""
     fs = fs_for(spark, path)
     log = os.path.join(path, _LOG_DIR)
-    stamps: list[tuple[int, int]] = []  # (version, mtime_ms)
+    stamps: list[tuple[int, int]] = []  # (version, commit_ts_ms)
     for n in fs.list_names(log):
         if n.endswith(".json") and n[:20].isdigit():
-            st = fs.status(os.path.join(log, n))
-            if st is not None:
-                stamps.append((int(n[:20]), st[1]))
+            p = os.path.join(log, n)
+            st = fs.status(p)
+            if st is None:
+                continue
+            ts = st[1]
+            for line in fs.read_text(p).splitlines():
+                if '"commitInfo"' not in line:
+                    continue
+                try:
+                    ci = json.loads(line).get("commitInfo") or {}
+                except ValueError:
+                    continue
+                ict = ci.get("inCommitTimestamp")
+                if ict is not None:
+                    ts = int(ict)
+                break
+            stamps.append((int(n[:20]), ts))
     if not stamps:
         raise ValueError(f"no delta commits under {log}")
     eligible = [v for v, m in stamps if m <= ts_ms]
