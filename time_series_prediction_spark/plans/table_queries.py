@@ -332,17 +332,31 @@ def orders_cow_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface as delete(old state) + insert(new state), inserted rows
     as pure inserts; unmodified rows — even ones living in rewritten
     files — cancel out."""
-    data = orders_cow_layout(spark, sf_dir)
-    return (
-        version_changes(spark, data, 0, 1)
-        .groupBy(
-            F.col("_change").alias("change_type"), "o_orderpriority"
-        )
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.sum("price_cents").cast("long").alias("total_cents"),
-        )
+    from time_series_prediction_spark.operators.mview import (
+        refresh_if_stale,
     )
+
+    data = orders_cow_layout(spark, sf_dir)
+
+    def _build(s: SparkSession) -> DataFrame:
+        return (
+            version_changes(s, data, 0, 1)
+            .groupBy(
+                F.col("_change").alias("change_type"), "o_orderpriority"
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("price_cents").cast("long").alias("total_cents"),
+            )
+        )
+
+    # same materialization discipline as orders_cow_feed: the diff
+    # replays only when the source table advances (_LATEST moves)
+    df, _ = refresh_if_stale(
+        spark, "orders_cow_changes", _build,
+        [os.path.join(manifest_root(data), "_LATEST")],
+    )
+    return df
 
 
 ORDERS_COW_CHANGES_SQL = f"""
@@ -548,16 +562,31 @@ def orders_cow_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emits exactly the purged rows (its rewrite's surviving rows
     cancel)."""
     from time_series_prediction_spark.operators.cow import changes_feed
+    from time_series_prediction_spark.operators.mview import (
+        refresh_if_stale,
+    )
 
     data = orders_cow_layout(spark, sf_dir)
-    return (
-        changes_feed(spark, data, 0, 2)
-        .groupBy(
-            F.col("_version").alias("version"),
-            F.col("_change").alias("change_type"),
+
+    # materialized like the SCD2 dimension: a change-feed consumer
+    # reads the feed many times per table advance, so the fold is an
+    # mview invalidated by the source's _LATEST pointer — repeat reads
+    # are metadata-cost, and the fingerprint re-replays on any commit
+    def _build(s: SparkSession) -> DataFrame:
+        return (
+            changes_feed(s, data, 0, 2)
+            .groupBy(
+                F.col("_version").alias("version"),
+                F.col("_change").alias("change_type"),
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
         )
-        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+
+    df, _ = refresh_if_stale(
+        spark, "orders_cow_feed", _build,
+        [os.path.join(manifest_root(data), "_LATEST")],
     )
+    return df
 
 
 ORDERS_COW_FEED_SQL = f"""
