@@ -964,3 +964,46 @@ def test_in_commit_timestamps_beat_file_clock(spark, tmp_path):
     assert version_at_timestamp(spark, table, 2_000_000) == 1
     with pytest.raises(ValueError, match="predates"):
         version_at_timestamp(spark, table, 999_999)
+
+
+def test_roaring_roundtrip_property(spark):
+    """Property: ANY position set round-trips serialize→parse —
+    hypothesis drives container-boundary shapes (array↔bitset at
+    4096, 16-bit key edges at 65535/65536, multi-bitmap at 2^32)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from time_series_prediction_spark.sources.deltalog import (
+        _parse_roaring_bitmap_array,
+        _serialize_roaring_bitmap_array,
+    )
+
+    positions = st.lists(
+        st.one_of(
+            st.integers(min_value=0, max_value=10_000),
+            st.integers(min_value=4_090, max_value=4_100),
+            st.integers(min_value=65_530, max_value=65_540),
+            st.integers(min_value=2**32 - 5, max_value=2**32 + 5),
+            st.integers(min_value=0, max_value=2**40),
+        ),
+        max_size=300,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(positions)
+    def check(ps):
+        got = sorted(
+            _parse_roaring_bitmap_array(
+                _serialize_roaring_bitmap_array(ps)
+            )
+        )
+        assert got == sorted(set(ps))
+
+    check()
+    # the dense boundary explicitly: 4096 (array) and 4097 (bitset)
+    for n in (4096, 4097, 65536):
+        ps = list(range(n))
+        got = sorted(_parse_roaring_bitmap_array(
+            _serialize_roaring_bitmap_array(ps)
+        ))
+        assert got == ps
