@@ -281,7 +281,7 @@ def test_delta_stream_sink_exactly_once_on_replay(spark, tmp_path):
     sink(b1, 1)  # crash replay of the last batch
     got = sorted(r["k"] for r in read_delta(spark, table).collect())
     assert got == list(range(15)), "replay appended duplicates"
-    _f, _m, _v, txns = delta_snapshot(spark, table)
+    _f, _m, _v, txns, _p = delta_snapshot(spark, table)
     assert txns == {"test-app": 1}
     sink(spark.range(20, 22).select(F.col("id").alias("k")), 2)
     assert read_delta(spark, table).count() == 17
@@ -318,7 +318,7 @@ def test_stream_checkpointing_bounds_log_replay(spark, tmp_path):
     # a replay AFTER cleanup: the txn token lives in the checkpoint
     sink(spark.range(96, 100).select(F.col("id").alias("k")), 24)
     assert read_delta(spark, table).count() == 100
-    _f, _m, _v, txns = delta_snapshot(spark, table)
+    _f, _m, _v, txns, _p = delta_snapshot(spark, table)
     assert txns["long"] == 24
 
 
@@ -617,7 +617,7 @@ def test_delta_delete_writes_protocol_dvs(spark, tmp_path):
     v0 = read_delta(spark, table, version=0)
     assert v0.count() == 100
     # the DV rides the protocol descriptor, not a data rewrite
-    files, _m, _v, _t = delta_snapshot(spark, table)
+    files, _m, _v, _t, _p = delta_snapshot(spark, table)
     with_dv = [r for r, a in files.items() if a.get("deletionVector")]
     assert with_dv, "no add carries a deletionVector"
     for rel, a in files.items():
@@ -1007,3 +1007,352 @@ def test_roaring_roundtrip_property(spark):
             _serialize_roaring_bitmap_array(ps)
         ))
         assert got == ps
+
+
+def test_tail_survives_in_window_compaction(spark, tmp_path):
+    """Rows appended (dataChange=true) and COMPACTED (remove+add with
+    dataChange=false) inside the same tail window must still be
+    delivered — the round-9 ADVICE high finding: popping the
+    in-window add on ANY remove lost the rows, because the compacted
+    replacement add is (correctly) skipped as dataChange=false. The
+    original pre-vacuum file still exists and delivers."""
+    from time_series_prediction_spark.sources.deltalog import (
+        delta_changes_since,
+        delta_snapshot,
+        write_delta_log,
+    )
+
+    table = str(tmp_path / "t")
+    write_delta_log(
+        spark.range(5).select(F.col("id").alias("k")), table,
+        mode="overwrite",
+    )
+    _got, v = delta_changes_since(spark, table, -1)
+    assert v == 0
+    write_delta_log(
+        spark.range(5, 9).select(F.col("id").alias("k")), table,
+        mode="append",
+    )
+    before, _m, _v, _t, _p = delta_snapshot(spark, table, 0)
+    after, _m, _v, _t, _p = delta_snapshot(spark, table, 1)
+    appended = sorted(set(after) - set(before))
+    assert appended
+    # simulate OPTIMIZE: one compacted file replaces the appended
+    # ones, the whole commit carrying dataChange=false
+    _write_parquet(
+        spark, os.path.join(table, "compact-0.parquet"),
+        [(int(k),) for k in range(5, 9)], "k long",
+    )
+    _commit(table, 2, [
+        *[
+            {"remove": {"path": rel, "deletionTimestamp": 0,
+                        "dataChange": False}}
+            for rel in appended
+        ],
+        {"add": {"path": "compact-0.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 0,
+                 "dataChange": False}},
+    ])
+    got, v2 = delta_changes_since(spark, table, v)
+    assert v2 == 2
+    assert got is not None, "compaction swallowed committed rows"
+    assert sorted(r["k"] for r in got.collect()) == [5, 6, 7, 8]
+
+
+def test_delta_delete_preserves_existing_protocol_features(
+    spark, tmp_path
+):
+    """The first DV write's protocol upgrade must UNION the
+    deletionVectors feature into whatever the table already declares
+    (round-9 ADVICE: hard-replacing readerFeatures dropped features
+    like timestampNtz and corrupted the table for real readers), must
+    expand legacy version numbers into their implied features, and
+    must emit NO protocol action when the feature is already there."""
+    from time_series_prediction_spark.sources.deltalog import (
+        delta_delete,
+        delta_snapshot,
+        write_delta_log,
+    )
+
+    table = str(tmp_path / "t")
+    write_delta_log(
+        spark.range(30).select(F.col("id").alias("k")), table,
+        mode="overwrite",
+    )
+    # the table independently adopted another reader-v3 feature
+    _commit(table, 1, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["timestampNtz"],
+                      "writerFeatures": ["timestampNtz"]}},
+    ])
+    v = delta_delete(spark, table, "k % 3 = 0")
+    assert v == 2
+    _f, _m, _v, _t, proto = delta_snapshot(spark, table)
+    assert set(proto["readerFeatures"]) == {
+        "timestampNtz", "deletionVectors"
+    }
+    assert set(proto["writerFeatures"]) == {
+        "timestampNtz", "deletionVectors"
+    }
+    assert proto["minReaderVersion"] == 3
+    assert proto["minWriterVersion"] == 7
+    # second delete: feature already present -> no protocol action
+    v2 = delta_delete(spark, table, "k % 5 = 0")
+    with open(
+        os.path.join(table, "_delta_log", f"{v2:020d}.json")
+    ) as f:
+        actions = [json.loads(ln) for ln in f if ln.strip()]
+    assert not any("protocol" in a for a in actions)
+
+    # legacy table (reader 1 / writer 2): the upgrade enumerates the
+    # implied legacy writer features alongside deletionVectors
+    table2 = str(tmp_path / "t2")
+    write_delta_log(
+        spark.range(10).select(F.col("id").alias("k")), table2,
+        mode="overwrite",
+    )
+    delta_delete(spark, table2, "k = 1")
+    _f, _m, _v, _t, proto2 = delta_snapshot(spark, table2)
+    assert set(proto2["readerFeatures"]) == {"deletionVectors"}
+    assert set(proto2["writerFeatures"]) == {
+        "appendOnly", "invariants", "deletionVectors"
+    }
+
+
+def test_delta_delete_constant_jobs_and_rewrite_guard(
+    spark, tmp_path
+):
+    """VERDICT r9 #3: the delete scan is ONE distributed pass —
+    the Spark job count must not scale with the table's partition
+    count (the old implementation ran one serial job per partition
+    group) — and a delete matching more than ``max_dv_rows`` rows
+    auto-falls back to a rewrite commit (no DV ever attached)."""
+    from time_series_prediction_spark.sources.deltalog import (
+        delta_delete,
+        delta_snapshot,
+        write_delta_log,
+    )
+
+    table = str(tmp_path / "t")
+    df = spark.range(240).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 24).cast("int").alias("p"),
+    )
+    write_delta_log(df, table, mode="overwrite", partition_cols=["p"])
+
+    sc = spark.sparkContext
+    sc.setJobGroup("dv-delete-jobs", "delta_delete job-count probe")
+    try:
+        v = delta_delete(spark, table, "k % 7 = 0")
+    finally:
+        jobs = sc.statusTracker().getJobIdsForGroup("dv-delete-jobs")
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert v == 1
+    # 24 partition groups would have been >= 24 jobs before; the
+    # single-scan path needs only the count job + the positions job
+    # (plus their broadcast/AQE sub-jobs)
+    assert len(jobs) <= 8, f"job count scales with partitions: {jobs}"
+    got = sorted(r["k"] for r in read_delta(spark, table).collect())
+    assert got == [k for k in range(240) if k % 7 != 0]
+
+    # rewrite guard: a delete matching most rows commits an overwrite
+    v2 = delta_delete(spark, table, "k < 200", max_dv_rows=50)
+    assert v2 == 2
+    files, _m, _v, _t, _p = delta_snapshot(spark, table)
+    assert not any(a.get("deletionVector") for a in files.values()), (
+        "big delete should rewrite, not attach megarow DVs"
+    )
+    got2 = sorted(r["k"] for r in read_delta(spark, table).collect())
+    assert got2 == [k for k in range(200, 240) if k % 7 != 0]
+    # partition columns survive the rewrite
+    assert read_delta(spark, table).where("p = 5").count() == len(
+        [k for k in range(200, 240) if k % 7 != 0 and k % 24 == 5]
+    )
+
+
+def test_read_delta_log_single_branch_plan(spark, tmp_path):
+    """VERDICT r9 #2: the physical plan must carry O(1) scan branches
+    however many partition tuples the table spans — the per-tuple
+    union handed Catalyst a linearly growing plan (10K partitions =
+    10K branches). 300 tuples here; one FileScan + metadata-sized
+    broadcast joins."""
+    import shutil
+
+    from time_series_prediction_spark.sources.deltalog import (
+        read_delta_log,
+    )
+
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    _write_parquet(
+        spark, os.path.join(table, "seed.parquet"), [(1,)], "k long"
+    )
+    adds = []
+    for i in range(300):
+        d = os.path.join(table, f"p={i}")
+        os.makedirs(d)
+        shutil.copy(
+            os.path.join(table, "seed.parquet"),
+            os.path.join(d, f"part-{i}.parquet"),
+        )
+        adds.append(_add(
+            f"p={i}/part-{i}.parquet", pvals={"p": str(i)}
+        ))
+    os.remove(os.path.join(table, "seed.parquet"))
+    schema_json = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {}},
+            {"name": "p", "type": "integer", "nullable": True,
+             "metadata": {}},
+        ],
+    })
+    _commit(table, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        _meta(schema_json, part_cols=["p"]),
+        *adds,
+    ])
+    df = read_delta_log(spark, table)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_scans = plan.count("Scan parquet") + plan.count("FileScan")
+    assert n_scans <= 2, (
+        f"plan has {n_scans} scan branches for 300 partition tuples"
+    )
+    assert df.count() == 300
+    rows = df.where("p = 137").collect()
+    assert [(r["k"], r["p"]) for r in rows] == [(1, 137)]
+
+
+def test_delta_changes_feed_folds_deletes_and_inserts(
+    spark, tmp_path
+):
+    """VERDICT r9 #6: the change feed delivers typed insert/delete
+    rows across appends, DV deletes, and DV shrink (un-delete) — the
+    exactly-once fold ``snapshot(from) + inserts − deletes ==
+    snapshot(latest)`` holds at every polling window."""
+    from time_series_prediction_spark.sources.deltalog import (
+        delta_changes_feed,
+        delta_delete,
+        delta_snapshot,
+        write_delta_log,
+    )
+
+    table = str(tmp_path / "t")
+    write_delta_log(
+        spark.range(10).select(F.col("id").alias("k")), table,
+        mode="overwrite",
+    )
+    feed1, v1 = delta_changes_feed(spark, table, -1)
+    assert v1 == 0
+    rows1 = [(r["k"], r["_change_type"]) for r in feed1.collect()]
+    assert sorted(rows1) == [(k, "insert") for k in range(10)]
+
+    # window 2: a DV delete + an append
+    delta_delete(spark, table, "k < 3")
+    write_delta_log(
+        spark.range(20, 24).select(F.col("id").alias("k")), table,
+        mode="append",
+    )
+    feed2, v2 = delta_changes_feed(spark, table, v1)
+    assert v2 == 2
+    by_type: dict[str, list[int]] = {"insert": [], "delete": []}
+    for r in feed2.collect():
+        by_type[r["_change_type"]].append(r["k"])
+    assert sorted(by_type["delete"]) == [0, 1, 2]
+    assert sorted(by_type["insert"]) == [20, 21, 22, 23]
+
+    # window 3: DV SHRINK (un-delete) — a merge-undelete re-adds the
+    # DV'd file with the DV dropped, resurrecting its dead positions
+    files, _m, _v, _t, _p = delta_snapshot(spark, table)
+    dv_rel = next(
+        rel for rel, a in files.items() if a.get("deletionVector")
+    )
+    add = files[dv_rel]
+    _commit(table, 3, [
+        {"remove": {"path": dv_rel, "deletionTimestamp": 0,
+                    "dataChange": True}},
+        {"add": {"path": dv_rel,
+                 "partitionValues": add["partitionValues"],
+                 "size": int(add["size"]),
+                 "modificationTime": 0, "dataChange": True}},
+    ])
+    feed3, v3 = delta_changes_feed(spark, table, v2)
+    assert v3 == 3
+    rows3 = [(r["k"], r["_change_type"]) for r in feed3.collect()]
+    assert rows3 and all(ct == "insert" for _k, ct in rows3)
+    assert set(k for k, _ct in rows3) <= {0, 1, 2}, (
+        "only previously-deleted rows may resurrect"
+    )
+
+    # fold across all windows == final snapshot (multiset)
+    pairs2 = [(k, "insert") for k in by_type["insert"]] + [
+        (k, "delete") for k in by_type["delete"]
+    ]
+    state: dict[int, int] = {}
+    for feed in (rows1, pairs2, rows3):
+        for k, ct in feed:
+            state[k] = state.get(k, 0) + (1 if ct == "insert" else -1)
+    final = sorted(k for k, n in state.items() if n > 0)
+    assert final == sorted(
+        r["k"] for r in read_delta(spark, table).collect()
+    )
+
+    # quiet window: nothing new
+    none_df, v4 = delta_changes_feed(spark, table, v3)
+    assert none_df is None and v4 == 3
+
+
+def test_column_mapped_delete(spark, tmp_path):
+    """VERDICT r9 #7: DELETE on a column-mapping 'name' table —
+    the predicate is written against LOGICAL names, the scan resolves
+    physical names underneath, and the mapped reader hides exactly
+    the deleted rows."""
+    import json as _json
+
+    from time_series_prediction_spark.sources.deltalog import (
+        delta_delete,
+        delta_snapshot,
+    )
+
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-aaa"}},
+            {"name": "v", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-bbb"}},
+            {"name": "p", "type": "integer", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 3,
+                          "delta.columnMapping.physicalName": "col-ppp"}},
+        ],
+    }
+    _write_parquet(
+        spark, os.path.join(table, "A.parquet"),
+        [(i, i * 2) for i in range(6)], "`col-aaa` long, `col-bbb` long",
+    )
+    meta = _meta(_json.dumps(schema), part_cols=["p"])
+    meta["metaData"]["configuration"] = {
+        "delta.columnMapping.mode": "name",
+        "delta.columnMapping.maxColumnId": "3",
+    }
+    _commit(table, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        meta,
+        _add("A.parquet", pvals={"col-ppp": "7"}),
+    ])
+    # logical predicate spanning a data column AND the partition column
+    v = delta_delete(spark, table, "k >= 3 AND p = 7")
+    assert v == 1
+    got = sorted(map(tuple, read_delta(spark, table).collect()))
+    assert got == [(i, i * 2, 7) for i in range(3)]
+    # the upgrade kept columnMapping readable: legacy reader 2 expands
+    # to the columnMapping feature alongside deletionVectors
+    _f, _m, _v, _t, proto = delta_snapshot(spark, table)
+    assert set(proto["readerFeatures"]) >= {
+        "columnMapping", "deletionVectors"
+    }

@@ -168,3 +168,36 @@ def test_concurrent_refresh_builds_once(spark, source, tmp_path):
         t.join()
     assert len(builds) == 1
     assert len({str(v) for v in results.values()}) == 1
+
+
+def test_publish_failure_without_winner_raises(spark, tmp_path, monkeypatch):
+    """Round-9 ADVICE: a failed publish_dir with NO concurrent winner
+    is a genuine rename failure (permissions, dead mount) — silently
+    deleting the build and returning left callers to fail later on a
+    missing target with the real cause destroyed. It must raise,
+    naming both paths, and keep the build dir for inspection."""
+    import pytest
+
+    from time_series_prediction_spark.operators.mview import (
+        ensure_artifact,
+    )
+    from time_series_prediction_spark.sources import fsops
+
+    target = str(tmp_path / "views" / "artifact")
+
+    def _build(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
+        with open(os.path.join(tmp, "data.txt"), "w") as f:
+            f.write("payload")
+
+    monkeypatch.setattr(
+        fsops.Fs, "publish_dir", lambda self, src, dst: False
+    )
+    with pytest.raises(RuntimeError, match="no .*winner"):
+        ensure_artifact(spark, target, "ident-1", _build)
+    # the build dir survives for inspection
+    build_dirs = [
+        n for n in os.listdir(tmp_path / "views")
+        if n.startswith("artifact.build-")
+    ]
+    assert build_dirs, "build dir was destroyed with the evidence"

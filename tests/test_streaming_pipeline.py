@@ -381,12 +381,68 @@ def test_medallion_kill_between_commits_resumes_exactly_once(
     links = medallion_commit_links(spark, silver)
     assert [r["batch_id"] for r in links] == [0, 1]
     # the link pins the exact (bronze, silver) version pair
-    _f, _m, bronze_v, _t = delta_snapshot(spark, bronze)
+    _f, _m, bronze_v, _t, _p = delta_snapshot(spark, bronze)
     assert links[-1]["bronze_version"] == bronze_v
 
     # pure replay WITH the link present: no version burned anywhere
     vs_before = list_versions(spark, manifest_root(silver))
     sink(b1, 1)
     assert list_versions(spark, manifest_root(silver)) == vs_before
-    _f, _m, bronze_v2, _t = delta_snapshot(spark, bronze)
+    _f, _m, bronze_v2, _t, _p = delta_snapshot(spark, bronze)
     assert bronze_v2 == bronze_v
+
+
+def test_medallion_links_keyed_by_app_id(spark, tmp_path):
+    """Round-9 ADVICE: commit links keyed by batch_id ALONE made a
+    restarted stream with a fresh checkpoint (batch ids reset to 0) —
+    or a second stream pointed at the same silver table — find a
+    stale link and silently drop real batches. The link key is now
+    (app_id, batch_id), the same idempotence key as the bronze txn
+    token, so changing app_id (the documented remedy) works."""
+    from time_series_prediction_spark.streaming.layout import (
+        read_committed,
+    )
+    from time_series_prediction_spark.streaming.pipeline import (
+        medallion_commit_links,
+        medallion_sink,
+    )
+
+    bronze = str(tmp_path / "bronze")
+    silver = str(tmp_path / "silver")
+    sink_a = medallion_sink(
+        bronze, silver, app_id="app-a", key="k",
+        quality_pred="v >= 0", keep_versions=20,
+    )
+    sink_a(
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"), 0
+    )
+    assert read_committed(spark, silver).count() == 2
+
+    # a SECOND stream (fresh checkpoint: its batch ids restart at 0)
+    # feeds the same tables under a new app_id — its batch 0 must NOT
+    # be swallowed by app-a's batch-0 link
+    sink_b = medallion_sink(
+        bronze, silver, app_id="app-b", key="k",
+        quality_pred="v >= 0", keep_versions=20,
+    )
+    sink_b(
+        spark.createDataFrame([(3, 30), (4, 40)], "k long, v long"), 0
+    )
+    got = {
+        r["k"]: r["v"] for r in read_committed(spark, silver).collect()
+    }
+    assert got == {1: 10, 2: 20, 3: 30, 4: 40}, (
+        "app-b's batch 0 was dropped by app-a's stale link"
+    )
+    links = medallion_commit_links(spark, silver)
+    assert sorted(
+        (link["app_id"], link["batch_id"]) for link in links
+    ) == [("app-a", 0), ("app-b", 0)]
+
+    # replay of app-b's batch 0 IS short-circuited by its own link
+    before = len(medallion_commit_links(spark, silver))
+    sink_b(
+        spark.createDataFrame([(3, 30), (4, 40)], "k long, v long"), 0
+    )
+    assert len(medallion_commit_links(spark, silver)) == before
+    assert read_committed(spark, silver).count() == 4

@@ -87,6 +87,17 @@ def ensure_artifact(
         build_into(tmp)
         fs.write_text(os.path.join(tmp, "_IDENT"), ident)
         if not fs.publish_dir(tmp, target):
+            # a failed publish means a concurrent winner ONLY if the
+            # target actually exists; on a genuine rename failure
+            # (permissions, dead mount) silently discarding the build
+            # would leave callers failing later on a missing target
+            # with the real cause destroyed (round-9 ADVICE)
+            if not fs.exists(os.path.join(target, "_IDENT")):
+                raise RuntimeError(
+                    f"publishing {tmp} -> {target} failed and no "
+                    "concurrent winner exists — rename failure, "
+                    "build retained for inspection"
+                )
             fs.delete(tmp)  # concurrent winner published first
         return True
 

@@ -180,10 +180,20 @@ def read_delta(
         if timestamp_ms is not None:
             import datetime as _dt
 
+            # delta-spark parses this string in the SESSION timezone;
+            # a bare UTC wall-clock string time-travelled to the wrong
+            # instant on any non-UTC session (while the native path
+            # below uses epoch ms correctly) — keep both paths on the
+            # same instant by rendering in the session zone
+            import zoneinfo as _zi
+
+            tz = _zi.ZoneInfo(
+                spark.conf.get("spark.sql.session.timeZone")
+            )
             reader = reader.option(
                 "timestampAsOf",
                 _dt.datetime.fromtimestamp(
-                    timestamp_ms / 1000.0, tz=_dt.timezone.utc
+                    timestamp_ms / 1000.0, tz=tz
                 ).strftime("%Y-%m-%d %H:%M:%S"),
             )
         return reader.load(path)

@@ -247,7 +247,9 @@ def medallion_sink(
         # short-circuits the silver merge (bronze's txn token already
         # short-circuits the bronze append), so a replayed batch
         # burns no extra manifest version on either table.
-        if _read_commit_link(spark, silver_path, batch_id) is not None:
+        if _read_commit_link(
+            spark, silver_path, app_id, batch_id
+        ) is not None:
             return  # both tables committed this batch — pure replay
         bronze(batch_df, batch_id)
         clean = batch_df.where(quality_pred)
@@ -271,7 +273,9 @@ def medallion_sink(
                 )
         if not clean.isEmpty():
             silver(clean, batch_id)
-        _write_commit_link(spark, bronze_path, silver_path, batch_id)
+        _write_commit_link(
+            spark, bronze_path, silver_path, app_id, batch_id
+        )
 
     return _sink
 
@@ -283,14 +287,29 @@ def _link_dir(silver_path: str) -> str:
     return silver_path.rstrip("/") + _LINK_DIR_SUFFIX
 
 
+def _link_name(app_id: str, batch_id: int) -> str:
+    """One link file per (app_id, batch_id) — the SAME idempotence key
+    as the bronze txn token. Keying by batch_id alone (round-9 ADVICE)
+    made a restarted stream with a fresh checkpoint (batch ids reset
+    to 0) — or a second stream pointed at the same silver table — find
+    a stale link and silently drop real batches before the bronze
+    append; changing app_id, the documented remedy, didn't help
+    because the link ignored it. The app_id is percent-encoded so it
+    can't smuggle path separators into the link dir."""
+    import urllib.parse as _up
+
+    return f"batch-{_up.quote(app_id, safe='')}-{batch_id}.json"
+
+
 def _write_commit_link(
-    spark, bronze_path: str, silver_path: str, batch_id: int
+    spark, bronze_path: str, silver_path: str, app_id: str,
+    batch_id: int,
 ) -> None:
-    """Record (batch_id → bronze version, silver version) AFTER both
-    tables committed — the cross-table watermark that makes 'which
-    bronze versions are folded into silver' provable instead of
-    inferred. Atomic single-file write keyed by batch_id; a replay
-    overwrites with identical content."""
+    """Record ((app_id, batch_id) → bronze version, silver version)
+    AFTER both tables committed — the cross-table watermark that makes
+    'which bronze versions are folded into silver' provable instead of
+    inferred. Atomic single-file write keyed by (app_id, batch_id); a
+    replay overwrites with identical content."""
     import json as _json
 
     from time_series_prediction_spark.sources.deltalog import (
@@ -302,16 +321,20 @@ def _write_commit_link(
         manifest_root,
     )
 
-    _files, _meta, bronze_v, _txns = delta_snapshot(spark, bronze_path)
+    _files, _meta, bronze_v, _txns, _proto = delta_snapshot(
+        spark, bronze_path
+    )
     silver_v = current_version(spark, manifest_root(silver_path))
     fs = fs_for(spark, silver_path)
     d = _link_dir(silver_path)
     fs.mkdirs(d)
-    tmp = os.path.join(d, f".batch-{batch_id}.tmp-{os.getpid()}")
+    name = _link_name(app_id, batch_id)
+    tmp = os.path.join(d, f".{name}.tmp-{os.getpid()}")
     fs.write_text(
         tmp,
         _json.dumps(
             {
+                "app_id": app_id,
                 "batch_id": int(batch_id),
                 "bronze_version": int(bronze_v),
                 "silver_version": (
@@ -320,21 +343,27 @@ def _write_commit_link(
             }
         ),
     )
-    fs.replace_file(tmp, os.path.join(d, f"batch-{batch_id}.json"))
+    fs.replace_file(tmp, os.path.join(d, name))
 
 
 def _read_commit_link(
-    spark, silver_path: str, batch_id: int
+    spark, silver_path: str, app_id: str, batch_id: int
 ) -> dict | None:
     import json as _json
 
     from time_series_prediction_spark.sources.fsops import fs_for
 
     fs = fs_for(spark, silver_path)
-    p = os.path.join(_link_dir(silver_path), f"batch-{batch_id}.json")
+    p = os.path.join(_link_dir(silver_path), _link_name(app_id, batch_id))
     if not fs.exists(p):
         return None
-    return _json.loads(fs.read_text(p))
+    link = _json.loads(fs.read_text(p))
+    # belt-and-braces: the filename already encodes app_id, but the
+    # contents must agree (a hand-moved link file must not replay-skip
+    # someone else's batch)
+    if link.get("app_id") != app_id:
+        return None
+    return link
 
 
 def medallion_commit_links(spark, silver_path: str) -> list[dict]:
