@@ -58,6 +58,9 @@ from pyspark.sql import functions as F
 from time_series_prediction_spark.operators.manifest import (
     build_stats_manifest,
     list_parquet_files,
+    local_dv_count,
+    local_manifest_files,
+    local_manifest_table,
     prune_files,
     pruned_scan,
 )
@@ -257,6 +260,26 @@ def _manifest_version(
     return spark.read.parquet(vdir)
 
 
+def _version_files(
+    spark: SparkSession, root: str, version: int
+) -> list[str]:
+    """Distinct committed file paths of ``v{version}`` — driver-side
+    pyarrow when the manifest is locally readable (zero Spark jobs;
+    the round-9 bench drift was exactly these per-read metadata jobs),
+    Spark + ``prune_files`` otherwise. Empty list = a DELETE emptied
+    the table at this version."""
+    vdir = os.path.join(root, f"v{version}")
+    if not fs_for(spark, root).exists(os.path.join(vdir, "_SUCCESS")):
+        raise ValueError(
+            f"manifest version {version} not available under {root} "
+            "(never committed, or reclaimed by keep_versions retention)"
+        )
+    files = local_manifest_files(vdir)
+    if files is not None:
+        return files
+    return prune_files(spark.read.parquet(vdir), {})
+
+
 def read_version(
     spark: SparkSession,
     data_path: str,
@@ -273,9 +296,13 @@ def read_version(
         version_schema,
     )
 
+    from time_series_prediction_spark.streaming.layout import (
+        version_schema_struct,
+    )
+
     root = root or manifest_root(data_path)
-    man = _manifest_version(spark, root, version)
-    if man.select("file").first() is None:
+    files = _version_files(spark, root, version)
+    if not files:
         # a DELETE emptied the table at this version: valid state,
         # read as an empty frame in the recorded schema
         empty = version_schema(spark, root, version)
@@ -285,9 +312,16 @@ def read_version(
             f"manifest v{version} under {root} references no files "
             "and records no schema — empty manifest, build it first"
         )
+    reader = spark.read
+    # the commit's recorded schema skips footer inference (a Spark
+    # job per read) AND covers schema evolution exactly
+    st = version_schema_struct(spark, root, version)
+    if st is not None:
+        reader = reader.schema(st)
+    elif merge_schema:
+        reader = reader.option("mergeSchema", "true")
     return apply_dv(
-        pruned_scan(spark, man, {}, merge_schema=merge_schema),
-        version_dv(spark, root, version),
+        reader.parquet(*files), version_dv(spark, root, version)
     )
 
 
@@ -460,9 +494,10 @@ def version_changes(
     Unchanged files — the overwhelming majority under copy-on-write —
     are never opened."""
     root = root or manifest_root(data_path)
-    man_b = _manifest_version(spark, root, v_new)
-    files_a = set(prune_files(_manifest_version(spark, root, v_old), {}))
-    files_b = set(prune_files(man_b, {}))
+    # file lists resolve driver-side (metadata-sized manifests; zero
+    # Spark jobs) — the interval diff is pure set algebra
+    files_a = set(_version_files(spark, root, v_old))
+    files_b = set(_version_files(spark, root, v_new))
     dv_a = version_dv(spark, root, v_old)
     dv_b = version_dv(spark, root, v_new)
     added = sorted(files_b - files_a)
@@ -497,7 +532,9 @@ def version_changes(
     extra_deletes = None
     if dv_delta is not None and common:
         cdf = spark.createDataFrame([(f,) for f in common], "file string")
-        man_common = man_b.join(cdf, "file", "left_semi")
+        man_common = _manifest_version(spark, root, v_new).join(
+            cdf, "file", "left_semi"
+        )
         kcols = list(dv_delta.columns)  # tuple DV for composite keys
         cand = _overlapping_files(man_common, kcols, dv_delta)
         if cand:
@@ -947,10 +984,37 @@ def table_history(spark: SparkSession, root: str) -> DataFrame:
     its live file and row counts — straight off the manifest versions
     (metadata only, no data file is opened). ``n_rows`` per file is
     constant across its stats columns, so the per-file max collapses
-    the (file, col) grain exactly."""
+    the (file, col) grain exactly.
+
+    Fast path: manifests and DV footers fold driver-side (pyarrow) —
+    a history over N versions costs zero Spark jobs instead of N
+    scan+agg jobs; the Spark fold remains for non-local manifest
+    roots."""
     versions = list_versions(spark, root)
     if not versions:
         raise ValueError(f"no committed versions under {root}")
+    rows: list[tuple[int, int, int, int]] | None = []
+    for v in versions:
+        vdir = os.path.join(root, f"v{v}")
+        tbl = local_manifest_table(vdir)
+        n_dv = local_dv_count(vdir)
+        if tbl is None or n_dv is None:
+            rows = None
+            break
+        per_file: dict[str, int] = {}
+        for f, nr in zip(
+            tbl.column("file").to_pylist(),
+            tbl.column("n_rows").to_pylist(),
+        ):
+            per_file[f] = max(per_file.get(f, 0), int(nr or 0))
+        rows.append(
+            (v, len(per_file), sum(per_file.values()), n_dv)
+        )
+    if rows is not None:
+        return spark.createDataFrame(
+            rows,
+            "version long, n_files long, n_rows long, n_dv_keys long",
+        )
     parts = []
     for v in versions:
         man = _manifest_version(spark, root, v)

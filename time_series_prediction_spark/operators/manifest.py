@@ -323,6 +323,78 @@ def build_stats_manifest_for_files(
     )
 
 
+def local_manifest_table(vdir: str):
+    """Driver-side pyarrow read of ONE committed manifest version.
+    Manifests are metadata-sized by design (one part file since round
+    9's coalesced commits), yet routing them through ``spark.read``
+    put 2–4 Spark jobs of fixed scheduler overhead (~0.1–0.3 s each
+    on this box: the ``.first()`` emptiness probe, the
+    ``distinct().collect()`` file listing) in front of EVERY CoW
+    table read — the systematic +0.3–0.8 s drift round 9's bench saw
+    across the whole CoW query family. Reading the manifest where the
+    scan planner lives (the driver) is also what every real table
+    format does with its metadata.
+
+    Returns a ``pyarrow.Table``, or ``None`` when the dir is not a
+    locally readable parquet directory (remote scheme, unreadable
+    parts) — callers MUST then fall back to the Spark read path, which
+    stays correct on any filesystem."""
+    p = vdir
+    if p.startswith("file:"):
+        p = "/" + p.split(":", 1)[1].lstrip("/")
+    if not os.path.isdir(p):
+        return None
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        parts = sorted(
+            f for f in os.listdir(p) if f.endswith(".parquet")
+        )
+        if not parts:
+            return None
+        return pa.concat_tables(
+            [pq.read_table(os.path.join(p, f)) for f in parts]
+        )
+    except Exception:  # noqa: BLE001 — any failure → Spark fallback
+        return None
+
+
+def local_manifest_files(vdir: str) -> list[str] | None:
+    """Distinct committed file paths of one manifest version, read
+    driver-side (``None`` → caller falls back to the Spark path).
+    An EMPTY list is a real result: a DELETE that emptied the table
+    commits a manifest referencing no files."""
+    tbl = local_manifest_table(vdir)
+    if tbl is None:
+        return None
+    return sorted(set(tbl.column("file").to_pylist()))
+
+
+def local_dv_count(vdir: str) -> int | None:
+    """Row count of the version's deletion vector from parquet FOOTER
+    metadata only (no data read); 0 when the version carries no DV,
+    ``None`` when the dir isn't locally readable."""
+    p = vdir
+    if p.startswith("file:"):
+        p = "/" + p.split(":", 1)[1].lstrip("/")
+    if not os.path.isdir(p):
+        return None
+    dvdir = os.path.join(p, "_dv")
+    if not os.path.exists(os.path.join(dvdir, "_SUCCESS")):
+        return 0
+    try:
+        import pyarrow.parquet as pq
+
+        return sum(
+            pq.ParquetFile(os.path.join(dvdir, f)).metadata.num_rows
+            for f in os.listdir(dvdir)
+            if f.endswith(".parquet")
+        )
+    except Exception:  # noqa: BLE001
+        return None
+
+
 def prune_files(
     manifest: DataFrame, predicates: dict[str, tuple[object, object]]
 ) -> list[str]:

@@ -1775,6 +1775,59 @@ GROUP BY status
 """
 
 
+def orders_cow_composite_dv_history(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DESCRIBE HISTORY of the composite tuple-DV table: the cloned
+    head (v0/v1, physical rows = raw orders), the tuple-DV delete
+    (v2 — metadata-only: physical rows UNCHANGED, DV keys +ndel), and
+    the un-deleting merge (v3 — rewrites the band files, materializing
+    their deletions: physical rows = n0 − ndel + nund, DV shrinks to
+    ndel − nund). Shares ``orders_cow_composite_dv_layout`` with
+    ``orders_cow_composite_dv_scan`` so the one-time clone+DV+merge
+    build amortizes across both registry entries (round-9 VERDICT #1,
+    the same treatment that fixed the evolved layout). Metadata only —
+    no data file is opened; the oracle recomputes every count from the
+    mutation spec over raw orders."""
+    from time_series_prediction_spark.operators.cow import table_history
+
+    _data, meta = orders_cow_composite_dv_layout(spark, sf_dir)
+    return table_history(spark, meta).select(
+        "version", "n_rows", "n_dv_keys"
+    )
+
+
+ORDERS_COW_COMPOSITE_DV_HISTORY_SQL = f"""
+WITH n0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders),
+ndel AS (
+    SELECT CAST(count(*) AS BIGINT) AS n FROM orders
+    WHERE (CAST(o_orderdate AS DATE) - DATE '{_COMP_EPOCH}')
+          BETWEEN {_COMP_D0} AND {_COMP_D0 + _COMP_DVD}
+      AND o_orderkey % 5 = 0
+),
+nund AS (
+    SELECT CAST(count(*) AS BIGINT) AS n FROM orders
+    WHERE (CAST(o_orderdate AS DATE) - DATE '{_COMP_EPOCH}')
+          BETWEEN {_COMP_D0} AND {_COMP_D0 + _COMP_UND}
+      AND o_orderkey % 10 = 0
+)
+SELECT CAST(0 AS BIGINT) AS version, (SELECT n FROM n0) AS n_rows,
+       CAST(0 AS BIGINT) AS n_dv_keys
+UNION ALL
+SELECT 1, (SELECT n FROM n0), 0
+UNION ALL
+SELECT 2, (SELECT n FROM n0), (SELECT n FROM ndel)
+UNION ALL
+-- the un-deleting merge commits only when its band matches rows
+-- (at tiny scales the band can be empty — no v3 then)
+SELECT 3,
+       (SELECT n FROM n0) - (SELECT n FROM ndel)
+           + (SELECT n FROM nund),
+       (SELECT n FROM ndel) - (SELECT n FROM nund)
+WHERE (SELECT n FROM nund) > 0
+"""
+
+
 def orders_cdc_scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC → SCD2 dimension: the cow table's change feed folded into
     type-2 validity intervals — (key, attributes, v_from, v_to) where
@@ -1893,6 +1946,10 @@ TABLE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "orders_cow_composite_dv_scan": (
         orders_cow_composite_dv_scan,
         ORDERS_COW_COMPOSITE_DV_SQL,
+    ),
+    "orders_cow_composite_dv_history": (
+        orders_cow_composite_dv_history,
+        ORDERS_COW_COMPOSITE_DV_HISTORY_SQL,
     ),
     "events_forget_audit": (
         events_forget_audit,

@@ -209,13 +209,13 @@ def version_dv(
     return None if not dv.columns else dv
 
 
-def version_schema(
-    spark: SparkSession, root: str, version: int
-) -> DataFrame | None:
-    """The empty TYPED frame for the schema recorded with
-    ``v{version}`` (written by cow commits), or None when the version
-    predates schema recording. This is what makes a table whose last
-    DELETE removed every row still readable."""
+def version_schema_struct(spark: SparkSession, root: str, version: int):
+    """The ``StructType`` recorded with ``v{version}`` (written by cow
+    commits as ``_schema.json``), or None when the version predates
+    schema recording. Readers pass it as the EXPLICIT scan schema —
+    skipping parquet footer inference (one Spark job per read) and
+    making schema-evolved reads exact: files predating a column yield
+    nulls for it, per the recorded (authoritative) shape."""
     import json
 
     from pyspark.sql.types import StructType
@@ -224,7 +224,19 @@ def version_schema(
     fs = fs_for(spark, root)
     if not fs.exists(p):
         return None
-    st = StructType.fromJson(json.loads(fs.read_text(p)))
+    return StructType.fromJson(json.loads(fs.read_text(p)))
+
+
+def version_schema(
+    spark: SparkSession, root: str, version: int
+) -> DataFrame | None:
+    """The empty TYPED frame for the schema recorded with
+    ``v{version}``, or None when the version predates schema
+    recording. This is what makes a table whose last DELETE removed
+    every row still readable."""
+    st = version_schema_struct(spark, root, version)
+    if st is None:
+        return None
     return spark.createDataFrame([], st)
 
 
@@ -461,11 +473,40 @@ def read_committed(
     recursive scan would double-count superseded generations awaiting
     vacuum). ``merge_schema`` for schema-evolved tables (files
     predating a column read it as null)."""
+    from time_series_prediction_spark.operators.manifest import (
+        local_manifest_files,
+    )
+
     root = root or manifest_root(data_path)
     v = current_version(spark, root)
     if v is None:
         raise ValueError(f"no committed manifest under {root}")
-    man = spark.read.parquet(os.path.join(root, f"v{v}"))
+    vdir = os.path.join(root, f"v{v}")
+    # fast path: the manifest is metadata-sized — resolve the file
+    # list driver-side (zero Spark jobs); the Spark read below stays
+    # as the any-filesystem fallback
+    files = local_manifest_files(vdir)
+    if files is not None:
+        if not files:
+            empty = version_schema(spark, root, v)
+            if empty is not None:
+                return empty
+            raise ValueError(
+                f"manifest v{v} under {root} references no files and "
+                "records no schema — empty manifest, build it first"
+            )
+        reader = spark.read
+        # the commit's recorded schema skips footer inference (a
+        # Spark job per read) AND covers schema evolution exactly
+        st = version_schema_struct(spark, root, v)
+        if st is not None:
+            reader = reader.schema(st)
+        elif merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return apply_dv(
+            reader.parquet(*files), version_dv(spark, root, v)
+        )
+    man = spark.read.parquet(vdir)
     if man.select("file").first() is None:
         # a DELETE emptied the table: zero files is a valid state —
         # read it as an empty frame in the recorded schema
