@@ -362,8 +362,11 @@ def test_packing_bin_sums_match_duckdb(spark, sf_dir, duck):
     docs = read_table(spark, sf_dir, "documents").select(
         "doc_id", text.token_count("text").alias("n_tokens")
     )
+    cls = F.when(F.col("n_tokens") > 512, F.lit(0)).otherwise(
+        F.floor(F.lit(512) / F.col("n_tokens"))
+    )
     assignment = (
-        pack_documents(docs, budget=512, n_groups=8)
+        pack_documents(docs, budget=512, group_expr=cls)
         .select("doc_id", "bin_id")
         .toPandas()
     )
@@ -387,3 +390,35 @@ def test_packing_bin_sums_match_duckdb(spark, sf_dir, duck):
     }
     duck.unregister("assignment")
     assert got == want
+
+
+def test_class_bucketed_bfd_equals_harmonic_closed_form(spark, sf_dir):
+    """Round-9 VERDICT #5: bucketing docs by capacity class
+    floor(budget/len) before partition-local BFD makes the real BFD
+    kernel provably closed-form — within a class, best-fit fills bins
+    to exactly c docs in (length desc, id asc) order. The BFD kernel's
+    bins must therefore equal pack_documents_harmonic's window-rank
+    bins EXACTLY (bin ids included), which is what lets
+    doc_packing_stats carry a full DuckDB oracle instead of a
+    rows-only check."""
+    from time_series_prediction_spark.operators import text
+    from time_series_prediction_spark.operators.packing import (
+        pack_documents,
+        pack_documents_harmonic,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", text.token_count("text").alias("n_tokens")
+    )
+    cls = F.when(F.col("n_tokens") > 512, F.lit(0)).otherwise(
+        F.floor(F.lit(512) / F.col("n_tokens"))
+    )
+    bfd = sorted(
+        map(tuple, pack_documents(docs, budget=512, group_expr=cls)
+            .select("doc_id", "bin_id").collect())
+    )
+    harmonic = sorted(
+        map(tuple, pack_documents_harmonic(docs, budget=512)
+            .select("doc_id", "bin_id").collect())
+    )
+    assert bfd == harmonic

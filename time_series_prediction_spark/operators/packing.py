@@ -40,6 +40,7 @@ def pack_documents(
     len_col: str = "n_tokens",
     n_groups: int | None = None,
     rows_per_group: int = 1_000_000,
+    group_expr=None,
 ) -> DataFrame:
     """→ (doc_id, n_tokens, bin_id): every input doc exactly once;
     sum(n_tokens) per bin ≤ budget unless the bin holds a single
@@ -54,15 +55,36 @@ def pack_documents(
     — at 10^10 docs that is 10^4 groups of ~1M (id, length) pairs
     (~tens of MB per task), never 32 groups of 300M. Pass ``n_groups``
     explicitly to pin a layout (bin ids are only comparable across
-    runs that used the same group count)."""
-    if n_groups is None:
-        n_rows = docs.count()
-        n_groups = max(1, -(-n_rows // rows_per_group))
-    grouped = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(len_col).cast("long").alias("n_tokens"),
-        F.pmod(F.xxhash64(id_col), F.lit(n_groups)).cast("int").alias("_grp"),
-    )
+    runs that used the same group count).
+
+    ``group_expr`` (a Column over the input) replaces the hash
+    grouping with a CALLER-CHOSEN deterministic bucketing. The load-
+    bearing case: bucketing by per-bin capacity class
+    ``floor(budget / len)`` makes this BFD kernel's output closed-form
+    replayable — within a class every doc lies in
+    (budget/(c+1), budget/c], so a bin holds at most c docs (c+1
+    exceed the budget) while ANY open bin with fewer than c holds the
+    next doc (residual ≥ budget/c ≥ doc); best-fit therefore fills
+    bins to exactly c docs in (length desc, id asc) order, i.e. the
+    chunked rank assignment a SQL window recomputes bin-for-bin
+    (``pack_documents_harmonic`` / its DuckDB oracle). Same real BFD
+    code path, provably identical bins, full oracle coverage."""
+    if group_expr is not None:
+        grouped = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(len_col).cast("long").alias("n_tokens"),
+            group_expr.cast("int").alias("_grp"),
+        )
+    else:
+        if n_groups is None:
+            n_rows = docs.count()
+            n_groups = max(1, -(-n_rows // rows_per_group))
+        grouped = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(len_col).cast("long").alias("n_tokens"),
+            F.pmod(F.xxhash64(id_col), F.lit(n_groups))
+            .cast("int").alias("_grp"),
+        )
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(
