@@ -246,11 +246,11 @@ def test_merge_does_not_lose_interleaved_commit(spark, tmp_path,
 
     path = str(tmp_path / "tbl")
     _mk(spark, path)
-    real_overlap = cow._overlapping_files
+    real_overlap = cow._overlap_rewrite_set
     fired = {"n": 0}
 
-    def inject_then_plan(man, key_cols, keys):
-        plan = real_overlap(man, key_cols, keys)
+    def inject_then_plan(spark_, root, v, man, key_cols, keys, **kw):
+        plan = real_overlap(spark_, root, v, man, key_cols, keys, **kw)
         if fired["n"] == 0:
             fired["n"] = 1
             # B interleaves AFTER A's plan capture, BEFORE A's publish
@@ -261,7 +261,7 @@ def test_merge_does_not_lose_interleaved_commit(spark, tmp_path,
             )
         return plan
 
-    monkeypatch.setattr(cow, "_overlapping_files", inject_then_plan)
+    monkeypatch.setattr(cow, "_overlap_rewrite_set", inject_then_plan)
     updates = spark.createDataFrame([(300, -300)], "k long, v long")
     merge_upsert(spark, path, updates, key="k", keep_versions=10)
     got = read_committed(spark, path)

@@ -49,10 +49,17 @@ def test_any_mutation_sequence_reads_like_the_model(
     base = spark.range(_N).select(
         F.col("id").alias("k"), (F.col("id") * 3).alias("v")
     )
+    from time_series_prediction_spark.operators.cow import list_versions
+    from time_series_prediction_spark.streaming.layout import (
+        manifest_root,
+    )
+
     init_table(spark, path, base, key="k", n_files=4, keep_versions=20)
     model = {k: 3 * k for k in range(_N)}
     states = [dict(model)]  # states[v] == table contents at version v
+    root = manifest_root(path)
     for op, keys, val in muts:
+        before_v = max(list_versions(spark, root))
         if op == "merge":
             ups = spark.createDataFrame(
                 [(k, val) for k in keys], "k long, v long"
@@ -68,7 +75,11 @@ def test_any_mutation_sequence_reads_like_the_model(
             fn(spark, path, dels, key="k", keep_versions=20)
             for k in keys:
                 model.pop(k, None)
-        states.append(dict(model))
+        # a DELETE whose keys miss every file's stats range is a
+        # no-op and burns NO manifest version — the model records a
+        # state only when a commit actually happened
+        if max(list_versions(spark, root)) > before_v:
+            states.append(dict(model))
         assert _rows(read_committed(spark, path)) == sorted(
             model.items()
         ), op

@@ -260,6 +260,36 @@ def _manifest_version(
     return spark.read.parquet(vdir)
 
 
+def _manifest_df(
+    spark: SparkSession, root: str, version: int
+) -> DataFrame:
+    """Manifest version as a DataFrame — a LOCAL relation when the
+    manifest is locally readable (the commit plan's carry-by-reference
+    anti-join and single-part write then schedule no scan over the old
+    manifest), else the Spark parquet read. Same rows either way."""
+    from time_series_prediction_spark.operators.manifest import (
+        _MANIFEST_SCHEMA,
+    )
+
+    vdir = os.path.join(root, f"v{version}")
+    if not fs_for(spark, root).exists(os.path.join(vdir, "_SUCCESS")):
+        raise ValueError(
+            f"manifest version {version} not available under {root} "
+            "(never committed, or reclaimed by keep_versions retention)"
+        )
+    tbl = local_manifest_table(vdir)
+    if tbl is not None:
+        cols = [
+            "file", "col", "n_rows", "vmin", "vmax",
+            "has_nulls", "vmin_s", "vmax_s",
+        ]
+        rows = [
+            tuple(r.get(c) for c in cols) for r in tbl.to_pylist()
+        ]
+        return spark.createDataFrame(rows, _MANIFEST_SCHEMA)
+    return spark.read.parquet(vdir)
+
+
 def _version_files(
     spark: SparkSession, root: str, version: int
 ) -> list[str]:
@@ -579,6 +609,113 @@ def _key_as_stat(col: str, dtype) -> F.Column:
     return F.col(col).cast("double")
 
 
+# a MERGE/DELETE whose distinct-key batch fits under this cap selects
+# its rewrite set driver-side (one collect over the persisted batch
+# replaces ~6 fixed-overhead Spark jobs of manifest joins); bigger
+# batches keep the distributed broadcast-join path
+_LOCAL_KEYS_CAP = 100_000
+
+# a rewrite provably smaller than this (manifest row counts of the
+# touched files + the update batch) lands as ONE key-sorted file —
+# below one file's worth of data the z-order write's extra passes
+# (min/max agg, range sampling) are pure fixed overhead
+_SMALL_REWRITE_ROWS = 1_000_000
+
+
+def _key_stat_value(v):
+    """Driver-side twin of ``_key_as_stat``: project one collected key
+    value into the manifest's stat domain (str stays str; date →
+    days-since-epoch float; numerics → float; timestamps → epoch
+    seconds, moot since timestamp stats are blind and every file is
+    conservatively kept)."""
+    import datetime as _dt
+
+    if v is None or isinstance(v, str):
+        return v
+    if isinstance(v, _dt.datetime):
+        return v.timestamp()
+    if isinstance(v, _dt.date):
+        return float((v - _dt.date(1970, 1, 1)).days)
+    return float(v)
+
+
+def _overlapping_files_local(
+    man_tbl, key_cols: list[str], key_rows
+) -> list[str]:
+    """``_overlapping_files`` evaluated on the driver: same semantics
+    (per key column, usable-stats files survive when some distinct
+    key value lands in [vmin, vmax]; stats-blind files always survive;
+    rewrite set = intersection across key columns), zero Spark jobs.
+    ``man_tbl`` is the pyarrow manifest, ``key_rows`` the collected
+    distinct key tuples."""
+    from bisect import bisect_left
+
+    rows = man_tbl.to_pylist()
+    all_files = {r["file"] for r in rows}
+    file_sets: list[set[str]] = []
+    for kc in key_cols:
+        kvals = sorted(
+            {_key_stat_value(r[kc]) for r in key_rows}
+            - {None}
+        )
+        is_str = bool(kvals) and isinstance(kvals[0], str)
+        vmin_k, vmax_k = ("vmin_s", "vmax_s") if is_str else ("vmin", "vmax")
+        keep: set[str] = set()
+        usable_files: set[str] = set()
+        for r in rows:
+            if r["col"] != kc:
+                continue
+            lo, hi = r.get(vmin_k), r.get(vmax_k)
+            if lo is None or r.get("has_nulls"):
+                continue
+            usable_files.add(r["file"])
+            if hi is None:
+                keep.add(r["file"])  # half-open stats: conservative
+                continue
+            i = bisect_left(kvals, lo)
+            if i < len(kvals) and kvals[i] <= hi:
+                keep.add(r["file"])
+        keep |= all_files - usable_files  # stats-blind: must assume
+        file_sets.append(keep)
+    return sorted(set.intersection(*file_sets)) if file_sets else []
+
+
+def _collect_small_keys(keys: DataFrame, key_cols: list[str]):
+    """Distinct key tuples of a mutation batch, collected to the
+    driver when they fit under ``_LOCAL_KEYS_CAP`` (one job over the
+    caller-persisted batch) — the handle that lets the whole commit's
+    metadata plane (overlap selection, DV delta, manifest publish)
+    run driver-side. None = batch too big, keep the distributed
+    paths."""
+    kd = (
+        keys.select(*key_cols).distinct()
+        .limit(_LOCAL_KEYS_CAP + 1).collect()
+    )
+    return kd if len(kd) <= _LOCAL_KEYS_CAP else None
+
+
+def _overlap_rewrite_set(
+    spark: SparkSession,
+    root: str,
+    version: int,
+    man: DataFrame,
+    key_cols: list[str],
+    keys: DataFrame,
+    kd=None,
+) -> list[str]:
+    """Rewrite-set selection with the metadata plane on the driver
+    when both sides are metadata-sized: the local manifest plus a
+    collected distinct-key batch under ``_LOCAL_KEYS_CAP`` (``kd``,
+    collected once by the caller). Falls back to the distributed
+    ``_overlapping_files`` broadcast joins for big key batches or
+    non-local manifests — the 100 TB path is unchanged."""
+    if kd is not None:
+        tbl = local_manifest_table(os.path.join(root, f"v{version}"))
+        if tbl is not None:
+            return _overlapping_files_local(tbl, key_cols, kd)
+    return _overlapping_files(man, key_cols, keys)
+
+
 def _overlapping_files(
     man: DataFrame, key_cols: list[str], keys: DataFrame
 ) -> list[str]:
@@ -654,6 +791,8 @@ def _commit_rewrite(
     base_version: int,
     dv: DataFrame | None = None,
     rewrite_nonempty: bool = False,
+    dv_rows: tuple[list[str], list[tuple]] | None = None,
+    extra_rewrite_rows: int | None = None,
 ) -> int:
     """Shared commit tail for MERGE/DELETE: write the rewrite
     generation (if it has rows), carry every untouched file's stats
@@ -665,9 +804,35 @@ def _commit_rewrite(
     ``_next_version`` returns at publish time would let this writer's
     manifest silently supersede the interleaved commit — a lost
     update.) Raises ``ConcurrentCommitError`` after discarding the
-    generation dir."""
+    generation dir.
+
+    The manifest math — carry-over filter, new-generation footer
+    stats — runs DRIVER-side when the old manifest is locally
+    readable: a commit's metadata is a few KB, and routing it through
+    Spark put 5+ fixed-overhead jobs behind every small MERGE/DELETE.
+    The Spark path remains for non-local roots. ``dv_rows`` (column
+    names + tuples) is the driver-resident deletion vector; passing
+    ``dv`` (a DataFrame) instead forces the Spark publish path."""
+    from time_series_prediction_spark.operators.manifest import (
+        _local_stats_rows,
+        _resolve_base,
+    )
+
     fs = fs_for(spark, root)
     gen = base_version + 1
+    touched_set = set(touched)
+    old_tbl = local_manifest_table(os.path.join(root, f"v{base_version}"))
+    man_rows: list[tuple] | None = None
+    if old_tbl is not None:
+        _MCOLS = (
+            "file", "col", "n_rows", "vmin", "vmax",
+            "has_nulls", "vmin_s", "vmax_s",
+        )
+        man_rows = [
+            tuple(r.get(c) for c in _MCOLS)
+            for r in old_tbl.to_pylist()
+            if r["file"] not in touched_set
+        ]
     if touched:
         tdf = spark.createDataFrame([(f,) for f in touched], "file string")
         kept = man.join(tdf, "file", "left_anti")
@@ -695,8 +860,55 @@ def _commit_rewrite(
             gdir = os.path.join(
                 data_path, f"{tag}-{gen}-p{os.getpid()}-{next(_GEN_SEQ)}"
             )
-            write_zordered(rewritten, gdir, cluster_cols, n_files=n_files)
-            parts.append(build_stats_manifest(spark, gdir, stats_cols))
+            # rewrite size is bounded BEFORE execution by manifest
+            # metadata: the touched files' recorded row counts plus
+            # the caller's update-batch bound. A small rewrite lands
+            # as ONE key-sorted file — the z-order machinery's min/max
+            # agg + range sampling are two extra passes that buy
+            # nothing below one file's worth of data (file-level stats
+            # are identical, and fewer tiny files is the better
+            # layout). Big rewrites keep the full Morton layout.
+            bound = None
+            if extra_rewrite_rows is not None and old_tbl is not None:
+                per_file: dict[str, int] = {}
+                for r in old_tbl.to_pylist():
+                    if r["file"] in touched_set:
+                        per_file[r["file"]] = max(
+                            per_file.get(r["file"], 0),
+                            int(r["n_rows"] or 0),
+                        )
+                bound = sum(per_file.values()) + extra_rewrite_rows
+            if bound is not None and bound <= _SMALL_REWRITE_ROWS:
+                (
+                    rewritten.coalesce(1)
+                    .sortWithinPartitions(*cluster_cols)
+                    .write.mode("overwrite").parquet(gdir)
+                )
+            else:
+                write_zordered(
+                    rewritten, gdir, cluster_cols, n_files=n_files
+                )
+            gen_files = list_parquet_files(gdir, spark)
+            gen_rows = (
+                _local_stats_rows(
+                    gen_files, stats_cols, _resolve_base(gdir, spark)
+                )
+                if man_rows is not None and gen_files
+                else None
+            )
+            if gen_rows is not None:
+                man_rows = man_rows + gen_rows
+                parts.append(
+                    spark.createDataFrame(
+                        gen_rows,
+                        "file string, col string, n_rows long, "
+                        "vmin double, vmax double, has_nulls boolean, "
+                        "vmin_s string, vmax_s string",
+                    )
+                )
+            else:
+                man_rows = None  # fall back to the Spark publish path
+                parts.append(build_stats_manifest(spark, gdir, stats_cols))
             spec = _bloom_spec(fs, root)
             if spec is not None and spec[0] in rewritten.columns:
                 _write_gen_bloom(spark, gdir, spec)
@@ -711,6 +923,8 @@ def _commit_rewrite(
         publish_manifest(
             new_man, root, gen, keep_versions=keep_versions, dv=dv,
             schema_json=schema_json,
+            man_rows=man_rows if dv is None else None,
+            dv_rows=dv_rows,
         )
     except ConcurrentCommitError:
         if gdir is not None:
@@ -812,28 +1026,66 @@ def _merge_pinned(
     evolve_schema: bool,
 ) -> int:
     """The OCC commit loop of ``merge_upsert`` over an already
-    validated, persisted updates batch (non-empty, key-unique)."""
+    validated, persisted updates batch (non-empty, key-unique).
+    The metadata plane — manifest carry-over, overlap selection, the
+    DV delta, the publish — runs driver-side for small key batches
+    over locally-readable roots (zero manifest/DV Spark jobs per
+    commit); big batches and remote roots keep the distributed
+    paths."""
+    from time_series_prediction_spark.operators.manifest import (
+        NOT_LOCAL,
+        local_dv_table,
+    )
+
+    kd = _collect_small_keys(updates, key_cols)
     last_err: ConcurrentCommitError | None = None
     for _ in range(_MAX_COMMIT_ATTEMPTS):
         v = current_version(spark, root)
         if v is None:
             raise ValueError(f"no committed table under {data_path}")
-        man = _manifest_version(spark, root, v)
-        dv = version_dv(spark, root, v)
-        if dv is not None and list(dv.columns) != key_cols:
-            # a DV keyed differently from the merge (e.g. a
-            # single-column DV on a composite-key merge) cannot
-            # express this merge's un-deletes — refusing beats a
-            # silently resurrected or still-hidden row
-            raise ValueError(
-                f"MERGE key {key_cols} does not match the table's "
-                f"deletion-vector key {list(dv.columns)} — delete "
-                "with the same key the table merges on, or compact "
-                "first to materialize the vector"
+        man = _manifest_df(spark, root, v)
+        # deletion vector of the base version: driver-resident when
+        # the root is local (DVs are broadcast-sized by contract)
+        dv_tuples = None  # list[tuple] when driver-resident
+        dvt = local_dv_table(os.path.join(root, f"v{v}")) if kd is not None \
+            else NOT_LOCAL
+        if dvt is None:
+            dv = None
+            dv_tuples = []
+        elif dvt is not NOT_LOCAL:
+            if dvt.column_names != key_cols:
+                raise ValueError(
+                    f"MERGE key {key_cols} does not match the table's "
+                    f"deletion-vector key {dvt.column_names} — delete "
+                    "with the same key the table merges on, or compact "
+                    "first to materialize the vector"
+                )
+            dv_tuples = [
+                tuple(r[c] for c in key_cols) for r in dvt.to_pylist()
+            ]
+            dv = (
+                spark.createDataFrame(dvt.to_pandas())
+                if dv_tuples else None
             )
+        else:
+            dv = version_dv(spark, root, v)
+            if dv is not None and list(dv.columns) != key_cols:
+                # a DV keyed differently from the merge (e.g. a
+                # single-column DV on a composite-key merge) cannot
+                # express this merge's un-deletes — refusing beats a
+                # silently resurrected or still-hidden row
+                raise ValueError(
+                    f"MERGE key {key_cols} does not match the table's "
+                    f"deletion-vector key {list(dv.columns)} — delete "
+                    "with the same key the table merges on, or compact "
+                    "first to materialize the vector"
+                )
         touched = _bloom_narrow(
             spark, fs_for(spark, root), root,
-            _overlapping_files(man, key_cols, updates), key_cols, updates,
+            _overlap_rewrite_set(
+                spark, root, v, man, key_cols, updates, kd=kd
+            ),
+            key_cols, updates,
         )
         # apply the DV to the rewrite input: tombstoned rows must not
         # be resurrected by the file rewrite
@@ -847,7 +1099,14 @@ def _merge_pinned(
         # an upsert un-deletes its key: drop the full key TUPLE from
         # the carried DV (dv.columns == key_cols — enforced above)
         new_dv = None
-        if dv is not None:
+        new_dv_rows = None
+        if dv_tuples is not None:
+            # driver-side delta: set subtraction, no isEmpty job
+            kdset = {tuple(r[c] for c in key_cols) for r in kd}
+            remaining = [t for t in dv_tuples if t not in kdset]
+            if remaining:
+                new_dv_rows = (key_cols, remaining)
+        elif dv is not None:
             new_dv = dv.join(
                 updates.select(*key_cols), key_cols, "left_anti"
             )
@@ -857,7 +1116,8 @@ def _merge_pinned(
             return _commit_rewrite(
                 spark, data_path, root, man, touched, rewritten, "merge",
                 key_cols, stats_cols, n_files, keep_versions,
-                base_version=v, dv=new_dv,
+                base_version=v, dv=new_dv, dv_rows=new_dv_rows,
+                extra_rewrite_rows=len(kd) if kd is not None else None,
                 # a merge's rewrite contains at least its (non-empty)
                 # updates — skip the isEmpty probe
                 rewrite_nonempty=True,
@@ -891,16 +1151,41 @@ def delete_keys(
     stats_cols = [
         *key_cols, *[c for c in stats_cols if c not in key_cols]
     ]
+    from time_series_prediction_spark.operators.manifest import (
+        NOT_LOCAL,
+        local_dv_table,
+    )
+
+    kd = _collect_small_keys(keys, key_cols)
     last_err: ConcurrentCommitError | None = None
     for _ in range(_MAX_COMMIT_ATTEMPTS):
         v = current_version(spark, root)
         if v is None:
             raise ValueError(f"no committed table under {data_path}")
-        man = _manifest_version(spark, root, v)
-        dv = version_dv(spark, root, v)
+        man = _manifest_df(spark, root, v)
+        # the existing DV rides along unchanged; driver-resident when
+        # local so the carried-DV publish needs no Spark write
+        dv_rows = None
+        dvt = local_dv_table(os.path.join(root, f"v{v}")) if kd is not None \
+            else NOT_LOCAL
+        if dvt is None:
+            dv = None
+        elif dvt is not NOT_LOCAL:
+            tuples = [
+                tuple(r[c] for c in dvt.column_names)
+                for r in dvt.to_pylist()
+            ]
+            dv = spark.createDataFrame(dvt.to_pandas()) if tuples else None
+            if tuples:
+                dv_rows = (dvt.column_names, tuples)
+        else:
+            dv = version_dv(spark, root, v)
         touched = _bloom_narrow(
             spark, fs_for(spark, root), root,
-            _overlapping_files(man, key_cols, keys), key_cols, keys,
+            _overlap_rewrite_set(
+                spark, root, v, man, key_cols, keys, kd=kd
+            ),
+            key_cols, keys,
         )
         if not touched:  # nothing can match — commit nothing
             return max(list_versions(spark, root))
@@ -911,7 +1196,10 @@ def delete_keys(
             return _commit_rewrite(
                 spark, data_path, root, man, touched, surviving, "delete",
                 key_cols, stats_cols, n_files, keep_versions,
-                base_version=v, dv=dv,
+                base_version=v,
+                dv=dv if dv_rows is None and dv is not None else None,
+                dv_rows=dv_rows,
+                extra_rewrite_rows=0 if kd is not None else None,
             )
         except ConcurrentCommitError as e:
             last_err = e  # rebase: replan against the new current state
@@ -945,14 +1233,66 @@ def delete_keys_dv(
     The trade is the standard merge-on-read one: cheap commits, a
     per-read anti join until compaction. Returns the committed
     version."""
+    from time_series_prediction_spark.operators.manifest import (
+        NOT_LOCAL,
+        local_dv_table,
+    )
+
     root = root or manifest_root(data_path)
     key_cols = [key] if isinstance(key, str) else list(key)
+    kd = _collect_small_keys(keys, key_cols)
     last_err: ConcurrentCommitError | None = None
     for _ in range(_MAX_COMMIT_ATTEMPTS):
         v = current_version(spark, root)
         if v is None:
             raise ValueError(f"no committed table under {data_path}")
-        man = _manifest_version(spark, root, v)
+        vdir = os.path.join(root, f"v{v}")
+        mtbl = local_manifest_table(vdir)
+        dvt = local_dv_table(vdir) if kd is not None else NOT_LOCAL
+        gen = v + 1
+        if mtbl is not None and dvt is not NOT_LOCAL:
+            # fully driver-side commit: carried manifest rows + the
+            # unioned key tuples, staged with pyarrow — the
+            # metadata-cost contract of a DV delete made literal
+            # (zero Spark jobs past the one key collect)
+            if dvt is not None and dvt.column_names != key_cols:
+                raise ValueError(
+                    f"DELETE key {key_cols} does not match the "
+                    "table's existing deletion-vector key "
+                    f"{dvt.column_names} — keep one DV key per "
+                    "table, or compact first to materialize the "
+                    "vector"
+                )
+            tuples = (
+                [tuple(r[c] for c in key_cols) for r in dvt.to_pylist()]
+                if dvt is not None else []
+            )
+            seen = set(tuples)
+            for r in kd:
+                t = tuple(r[c] for c in key_cols)
+                if t not in seen:
+                    seen.add(t)
+                    tuples.append(t)
+            _MCOLS = (
+                "file", "col", "n_rows", "vmin", "vmax",
+                "has_nulls", "vmin_s", "vmax_s",
+            )
+            man_rows = [
+                tuple(r.get(c) for c in _MCOLS)
+                for r in mtbl.to_pylist()
+            ]
+            try:
+                publish_manifest(
+                    _manifest_df(spark, root, v), root, gen,
+                    keep_versions=keep_versions,
+                    man_rows=man_rows,
+                    dv_rows=(key_cols, tuples) if tuples else None,
+                )
+                return gen
+            except ConcurrentCommitError as e:
+                last_err = e
+                continue
+        man = _manifest_df(spark, root, v)
         dv_old = version_dv(spark, root, v)
         if dv_old is not None and list(dv_old.columns) != key_cols:
             raise ValueError(
@@ -968,7 +1308,6 @@ def delete_keys_dv(
         )
         # pinned to v+1: an interleaved commit CAS-fails this one and
         # the loop re-reads — never a lost update (see _commit_rewrite)
-        gen = v + 1
         try:
             publish_manifest(
                 man, root, gen, keep_versions=keep_versions, dv=new_dv
@@ -1159,7 +1498,7 @@ def restore_table(
     is Delta Lake's RESTORE semantic on the engine's native manifest
     format. Returns the new version number."""
     root = root or manifest_root(data_path)
-    man = _manifest_version(spark, root, to_version)
+    man = _manifest_df(spark, root, to_version)
     # materialize source metadata BEFORE publishing: the commit may
     # retention-prune old version dirs, including the one these lazy
     # plans read from — collect is manifest-sized (metadata only)

@@ -180,6 +180,59 @@ def _encode_stat(v: object) -> tuple[str, object] | None:
     return None
 
 
+def _footer_rows(
+    f: str, want: list[str], base_n: str | None
+) -> list[tuple]:
+    """Manifest rows for ONE parquet file from its footer (metadata
+    only, no data pages) — the shared kernel of the executor-side
+    ``mapInPandas`` scan and the driver-side small-commit path."""
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(f).metadata
+    idx = {
+        meta.schema.column(i).path: i
+        for i in range(meta.num_columns)
+    }
+    pvals = {}
+    if base_n and f.startswith(base_n + "/"):
+        pvals = _partition_values(f[len(base_n) + 1:])
+    out: list[tuple] = []
+    for c in want:
+        if c in pvals and c not in idx:
+            kind, v = _encode_stat(pvals[c])
+            row = (
+                (f, c, meta.num_rows, v, v, False, None, None)
+                if kind == "n"
+                else (f, c, meta.num_rows, None, None, False, v, v)
+            )
+            out.append(row)
+            continue
+        if c not in idx:
+            continue
+        mn = mx = None  # numeric bounds
+        mns = mxs = None  # string bounds
+        nulls = False
+        for g in range(meta.num_row_groups):
+            st = meta.row_group(g).column(idx[c]).statistics
+            if st is None or not st.has_min_max:
+                nulls = True
+                continue
+            lo, hi = _encode_stat(st.min), _encode_stat(st.max)
+            if lo is None or hi is None or lo[0] != hi[0]:
+                nulls = True  # no faithful encoding → blind
+                continue
+            if lo[0] == "n":
+                mn = lo[1] if mn is None else min(mn, lo[1])
+                mx = hi[1] if mx is None else max(mx, hi[1])
+            else:
+                mns = lo[1] if mns is None else min(mns, lo[1])
+                mxs = hi[1] if mxs is None else max(mxs, hi[1])
+            if st.null_count:
+                nulls = True
+        out.append((f, c, meta.num_rows, mn, mx, nulls, mns, mxs))
+    return out
+
+
 def _footer_stats(
     file_df: DataFrame, cols: list[str], base: str | None = None
 ) -> DataFrame:
@@ -195,54 +248,10 @@ def _footer_stats(
     base_n = base.rstrip("/") if base else None
 
     def read_footers(batches):
-        import pyarrow.parquet as pq
-
         for pdf in batches:
             out = []
             for f in pdf["file"]:
-                meta = pq.ParquetFile(f).metadata
-                idx = {
-                    meta.schema.column(i).path: i
-                    for i in range(meta.num_columns)
-                }
-                pvals = {}
-                if base_n and f.startswith(base_n + "/"):
-                    pvals = _partition_values(f[len(base_n) + 1:])
-                for c in want:
-                    if c in pvals and c not in idx:
-                        kind, v = _encode_stat(pvals[c])
-                        row = (
-                            (f, c, meta.num_rows, v, v, False, None, None)
-                            if kind == "n"
-                            else (f, c, meta.num_rows, None, None, False, v, v)
-                        )
-                        out.append(row)
-                        continue
-                    if c not in idx:
-                        continue
-                    mn = mx = None  # numeric bounds
-                    mns = mxs = None  # string bounds
-                    nulls = False
-                    for g in range(meta.num_row_groups):
-                        st = meta.row_group(g).column(idx[c]).statistics
-                        if st is None or not st.has_min_max:
-                            nulls = True
-                            continue
-                        lo, hi = _encode_stat(st.min), _encode_stat(st.max)
-                        if lo is None or hi is None or lo[0] != hi[0]:
-                            nulls = True  # no faithful encoding → blind
-                            continue
-                        if lo[0] == "n":
-                            mn = lo[1] if mn is None else min(mn, lo[1])
-                            mx = hi[1] if mx is None else max(mx, hi[1])
-                        else:
-                            mns = lo[1] if mns is None else min(mns, lo[1])
-                            mxs = hi[1] if mxs is None else max(mxs, hi[1])
-                        if st.null_count:
-                            nulls = True
-                    out.append(
-                        (f, c, meta.num_rows, mn, mx, nulls, mns, mxs)
-                    )
+                out.extend(_footer_rows(f, want, base_n))
             yield pd.DataFrame(
                 out,
                 columns=[
@@ -254,22 +263,61 @@ def _footer_stats(
     return file_df.mapInPandas(read_footers, schema=_MANIFEST_SCHEMA)
 
 
+# a commit generation of up to this many files reads its footers on
+# the driver (local relation, zero Spark jobs) instead of a
+# parallelized mapInPandas pass — each footer is a few KB, and the
+# fixed job overhead (~0.1-0.3 s on this box) dwarfs the read
+_LOCAL_STATS_MAX_FILES = 64
+
+
+def _local_stats_rows(
+    files: list[str], cols: list[str], base: str | None
+):
+    """Driver-side ``_footer_rows`` over a SMALL file list, or None
+    when any file isn't locally readable (remote scheme) — callers
+    fall back to the distributed footer scan."""
+    paths = []
+    for f in files:
+        p = f
+        if p.startswith("file:"):
+            p = "/" + p.split(":", 1)[1].lstrip("/")
+        if not os.path.isfile(p):
+            return None
+        paths.append(f)
+    base_n = base.rstrip("/") if base else None
+    try:
+        out = []
+        for f in paths:
+            out.extend(_footer_rows(f, list(cols), base_n))
+        return out
+    except Exception:  # noqa: BLE001 — any failure → Spark fallback
+        return None
+
+
 def build_stats_manifest(
     spark: SparkSession, path: str, cols: list[str]
 ) -> DataFrame:
     """One manifest row per (file, column): min/max over the file's row
     groups (numeric columns), row count, and null presence. Footer
     reads happen executor-side via mapInPandas over the parallelized
-    file list — metadata only, no data pages. The listing is
-    recursive, so Hive-partitioned layouts work: requested columns
-    that are partition keys get rows from the path components."""
+    file list — metadata only, no data pages — except for small
+    generations (≤ ``_LOCAL_STATS_MAX_FILES``), whose footers fold on
+    the driver into a local relation with zero Spark jobs (the shape
+    every per-commit stats build has). The listing is recursive, so
+    Hive-partitioned layouts work: requested columns that are
+    partition keys get rows from the path components."""
     files = list_parquet_files(path, spark)
     if not files:
         raise ValueError(f"no parquet files under {path}")
+    base = _resolve_base(path, spark)
+    if len(files) <= _LOCAL_STATS_MAX_FILES:
+        rows = _local_stats_rows(files, cols, base)
+        if rows is not None:
+            return spark.createDataFrame(rows, _MANIFEST_SCHEMA)
     file_df = spark.createDataFrame(
         [(f,) for f in files], "file string"
     ).repartition(min(len(files), 64))
-    return _footer_stats(file_df, cols, base=_resolve_base(path, spark))
+    return _footer_stats(file_df, cols, base=base)
 
 
 def update_manifest(
@@ -313,11 +361,16 @@ def build_stats_manifest_for_files(
     base: str | None = None,
 ) -> DataFrame:
     """build_stats_manifest over an explicit file list (the
-    incremental-update entry point)."""
+    incremental-update entry point); small lists fold driver-side
+    like ``build_stats_manifest``."""
     if not files:
         raise ValueError("empty file list")
-    tmp = spark.createDataFrame([(f,) for f in files], "file string")
     resolved = _resolve_base(base, spark) if base else None
+    if len(files) <= _LOCAL_STATS_MAX_FILES:
+        rows = _local_stats_rows(files, cols, resolved)
+        if rows is not None:
+            return spark.createDataFrame(rows, _MANIFEST_SCHEMA)
+    tmp = spark.createDataFrame([(f,) for f in files], "file string")
     return _footer_stats(
         tmp.repartition(min(len(files), 64)), cols, base=resolved
     )
@@ -369,6 +422,40 @@ def local_manifest_files(vdir: str) -> list[str] | None:
     if tbl is None:
         return None
     return sorted(set(tbl.column("file").to_pylist()))
+
+
+# sentinel: the dir is not locally readable — caller must use Spark
+NOT_LOCAL = object()
+
+
+def local_dv_table(vdir: str):
+    """Driver-side pyarrow read of one version's ``_dv`` deletion
+    vector: a pyarrow Table when the version carries one, None when it
+    does not, or the ``NOT_LOCAL`` sentinel when the dir is not
+    locally readable (non-file scheme / unreadable) — callers then
+    keep the Spark read path. DVs are broadcast-sized by the format's
+    own contract (compaction materializes them), so driver residency
+    is the design point, not a risk."""
+    p = vdir
+    if p.startswith("file:"):
+        p = "/" + p.split(":", 1)[1].lstrip("/")
+    if not os.path.isdir(p):
+        return NOT_LOCAL
+    dvdir = os.path.join(p, "_dv")
+    if not os.path.exists(os.path.join(dvdir, "_SUCCESS")):
+        return None
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        parts = sorted(
+            f for f in os.listdir(dvdir) if f.endswith(".parquet")
+        )
+        return pa.concat_tables(
+            [pq.read_table(os.path.join(dvdir, f)) for f in parts]
+        )
+    except Exception:  # noqa: BLE001
+        return NOT_LOCAL
 
 
 def local_dv_count(vdir: str) -> int | None:

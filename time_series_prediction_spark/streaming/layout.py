@@ -74,6 +74,65 @@ class ConcurrentCommitError(RuntimeError):
     against the new current state and retry with a fresh version."""
 
 
+def _local_fs_path(p: str) -> str | None:
+    """Local filesystem path for ``p`` (strips a file: scheme), or
+    None when ``p`` lives on a non-local scheme."""
+    if p.startswith("file:"):
+        return "/" + p.split(":", 1)[1].lstrip("/")
+    if "://" in p.split("/", 1)[0] or ":" in p.split("/", 1)[0]:
+        return None
+    return p
+
+
+def _write_manifest_local(
+    staged: str,
+    man_rows: list[tuple],
+    dv_rows: tuple[list[str], list[tuple]] | None,
+    schema_json: str | None,
+) -> None:
+    """Stage a manifest version entirely on the driver (pyarrow):
+    the manifest part file, the optional ``_dv`` deletion-vector
+    sidecar, ``_schema.json``, and the ``_SUCCESS`` markers Spark's
+    committer would have produced — byte-compatible with the Spark
+    write path, zero Spark jobs. Commits are metadata-sized by
+    design; scheduling 3-5 fixed-overhead jobs to write a few KB of
+    parquet was the dominant cost of every small MERGE/DELETE."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(staged, exist_ok=True)
+    cols = list(zip(*man_rows)) if man_rows else [[] for _ in range(8)]
+    tbl = pa.table(
+        {
+            "file": pa.array(cols[0], pa.string()),
+            "col": pa.array(cols[1], pa.string()),
+            "n_rows": pa.array(cols[2], pa.int64()),
+            "vmin": pa.array(cols[3], pa.float64()),
+            "vmax": pa.array(cols[4], pa.float64()),
+            "has_nulls": pa.array(cols[5], pa.bool_()),
+            "vmin_s": pa.array(cols[6], pa.string()),
+            "vmax_s": pa.array(cols[7], pa.string()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(staged, "part-00000-local.parquet"))
+    open(os.path.join(staged, "_SUCCESS"), "w").close()
+    if dv_rows is not None:
+        dv_cols, rows = dv_rows
+        dvdir = os.path.join(staged, "_dv")
+        os.makedirs(dvdir, exist_ok=True)
+        per_col = list(zip(*rows)) if rows else [[] for _ in dv_cols]
+        dv_tbl = pa.table(
+            {c: pa.array(list(v)) for c, v in zip(dv_cols, per_col)}
+        )
+        pq.write_table(
+            dv_tbl, os.path.join(dvdir, "part-00000-local.parquet")
+        )
+        open(os.path.join(dvdir, "_SUCCESS"), "w").close()
+    if schema_json is not None:
+        with open(os.path.join(staged, "_schema.json"), "w") as f:
+            f.write(schema_json)
+
+
 def publish_manifest(
     man: DataFrame,
     root: str,
@@ -81,6 +140,8 @@ def publish_manifest(
     keep_versions: int = 2,
     dv: DataFrame | None = None,
     schema_json: str | None = None,
+    man_rows: list[tuple] | None = None,
+    dv_rows: tuple[list[str], list[tuple]] | None = None,
 ) -> str:
     """Commit ``man`` as ``root/v{version}`` via stage + atomic
     compare-and-swap rename — the optimistic-concurrency commit:
@@ -107,28 +168,36 @@ def publish_manifest(
         f"-{_threading.get_ident()}-{next(_STAGE_SEQ)}",
     )
     fs.delete(staged)
-    # manifests are metadata-sized (files × stats_cols rows): land
-    # them as ONE part file. repartition — not coalesce — so the
-    # upstream plan (footer-stats mapInPandas, carry-over anti-join)
-    # keeps its parallelism; the 1-row-group shuffle is trivial while
-    # the N-task write it replaces paid the Hadoop commit protocol
-    # once per task. A manifest too big for one file is a table with
-    # ~10⁷ files — shard the table first, not the manifest.
-    man.repartition(1).write.mode("overwrite").parquet(staged)
-    if dv is not None:
-        # deletion vector: the version's CUMULATIVE deleted-key set,
-        # committed atomically inside the version dir (written before
-        # the CAS rename; the underscore prefix hides it from the
-        # manifest parquet read). One single-column frame of keys —
-        # scattered deletes cost metadata, not file rewrites.
-        dv.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(staged, "_dv")
-        )
-    if schema_json is not None:
-        # the table schema rides inside the version dir so a version
-        # whose manifest references ZERO files (a DELETE emptied the
-        # table) still reads as an empty TYPED frame, not an error
-        fs.write_text(os.path.join(staged, "_schema.json"), schema_json)
+    staged_local = _local_fs_path(staged)
+    if man_rows is not None and dv is None and staged_local is not None:
+        # the whole commit is driver-resident metadata: stage it with
+        # pyarrow — zero Spark jobs (see _write_manifest_local)
+        _write_manifest_local(staged_local, man_rows, dv_rows, schema_json)
+    else:
+        # manifests are metadata-sized (files × stats_cols rows): land
+        # them as ONE part file. repartition — not coalesce — so the
+        # upstream plan (footer-stats mapInPandas, carry-over anti-join)
+        # keeps its parallelism; the 1-row-group shuffle is trivial while
+        # the N-task write it replaces paid the Hadoop commit protocol
+        # once per task. A manifest too big for one file is a table with
+        # ~10⁷ files — shard the table first, not the manifest.
+        man.repartition(1).write.mode("overwrite").parquet(staged)
+        if dv is not None:
+            # deletion vector: the version's CUMULATIVE deleted-key set,
+            # committed atomically inside the version dir (written before
+            # the CAS rename; the underscore prefix hides it from the
+            # manifest parquet read). One single-column frame of keys —
+            # scattered deletes cost metadata, not file rewrites.
+            dv.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(staged, "_dv")
+            )
+        if schema_json is not None:
+            # the table schema rides inside the version dir so a version
+            # whose manifest references ZERO files (a DELETE emptied the
+            # table) still reads as an empty TYPED frame, not an error
+            fs.write_text(
+                os.path.join(staged, "_schema.json"), schema_json
+            )
     if not fs.publish_dir(staged, final):
         fs.delete(staged)
         raise ConcurrentCommitError(
