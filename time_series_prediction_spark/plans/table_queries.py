@@ -979,6 +979,47 @@ GROUP BY o_orderstatus
 """
 
 
+def orders_delta_cdf_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed over the native Delta log
+    (``sources/deltalog.delta_changes_feed`` — round-10): the typed
+    change rows between the initial write (v0) and the head, across
+    the two deletion-vector DELETEs. Snapshot algebra emits each
+    deleted row ONCE (the second delete's DV growth excludes rows the
+    first already killed), all typed 'delete' — there are no inserts
+    in the window. Shares ``orders_delta_dv_layout`` with
+    ``orders_delta_dv_scan`` (fixture amortization); the oracle
+    recomputes the union of the two delete predicates over raw
+    orders."""
+    from time_series_prediction_spark.sources.deltalog import (
+        delta_changes_feed,
+    )
+
+    data = orders_delta_dv_layout(spark, sf_dir)
+    feed, _v = delta_changes_feed(spark, data, 0)
+    return (
+        feed.groupBy(
+            F.col("_change_type").alias("change_type"), "o_orderstatus"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("price_cents").cast("long").alias("total_cents"),
+        )
+    )
+
+
+ORDERS_DELTA_CDF_SQL = """
+SELECT 'delete' AS change_type,
+       o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+WHERE o_orderkey % 29 = 0
+   OR (o_orderstatus = 'P' AND o_orderkey % 19 = 0)
+GROUP BY o_orderstatus
+"""
+
+
 _DELTA_SPEC = "delta-orders|v1|3|101|native-log"
 
 
@@ -1982,6 +2023,10 @@ TABLE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "orders_delta_dv_scan": (
         orders_delta_dv_scan,
         ORDERS_DELTA_DV_SQL,
+    ),
+    "orders_delta_cdf_scan": (
+        orders_delta_cdf_scan,
+        ORDERS_DELTA_CDF_SQL,
     ),
     "events_delta_tail_scan": (
         events_delta_tail_scan,

@@ -636,32 +636,52 @@ def _scan_files(
             *[F.col(mapping.get(c, c)).alias(c) for c in data_fields],
         )
     )
+    import pandas as pd
+
     if positions:
-        pos_rows = [
-            (_norm_uri(abs_of[rel]), int(p))
-            for rel, plist in positions.items()
-            for p in plist
-        ]
-        pos_df = spark.createDataFrame(pos_rows, "_fp string, _ri long")
+        # pandas → Arrow local relation: the py4j row-by-row
+        # conversion costs ~1 s per 10K rows, Arrow ~10 ms — DV
+        # position sets are exactly that size class
+        pos_pdf = pd.DataFrame(
+            {
+                "_fp": pd.Series(
+                    [
+                        _norm_uri(abs_of[rel])
+                        for rel, plist in positions.items()
+                        for _ in plist
+                    ],
+                    dtype="object",
+                ),
+                "_ri": pd.Series(
+                    [
+                        int(p)
+                        for plist in positions.values()
+                        for p in plist
+                    ],
+                    dtype="int64",
+                ),
+            }
+        )
+        pos_df = spark.createDataFrame(pos_pdf)
         how = "left_anti" if positions_mode == "anti" else "left_semi"
         scan = scan.join(F.broadcast(pos_df), ["_fp", "_ri"], how)
     if part_cols:
-        lk_rows = [
-            tuple(
-                [_norm_uri(abs_of[rel])]
-                + [
-                    (files[rel].get("partitionValues") or {}).get(
-                        mapping.get(c, c)
-                    )
-                    for c in part_cols
-                ]
-            )
-            for rel in files
-        ]
-        lk_schema = "_fp string, " + ", ".join(
-            f"__pv_{i} string" for i in range(len(part_cols))
+        lk_data: dict[str, list] = {
+            "_fp": [_norm_uri(abs_of[rel]) for rel in files]
+        }
+        for i, c in enumerate(part_cols):
+            lk_data[f"__pv_{i}"] = [
+                (files[rel].get("partitionValues") or {}).get(
+                    mapping.get(c, c)
+                )
+                for rel in files
+            ]
+        lk = spark.createDataFrame(
+            pd.DataFrame(lk_data, dtype="object"),
+            schema="_fp string, " + ", ".join(
+                f"__pv_{i} string" for i in range(len(part_cols))
+            ),
         )
-        lk = spark.createDataFrame(lk_rows, lk_schema)
         scan = scan.join(F.broadcast(lk), "_fp")
         for i, c in enumerate(part_cols):
             scan = scan.withColumn(
