@@ -733,20 +733,40 @@ def write_delta_log(
             raise ValueError(
                 f"partition columns {part_cols} != table's {prev_parts}"
             )
+    import uuid as _uuid
+
     from time_series_prediction_spark.operators.manifest import (
         _resolve_base,
         list_parquet_files,
     )
 
     base = _resolve_base(path, spark)
-    before = set(list_parquet_files(path, spark))
-    writer = df.write.mode("append")
+    # land the batch in a hidden staging dir and MOVE its files in:
+    # listing the stage costs O(batch), where the previous
+    # before/after diff listed the WHOLE table twice per commit —
+    # O(table files) metadata per append is exactly what kills a
+    # high-frequency streaming sink at scale. Hidden (dot-prefixed)
+    # names are invisible to parquet readers and to this module's own
+    # listings, so a crash mid-stage leaves no visible debris.
+    stage = os.path.join(path, f".stage-{_uuid.uuid4().hex[:12]}")
+    writer = df.write.mode("overwrite")
     if part_cols:
         writer = writer.partitionBy(*part_cols)
-    writer.parquet(path)
-    new_files = sorted(
-        set(list_parquet_files(path, spark)) - before
-    )
+    writer.parquet(stage)
+    stage_base = _resolve_base(stage, spark)
+    new_files = []
+    for f in sorted(list_parquet_files(stage, spark)):
+        rel = f[len(stage_base) + 1:]
+        dst = os.path.join(base, rel)
+        parent = os.path.dirname(dst)
+        if parent != base.rstrip("/"):
+            fs.mkdirs(parent)
+        if not fs.rename(f, dst):
+            raise RuntimeError(
+                f"failed to move staged file {f} -> {dst}"
+            )
+        new_files.append(dst)
+    fs.delete(stage)
     actions: list[dict] = []
     if txn is not None:
         # the protocol's streaming idempotence token: readers expose
