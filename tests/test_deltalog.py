@@ -1356,3 +1356,94 @@ def test_column_mapped_delete(spark, tmp_path):
     assert set(proto["readerFeatures"]) >= {
         "columnMapping", "deletionVectors"
     }
+
+
+def test_delta_optimize_and_vacuum_maintenance_loop(spark, tmp_path):
+    """OPTIMIZE + VACUUM close the native table's maintenance loop:
+    compaction commits dataChange=false (tails pass through — the
+    round-10 ADVICE fix exercised end-to-end), materializes deletion
+    vectors (byte erasure), and vacuum reclaims exactly the
+    unreferenced bytes past retention while the current snapshot
+    keeps reading correctly."""
+    from time_series_prediction_spark.sources.deltalog import (
+        delta_changes_feed,
+        delta_changes_since,
+        delta_delete,
+        delta_optimize,
+        delta_snapshot,
+        delta_vacuum,
+        write_delta_log,
+    )
+
+    table = str(tmp_path / "t")
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("int").alias("p"),
+    )
+    write_delta_log(mk(0, 20), table, mode="overwrite",
+                    partition_cols=["p"])
+    _got, last = delta_changes_since(spark, table, -1)
+    write_delta_log(mk(20, 30), table, mode="append",
+                    partition_cols=["p"])
+    got, last = delta_changes_since(spark, table, last)
+    assert sorted(r["k"] for r in got.collect()) == list(range(20, 30))
+
+    # append + OPTIMIZE inside ONE tail window: the compaction
+    # (dataChange=false) must not swallow the appended rows
+    write_delta_log(mk(30, 40), table, mode="append",
+                    partition_cols=["p"])
+    v_opt = delta_optimize(spark, table, target_files=2)
+    got, last = delta_changes_since(spark, table, last)
+    assert sorted(r["k"] for r in got.collect()) == list(range(30, 40))
+    assert last == v_opt
+    # the optimize commit is pure layout: every action dataChange=false
+    with open(
+        os.path.join(table, "_delta_log", f"{v_opt:020d}.json")
+    ) as fh:
+        acts = [json.loads(ln) for ln in fh if ln.strip()]
+    assert acts and all(
+        not (a.get("add") or a.get("remove"))["dataChange"]
+        for a in acts
+    )
+    files, _m, _v, _t, _p = delta_snapshot(spark, table)
+    per_dir = {}
+    for rel in files:
+        d = os.path.dirname(rel)
+        per_dir[d] = per_dir.get(d, 0) + 1
+    assert max(per_dir.values()) <= 2  # target per partition dir
+
+    # DELETE then OPTIMIZE: the second compaction MATERIALIZES the DV
+    delta_delete(spark, table, "k % 5 = 0")
+    want = [k for k in range(40) if k % 5 != 0]
+    assert sorted(r["k"] for r in read_delta(spark, table).collect()) == want
+    v_before = delta_snapshot(spark, table)[2]
+    v_mat = delta_optimize(spark, table, target_files=2)
+    files, _m, _v, _t, _p = delta_snapshot(spark, table)
+    assert not any(a.get("deletionVector") for a in files.values()), (
+        "optimize must materialize deletion vectors"
+    )
+    assert sorted(r["k"] for r in read_delta(spark, table).collect()) == want
+    # feed across the compaction nets to zero (balanced pairs)
+    feed, _ = delta_changes_feed(spark, table, v_before)
+    from collections import Counter
+    bal = Counter()
+    for r in feed.collect():
+        bal[r["k"]] += 1 if r["_change_type"] == "insert" else -1
+    assert all(v == 0 for v in bal.values())
+
+    # idempotent: nothing left to compact
+    assert delta_optimize(spark, table, target_files=2) == v_mat
+
+    # VACUUM: dry run lists the superseded bytes; the real run
+    # reclaims them and the snapshot still reads exactly
+    candidates = delta_vacuum(spark, table, retention_ms=0,
+                              dry_run=True)
+    assert candidates, "superseded generations must be reclaimable"
+    reclaimed = delta_vacuum(spark, table, retention_ms=0)
+    assert sorted(reclaimed) == sorted(candidates)
+    assert sorted(r["k"] for r in read_delta(spark, table).collect()) == want
+    # the old DV sidecar was unreferenced after materialization
+    assert not [
+        n for n in os.listdir(table)
+        if n.startswith("deletion_vector_")
+    ]

@@ -524,25 +524,65 @@ def version_changes(
     Unchanged files — the overwhelming majority under copy-on-write —
     are never opened."""
     root = root or manifest_root(data_path)
+    from time_series_prediction_spark.operators.manifest import (
+        NOT_LOCAL,
+        local_dv_table,
+    )
+
     # file lists resolve driver-side (metadata-sized manifests; zero
     # Spark jobs) — the interval diff is pure set algebra
     files_a = set(_version_files(spark, root, v_old))
     files_b = set(_version_files(spark, root, v_new))
-    dv_a = version_dv(spark, root, v_old)
-    dv_b = version_dv(spark, root, v_new)
     added = sorted(files_b - files_a)
     removed = sorted(files_a - files_b)
     common = sorted(files_a & files_b)
     # DV delta: keys newly tombstoned in this interval (DVs are
-    # cumulative, so anti join = the delta)
+    # cumulative, so anti join = the delta) — driver-side set algebra
+    # when both vectors are locally readable (no isEmpty probe job)
     dv_delta = None
-    if dv_b is not None:
-        dv_delta = (
-            dv_b if dv_a is None
-            else dv_b.join(dv_a, list(dv_b.columns), "left_anti")
-        )
-        if dv_delta.isEmpty():
-            dv_delta = None
+    dvt_a = local_dv_table(os.path.join(root, f"v{v_old}"))
+    dvt_b = local_dv_table(os.path.join(root, f"v{v_new}"))
+    if dvt_a is not NOT_LOCAL and dvt_b is not NOT_LOCAL:
+        def _dvdf(t):
+            return (
+                spark.createDataFrame(t.to_pandas())
+                if t is not None and t.num_rows else None
+            )
+
+        dv_a, dv_b = _dvdf(dvt_a), _dvdf(dvt_b)
+        if dvt_b is not None and dvt_b.num_rows:
+            cols_b = dvt_b.column_names
+            set_a = (
+                set()
+                if dvt_a is None
+                else {
+                    tuple(r[c] for c in cols_b)
+                    for r in dvt_a.to_pylist()
+                }
+            )
+            delta_tuples = [
+                t for t in (
+                    tuple(r[c] for c in cols_b)
+                    for r in dvt_b.to_pylist()
+                )
+                if t not in set_a
+            ]
+            if delta_tuples:
+                import pandas as pd
+
+                dv_delta = spark.createDataFrame(
+                    pd.DataFrame(delta_tuples, columns=cols_b)
+                )
+    else:
+        dv_a = version_dv(spark, root, v_old)
+        dv_b = version_dv(spark, root, v_new)
+        if dv_b is not None:
+            dv_delta = (
+                dv_b if dv_a is None
+                else dv_b.join(dv_a, list(dv_b.columns), "left_anti")
+            )
+            if dv_delta.isEmpty():
+                dv_delta = None
     if not added and not removed and dv_delta is None:
         raise ValueError(
             f"versions {v_old} and {v_new} commit identical file sets"

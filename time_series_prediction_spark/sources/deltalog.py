@@ -693,6 +693,83 @@ def _scan_files(
     return scan.select(*order)
 
 
+def _land_batch(
+    spark: SparkSession,
+    fs,
+    df: DataFrame,
+    path: str,
+    part_cols: list[str],
+    coalesce_to: int | None = None,
+) -> tuple[str, list[str]]:
+    """Land a batch's data files into the table dir via a hidden
+    staging dir + per-file no-overwrite renames. Listing the stage
+    costs O(batch) — the previous before/after whole-table listing
+    diff cost O(table files) TWICE per commit, the wrong shape for a
+    high-frequency streaming sink. Hidden (dot-prefixed) names are
+    invisible to parquet readers and to this module's own listings,
+    so a crash mid-stage leaves no visible debris. Returns
+    ``(resolved_base, moved_absolute_paths)``."""
+    import uuid as _uuid
+
+    from time_series_prediction_spark.operators.manifest import (
+        _resolve_base,
+        list_parquet_files,
+    )
+
+    base = _resolve_base(path, spark)
+    stage = os.path.join(path, f".stage-{_uuid.uuid4().hex[:12]}")
+    if coalesce_to:
+        df = df.coalesce(coalesce_to)
+    writer = df.write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(stage)
+    stage_base = _resolve_base(stage, spark)
+    new_files = []
+    for f in sorted(list_parquet_files(stage, spark)):
+        rel = f[len(stage_base) + 1:]
+        dst = os.path.join(base, rel)
+        parent = os.path.dirname(dst)
+        if parent != base.rstrip("/"):
+            fs.mkdirs(parent)
+        if not fs.rename(f, dst):
+            raise RuntimeError(
+                f"failed to move staged file {f} -> {dst}"
+            )
+        new_files.append(dst)
+    fs.delete(stage)
+    return base, new_files
+
+
+def _adds_for_files(
+    fs, base: str, files: list[str], data_change: bool
+) -> list[dict]:
+    """``add`` actions for freshly landed files: partition values
+    parsed from their Hive-style path components, protocol-required
+    size/modificationTime from one status call each."""
+    actions = []
+    for f in files:
+        rel = f[len(base) + 1:]
+        pvals = {}
+        for comp in rel.split("/")[:-1]:
+            if "=" in comp:
+                k, _, val = comp.partition("=")
+                pvals[k] = urllib.parse.unquote(val)
+        st = fs.status(f)
+        actions.append(
+            {
+                "add": {
+                    "path": urllib.parse.quote(rel),
+                    "partitionValues": pvals,
+                    "size": 0 if st is None else st[0],
+                    "modificationTime": 0 if st is None else st[1],
+                    "dataChange": data_change,
+                }
+            }
+        )
+    return actions
+
+
 def write_delta_log(
     df: DataFrame,
     path: str,
@@ -733,40 +810,7 @@ def write_delta_log(
             raise ValueError(
                 f"partition columns {part_cols} != table's {prev_parts}"
             )
-    import uuid as _uuid
-
-    from time_series_prediction_spark.operators.manifest import (
-        _resolve_base,
-        list_parquet_files,
-    )
-
-    base = _resolve_base(path, spark)
-    # land the batch in a hidden staging dir and MOVE its files in:
-    # listing the stage costs O(batch), where the previous
-    # before/after diff listed the WHOLE table twice per commit —
-    # O(table files) metadata per append is exactly what kills a
-    # high-frequency streaming sink at scale. Hidden (dot-prefixed)
-    # names are invisible to parquet readers and to this module's own
-    # listings, so a crash mid-stage leaves no visible debris.
-    stage = os.path.join(path, f".stage-{_uuid.uuid4().hex[:12]}")
-    writer = df.write.mode("overwrite")
-    if part_cols:
-        writer = writer.partitionBy(*part_cols)
-    writer.parquet(stage)
-    stage_base = _resolve_base(stage, spark)
-    new_files = []
-    for f in sorted(list_parquet_files(stage, spark)):
-        rel = f[len(stage_base) + 1:]
-        dst = os.path.join(base, rel)
-        parent = os.path.dirname(dst)
-        if parent != base.rstrip("/"):
-            fs.mkdirs(parent)
-        if not fs.rename(f, dst):
-            raise RuntimeError(
-                f"failed to move staged file {f} -> {dst}"
-            )
-        new_files.append(dst)
-    fs.delete(stage)
+    base, new_files = _land_batch(spark, fs, df, path, part_cols)
     actions: list[dict] = []
     if txn is not None:
         # the protocol's streaming idempotence token: readers expose
@@ -803,25 +847,7 @@ def write_delta_log(
                     }
                 }
             )
-    for f in new_files:
-        rel = f[len(base) + 1:]
-        pvals = {}
-        for comp in rel.split("/")[:-1]:
-            if "=" in comp:
-                k, _, val = comp.partition("=")
-                pvals[k] = urllib.parse.unquote(val)
-        st = fs.status(f)
-        actions.append(
-            {
-                "add": {
-                    "path": urllib.parse.quote(rel),
-                    "partitionValues": pvals,
-                    "size": 0 if st is None else st[0],
-                    "modificationTime": 0 if st is None else st[1],
-                    "dataChange": True,
-                }
-            }
-        )
+    actions.extend(_adds_for_files(fs, base, new_files, True))
     log = os.path.join(path, _LOG_DIR)
     fs.mkdirs(log)
     fs.write_text(
@@ -1315,6 +1341,144 @@ def delta_changes_feed(
     for b in branches[1:]:
         out = out.unionByName(b)
     return out, latest
+
+
+def delta_optimize(
+    spark: SparkSession, path: str, target_files: int = 8
+) -> int:
+    """OPTIMIZE (bin-pack compaction) for the native log: rewrite the
+    current snapshot's live rows into ~``target_files`` compacted
+    files per partition layout, MATERIALIZING deletion vectors (the
+    hidden rows are dropped for real; the new adds carry no DV —
+    compaction is the format's actual byte-erasure point), committed
+    as ``remove`` + ``add`` actions all carrying
+    ``dataChange=false`` — the pure-layout change streaming tails
+    pass through silently (``delta_changes_since``) and change feeds
+    net to zero (``delta_changes_feed``).
+
+    Scale shape: ONE scan of the live files (``_scan_files``, O(1)
+    plan branches) + one partitioned write; the commit itself is
+    metadata. The small-file problem a high-frequency streaming sink
+    accumulates is exactly what this resets; pair with
+    ``write_checkpoint`` (log rollup) and ``delta_vacuum`` (byte
+    reclaim) for the full maintenance loop. Column-mapped tables are
+    refused (the rewrite would need physical-name file writes).
+    Returns the committed version (unchanged when the table has
+    nothing to compact — fewer live files than ``target_files`` and
+    no DV to materialize)."""
+    files, meta, v, _txns, _proto = delta_snapshot(spark, path)
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    if _column_mapping(meta, schema):
+        raise DeltaProtocolUnsupported(
+            "OPTIMIZE on a column-mapped table is not implemented"
+        )
+    part_cols = list(meta.get("partitionColumns") or [])
+    has_dv = any(a.get("deletionVector") for a in files.values())
+    per_dir: dict[str, int] = {}
+    for rel in files:
+        d = os.path.dirname(rel)
+        per_dir[d] = per_dir.get(d, 0) + 1
+    if (
+        not has_dv
+        and (not per_dir or max(per_dir.values()) <= target_files)
+    ):
+        return v  # already compact, nothing hidden: no commit burned
+    df = read_delta_log(spark, path)  # DVs applied: live rows only
+    fs = fs_for(spark, path)
+    base, new_files = _land_batch(
+        spark, fs, df, path, part_cols, coalesce_to=target_files
+    )
+    actions: list[dict] = [
+        {
+            "remove": {
+                "path": urllib.parse.quote(rel),
+                "deletionTimestamp": 0,
+                "dataChange": False,
+            }
+        }
+        for rel in sorted(files)
+    ]
+    actions.extend(_adds_for_files(fs, base, new_files, False))
+    log = os.path.join(path, _LOG_DIR)
+    fs.write_text(
+        os.path.join(log, f"{v + 1:020d}.json"),
+        "".join(json.dumps(a) + "\n" for a in actions),
+    )
+    return v + 1
+
+
+def delta_vacuum(
+    spark: SparkSession,
+    path: str,
+    retention_ms: int = 7 * 24 * 3600 * 1000,
+    dry_run: bool = False,
+) -> list[str]:
+    """VACUUM: reclaim data files (and deletion-vector sidecars, and
+    abandoned hidden staging dirs) that the CURRENT snapshot no longer
+    references and that are older than ``retention_ms`` — the byte
+    reclaim behind every remove action. The retention window protects
+    both in-flight readers of recently superseded snapshots and time
+    travel within the window, exactly Delta's own VACUUM trade: time
+    travel BEFORE the horizon dies with the files it needed, and the
+    ``delta_changes_feed`` of a vacuumed interval raises instead of
+    under-delivering.
+
+    Scale shape: one recursive listing + driver-side set subtraction
+    against the live snapshot (metadata-sized); deletes are
+    fs-metadata ops. Returns the reclaimed (or, with ``dry_run``, the
+    reclaimable) paths."""
+    import time as _time
+
+    from time_series_prediction_spark.operators.manifest import (
+        _resolve_base,
+        list_parquet_files,
+    )
+
+    files, _meta, _v, _txns, _proto = delta_snapshot(spark, path)
+    fs = fs_for(spark, path)
+    base = _resolve_base(path, spark)
+    live = {os.path.join(base, rel) for rel in files}
+    live_dvs = set()
+    for add in files.values():
+        dv = add.get("deletionVector")
+        if dv and dv.get("storageType") == "u":
+            import uuid as _uuid
+
+            enc = dv["pathOrInlineDv"]
+            prefix, uuid_enc = enc[:-20], enc[-20:]
+            u = _uuid.UUID(bytes=_z85_decode(uuid_enc))
+            parts = [path] + ([prefix] if prefix else [])
+            live_dvs.add(
+                os.path.join(*parts, f"deletion_vector_{u}.bin")
+            )
+    horizon_ms = _time.time() * 1000.0 - retention_ms
+    out: list[str] = []
+
+    def _reclaim(p: str) -> None:
+        out.append(p)
+        if not dry_run:
+            fs.delete(p)
+
+    for f in list_parquet_files(path, spark):
+        if f in live or f"{base}/{_LOG_DIR}/" in f + "/":
+            continue
+        st = fs.status(f)
+        if st is not None and st[1] <= horizon_ms:
+            _reclaim(f)
+    for name in fs.list_names(path):
+        p = os.path.join(path, name)
+        if name.startswith("deletion_vector_") and name.endswith(".bin"):
+            qualified = os.path.join(base, name)
+            if qualified in live_dvs or p in live_dvs:
+                continue
+            st = fs.status(p)
+            if st is not None and st[1] <= horizon_ms:
+                _reclaim(p)
+        elif name.startswith(".stage-"):
+            st = fs.status(p)
+            if st is not None and st[1] <= horizon_ms:
+                _reclaim(p)
+    return sorted(out)
 
 
 def write_checkpoint(
