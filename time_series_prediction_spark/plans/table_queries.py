@@ -1172,7 +1172,7 @@ GROUP BY event_type
 """
 
 
-_DELTA_TAIL_SPEC = "delta-events-tail|v1|4polls|fold"
+_DELTA_TAIL_SPEC = "delta-events-tail|v2|4polls|fold|optimize|vacuum"
 
 
 def events_delta_tail_layout(spark: SparkSession, sf_dir: str) -> str:
@@ -1200,6 +1200,11 @@ def events_delta_tail_layout(spark: SparkSession, sf_dir: str) -> str:
     path = os.path.join(root, f"events_dtail_{key}")
 
     def _build(tmp: str) -> None:
+        from time_series_prediction_spark.sources.deltalog import (
+            delta_optimize,
+            delta_vacuum,
+        )
+
         data = os.path.join(tmp, "data")
         acc = os.path.join(tmp, "acc")
         ev = read_table(spark, sf_dir, "events").select(
@@ -1222,6 +1227,17 @@ def events_delta_tail_layout(spark: SparkSession, sf_dir: str) -> str:
             # idle re-poll: nothing new may be delivered
             again, again_v = delta_changes_since(spark, data, last_v)
             assert again is None and again_v == last_v
+        # maintenance pass (round-10): compact the 4 append
+        # generations (dataChange=false — the checkpointed tail polls
+        # straight through it) and reclaim the superseded bytes;
+        # events_delta_table_scan then proves the optimized+vacuumed
+        # table still answers exactly
+        opt_v = delta_optimize(spark, data, target_files=2)
+        again, again_v = delta_changes_since(spark, data, last_v)
+        assert again is None and again_v == opt_v, (
+            "a pure compaction must deliver nothing to the tail"
+        )
+        delta_vacuum(spark, data, retention_ms=0)
 
     ensure_artifact(spark, path, ident, _build)
     return path
@@ -1234,6 +1250,27 @@ def events_delta_tail_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = events_delta_tail_layout(spark, sf_dir)
     return (
         spark.read.parquet(os.path.join(path, "acc"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("value_cents").cast("long").alias("total_cents"),
+        )
+    )
+
+
+def events_delta_table_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan the streamed Delta table AFTER ``delta_optimize`` (the 4
+    append generations bin-packed, dataChange=false) and
+    ``delta_vacuum`` (superseded files reclaimed) — equality with the
+    raw-events oracle proves the round-10 maintenance loop preserves
+    the table exactly. Shares ``events_delta_tail_layout`` with
+    ``events_delta_tail_scan`` (one fixture, two oracle-checked
+    surfaces: the tail fold and the maintained table)."""
+    from time_series_prediction_spark.sources.io import read_delta
+
+    path = events_delta_tail_layout(spark, sf_dir)
+    return (
+        read_delta(spark, os.path.join(path, "data"))
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),
@@ -2030,6 +2067,10 @@ TABLE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "events_delta_tail_scan": (
         events_delta_tail_scan,
+        EVENTS_DELTA_TAIL_SQL,
+    ),
+    "events_delta_table_scan": (
+        events_delta_table_scan,
         EVENTS_DELTA_TAIL_SQL,
     ),
     "orders_cdc_ingest_scan": (
