@@ -163,7 +163,9 @@ _ROWS_ONLY_BUDGET = {
     # cashflow_scoring_pipeline graduated to oracle-backed in round 8
     # (last-value pandas_udf is float32 passthrough; ppm-quantized R²)
     "cashflow_synthetic_pipeline": (1, 0, 0),
-    "doc_packing_stats": (2, 0, 1),  # applyInPandas per shard
+    # doc_packing_stats graduated to oracle-backed in round 10:
+    # capacity-class bucketing makes the BFD kernel's bins equal the
+    # harmonic closed form bin-for-bin, so DuckDB replays them
     # embedding_{ivf,pq,lsh}_ann moved OUT of rows-only in round 8:
     # the exact-integer quantizer/plane families made the whole ANN
     # pipelines (training included) oracle-checkable

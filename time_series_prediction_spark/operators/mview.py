@@ -81,11 +81,13 @@ def ensure_artifact(
     fs = fs_for(spark, target)
     with _lock(target):
         if fs.exists(os.path.join(target, "_IDENT")):
+            _gc_crashed_builds(fs, target)
             return False
         tmp = f"{target}.build-{os.getpid()}"
         fs.delete(tmp)
         build_into(tmp)
         fs.write_text(os.path.join(tmp, "_IDENT"), ident)
+        _gc_crashed_builds(fs, target, keep=tmp)
         if not fs.publish_dir(tmp, target):
             # a failed publish means a concurrent winner ONLY if the
             # target actually exists; on a genuine rename failure
@@ -100,6 +102,36 @@ def ensure_artifact(
                 )
             fs.delete(tmp)  # concurrent winner published first
         return True
+
+
+# build dirs from writers that crashed mid-build (an exception inside
+# build_into leaves `{target}.build-{pid}` behind — pid-keyed, so the
+# crashed process never reclaims it itself). Reclaimed by any LATER
+# builder/reader of the same target once old enough that no live build
+# attempt can own them — same rationale and horizon as the manifest
+# layer's staging GC.
+_CRASHED_BUILD_AGE_S = 3600.0
+
+
+def _gc_crashed_builds(fs, target: str, keep: str | None = None) -> None:
+    import time as _time
+
+    parent = os.path.dirname(target)
+    prefix = os.path.basename(target) + ".build-"
+    now_ms = _time.time() * 1000.0
+    try:
+        names = fs.list_names(parent)
+    except Exception:  # noqa: BLE001 — listing is best-effort GC
+        return
+    for name in names:
+        if not name.startswith(prefix):
+            continue
+        p = os.path.join(parent, name)
+        if keep is not None and p == keep:
+            continue
+        st = fs.status(p)
+        if st is not None and now_ms - st[1] > _CRASHED_BUILD_AGE_S * 1000.0:
+            fs.delete(p)
 
 
 def source_fingerprint(spark: SparkSession, sources: list[str]) -> str:

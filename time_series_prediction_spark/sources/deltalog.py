@@ -638,6 +638,11 @@ def _scan_files(
     )
     import pandas as pd
 
+    if positions_mode == "semi" and not positions:
+        raise ValueError(
+            "semi positions_mode requires a non-empty positions map "
+            "— an empty one would silently return EVERY row"
+        )
     if positions:
         # pandas → Arrow local relation: the py4j row-by-row
         # conversion costs ~1 s per 10K rows, Arrow ~10 ms — DV
