@@ -49,18 +49,26 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # prefixed temp views (a bare "events" temp view would shadow any
 # same-named catalog table for the rest of the session). Identical
 # arithmetic either way — only the FROM identifier differs.
-APPROX_DISTINCT_SQL = portable_hll_daily_sql("events")
-DAU_ROLLUP_SQL = portable_hll_daily_sql("events", shard_mod=8)
+# m=1024 registers (RSE 1.04/sqrt(m) ~ 3.25%): the fixtures' per-day
+# cardinalities (~1.3K at sf0.1) then fall in the LINEAR-COUNTING
+# branch, clear of raw-HLL's classic bias hump at n/m ~ 2.5-5 that
+# m=256 put them in (observed +8% mean bias at sf0.1 - round 10).
+# 1K registers/day is still metadata; both engines generate the SQL
+# from the same builder, so the oracle stays bit-identical.
+_HLL_M = 1024
+
+APPROX_DISTINCT_SQL = portable_hll_daily_sql("events", m=_HLL_M)
+DAU_ROLLUP_SQL = portable_hll_daily_sql("events", m=_HLL_M, shard_mod=8)
 QUANTILE_PORTABLE_SQL = portable_quantile_sql("lineitem")
-TYPE_OVERLAP_SQL = portable_hll_overlap_sql("events")
-_APPROX_DISTINCT_SPARK = portable_hll_daily_sql("_psk_events")
-_DAU_ROLLUP_SPARK = portable_hll_daily_sql("_psk_events", shard_mod=8)
+TYPE_OVERLAP_SQL = portable_hll_overlap_sql("events", m=_HLL_M)
+_APPROX_DISTINCT_SPARK = portable_hll_daily_sql("_psk_events", m=_HLL_M)
+_DAU_ROLLUP_SPARK = portable_hll_daily_sql("_psk_events", m=_HLL_M, shard_mod=8)
 _QUANTILE_PORTABLE_SPARK = portable_quantile_sql("_psk_lineitem")
-_TYPE_OVERLAP_SPARK = portable_hll_overlap_sql("_psk_events")
+_TYPE_OVERLAP_SPARK = portable_hll_overlap_sql("_psk_events", m=_HLL_M)
 
 
 def approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily approximate distinct users via the portable HLL (m=256,
+    """Daily approximate distinct users via the portable HLL (m=1024,
     mid-square double hash chain, linear-counting small-range branch).
 
     Replaces the round-7 ``approx_count_distinct`` implementation so
@@ -69,7 +77,7 @@ def approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine verifiability is not required (and is demonstrated by
     events_dau_sketch_rollup). Accuracy vs exact distinct is pinned at
     every fixture scale in tests/test_sketch_portable.py (≤ 2.2σ of
-    the m=256 RSE on the fixtures' dense id space).
+    the m=1024 RSE on the fixtures' dense id space).
 
     Scale: one scan → map-side partial MAX into ≤ 256×days register
     cells → exchange of that fixed-size state only. The raw user ids
@@ -143,7 +151,7 @@ def _registers_layout(spark: SparkSession, sf_dir: str) -> str:
     size + mtime + spec), atomically published."""
     from time_series_prediction_spark.sources.fsops import fs_for
 
-    spec = "dau_regs_v1|m=256"
+    spec = f"dau_regs_v2|m={_HLL_M}"
     src = os.path.join(sf_dir, "events.parquet")
     fs = fs_for(spark, tempfile.gettempdir())
     st = fs.status(src)
@@ -164,7 +172,7 @@ def _registers_layout(spark: SparkSession, sf_dir: str) -> str:
             sp = batch_df.sparkSession
             batch_df.createOrReplaceTempView("_dau_inc_batch")
             partial = sp.sql(
-                portable_hll_registers_sql("_dau_inc_batch")
+                portable_hll_registers_sql("_dau_inc_batch", m=_HLL_M)
             )
             cur = os.path.join(state, "current")
             if fs.exists(os.path.join(cur, "_SUCCESS")):
@@ -219,7 +227,7 @@ def events_dau_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _registers_layout(spark, sf_dir)
     spark.read.parquet(os.path.join(path, "state", "current")) \
         .createOrReplaceTempView("_psk_dau_regs")
-    return spark.sql(portable_hll_estimate_sql("_psk_dau_regs"))
+    return spark.sql(portable_hll_estimate_sql("_psk_dau_regs", m=_HLL_M))
 
 
 def corpus_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
