@@ -1447,3 +1447,63 @@ def test_delta_optimize_and_vacuum_maintenance_loop(spark, tmp_path):
         n for n in os.listdir(table)
         if n.startswith("deletion_vector_")
     ]
+
+
+def test_column_mapped_tail_and_feed(spark, tmp_path):
+    """Round-10 graduation: tailing and change-feeding a column-
+    mapping 'name' table works — physical names resolve underneath,
+    logical columns come out (both were refusals)."""
+    import json as _json
+
+    from time_series_prediction_spark.sources.deltalog import (
+        delta_changes_feed,
+        delta_changes_since,
+        delta_delete,
+    )
+
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-aaa"}},
+            {"name": "p", "type": "integer", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-ppp"}},
+        ],
+    }
+    meta = _meta(_json.dumps(schema), part_cols=["p"])
+    meta["metaData"]["configuration"] = {
+        "delta.columnMapping.mode": "name",
+        "delta.columnMapping.maxColumnId": "2",
+    }
+    _write_parquet(spark, os.path.join(table, "A.parquet"),
+                   [(i,) for i in range(5)], "`col-aaa` long")
+    _commit(table, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        meta,
+        _add("A.parquet", pvals={"col-ppp": "1"}),
+    ])
+    got, v = delta_changes_since(spark, table, -1)
+    assert v == 0
+    rows = sorted((r["k"], r["p"]) for r in got.collect())
+    assert rows == [(i, 1) for i in range(5)]
+
+    # append under mapping, tail the window
+    _write_parquet(spark, os.path.join(table, "B.parquet"),
+                   [(i,) for i in range(5, 8)], "`col-aaa` long")
+    _commit(table, 1, [_add("B.parquet", pvals={"col-ppp": "2"})])
+    got2, v2 = delta_changes_since(spark, table, v)
+    assert sorted((r["k"], r["p"]) for r in got2.collect()) == [
+        (5, 2), (6, 2), (7, 2)
+    ]
+
+    # DV delete on the mapped table, then the CHANGE FEED delivers it
+    delta_delete(spark, table, "k >= 6")
+    feed, v3 = delta_changes_feed(spark, table, v2)
+    assert v3 == 2
+    assert sorted(
+        (r["k"], r["_change_type"]) for r in feed.collect()
+    ) == [(6, "delete"), (7, "delete")]

@@ -24,7 +24,8 @@ only:
 
 Implemented protocol surface (round 10): deletion vectors (read AND
 write — ``delta_delete``, with an auto-rewrite guard for big
-deletes), column mapping 'name' mode (including DELETE), classic
+deletes), column mapping 'name' mode (DELETE, tail, and change feed
+included), classic
 multi-part checkpoints, v2 UUID-named checkpoints with sidecar files,
 TIMESTAMP AS OF (in-commit timestamps preferred), streaming-source
 tailing (``delta_changes_since``), and a CDC-style change feed
@@ -1153,10 +1154,9 @@ def delta_changes_since(
     # from the full snapshot resolution (cheap: log-sized)
     _files, meta, _v, _txns, _proto = delta_snapshot(spark, path, latest)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
-    if _column_mapping(meta, schema):
-        raise DeltaProtocolUnsupported(
-            "tailing a column-mapped table is not implemented"
-        )
+    # column mapping 'name' mode tails like any table: _scan_files
+    # reads physical names and aliases back (round 10; was a refusal)
+    mapping = _column_mapping(meta, schema)
     part_cols = list(meta.get("partitionColumns") or [])
     new_adds: dict[str, dict] = {}
     removed_in_window: set[str] = set()
@@ -1222,7 +1222,7 @@ def delta_changes_since(
         if a.get("deletionVector")
     }
     out = _scan_files(
-        spark, path, new_adds, schema, part_cols, {},
+        spark, path, new_adds, schema, part_cols, mapping,
         positions=positions or None,
     )
     return out, latest
@@ -1279,10 +1279,9 @@ def delta_changes_feed(
     )
     after, meta, _v, _txns, _proto = delta_snapshot(spark, path, latest)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
-    if _column_mapping(meta, schema):
-        raise DeltaProtocolUnsupported(
-            "change feed over a column-mapped table is not implemented"
-        )
+    # column mapping 'name' mode feeds like any table: _scan_files
+    # reads physical names and aliases back (round 10; was a refusal)
+    mapping = _column_mapping(meta, schema)
     part_cols = list(meta.get("partitionColumns") or [])
     dv_b = {
         rel: set(_dv_positions(fs, path, a["deletionVector"]))
@@ -1331,7 +1330,7 @@ def delta_changes_feed(
         if not fmap:
             return
         df = _scan_files(
-            spark, path, fmap, schema, part_cols, {},
+            spark, path, fmap, schema, part_cols, mapping,
             positions=pos or None, positions_mode=mode,
         )
         branches.append(df.withColumn("_change_type", F.lit(ctype)))
