@@ -1507,3 +1507,45 @@ def test_column_mapped_tail_and_feed(spark, tmp_path):
     assert sorted(
         (r["k"], r["_change_type"]) for r in feed.collect()
     ) == [(6, "delete"), (7, "delete")]
+
+
+def test_vacuum_retention_clocks_from_the_tombstone(spark, tmp_path):
+    """The retention window measures from the REMOVE action's
+    deletionTimestamp — a file created long ago but superseded just
+    now must survive a retention-window vacuum (an mtime clock would
+    reclaim it immediately and break in-window readers/time travel);
+    retention 0 then reclaims it."""
+    import time
+
+    from time_series_prediction_spark.sources.deltalog import (
+        delta_vacuum,
+        write_delta_log,
+    )
+
+    table = str(tmp_path / "t")
+    write_delta_log(
+        spark.range(10).select(F.col("id").alias("k")), table,
+        mode="overwrite",
+    )
+    # age the data files' mtimes far past any retention window
+    old = time.time() - 30 * 24 * 3600
+    for root, _dirs, names in os.walk(table):
+        for n in names:
+            if n.endswith(".parquet") and "_delta_log" not in root:
+                os.utime(os.path.join(root, n), (old, old))
+    # supersede them NOW
+    write_delta_log(
+        spark.range(10, 15).select(F.col("id").alias("k")), table,
+        mode="overwrite",
+    )
+    kept = delta_vacuum(spark, table, retention_ms=3600 * 1000,
+                        dry_run=True)
+    assert kept == [], (
+        "files superseded within the window must be protected "
+        f"(would reclaim {kept})"
+    )
+    reclaimed = delta_vacuum(spark, table, retention_ms=0)
+    assert reclaimed, "past the window the tombstoned files reclaim"
+    assert sorted(
+        r["k"] for r in read_delta(spark, table).collect()
+    ) == list(range(10, 15))

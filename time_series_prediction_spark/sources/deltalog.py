@@ -48,6 +48,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import time as _time
 import urllib.parse
 
 from pyspark.sql import DataFrame, SparkSession
@@ -848,7 +849,7 @@ def write_delta_log(
                 {
                     "remove": {
                         "path": urllib.parse.quote(rel),
-                        "deletionTimestamp": 0,
+                        "deletionTimestamp": int(_time.time() * 1000),
                         "dataChange": True,
                     }
                 }
@@ -1038,7 +1039,7 @@ def delta_delete(
             {
                 "remove": {
                     "path": urllib.parse.quote(rel),
-                    "deletionTimestamp": 0,
+                    "deletionTimestamp": int(_time.time() * 1000),
                     "dataChange": True,
                 }
             }
@@ -1396,7 +1397,7 @@ def delta_optimize(
         {
             "remove": {
                 "path": urllib.parse.quote(rel),
-                "deletionTimestamp": 0,
+                "deletionTimestamp": int(_time.time() * 1000),
                 "dataChange": False,
             }
         }
@@ -1427,12 +1428,20 @@ def delta_vacuum(
     ``delta_changes_feed`` of a vacuumed interval raises instead of
     under-delivering.
 
-    Scale shape: one recursive listing + driver-side set subtraction
-    against the live snapshot (metadata-sized); deletes are
-    fs-metadata ops. Returns the reclaimed (or, with ``dry_run``, the
-    reclaimable) paths."""
-    import time as _time
+    The retention clock is the REMOVE action's ``deletionTimestamp``
+    (every writer here stamps it) — the moment the file left the live
+    set — exactly Delta's own rule. A file created long ago but
+    superseded a minute ago is still protected; clocking off file
+    MTIME instead would reclaim it immediately and break the very
+    readers/time travel the window exists for. Files with no
+    retained tombstone (tail of a cleaned log, foreign debris) fall
+    back to the mtime clock, which is conservative in the same
+    direction only for genuinely old debris.
 
+    Scale shape: one recursive listing + one pass over the retained
+    log JSON + driver-side set subtraction against the live snapshot
+    (all metadata-sized); deletes are fs-metadata ops. Returns the
+    reclaimed (or, with ``dry_run``, the reclaimable) paths."""
     from time_series_prediction_spark.operators.manifest import (
         _resolve_base,
         list_parquet_files,
@@ -1442,6 +1451,26 @@ def delta_vacuum(
     fs = fs_for(spark, path)
     base = _resolve_base(path, spark)
     live = {os.path.join(base, rel) for rel in files}
+    # newest remove tombstone per file from the retained commits —
+    # the per-file "superseded at" instant the retention window
+    # measures from
+    removed_at: dict[str, int] = {}
+    log = os.path.join(path, _LOG_DIR)
+    for n in fs.list_names(log):
+        if not (n.endswith(".json") and n[:20].isdigit()):
+            continue
+        for line in fs.read_text(os.path.join(log, n)).splitlines():
+            if '"remove"' not in line:
+                continue
+            try:
+                r = json.loads(line).get("remove")
+            except ValueError:
+                continue
+            if not r:
+                continue
+            ap = os.path.join(base, urllib.parse.unquote(r["path"]))
+            ts = int(r.get("deletionTimestamp") or 0)
+            removed_at[ap] = max(removed_at.get(ap, 0), ts)
     live_dvs = set()
     for add in files.values():
         dv = add.get("deletionVector")
@@ -1466,7 +1495,11 @@ def delta_vacuum(
     for f in list_parquet_files(path, spark):
         if f in live or f"{base}/{_LOG_DIR}/" in f + "/":
             continue
-        st = fs.status(f)
+        if f in removed_at:
+            if removed_at[f] <= horizon_ms:
+                _reclaim(f)
+            continue
+        st = fs.status(f)  # no retained tombstone: mtime fallback
         if st is not None and st[1] <= horizon_ms:
             _reclaim(f)
     for name in fs.list_names(path):
