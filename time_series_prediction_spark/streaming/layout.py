@@ -507,7 +507,19 @@ def vacuum_layout(
         if not rfs.exists(os.path.join(vdir, "_SUCCESS")):
             continue
         n_versions += 1
-        referenced.update(prune_files(spark.read.parquet(vdir), {}))
+        # manifests fold driver-side when local (zero Spark jobs for
+        # the whole reference union); Spark path otherwise
+        from time_series_prediction_spark.operators.manifest import (
+            local_manifest_files,
+        )
+
+        local = local_manifest_files(vdir)
+        if local is not None:
+            referenced.update(local)
+        else:
+            referenced.update(
+                prune_files(spark.read.parquet(vdir), {})
+            )
     if not n_versions:
         return []
     removed = []
