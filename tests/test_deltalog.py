@@ -1549,3 +1549,61 @@ def test_vacuum_retention_clocks_from_the_tombstone(spark, tmp_path):
     assert sorted(
         r["k"] for r in read_delta(spark, table).collect()
     ) == list(range(10, 15))
+
+
+def test_write_delta_log_schema_evolution(spark, tmp_path):
+    """Schema discipline on the native sink (round 10; silently
+    appending a drifted batch used to commit files the recorded
+    metaData could not see): an ADDITIVE append evolves the metaData
+    (old files read the new column as null), a type change or dropped
+    column refuses, and an overwrite replaces the schema outright."""
+    from time_series_prediction_spark.sources.deltalog import (
+        delta_snapshot,
+        write_delta_log,
+    )
+
+    table = str(tmp_path / "t")
+    write_delta_log(
+        spark.range(3).select(F.col("id").alias("k")), table,
+        mode="overwrite",
+    )
+    # additive evolution: new nullable column appends to the schema
+    write_delta_log(
+        spark.range(3, 5).select(
+            F.col("id").alias("k"), F.lit("x").alias("tag")
+        ),
+        table, mode="append",
+    )
+    got = read_delta(spark, table)
+    assert got.columns == ["k", "tag"]
+    rows = sorted((r["k"], r["tag"]) for r in got.collect())
+    assert rows == [(0, None), (1, None), (2, None), (3, "x"), (4, "x")]
+    # time travel before the evolution still shows the old shape
+    assert read_delta(spark, table, version=0).columns == ["k"]
+
+    # non-additive drift refuses honestly
+    with pytest.raises(ValueError, match="additive"):
+        write_delta_log(
+            spark.range(5, 6).select(
+                F.col("id").cast("string").alias("k")
+            ),
+            table, mode="append",
+        )
+    with pytest.raises(ValueError, match="additive"):
+        write_delta_log(
+            spark.range(5, 6).select(F.col("id").alias("other")),
+            table, mode="append",
+        )
+
+    # overwrite replaces data AND schema (overwriteSchema semantics)
+    write_delta_log(
+        spark.range(9, 11).select(
+            (F.col("id") * 2).alias("v2")
+        ),
+        table, mode="overwrite",
+    )
+    got2 = read_delta(spark, table)
+    assert got2.columns == ["v2"]
+    assert sorted(r["v2"] for r in got2.collect()) == [18, 20]
+    _f, meta, _v, _t, _p = delta_snapshot(spark, table)
+    assert '"v2"' in meta["schemaString"]

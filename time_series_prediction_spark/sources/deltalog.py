@@ -807,6 +807,7 @@ def write_delta_log(
     part_cols = list(partition_cols or [])
     prev_files: dict[str, dict] = {}
     next_v = 0
+    evolved_meta: dict | None = None
     if is_delta_table(spark, path):
         prev_files, prev_meta, latest, _txns, _proto = delta_snapshot(
             spark, path
@@ -817,6 +818,54 @@ def write_delta_log(
             raise ValueError(
                 f"partition columns {part_cols} != table's {prev_parts}"
             )
+        # schema discipline: a batch whose shape drifts from the
+        # table's metaData must either EVOLVE the metaData (Delta's
+        # mergeSchema contract) or be refused — silently appending it
+        # would commit files the recorded schema can't see (new
+        # columns vanishing on read is the exact failure mode).
+        prev_schema = StructType.fromJson(
+            json.loads(prev_meta["schemaString"])
+        )
+        prev_f = {f.name: f.dataType for f in prev_schema.fields}
+        new_f = {f.name: f.dataType for f in df.schema.fields}
+        if prev_f != new_f:
+            if _column_mapping(prev_meta, prev_schema):
+                raise DeltaProtocolUnsupported(
+                    "schema evolution on a column-mapped table needs "
+                    "physical-name assignment — not implemented"
+                )
+            if mode == "overwrite":
+                # overwrite replaces the data: the batch's schema IS
+                # the table's new schema (overwriteSchema semantics)
+                merged = df.schema
+            else:
+                changed = sorted(
+                    n for n in prev_f
+                    if n in new_f and prev_f[n] != new_f[n]
+                )
+                missing = sorted(set(prev_f) - set(new_f))
+                if changed or missing:
+                    raise ValueError(
+                        "append batch schema is not an additive "
+                        f"evolution of the table's: changed types "
+                        f"{changed}, dropped columns {missing} — "
+                        "cast/realign upstream, or overwrite"
+                    )
+                from pyspark.sql.types import StructField
+
+                # additive: table columns keep their order, brand-new
+                # nullable columns append; files predating a column
+                # read it as null (readers use the recorded schema)
+                merged = StructType(
+                    list(prev_schema.fields)
+                    + [
+                        StructField(f.name, f.dataType, True)
+                        for f in df.schema.fields
+                        if f.name not in prev_f
+                    ]
+                )
+            evolved_meta = dict(prev_meta)
+            evolved_meta["schemaString"] = merged.json()
     base, new_files = _land_batch(spark, fs, df, path, part_cols)
     actions: list[dict] = []
     if txn is not None:
@@ -843,6 +892,8 @@ def write_delta_log(
                 }
             }
         )
+    elif evolved_meta is not None:
+        actions.append({"metaData": evolved_meta})
     if mode == "overwrite":
         for rel in sorted(prev_files):
             actions.append(
