@@ -62,7 +62,6 @@ from time_series_prediction_spark.operators.manifest import (
     local_manifest_files,
     local_manifest_table,
     prune_files,
-    pruned_scan,
 )
 from time_series_prediction_spark.operators.zorder import write_zordered
 from time_series_prediction_spark.sources.fsops import fs_for
