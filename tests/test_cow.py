@@ -518,3 +518,33 @@ def test_cow_metadata_resolves_without_spark_jobs(spark, table):
     assert [r["version"] for r in hist] == [0]
     assert hist[0]["n_rows"] == 200
     assert df.count() == 200
+
+
+def test_publish_manifest_spark_fallback_keeps_dv_rows(spark, tmp_path):
+    """publish_manifest's Spark staging branch must MATERIALIZE a
+    driver-resident ``dv_rows`` payload: callers that fall back to
+    the Spark path (man_rows reset after a local-stats failure, or a
+    non-local root) previously committed the version WITHOUT ``_dv``
+    — silently dropping the cumulative deletion vector, so every
+    tombstoned row resurrected on the next read (round-10 ADVICE,
+    high)."""
+    from time_series_prediction_spark.streaming.layout import (
+        publish_manifest,
+        version_dv,
+    )
+
+    root = str(tmp_path / "m")
+    man = spark.createDataFrame(
+        [("f1", "k", 10, 0.0, 9.0, False, None, None)],
+        "file string, col string, n_rows long, vmin double, "
+        "vmax double, has_nulls boolean, vmin_s string, vmax_s string",
+    )
+    publish_manifest(
+        man, root, 0,
+        man_rows=None,  # forces the Spark staging branch
+        dv_rows=(["k"], [(1,), (2,)]),
+    )
+    dv = version_dv(spark, root, 0)
+    assert dv is not None
+    assert dv.columns == ["k"]
+    assert sorted(r["k"] for r in dv.collect()) == [1, 2]

@@ -538,21 +538,57 @@ def test_column_mapping_name_mode(spark, tmp_path):
     assert rows == [(i, i * 2, 7) for i in range(5)]
 
 
-def test_column_mapping_id_mode_refused(spark, tmp_path):
-    """'id' mode resolves by parquet field id, which this reader does
-    not implement — honest refusal, not wrong rows."""
+def _write_parquet_field_ids(path, cols):
+    """One parquet file whose columns carry PARQUET FIELD IDS and
+    internal names unrelated to the table's logical OR physical names
+    — the exact file an id-mode writer (e.g. an Iceberg convert) may
+    produce. ``cols`` = [(internal_name, field_id, pa_type, values)]."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fields = [
+        pa.field(n, t, metadata={b"PARQUET:field_id": str(i).encode()})
+        for n, i, t, _ in cols
+    ]
+    tbl = pa.table(
+        {n: pa.array(vals, t) for n, _, t, vals in cols},
+        schema=pa.schema(fields),
+    )
+    pq.write_table(tbl, path)
+
+
+def test_column_mapping_id_mode_reads(spark, tmp_path):
+    """'id' mode: data columns resolve by parquet FIELD ID, not by
+    name — the file's internal names here match NEITHER the logical
+    nor the recorded physical names, so any name-based resolution
+    would return nulls or error; only id resolution yields the rows.
+    DELETE works on top (the scan is the same one plan branch)."""
     import json as _json
+
+    import pyarrow as pa
+
+    from time_series_prediction_spark.sources.deltalog import (
+        delta_delete,
+    )
 
     table = str(tmp_path / "t")
     os.makedirs(table)
-    _write_parquet(spark, os.path.join(table, "A.parquet"),
-                   [(1,)], "`col-aaa` long")
+    _write_parquet_field_ids(
+        os.path.join(table, "A.parquet"),
+        [
+            ("junk_1", 1, pa.int64(), [1, 2, 3]),
+            ("junk_2", 2, pa.string(), ["a", "b", "c"]),
+        ],
+    )
     schema = {
         "type": "struct",
         "fields": [
             {"name": "k", "type": "long", "nullable": True,
              "metadata": {"delta.columnMapping.id": 1,
                           "delta.columnMapping.physicalName": "col-aaa"}},
+            {"name": "v", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-bbb"}},
         ],
     }
     meta = _meta(_json.dumps(schema))
@@ -564,8 +600,16 @@ def test_column_mapping_id_mode_refused(spark, tmp_path):
         meta,
         _add("A.parquet"),
     ])
-    with pytest.raises(DeltaProtocolUnsupported, match="id"):
-        read_delta(spark, table).collect()
+    got = read_delta(spark, table)
+    assert got.columns == ["k", "v"]
+    assert sorted(map(tuple, got.collect())) == [
+        (1, "a"), (2, "b"), (3, "c")
+    ]
+    # DELETE through the id-resolved scan (predicate on LOGICAL names)
+    delta_delete(spark, table, "k = 2")
+    assert sorted(map(tuple, read_delta(spark, table).collect())) == [
+        (1, "a"), (3, "c")
+    ]
 
 
 def test_unsupported_reader_feature_still_refused(spark, tmp_path):
@@ -1607,3 +1651,337 @@ def test_write_delta_log_schema_evolution(spark, tmp_path):
     assert sorted(r["v2"] for r in got2.collect()) == [18, 20]
     _f, meta, _v, _t, _p = delta_snapshot(spark, table)
     assert '"v2"' in meta["schemaString"]
+
+
+# ---------------------------------------------------------------- r11
+
+
+def test_commit_put_if_absent_conflict(spark, tmp_path):
+    """Two writers racing the same version must conflict LOUDLY: the
+    loser raises ``DeltaConcurrentCommit`` with its actions unapplied
+    and the winner's commit byte-identical — a plain overwrite write
+    here silently lost a committed batch's adds/removes (round-10
+    ADVICE)."""
+    from time_series_prediction_spark.sources.deltalog import (
+        DeltaConcurrentCommit,
+        _commit_json,
+        write_delta_log,
+    )
+    from time_series_prediction_spark.sources.fsops import fs_for
+
+    table = str(tmp_path / "t")
+    write_delta_log(
+        spark.range(3).select(F.col("id").alias("k")), table
+    )
+    fs = fs_for(spark, table)
+    _commit_json(fs, table, 1, [_add("WINNER.parquet")])
+    before = open(
+        os.path.join(table, "_delta_log", f"{1:020d}.json")
+    ).read()
+    with pytest.raises(DeltaConcurrentCommit, match="concurrent"):
+        _commit_json(fs, table, 1, [_add("LOSER.parquet")])
+    after = open(
+        os.path.join(table, "_delta_log", f"{1:020d}.json")
+    ).read()
+    assert after == before and "WINNER" in after
+    # the loser's staging file was cleaned up
+    strays = [
+        n for n in os.listdir(os.path.join(table, "_delta_log"))
+        if n.startswith(".commit-")
+    ]
+    assert strays == []
+
+
+def test_checkpoint_preserves_dv_protocol_config(spark, tmp_path):
+    """``write_checkpoint`` must persist the snapshot's REAL state:
+    checkpoint a DV-bearing table, delete the whole JSON history, and
+    the snapshot reconstructed from the checkpoint ALONE still hides
+    the deleted rows, keeps the feature protocol, and keeps the
+    metaData configuration — the previous hardcoded v1/v2 checkpoint
+    resurrected deletes and downgraded the protocol (round-10
+    ADVICE)."""
+    from time_series_prediction_spark.sources.deltalog import (
+        delta_delete,
+        delta_snapshot,
+        read_delta_log,
+        write_checkpoint,
+        write_delta_log,
+    )
+
+    table = str(tmp_path / "t")
+    df = spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    write_delta_log(df, table)
+    delta_delete(spark, table, "k >= 15")
+    v = write_checkpoint(spark, table, clean_old_commits=True)
+    assert v == 1
+    log = os.path.join(table, "_delta_log")
+    assert not any(
+        n.endswith(".json") and n[:20].isdigit() for n in os.listdir(log)
+    )
+    got = read_delta_log(spark, table)
+    assert sorted(r["k"] for r in got.collect()) == list(range(15))
+    files, meta, _v, _txns, proto = delta_snapshot(spark, table)
+    assert "deletionVectors" in (proto.get("readerFeatures") or [])
+    assert "deletionVectors" in (proto.get("writerFeatures") or [])
+    assert int(proto["minReaderVersion"]) == 3
+    assert isinstance(meta.get("configuration"), dict)
+    # the DV descriptors themselves survived the roundtrip
+    cards = sum(
+        int((a.get("deletionVector") or {}).get("cardinality") or 0)
+        for a in files.values()
+    )
+    assert cards == 5
+
+
+def test_checkpoint_preserves_column_mapping(spark, tmp_path):
+    """Checkpointing a column-mapped table must keep the
+    configuration map — losing ``delta.columnMapping.mode`` would
+    make the reader resolve PHYSICAL names as logical ones after the
+    JSON history is cleaned."""
+    import json as _json
+
+    from time_series_prediction_spark.sources.deltalog import (
+        read_delta_log,
+        write_checkpoint,
+    )
+
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-aaa"}},
+        ],
+    }
+    _write_parquet(spark, os.path.join(table, "A.parquet"),
+                   [(i,) for i in range(4)], "`col-aaa` long")
+    meta = _meta(_json.dumps(schema))
+    meta["metaData"]["configuration"] = {
+        "delta.columnMapping.mode": "name",
+        "delta.columnMapping.maxColumnId": "1",
+    }
+    _commit(table, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        meta,
+        _add("A.parquet"),
+    ])
+    write_checkpoint(spark, table, clean_old_commits=True)
+    got = read_delta_log(spark, table)
+    assert got.columns == ["k"]
+    assert sorted(r["k"] for r in got.collect()) == [0, 1, 2, 3]
+
+
+def test_optimize_column_mapped_name_mode(spark, tmp_path):
+    """OPTIMIZE on a 'name'-mode table (round-10 refusal, removed):
+    the rewrite lands under PHYSICAL column names and physical-keyed
+    partitionValues, DVs are materialized away, and the mapped reader
+    sees the same rows before and after."""
+    import json as _json
+
+    from time_series_prediction_spark.sources.deltalog import (
+        delta_delete,
+        delta_optimize,
+        delta_snapshot,
+        delta_vacuum,
+    )
+
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-aaa"}},
+            {"name": "p", "type": "integer", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-ppp"}},
+        ],
+    }
+    for i, name in enumerate(["A.parquet", "B.parquet"]):
+        _write_parquet(
+            spark, os.path.join(table, name),
+            [(j,) for j in range(i * 10, i * 10 + 10)],
+            "`col-aaa` long",
+        )
+    meta = _meta(_json.dumps(schema), part_cols=["p"])
+    meta["metaData"]["configuration"] = {
+        "delta.columnMapping.mode": "name",
+        "delta.columnMapping.maxColumnId": "2",
+    }
+    _commit(table, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        meta,
+        _add("A.parquet", pvals={"col-ppp": "1"}),
+        _add("B.parquet", pvals={"col-ppp": "2"}),
+    ])
+    delta_delete(spark, table, "k in (3, 14)")
+    v = delta_optimize(spark, table, target_files=1)
+    assert v == 2
+    got = read_delta_log(spark, table)
+    assert got.columns == ["k", "p"]
+    rows = sorted(map(tuple, got.collect()))
+    expect = sorted(
+        [(j, 1) for j in range(10) if j != 3]
+        + [(j, 2) for j in range(10, 20) if j != 14]
+    )
+    assert rows == expect
+    # DVs were materialized away and the new files are physical-named
+    files, _m, _v2, _t, _p = delta_snapshot(spark, table)
+    assert not any(a.get("deletionVector") for a in files.values())
+    assert all("col-ppp=" in rel for rel in files)
+    # vacuum past retention reclaims the originals; reads still good
+    delta_vacuum(spark, table, retention_ms=0)
+    assert sorted(map(tuple, read_delta_log(spark, table).collect())) \
+        == expect
+
+
+def test_append_type_widening(spark, tmp_path):
+    """Type-widening append (Delta's typeWidening feature subset):
+    a wider batch widens the recorded schema — old narrower files
+    read through it natively; a NARROWER batch is not drift at all;
+    unsafe changes still refuse; time travel keeps the old shape."""
+    from time_series_prediction_spark.sources.deltalog import (
+        delta_snapshot,
+        read_delta_log,
+        write_delta_log,
+    )
+
+    table = str(tmp_path / "t")
+    write_delta_log(
+        spark.range(3).selectExpr(
+            "cast(id as int) as k", "cast(id as float) as x"
+        ),
+        table,
+    )
+    write_delta_log(
+        spark.range(3, 6).selectExpr(
+            "cast(id as long) as k", "cast(id as double) as x"
+        ),
+        table, mode="append",
+    )
+    got = read_delta_log(spark, table)
+    assert dict(got.dtypes) == {"k": "bigint", "x": "double"}
+    assert sorted(r["k"] for r in got.collect()) == [0, 1, 2, 3, 4, 5]
+    proto = delta_snapshot(spark, table)[4]
+    assert "typeWidening" in (proto.get("readerFeatures") or [])
+    # narrower batch: files read through the existing wider schema,
+    # and NO metaData action is burned (schema unchanged)
+    meta_before = delta_snapshot(spark, table)[1]["schemaString"]
+    write_delta_log(
+        spark.range(6, 9).selectExpr(
+            "cast(id as int) as k", "cast(id as float) as x"
+        ),
+        table, mode="append",
+    )
+    got = read_delta_log(spark, table)
+    assert dict(got.dtypes) == {"k": "bigint", "x": "double"}
+    assert sorted(r["k"] for r in got.collect()) == list(range(9))
+    assert delta_snapshot(spark, table)[1]["schemaString"] == meta_before
+    # unsafe change still refused
+    with pytest.raises(ValueError, match="changed types"):
+        write_delta_log(
+            spark.range(1).selectExpr(
+                "cast(id as string) as k", "cast(id as double) as x"
+            ),
+            table, mode="append",
+        )
+    # time travel keeps the narrow shape
+    old = read_delta_log(spark, table, version=0)
+    assert dict(old.dtypes) == {"k": "int", "x": "float"}
+
+
+def test_cumulative_dv_bound_auto_compacts(spark, tmp_path):
+    """Many small deletes must not accumulate DV positions without
+    bound (every read pays an O(total positions) driver
+    materialization — round-10 VERDICT): past ``max_total_dv_rows``
+    the delete auto-OPTIMIZEs, so the table NEVER serves a read with
+    more than the threshold's positions."""
+    from time_series_prediction_spark.sources.deltalog import (
+        delta_delete,
+        delta_snapshot,
+        read_delta_log,
+        write_delta_log,
+    )
+
+    table = str(tmp_path / "t")
+    write_delta_log(
+        spark.range(100).select(F.col("id").alias("k")), table
+    )
+    bound = 10
+    for lo in range(0, 12, 3):  # four 3-row deletes: 3,6,9 then 12>10
+        delta_delete(
+            spark, table, f"k >= {lo} and k < {lo + 3}",
+            max_total_dv_rows=bound,
+        )
+        files, *_ = delta_snapshot(spark, table)
+        card = sum(
+            int((a.get("deletionVector") or {}).get("cardinality") or 0)
+            for a in files.values()
+        )
+        assert card <= bound
+    # the last delete crossed the bound: DVs were materialized away
+    files, *_ = delta_snapshot(spark, table)
+    assert not any(a.get("deletionVector") for a in files.values())
+    got = read_delta_log(spark, table)
+    assert sorted(r["k"] for r in got.collect()) == list(range(12, 100))
+
+
+def test_auto_checkpoint_bounds_log_replay(spark, tmp_path, monkeypatch):
+    """Long-lived tables checkpoint automatically every K commits, so
+    snapshot resolution parses ≤K JSON files however many commits the
+    table accumulates: after deleting EVERY pre-checkpoint commit the
+    table still reads (the replay never needed them)."""
+    import time_series_prediction_spark.sources.deltalog as dl
+
+    monkeypatch.setattr(dl, "DELTA_AUTO_CHECKPOINT_EVERY", 8)
+    table = str(tmp_path / "t")
+    for i in range(18):  # versions 0..17 — auto-checkpoints at 8, 16
+        dl.write_delta_log(
+            spark.range(i, i + 1).select(F.col("id").alias("k")),
+            table, mode="overwrite" if i == 0 else "append",
+        )
+    log = os.path.join(table, "_delta_log")
+    assert f"{8:020d}.checkpoint.parquet" in os.listdir(log)
+    assert f"{16:020d}.checkpoint.parquet" in os.listdir(log)
+    for n in list(os.listdir(log)):
+        if n.endswith(".json") and n[:20].isdigit() and int(n[:20]) <= 16:
+            os.remove(os.path.join(log, n))
+    got = dl.read_delta_log(spark, table)
+    assert sorted(r["k"] for r in got.collect()) == list(range(18))
+
+
+def test_read_paths_resolve_qualified_table_path(spark, tmp_path):
+    """A ``file:``-qualified (or otherwise differently-qualified)
+    table path must still attach partitionValues and apply DVs: the
+    broadcast-join keys resolve through the SAME FileSystem the scan
+    uses (round-10 ADVICE — raw caller paths silently missed the
+    join, resurrecting deleted rows with no error)."""
+    from time_series_prediction_spark.sources.deltalog import (
+        delta_changes_feed,
+        delta_delete,
+        read_delta_log,
+        write_delta_log,
+    )
+
+    table = str(tmp_path / "t")
+    df = spark.range(10).selectExpr(
+        "id as k", "cast(id % 2 as int) as p"
+    )
+    write_delta_log(df, table, partition_cols=["p"])
+    delta_delete(spark, table, "k >= 8")
+    for qualified in (f"file:{table}", f"file://{table}"):
+        got = read_delta_log(spark, qualified)
+        rows = sorted((r["k"], r["p"]) for r in got.collect())
+        assert rows == [(i, i % 2) for i in range(8)]
+        feed, _latest = delta_changes_feed(spark, qualified, 0)
+        assert feed is not None
+        deletes = sorted(
+            r["k"] for r in feed.collect()
+            if r["_change_type"] == "delete"
+        )
+        assert deletes == [8, 9]

@@ -59,3 +59,29 @@ def test_wide_long_roundtrip(spark):
     ).orderBy("primaryaccountholder")
     rt = back.orderBy("primaryaccountholder")
     assert [r.asDict() for r in rt.collect()] == [r.asDict() for r in orig.collect()]
+
+
+def test_tz_for_zone_id_offsets_and_regions():
+    """Session-timezone rendering for delta-spark timestampAsOf must
+    accept every zone-id shape Spark does: region ids through
+    ZoneInfo, offset-style ids ('GMT+08:00', '+08:00', 'UTC+8')
+    through a parsed fixed offset — ZoneInfo raises KeyError on those
+    and time travel crashed (round-10 ADVICE, low)."""
+    import datetime as dt
+
+    from time_series_prediction_spark.sources.io import _tz_for_zone_id
+
+    probe = dt.datetime(2024, 6, 1, tzinfo=dt.timezone.utc)
+    assert _tz_for_zone_id("UTC").utcoffset(probe) == dt.timedelta(0)
+    assert _tz_for_zone_id("Asia/Tokyo").utcoffset(
+        probe
+    ) == dt.timedelta(hours=9)
+    for zid in ("GMT+08:00", "+08:00", "UTC+8", "GMT+0800"):
+        assert _tz_for_zone_id(zid).utcoffset(probe) == dt.timedelta(
+            hours=8
+        ), zid
+    assert _tz_for_zone_id("GMT-05:30").utcoffset(probe) == -dt.timedelta(
+        hours=5, minutes=30
+    )
+    # unparseable id: documented UTC fallback, never a crash
+    assert _tz_for_zone_id("bogus/zone").utcoffset(probe) == dt.timedelta(0)

@@ -155,6 +155,39 @@ def _delta_available(spark: SparkSession) -> bool:
         return False
 
 
+def _tz_for_zone_id(zone_id: str):
+    """tzinfo for a Spark session-timezone id. Spark accepts BOTH
+    region ids ('Asia/Tokyo') and offset-style ids ('GMT+08:00',
+    '+08:00', 'UTC+8') — ZoneInfo raises KeyError on the latter, so
+    fall back to parsing the fixed offset ourselves; last resort is
+    UTC (better a documented default than a crashed time travel)."""
+    import datetime as _dt
+
+    try:
+        import zoneinfo as _zi
+
+        return _zi.ZoneInfo(zone_id)
+    except Exception:  # noqa: BLE001 — offset-style ids
+        import re as _re
+
+        m = _re.fullmatch(
+            r"(?:GMT|UTC|UT)?\s*([+-])(\d{1,2})"
+            r"(?::?(\d{2}))?(?::?(\d{2}))?",
+            zone_id.strip(),
+        )
+        if m:
+            sgn = 1 if m.group(1) == "+" else -1
+            return _dt.timezone(
+                sgn
+                * _dt.timedelta(
+                    hours=int(m.group(2)),
+                    minutes=int(m.group(3) or 0),
+                    seconds=int(m.group(4) or 0),
+                )
+            )
+        return _dt.timezone.utc
+
+
 def read_delta(
     spark: SparkSession,
     path: str,
@@ -185,9 +218,7 @@ def read_delta(
             # instant on any non-UTC session (while the native path
             # below uses epoch ms correctly) — keep both paths on the
             # same instant by rendering in the session zone
-            import zoneinfo as _zi
-
-            tz = _zi.ZoneInfo(
+            tz = _tz_for_zone_id(
                 spark.conf.get("spark.sql.session.timeZone")
             )
             reader = reader.option(

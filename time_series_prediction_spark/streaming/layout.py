@@ -174,6 +174,18 @@ def publish_manifest(
         # pyarrow — zero Spark jobs (see _write_manifest_local)
         _write_manifest_local(staged_local, man_rows, dv_rows, schema_json)
     else:
+        if dv is None and dv_rows is not None:
+            # driver-resident deletion vector but the local fast path is
+            # unavailable (non-local root, or the caller's man_rows fell
+            # back to the Spark manifest): materialize it into a frame so
+            # the cumulative DV is NEVER dropped by this branch — losing
+            # _dv would resurrect every tombstoned row on the next read
+            import pandas as _pd
+
+            dv_cols, dv_tuples = dv_rows
+            dv = man.sparkSession.createDataFrame(
+                _pd.DataFrame(dv_tuples, columns=dv_cols)
+            )
         # manifests are metadata-sized (files × stats_cols rows): land
         # them as ONE part file. repartition — not coalesce — so the
         # upstream plan (footer-stats mapInPandas, carry-over anti-join)
