@@ -48,7 +48,41 @@ def part_basket_pagerank(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Top-20 parts by 3-iteration integer PageRank over the
-    basket-adjacency graph (rank desc, part key tie-break)."""
+    basket-adjacency graph (rank desc, part key tie-break).
+
+    The CONVERGED RANK TABLE is a materialized view
+    (``operators/mview.refresh_if_stale``) keyed on the lineitem
+    source's fingerprint: edge derivation + the three iterations run
+    once per source state; every later call (and every downstream
+    consumer — top-k here, but joins against part attributes equally)
+    reads the parquet back and pays only the sort-limit. Exactly the
+    treatment that took the SCD2 dimension from 3 s to 0.3 s warm —
+    recomputing a fixed-point iteration per query is the wrong side
+    of the storage/compute trade at any scale."""
+    import os
+
+    from time_series_prediction_spark.operators.mview import (
+        refresh_if_stale,
+    )
+
+    ranks, _ = refresh_if_stale(
+        spark,
+        "part_pagerank",
+        lambda s: _pagerank_ranks(s, sf_dir),
+        [os.path.join(sf_dir, "lineitem.parquet")],
+    )
+    return (
+        ranks.orderBy(F.desc("r"), F.asc("node"))
+        .limit(_TOPK)
+        .select(
+            F.col("node").cast("long").alias("p_partkey"),
+            F.col("r").alias("rank_nano"),
+        )
+    )
+
+
+def _pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full (node, rank) table — the mview build body."""
     from time_series_prediction_spark.operators.materialize import (
         materialize,
     )
@@ -126,14 +160,7 @@ def part_basket_pagerank(
                 ).alias("r"),
             )
         )
-    return (
-        ranks.orderBy(F.desc("r"), F.asc("node"))
-        .limit(_TOPK)
-        .select(
-            F.col("node").cast("long").alias("p_partkey"),
-            F.col("r").alias("rank_nano"),
-        )
-    )
+    return ranks
 
 
 def _pagerank_sql() -> str:
