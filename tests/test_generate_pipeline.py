@@ -124,3 +124,43 @@ def test_split_and_r2(spark):
     )
     m2 = r2_metrics(mean_pred).first()
     assert m2["r2_3month"] <= 1e-9
+
+
+def test_generator_duckdb_bit_parity(spark):
+    """The md5-derived generator replays DRAW FOR DRAW in DuckDB
+    (``duckdb_series_cte``): every float32 balance value is
+    bit-identical across engines. The hash uniforms are exactly
+    representable 52-bit integers; the transcendentals (exp/sin,
+    Box-Muller ln/cos) agree to ≤1 ulp between the JVM and DuckDB's
+    libm and the terminal ``bround(·, 2)`` absorbs the difference —
+    this test pins that the absorption holds on the real draw
+    sequence (the foundation of cashflow_synthetic_pipeline's
+    oracle)."""
+    import duckdb
+    import numpy as np
+
+    from time_series_prediction_spark.sources.generate import (
+        duckdb_series_cte,
+    )
+
+    n, n_days = 120, 487
+    sp = (
+        generate_series_frame(spark, n, seed=42)
+        .selectExpr(
+            "primaryaccountholder AS id", "signal_type", "balance"
+        )
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    du = duckdb.connect().execute(
+        "WITH "
+        + duckdb_series_cte(n, n_days, seed=42)
+        + " SELECT id, signal_type, b FROM gen ORDER BY id"
+    ).df()
+    assert (sp["signal_type"].values == du["signal_type"].values).all()
+    for i in range(n):
+        a = np.asarray(sp["balance"][i], dtype=np.float32)
+        b = np.asarray(du["b"][i], dtype=np.float32)
+        assert len(a) == n_days and len(b) == n_days
+        assert (a.view("int32") == b.view("int32")).all(), f"series {i}"

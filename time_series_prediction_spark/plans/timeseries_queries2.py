@@ -334,12 +334,23 @@ GROUP BY event_type,
 """
 
 
+_SYN_N_SERIES = 1000
+_SYN_SEED = 42
+_SYN_N_DAYS = 487  # 2018-12-01 .. 2020-03-31 inclusive
+
+
 def cashflow_synthetic_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's actual workload, end to end on generated data:
     1000 seeded 487-day series → clean → statsmodels-parity trend →
-    scale → window → extrapolate → trajectory (serving mode), reduced
-    to per-signal-type summary stats. Rows-only (generator + trend are
-    not ANSI-SQL) — this is the bench's reference-parity headline.
+    serving extrapolation → trajectory, reduced to per-signal-type
+    summary stats. Oracle-backed END TO END since round 11: the
+    md5-derived generator replays draw-for-draw in DuckDB
+    (``sources/generate.duckdb_series_cte``) and the pipeline replays
+    as list-lambda SQL (``SYNTHETIC_PIPELINE_SQL``). The per-series
+    trajectory / day-92 forecast are float32 values with 3 decimals —
+    converted to exact integer MILLI-units per series so the
+    per-group sums are shuffle-order-free, and the averages are ONE
+    division of identical operands in both engines.
     ``sf_dir`` is unused: the workload is generation-bound by design."""
     from time_series_prediction_spark.plans.preprocess import (
         clean_series,
@@ -349,15 +360,156 @@ def cashflow_synthetic_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         generate_series_frame,
     )
 
-    raw = generate_series_frame(spark, 1000, seed=42)
+    raw = generate_series_frame(spark, _SYN_N_SERIES, seed=_SYN_SEED)
     pre = pre_processing(clean_series(raw), "2020-03-31", serving=True)
-    return pre.groupBy("signal_type").agg(
-        F.count(F.lit(1)).alias("n_series"),
-        F.avg("trajectory_6months").alias("avg_trajectory"),
-        F.avg(F.expr("CAST(trend_next_3months_1MW[91] AS DOUBLE)")).alias(
-            "avg_day92_forecast"
-        ),
+    per = pre.select(
+        "signal_type",
+        F.expr(
+            "CAST(floor(CAST(trajectory_6months AS DOUBLE) * 1000.0D"
+            " + 0.5D) AS BIGINT)"
+        ).alias("_tm"),
+        F.expr(
+            "CAST(floor(CAST(trend_next_3months_1MW[91] AS DOUBLE)"
+            " * 1000.0D + 0.5D) AS BIGINT)"
+        ).alias("_fm"),
     )
+    return per.groupBy("signal_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_series"),
+        F.expr(
+            "CAST(sum(_tm) AS DOUBLE)"
+            " / (CAST(count(1) AS DOUBLE) * 1000.0D)"
+        ).alias("avg_trajectory"),
+        F.expr(
+            "CAST(sum(_fm) AS DOUBLE)"
+            " / (CAST(count(1) AS DOUBLE) * 1000.0D)"
+        ).alias("avg_day92_forecast"),
+    )
+
+
+def _synthetic_pipeline_sql(
+    freq: int = 30,
+    window_days: int = 183,
+    y_days: int = 92,
+    traj_months: int = 6,
+    threshold_count: int = 20,
+) -> str:
+    """DuckDB oracle for ``cashflow_synthetic_pipeline``: the
+    md5-replayed generator CTE feeding the EVEN-freq trend
+    (statsmodels weights [0.5, 1×(freq−1), 0.5]/freq over freq+1
+    points — the freq=30 path ``pre_processing`` defaults to, distinct
+    from the odd plain-MA form in ``flagship._cashflow_wide_sql``),
+    npoints=1 edge extrapolation, np.gradient, the shared 183-day
+    gradient median (trajectory AND serving slope use the same
+    window), the day-by-day forecast fold, and shortest-repr half-even
+    rounding — each expression mirroring the Spark fragment's operand
+    order."""
+    from time_series_prediction_spark.plans.flagship import _bround3
+    from time_series_prediction_spark.sources.generate import (
+        duckdb_series_cte,
+    )
+
+    assert freq % 2 == 0, "oracle template generated for the even form"
+    n = _SYN_N_DAYS
+    trim = freq // 2
+    tc = threshold_count
+    front = trim  # 0-based head bound
+    back = n - 1 - trim  # 0-based tail bound
+    traj_days = int(30.5 * traj_months)
+    k = window_days  # serving-mode slope window
+    assert traj_days == k, "trajectory/slope windows coincide at 6mo/183d"
+    mid = freq - 1  # middle weights count
+    valid = (
+        f"(0.5e0 * CAST(b[j - {trim}] AS DOUBLE) "
+        f"+ list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(b[j - {trim - 1}:j + {trim - 1}], "
+        f"v -> CAST(v AS DOUBLE))), (a, v) -> a + v) "
+        f"+ 0.5e0 * CAST(b[j + {trim}] AS DOUBLE)) / {freq}.0e0"
+    )
+    trend_case = (
+        f"CASE WHEN j <= {front} THEN "
+        f"vf * ({front}.0 * CAST(j - 1 AS DOUBLE) + 1.0)"
+        f" / ({front * front} + 1.0) "
+        f"WHEN j >= {back + 2} THEN "
+        f"vb * (x0b * CAST(j - 1 AS DOUBLE) + 1.0)"
+        f" / (x0b * x0b + 1.0) "
+        f"ELSE raw[j] END"
+    )
+    fold = (
+        f"list_reduce(list_prepend(anchor, "
+        f"list_transform(range(1, {y_days + 1}), _d -> slope)), "
+        f"(a, v) -> a + v)"
+    )
+    return (
+        "WITH "
+        + duckdb_series_cte(_SYN_N_SERIES, n, seed=_SYN_SEED)
+        + f""",
+kept AS (
+  SELECT id, signal_type, b FROM gen
+  WHERE len(list_filter(b, v -> v != b[1])) > 0
+    AND len(list_filter(range(2, {n + 1}), j ->
+          (CAST(b[j] AS DOUBLE) - CAST(b[j - 1] AS DOUBLE)) != 0.0)) >= {tc}
+),
+rawt AS (
+  SELECT id, signal_type,
+    list_transform(range(1, {n + 1}), j ->
+      CASE WHEN j >= {trim + 1} AND j <= {n - trim} THEN {valid}
+      ELSE NULL END) AS raw
+  FROM kept
+),
+edges AS (
+  SELECT id, signal_type, raw,
+         raw[{front + 1}] AS vf,
+         raw[{back}] AS vb,
+         CAST({back} - 1 AS DOUBLE) AS x0b
+  FROM rawt
+),
+trended AS (
+  SELECT id, signal_type,
+    list_transform(range(1, {n + 1}), j ->
+      CAST({_bround3(trend_case)} AS FLOAT)) AS t
+  FROM edges
+),
+grads AS (
+  SELECT id, signal_type, t,
+    list_transform(range(1, {n + 1}), j -> CASE
+      WHEN j = 1 THEN CAST(t[2] AS DOUBLE) - CAST(t[1] AS DOUBLE)
+      WHEN j = {n} THEN CAST(t[{n}] AS DOUBLE) - CAST(t[{n - 1}] AS DOUBLE)
+      ELSE (CAST(t[j + 1] AS DOUBLE) - CAST(t[j - 1] AS DOUBLE)) / 2.0 END) AS g
+  FROM trended
+),
+med AS (
+  SELECT id, signal_type, t,
+    list_sort(g[{n - traj_days + 1}:{n}]) AS s
+  FROM grads
+),
+sc AS (
+  SELECT id, signal_type,
+    (CAST(s[(len(s) + 1) // 2] AS DOUBLE)
+     + CAST(s[len(s) // 2 + 1] AS DOUBLE)) / 2.0 AS slope,
+    CAST(t[{n}] AS DOUBLE) AS anchor
+  FROM med
+),
+vals AS (
+  SELECT signal_type,
+    CAST(floor(CAST(CAST({_bround3("slope * 30.5")} AS FLOAT) AS DOUBLE)
+         * 1000.0e0 + 0.5e0) AS BIGINT) AS tm,
+    CAST(floor(CAST(CAST({_bround3(fold)} AS FLOAT) AS DOUBLE)
+         * 1000.0e0 + 0.5e0) AS BIGINT) AS fm
+  FROM sc
+)
+SELECT signal_type,
+       CAST(count(*) AS BIGINT) AS n_series,
+       CAST(sum(tm) AS DOUBLE)
+         / (CAST(count(*) AS DOUBLE) * 1000.0e0) AS avg_trajectory,
+       CAST(sum(fm) AS DOUBLE)
+         / (CAST(count(*) AS DOUBLE) * 1000.0e0) AS avg_day92_forecast
+FROM vals
+GROUP BY signal_type
+"""
+    )
+
+
+SYNTHETIC_PIPELINE_SQL = _synthetic_pipeline_sql()
 
 
 def ts_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -883,7 +1035,10 @@ TIMESERIES2_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "ts_seasonal_decompose": (ts_seasonal_decompose, TS_DECOMPOSE_SQL),
     "ts_changepoint_cusum": (ts_changepoint_cusum, TS_CUSUM_SQL),
     "events_json_props": (events_json_props, EVENTS_JSON_SQL),
-    "cashflow_synthetic_pipeline": (cashflow_synthetic_pipeline, None),
+    "cashflow_synthetic_pipeline": (
+        cashflow_synthetic_pipeline,
+        SYNTHETIC_PIPELINE_SQL,
+    ),
     "ts_resample_interpolate": (ts_resample_interpolate, TS_INTERPOLATE_SQL),
     "ts_rolling_stats": (ts_rolling_stats, TS_ROLLING_SQL),
     "ts_weekly_ohlc": (ts_weekly_ohlc, TS_OHLC_SQL),

@@ -19,9 +19,19 @@ Python UDF at ``src/demo/create_time_series.py:172-190``):
 The one intentional semantic upgrade (SURVEY §7.4.5): the reference's
 RNG is unseeded per-row Python, so its output is irreproducible. Here
 every random draw is a hash of (seed, series_id, purpose-tag[, day]) —
-``xxhash64``-derived uniforms, Box-Muller normals — so the same call
+md5-derived 52-bit uniforms, Box-Muller normals — so the same call
 always produces the same table, on any cluster, at any parallelism.
 Parity with the reference generator is distributional, not per-value.
+
+The md5 derivation (not xxhash64, which DuckDB lacks) makes the draw
+sequence CROSS-ENGINE replayable: ``duckdb_u``/``duckdb_normal`` emit
+the DuckDB mirror of the same (seed, id, tag, extra) → uniform map,
+which is how ``cashflow_synthetic_pipeline`` is oracle-checked end to
+end (the hash integers are bit-identical; the few transcendentals —
+ln/cos in Box-Muller, exp/sin in the signal — agree to ≤1 ulp between
+the JVM and DuckDB's libm, absorbed by the generator's terminal
+``bround(·, 2)`` cents quantization; verified value-exact over the
+full fixture in tests).
 
 Everything is a Column expression: generation runs inside whole-stage
 codegen, embarrassingly parallel over ``spark.range`` splits — 2.5M
@@ -38,21 +48,45 @@ from pyspark.sql import functions as F
 
 from time_series_prediction_spark.sources.io import date_sequence_col
 
-_M = 1_000_000_007  # modulus for hash→uniform
+# 13 hex chars of md5 = 52 bits — exactly representable in a double,
+# so (v + 0.5) / 2^52 is the same IEEE value in every engine
+_U_DIV = float(2**52)
 
 
-def _u(id_col: str, seed: int, tag: int, extra: str = "0L") -> str:
-    """Uniform(0,1) from xxhash64(seed, id, tag, extra) (SQL fragment)."""
+def _u(id_col: str, seed: int, tag: int, extra: str = "'0'") -> str:
+    """Uniform(0,1) from md5('{seed}|{id}|{tag}|' || extra) (Spark SQL
+    fragment). ``extra`` is a STRING expression (day index etc.)."""
+    s = (
+        f"concat('{seed}|', CAST({id_col} AS STRING), '|{tag}|', {extra})"
+    )
     return (
-        f"((pmod(xxhash64({seed}L, {id_col}, {tag}L, {extra}), {_M}) + 0.5D) / {_M}.0D)"
+        f"((CAST(conv(substring(md5({s}), 1, 13), 16, 10) AS BIGINT)"
+        f" + 0.5D) / {_U_DIV!r}D)"
     )
 
 
-def _normal(id_col: str, seed: int, tag: int, extra: str = "0L") -> str:
+def duckdb_u(seed: int, tag: int, extra: str = "'0'") -> str:
+    """DuckDB mirror of ``_u`` over a column named ``id`` — same md5
+    input string, same 52-bit slice, same IEEE map."""
+    s = f"'{seed}|' || CAST(id AS VARCHAR) || '|{tag}|' || {extra}"
+    return (
+        f"((('0x' || substr(md5({s}), 1, 13))::BIGINT + 0.5e0)"
+        f" / {_U_DIV!r})"
+    )
+
+
+def _normal(id_col: str, seed: int, tag: int, extra: str = "'0'") -> str:
     """Standard normal via Box-Muller from two hash uniforms."""
     u1 = _u(id_col, seed, tag * 2 + 1, extra)
     u2 = _u(id_col, seed, tag * 2 + 2, extra)
     return f"(sqrt(-2.0D * ln({u1})) * cos({2 * math.pi}D * {u2}))"
+
+
+def duckdb_normal(seed: int, tag: int, extra: str = "'0'") -> str:
+    """DuckDB mirror of ``_normal`` (identical operand order)."""
+    u1 = duckdb_u(seed, tag * 2 + 1, extra)
+    u2 = duckdb_u(seed, tag * 2 + 2, extra)
+    return f"(sqrt(-2.0e0 * ln({u1})) * cos({2 * math.pi!r} * {u2}))"
 
 
 def generate_series_frame(
@@ -123,7 +157,7 @@ def generate_series_frame(
         f"ELSE 0.5D * _salary * {square} END)"
     )
     trend_ts = f"(_sign * _salary * exp(_trend_exp * CAST(i AS DOUBLE) / (_n - 1.0D)))"
-    noise = f"(_noise_sd * _salary * {_normal(id_col, seed, 50, 'CAST(i AS BIGINT)')})"
+    noise = f"(_noise_sd * _salary * {_normal(id_col, seed, 50, 'CAST(i AS STRING)')})"
 
     balance = (
         f"transform(sequence(0, _n - 1), i -> "
@@ -132,3 +166,123 @@ def generate_series_frame(
     return df.withColumn("balance", F.expr(balance)).select(
         id_col, "transactiondate", "balance", "signal_type"
     )
+
+
+def duckdb_bround(v: str, ndigits: int) -> str:
+    """DuckDB mirror of Spark's ``bround(v, ndigits)`` on DOUBLE —
+    shortest-repr (VARCHAR cast) decimal, HALF_EVEN. Same construction
+    as ``plans/flagship._bround3`` (fuzz-verified against Spark),
+    generalized over the scale."""
+    scale = 10 ** ndigits
+    d = f"CAST(CAST({v} AS VARCHAR) AS DECIMAL(38,18)) * {scale}"
+    return (
+        f"list_transform([{d}], _s -> "
+        f"list_transform([floor(_s)], _f -> "
+        f"CASE WHEN _s - _f > 0.5 THEN _f + 1 "
+        f"WHEN _s - _f < 0.5 THEN _f "
+        f"WHEN CAST(_f AS BIGINT) % 2 = 0 THEN _f "
+        f"ELSE _f + 1 END)[1])[1] / {scale}.0e0"
+    )
+
+
+def duckdb_series_cte(
+    n_series: int,
+    n_days: int,
+    seed: int = 42,
+    cycle_period: float = 30.5,
+    n_spikes: int = 3,
+) -> str:
+    """DuckDB CTE chain replaying ``generate_series_frame`` draw for
+    draw: ``gen(id, signal_type, b LIST(FLOAT))``. Every expression
+    mirrors the Spark fragment's operand ORDER (IEEE addition is not
+    associative) and every literal is e-notation (a bare DuckDB
+    decimal literal is DECIMAL, not DOUBLE — different rounding). The
+    md5-derived uniforms are bit-identical across engines; the
+    transcendentals (exp/sin/ln/cos) agree to ≤1 ulp and the terminal
+    ``bround(·, 2)`` absorbs the difference (value-exact over the
+    whole fixture — pinned in tests/test_generate_pipeline.py)."""
+    n = n_days
+    pi = repr(math.pi)
+    two_pi = repr(2 * math.pi)
+
+    def u(tag, extra="'0'"):
+        return duckdb_u(seed, tag, extra)
+
+    def normal(tag, extra="'0'"):
+        return duckdb_normal(seed, tag, extra)
+
+    salary = (
+        f"greatest({normal(1)} * 5000.0e0 + 15000.0e0, 100.0e0)"
+    )
+    trend_exp = f"({u(5)} + 1.0e0)"
+    noise_sd = f"(abs({normal(3)} * 0.01e0) + 0.1e0)"
+    sign = f"(CASE WHEN {u(7)} < 0.5e0 THEN -1.0e0 ELSE 1.0e0 END)"
+    phase = f"(({u(9)} * 2.0e0 - 1.0e0) * {pi})"
+    choice = f"CAST(floor({u(11)} * 4.0e0) AS INT)"
+    spike_cols = []
+    for k in range(n_spikes):
+        t_k = f"({n} - 457 + CAST(floor({u(20 + k)} * 365.0e0) AS INT))"
+        s_k = (
+            f"(CASE WHEN {u(30 + k)} < 0.5e0 THEN -1.0e0 ELSE 1.0e0 END)"
+        )
+        a_k = (
+            f"({s_k} * (3.0e0 * _salary + _salary * {normal(40 + k)}))"
+        )
+        spike_cols.append(f"{t_k} AS _t{k}, {a_k} AS _a{k}")
+    spikes = (
+        " + ".join(
+            f"(CASE WHEN i >= _t{k} THEN _a{k} ELSE 0.0e0 END)"
+            for k in range(n_spikes)
+        )
+        if n_spikes
+        else "0.0e0"
+    )
+    t_i = (
+        f"(-{n} / 2.0e0 + CAST(i AS DOUBLE) * {n} / ({n} - 1.0e0))"
+    )
+    x = f"({two_pi} * {t_i} / {cycle_period!r} + _phase)"
+    frac = f"(({x}) / {two_pi} - floor(({x}) / {two_pi}))"
+    saw = f"(2.0e0 * {frac} - 1.0e0)"
+    square = f"(CASE WHEN {frac} < 0.5e0 THEN 1.0e0 ELSE -1.0e0 END)"
+    seasonal = (
+        f"(CASE _choice "
+        f"WHEN 0 THEN 0.5e0 * _salary * sin({x}) "
+        f"WHEN 1 THEN -0.5e0 * _salary * {saw} "
+        f"WHEN 2 THEN _salary * abs({saw}) - 1.0e0 "
+        f"ELSE 0.5e0 * _salary * {square} END)"
+    )
+    trend_ts = (
+        f"(_sign * _salary * exp(_trend_exp * CAST(i AS DOUBLE)"
+        f" / ({n} - 1.0e0)))"
+    )
+    noise = (
+        f"(_noise_sd * _salary * {normal(50, 'CAST(i AS VARCHAR)')})"
+    )
+    val = duckdb_bround(
+        f"{seasonal} + {trend_ts} + {noise} + {spikes}", 2
+    )
+    return f"""
+gen_params AS (
+  SELECT id,
+         {salary} AS _salary,
+         {trend_exp} AS _trend_exp,
+         {noise_sd} AS _noise_sd,
+         {sign} AS _sign,
+         {phase} AS _phase,
+         {choice} AS _choice,
+         {', '.join(spike_cols)}
+  FROM range({n_series}) t(id)
+),
+gen_vals AS (
+  SELECT id, _choice, i, CAST({val} AS FLOAT) AS v
+  FROM gen_params CROSS JOIN (
+    SELECT unnest(range(0, {n})) AS i
+  ) days
+),
+gen AS (
+  SELECT id,
+         CASE _choice WHEN 0 THEN 1 WHEN 1 THEN 4 WHEN 2 THEN 2
+              ELSE 3 END AS signal_type,
+         array_agg(v ORDER BY i) AS b
+  FROM gen_vals GROUP BY id, _choice
+)"""
