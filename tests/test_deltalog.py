@@ -1985,3 +1985,118 @@ def test_read_paths_resolve_qualified_table_path(spark, tmp_path):
             if r["_change_type"] == "delete"
         )
         assert deletes == [8, 9]
+
+
+def test_append_to_column_mapped_table_lands_physical_names(
+    spark, tmp_path
+):
+    """Appending to a column-mapped table must land PHYSICAL-named
+    files: the same-schema append previously slipped past the
+    evolution gate and wrote logical-named files that read back
+    all-null through the mapped scan (silent corruption). Additive
+    evolution on a mapped table assigns fresh physical names + the
+    next column ids, exactly delta-spark's mergeSchema."""
+    import json as _json
+
+    from time_series_prediction_spark.sources.deltalog import (
+        delta_snapshot,
+        read_delta_log,
+        write_delta_log,
+    )
+
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-aaa"}},
+        ],
+    }
+    _write_parquet(spark, os.path.join(table, "A.parquet"),
+                   [(i,) for i in range(3)], "`col-aaa` long")
+    meta = _meta(_json.dumps(schema))
+    meta["metaData"]["configuration"] = {
+        "delta.columnMapping.mode": "name",
+        "delta.columnMapping.maxColumnId": "1",
+    }
+    _commit(table, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        meta,
+        _add("A.parquet"),
+    ])
+    # same-schema append: batch carries LOGICAL names
+    write_delta_log(
+        spark.range(3, 6).select(F.col("id").alias("k")),
+        table, mode="append",
+    )
+    got = read_delta_log(spark, table)
+    assert sorted(r["k"] for r in got.collect()) == [0, 1, 2, 3, 4, 5]
+    assert got.where(F.col("k").isNull()).count() == 0
+    # additive evolution: new column v gets a fresh physical name/id
+    write_delta_log(
+        spark.range(6, 8).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ),
+        table, mode="append",
+    )
+    got = read_delta_log(spark, table)
+    assert got.columns == ["k", "v"]
+    rows = sorted((r["k"], r["v"]) for r in got.collect())
+    assert rows == [(i, None) for i in range(6)] + [(6, 12), (7, 14)]
+    _f, m, _v, _t, _p = delta_snapshot(spark, table)
+    sch = json.loads(m["schemaString"])
+    vf = next(f for f in sch["fields"] if f["name"] == "v")
+    assert vf["metadata"]["delta.columnMapping.id"] == 2
+    assert vf["metadata"]["delta.columnMapping.physicalName"].startswith(
+        "col-"
+    )
+    assert (
+        m["configuration"]["delta.columnMapping.maxColumnId"] == "2"
+    )
+
+
+def test_append_to_id_mode_table_lands_field_ids(spark, tmp_path):
+    """Appends to an 'id'-mode table land files whose columns carry
+    parquet field ids (and physical names), so the id-resolving
+    reader sees every batch."""
+    import json as _json
+
+    import pyarrow as pa
+
+    from time_series_prediction_spark.sources.deltalog import (
+        read_delta_log,
+        write_delta_log,
+    )
+
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    _write_parquet_field_ids(
+        os.path.join(table, "A.parquet"),
+        [("junk_a", 1, pa.int64(), [0, 1])],
+    )
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-aaa"}},
+        ],
+    }
+    meta = _meta(_json.dumps(schema))
+    meta["metaData"]["configuration"] = {
+        "delta.columnMapping.mode": "id",
+        "delta.columnMapping.maxColumnId": "1",
+    }
+    _commit(table, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        meta,
+        _add("A.parquet"),
+    ])
+    write_delta_log(
+        spark.range(2, 5).select(F.col("id").alias("k")),
+        table, mode="append",
+    )
+    got = read_delta_log(spark, table)
+    assert sorted(r["k"] for r in got.collect()) == [0, 1, 2, 3, 4]

@@ -906,6 +906,8 @@ def write_delta_log(
     next_v = 0
     evolved_meta: dict | None = None
     widen_protocol: dict | None = None
+    mapping: dict[str, str] = {}
+    merged: StructType | None = None
     if is_delta_table(spark, path):
         prev_files, prev_meta, latest, _txns, prev_proto = delta_snapshot(
             spark, path
@@ -924,13 +926,15 @@ def write_delta_log(
         prev_schema = StructType.fromJson(
             json.loads(prev_meta["schemaString"])
         )
+        mapping = _column_mapping(prev_meta, prev_schema)
         prev_f = {f.name: f.dataType for f in prev_schema.fields}
         new_f = {f.name: f.dataType for f in df.schema.fields}
         if prev_f != new_f:
-            if _column_mapping(prev_meta, prev_schema):
+            if mapping and mode == "overwrite":
                 raise DeltaProtocolUnsupported(
-                    "schema evolution on a column-mapped table needs "
-                    "physical-name assignment — not implemented"
+                    "overwrite with schema drift on a column-mapped "
+                    "table would reassign every physical name — "
+                    "realign the batch schema, or evolve via append"
                 )
             if mode == "overwrite":
                 # overwrite replaces the data: the batch's schema IS
@@ -967,7 +971,32 @@ def write_delta_log(
                 # additive: table columns keep their order (types
                 # widened where the batch widened them), brand-new
                 # nullable columns append; files predating a column
-                # read it as null (readers use the recorded schema)
+                # read it as null (readers use the recorded schema).
+                # On a COLUMN-MAPPED table every new column is
+                # assigned a fresh physical name (and the next column
+                # id) exactly like delta-spark's mergeSchema — the
+                # logical name never reaches a data file.
+                import uuid as _uuid
+
+                max_id = int(
+                    (prev_meta.get("configuration") or {}).get(
+                        "delta.columnMapping.maxColumnId", 0
+                    )
+                )
+                added_fields = []
+                for f in df.schema.fields:
+                    if f.name in prev_f:
+                        continue
+                    md = dict(f.metadata or {})
+                    if mapping:
+                        max_id += 1
+                        md["delta.columnMapping.id"] = max_id
+                        md["delta.columnMapping.physicalName"] = (
+                            f"col-{_uuid.uuid4().hex[:16]}"
+                        )
+                    added_fields.append(
+                        StructField(f.name, f.dataType, True, md)
+                    )
                 merged = StructType(
                     [
                         StructField(
@@ -978,11 +1007,7 @@ def write_delta_log(
                         )
                         for f in prev_schema.fields
                     ]
-                    + [
-                        StructField(f.name, f.dataType, True)
-                        for f in df.schema.fields
-                        if f.name not in prev_f
-                    ]
+                    + added_fields
                 )
                 if any(widened[n] != prev_f[n] for n in widened):
                     # the TABLE's type widened: real readers must be
@@ -994,7 +1019,43 @@ def write_delta_log(
             if {f.name: f.dataType for f in merged.fields} != prev_f:
                 evolved_meta = dict(prev_meta)
                 evolved_meta["schemaString"] = merged.json()
-    base, new_files = _land_batch(spark, fs, df, path, part_cols)
+                if mapping and added_fields:
+                    evolved_meta["configuration"] = {
+                        **(prev_meta.get("configuration") or {}),
+                        "delta.columnMapping.maxColumnId": str(max_id),
+                    }
+    land_df = df
+    land_parts = part_cols
+    if mapping:
+        # a column-mapped table's data files and partition dirs carry
+        # PHYSICAL names — landing the batch under logical names would
+        # read back as all-null through the mapped scan. Resolve the
+        # batch's columns through the (possibly just-evolved) schema;
+        # under 'id' mode each lands with its parquet field id so
+        # id-resolving readers keep working.
+        eff_schema = merged if merged is not None else prev_schema
+        eff_meta = evolved_meta if evolved_meta is not None else prev_meta
+        land_map = _column_mapping(eff_meta, eff_schema)
+        land_ids = _column_field_ids(eff_meta, eff_schema)
+        if land_ids:
+            spark.conf.set(
+                "spark.sql.parquet.fieldId.write.enabled", "true"
+            )
+        land_df = df.select(
+            *[
+                F.col(c).alias(
+                    land_map.get(c, c),
+                    metadata=(
+                        {"parquet.field.id": land_ids[c]}
+                        if c in land_ids
+                        else {}
+                    ),
+                )
+                for c in df.columns
+            ]
+        )
+        land_parts = [land_map.get(c, c) for c in part_cols]
+    base, new_files = _land_batch(spark, fs, land_df, path, land_parts)
     actions: list[dict] = []
     if txn is not None:
         # the protocol's streaming idempotence token: readers expose
