@@ -2100,3 +2100,48 @@ def test_append_to_id_mode_table_lands_field_ids(spark, tmp_path):
     )
     got = read_delta_log(spark, table)
     assert sorted(r["k"] for r in got.collect()) == [0, 1, 2, 3, 4]
+
+
+def test_big_delete_on_mapped_table_rewrites(spark, tmp_path):
+    """A rewrite-shaped delete on a column-mapped table takes the
+    overwrite path like any other (previously it fell through to an
+    unbounded DV because the sink couldn't land physical-named
+    rewrites): the surviving rows commit as physical-named files, no
+    deletion vector reaches the table state, and the mapped reader
+    sees exactly the survivors."""
+    import json as _json
+
+    from time_series_prediction_spark.sources.deltalog import (
+        delta_delete,
+        delta_snapshot,
+        read_delta_log,
+    )
+
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-aaa"}},
+        ],
+    }
+    _write_parquet(spark, os.path.join(table, "A.parquet"),
+                   [(i,) for i in range(100)], "`col-aaa` long")
+    meta = _meta(_json.dumps(schema))
+    meta["metaData"]["configuration"] = {
+        "delta.columnMapping.mode": "name",
+        "delta.columnMapping.maxColumnId": "1",
+    }
+    _commit(table, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        meta,
+        _add("A.parquet"),
+    ])
+    v = delta_delete(spark, table, "k < 90", max_dv_rows=10)
+    assert v == 1
+    files, _m, _v, _t, _p = delta_snapshot(spark, table)
+    assert not any(a.get("deletionVector") for a in files.values())
+    got = read_delta_log(spark, table)
+    assert sorted(r["k"] for r in got.collect()) == list(range(90, 100))

@@ -1223,8 +1223,8 @@ def delta_delete(
     the threshold the delete commits as a ``write_delta_log``
     overwrite of the surviving rows instead (the trade Delta's own DV
     writer documents, now enforced rather than left to callers
-    reading a docstring). Column-mapped tables always take the DV
-    path (the rewrite would need physical-name file writes).
+    reading a docstring) — column-mapped tables included, since the
+    sink lands rewrites under physical names.
 
     **Cumulative bound** (``max_total_dv_rows``): single deletes are
     capped, but MANY small deletes accumulate DV positions without
@@ -1278,10 +1278,13 @@ def delta_delete(
     total = sum(per_file.values())
     if total == 0:
         return v  # nothing matched: no commit burned
-    if total > max_dv_rows and not mapping:
+    if total > max_dv_rows:
         # rewrite-shaped delete: keep rows where the predicate is
         # FALSE OR NULL (SQL DELETE deletes only TRUE matches) and
-        # overwrite-commit them; no DV ever reaches this table state
+        # overwrite-commit them; no DV ever reaches this table state.
+        # Column-mapped tables take this path too — the sink lands
+        # the rewrite under physical names (round 11; previously they
+        # fell through to an unbounded DV).
         keep = read_delta_log(spark, path).where(
             F.coalesce(~F.expr(predicate), F.lit(True))
         )
