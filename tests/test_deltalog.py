@@ -2145,3 +2145,116 @@ def test_big_delete_on_mapped_table_rewrites(spark, tmp_path):
     assert not any(a.get("deletionVector") for a in files.values())
     got = read_delta_log(spark, table)
     assert sorted(r["k"] for r in got.collect()) == list(range(90, 100))
+
+
+def test_delta_merge_upserts_via_dv(spark, tmp_path):
+    """MERGE on the native log: matched rows are hidden by deletion
+    vectors and the update batch lands as new files in ONE commit —
+    updates replace, inserts append, untouched rows survive; VERSION
+    AS OF shows the pre-merge state; a replayed txn batch is skipped;
+    duplicate update keys refuse."""
+    from time_series_prediction_spark.sources.deltalog import (
+        delta_merge,
+        delta_snapshot,
+        read_delta_log,
+        write_delta_log,
+    )
+
+    table = str(tmp_path / "t")
+    write_delta_log(
+        spark.range(10).selectExpr("id as k", "id * 10 as v"), table
+    )
+    upd = spark.createDataFrame(
+        [(3, -3), (7, -7), (40, -40)], "k long, v long"
+    )
+    ver = delta_merge(spark, table, upd, key="k", txn=("app", 0))
+    assert ver == 1
+    got = {r["k"]: r["v"] for r in read_delta_log(spark, table).collect()}
+    want = {i: i * 10 for i in range(10)}
+    want.update({3: -3, 7: -7, 40: -40})
+    assert got == want
+    # pre-merge state intact under time travel
+    old = {r["k"]: r["v"]
+           for r in read_delta_log(spark, table, version=0).collect()}
+    assert old == {i: i * 10 for i in range(10)}
+    # the matched rows live as DV positions, not rewrites
+    files, _m, _v, _t, _p = delta_snapshot(spark, table)
+    assert sum(
+        int((a.get("deletionVector") or {}).get("cardinality") or 0)
+        for a in files.values()
+    ) == 2
+    # replayed micro-batch: same (appId, version) is a no-op
+    ver2 = delta_merge(spark, table, upd, key="k", txn=("app", 0))
+    assert ver2 == 1
+    assert {
+        r["k"]: r["v"] for r in read_delta_log(spark, table).collect()
+    } == want
+    # ambiguous multi-match refuses
+    dup = spark.createDataFrame([(1, 0), (1, 1)], "k long, v long")
+    with pytest.raises(ValueError, match="duplicate"):
+        delta_merge(spark, table, dup, key="k")
+
+
+def test_delta_merge_big_batch_rewrites(spark, tmp_path):
+    """A merge matching more than max_dv_rows commits as ONE
+    overwrite of (table minus keys) union updates — no oversized DV
+    reaches the table state."""
+    from time_series_prediction_spark.sources.deltalog import (
+        delta_merge,
+        delta_snapshot,
+        read_delta_log,
+        write_delta_log,
+    )
+
+    table = str(tmp_path / "t")
+    write_delta_log(
+        spark.range(100).selectExpr("id as k", "id as v"), table
+    )
+    upd = spark.range(80).selectExpr("id as k", "-id as v")
+    delta_merge(spark, table, upd, key="k", max_dv_rows=10)
+    files, _m, _v, _t, _p = delta_snapshot(spark, table)
+    assert not any(a.get("deletionVector") for a in files.values())
+    got = {r["k"]: r["v"] for r in read_delta_log(spark, table).collect()}
+    assert got == {
+        **{i: -i for i in range(80)},
+        **{i: i for i in range(80, 100)},
+    }
+
+
+def test_delta_restore_rolls_back_deletes_and_appends(spark, tmp_path):
+    """RESTORE TO VERSION commits the old snapshot forward: deletes
+    roll back (including deletion-vector growth), later appends drop,
+    history stays intact, and restoring past the vacuum horizon
+    refuses instead of silently under-restoring."""
+    from time_series_prediction_spark.sources.deltalog import (
+        delta_delete,
+        delta_restore,
+        delta_vacuum,
+        read_delta_log,
+        write_delta_log,
+    )
+
+    table = str(tmp_path / "t")
+    write_delta_log(
+        spark.range(10).selectExpr("id as k"), table
+    )                                            # v0
+    delta_delete(spark, table, "k >= 8")         # v1: DV delete
+    write_delta_log(
+        spark.range(100, 103).selectExpr("id as k"),
+        table, mode="append",
+    )                                            # v2: append
+    v = delta_restore(spark, table, 0)           # v3: back to v0
+    assert v == 3
+    got = sorted(r["k"] for r in read_delta_log(spark, table).collect())
+    assert got == list(range(10))
+    # history preserved: the pre-restore head still reads
+    mid = sorted(
+        r["k"] for r in read_delta_log(spark, table, version=2).collect()
+    )
+    assert mid == list(range(8)) + [100, 101, 102]
+    # idempotent shape: restoring to the current state is a no-op
+    assert delta_restore(spark, table, 3) == 3
+    # vacuum the v2 append's bytes, then RESTORE to v2 must refuse
+    delta_vacuum(spark, table, retention_ms=0)
+    with pytest.raises(ValueError, match="vacuum"):
+        delta_restore(spark, table, 2)

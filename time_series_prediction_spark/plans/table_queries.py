@@ -1020,6 +1020,130 @@ GROUP BY o_orderstatus
 """
 
 
+_DELTA_MERGE_SPEC = "delta-orders-merge|v1|23bump|101shift|restore0"
+_MERGE_SHIFT = 100_000_000
+
+
+def orders_delta_merge_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Native-log Delta table exercising MERGE + RESTORE
+    (``sources/deltalog.delta_merge`` / ``delta_restore``): v0 = the
+    orders state, v1 = ONE merge commit (updates bump %23 keys'
+    price by 77777 cents — hidden by deletion vectors; inserts append
+    %101 keys shifted past the key domain), v2 = RESTORE back to v0.
+    One fixture serves BOTH registry queries: the merge scan reads
+    VERSION AS OF 1, the restore scan reads the head (fixture
+    amortization, the round-10 pattern)."""
+    from time_series_prediction_spark.sources.deltalog import (
+        delta_merge,
+        delta_restore,
+        write_delta_log,
+    )
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    root = os.path.join(tempfile.gettempdir(), "tsp_layouts")
+    fs = fs_for(spark, root)
+    st = fs.status(src)
+    if st is None:
+        raise FileNotFoundError(src)
+    ident = f"{fs.qualified(src)}|{st[0]}|{st[1]}|{_DELTA_MERGE_SPEC}"
+    key = hashlib.md5(ident.encode()).hexdigest()[:16]
+    path = os.path.join(root, f"orders_deltamerge_{key}")
+
+    def _build(tmp: str) -> None:
+        data = os.path.join(tmp, "data")
+        base = _orders_state(spark, sf_dir)
+        write_delta_log(
+            base, data, mode="overwrite",
+            partition_cols=["o_orderstatus"],
+        )
+        upd = base.where("o_orderkey % 23 = 0").withColumn(
+            "price_cents", F.expr("price_cents + 77777")
+        )
+        ins = base.where("o_orderkey % 101 = 0").withColumn(
+            "o_orderkey", F.expr(f"o_orderkey + {_MERGE_SHIFT}")
+        )
+        delta_merge(
+            spark, data, upd.unionByName(ins), key="o_orderkey"
+        )
+        delta_restore(spark, data, 0)
+
+    ensure_artifact(spark, path, ident, _build)
+    return os.path.join(path, "data")
+
+
+def orders_delta_merge_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The post-MERGE snapshot via VERSION AS OF: updated rows carry
+    the bumped cents exactly once (their old positions are
+    deletion-vector-hidden, not rewritten), inserts appear, untouched
+    rows survive; the key checksum pins row identity, not just
+    counts."""
+    from time_series_prediction_spark.sources.io import read_delta
+
+    data = orders_delta_merge_layout(spark, sf_dir)
+    return (
+        read_delta(spark, data, version=1)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("price_cents").cast("long").alias("total_cents"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        )
+    )
+
+
+ORDERS_DELTA_MERGE_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+merged AS (
+  SELECT k, st,
+         CASE WHEN k % 23 = 0 THEN cents + 77777 ELSE cents END AS cents
+  FROM base
+  UNION ALL
+  SELECT k + {_MERGE_SHIFT}, st, cents FROM base WHERE k % 101 = 0
+)
+SELECT st AS o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST(sum(k) AS BIGINT) AS key_sum
+FROM merged
+GROUP BY st
+"""
+
+
+def orders_delta_restore_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The RESTOREd head equals v0 exactly — the merge's DV hides and
+    inserted files roll back in one commit while v1 stays readable
+    (``orders_delta_merge_scan`` reads it from the same fixture)."""
+    from time_series_prediction_spark.sources.io import read_delta
+
+    data = orders_delta_merge_layout(spark, sf_dir)
+    return (
+        read_delta(spark, data)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("price_cents").cast("long").alias("total_cents"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        )
+    )
+
+
+ORDERS_DELTA_RESTORE_SQL = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
 _DELTA_SPEC = "delta-orders|v1|3|101|native-log"
 
 
@@ -2060,6 +2184,14 @@ TABLE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "orders_delta_dv_scan": (
         orders_delta_dv_scan,
         ORDERS_DELTA_DV_SQL,
+    ),
+    "orders_delta_merge_scan": (
+        orders_delta_merge_scan,
+        ORDERS_DELTA_MERGE_SQL,
+    ),
+    "orders_delta_restore_scan": (
+        orders_delta_restore_scan,
+        ORDERS_DELTA_RESTORE_SQL,
     ),
     "orders_delta_cdf_scan": (
         orders_delta_cdf_scan,

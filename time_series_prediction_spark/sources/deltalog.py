@@ -1030,31 +1030,13 @@ def write_delta_log(
         # a column-mapped table's data files and partition dirs carry
         # PHYSICAL names — landing the batch under logical names would
         # read back as all-null through the mapped scan. Resolve the
-        # batch's columns through the (possibly just-evolved) schema;
-        # under 'id' mode each lands with its parquet field id so
-        # id-resolving readers keep working.
-        eff_schema = merged if merged is not None else prev_schema
-        eff_meta = evolved_meta if evolved_meta is not None else prev_meta
-        land_map = _column_mapping(eff_meta, eff_schema)
-        land_ids = _column_field_ids(eff_meta, eff_schema)
-        if land_ids:
-            spark.conf.set(
-                "spark.sql.parquet.fieldId.write.enabled", "true"
-            )
-        land_df = df.select(
-            *[
-                F.col(c).alias(
-                    land_map.get(c, c),
-                    metadata=(
-                        {"parquet.field.id": land_ids[c]}
-                        if c in land_ids
-                        else {}
-                    ),
-                )
-                for c in df.columns
-            ]
+        # batch's columns through the (possibly just-evolved) schema.
+        land_df, land_parts = _rename_physical(
+            df,
+            evolved_meta if evolved_meta is not None else prev_meta,
+            merged if merged is not None else prev_schema,
+            part_cols,
         )
-        land_parts = [land_map.get(c, c) for c in part_cols]
     base, new_files = _land_batch(spark, fs, land_df, path, land_parts)
     actions: list[dict] = []
     if txn is not None:
@@ -1174,6 +1156,139 @@ def _dv_upgrade_protocol(protocol: dict) -> dict | None:
     return _feature_upgrade_protocol(protocol, "deletionVectors")
 
 
+def _rename_physical(
+    df: DataFrame, meta: dict, schema: StructType, part_cols: list[str]
+) -> tuple[DataFrame, list[str]]:
+    """Rename a logical-named batch to the table's PHYSICAL column
+    names before landing (no-op without column mapping). Under 'id'
+    mode each column carries its parquet field id so id-resolving
+    readers keep working on the new files. Returns
+    ``(renamed_df, physical_part_cols)``."""
+    mapping = _column_mapping(meta, schema)
+    if not mapping:
+        return df, part_cols
+    ids = _column_field_ids(meta, schema)
+    if ids:
+        df.sparkSession.conf.set(
+            "spark.sql.parquet.fieldId.write.enabled", "true"
+        )
+    out = df.select(
+        *[
+            F.col(c).alias(
+                mapping.get(c, c),
+                metadata=(
+                    {"parquet.field.id": ids[c]} if c in ids else {}
+                ),
+            )
+            for c in df.columns
+        ]
+    )
+    return out, [mapping.get(c, c) for c in part_cols]
+
+
+def _write_dv_sidecar(
+    fs, path: str, hits: dict[str, list[int]]
+) -> dict[str, dict]:
+    """Serialize per-file deleted positions as the spec's portable
+    roaring bitmaps into ONE ``deletion_vector_<uuid>.bin`` sidecar
+    (1-byte version, per-DV big-endian size + bitmap + CRC-32).
+    Returns rel → deletionVector descriptor."""
+    import struct
+    import uuid as _uuid
+    import zlib
+
+    u = _uuid.uuid4()
+    payload = bytearray(b"\x01")  # DV file format version
+    descs: dict[str, dict] = {}
+    for rel in sorted(hits):
+        data = _serialize_roaring_bitmap_array(hits[rel])
+        off = len(payload)
+        payload += struct.pack(">i", len(data))
+        payload += data
+        payload += struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
+        descs[rel] = {
+            "storageType": "u",
+            "pathOrInlineDv": _z85_encode(u.bytes),
+            "offset": off,
+            "sizeInBytes": len(data),
+            "cardinality": len(hits[rel]),
+        }
+    fs.write_bytes(
+        os.path.join(path, f"deletion_vector_{u}.bin"), bytes(payload)
+    )
+    return descs
+
+
+def _dv_readd_actions(
+    files: dict[str, dict], hits: dict[str, list[int]],
+    descs: dict[str, dict],
+) -> list[dict]:
+    """remove + re-add (with the new DV descriptor) for every touched
+    file — the commit shape of a deletion-vector mutation."""
+    actions: list[dict] = []
+    now_ms = int(_time.time() * 1000)
+    for rel in sorted(hits):
+        add = files[rel]
+        actions.append(
+            {
+                "remove": {
+                    "path": urllib.parse.quote(rel),
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                }
+            }
+        )
+        actions.append(
+            {
+                "add": {
+                    "path": urllib.parse.quote(rel),
+                    "partitionValues": add["partitionValues"],
+                    "size": int(add.get("size") or 0),
+                    "modificationTime": int(
+                        add.get("modificationTime") or 0
+                    ),
+                    "dataChange": True,
+                    "deletionVector": descs[rel],
+                }
+            }
+        )
+    return actions
+
+
+def _collect_position_hits(
+    spark: SparkSession,
+    path: str,
+    matched: DataFrame,
+    files: dict[str, dict],
+    existing: dict[str, list[int]],
+) -> dict[str, list[int]]:
+    """Aggregate matched ``(_fp, _ri)`` positions per file ON THE
+    EXECUTORS (one row per touched FILE reaches the driver) and union
+    with each file's existing DV positions."""
+    from time_series_prediction_spark.operators.manifest import (
+        _resolve_base,
+    )
+
+    base = _resolve_base(path, spark)
+    rel_of = {_norm_uri(os.path.join(base, rel)): rel for rel in files}
+    hits: dict[str, list[int]] = {}
+    for r in (
+        matched.groupBy("_fp")
+        .agg(F.sort_array(F.collect_list("_ri")).alias("pos"))
+        .collect()
+    ):
+        rel = rel_of.get(r["_fp"])
+        if rel is None:
+            raise ValueError(
+                f"cannot map scanned file {r['_fp']} to a live file"
+            )
+        hits[rel] = [int(p) for p in r["pos"]]
+    for rel in hits:
+        if rel in existing:
+            hits[rel] = sorted(set(hits[rel]) | set(existing[rel]))
+    return hits
+
+
 # safe type widenings this sink accepts on append (a subset of Delta's
 # typeWidening feature, each proven readable by Spark's parquet scan
 # when old files carry the narrower physical type): the integral
@@ -1245,10 +1360,6 @@ def delta_delete(
     even under column mapping 'name' mode — the scan aliases physical
     names back before the predicate applies. Returns the committed
     version (unchanged if nothing matched)."""
-    import struct
-    import uuid as _uuid
-    import zlib
-
     files, meta, v, _txns, protocol = delta_snapshot(spark, path)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     mapping = _column_mapping(meta, schema)
@@ -1291,77 +1402,15 @@ def delta_delete(
         return write_delta_log(
             keep, path, mode="overwrite", partition_cols=part_cols
         )
-    from time_series_prediction_spark.operators.manifest import (
-        _resolve_base,
-    )
-
-    _dbase = _resolve_base(path, spark)
-    rel_of = {_norm_uri(os.path.join(_dbase, rel)): rel for rel in files}
-    hits: dict[str, list[int]] = {}
-    for r in (
-        matched.groupBy("_fp")
-        .agg(F.sort_array(F.collect_list("_ri")).alias("pos"))
-        .collect()
-    ):
-        rel = rel_of.get(r["_fp"])
-        if rel is None:
-            raise ValueError(
-                f"cannot map scanned file {r['_fp']} to a live file"
-            )
-        hits[rel] = [int(p) for p in r["pos"]]
     # merge with any existing DV (re-deleting already-hidden rows is
     # a no-op union, and the old positions must not resurrect)
-    for rel in hits:
-        if rel in existing:
-            hits[rel] = sorted(set(hits[rel]) | set(existing[rel]))
-    u = _uuid.uuid4()
-    payload = bytearray(b"\x01")  # DV file format version
-    descs: dict[str, dict] = {}
-    for rel in sorted(hits):
-        data = _serialize_roaring_bitmap_array(hits[rel])
-        off = len(payload)
-        payload += struct.pack(">i", len(data))
-        payload += data
-        payload += struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
-        descs[rel] = {
-            "storageType": "u",
-            "pathOrInlineDv": _z85_encode(u.bytes),
-            "offset": off,
-            "sizeInBytes": len(data),
-            "cardinality": len(hits[rel]),
-        }
-    fs.write_bytes(
-        os.path.join(path, f"deletion_vector_{u}.bin"), bytes(payload)
-    )
+    hits = _collect_position_hits(spark, path, matched, files, existing)
+    descs = _write_dv_sidecar(fs, path, hits)
     actions: list[dict] = []
     upgrade = _dv_upgrade_protocol(protocol)
     if upgrade is not None:
         actions.append({"protocol": upgrade})
-    for rel in sorted(hits):
-        add = files[rel]
-        actions.append(
-            {
-                "remove": {
-                    "path": urllib.parse.quote(rel),
-                    "deletionTimestamp": int(_time.time() * 1000),
-                    "dataChange": True,
-                }
-            }
-        )
-        actions.append(
-            {
-                "add": {
-                    "path": urllib.parse.quote(rel),
-                    "partitionValues": add["partitionValues"],
-                    "size": int(add.get("size") or 0),
-                    "modificationTime": int(
-                        add.get("modificationTime") or 0
-                    ),
-                    "dataChange": True,
-                    "deletionVector": descs[rel],
-                }
-            }
-        )
+    actions.extend(_dv_readd_actions(files, hits, descs))
     _commit_json(fs, path, v + 1, actions)
     _maybe_auto_checkpoint(spark, path, v + 1)
     # cumulative-DV bound: every read pays an O(total DV positions)
@@ -1378,6 +1427,214 @@ def delta_delete(
     if max_total_dv_rows is not None and cumulative > max_total_dv_rows:
         return delta_optimize(spark, path)
     return v + 1
+
+
+def delta_merge(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key: str | list[str],
+    max_dv_rows: int = 500_000,
+    max_total_dv_rows: int | None = 1_000_000,
+    txn: tuple[str, int] | None = None,
+) -> int:
+    """MERGE (upsert) into the native Delta table ON ``key`` — the
+    protocol-level counterpart of the CoW layer's ``merge_upsert``
+    (operators/cow.py), via deletion vectors instead of file
+    rewrites: table rows whose key matches an update row are hidden
+    by DV positions (ONE distributed scan → executor-side per-file
+    aggregation, exactly ``delta_delete``'s shape), the full update
+    batch lands as new files (physical-named under column mapping),
+    and both land in ONE commit — a reader sees either the old rows
+    or the new, never both, never neither.
+
+    Same guards as DELETE: a merge matching more than ``max_dv_rows``
+    rows commits as an overwrite of (table ⧹ keys) ∪ updates instead;
+    past ``max_total_dv_rows`` cumulative positions the commit is
+    followed by an automatic ``delta_optimize``. Duplicate keys in
+    the update batch are rejected (a multi-match merge is ambiguous —
+    same rule as the CoW merge and Delta's own
+    DeltaUnsupportedOperationException). ``txn`` stamps the protocol
+    idempotence token for streaming ``foreachBatch`` upserts. The
+    update batch must carry exactly the table's columns — evolve the
+    schema via a ``write_delta_log`` append first. Returns the
+    committed version."""
+    from pyspark import StorageLevel
+
+    keys = [key] if isinstance(key, str) else list(key)
+    if not is_delta_table(spark, path):
+        return write_delta_log(df=updates, path=path, mode="overwrite",
+                               txn=txn)
+    files, meta, v, txns, protocol = delta_snapshot(spark, path)
+    if txn is not None and txns.get(txn[0], -1) >= int(txn[1]):
+        return v  # replayed batch: already committed
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    mapping = _column_mapping(meta, schema)
+    part_cols = list(meta.get("partitionColumns") or [])
+    fs = fs_for(spark, path)
+    tbl_f = {f.name: f.dataType for f in schema.fields}
+    upd_f = {f.name: f.dataType for f in updates.schema.fields}
+    if tbl_f != upd_f:
+        raise ValueError(
+            f"merge batch schema {sorted(upd_f)} must equal the "
+            f"table's {sorted(tbl_f)} — evolve via a write_delta_log "
+            "append first, then merge"
+        )
+    missing_keys = [k for k in keys if k not in tbl_f]
+    if missing_keys:
+        raise ValueError(f"merge keys {missing_keys} not in the table")
+    updates = updates.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        dup = (
+            updates.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > 1)
+        )
+        if not dup.isEmpty():
+            raise ValueError(
+                "update batch carries duplicate keys — a multi-match "
+                "merge is ambiguous; dedup upstream"
+            )
+        existing: dict[str, list[int]] = {
+            rel: _dv_positions(fs, path, add["deletionVector"])
+            for rel, add in files.items()
+            if add.get("deletionVector")
+        }
+        if files:
+            scan = _scan_files(
+                spark, path, files, schema, part_cols, mapping,
+                positions=existing or None, keep_meta=True,
+                field_ids=_column_field_ids(meta, schema) or None,
+            )
+            matched = scan.join(
+                updates.select(*keys).distinct(), keys, "left_semi"
+            ).select("_fp", "_ri")
+            per_file = {
+                r["_fp"]: r["n"]
+                for r in matched.groupBy("_fp")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            total = sum(per_file.values())
+        else:
+            matched, total = None, 0
+        if total > max_dv_rows:
+            # rewrite-shaped merge: (table ⧹ update keys) ∪ updates,
+            # committed as one overwrite — no DV of this size ever
+            # reaches the table state
+            keep = read_delta_log(spark, path).join(
+                updates.select(*keys).distinct(), keys, "left_anti"
+            )
+            return write_delta_log(
+                keep.unionByName(updates), path, mode="overwrite",
+                partition_cols=part_cols, txn=txn,
+            )
+        hits = (
+            _collect_position_hits(spark, path, matched, files, existing)
+            if total > 0
+            else {}
+        )
+        descs = _write_dv_sidecar(fs, path, hits) if hits else {}
+        land_df, land_parts = _rename_physical(
+            updates, meta, schema, part_cols
+        )
+        base, new_files = _land_batch(spark, fs, land_df, path, land_parts)
+        actions: list[dict] = []
+        if txn is not None:
+            actions.append(
+                {"txn": {"appId": txn[0], "version": int(txn[1]),
+                         "lastUpdated": 0}}
+            )
+        if hits:
+            upgrade = _dv_upgrade_protocol(protocol)
+            if upgrade is not None:
+                actions.append({"protocol": upgrade})
+            actions.extend(_dv_readd_actions(files, hits, descs))
+        actions.extend(_adds_for_files(fs, base, new_files, True))
+        _commit_json(fs, path, v + 1, actions)
+        _maybe_auto_checkpoint(spark, path, v + 1)
+        cumulative = sum(
+            len(hits[rel]) if rel in hits else len(existing.get(rel, ()))
+            for rel in set(files) | set(hits)
+        )
+        if (
+            max_total_dv_rows is not None
+            and cumulative > max_total_dv_rows
+        ):
+            return delta_optimize(spark, path)
+        return v + 1
+    finally:
+        updates.unpersist()
+
+
+def delta_restore(spark: SparkSession, path: str, version: int) -> int:
+    """RESTORE TABLE TO VERSION AS OF — roll the table's CURRENT
+    state back to ``version`` as a NEW commit (history is preserved;
+    nothing is erased — exactly Delta's own RESTORE): the old
+    snapshot's metaData (schema, configuration) recommits if it
+    drifted, files the current snapshot added since are removed, and
+    every old add recommits verbatim — partitionValues, size, AND its
+    deletionVector descriptor of THAT version, so later DV growth
+    rolls back too.
+
+    Raises (no commit burned) when the restored snapshot needs bytes
+    VACUUM already reclaimed — data files or DV sidecars; time travel
+    beyond the vacuum horizon is gone, and a partial restore would be
+    silent data loss. Returns the committed version (unchanged when
+    already at ``version``)."""
+    from time_series_prediction_spark.operators.manifest import (
+        _resolve_base,
+    )
+
+    old_files, old_meta, _ov, _t, _p = delta_snapshot(spark, path, version)
+    cur_files, cur_meta, cur_v, _t2, _p2 = delta_snapshot(spark, path)
+    if version == cur_v:
+        return cur_v
+    fs = fs_for(spark, path)
+    base = _resolve_base(path, spark)
+    for rel, add in old_files.items():
+        if fs.status(os.path.join(base, rel)) is None:
+            raise ValueError(
+                f"cannot RESTORE to v{version}: data file {rel} was "
+                "already vacuumed — that history's bytes are gone"
+            )
+        if add.get("deletionVector"):
+            try:
+                _dv_positions(fs, path, add["deletionVector"])
+            except Exception as e:  # noqa: BLE001 — name the remedy
+                raise ValueError(
+                    f"cannot RESTORE to v{version}: deletion-vector "
+                    f"sidecar for {rel} is unreadable (vacuumed?): {e}"
+                ) from e
+    actions: list[dict] = []
+    if old_meta != cur_meta:
+        actions.append({"metaData": old_meta})
+    now_ms = int(_time.time() * 1000)
+    for rel in sorted(set(cur_files) - set(old_files)):
+        actions.append(
+            {
+                "remove": {
+                    "path": urllib.parse.quote(rel),
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                }
+            }
+        )
+    for rel in sorted(old_files):
+        add = old_files[rel]
+        payload = {
+            "path": urllib.parse.quote(rel),
+            "partitionValues": add["partitionValues"],
+            "size": int(add.get("size") or 0),
+            "modificationTime": int(add.get("modificationTime") or 0),
+            "dataChange": True,
+        }
+        if add.get("deletionVector"):
+            payload["deletionVector"] = add["deletionVector"]
+        actions.append({"add": payload})
+    _commit_json(fs, path, cur_v + 1, actions)
+    _maybe_auto_checkpoint(spark, path, cur_v + 1)
+    return cur_v + 1
 
 
 def read_delta_log(
@@ -1698,8 +1955,6 @@ def delta_optimize(
     files than ``target_files`` and no DV to materialize)."""
     files, meta, v, _txns, _proto = delta_snapshot(spark, path)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
-    mapping = _column_mapping(meta, schema)
-    field_ids = _column_field_ids(meta, schema)
     part_cols = list(meta.get("partitionColumns") or [])
     has_dv = any(a.get("deletionVector") for a in files.values())
     per_dir: dict[str, int] = {}
@@ -1712,30 +1967,9 @@ def delta_optimize(
     ):
         return v  # already compact, nothing hidden: no commit burned
     df = read_delta_log(spark, path)  # DVs applied: live rows only
-    land_part_cols = part_cols
-    if mapping:
-        # land the rewrite under PHYSICAL names — the table's files,
-        # partition dirs, and partitionValues are all physical-named;
-        # under 'id' mode each column also carries its parquet field
-        # id so id-resolving readers keep working on the new files
-        if field_ids:
-            spark.conf.set(
-                "spark.sql.parquet.fieldId.write.enabled", "true"
-            )
-        df = df.select(
-            *[
-                F.col(c).alias(
-                    mapping.get(c, c),
-                    metadata=(
-                        {"parquet.field.id": field_ids[c]}
-                        if c in field_ids
-                        else {}
-                    ),
-                )
-                for c in df.columns
-            ]
-        )
-        land_part_cols = [mapping.get(c, c) for c in part_cols]
+    # land the rewrite under PHYSICAL names — the table's files,
+    # partition dirs, and partitionValues are all physical-named
+    df, land_part_cols = _rename_physical(df, meta, schema, part_cols)
     fs = fs_for(spark, path)
     base, new_files = _land_batch(
         spark, fs, df, path, land_part_cols, coalesce_to=target_files
