@@ -162,7 +162,8 @@ _ROWS_ONLY_BUDGET = {
     # 8 (portable HLL, operators/sketch_portable.py)
     # cashflow_scoring_pipeline graduated to oracle-backed in round 8
     # (last-value pandas_udf is float32 passthrough; ppm-quantized R²)
-    "cashflow_synthetic_pipeline": (1, 0, 0),
+    # cashflow_synthetic_pipeline graduated to oracle-backed in round
+    # 11 (md5-replayed generator, sources/generate.duckdb_series_cte)
     # doc_packing_stats graduated to oracle-backed in round 10:
     # capacity-class bucketing makes the BFD kernel's bins equal the
     # harmonic closed form bin-for-bin, so DuckDB replays them
