@@ -2258,3 +2258,36 @@ def test_delta_restore_rolls_back_deletes_and_appends(spark, tmp_path):
     delta_vacuum(spark, table, retention_ms=0)
     with pytest.raises(ValueError, match="vacuum"):
         delta_restore(spark, table, 2)
+
+
+def test_delta_merge_sink_exactly_once(spark, tmp_path):
+    """Streaming MERGE sink: each micro-batch upserts exactly once —
+    a replayed batch (Structured Streaming re-runs the last batch
+    after a crash) is recognized by its txn token and skipped, so the
+    table state equals the batch sequence applied once."""
+    from time_series_prediction_spark.sources.deltalog import (
+        delta_merge_sink,
+        delta_snapshot,
+        read_delta_log,
+    )
+
+    table = str(tmp_path / "t")
+    sink = delta_merge_sink(table, app_id="upsert-app", key="k")
+    b0 = spark.createDataFrame(
+        [(i, i * 10) for i in range(5)], "k long, v long"
+    )
+    b1 = spark.createDataFrame(
+        [(3, -3), (4, -4), (5, -5)], "k long, v long"
+    )
+    sink(b0, 0)
+    sink(b1, 1)
+    want = {0: 0, 1: 10, 2: 20, 3: -3, 4: -4, 5: -5}
+    assert {
+        r["k"]: r["v"] for r in read_delta_log(spark, table).collect()
+    } == want
+    v_before = delta_snapshot(spark, table)[2]
+    sink(b1, 1)  # crash-replay of the last batch
+    assert delta_snapshot(spark, table)[2] == v_before
+    assert {
+        r["k"]: r["v"] for r in read_delta_log(spark, table).collect()
+    } == want

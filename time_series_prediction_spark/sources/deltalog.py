@@ -2237,3 +2237,25 @@ def delta_stream_sink(
             )
 
     return _sink
+
+
+def delta_merge_sink(path: str, app_id: str, key: str | list[str]):
+    """``foreachBatch`` body UPSERTING each micro-batch into a native
+    Delta table exactly-once — the streaming-MERGE counterpart of
+    ``delta_stream_sink``'s append: each batch commits through
+    ``delta_merge`` (matched rows DV-hidden + batch landed, ONE
+    commit) carrying the protocol ``txn`` token, so a replayed batch
+    after a crash is recognized and skipped instead of double-applied.
+    A batch carrying several versions of one key must be pre-reduced
+    upstream (``delta_merge`` rejects duplicate keys — the same
+    last-writer-wins reduction every streaming MERGE requires)."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        delta_merge(
+            batch_df.sparkSession, path, batch_df, key,
+            txn=(app_id, batch_id),
+        )
+
+    return _sink
