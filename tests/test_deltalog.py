@@ -2291,3 +2291,27 @@ def test_delta_merge_sink_exactly_once(spark, tmp_path):
     assert {
         r["k"]: r["v"] for r in read_delta_log(spark, table).collect()
     } == want
+
+
+def test_vacuum_reclaims_crashed_commit_debris(spark, tmp_path):
+    """A writer that died between staging and renaming its commit (or
+    mid-checkpoint) leaves hidden debris in _delta_log — invisible to
+    readers, reclaimed by VACUUM past the retention horizon."""
+    from time_series_prediction_spark.sources.deltalog import (
+        delta_vacuum,
+        read_delta_log,
+        write_delta_log,
+    )
+
+    table = str(tmp_path / "t")
+    write_delta_log(spark.range(5).selectExpr("id as k"), table)
+    log = os.path.join(table, "_delta_log")
+    open(os.path.join(log, ".commit-00000000000000000001-dead.json.tmp"),
+         "w").write("{}")
+    os.makedirs(os.path.join(log, ".cp-999"))
+    reclaimed = delta_vacuum(spark, table, retention_ms=0)
+    assert any(".commit-" in p for p in reclaimed)
+    assert any(".cp-999" in p for p in reclaimed)
+    assert sorted(
+        r["k"] for r in read_delta_log(spark, table).collect()
+    ) == [0, 1, 2, 3, 4]

@@ -2093,6 +2093,16 @@ def delta_vacuum(
             st = fs.status(p)
             if st is not None and st[1] <= horizon_ms:
                 _reclaim(p)
+    # log-dir debris from writers that crashed mid-commit/-checkpoint:
+    # hidden `.commit-*.json.tmp` stage files (never renamed into
+    # place) and `.cp-*` checkpoint build dirs — invisible to every
+    # reader, reclaimed once old enough that no live attempt owns them
+    for name in fs.list_names(log):
+        if name.startswith(".commit-") or name.startswith(".cp-"):
+            p = os.path.join(log, name)
+            st = fs.status(p)
+            if st is not None and st[1] <= horizon_ms:
+                _reclaim(p)
     return sorted(out)
 
 
