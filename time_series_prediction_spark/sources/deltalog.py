@@ -2170,33 +2170,82 @@ def write_checkpoint(
         }, None))
     for app, ver in sorted(txns.items()):
         rows.append((None, None, None, {"appId": app, "version": ver}))
-    cp_schema = (
-        "protocol struct<minReaderVersion:int, minWriterVersion:int, "
-        "readerFeatures:array<string>, writerFeatures:array<string>>, "
-        "metaData struct<id:string, format:struct<provider:string>, "
-        "schemaString:string, partitionColumns:array<string>, "
-        "configuration:map<string,string>>, "
-        "add struct<path:string, partitionValues:map<string,string>, "
-        "size:long, modificationTime:long, dataChange:boolean, "
-        "deletionVector:struct<storageType:string, "
-        "pathOrInlineDv:string, offset:int, sizeInBytes:int, "
-        "cardinality:long>>, "
-        "txn struct<appId:string, version:long>"
+    # the checkpoint is METADATA (one row per action): build and write
+    # it driver-side with pyarrow into a memory buffer, then land the
+    # bytes through the table's own FileSystem — zero Spark jobs on a
+    # path that now runs automatically every K commits (the previous
+    # createDataFrame marshaled every row through py4j and scheduled a
+    # write job; with the streaming sink's cadence that tax recurred
+    # forever). Works against any scheme: the buffer lands via the
+    # Hadoop FS, not a local file.
+    import io as _io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dv_t = pa.struct(
+        [
+            ("storageType", pa.string()),
+            ("pathOrInlineDv", pa.string()),
+            ("offset", pa.int32()),
+            ("sizeInBytes", pa.int32()),
+            ("cardinality", pa.int64()),
+        ]
     )
+    cp_arrow = pa.schema(
+        [
+            pa.field("protocol", pa.struct([
+                ("minReaderVersion", pa.int32()),
+                ("minWriterVersion", pa.int32()),
+                ("readerFeatures", pa.list_(pa.string())),
+                ("writerFeatures", pa.list_(pa.string())),
+            ])),
+            pa.field("metaData", pa.struct([
+                ("id", pa.string()),
+                ("format", pa.struct([("provider", pa.string())])),
+                ("schemaString", pa.string()),
+                ("partitionColumns", pa.list_(pa.string())),
+                ("configuration", pa.map_(pa.string(), pa.string())),
+            ])),
+            pa.field("add", pa.struct([
+                ("path", pa.string()),
+                ("partitionValues", pa.map_(pa.string(), pa.string())),
+                ("size", pa.int64()),
+                ("modificationTime", pa.int64()),
+                ("dataChange", pa.bool_()),
+                ("deletionVector", dv_t),
+            ])),
+            pa.field("txn", pa.struct([
+                ("appId", pa.string()),
+                ("version", pa.int64()),
+            ])),
+        ]
+    )
+
+    def _maps(d):  # pa.map_ expects key-value PAIR lists, not dicts
+        return sorted((d or {}).items())
+
+    pylist = []
+    for protocol_r, meta_r, add_r, txn_r in rows:
+        if meta_r is not None:
+            meta_r = {**meta_r, "configuration": _maps(
+                meta_r.get("configuration"))}
+        if add_r is not None:
+            add_r = {**add_r, "partitionValues": _maps(
+                add_r.get("partitionValues"))}
+        pylist.append(
+            {"protocol": protocol_r, "metaData": meta_r,
+             "add": add_r, "txn": txn_r}
+        )
+    buf = _io.BytesIO()
+    pq.write_table(pa.Table.from_pylist(pylist, schema=cp_arrow), buf)
     log = os.path.join(path, _LOG_DIR)
-    cp_tmp = os.path.join(log, f".cp-{os.getpid()}")
-    spark.createDataFrame(rows, cp_schema).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(cp_tmp)
+    cp_tmp = os.path.join(log, f".cp-{os.getpid()}.parquet")
     fs = fs_for(spark, path)
-    part = next(
-        n for n in fs.list_names(cp_tmp) if n.endswith(".parquet")
-    )
+    fs.write_bytes(cp_tmp, buf.getvalue())
     fs.replace_file(
-        os.path.join(cp_tmp, part),
-        os.path.join(log, f"{v:020d}.checkpoint.parquet"),
+        cp_tmp, os.path.join(log, f"{v:020d}.checkpoint.parquet")
     )
-    fs.delete(cp_tmp)
     fs.write_text(
         os.path.join(log, "_last_checkpoint"),
         json.dumps({"version": v, "size": len(rows)}),
