@@ -2315,3 +2315,35 @@ def test_vacuum_reclaims_crashed_commit_debris(spark, tmp_path):
     assert sorted(
         r["k"] for r in read_delta_log(spark, table).collect()
     ) == [0, 1, 2, 3, 4]
+
+
+def test_append_refuses_parameterized_type_changes(spark, tmp_path):
+    """Types sharing a typeName are NOT interchangeable: a decimal
+    precision/scale change (and any array/struct element change) must
+    refuse — treating them as 'no change' would land files the
+    recorded read schema mis-decodes."""
+    from time_series_prediction_spark.sources.deltalog import (
+        write_delta_log,
+    )
+
+    table = str(tmp_path / "t")
+    write_delta_log(
+        spark.range(3).selectExpr(
+            "cast(id as decimal(10, 2)) as d", "id as k"
+        ),
+        table,
+    )
+    with pytest.raises(ValueError, match="changed types"):
+        write_delta_log(
+            spark.range(3, 6).selectExpr(
+                "cast(id as decimal(12, 4)) as d", "id as k"
+            ),
+            table, mode="append",
+        )
+    with pytest.raises(ValueError, match="changed types"):
+        write_delta_log(
+            spark.range(3).selectExpr(
+                "cast(id as string) as d", "id as k"
+            ),
+            table, mode="append",
+        )

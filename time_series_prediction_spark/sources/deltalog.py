@@ -1298,11 +1298,15 @@ _WIDENING_ORDER = {"byte": 0, "short": 1, "integer": 2, "long": 3}
 
 def _widened_type(old, new):
     """The wider of two Spark types when one SAFELY widens to the
-    other, else ``None`` (an unsupported change — refuse)."""
-    a, b = old.typeName(), new.typeName()
-    if a == b:
+    other, else ``None`` (an unsupported change — refuse). Callers
+    pass types that already compare UNEQUAL, so a shared typeName is
+    NOT sameness: decimal(10,2) vs decimal(12,4), array<int> vs
+    array<string> all share names and must refuse, not silently keep
+    the table's type over mismatched files."""
+    if old == new:
         return old
-    if a in _WIDENING_ORDER and b in _WIDENING_ORDER:
+    a, b = old.typeName(), new.typeName()
+    if a in _WIDENING_ORDER and b in _WIDENING_ORDER and a != b:
         return old if _WIDENING_ORDER[a] >= _WIDENING_ORDER[b] else new
     if {a, b} == {"float", "double"}:
         return old if a == "double" else new
