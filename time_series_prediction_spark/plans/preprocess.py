@@ -59,6 +59,7 @@ def pre_processing(
     y_days: int = 92,
     trend_window_days: int = 183,
     strict_detrend: bool = False,
+    materialize_trend: bool = False,
 ) -> DataFrame:
     """The reference's 7-operator pre-processing chain, native.
 
@@ -66,13 +67,29 @@ def pre_processing(
     balance_detrend_1MW_scaled, X (and y unless serving),
     transactiondate_next3months, trend_next_3months_1MW, and
     trajectory_6months in serving mode.
-    """
+
+    ``materialize_trend``: pin (value, trend) once before the fanout.
+    Every downstream column — mean/std/scaling/X/y, extrapolation,
+    trajectory — re-references the value and trend arrays, and
+    higher-order array functions run INTERPRETED with no common-
+    subexpression elimination, so an expensive upstream (the seeded
+    generator: per-element md5 + transcendentals) is otherwise
+    re-evaluated once per referencing column. One local checkpoint of
+    the ~(2 arrays × series) frame buys compute-once for the whole
+    chain; leave off when the input is a cheap scan."""
     end = dt.date.fromisoformat(end_date)
     nxt_start = end + dt.timedelta(days=1)
     nxt_end = end + dt.timedelta(days=y_days)
 
+    out = df.withColumn("balance_trend_1MW", ts.trend(value_col, freq))
+    if materialize_trend:
+        from time_series_prediction_spark.operators.materialize import (
+            materialize,
+        )
+
+        out = materialize(out, eager=False)
     out = (
-        df.withColumn("balance_trend_1MW", ts.trend(value_col, freq))
+        out
         .withColumn(
             "balance_detrend_1MW",
             ts.detrend(value_col, "balance_trend_1MW", strict=strict_detrend),

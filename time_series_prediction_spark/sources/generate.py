@@ -76,17 +76,45 @@ def duckdb_u(seed: int, tag: int, extra: str = "'0'") -> str:
 
 
 def _normal(id_col: str, seed: int, tag: int, extra: str = "'0'") -> str:
-    """Standard normal via Box-Muller from two hash uniforms."""
-    u1 = _u(id_col, seed, tag * 2 + 1, extra)
-    u2 = _u(id_col, seed, tag * 2 + 2, extra)
-    return f"(sqrt(-2.0D * ln({u1})) * cos({2 * math.pi}D * {u2}))"
+    """Standard normal via Box-Muller from ONE md5 digest: the 32 hex
+    chars carry two independent 52-bit uniforms (chars 1-13 and
+    14-26). The digest binds once through a single-element transform
+    (higher-order functions are interpreted with no common-
+    subexpression elimination — two ``md5(...)`` mentions would hash
+    twice per draw, and the per-day noise draw is the generator's hot
+    loop). Tag namespace ``n{tag}`` keeps normal draws disjoint from
+    ``_u``'s."""
+    s = (
+        f"concat('{seed}|', CAST({id_col} AS STRING), '|n{tag}|', {extra})"
+    )
+
+    def u(lo: int) -> str:
+        return (
+            f"((CAST(conv(substring(_hn, {lo}, 13), 16, 10) AS BIGINT)"
+            f" + 0.5D) / {_U_DIV!r}D)"
+        )
+
+    return (
+        f"(transform(array(md5({s})), _hn -> "
+        f"sqrt(-2.0D * ln({u(1)})) * cos({2 * math.pi}D * {u(14)}))[0])"
+    )
 
 
 def duckdb_normal(seed: int, tag: int, extra: str = "'0'") -> str:
-    """DuckDB mirror of ``_normal`` (identical operand order)."""
-    u1 = duckdb_u(seed, tag * 2 + 1, extra)
-    u2 = duckdb_u(seed, tag * 2 + 2, extra)
-    return f"(sqrt(-2.0e0 * ln({u1})) * cos({2 * math.pi!r} * {u2}))"
+    """DuckDB mirror of ``_normal`` (identical digest, slices, and
+    operand order)."""
+    s = f"'{seed}|' || CAST(id AS VARCHAR) || '|n{tag}|' || {extra}"
+
+    def u(lo: int) -> str:
+        return (
+            f"((('0x' || substr(_hn, {lo}, 13))::BIGINT + 0.5e0)"
+            f" / {_U_DIV!r})"
+        )
+
+    return (
+        f"(list_transform([md5({s})], _hn -> "
+        f"sqrt(-2.0e0 * ln({u(1)})) * cos({2 * math.pi!r} * {u(14)}))[1])"
+    )
 
 
 def generate_series_frame(
