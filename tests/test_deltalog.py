@@ -2347,3 +2347,94 @@ def test_append_refuses_parameterized_type_changes(spark, tmp_path):
             ),
             table, mode="append",
         )
+
+
+def test_concurrent_delta_writers_both_commit(spark, tmp_path):
+    """Two DELETEs racing the same table: the version-race loser
+    re-plans over the fresh snapshot and retries (the CoW rebase
+    contract), so BOTH mutations land and neither overwrites the
+    other's commit — the put-if-absent commit makes a lost update
+    structurally impossible."""
+    import threading
+
+    from time_series_prediction_spark.sources.deltalog import (
+        delta_delete,
+        read_delta_log,
+        write_delta_log,
+    )
+
+    table = str(tmp_path / "t")
+    write_delta_log(
+        spark.range(100).selectExpr("id as k"), table
+    )
+    errs = []
+
+    def _del(pred):
+        try:
+            delta_delete(spark, table, pred, max_retries=8)
+        except Exception as e:  # noqa: BLE001 — surface in main thread
+            errs.append(e)
+
+    ts = [
+        threading.Thread(target=_del, args=("k < 10",)),
+        threading.Thread(target=_del, args=("k >= 90",)),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert errs == []
+    got = sorted(r["k"] for r in read_delta_log(spark, table).collect())
+    assert got == list(range(10, 90))
+
+
+def test_delta_shallow_clone_diverges_without_copy(spark, tmp_path):
+    """SHALLOW CLONE: the clone's v0 references the source snapshot's
+    files by absolute path (zero bytes copied — no parquet lands under
+    the clone), source DV descriptors re-point at absolute sidecars,
+    and the clone then diverges freely (its own DV delete + append)
+    while the source stays byte-identical. The clone's VACUUM lists
+    only its own directory, so it can never reclaim source bytes."""
+    import glob
+
+    from time_series_prediction_spark.sources.deltalog import (
+        delta_clone,
+        delta_delete,
+        delta_vacuum,
+        read_delta_log,
+        write_delta_log,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    write_delta_log(
+        spark.range(20).selectExpr("id as k"), src
+    )
+    delta_delete(spark, src, "k >= 18")  # source carries a DV
+    delta_clone(spark, src, dst)
+    # zero data files under the clone
+    assert glob.glob(os.path.join(dst, "*.parquet")) == []
+    got = sorted(r["k"] for r in read_delta_log(spark, dst).collect())
+    assert got == list(range(18))
+    # clone diverges: DV delete + append, source untouched
+    delta_delete(spark, dst, "k < 5")
+    write_delta_log(
+        spark.range(100, 103).selectExpr("id as k"),
+        dst, mode="append",
+    )
+    got = sorted(r["k"] for r in read_delta_log(spark, dst).collect())
+    assert got == list(range(5, 18)) + [100, 101, 102]
+    src_rows = sorted(
+        r["k"] for r in read_delta_log(spark, src).collect()
+    )
+    assert src_rows == list(range(18))
+    # clone vacuum reclaims nothing of the source's
+    before = set(glob.glob(os.path.join(src, "*")))
+    delta_vacuum(spark, dst, retention_ms=0)
+    assert set(glob.glob(os.path.join(src, "*"))) == before
+    assert sorted(
+        r["k"] for r in read_delta_log(spark, src).collect()
+    ) == list(range(18))
+    # cloning onto an existing table refuses
+    with pytest.raises(ValueError, match="already a table"):
+        delta_clone(spark, src, dst)

@@ -1020,6 +1020,58 @@ GROUP BY o_orderstatus
 """
 
 
+def orders_delta_clone_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Shallow clone of the DV-bearing Delta table
+    (``sources/deltalog.delta_clone`` — metadata-only, zero bytes
+    copied), diverged by one more DELETE in the clone (%31 keys): the
+    clone must serve the source's two DV deletes PLUS its own, while
+    ``orders_delta_dv_scan`` keeps reading the untouched source from
+    the same shared fixture."""
+    from time_series_prediction_spark.sources.deltalog import (
+        delta_clone,
+        delta_delete,
+    )
+    from time_series_prediction_spark.sources.io import read_delta
+
+    src_data = orders_delta_dv_layout(spark, sf_dir)
+    root = os.path.join(tempfile.gettempdir(), "tsp_layouts")
+    fs = fs_for(spark, root)
+    ident = f"{src_data}|clone-v1|del-31"
+    key = hashlib.md5(ident.encode()).hexdigest()[:16]
+    path = os.path.join(root, f"orders_deltaclone_{key}")
+
+    def _build(tmp: str) -> None:
+        data = os.path.join(tmp, "data")
+        fs.mkdirs(tmp)
+        delta_clone(spark, src_data, data)
+        delta_delete(spark, data, "o_orderkey % 31 = 0")
+
+    ensure_artifact(spark, path, ident, _build)
+    return (
+        read_delta(spark, os.path.join(path, "data"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("price_cents").cast("long").alias("total_cents"),
+        )
+    )
+
+
+ORDERS_DELTA_CLONE_SQL = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+WHERE o_orderkey % 29 <> 0
+  AND NOT (o_orderstatus = 'P' AND o_orderkey % 19 = 0)
+  AND o_orderkey % 31 <> 0
+GROUP BY o_orderstatus
+"""
+
+
 _DELTA_MERGE_SPEC = "delta-orders-merge|v1|23bump|101shift|restore0"
 _MERGE_SHIFT = 100_000_000
 
@@ -2188,6 +2240,10 @@ TABLE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "orders_delta_merge_scan": (
         orders_delta_merge_scan,
         ORDERS_DELTA_MERGE_SQL,
+    ),
+    "orders_delta_clone_scan": (
+        orders_delta_clone_scan,
+        ORDERS_DELTA_CLONE_SQL,
     ),
     "orders_delta_restore_scan": (
         orders_delta_restore_scan,

@@ -90,6 +90,22 @@ class DeltaConcurrentCommit(RuntimeError):
     same contract as the CoW layer's ``ConcurrentCommitError``."""
 
 
+def _retry_conflicts(fn, max_retries: int):
+    """Re-run ``fn`` (a snapshot→plan→commit body that re-reads the
+    snapshot at entry) until its pinned-version commit lands or
+    ``max_retries`` attempts lose the race — the native-Delta rebase
+    loop, same shape as the CoW layer's MERGE/DELETE retry. Each
+    attempt re-plans over the fresh snapshot, so an interleaved
+    commit is incorporated, never overwritten (a lost update)."""
+    last: DeltaConcurrentCommit | None = None
+    for _ in range(max(1, max_retries)):
+        try:
+            return fn()
+        except DeltaConcurrentCommit as e:
+            last = e
+    raise last
+
+
 def _commit_json(fs, path: str, version: int, actions: list[dict]) -> None:
     """Land one transaction-log commit PUT-IF-ABSENT: stage the JSON
     under a hidden name, then ``rename`` (no-overwrite on every
@@ -1319,6 +1335,7 @@ def delta_delete(
     predicate: str,
     max_dv_rows: int = 500_000,
     max_total_dv_rows: int | None = 1_000_000,
+    max_retries: int = 3,
 ) -> int:
     """DELETE FROM the native Delta table WHERE ``predicate`` — via
     protocol deletion vectors, no jars: matching ROW POSITIONS are
@@ -1362,8 +1379,26 @@ def delta_delete(
     an existing DV get the UNION of positions (re-pointed at the new
     sidecar). Predicates are written against LOGICAL column names
     even under column mapping 'name' mode — the scan aliases physical
-    names back before the predicate applies. Returns the committed
-    version (unchanged if nothing matched)."""
+    names back before the predicate applies. A commit that loses a
+    version race against a concurrent writer re-plans over the fresh
+    snapshot and retries (``max_retries`` attempts — the CoW layer's
+    rebase-loop contract). Returns the committed version (unchanged
+    if nothing matched)."""
+    return _retry_conflicts(
+        lambda: _delta_delete_once(
+            spark, path, predicate, max_dv_rows, max_total_dv_rows
+        ),
+        max_retries,
+    )
+
+
+def _delta_delete_once(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    max_dv_rows: int,
+    max_total_dv_rows: int | None,
+) -> int:
     files, meta, v, _txns, protocol = delta_snapshot(spark, path)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     mapping = _column_mapping(meta, schema)
@@ -1441,6 +1476,7 @@ def delta_merge(
     max_dv_rows: int = 500_000,
     max_total_dv_rows: int | None = 1_000_000,
     txn: tuple[str, int] | None = None,
+    max_retries: int = 3,
 ) -> int:
     """MERGE (upsert) into the native Delta table ON ``key`` — the
     protocol-level counterpart of the CoW layer's ``merge_upsert``
@@ -1461,8 +1497,28 @@ def delta_merge(
     DeltaUnsupportedOperationException). ``txn`` stamps the protocol
     idempotence token for streaming ``foreachBatch`` upserts. The
     update batch must carry exactly the table's columns — evolve the
-    schema via a ``write_delta_log`` append first. Returns the
+    schema via a ``write_delta_log`` append first. A commit losing a
+    version race re-plans over the fresh snapshot and retries
+    (``max_retries``, the CoW rebase-loop contract). Returns the
     committed version."""
+    return _retry_conflicts(
+        lambda: _delta_merge_once(
+            spark, path, updates, key, max_dv_rows,
+            max_total_dv_rows, txn,
+        ),
+        max_retries,
+    )
+
+
+def _delta_merge_once(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key: str | list[str],
+    max_dv_rows: int,
+    max_total_dv_rows: int | None,
+    txn: tuple[str, int] | None,
+) -> int:
     from pyspark import StorageLevel
 
     keys = [key] if isinstance(key, str) else list(key)
@@ -1569,6 +1625,102 @@ def delta_merge(
         return v + 1
     finally:
         updates.unpersist()
+
+
+def _dv_absolute(desc: dict, table_path: str) -> dict:
+    """Re-point a relative ('u') deletion-vector descriptor at its
+    ABSOLUTE sidecar path ('p') so it stays readable from another
+    table's directory (shallow clone). Inline ('i') and already-
+    absolute descriptors pass through."""
+    if not desc or desc.get("storageType") != "u":
+        return desc
+    import uuid as _uuid
+
+    enc = desc["pathOrInlineDv"]
+    prefix, uuid_enc = enc[:-20], enc[-20:]
+    u = _uuid.UUID(bytes=_z85_decode(uuid_enc))
+    parts = [table_path] + ([prefix] if prefix else [])
+    return {
+        **desc,
+        "storageType": "p",
+        "pathOrInlineDv": os.path.join(
+            *parts, f"deletion_vector_{u}.bin"
+        ),
+    }
+
+
+def delta_clone(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    version: int | None = None,
+) -> int:
+    """SHALLOW CLONE of a native Delta table (Delta's own
+    ``CREATE TABLE ... SHALLOW CLONE``): ``dst`` becomes a new table
+    whose log REFERENCES the source snapshot's data files by absolute
+    path — zero bytes copied, metadata-only cost however large the
+    source. The clone then lives its own life: DV deletes, merges,
+    appends, OPTIMIZE, and VACUUM on the clone never touch source
+    bytes (new files and DV sidecars land under ``dst``; the clone's
+    vacuum lists only its own directory, so absolute source
+    references are untouchable by it). Source-side VACUUM can still
+    reclaim files the clone references — the documented shallow-clone
+    hazard; deep-copy with ``write_delta_log(read_delta_log(src),
+    dst)`` when the source's retention cannot be trusted.
+
+    Source DV descriptors are re-pointed at their absolute sidecar
+    paths so they keep resolving from the clone's directory; the
+    protocol action copies the source's VERBATIM (the clone needs
+    every reader feature the source needed). Refuses a ``dst`` that
+    already carries a Delta log. Returns the clone's version (0)."""
+    from time_series_prediction_spark.operators.manifest import (
+        _resolve_base,
+    )
+
+    if has_delta_log(spark, dst):
+        raise ValueError(f"clone destination {dst} is already a table")
+    files, meta, _v, _txns, proto = delta_snapshot(spark, src, version)
+    fs = fs_for(spark, dst)
+    fs.mkdirs(dst)
+    base = _resolve_base(src, spark)
+    actions: list[dict] = [
+        {"protocol": proto},
+        {
+            "metaData": {
+                "id": "tsps-clone-" + os.path.basename(
+                    base.rstrip("/")
+                ),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": meta["schemaString"],
+                "partitionColumns": list(
+                    meta.get("partitionColumns") or []
+                ),
+                "configuration": dict(meta.get("configuration") or {}),
+                "createdTime": 0,
+            }
+        },
+    ]
+    for rel in sorted(files):
+        add = files[rel]
+        payload = {
+            # absolute reference into the SOURCE table's directory —
+            # the whole point of a shallow clone (rel paths under a
+            # clone that copied nothing would dangle)
+            "path": urllib.parse.quote(
+                rel if rel.startswith("/") else os.path.join(base, rel)
+            ),
+            "partitionValues": add["partitionValues"],
+            "size": int(add.get("size") or 0),
+            "modificationTime": int(add.get("modificationTime") or 0),
+            "dataChange": True,
+        }
+        if add.get("deletionVector"):
+            payload["deletionVector"] = _dv_absolute(
+                add["deletionVector"], base
+            )
+        actions.append({"add": payload})
+    _commit_json(fs, dst, 0, actions)
+    return 0
 
 
 def delta_restore(spark: SparkSession, path: str, version: int) -> int:
