@@ -1445,10 +1445,13 @@ def test_delta_optimize_and_vacuum_maintenance_loop(spark, tmp_path):
         os.path.join(table, "_delta_log", f"{v_opt:020d}.json")
     ) as fh:
         acts = [json.loads(ln) for ln in fh if ln.strip()]
-    assert acts and all(
+    file_acts = [a for a in acts if a.get("add") or a.get("remove")]
+    assert file_acts and all(
         not (a.get("add") or a.get("remove"))["dataChange"]
-        for a in acts
+        for a in file_acts
     )
+    # and the lead commitInfo names the operation
+    assert acts[0].get("commitInfo", {}).get("operation") == "OPTIMIZE"
     files, _m, _v, _t, _p = delta_snapshot(spark, table)
     per_dir = {}
     for rel in files:
@@ -2438,3 +2441,46 @@ def test_delta_shallow_clone_diverges_without_copy(spark, tmp_path):
     # cloning onto an existing table refuses
     with pytest.raises(ValueError, match="already a table"):
         delta_clone(spark, src, dst)
+
+
+def test_commit_info_and_history(spark, tmp_path):
+    """Every commit leads with a commitInfo action (timestamp +
+    operation); delta_history reads them back and TIMESTAMP AS OF
+    resolves against the commitInfo clock even when file mtimes are
+    disturbed (a copy/restore resets mtime, not the log contents)."""
+    from time_series_prediction_spark.sources.deltalog import (
+        delta_delete,
+        delta_history,
+        delta_merge,
+        delta_optimize,
+        version_at_timestamp,
+        write_delta_log,
+    )
+
+    table = str(tmp_path / "t")
+    write_delta_log(spark.range(30).selectExpr("id as k", "id as v"),
+                    table)
+    delta_delete(spark, table, "k >= 28")
+    delta_merge(
+        spark, table,
+        spark.createDataFrame([(1, -1)], "k long, v long"), key="k",
+    )
+    delta_optimize(spark, table, target_files=1)
+    hist = delta_history(spark, table)
+    assert [h["version"] for h in hist] == [0, 1, 2, 3]
+    assert [h["operation"] for h in hist] == [
+        "OVERWRITE", "DELETE", "MERGE", "OPTIMIZE"
+    ]
+    assert all(h["timestamp"] is not None for h in hist)
+    assert hist[0]["n_adds"] >= 1 and hist[1]["n_removes"] >= 1
+    # timestampAsOf uses the commitInfo clock, not mtime: smash mtimes
+    log = os.path.join(table, "_delta_log")
+    for n in os.listdir(log):
+        if n.endswith(".json"):
+            os.utime(os.path.join(log, n), (0, 0))  # epoch mtimes
+    assert version_at_timestamp(
+        spark, table, hist[-1]["timestamp"]
+    ) == 3
+    assert version_at_timestamp(
+        spark, table, hist[0]["timestamp"]
+    ) >= 0

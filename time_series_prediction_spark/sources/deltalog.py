@@ -106,7 +106,10 @@ def _retry_conflicts(fn, max_retries: int):
     raise last
 
 
-def _commit_json(fs, path: str, version: int, actions: list[dict]) -> None:
+def _commit_json(
+    fs, path: str, version: int, actions: list[dict],
+    op: str | None = None,
+) -> None:
     """Land one transaction-log commit PUT-IF-ABSENT: stage the JSON
     under a hidden name, then ``rename`` (no-overwrite on every
     Hadoop filesystem with atomic rename) onto ``<version>.json``.
@@ -115,7 +118,13 @@ def _commit_json(fs, path: str, version: int, actions: list[dict]) -> None:
     actions unapplied (a plain ``create(overwrite=true)`` write here
     would lose a committed batch's adds/removes). The hidden stage
     name is invisible to every log listing (``n[:20].isdigit()``
-    filters)."""
+    filters).
+
+    Every commit leads with a ``commitInfo`` action (wall-clock
+    timestamp + operation name) — the standard Delta convention:
+    TIMESTAMP AS OF resolves against these instead of file mtimes
+    (which copies/restores disturb), and DESCRIBE HISTORY
+    (``delta_history``) reads them."""
     import uuid as _uuid
 
     log = os.path.join(path, _LOG_DIR)
@@ -123,7 +132,18 @@ def _commit_json(fs, path: str, version: int, actions: list[dict]) -> None:
     tmp = os.path.join(
         log, f".commit-{version:020d}-{_uuid.uuid4().hex[:12]}.json.tmp"
     )
-    fs.write_text(tmp, "".join(json.dumps(a) + "\n" for a in actions))
+    lead = [
+        {
+            "commitInfo": {
+                "timestamp": int(_time.time() * 1000),
+                "operation": op or "WRITE",
+                "engineInfo": "tsps-native-delta",
+            }
+        }
+    ]
+    fs.write_text(
+        tmp, "".join(json.dumps(a) + "\n" for a in lead + actions)
+    )
     if not fs.rename(tmp, os.path.join(log, f"{version:020d}.json")):
         fs.delete(tmp)
         raise DeltaConcurrentCommit(
@@ -374,7 +394,11 @@ def version_at_timestamp(
                     ci = json.loads(line).get("commitInfo") or {}
                 except ValueError:
                     continue
-                ict = ci.get("inCommitTimestamp")
+                # precedence per the protocol: inCommitTimestamp (the
+                # clock-skew-proof monotonic clock), else commitInfo's
+                # wall-clock timestamp (survives file copies/restores
+                # that disturb mtime), else the mtime fallback above
+                ict = ci.get("inCommitTimestamp", ci.get("timestamp"))
                 if ict is not None:
                     ts = int(ict)
                 break
@@ -1095,7 +1119,10 @@ def write_delta_log(
                 }
             )
     actions.extend(_adds_for_files(fs, base, new_files, True))
-    _commit_json(fs, path, next_v, actions)
+    _commit_json(
+        fs, path, next_v, actions,
+        op="OVERWRITE" if mode == "overwrite" else "APPEND",
+    )
     _maybe_auto_checkpoint(spark, path, next_v)
     return next_v
 
@@ -1450,7 +1477,7 @@ def _delta_delete_once(
     if upgrade is not None:
         actions.append({"protocol": upgrade})
     actions.extend(_dv_readd_actions(files, hits, descs))
-    _commit_json(fs, path, v + 1, actions)
+    _commit_json(fs, path, v + 1, actions, op="DELETE")
     _maybe_auto_checkpoint(spark, path, v + 1)
     # cumulative-DV bound: every read pays an O(total DV positions)
     # driver materialization + broadcast; single deletes are capped by
@@ -1611,7 +1638,7 @@ def _delta_merge_once(
                 actions.append({"protocol": upgrade})
             actions.extend(_dv_readd_actions(files, hits, descs))
         actions.extend(_adds_for_files(fs, base, new_files, True))
-        _commit_json(fs, path, v + 1, actions)
+        _commit_json(fs, path, v + 1, actions, op="MERGE")
         _maybe_auto_checkpoint(spark, path, v + 1)
         cumulative = sum(
             len(hits[rel]) if rel in hits else len(existing.get(rel, ()))
@@ -1719,7 +1746,7 @@ def delta_clone(
                 add["deletionVector"], base
             )
         actions.append({"add": payload})
-    _commit_json(fs, dst, 0, actions)
+    _commit_json(fs, dst, 0, actions, op="CLONE")
     return 0
 
 
@@ -1788,7 +1815,7 @@ def delta_restore(spark: SparkSession, path: str, version: int) -> int:
         if add.get("deletionVector"):
             payload["deletionVector"] = add["deletionVector"]
         actions.append({"add": payload})
-    _commit_json(fs, path, cur_v + 1, actions)
+    _commit_json(fs, path, cur_v + 1, actions, op="RESTORE")
     _maybe_auto_checkpoint(spark, path, cur_v + 1)
     return cur_v + 1
 
@@ -2141,7 +2168,7 @@ def delta_optimize(
         for rel in sorted(files)
     ]
     actions.extend(_adds_for_files(fs, base, new_files, False))
-    _commit_json(fs, path, v + 1, actions)
+    _commit_json(fs, path, v + 1, actions, op="OPTIMIZE")
     _maybe_auto_checkpoint(spark, path, v + 1)
     return v + 1
 
@@ -2411,6 +2438,50 @@ def write_checkpoint(
             if n.endswith(".json") and n[:20].isdigit()                     and int(n[:20]) <= v:
                 fs.delete(os.path.join(log, n))
     return v
+
+
+def delta_history(spark: SparkSession, path: str) -> list[dict]:
+    """DESCRIBE HISTORY over the retained log: one dict per commit —
+    ``version``, ``timestamp`` (commitInfo wall clock, mtime
+    fallback), ``operation``, plus the commit's action counts
+    (``n_adds``/``n_removes``). Metadata-only (the same log parse the
+    snapshot replay does); commits superseded by log cleanup are gone
+    with their history, exactly Delta's own trade."""
+    fs = fs_for(spark, path)
+    log = os.path.join(path, _LOG_DIR)
+    out: list[dict] = []
+    for n in sorted(fs.list_names(log)):
+        if not (n.endswith(".json") and n[:20].isdigit()):
+            continue
+        p = os.path.join(log, n)
+        st = fs.status(p)
+        row = {
+            "version": int(n[:20]),
+            "timestamp": None if st is None else st[1],
+            "operation": None,
+            "n_adds": 0,
+            "n_removes": 0,
+        }
+        for line in fs.read_text(p).splitlines():
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                action = json.loads(line)
+            except ValueError:
+                continue
+            if "commitInfo" in action:
+                ci = action["commitInfo"] or {}
+                ts = ci.get("inCommitTimestamp", ci.get("timestamp"))
+                if ts is not None:
+                    row["timestamp"] = int(ts)
+                row["operation"] = ci.get("operation")
+            elif "add" in action:
+                row["n_adds"] += 1
+            elif "remove" in action:
+                row["n_removes"] += 1
+        out.append(row)
+    return out
 
 
 def delta_stream_sink(
