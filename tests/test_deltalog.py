@@ -2484,3 +2484,47 @@ def test_commit_info_and_history(spark, tmp_path):
     assert version_at_timestamp(
         spark, table, hist[0]["timestamp"]
     ) >= 0
+
+
+def test_stats_pruned_read(spark, tmp_path):
+    """add.stats data skipping: commits record per-file min/max
+    (footer metadata, driver-side at commit time), read_delta_pruned
+    drops files whose stats exclude the range BEFORE the scan plan
+    exists, results match the full scan + WHERE, and the stats
+    survive a checkpoint roundtrip."""
+    from time_series_prediction_spark.sources.deltalog import (
+        delta_snapshot,
+        read_delta_log,
+        read_delta_pruned,
+        write_checkpoint,
+        write_delta_log,
+    )
+
+    table = str(tmp_path / "t")
+    df = (
+        spark.range(1000)
+        .selectExpr("id as k", "id * 2 as v")
+        .repartitionByRange(4, "k")
+    )
+    write_delta_log(df, table)
+    files, _m, _v, _t, _p = delta_snapshot(spark, table)
+    assert len(files) == 4
+    assert all(a.get("stats") for a in files.values())
+    pruned = read_delta_pruned(spark, table, {"k": (100, 120)})
+    assert len(pruned.inputFiles()) < 4
+    got = sorted(
+        r["k"] for r in pruned.where("k between 100 and 120").collect()
+    )
+    assert got == list(range(100, 121))
+    full = sorted(
+        r["k"] for r in read_delta_log(spark, table)
+        .where("k between 100 and 120").collect()
+    )
+    assert got == full
+    # stats survive the checkpoint: history gone, pruning still works
+    write_checkpoint(spark, table, clean_old_commits=True)
+    pruned2 = read_delta_pruned(spark, table, {"k": (100, 120)})
+    assert len(pruned2.inputFiles()) < 4
+    assert sorted(
+        r["k"] for r in pruned2.where("k between 100 and 120").collect()
+    ) == got

@@ -1020,6 +1020,71 @@ GROUP BY o_orderstatus
 """
 
 
+_DELTA_STATS_SPEC = "delta-orders-stats|v1|range8|prune"
+_PRUNE_LO, _PRUNE_HI = 100_000, 300_000
+
+
+def orders_delta_pruned_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Protocol data skipping (``add.stats`` min/max, recorded at
+    commit time from footer metadata): a key-range query over a
+    range-clustered native Delta table plans a scan over ONLY the
+    files whose stats admit the range (``read_delta_pruned``) — the
+    log-level counterpart of the CoW manifest pruning. The exact
+    WHERE applies on top; the oracle recomputes over raw orders."""
+    from time_series_prediction_spark.sources.deltalog import (
+        read_delta_pruned,
+        write_delta_log,
+    )
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    root = os.path.join(tempfile.gettempdir(), "tsp_layouts")
+    fs = fs_for(spark, root)
+    st = fs.status(src)
+    if st is None:
+        raise FileNotFoundError(src)
+    ident = f"{fs.qualified(src)}|{st[0]}|{st[1]}|{_DELTA_STATS_SPEC}"
+    key = hashlib.md5(ident.encode()).hexdigest()[:16]
+    path = os.path.join(root, f"orders_deltastats_{key}")
+
+    def _build(tmp: str) -> None:
+        data = os.path.join(tmp, "data")
+        write_delta_log(
+            _orders_state(spark, sf_dir).repartitionByRange(
+                8, "o_orderkey"
+            ),
+            data, mode="overwrite",
+        )
+
+    ensure_artifact(spark, path, ident, _build)
+    data = os.path.join(path, "data")
+    pruned = read_delta_pruned(
+        spark, data, {"o_orderkey": (_PRUNE_LO, _PRUNE_HI)}
+    )
+    return (
+        pruned.where(
+            f"o_orderkey BETWEEN {_PRUNE_LO} AND {_PRUNE_HI}"
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("price_cents").cast("long").alias("total_cents"),
+        )
+    )
+
+
+ORDERS_DELTA_PRUNED_SQL = f"""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+WHERE o_orderkey BETWEEN {_PRUNE_LO} AND {_PRUNE_HI}
+GROUP BY o_orderstatus
+"""
+
+
 def orders_delta_clone_scan(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2244,6 +2309,10 @@ TABLE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "orders_delta_clone_scan": (
         orders_delta_clone_scan,
         ORDERS_DELTA_CLONE_SQL,
+    ),
+    "orders_delta_pruned_scan": (
+        orders_delta_pruned_scan,
+        ORDERS_DELTA_PRUNED_SQL,
     ),
     "orders_delta_restore_scan": (
         orders_delta_restore_scan,

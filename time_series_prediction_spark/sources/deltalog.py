@@ -261,6 +261,7 @@ def _apply_action(
             "size": int(a.get("size") or 0),
             "modificationTime": int(a.get("modificationTime") or 0),
             "deletionVector": a.get("deletionVector"),
+            "stats": a.get("stats"),
         }
     elif "remove" in action:
         r = action["remove"]
@@ -886,11 +887,13 @@ def _land_batch(
 
 
 def _adds_for_files(
-    fs, base: str, files: list[str], data_change: bool
+    fs, base: str, files: list[str], data_change: bool,
+    stats: dict[str, str] | None = None,
 ) -> list[dict]:
     """``add`` actions for freshly landed files: partition values
     parsed from their Hive-style path components, protocol-required
-    size/modificationTime from one status call each."""
+    size/modificationTime from one status call each, and optional
+    per-file ``stats`` JSON (the protocol's data-skipping surface)."""
     actions = []
     for f in files:
         rel = f[len(base) + 1:]
@@ -900,18 +903,62 @@ def _adds_for_files(
                 k, _, val = comp.partition("=")
                 pvals[k] = urllib.parse.unquote(val)
         st = fs.status(f)
-        actions.append(
-            {
-                "add": {
-                    "path": urllib.parse.quote(rel),
-                    "partitionValues": pvals,
-                    "size": 0 if st is None else st[0],
-                    "modificationTime": 0 if st is None else st[1],
-                    "dataChange": data_change,
-                }
-            }
-        )
+        add = {
+            "path": urllib.parse.quote(rel),
+            "partitionValues": pvals,
+            "size": 0 if st is None else st[0],
+            "modificationTime": 0 if st is None else st[1],
+            "dataChange": data_change,
+        }
+        if stats and f in stats:
+            add["stats"] = stats[f]
+        actions.append({"add": add})
     return actions
+
+
+# per-file footer stats are read DRIVER-side at commit time (the same
+# O(new files) metadata pass every Delta writer makes); a pathological
+# batch landing more files than this skips stats — they are an
+# optimization, never required for correctness
+_DELTA_STATS_MAX_FILES = 256
+
+
+def _stats_for_files(
+    new_files: list[str], cols: list[str], base: str
+) -> dict[str, str]:
+    """``add.stats`` JSON per landed file — numRecords, minValues/
+    maxValues (numeric or string, PHYSICAL column names as written),
+    nullCount (only where provably zero). Footer metadata only; {}
+    when the files aren't locally readable or the batch is too wide
+    (stats are best-effort, the spec's own stance)."""
+    if not cols or len(new_files) > _DELTA_STATS_MAX_FILES:
+        return {}
+    from time_series_prediction_spark.operators.manifest import (
+        _local_stats_rows,
+    )
+
+    rows = _local_stats_rows(new_files, cols, base)
+    if rows is None:
+        return {}
+    per: dict[str, dict] = {}
+    nrec: dict[str, int] = {}
+    for f, col, n_rows, vmin, vmax, has_nulls, vmin_s, vmax_s in rows:
+        d = per.setdefault(
+            f, {"minValues": {}, "maxValues": {}, "nullCount": {}}
+        )
+        nrec[f] = max(nrec.get(f, 0), int(n_rows or 0))
+        if vmin is not None:
+            d["minValues"][col] = vmin
+            d["maxValues"][col] = vmax
+        elif vmin_s is not None:
+            d["minValues"][col] = vmin_s
+            d["maxValues"][col] = vmax_s
+        if not has_nulls:
+            d["nullCount"][col] = 0
+    return {
+        f: json.dumps({"numRecords": nrec.get(f, 0), **d})
+        for f, d in per.items()
+    }
 
 
 def write_delta_log(
@@ -1078,6 +1125,11 @@ def write_delta_log(
             part_cols,
         )
     base, new_files = _land_batch(spark, fs, land_df, path, land_parts)
+    stats = _stats_for_files(
+        new_files,
+        [c for c in land_df.columns if c not in land_parts],
+        base,
+    )
     actions: list[dict] = []
     if txn is not None:
         # the protocol's streaming idempotence token: readers expose
@@ -1118,7 +1170,7 @@ def write_delta_log(
                     }
                 }
             )
-    actions.extend(_adds_for_files(fs, base, new_files, True))
+    actions.extend(_adds_for_files(fs, base, new_files, True, stats))
     _commit_json(
         fs, path, next_v, actions,
         op="OVERWRITE" if mode == "overwrite" else "APPEND",
@@ -1626,6 +1678,11 @@ def _delta_merge_once(
             updates, meta, schema, part_cols
         )
         base, new_files = _land_batch(spark, fs, land_df, path, land_parts)
+        stats = _stats_for_files(
+            new_files,
+            [c for c in land_df.columns if c not in land_parts],
+            base,
+        )
         actions: list[dict] = []
         if txn is not None:
             actions.append(
@@ -1637,7 +1694,7 @@ def _delta_merge_once(
             if upgrade is not None:
                 actions.append({"protocol": upgrade})
             actions.extend(_dv_readd_actions(files, hits, descs))
-        actions.extend(_adds_for_files(fs, base, new_files, True))
+        actions.extend(_adds_for_files(fs, base, new_files, True, stats))
         _commit_json(fs, path, v + 1, actions, op="MERGE")
         _maybe_auto_checkpoint(spark, path, v + 1)
         cumulative = sum(
@@ -1860,6 +1917,100 @@ def read_delta_log(
     }
     return _scan_files(
         spark, path, files, schema, part_cols, mapping,
+        positions=positions or None,
+        field_ids=_column_field_ids(meta, schema) or None,
+    )
+
+
+def _stats_excludes(
+    stats_json: str | None, phys: str, lo, hi
+) -> bool:
+    """True iff the file's recorded [min, max] for ``phys`` PROVES no
+    row can satisfy ``lo <= col <= hi``. Missing/unparseable stats or
+    a missing column keep the file — skipping is only ever an
+    optimization (min/max ignore nulls, and null rows never match a
+    range predicate, so exclusion stays sound for null-bearing
+    files)."""
+    if not stats_json:
+        return False
+    try:
+        s = json.loads(stats_json)
+    except ValueError:
+        return False
+    mn = (s.get("minValues") or {}).get(phys)
+    mx = (s.get("maxValues") or {}).get(phys)
+    if mn is None or mx is None:
+        return False
+    if isinstance(lo, str) != isinstance(mn, str):
+        return False  # type-confused comparison proves nothing
+    try:
+        return mx < lo or mn > hi
+    except TypeError:
+        return False
+
+
+def read_delta_pruned(
+    spark: SparkSession,
+    path: str,
+    predicates: dict[str, tuple[object, object]],
+    version: int | None = None,
+) -> DataFrame:
+    """``read_delta_log`` with the protocol's DATA SKIPPING: files
+    whose ``add.stats`` min/max EXCLUDE every row of some ``col:
+    [lo, hi]`` range predicate are dropped from the scan plan before
+    Spark ever lists them — the pruning every real Delta reader does
+    from the same stats, and the log-level counterpart of the CoW
+    layer's manifest pruning (``operators/manifest.prune_files``).
+    Predicate columns are LOGICAL names (mapped to physical for the
+    stats lookup under column mapping); partition columns prune
+    against ``partitionValues`` directly. Pruning is driver-side over
+    the already-resolved snapshot — zero extra I/O.
+
+    The returned frame contains every row of the SURVIVING files;
+    apply the exact ``WHERE`` on top (files straddling the range
+    carry non-matching rows — stats skipping is a plan optimization,
+    not a filter)."""
+    files, meta, _v, _txns, _proto = delta_snapshot(spark, path, version)
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    part_cols = list(meta.get("partitionColumns") or [])
+    mapping = _column_mapping(meta, schema)
+    kept: dict[str, dict] = {}
+    for rel, add in files.items():
+        drop = False
+        for col, (lo, hi) in predicates.items():
+            phys = mapping.get(col, col)
+            if col in part_cols:
+                pv = (add.get("partitionValues") or {}).get(phys)
+                if pv is not None:
+                    try:
+                        v = (
+                            pv if isinstance(lo, str)
+                            else type(lo)(
+                                float(pv)
+                                if isinstance(lo, float) else pv
+                            )
+                        )
+                        if v < lo or v > hi:
+                            drop = True
+                            break
+                    except (TypeError, ValueError):
+                        pass
+                continue
+            if _stats_excludes(add.get("stats"), phys, lo, hi):
+                drop = True
+                break
+        if not drop:
+            kept[rel] = add
+    if not kept:
+        return spark.createDataFrame([], schema)
+    fs = fs_for(spark, path)
+    positions = {
+        rel: _dv_positions(fs, path, add["deletionVector"])
+        for rel, add in kept.items()
+        if add.get("deletionVector")
+    }
+    return _scan_files(
+        spark, path, kept, schema, part_cols, mapping,
         positions=positions or None,
         field_ids=_column_field_ids(meta, schema) or None,
     )
@@ -2167,7 +2318,12 @@ def delta_optimize(
         }
         for rel in sorted(files)
     ]
-    actions.extend(_adds_for_files(fs, base, new_files, False))
+    stats = _stats_for_files(
+        new_files,
+        [c for c in df.columns if c not in land_part_cols],
+        base,
+    )
+    actions.extend(_adds_for_files(fs, base, new_files, False, stats))
     _commit_json(fs, path, v + 1, actions, op="OPTIMIZE")
     _maybe_auto_checkpoint(spark, path, v + 1)
     return v + 1
@@ -2341,6 +2497,7 @@ def write_checkpoint(
             "size": int(add.get("size") or 0),
             "modificationTime": int(add.get("modificationTime") or 0),
             "dataChange": False,
+            "stats": add.get("stats"),
             "deletionVector": (
                 None if dv is None else {
                     "storageType": dv["storageType"],
@@ -2396,6 +2553,7 @@ def write_checkpoint(
                 ("size", pa.int64()),
                 ("modificationTime", pa.int64()),
                 ("dataChange", pa.bool_()),
+                ("stats", pa.string()),
                 ("deletionVector", dv_t),
             ])),
             pa.field("txn", pa.struct([
