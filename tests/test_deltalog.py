@@ -2528,3 +2528,50 @@ def test_stats_pruned_read(spark, tmp_path):
     assert sorted(
         r["k"] for r in pruned2.where("k between 100 and 120").collect()
     ) == got
+
+
+def test_optimize_zorder_enables_pruning(spark, tmp_path):
+    """OPTIMIZE ZORDER BY: a randomly-clustered table's range query
+    must scan every file (each file's stats span the key domain);
+    after the z-order rewrite the same read_delta_pruned call plans a
+    strict subset of files, rows identical, commit pure-layout
+    (dataChange=false)."""
+    from time_series_prediction_spark.sources.deltalog import (
+        delta_optimize,
+        read_delta_log,
+        read_delta_pruned,
+        write_delta_log,
+    )
+
+    table = str(tmp_path / "t")
+    # random clustering: repartition by hash so every file spans the
+    # whole key range — stats can exclude nothing
+    df = (
+        spark.range(2000)
+        .selectExpr("id as k", "id * 3 as v")
+        .repartition(6, "v")
+    )
+    write_delta_log(df, table)
+    before = read_delta_pruned(spark, table, {"k": (100, 160)})
+    assert len(before.inputFiles()) == 6
+    want = sorted(
+        (r["k"], r["v"]) for r in read_delta_log(spark, table)
+        .where("k between 100 and 160").collect()
+    )
+    v = delta_optimize(spark, table, target_files=6, zorder_by=["k"])
+    after = read_delta_pruned(spark, table, {"k": (100, 160)})
+    assert 0 < len(after.inputFiles()) < 6
+    got = sorted(
+        (r["k"], r["v"]) for r in after
+        .where("k between 100 and 160").collect()
+    )
+    assert got == want
+    # pure layout: the zorder commit is invisible to tails
+    with open(
+        os.path.join(table, "_delta_log", f"{v:020d}.json")
+    ) as fh:
+        acts = [json.loads(ln) for ln in fh if ln.strip()]
+    assert all(
+        not (a.get("add") or a.get("remove"))["dataChange"]
+        for a in acts if a.get("add") or a.get("remove")
+    )

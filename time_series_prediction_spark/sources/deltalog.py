@@ -845,9 +845,13 @@ def _land_batch(
     path: str,
     part_cols: list[str],
     coalesce_to: int | None = None,
+    writer=None,
 ) -> tuple[str, list[str]]:
     """Land a batch's data files into the table dir via a hidden
-    staging dir + per-file no-overwrite renames. Listing the stage
+    staging dir + per-file no-overwrite renames. ``writer(df, stage)``
+    overrides the default parquet write (OPTIMIZE ZORDER routes the
+    z-order layout writer through the same staging protocol).
+    Listing the stage
     costs O(batch) — the previous before/after whole-table listing
     diff cost O(table files) TWICE per commit, the wrong shape for a
     high-frequency streaming sink. Hidden (dot-prefixed) names are
@@ -863,12 +867,15 @@ def _land_batch(
 
     base = _resolve_base(path, spark)
     stage = os.path.join(path, f".stage-{_uuid.uuid4().hex[:12]}")
-    if coalesce_to:
-        df = df.coalesce(coalesce_to)
-    writer = df.write.mode("overwrite")
-    if part_cols:
-        writer = writer.partitionBy(*part_cols)
-    writer.parquet(stage)
+    if writer is not None:
+        writer(df, stage)
+    else:
+        if coalesce_to:
+            df = df.coalesce(coalesce_to)
+        w = df.write.mode("overwrite")
+        if part_cols:
+            w = w.partitionBy(*part_cols)
+        w.parquet(stage)
     stage_base = _resolve_base(stage, spark)
     new_files = []
     for f in sorted(list_parquet_files(stage, spark)):
@@ -2262,7 +2269,10 @@ def delta_changes_feed(
 
 
 def delta_optimize(
-    spark: SparkSession, path: str, target_files: int = 8
+    spark: SparkSession,
+    path: str,
+    target_files: int = 8,
+    zorder_by: list[str] | None = None,
 ) -> int:
     """OPTIMIZE (bin-pack compaction) for the native log: rewrite the
     current snapshot's live rows into ~``target_files`` compacted
@@ -2284,19 +2294,35 @@ def delta_optimize(
     written under PHYSICAL column names (with parquet field ids under
     'id' mode, via Spark's native fieldId write path) so the mapped
     reader — and any real Delta reader — sees the compacted files
-    exactly as it saw the originals. Returns the committed version
-    (unchanged when the table has nothing to compact — fewer live
-    files than ``target_files`` and no DV to materialize)."""
+    exactly as it saw the originals. ``zorder_by`` re-clusters the
+    rewrite along the Morton curve of the given (logical) columns —
+    OPTIMIZE ZORDER: combined with the per-file ``add.stats`` every
+    commit now records, a z-ordered table's range queries prune to a
+    handful of files through ``read_delta_pruned`` (unpartitioned
+    tables only; refused with the remedy otherwise). Returns the
+    committed version (unchanged when the table has nothing to
+    compact — fewer live files than ``target_files`` and no DV to
+    materialize; a ``zorder_by`` rewrite always runs — re-clustering
+    is its point)."""
     files, meta, v, _txns, _proto = delta_snapshot(spark, path)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = list(meta.get("partitionColumns") or [])
+    if zorder_by and part_cols:
+        raise ValueError(
+            "OPTIMIZE ZORDER on a Hive-partitioned table is not "
+            "implemented — zorder within partition dirs needs a "
+            "per-partition range shuffle; optimize without zorder_by, "
+            "or land the table unpartitioned and let the z-layout "
+            "carry the clustering"
+        )
     has_dv = any(a.get("deletionVector") for a in files.values())
     per_dir: dict[str, int] = {}
     for rel in files:
         d = os.path.dirname(rel)
         per_dir[d] = per_dir.get(d, 0) + 1
     if (
-        not has_dv
+        not zorder_by  # re-clustering is the point: always rewrite
+        and not has_dv
         and (not per_dir or max(per_dir.values()) <= target_files)
     ):
         return v  # already compact, nothing hidden: no commit burned
@@ -2305,8 +2331,22 @@ def delta_optimize(
     # partition dirs, and partitionValues are all physical-named
     df, land_part_cols = _rename_physical(df, meta, schema, part_cols)
     fs = fs_for(spark, path)
+    writer = None
+    if zorder_by:
+        from time_series_prediction_spark.operators.zorder import (
+            write_zordered,
+        )
+
+        mapping = _column_mapping(meta, schema)
+        zcols = [mapping.get(c, c) for c in zorder_by]
+
+        def writer(d, stage):  # noqa: ANN001 — _land_batch callback
+            write_zordered(d, stage, zcols, n_files=target_files)
+
     base, new_files = _land_batch(
-        spark, fs, df, path, land_part_cols, coalesce_to=target_files
+        spark, fs, df, path, land_part_cols,
+        coalesce_to=None if zorder_by else target_files,
+        writer=writer,
     )
     actions: list[dict] = [
         {
