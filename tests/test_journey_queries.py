@@ -60,3 +60,28 @@ def test_attribution_conserves_purchase_revenue(spark, sf_dir):
     ).first()
     assert sum(r["n_purchases"] for r in rows) == truth["n"]
     assert sum(r["attributed_cents"] for r in rows) == truth["cents"]
+
+
+def test_top_paths_counts_and_shares(spark, sf_dir):
+    """Trigram accounting: total trigrams across the corpus equal
+    sum(max(n_u − 2, 0)) over per-user event counts, the top-15 shares
+    are count/total of that exact denominator, and the list really is
+    ordered by (count desc, path asc)."""
+    from time_series_prediction_spark.plans.journey_queries import (
+        events_top_paths,
+    )
+
+    rows = events_top_paths(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 15
+    per_user = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    total_tri = sum(max(r["n"] - 2, 0) for r in per_user)
+    for r in rows:
+        assert r["path"].count(" > ") == 2
+        assert r["path_share"] == r["n_paths"] / total_tri
+    counts = [(-r["n_paths"], r["path"]) for r in rows]
+    assert counts == sorted(counts)

@@ -422,3 +422,40 @@ def test_class_bucketed_bfd_equals_harmonic_closed_form(spark, sf_dir):
             .select("doc_id", "bin_id").collect())
     )
     assert bfd == harmonic
+
+
+def test_recall_eval_matches_component_queries(spark, sf_dir):
+    """recall@10 must equal the actual overlap of the two already-
+    registered component queries (brute-force exact top-10 vs the LSH
+    index top-10), recomputed here set-wise — and sit in a sane band
+    (every query answered, recall in [0, 1], panel mean above the
+    tuned operating floor)."""
+    from time_series_prediction_spark.operators.kmeans_exact import (
+        lsh_ann_exact,
+    )
+    from time_series_prediction_spark.plans.text_queries import (
+        embedding_cosine_topk,
+        embedding_recall_eval,
+    )
+
+    got = {
+        r["query_id"]: r
+        for r in embedding_recall_eval(spark, sf_dir).collect()
+    }
+    assert sorted(got) == list(range(10))
+    emb = read_table(spark, sf_dir, "embeddings")
+    exact: dict[int, set[int]] = {}
+    for r in embedding_cosine_topk(spark, sf_dir).collect():
+        exact.setdefault(r["query_id"], set()).add(r["corpus_id"])
+    ann: dict[int, set[int]] = {}
+    for r in lsh_ann_exact(
+        emb, k=10, n_queries=10, n_planes=4, n_tables=16
+    ).collect():
+        ann.setdefault(r["query_id"], set()).add(r["corpus_id"])
+    for qid, row in got.items():
+        hits = len(exact[qid] & ann.get(qid, set()))
+        assert row["hits_at_10"] == hits, qid
+        assert row["recall_at_10"] == hits / 10.0
+        assert 0.0 <= row["recall_at_10"] <= 1.0
+    mean_recall = sum(r["recall_at_10"] for r in got.values()) / 10
+    assert mean_recall >= 0.5, mean_recall

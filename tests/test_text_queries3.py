@@ -269,3 +269,59 @@ def test_unigram_surprisal_matches_numpy_truth(spark, sf_dir):
     floor20 = all_scores[19] if len(all_scores) >= 20 else all_scores[-1]
     for row in got.values():
         assert row["avg_surprisal"] >= floor20 - 1e-7
+
+
+def test_bm25_matches_pure_python_truth(spark, sf_dir):
+    """BM25 golden check against an INDEPENDENT pure-Python Okapi
+    implementation (math.log, no shared expression text with either
+    engine) — catches a both-engines-agree-on-the-wrong-formula slip
+    the mirrored DuckDB oracle cannot see. Also verifies the top-20
+    really are the corpus-wide max scores."""
+    import math
+
+    from time_series_prediction_spark.plans.text_queries3 import (
+        _BM25_TERMS,
+        doc_bm25_topk,
+    )
+    from time_series_prediction_spark.sources.io import read_table
+
+    got = {
+        r["doc_id"]: r
+        for r in doc_bm25_topk(spark, sf_dir).collect()
+    }
+    assert len(got) == 20
+    docs = {
+        r["doc_id"]: [t for t in r["text"].split(" ") if t]
+        for r in read_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n
+    df = {
+        q: sum(1 for t in docs.values() if q in t) for q in _BM25_TERMS
+    }
+    k1, b = 1.2, 0.75
+
+    def score(toks: list[str]) -> float:
+        s = 0.0
+        for q in _BM25_TERMS:
+            tf = toks.count(q)
+            if tf == 0:
+                continue
+            idf = math.log(1 + (n - df[q] + 0.5) / (df[q] + 0.5))
+            s += idf * (tf * (k1 + 1)) / (
+                tf + k1 * (1 - b + b * len(toks) / avgdl)
+            )
+        return s
+
+    truth = {d: score(t) for d, t in docs.items()}
+    for doc_id, row in got.items():
+        assert abs(row["bm25"] - truth[doc_id]) < 1e-6, (doc_id, row)
+        assert row["dl"] == len(docs[doc_id])
+        assert row["n_terms_hit"] == sum(
+            1 for q in _BM25_TERMS if q in docs[doc_id]
+        )
+    floor = sorted(truth.values(), reverse=True)[19]
+    for row in got.values():
+        assert row["bm25"] >= floor - 1e-6

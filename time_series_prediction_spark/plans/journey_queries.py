@@ -318,7 +318,79 @@ GROUP BY s.avail_ts IS NOT NULL
 """
 
 
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event-type trigram paths: the 15 most common 3-step
+    sequences (``a > b > c``) across all users' (ts, event_id)-ordered
+    streams, with each path's exact count and its share of all
+    trigrams — the path-mining upgrade of the first-order transition
+    matrix (``events_transition_matrix`` only sees adjacent pairs;
+    trigrams expose the second-order structure funnels miss).
+
+    Scale shape: ONE (user_id)-partitioned window pass producing two
+    lead columns (no self-joins — the naive formulation is a triple
+    self-join on consecutive ranks), then a groupBy whose key space is
+    bounded by |event_type|³ (125 here), so the aggregate is
+    metadata-sized with map-side combine and the share division runs
+    over that tiny relation. Top-k is a TakeOrdered, never a full
+    sort."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        ev.withColumn("_e2", F.lead("event_type", 1).over(w))
+        .withColumn("_e3", F.lead("event_type", 2).over(w))
+        .where(F.col("_e3").isNotNull())
+    )
+    counts = tri.groupBy(
+        F.concat_ws(" > ", "event_type", "_e2", "_e3").alias("path")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_paths"))
+    w_all = Window.partitionBy()
+    return (
+        counts.select(
+            "path",
+            "n_paths",
+            (
+                F.col("n_paths").cast("double")
+                / F.sum("n_paths").over(w_all).cast("double")
+            ).alias("path_share"),
+        )
+        .orderBy(F.desc("n_paths"), F.asc("path"))
+        .limit(15)
+    )
+
+
+EVENTS_TOP_PATHS_SQL = """
+WITH tri AS (
+    SELECT event_type AS e1,
+           lead(event_type, 1) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS e2,
+           lead(event_type, 2) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS e3
+    FROM events
+),
+counts AS (
+    SELECT e1 || ' > ' || e2 || ' > ' || e3 AS path,
+           CAST(count(*) AS BIGINT) AS n_paths
+    FROM tri WHERE e3 IS NOT NULL
+    GROUP BY e1 || ' > ' || e2 || ' > ' || e3
+)
+SELECT path, n_paths,
+       CAST(n_paths AS DOUBLE)
+         / CAST(sum(n_paths) OVER () AS DOUBLE) AS path_share
+FROM counts
+ORDER BY n_paths DESC, path ASC
+LIMIT 15
+"""
+
+
 JOURNEY_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "events_top_paths": (
+        events_top_paths,
+        EVENTS_TOP_PATHS_SQL,
+    ),
     "events_cohort_matrix": (
         events_cohort_matrix,
         EVENTS_COHORT_SQL,

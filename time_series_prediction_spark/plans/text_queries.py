@@ -677,6 +677,92 @@ def _lsh_ann_sql() -> str:
                              n_tables=16)
 
 
+def embedding_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality as a first-class query: per-query recall@10 of the
+    LSH-bucketed index (``embedding_lsh_ann``'s exact-integer family)
+    against the brute-force quantized-exact cosine top-10
+    (``embedding_cosine_topk``'s), i.e. the evaluation harness every
+    vector store runs before trusting an approximate index — here it
+    IS a query, so the driver's DuckDB oracle independently re-derives
+    both the index answer and the ground truth and checks the recall
+    arithmetic end to end.
+
+    Oracle-exactness: both sides are the registry's existing
+    exact-integer constructions (quantized vectors, integer hyperplane
+    signs, one double division per cosine, total tie-breaks), so the
+    two top-10 SETS are deterministic and identical across engines;
+    hits are exact integer counts and recall is one final double
+    division.
+
+    Scale shape: ground truth is the brute-force side and costs what
+    brute force costs — which is why it runs over a FIXED query panel
+    (10 queries), the standard recall-estimation protocol (sample
+    queries, not the corpus). Corpus-side work is one broadcast-join
+    scan for the exact panel + the bucketed candidate join for the
+    index; the final join/groupBy touches 100 rows."""
+    from time_series_prediction_spark.operators.kmeans_exact import (
+        lsh_ann_exact,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    exact = similarity.cosine_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=10
+    ).select("query_id", "corpus_id")
+    ann = lsh_ann_exact(
+        emb, k=10, n_queries=10, n_planes=4, n_tables=16
+    ).select("query_id", F.col("corpus_id").alias("_ann_id"))
+    hits = exact.join(
+        ann,
+        (exact.query_id == ann.query_id)
+        & (exact.corpus_id == ann._ann_id),
+        "left",
+    ).select(exact.query_id, ann._ann_id)
+    return (
+        hits.groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when(F.col("_ann_id").isNotNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("hits_at_10")
+        )
+        .select(
+            "query_id",
+            "hits_at_10",
+            (F.col("hits_at_10").cast("double") / F.lit(10.0)).alias(
+                "recall_at_10"
+            ),
+        )
+    )
+
+
+def _recall_eval_sql() -> str:
+    from time_series_prediction_spark.operators.kmeans_exact import (
+        lsh_ann_exact_sql,
+    )
+
+    ann_sql = lsh_ann_exact_sql(
+        64, k=10, n_queries=10, n_planes=4, n_tables=16
+    )
+    return f"""
+WITH exact_topk AS (
+  SELECT query_id, corpus_id FROM ({EMBEDDING_COSINE_TOPK_SQL})
+),
+ann AS (
+  SELECT query_id, corpus_id FROM ({ann_sql})
+)
+SELECT e.query_id,
+       CAST(sum(CASE WHEN a.corpus_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS hits_at_10,
+       CAST(sum(CASE WHEN a.corpus_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS DOUBLE) / 10.0 AS recall_at_10
+FROM exact_topk e
+LEFT JOIN ann a
+  ON a.query_id = e.query_id AND a.corpus_id = e.corpus_id
+GROUP BY e.query_id
+"""
+
+
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid components from exact quantized sums
     (scalar output: one row per (label, dim))."""
@@ -968,6 +1054,7 @@ TEXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "embedding_cosine_topk": (embedding_cosine_topk, EMBEDDING_COSINE_TOPK_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_SQL),
     "embedding_lsh_ann": (embedding_lsh_ann, _lsh_ann_sql()),
+    "embedding_recall_eval": (embedding_recall_eval, _recall_eval_sql()),
     "embedding_label_centroids": (
         embedding_label_centroids,
         EMBEDDING_CENTROIDS_SQL,

@@ -649,7 +649,209 @@ LIMIT 25
 DOC_TFIDF_SQL = _tfidf_sql()
 
 
+# BM25 retrieval: fixed query-term panel (all present in the synthetic
+# vocabulary at every SF) and the standard Okapi constants.
+_BM25_TERMS = ("hash", "join", "scan", "merge")
+_BM25_K1PLUS1 = "2.2e0"   # k1 + 1,  k1 = 1.2
+_BM25_K1 = "1.2e0"
+_BM25_1MB = "0.25e0"      # 1 - b,   b = 0.75
+_BM25_B = "0.75e0"
+
+
+def _bm25_contrib(i: int) -> str:
+    """Okapi BM25 per-term weight, nano-quantized to an exact BIGINT —
+    IDENTICAL expression text in Spark SQL and DuckDB (every double op
+    sees the same operands in the same order; the final per-doc score
+    is a sum of exact integers, so accumulation order cannot perturb
+    it — the doc_unigram_surprisal discipline)."""
+    tf = f"CAST(tf_{i} AS DOUBLE)"
+    return (
+        f"CAST(round(idf_{i} * (({tf} * {_BM25_K1PLUS1}) / "
+        f"({tf} + {_BM25_K1} * ({_BM25_1MB} + {_BM25_B} * "
+        f"(CAST(dl AS DOUBLE) / avgdl)))) * 1.0e9) AS BIGINT)"
+    )
+
+
+def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval: rank every document against a fixed
+    query-term panel (k1=1.2, b=0.75, idf = ln(1 + (N−df+0.5)/(df+0.5)))
+    and return the top 20 — the classic lexical-retrieval scorer
+    (the ranking side of a search engine, complementing
+    ``doc_tfidf_topterms``'s keyword-extraction side).
+
+    Oracle-exactness: tf / dl / df / N are exact integers computed by
+    in-row array folds; idf is the engine-portable staged ln on an
+    identically-constructed double; each per-term weight is mirrored
+    term by term and nano-quantized to a BIGINT before the 4-term sum,
+    so the final score is derived from an exact integer in both
+    engines and the (score desc, doc_id) order is total.
+
+    Scale shape: tf and dl come from in-row ``filter(split(...))``
+    folds — the corpus pass is PURE MAP, no tokenize-explode shuffle
+    at all. The only aggregate is the 1-row corpus-stats reduce
+    (map-side partial), idf math runs on a |terms|-row relation that
+    broadcasts back, and top-k is a TakeOrdered. At 100 TB this is a
+    single scan + a metadata-sized broadcast — the cheapest possible
+    BM25 shape for a fixed query."""
+    from time_series_prediction_spark.operators.sketch_portable import (
+        portable_ln_stage_cols,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    n_t = len(_BM25_TERMS)
+    per_doc = docs.select(
+        "doc_id",
+        F.expr(
+            "CAST(size(filter(split(text, ' '), t -> t != '')) AS BIGINT)"
+        ).alias("dl"),
+        *[
+            F.expr(
+                f"CAST(size(filter(split(text, ' '), t -> t = '{t}'))"
+                " AS BIGINT)"
+            ).alias(f"tf_{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias(f"df_{i}")
+            for i in range(n_t)
+        ],
+    )
+    terms = stats.select(
+        "n_docs",
+        "sum_dl",
+        F.posexplode(
+            F.array(*[F.col(f"df_{i}") for i in range(n_t)])
+        ).alias("ti", "df"),
+    ).withColumn(
+        "x",
+        F.expr(
+            "(CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5e0)"
+            " / (CAST(df AS DOUBLE) + 0.5e0) + 1.0e0"
+        ),
+    )
+    for name, expr in portable_ln_stage_cols():
+        terms = terms.withColumn(name, F.expr(expr))
+    idf = (
+        terms.groupBy("n_docs", "sum_dl")
+        .agg(
+            *[
+                F.max(F.when(F.col("ti") == i, F.col("lnx"))).alias(
+                    f"idf_{i}"
+                )
+                for i in range(n_t)
+            ]
+        )
+        .withColumn(
+            "avgdl",
+            F.expr("CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)"),
+        )
+        .drop("n_docs", "sum_dl")
+    )
+    hit = " + ".join(
+        f"(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)" for i in range(n_t)
+    )
+    score_q = " + ".join(_bm25_contrib(i) for i in range(n_t))
+    return (
+        per_doc.crossJoin(F.broadcast(idf))
+        .select(
+            "doc_id",
+            "dl",
+            F.expr(f"CAST({hit} AS BIGINT)").alias("n_terms_hit"),
+            F.expr(f"CAST({score_q} AS DOUBLE) / 1.0e9").alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def _bm25_sql() -> str:
+    from time_series_prediction_spark.operators.sketch_portable import (
+        portable_ln_stage_cols,
+    )
+
+    n_t = len(_BM25_TERMS)
+    tf_cols = ",\n         ".join(
+        f"CAST(len(list_filter(string_split(text, ' '), t -> t = '{t}'))"
+        f" AS BIGINT) AS tf_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ",\n         ".join(
+        f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS df_{i}"
+        for i in range(n_t)
+    )
+    term_rows = "\n  UNION ALL ".join(
+        f"SELECT n_docs, sum_dl, {i} AS ti, df_{i} AS df FROM stats"
+        for i in range(n_t)
+    )
+    stages = portable_ln_stage_cols()
+    ctes, carried, prev = [], ["n_docs", "sum_dl", "ti", "df", "x"], "s0"
+    for i, (name, expr) in enumerate(stages):
+        cols = ", ".join(carried)
+        ctes.append(
+            f"s{i + 1} AS (SELECT {cols}, {expr} AS {name} FROM {prev})"
+        )
+        carried.append(name)
+        prev = f"s{i + 1}"
+    chain = ",\n".join(ctes)
+    idf_cols = ",\n         ".join(
+        f"max(CASE WHEN ti = {i} THEN lnx END) AS idf_{i}"
+        for i in range(n_t)
+    )
+    hit = " + ".join(
+        f"(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)" for i in range(n_t)
+    )
+    score_q = " + ".join(_bm25_contrib(i) for i in range(n_t))
+    return f"""
+WITH per_doc AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+           AS BIGINT) AS dl,
+         {tf_cols}
+  FROM documents
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT) AS sum_dl,
+         {df_cols}
+  FROM per_doc
+),
+s0 AS (
+  SELECT *,
+         (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5e0)
+           / (CAST(df AS DOUBLE) + 0.5e0) + 1.0e0 AS x
+  FROM ({term_rows})
+),
+{chain},
+idf AS (
+  SELECT {idf_cols},
+         CAST(max(sum_dl) AS DOUBLE) / CAST(max(n_docs) AS DOUBLE)
+           AS avgdl
+  FROM {prev}
+)
+SELECT doc_id, dl,
+       CAST({hit} AS BIGINT) AS n_terms_hit,
+       CAST({score_q} AS DOUBLE) / 1.0e9 AS bm25
+FROM per_doc CROSS JOIN idf
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 20
+"""
+
+
+DOC_BM25_SQL = _bm25_sql()
+
+
 TEXT3_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "doc_bm25_topk": (
+        doc_bm25_topk,
+        DOC_BM25_SQL,
+    ),
     "doc_unigram_surprisal": (
         doc_unigram_surprisal,
         DOC_UNIGRAM_SURPRISAL_SQL,
