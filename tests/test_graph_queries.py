@@ -163,3 +163,64 @@ def test_association_rules_oracle_and_wide_basket_guard(
         r["y"] for r in got.collect()
     }
     assert {1, 2, 3, 4, 5, 6} <= kept_x
+
+
+def test_triangle_count_matches_brute_force(spark, sf_dir):
+    """Recompute the induced-subgraph triangles with an independent
+    pure-Python set enumeration (adjacency sets, no SQL shape shared
+    with either engine) and check every reported row: degree, triangle
+    participation, and clustering coefficient."""
+    from itertools import combinations
+
+    from time_series_prediction_spark.plans.graph_queries import (
+        _TRI_PANEL,
+        part_triangle_count,
+    )
+    from time_series_prediction_spark.sources.io import read_table
+
+    got = part_triangle_count(spark, sf_dir).collect()
+    assert 0 < len(got) <= 20
+
+    li = {
+        (r["l_orderkey"], r["l_partkey"])
+        for r in read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    }
+    from collections import Counter
+
+    freq = Counter(p for _, p in li)
+    panel = set(
+        p
+        for p, _ in sorted(
+            freq.items(), key=lambda kv: (-kv[1], kv[0])
+        )[:_TRI_PANEL]
+    )
+    baskets: dict[int, set[int]] = {}
+    for o, p in li:
+        if p in panel:
+            baskets.setdefault(o, set()).add(p)
+    adj: dict[int, set[int]] = {}
+    for ps in baskets.values():
+        for a, b in combinations(sorted(ps), 2):
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    tri_per_node: Counter = Counter()
+    for a in adj:
+        for b in adj[a]:
+            if b <= a:
+                continue
+            for c in adj[a] & adj[b]:
+                if c > b:
+                    for n in (a, b, c):
+                        tri_per_node[n] += 1
+    ranked = sorted(
+        tri_per_node.items(), key=lambda kv: (-kv[1], kv[0])
+    )
+    want_top = ranked[: len(got)]
+    assert [(r["part_key"], r["n_triangles"]) for r in got] == want_top
+    for r in got:
+        d = len(adj[r["part_key"]])
+        assert r["degree"] == d
+        assert r["clustering"] == 2 * r["n_triangles"] / (d * (d - 1))

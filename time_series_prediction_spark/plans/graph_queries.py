@@ -424,7 +424,166 @@ LIMIT {_AR_TOPK}
 """
 
 
+_TRI_PANEL = 200  # induced-subgraph node panel (top parts by basket count)
+
+
+def part_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + local clustering coefficient over the
+    co-purchase graph induced by the ``_TRI_PANEL`` most-purchased
+    parts: nodes are panel parts, an edge joins two panel parts that
+    share at least one order, a triangle is three mutually co-purchased
+    parts. Output: the top-20 parts by triangle participation with
+    their subgraph degree and local clustering 2T/(d·(d−1)) — the
+    cohesion layer of graph analytics, beside importance
+    (``part_basket_pagerank``) and connectivity (components).
+
+    Exactness: the panel is a deterministic top-k (basket count desc,
+    part key asc), edges/degrees/triangle counts are exact integers,
+    and clustering is ONE double division of two exact integers —
+    hash-identical across engines.
+
+    Scale shape: the whole-graph triangle join is quadratic-prone on
+    heavy nodes, so the operator bounds it the way production graph
+    systems do — work on a bounded induced subgraph: the panel is a
+    TakeOrdered over one basket aggregate, the fact table is pruned by
+    a BROADCAST semi-join on 200 keys before any pair explosion, edges
+    are distinct'd id-ordered pairs (each triangle enumerated exactly
+    once via x < y < z), and the wedge-closure joins run over the
+    metadata-sized edge list. At 100 TB the only full-fact-table cost
+    is the scan + one aggregate; for heavy-tailed full-graph variants
+    swap the id order for (degree, id) orientation — same plan shape,
+    bounded forward adjacency."""
+    from time_series_prediction_spark.operators.materialize import (
+        materialize,
+    )
+
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    top = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("l_partkey"))
+        .limit(_TRI_PANEL)
+        .select(F.col("l_partkey").alias("node"))
+    )
+    sub = li.join(
+        F.broadcast(top), li.l_partkey == top.node
+    ).select("l_orderkey", "l_partkey")
+    edges = (
+        sub.alias("a")
+        .join(
+            sub.alias("b"),
+            (F.col("b.l_orderkey") == F.col("a.l_orderkey"))
+            & (F.col("b.l_partkey") > F.col("a.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("x"),
+            F.col("b.l_partkey").alias("y"),
+        )
+        .distinct()
+    )
+    edges = materialize(edges)  # feeds deg + three triangle-join sides
+    deg = (
+        edges.select(F.col("x").alias("node"))
+        .unionAll(edges.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    tri = (
+        edges.alias("e1")
+        .join(
+            edges.alias("e2"),
+            (F.col("e2.x") == F.col("e1.x"))
+            & (F.col("e2.y") > F.col("e1.y")),
+        )
+        .join(
+            edges.alias("e3"),
+            (F.col("e3.x") == F.col("e1.y"))
+            & (F.col("e3.y") == F.col("e2.y")),
+        )
+        .select(
+            F.col("e1.x").alias("u"),
+            F.col("e1.y").alias("v"),
+            F.col("e2.y").alias("w"),
+        )
+    )
+    members = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("v").alias("node")))
+        .unionAll(tri.select(F.col("w").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return (
+        members.join(deg, "node")
+        .select(
+            F.col("node").cast("long").alias("part_key"),
+            "degree",
+            "n_triangles",
+            F.expr(
+                "CAST(2 * n_triangles AS DOUBLE)"
+                " / CAST(degree * (degree - 1) AS DOUBLE)"
+            ).alias("clustering"),
+        )
+        .orderBy(F.desc("n_triangles"), F.asc("part_key"))
+        .limit(20)
+    )
+
+
+PART_TRIANGLES_SQL = f"""
+WITH li AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+top_parts AS (
+    SELECT l_partkey AS node FROM li GROUP BY l_partkey
+    ORDER BY count(*) DESC, l_partkey ASC LIMIT {_TRI_PANEL}
+),
+sub AS (
+    SELECT li.l_orderkey, li.l_partkey
+    FROM li JOIN top_parts t ON t.node = li.l_partkey
+),
+edges AS (
+    SELECT a.l_partkey AS x, b.l_partkey AS y
+    FROM sub a JOIN sub b
+      ON b.l_orderkey = a.l_orderkey AND b.l_partkey > a.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+),
+deg AS (
+    SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+        SELECT x AS node FROM edges
+        UNION ALL SELECT y AS node FROM edges
+    ) GROUP BY node
+),
+tri AS (
+    SELECT e1.x AS u, e1.y AS v, e2.y AS w
+    FROM edges e1
+    JOIN edges e2 ON e2.x = e1.x AND e2.y > e1.y
+    JOIN edges e3 ON e3.x = e1.y AND e3.y = e2.y
+),
+members AS (
+    SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+        SELECT u AS node FROM tri
+        UNION ALL SELECT v AS node FROM tri
+        UNION ALL SELECT w AS node FROM tri
+    ) GROUP BY node
+)
+SELECT CAST(m.node AS BIGINT) AS part_key, d.degree, m.n_triangles,
+       CAST(2 * m.n_triangles AS DOUBLE)
+         / CAST(d.degree * (d.degree - 1) AS DOUBLE) AS clustering
+FROM members m JOIN deg d ON d.node = m.node
+ORDER BY n_triangles DESC, part_key ASC
+LIMIT 20
+"""
+
+
 GRAPH_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "part_triangle_count": (
+        part_triangle_count,
+        PART_TRIANGLES_SQL,
+    ),
     "part_basket_pagerank": (
         part_basket_pagerank,
         PART_PAGERANK_SQL,
