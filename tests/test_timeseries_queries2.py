@@ -116,3 +116,43 @@ def test_backtest_parameterization(spark, sf_dir):
         assert r.sum_pinball90_mc >= 0
         # pinball at q=0.9 is bounded by 0.9x the MAE mass
         assert r.sum_pinball90_mc <= 0.9 * r.sum_abs_err_mc + r.n_pred
+
+
+def test_theta_forecast_matches_numpy(spark, sf_dir):
+    """The theta forecast must match an independent NumPy reference
+    (plain SES loop + np.polyfit drift, nothing shared with either
+    engine's expression text): forecast = SES level + 0.5·OLS-slope·h."""
+    import numpy as np
+
+    from time_series_prediction_spark.plans.timeseries_queries import (
+        daily_series,
+    )
+    from time_series_prediction_spark.plans.timeseries_queries2 import (
+        _ALPHA,
+        ts_theta_forecast,
+    )
+
+    got = {
+        r["user_id"]: r
+        for r in ts_theta_forecast(spark, sf_dir).collect()
+    }
+    pdf = daily_series(spark, sf_dir).toPandas()
+    for uid, g in pdf.groupby("user_id"):
+        xs = (g.sort_values("day")["cents"].to_numpy() / 100.0).astype(float)
+        if len(xs) < 2:
+            assert uid not in got
+            continue
+        level = xs[0]
+        for x in xs[1:]:
+            level = _ALPHA * x + (1 - _ALPHA) * level
+        slope = np.polyfit(np.arange(1, len(xs) + 1), xs, 1)[0]
+        row = got[uid]
+        assert row["n_days"] == len(xs)
+        np.testing.assert_allclose(row["level"], level, atol=1e-6)
+        np.testing.assert_allclose(row["drift"], 0.5 * slope, atol=1e-6)
+        np.testing.assert_allclose(
+            row["yhat_1"], level + 0.5 * slope, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            row["yhat_30"], level + 0.5 * slope * 30, atol=1e-6
+        )

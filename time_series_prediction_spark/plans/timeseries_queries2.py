@@ -1043,7 +1043,140 @@ TS_BACKTEST_SMAPE_SQL = linear_backtest_sql(
 )
 
 
+def ts_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-method forecast per series (the M3-competition benchmark
+    winner, in its standard two-line decomposition): the forecast is
+    the SES level of the series plus HALF the linear-regression drift
+    per step — combining the engine's two proven forecast disciplines,
+    the mirrored sequential fold (``ts_holt_forecast``) for SES and
+    exact integer-rational OLS (``ts_backtest_linear``) for the drift.
+
+    Oracle-exactness: the SES recurrence is ONE ``aggregate`` fold
+    whose expression structure the DuckDB recursive CTE mirrors term
+    by term (identical IEEE order ⇒ identical doubles); the OLS slope
+    is a ratio of two exact BIGINT sums (Σi and Σi² by closed form,
+    Σy and Σi·y by integer folds — order-free), so both engines
+    perform the same single division.
+
+    Scale shape: one per-user shuffle (the daily rollup feeds a
+    collect_list), then everything — folds, integer sums, closed
+    forms, forecasts — is in-row array math on the executor; identical
+    cost profile to the Holt query it sits beside."""
+    d = daily_series(spark, sf_dir)
+    series = (
+        d.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("day", "cents"))
+            ).alias("_s")
+        )
+        .select(
+            "user_id",
+            F.expr("transform(_s, p -> p.cents)").alias("cs"),
+            F.expr(
+                "transform(_s, p -> CAST(p.cents AS DOUBLE) / 100.0)"
+            ).alias("xs"),
+        )
+        .where(F.size("xs") >= 2)
+    )
+    a = _ALPHA
+    ses = (
+        f"aggregate(slice(xs, 2, size(xs) - 1), "
+        f"CAST(element_at(xs, 1) AS DOUBLE), "
+        f"(acc, x) -> {a} * x + {1 - a} * acc)"
+    )
+    stats = series.select(
+        "user_id",
+        F.expr("CAST(size(cs) AS BIGINT)").alias("n_days"),
+        F.expr("aggregate(cs, 0L, (acc, v) -> acc + v)").alias("sy"),
+        F.expr(
+            "aggregate(sequence(1, size(cs)), 0L, "
+            "(acc, i) -> acc + CAST(i AS BIGINT) * element_at(cs, i))"
+        ).alias("sxy"),
+        F.expr(ses).alias("l"),
+    ).select(
+        "user_id",
+        "n_days",
+        "l",
+        F.expr("(n_days * (n_days + 1)) div 2").alias("sx"),
+        F.expr(
+            "(n_days * (n_days + 1) * (2 * n_days + 1)) div 6"
+        ).alias("sxx"),
+        "sy",
+        "sxy",
+    )
+    return stats.select(
+        "user_id",
+        "n_days",
+        F.expr("round(l, 6)").alias("level"),
+        F.expr(
+            "round(0.5e0 * ((CAST(n_days * sxy - sx * sy AS DOUBLE)"
+            " / CAST(n_days * sxx - sx * sx AS DOUBLE)) / 100.0e0), 6)"
+        ).alias("drift"),
+        F.expr(
+            "round(l + 0.5e0 * ((CAST(n_days * sxy - sx * sy AS DOUBLE)"
+            " / CAST(n_days * sxx - sx * sx AS DOUBLE)) / 100.0e0)"
+            " * 1, 6)"
+        ).alias("yhat_1"),
+        F.expr(
+            "round(l + 0.5e0 * ((CAST(n_days * sxy - sx * sy AS DOUBLE)"
+            " / CAST(n_days * sxx - sx * sx AS DOUBLE)) / 100.0e0)"
+            f" * {_HORIZON}, 6)"
+        ).alias(f"yhat_{_HORIZON}"),
+    )
+
+
+TS_THETA_SQL = f"""
+WITH RECURSIVE daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events
+  GROUP BY user_id, CAST(ts AS DATE)
+),
+ordered AS (
+  SELECT user_id, cents, CAST(cents AS DOUBLE) / 100.0 AS x,
+         row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+  FROM daily
+),
+sums AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(cents) AS BIGINT) AS sy,
+         CAST(sum(rn * cents) AS BIGINT) AS sxy
+  FROM ordered GROUP BY user_id
+  HAVING count(*) >= 2
+),
+ols AS (
+  SELECT user_id, n_days, sy, sxy,
+         (n_days * (n_days + 1)) // 2 AS sx,
+         (n_days * (n_days + 1) * (2 * n_days + 1)) // 6 AS sxx
+  FROM sums
+),
+ses AS (
+  SELECT user_id, 1 AS rn, x AS l FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.rn + 1, {_ALPHA} * o.x + {1 - _ALPHA} * s.l
+  FROM ses s JOIN ordered o
+    ON o.user_id = s.user_id AND o.rn = s.rn + 1
+)
+SELECT o.user_id, o.n_days,
+       round(s.l, 6) AS level,
+       round(0.5e0 * ((CAST(o.n_days * o.sxy - o.sx * o.sy AS DOUBLE)
+         / CAST(o.n_days * o.sxx - o.sx * o.sx AS DOUBLE)) / 100.0e0), 6)
+         AS drift,
+       round(s.l + 0.5e0 * ((CAST(o.n_days * o.sxy - o.sx * o.sy AS DOUBLE)
+         / CAST(o.n_days * o.sxx - o.sx * o.sx AS DOUBLE)) / 100.0e0)
+         * 1, 6) AS yhat_1,
+       round(s.l + 0.5e0 * ((CAST(o.n_days * o.sxy - o.sx * o.sy AS DOUBLE)
+         / CAST(o.n_days * o.sxx - o.sx * o.sx AS DOUBLE)) / 100.0e0)
+         * {_HORIZON}, 6) AS yhat_{_HORIZON}
+FROM ols o
+JOIN ses s ON s.user_id = o.user_id AND s.rn = o.n_days
+"""
+
+
 TIMESERIES2_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "ts_theta_forecast": (ts_theta_forecast, TS_THETA_SQL),
     "ts_backtest_linear": (ts_backtest_linear, TS_BACKTEST_SQL),
     "ts_backtest_smape": (ts_backtest_smape, TS_BACKTEST_SMAPE_SQL),
     "ts_holt_forecast": (ts_holt_forecast, TS_HOLT_SQL),

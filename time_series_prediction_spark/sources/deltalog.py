@@ -237,8 +237,9 @@ def _check_protocol(proto: dict) -> None:
     min_reader = int(proto.get("minReaderVersion", 1))
     if min_reader <= 2:
         # v2 adds column mapping, which this reader implements in
-        # 'name' mode ('id' mode is refused at metaData time — the
-        # mode lives in the table configuration, not the protocol)
+        # both 'name' and 'id' modes (the mode lives in the table
+        # configuration, not the protocol; see _column_mapping /
+        # _column_field_ids)
         return
     feats = set(proto.get("readerFeatures") or [])
     if min_reader == 3 and feats <= _SUPPORTED_READER_FEATURES:
