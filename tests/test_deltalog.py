@@ -2575,3 +2575,66 @@ def test_optimize_zorder_enables_pruning(spark, tmp_path):
         not (a.get("add") or a.get("remove"))["dataChange"]
         for a in acts if a.get("add") or a.get("remove")
     )
+
+
+def test_dv_spill_distributed_anti_join(spark, tmp_path, monkeypatch):
+    """Past _DV_SPILL_MIN summed cardinality, the DV anti-join side
+    must come from a content-addressed parquet spill under the log dir
+    (shared storage — distributed-scan-able), NOT a per-read driver
+    materialization: the first read publishes the spill, a REPEAT read
+    parses zero bitmaps (proven by making the parser explode), time
+    travel keeps its own state's spill, and VACUUM reclaims superseded
+    spills while protecting the live one."""
+    import time_series_prediction_spark.sources.deltalog as dl
+
+    monkeypatch.setattr(dl, "_DV_SPILL_MIN", 5)
+    table = str(tmp_path / "t")
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("int").alias("p"),
+    )
+    dl.write_delta_log(df, table, mode="overwrite", partition_cols=["p"])
+    dl.delta_delete(spark, table, "k % 7 = 0", max_total_dv_rows=None)
+    want = sorted(k for k in range(100) if k % 7 != 0)
+
+    got = sorted(r["k"] for r in dl.read_delta_log(spark, table).collect())
+    assert got == want
+    cache = os.path.join(table, "_delta_log", dl._DV_POS_CACHE)
+    spills_v1 = [n for n in os.listdir(cache) if n.endswith(".parquet")]
+    assert len(spills_v1) == 1
+
+    # repeat read: the spill serves; no bitmap is ever parsed again
+    def _boom(*a, **kw):
+        raise AssertionError("bitmap parsed on a spill-cached read")
+
+    monkeypatch.setattr(dl, "_dv_positions", _boom)
+    got2 = sorted(
+        r["k"] for r in dl.read_delta_log(spark, table).collect()
+    )
+    assert got2 == want
+    monkeypatch.undo()
+    monkeypatch.setattr(dl, "_DV_SPILL_MIN", 5)
+
+    # a second delete changes the DV state -> a second spill appears,
+    # and time travel to v1 still reads through the OLD spill
+    dl.delta_delete(spark, table, "k % 11 = 0", max_total_dv_rows=None)
+    want2 = sorted(k for k in range(100) if k % 7 != 0 and k % 11 != 0)
+    assert sorted(
+        r["k"] for r in dl.read_delta_log(spark, table).collect()
+    ) == want2
+    assert sorted(
+        r["k"] for r in dl.read_delta_log(spark, table, version=1).collect()
+    ) == want
+    spills_v2 = [n for n in os.listdir(cache) if n.endswith(".parquet")]
+    assert len(spills_v2) == 2
+
+    # vacuum with zero retention: the superseded spill goes, the one
+    # addressing the CURRENT snapshot's DV state survives any age
+    reclaimed = dl.delta_vacuum(spark, table, retention_ms=0)
+    live = set(os.listdir(cache))
+    assert len([n for n in live if n.endswith(".parquet")]) == 1
+    assert set(spills_v1) - live  # the old spill was reclaimed
+    assert any(dl._DV_POS_CACHE in p for p in reclaimed)
+    assert sorted(
+        r["k"] for r in dl.read_delta_log(spark, table).collect()
+    ) == want2

@@ -623,6 +623,116 @@ def _dv_positions(fs, table_path: str, dv: dict) -> list[int]:
     return _parse_roaring_bitmap_array(data)
 
 
+# below this summed-cardinality total, a driver-local Arrow relation is
+# the cheapest DV anti-join side; at or above it, positions spill ONCE
+# per DV state to a content-addressed parquet under the log dir and the
+# anti-join side becomes a distributed file scan (see
+# _dv_positions_source)
+_DV_SPILL_MIN = 100_000
+_DV_POS_CACHE = ".dv_pos_cache"  # hidden dir under _delta_log/
+
+
+def _dv_state_key(dv_files: dict[str, dict]) -> str:
+    """Content address of a snapshot's deletion-vector STATE: the
+    descriptors (not the bitmaps) identify the position bytes, so two
+    snapshots sharing every DV share the spill."""
+    import hashlib
+
+    key_src = json.dumps(
+        sorted(
+            (
+                rel,
+                d.get("storageType"),
+                d.get("pathOrInlineDv"),
+                int(d.get("offset") or 0),
+                int(d.get("sizeInBytes") or 0),
+                int(d.get("cardinality") or 0),
+            )
+            for rel, d in dv_files.items()
+        ),
+        separators=(",", ":"),
+    )
+    return hashlib.sha256(key_src.encode()).hexdigest()[:24]
+
+
+def _dv_positions_source(
+    spark: SparkSession, fs, path: str, files: dict[str, dict]
+) -> tuple[dict[str, list[int]] | None, DataFrame | None]:
+    """The DV anti-join side for a snapshot's live files, as EITHER a
+    driver-local positions map (small totals — shipping a tiny Arrow
+    relation beats a file round-trip) OR a distributed parquet
+    relation ``(_fp, _ri)`` spilled once per DV state (large totals).
+
+    The spill is CONTENT-ADDRESSED on the deletion-vector descriptors
+    (storageType, pathOrInlineDv, offset, sizeInBytes, cardinality per
+    file — the descriptor IS the identity of the bitmap bytes), lives
+    under ``_delta_log/.dv_pos_cache/`` — table-adjacent SHARED
+    storage, so on a real cluster executors scan it directly (a
+    driver-local /tmp spill would be unreadable off-driver) and a
+    dot-prefixed name keeps it invisible to data readers and log
+    replay alike — and is published atomically (hidden tmp + rename).
+    Repeat reads of a DV-bearing snapshot therefore pay ZERO
+    driver-side bitmap parsing and ship no positions through the
+    driver: the totals stay bounded by ``delta_delete``'s cumulative
+    auto-OPTIMIZE threshold, and within that bound the per-read driver
+    cost is now O(descriptors), not O(positions). Stale entries (the
+    DV state they index was optimized away) are swept by
+    ``delta_vacuum`` on the same retention clock as data files."""
+    dv_files = {
+        rel: a["deletionVector"]
+        for rel, a in files.items()
+        if a.get("deletionVector")
+    }
+    if not dv_files:
+        return None, None
+    total = sum(
+        int(d.get("cardinality") or 0) for d in dv_files.values()
+    )
+    if total < _DV_SPILL_MIN:
+        return {
+            rel: _dv_positions(fs, path, d)
+            for rel, d in dv_files.items()
+        }, None
+    from time_series_prediction_spark.operators.manifest import (
+        _resolve_base,
+    )
+
+    base = _resolve_base(path, spark)
+    key = _dv_state_key(dv_files)
+    cache_dir = os.path.join(path, _LOG_DIR, _DV_POS_CACHE)
+    out = os.path.join(cache_dir, f"pos-{key}.parquet")
+    if not fs.exists(out):
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        fps: list[str] = []
+        ris: list[int] = []
+        for rel, d in dv_files.items():
+            ps = _dv_positions(fs, path, d)
+            fps.extend([_norm_uri(os.path.join(base, rel))] * len(ps))
+            ris.extend(ps)
+        sink = pa.BufferOutputStream()
+        pq.write_table(
+            pa.table(
+                {
+                    "_fp": pa.array(fps, pa.string()),
+                    "_ri": pa.array(ris, pa.int64()),
+                }
+            ),
+            sink,
+        )
+        fs.mkdirs(cache_dir)
+        tmp = os.path.join(
+            cache_dir, f".pos-{key}.{_uuid.uuid4().hex[:8]}.tmp"
+        )
+        fs.write_bytes(tmp, sink.getvalue().to_pybytes())
+        if not fs.rename(tmp, out) and not fs.exists(out):
+            raise RuntimeError(f"failed to publish DV spill {out}")
+    return None, spark.read.schema("_fp string, _ri long").parquet(out)
+
+
 def _column_mapping(meta: dict, schema: StructType) -> dict[str, str]:
     """logical → physical column names under column mapping. Empty
     dict = no mapping (physical == logical). Both 'name' and 'id'
@@ -694,6 +804,7 @@ def _scan_files(
     positions_mode: str = "anti",
     keep_meta: bool = False,
     field_ids: dict[str, int] | None = None,
+    positions_df: DataFrame | None = None,
 ) -> DataFrame:
     """ONE plan branch over an arbitrary subset of a snapshot's live
     files — however many files, partition tuples, or deletion vectors
@@ -779,12 +890,18 @@ def _scan_files(
     )
     import pandas as pd
 
-    if positions_mode == "semi" and not positions:
+    if positions_mode == "semi" and not positions and positions_df is None:
         raise ValueError(
             "semi positions_mode requires a non-empty positions map "
             "— an empty one would silently return EVERY row"
         )
-    if positions:
+    if positions_df is not None:
+        # pre-built distributed relation (the _dv_positions_source
+        # spill): the broadcast hash side is built from a parquet scan
+        # by the executors, nothing ships through the driver
+        how = "left_anti" if positions_mode == "anti" else "left_semi"
+        scan = scan.join(F.broadcast(positions_df), ["_fp", "_ri"], how)
+    elif positions:
         # pandas → Arrow local relation: the py4j row-by-row
         # conversion costs ~1 s per 10K rows, Arrow ~10 ms — DV
         # position sets are exactly that size class
@@ -1908,8 +2025,12 @@ def read_delta_log(
       physical names still read correctly.
     * **deletion vectors** — files carrying ``deletionVector``
       descriptors anti-join their deleted ``(file, row_index)``
-      positions (parsed driver-side from the roaring bitmaps — DVs
-      are metadata-sized by design), still within the one branch.
+      positions, still within the one branch. Small totals ship as a
+      driver-local Arrow relation; past ``_DV_SPILL_MIN`` the
+      positions spill ONCE per DV state to a content-addressed parquet
+      under the log dir and the anti-join side is a distributed scan —
+      repeat reads parse no bitmaps and ship nothing through the
+      driver (``_dv_positions_source``).
     """
     files, meta, _v, _txns, _proto = delta_snapshot(spark, path, version)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
@@ -1918,15 +2039,12 @@ def read_delta_log(
     if not files:
         return spark.createDataFrame([], schema)
     fs = fs_for(spark, path)
-    positions = {
-        rel: _dv_positions(fs, path, add["deletionVector"])
-        for rel, add in files.items()
-        if add.get("deletionVector")
-    }
+    positions, pos_df = _dv_positions_source(spark, fs, path, files)
     return _scan_files(
         spark, path, files, schema, part_cols, mapping,
-        positions=positions or None,
+        positions=positions,
         field_ids=_column_field_ids(meta, schema) or None,
+        positions_df=pos_df,
     )
 
 
@@ -2012,15 +2130,12 @@ def read_delta_pruned(
     if not kept:
         return spark.createDataFrame([], schema)
     fs = fs_for(spark, path)
-    positions = {
-        rel: _dv_positions(fs, path, add["deletionVector"])
-        for rel, add in kept.items()
-        if add.get("deletionVector")
-    }
+    positions, pos_df = _dv_positions_source(spark, fs, path, kept)
     return _scan_files(
         spark, path, kept, schema, part_cols, mapping,
-        positions=positions or None,
+        positions=positions,
         field_ids=_column_field_ids(meta, schema) or None,
+        positions_df=pos_df,
     )
 
 
@@ -2480,6 +2595,26 @@ def delta_vacuum(
     for name in fs.list_names(log):
         if name.startswith(".commit-") or name.startswith(".cp-"):
             p = os.path.join(log, name)
+            st = fs.status(p)
+            if st is not None and st[1] <= horizon_ms:
+                _reclaim(p)
+    # DV position spills (_dv_positions_source): the entry addressing
+    # the CURRENT snapshot's DV state is live whatever its age; every
+    # other key indexes a superseded (deleted-more / optimized-away)
+    # state and reclaims on the same retention clock
+    dv_cache = os.path.join(log, _DV_POS_CACHE)
+    if fs.is_dir(dv_cache):
+        live_spill = "pos-" + _dv_state_key(
+            {
+                rel: a["deletionVector"]
+                for rel, a in files.items()
+                if a.get("deletionVector")
+            }
+        ) + ".parquet"
+        for name in fs.list_names(dv_cache):
+            if name == live_spill:
+                continue
+            p = os.path.join(dv_cache, name)
             st = fs.status(p)
             if st is not None and st[1] <= horizon_ms:
                 _reclaim(p)
