@@ -2638,3 +2638,134 @@ def test_dv_spill_distributed_anti_join(spark, tmp_path, monkeypatch):
     assert sorted(
         r["k"] for r in dl.read_delta_log(spark, table).collect()
     ) == want2
+
+
+def test_delta_update_dv_path(spark, tmp_path):
+    """UPDATE ... SET via deletion vectors: matched rows are hidden
+    and their updated images land in the SAME commit (old files never
+    rewritten), every SET expression sees the ORIGINAL row, time
+    travel keeps the pre-update state, and a second update composes."""
+    import time_series_prediction_spark.sources.deltalog as dl
+
+    table = str(tmp_path / "t")
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("int").alias("p"),
+        (F.col("id") * 3).alias("v"),
+    )
+    dl.write_delta_log(df, table, mode="overwrite", partition_cols=["p"])
+    files0 = set(dl.delta_snapshot(spark, table)[0])
+
+    v1 = dl.delta_update(
+        spark, table, "k % 10 = 0", {"v": "v + k"}
+    )
+    assert v1 == 1
+    got = {r["k"]: r["v"] for r in dl.read_delta_log(spark, table).collect()}
+    assert len(got) == 100
+    for k in range(100):
+        assert got[k] == (k * 3 + k if k % 10 == 0 else k * 3), k
+    # original files all still referenced (DV mutation, not rewrite)
+    files1 = set(dl.delta_snapshot(spark, table)[0])
+    assert files0 <= files1
+    # time travel: pre-update values intact
+    old = {r["k"]: r["v"]
+           for r in dl.read_delta_log(spark, table, version=0).collect()}
+    assert old[0] == 0 and old[10] == 30
+    # second update over already-updated rows composes
+    dl.delta_update(spark, table, "k = 0", {"v": "v * 2"})
+    got2 = {r["k"]: r["v"]
+            for r in dl.read_delta_log(spark, table).collect()}
+    assert got2[0] == 0 and got2[10] == 40 and len(got2) == 100
+    # nothing matched: no commit burned
+    v_before = dl.delta_snapshot(spark, table)[2]
+    assert dl.delta_update(spark, table, "k = -5", {"v": "0L"}) == v_before
+
+
+def test_delta_update_guards_and_rewrite_path(spark, tmp_path):
+    """Wide matches take the CASE-WHEN overwrite (no DV reaches the
+    table), type drift and unknown SET columns are refused, and
+    updating a PARTITION column migrates rows across partition dirs."""
+    import pytest as _pytest
+
+    import time_series_prediction_spark.sources.deltalog as dl
+
+    table = str(tmp_path / "t")
+    df = spark.range(50).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("int").alias("p"),
+        (F.col("id") * 3).alias("v"),
+    )
+    dl.write_delta_log(df, table, mode="overwrite", partition_cols=["p"])
+    with _pytest.raises(ValueError, match="not in the table"):
+        dl.delta_update(spark, table, "k = 1", {"nope": "1"})
+    with _pytest.raises(ValueError, match="type drift refused"):
+        dl.delta_update(spark, table, "k = 1", {"v": "'text'"})
+    # rewrite path: every row matches, max_dv_rows forces overwrite
+    dl.delta_update(
+        spark, table, "k >= 0", {"v": "v + 1"}, max_dv_rows=5
+    )
+    files, *_ = dl.delta_snapshot(spark, table)
+    assert not any(a.get("deletionVector") for a in files.values())
+    got = {r["k"]: r["v"] for r in dl.read_delta_log(spark, table).collect()}
+    assert got == {k: k * 3 + 1 for k in range(50)}
+    # partition-column update: rows migrate dirs, values correct
+    dl.delta_update(
+        spark, table, "k < 10", {"p": "CAST(3 AS INT)"}
+    )
+    out = dl.read_delta_log(spark, table)
+    assert out.where("p = 3").count() == 10
+    assert out.count() == 50
+
+
+def test_delta_update_column_mapped(spark, tmp_path):
+    """UPDATE on a column-mapping 'name' table: the predicate and SET
+    run against logical names, updated rows land under physical names,
+    and the mapped reader sees the new values."""
+    import json as _json
+
+    import time_series_prediction_spark.sources.deltalog as dl
+
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-aaa"}},
+            {"name": "v", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-bbb"}},
+        ],
+    }
+    _write_parquet(
+        spark, os.path.join(table, "A.parquet"),
+        [(i, i * 3) for i in range(20)], "`col-aaa` long, `col-bbb` long",
+    )
+    meta = _meta(_json.dumps(schema))
+    meta["metaData"]["configuration"] = {
+        "delta.columnMapping.mode": "name",
+        "delta.columnMapping.maxColumnId": "2",
+    }
+    _commit(table, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        meta,
+        _add("A.parquet"),
+    ])
+    dl.delta_update(spark, table, "k % 5 = 0", {"v": "v - k"})
+    got = {r["k"]: r["v"] for r in dl.read_delta_log(spark, table).collect()}
+    assert len(got) == 20
+    for k in range(20):
+        assert got[k] == (k * 2 if k % 5 == 0 else k * 3), k
+    # the landed update file carries PHYSICAL column names
+    files, *_ = dl.delta_snapshot(spark, table)
+    new_rel = [r for r in files if r != "A.parquet"]
+    assert new_rel
+    import pyarrow.parquet as _pq
+
+    names = set()
+    for rel in new_rel:
+        names |= set(
+            _pq.read_schema(os.path.join(table, rel)).names
+        )
+    assert names <= {"col-aaa", "col-bbb"}

@@ -1261,6 +1261,84 @@ GROUP BY o_orderstatus
 """
 
 
+_DELTA_UPDATE_SPEC = "delta-orders-update|v1|13bump|37status"
+
+
+def orders_delta_update_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Native-log Delta UPDATE (``sources/deltalog.delta_update`` —
+    the DML triad's third leg beside DELETE and MERGE): v1 bumps %13
+    keys' price by 11111 cents via deletion vectors + re-inserted
+    images, v2 moves %37 keys to o_orderstatus 'X' — a PARTITION
+    COLUMN update, so those rows migrate partition directories inside
+    one commit. The head scan must show each updated row exactly once
+    with both effects composed (%481 keys took both updates); the key
+    checksum pins row identity."""
+    from time_series_prediction_spark.sources.deltalog import (
+        delta_update,
+        write_delta_log,
+    )
+    from time_series_prediction_spark.sources.io import read_delta
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    root = os.path.join(tempfile.gettempdir(), "tsp_layouts")
+    fs = fs_for(spark, root)
+    st = fs.status(src)
+    if st is None:
+        raise FileNotFoundError(src)
+    ident = f"{fs.qualified(src)}|{st[0]}|{st[1]}|{_DELTA_UPDATE_SPEC}"
+    key = hashlib.md5(ident.encode()).hexdigest()[:16]
+    path = os.path.join(root, f"orders_deltaupdate_{key}")
+
+    def _build(tmp: str) -> None:
+        data = os.path.join(tmp, "data")
+        write_delta_log(
+            _orders_state(spark, sf_dir), data, mode="overwrite",
+            partition_cols=["o_orderstatus"],
+        )
+        delta_update(
+            spark, data, "o_orderkey % 13 = 0",
+            {"price_cents": "price_cents + 11111"},
+        )
+        delta_update(
+            spark, data, "o_orderkey % 37 = 0",
+            {"o_orderstatus": "'X'"},
+        )
+
+    ensure_artifact(spark, path, ident, _build)
+    return (
+        read_delta(spark, os.path.join(path, "data"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("price_cents").cast("long").alias("total_cents"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        )
+    )
+
+
+ORDERS_DELTA_UPDATE_SQL = """
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+upd AS (
+  SELECT k,
+         CASE WHEN k % 37 = 0 THEN 'X' ELSE st END AS st,
+         CASE WHEN k % 13 = 0 THEN cents + 11111 ELSE cents END AS cents
+  FROM base
+)
+SELECT st AS o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST(sum(k) AS BIGINT) AS key_sum
+FROM upd
+GROUP BY st
+"""
+
+
 _DELTA_SPEC = "delta-orders|v1|3|101|native-log"
 
 
@@ -2301,6 +2379,10 @@ TABLE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "orders_delta_dv_scan": (
         orders_delta_dv_scan,
         ORDERS_DELTA_DV_SQL,
+    ),
+    "orders_delta_update_scan": (
+        orders_delta_update_scan,
+        ORDERS_DELTA_UPDATE_SQL,
     ),
     "orders_delta_merge_scan": (
         orders_delta_merge_scan,

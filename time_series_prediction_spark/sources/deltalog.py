@@ -1836,6 +1836,165 @@ def _delta_merge_once(
         updates.unpersist()
 
 
+def _check_update_types(out_schema: StructType, schema: StructType) -> None:
+    tbl_types = {f.name: f.dataType for f in schema.fields}
+    for f in out_schema.fields:
+        if f.dataType != tbl_types[f.name]:
+            raise ValueError(
+                f"UPDATE SET {f.name!r} yields "
+                f"{f.dataType.simpleString()}, the table declares "
+                f"{tbl_types[f.name].simpleString()} — cast the SET "
+                "expression explicitly (silent type drift refused)"
+            )
+
+
+def delta_update(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    set_exprs: dict[str, str],
+    max_dv_rows: int = 500_000,
+    max_total_dv_rows: int | None = 1_000_000,
+    max_retries: int = 3,
+) -> int:
+    """UPDATE ... SET for the native Delta table — the third leg of
+    the DML triad beside ``delta_delete`` and ``delta_merge``:
+    rows WHERE ``predicate`` is TRUE are hidden by deletion-vector
+    positions and their updated images (every SET expression evaluated
+    against the ORIGINAL row, standard SQL UPDATE semantics) land as
+    new files — BOTH in ONE commit, so a reader sees the old rows or
+    the new, never a mix. SET expressions and the predicate are
+    written against LOGICAL column names (column mapping 'name'/'id'
+    handled by the scan and the physical-named landing); a SET whose
+    result type differs from the table's declared type is refused
+    rather than silently coerced.
+
+    Same guards as DELETE/MERGE: a match wider than ``max_dv_rows``
+    commits as a whole-table CASE-WHEN overwrite instead of a
+    metadata-busting DV; cumulative positions past
+    ``max_total_dv_rows`` trigger the automatic ``delta_optimize``;
+    version races re-plan and retry. Matched count is computed
+    distributed FIRST (one row per touched file reaches the driver).
+    Returns the committed version (unchanged when nothing matched)."""
+    return _retry_conflicts(
+        lambda: _delta_update_once(
+            spark, path, predicate, set_exprs, max_dv_rows,
+            max_total_dv_rows,
+        ),
+        max_retries,
+    )
+
+
+def _delta_update_once(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    set_exprs: dict[str, str],
+    max_dv_rows: int,
+    max_total_dv_rows: int | None,
+) -> int:
+    from pyspark import StorageLevel
+
+    files, meta, v, _txns, protocol = delta_snapshot(spark, path)
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    mapping = _column_mapping(meta, schema)
+    part_cols = list(meta.get("partitionColumns") or [])
+    fs = fs_for(spark, path)
+    tbl_cols = [f.name for f in schema.fields]
+    bad = [c for c in set_exprs if c not in tbl_cols]
+    if bad:
+        raise ValueError(f"UPDATE SET columns {bad} not in the table")
+    if not files or not set_exprs:
+        return v
+    existing: dict[str, list[int]] = {
+        rel: _dv_positions(fs, path, add["deletionVector"])
+        for rel, add in files.items()
+        if add.get("deletionVector")
+    }
+    scan = _scan_files(
+        spark, path, files, schema, part_cols, mapping,
+        positions=existing or None, keep_meta=True,
+        field_ids=_column_field_ids(meta, schema) or None,
+    )
+    matched_rows = scan.where(predicate).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        per_file = {
+            r["_fp"]: r["n"]
+            for r in matched_rows.groupBy("_fp")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        total = sum(per_file.values())
+        if total == 0:
+            return v  # nothing matched: no commit burned
+        if total > max_dv_rows:
+            # rewrite-shaped update: one CASE-WHEN pass over the whole
+            # table, overwrite-committed — no DV of this size ever
+            # reaches the table state (the DELETE/MERGE trade)
+            cur = read_delta_log(spark, path)
+            pred = F.coalesce(F.expr(predicate), F.lit(False))
+            rewritten = cur.select(
+                *[
+                    F.when(pred, F.expr(set_exprs[c]))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    if c in set_exprs
+                    else F.col(c)
+                    for c in tbl_cols
+                ]
+            )
+            _check_update_types(rewritten.schema, schema)
+            return write_delta_log(
+                rewritten, path, mode="overwrite",
+                partition_cols=part_cols,
+            )
+        updated = matched_rows.select(
+            *[
+                F.expr(set_exprs[c]).alias(c)
+                if c in set_exprs
+                else F.col(c)
+                for c in tbl_cols
+            ]
+        )
+        _check_update_types(updated.schema, schema)
+        hits = _collect_position_hits(
+            spark, path, matched_rows.select("_fp", "_ri"), files,
+            existing,
+        )
+        descs = _write_dv_sidecar(fs, path, hits)
+        land_df, land_parts = _rename_physical(
+            updated, meta, schema, part_cols
+        )
+        base, new_files = _land_batch(spark, fs, land_df, path, land_parts)
+        stats = _stats_for_files(
+            new_files,
+            [c for c in land_df.columns if c not in land_parts],
+            base,
+        )
+        actions: list[dict] = []
+        upgrade = _dv_upgrade_protocol(protocol)
+        if upgrade is not None:
+            actions.append({"protocol": upgrade})
+        actions.extend(_dv_readd_actions(files, hits, descs))
+        actions.extend(_adds_for_files(fs, base, new_files, True, stats))
+        _commit_json(fs, path, v + 1, actions, op="UPDATE")
+        _maybe_auto_checkpoint(spark, path, v + 1)
+        cumulative = sum(
+            len(hits[rel]) if rel in hits else len(existing.get(rel, ()))
+            for rel in set(files) | set(hits)
+        )
+        if (
+            max_total_dv_rows is not None
+            and cumulative > max_total_dv_rows
+        ):
+            return delta_optimize(spark, path)
+        return v + 1
+    finally:
+        matched_rows.unpersist()
+
+
 def _dv_absolute(desc: dict, table_path: str) -> dict:
     """Re-point a relative ('u') deletion-vector descriptor at its
     ABSOLUTE sidecar path ('p') so it stays readable from another
