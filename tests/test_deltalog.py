@@ -2769,3 +2769,78 @@ def test_delta_update_column_mapped(spark, tmp_path):
             _pq.read_schema(os.path.join(table, rel)).names
         )
     assert names <= {"col-aaa", "col-bbb"}
+
+
+def test_check_constraints_gate_every_writer(spark, tmp_path):
+    """ADD CONSTRAINT records delta.constraints.* + the writer-only
+    protocol feature (readers untouched), every write surface
+    (append, merge, update) refuses violating batches with the
+    constraint named, conforming writes land, and DROP CONSTRAINT
+    lifts the gate."""
+    import pytest as _pytest
+
+    import time_series_prediction_spark.sources.deltalog as dl
+
+    table = str(tmp_path / "t")
+    df = spark.range(1, 21).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    dl.write_delta_log(df, table, mode="overwrite")
+    v = dl.delta_add_constraint(spark, table, "v_pos", "v > 0")
+    assert v == 1
+    _f, meta, _v, _t, proto = dl.delta_snapshot(spark, table)
+    assert meta["configuration"]["delta.constraints.v_pos"] == "v > 0"
+    assert proto["minWriterVersion"] == 3
+    assert int(proto.get("minReaderVersion", 1)) == 1  # readers untouched
+
+    bad = spark.createDataFrame([(100, -1)], "k long, v long")
+    with _pytest.raises(ValueError, match="v_pos"):
+        dl.write_delta_log(bad, table, mode="append")
+    with _pytest.raises(ValueError, match="v_pos"):
+        dl.delta_merge(spark, table, bad, key="k")
+    with _pytest.raises(ValueError, match="v_pos"):
+        dl.delta_update(spark, table, "k = 1", {"v": "-5L"})
+    # NULL result passes (SQL CHECK semantics), TRUE passes
+    ok = spark.createDataFrame([(101, 7), (102, None)], "k long, v long")
+    dl.write_delta_log(ok, table, mode="append")
+    assert dl.read_delta_log(spark, table).count() == 22
+
+    # a second constraint on existing data must VALIDATE it first
+    with _pytest.raises(ValueError, match="existing table data"):
+        dl.delta_add_constraint(spark, table, "k_small", "k < 50")
+    with _pytest.raises(ValueError, match="already exists"):
+        dl.delta_add_constraint(spark, table, "v_pos", "v > 1")
+
+    dl.delta_drop_constraint(spark, table, "v_pos")
+    with _pytest.raises(ValueError, match="no constraint"):
+        dl.delta_drop_constraint(spark, table, "v_pos")
+    dl.write_delta_log(bad, table, mode="append")  # gate lifted
+    assert dl.read_delta_log(spark, table).count() == 23
+
+
+def test_check_constraint_on_feature_protocol_table(spark, tmp_path):
+    """On a table already carrying v3/v7 feature protocols (a DV
+    write), ADD CONSTRAINT unions checkConstraints into
+    writerFeatures without perturbing reader fields or existing
+    features; the update path enforces through the DV machinery."""
+    import pytest as _pytest
+
+    import time_series_prediction_spark.sources.deltalog as dl
+
+    table = str(tmp_path / "t")
+    df = spark.range(30).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    dl.write_delta_log(df, table, mode="overwrite")
+    dl.delta_delete(spark, table, "k = 29")  # protocol -> v3/v7
+    dl.delta_add_constraint(spark, table, "v_even", "v % 2 = 0")
+    _f, _m, _v, _t, proto = dl.delta_snapshot(spark, table)
+    assert proto["minReaderVersion"] == 3
+    assert "checkConstraints" in proto["writerFeatures"]
+    assert "deletionVectors" in proto["writerFeatures"]
+    assert "deletionVectors" in proto["readerFeatures"]
+    with _pytest.raises(ValueError, match="v_even"):
+        dl.delta_update(spark, table, "k = 1", {"v": "v + 1"})
+    dl.delta_update(spark, table, "k = 1", {"v": "v + 2"})
+    got = {r["k"]: r["v"] for r in dl.read_delta_log(spark, table).collect()}
+    assert got[1] == 4 and 29 not in got

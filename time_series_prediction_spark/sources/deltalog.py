@@ -1236,6 +1236,12 @@ def write_delta_log(
                         **(prev_meta.get("configuration") or {}),
                         "delta.columnMapping.maxColumnId": str(max_id),
                     }
+    if next_v > 0:
+        # CHECK constraints gate every batch into an existing table
+        # (delta.constraints.* — one conditional-aggregate pass)
+        _enforce_constraints(
+            df, _table_constraints(prev_meta), f"{mode} batch"
+        )
     land_df = df
     land_parts = part_cols
     if mapping:
@@ -1374,6 +1380,150 @@ def _dv_upgrade_protocol(protocol: dict) -> dict | None:
     """First-DV-write protocol upgrade (see
     ``_feature_upgrade_protocol``)."""
     return _feature_upgrade_protocol(protocol, "deletionVectors")
+
+
+def _writer_feature_upgrade(
+    protocol: dict, feature: str, legacy_w: int
+) -> dict | None:
+    """Protocol action for a WRITER-ONLY feature (checkConstraints,
+    appendOnly, …): readers are never gated, so minReaderVersion must
+    NOT move (the readerWriter helper above would bump it to 3 and
+    lock out v1 readers for no reason). Legacy-versioned tables bump
+    ``minWriterVersion`` to the feature's legacy version; tables
+    already on writer v7 union the feature name into
+    ``writerFeatures``. ``None`` when the table already declares
+    it."""
+    cur_w = int(protocol.get("minWriterVersion", 2))
+    if cur_w >= 7:
+        wfeat = set(protocol.get("writerFeatures") or [])
+        if feature in wfeat:
+            return None
+        return {**protocol, "writerFeatures": sorted(wfeat | {feature})}
+    if cur_w >= legacy_w:
+        return None  # the legacy version already implies the feature
+    return {**protocol, "minWriterVersion": legacy_w}
+
+
+_CONSTRAINT_PREFIX = "delta.constraints."
+
+
+def _table_constraints(meta: dict) -> dict[str, str]:
+    """name → CHECK expression from the table configuration (the
+    protocol's constraint storage: ``delta.constraints.<name>``)."""
+    conf = meta.get("configuration") or {}
+    return {
+        k[len(_CONSTRAINT_PREFIX):]: v
+        for k, v in conf.items()
+        if k.startswith(_CONSTRAINT_PREFIX)
+    }
+
+
+def _enforce_constraints(
+    df: DataFrame, constraints: dict[str, str], ctx: str
+) -> None:
+    """Refuse ``df`` if any row violates any CHECK constraint —
+    standard SQL CHECK semantics (a NULL result passes, only FALSE
+    violates). ALL constraints are counted in ONE conditional
+    aggregate over the batch (map-side combine — one extra reduce per
+    commit, never one job per constraint)."""
+    if not constraints:
+        return
+    names = sorted(constraints)
+    try:
+        row = df.agg(
+            *[
+                F.sum(
+                    F.when(
+                        ~F.coalesce(
+                            F.expr(constraints[n]).cast("boolean"),
+                            F.lit(True),
+                        ),
+                        1,
+                    ).otherwise(0)
+                ).alias(f"_c{i}")
+                for i, n in enumerate(names)
+            ]
+        ).first()
+    except Exception as e:  # noqa: BLE001 — name the constraint
+        raise ValueError(
+            f"CHECK constraint(s) {names} failed to analyze against "
+            f"the {ctx} (a column the expression needs is missing or "
+            f"mistyped?): {e}"
+        ) from e
+    bad = {
+        n: int(row[f"_c{i}"])
+        for i, n in enumerate(names)
+        if (row[f"_c{i}"] or 0) > 0
+    }
+    if bad:
+        raise ValueError(
+            f"CHECK constraint violation on the {ctx}: "
+            + ", ".join(
+                f"{n!r} ({constraints[n]}) fails on {c} row(s)"
+                for n, c in sorted(bad.items())
+            )
+            + " — fix the data or drop the constraint"
+        )
+
+
+def delta_add_constraint(
+    spark: SparkSession, path: str, name: str, expr: str
+) -> int:
+    """ALTER TABLE ADD CONSTRAINT ``name`` CHECK (``expr``) for the
+    native Delta table: validates the EXISTING data first (one
+    conditional-aggregate scan — Delta's own ADD CONSTRAINT contract:
+    a constraint the current table violates is refused, never
+    recorded), then commits the expression into the table
+    configuration (``delta.constraints.<name>``) plus the
+    checkConstraints WRITER feature (legacy minWriterVersion 3;
+    readers are untouched). Every subsequent append/overwrite/MERGE/
+    UPDATE through this module refuses batches that violate it."""
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+        raise ValueError(f"constraint name {name!r} must be an identifier")
+    files, meta, v, _txns, protocol = delta_snapshot(spark, path)
+    if f"{_CONSTRAINT_PREFIX}{name}" in (meta.get("configuration") or {}):
+        raise ValueError(f"constraint {name!r} already exists")
+    _enforce_constraints(
+        read_delta_log(spark, path), {name: expr}, "existing table data"
+    )
+    new_meta = {
+        **meta,
+        "configuration": {
+            **(meta.get("configuration") or {}),
+            f"{_CONSTRAINT_PREFIX}{name}": expr,
+        },
+    }
+    actions: list[dict] = []
+    up = _writer_feature_upgrade(protocol, "checkConstraints", 3)
+    if up is not None:
+        actions.append({"protocol": up})
+    actions.append({"metaData": new_meta})
+    fs = fs_for(spark, path)
+    _commit_json(fs, path, v + 1, actions, op="ADD CONSTRAINT")
+    _maybe_auto_checkpoint(spark, path, v + 1)
+    return v + 1
+
+
+def delta_drop_constraint(
+    spark: SparkSession, path: str, name: str
+) -> int:
+    """ALTER TABLE DROP CONSTRAINT: removes the configuration entry
+    (raises on an unknown name — a silently 'dropped' typo would leave
+    the real constraint enforcing)."""
+    _files, meta, v, _txns, _proto = delta_snapshot(spark, path)
+    conf = dict(meta.get("configuration") or {})
+    key = f"{_CONSTRAINT_PREFIX}{name}"
+    if key not in conf:
+        raise ValueError(f"no constraint named {name!r} on this table")
+    conf.pop(key)
+    fs = fs_for(spark, path)
+    _commit_json(
+        fs, path, v + 1,
+        [{"metaData": {**meta, "configuration": conf}}],
+        op="DROP CONSTRAINT",
+    )
+    _maybe_auto_checkpoint(spark, path, v + 1)
+    return v + 1
 
 
 def _rename_physical(
@@ -1759,6 +1909,9 @@ def _delta_merge_once(
                 "update batch carries duplicate keys — a multi-match "
                 "merge is ambiguous; dedup upstream"
             )
+        _enforce_constraints(
+            updates, _table_constraints(meta), "merge batch"
+        )
         existing: dict[str, list[int]] = {
             rel: _dv_positions(fs, path, add["deletionVector"])
             for rel, add in files.items()
@@ -1959,6 +2112,9 @@ def _delta_update_once(
             ]
         )
         _check_update_types(updated.schema, schema)
+        _enforce_constraints(
+            updated, _table_constraints(meta), "update images"
+        )
         hits = _collect_position_hits(
             spark, path, matched_rows.select("_fp", "_ri"), files,
             existing,
