@@ -452,7 +452,35 @@ def part_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata-sized edge list. At 100 TB the only full-fact-table cost
     is the scan + one aggregate; for heavy-tailed full-graph variants
     swap the id order for (degree, id) orientation — same plan shape,
-    bounded forward adjacency."""
+    bounded forward adjacency.
+
+    The per-node triangle table is a materialized view keyed on the
+    lineitem source fingerprint (the pagerank / association-rule
+    treatment): panel selection + pair explosion + closure joins run
+    once per source state; later calls read the tiny parquet back and
+    pay only the sort-limit."""
+    import os
+
+    from time_series_prediction_spark.operators.mview import (
+        refresh_if_stale,
+    )
+
+    tri, _ = refresh_if_stale(
+        spark,
+        "part_triangles",
+        lambda s: _triangle_table(s, sf_dir),
+        [os.path.join(sf_dir, "lineitem.parquet")],
+    )
+    return (
+        tri.orderBy(F.desc("n_triangles"), F.asc("part_key"))
+        .limit(20)
+        .select("part_key", "degree", "n_triangles", "clustering")
+    )
+
+
+def _triangle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full per-node (part_key, degree, n_triangles, clustering)
+    table — the mview build body."""
     from time_series_prediction_spark.operators.materialize import (
         materialize,
     )
@@ -517,19 +545,14 @@ def part_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )
-    return (
-        members.join(deg, "node")
-        .select(
-            F.col("node").cast("long").alias("part_key"),
-            "degree",
-            "n_triangles",
-            F.expr(
-                "CAST(2 * n_triangles AS DOUBLE)"
-                " / CAST(degree * (degree - 1) AS DOUBLE)"
-            ).alias("clustering"),
-        )
-        .orderBy(F.desc("n_triangles"), F.asc("part_key"))
-        .limit(20)
+    return members.join(deg, "node").select(
+        F.col("node").cast("long").alias("part_key"),
+        "degree",
+        "n_triangles",
+        F.expr(
+            "CAST(2 * n_triangles AS DOUBLE)"
+            " / CAST(degree * (degree - 1) AS DOUBLE)"
+        ).alias("clustering"),
     )
 
 
