@@ -2844,3 +2844,58 @@ def test_check_constraint_on_feature_protocol_table(spark, tmp_path):
     dl.delta_update(spark, table, "k = 1", {"v": "v + 2"})
     got = {r["k"]: r["v"] for r in dl.read_delta_log(spark, table).collect()}
     assert got[1] == 4 and 29 not in got
+
+
+def test_generated_columns_compute_validate_and_update(spark, tmp_path):
+    """GENERATED ALWAYS AS: declaring validates existing data; appends
+    OMITTING the column get it computed (including a generated
+    PARTITION column); appends carrying wrong values are refused;
+    UPDATE recomputes generated columns from the post-SET row and
+    refuses SETting them directly; protocol gains the writer-only
+    generatedColumns feature."""
+    import pytest as _pytest
+
+    import time_series_prediction_spark.sources.deltalog as dl
+
+    table = str(tmp_path / "t")
+    df = spark.range(10).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("v"),
+        (F.col("id") % 3).cast("int").alias("bucket"),
+    )
+    dl.write_delta_log(df, table, mode="overwrite", partition_cols=["bucket"])
+    with _pytest.raises(ValueError, match="disagree"):
+        dl.delta_set_generated_column(spark, table, "bucket", "CAST(k % 4 AS INT)")
+    v = dl.delta_set_generated_column(spark, table, "bucket", "CAST(k % 3 AS INT)")
+    _f, _m, _v, _t, proto = dl.delta_snapshot(spark, table)
+    assert proto["minWriterVersion"] == 4
+    assert int(proto.get("minReaderVersion", 1)) == 1
+
+    # append WITHOUT the generated partition column: computed + landed
+    dl.write_delta_log(
+        spark.createDataFrame([(100, 7), (101, 9)], "k long, v long"),
+        table, mode="append", partition_cols=["bucket"],
+    )
+    got = {r["k"]: r["bucket"] for r in dl.read_delta_log(spark, table).collect()}
+    assert got[100] == 100 % 3 and got[101] == 101 % 3 and len(got) == 12
+    # append CARRYING a wrong value: refused, named
+    bad = spark.createDataFrame([(200, 1, 0)], "k long, v long, bucket int")
+    with _pytest.raises(ValueError, match="generated-column mismatch"):
+        dl.write_delta_log(bad, table, mode="append", partition_cols=["bucket"])
+    # merge omitting the generated column computes it too
+    dl.delta_merge(
+        spark, table,
+        spark.createDataFrame([(100, 70)], "k long, v long"),
+        key="k",
+    )
+    got = {r["k"]: (r["v"], r["bucket"])
+           for r in dl.read_delta_log(spark, table).collect()}
+    assert got[100] == (70, 1)
+    # UPDATE: SET an input -> generated col recomputes; SET the
+    # generated col itself -> refused
+    with _pytest.raises(ValueError, match="generated column"):
+        dl.delta_update(spark, table, "k = 100", {"bucket": "2"})
+    dl.delta_update(spark, table, "k = 100", {"k": "102L"})
+    got = {r["k"]: r["bucket"] for r in dl.read_delta_log(spark, table).collect()}
+    assert 100 not in got and got[102] == 0
+    assert v == 1

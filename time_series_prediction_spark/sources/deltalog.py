@@ -1139,6 +1139,10 @@ def write_delta_log(
             json.loads(prev_meta["schemaString"])
         )
         mapping = _column_mapping(prev_meta, prev_schema)
+        # generated columns: compute the missing, validate the present
+        # — BEFORE the schema discipline, so a batch legitimately
+        # omitting a generated column is never refused as drift
+        df = _apply_generated_columns(df, prev_schema, f"{mode} batch")
         prev_f = {f.name: f.dataType for f in prev_schema.fields}
         new_f = {f.name: f.dataType for f in df.schema.fields}
         if prev_f != new_f:
@@ -1464,6 +1468,123 @@ def _enforce_constraints(
             )
             + " — fix the data or drop the constraint"
         )
+
+
+_GEN_EXPR_KEY = "delta.generationExpression"
+
+
+def _generated_columns(schema: StructType) -> dict[str, str]:
+    """column → generation expression (``delta.generationExpression``
+    field metadata, the protocol's generated-column storage)."""
+    out: dict[str, str] = {}
+    for f in schema.fields:
+        md = f.metadata or {}
+        if _GEN_EXPR_KEY in md:
+            out[f.name] = md[_GEN_EXPR_KEY]
+    return out
+
+
+def _apply_generated_columns(
+    df: DataFrame, schema: StructType, ctx: str
+) -> DataFrame:
+    """The generated-column writer contract: a batch MISSING a
+    generated column gets it computed (the classic use — a partition
+    date derived from a timestamp the writer never has to supply); a
+    batch CARRYING one is validated cell-by-cell against the
+    expression (one conditional aggregate, null-safe equality) and
+    refused on any mismatch — a writer landing values that disagree
+    with the declared expression would silently poison every reader
+    that trusts it (Delta's own writer requirement)."""
+    gen = _generated_columns(schema)
+    if not gen:
+        return df
+    types = {f.name: f.dataType for f in schema.fields}
+    present = [c for c in gen if c in df.columns]
+    for c in gen:
+        if c not in df.columns:
+            df = df.withColumn(c, F.expr(gen[c]).cast(types[c]))
+    if present:
+        row = df.agg(
+            *[
+                F.sum(
+                    F.when(
+                        ~F.col(c).eqNullSafe(
+                            F.expr(gen[c]).cast(types[c])
+                        ),
+                        1,
+                    ).otherwise(0)
+                ).alias(f"_g{i}")
+                for i, c in enumerate(present)
+            ]
+        ).first()
+        bad = {
+            c: int(row[f"_g{i}"])
+            for i, c in enumerate(present)
+            if (row[f"_g{i}"] or 0) > 0
+        }
+        if bad:
+            raise ValueError(
+                f"generated-column mismatch on the {ctx}: "
+                + ", ".join(
+                    f"{c!r} != ({gen[c]}) on {n} row(s)"
+                    for c, n in sorted(bad.items())
+                )
+                + " — drop the column from the batch (it is computed) "
+                "or fix the values"
+            )
+    return df
+
+
+def delta_set_generated_column(
+    spark: SparkSession, path: str, name: str, expr: str
+) -> int:
+    """Declare an EXISTING column as generated (``GENERATED ALWAYS AS
+    (expr)``): validates the current data first (every stored value
+    must already equal the expression — declaring a lie is refused),
+    then commits the expression into the column's field metadata plus
+    the generatedColumns WRITER feature (legacy minWriterVersion 4;
+    readers untouched). Subsequent appends may omit the column (it is
+    computed — including partition columns, the derive-the-date-dir
+    use) and are validated when they carry it."""
+    _files, meta, v, _txns, protocol = delta_snapshot(spark, path)
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    names = [f.name for f in schema.fields]
+    if name not in names:
+        raise ValueError(f"column {name!r} not in the table schema")
+    cur = read_delta_log(spark, path)
+    ftype = dict((f.name, f.dataType) for f in schema.fields)[name]
+    n_bad = cur.where(
+        ~F.col(name).eqNullSafe(F.expr(expr).cast(ftype))
+    ).count()
+    if n_bad:
+        raise ValueError(
+            f"cannot declare {name!r} GENERATED AS ({expr}): "
+            f"{n_bad} existing row(s) disagree with the expression"
+        )
+    from pyspark.sql.types import StructField
+
+    new_schema = StructType(
+        [
+            StructField(
+                f.name, f.dataType, f.nullable,
+                {**(f.metadata or {}), _GEN_EXPR_KEY: expr}
+                if f.name == name
+                else f.metadata,
+            )
+            for f in schema.fields
+        ]
+    )
+    actions: list[dict] = []
+    up = _writer_feature_upgrade(protocol, "generatedColumns", 4)
+    if up is not None:
+        actions.append({"protocol": up})
+    actions.append(
+        {"metaData": {**meta, "schemaString": new_schema.json()}}
+    )
+    fs = fs_for(spark, path)
+    _commit_json(fs, path, v + 1, actions, op="SET GENERATED")
+    _maybe_auto_checkpoint(spark, path, v + 1)
+    return v + 1
 
 
 def delta_add_constraint(
@@ -1886,6 +2007,7 @@ def _delta_merge_once(
     mapping = _column_mapping(meta, schema)
     part_cols = list(meta.get("partitionColumns") or [])
     fs = fs_for(spark, path)
+    updates = _apply_generated_columns(updates, schema, "merge batch")
     tbl_f = {f.name: f.dataType for f in schema.fields}
     upd_f = {f.name: f.dataType for f in updates.schema.fields}
     if tbl_f != upd_f:
@@ -2054,9 +2176,18 @@ def _delta_update_once(
     part_cols = list(meta.get("partitionColumns") or [])
     fs = fs_for(spark, path)
     tbl_cols = [f.name for f in schema.fields]
+    tbl_types = {f.name: f.dataType for f in schema.fields}
     bad = [c for c in set_exprs if c not in tbl_cols]
     if bad:
         raise ValueError(f"UPDATE SET columns {bad} not in the table")
+    gen = _generated_columns(schema)
+    gen_set = sorted(set(set_exprs) & set(gen))
+    if gen_set:
+        raise ValueError(
+            f"cannot UPDATE generated column(s) {gen_set} directly — "
+            "they are computed from their expressions; SET the input "
+            "columns instead"
+        )
     if not files or not set_exprs:
         return v
     existing: dict[str, list[int]] = {
@@ -2098,6 +2229,11 @@ def _delta_update_once(
                     for c in tbl_cols
                 ]
             )
+            for c, ge in gen.items():
+                # generated columns recompute from the post-SET row
+                rewritten = rewritten.withColumn(
+                    c, F.expr(ge).cast(tbl_types[c])
+                )
             _check_update_types(rewritten.schema, schema)
             return write_delta_log(
                 rewritten, path, mode="overwrite",
@@ -2111,6 +2247,8 @@ def _delta_update_once(
                 for c in tbl_cols
             ]
         )
+        for c, ge in gen.items():
+            updated = updated.withColumn(c, F.expr(ge).cast(tbl_types[c]))
         _check_update_types(updated.schema, schema)
         _enforce_constraints(
             updated, _table_constraints(meta), "update images"
