@@ -288,3 +288,69 @@ def test_cow_read_path_plans_are_clean(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
         assert "CartesianProduct" not in plan, fn.__name__
         assert plan.count("Exchange") <= 1, (fn.__name__, plan)
+
+
+def test_bm25_scoring_pass_is_pure_map(spark, sf_dir):
+    """BM25's corpus scoring pass must be a scan + 1-row broadcast +
+    TakeOrdered: the ONLY exchange allowed is the corpus-stats reduce
+    to one row, and tokenization must never explode-shuffle."""
+    from time_series_prediction_spark.plans.text_queries3 import (
+        doc_bm25_topk,
+    )
+
+    plan = _plan(doc_bm25_topk(spark, sf_dir))
+    # zero wide shuffles: the only exchanges are the 1-row stats
+    # reduce (SinglePartition) and the idf broadcast
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+    # the corpus side never token-explodes; the one Generate in the
+    # plan is the 4-row term unpivot on the stats row
+    assert plan.count("Generate") <= 1
+
+
+def test_top_paths_single_window_pass(spark, sf_dir):
+    """Trigram mining is ONE (user_id) shuffle for the window pass +
+    the tiny-keyspace aggregate — never a self-join on ranks."""
+    from time_series_prediction_spark.plans.journey_queries import (
+        events_top_paths,
+    )
+
+    plan = _plan(events_top_paths(spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_triangle_panel_prunes_before_pair_explosion(spark, sf_dir):
+    """The triangle build must broadcast-prune the fact table to the
+    panel BEFORE any pair self-join — a shuffle join against the raw
+    fact table here would be the quadratic shape the panel exists to
+    prevent. (Asserted on the pre-checkpoint edge plan: the
+    materialize() inside _triangle_table hides it from the final
+    plan.)"""
+    from pyspark.sql import functions as F
+
+    from time_series_prediction_spark.plans.graph_queries import (
+        _TRI_PANEL,
+    )
+    from time_series_prediction_spark.sources.io import read_table
+
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    top = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("l_partkey"))
+        .limit(_TRI_PANEL)
+        .select(F.col("l_partkey").alias("node"))
+    )
+    sub = li.join(F.broadcast(top), li.l_partkey == top.node)
+    plan = _plan(sub)
+    assert "BroadcastHashJoin" in plan  # the 200-key panel prune
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
