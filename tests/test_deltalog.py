@@ -2899,3 +2899,95 @@ def test_generated_columns_compute_validate_and_update(spark, tmp_path):
     got = {r["k"]: r["bucket"] for r in dl.read_delta_log(spark, table).collect()}
     assert 100 not in got and got[102] == 0
     assert v == 1
+
+
+def test_append_only_table_refuses_every_mutation(spark, tmp_path):
+    """delta.appendOnly=true: DELETE / UPDATE / row-matching MERGE /
+    overwrite / RESTORE refuse; appends, pure-insert merges, and
+    dataChange=false maintenance (OPTIMIZE) stay allowed; UNSET
+    re-enables mutations."""
+    import pytest as _pytest
+
+    import time_series_prediction_spark.sources.deltalog as dl
+
+    table = str(tmp_path / "t")
+    df = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    dl.write_delta_log(df, table, mode="overwrite")
+    dl.delta_set_table_property(spark, table, "delta.appendOnly", "true")
+    for op in [
+        lambda: dl.delta_delete(spark, table, "k = 1"),
+        lambda: dl.delta_update(spark, table, "k = 1", {"v": "0L"}),
+        lambda: dl.delta_merge(
+            spark, table,
+            spark.createDataFrame([(1, 9)], "k long, v long"), key="k",
+        ),
+        lambda: dl.write_delta_log(df, table, mode="overwrite"),
+        lambda: dl.delta_restore(spark, table, 0),
+    ]:
+        with _pytest.raises(ValueError, match="append-only"):
+            op()
+    # appends and PURE-INSERT merges still land
+    dl.write_delta_log(
+        spark.createDataFrame([(100, 1)], "k long, v long"),
+        table, mode="append",
+    )
+    dl.delta_merge(
+        spark, table,
+        spark.createDataFrame([(200, 2)], "k long, v long"), key="k",
+    )
+    assert dl.read_delta_log(spark, table).count() == 12
+    dl.delta_optimize(spark, table, target_files=1)
+    assert dl.read_delta_log(spark, table).count() == 12
+    # unset lifts the gate
+    dl.delta_set_table_property(spark, table, "delta.appendOnly", None)
+    dl.delta_delete(spark, table, "k = 100")
+    assert dl.read_delta_log(spark, table).count() == 11
+
+
+def test_identity_column_assignment_and_hwm(spark, tmp_path):
+    """GENERATED ALWAYS AS IDENTITY: declaring initializes the high
+    watermark from existing data and stamps the writer-only feature;
+    appends must OMIT the column and get unique step-aligned values
+    above the watermark; the watermark advances per commit so two
+    appends never collide; explicit inserts are refused."""
+    import pytest as _pytest
+
+    import time_series_prediction_spark.sources.deltalog as dl
+
+    table = str(tmp_path / "t")
+    df = spark.range(1, 6).select(
+        F.col("id").alias("rid"), (F.col("id") * 10).alias("v")
+    )
+    dl.write_delta_log(df, table, mode="overwrite")
+    with _pytest.raises(ValueError, match="not in the table"):
+        dl.delta_set_identity_column(spark, table, "nope")
+    dl.delta_set_identity_column(spark, table, "rid", start=1, step=2)
+    _f, _m, _v, _t, proto = dl.delta_snapshot(spark, table)
+    assert proto["minWriterVersion"] == 6
+    assert int(proto.get("minReaderVersion", 1)) == 1
+
+    with _pytest.raises(ValueError, match="explicit insert"):
+        dl.write_delta_log(
+            spark.createDataFrame([(99, 1)], "rid long, v long"),
+            table, mode="append",
+        )
+    dl.write_delta_log(
+        spark.createDataFrame([(100,), (200,), (300,)], "v long"),
+        table, mode="append",
+    )
+    dl.write_delta_log(
+        spark.createDataFrame([(400,), (500,)], "v long"),
+        table, mode="append",
+    )
+    rows = dl.read_delta_log(spark, table).collect()
+    rids = [r["rid"] for r in rows]
+    assert len(rids) == len(set(rids)) == 10  # unique, nothing lost
+    new = sorted(r["rid"] for r in rows if r["v"] >= 100)
+    assert all(rid > 5 for rid in new)        # above the initial hwm
+    assert all((rid - 5) % 2 == 0 for rid in new)  # step-aligned
+    # second batch strictly above the first batch's watermark
+    b1 = {r["rid"] for r in rows if r["v"] in (100, 200, 300)}
+    b2 = {r["rid"] for r in rows if r["v"] in (400, 500)}
+    assert min(b2) > max(b1)

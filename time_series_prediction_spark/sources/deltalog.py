@@ -1120,11 +1120,14 @@ def write_delta_log(
     widen_protocol: dict | None = None
     mapping: dict[str, str] = {}
     merged: StructType | None = None
+    id_assigned: list[str] = []
     if is_delta_table(spark, path):
         prev_files, prev_meta, latest, _txns, prev_proto = delta_snapshot(
             spark, path
         )
         next_v = latest + 1
+        if mode == "overwrite":
+            _refuse_append_only(prev_meta, "overwrite")
         prev_parts = list(prev_meta.get("partitionColumns") or [])
         if part_cols != prev_parts:
             raise ValueError(
@@ -1139,10 +1142,11 @@ def write_delta_log(
             json.loads(prev_meta["schemaString"])
         )
         mapping = _column_mapping(prev_meta, prev_schema)
-        # generated columns: compute the missing, validate the present
-        # — BEFORE the schema discipline, so a batch legitimately
-        # omitting a generated column is never refused as drift
+        # generated + identity columns: compute the missing, validate
+        # the present — BEFORE the schema discipline, so a batch
+        # legitimately omitting them is never refused as drift
         df = _apply_generated_columns(df, prev_schema, f"{mode} batch")
+        df, id_assigned = _assign_identity(df, prev_schema)
         prev_f = {f.name: f.dataType for f in prev_schema.fields}
         new_f = {f.name: f.dataType for f in df.schema.fields}
         if prev_f != new_f:
@@ -1265,6 +1269,13 @@ def write_delta_log(
         [c for c in land_df.columns if c not in land_parts],
         base,
     )
+    if id_assigned and new_files:
+        # identity high watermark advances to the max actually landed
+        # (from the just-computed add.stats — zero extra jobs)
+        evolved_meta = _bump_identity_hwm(
+            evolved_meta if evolved_meta is not None else dict(prev_meta),
+            id_assigned, new_files, stats, mapping, spark,
+        )
     actions: list[dict] = []
     if txn is not None:
         # the protocol's streaming idempotence token: readers expose
@@ -1470,6 +1481,52 @@ def _enforce_constraints(
         )
 
 
+def _is_append_only(meta: dict) -> bool:
+    return (meta.get("configuration") or {}).get(
+        "delta.appendOnly", ""
+    ).lower() == "true"
+
+
+def _refuse_append_only(meta: dict, op: str) -> None:
+    if _is_append_only(meta):
+        raise ValueError(
+            f"{op} is forbidden on an append-only table "
+            "(delta.appendOnly=true) — unset the property first; "
+            "OPTIMIZE/VACUUM (dataChange=false maintenance) remain "
+            "allowed"
+        )
+
+
+def delta_set_table_property(
+    spark: SparkSession, path: str, key: str, value: str | None
+) -> int:
+    """ALTER TABLE SET/UNSET TBLPROPERTIES for the native log: commits
+    a metaData action with the configuration entry added (or removed,
+    ``value=None``). ``delta.appendOnly=true`` additionally stamps the
+    appendOnly WRITER feature (legacy minWriterVersion 2 — the
+    default, so usually no protocol action) and from then on DELETE /
+    UPDATE / row-matching MERGE / overwrite / RESTORE are refused —
+    the immutable-log contract ingest pipelines pin."""
+    _files, meta, v, _txns, protocol = delta_snapshot(spark, path)
+    conf = dict(meta.get("configuration") or {})
+    if value is None:
+        if key not in conf:
+            raise ValueError(f"property {key!r} not set on this table")
+        conf.pop(key)
+    else:
+        conf[key] = str(value)
+    actions: list[dict] = []
+    if key == "delta.appendOnly" and value is not None:
+        up = _writer_feature_upgrade(protocol, "appendOnly", 2)
+        if up is not None:
+            actions.append({"protocol": up})
+    actions.append({"metaData": {**meta, "configuration": conf}})
+    fs = fs_for(spark, path)
+    _commit_json(fs, path, v + 1, actions, op="SET TBLPROPERTIES")
+    _maybe_auto_checkpoint(spark, path, v + 1)
+    return v + 1
+
+
 _GEN_EXPR_KEY = "delta.generationExpression"
 
 
@@ -1533,6 +1590,180 @@ def _apply_generated_columns(
                 "or fix the values"
             )
     return df
+
+
+_ID_START = "delta.identity.start"
+_ID_STEP = "delta.identity.step"
+_ID_HWM = "delta.identity.highWaterMark"
+
+
+def _identity_columns(
+    schema: StructType,
+) -> dict[str, tuple[int, int, int | None]]:
+    """column → (start, step, highWaterMark|None) for GENERATED ALWAYS
+    AS IDENTITY columns (``delta.identity.*`` field metadata)."""
+    out: dict[str, tuple[int, int, int | None]] = {}
+    for f in schema.fields:
+        md = f.metadata or {}
+        if _ID_START in md:
+            hwm = md.get(_ID_HWM)
+            out[f.name] = (
+                int(md[_ID_START]),
+                int(md.get(_ID_STEP, 1)),
+                int(hwm) if hwm is not None else None,
+            )
+    return out
+
+
+def _assign_identity(
+    df: DataFrame, schema: StructType
+) -> tuple[DataFrame, list[str]]:
+    """Assign identity values to a batch: explicit inserts into an
+    identity column are refused (GENERATED ALWAYS AS IDENTITY — the
+    protocol's ``allowExplicitInsert=false`` default), missing columns
+    get ``hwm + step·(id+1)`` from ``monotonically_increasing_id`` —
+    unique and step-aligned WITH GAPS, exactly the guarantee Delta's
+    identity gives (contiguity is not promised; a gapless allocation
+    would need a global row_number shuffle, the wrong trade on a
+    100 TB append path). The real high watermark is read back from the
+    LANDED files' stats after the write (``_bump_identity_hwm``)."""
+    id_cols = _identity_columns(schema)
+    assigned: list[str] = []
+    for c, (start, step, hwm) in id_cols.items():
+        if c in df.columns:
+            raise ValueError(
+                f"explicit insert into identity column {c!r} is "
+                "refused (GENERATED ALWAYS AS IDENTITY) — drop it "
+                "from the batch, values are assigned"
+            )
+        base0 = hwm if hwm is not None else start - step
+        df = df.withColumn(
+            c,
+            (
+                F.lit(base0)
+                + (F.monotonically_increasing_id() + F.lit(1))
+                * F.lit(step)
+            ).cast("long"),
+        )
+        assigned.append(c)
+    return df, assigned
+
+
+def _bump_identity_hwm(
+    meta: dict,
+    assigned: list[str],
+    new_files: list[str],
+    stats: dict[str, str],
+    mapping: dict[str, str],
+    spark: SparkSession,
+) -> dict:
+    """metaData with each assigned identity column's highWaterMark
+    advanced to the max value actually landed — from the per-file
+    ``add.stats`` already computed for the commit (zero extra jobs);
+    one distributed max over the new files only as the fallback when a
+    file lacks stats."""
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    maxes: dict[str, int] = {}
+    need_scan = False
+    for c in assigned:
+        phys = mapping.get(c, c)
+        vals = []
+        for f in new_files:
+            s = stats.get(f)
+            if not s:
+                need_scan = True
+                break
+            mv = (json.loads(s).get("maxValues") or {}).get(phys)
+            if mv is None:
+                need_scan = True
+                break
+            vals.append(int(mv))
+        if need_scan:
+            break
+        maxes[c] = max(vals)
+    if need_scan:
+        scan = spark.read.parquet(*new_files)
+        row = scan.agg(
+            *[
+                F.max(mapping.get(c, c)).alias(c) for c in assigned
+            ]
+        ).first()
+        maxes = {c: int(row[c]) for c in assigned}
+    from pyspark.sql.types import StructField
+
+    new_schema = StructType(
+        [
+            StructField(
+                f.name, f.dataType, f.nullable,
+                {**(f.metadata or {}), _ID_HWM: maxes[f.name]}
+                if f.name in maxes
+                else f.metadata,
+            )
+            for f in schema.fields
+        ]
+    )
+    return {**meta, "schemaString": new_schema.json()}
+
+
+def delta_set_identity_column(
+    spark: SparkSession, path: str, name: str,
+    start: int = 1, step: int = 1,
+) -> int:
+    """Declare an EXISTING bigint column GENERATED ALWAYS AS IDENTITY
+    (START WITH ``start`` INCREMENT BY ``step``): records the
+    ``delta.identity.*`` field metadata plus the identityColumns
+    WRITER feature (legacy minWriterVersion 6; readers untouched).
+    The high watermark initializes from the column's current max (the
+    existing values keep their meaning); subsequent appends must OMIT
+    the column and get unique step-aligned values assigned."""
+    if step == 0:
+        raise ValueError("identity step must be non-zero")
+    _files, meta, v, _txns, protocol = delta_snapshot(spark, path)
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    field = next((f for f in schema.fields if f.name == name), None)
+    if field is None:
+        raise ValueError(f"column {name!r} not in the table schema")
+    if field.dataType.simpleString() != "bigint":
+        raise ValueError(
+            f"identity column {name!r} must be bigint, is "
+            f"{field.dataType.simpleString()}"
+        )
+    if _GEN_EXPR_KEY in (field.metadata or {}):
+        raise ValueError(
+            f"{name!r} already carries a generation expression — a "
+            "column cannot be both generated and identity"
+        )
+    cur_max = read_delta_log(spark, path).agg(F.max(name)).first()[0]
+    hwm = int(cur_max) if cur_max is not None else start - step
+    from pyspark.sql.types import StructField
+
+    new_schema = StructType(
+        [
+            StructField(
+                f.name, f.dataType, f.nullable,
+                {
+                    **(f.metadata or {}),
+                    _ID_START: int(start),
+                    _ID_STEP: int(step),
+                    _ID_HWM: hwm,
+                }
+                if f.name == name
+                else f.metadata,
+            )
+            for f in schema.fields
+        ]
+    )
+    actions: list[dict] = []
+    up = _writer_feature_upgrade(protocol, "identityColumns", 6)
+    if up is not None:
+        actions.append({"protocol": up})
+    actions.append(
+        {"metaData": {**meta, "schemaString": new_schema.json()}}
+    )
+    fs = fs_for(spark, path)
+    _commit_json(fs, path, v + 1, actions, op="SET IDENTITY")
+    _maybe_auto_checkpoint(spark, path, v + 1)
+    return v + 1
 
 
 def delta_set_generated_column(
@@ -1875,6 +2106,7 @@ def _delta_delete_once(
     max_total_dv_rows: int | None,
 ) -> int:
     files, meta, v, _txns, protocol = delta_snapshot(spark, path)
+    _refuse_append_only(meta, "DELETE")
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     mapping = _column_mapping(meta, schema)
     part_cols = list(meta.get("partitionColumns") or [])
@@ -2057,6 +2289,10 @@ def _delta_merge_once(
             total = sum(per_file.values())
         else:
             matched, total = None, 0
+        if total > 0:
+            # a pure-insert merge is just an append; only a merge
+            # that would hide existing rows violates append-only
+            _refuse_append_only(meta, "MERGE matching existing rows")
         if total > max_dv_rows:
             # rewrite-shaped merge: (table ⧹ update keys) ∪ updates,
             # committed as one overwrite — no DV of this size ever
@@ -2171,6 +2407,7 @@ def _delta_update_once(
     from pyspark import StorageLevel
 
     files, meta, v, _txns, protocol = delta_snapshot(spark, path)
+    _refuse_append_only(meta, "UPDATE")
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     mapping = _column_mapping(meta, schema)
     part_cols = list(meta.get("partitionColumns") or [])
@@ -2406,6 +2643,7 @@ def delta_restore(spark: SparkSession, path: str, version: int) -> int:
 
     old_files, old_meta, _ov, _t, _p = delta_snapshot(spark, path, version)
     cur_files, cur_meta, cur_v, _t2, _p2 = delta_snapshot(spark, path)
+    _refuse_append_only(cur_meta, "RESTORE")
     if version == cur_v:
         return cur_v
     fs = fs_for(spark, path)
