@@ -2991,3 +2991,47 @@ def test_identity_column_assignment_and_hwm(spark, tmp_path):
     b1 = {r["rid"] for r in rows if r["v"] in (100, 200, 300)}
     b2 = {r["rid"] for r in rows if r["v"] in (400, 500)}
     assert min(b2) > max(b1)
+
+
+def test_legacy_invariants_enforced_on_append(spark, tmp_path):
+    """A table created by a legacy writer with delta.invariants field
+    metadata (writer v2) gets its invariant enforced by this sink:
+    violating appends refuse with the invariant named, conforming
+    appends land."""
+    import json as _json
+
+    import pytest as _pytest
+
+    import time_series_prediction_spark.sources.deltalog as dl
+
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {}},
+            {"name": "v", "type": "long", "nullable": True,
+             "metadata": {"delta.invariants": _json.dumps(
+                 {"expression": {"expression": "v >= 0"}})}},
+        ],
+    }
+    _write_parquet(
+        spark, os.path.join(table, "A.parquet"),
+        [(1, 5), (2, 7)], "k long, v long",
+    )
+    _commit(table, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        _meta(_json.dumps(schema)),
+        _add("A.parquet"),
+    ])
+    with _pytest.raises(ValueError, match="invariant_v"):
+        dl.write_delta_log(
+            spark.createDataFrame([(3, -1)], "k long, v long"),
+            table, mode="append",
+        )
+    dl.write_delta_log(
+        spark.createDataFrame([(3, 9)], "k long, v long"),
+        table, mode="append",
+    )
+    assert dl.read_delta_log(spark, table).count() == 3

@@ -1248,7 +1248,7 @@ def write_delta_log(
         # CHECK constraints gate every batch into an existing table
         # (delta.constraints.* — one conditional-aggregate pass)
         _enforce_constraints(
-            df, _table_constraints(prev_meta), f"{mode} batch"
+            df, _write_rules(prev_meta, prev_schema), f"{mode} batch"
         )
     land_df = df
     land_parts = part_cols
@@ -1431,6 +1431,35 @@ def _table_constraints(meta: dict) -> dict[str, str]:
         for k, v in conf.items()
         if k.startswith(_CONSTRAINT_PREFIX)
     }
+
+
+def _schema_invariants(schema: StructType) -> dict[str, str]:
+    """Legacy column INVARIANTS (``delta.invariants`` field metadata,
+    writer version 2): the protocol stores ``{"expression":
+    {"expression": "<sql>"}}`` per column; enforced through the same
+    single-aggregate pass as CHECK constraints."""
+    out: dict[str, str] = {}
+    for f in schema.fields:
+        md = f.metadata or {}
+        raw = md.get("delta.invariants")
+        if not raw:
+            continue
+        try:
+            expr = json.loads(raw)["expression"]["expression"]
+        except (ValueError, KeyError, TypeError):
+            raise DeltaProtocolUnsupported(
+                f"unparseable delta.invariants on column {f.name!r}: "
+                f"{raw!r}"
+            ) from None
+        out[f"invariant_{f.name}"] = expr
+    return out
+
+
+def _write_rules(meta: dict, schema: StructType) -> dict[str, str]:
+    """Every row-level rule a batch must satisfy: CHECK constraints
+    (table configuration) + legacy column invariants (field
+    metadata)."""
+    return {**_table_constraints(meta), **_schema_invariants(schema)}
 
 
 def _enforce_constraints(
@@ -2264,7 +2293,7 @@ def _delta_merge_once(
                 "merge is ambiguous; dedup upstream"
             )
         _enforce_constraints(
-            updates, _table_constraints(meta), "merge batch"
+            updates, _write_rules(meta, schema), "merge batch"
         )
         existing: dict[str, list[int]] = {
             rel: _dv_positions(fs, path, add["deletionVector"])
@@ -2488,7 +2517,7 @@ def _delta_update_once(
             updated = updated.withColumn(c, F.expr(ge).cast(tbl_types[c]))
         _check_update_types(updated.schema, schema)
         _enforce_constraints(
-            updated, _table_constraints(meta), "update images"
+            updated, _write_rules(meta, schema), "update images"
         )
         hits = _collect_position_hits(
             spark, path, matched_rows.select("_fp", "_ri"), files,
