@@ -1,0 +1,117 @@
+"""Property-based tests for the native Delta DML triad: ANY sequence
+of append / DELETE / UPDATE / MERGE — with each mutation randomly
+forced down the deletion-vector path OR the rewrite-shaped overwrite
+path (max_dv_rows=0) — must keep the head read equal to a plain dict
+model, keep every historical version readable via time travel, and
+RESTORE must reproduce the modeled state exactly. Each example runs
+many Spark jobs, so max_examples stays small."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+_N = 40  # base keys 0.._N-1; appends/merges may add up to 59
+
+_KEYS = st.lists(
+    st.integers(min_value=0, max_value=59), min_size=1, max_size=6,
+    unique=True,
+)
+_VAL = st.integers(min_value=-999, max_value=999)
+_DV = st.booleans()  # True: DV path; False: force rewrite-shaped
+
+_MUTATION = st.one_of(
+    st.tuples(st.just("append"), _KEYS, _VAL, st.just(True)),
+    st.tuples(st.just("delete"), _KEYS, st.just(0), _DV),
+    st.tuples(st.just("update"), _KEYS, _VAL, _DV),
+    st.tuples(st.just("merge"), _KEYS, _VAL, _DV),
+)
+
+
+def _read(dl, spark, path, version=None):
+    return sorted(
+        (r["k"], r["v"])
+        for r in dl.read_delta_log(spark, path, version=version).collect()
+    )
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_MUTATION, min_size=2, max_size=4), st.data())
+def test_any_dml_sequence_reads_like_the_model(
+    spark, tmp_path_factory, muts, data
+):
+    import time_series_prediction_spark.sources.deltalog as dl
+
+    path = str(tmp_path_factory.mktemp("dlprop") / "tbl")
+    base = spark.range(_N).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    dl.write_delta_log(base, path, mode="overwrite")
+    model = {k: 3 * k for k in range(_N)}
+    states = [dict(model)]  # modeled contents after each commit
+
+    for op, keys, val, dv in muts:
+        cap = 500_000 if dv else 0  # 0 forces the rewrite-shaped path
+        if op == "append":
+            fresh = [k for k in keys if k not in model]
+            if not fresh:
+                continue
+            dl.write_delta_log(
+                spark.createDataFrame(
+                    [(k, val) for k in fresh], "k long, v long"
+                ),
+                path, mode="append",
+            )
+            for k in fresh:
+                model[k] = val
+        elif op == "delete":
+            touched = [k for k in keys if k in model]
+            if not touched:
+                continue
+            dl.delta_delete(
+                spark, path, f"k in ({','.join(map(str, keys))})",
+                max_dv_rows=cap, max_total_dv_rows=None,
+            )
+            for k in touched:
+                model.pop(k)
+        elif op == "update":
+            touched = [k for k in keys if k in model]
+            if not touched:
+                continue
+            dl.delta_update(
+                spark, path, f"k in ({','.join(map(str, keys))})",
+                {"v": f"CAST({val} AS BIGINT)"},
+                max_dv_rows=cap, max_total_dv_rows=None,
+            )
+            for k in touched:
+                model[k] = val
+        else:  # merge: upsert every key
+            dl.delta_merge(
+                spark, path,
+                spark.createDataFrame(
+                    [(k, val) for k in keys], "k long, v long"
+                ),
+                key="k", max_dv_rows=cap, max_total_dv_rows=None,
+            )
+            for k in keys:
+                model[k] = val
+        assert _read(dl, spark, path) == sorted(model.items())
+        states.append(dict(model))
+
+    # history stays coherent: version v reads state v (commit versions
+    # are contiguous — every executed op above commits exactly once,
+    # skipped no-ops append no state)
+    latest = dl.delta_snapshot(spark, path)[2]
+    assert latest == len(states) - 1
+    v = data.draw(
+        st.integers(min_value=0, max_value=latest), label="travel_v"
+    )
+    assert _read(dl, spark, path, version=v) == sorted(states[v].items())
+
+    # RESTORE to a random point reproduces the modeled state exactly
+    rv = data.draw(
+        st.integers(min_value=0, max_value=latest), label="restore_v"
+    )
+    dl.delta_restore(spark, path, rv)
+    assert _read(dl, spark, path) == sorted(states[rv].items())
