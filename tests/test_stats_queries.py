@@ -127,3 +127,52 @@ def test_join_cardinality_estimate_within_sampling_error(spark, sf_dir):
     assert r["exact_pairs"] > 0
     # 1/16 key sample over thousands of keys: generous 35% band
     assert abs(r["rel_err"]) < 0.35, r
+
+
+def test_ab_experiment_matches_independent_python(spark, sf_dir):
+    """Recompute the whole experiment independently (hashlib md5
+    assignment + textbook pooled two-proportion z in plain Python) and
+    check every output cell; both arms must be non-degenerate."""
+    import hashlib
+    import math
+
+    from time_series_prediction_spark.plans.stats_queries import (
+        _AB_SEED,
+        events_ab_experiment,
+    )
+    from time_series_prediction_spark.sources.io import read_table
+
+    row = events_ab_experiment(spark, sf_dir).first()
+    per_user: dict[int, int] = {}
+    for r in (
+        read_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "value")
+        .collect()
+    ):
+        conv = (
+            1
+            if r["event_type"] == "purchase" and r["value"] > 150
+            else 0
+        )
+        per_user[r["user_id"]] = max(per_user.get(r["user_id"], 0), conv)
+    n = {"C": 0, "T": 0}
+    conv = {"C": 0, "T": 0}
+    for uid, c in per_user.items():
+        h = hashlib.md5(f"{uid}:{_AB_SEED}".encode()).hexdigest()
+        arm = "T" if h[0] < "8" else "C"
+        n[arm] += 1
+        conv[arm] += c
+    assert (row["n_c"], row["n_t"]) == (n["C"], n["T"])
+    assert (row["conv_c"], row["conv_t"]) == (conv["C"], conv["T"])
+    assert n["C"] > 0 and n["T"] > 0
+    p_c, p_t = conv["C"] / n["C"], conv["T"] / n["T"]
+    pp = (conv["C"] + conv["T"]) / (n["C"] + n["T"])
+    z = (p_t - p_c) / math.sqrt(
+        pp * (1 - pp) * (1 / n["T"] + 1 / n["C"])
+    )
+    assert abs(row["rate_c"] - p_c) < 1e-12
+    assert abs(row["rate_t"] - p_t) < 1e-12
+    assert abs(row["z_score"] - z) < 1e-9
+    # the 50/50 hash split really splits (no degenerate arm)
+    total = n["C"] + n["T"]
+    assert 0.3 < n["T"] / total < 0.7

@@ -449,7 +449,150 @@ FROM agg
 """
 
 
+_AB_SEED = "ab-2024"
+
+# the z-statistic scalar, written ONCE and evaluated verbatim in both
+# engines over the one aggregate row (identical IEEE op sequence —
+# sums are exact BIGINTs, so the divisions and the sqrt see identical
+# operands)
+_AB_Z_EXPR = (
+    "((CAST(conv_t AS DOUBLE) / CAST(n_t AS DOUBLE))"
+    " - (CAST(conv_c AS DOUBLE) / CAST(n_c AS DOUBLE)))"
+    " / sqrt((CAST(conv_t + conv_c AS DOUBLE)"
+    "         / CAST(n_t + n_c AS DOUBLE))"
+    "        * (1.0e0 - (CAST(conv_t + conv_c AS DOUBLE)"
+    "                    / CAST(n_t + n_c AS DOUBLE)))"
+    "        * (1.0e0 / CAST(n_t AS DOUBLE)"
+    "           + 1.0e0 / CAST(n_c AS DOUBLE)))"
+)
+
+
+def events_ab_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout — the analysis every experimentation
+    platform runs on an event stream: users are assigned to
+    treatment/control by a DETERMINISTIC hash split (first hex char of
+    md5(user_id:seed) < '8' ⇒ treatment — reproducible on any engine
+    and stable across reruns, unlike seeded RNG), the conversion
+    metric is "made ≥1 purchase above 150" (non-degenerate at every
+    fixture scale — plain any-purchase saturates), and the readout is
+    per-arm counts,
+    rates, the absolute lift, and the pooled two-proportion
+    z-statistic.
+
+    Oracle-exactness: arm sizes and conversions are exact BIGINTs from
+    one conditional aggregate; every rate/lift/z double op is one
+    shared expression string evaluated over that single row in both
+    engines (identical IEEE sequence, sqrt included).
+
+    Scale shape: one per-user aggregate (map-side combine) carrying a
+    max() conversion flag, then a 1-row conditional reduce — the
+    cheapest possible experiment readout; nothing about it changes at
+    100 TB."""
+    ev = read_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > 150),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    )
+    assigned = per_user.withColumn(
+        "variant",
+        F.when(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("user_id").cast("string"),
+                        F.lit(f":{_AB_SEED}"),
+                    )
+                ),
+                1,
+                1,
+            )
+            < "8",
+            F.lit("T"),
+        ).otherwise(F.lit("C")),
+    )
+    agg = assigned.agg(
+        F.sum(F.when(F.col("variant") == "C", 1).otherwise(0))
+        .cast("long")
+        .alias("n_c"),
+        F.sum(F.when(F.col("variant") == "T", 1).otherwise(0))
+        .cast("long")
+        .alias("n_t"),
+        F.sum(
+            F.when(F.col("variant") == "C", F.col("converted")).otherwise(0)
+        )
+        .cast("long")
+        .alias("conv_c"),
+        F.sum(
+            F.when(F.col("variant") == "T", F.col("converted")).otherwise(0)
+        )
+        .cast("long")
+        .alias("conv_t"),
+    )
+    return agg.select(
+        "n_c",
+        "n_t",
+        "conv_c",
+        "conv_t",
+        F.expr(
+            "CAST(conv_c AS DOUBLE) / CAST(n_c AS DOUBLE)"
+        ).alias("rate_c"),
+        F.expr(
+            "CAST(conv_t AS DOUBLE) / CAST(n_t AS DOUBLE)"
+        ).alias("rate_t"),
+        F.expr(
+            "(CAST(conv_t AS DOUBLE) / CAST(n_t AS DOUBLE))"
+            " - (CAST(conv_c AS DOUBLE) / CAST(n_c AS DOUBLE))"
+        ).alias("abs_lift"),
+        F.expr(_AB_Z_EXPR).alias("z_score"),
+    )
+
+
+EVENTS_AB_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' AND value > 150
+                  THEN 1 ELSE 0 END)
+           AS converted
+  FROM events GROUP BY user_id
+),
+assigned AS (
+  SELECT converted,
+         CASE WHEN substring(
+                md5(CAST(user_id AS VARCHAR) || ':{_AB_SEED}'), 1, 1
+              ) < '8'
+              THEN 'T' ELSE 'C' END AS variant
+  FROM per_user
+),
+agg AS (
+  SELECT
+    CAST(sum(CASE WHEN variant = 'C' THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+    CAST(sum(CASE WHEN variant = 'T' THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+    CAST(sum(CASE WHEN variant = 'C' THEN converted ELSE 0 END)
+         AS BIGINT) AS conv_c,
+    CAST(sum(CASE WHEN variant = 'T' THEN converted ELSE 0 END)
+         AS BIGINT) AS conv_t
+  FROM assigned
+)
+SELECT n_c, n_t, conv_c, conv_t,
+       CAST(conv_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS rate_c,
+       CAST(conv_t AS DOUBLE) / CAST(n_t AS DOUBLE) AS rate_t,
+       (CAST(conv_t AS DOUBLE) / CAST(n_t AS DOUBLE))
+         - (CAST(conv_c AS DOUBLE) / CAST(n_c AS DOUBLE)) AS abs_lift,
+       {_AB_Z_EXPR} AS z_score
+FROM agg
+"""
+
+
 STATS_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "events_ab_experiment": (
+        events_ab_experiment,
+        EVENTS_AB_SQL,
+    ),
     "join_cardinality_estimate": (
         join_cardinality_estimate,
         JOIN_CARD_SQL,
