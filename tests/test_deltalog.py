@@ -3035,3 +3035,51 @@ def test_legacy_invariants_enforced_on_append(spark, tmp_path):
         table, mode="append",
     )
     assert dl.read_delta_log(spark, table).count() == 3
+
+
+def test_optimize_zorder_partitioned_table(spark, tmp_path):
+    """OPTIMIZE ZORDER BY on a Hive-partitioned table (was an honest
+    refusal): rows survive exactly, every partition dir is rewritten
+    dataChange=false, within-dir files carry clustered z ranges so a
+    range predicate prunes files through read_delta_pruned, and
+    z-ordering BY a partition column is refused."""
+    import pytest as _pytest
+
+    import time_series_prediction_spark.sources.deltalog as dl
+
+    table = str(tmp_path / "t")
+    # values deliberately landed UNCLUSTERED: id mod spreads every
+    # value range across every initial file
+    df = spark.range(4000).select(
+        (F.col("id") % 4).cast("int").alias("p"),
+        ((F.col("id") * 7919) % 4000).alias("x"),
+        F.col("id").alias("payload"),
+    ).repartition(8)
+    dl.write_delta_log(df, table, mode="overwrite", partition_cols=["p"])
+    with _pytest.raises(ValueError, match="partition columns"):
+        dl.delta_optimize(spark, table, zorder_by=["p"])
+    v = dl.delta_optimize(spark, table, target_files=4, zorder_by=["x"])
+    assert v == 1
+    got = dl.read_delta_log(spark, table)
+    assert got.count() == 4000
+    assert got.select(F.sum("x")).first()[0] == sum(
+        (i * 7919) % 4000 for i in range(4000)
+    )
+    files, *_ = dl.delta_snapshot(spark, table)
+    dirs = {os.path.dirname(rel) for rel in files}
+    assert len(dirs) == 4  # every partition dir present
+    # z-clustering: a narrow x range must leave most files prunable
+    # by their recorded stats
+    pruned = dl.read_delta_pruned(spark, table, {"x": (0, 99)})
+    import json as _json
+
+    surviving = 0
+    for add in files.values():
+        st = _json.loads(add["stats"])
+        if int(st["minValues"]["x"]) <= 99 and int(st["maxValues"]["x"]) >= 0:
+            surviving += 1
+    assert surviving < len(files) / 2, (surviving, len(files))
+    # and the pruned read still returns every matching row
+    assert pruned.where("x between 0 and 99").count() == got.where(
+        "x between 0 and 99"
+    ).count()

@@ -145,6 +145,38 @@ def write_zordered(
     )
 
 
+def write_zordered_partitioned(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    part_cols: list[str],
+    files_per_partition: int = 8,
+    bits: int = 16,
+) -> None:
+    """OPTIMIZE ZORDER for a Hive-partitioned layout: range-partition
+    by (partition columns, Morton code) — the per-partition range
+    shuffle — and write with ``partitionBy``, so every output task
+    covers one contiguous (dir, z-range) slice and each partition
+    directory's files carry disjoint-ish z ranges for stats pruning.
+    Task count scales with |distinct partition tuples| ×
+    ``files_per_partition`` (the tuple count is one metadata-sized
+    aggregate); partitions with little data share tasks, the same
+    proportional-fill behavior Delta's own per-partition OPTIMIZE
+    has."""
+    ranked, code = zorder_code(df, cols, bits=bits)
+    ranked = ranked.withColumn("_zcode", code)
+    n_dirs = max(int(df.select(*part_cols).distinct().count()), 1)
+    n = max(1, files_per_partition * n_dirs)
+    (
+        ranked.repartitionByRange(n, *part_cols, "_zcode")
+        .sortWithinPartitions(*part_cols, "_zcode")
+        .drop("_zcode", *[f"_zr_{c}" for c in cols])
+        .write.mode("overwrite")
+        .partitionBy(*part_cols)
+        .parquet(path)
+    )
+
+
 def append_zordered(
     df: DataFrame,
     path: str,

@@ -3134,8 +3134,11 @@ def delta_optimize(
     rewrite along the Morton curve of the given (logical) columns —
     OPTIMIZE ZORDER: combined with the per-file ``add.stats`` every
     commit now records, a z-ordered table's range queries prune to a
-    handful of files through ``read_delta_pruned`` (unpartitioned
-    tables only; refused with the remedy otherwise). Returns the
+    handful of files through ``read_delta_pruned``. Hive-partitioned
+    tables z-order WITHIN each partition dir (one range shuffle over
+    (partition cols, Morton code) — ``write_zordered_partitioned``);
+    z-ordering BY a partition column is refused (constant within a
+    dir). Returns the
     committed version (unchanged when the table has nothing to
     compact — fewer live files than ``target_files`` and no DV to
     materialize; a ``zorder_by`` rewrite always runs — re-clustering
@@ -3143,14 +3146,6 @@ def delta_optimize(
     files, meta, v, _txns, _proto = delta_snapshot(spark, path)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = list(meta.get("partitionColumns") or [])
-    if zorder_by and part_cols:
-        raise ValueError(
-            "OPTIMIZE ZORDER on a Hive-partitioned table is not "
-            "implemented — zorder within partition dirs needs a "
-            "per-partition range shuffle; optimize without zorder_by, "
-            "or land the table unpartitioned and let the z-layout "
-            "carry the clustering"
-        )
     has_dv = any(a.get("deletionVector") for a in files.values())
     per_dir: dict[str, int] = {}
     for rel in files:
@@ -3171,13 +3166,29 @@ def delta_optimize(
     if zorder_by:
         from time_series_prediction_spark.operators.zorder import (
             write_zordered,
+            write_zordered_partitioned,
         )
 
         mapping = _column_mapping(meta, schema)
         zcols = [mapping.get(c, c) for c in zorder_by]
+        if set(zcols) & set(land_part_cols):
+            raise ValueError(
+                "zorder_by columns overlap the partition columns — "
+                "partition values are constant within a dir, z-order "
+                "the data columns instead"
+            )
 
-        def writer(d, stage):  # noqa: ANN001 — _land_batch callback
-            write_zordered(d, stage, zcols, n_files=target_files)
+        if land_part_cols:
+            # per-partition range shuffle: each dir's files carry
+            # disjoint-ish z ranges (was an honest refusal)
+            def writer(d, stage):  # noqa: ANN001 — _land_batch callback
+                write_zordered_partitioned(
+                    d, stage, zcols, land_part_cols,
+                    files_per_partition=target_files,
+                )
+        else:
+            def writer(d, stage):  # noqa: ANN001 — _land_batch callback
+                write_zordered(d, stage, zcols, n_files=target_files)
 
     base, new_files = _land_batch(
         spark, fs, df, path, land_part_cols,
