@@ -3083,3 +3083,33 @@ def test_optimize_zorder_partitioned_table(spark, tmp_path):
     assert pruned.where("x between 0 and 99").count() == got.where(
         "x between 0 and 99"
     ).count()
+
+
+def test_dv_spill_falls_back_when_cache_unwritable(
+    spark, tmp_path, monkeypatch
+):
+    """A READ must never fail because the spill cache could not be
+    written (read-only table dir): when publishing raises, the read
+    serves from the already-parsed driver relation instead."""
+    import time_series_prediction_spark.sources.deltalog as dl
+
+    monkeypatch.setattr(dl, "_DV_SPILL_MIN", 5)
+    table = str(tmp_path / "t")
+    dl.write_delta_log(
+        spark.range(60).select(F.col("id").alias("k")), table
+    )
+    dl.delta_delete(spark, table, "k % 3 = 0", max_total_dv_rows=None)
+
+    from time_series_prediction_spark.sources import fsops
+
+    def _boom(self, p, data):
+        raise PermissionError("read-only table dir")
+
+    monkeypatch.setattr(fsops.Fs, "write_bytes", _boom)
+    got = sorted(r["k"] for r in dl.read_delta_log(spark, table).collect())
+    assert got == [k for k in range(60) if k % 3 != 0]
+    cache = os.path.join(table, "_delta_log", dl._DV_POS_CACHE)
+    assert not [
+        n for n in (os.listdir(cache) if os.path.isdir(cache) else [])
+        if n.endswith(".parquet")
+    ]

@@ -709,8 +709,11 @@ def _dv_positions_source(
 
         fps: list[str] = []
         ris: list[int] = []
-        for rel, d in dv_files.items():
-            ps = _dv_positions(fs, path, d)
+        positions = {
+            rel: _dv_positions(fs, path, d)
+            for rel, d in dv_files.items()
+        }
+        for rel, ps in positions.items():
             fps.extend([_norm_uri(os.path.join(base, rel))] * len(ps))
             ris.extend(ps)
         sink = pa.BufferOutputStream()
@@ -723,13 +726,19 @@ def _dv_positions_source(
             ),
             sink,
         )
-        fs.mkdirs(cache_dir)
-        tmp = os.path.join(
-            cache_dir, f".pos-{key}.{_uuid.uuid4().hex[:8]}.tmp"
-        )
-        fs.write_bytes(tmp, sink.getvalue().to_pybytes())
-        if not fs.rename(tmp, out) and not fs.exists(out):
-            raise RuntimeError(f"failed to publish DV spill {out}")
+        try:
+            fs.mkdirs(cache_dir)
+            tmp = os.path.join(
+                cache_dir, f".pos-{key}.{_uuid.uuid4().hex[:8]}.tmp"
+            )
+            fs.write_bytes(tmp, sink.getvalue().to_pybytes())
+            if not fs.rename(tmp, out) and not fs.exists(out):
+                raise RuntimeError(f"failed to publish DV spill {out}")
+        except Exception:  # noqa: BLE001 — a READ must never fail
+            # because its cache could not be written (read-only table
+            # dir, permission boundary): serve this read from the
+            # already-parsed driver relation instead
+            return positions, None
     return None, spark.read.schema("_fp string, _ri long").parquet(out)
 
 
