@@ -3113,3 +3113,111 @@ def test_dv_spill_falls_back_when_cache_unwritable(
         n for n in (os.listdir(cache) if os.path.isdir(cache) else [])
         if n.endswith(".parquet")
     ]
+
+
+def test_cdc_files_written_and_read_for_dml(spark, tmp_path):
+    """With delta.enableChangeDataFeed=true, DELETE / UPDATE / MERGE
+    record protocol cdc files under _change_data/ and delta_read_cdc
+    serves per-commit changes from them VERBATIM — pre/post images for
+    updates, verbatim inserts, typed deletes — on a partitioned table;
+    folded to net inserts/deletes the cdc feed agrees with the
+    snapshot-algebra feed; appends emit inserts without cdc files; a
+    pre-CDF mutation window raises with the remedy."""
+    import pytest as _pytest
+
+    import time_series_prediction_spark.sources.deltalog as dl
+
+    table = str(tmp_path / "t")
+    df = spark.range(40).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("int").alias("p"),
+        (F.col("id") * 2).alias("v"),
+    )
+    dl.write_delta_log(df, table, mode="overwrite", partition_cols=["p"])
+    # a mutation BEFORE CDF is enabled: that window must refuse
+    dl.delta_delete(spark, table, "k = 39")
+    dl.delta_set_table_property(
+        spark, table, "delta.enableChangeDataFeed", "true"
+    )
+    with _pytest.raises(ValueError, match="delta_changes_feed"):
+        dl.delta_read_cdc(spark, table, 0)
+
+    v_base = dl.delta_snapshot(spark, table)[2]  # CDF-on from here
+    dl.delta_delete(spark, table, "k % 10 = 0")              # deletes
+    dl.delta_update(spark, table, "k = 7", {"v": "v + 100"})  # update
+    dl.delta_merge(                                           # upsert
+        spark, table,
+        spark.createDataFrame(
+            [(1, 1, 999), (100, 1, 555)], "k long, p int, v long"
+        ),
+        key="k",
+    )
+    dl.write_delta_log(                                       # append
+        spark.createDataFrame([(200, 2, 7)], "k long, p int, v long"),
+        table, mode="append", partition_cols=["p"],
+    )
+    assert os.path.isdir(os.path.join(table, "_change_data"))
+
+    feed, latest = dl.delta_read_cdc(spark, table, v_base)
+    rows = [
+        (r["k"], r["p"], r["v"], r["_change_type"], r["_commit_version"])
+        for r in feed.collect()
+    ]
+    by_type: dict[str, set] = {}
+    for k, p, v, ct, cv in rows:
+        by_type.setdefault(ct, set()).add((k, p, v))
+    assert by_type["delete"] == {
+        (k, k % 3, k * 2) for k in range(39) if k % 10 == 0
+    }
+    assert (7, 1, 14) in by_type["update_preimage"]
+    assert (7, 1, 114) in by_type["update_postimage"]
+    assert (1, 1, 999) in by_type["update_postimage"]  # merge update
+    assert (1, 1, 2) in by_type["update_preimage"]
+    assert (100, 1, 555) in by_type["insert"]          # merge insert
+    assert (200, 2, 7) in by_type["insert"]            # plain append
+    # per-commit versions are stamped and increase
+    assert {cv for *_x, cv in rows} == set(range(v_base + 1, latest + 1))
+
+    # folded, cdc agrees with the snapshot-algebra feed
+    alg, _ = dl.delta_changes_feed(spark, table, v_base)
+    alg_net: dict[str, int] = {}
+    for r in alg.collect():
+        key = (r["k"], r["p"], r["v"])
+        alg_net[key] = alg_net.get(key, 0) + (
+            1 if r["_change_type"] == "insert" else -1
+        )
+    cdc_net: dict[str, int] = {}
+    for k, p, v, ct, _cv in rows:
+        delta = {
+            "insert": 1, "update_postimage": 1,
+            "delete": -1, "update_preimage": -1,
+        }[ct]
+        cdc_net[(k, p, v)] = cdc_net.get((k, p, v), 0) + delta
+    assert {k: n for k, n in alg_net.items() if n} == {
+        k: n for k, n in cdc_net.items() if n
+    }
+
+
+def test_cdc_files_vacuum_on_retention_clock(spark, tmp_path):
+    """_change_data bytes reclaim with zero retention and survive a
+    generous window; the cdc read keeps working inside the window."""
+    import time_series_prediction_spark.sources.deltalog as dl
+
+    table = str(tmp_path / "t")
+    dl.write_delta_log(
+        spark.range(20).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ),
+        table,
+    )
+    dl.delta_set_table_property(
+        spark, table, "delta.enableChangeDataFeed", "true"
+    )
+    v0 = dl.delta_snapshot(spark, table)[2]
+    dl.delta_delete(spark, table, "k < 5")
+    kept = dl.delta_vacuum(spark, table, retention_ms=10**12)
+    assert not any("_change_data" in p for p in kept)
+    feed, _ = dl.delta_read_cdc(spark, table, v0)
+    assert feed.where("_change_type = 'delete'").count() == 5
+    gone = dl.delta_vacuum(spark, table, retention_ms=0)
+    assert any("_change_data" in p for p in gone)

@@ -1101,6 +1101,7 @@ def write_delta_log(
     mode: str = "overwrite",
     partition_cols: list[str] | None = None,
     txn: tuple[str, int] | None = None,
+    _extra_actions: list[dict] | None = None,
 ) -> int:
     """Write ``df`` as a Delta table WITHOUT the delta jars: land the
     data as parquet (UUID part files never clobber prior
@@ -1326,6 +1327,10 @@ def write_delta_log(
                 }
             )
     actions.extend(_adds_for_files(fs, base, new_files, True, stats))
+    if _extra_actions:
+        # callers commit companion actions atomically with the write
+        # (the DML rewrite paths pass their cdc actions through here)
+        actions.extend(_extra_actions)
     _commit_json(
         fs, path, next_v, actions,
         op="OVERWRITE" if mode == "overwrite" else "APPEND",
@@ -1558,11 +1563,67 @@ def delta_set_table_property(
         up = _writer_feature_upgrade(protocol, "appendOnly", 2)
         if up is not None:
             actions.append({"protocol": up})
+    if key == "delta.enableChangeDataFeed" and value is not None:
+        up = _writer_feature_upgrade(protocol, "changeDataFeed", 4)
+        if up is not None:
+            actions.append({"protocol": up})
     actions.append({"metaData": {**meta, "configuration": conf}})
     fs = fs_for(spark, path)
     _commit_json(fs, path, v + 1, actions, op="SET TBLPROPERTIES")
     _maybe_auto_checkpoint(spark, path, v + 1)
     return v + 1
+
+
+_CHANGE_DATA_DIR = "_change_data"
+
+
+def _cdf_enabled(meta: dict) -> bool:
+    return (meta.get("configuration") or {}).get(
+        "delta.enableChangeDataFeed", ""
+    ).lower() == "true"
+
+
+def _land_cdc(
+    spark: SparkSession,
+    fs,
+    path: str,
+    cdc_df: DataFrame,
+    land_parts: list[str],
+) -> list[dict]:
+    """Land change-data rows (physical-named table columns +
+    ``_change_type``) under ``<table>/_change_data/`` via the same
+    hidden-stage + rename protocol data files use, and return the
+    protocol ``cdc`` actions for the commit. The underscore dir is
+    invisible to data listings (Spark's and this module's), exactly
+    how real Delta stores CDC files; a commit carrying ``cdc``
+    actions tells CDF readers to take that commit's changes from
+    these files VERBATIM instead of interpreting add/remove."""
+    cd_root = os.path.join(path, _CHANGE_DATA_DIR)
+    base_cd, cdc_files = _land_batch(
+        spark, fs, cdc_df, cd_root, land_parts
+    )
+    actions: list[dict] = []
+    for f in sorted(cdc_files):
+        rel_in_cd = f[len(base_cd) + 1:]
+        pvals: dict[str, str] = {}
+        for comp in rel_in_cd.split("/")[:-1]:
+            if "=" in comp:
+                k, _, val = comp.partition("=")
+                pvals[k] = urllib.parse.unquote(val)
+        st = fs.status(f)
+        actions.append(
+            {
+                "cdc": {
+                    "path": urllib.parse.quote(
+                        f"{_CHANGE_DATA_DIR}/{rel_in_cd}"
+                    ),
+                    "partitionValues": pvals,
+                    "size": int(st[0]) if st else 0,
+                    "dataChange": False,
+                }
+            }
+        )
+    return actions
 
 
 _GEN_EXPR_KEY = "delta.generationExpression"
@@ -2163,7 +2224,13 @@ def _delta_delete_once(
         positions=existing or None, keep_meta=True,
         field_ids=_column_field_ids(meta, schema) or None,
     )
-    matched = scan.where(predicate).select("_fp", "_ri")
+    cdf = _cdf_enabled(meta)
+    matched_full = scan.where(predicate)
+    if cdf:
+        from pyspark import StorageLevel
+
+        matched_full = matched_full.persist(StorageLevel.MEMORY_AND_DISK)
+    matched = matched_full.select("_fp", "_ri")
     per_file = {
         r["_fp"]: r["n"]
         for r in matched.groupBy("_fp")
@@ -2172,30 +2239,53 @@ def _delta_delete_once(
     }
     total = sum(per_file.values())
     if total == 0:
+        if cdf:
+            matched_full.unpersist()
         return v  # nothing matched: no commit burned
-    if total > max_dv_rows:
-        # rewrite-shaped delete: keep rows where the predicate is
-        # FALSE OR NULL (SQL DELETE deletes only TRUE matches) and
-        # overwrite-commit them; no DV ever reaches this table state.
-        # Column-mapped tables take this path too — the sink lands
-        # the rewrite under physical names (round 11; previously they
-        # fell through to an unbounded DV).
-        keep = read_delta_log(spark, path).where(
-            F.coalesce(~F.expr(predicate), F.lit(True))
+
+    def _cdc_actions() -> list[dict]:
+        # the deleted rows, landed verbatim under _change_data/ —
+        # CDF readers take this commit's changes from these files
+        rows = matched_full.select(*[f.name for f in schema.fields])
+        land_rows, land_parts = _rename_physical(
+            rows, meta, schema, part_cols
         )
-        return write_delta_log(
-            keep, path, mode="overwrite", partition_cols=part_cols
+        return _land_cdc(
+            spark, fs, path,
+            land_rows.withColumn("_change_type", F.lit("delete")),
+            land_parts,
         )
-    # merge with any existing DV (re-deleting already-hidden rows is
-    # a no-op union, and the old positions must not resurrect)
-    hits = _collect_position_hits(spark, path, matched, files, existing)
-    descs = _write_dv_sidecar(fs, path, hits)
-    actions: list[dict] = []
-    upgrade = _dv_upgrade_protocol(protocol)
-    if upgrade is not None:
-        actions.append({"protocol": upgrade})
-    actions.extend(_dv_readd_actions(files, hits, descs))
-    _commit_json(fs, path, v + 1, actions, op="DELETE")
+
+    try:
+        if total > max_dv_rows:
+            # rewrite-shaped delete: keep rows where the predicate is
+            # FALSE OR NULL (SQL DELETE deletes only TRUE matches) and
+            # overwrite-commit them; no DV ever reaches this table
+            # state. Column-mapped tables take this path too — the
+            # sink lands the rewrite under physical names (round 11;
+            # previously they fell through to an unbounded DV).
+            keep = read_delta_log(spark, path).where(
+                F.coalesce(~F.expr(predicate), F.lit(True))
+            )
+            return write_delta_log(
+                keep, path, mode="overwrite", partition_cols=part_cols,
+                _extra_actions=_cdc_actions() if cdf else None,
+            )
+        # merge with any existing DV (re-deleting already-hidden rows
+        # is a no-op union, and the old positions must not resurrect)
+        hits = _collect_position_hits(spark, path, matched, files, existing)
+        descs = _write_dv_sidecar(fs, path, hits)
+        actions: list[dict] = []
+        upgrade = _dv_upgrade_protocol(protocol)
+        if upgrade is not None:
+            actions.append({"protocol": upgrade})
+        actions.extend(_dv_readd_actions(files, hits, descs))
+        if cdf:
+            actions.extend(_cdc_actions())
+        _commit_json(fs, path, v + 1, actions, op="DELETE")
+    finally:
+        if cdf:
+            matched_full.unpersist()
     _maybe_auto_checkpoint(spark, path, v + 1)
     # cumulative-DV bound: every read pays an O(total DV positions)
     # driver materialization + broadcast; single deletes are capped by
@@ -2290,6 +2380,7 @@ def _delta_merge_once(
     if missing_keys:
         raise ValueError(f"merge keys {missing_keys} not in the table")
     updates = updates.persist(StorageLevel.MEMORY_AND_DISK)
+    matched_full = None
     try:
         dup = (
             updates.groupBy(*keys)
@@ -2309,15 +2400,21 @@ def _delta_merge_once(
             for rel, add in files.items()
             if add.get("deletionVector")
         }
+        cdf = _cdf_enabled(meta)
         if files:
             scan = _scan_files(
                 spark, path, files, schema, part_cols, mapping,
                 positions=existing or None, keep_meta=True,
                 field_ids=_column_field_ids(meta, schema) or None,
             )
-            matched = scan.join(
+            matched_full = scan.join(
                 updates.select(*keys).distinct(), keys, "left_semi"
-            ).select("_fp", "_ri")
+            )
+            if cdf:
+                matched_full = matched_full.persist(
+                    StorageLevel.MEMORY_AND_DISK
+                )
+            matched = matched_full.select("_fp", "_ri")
             per_file = {
                 r["_fp"]: r["n"]
                 for r in matched.groupBy("_fp")
@@ -2331,6 +2428,37 @@ def _delta_merge_once(
             # a pure-insert merge is just an append; only a merge
             # that would hide existing rows violates append-only
             _refuse_append_only(meta, "MERGE matching existing rows")
+
+        tbl_cols = [f.name for f in schema.fields]
+
+        def _cdc_actions() -> list[dict]:
+            # pre/post images for matched keys + verbatim inserts —
+            # ALL of this commit's changes, so a CDF reader takes
+            # them from these files alone
+            if matched_full is not None and total > 0:
+                mk = matched_full.select(*keys).distinct()
+                pieces = [
+                    (matched_full.select(*tbl_cols), "update_preimage"),
+                    (updates.join(mk, keys, "left_semi"),
+                     "update_postimage"),
+                    (updates.join(mk, keys, "left_anti"), "insert"),
+                ]
+            else:
+                pieces = [(updates, "insert")]
+            cdc_df, land_parts_c = None, part_cols
+            for piece, ctype in pieces:
+                land_piece, land_parts_c = _rename_physical(
+                    piece, meta, schema, part_cols
+                )
+                land_piece = land_piece.withColumn(
+                    "_change_type", F.lit(ctype)
+                )
+                cdc_df = (
+                    land_piece if cdc_df is None
+                    else cdc_df.unionByName(land_piece)
+                )
+            return _land_cdc(spark, fs, path, cdc_df, land_parts_c)
+
         if total > max_dv_rows:
             # rewrite-shaped merge: (table ⧹ update keys) ∪ updates,
             # committed as one overwrite — no DV of this size ever
@@ -2341,6 +2469,7 @@ def _delta_merge_once(
             return write_delta_log(
                 keep.unionByName(updates), path, mode="overwrite",
                 partition_cols=part_cols, txn=txn,
+                _extra_actions=_cdc_actions() if cdf else None,
             )
         hits = (
             _collect_position_hits(spark, path, matched, files, existing)
@@ -2369,6 +2498,8 @@ def _delta_merge_once(
                 actions.append({"protocol": upgrade})
             actions.extend(_dv_readd_actions(files, hits, descs))
         actions.extend(_adds_for_files(fs, base, new_files, True, stats))
+        if cdf:
+            actions.extend(_cdc_actions())
         _commit_json(fs, path, v + 1, actions, op="MERGE")
         _maybe_auto_checkpoint(spark, path, v + 1)
         cumulative = sum(
@@ -2383,6 +2514,8 @@ def _delta_merge_once(
         return v + 1
     finally:
         updates.unpersist()
+        if matched_full is not None and _cdf_enabled(meta):
+            matched_full.unpersist()
 
 
 def _check_update_types(out_schema: StructType, schema: StructType) -> None:
@@ -2488,6 +2621,42 @@ def _delta_update_once(
         total = sum(per_file.values())
         if total == 0:
             return v  # nothing matched: no commit burned
+
+        def _post_images() -> DataFrame:
+            out = matched_rows.select(
+                *[
+                    F.expr(set_exprs[c]).alias(c)
+                    if c in set_exprs
+                    else F.col(c)
+                    for c in tbl_cols
+                ]
+            )
+            for c, ge in gen.items():
+                # generated columns recompute from the post-SET row
+                out = out.withColumn(c, F.expr(ge).cast(tbl_types[c]))
+            return out
+
+        cdf = _cdf_enabled(meta)
+
+        def _cdc_actions() -> list[dict]:
+            pre, land_parts_c = _rename_physical(
+                matched_rows.select(*tbl_cols), meta, schema, part_cols
+            )
+            post, _ = _rename_physical(
+                _post_images(), meta, schema, part_cols
+            )
+            return _land_cdc(
+                spark, fs, path,
+                pre.withColumn(
+                    "_change_type", F.lit("update_preimage")
+                ).unionByName(
+                    post.withColumn(
+                        "_change_type", F.lit("update_postimage")
+                    )
+                ),
+                land_parts_c,
+            )
+
         if total > max_dv_rows:
             # rewrite-shaped update: one CASE-WHEN pass over the whole
             # table, overwrite-committed — no DV of this size ever
@@ -2513,17 +2682,9 @@ def _delta_update_once(
             return write_delta_log(
                 rewritten, path, mode="overwrite",
                 partition_cols=part_cols,
+                _extra_actions=_cdc_actions() if cdf else None,
             )
-        updated = matched_rows.select(
-            *[
-                F.expr(set_exprs[c]).alias(c)
-                if c in set_exprs
-                else F.col(c)
-                for c in tbl_cols
-            ]
-        )
-        for c, ge in gen.items():
-            updated = updated.withColumn(c, F.expr(ge).cast(tbl_types[c]))
+        updated = _post_images()
         _check_update_types(updated.schema, schema)
         _enforce_constraints(
             updated, _write_rules(meta, schema), "update images"
@@ -2548,6 +2709,8 @@ def _delta_update_once(
             actions.append({"protocol": upgrade})
         actions.extend(_dv_readd_actions(files, hits, descs))
         actions.extend(_adds_for_files(fs, base, new_files, True, stats))
+        if cdf:
+            actions.extend(_cdc_actions())
         _commit_json(fs, path, v + 1, actions, op="UPDATE")
         _maybe_auto_checkpoint(spark, path, v + 1)
         cumulative = sum(
@@ -3342,6 +3505,21 @@ def delta_vacuum(
     # the CURRENT snapshot's DV state is live whatever its age; every
     # other key indexes a superseded (deleted-more / optimized-away)
     # state and reclaims on the same retention clock
+    # change-data files age out on the same clock as the commits that
+    # reference them (the CDC window IS the retention window): a cdc
+    # file older than the horizon belongs to a commit whose change
+    # feed is already unreadable (delta_read_cdc raises past the
+    # cleaned log), so its bytes reclaim with it
+    cd_root = os.path.join(path, _CHANGE_DATA_DIR)
+    if fs.is_dir(cd_root):
+        from time_series_prediction_spark.operators.manifest import (
+            list_parquet_files as _lpf,
+        )
+
+        for f in _lpf(cd_root, spark):
+            st = fs.status(f)
+            if st is not None and st[1] <= horizon_ms:
+                _reclaim(f)
     dv_cache = os.path.join(log, _DV_POS_CACHE)
     if fs.is_dir(dv_cache):
         live_spill = "pos-" + _dv_state_key(
@@ -3359,6 +3537,114 @@ def delta_vacuum(
             if st is not None and st[1] <= horizon_ms:
                 _reclaim(p)
     return sorted(out)
+
+
+def delta_read_cdc(
+    spark: SparkSession, path: str, from_version: int
+) -> tuple[DataFrame | None, int]:
+    """Change-data-feed read through the PROTOCOL'S ``cdc`` files —
+    the path a real Delta CDF reader takes: for every commit in
+    ``(from_version, latest]`` that carries ``cdc`` actions, the
+    changes are read VERBATIM from the recorded ``_change_data/``
+    files (``_change_type`` ∈ insert | delete | update_preimage |
+    update_postimage); append-only commits emit their added rows as
+    inserts; dataChange=false commits (OPTIMIZE, metadata) contribute
+    nothing. A commit that changed rows WITHOUT recording cdc (written
+    before ``delta.enableChangeDataFeed`` was set, or an overwrite
+    outside this module's DML paths) raises with the remedy —
+    ``delta_changes_feed``'s snapshot algebra serves exactly that
+    case. Output carries the table schema plus ``_change_type`` and
+    ``_commit_version``.
+
+    Unlike the algebra feed, a compaction inside the window costs
+    NOTHING here (no balanced re-emission) and per-commit change
+    granularity (pre/post images) is preserved — the trade the
+    ``delta_changes_feed`` docstring documents. CDC files are written
+    under physical column names (including under column mapping), so
+    the scan aliases back through the mapping by NAME; ``cdc``
+    actions in foreign logs written by field-id-only writers would
+    need the fieldId path (not yet seen in practice)."""
+    from pyspark.sql.types import StringType, StructField
+
+    fs = fs_for(spark, path)
+    log = os.path.join(path, _LOG_DIR)
+    names = fs.list_names(log)
+    commits = {
+        int(n[:20]): os.path.join(log, n)
+        for n in names
+        if n.endswith(".json") and n[:20].isdigit()
+    }
+    versions = list(commits) + list(_checkpoint_groups(names))
+    if not versions:
+        raise ValueError(f"no delta log entries under {log}")
+    latest = max(versions)
+    if latest <= from_version:
+        return None, latest
+    _files, meta, _v, _txns, _proto = delta_snapshot(spark, path, latest)
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    mapping = _column_mapping(meta, schema)
+    part_cols = list(meta.get("partitionColumns") or [])
+    ext_schema = StructType(
+        list(schema.fields)
+        + [StructField("_change_type", StringType(), True)]
+    )
+    ext_mapping = {**mapping, "_change_type": "_change_type"}
+    out: DataFrame | None = None
+    for cv in range(from_version + 1, latest + 1):
+        p = commits.get(cv)
+        if p is None:
+            raise ValueError(
+                f"commit {cv} was cleaned from the log — its change "
+                "data is beyond the retained window; restart the "
+                "consumer from a snapshot"
+            )
+        cdc_files: dict[str, dict] = {}
+        add_files: dict[str, dict] = {}
+        changed_without_cdc = False
+        for line in fs.read_text(p).splitlines():
+            line = line.strip()
+            if not line:
+                continue
+            a = json.loads(line)
+            if "cdc" in a:
+                c = a["cdc"]
+                cdc_files[urllib.parse.unquote(c["path"])] = {
+                    "partitionValues": c.get("partitionValues") or {},
+                }
+            elif "add" in a:
+                ad = a["add"]
+                if not ad.get("dataChange", True):
+                    continue
+                if ad.get("deletionVector"):
+                    changed_without_cdc = True  # born-hidden rows
+                add_files[urllib.parse.unquote(ad["path"])] = {
+                    "partitionValues": ad.get("partitionValues") or {},
+                    "deletionVector": ad.get("deletionVector"),
+                }
+            elif "remove" in a and a["remove"].get("dataChange", True):
+                changed_without_cdc = True
+        if cdc_files:
+            df = _scan_files(
+                spark, path, cdc_files, ext_schema, part_cols,
+                ext_mapping,
+            )
+        elif changed_without_cdc:
+            raise ValueError(
+                f"commit {cv} changed or hid rows without recording "
+                "cdc files (pre-CDF history, or an overwrite outside "
+                "the DML paths) — consume this window through "
+                "delta_changes_feed instead"
+            )
+        elif add_files:
+            df = _scan_files(
+                spark, path, add_files, schema, part_cols, mapping,
+                field_ids=_column_field_ids(meta, schema) or None,
+            ).withColumn("_change_type", F.lit("insert"))
+        else:
+            continue  # metadata-only / dataChange=false commit
+        df = df.withColumn("_commit_version", F.lit(cv).cast("long"))
+        out = df if out is None else out.unionByName(df)
+    return out, latest
 
 
 def write_checkpoint(
