@@ -1339,6 +1339,123 @@ GROUP BY st
 """
 
 
+_DELTA_CDC_SPEC = "delta-orders-cdc|v1|13bump|29del|41ins"
+_CDC_INS_SHIFT = 200_000_000
+
+
+def orders_delta_change_feed_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The PROTOCOL change-data feed (``delta_read_cdc`` over cdc
+    files recorded by the DML writers — not the snapshot-algebra
+    reconstruction ``orders_delta_cdf_scan`` checks): a CDF-enabled
+    table takes one UPDATE (%13 keys' price + 33333), one DELETE
+    (%29 keys), and one MERGE (updating %7 keys' price to a flat
+    1000000 and inserting %41 keys shifted out of the key domain);
+    the feed is rolled up per (change type, commit) with exact counts
+    and cents — every pre/post image, delete, and insert accounted.
+
+    Oracle: the same three change sets derived relationally from the
+    orders source (each DML's matched set is a pure predicate over
+    the base state, applied in commit order)."""
+    from time_series_prediction_spark.sources.deltalog import (
+        delta_delete,
+        delta_merge,
+        delta_read_cdc,
+        delta_set_table_property,
+        delta_update,
+        write_delta_log,
+    )
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    root = os.path.join(tempfile.gettempdir(), "tsp_layouts")
+    fs = fs_for(spark, root)
+    st = fs.status(src)
+    if st is None:
+        raise FileNotFoundError(src)
+    ident = f"{fs.qualified(src)}|{st[0]}|{st[1]}|{_DELTA_CDC_SPEC}"
+    key = hashlib.md5(ident.encode()).hexdigest()[:16]
+    path = os.path.join(root, f"orders_deltacdc_{key}")
+
+    def _build(tmp: str) -> None:
+        data = os.path.join(tmp, "data")
+        base = _orders_state(spark, sf_dir)
+        write_delta_log(base, data, mode="overwrite")
+        delta_set_table_property(
+            spark, data, "delta.enableChangeDataFeed", "true"
+        )
+        delta_update(
+            spark, data, "o_orderkey % 13 = 0",
+            {"price_cents": "price_cents + 33333"},
+        )
+        delta_delete(spark, data, "o_orderkey % 29 = 0")
+        upd = base.where("o_orderkey % 7 = 0").withColumn(
+            "price_cents", F.expr("CAST(1000000 AS BIGINT)")
+        )
+        ins = base.where("o_orderkey % 41 = 0").withColumn(
+            "o_orderkey", F.expr(f"o_orderkey + {_CDC_INS_SHIFT}")
+        )
+        delta_merge(spark, data, upd.unionByName(ins), key="o_orderkey")
+
+    ensure_artifact(spark, path, ident, _build)
+    feed, _latest = delta_read_cdc(spark, os.path.join(path, "data"), 1)
+    return feed.groupBy(
+        F.col("_change_type").alias("change_type"),
+        F.col("_commit_version").alias("commit_version"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("price_cents").cast("long").alias("total_cents"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+    )
+
+
+# commit 2 = UPDATE, 3 = DELETE, 4 = MERGE (0 write, 1 set property).
+# The delete's matched set excludes nothing from the update (DVs hide
+# nothing yet for %29 rows); the merge's matched %7 set EXCLUDES rows
+# already deleted (%29) and sees the %13 bump where both divide.
+ORDERS_DELTA_CDC_FEED_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+after_upd AS (
+  SELECT k,
+         CASE WHEN k % 13 = 0 THEN cents + 33333 ELSE cents END AS cents
+  FROM base
+),
+changes AS (
+  SELECT 'update_preimage' AS change_type, CAST(2 AS BIGINT) AS commit_version,
+         k, cents FROM base WHERE k % 13 = 0
+  UNION ALL
+  SELECT 'update_postimage', 2, k, cents + 33333
+  FROM base WHERE k % 13 = 0
+  UNION ALL
+  SELECT 'delete', 3, k, cents FROM after_upd WHERE k % 29 = 0
+  UNION ALL
+  SELECT 'update_preimage', 4, k, cents
+  FROM after_upd WHERE k % 7 = 0 AND k % 29 <> 0
+  UNION ALL
+  SELECT 'update_postimage', 4, k, 1000000
+  FROM after_upd WHERE k % 7 = 0 AND k % 29 <> 0
+  UNION ALL
+  SELECT 'insert', 4, k + {_CDC_INS_SHIFT}, cents
+  FROM base WHERE k % 41 = 0
+  UNION ALL
+  -- merge keys whose rows were deleted in commit 3 match nothing
+  -- live, so the upsert RE-INSERTS them at the merge price
+  SELECT 'insert', 4, k, 1000000
+  FROM base WHERE k % 7 = 0 AND k % 29 = 0
+)
+SELECT change_type, commit_version,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST(sum(k) AS BIGINT) AS key_sum
+FROM changes
+GROUP BY change_type, commit_version
+"""
+
+
 _DELTA_SPEC = "delta-orders|v1|3|101|native-log"
 
 
@@ -2383,6 +2500,10 @@ TABLE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "orders_delta_update_scan": (
         orders_delta_update_scan,
         ORDERS_DELTA_UPDATE_SQL,
+    ),
+    "orders_delta_change_feed_scan": (
+        orders_delta_change_feed_scan,
+        ORDERS_DELTA_CDC_FEED_SQL,
     ),
     "orders_delta_merge_scan": (
         orders_delta_merge_scan,
