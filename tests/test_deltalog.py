@@ -3221,3 +3221,47 @@ def test_cdc_files_vacuum_on_retention_clock(spark, tmp_path):
     assert feed.where("_change_type = 'delete'").count() == 5
     gone = dl.delta_vacuum(spark, table, retention_ms=0)
     assert any("_change_data" in p for p in gone)
+
+
+def test_write_checkpoint_v2_roundtrip(spark, tmp_path):
+    """Writing a V2 (UUID + sidecar) checkpoint: the protocol gains
+    the v2Checkpoint feature first (unioned, nothing clobbered), the
+    snapshot reconstructs from checkpoint + sidecar alone after the
+    JSON history is cleaned — DV descriptors, configuration, and txn
+    tokens intact — and later commits still replay on top."""
+    import time_series_prediction_spark.sources.deltalog as dl
+
+    table = str(tmp_path / "t")
+    df = spark.range(50).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("int").alias("p"),
+        (F.col("id") * 3).alias("v"),
+    )
+    dl.write_delta_log(df, table, mode="overwrite", partition_cols=["p"])
+    dl.delta_delete(spark, table, "k % 9 = 0")  # DV + feature protocol
+    dl.write_delta_log(
+        spark.createDataFrame([(100, 0, 1)], "k long, p int, v long"),
+        table, mode="append", partition_cols=["p"],
+        txn=("appX", 7),
+    )
+    v = dl.write_checkpoint_v2(spark, table, clean_old_commits=True)
+    log = os.path.join(table, "_delta_log")
+    names = os.listdir(log)
+    assert any(
+        n.startswith(f"{v:020d}.checkpoint.") and n.endswith(".parquet")
+        and n.count(".") == 3
+        for n in names
+    )
+    assert os.path.isdir(os.path.join(log, "_sidecars"))
+    assert not [n for n in names if n.endswith(".json")]  # cleaned
+
+    files, meta, v2, txns, proto = dl.delta_snapshot(spark, table)
+    assert v2 == v
+    assert "v2Checkpoint" in (proto.get("readerFeatures") or [])
+    assert "deletionVectors" in (proto.get("readerFeatures") or [])
+    assert txns.get("appX") == 7
+    got = sorted(r["k"] for r in dl.read_delta_log(spark, table).collect())
+    assert got == [k for k in range(50) if k % 9 != 0] + [100]
+    # the table keeps working past the checkpoint
+    dl.delta_delete(spark, table, "k = 100")
+    assert dl.read_delta_log(spark, table).count() == len(got) - 1

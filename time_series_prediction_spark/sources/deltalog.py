@@ -3800,6 +3800,187 @@ def write_checkpoint(
     return v
 
 
+def write_checkpoint_v2(
+    spark: SparkSession, path: str, clean_old_commits: bool = False
+) -> int:
+    """V2 (UUID-named) checkpoint: ``<v>.checkpoint.<uuid>.parquet``
+    holding the non-file state (checkpointMetadata, protocol,
+    metaData, txn) plus ``sidecar`` actions pointing at
+    ``_delta_log/_sidecars/<uuid>.parquet`` files that carry the add
+    actions — the format large tables use so file actions can be
+    rewritten incrementally without touching the manifest. This
+    module's reader already replays these; writing them closes the
+    read/write asymmetry.
+
+    Per the spec, a log whose checkpoint is v2 requires readers to
+    understand the ``v2Checkpoint`` feature — so if the table's
+    protocol does not yet carry it, ONE protocol-upgrade commit lands
+    first (unioning the feature, never clobbering — the
+    ``_feature_upgrade_protocol`` contract) and the checkpoint covers
+    that commit too. Same driver-side pyarrow write path as the
+    classic checkpoint (zero Spark jobs); ``clean_old_commits``
+    behaves identically. Returns the checkpointed version."""
+    import io as _io
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fs = fs_for(spark, path)
+    log = os.path.join(path, _LOG_DIR)
+    _files0, _meta0, v0, _txns0, proto0 = delta_snapshot(spark, path)
+    up = _feature_upgrade_protocol(proto0, "v2Checkpoint")
+    if up is not None:
+        _commit_json(
+            fs, path, v0 + 1, [{"protocol": up}], op="UPGRADE PROTOCOL"
+        )
+    files, meta, v, txns, proto = delta_snapshot(spark, path)
+
+    dv_t = pa.struct(
+        [
+            ("storageType", pa.string()),
+            ("pathOrInlineDv", pa.string()),
+            ("offset", pa.int32()),
+            ("sizeInBytes", pa.int32()),
+            ("cardinality", pa.int64()),
+        ]
+    )
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("stats", pa.string()),
+            ("deletionVector", dv_t),
+        ]
+    )
+
+    def _maps(d):
+        return sorted((d or {}).items())
+
+    # sidecar: the file actions
+    side_rows = []
+    for rel in sorted(files):
+        add = files[rel]
+        dv = add.get("deletionVector")
+        side_rows.append(
+            {
+                "add": {
+                    "path": urllib.parse.quote(rel),
+                    "partitionValues": _maps(add["partitionValues"]),
+                    "size": int(add.get("size") or 0),
+                    "modificationTime": int(
+                        add.get("modificationTime") or 0
+                    ),
+                    "dataChange": False,
+                    "stats": add.get("stats"),
+                    "deletionVector": (
+                        None
+                        if dv is None
+                        else {
+                            "storageType": dv["storageType"],
+                            "pathOrInlineDv": dv["pathOrInlineDv"],
+                            "offset": int(dv.get("offset") or 0),
+                            "sizeInBytes": int(
+                                dv.get("sizeInBytes") or 0
+                            ),
+                            "cardinality": int(
+                                dv.get("cardinality") or 0
+                            ),
+                        }
+                    ),
+                }
+            }
+        )
+    side_schema = pa.schema([pa.field("add", add_t)])
+    side_name = f"{_uuid.uuid4()}.parquet"
+    buf = _io.BytesIO()
+    pq.write_table(
+        pa.Table.from_pylist(side_rows, schema=side_schema), buf
+    )
+    side_dir = os.path.join(log, "_sidecars")
+    fs.mkdirs(side_dir)
+    side_tmp = os.path.join(side_dir, f".{side_name}.tmp")
+    fs.write_bytes(side_tmp, buf.getvalue())
+    fs.replace_file(side_tmp, os.path.join(side_dir, side_name))
+    side_size = len(buf.getvalue())
+
+    top_schema = pa.schema(
+        [
+            pa.field(
+                "checkpointMetadata",
+                pa.struct([("version", pa.int64())]),
+            ),
+            pa.field("protocol", pa.struct([
+                ("minReaderVersion", pa.int32()),
+                ("minWriterVersion", pa.int32()),
+                ("readerFeatures", pa.list_(pa.string())),
+                ("writerFeatures", pa.list_(pa.string())),
+            ])),
+            pa.field("metaData", pa.struct([
+                ("id", pa.string()),
+                ("format", pa.struct([("provider", pa.string())])),
+                ("schemaString", pa.string()),
+                ("partitionColumns", pa.list_(pa.string())),
+                ("configuration", pa.map_(pa.string(), pa.string())),
+            ])),
+            pa.field("txn", pa.struct([
+                ("appId", pa.string()),
+                ("version", pa.int64()),
+            ])),
+            pa.field("sidecar", pa.struct([
+                ("path", pa.string()),
+                ("sizeInBytes", pa.int64()),
+            ])),
+        ]
+    )
+    top_rows = [
+        {"checkpointMetadata": {"version": v}},
+        {
+            "protocol": {
+                "minReaderVersion": int(proto.get("minReaderVersion", 1)),
+                "minWriterVersion": int(proto.get("minWriterVersion", 2)),
+                "readerFeatures": proto.get("readerFeatures"),
+                "writerFeatures": proto.get("writerFeatures"),
+            }
+        },
+        {
+            "metaData": {
+                "id": meta.get("id", "tsps"),
+                "format": {"provider": "parquet"},
+                "schemaString": meta["schemaString"],
+                "partitionColumns": list(
+                    meta.get("partitionColumns") or []
+                ),
+                "configuration": _maps(meta.get("configuration")),
+            }
+        },
+        {"sidecar": {"path": side_name, "sizeInBytes": side_size}},
+    ]
+    for app, ver in sorted(txns.items()):
+        top_rows.append({"txn": {"appId": app, "version": ver}})
+    buf2 = _io.BytesIO()
+    pq.write_table(
+        pa.Table.from_pylist(top_rows, schema=top_schema), buf2
+    )
+    cp_name = f"{v:020d}.checkpoint.{_uuid.uuid4()}.parquet"
+    cp_tmp = os.path.join(log, f".cp-{os.getpid()}.v2.parquet")
+    fs.write_bytes(cp_tmp, buf2.getvalue())
+    fs.replace_file(cp_tmp, os.path.join(log, cp_name))
+    fs.write_text(
+        os.path.join(log, "_last_checkpoint"),
+        json.dumps({"version": v, "size": len(top_rows)}),
+    )
+    if clean_old_commits:
+        for n in list(fs.list_names(log)):
+            if n.endswith(".json") and n[:20].isdigit() \
+                    and int(n[:20]) <= v:
+                fs.delete(os.path.join(log, n))
+    return v
+
+
 def delta_history(spark: SparkSession, path: str) -> list[dict]:
     """DESCRIBE HISTORY over the retained log: one dict per commit —
     ``version``, ``timestamp`` (commitInfo wall clock, mtime
