@@ -3265,3 +3265,179 @@ def test_write_checkpoint_v2_roundtrip(spark, tmp_path):
     # the table keeps working past the checkpoint
     dl.delta_delete(spark, table, "k = 100")
     assert dl.read_delta_log(spark, table).count() == len(got) - 1
+
+
+def test_identity_dml_rewrite_paths(spark, tmp_path):
+    """Rewrite-shaped DELETE / UPDATE / MERGE on an identity-column
+    table commit through the trusted internal-rewrite path instead of
+    tripping the explicit-insert refusal (round-12 ADVICE high:
+    ``max_dv_rows`` exceeded used to raise 'explicit insert into
+    identity column'); surviving rows keep their assigned identity
+    values, and the watermark never walks backwards."""
+    import time_series_prediction_spark.sources.deltalog as dl
+
+    table = str(tmp_path / "t")
+    dl.write_delta_log(
+        spark.range(1, 11).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        ),
+        table, mode="overwrite",
+    )
+    dl.delta_set_identity_column(spark, table, "k", start=1, step=1)
+
+    # rewrite-shaped DELETE (max_dv_rows=0 forces the overwrite path)
+    dl.delta_delete(spark, table, "v >= 90", max_dv_rows=0)
+    rows = {r["k"]: r["v"] for r in
+            dl.read_delta_log(spark, table).collect()}
+    assert sorted(rows) == list(range(1, 9))
+
+    # rewrite-shaped UPDATE keeps identity values intact
+    dl.delta_update(
+        spark, table, "k <= 2", {"v": "v + 1"}, max_dv_rows=0
+    )
+    rows = {r["k"]: r["v"] for r in
+            dl.read_delta_log(spark, table).collect()}
+    assert rows[1] == 11 and rows[2] == 21 and rows[8] == 80
+
+    # watermark did not regress: the next append starts above 10
+    # (the deleted ids 9,10 are never reused)
+    dl.write_delta_log(
+        spark.createDataFrame([(999,)], "v long"), table, mode="append"
+    )
+    new_k = [
+        r["k"] for r in dl.read_delta_log(spark, table).collect()
+        if r["v"] == 999
+    ]
+    assert new_k and new_k[0] > 10
+
+    # rewrite-shaped MERGE (batch omits the identity column)
+    upd = spark.createDataFrame([(12, 1), (999, 2)], "v long, tag long")
+    # table has no 'tag' column — use (k-free) v as key is ambiguous;
+    # instead merge on v with a fresh value batch
+    dl.delta_merge(
+        spark, table,
+        spark.createDataFrame([(11,), (5555,)], "v long"),
+        key="v", max_dv_rows=0,
+    )
+    rows = {r["v"]: r["k"] for r in
+            dl.read_delta_log(spark, table).collect()}
+    assert rows[11] == 1          # matched row kept its identity
+    assert rows[5555] > 10        # insert generated above the hwm
+    assert len(set(
+        r["k"] for r in dl.read_delta_log(spark, table).collect()
+    )) == dl.read_delta_log(spark, table).count()
+
+
+def test_identity_merge_semantics(spark, tmp_path):
+    """DV-path MERGE identity contract: the batch OMITS identity
+    columns — matched keys keep their table values, inserts get fresh
+    watermark-derived ones, and the watermark advances in the SAME
+    commit (two consecutive insert-merges never collide). Carrying
+    the column refuses; keying ON the identity column allows pure
+    updates and refuses inserts; UPDATE SET on it refuses."""
+    import time_series_prediction_spark.sources.deltalog as dl
+
+    table = str(tmp_path / "t")
+    dl.write_delta_log(
+        spark.createDataFrame(
+            [(1, 10, 100), (2, 20, 200), (3, 30, 300)],
+            "rid long, k long, v long",
+        ),
+        table, mode="overwrite",
+    )
+    dl.delta_set_identity_column(spark, table, "rid", start=1, step=1)
+
+    # batch carrying the identity column (not a key) refuses
+    with pytest.raises(ValueError, match="carries identity"):
+        dl.delta_merge(
+            spark, table,
+            spark.createDataFrame([(9, 10, 1)], "rid long, k long, v long"),
+            key="k",
+        )
+
+    # DV-path merge: k=10,20 match (keep rid 1,2), k=40 inserts
+    dl.delta_merge(
+        spark, table,
+        spark.createDataFrame(
+            [(10, 101), (20, 202), (40, 400)], "k long, v long"
+        ),
+        key="k",
+    )
+    rows = {r["k"]: (r["rid"], r["v"]) for r in
+            dl.read_delta_log(spark, table).collect()}
+    assert rows[10] == (1, 101) and rows[20] == (2, 202)
+    assert rows[30] == (3, 300)
+    rid_40 = rows[40][0]
+    assert rid_40 > 3  # generated above the watermark
+
+    # watermark advanced IN the merge commit: the next insert-merge
+    # lands strictly above rid_40
+    dl.delta_merge(
+        spark, table,
+        spark.createDataFrame([(50, 500)], "k long, v long"),
+        key="k",
+    )
+    rows2 = {r["k"]: r["rid"] for r in
+             dl.read_delta_log(spark, table).collect()}
+    assert rows2[50] > rid_40
+    all_rids = list(rows2.values())
+    assert len(all_rids) == len(set(all_rids))
+
+    # keyed ON the identity column: pure update is fine...
+    dl.delta_merge(
+        spark, table,
+        dl.read_delta_log(spark, table).where("k = 30")
+        .withColumn("v", F.lit(303).cast("long")),
+        key="rid",
+    )
+    assert dl.read_delta_log(spark, table).where(
+        "k = 30 and v = 303"
+    ).count() == 1
+    # ...but an unmatched key (an explicit insert) refuses
+    with pytest.raises(ValueError, match="keyed on an identity"):
+        dl.delta_merge(
+            spark, table,
+            spark.createDataFrame(
+                [(999999, 60, 600)], "rid long, k long, v long"
+            ),
+            key="rid",
+        )
+
+    # UPDATE SET on the identity column refuses
+    with pytest.raises(ValueError, match="identity column"):
+        dl.delta_update(spark, table, "k = 10", {"rid": "rid + 1"})
+
+    # time travel shows ids only ever appended, never mutated
+    v0 = dl.read_delta_log(spark, table, version=1)  # post-declare
+    assert sorted(r["rid"] for r in v0.collect()) == [1, 2, 3]
+
+
+def test_identity_negative_step(spark, tmp_path):
+    """ADVICE r12 medium: with step < 0 the watermark tracks the MIN
+    assigned value (declaration seeds from the column min; appends
+    advance downward) — two appends never reassign the same ids."""
+    import time_series_prediction_spark.sources.deltalog as dl
+
+    table = str(tmp_path / "t")
+    dl.write_delta_log(
+        spark.createDataFrame([(100, 1), (98, 2)], "rid long, v long"),
+        table, mode="overwrite",
+    )
+    dl.delta_set_identity_column(spark, table, "rid", start=100, step=-2)
+    dl.write_delta_log(
+        spark.createDataFrame([(10,), (11,)], "v long"),
+        table, mode="append",
+    )
+    dl.write_delta_log(
+        spark.createDataFrame([(12,), (13,)], "v long"),
+        table, mode="append",
+    )
+    rows = dl.read_delta_log(spark, table).collect()
+    rids = [r["rid"] for r in rows]
+    assert len(rids) == len(set(rids)) == 6
+    new = [r["rid"] for r in rows if r["v"] >= 10]
+    assert all(rid < 98 for rid in new)          # below the seed min
+    assert all((98 - rid) % 2 == 0 for rid in new)  # step-aligned
+    b1 = {r["rid"] for r in rows if r["v"] in (10, 11)}
+    b2 = {r["rid"] for r in rows if r["v"] in (12, 13)}
+    assert max(b2) < min(b1)  # second batch strictly below the first

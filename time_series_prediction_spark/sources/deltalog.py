@@ -1102,6 +1102,7 @@ def write_delta_log(
     partition_cols: list[str] | None = None,
     txn: tuple[str, int] | None = None,
     _extra_actions: list[dict] | None = None,
+    _internal_rewrite: bool = False,
 ) -> int:
     """Write ``df`` as a Delta table WITHOUT the delta jars: land the
     data as parquet (UUID part files never clobber prior
@@ -1156,7 +1157,19 @@ def write_delta_log(
         # the present — BEFORE the schema discipline, so a batch
         # legitimately omitting them is never refused as drift
         df = _apply_generated_columns(df, prev_schema, f"{mode} batch")
-        df, id_assigned = _assign_identity(df, prev_schema)
+        if _internal_rewrite:
+            # trusted whole-table rewrite (the DML rewrite-shaped
+            # paths): the batch legitimately carries the table's own
+            # identity values — skip the explicit-insert refusal, and
+            # refresh the high watermark monotonically from the landed
+            # stats so merge-generated inserts still advance it
+            id_assigned = [
+                c
+                for c in _identity_columns(prev_schema)
+                if c in df.columns
+            ]
+        else:
+            df, id_assigned = _assign_identity(df, prev_schema)
         prev_f = {f.name: f.dataType for f in prev_schema.fields}
         new_f = {f.name: f.dataType for f in df.schema.fields}
         if prev_f != new_f:
@@ -1757,45 +1770,66 @@ def _bump_identity_hwm(
     spark: SparkSession,
 ) -> dict:
     """metaData with each assigned identity column's highWaterMark
-    advanced to the max value actually landed — from the per-file
+    advanced to the extreme value actually landed — MAX for a positive
+    step, MIN for a negative one (the watermark always moves in the
+    step's direction; tracking max under step<0 would re-assign the
+    same descending values every batch) — from the per-file
     ``add.stats`` already computed for the commit (zero extra jobs);
-    one distributed max over the new files only as the fallback when a
-    file lacks stats."""
+    one distributed agg over the new files only as the fallback when a
+    file lacks stats. The advance is MONOTONE in the step direction:
+    a trusted whole-table rewrite (DELETE shrinking the table) never
+    walks the watermark backwards, so deleted identity values are
+    never reused."""
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
-    maxes: dict[str, int] = {}
+    id_info = _identity_columns(schema)
+    steps = {c: id_info[c][1] for c in assigned}
+    prev_hwm = {c: id_info[c][2] for c in assigned}
+    extremes: dict[str, int] = {}
     need_scan = False
     for c in assigned:
         phys = mapping.get(c, c)
+        key = "maxValues" if steps[c] > 0 else "minValues"
         vals = []
         for f in new_files:
             s = stats.get(f)
             if not s:
                 need_scan = True
                 break
-            mv = (json.loads(s).get("maxValues") or {}).get(phys)
+            mv = (json.loads(s).get(key) or {}).get(phys)
             if mv is None:
                 need_scan = True
                 break
             vals.append(int(mv))
         if need_scan:
             break
-        maxes[c] = max(vals)
+        extremes[c] = max(vals) if steps[c] > 0 else min(vals)
     if need_scan:
         scan = spark.read.parquet(*new_files)
         row = scan.agg(
             *[
-                F.max(mapping.get(c, c)).alias(c) for c in assigned
+                (F.max if steps[c] > 0 else F.min)(
+                    mapping.get(c, c)
+                ).alias(c)
+                for c in assigned
             ]
         ).first()
-        maxes = {c: int(row[c]) for c in assigned}
+        extremes = {c: int(row[c]) for c in assigned}
+    hwms: dict[str, int] = {}
+    for c in assigned:
+        if prev_hwm[c] is None:
+            hwms[c] = extremes[c]
+        elif steps[c] > 0:
+            hwms[c] = max(prev_hwm[c], extremes[c])
+        else:
+            hwms[c] = min(prev_hwm[c], extremes[c])
     from pyspark.sql.types import StructField
 
     new_schema = StructType(
         [
             StructField(
                 f.name, f.dataType, f.nullable,
-                {**(f.metadata or {}), _ID_HWM: maxes[f.name]}
-                if f.name in maxes
+                {**(f.metadata or {}), _ID_HWM: hwms[f.name]}
+                if f.name in hwms
                 else f.metadata,
             )
             for f in schema.fields
@@ -1812,9 +1846,11 @@ def delta_set_identity_column(
     (START WITH ``start`` INCREMENT BY ``step``): records the
     ``delta.identity.*`` field metadata plus the identityColumns
     WRITER feature (legacy minWriterVersion 6; readers untouched).
-    The high watermark initializes from the column's current max (the
-    existing values keep their meaning); subsequent appends must OMIT
-    the column and get unique step-aligned values assigned."""
+    The high watermark initializes from the column's current max —
+    MIN for a negative step, since the watermark tracks the step's
+    direction (the existing values keep their meaning); subsequent
+    appends must OMIT the column and get unique step-aligned values
+    assigned."""
     if step == 0:
         raise ValueError("identity step must be non-zero")
     _files, meta, v, _txns, protocol = delta_snapshot(spark, path)
@@ -1832,8 +1868,12 @@ def delta_set_identity_column(
             f"{name!r} already carries a generation expression — a "
             "column cannot be both generated and identity"
         )
-    cur_max = read_delta_log(spark, path).agg(F.max(name)).first()[0]
-    hwm = int(cur_max) if cur_max is not None else start - step
+    cur_ext = (
+        read_delta_log(spark, path)
+        .agg((F.max if step > 0 else F.min)(name))
+        .first()[0]
+    )
+    hwm = int(cur_ext) if cur_ext is not None else start - step
     from pyspark.sql.types import StructField
 
     new_schema = StructType(
@@ -2270,6 +2310,7 @@ def _delta_delete_once(
             return write_delta_log(
                 keep, path, mode="overwrite", partition_cols=part_cols,
                 _extra_actions=_cdc_actions() if cdf else None,
+                _internal_rewrite=True,
             )
         # merge with any existing DV (re-deleting already-hidden rows
         # is a no-op union, and the old positions must not resurrect)
@@ -2332,7 +2373,13 @@ def delta_merge(
     DeltaUnsupportedOperationException). ``txn`` stamps the protocol
     idempotence token for streaming ``foreachBatch`` upserts. The
     update batch must carry exactly the table's columns — evolve the
-    schema via a ``write_delta_log`` append first. A commit losing a
+    schema via a ``write_delta_log`` append first — EXCEPT identity
+    columns, which the batch must OMIT (GENERATED ALWAYS): matched
+    keys keep their table-assigned values, unmatched (insert) rows
+    get fresh values from the high watermark, and the watermark
+    advances in the same commit. A merge KEYED on an identity column
+    can only update (an unmatched key would be an explicit insert —
+    refused). A commit losing a
     version race re-plans over the fresh snapshot and retries
     (``max_retries``, the CoW rebase-loop contract). Returns the
     committed version."""
@@ -2369,17 +2416,41 @@ def _delta_merge_once(
     fs = fs_for(spark, path)
     updates = _apply_generated_columns(updates, schema, "merge batch")
     tbl_f = {f.name: f.dataType for f in schema.fields}
+    id_info = _identity_columns(schema)
+    id_cols = list(id_info)
+    id_in_keys = any(k in id_info for k in keys)
+    if id_in_keys and set(id_cols) - set(keys):
+        raise ValueError(
+            "MERGE mixing an identity column used as a merge key with "
+            f"other identity columns {sorted(set(id_cols) - set(keys))} "
+            "is unsupported — key on all of them or none"
+        )
     upd_f = {f.name: f.dataType for f in updates.schema.fields}
-    if tbl_f != upd_f:
+    if id_cols and not id_in_keys:
+        carried = sorted(set(upd_f) & set(id_info))
+        if carried:
+            raise ValueError(
+                f"merge batch carries identity column(s) {carried} — "
+                "GENERATED ALWAYS AS IDENTITY: omit them from the "
+                "batch; matched rows keep their table values, "
+                "inserted rows are assigned fresh ones"
+            )
+    expect_f = (
+        tbl_f
+        if not id_cols or id_in_keys
+        else {n: t for n, t in tbl_f.items() if n not in id_info}
+    )
+    if expect_f != upd_f:
         raise ValueError(
             f"merge batch schema {sorted(upd_f)} must equal the "
-            f"table's {sorted(tbl_f)} — evolve via a write_delta_log "
-            "append first, then merge"
+            f"table's {sorted(expect_f)} — evolve via a "
+            "write_delta_log append first, then merge"
         )
     missing_keys = [k for k in keys if k not in tbl_f]
     if missing_keys:
         raise ValueError(f"merge keys {missing_keys} not in the table")
     updates = updates.persist(StorageLevel.MEMORY_AND_DISK)
+    persisted = [updates]
     matched_full = None
     try:
         dup = (
@@ -2392,9 +2463,6 @@ def _delta_merge_once(
                 "update batch carries duplicate keys — a multi-match "
                 "merge is ambiguous; dedup upstream"
             )
-        _enforce_constraints(
-            updates, _write_rules(meta, schema), "merge batch"
-        )
         existing: dict[str, list[int]] = {
             rel: _dv_positions(fs, path, add["deletionVector"])
             for rel, add in files.items()
@@ -2428,6 +2496,64 @@ def _delta_merge_once(
             # a pure-insert merge is just an append; only a merge
             # that would hide existing rows violates append-only
             _refuse_append_only(meta, "MERGE matching existing rows")
+
+        id_assigned: list[str] = []
+        if id_cols and id_in_keys:
+            # keyed ON the identity column: matched rows update as
+            # usual, but an unmatched key would be an explicit insert
+            # into GENERATED ALWAYS (assigning a fresh value would
+            # change the very key the row merged on) — refused.
+            if matched_full is not None and total > 0:
+                unmatched = updates.join(
+                    matched_full.select(*keys).distinct(),
+                    keys,
+                    "left_anti",
+                )
+            else:
+                unmatched = updates
+            if not unmatched.isEmpty():
+                raise ValueError(
+                    "MERGE keyed on an identity column can only "
+                    "update existing rows — unmatched keys would "
+                    "explicitly insert into a GENERATED ALWAYS AS "
+                    "IDENTITY column"
+                )
+        elif id_cols:
+            # complete the batch: matched keys keep the TABLE's
+            # identity values (extreme per key if prior duplicates
+            # exist); unmatched (insert) rows get fresh values from
+            # the high watermark — Delta's MERGE identity semantics
+            # (generate on the insert path), watermark advanced in
+            # this same commit below.
+            if matched_full is not None and total > 0:
+                keep_ids = matched_full.groupBy(*keys).agg(
+                    *[
+                        (F.max if id_info[c][1] > 0 else F.min)(
+                            c
+                        ).alias(c)
+                        for c in id_cols
+                    ]
+                )
+                upd_matched = updates.join(keep_ids, keys, "inner")
+                ins = updates.join(
+                    keep_ids.select(*keys), keys, "left_anti"
+                )
+            else:
+                upd_matched = None
+                ins = updates
+            ins, id_assigned = _assign_identity(ins, schema)
+            completed = (
+                ins
+                if upd_matched is None
+                else upd_matched.select(*ins.columns).unionByName(ins)
+            )
+            updates = completed.select(
+                *[f.name for f in schema.fields]
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            persisted.append(updates)
+        _enforce_constraints(
+            updates, _write_rules(meta, schema), "merge batch"
+        )
 
         tbl_cols = [f.name for f in schema.fields]
 
@@ -2470,6 +2596,7 @@ def _delta_merge_once(
                 keep.unionByName(updates), path, mode="overwrite",
                 partition_cols=part_cols, txn=txn,
                 _extra_actions=_cdc_actions() if cdf else None,
+                _internal_rewrite=True,
             )
         hits = (
             _collect_position_hits(spark, path, matched, files, existing)
@@ -2492,6 +2619,19 @@ def _delta_merge_once(
                 {"txn": {"appId": txn[0], "version": int(txn[1]),
                          "lastUpdated": 0}}
             )
+        if id_assigned and new_files:
+            # the insert path generated identity values: advance the
+            # high watermark in the SAME commit (from the landed
+            # stats — monotone, so preserved matched values can't
+            # walk it backwards)
+            actions.append(
+                {
+                    "metaData": _bump_identity_hwm(
+                        dict(meta), id_assigned, new_files, stats,
+                        mapping, spark,
+                    )
+                }
+            )
         if hits:
             upgrade = _dv_upgrade_protocol(protocol)
             if upgrade is not None:
@@ -2513,7 +2653,8 @@ def _delta_merge_once(
             return delta_optimize(spark, path)
         return v + 1
     finally:
-        updates.unpersist()
+        for p in persisted:
+            p.unpersist()
         if matched_full is not None and _cdf_enabled(meta):
             matched_full.unpersist()
 
@@ -2595,6 +2736,13 @@ def _delta_update_once(
             f"cannot UPDATE generated column(s) {gen_set} directly — "
             "they are computed from their expressions; SET the input "
             "columns instead"
+        )
+    id_set = sorted(set(set_exprs) & set(_identity_columns(schema)))
+    if id_set:
+        raise ValueError(
+            f"cannot UPDATE identity column(s) {id_set} — GENERATED "
+            "ALWAYS AS IDENTITY values are engine-assigned and "
+            "immutable"
         )
     if not files or not set_exprs:
         return v
@@ -2683,6 +2831,7 @@ def _delta_update_once(
                 rewritten, path, mode="overwrite",
                 partition_cols=part_cols,
                 _extra_actions=_cdc_actions() if cdf else None,
+                _internal_rewrite=True,
             )
         updated = _post_images()
         _check_update_types(updated.schema, schema)
@@ -3022,7 +3171,18 @@ def read_delta_pruned(
     if not kept:
         return spark.createDataFrame([], schema)
     fs = fs_for(spark, path)
-    positions, pos_df = _dv_positions_source(spark, fs, path, kept)
+    # DV anti-join side is derived from the FULL snapshot's DV state,
+    # not the pruned subset: a subset-keyed spill would be invisible
+    # to delta_vacuum's liveness check (only the full-snapshot key is
+    # kept alive) and could be reclaimed under a lazily-evaluated
+    # frame still referencing it. Positions for pruned-away files are
+    # harmless — the anti-join never sees their _fp — and the
+    # driver-map path subsets them before shipping.
+    positions, pos_df = _dv_positions_source(spark, fs, path, files)
+    if positions is not None:
+        positions = {
+            rel: ps for rel, ps in positions.items() if rel in kept
+        } or None
     return _scan_files(
         spark, path, kept, schema, part_cols, mapping,
         positions=positions,
@@ -3431,22 +3591,35 @@ def delta_vacuum(
     # the per-file "superseded at" instant the retention window
     # measures from
     removed_at: dict[str, int] = {}
+    cdc_live: set[str] = set()
     log = os.path.join(path, _LOG_DIR)
     for n in fs.list_names(log):
         if not (n.endswith(".json") and n[:20].isdigit()):
             continue
         for line in fs.read_text(os.path.join(log, n)).splitlines():
-            if '"remove"' not in line:
-                continue
-            try:
-                r = json.loads(line).get("remove")
-            except ValueError:
-                continue
-            if not r:
-                continue
-            ap = os.path.join(base, urllib.parse.unquote(r["path"]))
-            ts = int(r.get("deletionTimestamp") or 0)
-            removed_at[ap] = max(removed_at.get(ap, 0), ts)
+            if '"remove"' in line:
+                try:
+                    r = json.loads(line).get("remove")
+                except ValueError:
+                    continue
+                if not r:
+                    continue
+                ap = os.path.join(base, urllib.parse.unquote(r["path"]))
+                ts = int(r.get("deletionTimestamp") or 0)
+                removed_at[ap] = max(removed_at.get(ap, 0), ts)
+            elif '"cdc"' in line:
+                # a change-data file referenced by a RETAINED commit
+                # is live whatever its age: delta_read_cdc over that
+                # still-listed window must scan it, not 404 (the CDC
+                # retention window is the LOG retention window)
+                try:
+                    c = json.loads(line).get("cdc")
+                except ValueError:
+                    continue
+                if c:
+                    cdc_live.add(
+                        os.path.join(base, urllib.parse.unquote(c["path"]))
+                    )
     live_dvs = set()
     for add in files.values():
         dv = add.get("deletionVector")
@@ -3506,10 +3679,12 @@ def delta_vacuum(
     # other key indexes a superseded (deleted-more / optimized-away)
     # state and reclaims on the same retention clock
     # change-data files age out on the same clock as the commits that
-    # reference them (the CDC window IS the retention window): a cdc
-    # file older than the horizon belongs to a commit whose change
-    # feed is already unreadable (delta_read_cdc raises past the
-    # cleaned log), so its bytes reclaim with it
+    # reference them: a cdc file whose commit JSON is STILL RETAINED
+    # (auto-checkpoint keeps old commits) is live whatever its age —
+    # reclaiming it would make delta_read_cdc over a still-listed
+    # window fail at scan time with a missing file instead of the
+    # documented retention error. Only cdc files no retained commit
+    # references (their log was cleaned) reclaim past the horizon.
     cd_root = os.path.join(path, _CHANGE_DATA_DIR)
     if fs.is_dir(cd_root):
         from time_series_prediction_spark.operators.manifest import (
@@ -3517,6 +3692,8 @@ def delta_vacuum(
         )
 
         for f in _lpf(cd_root, spark):
+            if f in cdc_live:
+                continue
             st = fs.status(f)
             if st is not None and st[1] <= horizon_ms:
                 _reclaim(f)
@@ -3791,7 +3968,16 @@ def write_checkpoint(
     )
     fs.write_text(
         os.path.join(log, "_last_checkpoint"),
-        json.dumps({"version": v, "size": len(rows)}),
+        json.dumps(
+            {
+                "version": v,
+                "size": len(rows),
+                "sizeInBytes": len(buf.getvalue()),
+                "numOfAddFiles": sum(
+                    1 for _p, _m, a, _t in rows if a is not None
+                ),
+            }
+        ),
     )
     if clean_old_commits:
         for n in list(fs.list_names(log)):
@@ -3971,7 +4157,18 @@ def write_checkpoint_v2(
     fs.replace_file(cp_tmp, os.path.join(log, cp_name))
     fs.write_text(
         os.path.join(log, "_last_checkpoint"),
-        json.dumps({"version": v, "size": len(top_rows)}),
+        json.dumps(
+            {
+                "version": v,
+                "size": len(top_rows),
+                # spec's optional v2 fields: the pointer names the
+                # exact manifest (readers can skip the listing) and
+                # sizes the reconstruction it promises
+                "sizeInBytes": len(buf2.getvalue()) + side_size,
+                "numOfAddFiles": len(files),
+                "tags": {"flavor": "v2", "fileName": cp_name},
+            }
+        ),
     )
     if clean_old_commits:
         for n in list(fs.list_names(log)):
