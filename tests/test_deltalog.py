@@ -3441,3 +3441,233 @@ def test_identity_negative_step(spark, tmp_path):
     b1 = {r["rid"] for r in rows if r["v"] in (10, 11)}
     b2 = {r["rid"] for r in rows if r["v"] in (12, 13)}
     assert max(b2) < min(b1)  # second batch strictly below the first
+
+
+def test_vacuum_keeps_cdc_files_of_retained_commits(spark, tmp_path):
+    """ADVICE r12 low: _change_data files referenced by RETAINED
+    commit JSONs survive vacuum whatever their age — the CDC window
+    is the log retention window, so delta_read_cdc over a
+    still-listed version range must scan its files, not 404. Once
+    the referencing commits are cleaned from the log, the orphaned
+    cdc bytes reclaim."""
+    import time_series_prediction_spark.sources.deltalog as dl
+
+    table = str(tmp_path / "t")
+    dl.write_delta_log(
+        spark.range(20).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ),
+        table, mode="overwrite",
+    )
+    dl.delta_set_table_property(
+        spark, table, "delta.enableChangeDataFeed", "true"
+    )
+    v_base = dl.delta_snapshot(spark, table)[2]
+    dl.delta_delete(spark, table, "k % 5 = 0")
+    dl.delta_update(spark, table, "k = 7", {"v": "v + 100"})
+    cd = os.path.join(table, "_change_data")
+    n_cdc = sum(len(fs) for _, _, fs in os.walk(cd))
+    assert n_cdc >= 2
+
+    # retention 0: every horizon passes, but the cdc files' commits
+    # are still in the log — they must survive, and the feed still read
+    reclaimed = dl.delta_vacuum(spark, table, retention_ms=0)
+    assert not any("_change_data" in p for p in reclaimed)
+    feed, _ = dl.delta_read_cdc(spark, table, v_base)
+    assert feed.where("_change_type = 'delete'").count() == 4
+    assert feed.where("_change_type = 'update_postimage'").count() == 1
+
+    # clean the referencing commits: the cdc bytes are now orphaned
+    dl.write_checkpoint(spark, table, clean_old_commits=True)
+    reclaimed2 = dl.delta_vacuum(spark, table, retention_ms=0)
+    assert any("_change_data" in p for p in reclaimed2)
+
+
+def test_vacuum_spares_pruned_read_dv_spill(spark, tmp_path, monkeypatch):
+    """ADVICE r12 low: a pruned read's DV anti-join side is keyed to
+    the FULL-snapshot DV state, so vacuum's liveness check (which
+    keeps exactly that key) can never reclaim a spill a
+    lazily-evaluated pruned frame still references — and no
+    subset-keyed spill files are created at all."""
+    import time_series_prediction_spark.sources.deltalog as dl
+
+    monkeypatch.setattr(dl, "_DV_SPILL_MIN", 50)
+    table = str(tmp_path / "t")
+    dl.write_delta_log(
+        spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ),
+        table, mode="overwrite",
+    )
+    dl.delta_delete(spark, table, "k % 3 = 0")  # ~333 DV positions
+    # materialize the full-state spill once
+    assert dl.read_delta_log(spark, table).count() == 666
+    cache = os.path.join(table, "_delta_log", dl._DV_POS_CACHE)
+    before = set(os.listdir(cache))
+    assert len([n for n in before if n.endswith(".parquet")]) == 1
+
+    # a lazy pruned frame, then a zero-retention vacuum, THEN collect
+    pruned = dl.read_delta_pruned(spark, table, {"k": (100, 200)})
+    reclaimed = dl.delta_vacuum(spark, table, retention_ms=0)
+    assert not any(dl._DV_POS_CACHE in p for p in reclaimed)
+    got = sorted(r["k"] for r in pruned.where("k between 100 and 200").collect())
+    assert got == [k for k in range(100, 201) if k % 3 != 0]
+    # no subset-keyed spill appeared: pruned reads share the one key
+    assert set(os.listdir(cache)) == before
+
+
+def test_concurrent_writer_conflict_and_retry(spark, tmp_path, monkeypatch):
+    """VERDICT r12 #7: put-if-absent commits under a real version
+    race — a competing append lands the DML's target version first;
+    the DML's commit loses with DeltaConcurrentCommit (its actions
+    unapplied), the retry loop re-plans over the fresh snapshot, and
+    the final state carries BOTH writers' effects at v+2 with no
+    lost actions."""
+    import time_series_prediction_spark.sources.deltalog as dl
+
+    table = str(tmp_path / "t")
+    dl.write_delta_log(
+        spark.range(10).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ),
+        table, mode="overwrite",
+    )
+    v0 = dl.delta_snapshot(spark, table)[2]
+
+    orig = dl._commit_json
+    state = {"raced": False, "conflicts": 0}
+
+    def race(fs, path, version, actions, op=None):
+        if op == "DELETE" and not state["raced"]:
+            state["raced"] = True
+            # writer B sneaks in and takes this exact version
+            dl.write_delta_log(
+                spark.createDataFrame([(-100, 1)], "k long, v long"),
+                table, mode="append",
+            )
+        try:
+            return orig(fs, path, version, actions, op=op)
+        except dl.DeltaConcurrentCommit:
+            state["conflicts"] += 1
+            raise
+
+    monkeypatch.setattr(dl, "_commit_json", race)
+    v_final = dl.delta_delete(spark, table, "k >= 8")
+    assert state["conflicts"] == 1          # the loser raised, loudly
+    assert v_final == v0 + 2                # append took v+1, retry v+2
+    rows = sorted(r["k"] for r in dl.read_delta_log(spark, table).collect())
+    # both effects, nothing lost: the retry RE-PLANNED over the fresh
+    # snapshot (the competitor's row is visible to the retried DELETE,
+    # which it survives by predicate)
+    assert rows == [-100] + list(range(8))
+
+    # losing every retry surfaces the conflict instead of hanging
+    def always_taken(fs, path, version, actions, op=None):
+        if op == "DELETE":
+            dl.write_delta_log(
+                spark.createDataFrame([(200, 1)], "k long, v long"),
+                table, mode="append",
+            )
+        return orig(fs, path, version, actions, op=op)
+
+    monkeypatch.setattr(dl, "_commit_json", always_taken)
+    with pytest.raises(dl.DeltaConcurrentCommit):
+        dl.delta_delete(spark, table, "k = 0", max_retries=2)
+
+
+def test_unwritable_dv_spill_fallback_above_threshold(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r12 #6: when the spill cache is unwritable (read-only
+    table dir, permission boundary) a read past _DV_SPILL_MIN serves
+    the already-parsed driver relation — correct rows, no spill file,
+    no crash. The driver payload stays bounded by delta_delete's
+    max_total_dv_rows auto-OPTIMIZE ceiling, which this table is
+    under by construction."""
+    import time_series_prediction_spark.sources.deltalog as dl
+
+    monkeypatch.setattr(dl, "_DV_SPILL_MIN", 50)
+    table = str(tmp_path / "t")
+    dl.write_delta_log(
+        spark.range(600).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ),
+        table, mode="overwrite",
+    )
+    dl.delta_delete(spark, table, "k % 2 = 0")  # 300 positions > MIN
+    # occupy the cache path with a FILE: mkdirs/rename can't succeed
+    cache = os.path.join(table, "_delta_log", dl._DV_POS_CACHE)
+    assert not os.path.exists(cache)
+    with open(cache, "w") as f:
+        f.write("x")
+    got = sorted(r["k"] for r in dl.read_delta_log(spark, table).collect())
+    assert got == [k for k in range(600) if k % 2 == 1]
+    assert os.path.isfile(cache)  # still the blocking file, no spill
+    # pruned reads take the same fallback
+    pruned = dl.read_delta_pruned(spark, table, {"k": (10, 20)})
+    assert sorted(
+        r["k"] for r in pruned.where("k between 10 and 20").collect()
+    ) == [11, 13, 15, 17, 19]
+
+
+def test_v2_checkpoint_column_mapped_dv_roundtrip(spark, tmp_path):
+    """VERDICT r12 #5: a DV-bearing, column-mapped ('name' mode)
+    table checkpointed as V2 (UUID manifest + sidecar) reconstructs
+    purely from the manifest after every commit JSON is cleaned —
+    logical column names, DV-hidden rows, and configuration intact —
+    and _last_checkpoint carries the v2 pointer fields."""
+    import json as _json
+
+    import time_series_prediction_spark.sources.deltalog as dl
+
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-aaa"}},
+            {"name": "v", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-bbb"}},
+        ],
+    }
+    _write_parquet(
+        spark, os.path.join(table, "A.parquet"),
+        [(i, i * 2) for i in range(20)], "`col-aaa` long, `col-bbb` long",
+    )
+    meta = _meta(_json.dumps(schema))
+    meta["metaData"]["configuration"] = {
+        "delta.columnMapping.mode": "name",
+        "delta.columnMapping.maxColumnId": "2",
+    }
+    _commit(table, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        meta,
+        _add("A.parquet"),
+    ])
+    dl.delta_delete(spark, table, "k % 4 = 0")  # DV through the mapping
+    v = dl.write_checkpoint_v2(spark, table, clean_old_commits=True)
+
+    log = os.path.join(table, "_delta_log")
+    assert not [n for n in os.listdir(log) if n.endswith(".json")]
+    lc = _json.loads(open(os.path.join(log, "_last_checkpoint")).read())
+    assert lc["version"] == v
+    assert lc["numOfAddFiles"] == 1
+    assert lc["sizeInBytes"] > 0
+    assert lc["tags"]["flavor"] == "v2"
+    assert lc["tags"]["fileName"].startswith(f"{v:020d}.checkpoint.")
+
+    got = dl.read_delta_log(spark, table)
+    assert got.columns == ["k", "v"]
+    rows = sorted(map(tuple, got.collect()))
+    assert rows == [(i, i * 2) for i in range(20) if i % 4 != 0]
+    _files, meta2, _v, _t, proto = dl.delta_snapshot(spark, table)
+    assert (meta2.get("configuration") or {}).get(
+        "delta.columnMapping.mode"
+    ) == "name"
+    assert "v2Checkpoint" in (proto.get("readerFeatures") or [])
+    # the table keeps working past the cleaned log
+    dl.delta_delete(spark, table, "k = 1")
+    assert dl.read_delta_log(spark, table).count() == 14
