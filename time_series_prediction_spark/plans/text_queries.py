@@ -800,9 +800,17 @@ GROUP BY label, i
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-payload feature extraction via iterator mapInPandas
-    (rows-only: the decode stage is Python-side by design; decode
-    itself is stubbed deterministically — see operators/multimodal)."""
+    """Binary-payload feature extraction via iterator mapInPandas —
+    ORACLE-BACKED (round 12): the stub extractor is deterministic
+    byte-level arithmetic (a 16-bin histogram of payload bytes,
+    float32-normalized), so the same statistics are expressible in
+    DuckDB over ``encode(text)`` blob bytes. The query folds each
+    doc's histogram back to EXACT integer counts (``round(v ·
+    n_bytes)`` — the float32 error is ≪ 0.5 at these payload sizes)
+    and md5s the count vector, giving a hash-stable scalar per doc.
+    The mapInPandas plumbing (Arrow batches, schema, partition
+    inheritance) is exactly the real-decoder path; only
+    ``_stub_features`` swaps out when PIL/cv2 appear."""
     from time_series_prediction_spark.operators.multimodal import (
         attach_binary_payload,
         extract_features,
@@ -815,10 +823,50 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "modality",
         "n_bytes",
         "content_md5",
-        F.expr("round(aggregate(features, 0D, (a, v) -> a + v), 6)").alias(
-            "feature_sum"
-        ),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.expr(
+                    "transform(features, v -> CAST(CAST(round(v * "
+                    "n_bytes) AS BIGINT) AS STRING))"
+                ),
+            )
+        ).alias("hist_md5"),
     )
+
+
+MULTIMODAL_FEATURES_SQL = """
+WITH b AS (
+  SELECT doc_id, 'image' AS modality, text, encode(text) AS p
+  FROM documents
+), m AS (
+  -- md5(VARCHAR) hashes the string's UTF-8 bytes == Spark's md5 of
+  -- the encoded binary payload
+  SELECT doc_id, modality, octet_length(p) AS n_bytes,
+         md5(text) AS content_md5, hex(p) AS hx
+  FROM b
+), bytes AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(hx, 2 * i - 1, 2)) AS INTEGER) % 16
+           AS dim
+  FROM m, unnest(generate_series(1, n_bytes)) AS t(i)
+), hist AS (
+  SELECT doc_id, dim, count(*) AS c FROM bytes GROUP BY doc_id, dim
+), dense AS (
+  SELECT m.doc_id, d.dim, coalesce(h.c, 0) AS c
+  FROM m
+  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS dim) d
+  LEFT JOIN hist h ON h.doc_id = m.doc_id AND h.dim = d.dim
+), agg AS (
+  SELECT doc_id,
+         md5(string_agg(CAST(c AS VARCHAR), ',' ORDER BY dim))
+           AS hist_md5
+  FROM dense GROUP BY doc_id
+)
+SELECT m.doc_id, m.modality, CAST(m.n_bytes AS BIGINT) AS n_bytes,
+       m.content_md5, a.hist_md5
+FROM m JOIN agg a USING (doc_id)
+"""
 
 
 _CHUNK, _STEP = 64, 48  # 64-token chunks, 16-token overlap
@@ -1059,5 +1107,5 @@ TEXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
         embedding_label_centroids,
         EMBEDDING_CENTROIDS_SQL,
     ),
-    "multimodal_features": (multimodal_features, None),
+    "multimodal_features": (multimodal_features, MULTIMODAL_FEATURES_SQL),
 }
