@@ -117,6 +117,85 @@ def duckdb_normal(seed: int, tag: int, extra: str = "'0'") -> str:
     )
 
 
+def _paired_values_array(
+    id_col: str, seed: int, tag: int, n_expr: str, val_of_iz: str
+) -> str:
+    """Array of ``n`` values ``f(i, z_i)`` where the ``z_i`` are
+    standard normals from PAIRED Box-Muller: ONE md5 digest per TWO
+    draws — elements 2p and 2p+1 come from digest (seed, id,
+    ``n{tag}p``, p) as r·cos(θ) and r·sin(θ) with r = sqrt(−2 ln u₁),
+    θ = 2π u₂. The per-day noise draw is the generator's hot loop,
+    and the classic one-digest-per-draw form discarded the sine
+    normal — pairing halves the md5 AND ln work (round-12 VERDICT
+    #4). ``val_of_iz`` is a SQL fragment over lambda vars ``i`` (day
+    index) and ``_z`` (the normal draw); building the WHOLE element
+    inside the pair transform matters: a separate normals column
+    would be INLINED back into the per-element transform by
+    Catalyst's projection collapse (interpreted higher-order fns get
+    no common-subexpression elimination), re-evaluating the entire
+    pair array once per element — O(n²) digests (measured: 3 s →
+    142 s). The nested single-element transform bindings keep digest,
+    radius, and angle each computed exactly once.
+    ``duckdb_normal_pair`` replays the identical draw sequence
+    row-shaped."""
+    s = (
+        f"concat('{seed}|', CAST({id_col} AS STRING), '|n{tag}p|', "
+        f"CAST(p AS STRING))"
+    )
+    u1 = (
+        f"((CAST(conv(substring(_hn, 1, 13), 16, 10) AS BIGINT)"
+        f" + 0.5D) / {_U_DIV!r}D)"
+    )
+    u2 = (
+        f"((CAST(conv(substring(_hn, 14, 13), 16, 10) AS BIGINT)"
+        f" + 0.5D) / {_U_DIV!r}D)"
+    )
+
+    def elem(i_expr: str, z_expr: str) -> str:
+        return (
+            f"transform(array({z_expr}), _z -> "
+            f"transform(array({i_expr}), i -> {val_of_iz})[0])[0]"
+        )
+
+    return (
+        f"slice(flatten(transform("
+        f"sequence(0, CAST(ceil({n_expr} / 2.0D) AS INT) - 1), p -> "
+        f"transform(array(md5({s})), _hn -> "
+        f"transform(array(sqrt(-2.0D * ln({u1}))), _r -> "
+        f"transform(array({2 * math.pi}D * {u2}), _c -> "
+        f"array({elem('2 * p', '_r * cos(_c)')}, "
+        f"{elem('2 * p + 1', '_r * sin(_c)')})"
+        f")[0])[0])[0])), 1, {n_expr})"
+    )
+
+
+def duckdb_normal_pair(seed: int, tag: int, i_expr: str = "i") -> str:
+    """DuckDB mirror of ``_normal_pair_array`` for ROW-SHAPED replay:
+    the draw for day ``i`` — digest keyed on pair index ``i // 2``,
+    cos branch for even ``i``, sin for odd. Identical digest string,
+    slices, and operand order, so the IEEE sequence matches the Spark
+    array element for element."""
+    s = (
+        f"'{seed}|' || CAST(id AS VARCHAR) || '|n{tag}p|' || "
+        f"CAST(({i_expr} // 2) AS VARCHAR)"
+    )
+    u1 = (
+        f"((('0x' || substr(_hn, 1, 13))::BIGINT + 0.5e0)"
+        f" / {_U_DIV!r})"
+    )
+    u2 = (
+        f"((('0x' || substr(_hn, 14, 13))::BIGINT + 0.5e0)"
+        f" / {_U_DIV!r})"
+    )
+    return (
+        f"(list_transform([md5({s})], _hn -> "
+        f"list_transform([sqrt(-2.0e0 * ln({u1}))], _r -> "
+        f"list_transform([{2 * math.pi!r} * {u2}], _c -> "
+        f"CASE WHEN ({i_expr}) % 2 = 0 THEN _r * cos(_c) "
+        f"ELSE _r * sin(_c) END)[1])[1])[1])"
+    )
+
+
 def generate_series_frame(
     spark: SparkSession,
     n_series: int,
@@ -185,12 +264,17 @@ def generate_series_frame(
         f"ELSE 0.5D * _salary * {square} END)"
     )
     trend_ts = f"(_sign * _salary * exp(_trend_exp * CAST(i AS DOUBLE) / (_n - 1.0D)))"
-    noise = f"(_noise_sd * _salary * {_normal(id_col, seed, 50, 'CAST(i AS STRING)')})"
+    # per-day noise: the hot loop — paired Box-Muller (one md5 per
+    # TWO days), with the WHOLE balance element built inside the pair
+    # transform (see _paired_values_array for why a separate normals
+    # column is an O(n²) trap)
+    noise = "(_noise_sd * _salary * _z)"
 
-    balance = (
-        f"transform(sequence(0, _n - 1), i -> "
-        f"CAST(bround({seasonal} + {trend_ts} + {noise} + {spikes}, 2) AS FLOAT))"
+    val = (
+        f"CAST(bround({seasonal} + {trend_ts} + {noise} + {spikes}, 2)"
+        " AS FLOAT)"
     )
+    balance = _paired_values_array(id_col, seed, 50, "_n", val)
     return df.withColumn("balance", F.expr(balance)).select(
         id_col, "transactiondate", "balance", "signal_type"
     )
@@ -284,7 +368,7 @@ def duckdb_series_cte(
         f" / ({n} - 1.0e0)))"
     )
     noise = (
-        f"(_noise_sd * _salary * {normal(50, 'CAST(i AS VARCHAR)')})"
+        f"(_noise_sd * _salary * {duckdb_normal_pair(seed, 50, 'i')})"
     )
     val = duckdb_bround(
         f"{seasonal} + {trend_ts} + {noise} + {spikes}", 2
