@@ -3199,8 +3199,10 @@ def test_cdc_files_written_and_read_for_dml(spark, tmp_path):
 
 
 def test_cdc_files_vacuum_on_retention_clock(spark, tmp_path):
-    """_change_data bytes reclaim with zero retention and survive a
-    generous window; the cdc read keeps working inside the window."""
+    """_change_data bytes survive any horizon while their commit JSON
+    is retained (the CDC window IS the log retention window — r12
+    ADVICE: reclaiming earlier made delta_read_cdc 404 mid-window)
+    and reclaim once the referencing commits are cleaned."""
     import time_series_prediction_spark.sources.deltalog as dl
 
     table = str(tmp_path / "t")
@@ -3219,6 +3221,11 @@ def test_cdc_files_vacuum_on_retention_clock(spark, tmp_path):
     assert not any("_change_data" in p for p in kept)
     feed, _ = dl.delta_read_cdc(spark, table, v0)
     assert feed.where("_change_type = 'delete'").count() == 5
+    still = dl.delta_vacuum(spark, table, retention_ms=0)
+    assert not any("_change_data" in p for p in still)
+    feed2, _ = dl.delta_read_cdc(spark, table, v0)
+    assert feed2.where("_change_type = 'delete'").count() == 5
+    dl.write_checkpoint(spark, table, clean_old_commits=True)
     gone = dl.delta_vacuum(spark, table, retention_ms=0)
     assert any("_change_data" in p for p in gone)
 
@@ -3671,3 +3678,167 @@ def test_v2_checkpoint_column_mapped_dv_roundtrip(spark, tmp_path):
     # the table keeps working past the cleaned log
     dl.delta_delete(spark, table, "k = 1")
     assert dl.read_delta_log(spark, table).count() == 14
+
+
+def _rt_read(spark, table, dl, version=None):
+    rows = dl.read_delta_with_row_ids(spark, table, version).collect()
+    return {r["k"]: (r["_row_id"], r["_row_commit_version"]) for r in rows}
+
+
+def test_row_tracking_enable_append_delete(spark, tmp_path):
+    """rowTracking (writer feature + domainMetadata HWM): enabling
+    backfills every live file with a baseRowId (reader versions
+    untouched — row tracking never gates reads); appends allocate
+    fresh ids above the high-water mark (two appends never collide);
+    a DV DELETE re-commits the same file carrying its original base,
+    so surviving rows keep their ids."""
+    import time_series_prediction_spark.sources.deltalog as dl
+
+    table = str(tmp_path / "t")
+    dl.write_delta_log(
+        spark.range(10).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ),
+        table, mode="overwrite",
+    )
+    with pytest.raises(ValueError, match="not enabled"):
+        dl.read_delta_with_row_ids(spark, table)
+    v_en = dl.delta_enable_row_tracking(spark, table)
+    assert dl.delta_enable_row_tracking(spark, table) == v_en  # idempotent
+    _f, _m, _v, _t, proto, domains = dl.delta_snapshot_ex(spark, table)
+    assert int(proto.get("minReaderVersion", 1)) == 1
+    assert int(proto["minWriterVersion"]) == 7
+    assert "rowTracking" in proto["writerFeatures"]
+    assert "domainMetadata" in proto["writerFeatures"]
+    assert dl._rt_hwm(domains) == 9
+
+    ids = _rt_read(spark, table, dl)
+    assert sorted(rid for rid, _ in ids.values()) == list(range(10))
+    assert all(rcv == v_en for _, rcv in ids.values())
+
+    # two appends: fresh, disjoint, above the watermark
+    dl.write_delta_log(
+        spark.createDataFrame([(100, 1), (101, 1)], "k long, v long"),
+        table, mode="append",
+    )
+    dl.write_delta_log(
+        spark.createDataFrame([(102, 1)], "k long, v long"),
+        table, mode="append",
+    )
+    ids2 = _rt_read(spark, table, dl)
+    new = {k: rid for k, (rid, _) in ids2.items() if k >= 100}
+    assert len(set(new.values())) == 3 and min(new.values()) > 9
+    assert ids2[102][0] > max(new[100], new[101])
+    assert ids2[102][1] == v_en + 2  # creating commit stamped
+    # pre-existing rows untouched
+    assert all(ids2[k] == ids[k] for k in ids)
+
+    # DV delete: survivors keep their ids
+    dl.delta_delete(spark, table, "k in (3, 101)")
+    ids3 = _rt_read(spark, table, dl)
+    assert 3 not in ids3 and 101 not in ids3
+    assert all(ids3[k] == ids2[k] for k in ids3)
+
+
+def test_row_tracking_optimize_preserves_ids(spark, tmp_path):
+    """OPTIMIZE is dataChange=false — it may NOT renumber rows: the
+    compaction materializes each row's id and creating commit into
+    physical columns of the new files (delta-spark's scheme), readers
+    coalesce them over the fresh baseRowId, and later appends still
+    allocate above the advanced watermark. The plain read stays
+    clean: no materialized columns leak into the table schema."""
+    import time_series_prediction_spark.sources.deltalog as dl
+
+    table = str(tmp_path / "t")
+    for i in range(4):  # 4 small files
+        dl.write_delta_log(
+            spark.createDataFrame(
+                [(i * 10 + j, i) for j in range(5)], "k long, v long"
+            ),
+            table, mode="overwrite" if i == 0 else "append",
+        )
+    dl.delta_enable_row_tracking(spark, table)
+    dl.delta_delete(spark, table, "k % 10 = 4")  # DVs to materialize
+    before = _rt_read(spark, table, dl)
+
+    v = dl.delta_optimize(spark, table, target_files=1)
+    files, meta, _v, _t, _p, domains = dl.delta_snapshot_ex(spark, table)
+    assert len(files) == 1
+    after = _rt_read(spark, table, dl)
+    assert after == before  # ids AND creating commits identical
+
+    # the compacted add still got a fresh base and advanced the HWM:
+    # the next append can never collide with materialized ids
+    dl.write_delta_log(
+        spark.createDataFrame([(999, 9)], "k long, v long"),
+        table, mode="append",
+    )
+    final = _rt_read(spark, table, dl)
+    assert final[999][0] > max(rid for rid, _ in before.values())
+    assert len(set(rid for rid, _ in final.values())) == len(final)
+    # plain read: table columns only
+    assert dl.read_delta_log(spark, table).columns == ["k", "v"]
+
+
+def test_row_tracking_checkpoint_merge_restore_clone(spark, tmp_path):
+    """Row ids and the HWM domain survive checkpoints (classic AND
+    V2) with the JSON history cleaned; MERGE allocates fresh ids for
+    its landed rows and advances the HWM in the same commit; RESTORE
+    rolls ids back with the files; CLONE carries ids and the HWM so
+    appends to the clone stay collision-free."""
+    import time_series_prediction_spark.sources.deltalog as dl
+
+    table = str(tmp_path / "t")
+    dl.write_delta_log(
+        spark.range(8).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ),
+        table, mode="overwrite",
+    )
+    dl.delta_enable_row_tracking(spark, table)
+    base_ids = _rt_read(spark, table, dl)
+
+    # MERGE: k=1 matched (update), k=50 insert — both land fresh
+    dl.delta_merge(
+        spark, table,
+        spark.createDataFrame([(1, 111), (50, 500)], "k long, v long"),
+        key="k",
+    )
+    ids = _rt_read(spark, table, dl)
+    assert ids[2] == base_ids[2]            # untouched row keeps id
+    assert ids[1][0] > 7 and ids[50][0] > 7  # landed rows: fresh ids
+    assert len(set(rid for rid, _ in ids.values())) == len(ids)
+
+    # classic checkpoint + clean: state reconstructs with ids + HWM
+    v_cp = dl.write_checkpoint(spark, table, clean_old_commits=True)
+    assert _rt_read(spark, table, dl) == ids
+    dl.write_delta_log(
+        spark.createDataFrame([(60, 600)], "k long, v long"),
+        table, mode="append",
+    )
+    ids2 = _rt_read(spark, table, dl)
+    assert ids2[60][0] > max(rid for rid, _ in ids.values())
+
+    # V2 checkpoint round-trip too (history kept: RESTORE below
+    # time-travels to the classic checkpoint's version)
+    dl.write_checkpoint_v2(spark, table, clean_old_commits=False)
+    assert _rt_read(spark, table, dl) == ids2
+
+    # RESTORE to the checkpointed (pre-append) version: the appended
+    # row leaves, the remaining files' ids roll back verbatim
+    dl.delta_restore(spark, table, v_cp)
+    assert _rt_read(spark, table, dl) == ids
+
+    # CLONE: ids and HWM carry; clone appends stay collision-free
+    clone = str(tmp_path / "c")
+    dl.delta_clone(spark, table, clone)
+    assert _rt_read(spark, clone, dl) == ids
+    dl.write_delta_log(
+        spark.createDataFrame([(70, 700)], "k long, v long"),
+        clone, mode="append",
+    )
+    cids = _rt_read(spark, clone, dl)
+    # above EVERY id the source ever allocated (HWM carried, not
+    # recomputed from the clone's live max)
+    assert cids[70][0] > max(rid for rid, _ in ids2.values())
+    assert len(set(rid for rid, _ in cids.values())) == len(cids)

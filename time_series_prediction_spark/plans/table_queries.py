@@ -1339,6 +1339,121 @@ GROUP BY st
 """
 
 
+_DELTA_ROWID_SPEC = "delta-orders-rowid|v1|3split|7del|optimize"
+
+
+def orders_delta_rowid_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Protocol ROW TRACKING end to end
+    (``sources/deltalog.delta_enable_row_tracking`` /
+    ``read_delta_with_row_ids``): a table built from three
+    key-sorted single-file commits (%3 split of the orders keys) gets
+    row tracking enabled (backfill), a DV DELETE (%7 keys — survivors
+    keep their ids), an OPTIMIZE (ids must survive the dataChange=
+    false rewrite via the materialized columns), and a post-OPTIMIZE
+    append (fresh ids above the advanced high-water mark). Because
+    every commit lands ONE sorted file, the fresh-row-id arithmetic
+    (baseRowId + row_index) is exactly reproducible relationally —
+    the oracle derives every (key, row id, creating commit) from
+    row_number() over the same key order."""
+    from time_series_prediction_spark.sources.deltalog import (
+        delta_delete,
+        delta_enable_row_tracking,
+        delta_optimize,
+        read_delta_with_row_ids,
+        write_delta_log,
+    )
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    root = os.path.join(tempfile.gettempdir(), "tsp_layouts")
+    fs = fs_for(spark, root)
+    st = fs.status(src)
+    if st is None:
+        raise FileNotFoundError(src)
+    ident = f"{fs.qualified(src)}|{st[0]}|{st[1]}|{_DELTA_ROWID_SPEC}"
+    key = hashlib.md5(ident.encode()).hexdigest()[:16]
+    path = os.path.join(root, f"orders_deltarowid_{key}")
+
+    def _one_file(df: DataFrame) -> DataFrame:
+        # one partition, key-sorted: file row order == key order, so
+        # row ids are a pure function of the key sequence
+        return df.repartition(1).sortWithinPartitions("o_orderkey")
+
+    def _build(tmp: str) -> None:
+        data = os.path.join(tmp, "data")
+        base = _orders_state(spark, sf_dir).select(
+            "o_orderkey", "price_cents"
+        )
+        write_delta_log(                                    # v0
+            _one_file(base.where("o_orderkey % 3 = 0")),
+            data, mode="overwrite",
+        )
+        delta_enable_row_tracking(spark, data)              # v1
+        write_delta_log(                                    # v2
+            _one_file(base.where("o_orderkey % 3 = 1")),
+            data, mode="append",
+        )
+        delta_delete(spark, data, "o_orderkey % 7 = 0")     # v3
+        delta_optimize(spark, data, target_files=1)         # v4
+        write_delta_log(                                    # v5
+            _one_file(base.where("o_orderkey % 3 = 2")),
+            data, mode="append",
+        )
+
+    ensure_artifact(spark, path, ident, _build)
+    return read_delta_with_row_ids(
+        spark, os.path.join(path, "data")
+    ).select(
+        "o_orderkey",
+        F.col("_row_id").cast("long").alias("row_id"),
+        F.col("_row_commit_version").cast("long").alias(
+            "row_commit_version"
+        ),
+    )
+
+
+ORDERS_DELTA_ROWID_SQL = """
+WITH base AS (SELECT o_orderkey AS k FROM orders),
+g0 AS (
+  SELECT k, row_number() OVER (ORDER BY k) - 1 AS r
+  FROM base WHERE k % 3 = 0
+),
+g1 AS (
+  SELECT k, row_number() OVER (ORDER BY k) - 1 AS r
+  FROM base WHERE k % 3 = 1
+),
+g2 AS (
+  SELECT k, row_number() OVER (ORDER BY k) - 1 AS r
+  FROM base WHERE k % 3 = 2
+),
+n AS (
+  SELECT (SELECT count(*) FROM g0) AS n0,
+         (SELECT count(*) FROM g1) AS n1
+),
+-- backfill (commit 1) ids g0 by key order; the append (commit 2)
+-- continues above it
+first2 AS (
+  SELECT k, r AS rid, 1 AS rcv FROM g0
+  UNION ALL
+  SELECT k, (SELECT n0 FROM n) + r, 2 FROM g1
+),
+-- the DV delete hides %7 keys; OPTIMIZE materializes the survivors'
+-- ids verbatim but still advances the watermark by the compacted
+-- file's row count
+kept AS (SELECT * FROM first2 WHERE k % 7 != 0),
+s AS (SELECT count(*) AS ns FROM kept)
+SELECT k AS o_orderkey, CAST(rid AS BIGINT) AS row_id,
+       CAST(rcv AS BIGINT) AS row_commit_version
+FROM kept
+UNION ALL
+SELECT k,
+       CAST((SELECT n0 + n1 FROM n) + (SELECT ns FROM s) + r AS BIGINT),
+       CAST(5 AS BIGINT)
+FROM g2
+"""
+
+
 _DELTA_CDC_SPEC = "delta-orders-cdc|v1|13bump|29del|41ins"
 _CDC_INS_SHIFT = 200_000_000
 
@@ -2504,6 +2619,10 @@ TABLE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "orders_delta_change_feed_scan": (
         orders_delta_change_feed_scan,
         ORDERS_DELTA_CDC_FEED_SQL,
+    ),
+    "orders_delta_rowid_scan": (
+        orders_delta_rowid_scan,
+        ORDERS_DELTA_ROWID_SQL,
     ),
     "orders_delta_merge_scan": (
         orders_delta_merge_scan,

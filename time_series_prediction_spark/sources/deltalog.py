@@ -257,13 +257,22 @@ def _apply_action(
 ) -> None:
     if "add" in action:
         a = action["add"]
-        state[urllib.parse.unquote(a["path"])] = {
+        payload = {
             "partitionValues": a.get("partitionValues") or {},
             "size": int(a.get("size") or 0),
             "modificationTime": int(a.get("modificationTime") or 0),
             "deletionVector": a.get("deletionVector"),
             "stats": a.get("stats"),
         }
+        # row tracking: a re-add (DV re-commit, checkpoint replay)
+        # carries the file's ORIGINAL fresh-row-id base forward
+        if a.get("baseRowId") is not None:
+            payload["baseRowId"] = int(a["baseRowId"])
+        if a.get("defaultRowCommitVersion") is not None:
+            payload["defaultRowCommitVersion"] = int(
+                a["defaultRowCommitVersion"]
+            )
+        state[urllib.parse.unquote(a["path"])] = payload
     elif "remove" in action:
         r = action["remove"]
         state.pop(urllib.parse.unquote(r["path"]), None)
@@ -278,24 +287,45 @@ def _apply_action(
             txns[tx["appId"]] = max(
                 int(tx["version"]), txns.get(tx["appId"], -1)
             )
+    elif "domainMetadata" in action:
+        # metadata domains (the rowTracking high-water mark lives in
+        # delta.rowTracking): last writer wins per domain; removed
+        # domains drop out of the snapshot
+        dm = action["domainMetadata"]
+        if len(meta) > 2 and dm.get("domain"):
+            if dm.get("removed"):
+                meta[2].pop(dm["domain"], None)
+            else:
+                meta[2][dm["domain"]] = dm.get("configuration") or ""
 
 
 def delta_snapshot(
     spark: SparkSession, path: str, version: int | None = None
 ) -> tuple[dict[str, dict], dict, int, dict[str, int], dict]:
+    """``delta_snapshot_ex`` without the trailing domain-metadata map
+    — the stable 5-tuple every pre-row-tracking call site uses."""
+    return delta_snapshot_ex(spark, path, version)[:5]
+
+
+def delta_snapshot_ex(
+    spark: SparkSession, path: str, version: int | None = None
+) -> tuple[dict[str, dict], dict, int, dict[str, int], dict, dict]:
     """Reconstruct the live-file snapshot of the Delta table at
     ``version`` (default: latest). Returns ``(files, metaData,
-    version, txns, protocol)`` where ``files`` maps each live
+    version, txns, protocol, domains)`` where ``files`` maps each live
     RELATIVE file path to its add payload (``partitionValues``,
-    ``size``, ``modificationTime``, ``deletionVector``), ``txns``
-    maps streaming appIds to their last committed transaction version
-    (the protocol's ``txn`` idempotence tokens), and ``protocol`` is
-    the LAST protocol action seen — writers upgrading the table must
-    UNION their features into it, never replace it (a protocol action
-    that drops features the table already declared corrupts it for
-    every real reader). Only the log is touched — commit JSONs after
-    the newest usable checkpoint, plus at most one checkpoint
-    parquet."""
+    ``size``, ``modificationTime``, ``deletionVector``, and — on
+    row-tracked tables — ``baseRowId`` / ``defaultRowCommitVersion``),
+    ``txns`` maps streaming appIds to their last committed transaction
+    version (the protocol's ``txn`` idempotence tokens), ``protocol``
+    is the LAST protocol action seen — writers upgrading the table
+    must UNION their features into it, never replace it (a protocol
+    action that drops features the table already declared corrupts it
+    for every real reader) — and ``domains`` maps each live
+    ``domainMetadata`` domain to its configuration string (the
+    rowTracking high-water mark lives in ``delta.rowTracking``). Only
+    the log is touched — commit JSONs after the newest usable
+    checkpoint, plus at most one checkpoint parquet."""
     fs = fs_for(spark, path)
     log = os.path.join(path, _LOG_DIR)
     names = fs.list_names(log)
@@ -316,7 +346,7 @@ def delta_snapshot(
             f"version {version} not committed (latest is {latest})"
         )
     state: dict[str, dict] = {}
-    meta: list = [None, None]  # [metaData, protocol]
+    meta: list = [None, None, {}]  # [metaData, protocol, domains]
     txns: dict[str, int] = {}
     start = 0
     usable_cp = [cv for cv in checkpoints if cv <= v]
@@ -327,7 +357,10 @@ def delta_snapshot(
         sidecars: list[str] = []
         for row in cp.collect():
             d = row.asDict(recursive=True)
-            for kind in ("protocol", "metaData", "add", "remove", "txn"):
+            for kind in (
+                "protocol", "metaData", "add", "remove", "txn",
+                "domainMetadata",
+            ):
                 if kind in cols and d.get(kind) is not None:
                     _apply_action(state, {kind: d[kind]}, meta, txns)
             # v2 checkpoints move file actions into sidecar parquets
@@ -365,7 +398,7 @@ def delta_snapshot(
             f"delta log under {log} carries no metaData action"
         )
     protocol = meta[1] or {"minReaderVersion": 1, "minWriterVersion": 2}
-    return state, meta[0], v, txns, protocol
+    return state, meta[0], v, txns, protocol, meta[2]
 
 
 def version_at_timestamp(
@@ -867,7 +900,14 @@ def _scan_files(
             [
                 StructField(
                     c, types[c], True,
-                    metadata={"parquet.field.id": field_ids[c]},
+                    # columns without a recorded field id (materialized
+                    # row-tracking columns) resolve by NAME — they are
+                    # written under their physical names verbatim
+                    metadata=(
+                        {"parquet.field.id": field_ids[c]}
+                        if c in field_ids
+                        else {}
+                    ),
                 )
                 for c in data_fields
             ]
@@ -1132,10 +1172,12 @@ def write_delta_log(
     mapping: dict[str, str] = {}
     merged: StructType | None = None
     id_assigned: list[str] = []
+    domains: dict = {}
+    prev_meta: dict = {}
     if is_delta_table(spark, path):
-        prev_files, prev_meta, latest, _txns, prev_proto = delta_snapshot(
-            spark, path
-        )
+        (
+            prev_files, prev_meta, latest, _txns, prev_proto, domains,
+        ) = delta_snapshot_ex(spark, path)
         next_v = latest + 1
         if mode == "overwrite":
             _refuse_append_only(prev_meta, "overwrite")
@@ -1340,6 +1382,10 @@ def write_delta_log(
                 }
             )
     actions.extend(_adds_for_files(fs, base, new_files, True, stats))
+    if next_v > 0 and _row_tracking_on(prev_meta):
+        _attach_row_tracking(
+            spark, base, actions, _rt_hwm(domains), next_v
+        )
     if _extra_actions:
         # callers commit companion actions atomically with the write
         # (the DML rewrite paths pass their cdc actions through here)
@@ -1957,6 +2003,262 @@ def delta_set_generated_column(
     return v + 1
 
 
+# --------------------------------------------------------------------------
+# row tracking (protocol writer feature `rowTracking` + `domainMetadata`)
+# --------------------------------------------------------------------------
+# Every add action on a row-tracked table carries a `baseRowId`: the
+# file's rows own FRESH row ids [baseRowId, baseRowId + numRecords),
+# allocated from the table-wide high-water mark stored as
+# domainMetadata under `delta.rowTracking`
+# ({"rowIdHighWaterMark": N}), and a `defaultRowCommitVersion` (the
+# commit that created the file's rows). Rewrites that must PRESERVE
+# ids (OPTIMIZE — a dataChange=false layout change may not renumber
+# rows) write the pre-rewrite ids into MATERIALIZED physical columns
+# (names recorded in the table configuration, exactly delta-spark's
+# scheme); readers prefer the materialized value and fall back to
+# baseRowId + row_index. DV re-commits, RESTORE, and CLONE carry the
+# original base forward verbatim.
+
+_ROW_TRACKING_DOMAIN = "delta.rowTracking"
+_RT_ENABLE = "delta.enableRowTracking"
+_RT_ID_COL = "delta.rowTracking.materializedRowIdColumnName"
+_RT_VER_COL = "delta.rowTracking.materializedRowCommitVersionColumnName"
+
+
+def _row_tracking_on(meta: dict) -> bool:
+    return (meta.get("configuration") or {}).get(_RT_ENABLE) == "true"
+
+
+def _rt_hwm(domains: dict) -> int:
+    cfg = domains.get(_ROW_TRACKING_DOMAIN)
+    if not cfg:
+        return -1
+    try:
+        return int(json.loads(cfg).get("rowIdHighWaterMark", -1))
+    except ValueError:
+        return -1
+
+
+def _rt_hwm_action(hwm: int) -> dict:
+    return {
+        "domainMetadata": {
+            "domain": _ROW_TRACKING_DOMAIN,
+            "configuration": json.dumps({"rowIdHighWaterMark": int(hwm)}),
+            "removed": False,
+        }
+    }
+
+
+def _writer_v7_feature_upgrade(
+    protocol: dict, *features: str
+) -> dict | None:
+    """Protocol action for WRITER-ONLY features with no legacy version
+    number (rowTracking, domainMetadata): writer moves to the feature
+    protocol (v7, legacy versions expanding into their implied names),
+    readers are never gated. ``None`` when already declared."""
+    cur_w = int(protocol.get("minWriterVersion", 2))
+    wfeat = set(protocol.get("writerFeatures") or [])
+    if cur_w >= 7 and all(f in wfeat for f in features):
+        return None
+    for legacy_v, names in _LEGACY_WRITER_FEATURES.items():
+        if cur_w >= legacy_v and cur_w < 7:
+            wfeat.update(names)
+    wfeat.update(features)
+    return {
+        **protocol,
+        "minWriterVersion": 7,
+        "writerFeatures": sorted(wfeat),
+    }
+
+
+def _add_num_records(a: dict) -> int | None:
+    s = a.get("stats")
+    if not s:
+        return None
+    try:
+        nr = json.loads(s).get("numRecords")
+    except ValueError:
+        return None
+    return int(nr) if nr is not None else None
+
+
+def _attach_row_tracking(
+    spark: SparkSession,
+    base: str,
+    actions: list[dict],
+    hwm: int,
+    version: int,
+) -> None:
+    """Assign ``baseRowId`` / ``defaultRowCommitVersion`` to every add
+    action not already carrying one (re-adds carry their original
+    base forward) and append the advanced high-water-mark
+    domainMetadata action. Row counts come from the adds' own stats
+    (already computed for the commit — zero extra jobs); a statless
+    add costs one footer count over that file only."""
+    next_id = hwm + 1
+    assigned = False
+    for act in actions:
+        a = act.get("add")
+        if a is None or a.get("baseRowId") is not None:
+            continue
+        n = _add_num_records(a)
+        if n is None:
+            rel = urllib.parse.unquote(a["path"])
+            n = (
+                spark.read.parquet(os.path.join(base, rel))
+                .count()
+            )
+        a["baseRowId"] = next_id
+        a["defaultRowCommitVersion"] = int(version)
+        next_id += int(n)
+        assigned = True
+    if assigned:
+        actions.append(_rt_hwm_action(next_id - 1))
+
+
+def delta_enable_row_tracking(spark: SparkSession, path: str) -> int:
+    """ALTER TABLE SET delta.enableRowTracking=true: upgrades the
+    protocol (writer features ``rowTracking`` + ``domainMetadata`` —
+    readers untouched, row tracking never gates reads), records the
+    materialized row-id/commit-version column names in the table
+    configuration, and BACKFILLS every live file with a fresh
+    ``baseRowId`` in one re-add commit (dataChange=false — streaming
+    tails pass over it) seeded from a zero high-water mark. Returns
+    the committed version (unchanged when already enabled)."""
+    import uuid as _uuid
+
+    files, meta, v, _txns, protocol, domains = delta_snapshot_ex(
+        spark, path
+    )
+    if _row_tracking_on(meta):
+        return v
+    from time_series_prediction_spark.operators.manifest import (
+        _resolve_base,
+    )
+
+    base = _resolve_base(path, spark)
+    cfg = {
+        **(meta.get("configuration") or {}),
+        _RT_ENABLE: "true",
+        _RT_ID_COL: f"_row-id-col-{_uuid.uuid4().hex[:16]}",
+        _RT_VER_COL: f"_row-commit-version-col-{_uuid.uuid4().hex[:16]}",
+    }
+    actions: list[dict] = []
+    up = _writer_v7_feature_upgrade(
+        protocol, "rowTracking", "domainMetadata"
+    )
+    if up is not None:
+        actions.append({"protocol": up})
+    actions.append({"metaData": {**meta, "configuration": cfg}})
+    for rel in sorted(files):
+        add = files[rel]
+        payload = {
+            "path": urllib.parse.quote(rel),
+            "partitionValues": add["partitionValues"],
+            "size": int(add.get("size") or 0),
+            "modificationTime": int(add.get("modificationTime") or 0),
+            "dataChange": False,
+        }
+        if add.get("stats"):
+            payload["stats"] = add["stats"]
+        if add.get("deletionVector"):
+            payload["deletionVector"] = add["deletionVector"]
+        actions.append({"add": payload})
+    _attach_row_tracking(spark, base, actions, hwm=_rt_hwm(domains),
+                         version=v + 1)
+    fs = fs_for(spark, path)
+    _commit_json(fs, path, v + 1, actions, op="ENABLE ROW TRACKING")
+    _maybe_auto_checkpoint(spark, path, v + 1)
+    return v + 1
+
+
+def read_delta_with_row_ids(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read a row-tracked table WITH its row ids: the table columns
+    plus ``_row_id`` and ``_row_commit_version``. Fresh ids compute as
+    ``baseRowId + row_index`` through one metadata-sized broadcast
+    join (the same shape partition columns attach by); files carrying
+    MATERIALIZED id columns (OPTIMIZE/UPDATE rewrites that had to
+    preserve ids) override them via ``coalesce`` — parquet
+    schema-on-read returns null for the materialized columns in files
+    written before the rewrite, so one scan serves both file
+    generations."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField
+
+    files, meta, _v, _txns, _proto, _domains = delta_snapshot_ex(
+        spark, path, version
+    )
+    if not _row_tracking_on(meta):
+        raise ValueError(
+            "row tracking is not enabled on this table — "
+            "delta_enable_row_tracking first"
+        )
+    from time_series_prediction_spark.operators.manifest import (
+        _resolve_base,
+    )
+
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    part_cols = list(meta.get("partitionColumns") or [])
+    mapping = _column_mapping(meta, schema)
+    cfg = meta.get("configuration") or {}
+    mat_id, mat_ver = cfg[_RT_ID_COL], cfg[_RT_VER_COL]
+    ext_schema = StructType(
+        list(schema.fields)
+        + [
+            StructField(mat_id, LongType(), True),
+            StructField(mat_ver, LongType(), True),
+        ]
+    )
+    ext_mapping = (
+        {**mapping, mat_id: mat_id, mat_ver: mat_ver} if mapping else {}
+    )
+    fs = fs_for(spark, path)
+    positions, pos_df = _dv_positions_source(spark, fs, path, files)
+    scan = _scan_files(
+        spark, path, files, ext_schema, part_cols, ext_mapping,
+        positions=positions, keep_meta=True,
+        field_ids=_column_field_ids(meta, schema) or None,
+        positions_df=pos_df,
+    )
+    base = _resolve_base(path, spark)
+    lk = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "_fp": [
+                    _norm_uri(os.path.join(base, rel)) for rel in files
+                ],
+                "_base_rid": pd.Series(
+                    [files[rel].get("baseRowId") for rel in files],
+                    dtype="object",
+                ),
+                "_dcv": pd.Series(
+                    [
+                        files[rel].get("defaultRowCommitVersion")
+                        for rel in files
+                    ],
+                    dtype="object",
+                ),
+            }
+        ),
+        schema="_fp string, _base_rid long, _dcv long",
+    )
+    out_cols = [f.name for f in schema.fields]
+    return (
+        scan.join(F.broadcast(lk), "_fp")
+        .select(
+            *out_cols,
+            F.coalesce(
+                F.col(mat_id), F.col("_base_rid") + F.col("_ri")
+            ).alias("_row_id"),
+            F.coalesce(F.col(mat_ver), F.col("_dcv")).alias(
+                "_row_commit_version"
+            ),
+        )
+    )
+
+
 def delta_add_constraint(
     spark: SparkSession, path: str, name: str, expr: str
 ) -> int:
@@ -2099,20 +2401,25 @@ def _dv_readd_actions(
                 }
             }
         )
-        actions.append(
-            {
-                "add": {
-                    "path": urllib.parse.quote(rel),
-                    "partitionValues": add["partitionValues"],
-                    "size": int(add.get("size") or 0),
-                    "modificationTime": int(
-                        add.get("modificationTime") or 0
-                    ),
-                    "dataChange": True,
-                    "deletionVector": descs[rel],
-                }
-            }
-        )
+        readd = {
+            "path": urllib.parse.quote(rel),
+            "partitionValues": add["partitionValues"],
+            "size": int(add.get("size") or 0),
+            "modificationTime": int(add.get("modificationTime") or 0),
+            "dataChange": True,
+            "deletionVector": descs[rel],
+        }
+        if add.get("stats"):
+            readd["stats"] = add["stats"]
+        # row tracking: a DV re-commit is the SAME file — its rows
+        # keep their fresh-row-id base and creating commit
+        if add.get("baseRowId") is not None:
+            readd["baseRowId"] = int(add["baseRowId"])
+        if add.get("defaultRowCommitVersion") is not None:
+            readd["defaultRowCommitVersion"] = int(
+                add["defaultRowCommitVersion"]
+            )
+        actions.append({"add": readd})
     return actions
 
 
@@ -2407,7 +2714,9 @@ def _delta_merge_once(
     if not is_delta_table(spark, path):
         return write_delta_log(df=updates, path=path, mode="overwrite",
                                txn=txn)
-    files, meta, v, txns, protocol = delta_snapshot(spark, path)
+    files, meta, v, txns, protocol, domains = delta_snapshot_ex(
+        spark, path
+    )
     if txn is not None and txns.get(txn[0], -1) >= int(txn[1]):
         return v  # replayed batch: already committed
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
@@ -2638,6 +2947,10 @@ def _delta_merge_once(
                 actions.append({"protocol": upgrade})
             actions.extend(_dv_readd_actions(files, hits, descs))
         actions.extend(_adds_for_files(fs, base, new_files, True, stats))
+        if _row_tracking_on(meta):
+            _attach_row_tracking(
+                spark, base, actions, _rt_hwm(domains), v + 1
+            )
         if cdf:
             actions.extend(_cdc_actions())
         _commit_json(fs, path, v + 1, actions, op="MERGE")
@@ -2718,7 +3031,9 @@ def _delta_update_once(
 ) -> int:
     from pyspark import StorageLevel
 
-    files, meta, v, _txns, protocol = delta_snapshot(spark, path)
+    files, meta, v, _txns, protocol, domains = delta_snapshot_ex(
+        spark, path
+    )
     _refuse_append_only(meta, "UPDATE")
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     mapping = _column_mapping(meta, schema)
@@ -2858,6 +3173,10 @@ def _delta_update_once(
             actions.append({"protocol": upgrade})
         actions.extend(_dv_readd_actions(files, hits, descs))
         actions.extend(_adds_for_files(fs, base, new_files, True, stats))
+        if _row_tracking_on(meta):
+            _attach_row_tracking(
+                spark, base, actions, _rt_hwm(domains), v + 1
+            )
         if cdf:
             actions.extend(_cdc_actions())
         _commit_json(fs, path, v + 1, actions, op="UPDATE")
@@ -2928,7 +3247,9 @@ def delta_clone(
 
     if has_delta_log(spark, dst):
         raise ValueError(f"clone destination {dst} is already a table")
-    files, meta, _v, _txns, proto = delta_snapshot(spark, src, version)
+    files, meta, _v, _txns, proto, domains = delta_snapshot_ex(
+        spark, src, version
+    )
     fs = fs_for(spark, dst)
     fs.mkdirs(dst)
     base = _resolve_base(src, spark)
@@ -2963,11 +3284,32 @@ def delta_clone(
             "modificationTime": int(add.get("modificationTime") or 0),
             "dataChange": True,
         }
+        if add.get("stats"):
+            payload["stats"] = add["stats"]
         if add.get("deletionVector"):
             payload["deletionVector"] = _dv_absolute(
                 add["deletionVector"], base
             )
+        # row tracking: clones preserve the source's row ids
+        if add.get("baseRowId") is not None:
+            payload["baseRowId"] = int(add["baseRowId"])
+        if add.get("defaultRowCommitVersion") is not None:
+            payload["defaultRowCommitVersion"] = int(
+                add["defaultRowCommitVersion"]
+            )
         actions.append({"add": payload})
+    for domain, config in sorted(domains.items()):
+        # metadata domains (rowTracking high-water mark) carry to the
+        # clone — appends there must not collide with cloned row ids
+        actions.append(
+            {
+                "domainMetadata": {
+                    "domain": domain,
+                    "configuration": config,
+                    "removed": False,
+                }
+            }
+        )
     _commit_json(fs, dst, 0, actions, op="CLONE")
     return 0
 
@@ -3035,8 +3377,17 @@ def delta_restore(spark: SparkSession, path: str, version: int) -> int:
             "modificationTime": int(add.get("modificationTime") or 0),
             "dataChange": True,
         }
+        if add.get("stats"):
+            payload["stats"] = add["stats"]
         if add.get("deletionVector"):
             payload["deletionVector"] = add["deletionVector"]
+        # row tracking: restored files keep their original row ids
+        if add.get("baseRowId") is not None:
+            payload["baseRowId"] = int(add["baseRowId"])
+        if add.get("defaultRowCommitVersion") is not None:
+            payload["defaultRowCommitVersion"] = int(
+                add["defaultRowCommitVersion"]
+            )
         actions.append({"add": payload})
     _commit_json(fs, path, cur_v + 1, actions, op="RESTORE")
     _maybe_auto_checkpoint(spark, path, cur_v + 1)
@@ -3475,7 +3826,9 @@ def delta_optimize(
     compact — fewer live files than ``target_files`` and no DV to
     materialize; a ``zorder_by`` rewrite always runs — re-clustering
     is its point)."""
-    files, meta, v, _txns, _proto = delta_snapshot(spark, path)
+    files, meta, v, _txns, _proto, domains = delta_snapshot_ex(
+        spark, path
+    )
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = list(meta.get("partitionColumns") or [])
     has_dv = any(a.get("deletionVector") for a in files.values())
@@ -3489,9 +3842,24 @@ def delta_optimize(
         and (not per_dir or max(per_dir.values()) <= target_files)
     ):
         return v  # already compact, nothing hidden: no commit burned
-    df = read_delta_log(spark, path)  # DVs applied: live rows only
+    rt = _row_tracking_on(meta)
+    if rt:
+        # a dataChange=false rewrite may not renumber rows: carry each
+        # row's id and creating commit into the compacted files as
+        # MATERIALIZED physical columns (readers coalesce them over
+        # the fresh baseRowId the new adds still get)
+        cfg = meta.get("configuration") or {}
+        df = (
+            read_delta_with_row_ids(spark, path)
+            .withColumnRenamed("_row_id", cfg[_RT_ID_COL])
+            .withColumnRenamed("_row_commit_version", cfg[_RT_VER_COL])
+        )
+    else:
+        df = read_delta_log(spark, path)  # DVs applied: live rows only
     # land the rewrite under PHYSICAL names — the table's files,
     # partition dirs, and partitionValues are all physical-named
+    # (materialized row-tracking columns already ARE physical names
+    # and pass through _rename_physical untouched)
     df, land_part_cols = _rename_physical(df, meta, schema, part_cols)
     fs = fs_for(spark, path)
     writer = None
@@ -3543,6 +3911,10 @@ def delta_optimize(
         base,
     )
     actions.extend(_adds_for_files(fs, base, new_files, False, stats))
+    if rt:
+        _attach_row_tracking(
+            spark, base, actions, _rt_hwm(domains), v + 1
+        )
     _commit_json(fs, path, v + 1, actions, op="OPTIMIZE")
     _maybe_auto_checkpoint(spark, path, v + 1)
     return v + 1
@@ -3846,21 +4218,23 @@ def write_checkpoint(
     and each live add's ``deletionVector`` descriptor (dropping those
     would resurrect every tombstoned row once the JSON history is
     cleaned)."""
-    files, meta, v, txns, proto = delta_snapshot(spark, path)
+    files, meta, v, txns, proto, domains = delta_snapshot_ex(
+        spark, path
+    )
     rows = [
         ({
             "minReaderVersion": int(proto.get("minReaderVersion", 1)),
             "minWriterVersion": int(proto.get("minWriterVersion", 2)),
             "readerFeatures": proto.get("readerFeatures"),
             "writerFeatures": proto.get("writerFeatures"),
-        }, None, None, None),
+        }, None, None, None, None),
         (None, {
             "id": meta.get("id", "tsps"),
             "format": {"provider": "parquet"},
             "schemaString": meta["schemaString"],
             "partitionColumns": list(meta.get("partitionColumns") or []),
             "configuration": dict(meta.get("configuration") or {}),
-        }, None, None),
+        }, None, None, None),
     ]
     for rel in sorted(files):
         add = files[rel]
@@ -3877,6 +4251,10 @@ def write_checkpoint(
             "modificationTime": int(add.get("modificationTime") or 0),
             "dataChange": False,
             "stats": add.get("stats"),
+            "baseRowId": add.get("baseRowId"),
+            "defaultRowCommitVersion": add.get(
+                "defaultRowCommitVersion"
+            ),
             "deletionVector": (
                 None if dv is None else {
                     "storageType": dv["storageType"],
@@ -3886,9 +4264,16 @@ def write_checkpoint(
                     "cardinality": int(dv.get("cardinality") or 0),
                 }
             ),
-        }, None))
+        }, None, None))
     for app, ver in sorted(txns.items()):
-        rows.append((None, None, None, {"appId": app, "version": ver}))
+        rows.append(
+            (None, None, None, {"appId": app, "version": ver}, None)
+        )
+    for domain, config in sorted(domains.items()):
+        rows.append((None, None, None, None, {
+            "domain": domain, "configuration": config,
+            "removed": False,
+        }))
     # the checkpoint is METADATA (one row per action): build and write
     # it driver-side with pyarrow into a memory buffer, then land the
     # bytes through the table's own FileSystem — zero Spark jobs on a
@@ -3933,11 +4318,18 @@ def write_checkpoint(
                 ("modificationTime", pa.int64()),
                 ("dataChange", pa.bool_()),
                 ("stats", pa.string()),
+                ("baseRowId", pa.int64()),
+                ("defaultRowCommitVersion", pa.int64()),
                 ("deletionVector", dv_t),
             ])),
             pa.field("txn", pa.struct([
                 ("appId", pa.string()),
                 ("version", pa.int64()),
+            ])),
+            pa.field("domainMetadata", pa.struct([
+                ("domain", pa.string()),
+                ("configuration", pa.string()),
+                ("removed", pa.bool_()),
             ])),
         ]
     )
@@ -3946,7 +4338,7 @@ def write_checkpoint(
         return sorted((d or {}).items())
 
     pylist = []
-    for protocol_r, meta_r, add_r, txn_r in rows:
+    for protocol_r, meta_r, add_r, txn_r, dm_r in rows:
         if meta_r is not None:
             meta_r = {**meta_r, "configuration": _maps(
                 meta_r.get("configuration"))}
@@ -3955,7 +4347,7 @@ def write_checkpoint(
                 add_r.get("partitionValues"))}
         pylist.append(
             {"protocol": protocol_r, "metaData": meta_r,
-             "add": add_r, "txn": txn_r}
+             "add": add_r, "txn": txn_r, "domainMetadata": dm_r}
         )
     buf = _io.BytesIO()
     pq.write_table(pa.Table.from_pylist(pylist, schema=cp_arrow), buf)
@@ -3974,7 +4366,7 @@ def write_checkpoint(
                 "size": len(rows),
                 "sizeInBytes": len(buf.getvalue()),
                 "numOfAddFiles": sum(
-                    1 for _p, _m, a, _t in rows if a is not None
+                    1 for _p, _m, a, _t, _d in rows if a is not None
                 ),
             }
         ),
@@ -4020,7 +4412,9 @@ def write_checkpoint_v2(
         _commit_json(
             fs, path, v0 + 1, [{"protocol": up}], op="UPGRADE PROTOCOL"
         )
-    files, meta, v, txns, proto = delta_snapshot(spark, path)
+    files, meta, v, txns, proto, domains = delta_snapshot_ex(
+        spark, path
+    )
 
     dv_t = pa.struct(
         [
@@ -4039,6 +4433,8 @@ def write_checkpoint_v2(
             ("modificationTime", pa.int64()),
             ("dataChange", pa.bool_()),
             ("stats", pa.string()),
+            ("baseRowId", pa.int64()),
+            ("defaultRowCommitVersion", pa.int64()),
             ("deletionVector", dv_t),
         ]
     )
@@ -4062,6 +4458,10 @@ def write_checkpoint_v2(
                     ),
                     "dataChange": False,
                     "stats": add.get("stats"),
+                    "baseRowId": add.get("baseRowId"),
+                    "defaultRowCommitVersion": add.get(
+                        "defaultRowCommitVersion"
+                    ),
                     "deletionVector": (
                         None
                         if dv is None
@@ -4120,6 +4520,11 @@ def write_checkpoint_v2(
                 ("path", pa.string()),
                 ("sizeInBytes", pa.int64()),
             ])),
+            pa.field("domainMetadata", pa.struct([
+                ("domain", pa.string()),
+                ("configuration", pa.string()),
+                ("removed", pa.bool_()),
+            ])),
         ]
     )
     top_rows = [
@@ -4147,6 +4552,16 @@ def write_checkpoint_v2(
     ]
     for app, ver in sorted(txns.items()):
         top_rows.append({"txn": {"appId": app, "version": ver}})
+    for domain, config in sorted(domains.items()):
+        top_rows.append(
+            {
+                "domainMetadata": {
+                    "domain": domain,
+                    "configuration": config,
+                    "removed": False,
+                }
+            }
+        )
     buf2 = _io.BytesIO()
     pq.write_table(
         pa.Table.from_pylist(top_rows, schema=top_schema), buf2
