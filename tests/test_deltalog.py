@@ -3544,7 +3544,7 @@ def test_concurrent_writer_conflict_and_retry(spark, tmp_path, monkeypatch):
     orig = dl._commit_json
     state = {"raced": False, "conflicts": 0}
 
-    def race(fs, path, version, actions, op=None):
+    def race(fs, path, version, actions, op=None, **kw):
         if op == "DELETE" and not state["raced"]:
             state["raced"] = True
             # writer B sneaks in and takes this exact version
@@ -3553,7 +3553,7 @@ def test_concurrent_writer_conflict_and_retry(spark, tmp_path, monkeypatch):
                 table, mode="append",
             )
         try:
-            return orig(fs, path, version, actions, op=op)
+            return orig(fs, path, version, actions, op=op, **kw)
         except dl.DeltaConcurrentCommit:
             state["conflicts"] += 1
             raise
@@ -3569,13 +3569,13 @@ def test_concurrent_writer_conflict_and_retry(spark, tmp_path, monkeypatch):
     assert rows == [-100] + list(range(8))
 
     # losing every retry surfaces the conflict instead of hanging
-    def always_taken(fs, path, version, actions, op=None):
+    def always_taken(fs, path, version, actions, op=None, **kw):
         if op == "DELETE":
             dl.write_delta_log(
                 spark.createDataFrame([(200, 1)], "k long, v long"),
                 table, mode="append",
             )
-        return orig(fs, path, version, actions, op=op)
+        return orig(fs, path, version, actions, op=op, **kw)
 
     monkeypatch.setattr(dl, "_commit_json", always_taken)
     with pytest.raises(dl.DeltaConcurrentCommit):
@@ -3842,3 +3842,182 @@ def test_row_tracking_checkpoint_merge_restore_clone(spark, tmp_path):
     # recomputed from the clone's live max)
     assert cids[70][0] > max(rid for rid, _ in ids2.values())
     assert len(set(rid for rid, _ in cids.values())) == len(cids)
+
+
+def test_in_commit_timestamps(spark, tmp_path, monkeypatch):
+    """delta.enableInCommitTimestamps: the enabling commit stamps the
+    writer feature (v7, readers untouched) + the spec's enablement
+    properties whose timestamp EQUALS that commit's
+    inCommitTimestamp; every later commit's ICT is STRICTLY greater
+    than its predecessor's even under a frozen wall clock (the
+    clock-skew case the feature exists for); TIMESTAMP AS OF resolves
+    against the monotone clock."""
+    import time_series_prediction_spark.sources.deltalog as dl
+
+    table = str(tmp_path / "t")
+    dl.write_delta_log(
+        spark.range(5).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ),
+        table,
+    )
+
+    def _icts():
+        log = os.path.join(table, "_delta_log")
+        out = {}
+        for n in sorted(os.listdir(log)):
+            if not (n.endswith(".json") and n[:20].isdigit()):
+                continue
+            with open(os.path.join(log, n)) as f:
+                for line in f:
+                    if '"commitInfo"' in line:
+                        ci = json.loads(line)["commitInfo"]
+                        out[int(n[:20])] = ci.get("inCommitTimestamp")
+                        break
+        return out
+
+    v_en = dl.delta_set_table_property(
+        spark, table, "delta.enableInCommitTimestamps", "true"
+    )
+    _f, meta, _v, _t, proto = dl.delta_snapshot(spark, table)
+    assert "inCommitTimestamp" in (proto.get("writerFeatures") or [])
+    assert int(proto["minWriterVersion"]) == 7
+    assert int(proto.get("minReaderVersion", 1)) == 1
+    conf = meta["configuration"]
+    assert conf["delta.inCommitTimestampEnablementVersion"] == str(v_en)
+    icts = _icts()
+    assert icts[0] is None  # pre-enablement commit has no ICT
+    assert icts[v_en] == int(
+        conf["delta.inCommitTimestampEnablementTimestamp"]
+    )
+
+    # frozen clock: monotonicity must come from the chain, not time
+    frozen = icts[v_en]  # freeze AT the enabling commit's instant
+    monkeypatch.setattr(dl._time, "time", lambda: frozen / 1000.0)
+    dl.write_delta_log(
+        spark.createDataFrame([(10, 1)], "k long, v long"),
+        table, mode="append",
+    )
+    dl.delta_delete(spark, table, "k = 0")
+    dl.delta_update(spark, table, "k = 1", {"v": "v + 1"})
+    icts = _icts()
+    chain = [icts[i] for i in range(v_en, max(icts) + 1)]
+    assert all(b > a for a, b in zip(chain, chain[1:]))
+
+    # TIMESTAMP AS OF against the monotone clock
+    assert dl.version_at_timestamp(spark, table, chain[1]) == v_en + 1
+    assert (
+        dl.version_at_timestamp(spark, table, chain[-1] + 5)
+        == max(icts)
+    )
+
+
+def test_version_checksum_crc(spark, tmp_path):
+    """Version checksums (<v>.crc): written on demand and at every
+    checkpoint with the full aggregate state (sizes, file/DV counts,
+    protocol, metadata, txn tokens); delta_verify_crc replays the
+    snapshot at the checksum's version and raises naming the drifted
+    fields when the recorded state disagrees."""
+    import time_series_prediction_spark.sources.deltalog as dl
+
+    table = str(tmp_path / "t")
+    dl.write_delta_log(
+        spark.range(20).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ),
+        table,
+    )
+    dl.delta_delete(spark, table, "k % 4 = 0")  # a DV in the state
+    p = dl.delta_write_crc(spark, table)
+    assert os.path.basename(p).endswith(".crc")
+    rec = dl.delta_verify_crc(spark, table)
+    assert rec["numFiles"] >= 1
+    assert rec["numDeletedRecordsOpt"] == 5
+    assert rec["numDeletionVectorsOpt"] >= 1
+    assert rec["tableSizeBytes"] > 0
+
+    # the checkpoint cadence writes one automatically, at its version
+    dl.write_delta_log(
+        spark.createDataFrame([(100, 1)], "k long, v long"),
+        table, mode="append", txn=("app", 3),
+    )
+    v = dl.write_checkpoint(spark, table)
+    log = os.path.join(table, "_delta_log")
+    assert os.path.exists(os.path.join(log, f"{v:020d}.crc"))
+    rec2 = dl.delta_verify_crc(spark, table)
+    assert rec2["version"] == v
+    assert rec2["setTransactions"] == [{"appId": "app", "version": 3}]
+
+    # tampered checksum: verification raises naming the drift
+    # (tamper through the table's own FileSystem — a raw python write
+    # would desync Hadoop LocalFileSystem's checksum sidecars)
+    fs = dl.fs_for(spark, table)
+    crc_path = os.path.join(log, f"{v:020d}.crc")
+    bad = json.loads(fs.read_text(crc_path))
+    bad["numFiles"] += 1
+    bad["tableSizeBytes"] -= 17
+    fs.delete(crc_path)
+    fs.write_text(crc_path, json.dumps(bad))
+    with pytest.raises(
+        ValueError, match="tableSizeBytes.*numFiles|numFiles.*tableSizeBytes"
+    ):
+        dl.delta_verify_crc(spark, table)
+
+
+def test_liquid_clustering_metadata_and_optimize(spark, tmp_path):
+    """CLUSTER BY (liquid clustering's metadata plane): the clustering
+    columns live in the delta.clustering domain (nested column-path
+    form) behind the clusteringColumns + domainMetadata writer
+    features — readers untouched; OPTIMIZE without an explicit
+    zorder_by re-clusters along them, after which range queries on
+    the clustering key prune to a strict subset of files; CLUSTER BY
+    a partition column / unknown column refuses; CLUSTER BY NONE
+    removes the domain and OPTIMIZE stops re-clustering."""
+    import time_series_prediction_spark.sources.deltalog as dl
+
+    table = str(tmp_path / "t")
+    # interleaved appends: every file spans nearly the full k range,
+    # so pre-clustering stats prune nothing
+    for i in range(4):
+        dl.write_delta_log(
+            spark.range(2000).selectExpr(
+                f"id * 4 + {i} AS k", "id % 100 AS v"
+            ),
+            table, mode="overwrite" if i == 0 else "append",
+        )
+    with pytest.raises(ValueError, match="not in the table"):
+        dl.delta_cluster_by(spark, table, ["nope"])
+    with pytest.raises(ValueError, match="not clustered"):
+        dl.delta_cluster_by(spark, table, [])
+    dl.delta_cluster_by(spark, table, ["k"])
+    _f, _m, _v, _t, proto, domains = dl.delta_snapshot_ex(spark, table)
+    assert "clusteringColumns" in proto["writerFeatures"]
+    assert "domainMetadata" in proto["writerFeatures"]
+    assert dl._clustering_columns(domains) == ["k"]
+
+    dl.delta_optimize(spark, table, target_files=4)
+    files, *_ = dl.delta_snapshot(spark, table)
+    assert len(files) == 4
+    # clustered layout: a narrow k-range touches FEWER files than the
+    # table holds (stats-pruned scan), and the rows are right
+    pruned = dl.read_delta_pruned(spark, table, {"k": (0, 799)})
+    got = sorted(
+        r["k"] for r in pruned.where("k between 0 and 799").collect()
+    )
+    assert got == list(range(800))
+    n_pruned_files = pruned.select("k").inputFiles()
+    assert len(set(n_pruned_files)) < 4
+
+    # partition-column clustering refuses (fresh partitioned table)
+    table2 = str(tmp_path / "p")
+    dl.write_delta_log(
+        spark.range(10).selectExpr("id AS k", "CAST(id % 2 AS INT) AS p"),
+        table2, mode="overwrite", partition_cols=["p"],
+    )
+    with pytest.raises(ValueError, match="partition column"):
+        dl.delta_cluster_by(spark, table2, ["p"])
+
+    # CLUSTER BY NONE removes the domain
+    dl.delta_cluster_by(spark, table, [])
+    *_, domains2 = dl.delta_snapshot_ex(spark, table)
+    assert dl._clustering_columns(domains2) == []

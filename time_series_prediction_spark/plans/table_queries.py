@@ -1454,6 +1454,81 @@ FROM g2
 """
 
 
+_DELTA_CLUSTER_SPEC = "delta-orders-cluster|v1|4interleave|opt8"
+
+
+def orders_delta_clustered_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Liquid clustering end to end
+    (``sources/deltalog.delta_cluster_by`` + the clustered OPTIMIZE):
+    four interleaved appends leave every file spanning the whole key
+    range (stats prune nothing), CLUSTER BY o_orderkey records the
+    delta.clustering domain, and a plain OPTIMIZE — no explicit
+    zorder — re-clusters along it; the query then range-scans a 10%
+    key slice through ``read_delta_pruned``, which after clustering
+    touches a strict subset of files (pinned in
+    test_liquid_clustering_metadata_and_optimize; the ORACLE checks
+    values — stats skipping is a plan optimization, so the result
+    must equal the plain relational filter)."""
+    from time_series_prediction_spark.sources.deltalog import (
+        delta_cluster_by,
+        delta_optimize,
+        read_delta_pruned,
+        write_delta_log,
+    )
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    root = os.path.join(tempfile.gettempdir(), "tsp_layouts")
+    fs = fs_for(spark, root)
+    st = fs.status(src)
+    if st is None:
+        raise FileNotFoundError(src)
+    ident = f"{fs.qualified(src)}|{st[0]}|{st[1]}|{_DELTA_CLUSTER_SPEC}"
+    key = hashlib.md5(ident.encode()).hexdigest()[:16]
+    path = os.path.join(root, f"orders_deltacluster_{key}")
+
+    def _build(tmp: str) -> None:
+        data = os.path.join(tmp, "data")
+        base = _orders_state(spark, sf_dir).select(
+            "o_orderkey", "o_custkey", "price_cents"
+        )
+        for i in range(4):  # interleave: every file spans all keys
+            write_delta_log(
+                base.where(f"o_orderkey % 4 = {i}"), data,
+                mode="overwrite" if i == 0 else "append",
+            )
+        delta_cluster_by(spark, data, ["o_orderkey"])
+        delta_optimize(spark, data, target_files=8)
+
+    ensure_artifact(spark, path, ident, _build)
+    hi = 600_000  # sf-independent slice: orders keys start at 1
+    pruned = read_delta_pruned(
+        spark, os.path.join(path, "data"), {"o_orderkey": (1, hi)}
+    )
+    return (
+        pruned.where(F.col("o_orderkey") <= hi)
+        .groupBy((F.col("o_orderkey") % 10).alias("key_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("price_cents").cast("long").alias("total_cents"),
+            F.sum("o_custkey").cast("long").alias("cust_sum"),
+        )
+    )
+
+
+ORDERS_DELTA_CLUSTERED_SQL = """
+SELECT o_orderkey % 10 AS key_bucket,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       CAST(sum(o_custkey) AS BIGINT) AS cust_sum
+FROM orders
+WHERE o_orderkey <= 600000
+GROUP BY o_orderkey % 10
+"""
+
+
 _DELTA_CDC_SPEC = "delta-orders-cdc|v1|13bump|29del|41ins"
 _CDC_INS_SHIFT = 200_000_000
 
@@ -2623,6 +2698,10 @@ TABLE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "orders_delta_rowid_scan": (
         orders_delta_rowid_scan,
         ORDERS_DELTA_ROWID_SQL,
+    ),
+    "orders_delta_clustered_scan": (
+        orders_delta_clustered_scan,
+        ORDERS_DELTA_CLUSTERED_SQL,
     ),
     "orders_delta_merge_scan": (
         orders_delta_merge_scan,

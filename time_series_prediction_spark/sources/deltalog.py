@@ -106,9 +106,43 @@ def _retry_conflicts(fn, max_retries: int):
     raise last
 
 
+_ICT_ENABLE = "delta.enableInCommitTimestamps"
+
+
+def _ict_enabled(meta: dict | None) -> bool:
+    return bool(meta) and (meta.get("configuration") or {}).get(
+        _ICT_ENABLE, ""
+    ).lower() == "true"
+
+
+def _prev_ict(fs, log: str, version: int) -> int | None:
+    """The previous commit's inCommitTimestamp (None when absent or
+    the history before it was cleaned — the monotone chain then
+    re-seeds from the wall clock, which in practice is far past the
+    cleaned history's timestamps)."""
+    if version <= 0:
+        return None
+    p = os.path.join(log, f"{version - 1:020d}.json")
+    try:
+        txt = fs.read_text(p)
+    except Exception:  # noqa: BLE001 — cleaned log: chain re-seeds
+        return None
+    for line in txt.splitlines():
+        if '"commitInfo"' not in line:
+            continue
+        try:
+            ci = json.loads(line).get("commitInfo") or {}
+        except ValueError:
+            return None
+        ict = ci.get("inCommitTimestamp")
+        return int(ict) if ict is not None else None
+    return None
+
+
 def _commit_json(
     fs, path: str, version: int, actions: list[dict],
-    op: str | None = None,
+    op: str | None = None, meta: dict | None = None,
+    ict: int | None = None,
 ) -> None:
     """Land one transaction-log commit PUT-IF-ABSENT: stage the JSON
     under a hidden name, then ``rename`` (no-overwrite on every
@@ -132,15 +166,28 @@ def _commit_json(
     tmp = os.path.join(
         log, f".commit-{version:020d}-{_uuid.uuid4().hex[:12]}.json.tmp"
     )
+    now_ms = int(_time.time() * 1000)
     lead = [
         {
             "commitInfo": {
-                "timestamp": int(_time.time() * 1000),
+                "timestamp": now_ms,
                 "operation": op or "WRITE",
                 "engineInfo": "tsps-native-delta",
             }
         }
     ]
+    # in-commit timestamps (the protocol's clock-skew-proof monotone
+    # clock): enabled via the caller's snapshot metaData OR by a
+    # metaData action in THIS commit (the enabling commit must itself
+    # carry one) — strictly greater than the previous commit's
+    if ict is None and (
+        _ict_enabled(meta)
+        or any(_ict_enabled(a.get("metaData")) for a in actions)
+    ):
+        prev = _prev_ict(fs, os.path.join(path, _LOG_DIR), version)
+        ict = max(now_ms, (prev or 0) + 1)
+    if ict is not None:
+        lead[0]["commitInfo"]["inCommitTimestamp"] = int(ict)
     fs.write_text(
         tmp, "".join(json.dumps(a) + "\n" for a in lead + actions)
     )
@@ -1393,6 +1440,7 @@ def write_delta_log(
     _commit_json(
         fs, path, next_v, actions,
         op="OVERWRITE" if mode == "overwrite" else "APPEND",
+        meta=prev_meta if next_v > 0 else None,
     )
     _maybe_auto_checkpoint(spark, path, next_v)
     return next_v
@@ -1618,6 +1666,7 @@ def delta_set_table_property(
     else:
         conf[key] = str(value)
     actions: list[dict] = []
+    ict_val: int | None = None
     if key == "delta.appendOnly" and value is not None:
         up = _writer_feature_upgrade(protocol, "appendOnly", 2)
         if up is not None:
@@ -1626,9 +1675,23 @@ def delta_set_table_property(
         up = _writer_feature_upgrade(protocol, "changeDataFeed", 4)
         if up is not None:
             actions.append({"protocol": up})
-    actions.append({"metaData": {**meta, "configuration": conf}})
     fs = fs_for(spark, path)
-    _commit_json(fs, path, v + 1, actions, op="SET TBLPROPERTIES")
+    if key == _ICT_ENABLE and str(value).lower() == "true":
+        # the enabling commit: writer feature + the spec's provenance
+        # properties, whose timestamp must EQUAL this commit's
+        # inCommitTimestamp — computed here and passed down verbatim
+        up = _writer_v7_feature_upgrade(protocol, "inCommitTimestamp")
+        if up is not None:
+            actions.append({"protocol": up})
+        prev = _prev_ict(fs, os.path.join(path, _LOG_DIR), v + 1)
+        ict_val = max(int(_time.time() * 1000), (prev or 0) + 1)
+        conf["delta.inCommitTimestampEnablementVersion"] = str(v + 1)
+        conf["delta.inCommitTimestampEnablementTimestamp"] = str(
+            ict_val
+        )
+    actions.append({"metaData": {**meta, "configuration": conf}})
+    _commit_json(fs, path, v + 1, actions, op="SET TBLPROPERTIES",
+                 meta=meta, ict=ict_val)
     _maybe_auto_checkpoint(spark, path, v + 1)
     return v + 1
 
@@ -1946,7 +2009,8 @@ def delta_set_identity_column(
         {"metaData": {**meta, "schemaString": new_schema.json()}}
     )
     fs = fs_for(spark, path)
-    _commit_json(fs, path, v + 1, actions, op="SET IDENTITY")
+    _commit_json(fs, path, v + 1, actions, op="SET IDENTITY",
+                 meta=meta)
     _maybe_auto_checkpoint(spark, path, v + 1)
     return v + 1
 
@@ -1998,7 +2062,8 @@ def delta_set_generated_column(
         {"metaData": {**meta, "schemaString": new_schema.json()}}
     )
     fs = fs_for(spark, path)
-    _commit_json(fs, path, v + 1, actions, op="SET GENERATED")
+    _commit_json(fs, path, v + 1, actions, op="SET GENERATED",
+                 meta=meta)
     _maybe_auto_checkpoint(spark, path, v + 1)
     return v + 1
 
@@ -2167,7 +2232,8 @@ def delta_enable_row_tracking(spark: SparkSession, path: str) -> int:
     _attach_row_tracking(spark, base, actions, hwm=_rt_hwm(domains),
                          version=v + 1)
     fs = fs_for(spark, path)
-    _commit_json(fs, path, v + 1, actions, op="ENABLE ROW TRACKING")
+    _commit_json(fs, path, v + 1, actions, op="ENABLE ROW TRACKING",
+                 meta=meta)
     _maybe_auto_checkpoint(spark, path, v + 1)
     return v + 1
 
@@ -2292,7 +2358,8 @@ def delta_add_constraint(
         actions.append({"protocol": up})
     actions.append({"metaData": new_meta})
     fs = fs_for(spark, path)
-    _commit_json(fs, path, v + 1, actions, op="ADD CONSTRAINT")
+    _commit_json(fs, path, v + 1, actions, op="ADD CONSTRAINT",
+                 meta=meta)
     _maybe_auto_checkpoint(spark, path, v + 1)
     return v + 1
 
@@ -2313,7 +2380,7 @@ def delta_drop_constraint(
     _commit_json(
         fs, path, v + 1,
         [{"metaData": {**meta, "configuration": conf}}],
-        op="DROP CONSTRAINT",
+        op="DROP CONSTRAINT", meta=meta,
     )
     _maybe_auto_checkpoint(spark, path, v + 1)
     return v + 1
@@ -2630,7 +2697,7 @@ def _delta_delete_once(
         actions.extend(_dv_readd_actions(files, hits, descs))
         if cdf:
             actions.extend(_cdc_actions())
-        _commit_json(fs, path, v + 1, actions, op="DELETE")
+        _commit_json(fs, path, v + 1, actions, op="DELETE", meta=meta)
     finally:
         if cdf:
             matched_full.unpersist()
@@ -2953,7 +3020,7 @@ def _delta_merge_once(
             )
         if cdf:
             actions.extend(_cdc_actions())
-        _commit_json(fs, path, v + 1, actions, op="MERGE")
+        _commit_json(fs, path, v + 1, actions, op="MERGE", meta=meta)
         _maybe_auto_checkpoint(spark, path, v + 1)
         cumulative = sum(
             len(hits[rel]) if rel in hits else len(existing.get(rel, ()))
@@ -3179,7 +3246,7 @@ def _delta_update_once(
             )
         if cdf:
             actions.extend(_cdc_actions())
-        _commit_json(fs, path, v + 1, actions, op="UPDATE")
+        _commit_json(fs, path, v + 1, actions, op="UPDATE", meta=meta)
         _maybe_auto_checkpoint(spark, path, v + 1)
         cumulative = sum(
             len(hits[rel]) if rel in hits else len(existing.get(rel, ()))
@@ -3310,7 +3377,7 @@ def delta_clone(
                 }
             }
         )
-    _commit_json(fs, dst, 0, actions, op="CLONE")
+    _commit_json(fs, dst, 0, actions, op="CLONE", meta=meta)
     return 0
 
 
@@ -3389,7 +3456,10 @@ def delta_restore(spark: SparkSession, path: str, version: int) -> int:
                 add["defaultRowCommitVersion"]
             )
         actions.append({"add": payload})
-    _commit_json(fs, path, cur_v + 1, actions, op="RESTORE")
+    # ICT decision on the POST-state: restoring to a pre-enablement
+    # snapshot turns the clock back off with the configuration
+    _commit_json(fs, path, cur_v + 1, actions, op="RESTORE",
+                 meta=old_meta)
     _maybe_auto_checkpoint(spark, path, cur_v + 1)
     return cur_v + 1
 
@@ -3831,6 +3901,10 @@ def delta_optimize(
     )
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = list(meta.get("partitionColumns") or [])
+    if zorder_by is None:
+        # a CLUSTERED table's OPTIMIZE re-clusters along its recorded
+        # clustering columns (liquid clustering's maintenance path)
+        zorder_by = _clustering_columns(domains) or None
     has_dv = any(a.get("deletionVector") for a in files.values())
     per_dir: dict[str, int] = {}
     for rel in files:
@@ -3915,7 +3989,7 @@ def delta_optimize(
         _attach_row_tracking(
             spark, base, actions, _rt_hwm(domains), v + 1
         )
-    _commit_json(fs, path, v + 1, actions, op="OPTIMIZE")
+    _commit_json(fs, path, v + 1, actions, op="OPTIMIZE", meta=meta)
     _maybe_auto_checkpoint(spark, path, v + 1)
     return v + 1
 
@@ -4041,7 +4115,7 @@ def delta_vacuum(
     # place) and `.cp-*` checkpoint build dirs — invisible to every
     # reader, reclaimed once old enough that no live attempt owns them
     for name in fs.list_names(log):
-        if name.startswith(".commit-") or name.startswith(".cp-"):
+        if name.startswith((".commit-", ".cp-", ".crc-")):
             p = os.path.join(log, name)
             st = fs.status(p)
             if st is not None and st[1] <= horizon_ms:
@@ -4230,10 +4304,16 @@ def write_checkpoint(
         }, None, None, None, None),
         (None, {
             "id": meta.get("id", "tsps"),
-            "format": {"provider": "parquet"},
+            "format": {
+                "provider": "parquet",
+                "options": dict(
+                    (meta.get("format") or {}).get("options") or {}
+                ),
+            },
             "schemaString": meta["schemaString"],
             "partitionColumns": list(meta.get("partitionColumns") or []),
             "configuration": dict(meta.get("configuration") or {}),
+            "createdTime": int(meta.get("createdTime") or 0),
         }, None, None, None),
     ]
     for rel in sorted(files):
@@ -4306,10 +4386,14 @@ def write_checkpoint(
             ])),
             pa.field("metaData", pa.struct([
                 ("id", pa.string()),
-                ("format", pa.struct([("provider", pa.string())])),
+                ("format", pa.struct([
+                    ("provider", pa.string()),
+                    ("options", pa.map_(pa.string(), pa.string())),
+                ])),
                 ("schemaString", pa.string()),
                 ("partitionColumns", pa.list_(pa.string())),
                 ("configuration", pa.map_(pa.string(), pa.string())),
+                ("createdTime", pa.int64()),
             ])),
             pa.field("add", pa.struct([
                 ("path", pa.string()),
@@ -4340,8 +4424,16 @@ def write_checkpoint(
     pylist = []
     for protocol_r, meta_r, add_r, txn_r, dm_r in rows:
         if meta_r is not None:
-            meta_r = {**meta_r, "configuration": _maps(
-                meta_r.get("configuration"))}
+            meta_r = {
+                **meta_r,
+                "configuration": _maps(meta_r.get("configuration")),
+                "format": {
+                    **meta_r["format"],
+                    "options": _maps(
+                        (meta_r.get("format") or {}).get("options")
+                    ),
+                },
+            }
         if add_r is not None:
             add_r = {**add_r, "partitionValues": _maps(
                 add_r.get("partitionValues"))}
@@ -4371,6 +4463,13 @@ def write_checkpoint(
             }
         ),
     )
+    # version checksum rides the checkpoint cadence (state in hand —
+    # no extra replay)
+    crc_tmp = os.path.join(log, f".crc-{os.getpid()}.tmp")
+    fs.write_text(
+        crc_tmp, json.dumps(_crc_payload(files, meta, proto, txns))
+    )
+    fs.replace_file(crc_tmp, os.path.join(log, f"{v:020d}.crc"))
     if clean_old_commits:
         for n in list(fs.list_names(log)):
             if n.endswith(".json") and n[:20].isdigit()                     and int(n[:20]) <= v:
@@ -4410,7 +4509,8 @@ def write_checkpoint_v2(
     up = _feature_upgrade_protocol(proto0, "v2Checkpoint")
     if up is not None:
         _commit_json(
-            fs, path, v0 + 1, [{"protocol": up}], op="UPGRADE PROTOCOL"
+            fs, path, v0 + 1, [{"protocol": up}],
+            op="UPGRADE PROTOCOL", meta=_meta0,
         )
     files, meta, v, txns, proto, domains = delta_snapshot_ex(
         spark, path
@@ -4507,10 +4607,14 @@ def write_checkpoint_v2(
             ])),
             pa.field("metaData", pa.struct([
                 ("id", pa.string()),
-                ("format", pa.struct([("provider", pa.string())])),
+                ("format", pa.struct([
+                    ("provider", pa.string()),
+                    ("options", pa.map_(pa.string(), pa.string())),
+                ])),
                 ("schemaString", pa.string()),
                 ("partitionColumns", pa.list_(pa.string())),
                 ("configuration", pa.map_(pa.string(), pa.string())),
+                ("createdTime", pa.int64()),
             ])),
             pa.field("txn", pa.struct([
                 ("appId", pa.string()),
@@ -4540,12 +4644,18 @@ def write_checkpoint_v2(
         {
             "metaData": {
                 "id": meta.get("id", "tsps"),
-                "format": {"provider": "parquet"},
+                "format": {
+                    "provider": "parquet",
+                    "options": _maps(
+                        (meta.get("format") or {}).get("options")
+                    ),
+                },
                 "schemaString": meta["schemaString"],
                 "partitionColumns": list(
                     meta.get("partitionColumns") or []
                 ),
                 "configuration": _maps(meta.get("configuration")),
+                "createdTime": int(meta.get("createdTime") or 0),
             }
         },
         {"sidecar": {"path": side_name, "sizeInBytes": side_size}},
@@ -4591,6 +4701,180 @@ def write_checkpoint_v2(
                     and int(n[:20]) <= v:
                 fs.delete(os.path.join(log, n))
     return v
+
+
+_CLUSTERING_DOMAIN = "delta.clustering"
+
+
+def _clustering_columns(domains: dict) -> list[str]:
+    """The table's recorded clustering columns (empty when not a
+    clustered table). Stored as the spec's nested column-path arrays
+    under the ``delta.clustering`` metadata domain."""
+    cfg = domains.get(_CLUSTERING_DOMAIN)
+    if not cfg:
+        return []
+    try:
+        paths = json.loads(cfg).get("clusteringColumns") or []
+    except ValueError:
+        return []
+    return [p[0] if isinstance(p, list) else p for p in paths]
+
+
+def delta_cluster_by(
+    spark: SparkSession, path: str, cols: list[str]
+) -> int:
+    """ALTER TABLE CLUSTER BY (liquid clustering's metadata plane):
+    records the clustering columns as the ``delta.clustering``
+    metadata domain (the spec's nested column-path form) plus the
+    ``clustering`` + ``domainMetadata`` writer features — readers are
+    never gated; clustering only directs maintenance. From then on
+    ``delta_optimize`` WITHOUT an explicit ``zorder_by`` re-clusters
+    the rewrite along these columns' Morton curve, so incremental
+    OPTIMIZE keeps range queries on the clustering keys pruning to a
+    handful of files (``read_delta_pruned`` over the per-file stats).
+    Clustering BY a partition column is refused (constant within a
+    dir); CLUSTER BY NONE via ``cols=[]`` removes the domain."""
+    files, meta, v, _txns, protocol, domains = delta_snapshot_ex(
+        spark, path
+    )
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    names = {f.name for f in schema.fields}
+    part_cols = set(meta.get("partitionColumns") or [])
+    missing = [c for c in cols if c not in names]
+    if missing:
+        raise ValueError(f"clustering columns {missing} not in the table")
+    on_part = sorted(set(cols) & part_cols)
+    if on_part:
+        raise ValueError(
+            f"cannot cluster by partition column(s) {on_part} — "
+            "partition values are constant within a dir"
+        )
+    fs = fs_for(spark, path)
+    actions: list[dict] = []
+    if cols:
+        up = _writer_v7_feature_upgrade(
+            protocol, "clusteringColumns", "domainMetadata"
+        )
+        if up is not None:
+            actions.append({"protocol": up})
+        actions.append(
+            {
+                "domainMetadata": {
+                    "domain": _CLUSTERING_DOMAIN,
+                    "configuration": json.dumps(
+                        {"clusteringColumns": [[c] for c in cols]}
+                    ),
+                    "removed": False,
+                }
+            }
+        )
+    else:
+        if _CLUSTERING_DOMAIN not in domains:
+            raise ValueError("table is not clustered (CLUSTER BY NONE)")
+        actions.append(
+            {
+                "domainMetadata": {
+                    "domain": _CLUSTERING_DOMAIN,
+                    "configuration": "",
+                    "removed": True,
+                }
+            }
+        )
+    _commit_json(fs, path, v + 1, actions, op="CLUSTER BY", meta=meta)
+    _maybe_auto_checkpoint(spark, path, v + 1)
+    return v + 1
+
+
+def _crc_payload(
+    files: dict[str, dict], meta: dict, proto: dict, txns: dict
+) -> dict:
+    """The version-checksum JSON delta-spark writes beside each commit
+    (``<version>.crc``): aggregate table state a reader can validate a
+    reconstructed snapshot against without rescanning data."""
+    return {
+        "tableSizeBytes": sum(
+            int(a.get("size") or 0) for a in files.values()
+        ),
+        "numFiles": len(files),
+        "numMetadata": 1,
+        "numProtocol": 1,
+        "numDeletedRecordsOpt": sum(
+            int((a.get("deletionVector") or {}).get("cardinality") or 0)
+            for a in files.values()
+        ),
+        "numDeletionVectorsOpt": sum(
+            1 for a in files.values() if a.get("deletionVector")
+        ),
+        "setTransactions": [
+            {"appId": app, "version": ver}
+            for app, ver in sorted(txns.items())
+        ],
+        "protocol": proto,
+        "metadata": meta,
+    }
+
+
+def delta_write_crc(
+    spark: SparkSession, path: str, version: int | None = None
+) -> str:
+    """Write the protocol's ``<version>.crc`` version-checksum file
+    (the state-validation sidecar delta-spark maintains): one JSON of
+    aggregate table state — tableSizeBytes, numFiles, DV totals,
+    protocol, metadata, txn tokens — for the snapshot at ``version``
+    (default latest). The dotted-less name never collides with log
+    listings (snapshot resolution filters on ``.json``/``.parquet``).
+    ``write_checkpoint`` calls this automatically, so a
+    checkpoint-cadenced table always carries a recent checksum.
+    Returns the written path."""
+    files, meta, v, txns, proto, _domains = delta_snapshot_ex(
+        spark, path, version
+    )
+    fs = fs_for(spark, path)
+    log = os.path.join(path, _LOG_DIR)
+    out = os.path.join(log, f"{v:020d}.crc")
+    tmp = os.path.join(log, f".crc-{os.getpid()}.tmp")
+    fs.write_text(
+        tmp, json.dumps(_crc_payload(files, meta, proto, txns))
+    )
+    fs.replace_file(tmp, out)
+    return out
+
+
+def delta_verify_crc(spark: SparkSession, path: str) -> dict:
+    """FSCK for the log's state plane: replay the snapshot at the
+    NEWEST recorded ``.crc``'s version and compare every checksum
+    field — a mismatch means the log was hand-edited, a commit was
+    lost, or replay is broken, and raises naming the drifted fields.
+    Returns the verified payload (with its ``version``) on success."""
+    fs = fs_for(spark, path)
+    log = os.path.join(path, _LOG_DIR)
+    crcs = [
+        int(n[:20])
+        for n in fs.list_names(log)
+        if n.endswith(".crc") and n[:20].isdigit()
+    ]
+    if not crcs:
+        raise ValueError(f"no .crc checksum files under {log}")
+    v = max(crcs)
+    recorded = json.loads(
+        fs.read_text(os.path.join(log, f"{v:020d}.crc"))
+    )
+    files, meta, _v, txns, proto, _domains = delta_snapshot_ex(
+        spark, path, v
+    )
+    actual = _crc_payload(files, meta, proto, txns)
+    drift = sorted(
+        k
+        for k in set(recorded) | set(actual)
+        if recorded.get(k) != actual.get(k)
+    )
+    if drift:
+        raise ValueError(
+            f"version checksum mismatch at v{v}: fields {drift} "
+            "disagree with the replayed snapshot — the log was "
+            "modified outside the commit protocol or replay is broken"
+        )
+    return {"version": v, **recorded}
 
 
 def delta_history(spark: SparkSession, path: str) -> list[dict]:
