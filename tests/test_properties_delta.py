@@ -115,3 +115,121 @@ def test_any_dml_sequence_reads_like_the_model(
     )
     dl.delta_restore(spark, path, rv)
     assert _read(dl, spark, path) == sorted(states[rv].items())
+
+
+def _read_rid(dl, spark, path, version=None):
+    return sorted(
+        (r["k"], r["v"], r["rid"])
+        for r in dl.read_delta_log(spark, path, version=version).collect()
+    )
+
+
+@settings(max_examples=4, deadline=None)
+@given(st.lists(_MUTATION, min_size=2, max_size=4), st.data())
+def test_dml_sequence_on_identity_table(
+    spark, tmp_path_factory, muts, data
+):
+    """The same ANY-sequence model on a table with a GENERATED ALWAYS
+    AS IDENTITY column (round-12: rewrite-shaped DML used to refuse
+    outright on these tables): values always match the dict model;
+    identity values are globally unique, STABLE for surviving rows
+    across DELETE/UPDATE/MERGE-match on BOTH the DV and rewrite
+    paths, monotonically fresh for appends and merge-inserts (never
+    reused, even after deletes), and time travel reproduces each
+    version's exact (k, v, rid) set."""
+    import time_series_prediction_spark.sources.deltalog as dl
+
+    path = str(tmp_path_factory.mktemp("dlprop_id") / "tbl")
+    base = spark.range(_N).select(
+        F.col("id").alias("rid"),
+        F.col("id").alias("k"),
+        (F.col("id") * 3).alias("v"),
+    )
+    dl.write_delta_log(base, path, mode="overwrite")
+    dl.delta_set_identity_column(spark, path, "rid", start=0, step=1)
+    model = {k: 3 * k for k in range(_N)}     # k -> v
+    rid_of = {k: k for k in range(_N)}        # k -> identity value
+    hwm = _N - 1
+    states = [
+        sorted((k, model[k], rid_of[k]) for k in model)
+    ]
+
+    def _sync_new_rids():
+        # pull engine-assigned rids for keys the model knows need
+        # fresh ones; enforce monotone-above-watermark on each
+        nonlocal hwm
+        got = {r[0]: r[2] for r in _read_rid(dl, spark, path)}
+        fresh = [k for k in model if rid_of.get(k) is None]
+        for k in fresh:
+            assert got[k] > hwm, (k, got[k], hwm)
+            rid_of[k] = got[k]
+        if fresh:
+            hwm = max(hwm, *(rid_of[k] for k in fresh))
+
+    for op, keys, val, dv in muts:
+        cap = 500_000 if dv else 0
+        if op == "append":
+            fresh = [k for k in keys if k not in model]
+            if not fresh:
+                continue
+            dl.write_delta_log(
+                spark.createDataFrame(
+                    [(k, val) for k in fresh], "k long, v long"
+                ),
+                path, mode="append",
+            )
+            for k in fresh:
+                model[k] = val
+                rid_of[k] = None
+        elif op == "delete":
+            touched = [k for k in keys if k in model]
+            if not touched:
+                continue
+            dl.delta_delete(
+                spark, path, f"k in ({','.join(map(str, keys))})",
+                max_dv_rows=cap, max_total_dv_rows=None,
+            )
+            for k in touched:
+                model.pop(k)
+                rid_of.pop(k)
+        elif op == "update":
+            touched = [k for k in keys if k in model]
+            if not touched:
+                continue
+            dl.delta_update(
+                spark, path, f"k in ({','.join(map(str, keys))})",
+                {"v": f"CAST({val} AS BIGINT)"},
+                max_dv_rows=cap, max_total_dv_rows=None,
+            )
+            for k in touched:
+                model[k] = val
+        else:  # merge upsert: batch OMITS rid; matched keep, new fresh
+            dl.delta_merge(
+                spark, path,
+                spark.createDataFrame(
+                    [(k, val) for k in keys], "k long, v long"
+                ),
+                key="k", max_dv_rows=cap, max_total_dv_rows=None,
+            )
+            for k in keys:
+                if k not in model:
+                    rid_of[k] = None
+                model[k] = val
+        _sync_new_rids()
+        got = _read_rid(dl, spark, path)
+        assert got == sorted(
+            (k, model[k], rid_of[k]) for k in model
+        )
+        rids = [r for _, _, r in got]
+        assert len(rids) == len(set(rids))  # globally unique
+        states.append(sorted((k, model[k], rid_of[k]) for k in model))
+
+    latest = dl.delta_snapshot(spark, path)[2]
+    # +1: the set-identity commit precedes the first mutation
+    assert latest == len(states)
+    if len(states) > 1:  # at least one mutation actually committed
+        v = data.draw(
+            st.integers(min_value=1, max_value=len(states) - 1),
+            label="travel_v",
+        )
+        assert _read_rid(dl, spark, path, version=v + 1) == states[v]
