@@ -170,9 +170,12 @@ _ROWS_ONLY_BUDGET = {
     # embedding_{ivf,pq,lsh}_ann moved OUT of rows-only in round 8:
     # the exact-integer quantizer/plane families made the whole ANN
     # pipelines (training included) oracle-checkable
+    # multimodal_features graduated to oracle-backed in round 12
+    # (byte-histogram counts reconstructed exactly in DuckDB over
+    # hex(encode(text)) byte pairs); its mapInPandas plan shape is
+    # still pinned by test_multimodal plumbing tests
     "events_dau_sketch_rollup": (2, 0, 0),
     "lineitem_quantiles_approx": (1, 0, 0),
-    "multimodal_features": (0, 1, 0),  # mapInPandas decode counts as arrow
 }
 
 
