@@ -4021,3 +4021,35 @@ def test_liquid_clustering_metadata_and_optimize(spark, tmp_path):
     dl.delta_cluster_by(spark, table, [])
     *_, domains2 = dl.delta_snapshot_ex(spark, table)
     assert dl._clustering_columns(domains2) == []
+
+
+def test_row_tracking_statless_adds_one_scan(spark, tmp_path, monkeypatch):
+    """A batch wider than the stats ceiling still gets correct
+    baseRowIds: the counts come from ONE footer scan over exactly the
+    statless files (never a job per file), and ids stay unique and
+    watermark-aligned."""
+    import time_series_prediction_spark.sources.deltalog as dl
+
+    monkeypatch.setattr(dl, "_DELTA_STATS_MAX_FILES", 0)  # no stats
+    table = str(tmp_path / "t")
+    dl.write_delta_log(
+        spark.range(10).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ),
+        table, mode="overwrite",
+    )
+    dl.delta_enable_row_tracking(spark, table)
+    dl.write_delta_log(
+        spark.range(100, 130).repartition(3).select(
+            F.col("id").alias("k"), F.lit(1).cast("long").alias("v")
+        ),
+        table, mode="append",
+    )
+    ids = {r["k"]: r["_row_id"] for r in
+           dl.read_delta_with_row_ids(spark, table).collect()}
+    assert len(ids) == 40
+    rids = list(ids.values())
+    assert len(set(rids)) == 40
+    new = [ids[k] for k in range(100, 130)]
+    assert min(new) > max(ids[k] for k in range(10))
+    assert max(new) - min(new) == 29  # contiguous block across 3 files

@@ -2158,27 +2158,51 @@ def _attach_row_tracking(
     action not already carrying one (re-adds carry their original
     base forward) and append the advanced high-water-mark
     domainMetadata action. Row counts come from the adds' own stats
-    (already computed for the commit — zero extra jobs); a statless
-    add costs one footer count over that file only."""
+    (already computed for the commit — zero extra jobs); statless
+    adds (a batch wider than the stats ceiling) are counted in ONE
+    footer-metadata scan over exactly those files, never a job per
+    file."""
+    todo = [
+        act["add"]
+        for act in actions
+        if act.get("add") is not None
+        and act["add"].get("baseRowId") is None
+    ]
+    if not todo:
+        return
+    counts: dict[str, int] = {}
+    missing = [a for a in todo if _add_num_records(a) is None]
+    if missing:
+        rows = (
+            spark.read.parquet(
+                *[
+                    os.path.join(
+                        base, urllib.parse.unquote(a["path"])
+                    )
+                    for a in missing
+                ]
+            )
+            .groupBy(
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), _URI_SCHEME_RE, "/"
+                ).alias("_fp")
+            )
+            .count()
+            .collect()
+        )
+        counts = {r["_fp"]: int(r["count"]) for r in rows}
     next_id = hwm + 1
-    assigned = False
-    for act in actions:
-        a = act.get("add")
-        if a is None or a.get("baseRowId") is not None:
-            continue
+    for a in todo:
         n = _add_num_records(a)
         if n is None:
-            rel = urllib.parse.unquote(a["path"])
-            n = (
-                spark.read.parquet(os.path.join(base, rel))
-                .count()
+            fp = _norm_uri(
+                os.path.join(base, urllib.parse.unquote(a["path"]))
             )
+            n = counts.get(fp, 0)
         a["baseRowId"] = next_id
         a["defaultRowCommitVersion"] = int(version)
         next_id += int(n)
-        assigned = True
-    if assigned:
-        actions.append(_rt_hwm_action(next_id - 1))
+    actions.append(_rt_hwm_action(next_id - 1))
 
 
 def delta_enable_row_tracking(spark: SparkSession, path: str) -> int:
