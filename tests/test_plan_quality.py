@@ -357,3 +357,26 @@ def test_triangle_panel_prunes_before_pair_explosion(spark, sf_dir):
     assert "BroadcastHashJoin" in plan  # the 200-key panel prune
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_row_id_read_is_broadcast_only(spark, tmp_path):
+    """read_delta_with_row_ids must attach row ids via metadata-sized
+    BROADCAST joins (per-file base map + DV anti-join) — a sort-merge
+    join or shuffle exchange on the scan side would reshuffle the
+    whole table at 100 TB just to number its rows."""
+    import time_series_prediction_spark.sources.deltalog as dl
+    from pyspark.sql import functions as F  # noqa: F401
+
+    t = str(tmp_path / "t")
+    for i in range(3):
+        dl.write_delta_log(
+            spark.range(500).selectExpr(f"id*3+{i} AS k", "id AS v"),
+            t, mode="overwrite" if i == 0 else "append",
+        )
+    dl.delta_enable_row_tracking(spark, t)
+    dl.delta_delete(spark, t, "k % 11 = 0")
+    plan = _plan(dl.read_delta_with_row_ids(spark, t))
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan
