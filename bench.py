@@ -70,6 +70,19 @@ def main() -> None:
         cold[name] = round(time.perf_counter() - t0, 3)
     warmup_total = round(sum(cold.values()), 3)
 
+    # Pass boundary: the warm pass leaves in-session memos (the CC
+    # assignment, trained quantizers, layout manifests) and persisted
+    # localCheckpoint blocks behind. The timed pass must measure
+    # FIRST-TOUCH compute — what every earlier round's single-pass
+    # bench measured — so reset them all; only the JVM/codegen/file
+    # cache and on-disk derived artifacts stay warm, which is exactly
+    # the intent.
+    from time_series_prediction_spark.session_memo import (
+        clear_session_memos,
+    )
+
+    clear_session_memos(spark)
+
     # Pass 2 — the measurement.
     times: dict[str, float] = {}
     for name in sorted(queries):

@@ -124,7 +124,9 @@ def _argmin_expr(cents_literal: str) -> str:
 # training is deterministic per (corpus, params): registry queries
 # pass cache_key=sf_dir so IVF, PQ, and SemDeDup in one session share
 # one sample collect + train instead of three
-_FIT_CACHE: dict[tuple, tuple[list, np.ndarray]] = {}
+from time_series_prediction_spark.session_memo import session_memo
+
+_FIT_CACHE: dict[tuple, tuple[list, np.ndarray]] = session_memo({})
 
 
 def _fit(

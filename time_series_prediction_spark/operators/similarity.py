@@ -221,13 +221,15 @@ def lsh_ann_topk(
 # scans entirely. Keyed by an explicit caller-supplied token naming
 # the corpus (a path or table name) + all training params. Centroid
 # matrices are (n_cells × dim) — a few KB, safe to keep for a session.
-_CENTROID_CACHE: dict[tuple, np.ndarray] = {}
+from time_series_prediction_spark.session_memo import session_memo
+
+_CENTROID_CACHE: dict[tuple, np.ndarray] = session_memo({})
 
 # Hash-ordered training-sample cache: the seeded TakeOrdered sample is
 # the same for every trainer over the same corpus (IVF centroids and
 # PQ codebooks both init from its head), so one session fetches it
 # once. ≤ n_sample × dim float64 — a few MB.
-_TRAIN_SAMPLE_CACHE: dict[tuple, np.ndarray] = {}
+_TRAIN_SAMPLE_CACHE: dict[tuple, np.ndarray] = session_memo({})
 
 
 def _hash_ordered_sample(
@@ -510,7 +512,7 @@ def ivf_ann_topk(
 # billion-vector design (IVF-PQ): the corpus side stores codes
 # (n_sub bytes instead of dim floats) and the scan is integer indexing.
 
-_PQ_CODEBOOK_CACHE: dict[tuple, np.ndarray] = {}
+_PQ_CODEBOOK_CACHE: dict[tuple, np.ndarray] = session_memo({})
 
 
 def _residualize(matn: np.ndarray, centroids: np.ndarray) -> np.ndarray:

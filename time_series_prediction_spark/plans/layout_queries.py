@@ -35,6 +35,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from time_series_prediction_spark.session_memo import session_memo  # noqa: E501
 from time_series_prediction_spark.operators.manifest import (
     MANIFEST_FORMAT,
     build_stats_manifest,
@@ -55,7 +56,7 @@ _N_FILES = 16
 
 # manifest cache: the layout is immutable per path, so the footer
 # stats are too — materialize once per (session, path)
-_MANIFEST_CACHE: dict[tuple[str, str], DataFrame] = {}
+_MANIFEST_CACHE: dict[tuple[str, str], DataFrame] = session_memo({})
 
 
 # columns the layout materializes; part of the cache identity so a

@@ -233,7 +233,9 @@ DEDUP_NGRAM_SQL = f"WITH {_NGRAM_PAIRS_CTES} SELECT * FROM pairs"
 # pipeline plus the iterative loop. Keyed by (applicationId, sf_dir);
 # results are deterministic per corpus, so reuse is observationally
 # identical to recompute.
-_ASSIGN_CACHE: dict[tuple[str, str], DataFrame] = {}
+from time_series_prediction_spark.session_memo import session_memo
+
+_ASSIGN_CACHE: dict[tuple[str, str], DataFrame] = session_memo({})
 
 
 def _canonical_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -394,7 +396,7 @@ SELECT doc_id_a, doc_id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
 DEDUP_MINHASH_LSH_SQL = _minhash_lsh_sql()
 
 
-_NDOCS_CACHE: dict[tuple[str, str], int] = {}
+_NDOCS_CACHE: dict[tuple[str, str], int] = session_memo({})
 
 
 def _documents_count(spark: SparkSession, sf_dir: str) -> int:
