@@ -4053,3 +4053,33 @@ def test_row_tracking_statless_adds_one_scan(spark, tmp_path, monkeypatch):
     new = [ids[k] for k in range(100, 130)]
     assert min(new) > max(ids[k] for k in range(10))
     assert max(new) - min(new) == 29  # contiguous block across 3 files
+
+
+def test_row_tracking_streaming_replay_idempotent(spark, tmp_path):
+    """A replayed micro-batch on a row-tracked table is recognized by
+    its txn token and SKIPPED — no duplicate rows, no duplicate row
+    ids, and the high-water mark does not double-advance (the next
+    real batch allocates contiguously above the first)."""
+    import time_series_prediction_spark.sources.deltalog as dl
+
+    table = str(tmp_path / "t")
+    dl.write_delta_log(
+        spark.range(5).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ),
+        table, mode="overwrite",
+    )
+    dl.delta_enable_row_tracking(spark, table)
+    sink = dl.delta_stream_sink(table, app_id="appZ")
+    b1 = spark.createDataFrame([(10, 1), (11, 1)], "k long, v long")
+    sink(b1, 0)
+    hwm1 = dl._rt_hwm(dl.delta_snapshot_ex(spark, table)[5])
+    sink(b1, 0)  # crash-replay of the SAME batch: must be skipped
+    assert dl._rt_hwm(dl.delta_snapshot_ex(spark, table)[5]) == hwm1
+    assert dl.read_delta_log(spark, table).count() == 7
+    sink(spark.createDataFrame([(12, 1)], "k long, v long"), 1)
+    ids = {r["k"]: r["_row_id"] for r in
+           dl.read_delta_with_row_ids(spark, table).collect()}
+    rids = list(ids.values())
+    assert len(rids) == len(set(rids)) == 8
+    assert ids[12] == hwm1 + 1  # contiguous above the first batch

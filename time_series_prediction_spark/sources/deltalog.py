@@ -4704,6 +4704,12 @@ def write_checkpoint_v2(
     cp_tmp = os.path.join(log, f".cp-{os.getpid()}.v2.parquet")
     fs.write_bytes(cp_tmp, buf2.getvalue())
     fs.replace_file(cp_tmp, os.path.join(log, cp_name))
+    # version checksum rides the V2 checkpoint too (classic parity)
+    crc_tmp = os.path.join(log, f".crc-{os.getpid()}.v2.tmp")
+    fs.write_text(
+        crc_tmp, json.dumps(_crc_payload(files, meta, proto, txns))
+    )
+    fs.replace_file(crc_tmp, os.path.join(log, f"{v:020d}.crc"))
     fs.write_text(
         os.path.join(log, "_last_checkpoint"),
         json.dumps(
