@@ -233,3 +233,96 @@ def test_dml_sequence_on_identity_table(
             label="travel_v",
         )
         assert _read_rid(dl, spark, path, version=v + 1) == states[v]
+
+
+@settings(max_examples=3, deadline=None)
+@given(st.lists(_MUTATION, min_size=2, max_size=4), st.data())
+def test_dml_sequence_on_row_tracked_table(
+    spark, tmp_path_factory, muts, data
+):
+    """Random DML on a ROW-TRACKED table: after every commit the
+    row-id read returns exactly the model's contents with globally
+    unique ids; ids of rows untouched by a mutation never change; a
+    random mid-sequence OPTIMIZE (materialization) changes nothing a
+    reader can observe."""
+    import time_series_prediction_spark.sources.deltalog as dl
+
+    path = str(tmp_path_factory.mktemp("dlprop_rt") / "tbl")
+    base = spark.range(_N).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    dl.write_delta_log(base, path, mode="overwrite")
+    dl.delta_enable_row_tracking(spark, path)
+    model = {k: 3 * k for k in range(_N)}
+
+    def _ids():
+        return {
+            r["k"]: (r["v"], r["_row_id"])
+            for r in dl.read_delta_with_row_ids(spark, path).collect()
+        }
+
+    prev = _ids()
+    assert sorted(rid for _, rid in prev.values()) == list(range(_N))
+    opt_at = data.draw(
+        st.integers(min_value=0, max_value=len(muts) - 1),
+        label="optimize_after",
+    )
+    for i, (op, keys, val, dv) in enumerate(muts):
+        cap = 500_000 if dv else 0
+        touched: set[int] = set()
+        if op == "append":
+            fresh = [k for k in keys if k not in model]
+            if fresh:
+                dl.write_delta_log(
+                    spark.createDataFrame(
+                        [(k, val) for k in fresh], "k long, v long"
+                    ),
+                    path, mode="append",
+                )
+                for k in fresh:
+                    model[k] = val
+                touched = set(fresh)
+        elif op == "delete":
+            if any(k in model for k in keys):
+                dl.delta_delete(
+                    spark, path, f"k in ({','.join(map(str, keys))})",
+                    max_dv_rows=cap, max_total_dv_rows=None,
+                )
+                for k in keys:
+                    model.pop(k, None)
+        elif op == "update":
+            if any(k in model for k in keys):
+                dl.delta_update(
+                    spark, path, f"k in ({','.join(map(str, keys))})",
+                    {"v": f"CAST({val} AS BIGINT)"},
+                    max_dv_rows=cap, max_total_dv_rows=None,
+                )
+                for k in keys:
+                    if k in model:
+                        model[k] = val
+                        touched.add(k)
+        else:
+            dl.delta_merge(
+                spark, path,
+                spark.createDataFrame(
+                    [(k, val) for k in keys], "k long, v long"
+                ),
+                key="k", max_dv_rows=cap, max_total_dv_rows=None,
+            )
+            for k in keys:
+                model[k] = val
+            touched = set(keys)
+        cur = _ids()
+        assert {k: v for k, (v, _) in cur.items()} == model
+        rids = [rid for _, rid in cur.values()]
+        assert len(rids) == len(set(rids))  # globally unique, always
+        # rows untouched by this mutation keep their exact row ids
+        for k, (_, rid) in prev.items():
+            if k in cur and k not in touched:
+                assert cur[k][1] == rid, (op, k)
+        prev = cur
+        if i == opt_at:
+            before = _ids()
+            dl.delta_optimize(spark, path, target_files=1)
+            assert _ids() == before  # dataChange=false: unobservable
+            prev = before

@@ -1261,6 +1261,14 @@ def write_delta_log(
             df, id_assigned = _assign_identity(df, prev_schema)
         prev_f = {f.name: f.dataType for f in prev_schema.fields}
         new_f = {f.name: f.dataType for f in df.schema.fields}
+        if _internal_rewrite and _row_tracking_on(prev_meta):
+            # the rewrite carries MATERIALIZED row-tracking columns —
+            # physical file columns, never part of the table schema:
+            # exclude them from every drift decision (recording them
+            # in the metaData would leak them to plain reads)
+            rt_cfg = prev_meta.get("configuration") or {}
+            for mc in (rt_cfg.get(_RT_ID_COL), rt_cfg.get(_RT_VER_COL)):
+                new_f.pop(mc, None)
         if prev_f != new_f:
             if mapping and mode == "overwrite":
                 raise DeltaProtocolUnsupported(
@@ -2205,6 +2213,22 @@ def _attach_row_tracking(
     actions.append(_rt_hwm_action(next_id - 1))
 
 
+def _rt_keep_frame(spark: SparkSession, path: str, meta: dict):
+    """The preserve-on-rewrite source for a row-tracked table: the
+    current rows WITH their row ids renamed to the table's
+    MATERIALIZED column names, so a whole-table rewrite landing this
+    frame keeps every unmodified row's id readable (the reader
+    coalesces the materialized value over the fresh baseRowId).
+    Callers null the materialized columns for rows they MODIFY —
+    those correctly pick up fresh ids."""
+    cfg = meta.get("configuration") or {}
+    return (
+        read_delta_with_row_ids(spark, path)
+        .withColumnRenamed("_row_id", cfg[_RT_ID_COL])
+        .withColumnRenamed("_row_commit_version", cfg[_RT_VER_COL])
+    )
+
+
 def delta_enable_row_tracking(spark: SparkSession, path: str) -> int:
     """ALTER TABLE SET delta.enableRowTracking=true: upgrades the
     protocol (writer features ``rowTracking`` + ``domainMetadata`` —
@@ -2701,8 +2725,15 @@ def _delta_delete_once(
             # overwrite-commit them; no DV ever reaches this table
             # state. Column-mapped tables take this path too — the
             # sink lands the rewrite under physical names (round 11;
-            # previously they fell through to an unbounded DV).
-            keep = read_delta_log(spark, path).where(
+            # previously they fell through to an unbounded DV). On a
+            # row-tracked table the survivors are UNMODIFIED rows:
+            # their ids ride along as materialized columns.
+            src = (
+                _rt_keep_frame(spark, path, meta)
+                if _row_tracking_on(meta)
+                else read_delta_log(spark, path)
+            )
+            keep = src.where(
                 F.coalesce(~F.expr(predicate), F.lit(True))
             )
             return write_delta_log(
@@ -2988,12 +3019,28 @@ def _delta_merge_once(
         if total > max_dv_rows:
             # rewrite-shaped merge: (table ⧹ update keys) ∪ updates,
             # committed as one overwrite — no DV of this size ever
-            # reaches the table state
-            keep = read_delta_log(spark, path).join(
+            # reaches the table state. Row-tracked: the keep side is
+            # UNMODIFIED rows (ids ride along materialized); the
+            # update side lands with null materialized columns and
+            # picks up fresh ids, matching the DV path.
+            rt = _row_tracking_on(meta)
+            src = (
+                _rt_keep_frame(spark, path, meta)
+                if rt
+                else read_delta_log(spark, path)
+            )
+            keep = src.join(
                 updates.select(*keys).distinct(), keys, "left_anti"
             )
+            upd_side = updates
+            if rt:
+                cfg_rt = meta.get("configuration") or {}
+                for mc in (cfg_rt[_RT_ID_COL], cfg_rt[_RT_VER_COL]):
+                    upd_side = upd_side.withColumn(
+                        mc, F.lit(None).cast("long")
+                    )
             return write_delta_log(
-                keep.unionByName(updates), path, mode="overwrite",
+                keep.unionByName(upd_side), path, mode="overwrite",
                 partition_cols=part_cols, txn=txn,
                 _extra_actions=_cdc_actions() if cdf else None,
                 _internal_rewrite=True,
@@ -3214,8 +3261,17 @@ def _delta_update_once(
         if total > max_dv_rows:
             # rewrite-shaped update: one CASE-WHEN pass over the whole
             # table, overwrite-committed — no DV of this size ever
-            # reaches the table state (the DELETE/MERGE trade)
-            cur = read_delta_log(spark, path)
+            # reaches the table state (the DELETE/MERGE trade). On a
+            # row-tracked table, UNMODIFIED rows keep their ids via
+            # the materialized columns; MODIFIED rows' materialized
+            # values are nulled so they pick up fresh ids — the same
+            # guarantee as the DV path, where post-images land fresh.
+            rt = _row_tracking_on(meta)
+            cur = (
+                _rt_keep_frame(spark, path, meta)
+                if rt
+                else read_delta_log(spark, path)
+            )
             pred = F.coalesce(F.expr(predicate), F.lit(False))
             rewritten = cur.select(
                 *[
@@ -3225,14 +3281,33 @@ def _delta_update_once(
                     if c in set_exprs
                     else F.col(c)
                     for c in tbl_cols
-                ]
+                ],
+                *(
+                    [
+                        F.when(
+                            pred, F.lit(None).cast("long")
+                        ).otherwise(F.col(mc)).alias(mc)
+                        for mc in (
+                            (meta.get("configuration") or {})[
+                                _RT_ID_COL
+                            ],
+                            (meta.get("configuration") or {})[
+                                _RT_VER_COL
+                            ],
+                        )
+                    ]
+                    if rt
+                    else []
+                ),
             )
             for c, ge in gen.items():
                 # generated columns recompute from the post-SET row
                 rewritten = rewritten.withColumn(
                     c, F.expr(ge).cast(tbl_types[c])
                 )
-            _check_update_types(rewritten.schema, schema)
+            _check_update_types(
+                rewritten.select(*tbl_cols).schema, schema
+            )
             return write_delta_log(
                 rewritten, path, mode="overwrite",
                 partition_cols=part_cols,
