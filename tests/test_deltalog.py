@@ -4083,3 +4083,97 @@ def test_row_tracking_streaming_replay_idempotent(spark, tmp_path):
     rids = list(ids.values())
     assert len(rids) == len(set(rids)) == 8
     assert ids[12] == hwm1 + 1  # contiguous above the first batch
+
+
+def test_alter_table_column_surface(spark, tmp_path):
+    """ALTER TABLE end to end: enabling column mapping on an existing
+    table keeps every file reading (physicalName == current name);
+    RENAME is metadata-only (old files read through the new logical
+    name, appends land physical); DROP hides the bytes without
+    touching files, and RE-ADDING the same logical name yields NULLS
+    (fresh physical name — dropped data can never resurrect); ADD
+    COLUMN reads null over old files; unmapped RENAME/DROP refuse
+    with the remedy; referenced columns refuse."""
+    import time_series_prediction_spark.sources.deltalog as dl
+
+    table = str(tmp_path / "t")
+    dl.write_delta_log(
+        spark.range(10).selectExpr(
+            "id AS k", "id * 2 AS v", "CAST(id AS STRING) AS s"
+        ),
+        table, mode="overwrite",
+    )
+    with pytest.raises(ValueError, match="column mapping"):
+        dl.delta_rename_column(spark, table, "v", "val")
+    with pytest.raises(ValueError, match="column mapping"):
+        dl.delta_drop_column(spark, table, "v")
+
+    v_en = dl.delta_enable_column_mapping(spark, table)
+    assert dl.delta_enable_column_mapping(spark, table) == v_en
+    _f, meta, _v, _t, proto = dl.delta_snapshot(spark, table)
+    assert (meta["configuration"]["delta.columnMapping.mode"]
+            == "name")
+    assert int(proto["minReaderVersion"]) >= 2
+    got = dl.read_delta_log(spark, table)
+    assert got.columns == ["k", "v", "s"]
+    assert got.count() == 10  # old files still read
+
+    # RENAME: metadata-only; old data reads under the new name and
+    # appends land under the ORIGINAL physical name
+    dl.delta_rename_column(spark, table, "v", "val")
+    got = dl.read_delta_log(spark, table)
+    assert got.columns == ["k", "val", "s"]
+    assert got.where("val = 18").count() == 1
+    dl.write_delta_log(
+        spark.createDataFrame([(100, 200, "x")],
+                              "k long, val long, s string"),
+        table, mode="append",
+    )
+    assert dl.read_delta_log(spark, table).where(
+        "k = 100 and val = 200"
+    ).count() == 1
+
+    # constraint guard: a referenced column refuses rename/drop
+    dl.delta_add_constraint(spark, table, "pos", "val >= 0")
+    with pytest.raises(ValueError, match="constraint 'pos'"):
+        dl.delta_rename_column(spark, table, "val", "v2")
+    with pytest.raises(ValueError, match="constraint 'pos'"):
+        dl.delta_drop_column(spark, table, "val")
+    dl.delta_drop_constraint(spark, table, "pos")
+
+    # DROP then RE-ADD the same logical name: nulls, never old bytes
+    dl.delta_drop_column(spark, table, "val")
+    assert dl.read_delta_log(spark, table).columns == ["k", "s"]
+    dl.delta_add_column(spark, table, "val", "long")
+    re = dl.read_delta_log(spark, table)
+    assert re.columns == ["k", "s", "val"]
+    assert re.where("val IS NOT NULL").count() == 0
+
+    # ADD COLUMN on the mapped table bumped the column id ceiling
+    _f2, meta2, *_ = dl.delta_snapshot(spark, table)
+    assert int(
+        meta2["configuration"]["delta.columnMapping.maxColumnId"]
+    ) >= 4
+    # and lands values from now on
+    dl.write_delta_log(
+        spark.createDataFrame([(101, "y", 7)],
+                              "k long, s string, val long"),
+        table, mode="append",
+    )
+    assert dl.read_delta_log(spark, table).where(
+        "val = 7"
+    ).count() == 1
+
+    # partition-column rename stays consistent; its drop refuses
+    t2 = str(tmp_path / "p")
+    dl.write_delta_log(
+        spark.range(6).selectExpr("id AS k", "CAST(id % 2 AS INT) AS p"),
+        t2, mode="overwrite", partition_cols=["p"],
+    )
+    dl.delta_enable_column_mapping(spark, t2)
+    dl.delta_rename_column(spark, t2, "p", "bucket")
+    got2 = dl.read_delta_log(spark, t2)
+    assert sorted(got2.columns) == ["bucket", "k"]
+    assert got2.where("bucket = 1").count() == 3
+    with pytest.raises(ValueError, match="partition column"):
+        dl.delta_drop_column(spark, t2, "bucket")

@@ -1529,6 +1529,96 @@ GROUP BY o_orderkey % 10
 """
 
 
+_DELTA_ALTER_SPEC = "delta-orders-alter|v1|map|rename|dropadd"
+
+
+def orders_delta_alter_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The ALTER TABLE column surface end to end
+    (``delta_enable_column_mapping`` / ``delta_rename_column`` /
+    ``delta_drop_column`` / ``delta_add_column`` — all
+    metadata-only): the orders table gains column mapping, renames
+    price_cents → cents (old files keep reading through the mapping),
+    DROPS o_orderpriority (bytes stay in the files, projected away),
+    re-ADDS a column under the SAME logical name (fresh physical name
+    — the dropped values may never resurrect, so it reads all-null
+    over old files), and appends a batch that fills it. The oracle is
+    the straight relational statement of those semantics."""
+    from time_series_prediction_spark.sources.deltalog import (
+        delta_add_column,
+        delta_drop_column,
+        delta_enable_column_mapping,
+        delta_rename_column,
+        write_delta_log,
+    )
+    from time_series_prediction_spark.sources.io import read_delta
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    root = os.path.join(tempfile.gettempdir(), "tsp_layouts")
+    fs = fs_for(spark, root)
+    st = fs.status(src)
+    if st is None:
+        raise FileNotFoundError(src)
+    ident = f"{fs.qualified(src)}|{st[0]}|{st[1]}|{_DELTA_ALTER_SPEC}"
+    key = hashlib.md5(ident.encode()).hexdigest()[:16]
+    path = os.path.join(root, f"orders_deltaalter_{key}")
+
+    def _build(tmp: str) -> None:
+        data = os.path.join(tmp, "data")
+        base = _orders_state(spark, sf_dir).select(
+            "o_orderkey", "price_cents", "o_orderpriority"
+        )
+        write_delta_log(base, data, mode="overwrite")
+        delta_enable_column_mapping(spark, data)
+        delta_rename_column(spark, data, "price_cents", "cents")
+        delta_drop_column(spark, data, "o_orderpriority")
+        delta_add_column(spark, data, "o_orderpriority", "string")
+        write_delta_log(
+            spark.createDataFrame(
+                [(900000001, 1_00, "9-RESTATED"),
+                 (900000002, 2_00, "9-RESTATED")],
+                "o_orderkey long, cents long, o_orderpriority string",
+            ),
+            data, mode="append",
+        )
+
+    ensure_artifact(spark, path, ident, _build)
+    return (
+        read_delta(spark, os.path.join(path, "data"))
+        .groupBy(
+            F.coalesce(F.col("o_orderpriority"), F.lit("<dropped>"))
+            .alias("priority"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("total_cents"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        )
+    )
+
+
+ORDERS_DELTA_ALTER_SQL = """
+WITH cur AS (
+  -- the drop + same-name re-add nulls the column over old files
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         CAST(NULL AS VARCHAR) AS prio
+  FROM orders
+  UNION ALL
+  SELECT 900000001, 100, '9-RESTATED'
+  UNION ALL
+  SELECT 900000002, 200, '9-RESTATED'
+)
+SELECT coalesce(prio, '<dropped>') AS priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST(sum(k) AS BIGINT) AS key_sum
+FROM cur
+GROUP BY coalesce(prio, '<dropped>')
+"""
+
+
 _DELTA_CDC_SPEC = "delta-orders-cdc|v1|13bump|29del|41ins"
 _CDC_INS_SHIFT = 200_000_000
 
@@ -2702,6 +2792,10 @@ TABLE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "orders_delta_clustered_scan": (
         orders_delta_clustered_scan,
         ORDERS_DELTA_CLUSTERED_SQL,
+    ),
+    "orders_delta_alter_scan": (
+        orders_delta_alter_scan,
+        ORDERS_DELTA_ALTER_SQL,
     ),
     "orders_delta_merge_scan": (
         orders_delta_merge_scan,

@@ -2213,6 +2213,238 @@ def _attach_row_tracking(
     actions.append(_rt_hwm_action(next_id - 1))
 
 
+# --------------------------------------------------------------------------
+# ALTER TABLE schema-evolution surface (metadata-only under column mapping)
+# --------------------------------------------------------------------------
+
+
+def _cm_feature_upgrade(protocol: dict) -> dict | None:
+    """Protocol action introducing columnMapping (reader 2 / writer 5
+    legacy, or the feature names on feature-protocol tables); ``None``
+    when already declared."""
+    cur_r = int(protocol.get("minReaderVersion", 1))
+    cur_w = int(protocol.get("minWriterVersion", 2))
+    if cur_r >= 3 or cur_w >= 7:
+        return _feature_upgrade_protocol(protocol, "columnMapping")
+    if cur_r >= 2 and cur_w >= 5:
+        return None
+    return {
+        **protocol,
+        "minReaderVersion": max(cur_r, 2),
+        "minWriterVersion": max(cur_w, 5),
+    }
+
+
+def delta_enable_column_mapping(spark: SparkSession, path: str) -> int:
+    """ALTER TABLE SET delta.columnMapping.mode='name' on an EXISTING
+    table: every current column is assigned its own name as
+    ``physicalName`` (existing files keep reading by name — the spec's
+    upgrade rule) plus a stable column id; the protocol gains
+    columnMapping (legacy reader 2 / writer 5, or the feature name).
+    From then on RENAME and DROP COLUMN are metadata-only, and
+    newly-added columns get UUID physical names. Returns the committed
+    version (unchanged when already mapped)."""
+    from pyspark.sql.types import StructField
+
+    _files, meta, v, _txns, protocol = delta_snapshot(spark, path)
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    if _column_mapping(meta, schema):
+        return v
+    fields = []
+    for i, f in enumerate(schema.fields, start=1):
+        fields.append(
+            StructField(
+                f.name, f.dataType, f.nullable,
+                {
+                    **(f.metadata or {}),
+                    "delta.columnMapping.id": i,
+                    "delta.columnMapping.physicalName": f.name,
+                },
+            )
+        )
+    conf = {
+        **(meta.get("configuration") or {}),
+        "delta.columnMapping.mode": "name",
+        "delta.columnMapping.maxColumnId": str(len(fields)),
+    }
+    actions: list[dict] = []
+    up = _cm_feature_upgrade(protocol)
+    if up is not None:
+        actions.append({"protocol": up})
+    actions.append(
+        {
+            "metaData": {
+                **meta,
+                "schemaString": StructType(fields).json(),
+                "configuration": conf,
+            }
+        }
+    )
+    fs = fs_for(spark, path)
+    _commit_json(
+        fs, path, v + 1, actions, op="ENABLE COLUMN MAPPING", meta=meta
+    )
+    _maybe_auto_checkpoint(spark, path, v + 1)
+    return v + 1
+
+
+def _refuse_column_references(
+    meta: dict, schema: StructType, name: str, verb: str
+) -> None:
+    """A column referenced by CHECK constraints or generation
+    expressions cannot be renamed/dropped out from under them."""
+    refs = []
+    for cname, expr in _table_constraints(meta).items():
+        if name in expr:
+            refs.append(f"constraint {cname!r}")
+    for gcol, gexpr in _generated_columns(schema).items():
+        if name in gexpr:
+            refs.append(f"generated column {gcol!r}")
+    if refs:
+        raise ValueError(
+            f"cannot {verb} column {name!r}: referenced by "
+            + ", ".join(refs)
+        )
+
+
+def delta_rename_column(
+    spark: SparkSession, path: str, old: str, new: str
+) -> int:
+    """ALTER TABLE RENAME COLUMN — metadata-only under column mapping
+    (the physical name and column id never change, so every existing
+    data file keeps reading); refused on unmapped tables with the
+    remedy named (real Delta's own rule — without mapping the logical
+    name IS the file column name and a rename would strand the
+    files). Partition columns rename consistently."""
+    from pyspark.sql.types import StructField
+
+    _files, meta, v, _txns, _protocol = delta_snapshot(spark, path)
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    if not _column_mapping(meta, schema):
+        raise ValueError(
+            "RENAME COLUMN requires column mapping — run "
+            "delta_enable_column_mapping first"
+        )
+    names = [f.name for f in schema.fields]
+    if old not in names:
+        raise ValueError(f"column {old!r} not in the table schema")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists")
+    _refuse_column_references(meta, schema, old, "rename")
+    fields = [
+        StructField(
+            new if f.name == old else f.name,
+            f.dataType, f.nullable, f.metadata,
+        )
+        for f in schema.fields
+    ]
+    part_cols = [
+        new if c == old else c
+        for c in (meta.get("partitionColumns") or [])
+    ]
+    actions = [
+        {
+            "metaData": {
+                **meta,
+                "schemaString": StructType(fields).json(),
+                "partitionColumns": part_cols,
+            }
+        }
+    ]
+    fs = fs_for(spark, path)
+    _commit_json(fs, path, v + 1, actions, op="RENAME COLUMN",
+                 meta=meta)
+    _maybe_auto_checkpoint(spark, path, v + 1)
+    return v + 1
+
+
+def delta_drop_column(spark: SparkSession, path: str, name: str) -> int:
+    """ALTER TABLE DROP COLUMN — metadata-only under column mapping:
+    the field leaves the schema while its physical bytes stay in the
+    files (readers project them away; VACUUM-style physical erasure
+    is a later OPTIMIZE rewrite's job, exactly real Delta's
+    behavior). A column RE-ADDED under the same logical name later
+    gets a FRESH physical name, so the dropped data can never
+    resurrect. Refused on unmapped tables, for partition columns, and
+    for columns referenced by constraints/generation expressions."""
+    from pyspark.sql.types import StructField
+
+    _files, meta, v, _txns, _protocol = delta_snapshot(spark, path)
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    if not _column_mapping(meta, schema):
+        raise ValueError(
+            "DROP COLUMN requires column mapping — run "
+            "delta_enable_column_mapping first"
+        )
+    names = [f.name for f in schema.fields]
+    if name not in names:
+        raise ValueError(f"column {name!r} not in the table schema")
+    if len(names) == 1:
+        raise ValueError("cannot drop the table's only column")
+    if name in (meta.get("partitionColumns") or []):
+        raise ValueError(
+            f"cannot drop partition column {name!r} — rewrite the "
+            "table with a different layout instead"
+        )
+    _refuse_column_references(meta, schema, name, "drop")
+    fields = [
+        StructField(f.name, f.dataType, f.nullable, f.metadata)
+        for f in schema.fields
+        if f.name != name
+    ]
+    actions = [
+        {"metaData": {**meta, "schemaString": StructType(fields).json()}}
+    ]
+    fs = fs_for(spark, path)
+    _commit_json(fs, path, v + 1, actions, op="DROP COLUMN", meta=meta)
+    _maybe_auto_checkpoint(spark, path, v + 1)
+    return v + 1
+
+
+def delta_add_column(
+    spark: SparkSession, path: str, name: str, dtype: str
+) -> int:
+    """ALTER TABLE ADD COLUMN (nullable) — pure metadata on any
+    table: files written before the column read it as null through
+    the recorded schema. Under column mapping the new column gets a
+    fresh UUID physical name and the next column id (same rule as
+    mergeSchema appends), so it can never collide with a previously
+    DROPPED column's bytes."""
+    import uuid as _uuid
+
+    from pyspark.sql.types import StructField, _parse_datatype_string
+
+    _files, meta, v, _txns, _protocol = delta_snapshot(spark, path)
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    if name in [f.name for f in schema.fields]:
+        raise ValueError(f"column {name!r} already exists")
+    dt = _parse_datatype_string(dtype)
+    md: dict = {}
+    conf = dict(meta.get("configuration") or {})
+    if _column_mapping(meta, schema):
+        max_id = int(conf.get("delta.columnMapping.maxColumnId", 0)) + 1
+        md = {
+            "delta.columnMapping.id": max_id,
+            "delta.columnMapping.physicalName":
+                f"col-{_uuid.uuid4().hex[:16]}",
+        }
+        conf["delta.columnMapping.maxColumnId"] = str(max_id)
+    fields = list(schema.fields) + [StructField(name, dt, True, md)]
+    actions = [
+        {
+            "metaData": {
+                **meta,
+                "schemaString": StructType(fields).json(),
+                "configuration": conf,
+            }
+        }
+    ]
+    fs = fs_for(spark, path)
+    _commit_json(fs, path, v + 1, actions, op="ADD COLUMN", meta=meta)
+    _maybe_auto_checkpoint(spark, path, v + 1)
+    return v + 1
+
+
 def _rt_keep_frame(spark: SparkSession, path: str, meta: dict):
     """The preserve-on-rewrite source for a row-tracked table: the
     current rows WITH their row ids renamed to the table's
