@@ -4177,3 +4177,34 @@ def test_alter_table_column_surface(spark, tmp_path):
     assert got2.where("bucket = 1").count() == 3
     with pytest.raises(ValueError, match="partition column"):
         dl.delta_drop_column(spark, t2, "bucket")
+
+
+def test_row_tracking_survives_clustered_optimize(spark, tmp_path):
+    """CLUSTER BY + row tracking: the z-ordered OPTIMIZE rewrite must
+    carry the materialized row-id columns through the z-layout writer
+    — every id and creating-commit version identical after the
+    re-cluster, while the data files are reordered along the Morton
+    curve."""
+    import time_series_prediction_spark.sources.deltalog as dl
+
+    table = str(tmp_path / "t")
+    for i in range(3):
+        dl.write_delta_log(
+            spark.range(600).selectExpr(
+                f"id * 3 + {i} AS k", "id % 7 AS v"
+            ),
+            table, mode="overwrite" if i == 0 else "append",
+        )
+    dl.delta_enable_row_tracking(spark, table)
+    dl.delta_cluster_by(spark, table, ["k"])
+    dl.delta_delete(spark, table, "k % 13 = 0")
+    before = {
+        r["k"]: (r["_row_id"], r["_row_commit_version"])
+        for r in dl.read_delta_with_row_ids(spark, table).collect()
+    }
+    dl.delta_optimize(spark, table, target_files=2)
+    after = {
+        r["k"]: (r["_row_id"], r["_row_commit_version"])
+        for r in dl.read_delta_with_row_ids(spark, table).collect()
+    }
+    assert after == before
