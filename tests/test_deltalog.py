@@ -4208,3 +4208,29 @@ def test_row_tracking_survives_clustered_optimize(spark, tmp_path):
         for r in dl.read_delta_with_row_ids(spark, table).collect()
     }
     assert after == before
+
+
+def test_operation_metrics_in_history(spark, tmp_path):
+    """Every data commit's commitInfo carries operationMetrics
+    (delta-spark's stringified convention) derived from its own
+    actions — added/removed file counts, bytes, output rows from the
+    adds' stats — and DESCRIBE HISTORY surfaces them."""
+    import time_series_prediction_spark.sources.deltalog as dl
+
+    table = str(tmp_path / "t")
+    dl.write_delta_log(
+        spark.range(20).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ),
+        table, mode="overwrite",
+    )
+    dl.delta_delete(spark, table, "k % 4 = 0", max_dv_rows=0)  # rewrite
+    hist = {h["version"]: h for h in dl.delta_history(spark, table)}
+    m0 = hist[0]["operationMetrics"]
+    assert int(m0["numAddedFiles"]) >= 1
+    assert m0["numRemovedFiles"] == "0"
+    assert m0["numOutputRows"] == "20"
+    assert int(m0["numAddedBytes"]) > 0
+    m1 = hist[1]["operationMetrics"]  # the rewrite-shaped delete
+    assert int(m1["numRemovedFiles"]) >= 1
+    assert m1["numOutputRows"] == "15"

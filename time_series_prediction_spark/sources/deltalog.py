@@ -176,6 +176,34 @@ def _commit_json(
             }
         }
     ]
+    # operationMetrics (delta-spark's convention: stringified values)
+    # — derived from the commit's own actions, zero extra work;
+    # numOutputRows only when every add carries stats
+    n_add = sum(1 for a in actions if "add" in a)
+    n_rem = sum(1 for a in actions if "remove" in a)
+    n_cdc = sum(1 for a in actions if "cdc" in a)
+    if n_add or n_rem or n_cdc:
+        metrics = {
+            "numAddedFiles": str(n_add),
+            "numRemovedFiles": str(n_rem),
+            "numAddedBytes": str(
+                sum(
+                    int(a["add"].get("size") or 0)
+                    for a in actions
+                    if "add" in a
+                )
+            ),
+        }
+        if n_cdc:
+            metrics["numAddedChangeFiles"] = str(n_cdc)
+        rows_out = [
+            _add_num_records(a["add"])
+            for a in actions
+            if "add" in a
+        ]
+        if n_add and all(r is not None for r in rows_out):
+            metrics["numOutputRows"] = str(sum(rows_out))
+        lead[0]["commitInfo"]["operationMetrics"] = metrics
     # in-commit timestamps (the protocol's clock-skew-proof monotone
     # clock): enabled via the caller's snapshot metaData OR by a
     # metaData action in THIS commit (the enabling commit must itself
@@ -5250,6 +5278,8 @@ def delta_history(spark: SparkSession, path: str) -> list[dict]:
                 if ts is not None:
                     row["timestamp"] = int(ts)
                 row["operation"] = ci.get("operation")
+                if ci.get("operationMetrics"):
+                    row["operationMetrics"] = ci["operationMetrics"]
             elif "add" in action:
                 row["n_adds"] += 1
             elif "remove" in action:
