@@ -4234,3 +4234,56 @@ def test_operation_metrics_in_history(spark, tmp_path):
     m1 = hist[1]["operationMetrics"]  # the rewrite-shaped delete
     assert int(m1["numRemovedFiles"]) >= 1
     assert m1["numOutputRows"] == "15"
+
+
+def test_incremental_clustered_optimize(spark, tmp_path):
+    """Liquid clustering's maintenance loop: after a full clustered
+    OPTIMIZE (disjoint key ranges), one appended file overlaps a few
+    ranges — the incremental OPTIMIZE rewrites ONLY the overlapping
+    subset, the settled files keep their exact paths (cost ∝ new
+    data, not the table), data and row ids stay intact, and the table
+    converges: a second incremental pass finds nothing to do."""
+    import time_series_prediction_spark.sources.deltalog as dl
+
+    table = str(tmp_path / "t")
+    dl.write_delta_log(
+        spark.range(8000).selectExpr("id AS k", "id % 10 AS v"),
+        table, mode="overwrite",
+    )
+    with pytest.raises(ValueError, match="not clustered"):
+        dl.delta_optimize_incremental(spark, table)
+    dl.delta_enable_row_tracking(spark, table)
+    dl.delta_cluster_by(spark, table, ["k"])
+    dl.delta_optimize(spark, table, target_files=8)  # full cluster
+    files0 = set(dl.delta_snapshot(spark, table)[0])
+    assert len(files0) == 8
+
+    # one narrow append: overlaps ~1-2 of the 8 disjoint ranges,
+    # plus a small DV delete — the DV-bearing file joins the rewrite
+    # set and its hidden rows materialize away
+    dl.write_delta_log(
+        spark.range(100, 300).selectExpr("id AS k", "CAST(1 AS BIGINT) AS v"),
+        table, mode="append",
+    )
+    dl.delta_delete(spark, table, "k in (150, 151) and v = 1")
+    before = {
+        (r["k"], r["v"]): r["_row_id"]
+        for r in dl.read_delta_with_row_ids(spark, table).collect()
+    }
+    dl.delta_optimize_incremental(spark, table, target_files=8)
+    files1 = set(dl.delta_snapshot(spark, table)[0])
+    survivors = files0 & files1
+    # the settled bulk never rewrote: most clustered files survive
+    assert len(survivors) >= 5, (len(files0), len(files1), len(survivors))
+    after = {
+        (r["k"], r["v"]): r["_row_id"]
+        for r in dl.read_delta_with_row_ids(spark, table).collect()
+    }
+    assert after == before  # data AND ids identical
+
+    # converged: ranges disjoint again, second pass is a no-op commit
+    v = dl.delta_snapshot(spark, table)[2]
+    assert dl.delta_optimize_incremental(spark, table) == v
+    # and the table still prunes: narrow range touches few files
+    pruned = dl.read_delta_pruned(spark, table, {"k": (0, 999)})
+    assert len(set(pruned.select("k").inputFiles())) < len(files1)

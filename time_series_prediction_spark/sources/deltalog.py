@@ -2547,7 +2547,8 @@ def delta_enable_row_tracking(spark: SparkSession, path: str) -> int:
 
 
 def read_delta_with_row_ids(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession, path: str, version: int | None = None,
+    _files_subset: dict[str, dict] | None = None,
 ) -> DataFrame:
     """Read a row-tracked table WITH its row ids: the table columns
     plus ``_row_id`` and ``_row_commit_version``. Fresh ids compute as
@@ -2569,6 +2570,13 @@ def read_delta_with_row_ids(
             "row tracking is not enabled on this table — "
             "delta_enable_row_tracking first"
         )
+    all_files = files
+    if _files_subset is not None:
+        # internal: incremental OPTIMIZE rewrites a SUBSET of files
+        # and needs exactly their rows with ids (DVs still applied).
+        # The DV anti-join side below still derives from the FULL
+        # snapshot so its spill stays keyed to the vacuum-live state.
+        files = _files_subset
     from time_series_prediction_spark.operators.manifest import (
         _resolve_base,
     )
@@ -2589,7 +2597,13 @@ def read_delta_with_row_ids(
         {**mapping, mat_id: mat_id, mat_ver: mat_ver} if mapping else {}
     )
     fs = fs_for(spark, path)
-    positions, pos_df = _dv_positions_source(spark, fs, path, files)
+    positions, pos_df = _dv_positions_source(
+        spark, fs, path, all_files
+    )
+    if positions is not None:
+        positions = {
+            rel: ps for rel, ps in positions.items() if rel in files
+        } or None
     scan = _scan_files(
         spark, path, files, ext_schema, part_cols, ext_mapping,
         positions=positions, keep_meta=True,
@@ -4349,6 +4363,160 @@ def delta_optimize(
             spark, base, actions, _rt_hwm(domains), v + 1
         )
     _commit_json(fs, path, v + 1, actions, op="OPTIMIZE", meta=meta)
+    _maybe_auto_checkpoint(spark, path, v + 1)
+    return v + 1
+
+
+def _stat_range(add: dict, phys: str):
+    """(min, max) of a physical column from the add's stats, or None
+    when unrecorded."""
+    s = add.get("stats")
+    if not s:
+        return None
+    try:
+        d = json.loads(s)
+    except ValueError:
+        return None
+    lo = (d.get("minValues") or {}).get(phys)
+    hi = (d.get("maxValues") or {}).get(phys)
+    if lo is None or hi is None:
+        return None
+    return lo, hi
+
+
+def delta_optimize_incremental(
+    spark: SparkSession, path: str, target_files: int = 8
+) -> int:
+    """Incremental OPTIMIZE for a CLUSTERED table: rewrite ONLY the
+    files whose clustering-key ranges OVERLAP another file's (plus
+    DV-bearing and statless files), leaving well-clustered files —
+    disjoint key ranges, the state a prior full OPTIMIZE leaves —
+    untouched. This is liquid clustering's maintenance shape: after
+    the initial cluster, each round's cost is proportional to the
+    NEWLY APPENDED data (one fresh file overlaps a handful of
+    clustered ranges; the table's settled bulk never rewrites), not
+    to the table — the difference between O(batch) and O(100 TB) per
+    maintenance tick.
+
+    Overlap is measured on the FIRST clustering column's per-file
+    min/max stats (a sound superset under the Morton order: files
+    disjoint on the leading key are disjoint, period). Any file
+    without usable stats joins the rewrite set. Partitioned tables
+    route to the full ``delta_optimize`` (per-dir accounting lives
+    there). Row-tracked tables preserve every rewritten row's id via
+    the materialized columns; kept files keep theirs trivially.
+    Commits ``remove`` + ``add`` all dataChange=false. Returns the
+    committed version (unchanged when nothing overlaps)."""
+    import math as _math
+
+    files, meta, v, _txns, _proto, domains = delta_snapshot_ex(
+        spark, path
+    )
+    cols = _clustering_columns(domains)
+    if not cols:
+        raise ValueError(
+            "table is not clustered — delta_cluster_by first, or use "
+            "delta_optimize for plain bin-pack/ZORDER"
+        )
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    part_cols = list(meta.get("partitionColumns") or [])
+    if part_cols:
+        return delta_optimize(spark, path, target_files=target_files)
+    if not files:
+        return v
+    mapping = _column_mapping(meta, schema)
+    phys0 = mapping.get(cols[0], cols[0])
+    dirty: set[str] = set()
+    ranged: list[tuple[object, object, str]] = []
+    for rel, add in files.items():
+        if add.get("deletionVector"):
+            dirty.add(rel)  # materialize hidden rows away
+        r = _stat_range(add, phys0)
+        if r is None:
+            dirty.add(rel)  # unknown range: must participate
+        else:
+            ranged.append((r[0], r[1], rel))
+    try:
+        ranged.sort(key=lambda t: (t[0], t[1]))
+    except TypeError:
+        # mixed stat types: no sound overlap order — full rewrite set
+        dirty.update(rel for _lo, _hi, rel in ranged)
+        ranged = []
+    prev_hi, prev_rel = None, None
+    for lo, hi, rel in ranged:
+        if prev_hi is not None and lo <= prev_hi:
+            dirty.add(rel)
+            dirty.add(prev_rel)
+        if prev_hi is None or hi > prev_hi:
+            prev_hi, prev_rel = hi, rel
+    subset = {rel: files[rel] for rel in dirty}
+    if not subset:
+        return v  # every file already disjoint, nothing hidden
+    fs = fs_for(spark, path)
+    rt = _row_tracking_on(meta)
+    if rt:
+        cfg = meta.get("configuration") or {}
+        df = (
+            read_delta_with_row_ids(spark, path, _files_subset=subset)
+            .withColumnRenamed("_row_id", cfg[_RT_ID_COL])
+            .withColumnRenamed("_row_commit_version", cfg[_RT_VER_COL])
+        )
+    else:
+        positions, pos_df = _dv_positions_source(spark, fs, path, files)
+        if positions is not None:
+            positions = {
+                rel: ps
+                for rel, ps in positions.items()
+                if rel in subset
+            } or None
+        df = _scan_files(
+            spark, path, subset, schema, part_cols, mapping,
+            positions=positions,
+            field_ids=_column_field_ids(meta, schema) or None,
+            positions_df=pos_df,
+        )
+    df, land_part_cols = _rename_physical(df, meta, schema, part_cols)
+    from time_series_prediction_spark.operators.zorder import (
+        write_zordered,
+    )
+
+    zcols = [mapping.get(c, c) for c in cols]
+    n_out = max(
+        1,
+        min(
+            int(target_files),
+            int(_math.ceil(target_files * len(subset) / len(files))),
+        ),
+    )
+
+    def writer(d, stage):  # noqa: ANN001 — _land_batch callback
+        write_zordered(d, stage, zcols, n_files=n_out)
+
+    base, new_files = _land_batch(
+        spark, fs, df, path, land_part_cols, writer=writer
+    )
+    actions: list[dict] = [
+        {
+            "remove": {
+                "path": urllib.parse.quote(rel),
+                "deletionTimestamp": int(_time.time() * 1000),
+                "dataChange": False,
+            }
+        }
+        for rel in sorted(subset)
+    ]
+    stats = _stats_for_files(
+        new_files,
+        [c for c in df.columns if c not in land_part_cols],
+        base,
+    )
+    actions.extend(_adds_for_files(fs, base, new_files, False, stats))
+    if rt:
+        _attach_row_tracking(
+            spark, base, actions, _rt_hwm(domains), v + 1
+        )
+    _commit_json(fs, path, v + 1, actions, op="OPTIMIZE INCREMENTAL",
+                 meta=meta)
     _maybe_auto_checkpoint(spark, path, v + 1)
     return v + 1
 
