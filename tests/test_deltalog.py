@@ -4287,3 +4287,52 @@ def test_incremental_clustered_optimize(spark, tmp_path):
     # and the table still prunes: narrow range touches few files
     pruned = dl.read_delta_pruned(spark, table, {"k": (0, 999)})
     assert len(set(pruned.select("k").inputFiles())) < len(files1)
+
+
+def test_multipart_checkpoint_writing(spark, tmp_path):
+    """Multi-part checkpoint WRITING (the reader replayed them since
+    round 9): a DV-bearing row-tracked table checkpointed in 3 parts
+    reconstructs from the part group alone after log cleaning — rows,
+    ids, protocol, domains intact — and _last_checkpoint records the
+    part count."""
+    import time_series_prediction_spark.sources.deltalog as dl
+
+    table = str(tmp_path / "t")
+    for i in range(3):
+        dl.write_delta_log(
+            spark.range(200).selectExpr(f"id*3+{i} AS k", "id AS v"),
+            table, mode="overwrite" if i == 0 else "append",
+        )
+    dl.delta_enable_row_tracking(spark, table)
+    dl.delta_delete(spark, table, "k % 17 = 0")
+    before = {
+        r["k"]: r["_row_id"]
+        for r in dl.read_delta_with_row_ids(spark, table).collect()
+    }
+    v = dl.write_checkpoint(spark, table, clean_old_commits=True,
+                            parts=3)
+    log = os.path.join(table, "_delta_log")
+    names = os.listdir(log)
+    group = [
+        n for n in names
+        if n.startswith(f"{v:020d}.checkpoint.") and n.count(".") == 4
+    ]
+    assert len(group) == 3
+    assert not [n for n in names if n.endswith(".json")]
+    lc = json.loads(open(os.path.join(log, "_last_checkpoint")).read())
+    assert lc["parts"] == 3 and lc["version"] == v
+
+    after = {
+        r["k"]: r["_row_id"]
+        for r in dl.read_delta_with_row_ids(spark, table).collect()
+    }
+    assert after == before
+    _f, _m, _v, _t, proto, domains = dl.delta_snapshot_ex(spark, table)
+    assert "rowTracking" in (proto.get("writerFeatures") or [])
+    assert dl._rt_hwm(domains) >= 599
+    # the table keeps working past the multi-part checkpoint
+    dl.write_delta_log(
+        spark.createDataFrame([(9999, 1)], "k long, v long"),
+        table, mode="append",
+    )
+    assert dl.read_delta_log(spark, table).where("k = 9999").count() == 1

@@ -4798,7 +4798,8 @@ def delta_read_cdc(
 
 
 def write_checkpoint(
-    spark: SparkSession, path: str, clean_old_commits: bool = False
+    spark: SparkSession, path: str, clean_old_commits: bool = False,
+    parts: int | None = None,
 ) -> int:
     """Roll the current snapshot into a ``<version>.checkpoint.parquet``
     (one row per action: protocol, metaData, live adds, txn tokens)
@@ -4968,27 +4969,55 @@ def write_checkpoint(
             {"protocol": protocol_r, "metaData": meta_r,
              "add": add_r, "txn": txn_r, "domainMetadata": dm_r}
         )
-    buf = _io.BytesIO()
-    pq.write_table(pa.Table.from_pylist(pylist, schema=cp_arrow), buf)
     log = os.path.join(path, _LOG_DIR)
-    cp_tmp = os.path.join(log, f".cp-{os.getpid()}.parquet")
     fs = fs_for(spark, path)
-    fs.write_bytes(cp_tmp, buf.getvalue())
-    fs.replace_file(
-        cp_tmp, os.path.join(log, f"{v:020d}.checkpoint.parquet")
-    )
-    fs.write_text(
-        os.path.join(log, "_last_checkpoint"),
-        json.dumps(
-            {
-                "version": v,
-                "size": len(rows),
-                "sizeInBytes": len(buf.getvalue()),
-                "numOfAddFiles": sum(
-                    1 for _p, _m, a, _t, _d in rows if a is not None
+    total_bytes = 0
+    if parts and parts > 1:
+        # multi-part checkpoint (<v>.checkpoint.<i>.<n>.parquet,
+        # 1-based, ALL parts required by readers — a crash mid-write
+        # leaves an ignorable partial group): contiguous slices, the
+        # first carrying protocol/metaData by construction. Closes
+        # the read/write asymmetry (the reader replayed these since
+        # round 9); the split point for a real deployment is the spec
+        # guidance of ~an arrow batch of adds per part.
+        n = int(parts)
+        per = max(1, -(-len(pylist) // n))
+        slices = [pylist[i * per:(i + 1) * per] for i in range(n)]
+        for i, sl in enumerate(slices, start=1):
+            buf = _io.BytesIO()
+            pq.write_table(
+                pa.Table.from_pylist(sl, schema=cp_arrow), buf
+            )
+            total_bytes += len(buf.getvalue())
+            cp_tmp = os.path.join(log, f".cp-{os.getpid()}.{i}.parquet")
+            fs.write_bytes(cp_tmp, buf.getvalue())
+            fs.replace_file(
+                cp_tmp,
+                os.path.join(
+                    log, f"{v:020d}.checkpoint.{i:010d}.{n:010d}.parquet"
                 ),
-            }
+            )
+    else:
+        buf = _io.BytesIO()
+        pq.write_table(pa.Table.from_pylist(pylist, schema=cp_arrow), buf)
+        total_bytes = len(buf.getvalue())
+        cp_tmp = os.path.join(log, f".cp-{os.getpid()}.parquet")
+        fs.write_bytes(cp_tmp, buf.getvalue())
+        fs.replace_file(
+            cp_tmp, os.path.join(log, f"{v:020d}.checkpoint.parquet")
+        )
+    lc = {
+        "version": v,
+        "size": len(rows),
+        "sizeInBytes": total_bytes,
+        "numOfAddFiles": sum(
+            1 for _p, _m, a, _t, _d in rows if a is not None
         ),
+    }
+    if parts and parts > 1:
+        lc["parts"] = int(parts)
+    fs.write_text(
+        os.path.join(log, "_last_checkpoint"), json.dumps(lc)
     )
     # version checksum rides the checkpoint cadence (state in hand —
     # no extra replay)
