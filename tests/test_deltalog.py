@@ -3967,7 +3967,7 @@ def test_version_checksum_crc(spark, tmp_path):
 def test_liquid_clustering_metadata_and_optimize(spark, tmp_path):
     """CLUSTER BY (liquid clustering's metadata plane): the clustering
     columns live in the delta.clustering domain (nested column-path
-    form) behind the clusteringColumns + domainMetadata writer
+    form) behind the clustering + domainMetadata writer
     features — readers untouched; OPTIMIZE without an explicit
     zorder_by re-clusters along them, after which range queries on
     the clustering key prune to a strict subset of files; CLUSTER BY
@@ -3991,7 +3991,11 @@ def test_liquid_clustering_metadata_and_optimize(spark, tmp_path):
         dl.delta_cluster_by(spark, table, [])
     dl.delta_cluster_by(spark, table, ["k"])
     _f, _m, _v, _t, proto, domains = dl.delta_snapshot_ex(spark, table)
-    assert "clusteringColumns" in proto["writerFeatures"]
+    # the protocol writer-feature name is "clustering" (delta-spark's
+    # name — interop writers block on unknown features); the legacy
+    # "clusteringColumns" must NOT be written
+    assert "clustering" in proto["writerFeatures"]
+    assert "clusteringColumns" not in proto["writerFeatures"]
     assert "domainMetadata" in proto["writerFeatures"]
     assert dl._clustering_columns(domains) == ["k"]
 
@@ -4336,3 +4340,178 @@ def test_multipart_checkpoint_writing(spark, tmp_path):
         table, mode="append",
     )
     assert dl.read_delta_log(spark, table).where("k = 9999").count() == 1
+
+
+def test_ict_follows_resulting_metadata_and_survives_cleanup(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r12: (a) the ICT requirement follows the commit's
+    RESULTING metadata — the commit that sets
+    delta.enableInCommitTimestamps=false must NOT itself carry an
+    inCommitTimestamp; (b) log cleanup persists the last ICT in
+    _last_checkpoint tags, so a BACKWARDS wall clock after
+    clean_old_commits cannot re-seed the monotone chain below
+    history."""
+    import time_series_prediction_spark.sources.deltalog as dl
+
+    table = str(tmp_path / "t")
+    log = os.path.join(table, "_delta_log")
+
+    def _icts():
+        out = {}
+        for n in sorted(os.listdir(log)):
+            if not (n.endswith(".json") and n[:20].isdigit()):
+                continue
+            with open(os.path.join(log, n)) as f:
+                for line in f:
+                    if '"commitInfo"' in line:
+                        ci = json.loads(line)["commitInfo"]
+                        out[int(n[:20])] = ci.get("inCommitTimestamp")
+                        break
+        return out
+
+    dl.write_delta_log(spark.range(5).selectExpr("id AS k"), table)
+    v_en = dl.delta_set_table_property(
+        spark, table, "delta.enableInCommitTimestamps", "true"
+    )
+    dl.write_delta_log(
+        spark.createDataFrame([(10,)], "k long"), table, mode="append"
+    )
+    icts = _icts()
+    assert icts[v_en] is not None and icts[v_en + 1] > icts[v_en]
+
+    # (a) the DISABLING commit carries no ICT (resulting metadata)
+    v_dis = dl.delta_set_table_property(
+        spark, table, "delta.enableInCommitTimestamps", "false"
+    )
+    assert _icts()[v_dis] is None
+    # ...and while disabled, plain commits carry none either
+    dl.write_delta_log(
+        spark.createDataFrame([(11,)], "k long"), table, mode="append"
+    )
+    assert _icts()[v_dis + 1] is None
+
+    # re-enable, checkpoint with cleanup, then freeze the clock FAR
+    # in the past — monotonicity must come from the persisted seed
+    v_re = dl.delta_set_table_property(
+        spark, table, "delta.enableInCommitTimestamps", "true"
+    )
+    last_ict = _icts()[v_re]
+    v_cp = dl.write_checkpoint(spark, table, clean_old_commits=True)
+    assert v_cp == v_re
+    lc = json.loads(open(os.path.join(log, "_last_checkpoint")).read())
+    assert lc["tags"]["lastInCommitTimestamp"] == last_ict
+    assert not [n for n in os.listdir(log) if n.endswith(".json")]
+
+    monkeypatch.setattr(dl._time, "time", lambda: 1.0)  # 1970
+    dl.write_delta_log(
+        spark.createDataFrame([(12,)], "k long"), table, mode="append"
+    )
+    icts = _icts()
+    assert icts[v_cp + 1] == last_ict + 1  # seeded, not wall clock
+
+
+def test_refuse_column_references_identifier_boundaries(
+    spark, tmp_path
+):
+    """ADVICE r12: constraint / generation-expression reference
+    detection matches on identifier boundaries — a column named 'a'
+    is NOT pinned by an expression that merely contains the letter
+    (another identifier like total_a, or a string literal); bare and
+    backtick-quoted true references still refuse."""
+    import time_series_prediction_spark.sources.deltalog as dl
+
+    table = str(tmp_path / "t")
+    dl.write_delta_log(
+        spark.range(5).selectExpr(
+            "id AS a", "id * 2 AS total_a", "CAST(id AS STRING) AS s"
+        ),
+        table, mode="overwrite",
+    )
+    dl.delta_enable_column_mapping(spark, table)
+    # expressions that contain 'a' but never reference column a
+    dl.delta_add_constraint(spark, table, "c1", "total_a >= 0")
+    dl.delta_add_constraint(spark, table, "c2", "s <> 'nothing a here'")
+    v = dl.delta_rename_column(spark, table, "a", "a2")  # allowed
+    assert "a2" in dl.read_delta_log(spark, table).columns
+    dl.delta_rename_column(spark, table, "a2", "a")
+    # true references refuse: bare and backtick-quoted
+    dl.delta_add_constraint(spark, table, "c3", "a + total_a >= 0")
+    with pytest.raises(ValueError, match="constraint 'c3'"):
+        dl.delta_drop_column(spark, table, "a")
+    dl.delta_drop_constraint(spark, table, "c3")
+    dl.delta_add_constraint(spark, table, "c4", "`a` >= 0")
+    with pytest.raises(ValueError, match="constraint 'c4'"):
+        dl.delta_rename_column(spark, table, "a", "b")
+    dl.delta_drop_constraint(spark, table, "c4")
+    # the referenced column guard never blocked the innocent one
+    dl.delta_drop_column(spark, table, "a")
+    assert "a" not in dl.read_delta_log(spark, table).columns
+    assert v > 0
+
+
+def test_row_tracking_statless_count_mismatch_raises(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r12: when a statless add's footer-scan row count is
+    missing (URI-normalization mismatch), _attach_row_tracking must
+    RAISE instead of silently assigning 0 rows (which would hand the
+    next add an overlapping baseRowId)."""
+    import time_series_prediction_spark.sources.deltalog as dl
+
+    table = str(tmp_path / "t")
+    dl.write_delta_log(spark.range(8).selectExpr("id AS k"), table)
+    dl.delta_enable_row_tracking(spark, table)
+
+    files, _m, _v, _t, _p = dl.delta_snapshot(spark, table)
+    rel = next(iter(files))  # dict keyed by the add's relative path
+    real = {"path": rel, **files[rel]}
+    # a statless add over a REAL file: the footer scan counts it fine
+    actions = [{"add": {**real, "stats": None, "baseRowId": None,
+                        "defaultRowCommitVersion": None}}]
+    dl._attach_row_tracking(spark, table, actions, hwm=100, version=9)
+    assert actions[0]["add"]["baseRowId"] == 101
+    # force a normalization mismatch: the same call must raise
+    monkeypatch.setattr(dl, "_norm_uri", lambda p: p + "#mismatch")
+    bad = [{"add": {**real, "stats": None, "baseRowId": None,
+                    "defaultRowCommitVersion": None}}]
+    with pytest.raises(RuntimeError, match="no footer row count"):
+        dl._attach_row_tracking(spark, table, bad, hwm=100, version=9)
+
+
+def test_clustering_legacy_feature_name_reads(spark, tmp_path):
+    """Back-compat: a table whose protocol carries the legacy
+    'clusteringColumns' writer-feature name (written by pre-r13
+    builds) still snapshots, reads, and reports its clustering
+    columns — recognition rides the delta.clustering domain, and
+    writerFeatures never gate reads."""
+    import time_series_prediction_spark.sources.deltalog as dl
+
+    table = str(tmp_path / "t")
+    dl.write_delta_log(
+        spark.range(100).selectExpr("id AS k", "id % 5 AS v"), table
+    )
+    dl.delta_cluster_by(spark, table, ["k"])
+    _f, meta, v, _t, proto, domains = dl.delta_snapshot_ex(spark, table)
+    assert "clustering" in proto["writerFeatures"]
+    # rewrite the protocol under the LEGACY name via a new commit
+    legacy = {
+        **proto,
+        "writerFeatures": sorted(
+            {f for f in proto["writerFeatures"] if f != "clustering"}
+            | {"clusteringColumns"}
+        ),
+    }
+    fs = dl.fs_for(spark, table)
+    dl._commit_json(
+        fs, table, v + 1, [{"protocol": legacy}], op="UPGRADE",
+        meta=meta,
+    )
+    _f2, _m2, v2, _t2, proto2, dom2 = dl.delta_snapshot_ex(spark, table)
+    assert v2 == v + 1
+    assert "clusteringColumns" in proto2["writerFeatures"]
+    assert dl._clustering_columns(dom2) == ["k"]
+    assert dl.read_delta_log(spark, table).count() == 100
+    # and OPTIMIZE still re-clusters along the domain's columns
+    dl.delta_optimize(spark, table, target_files=2)
+    assert dl.read_delta_log(spark, table).count() == 100

@@ -1395,6 +1395,34 @@ def orders_delta_rowid_scan(
             data, mode="append",
         )
         delta_delete(spark, data, "o_orderkey % 7 = 0")     # v3
+        # the oracle's id arithmetic hard-codes the DV-path DELETE
+        # shape (survivors keep ids; watermark advances only at
+        # OPTIMIZE) — fail the BUILD loudly if a scale change ever
+        # pushes the %7 delete past max_dv_rows into a rewrite that
+        # re-ids survivors, instead of letting the oracle drift
+        import json as _json
+
+        dfs = fs_for(spark, data)
+        v3 = _json.loads(
+            "["
+            + ",".join(
+                dfs.read_text(
+                    os.path.join(
+                        data, "_delta_log", f"{3:020d}.json"
+                    )
+                ).splitlines()
+            )
+            + "]"
+        )
+        v3_adds = [a["add"] for a in v3 if a.get("add")]
+        if not v3_adds or any(
+            a.get("deletionVector") is None for a in v3_adds
+        ):
+            raise AssertionError(
+                "orders_delta_rowid_scan fixture: the %7 DELETE did "
+                "not take the DV path (v3 adds lack deletionVector) "
+                "— the oracle's row-id arithmetic would diverge"
+            )
         delta_optimize(spark, data, target_files=1)         # v4
         write_delta_log(                                    # v5
             _one_file(base.where("o_orderkey % 3 = 2")),

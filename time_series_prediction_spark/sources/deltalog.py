@@ -115,18 +115,33 @@ def _ict_enabled(meta: dict | None) -> bool:
     ).lower() == "true"
 
 
+def _last_cp_ict(fs, log: str) -> int | None:
+    """The last known inCommitTimestamp persisted at checkpoint time
+    (``_last_checkpoint`` tags) — the monotone chain's seed once log
+    cleanup has deleted the commit JSONs themselves."""
+    try:
+        lc = json.loads(fs.read_text(os.path.join(log, "_last_checkpoint")))
+    except Exception:  # noqa: BLE001 — no checkpoint yet
+        return None
+    ict = (lc.get("tags") or {}).get("lastInCommitTimestamp")
+    return int(ict) if ict is not None else None
+
+
 def _prev_ict(fs, log: str, version: int) -> int | None:
-    """The previous commit's inCommitTimestamp (None when absent or
-    the history before it was cleaned — the monotone chain then
-    re-seeds from the wall clock, which in practice is far past the
-    cleaned history's timestamps)."""
+    """The previous commit's inCommitTimestamp (None when absent).
+    When the commit JSON was deleted by log cleanup, fall back to the
+    ICT persisted in ``_last_checkpoint`` at checkpoint time — a
+    backwards system clock must never break ICT monotonicity across a
+    cleanup (commits between the checkpoint and ``version-1`` would
+    still have their JSONs, so the checkpoint's value IS the previous
+    ICT whenever the direct read misses)."""
     if version <= 0:
         return None
     p = os.path.join(log, f"{version - 1:020d}.json")
     try:
         txt = fs.read_text(p)
-    except Exception:  # noqa: BLE001 — cleaned log: chain re-seeds
-        return None
+    except Exception:  # noqa: BLE001 — cleaned log: checkpoint seed
+        return _last_cp_ict(fs, log)
     for line in txt.splitlines():
         if '"commitInfo"' not in line:
             continue
@@ -205,13 +220,16 @@ def _commit_json(
             metrics["numOutputRows"] = str(sum(rows_out))
         lead[0]["commitInfo"]["operationMetrics"] = metrics
     # in-commit timestamps (the protocol's clock-skew-proof monotone
-    # clock): enabled via the caller's snapshot metaData OR by a
-    # metaData action in THIS commit (the enabling commit must itself
-    # carry one) — strictly greater than the previous commit's
-    if ict is None and (
-        _ict_enabled(meta)
-        or any(_ict_enabled(a.get("metaData")) for a in actions)
-    ):
+    # clock): per spec the requirement follows the commit's RESULTING
+    # metadata — the last metaData action in THIS commit when present
+    # (so the enabling commit carries one and the disabling commit
+    # does NOT), else the caller's snapshot metaData — strictly
+    # greater than the previous commit's
+    eff_meta = meta
+    for a in actions:
+        if a.get("metaData") is not None:
+            eff_meta = a["metaData"]
+    if ict is None and _ict_enabled(eff_meta):
         prev = _prev_ict(fs, os.path.join(path, _LOG_DIR), version)
         ict = max(now_ms, (prev or 0) + 1)
     if ict is not None:
@@ -2234,7 +2252,16 @@ def _attach_row_tracking(
             fp = _norm_uri(
                 os.path.join(base, urllib.parse.unquote(a["path"]))
             )
-            n = counts.get(fp, 0)
+            if fp not in counts:
+                # never default to 0: a normalization mismatch would
+                # hand the NEXT add an overlapping baseRowId (silent
+                # duplicate row ids) — fail loudly instead
+                raise RuntimeError(
+                    "row tracking: no footer row count for statless "
+                    f"add {a['path']!r} (normalized {fp!r}; scanned "
+                    f"{sorted(counts)})"
+                )
+            n = counts[fp]
         a["baseRowId"] = next_id
         a["defaultRowCommitVersion"] = int(version)
         next_id += int(n)
@@ -2320,13 +2347,29 @@ def _refuse_column_references(
     meta: dict, schema: StructType, name: str, verb: str
 ) -> None:
     """A column referenced by CHECK constraints or generation
-    expressions cannot be renamed/dropped out from under them."""
+    expressions cannot be renamed/dropped out from under them.
+    References match on identifier boundaries — bare ``name`` outside
+    quotes or backtick-quoted `` `name` `` — so dropping column ``a``
+    is NOT refused just because some expression contains the letter
+    'a' inside another identifier or a string literal."""
+    ident = re.compile(
+        r"(?<![A-Za-z0-9_$])" + re.escape(name) + r"(?![A-Za-z0-9_$])"
+    )
+
+    def _references(expr: str) -> bool:
+        # strip string literals first ('...' with '' escapes), then
+        # match the identifier bare or backtick-quoted
+        bare = re.sub(r"'(?:[^']|'')*'", "''", expr)
+        if f"`{name}`" in bare:
+            return True
+        return ident.search(re.sub(r"`[^`]*`", "``", bare)) is not None
+
     refs = []
     for cname, expr in _table_constraints(meta).items():
-        if name in expr:
+        if _references(expr):
             refs.append(f"constraint {cname!r}")
     for gcol, gexpr in _generated_columns(schema).items():
-        if name in gexpr:
+        if _references(gexpr):
             refs.append(f"generated column {gcol!r}")
     if refs:
         raise ValueError(
@@ -5016,6 +5059,11 @@ def write_checkpoint(
     }
     if parts and parts > 1:
         lc["parts"] = int(parts)
+    # persist version v's ICT (its commit JSON still exists here —
+    # cleanup runs after) so the monotone chain survives log cleanup
+    cp_ict = _prev_ict(fs, log, v + 1)
+    if cp_ict is not None:
+        lc["tags"] = {"lastInCommitTimestamp": int(cp_ict)}
     fs.write_text(
         os.path.join(log, "_last_checkpoint"), json.dumps(lc)
     )
@@ -5242,6 +5290,7 @@ def write_checkpoint_v2(
         crc_tmp, json.dumps(_crc_payload(files, meta, proto, txns))
     )
     fs.replace_file(crc_tmp, os.path.join(log, f"{v:020d}.crc"))
+    ict_v2 = _prev_ict(fs, log, v + 1)
     fs.write_text(
         os.path.join(log, "_last_checkpoint"),
         json.dumps(
@@ -5253,7 +5302,17 @@ def write_checkpoint_v2(
                 # sizes the reconstruction it promises
                 "sizeInBytes": len(buf2.getvalue()) + side_size,
                 "numOfAddFiles": len(files),
-                "tags": {"flavor": "v2", "fileName": cp_name},
+                # lastInCommitTimestamp: ICT monotone-chain seed that
+                # survives clean_old_commits (v's JSON still exists)
+                "tags": {
+                    "flavor": "v2",
+                    "fileName": cp_name,
+                    **(
+                        {"lastInCommitTimestamp": int(ict_v2)}
+                        if ict_v2 is not None
+                        else {}
+                    ),
+                },
             }
         ),
     )
@@ -5314,8 +5373,12 @@ def delta_cluster_by(
     fs = fs_for(spark, path)
     actions: list[dict] = []
     if cols:
+        # the protocol's writer-feature name is "clustering" (the
+        # domain *configuration* key is "clusteringColumns" — two
+        # different namespaces); interop writers block on unknown
+        # writer features, so the name must match delta-spark's
         up = _writer_v7_feature_upgrade(
-            protocol, "clusteringColumns", "domainMetadata"
+            protocol, "clustering", "domainMetadata"
         )
         if up is not None:
             actions.append({"protocol": up})
