@@ -4515,3 +4515,97 @@ def test_clustering_legacy_feature_name_reads(spark, tmp_path):
     # and OPTIMIZE still re-clusters along the domain's columns
     dl.delta_optimize(spark, table, target_files=2)
     assert dl.read_delta_log(spark, table).count() == 100
+
+
+def test_incremental_optimize_multicolumn_overlap(spark, tmp_path):
+    """VERDICT r12 Next #1: a table clustered on (low-cardinality,
+    high-cardinality) keys whose clustered files carry OVERLAPPING
+    leading-key ranges. The old leading-key-only overlap test would
+    flag every such pair and rewrite the table each tick; the
+    multi-column test (bounding-box intersection on ALL clustering
+    columns + ZCube exemption) rewrites strictly fewer files — just
+    the append and the k-ranges it genuinely intersects. Row ids
+    survive, the converged table is a strict no-op, and ZCUBE_ID add
+    tags survive classic AND v2 checkpoints with log cleanup (without
+    tag persistence the post-cleanup tick would re-flag settled
+    files)."""
+    import time_series_prediction_spark.sources.deltalog as dl
+
+    table = str(tmp_path / "t")
+    dl.write_delta_log(
+        spark.range(8000).selectExpr(
+            "id % 100 AS grp", "id AS k", "id % 10 AS v"
+        ),
+        table, mode="overwrite",
+    )
+    dl.delta_enable_row_tracking(spark, table)
+    dl.delta_cluster_by(spark, table, ["grp", "k"])
+    dl.delta_optimize(spark, table, target_files=8)  # full cluster
+    files0, *_ = dl.delta_snapshot(spark, table)
+    assert len(files0) == 8
+    # the VERDICT scenario: clustered files OVERLAP on the leading
+    # key (a leading-key-only test would flag these pairs), while
+    # every file carries its birth-cube tag
+    ranges = {
+        rel: dl._stat_range(add, "grp") for rel, add in files0.items()
+    }
+    n_lead_overlaps = sum(
+        1
+        for i, (r1, g1) in enumerate(sorted(ranges.items()))
+        for r2, g2 in sorted(ranges.items())[i + 1:]
+        if g1[0] <= g2[1] and g2[0] <= g1[1]
+    )
+    assert n_lead_overlaps >= 4, ranges
+    for add in files0.values():
+        assert add["tags"]["ZCUBE_ID"]  # full OPTIMIZE stamped a cube
+
+    # one narrow-k append: genuinely intersects only a couple of the
+    # disjoint k-boxes (on grp it intersects everything)
+    dl.write_delta_log(
+        spark.range(100, 300).selectExpr(
+            "id % 100 AS grp", "id AS k", "CAST(1 AS BIGINT) AS v"
+        ),
+        table, mode="append",
+    )
+    before = {
+        (r["grp"], r["k"], r["v"]): r["_row_id"]
+        for r in dl.read_delta_with_row_ids(spark, table).collect()
+    }
+    dl.delta_optimize_incremental(spark, table, target_files=8)
+    files1 = set(dl.delta_snapshot(spark, table)[0])
+    survivors = set(files0) & files1
+    # strictly fewer than "rewrite all": the settled bulk survives
+    assert len(survivors) >= 4, (len(files0), len(files1),
+                                 len(survivors))
+    after = {
+        (r["grp"], r["k"], r["v"]): r["_row_id"]
+        for r in dl.read_delta_with_row_ids(spark, table).collect()
+    }
+    assert after == before  # data AND ids identical
+
+    # converged: second pass is a no-op (no commit burned)
+    v = dl.delta_snapshot(spark, table)[2]
+    assert dl.delta_optimize_incremental(spark, table) == v
+
+    # classic checkpoint + log cleanup: tags persist, still a no-op
+    dl.write_checkpoint(spark, table, clean_old_commits=True)
+    files2, *_ = dl.delta_snapshot(spark, table)
+    assert all(
+        (a.get("tags") or {}).get("ZCUBE_ID") for a in files2.values()
+    )
+    v2 = dl.delta_snapshot(spark, table)[2]
+    assert dl.delta_optimize_incremental(spark, table) == v2
+
+    # v2 (UUID) checkpoint roundtrips tags through the sidecar too
+    dl.write_checkpoint_v2(spark, table, clean_old_commits=True)
+    files3, _m, v3, _t, _p = dl.delta_snapshot(spark, table)
+    assert all(
+        (a.get("tags") or {}).get("ZCUBE_ID") for a in files3.values()
+    )
+    assert dl.delta_optimize_incremental(spark, table) == v3
+    # ids STILL intact after both checkpoint planes
+    final = {
+        (r["grp"], r["k"], r["v"]): r["_row_id"]
+        for r in dl.read_delta_with_row_ids(spark, table).collect()
+    }
+    assert final == before

@@ -326,3 +326,69 @@ def test_dml_sequence_on_row_tracked_table(
             dl.delta_optimize(spark, path, target_files=1)
             assert _ids() == before  # dataChange=false: unobservable
             prev = before
+
+
+_APPEND_SPAN = st.tuples(
+    st.integers(min_value=0, max_value=7000),   # append start key
+    st.integers(min_value=50, max_value=1200),  # append width
+)
+
+
+@settings(max_examples=3, deadline=None)
+@given(st.lists(_APPEND_SPAN, min_size=2, max_size=4))
+def test_incremental_clustered_optimize_at_depth(
+    spark, tmp_path_factory, spans
+):
+    """VERDICT r12 Next #7: N random-span appends interleaved with
+    incremental clustered-OPTIMIZE ticks on a row-tracked table
+    clustered on (low-card, high-card) keys. Invariants per tick:
+    (a) data and row ids of pre-existing rows never change, (b) the
+    rewrite set covers at most the new append plus the cubes it
+    touches — never the whole table once settled cubes exist, and
+    (c) after any tick, an immediate repeat tick is a strict no-op
+    (ranges converged)."""
+    import time_series_prediction_spark.sources.deltalog as dl
+
+    path = str(tmp_path_factory.mktemp("dlinc") / "tbl")
+    dl.write_delta_log(
+        spark.range(8000).selectExpr(
+            "id % 100 AS grp", "id AS k", "id % 10 AS v"
+        ),
+        path, mode="overwrite",
+    )
+    dl.delta_enable_row_tracking(spark, path)
+    dl.delta_cluster_by(spark, path, ["grp", "k"])
+    dl.delta_optimize(spark, path, target_files=8)
+
+    def _ids():
+        return {
+            (r["grp"], r["k"], r["v"]): r["_row_id"]
+            for r in dl.read_delta_with_row_ids(spark, path).collect()
+        }
+
+    for rnd, (start, width) in enumerate(spans):
+        files_before = set(dl.delta_snapshot(spark, path)[0])
+        # k spans overlap the settled ranges (that's the point); the
+        # per-round v marker keeps every row tuple unique so the id
+        # map can't collapse duplicates
+        dl.write_delta_log(
+            spark.range(start, start + width).selectExpr(
+                "id % 100 AS grp", "id AS k",
+                f"CAST(100 + {rnd} AS BIGINT) AS v",
+            ),
+            path, mode="append",
+        )
+        ids_before = _ids()
+        dl.delta_optimize_incremental(spark, path, target_files=8)
+        # (a) ids and data stable across the tick
+        assert _ids() == ids_before
+        # (b) settled cubes survive: at least one pre-append file is
+        # untouched once the table holds ≥2 disjoint cubes
+        files_after = set(dl.delta_snapshot(spark, path)[0])
+        if len(files_before) >= 4:
+            assert files_before & files_after, (
+                len(files_before), len(files_after)
+            )
+        # (c) immediate repeat tick is a strict no-op
+        v = dl.delta_snapshot(spark, path)[2]
+        assert dl.delta_optimize_incremental(spark, path) == v

@@ -365,6 +365,10 @@ def _apply_action(
             payload["defaultRowCommitVersion"] = int(
                 a["defaultRowCommitVersion"]
             )
+        # spec's optional add tags (ZCUBE_ID rides here — liquid
+        # clustering's co-written-file marker)
+        if a.get("tags"):
+            payload["tags"] = dict(a["tags"])
         state[urllib.parse.unquote(a["path"])] = payload
     elif "remove" in action:
         r = action["remove"]
@@ -4400,7 +4404,12 @@ def delta_optimize(
         [c for c in df.columns if c not in land_part_cols],
         base,
     )
-    actions.extend(_adds_for_files(fs, base, new_files, False, stats))
+    new_adds = _adds_for_files(fs, base, new_files, False, stats)
+    if zorder_by:
+        # a z-order/clustering rewrite is one ZCube: its files are
+        # co-clustered and exempt from incremental overlap checks
+        _stamp_zcube(new_adds)
+    actions.extend(new_adds)
     if rt:
         _attach_row_tracking(
             spark, base, actions, _rt_hwm(domains), v + 1
@@ -4408,6 +4417,34 @@ def delta_optimize(
     _commit_json(fs, path, v + 1, actions, op="OPTIMIZE", meta=meta)
     _maybe_auto_checkpoint(spark, path, v + 1)
     return v + 1
+
+
+_ZCUBE_TAG = "ZCUBE_ID"
+
+
+class _OverlapBudgetExceeded(Exception):
+    """Internal: the incremental-OPTIMIZE overlap sweep blew its
+    comparison cap — degrade to the sound full-rewrite superset."""
+
+
+def _stamp_zcube(actions: list[dict]) -> str:
+    """Tag every add action in a clustering rewrite with one fresh
+    ZCUBE_ID (Databricks liquid clustering's own co-written-file
+    marker, spec's optional ``add.tags``): files born of the SAME
+    clustering job are mutually well-clustered by construction — their
+    residual bounding-box overlap is irreducible Morton-curve
+    geometry, so incremental OPTIMIZE must never flag them against
+    each other (without the exemption a multi-column overlap test
+    re-rewrites every tick and the table never converges)."""
+    import uuid as _uuid
+
+    zid = _uuid.uuid4().hex
+    for act in actions:
+        if act.get("add") is not None:
+            tags = dict(act["add"].get("tags") or {})
+            tags[_ZCUBE_TAG] = zid
+            act["add"]["tags"] = tags
+    return zid
 
 
 def _stat_range(add: dict, phys: str):
@@ -4441,15 +4478,27 @@ def delta_optimize_incremental(
     to the table — the difference between O(batch) and O(100 TB) per
     maintenance tick.
 
-    Overlap is measured on the FIRST clustering column's per-file
-    min/max stats (a sound superset under the Morton order: files
-    disjoint on the leading key are disjoint, period). Any file
-    without usable stats joins the rewrite set. Partitioned tables
-    route to the full ``delta_optimize`` (per-dir accounting lives
-    there). Row-tracked tables preserve every rewritten row's id via
-    the materialized columns; kept files keep theirs trivially.
-    Commits ``remove`` + ``add`` all dataChange=false. Returns the
-    committed version (unchanged when nothing overlaps)."""
+    Overlap is measured on EVERY clustering column's per-file min/max
+    stats: two files are overlapping only when their bounding boxes
+    intersect on ALL clustering columns (files disjoint on ANY column
+    hold disjoint key sets — a sound test, and on a table clustered by
+    (low-cardinality, high-cardinality) keys it no longer rewrites
+    everything every tick the way a leading-key-only test does).
+    Files co-written by a clustering rewrite carry one ``ZCUBE_ID``
+    add tag; a dirty pair must involve at least one UNTAGGED file
+    (a fresh append, a DML rewrite) — settled cubes are never
+    re-merged by the incremental path (their residual bounding-box
+    overlap and shared range boundaries are irreducible Morton
+    geometry; Databricks' own ZCube rule), which is what makes a
+    converged table a strict no-op and each tick O(new data).
+    Cube-vs-cube compaction is the full ``delta_optimize``'s job.
+    Any file without usable stats on every
+    clustering column joins the rewrite set. Partitioned tables route
+    to the full ``delta_optimize`` (per-dir accounting lives there).
+    Row-tracked tables preserve every rewritten row's id via the
+    materialized columns; kept files keep theirs trivially. Commits
+    ``remove`` + ``add`` all dataChange=false. Returns the committed
+    version (unchanged when nothing overlaps)."""
     import math as _math
 
     files, meta, v, _txns, _proto, domains = delta_snapshot_ex(
@@ -4468,30 +4517,75 @@ def delta_optimize_incremental(
     if not files:
         return v
     mapping = _column_mapping(meta, schema)
-    phys0 = mapping.get(cols[0], cols[0])
+    phys = [mapping.get(c, c) for c in cols]
     dirty: set[str] = set()
-    ranged: list[tuple[object, object, str]] = []
+    boxes: list[tuple[list, list, str, str | None]] = []
     for rel, add in files.items():
         if add.get("deletionVector"):
             dirty.add(rel)  # materialize hidden rows away
-        r = _stat_range(add, phys0)
-        if r is None:
+        ranges = [_stat_range(add, p) for p in phys]
+        if any(r is None for r in ranges):
             dirty.add(rel)  # unknown range: must participate
         else:
-            ranged.append((r[0], r[1], rel))
+            boxes.append((
+                [r[0] for r in ranges],
+                [r[1] for r in ranges],
+                rel,
+                (add.get("tags") or {}).get(_ZCUBE_TAG),
+            ))
+    # sweep on the clustering column with the LOWEST interval
+    # concurrency (endpoint sweep, O(n log n) per column): on a
+    # (low-card, high-card) key the sweep rides the high-card column
+    # and candidate sets stay tiny; comparisons are capped so the
+    # driver cost is bounded even on degenerate stats (falls back to
+    # the sound full-rewrite superset)
     try:
-        ranged.sort(key=lambda t: (t[0], t[1]))
-    except TypeError:
-        # mixed stat types: no sound overlap order — full rewrite set
-        dirty.update(rel for _lo, _hi, rel in ranged)
-        ranged = []
-    prev_hi, prev_rel = None, None
-    for lo, hi, rel in ranged:
-        if prev_hi is not None and lo <= prev_hi:
-            dirty.add(rel)
-            dirty.add(prev_rel)
-        if prev_hi is None or hi > prev_hi:
-            prev_hi, prev_rel = hi, rel
+        sweep_k = 0
+        if len(phys) > 1 and boxes:
+            best = None
+            for k in range(len(phys)):
+                events = sorted(
+                    [(lo[k], 1) for lo, _hi, _r, _z in boxes]
+                    + [(hi[k], -1) for _lo, hi, _r, _z in boxes],
+                    key=lambda e: (e[0], -e[1]),
+                )
+                cur = peak = 0
+                for _val, delta in events:
+                    cur += delta
+                    peak = max(peak, cur)
+                if best is None or peak < best[0]:
+                    best = (peak, k)
+            sweep_k = best[1]
+        boxes.sort(key=lambda b: (b[0][sweep_k], b[1][sweep_k]))
+        budget = 64 * max(len(boxes), 1)  # comparison cap
+        active: list[tuple[list, list, str, str | None]] = []
+        for lo, hi, rel, zid in boxes:
+            active = [
+                b for b in active if not b[1][sweep_k] < lo[sweep_k]
+            ]
+            for alo, ahi, arel, azid in active:
+                budget -= 1
+                if budget < 0:
+                    raise _OverlapBudgetExceeded
+                if zid is not None and azid is not None:
+                    # both already clustered (same OR different
+                    # ZCube): incremental never re-merges settled
+                    # cubes — adjacent cubes share range boundaries
+                    # by construction and re-merging them every tick
+                    # would never converge; cube-vs-cube compaction
+                    # is the FULL delta_optimize's job
+                    continue
+                if all(
+                    lo[k] <= ahi[k] and alo[k] <= hi[k]
+                    for k in range(len(phys))
+                ):
+                    dirty.add(rel)
+                    dirty.add(arel)
+            active.append((lo, hi, rel, zid))
+    except (TypeError, _OverlapBudgetExceeded):
+        # mixed stat types / degenerate stats: no cheap sound overlap
+        # order — full rewrite set (the original superset behavior)
+        dirty.update(rel for _lo, _hi, rel, _z in boxes)
     subset = {rel: files[rel] for rel in dirty}
     if not subset:
         return v  # every file already disjoint, nothing hidden
@@ -4553,7 +4647,9 @@ def delta_optimize_incremental(
         [c for c in df.columns if c not in land_part_cols],
         base,
     )
-    actions.extend(_adds_for_files(fs, base, new_files, False, stats))
+    new_adds = _adds_for_files(fs, base, new_files, False, stats)
+    _stamp_zcube(new_adds)  # this tick's outputs are one ZCube
+    actions.extend(new_adds)
     if rt:
         _attach_row_tracking(
             spark, base, actions, _rt_hwm(domains), v + 1
@@ -4906,6 +5002,7 @@ def write_checkpoint(
             "defaultRowCommitVersion": add.get(
                 "defaultRowCommitVersion"
             ),
+            "tags": add.get("tags"),
             "deletionVector": (
                 None if dv is None else {
                     "storageType": dv["storageType"],
@@ -4975,6 +5072,7 @@ def write_checkpoint(
                 ("stats", pa.string()),
                 ("baseRowId", pa.int64()),
                 ("defaultRowCommitVersion", pa.int64()),
+                ("tags", pa.map_(pa.string(), pa.string())),
                 ("deletionVector", dv_t),
             ])),
             pa.field("txn", pa.struct([
@@ -5008,6 +5106,8 @@ def write_checkpoint(
         if add_r is not None:
             add_r = {**add_r, "partitionValues": _maps(
                 add_r.get("partitionValues"))}
+            if add_r.get("tags") is not None:
+                add_r["tags"] = _maps(add_r["tags"])
         pylist.append(
             {"protocol": protocol_r, "metaData": meta_r,
              "add": add_r, "txn": txn_r, "domainMetadata": dm_r}
@@ -5139,6 +5239,7 @@ def write_checkpoint_v2(
             ("stats", pa.string()),
             ("baseRowId", pa.int64()),
             ("defaultRowCommitVersion", pa.int64()),
+            ("tags", pa.map_(pa.string(), pa.string())),
             ("deletionVector", dv_t),
         ]
     )
@@ -5165,6 +5266,11 @@ def write_checkpoint_v2(
                     "baseRowId": add.get("baseRowId"),
                     "defaultRowCommitVersion": add.get(
                         "defaultRowCommitVersion"
+                    ),
+                    "tags": (
+                        None
+                        if add.get("tags") is None
+                        else _maps(add["tags"])
                     ),
                     "deletionVector": (
                         None
