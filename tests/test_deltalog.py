@@ -4609,3 +4609,99 @@ def test_incremental_optimize_multicolumn_overlap(spark, tmp_path):
         for r in dl.read_delta_with_row_ids(spark, table).collect()
     }
     assert final == before
+
+
+def test_reorg_table_apply_purge(spark, tmp_path):
+    """VERDICT r12 Next #2 — REORG TABLE ... APPLY (PURGE): ALTER
+    DROP COLUMN is metadata-only, so the dropped column's bytes stay
+    in every pre-drop parquet file; REORG rewrites ONLY the files
+    carrying dropped-column data or deletion vectors (dataChange=
+    false, row ids preserved), after which the live files' parquet
+    footers no longer carry the dropped physical column, clean files
+    keep their exact paths, a second REORG is a no-op, and vacuum
+    completes the two-step byte erasure."""
+    import pyarrow.parquet as pq
+
+    import time_series_prediction_spark.sources.deltalog as dl
+
+    table = str(tmp_path / "t")
+    dl.write_delta_log(
+        spark.range(100).selectExpr(
+            "id AS k", "id * 2 AS v", "CAST(id AS STRING) AS s"
+        ),
+        table, mode="overwrite",
+    )
+    dl.delta_enable_row_tracking(spark, table)
+    dl.delta_enable_column_mapping(spark, table)
+    # nothing to purge yet: REORG is a no-op (no commit burned)
+    v0 = dl.delta_snapshot(spark, table)[2]
+    assert dl.delta_reorg_purge(spark, table) == v0
+
+    dl.delta_drop_column(spark, table, "v")       # metadata-only
+    dl.delta_delete(spark, table, "k in (3, 7)")  # a DV to purge
+    dl.write_delta_log(  # post-drop append: a CLEAN file
+        spark.createDataFrame([(1000, "x")], "k long, s string"),
+        table, mode="append",
+    )
+
+    def _footer_cols(files):
+        out = {}
+        for rel in files:
+            out[rel] = set(
+                pq.ParquetFile(
+                    os.path.join(table, rel)
+                ).schema_arrow.names
+            )
+        return out
+
+    files0, meta0, v1, _t0, _p0 = dl.delta_snapshot(spark, table)
+    pre = _footer_cols(files0)
+    dirty0 = {rel for rel, cols in pre.items() if "v" in cols}
+    clean0 = set(files0) - dirty0
+    assert dirty0 and clean0  # both kinds exist pre-REORG
+    ids_before = {
+        (r["k"], r["s"]): r["_row_id"]
+        for r in dl.read_delta_with_row_ids(spark, table).collect()
+    }
+
+    v2 = dl.delta_reorg_purge(spark, table)
+    assert v2 == v1 + 1
+    files1, *_ = dl.delta_snapshot(spark, table)
+    # clean files byte-untouched (exact paths survive); dirty gone
+    assert clean0 <= set(files1)
+    assert not (dirty0 & set(files1))
+    # no live footer carries the dropped physical column anymore
+    assert all("v" not in c for c in _footer_cols(files1).values())
+    # no DV survives; the tombstoned rows stayed hidden
+    assert not any(a.get("deletionVector") for a in files1.values())
+    got = dl.read_delta_log(spark, table)
+    assert got.where("k in (3, 7)").count() == 0
+    assert got.count() == 99  # 100 - 2 deleted + 1 appended
+    # row ids preserved across the purge rewrite
+    ids_after = {
+        (r["k"], r["s"]): r["_row_id"]
+        for r in dl.read_delta_with_row_ids(spark, table).collect()
+    }
+    assert ids_after == ids_before
+    # the REORG commit is pure layout: every action dataChange=false
+    log = os.path.join(table, "_delta_log")
+    acts = [
+        json.loads(line)
+        for line in open(
+            os.path.join(log, f"{v2:020d}.json")
+        ).read().splitlines()
+    ]
+    assert any("add" in a for a in acts)
+    assert all(
+        a[k]["dataChange"] is False
+        for a in acts
+        for k in ("add", "remove")
+        if k in a
+    )
+    # idempotent: a second REORG finds nothing
+    assert dl.delta_reorg_purge(spark, table) == v2
+    # two-step erasure: vacuum reclaims the superseded dirty files
+    reclaimed = dl.delta_vacuum(spark, table, retention_ms=0)
+    assert {os.path.basename(r) for r in reclaimed} >= {
+        os.path.basename(r) for r in dirty0
+    }

@@ -1647,6 +1647,129 @@ GROUP BY coalesce(prio, '<dropped>')
 """
 
 
+_DELTA_REORG_SPEC = "delta-orders-reorg|v1|mapdrop|11dvdel|purge"
+
+
+def orders_delta_reorg_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``REORG TABLE ... APPLY (PURGE)`` end to end
+    (``sources/deltalog.delta_reorg_purge``): a row-tracked,
+    column-mapped orders table DROPs o_orderpriority (metadata-only —
+    the bytes stay in every pre-drop file), takes a DV DELETE (%11
+    keys), appends a clean post-drop batch, then REORGs. The build
+    asserts the PHYSICAL contract loudly — afterwards no live parquet
+    footer carries the dropped physical column, no deletion vector
+    survives, and the clean post-drop file kept its exact path —
+    while the returned result is the table's logical content, which
+    the oracle states relationally (drop = column gone, DV delete =
+    rows gone, append = rows present)."""
+    import pyarrow.parquet as _pq
+
+    from time_series_prediction_spark.sources.deltalog import (
+        delta_delete,
+        delta_drop_column,
+        delta_enable_column_mapping,
+        delta_enable_row_tracking,
+        delta_reorg_purge,
+        delta_snapshot,
+        write_delta_log,
+    )
+    from time_series_prediction_spark.sources.io import read_delta
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    root = os.path.join(tempfile.gettempdir(), "tsp_layouts")
+    fs = fs_for(spark, root)
+    st = fs.status(src)
+    if st is None:
+        raise FileNotFoundError(src)
+    ident = f"{fs.qualified(src)}|{st[0]}|{st[1]}|{_DELTA_REORG_SPEC}"
+    key = hashlib.md5(ident.encode()).hexdigest()[:16]
+    path = os.path.join(root, f"orders_deltareorg_{key}")
+
+    def _build(tmp: str) -> None:
+        data = os.path.join(tmp, "data")
+        base = _orders_state(spark, sf_dir).select(
+            "o_orderkey", "price_cents", "o_orderpriority"
+        )
+        write_delta_log(base, data, mode="overwrite")
+        delta_enable_row_tracking(spark, data)
+        delta_enable_column_mapping(spark, data)
+        delta_drop_column(spark, data, "o_orderpriority")
+        delta_delete(spark, data, "o_orderkey % 11 = 0")
+        write_delta_log(  # clean post-drop file: must survive REORG
+            spark.createDataFrame(
+                [(900000001, 1_00), (900000002, 2_00)],
+                "o_orderkey long, price_cents long",
+            ),
+            data, mode="append",
+        )
+        files_pre, *_ = delta_snapshot(spark, data)
+        clean_pre = {
+            rel
+            for rel, add in files_pre.items()
+            if not add.get("deletionVector")
+            and "o_orderpriority"
+            not in _pq.ParquetFile(
+                os.path.join(data, rel)
+            ).schema_arrow.names
+        }
+        delta_reorg_purge(spark, data)
+        files_post, *_ = delta_snapshot(spark, data)
+        leftover = {
+            rel
+            for rel in files_post
+            if any(
+                n.split(".", 1)[0] == "o_orderpriority"
+                for n in _pq.ParquetFile(
+                    os.path.join(data, rel)
+                ).schema_arrow.names
+            )
+        }
+        if leftover:
+            raise AssertionError(
+                "REORG PURGE left dropped-column bytes in "
+                f"{sorted(leftover)}"
+            )
+        if any(a.get("deletionVector") for a in files_post.values()):
+            raise AssertionError("REORG PURGE left a deletion vector")
+        if not clean_pre <= set(files_post):
+            raise AssertionError(
+                "REORG PURGE rewrote clean files it should have kept"
+            )
+
+    ensure_artifact(spark, path, ident, _build)
+    return (
+        read_delta(spark, os.path.join(path, "data"))
+        .groupBy((F.col("o_orderkey") % 7).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("price_cents").cast("long").alias("total_cents"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        )
+    )
+
+
+ORDERS_DELTA_REORG_SQL = """
+WITH cur AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+  WHERE o_orderkey % 11 <> 0
+  UNION ALL
+  SELECT 900000001, 100
+  UNION ALL
+  SELECT 900000002, 200
+)
+SELECT CAST(k % 7 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST(sum(k) AS BIGINT) AS key_sum
+FROM cur
+GROUP BY k % 7
+"""
+
+
 _DELTA_CDC_SPEC = "delta-orders-cdc|v1|13bump|29del|41ins"
 _CDC_INS_SHIFT = 200_000_000
 
@@ -2824,6 +2947,10 @@ TABLE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "orders_delta_alter_scan": (
         orders_delta_alter_scan,
         ORDERS_DELTA_ALTER_SQL,
+    ),
+    "orders_delta_reorg_scan": (
+        orders_delta_reorg_scan,
+        ORDERS_DELTA_REORG_SQL,
     ),
     "orders_delta_merge_scan": (
         orders_delta_merge_scan,

@@ -4660,6 +4660,191 @@ def delta_optimize_incremental(
     return v + 1
 
 
+def _stats_phys_cols(add: dict) -> set[str] | None:
+    """Top-level PHYSICAL column names recorded in an add's stats
+    JSON (minValues/maxValues/nullCount key union), or ``None`` when
+    the add carries no parseable stats. Nested leaves report their
+    top-level segment — dropping a whole struct column drops every
+    leaf under it."""
+    s = add.get("stats")
+    if not s:
+        return None
+    try:
+        d = json.loads(s)
+    except ValueError:
+        return None
+    keys: set[str] = set()
+    for part in ("minValues", "maxValues", "nullCount"):
+        keys.update((d.get(part) or {}).keys())
+    if not keys:
+        return None
+    return {k.split(".", 1)[0] for k in keys}
+
+
+def delta_reorg_purge(
+    spark: SparkSession, path: str, target_files: int = 8
+) -> int:
+    """``REORG TABLE ... APPLY (PURGE)`` — the physical-erasure pass
+    behind metadata-only ALTERs (real Delta ships exactly this
+    command): ALTER DROP COLUMN only hides a column (the bytes stay
+    in every pre-drop parquet file forever), and DV deletes only hide
+    rows until something rewrites the file. REORG rewrites ONLY the
+    files that still carry purgeable state —
+
+    * files whose parquet data includes a physical column no longer
+      in the table schema (detected from the add's own stats keys,
+      zero extra I/O; statless files fall back to ONE driver-side
+      footer read each, and join the rewrite conservatively when the
+      footer is unreachable), and
+    * files carrying deletion vectors (tombstoned rows materialize
+      away) —
+
+    leaving every clean file byte-identical and untouched. The
+    rewrite lands under the CURRENT physical schema (dropped
+    physical columns simply aren't selected, so their bytes and
+    parquet footer entries vanish), commits ``remove`` + ``add`` all
+    ``dataChange=false`` (streaming tails pass through silently),
+    preserves every row id on row-tracked tables via the
+    materialized columns, and re-clusters along the table's
+    clustering columns when it is clustered (fresh ZCube). Returns
+    the committed version — unchanged when nothing needs purging, so
+    calling REORG twice is a guaranteed no-op. Old versions still
+    time-travel to the dropped data until ``delta_vacuum`` reclaims
+    the superseded files (the same two-step erasure real Delta
+    documents for REORG PURGE).
+
+    Scale shape: detection is metadata-only over the snapshot's adds;
+    the rewrite scans exactly the purgeable files once. Reference has
+    no table format at all (materializes plain parquet,
+    ``src/demo/training.py:70-90``); this follows delta-spark's REORG
+    semantics."""
+    import math as _math
+
+    from time_series_prediction_spark.operators.manifest import (
+        _resolve_base,
+    )
+
+    files, meta, v, _txns, _proto, domains = delta_snapshot_ex(
+        spark, path
+    )
+    if not files:
+        return v
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    part_cols = list(meta.get("partitionColumns") or [])
+    mapping = _column_mapping(meta, schema)
+    cfg = meta.get("configuration") or {}
+    allowed = (
+        set(mapping.values())
+        if mapping
+        else {f.name for f in schema.fields}
+    )
+    # materialized row-tracking columns live in the files by design
+    for key in (_RT_ID_COL, _RT_VER_COL):
+        if cfg.get(key):
+            allowed.add(cfg[key])
+    allowed.update(part_cols)  # partition values ride the path
+    base = _resolve_base(path, spark)
+
+    def _footer_cols(rel: str) -> set[str] | None:
+        import pyarrow.parquet as pq
+
+        p = os.path.join(base, urllib.parse.unquote(rel))
+        local = re.sub(_URI_SCHEME_RE, "/", p)
+        try:
+            return {
+                n.split(".", 1)[0]
+                for n in pq.ParquetFile(local).schema_arrow.names
+            }
+        except Exception:  # noqa: BLE001 — unreadable: be conservative
+            return None
+
+    subset: dict[str, dict] = {}
+    for rel, add in files.items():
+        if add.get("deletionVector"):
+            subset[rel] = add
+            continue
+        cols_in_file = _stats_phys_cols(add)
+        if cols_in_file is None:
+            cols_in_file = _footer_cols(rel)
+        if cols_in_file is None or (cols_in_file - allowed):
+            subset[rel] = add
+    if not subset:
+        return v  # nothing carries dropped columns or DVs
+    fs = fs_for(spark, path)
+    rt = _row_tracking_on(meta)
+    if rt:
+        df = (
+            read_delta_with_row_ids(spark, path, _files_subset=subset)
+            .withColumnRenamed("_row_id", cfg[_RT_ID_COL])
+            .withColumnRenamed("_row_commit_version", cfg[_RT_VER_COL])
+        )
+    else:
+        positions, pos_df = _dv_positions_source(spark, fs, path, files)
+        if positions is not None:
+            positions = {
+                rel: ps
+                for rel, ps in positions.items()
+                if rel in subset
+            } or None
+        df = _scan_files(
+            spark, path, subset, schema, part_cols, mapping,
+            positions=positions,
+            field_ids=_column_field_ids(meta, schema) or None,
+            positions_df=pos_df,
+        )
+    df, land_part_cols = _rename_physical(df, meta, schema, part_cols)
+    ccols = _clustering_columns(domains)
+    writer = None
+    n_out = max(
+        1,
+        min(
+            int(target_files),
+            int(_math.ceil(target_files * len(subset) / len(files))),
+        ),
+    )
+    if ccols and not land_part_cols:
+        from time_series_prediction_spark.operators.zorder import (
+            write_zordered,
+        )
+
+        zcols = [mapping.get(c, c) for c in ccols]
+
+        def writer(d, stage):  # noqa: ANN001 — _land_batch callback
+            write_zordered(d, stage, zcols, n_files=n_out)
+
+    base, new_files = _land_batch(
+        spark, fs, df, path, land_part_cols,
+        coalesce_to=None if writer else n_out,
+        writer=writer,
+    )
+    actions: list[dict] = [
+        {
+            "remove": {
+                "path": urllib.parse.quote(rel),
+                "deletionTimestamp": int(_time.time() * 1000),
+                "dataChange": False,
+            }
+        }
+        for rel in sorted(subset)
+    ]
+    stats = _stats_for_files(
+        new_files,
+        [c for c in df.columns if c not in land_part_cols],
+        base,
+    )
+    new_adds = _adds_for_files(fs, base, new_files, False, stats)
+    if ccols:
+        _stamp_zcube(new_adds)
+    actions.extend(new_adds)
+    if rt:
+        _attach_row_tracking(
+            spark, base, actions, _rt_hwm(domains), v + 1
+        )
+    _commit_json(fs, path, v + 1, actions, op="REORG PURGE", meta=meta)
+    _maybe_auto_checkpoint(spark, path, v + 1)
+    return v + 1
+
+
 def delta_vacuum(
     spark: SparkSession,
     path: str,
