@@ -27,6 +27,13 @@ cores from $SPARK_GRAFT_CPUS (default 32). Each query is executed to
 completion with a count() action (forces the full plan incl. joins,
 windows, and array math; result sets are small aggregates so count()
 is not a shortcut).
+
+AMBIENT-LOAD CONTROL: ``q20_dominant_part_suppliers`` — a plain
+TPC-H join/agg with no artifact/memo dependence, ~1.5-2.0 s quiet at
+sf0.1. Compare a suspect regression against this line first.
+(``dedup_clusters`` was the control through r12; its code changed in
+r13 when the dedup family's pair pipeline moved to a shared on-disk
+artifact, so it no longer qualifies.)
 """
 
 from __future__ import annotations

@@ -225,23 +225,19 @@ def minhash_estimate(sig_a: str, sig_b: str) -> Column:
     )
 
 
-def minhash_lsh_pairs(
+def minhash_banded(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
-    threshold: float = 0.5,
 ) -> DataFrame:
-    """Banded-LSH near-dup candidates with MinHash-estimated Jaccard.
-
-    bands=b, rows r=num_hashes/b: a pair with true Jaccard j collides
-    in ≥1 band with prob 1-(1-j^r)^b (the standard S-curve). Pipeline:
-    signature → explode b band-hashes → equi-join on (band, value) →
-    dedup pairs → estimate — every join is a hash join on a small key,
-    no cross product.
-    """
+    """The signature+banding STAGE of banded LSH — (id, sig,
+    band, band_hash), one row per (doc, band). Split out so callers
+    can persist it once (the md5-shingle signature compute dominates
+    the whole pipeline) and feed both self-join sides — and multiple
+    queries — from the same artifact."""
     rows = num_hashes // bands
     sigs = (
         ensure_parallelism(df)
@@ -254,7 +250,7 @@ def minhash_lsh_pairs(
     # the band key is the band's raw value string — a hash of it would
     # cost b extra md5 calls per doc and buys nothing: the join is an
     # equi-join either way, and the string is ~r small integers wide
-    banded = sigs.select(
+    return sigs.select(
         id_col,
         "sig",
         F.posexplode(
@@ -265,7 +261,16 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "band_hash"),
     )
-    banded = materialize(banded)  # signature+banding feeds BOTH self-join sides
+
+
+def minhash_pairs_from_banded(
+    banded: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The join half of banded LSH over an already-materialized
+    (or disk-backed) ``minhash_banded`` frame: equi-join on
+    (band, band_hash) → estimate → threshold → pair dedup."""
     a = banded.alias("a")
     b = banded.alias("b")
     # estimate + threshold BEFORE the pair dedup: the dropDuplicates
@@ -288,6 +293,31 @@ def minhash_lsh_pairs(
         .where(F.col("est_jaccard") >= threshold)
         .dropDuplicates(["doc_id_a", "doc_id_b"])
     )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Banded-LSH near-dup candidates with MinHash-estimated Jaccard.
+
+    bands=b, rows r=num_hashes/b: a pair with true Jaccard j collides
+    in ≥1 band with prob 1-(1-j^r)^b (the standard S-curve). Pipeline:
+    signature → explode b band-hashes → equi-join on (band, value) →
+    dedup pairs → estimate — every join is a hash join on a small key,
+    no cross product. Composition of ``minhash_banded`` (materialized
+    once — it feeds both self-join sides) and
+    ``minhash_pairs_from_banded``.
+    """
+    banded = materialize(
+        minhash_banded(df, text_col, id_col, n, num_hashes, bands)
+    )
+    return minhash_pairs_from_banded(banded, id_col, threshold)
 
 
 # ---------------------------------------------------------------------------
