@@ -4705,3 +4705,82 @@ def test_reorg_table_apply_purge(spark, tmp_path):
     assert {os.path.basename(r) for r in reclaimed} >= {
         os.path.basename(r) for r in dirty0
     }
+
+
+def test_changes_since_rate_bounded_backlog(spark, tmp_path):
+    """VERDICT r12 Next #4: a consumer that falls behind must not get
+    the whole backlog as one unbounded microbatch. A 3-commit backlog
+    drains in ≥3 bounded batches (max_versions_per_batch=1 → one
+    commit each; max_files_per_batch caps the window on whole-commit
+    boundaries with guaranteed progress), the union of the bounded
+    batches equals the unbounded read, and a row-tracked sink
+    consuming the bounded batches stays exactly-once under
+    crash-replay (txn token skip, no duplicate ids)."""
+    import time_series_prediction_spark.sources.deltalog as dl
+
+    src = str(tmp_path / "src")
+    dl.write_delta_log(
+        spark.range(10).selectExpr("id AS k", "id * 2 AS v"),
+        src, mode="overwrite",
+    )
+    for i in range(1, 4):  # the 3-commit backlog
+        dl.write_delta_log(
+            spark.range(100 * i, 100 * i + 10)
+            .selectExpr("id AS k", f"CAST({i} AS BIGINT) AS v")
+            .repartition(4),  # several files per commit
+            src, mode="append",
+        )
+    latest = dl.delta_snapshot(spark, src)[2]
+    unbounded, v_un = dl.delta_changes_since(spark, src, -1)
+    assert v_un == latest
+    want = sorted((r["k"], r["v"]) for r in unbounded.collect())
+
+    # version-bounded drain: exactly one commit per poll
+    downstream = str(tmp_path / "down")
+    dl.write_delta_log(
+        spark.createDataFrame([], "k long, v long"), downstream,
+        mode="overwrite",
+    )
+    dl.delta_enable_row_tracking(spark, downstream)
+    sink = dl.delta_stream_sink(downstream, app_id="drainA")
+    got = []
+    last_v, batches = -1, 0
+    while last_v < latest:
+        df, nv = dl.delta_changes_since(
+            spark, src, last_v, max_versions_per_batch=1
+        )
+        assert nv == last_v + 1  # one commit per bounded batch
+        if df is not None:
+            rows = df.collect()
+            got.extend((r["k"], r["v"]) for r in rows)
+            sink(df, batches)
+            if batches == 1:  # crash-replay of one bounded batch
+                sink(df, 1)
+        last_v, batches = nv, batches + 1
+    assert batches >= 4  # v0 + the 3-commit backlog
+    assert sorted(got) == want
+    down = dl.read_delta_with_row_ids(spark, downstream).collect()
+    assert sorted((r["k"], r["v"]) for r in down) == want  # no dupes
+    rids = [r["_row_id"] for r in down]
+    assert len(rids) == len(set(rids))  # replay minted no id twice
+
+    # file-bounded drain: each append landed ~4 files; a cap of 4
+    # stops the window at whole commits (≥3 polls for the backlog),
+    # and a cap SMALLER than one commit still delivers that commit
+    last_v, polls, got2 = 0, 0, []
+    while last_v < latest:
+        df, nv = dl.delta_changes_since(
+            spark, src, last_v, max_files_per_batch=4
+        )
+        assert nv > last_v  # guaranteed progress
+        if df is not None:
+            got2.extend((r["k"], r["v"]) for r in df.collect())
+        last_v, polls = nv, polls + 1
+    assert polls >= 3
+    assert sorted(got2) == sorted(
+        (k, v) for k, v in want if not (0 <= k < 10)
+    )
+    tiny, nv_tiny = dl.delta_changes_since(
+        spark, src, 0, max_files_per_batch=1
+    )
+    assert nv_tiny == 1 and tiny is not None  # one whole commit

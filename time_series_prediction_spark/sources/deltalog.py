@@ -4037,13 +4037,28 @@ def delta_changes_since(
     path: str,
     from_version: int,
     ignore_deletes: bool = False,
+    max_versions_per_batch: int | None = None,
+    max_files_per_batch: int | None = None,
 ) -> tuple[DataFrame | None, int]:
     """Incremental tail of the native Delta log — the streaming-source
     read: rows ADDED by commits ``from_version+1 .. latest``, plus the
-    latest version to checkpoint. Returns ``(None, latest)`` when
-    nothing new. Each data file is read exactly once across a
+    version to checkpoint. Returns ``(None, latest)`` when nothing
+    new. Each data file is read exactly once across a
     correctly-checkpointed polling loop, so tailing cost is
     proportional to the NEW data, never the table.
+
+    **Rate bounding** (Delta's ``maxFilesPerTrigger`` discipline): a
+    consumer that falls behind must not get the whole backlog as one
+    unbounded batch — at 100 TB that single batch is the outage.
+    ``max_versions_per_batch`` caps how many commits one call
+    consumes; ``max_files_per_batch`` stops extending the window once
+    the accumulated add-file count would exceed the cap (whole-commit
+    granularity — a commit is never split, so every delivered batch
+    is transactionally aligned; at least one commit always delivers,
+    so progress is guaranteed even when a single commit exceeds the
+    cap). The returned version is the END OF THE WINDOW CONSUMED —
+    checkpoint it and poll again; the backlog drains across bounded
+    batches with exactly-once delivery intact.
 
     Matches Delta's streaming-source contract for non-append changes:
     a ``remove`` with ``dataChange`` (or a DV appearing/growing on an
@@ -4053,9 +4068,9 @@ def delta_changes_since(
     ``ignoreDeletes`` option) is set. Optimize/compaction commits
     (``dataChange=false``) pass through silently in either mode.
 
-    Scale shape: only the tail commits' JSON is parsed (no checkpoint
-    reads, no table scan); the returned frame scans exactly the new
-    files."""
+    Scale shape: only the window commits' JSON is parsed (no
+    checkpoint reads, no table scan); the returned frame scans exactly
+    the new files."""
     fs = fs_for(spark, path)
     log = os.path.join(path, _LOG_DIR)
     commits: dict[int, str] = {}
@@ -4067,8 +4082,11 @@ def delta_changes_since(
     latest = max(commits)
     if latest <= from_version:
         return None, latest
+    end = latest
+    if max_versions_per_batch is not None:
+        end = min(end, from_version + max(1, int(max_versions_per_batch)))
     missing = [
-        v for v in range(from_version + 1, latest + 1)
+        v for v in range(from_version + 1, end + 1)
         if v not in commits
     ]
     if missing:
@@ -4076,9 +4094,37 @@ def delta_changes_since(
             f"log cleanup removed commits {missing}; this tail's "
             "history is gone — restart the consumer from a snapshot"
         )
+    # parse the window version by version so the file cap can stop
+    # extending it on a whole-commit boundary
+    window_actions: list[tuple[int, dict]] = []
+    n_files = 0
+    last_v = from_version
+    for cv in range(from_version + 1, end + 1):
+        acts = [
+            json.loads(line)
+            for line in fs.read_text(commits[cv]).splitlines()
+            if line.strip()
+        ]
+        adds_here = sum(
+            1
+            for a in acts
+            if a.get("add") is not None
+            and a["add"].get("dataChange", True)
+        )
+        if (
+            max_files_per_batch is not None
+            and last_v > from_version  # always deliver ≥1 commit
+            and n_files + adds_here > int(max_files_per_batch)
+        ):
+            break
+        n_files += adds_here
+        last_v = cv
+        window_actions.extend((cv, a) for a in acts)
+    end = last_v
     # the tail needs the table metaData for schema/partitions; read it
-    # from the full snapshot resolution (cheap: log-sized)
-    _files, meta, _v, _txns, _proto = delta_snapshot(spark, path, latest)
+    # from the full snapshot resolution (cheap: log-sized) at the
+    # WINDOW end — later schema changes belong to later batches
+    _files, meta, _v, _txns, _proto = delta_snapshot(spark, path, end)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     # column mapping 'name' mode tails like any table: _scan_files
     # reads physical names and aliases back (round 10; was a refusal)
@@ -4086,59 +4132,54 @@ def delta_changes_since(
     part_cols = list(meta.get("partitionColumns") or [])
     new_adds: dict[str, dict] = {}
     removed_in_window: set[str] = set()
-    for cv in range(from_version + 1, latest + 1):
-        for line in fs.read_text(commits[cv]).splitlines():
-            line = line.strip()
-            if not line:
+    for cv, action in window_actions:
+        if "remove" in action:
+            r = action["remove"]
+            rel = urllib.parse.unquote(r["path"])
+            if rel in new_adds:
+                if r.get("dataChange", True):
+                    # added and removed (a REAL delete/rewrite)
+                    # within this tail window: rows never
+                    # delivered — drop; the rewrite's replacement
+                    # add (dataChange=true) delivers instead
+                    new_adds.pop(rel)
+                # dataChange=false: COMPACTION of an in-window
+                # add. The compacted replacement is skipped below
+                # (dataChange=false), so the ORIGINAL add must
+                # stay deliverable — its pre-vacuum file still
+                # exists. Popping it here silently lost rows that
+                # WERE committed with dataChange=true (round-9
+                # ADVICE, high).
                 continue
-            action = json.loads(line)
-            if "remove" in action:
-                r = action["remove"]
-                rel = urllib.parse.unquote(r["path"])
-                if rel in new_adds:
-                    if r.get("dataChange", True):
-                        # added and removed (a REAL delete/rewrite)
-                        # within this tail window: rows never
-                        # delivered — drop; the rewrite's replacement
-                        # add (dataChange=true) delivers instead
-                        new_adds.pop(rel)
-                    # dataChange=false: COMPACTION of an in-window
-                    # add. The compacted replacement is skipped below
-                    # (dataChange=false), so the ORIGINAL add must
-                    # stay deliverable — its pre-vacuum file still
-                    # exists. Popping it here silently lost rows that
-                    # WERE committed with dataChange=true (round-9
-                    # ADVICE, high).
-                    continue
-                removed_in_window.add(rel)
-                if r.get("dataChange", True) and not ignore_deletes:
-                    raise ValueError(
-                        f"commit {cv} deletes data from already-"
-                        "delivered files (remove with dataChange) — "
-                        "a pure tail cannot express deletes; pass "
-                        "ignore_deletes=True to skip them, or consume "
-                        "delta_changes_feed instead"
-                    )
-            elif "add" in action:
-                a = action["add"]
-                rel = urllib.parse.unquote(a["path"])
-                if a.get("deletionVector") and not ignore_deletes:
-                    raise ValueError(
-                        f"commit {cv} attaches a deletion vector — "
-                        "rows already delivered were deleted; pass "
-                        "ignore_deletes=True to skip, or consume "
-                        "delta_changes_feed instead"
-                    )
-                if rel in removed_in_window:
-                    # a re-add of a pre-window file (DV attach or
-                    # rewrite): its rows were already delivered —
-                    # re-emitting them would duplicate; under
-                    # ignore_deletes the tail skips the change
-                    continue
-                if a.get("dataChange", True):
-                    new_adds[rel] = a
+            removed_in_window.add(rel)
+            if r.get("dataChange", True) and not ignore_deletes:
+                raise ValueError(
+                    f"commit {cv} deletes data from already-"
+                    "delivered files (remove with dataChange) — "
+                    "a pure tail cannot express deletes; pass "
+                    "ignore_deletes=True to skip them, or consume "
+                    "delta_changes_feed instead"
+                )
+        elif "add" in action:
+            a = action["add"]
+            rel = urllib.parse.unquote(a["path"])
+            if a.get("deletionVector") and not ignore_deletes:
+                raise ValueError(
+                    f"commit {cv} attaches a deletion vector — "
+                    "rows already delivered were deleted; pass "
+                    "ignore_deletes=True to skip, or consume "
+                    "delta_changes_feed instead"
+                )
+            if rel in removed_in_window:
+                # a re-add of a pre-window file (DV attach or
+                # rewrite): its rows were already delivered —
+                # re-emitting them would duplicate; under
+                # ignore_deletes the tail skips the change
+                continue
+            if a.get("dataChange", True):
+                new_adds[rel] = a
     if not new_adds:
-        return None, latest
+        return None, end
     # a new file born WITH a deletion vector (e.g. from a MERGE)
     # delivers only its live rows — reading it whole would emit rows
     # that were never visible in any snapshot
@@ -4152,7 +4193,7 @@ def delta_changes_since(
         positions=positions or None,
         field_ids=_column_field_ids(meta, schema) or None,
     )
-    return out, latest
+    return out, end
 
 
 def delta_changes_feed(
