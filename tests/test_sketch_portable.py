@@ -257,3 +257,36 @@ def test_cms_overestimates_and_is_tight_on_heavy_tokens(spark, sf_dir):
     for r in rows:
         assert r["n_cms"] >= r["n_exact"], r["token"]
         assert r["n_cms"] - r["n_exact"] <= 4 * n_total / CMS_WIDTH, r
+
+
+def test_native_sketch_twins_self_verify(spark, sf_dir):
+    """r12 Next #5: the two rows-only NATIVE sketch queries carry
+    their own cross-check against the oracle-backed portable twin as
+    an output column — a silent native-sketch regression surfaces as
+    a blown gap bound instead of hiding behind the rows-only driver
+    check. Bounds: HLL native lgK=12 (RSE ~1.6%) vs portable m=1024
+    (RSE ~3.3%) ⇒ gap well under 15%; native GK accuracy=10000
+    (near-exact) vs portable log-linear histogram (relative error
+    ≤ 2^-4, one-sided lower bounds) ⇒ gap under 8%."""
+    from time_series_prediction_spark.plans.relational2 import (
+        events_dau_sketch_rollup,
+    )
+    from time_series_prediction_spark.plans.relational3 import (
+        lineitem_quantiles_approx,
+    )
+
+    dau = events_dau_sketch_rollup(spark, sf_dir)
+    assert {"dau_est", "portable_est", "est_gap_frac"} <= set(
+        dau.columns
+    )
+    rows = dau.collect()
+    assert rows
+    worst = max(r["est_gap_frac"] for r in rows)
+    assert worst <= 0.15, f"HLL native/portable gap blew up: {worst}"
+
+    qq = lineitem_quantiles_approx(spark, sf_dir)
+    assert "max_gap_frac" in qq.columns
+    rows = qq.collect()
+    assert rows
+    worst = max(r["max_gap_frac"] for r in rows)
+    assert worst <= 0.08, f"quantile native/portable gap: {worst}"

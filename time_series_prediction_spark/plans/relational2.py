@@ -396,7 +396,19 @@ def events_dau_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sparse regime the two estimates differ by up to ~1×RSE (measured
     1.6% max at sf0.1, lgK=12) — the union is still a lossless merge
     of REGISTERS, and both estimates hold the error bound vs exact
-    DAU; pinned at every fixture scale in tests/test_relational2.py."""
+    DAU; pinned at every fixture scale in tests/test_relational2.py.
+
+    SELF-VERIFYING (r12 Next #5): the query joins its own
+    oracle-backed PORTABLE twin (``portable_hll_daily_sql``, the SQL
+    text the ``events_dau_sketch_rollup_portable`` oracle runs) and
+    emits ``portable_est`` + ``est_gap_frac`` columns — a silent
+    native-sketch regression can no longer hide behind the rows-only
+    check (the gap bound is pinned in tests/test_sketch_portable.py
+    at sf0.1)."""
+    from time_series_prediction_spark.operators.sketch_portable import (
+        portable_hll_daily_sql,
+    )
+
     ev = read_table(spark, sf_dir, "events")
     partials = (
         ev.select(
@@ -407,12 +419,23 @@ def events_dau_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day", "_shard")
         .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("_sk"))
     )
-    return (
-        partials.groupBy("day")
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("dau_est"),
-            F.count(F.lit(1)).cast("long").alias("n_partials"),
-        )
+    native = partials.groupBy("day").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("dau_est"),
+        F.count(F.lit(1)).cast("long").alias("n_partials"),
+    )
+    ev.createOrReplaceTempView("_ev_dau_native_check")
+    portable = spark.sql(
+        portable_hll_daily_sql("_ev_dau_native_check", m=1024)
+    ).selectExpr("day", "approx_dau AS portable_est")
+    return native.join(portable, "day").select(
+        "day",
+        "dau_est",
+        "n_partials",
+        "portable_est",
+        (
+            F.abs(F.col("dau_est") - F.col("portable_est"))
+            / F.col("portable_est")
+        ).alias("est_gap_frac"),
     )
 
 

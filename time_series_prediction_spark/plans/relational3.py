@@ -306,10 +306,21 @@ def lineitem_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output is four scalar columns (p25/p50/p75/p95) rather than one
     array column — array cells are unhashable for downstream
     canonicalizers (pandas sort) and scalar columns are the friendlier
-    relational shape anyway."""
+    relational shape anyway.
+
+    SELF-VERIFYING (r12 Next #5): joins its oracle-backed PORTABLE
+    twin (``portable_quantile_sql``, relative error ≤ 2^-4 by
+    construction, reporting bucket LOWER bounds) and emits
+    ``max_gap_frac`` = the worst per-percentile relative gap — a
+    silent native-GK regression can't hide behind the rows-only
+    check (bound pinned in tests/test_sketch_portable.py at sf0.1)."""
+    from time_series_prediction_spark.operators.sketch_portable import (
+        portable_quantile_sql,
+    )
+
     li = read_table(spark, sf_dir, "lineitem")
     q = F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75, 0.95], 10000)
-    return (
+    native = (
         li.groupBy("l_returnflag")
         .agg(q.alias("_q"), F.count(F.lit(1)).cast("long").alias("n"))
         .select(
@@ -320,6 +331,26 @@ def lineitem_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_q")[3].alias("p95"),
             "n",
         )
+    )
+    li.createOrReplaceTempView("_li_quant_native_check")
+    portable = spark.sql(
+        portable_quantile_sql("_li_quant_native_check")
+    ).selectExpr(
+        "l_returnflag",
+        "p25 AS q25",
+        "p50 AS q50",
+        "p75 AS q75",
+        "p95 AS q95",
+    )
+    gap = F.greatest(
+        *[
+            F.abs(F.col(f"p{p}") - F.col(f"q{p}")) / F.col(f"p{p}")
+            for p in (25, 50, 75, 95)
+        ]
+    )
+    return native.join(portable, "l_returnflag").select(
+        "l_returnflag", "p25", "p50", "p75", "p95", "n",
+        gap.alias("max_gap_frac"),
     )
 
 
