@@ -2156,6 +2156,213 @@ GROUP BY event_type
 """
 
 
+_DELTA_BOUNDED_TAIL_SPEC = "delta-events-btail|v1|4commit-backlog|v1f6"
+
+
+def events_delta_bounded_tail_layout(
+    spark: SparkSession, sf_dir: str
+) -> str:
+    """A consumer draining a pre-existing 4-commit BACKLOG under rate
+    bounding (r13: ``delta_changes_since(max_versions_per_batch=1)``
+    — the maxFilesPerTrigger discipline): all four commits land
+    FIRST, then the consumer polls one-commit batches into an
+    accumulator. The build asserts the drain took one poll per commit
+    (never the whole backlog at once) and that a file-capped drain
+    (max_files_per_batch) also completes with guaranteed progress;
+    the accumulator equals raw truth only if the bounded batches
+    delivered every row exactly once."""
+    from time_series_prediction_spark.sources.deltalog import (
+        delta_changes_since,
+        write_delta_log,
+    )
+
+    src = os.path.join(sf_dir, "events.parquet")
+    root = os.path.join(tempfile.gettempdir(), "tsp_layouts")
+    fs = fs_for(spark, root)
+    st = fs.status(src)
+    if st is None:
+        raise FileNotFoundError(src)
+    ident = f"{fs.qualified(src)}|{st[0]}|{st[1]}|{_DELTA_BOUNDED_TAIL_SPEC}"
+    key = hashlib.md5(ident.encode()).hexdigest()[:16]
+    path = os.path.join(root, f"events_dbtail_{key}")
+
+    def _build(tmp: str) -> None:
+        data = os.path.join(tmp, "data")
+        acc = os.path.join(tmp, "acc")
+        ev = read_table(spark, sf_dir, "events").select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias(
+                "value_cents"
+            ),
+        )
+        for i in range(4):  # the backlog lands BEFORE any poll
+            write_delta_log(
+                ev.where(F.col("event_id") % 4 == i), data,
+                mode="append" if i else "overwrite",
+            )
+        last_v, polls = -1, 0
+        while True:
+            delivered, nv = delta_changes_since(
+                spark, data, last_v, max_versions_per_batch=1
+            )
+            if nv == last_v:
+                break
+            assert nv == last_v + 1, "bounded poll consumed >1 commit"
+            assert delivered is not None
+            delivered.write.mode("append").parquet(acc)
+            last_v, polls = nv, polls + 1
+        assert polls == 4, f"backlog drained in {polls} polls, not 4"
+        # file-capped drain cross-check: same union, bounded windows,
+        # guaranteed progress even when one commit exceeds the cap
+        n_total = 0
+        last_v = -1
+        while True:
+            d, nv = delta_changes_since(
+                spark, data, last_v, max_files_per_batch=6
+            )
+            if nv == last_v:
+                break
+            assert nv > last_v
+            if d is not None:
+                n_total += d.count()
+            last_v = nv
+        want = spark.read.parquet(acc).count()
+        assert n_total == want, (n_total, want)
+
+    ensure_artifact(spark, path, ident, _build)
+    return path
+
+
+def events_delta_bounded_tail_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Aggregate over the rate-bounded drain's accumulator: equality
+    with the raw-events oracle proves the bounded one-commit batches
+    delivered the whole backlog exactly once (a duplicate or a miss
+    shifts the counts)."""
+    path = events_delta_bounded_tail_layout(spark, sf_dir)
+    return (
+        spark.read.parquet(os.path.join(path, "acc"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("value_cents").cast("long").alias("total_cents"),
+        )
+    )
+
+
+_DELTA_INCR_SPEC = "delta-orders-incr|v1|cluster-bucket-key|2ticks"
+
+
+def orders_delta_incremental_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Liquid clustering's INCREMENTAL maintenance loop end to end
+    (r13 ``delta_optimize_incremental`` with the multi-column overlap
+    test + ZCube exemption): a row-tracked table clustered on
+    (bucket, o_orderkey) — a LOW-CARDINALITY leading key, the exact
+    case where leading-key-only overlap degenerates to rewrite-all —
+    takes a full OPTIMIZE, then two narrow key-range appends, each
+    followed by an incremental tick. The build asserts the O(batch)
+    contract loudly: settled files survive every tick, a repeat tick
+    is a strict no-op, and row ids stay unique throughout. The result
+    is the table's logical per-bucket rollup, stated relationally by
+    the oracle."""
+    from time_series_prediction_spark.sources.deltalog import (
+        delta_cluster_by,
+        delta_enable_row_tracking,
+        delta_optimize,
+        delta_optimize_incremental,
+        delta_snapshot,
+        read_delta_with_row_ids,
+        write_delta_log,
+    )
+    from time_series_prediction_spark.sources.io import read_delta
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    root = os.path.join(tempfile.gettempdir(), "tsp_layouts")
+    fs = fs_for(spark, root)
+    st = fs.status(src)
+    if st is None:
+        raise FileNotFoundError(src)
+    ident = f"{fs.qualified(src)}|{st[0]}|{st[1]}|{_DELTA_INCR_SPEC}"
+    key = hashlib.md5(ident.encode()).hexdigest()[:16]
+    path = os.path.join(root, f"orders_deltaincr_{key}")
+
+    def _build(tmp: str) -> None:
+        data = os.path.join(tmp, "data")
+        base = _orders_state(spark, sf_dir).select(
+            "o_orderkey",
+            (F.col("o_orderkey") % 5).cast("long").alias("bucket"),
+            "price_cents",
+        )
+        mk = base.agg(F.max("o_orderkey")).first()[0]
+        write_delta_log(
+            base.where("o_orderkey % 2 = 0"), data, mode="overwrite"
+        )
+        delta_enable_row_tracking(spark, data)
+        delta_cluster_by(spark, data, ["bucket", "o_orderkey"])
+        delta_optimize(spark, data, target_files=6)
+        appends = [
+            f"o_orderkey % 2 = 1 AND o_orderkey * 10 <= {mk}",
+            f"o_orderkey % 2 = 1 AND o_orderkey * 10 > {mk} * 9",
+        ]
+        for pred in appends:
+            files_before = set(delta_snapshot(spark, data)[0])
+            write_delta_log(base.where(pred), data, mode="append")
+            delta_optimize_incremental(spark, data, target_files=6)
+            files_after, _m, v, _t, _p = delta_snapshot(spark, data)
+            if not (files_before & set(files_after)):
+                raise AssertionError(
+                    "incremental tick rewrote every settled file — "
+                    "the O(batch) contract is broken"
+                )
+            if delta_optimize_incremental(spark, data) != v:
+                raise AssertionError(
+                    "repeat incremental tick was not a no-op"
+                )
+        ids = [
+            r["_row_id"]
+            for r in read_delta_with_row_ids(spark, data)
+            .select("_row_id").collect()
+        ]
+        if len(ids) != len(set(ids)):
+            raise AssertionError("row ids not unique after ticks")
+
+    ensure_artifact(spark, path, ident, _build)
+    return (
+        read_delta(spark, os.path.join(path, "data"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("price_cents").cast("long").alias("total_cents"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        )
+    )
+
+
+ORDERS_DELTA_INCR_SQL = """
+WITH mx AS (SELECT max(o_orderkey) AS mk FROM orders),
+cur AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+  WHERE o_orderkey % 2 = 0
+     OR (o_orderkey % 2 = 1
+         AND (o_orderkey * 10 <= (SELECT mk FROM mx)
+              OR o_orderkey * 10 > (SELECT mk FROM mx) * 9))
+)
+SELECT CAST(k % 5 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST(sum(k) AS BIGINT) AS key_sum
+FROM cur
+GROUP BY k % 5
+"""
+
+
 _CLONE_SPEC = "cow-clone|v1|restore-to-1"
 
 
@@ -2951,6 +3158,14 @@ TABLE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "orders_delta_reorg_scan": (
         orders_delta_reorg_scan,
         ORDERS_DELTA_REORG_SQL,
+    ),
+    "orders_delta_incremental_scan": (
+        orders_delta_incremental_scan,
+        ORDERS_DELTA_INCR_SQL,
+    ),
+    "events_delta_bounded_tail_scan": (
+        events_delta_bounded_tail_scan,
+        EVENTS_DELTA_TAIL_SQL,
     ),
     "orders_delta_merge_scan": (
         orders_delta_merge_scan,
