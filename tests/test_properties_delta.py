@@ -323,7 +323,17 @@ def test_dml_sequence_on_row_tracked_table(
         prev = cur
         if i == opt_at:
             before = _ids()
-            dl.delta_optimize(spark, path, target_files=1)
+            # randomly materialize via OPTIMIZE or REORG PURGE (r13) —
+            # both are dataChange=false rewrites a reader must never
+            # observe, REORG additionally purging any DV state
+            if data.draw(st.booleans(), label="reorg_not_optimize"):
+                dl.delta_reorg_purge(spark, path)
+                files, *_ = dl.delta_snapshot(spark, path)
+                assert not any(
+                    a.get("deletionVector") for a in files.values()
+                )
+            else:
+                dl.delta_optimize(spark, path, target_files=1)
             assert _ids() == before  # dataChange=false: unobservable
             prev = before
 
