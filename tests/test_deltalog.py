@@ -4784,3 +4784,122 @@ def test_changes_since_rate_bounded_backlog(spark, tmp_path):
         spark, src, 0, max_files_per_batch=1
     )
     assert nv_tiny == 1 and tiny is not None  # one whole commit
+
+
+def test_checkpoint_interval_and_policy_properties(spark, tmp_path):
+    """delta.checkpointInterval overrides the auto-checkpoint cadence
+    per table, and delta.checkpointPolicy='v2' routes the automatic
+    rollup through the UUID-named v2 checkpoint writer — both real
+    Delta table properties."""
+    import time_series_prediction_spark.sources.deltalog as dl
+
+    table = str(tmp_path / "t")
+    log = os.path.join(table, "_delta_log")
+    dl.write_delta_log(spark.range(5).selectExpr("id AS k"), table)
+    dl.delta_set_table_property(
+        spark, table, "delta.checkpointInterval", "3"
+    )  # v1
+    dl.write_delta_log(
+        spark.createDataFrame([(10,)], "k long"), table, mode="append"
+    )  # v2
+    assert not [
+        n for n in os.listdir(log)
+        if ".checkpoint" in n and not n.startswith(".")
+    ]  # not yet
+    dl.write_delta_log(
+        spark.createDataFrame([(11,)], "k long"), table, mode="append"
+    )  # v3 -> classic checkpoint at the table's own cadence
+    cps = [
+        n for n in os.listdir(log)
+        if ".checkpoint" in n and not n.startswith(".")
+    ]
+    assert cps == [f"{3:020d}.checkpoint.parquet"]
+
+    dl.delta_set_table_property(
+        spark, table, "delta.checkpointPolicy", "v2"
+    )  # v4
+    dl.write_delta_log(
+        spark.createDataFrame([(12,)], "k long"), table, mode="append"
+    )  # v5
+    dl.write_delta_log(
+        spark.createDataFrame([(13,)], "k long"), table, mode="append"
+    )  # v6 fires the auto-rollup; the v2 writer first commits the
+    # v2Checkpoint protocol upgrade (v7) and checkpoints THERE
+    import re as _re
+
+    v2cps = [
+        n
+        for n in os.listdir(log)
+        if not n.startswith(".")
+        and _re.match(r"0+7\.checkpoint\.[0-9a-f-]{36}\.parquet$", n)
+    ]
+    assert len(v2cps) == 1, sorted(os.listdir(log))
+    # the table still reads exactly through the v2 rollup
+    assert dl.read_delta_log(spark, table).count() == 9
+    got = dl.delta_snapshot(spark, table)[2]
+    assert got == 7
+
+
+def test_data_skipping_stats_properties(spark, tmp_path):
+    """delta.dataSkippingNumIndexedCols limits min/max/nullCount to
+    the first N schema columns (numRecords always recorded — row
+    tracking and identity read it); delta.dataSkippingStatsColumns
+    names the indexed set explicitly and wins over N. Pruned reads
+    must treat a column without stats as unprunable, never as
+    empty."""
+    import time_series_prediction_spark.sources.deltalog as dl
+
+    table = str(tmp_path / "t")
+    dl.write_delta_log(
+        spark.range(50).selectExpr(
+            "id AS a", "id * 2 AS b", "id * 3 AS c"
+        ).coalesce(1),
+        table, mode="overwrite",
+    )
+    dl.delta_set_table_property(
+        spark, table, "delta.dataSkippingNumIndexedCols", "1"
+    )
+    dl.write_delta_log(
+        spark.range(50, 100).selectExpr(
+            "id AS a", "id * 2 AS b", "id * 3 AS c"
+        ).coalesce(1),
+        table, mode="append",
+    )
+    files, *_ = dl.delta_snapshot(spark, table)
+    stats = {
+        rel: json.loads(add["stats"]) for rel, add in files.items()
+    }
+    narrow = [
+        s for s in stats.values() if "b" not in s["minValues"]
+    ]
+    wide = [s for s in stats.values() if "b" in s["minValues"]]
+    assert narrow and wide  # pre-property files keep full stats
+    for s in narrow:
+        assert "a" in s["minValues"] and "c" not in s["minValues"]
+        assert s["numRecords"] == 50  # always recorded
+    # a stats-pruned read on the UNINDEXED column must scan the
+    # narrow file (no stats = cannot prune), never skip it
+    got = dl.read_delta_pruned(spark, table, {"b": (150, 160)})
+    ks = sorted(r["a"] for r in got.where("b between 150 and 160").collect())
+    assert ks == [75, 76, 77, 78, 79, 80]
+
+    # explicit stats-column list wins over N
+    dl.delta_set_table_property(
+        spark, table, "delta.dataSkippingStatsColumns", "c"
+    )
+    dl.write_delta_log(
+        spark.range(100, 120).selectExpr(
+            "id AS a", "id * 2 AS b", "id * 3 AS c"
+        ).coalesce(1),
+        table, mode="append",
+    )
+    files, *_ = dl.delta_snapshot(spark, table)
+    newest = [
+        json.loads(a["stats"])
+        for a in files.values()
+        if json.loads(a["stats"])["numRecords"] == 20
+    ]
+    assert newest
+    for s in newest:
+        assert "c" in s["minValues"]
+        assert "a" not in s["minValues"] and "b" not in s["minValues"]

@@ -1194,14 +1194,55 @@ def _adds_for_files(
 _DELTA_STATS_MAX_FILES = 256
 
 
+def _indexed_stat_cols(
+    meta: dict | None, cols: list[str]
+) -> set[str] | None:
+    """The subset of PHYSICAL columns to carry min/max/nullCount in
+    add.stats, honoring the real Delta properties:
+    ``delta.dataSkippingStatsColumns`` (explicit logical-name list —
+    wins when set) and ``delta.dataSkippingNumIndexedCols`` (first N
+    schema columns; physical columns outside the schema, e.g.
+    materialized row-tracking columns, always keep stats — the
+    identity/row-id machinery reads them). ``None`` = no restriction
+    (this writer's historical default: index everything)."""
+    cfg = (meta or {}).get("configuration") or {}
+    schema_phys: list[str] = []
+    mapping: dict[str, str] = {}
+    if meta is not None and meta.get("schemaString"):
+        try:
+            schema = StructType.fromJson(json.loads(meta["schemaString"]))
+            mapping = _column_mapping(meta, schema)
+            schema_phys = [mapping.get(f.name, f.name) for f in schema.fields]
+        except Exception:  # noqa: BLE001 — stats are best-effort
+            return None
+    explicit = cfg.get("delta.dataSkippingStatsColumns")
+    if explicit:
+        want = {
+            mapping.get(c.strip(), c.strip())
+            for c in str(explicit).split(",")
+            if c.strip()
+        }
+        return want | (set(cols) - set(schema_phys))
+    try:
+        n = int(cfg.get("delta.dataSkippingNumIndexedCols", -1))
+    except (TypeError, ValueError):
+        return None
+    if n < 0 or not schema_phys:
+        return None
+    return set(schema_phys[:n]) | (set(cols) - set(schema_phys))
+
+
 def _stats_for_files(
-    new_files: list[str], cols: list[str], base: str
+    new_files: list[str], cols: list[str], base: str,
+    indexed: set[str] | None = None,
 ) -> dict[str, str]:
     """``add.stats`` JSON per landed file — numRecords, minValues/
     maxValues (numeric or string, PHYSICAL column names as written),
     nullCount (only where provably zero). Footer metadata only; {}
     when the files aren't locally readable or the batch is too wide
-    (stats are best-effort, the spec's own stance)."""
+    (stats are best-effort, the spec's own stance). ``indexed``
+    restricts which columns carry min/max/nullCount (the
+    dataSkipping properties) — numRecords is always recorded."""
     if not cols or len(new_files) > _DELTA_STATS_MAX_FILES:
         return {}
     from time_series_prediction_spark.operators.manifest import (
@@ -1218,6 +1259,8 @@ def _stats_for_files(
             f, {"minValues": {}, "maxValues": {}, "nullCount": {}}
         )
         nrec[f] = max(nrec.get(f, 0), int(n_rows or 0))
+        if indexed is not None and col not in indexed:
+            continue  # numRecords still counted above
         if vmin is not None:
             d["minValues"][col] = vmin
             d["maxValues"][col] = vmax
@@ -1438,6 +1481,10 @@ def write_delta_log(
         new_files,
         [c for c in land_df.columns if c not in land_parts],
         base,
+        indexed=_indexed_stat_cols(
+            evolved_meta if evolved_meta is not None else prev_meta,
+            [c for c in land_df.columns if c not in land_parts],
+        ),
     )
     if id_assigned and new_files:
         # identity high watermark advances to the max actually landed
@@ -1500,7 +1547,9 @@ def write_delta_log(
         op="OVERWRITE" if mode == "overwrite" else "APPEND",
         meta=prev_meta if next_v > 0 else None,
     )
-    _maybe_auto_checkpoint(spark, path, next_v)
+    _maybe_auto_checkpoint(
+        spark, path, next_v, prev_meta if next_v > 0 else None
+    )
     return next_v
 
 
@@ -1517,14 +1566,27 @@ DELTA_AUTO_CHECKPOINT_EVERY = 32
 
 
 def _maybe_auto_checkpoint(
-    spark: SparkSession, path: str, version: int
+    spark: SparkSession, path: str, version: int, meta: dict | None = None
 ) -> None:
-    if (
-        DELTA_AUTO_CHECKPOINT_EVERY
-        and version > 0
-        and version % DELTA_AUTO_CHECKPOINT_EVERY == 0
-    ):
-        write_checkpoint(spark, path)
+    """Checkpoint every K commits. ``delta.checkpointInterval`` (the
+    real Delta table property) overrides the module default when the
+    caller's snapshot ``meta`` is in hand — callers that don't have it
+    get the default cadence, never an extra log replay per commit.
+    ``delta.checkpointPolicy='v2'`` routes the rollup through the
+    UUID-named v2 checkpoint writer (sidecar file actions)."""
+    cfg = (meta or {}).get("configuration") or {}
+    try:
+        every = int(
+            cfg.get("delta.checkpointInterval", DELTA_AUTO_CHECKPOINT_EVERY)
+            or 0
+        )
+    except (TypeError, ValueError):
+        every = DELTA_AUTO_CHECKPOINT_EVERY
+    if every and version > 0 and version % every == 0:
+        if str(cfg.get("delta.checkpointPolicy", "")).lower() == "v2":
+            write_checkpoint_v2(spark, path)
+        else:
+            write_checkpoint(spark, path)
 
 
 # features implied by LEGACY protocol version numbers — a table
@@ -1750,7 +1812,7 @@ def delta_set_table_property(
     actions.append({"metaData": {**meta, "configuration": conf}})
     _commit_json(fs, path, v + 1, actions, op="SET TBLPROPERTIES",
                  meta=meta, ict=ict_val)
-    _maybe_auto_checkpoint(spark, path, v + 1)
+    _maybe_auto_checkpoint(spark, path, v + 1, meta)
     return v + 1
 
 
@@ -2069,7 +2131,7 @@ def delta_set_identity_column(
     fs = fs_for(spark, path)
     _commit_json(fs, path, v + 1, actions, op="SET IDENTITY",
                  meta=meta)
-    _maybe_auto_checkpoint(spark, path, v + 1)
+    _maybe_auto_checkpoint(spark, path, v + 1, meta)
     return v + 1
 
 
@@ -2122,7 +2184,7 @@ def delta_set_generated_column(
     fs = fs_for(spark, path)
     _commit_json(fs, path, v + 1, actions, op="SET GENERATED",
                  meta=meta)
-    _maybe_auto_checkpoint(spark, path, v + 1)
+    _maybe_auto_checkpoint(spark, path, v + 1, meta)
     return v + 1
 
 
@@ -2343,7 +2405,7 @@ def delta_enable_column_mapping(spark: SparkSession, path: str) -> int:
     _commit_json(
         fs, path, v + 1, actions, op="ENABLE COLUMN MAPPING", meta=meta
     )
-    _maybe_auto_checkpoint(spark, path, v + 1)
+    _maybe_auto_checkpoint(spark, path, v + 1, meta)
     return v + 1
 
 
@@ -2429,7 +2491,7 @@ def delta_rename_column(
     fs = fs_for(spark, path)
     _commit_json(fs, path, v + 1, actions, op="RENAME COLUMN",
                  meta=meta)
-    _maybe_auto_checkpoint(spark, path, v + 1)
+    _maybe_auto_checkpoint(spark, path, v + 1, meta)
     return v + 1
 
 
@@ -2472,7 +2534,7 @@ def delta_drop_column(spark: SparkSession, path: str, name: str) -> int:
     ]
     fs = fs_for(spark, path)
     _commit_json(fs, path, v + 1, actions, op="DROP COLUMN", meta=meta)
-    _maybe_auto_checkpoint(spark, path, v + 1)
+    _maybe_auto_checkpoint(spark, path, v + 1, meta)
     return v + 1
 
 
@@ -2516,7 +2578,7 @@ def delta_add_column(
     ]
     fs = fs_for(spark, path)
     _commit_json(fs, path, v + 1, actions, op="ADD COLUMN", meta=meta)
-    _maybe_auto_checkpoint(spark, path, v + 1)
+    _maybe_auto_checkpoint(spark, path, v + 1, meta)
     return v + 1
 
 
@@ -2589,7 +2651,7 @@ def delta_enable_row_tracking(spark: SparkSession, path: str) -> int:
     fs = fs_for(spark, path)
     _commit_json(fs, path, v + 1, actions, op="ENABLE ROW TRACKING",
                  meta=meta)
-    _maybe_auto_checkpoint(spark, path, v + 1)
+    _maybe_auto_checkpoint(spark, path, v + 1, meta)
     return v + 1
 
 
@@ -2729,7 +2791,7 @@ def delta_add_constraint(
     fs = fs_for(spark, path)
     _commit_json(fs, path, v + 1, actions, op="ADD CONSTRAINT",
                  meta=meta)
-    _maybe_auto_checkpoint(spark, path, v + 1)
+    _maybe_auto_checkpoint(spark, path, v + 1, meta)
     return v + 1
 
 
@@ -2751,7 +2813,7 @@ def delta_drop_constraint(
         [{"metaData": {**meta, "configuration": conf}}],
         op="DROP CONSTRAINT", meta=meta,
     )
-    _maybe_auto_checkpoint(spark, path, v + 1)
+    _maybe_auto_checkpoint(spark, path, v + 1, meta)
     return v + 1
 
 
@@ -3077,7 +3139,7 @@ def _delta_delete_once(
     finally:
         if cdf:
             matched_full.unpersist()
-    _maybe_auto_checkpoint(spark, path, v + 1)
+    _maybe_auto_checkpoint(spark, path, v + 1, meta)
     # cumulative-DV bound: every read pays an O(total DV positions)
     # driver materialization + broadcast; single deletes are capped by
     # max_dv_rows but many small deletes accumulate without bound
@@ -3380,6 +3442,9 @@ def _delta_merge_once(
             new_files,
             [c for c in land_df.columns if c not in land_parts],
             base,
+            indexed=_indexed_stat_cols(
+                meta, [c for c in land_df.columns if c not in land_parts]
+            ),
         )
         actions: list[dict] = []
         if txn is not None:
@@ -3413,7 +3478,7 @@ def _delta_merge_once(
         if cdf:
             actions.extend(_cdc_actions())
         _commit_json(fs, path, v + 1, actions, op="MERGE", meta=meta)
-        _maybe_auto_checkpoint(spark, path, v + 1)
+        _maybe_auto_checkpoint(spark, path, v + 1, meta)
         cumulative = sum(
             len(hits[rel]) if rel in hits else len(existing.get(rel, ()))
             for rel in set(files) | set(hits)
@@ -3653,6 +3718,9 @@ def _delta_update_once(
             new_files,
             [c for c in land_df.columns if c not in land_parts],
             base,
+            indexed=_indexed_stat_cols(
+                meta, [c for c in land_df.columns if c not in land_parts]
+            ),
         )
         actions: list[dict] = []
         upgrade = _dv_upgrade_protocol(protocol)
@@ -3667,7 +3735,7 @@ def _delta_update_once(
         if cdf:
             actions.extend(_cdc_actions())
         _commit_json(fs, path, v + 1, actions, op="UPDATE", meta=meta)
-        _maybe_auto_checkpoint(spark, path, v + 1)
+        _maybe_auto_checkpoint(spark, path, v + 1, meta)
         cumulative = sum(
             len(hits[rel]) if rel in hits else len(existing.get(rel, ()))
             for rel in set(files) | set(hits)
@@ -3880,7 +3948,7 @@ def delta_restore(spark: SparkSession, path: str, version: int) -> int:
     # snapshot turns the clock back off with the configuration
     _commit_json(fs, path, cur_v + 1, actions, op="RESTORE",
                  meta=old_meta)
-    _maybe_auto_checkpoint(spark, path, cur_v + 1)
+    _maybe_auto_checkpoint(spark, path, cur_v + 1, old_meta)
     return cur_v + 1
 
 
@@ -4444,6 +4512,9 @@ def delta_optimize(
         new_files,
         [c for c in df.columns if c not in land_part_cols],
         base,
+        indexed=_indexed_stat_cols(
+            meta, [c for c in df.columns if c not in land_part_cols]
+        ),
     )
     new_adds = _adds_for_files(fs, base, new_files, False, stats)
     if zorder_by:
@@ -4456,7 +4527,7 @@ def delta_optimize(
             spark, base, actions, _rt_hwm(domains), v + 1
         )
     _commit_json(fs, path, v + 1, actions, op="OPTIMIZE", meta=meta)
-    _maybe_auto_checkpoint(spark, path, v + 1)
+    _maybe_auto_checkpoint(spark, path, v + 1, meta)
     return v + 1
 
 
@@ -4687,6 +4758,9 @@ def delta_optimize_incremental(
         new_files,
         [c for c in df.columns if c not in land_part_cols],
         base,
+        indexed=_indexed_stat_cols(
+            meta, [c for c in df.columns if c not in land_part_cols]
+        ),
     )
     new_adds = _adds_for_files(fs, base, new_files, False, stats)
     _stamp_zcube(new_adds)  # this tick's outputs are one ZCube
@@ -4697,7 +4771,7 @@ def delta_optimize_incremental(
         )
     _commit_json(fs, path, v + 1, actions, op="OPTIMIZE INCREMENTAL",
                  meta=meta)
-    _maybe_auto_checkpoint(spark, path, v + 1)
+    _maybe_auto_checkpoint(spark, path, v + 1, meta)
     return v + 1
 
 
@@ -4872,6 +4946,9 @@ def delta_reorg_purge(
         new_files,
         [c for c in df.columns if c not in land_part_cols],
         base,
+        indexed=_indexed_stat_cols(
+            meta, [c for c in df.columns if c not in land_part_cols]
+        ),
     )
     new_adds = _adds_for_files(fs, base, new_files, False, stats)
     if ccols:
@@ -4882,7 +4959,7 @@ def delta_reorg_purge(
             spark, base, actions, _rt_hwm(domains), v + 1
         )
     _commit_json(fs, path, v + 1, actions, op="REORG PURGE", meta=meta)
-    _maybe_auto_checkpoint(spark, path, v + 1)
+    _maybe_auto_checkpoint(spark, path, v + 1, meta)
     return v + 1
 
 
@@ -5738,7 +5815,7 @@ def delta_cluster_by(
             }
         )
     _commit_json(fs, path, v + 1, actions, op="CLUSTER BY", meta=meta)
-    _maybe_auto_checkpoint(spark, path, v + 1)
+    _maybe_auto_checkpoint(spark, path, v + 1, meta)
     return v + 1
 
 
