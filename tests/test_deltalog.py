@@ -4903,3 +4903,54 @@ def test_data_skipping_stats_properties(spark, tmp_path):
     for s in newest:
         assert "c" in s["minValues"]
         assert "a" not in s["minValues"] and "b" not in s["minValues"]
+
+
+def test_log_retention_metadata_cleanup(spark, tmp_path):
+    """delta.logRetentionDuration-aware metadata cleanup: commits
+    below the newest checkpoint AND older than the window are
+    deleted (JSONs, superseded checkpoints, .crc); the newest
+    checkpoint and everything after always survive; time travel
+    inside the window keeps working and outside raises; the default
+    30-day window deletes nothing young."""
+    import time_series_prediction_spark.sources.deltalog as dl
+
+    table = str(tmp_path / "t")
+    log = os.path.join(table, "_delta_log")
+    for i in range(5):  # v0..v4
+        dl.write_delta_log(
+            spark.createDataFrame([(i, i)], "k long, v long"),
+            table, mode="overwrite" if i == 0 else "append",
+        )
+    dl.write_checkpoint(spark, table)          # checkpoint at v4
+    dl.delta_write_crc(spark, table)
+    dl.write_delta_log(                         # v5 after the ceiling
+        spark.createDataFrame([(9, 9)], "k long, v long"),
+        table, mode="append",
+    )
+    # default 30-day retention: everything is young, nothing deleted
+    assert dl.delta_cleanup_metadata(spark, table) == []
+
+    # zero retention: delete below the newest checkpoint only
+    dl.delta_set_table_property(  # v6
+        spark, table, "delta.logRetentionDuration", "interval 0 days"
+    )
+    dl.write_checkpoint(spark, table)          # new ceiling at v6
+    deleted = dl.delta_cleanup_metadata(spark, table)
+    assert f"{0:020d}.json" in deleted
+    assert f"{5:020d}.json" in deleted
+    assert f"{4:020d}.checkpoint.parquet" in deleted  # superseded cp
+    names = set(os.listdir(log))
+    assert f"{6:020d}.json" in names            # ceiling survives
+    assert f"{6:020d}.checkpoint.parquet" in names
+    # the table still reads exactly; pre-cleanup versions raise
+    assert dl.read_delta_log(spark, table).count() == 6
+    assert dl.delta_snapshot(spark, table, version=6)[2] == 6
+    with pytest.raises(ValueError, match="missing commit|no delta"):
+        dl.delta_snapshot(spark, table, version=3)
+
+    # parse fallback: garbage retention value falls back to 30 days
+    dl.delta_set_table_property(  # v7
+        spark, table, "delta.logRetentionDuration", "not-a-duration"
+    )
+    dl.write_checkpoint(spark, table)
+    assert dl.delta_cleanup_metadata(spark, table) == []

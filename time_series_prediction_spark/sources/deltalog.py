@@ -5733,6 +5733,110 @@ def write_checkpoint_v2(
     return v
 
 
+_INTERVAL_RE = re.compile(
+    r"^\s*interval\s+(\d+)\s+(day|hour|minute|second)s?\s*$", re.I
+)
+_INTERVAL_MS = {
+    "day": 86_400_000,
+    "hour": 3_600_000,
+    "minute": 60_000,
+    "second": 1_000,
+}
+
+
+def _retention_ms(value: str | None, default_ms: int) -> int:
+    """Parse a Delta duration property ('interval 30 days' — the
+    delta-spark CalendarInterval form — or a plain millisecond
+    count); unparseable values fall back to the default (never to
+    zero, which would silently delete history)."""
+    if value is None:
+        return default_ms
+    m = _INTERVAL_RE.match(str(value))
+    if m:
+        return int(m[1]) * _INTERVAL_MS[m[2].lower()]
+    try:
+        return int(value)
+    except (TypeError, ValueError):
+        return default_ms
+
+
+def delta_cleanup_metadata(
+    spark: SparkSession,
+    path: str,
+    now_ms: int | None = None,
+) -> list[str]:
+    """Log (metadata) cleanup honoring ``delta.logRetentionDuration``
+    (default 30 days — delta-spark's own rule): delete commit JSONs,
+    superseded checkpoint files, and ``.crc`` checksums whose version
+    is BELOW the newest retained checkpoint and whose commit
+    timestamp is older than the retention window. The newest
+    checkpoint (and everything at or after it) always survives —
+    cleanup must never delete a commit the snapshot reconstruction
+    still needs. Time travel inside the window keeps working; outside
+    it, reads raise (the documented Delta trade —
+    ``delta_vacuum``'s docstring states the data-file half).
+
+    The blunt instrument remains ``write_checkpoint(...,
+    clean_old_commits=True)`` (delete everything at or below the new
+    checkpoint regardless of age); this function is the
+    retention-aware policy a long-lived 100 TB table actually runs on
+    a schedule. Returns the deleted names."""
+    fs = fs_for(spark, path)
+    log = os.path.join(path, _LOG_DIR)
+    _files, meta, _v, _txns, _proto = delta_snapshot(spark, path)
+    keep_ms = _retention_ms(
+        (meta.get("configuration") or {}).get(
+            "delta.logRetentionDuration"
+        ),
+        30 * 86_400_000,
+    )
+    cutoff = (
+        int(_time.time() * 1000) if now_ms is None else int(now_ms)
+    ) - keep_ms
+    names = fs.list_names(log)
+    cps = _checkpoint_groups(names)
+    if not cps:
+        return []  # no checkpoint: every commit is load-bearing
+    ceiling = max(cps)  # newest checkpoint version: always retained
+
+    def _commit_ts(n: str) -> int:
+        p = os.path.join(log, n)
+        st = fs.status(p)
+        ts = 0 if st is None else st[1]
+        if n.endswith(".json"):
+            try:
+                for line in fs.read_text(p).splitlines():
+                    if '"commitInfo"' in line:
+                        ci = json.loads(line).get("commitInfo") or {}
+                        ts = int(
+                            ci.get(
+                                "inCommitTimestamp", ci.get("timestamp", ts)
+                            )
+                        )
+                        break
+            except Exception:  # noqa: BLE001 — mtime fallback
+                pass
+        return ts
+
+    deleted: list[str] = []
+    for n in names:
+        if not n[:20].isdigit():
+            continue
+        v = int(n[:20])
+        if v >= ceiling:
+            continue
+        if not (
+            n.endswith(".json")
+            or n.endswith(".crc")
+            or ".checkpoint" in n
+        ):
+            continue
+        if _commit_ts(n) <= cutoff:
+            fs.delete(os.path.join(log, n))
+            deleted.append(n)
+    return sorted(deleted)
+
+
 _CLUSTERING_DOMAIN = "delta.clustering"
 
 
