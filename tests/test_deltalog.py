@@ -4954,3 +4954,60 @@ def test_log_retention_metadata_cleanup(spark, tmp_path):
     )
     dl.write_checkpoint(spark, table)
     assert dl.delta_cleanup_metadata(spark, table) == []
+
+
+def test_writer_feature_gating(spark, tmp_path):
+    """The spec's writer-side protocol obligation: a table declaring
+    a writer feature this module does not implement must REFUSE
+    writes (silently committing would corrupt the unknown feature's
+    invariant) while reads stay open — writerFeatures never gate
+    reads."""
+    import time_series_prediction_spark.sources.deltalog as dl
+
+    table = str(tmp_path / "t")
+    dl.write_delta_log(
+        spark.range(10).selectExpr("id AS k", "id * 2 AS v"), table
+    )
+    _f, meta, v, _t, proto = dl.delta_snapshot(spark, table)
+    alien = {
+        "minReaderVersion": 1,
+        "minWriterVersion": 7,
+        "writerFeatures": ["icebergCompatV2"],
+    }
+    fs = dl.fs_for(spark, table)
+    dl._commit_json(
+        fs, table, v + 1, [{"protocol": alien}], op="UPGRADE",
+        meta=meta,
+    )
+    # reads stay open
+    assert dl.read_delta_log(spark, table).count() == 10
+    # every write path refuses, naming the feature
+    with pytest.raises(dl.DeltaProtocolUnsupported, match="icebergCompatV2"):
+        dl.write_delta_log(
+            spark.createDataFrame([(99, 0)], "k long, v long"),
+            table, mode="append",
+        )
+    with pytest.raises(dl.DeltaProtocolUnsupported):
+        dl.delta_delete(spark, table, "k = 1")
+    with pytest.raises(dl.DeltaProtocolUnsupported):
+        dl.delta_update(spark, table, "k = 1", {"v": "v + 1"})
+    with pytest.raises(dl.DeltaProtocolUnsupported):
+        dl.delta_merge(
+            spark, table,
+            spark.createDataFrame([(1, 5)], "k long, v long"), key="k",
+        )
+    with pytest.raises(dl.DeltaProtocolUnsupported):
+        dl.delta_optimize(spark, table, target_files=1)
+    with pytest.raises(dl.DeltaProtocolUnsupported):
+        dl.delta_reorg_purge(spark, table)
+    # a minWriterVersion beyond 7 also refuses
+    dl._commit_json(
+        fs, table, v + 2,
+        [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 8}}],
+        op="UPGRADE", meta=meta,
+    )
+    with pytest.raises(dl.DeltaProtocolUnsupported, match="minWriterVersion=8"):
+        dl.write_delta_log(
+            spark.createDataFrame([(99, 0)], "k long, v long"),
+            table, mode="append",
+        )

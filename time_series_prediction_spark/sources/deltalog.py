@@ -76,6 +76,50 @@ _SUPPORTED_READER_FEATURES = {
     "typeWidening-preview",  # the feature's preview-era name
 }
 
+# writer features whose INVARIANTS this module's writers actually
+# maintain; per the spec a writer MUST refuse a table declaring any
+# other writer feature (silently committing would break the unknown
+# feature's invariant for every real reader/writer of the table)
+_SUPPORTED_WRITER_FEATURES = _SUPPORTED_READER_FEATURES | {
+    "appendOnly",  # delta.appendOnly enforcement (DML refusals)
+    "invariants",  # legacy column invariants (none ever written)
+    "checkConstraints",  # delta.constraints.* enforced on every batch
+    "changeDataFeed",  # cdc files on DML when enabled
+    "generatedColumns",  # generation expressions computed + enforced
+    "identityColumns",  # identity assignment + HWM tracking
+    "rowTracking",  # baseRowId/domainMetadata maintenance
+    "domainMetadata",  # domain actions replayed + checkpointed
+    "clustering",  # liquid clustering domain + maintenance
+    "clusteringColumns",  # pre-r13 name of the same (own back-compat)
+    "vacuumProtocolCheck",  # vacuum reads the protocol first (it does)
+}
+
+
+def _check_writer_protocol(proto: dict | None) -> None:
+    """Refuse to WRITE to a table whose protocol demands writer
+    behavior this module does not implement — the spec's writer-side
+    twin of ``_check_protocol`` (a writer that ignores an unknown
+    writer feature corrupts that feature's invariant for everyone).
+    Reads are never gated by writerFeatures."""
+    if not proto:
+        return
+    min_writer = int(proto.get("minWriterVersion", 2))
+    if min_writer > 7:
+        raise DeltaProtocolUnsupported(
+            f"table requires minWriterVersion={min_writer}; this "
+            "native writer supports version <= 7"
+        )
+    if min_writer == 7:
+        feats = set(proto.get("writerFeatures") or [])
+        unknown = feats - _SUPPORTED_WRITER_FEATURES
+        if unknown:
+            raise DeltaProtocolUnsupported(
+                f"table declares writer features {sorted(unknown)} "
+                "this native writer does not implement — writing "
+                "would break their invariants; supported: "
+                f"{sorted(_SUPPORTED_WRITER_FEATURES)}"
+            )
+
 
 class DeltaProtocolUnsupported(RuntimeError):
     """The table's protocol demands reader capabilities this native
@@ -1318,6 +1362,7 @@ def write_delta_log(
         (
             prev_files, prev_meta, latest, _txns, prev_proto, domains,
         ) = delta_snapshot_ex(spark, path)
+        _check_writer_protocol(prev_proto)
         next_v = latest + 1
         if mode == "overwrite":
             _refuse_append_only(prev_meta, "overwrite")
@@ -2612,6 +2657,7 @@ def delta_enable_row_tracking(spark: SparkSession, path: str) -> int:
     files, meta, v, _txns, protocol, domains = delta_snapshot_ex(
         spark, path
     )
+    _check_writer_protocol(protocol)
     if _row_tracking_on(meta):
         return v
     from time_series_prediction_spark.operators.manifest import (
@@ -3050,6 +3096,7 @@ def _delta_delete_once(
     max_total_dv_rows: int | None,
 ) -> int:
     files, meta, v, _txns, protocol = delta_snapshot(spark, path)
+    _check_writer_protocol(protocol)
     _refuse_append_only(meta, "DELETE")
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     mapping = _column_mapping(meta, schema)
@@ -3222,6 +3269,7 @@ def _delta_merge_once(
     files, meta, v, txns, protocol, domains = delta_snapshot_ex(
         spark, path
     )
+    _check_writer_protocol(protocol)
     if txn is not None and txns.get(txn[0], -1) >= int(txn[1]):
         return v  # replayed batch: already committed
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
@@ -3558,6 +3606,7 @@ def _delta_update_once(
     files, meta, v, _txns, protocol, domains = delta_snapshot_ex(
         spark, path
     )
+    _check_writer_protocol(protocol)
     _refuse_append_only(meta, "UPDATE")
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     mapping = _column_mapping(meta, schema)
@@ -4428,6 +4477,7 @@ def delta_optimize(
     files, meta, v, _txns, _proto, domains = delta_snapshot_ex(
         spark, path
     )
+    _check_writer_protocol(_proto)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = list(meta.get("partitionColumns") or [])
     if zorder_by is None:
@@ -4616,6 +4666,7 @@ def delta_optimize_incremental(
     files, meta, v, _txns, _proto, domains = delta_snapshot_ex(
         spark, path
     )
+    _check_writer_protocol(_proto)
     cols = _clustering_columns(domains)
     if not cols:
         raise ValueError(
@@ -4842,6 +4893,7 @@ def delta_reorg_purge(
     files, meta, v, _txns, _proto, domains = delta_snapshot_ex(
         spark, path
     )
+    _check_writer_protocol(_proto)
     if not files:
         return v
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
@@ -5871,6 +5923,7 @@ def delta_cluster_by(
     files, meta, v, _txns, protocol, domains = delta_snapshot_ex(
         spark, path
     )
+    _check_writer_protocol(protocol)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     names = {f.name for f in schema.fields}
     part_cols = set(meta.get("partitionColumns") or [])
