@@ -5011,3 +5011,44 @@ def test_writer_feature_gating(spark, tmp_path):
             spark.createDataFrame([(99, 0)], "k long, v long"),
             table, mode="append",
         )
+
+
+def test_timestamp_ntz_feature_stamped(spark, tmp_path):
+    """TIMESTAMP_NTZ is feature-gated: a new table whose schema
+    carries it declares timestampNtz (reader 3 / writer 7) on its
+    first commit, schema evolution that ADDS an ntz column upgrades
+    the protocol, and a plain-typed table stays at protocol (1, 2).
+    Values roundtrip exactly."""
+    import datetime as _dt
+
+    import time_series_prediction_spark.sources.deltalog as dl
+
+    plain = str(tmp_path / "plain")
+    dl.write_delta_log(spark.range(3).selectExpr("id AS k"), plain)
+    proto = dl.delta_snapshot(spark, plain)[4]
+    assert int(proto["minWriterVersion"]) == 2  # no gratuitous gate
+
+    table = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, _dt.datetime(2024, 5, 1, 12, 30))],
+        "k long, ts timestamp_ntz",
+    )
+    dl.write_delta_log(df, table)
+    proto = dl.delta_snapshot(spark, table)[4]
+    assert "timestampNtz" in (proto.get("readerFeatures") or [])
+    assert "timestampNtz" in (proto.get("writerFeatures") or [])
+    got = dl.read_delta_log(spark, table).collect()
+    assert got[0]["ts"] == _dt.datetime(2024, 5, 1, 12, 30)
+
+    # evolution: adding an ntz column upgrades the plain table
+    dl.write_delta_log(
+        spark.createDataFrame(
+            [(9, _dt.datetime(2024, 6, 1))], "k long, ts2 timestamp_ntz"
+        ),
+        plain, mode="append",
+    )
+    proto = dl.delta_snapshot(spark, plain)[4]
+    assert "timestampNtz" in (proto.get("writerFeatures") or [])
+    assert dl.read_delta_log(spark, plain).where(
+        "ts2 IS NOT NULL"
+    ).count() == 1

@@ -95,6 +95,12 @@ _SUPPORTED_WRITER_FEATURES = _SUPPORTED_READER_FEATURES | {
 }
 
 
+def _schema_has_ntz(schema: StructType) -> bool:
+    """True when the schema carries TIMESTAMP_NTZ anywhere (nested
+    included) — the type is feature-gated in the protocol."""
+    return '"timestamp_ntz"' in schema.json()
+
+
 def _check_writer_protocol(proto: dict | None) -> None:
     """Refuse to WRITE to a table whose protocol demands writer
     behavior this module does not implement — the spec's writer-side
@@ -1548,9 +1554,15 @@ def write_delta_log(
                      "lastUpdated": 0}}
         )
     if next_v == 0:
-        actions.append(
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
-        )
+        base_proto = {"minReaderVersion": 1, "minWriterVersion": 2}
+        if _schema_has_ntz(df.schema):
+            # TIMESTAMP_NTZ is feature-gated (reader AND writer): a
+            # v1-protocol table carrying it would be mis-read as
+            # adjusted-to-UTC by protocol-honest readers
+            base_proto = _feature_upgrade_protocol(
+                base_proto, "timestampNtz"
+            )
+        actions.append({"protocol": base_proto})
         actions.append(
             {
                 "metaData": {
@@ -1564,8 +1576,16 @@ def write_delta_log(
             }
         )
     elif evolved_meta is not None:
-        if widen_protocol is not None:
-            actions.append({"protocol": widen_protocol})
+        proto_now = widen_protocol
+        if merged is not None and _schema_has_ntz(merged):
+            ntz_up = _feature_upgrade_protocol(
+                proto_now if proto_now is not None else prev_proto,
+                "timestampNtz",
+            )
+            if ntz_up is not None:
+                proto_now = ntz_up
+        if proto_now is not None:
+            actions.append({"protocol": proto_now})
         actions.append({"metaData": evolved_meta})
     if mode == "overwrite":
         for rel in sorted(prev_files):
