@@ -5052,3 +5052,55 @@ def test_timestamp_ntz_feature_stamped(spark, tmp_path):
     assert dl.read_delta_log(spark, plain).where(
         "ts2 IS NOT NULL"
     ).count() == 1
+
+
+def test_incremental_optimize_absorbs_dml_rewrites(spark, tmp_path):
+    """DML on a clustered table feeds the maintenance loop: a DV
+    DELETE and a rewrite-shaped UPDATE leave DV-bearing / untagged
+    files behind; the next incremental tick absorbs exactly those
+    into a fresh ZCube (content identical, ids of untouched rows
+    preserved, convergence to no-op), after which every live file
+    carries a cube tag."""
+    import time_series_prediction_spark.sources.deltalog as dl
+
+    table = str(tmp_path / "t")
+    dl.write_delta_log(
+        spark.range(4000).selectExpr(
+            "id % 50 AS grp", "id AS k", "id % 7 AS v"
+        ),
+        table, mode="overwrite",
+    )
+    dl.delta_enable_row_tracking(spark, table)
+    dl.delta_cluster_by(spark, table, ["grp", "k"])
+    dl.delta_optimize(spark, table, target_files=6)
+
+    dl.delta_delete(spark, table, "k % 97 = 0")            # DV path
+    dl.delta_update(
+        spark, table, "k between 100 and 140", {"v": "v + 100"},
+        max_dv_rows=0,  # force the rewrite-shaped path (untagged)
+    )
+    before = {
+        (r["grp"], r["k"]): (r["v"], r["_row_id"])
+        for r in dl.read_delta_with_row_ids(spark, table).collect()
+    }
+    dl.delta_optimize_incremental(spark, table, target_files=6)
+    after = {
+        (r["grp"], r["k"]): (r["v"], r["_row_id"])
+        for r in dl.read_delta_with_row_ids(spark, table).collect()
+    }
+    # untouched rows keep ids; updated rows keep VALUES from the DML
+    assert set(after) == set(before)
+    assert all(
+        after[key] == val
+        for key, val in before.items()
+        if not (100 <= key[1] <= 140)
+    )
+    assert all(
+        after[key][0] == val[0] for key, val in before.items()
+    )
+    files, _m, v, _t, _p = dl.delta_snapshot(spark, table)
+    assert all(
+        (a.get("tags") or {}).get("ZCUBE_ID") for a in files.values()
+    )
+    assert not any(a.get("deletionVector") for a in files.values())
+    assert dl.delta_optimize_incremental(spark, table) == v  # no-op
