@@ -5104,3 +5104,62 @@ def test_incremental_optimize_absorbs_dml_rewrites(spark, tmp_path):
     )
     assert not any(a.get("deletionVector") for a in files.values())
     assert dl.delta_optimize_incremental(spark, table) == v  # no-op
+
+
+def test_convert_to_delta_in_place(spark, tmp_path):
+    """CONVERT TO DELTA: a plain Hive-partitioned parquet directory
+    becomes a native Delta table in ONE metadata commit — no data
+    file rewritten, moved, or copied; partition columns carry their
+    inferred types; per-file stats feed pruning immediately; DML,
+    OPTIMIZE, and time travel (v0 = pre-conversion state) work;
+    double conversion and empty dirs refuse."""
+    import time_series_prediction_spark.sources.deltalog as dl
+
+    table = str(tmp_path / "t")
+    spark.range(200).selectExpr(
+        "id AS k", "id % 4 AS part", "id * 2 AS v"
+    ).write.partitionBy("part").parquet(table)
+
+    def _data_files():
+        out = []
+        for root, _dirs, names in os.walk(table):
+            if "_delta_log" in root:
+                continue
+            out.extend(
+                os.path.join(root, n)
+                for n in names
+                if n.endswith(".parquet") and not n.startswith(".")
+            )
+        return sorted(out)
+
+    before = {(f, os.stat(f).st_ino) for f in _data_files()}
+    assert dl.delta_convert_to_delta(spark, table) == 0
+    with pytest.raises(ValueError, match="already carries"):
+        dl.delta_convert_to_delta(spark, table)
+    # zero data movement: same files, same inodes
+    assert {(f, os.stat(f).st_ino) for f in _data_files()} == before
+
+    got = dl.read_delta_log(spark, table)
+    assert got.count() == 200
+    assert dict(got.where("k = 7").first().asDict()) == {
+        "k": 7, "v": 14, "part": 7 % 4
+    }
+    # partition column type inferred (not a string)
+    assert dict(got.dtypes)["part"] in ("int", "bigint")
+    # stats landed: a narrow pruned read touches fewer files
+    files, *_ = dl.delta_snapshot(spark, table)
+    assert all(a.get("stats") for a in files.values())
+    # the table now lives a Delta life: DV delete + append + travel
+    dl.delta_delete(spark, table, "k % 50 = 0")
+    dl.write_delta_log(
+        spark.createDataFrame([(1000, 1, 2000)],
+                              "k long, part bigint, v long"),
+        table, mode="append", partition_cols=["part"],
+    )
+    assert dl.read_delta_log(spark, table).count() == 200 - 4 + 1
+    assert dl.read_delta_log(spark, table, version=0).count() == 200
+
+    empty = str(tmp_path / "empty")
+    os.makedirs(empty)
+    with pytest.raises(ValueError, match="no parquet files"):
+        dl.delta_convert_to_delta(spark, empty)

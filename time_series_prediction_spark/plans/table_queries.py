@@ -2253,6 +2253,107 @@ def events_delta_bounded_tail_scan(
     )
 
 
+_DELTA_CONVERT_SPEC = "delta-orders-convert|v1|hive-part|19dvdel|append"
+
+
+def orders_delta_convert_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``CONVERT TO DELTA`` end to end
+    (``sources/deltalog.delta_convert_to_delta``): orders lands as a
+    PLAIN Hive-partitioned parquet directory (partitioned by
+    o_orderkey % 4), converts in place — the build asserts zero data
+    movement (identical file set before/after) — then lives a Delta
+    life: a DV DELETE (%19 keys) and an append. The oracle states the
+    final logical content relationally; time travel to v0 still
+    serves the pre-conversion state (asserted in the build)."""
+    from time_series_prediction_spark.sources.deltalog import (
+        delta_convert_to_delta,
+        delta_delete,
+        read_delta_log,
+        write_delta_log,
+    )
+    from time_series_prediction_spark.sources.io import read_delta
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    root = os.path.join(tempfile.gettempdir(), "tsp_layouts")
+    fs = fs_for(spark, root)
+    st = fs.status(src)
+    if st is None:
+        raise FileNotFoundError(src)
+    ident = f"{fs.qualified(src)}|{st[0]}|{st[1]}|{_DELTA_CONVERT_SPEC}"
+    key = hashlib.md5(ident.encode()).hexdigest()[:16]
+    path = os.path.join(root, f"orders_deltaconv_{key}")
+
+    def _build(tmp: str) -> None:
+        data = os.path.join(tmp, "data")
+        base = _orders_state(spark, sf_dir).select(
+            "o_orderkey",
+            (F.col("o_orderkey") % 4).cast("long").alias("bucket"),
+            "price_cents",
+        )
+        base.write.partitionBy("bucket").parquet(data)
+
+        def _files() -> set[str]:
+            out = set()
+            for r, _d, names in os.walk(data):
+                if "_delta_log" in r:
+                    continue
+                out.update(
+                    os.path.join(r, n)
+                    for n in names
+                    if n.endswith(".parquet") and not n.startswith(".")
+                )
+            return out
+
+        pre = _files()
+        n_pre = base.count()
+        delta_convert_to_delta(spark, data)
+        if _files() != pre:
+            raise AssertionError("CONVERT moved or rewrote data files")
+        delta_delete(spark, data, "o_orderkey % 19 = 0")
+        write_delta_log(
+            spark.createDataFrame(
+                [(900000001, 1, 1_00), (900000002, 2, 2_00)],
+                "o_orderkey long, bucket long, price_cents long",
+            ),
+            data, mode="append", partition_cols=["bucket"],
+        )
+        if read_delta_log(spark, data, version=0).count() != n_pre:
+            raise AssertionError("v0 (pre-conversion) state drifted")
+
+    ensure_artifact(spark, path, ident, _build)
+    return (
+        read_delta(spark, os.path.join(path, "data"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("price_cents").cast("long").alias("total_cents"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        )
+    )
+
+
+ORDERS_DELTA_CONVERT_SQL = """
+WITH cur AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+  WHERE o_orderkey % 19 <> 0
+  UNION ALL
+  SELECT 900000001, 100
+  UNION ALL
+  SELECT 900000002, 200
+)
+SELECT CAST(k % 4 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST(sum(k) AS BIGINT) AS key_sum
+FROM cur
+GROUP BY k % 4
+"""
+
+
 _DELTA_INCR_SPEC = "delta-orders-incr|v1|cluster-bucket-key|2ticks"
 
 
@@ -3162,6 +3263,10 @@ TABLE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "orders_delta_incremental_scan": (
         orders_delta_incremental_scan,
         ORDERS_DELTA_INCR_SQL,
+    ),
+    "orders_delta_convert_scan": (
+        orders_delta_convert_scan,
+        ORDERS_DELTA_CONVERT_SQL,
     ),
     "events_delta_bounded_tail_scan": (
         events_delta_bounded_tail_scan,

@@ -3841,6 +3841,78 @@ def _dv_absolute(desc: dict, table_path: str) -> dict:
     }
 
 
+def delta_convert_to_delta(
+    spark: SparkSession,
+    path: str,
+) -> int:
+    """``CONVERT TO DELTA`` — in-place conversion of a plain parquet
+    directory (flat or Hive-partitioned) into a native Delta table:
+    ONE v0 commit whose ``add`` actions reference every existing data
+    file verbatim. No byte is rewritten, moved, or copied — at 100 TB
+    this is the only affordable migration path, and it is exactly
+    what delta-spark's CONVERT ships. Schema (partition columns
+    included, with their INFERRED types) comes from one Spark parquet
+    read; per-file stats come from the same driver-side footer pass
+    every commit uses (batches wider than the stats ceiling convert
+    statless — stats are best-effort, the spec's stance); partition
+    values are parsed from the Hive path components. TIMESTAMP_NTZ
+    anywhere in the schema stamps the feature protocol. After
+    conversion the directory IS a Delta table: DML, OPTIMIZE,
+    clustering, time travel (v0 = the pre-conversion state) and
+    vacuum all apply. Refuses a directory that already carries a
+    ``_delta_log`` (idempotence belongs to the caller — a second
+    CONVERT would fork history) and an empty directory. Returns 0."""
+    from time_series_prediction_spark.operators.manifest import (
+        _resolve_base,
+        list_parquet_files,
+    )
+
+    if has_delta_log(spark, path):
+        raise ValueError(
+            f"{path} already carries a _delta_log — CONVERT TO DELTA "
+            "applies to plain parquet directories only"
+        )
+    data_files = sorted(list_parquet_files(path, spark))
+    if not data_files:
+        raise ValueError(f"no parquet files under {path}")
+    df = spark.read.parquet(path)
+    base = _resolve_base(path, spark)
+    # Hive partition columns = path components of the first file; the
+    # read schema already carries them with inferred types
+    part_cols = [
+        comp.partition("=")[0]
+        for comp in data_files[0][len(base) + 1:].split("/")[:-1]
+        if "=" in comp
+    ]
+    fs = fs_for(spark, path)
+    proto = {"minReaderVersion": 1, "minWriterVersion": 2}
+    if _schema_has_ntz(df.schema):
+        proto = _feature_upgrade_protocol(proto, "timestampNtz")
+    stats = _stats_for_files(
+        data_files,
+        [c for c in df.columns if c not in part_cols],
+        base,
+    )
+    actions: list[dict] = [
+        {"protocol": proto},
+        {
+            "metaData": {
+                "id": "tsps-convert-" + os.path.basename(
+                    base.rstrip("/")
+                ),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": df.schema.json(),
+                "partitionColumns": part_cols,
+                "configuration": {},
+                "createdTime": 0,
+            }
+        },
+    ]
+    actions.extend(_adds_for_files(fs, base, data_files, True, stats))
+    _commit_json(fs, path, 0, actions, op="CONVERT", meta=None)
+    return 0
+
+
 def delta_clone(
     spark: SparkSession,
     src: str,
