@@ -1,0 +1,183 @@
+"""PySpark 4 Python Data Source over the native Delta log
+(sources/delta_datasource): batch parity with the JVM-side reader on
+DV-bearing partitioned tables, rate-bounded streaming drain,
+checkpointed exactly-once resume, and the honest refusals."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+
+import time_series_prediction_spark.sources.deltalog as dl
+from time_series_prediction_spark.sources.delta_datasource import (
+    TspDeltaDataSource,
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    spark.dataSource.register(TspDeltaDataSource)
+
+
+def test_batch_read_matches_native_reader(spark, tmp_path):
+    """format('tspdelta') batch == read_delta_log on a converted,
+    Hive-partitioned table with a DV delete: same schema (typed
+    partition columns), same rows; schema-evolved nulls surface."""
+    t = str(tmp_path / "t")
+    spark.range(200).selectExpr(
+        "id AS k", "id % 3 AS part", "id * 2 AS v"
+    ).write.partitionBy("part").parquet(t)
+    dl.delta_convert_to_delta(spark, t)
+    dl.delta_delete(spark, t, "k % 10 = 0")
+    # schema evolution: a later append adds a column (old files null)
+    dl.write_delta_log(
+        spark.createDataFrame(
+            [(1000, 1, 2000, "x")],
+            "k long, part int, v long, s string",
+        ),
+        t, mode="append", partition_cols=["part"],
+    )
+    got = spark.read.format("tspdelta").load(t)
+    want = dl.read_delta_log(spark, t)
+    assert got.schema == want.schema
+    key = lambda r: (r["k"], r["part"], r["v"], r["s"])  # noqa: E731
+    assert sorted(map(key, got.collect())) == sorted(
+        map(key, want.collect())
+    )
+    assert got.where("s IS NULL").count() == 180
+
+
+def test_stream_bounded_drain_and_resume(spark, tmp_path):
+    """readStream with maxVersionsPerBatch=1 drains a 3-commit
+    backlog one commit per microbatch; a restart from the same
+    checkpoint delivers ONLY the new commit (exactly-once across
+    restarts rides Spark's offset log)."""
+    t = str(tmp_path / "t")
+    for i in range(3):
+        dl.write_delta_log(
+            spark.range(10 * i, 10 * i + 10).selectExpr(
+                "id AS k", "id * 2 AS v"
+            ),
+            t, mode="overwrite" if i == 0 else "append",
+        )
+    ckpt = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("tspdelta")
+        .option("maxVersionsPerBatch", "1").load(t)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(r["k"] for r in spark.read.parquet(out).collect())
+    assert got == list(range(30))
+    data_batches = [
+        p for p in q.recentProgress if p["numInputRows"] > 0
+    ]
+    assert len(data_batches) == 3  # one commit per bounded batch
+    assert all(p["numInputRows"] == 10 for p in data_batches)
+
+    dl.write_delta_log(
+        spark.range(100, 105).selectExpr("id AS k", "id * 2 AS v"),
+        t, mode="append",
+    )
+    q2 = (
+        spark.readStream.format("tspdelta")
+        .option("maxVersionsPerBatch", "1").load(t)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .start()
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    got2 = sorted(r["k"] for r in spark.read.parquet(out).collect())
+    assert got2 == list(range(30)) + list(range(100, 105))
+
+
+def test_stream_delete_refusal_and_ignore(spark, tmp_path):
+    """The streaming-source contract: a dataChange remove in the
+    window fails the stream unless ignoreDeletes, which skips the
+    change and keeps tailing appends."""
+    t = str(tmp_path / "t")
+    dl.write_delta_log(
+        spark.range(40).selectExpr("id AS k", "id * 2 AS v"), t
+    )
+    dl.delta_delete(spark, t, "k < 5", max_dv_rows=0)  # rewrite-shaped
+    dl.write_delta_log(
+        spark.range(100, 110).selectExpr("id AS k", "id * 2 AS v"),
+        t, mode="append",
+    )
+    # ONE bounded commit per batch: v0's rows are DELIVERED before
+    # the delete's window arrives — the contract violation is a
+    # remove of already-delivered data, which must fail the stream
+    # (an unbounded first window would legitimately collapse the
+    # in-window add+remove instead)
+    q = (
+        spark.readStream.format("tspdelta")
+        .option("maxVersionsPerBatch", "1").load(t)
+        .writeStream.format("memory").queryName("tspds_refuse")
+        .option(
+            "checkpointLocation", str(tmp_path / "ck1")
+        ).start()
+    )
+    with pytest.raises(Exception, match="deletes delivered data"):
+        q.processAllAvailable()
+    q.stop()
+
+    q2 = (
+        spark.readStream.format("tspdelta")
+        .option("ignoreDeletes", "true")
+        .option("maxVersionsPerBatch", "1").load(t)
+        .writeStream.format("memory").queryName("tspds_ignore")
+        .option(
+            "checkpointLocation", str(tmp_path / "ck2")
+        ).start()
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    got = sorted(
+        r["k"]
+        for r in spark.sql("SELECT * FROM tspds_ignore").collect()
+    )
+    # the initial 40 delivered from v0; the rewrite-shaped delete's
+    # replacement files re-deliver the SURVIVORS (5..39) — exactly
+    # delta-spark's documented ignoreChanges semantics (rewritten
+    # rows may duplicate; consumers dedup downstream); the append
+    # tails cleanly
+    assert got == sorted(
+        list(range(40)) + list(range(5, 40)) + list(range(100, 110))
+    )
+
+
+def test_refusals(spark, tmp_path):
+    """Column-mapped tables name the remedy; a pathless load fails."""
+    t = str(tmp_path / "t")
+    dl.write_delta_log(
+        spark.range(5).selectExpr("id AS k", "id * 2 AS v"), t
+    )
+    dl.delta_enable_column_mapping(spark, t)
+    with pytest.raises(Exception, match="column-mapped"):
+        spark.read.format("tspdelta").load(t).collect()
+    with pytest.raises(Exception, match="requires a path"):
+        spark.read.format("tspdelta").load().collect()
+
+
+def test_batch_reads_through_checkpointed_log(spark, tmp_path):
+    """The data-source replay handles checkpoint-only logs (classic
+    rollup + cleaned JSONs) with pyarrow alone."""
+    t = str(tmp_path / "t")
+    for i in range(3):
+        dl.write_delta_log(
+            spark.range(5 * i, 5 * i + 5).selectExpr("id AS k"),
+            t, mode="overwrite" if i == 0 else "append",
+        )
+    dl.write_checkpoint(spark, t, clean_old_commits=True)
+    got = sorted(
+        r["k"]
+        for r in spark.read.format("tspdelta").load(t).collect()
+    )
+    assert got == list(range(15))

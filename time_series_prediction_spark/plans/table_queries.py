@@ -2256,24 +2256,17 @@ def events_delta_bounded_tail_scan(
 _DELTA_CONVERT_SPEC = "delta-orders-convert|v1|hive-part|19dvdel|append"
 
 
-def orders_delta_convert_scan(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """``CONVERT TO DELTA`` end to end
-    (``sources/deltalog.delta_convert_to_delta``): orders lands as a
-    PLAIN Hive-partitioned parquet directory (partitioned by
-    o_orderkey % 4), converts in place — the build asserts zero data
-    movement (identical file set before/after) — then lives a Delta
-    life: a DV DELETE (%19 keys) and an append. The oracle states the
-    final logical content relationally; time travel to v0 still
-    serves the pre-conversion state (asserted in the build)."""
+def _orders_convert_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Shared fixture for the CONVERT family: orders as plain
+    Hive-partitioned parquet → in-place CONVERT TO DELTA → DV DELETE
+    (%19) → append. Build asserts zero data movement and v0 time
+    travel. Returns the table's data dir."""
     from time_series_prediction_spark.sources.deltalog import (
         delta_convert_to_delta,
         delta_delete,
         read_delta_log,
         write_delta_log,
     )
-    from time_series_prediction_spark.sources.io import read_delta
 
     src = os.path.join(sf_dir, "orders.parquet")
     root = os.path.join(tempfile.gettempdir(), "tsp_layouts")
@@ -2323,8 +2316,53 @@ def orders_delta_convert_scan(
             raise AssertionError("v0 (pre-conversion) state drifted")
 
     ensure_artifact(spark, path, ident, _build)
+    return os.path.join(path, "data")
+
+
+def orders_delta_convert_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``CONVERT TO DELTA`` end to end
+    (``sources/deltalog.delta_convert_to_delta``): orders lands as a
+    PLAIN Hive-partitioned parquet directory (partitioned by
+    o_orderkey % 4), converts in place — the build asserts zero data
+    movement (identical file set before/after) — then lives a Delta
+    life: a DV DELETE (%19 keys) and an append. The oracle states the
+    final logical content relationally; time travel to v0 still
+    serves the pre-conversion state (asserted in the build)."""
+    from time_series_prediction_spark.sources.io import read_delta
+
+    data = _orders_convert_layout(spark, sf_dir)
     return (
-        read_delta(spark, os.path.join(path, "data"))
+        read_delta(spark, data)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("price_cents").cast("long").alias("total_cents"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        )
+    )
+
+
+def orders_delta_pyds_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The PySpark-4 PYTHON DATA SOURCE read path
+    (``sources/delta_datasource.TspDeltaDataSource`` —
+    ``spark.read.format('tspdelta')``): the same converted DV-bearing
+    table as ``orders_delta_convert_scan``, scanned through Spark's
+    own format API (log replay in the data-source worker with
+    pyarrow, per-file executor partitions, DV masks, typed partition
+    columns, arrow-batch handoff). Same oracle as the JVM-side read —
+    the two paths must agree bit-for-bit."""
+    from time_series_prediction_spark.sources.delta_datasource import (
+        TspDeltaDataSource,
+    )
+
+    data = _orders_convert_layout(spark, sf_dir)
+    spark.dataSource.register(TspDeltaDataSource)
+    return (
+        spark.read.format("tspdelta").load(data)
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_orders"),
@@ -3266,6 +3304,10 @@ TABLE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "orders_delta_convert_scan": (
         orders_delta_convert_scan,
+        ORDERS_DELTA_CONVERT_SQL,
+    ),
+    "orders_delta_pyds_scan": (
+        orders_delta_pyds_scan,
         ORDERS_DELTA_CONVERT_SQL,
     ),
     "events_delta_bounded_tail_scan": (
