@@ -181,3 +181,92 @@ def test_batch_reads_through_checkpointed_log(spark, tmp_path):
         for r in spark.read.format("tspdelta").load(t).collect()
     )
     assert got == list(range(15))
+
+
+def test_batch_write_append_overwrite(spark, tmp_path):
+    """write.format('tspdelta'): append and overwrite commit real log
+    versions (time travel works); the output reads back identically
+    through the JVM-side native reader; staged files never linger."""
+    t = str(tmp_path / "t")
+    spark.range(10).selectExpr("id AS k", "id * 2 AS v").write.format(
+        "tspdelta"
+    ).mode("append").save(t)
+    spark.range(10, 15).selectExpr(
+        "id AS k", "id * 2 AS v"
+    ).write.format("tspdelta").mode("append").save(t)
+    assert sorted(
+        r["k"] for r in dl.read_delta_log(spark, t).collect()
+    ) == list(range(15))
+    spark.range(100, 103).selectExpr(
+        "id AS k", "id * 2 AS v"
+    ).write.format("tspdelta").mode("overwrite").save(t)
+    assert sorted(
+        r["k"] for r in dl.read_delta_log(spark, t).collect()
+    ) == [100, 101, 102]
+    assert dl.read_delta_log(spark, t, version=1).count() == 15
+    assert not [
+        n for n in os.listdir(t) if n.startswith(".tspds-stage-")
+    ]
+    # schema mismatch refuses with the remedy named
+    with pytest.raises(Exception, match="write_delta_log"):
+        spark.range(3).selectExpr(
+            "id AS k", "CAST(id AS STRING) AS v"
+        ).write.format("tspdelta").mode("append").save(t)
+
+
+def test_stream_write_exactly_once(spark, tmp_path):
+    """readStream -> writeStream both through format('tspdelta'): the
+    bounded source drains into the native-log sink; txn tokens record
+    (appId, batchId) and a REPLAYED microbatch commit is recognized
+    and skipped (no duplicate rows, staged files cleaned)."""
+    src = str(tmp_path / "src")
+    for i in range(3):
+        dl.write_delta_log(
+            spark.range(10 * i, 10 * i + 10).selectExpr(
+                "id AS k", "id * 2 AS v"
+            ),
+            src, mode="overwrite" if i == 0 else "append",
+        )
+    dst = str(tmp_path / "dst")
+    q = (
+        spark.readStream.format("tspdelta")
+        .option("maxVersionsPerBatch", "1").load(src)
+        .writeStream.format("tspdelta")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start(dst)
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(
+        r["k"] for r in dl.read_delta_log(spark, dst).collect()
+    ) == list(range(30))
+    _f, _m, v, txns, _p = dl.delta_snapshot(spark, dst)
+    assert txns == {"tspdelta-sink": 2}  # batches 0..2 recorded
+
+    # crash-replay of an ALREADY-COMMITTED batch id: skipped entirely
+    from pyspark.sql.types import StructType
+
+    from time_series_prediction_spark.sources.delta_datasource import (
+        _StagedFiles,
+        _TspDeltaWriter,
+    )
+
+    schema = StructType.fromJson(
+        dl.read_delta_log(spark, dst).schema.jsonValue()
+    )
+    w = _TspDeltaWriter(dst, schema, {}, False, True)
+    staged = os.path.join(dst, ".tspds-stage-replay.parquet")
+    spark.range(1).selectExpr(
+        "id AS k", "id AS v"
+    ).toPandas().to_parquet(staged)
+    w.commit([_StagedFiles([("part-replay.parquet", staged)])], 1)
+    assert dl.delta_snapshot(spark, dst)[2] == v  # no commit burned
+    assert not os.path.exists(staged)  # replay's staging cleaned
+    assert dl.read_delta_log(spark, dst).count() == 30
+    # a FRESH batch id commits normally
+    spark.range(1).selectExpr(
+        "id AS k", "id AS v"
+    ).toPandas().to_parquet(staged)
+    w.commit([_StagedFiles([("part-fresh.parquet", staged)])], 3)
+    assert dl.read_delta_log(spark, dst).count() == 31
+    assert dl.delta_snapshot(spark, dst)[3]["tspdelta-sink"] == 3

@@ -44,7 +44,10 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -74,7 +77,7 @@ def _local_snapshot(path: str) -> tuple[dict, dict, int, dict]:
     """Replay the log with os + pyarrow only (no SparkSession — the
     data-source workers don't have one): newest usable checkpoint
     (classic / multi-part / v2-with-sidecars) + trailing commit
-    JSONs. Returns (files, metaData, version, protocol)."""
+    JSONs. Returns (files, metaData, version, txns, protocol)."""
     import pyarrow.parquet as pq
 
     from time_series_prediction_spark.sources.deltalog import (
@@ -155,7 +158,7 @@ def _local_snapshot(path: str) -> tuple[dict, dict, int, dict]:
     if meta[0] is None:
         raise ValueError(f"log under {log} carries no metaData action")
     proto = meta[1] or {"minReaderVersion": 1, "minWriterVersion": 2}
-    return state, meta[0], v, proto
+    return state, meta[0], v, txns, proto
 
 
 def _table_schema(meta: dict) -> StructType:
@@ -246,7 +249,7 @@ def _read_file_partition(
 class _TspDeltaBatchReader(DataSourceReader):
     def __init__(self, path: str, schema: StructType) -> None:
         self._schema = schema
-        files, _meta, _v, _proto = _local_snapshot(path)
+        files, _meta, _v, _txns, _proto = _local_snapshot(path)
         self._parts = _partitions_for(path, files)
 
     def partitions(self):
@@ -267,7 +270,7 @@ class _TspDeltaStreamReader(DataSourceStreamReader):
         self._path = _strip_scheme(path)
         self._schema = schema
         sv = options.get("startingVersion", "earliest")
-        _files, _meta, latest, _proto = _local_snapshot(path)
+        _files, _meta, latest, _txns, _proto = _local_snapshot(path)
         if str(sv).lower() == "earliest":
             self._start = -1
         elif str(sv).lower() == "latest":
@@ -374,6 +377,229 @@ class _TspDeltaStreamReader(DataSourceStreamReader):
         self._pos = max(self._pos, end["version"])
 
 
+class _LocalLogFS:
+    """The fs subset ``deltalog._commit_json`` needs, over plain
+    files, with PUT-IF-ABSENT rename semantics (os.rename overwrites
+    on POSIX; ``os.link`` raises EEXIST — exactly the no-overwrite
+    commit race the log protocol requires)."""
+
+    def mkdirs(self, p: str) -> None:
+        os.makedirs(_strip_scheme(p), exist_ok=True)
+
+    def write_text(self, p: str, s: str) -> None:
+        with open(_strip_scheme(p), "w") as f:
+            f.write(s)
+
+    def rename(self, src: str, dst: str) -> bool:
+        src, dst = _strip_scheme(src), _strip_scheme(dst)
+        try:
+            os.link(src, dst)
+        except FileExistsError:
+            return False
+        os.unlink(src)
+        return True
+
+    def delete(self, p: str) -> None:
+        p = _strip_scheme(p)
+        if os.path.isfile(p):
+            os.unlink(p)
+
+    def status(self, p: str):
+        p = _strip_scheme(p)
+        if not os.path.exists(p):
+            return None
+        st = os.stat(p)
+        return (st.st_size, int(st.st_mtime * 1000))
+
+
+@dataclass
+class _StagedFiles(WriterCommitMessage):
+    """Hidden staged part files one task wrote: [(visible_rel, staged_abs)]."""
+
+    files: list
+
+
+def _rows_to_table(iterator, schema: StructType):
+    """Executor-side: Rows → one arrow table cast to the sink schema."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    target = to_arrow_schema(schema)
+    names = [f.name for f in schema.fields]
+    rows = [tuple(r[n] for n in names) for r in iterator]
+    if not rows:
+        return None
+    arrays = [
+        pa.array([r[i] for r in rows], type=target.field(i).type)
+        for i in range(len(names))
+    ]
+    return pa.Table.from_arrays(arrays, schema=target)
+
+
+class _TspDeltaWriter(DataSourceWriter, DataSourceStreamWriter):
+    """Batch AND streaming sink into the native log, SparkSession-free
+    (the data-source workers have none): tasks stage hidden parquet
+    part files under the table dir with pyarrow; the driver-side
+    ``commit`` renames them visible (put-if-absent) and lands ONE log
+    commit — adds with footer stats, first-commit protocol+metaData
+    (timestampNtz stamped when present), ``remove`` actions for batch
+    overwrite, and for STREAMING a ``txn`` idempotence token
+    (appId = ``txnAppId`` option, version = batchId) checked against
+    the snapshot so a crash-replayed microbatch is recognized and
+    SKIPPED — the exactly-once discipline of
+    ``deltalog.delta_stream_sink`` through Spark's own format API.
+    ``abort`` deletes the staged files; nothing half-visible ever
+    lands. Existing tables must match the sink schema exactly and
+    pass the writer-feature gate (schema evolution, partitions, and
+    column mapping stay with ``deltalog.write_delta_log`` — named in
+    the refusals)."""
+
+    def __init__(
+        self, path: str, schema: StructType, options,
+        overwrite: bool, streaming: bool,
+    ) -> None:
+        self._path = _strip_scheme(path)
+        self._schema = schema
+        self._overwrite = overwrite
+        self._streaming = streaming
+        self._app_id = options.get("txnAppId", "tspdelta-sink")
+
+    # -- executor side -------------------------------------------------
+    def write(self, iterator):
+        import uuid as _uuid
+
+        import pyarrow.parquet as pq
+
+        tbl = _rows_to_table(iterator, self._schema)
+        if tbl is None:
+            return _StagedFiles([])
+        os.makedirs(self._path, exist_ok=True)
+        rel = f"part-{_uuid.uuid4()}.snappy.parquet"
+        staged = os.path.join(self._path, f".tspds-stage-{rel}")
+        pq.write_table(tbl, staged)
+        return _StagedFiles([(rel, staged)])
+
+    # -- driver side ---------------------------------------------------
+    def _cleanup(self, messages) -> None:
+        for m in messages:
+            for _rel, staged in getattr(m, "files", None) or []:
+                if os.path.exists(staged):
+                    os.unlink(staged)
+
+    def abort(self, messages, batchId: int | None = None) -> None:
+        self._cleanup(messages)
+
+    def commit(self, messages, batchId: int | None = None) -> None:
+        from time_series_prediction_spark.sources.deltalog import (
+            _adds_for_files,
+            _check_writer_protocol,
+            _commit_json,
+            _feature_upgrade_protocol,
+            _schema_has_ntz,
+            _stats_for_files,
+        )
+
+        staged = [
+            pair for m in messages
+            for pair in (getattr(m, "files", None) or [])
+        ]
+        fs = _LocalLogFS()
+        exists = os.path.isdir(os.path.join(self._path, _LOG_DIR))
+        actions: list[dict] = []
+        prev_files: dict = {}
+        if exists:
+            prev_files, meta, v, txns, proto = _local_snapshot(
+                self._path
+            )
+            _check_writer_protocol(proto)
+            _table_schema(meta)  # column-mapped tables refuse
+            have = StructType.fromJson(json.loads(meta["schemaString"]))
+            if [(f.name, f.dataType) for f in have.fields] != [
+                (f.name, f.dataType) for f in self._schema.fields
+            ]:
+                raise ValueError(
+                    "tspdelta sink: batch schema differs from the "
+                    "table's — schema evolution goes through "
+                    "deltalog.write_delta_log"
+                )
+            if meta.get("partitionColumns"):
+                raise ValueError(
+                    "tspdelta sink writes unpartitioned tables only — "
+                    "partitioned layouts go through write_delta_log"
+                )
+            next_v = v + 1
+            if self._streaming and batchId is not None:
+                if txns.get(self._app_id, -1) >= int(batchId):
+                    self._cleanup(messages)  # replayed microbatch
+                    return
+        else:
+            next_v = 0
+            proto0 = {"minReaderVersion": 1, "minWriterVersion": 2}
+            if _schema_has_ntz(self._schema):
+                proto0 = _feature_upgrade_protocol(
+                    proto0, "timestampNtz"
+                )
+            actions.append({"protocol": proto0})
+            actions.append(
+                {
+                    "metaData": {
+                        "id": "tsps-pyds-"
+                        + os.path.basename(self._path.rstrip("/")),
+                        "format": {
+                            "provider": "parquet", "options": {}
+                        },
+                        "schemaString": self._schema.json(),
+                        "partitionColumns": [],
+                        "configuration": {},
+                        "createdTime": 0,
+                    }
+                }
+            )
+        if self._streaming and batchId is not None:
+            actions.append(
+                {
+                    "txn": {
+                        "appId": self._app_id,
+                        "version": int(batchId),
+                        "lastUpdated": 0,
+                    }
+                }
+            )
+        visible: list[str] = []
+        for rel, spath in staged:
+            dst = os.path.join(self._path, rel)
+            if not fs.rename(spath, dst):
+                raise RuntimeError(f"staged part collision at {dst}")
+            visible.append(dst)
+        if self._overwrite and not self._streaming:
+            import time as _t
+            import urllib.parse
+
+            for rel in sorted(prev_files):
+                actions.append(
+                    {
+                        "remove": {
+                            "path": urllib.parse.quote(rel),
+                            "deletionTimestamp": int(_t.time() * 1000),
+                            "dataChange": True,
+                        }
+                    }
+                )
+        stats = _stats_for_files(
+            visible, [f.name for f in self._schema.fields], self._path
+        )
+        actions.extend(
+            _adds_for_files(fs, self._path, visible, True, stats)
+        )
+        _commit_json(
+            fs, self._path, next_v, actions,
+            op="STREAMING UPDATE" if self._streaming else (
+                "OVERWRITE" if self._overwrite else "APPEND"
+            ),
+            meta=None,
+        )
+
+
 class TspDeltaDataSource(DataSource):
     """``format("tspdelta")`` — see module docstring."""
 
@@ -394,7 +620,7 @@ class TspDeltaDataSource(DataSource):
             _check_protocol,
         )
 
-        _files, meta, _v, proto = _local_snapshot(self._path())
+        _files, meta, _v, _txns, proto = _local_snapshot(self._path())
         _check_protocol(proto)
         return _table_schema(meta)
 
@@ -403,3 +629,13 @@ class TspDeltaDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         return _TspDeltaStreamReader(self._path(), schema, self.options)
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return _TspDeltaWriter(
+            self._path(), schema, self.options, overwrite, False
+        )
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return _TspDeltaWriter(
+            self._path(), schema, self.options, overwrite, True
+        )
