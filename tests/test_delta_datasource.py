@@ -270,3 +270,32 @@ def test_stream_write_exactly_once(spark, tmp_path):
     w.commit([_StagedFiles([("part-fresh.parquet", staged)])], 3)
     assert dl.read_delta_log(spark, dst).count() == 31
     assert dl.delta_snapshot(spark, dst)[3]["tspdelta-sink"] == 3
+
+
+def test_interleaved_plans_stay_correct(spark, tmp_path):
+    """Correctness under plan interleaving on ONE reused DataFrame —
+    pinned because of the r13 pushFilters finding: Spark 4.1.2 lets
+    plans without pushable filters reuse the most recently built V2
+    scan for the relation, so a reader whose pushFilters changes
+    partitions() poisons sibling plans (measured: df.count() == 50
+    after a pruned df.where() on the same relation). This reader
+    deliberately implements NO pushdown; every interleaved plan must
+    see all files."""
+    t = str(tmp_path / "t")
+    for i in range(4):
+        dl.write_delta_log(
+            spark.range(100 * i, 100 * i + 100).selectExpr(
+                "id AS k", f"CAST({i % 2} AS LONG) AS grp", "id*2 AS v"
+            ).coalesce(1),
+            t, mode="overwrite" if i == 0 else "append",
+            partition_cols=["grp"],
+        )
+    base = spark.read.format("tspdelta").load(t)
+    assert base.rdd.getNumPartitions() == 4  # one task per file
+    assert base.where("k >= 350").count() == 50
+    assert base.count() == 400  # NOT poisoned by the previous plan
+    assert base.where("grp = 1 and k < 150").count() == 50
+    assert base.where("v + k > 0").count() == 399  # k=0 fails it
+    assert sorted(
+        r["k"] for r in base.where("k >= 350").collect()
+    ) == list(range(350, 400))

@@ -218,7 +218,19 @@ def _read_file_partition(
 ) -> Iterator:
     """Executor-side read: pyarrow parquet scan, DV mask, partition
     columns attached as typed constants, columns ordered to the table
-    schema — yielded as arrow RecordBatches (the vectorized path)."""
+    schema — yielded as arrow RecordBatches (the vectorized path).
+
+    NO pushFilters implementation, deliberately (r13 finding, kept as
+    a warning to future rounds): Spark 4.1.2 caches the built V2 scan
+    per relation and lets plans WITHOUT pushable filters reuse the
+    most recently BUILT scan — measured: after `df.where("k >= 350")`
+    planned a pruned scan, a later `df.count()` on the same DataFrame
+    reused it and returned 50 instead of 400. Any pushFilters that
+    changes partitions() output poisons sibling plans this way (the
+    feature ships default-off as spark.sql.python.filterPushdown.
+    enabled). File pruning for this table format therefore lives in
+    the JVM-side reader (`deltalog.read_delta_pruned`); revisit when
+    the upstream cache keys scans by pushed-filter set."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -249,11 +261,12 @@ def _read_file_partition(
 class _TspDeltaBatchReader(DataSourceReader):
     def __init__(self, path: str, schema: StructType) -> None:
         self._schema = schema
-        files, _meta, _v, _txns, _proto = _local_snapshot(path)
-        self._parts = _partitions_for(path, files)
+        self._path = path
+        self._files, _meta, _v, _txns, _proto = _local_snapshot(path)
+        self._pushed: list = []
 
     def partitions(self):
-        return self._parts
+        return _partitions_for(self._path, self._files)
 
     def read(self, partition):  # executor side
         return _read_file_partition(partition, self._schema)
