@@ -5163,3 +5163,42 @@ def test_convert_to_delta_in_place(spark, tmp_path):
     os.makedirs(empty)
     with pytest.raises(ValueError, match="no parquet files"):
         dl.delta_convert_to_delta(spark, empty)
+
+
+def test_incremental_optimize_budget_fallback(
+    spark, tmp_path, monkeypatch
+):
+    """The overlap sweep's comparison cap: when exceeded (degenerate
+    stats — forced here with a zero budget factor), incremental
+    OPTIMIZE degrades to the SOUND full-rewrite superset — correct
+    content, ids preserved, never a wrong answer, just more rewrite
+    than the multi-column test would need."""
+    import time_series_prediction_spark.sources.deltalog as dl
+
+    table = str(tmp_path / "t")
+    dl.write_delta_log(
+        spark.range(2000).selectExpr(
+            "id % 10 AS grp", "id AS k", "id % 3 AS v"
+        ),
+        table, mode="overwrite",
+    )
+    dl.delta_enable_row_tracking(spark, table)
+    dl.delta_cluster_by(spark, table, ["grp", "k"])
+    dl.delta_optimize(spark, table, target_files=4)
+    dl.write_delta_log(
+        spark.range(100, 160).selectExpr(
+            "id % 10 AS grp", "id AS k", "CAST(9 AS BIGINT) AS v"
+        ),
+        table, mode="append",
+    )
+    before = {
+        (r["grp"], r["k"], r["v"]): r["_row_id"]
+        for r in dl.read_delta_with_row_ids(spark, table).collect()
+    }
+    monkeypatch.setattr(dl, "_OVERLAP_BUDGET_FACTOR", 0)
+    dl.delta_optimize_incremental(spark, table, target_files=4)
+    after = {
+        (r["grp"], r["k"], r["v"]): r["_row_id"]
+        for r in dl.read_delta_with_row_ids(spark, table).collect()
+    }
+    assert after == before  # sound: content and ids intact

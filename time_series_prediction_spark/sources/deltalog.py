@@ -4681,6 +4681,12 @@ class _OverlapBudgetExceeded(Exception):
     comparison cap — degrade to the sound full-rewrite superset."""
 
 
+# comparison cap per candidate file in the incremental-OPTIMIZE
+# overlap sweep; the driver cost stays O(factor·files) even on
+# degenerate stats (exceeded → sound full-rewrite fallback)
+_OVERLAP_BUDGET_FACTOR = 64
+
+
 def _stamp_zcube(actions: list[dict]) -> str:
     """Tag every add action in a clustering rewrite with one fresh
     ZCUBE_ID (Databricks liquid clustering's own co-written-file
@@ -4812,7 +4818,7 @@ def delta_optimize_incremental(
                     best = (peak, k)
             sweep_k = best[1]
         boxes.sort(key=lambda b: (b[0][sweep_k], b[1][sweep_k]))
-        budget = 64 * max(len(boxes), 1)  # comparison cap
+        budget = _OVERLAP_BUDGET_FACTOR * max(len(boxes), 1)
         active: list[tuple[list, list, str, str | None]] = []
         for lo, hi, rel, zid in boxes:
             active = [
