@@ -299,3 +299,49 @@ def test_interleaved_plans_stay_correct(spark, tmp_path):
     assert sorted(
         r["k"] for r in base.where("k >= 350").collect()
     ) == list(range(350, 400))
+
+
+def test_sink_refuses_invariant_bearing_tables(spark, tmp_path):
+    """The DS sink lands raw batches with no SparkSession — tables
+    whose write path must enforce or derive per-row state (CHECK
+    constraints, generated/identity columns, row tracking,
+    append-only overwrites) refuse with the enforcing writer named,
+    instead of being silently corrupted."""
+    t1 = str(tmp_path / "t1")
+    dl.write_delta_log(
+        spark.range(5).selectExpr("id AS k", "id * 2 AS v"), t1
+    )
+    dl.delta_add_constraint(spark, t1, "v_pos", "v >= 0")
+    with pytest.raises(Exception, match="CHECK constraints"):
+        spark.range(3).selectExpr(
+            "id AS k", "id * 2 AS v"
+        ).write.format("tspdelta").mode("append").save(t1)
+    assert dl.read_delta_log(spark, t1).count() == 5  # untouched
+    assert not [
+        n for n in os.listdir(t1) if n.startswith(".tspds-stage-")
+    ]
+
+    t2 = str(tmp_path / "t2")
+    dl.write_delta_log(
+        spark.range(5).selectExpr("id AS k", "id * 2 AS v"), t2
+    )
+    dl.delta_enable_row_tracking(spark, t2)
+    with pytest.raises(Exception, match="row tracking"):
+        spark.range(3).selectExpr(
+            "id AS k", "id * 2 AS v"
+        ).write.format("tspdelta").mode("append").save(t2)
+
+    t3 = str(tmp_path / "t3")
+    dl.write_delta_log(
+        spark.range(5).selectExpr("id AS k", "id * 2 AS v"), t3
+    )
+    dl.delta_set_table_property(spark, t3, "delta.appendOnly", "true")
+    with pytest.raises(Exception, match="append-only|appendOnly"):
+        spark.range(3).selectExpr(
+            "id AS k", "id * 2 AS v"
+        ).write.format("tspdelta").mode("overwrite").save(t3)
+    # plain appends to an append-only table remain fine
+    spark.range(100, 103).selectExpr(
+        "id AS k", "id * 2 AS v"
+    ).write.format("tspdelta").mode("append").save(t3)
+    assert dl.read_delta_log(spark, t3).count() == 8

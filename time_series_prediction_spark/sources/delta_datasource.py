@@ -67,10 +67,12 @@ def _strip_scheme(p: str) -> str:
 
 
 def _mapify(v):
-    """pyarrow map columns round-trip as key/value pair lists."""
-    if isinstance(v, dict) or v is None:
-        return v
-    return dict(v)
+    """pyarrow map columns round-trip as key/value pair lists; leave
+    dicts (JSON-sourced actions) and strings (domainMetadata's
+    configuration is json TEXT) untouched."""
+    if isinstance(v, (list, tuple)):
+        return dict(v)
+    return v
 
 
 def _local_snapshot(path: str) -> tuple[dict, dict, int, dict]:
@@ -521,12 +523,45 @@ class _TspDeltaWriter(DataSourceWriter, DataSourceStreamWriter):
         actions: list[dict] = []
         prev_files: dict = {}
         if exists:
+            from time_series_prediction_spark.sources.deltalog import (
+                _generated_columns,
+                _identity_columns,
+                _refuse_append_only,
+                _row_tracking_on,
+                _table_constraints,
+            )
+
             prev_files, meta, v, txns, proto = _local_snapshot(
                 self._path
             )
             _check_writer_protocol(proto)
             _table_schema(meta)  # column-mapped tables refuse
             have = StructType.fromJson(json.loads(meta["schemaString"]))
+            # this sink lands RAW batches: tables whose write path
+            # must enforce or derive per-row state would be silently
+            # corrupted by it — refuse, naming the writer that
+            # maintains each invariant (SparkSession-free commit
+            # can't run the enforcement scans)
+            blockers = []
+            if _table_constraints(meta):
+                blockers.append("CHECK constraints")
+            if _generated_columns(have):
+                blockers.append("generated columns")
+            if _identity_columns(have):
+                blockers.append("identity columns")
+            if _row_tracking_on(meta):
+                blockers.append("row tracking")
+            if blockers:
+                self._cleanup(messages)
+                raise ValueError(
+                    "tspdelta sink: table carries "
+                    + ", ".join(blockers)
+                    + " — their invariants need the enforcing "
+                    "writer (deltalog.write_delta_log / the DML "
+                    "surface), not a raw-batch sink"
+                )
+            if self._overwrite:
+                _refuse_append_only(meta, "overwrite")
             if [(f.name, f.dataType) for f in have.fields] != [
                 (f.name, f.dataType) for f in self._schema.fields
             ]:
