@@ -345,3 +345,36 @@ def test_sink_refuses_invariant_bearing_tables(spark, tmp_path):
         "id AS k", "id * 2 AS v"
     ).write.format("tspdelta").mode("append").save(t3)
     assert dl.read_delta_log(spark, t3).count() == 8
+
+
+def test_batch_read_row_tracked_clustered_table(spark, tmp_path):
+    """The DS replay handles domainMetadata-bearing logs (row
+    tracking high-water mark, clustering domain — configuration is
+    JSON TEXT, not an arrow map): batch rows match the JVM reader on
+    a row-tracked, clustered, incrementally-optimized table."""
+    t = str(tmp_path / "t")
+    dl.write_delta_log(
+        spark.range(500).selectExpr(
+            "id % 5 AS grp", "id AS k", "id % 3 AS v"
+        ),
+        t, mode="overwrite",
+    )
+    dl.delta_enable_row_tracking(spark, t)
+    dl.delta_cluster_by(spark, t, ["grp", "k"])
+    dl.delta_optimize(spark, t, target_files=3)
+    dl.write_delta_log(
+        spark.range(40, 60).selectExpr(
+            "id % 5 AS grp", "id AS k", "CAST(9 AS BIGINT) AS v"
+        ),
+        t, mode="append",
+    )
+    dl.delta_optimize_incremental(spark, t, target_files=3)
+    got = sorted(
+        (r["grp"], r["k"], r["v"])
+        for r in spark.read.format("tspdelta").load(t).collect()
+    )
+    want = sorted(
+        (r["grp"], r["k"], r["v"])
+        for r in dl.read_delta_log(spark, t).collect()
+    )
+    assert got == want and len(got) == 520
