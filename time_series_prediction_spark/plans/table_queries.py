@@ -2253,6 +2253,91 @@ def events_delta_bounded_tail_scan(
     )
 
 
+_DELTA_PYDS_STREAM_SPEC = "delta-events-pyds-stream|v1|4commits|mv1"
+
+
+def events_delta_pyds_stream_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The Python Data Source STREAMING path end to end
+    (``spark.readStream.format('tspdelta')`` →
+    ``writeStream.format('tspdelta')``): events lands as a 4-commit
+    native Delta backlog; a bounded stream (maxVersionsPerBatch=1)
+    drains it through Spark's own microbatch engine into a SECOND
+    native-log table via the DS sink (txn-token exactly-once). The
+    build asserts the drain took ≥4 data microbatches and the sink
+    recorded the txn watermark; the result aggregates the SINK table
+    — equal to the raw-events oracle only if every bounded batch
+    delivered and landed exactly once."""
+    from time_series_prediction_spark.sources.delta_datasource import (
+        TspDeltaDataSource,
+    )
+    from time_series_prediction_spark.sources.deltalog import (
+        delta_snapshot,
+        write_delta_log,
+    )
+    from time_series_prediction_spark.sources.io import read_delta
+
+    src = os.path.join(sf_dir, "events.parquet")
+    root = os.path.join(tempfile.gettempdir(), "tsp_layouts")
+    fs = fs_for(spark, root)
+    st = fs.status(src)
+    if st is None:
+        raise FileNotFoundError(src)
+    ident = f"{fs.qualified(src)}|{st[0]}|{st[1]}|{_DELTA_PYDS_STREAM_SPEC}"
+    key = hashlib.md5(ident.encode()).hexdigest()[:16]
+    path = os.path.join(root, f"events_pydstream_{key}")
+
+    def _build(tmp: str) -> None:
+        spark.dataSource.register(TspDeltaDataSource)
+        data = os.path.join(tmp, "data")
+        sink = os.path.join(tmp, "sink")
+        ev = read_table(spark, sf_dir, "events").select(
+            "event_id",
+            "event_type",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias(
+                "value_cents"
+            ),
+        )
+        for i in range(4):  # the backlog lands before the stream
+            write_delta_log(
+                ev.where(F.col("event_id") % 4 == i), data,
+                mode="append" if i else "overwrite",
+            )
+        q = (
+            spark.readStream.format("tspdelta")
+            .option("maxVersionsPerBatch", "1").load(data)
+            .writeStream.format("tspdelta")
+            .option("checkpointLocation", os.path.join(tmp, "ck"))
+            .start(sink)
+        )
+        q.processAllAvailable()
+        q.stop()
+        n_data_batches = len(
+            [p for p in q.recentProgress if p["numInputRows"] > 0]
+        )
+        if n_data_batches < 4:
+            raise AssertionError(
+                f"bounded drain took {n_data_batches} data batches, "
+                "expected one per backlog commit (>=4)"
+            )
+        _f, _m, _v, txns, _p = delta_snapshot(spark, sink)
+        if txns.get("tspdelta-sink", -1) < 3:
+            raise AssertionError(
+                f"sink txn watermark {txns} never reached batch 3"
+            )
+
+    ensure_artifact(spark, path, ident, _build)
+    return (
+        read_delta(spark, os.path.join(path, "sink"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("value_cents").cast("long").alias("total_cents"),
+        )
+    )
+
+
 _DELTA_CONVERT_SPEC = "delta-orders-convert|v1|hive-part|19dvdel|append"
 
 
@@ -3312,6 +3397,10 @@ TABLE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "events_delta_bounded_tail_scan": (
         events_delta_bounded_tail_scan,
+        EVENTS_DELTA_TAIL_SQL,
+    ),
+    "events_delta_pyds_stream_scan": (
+        events_delta_pyds_stream_scan,
         EVENTS_DELTA_TAIL_SQL,
     ),
     "orders_delta_merge_scan": (
