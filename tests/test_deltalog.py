@@ -5202,3 +5202,45 @@ def test_incremental_optimize_budget_fallback(
         for r in dl.read_delta_with_row_ids(spark, table).collect()
     }
     assert after == before  # sound: content and ids intact
+
+
+def test_writer_gate_covers_metadata_paths(spark, tmp_path):
+    """The writer-side protocol gate also covers metadata writers:
+    SET TBLPROPERTIES, ADD CONSTRAINT, ALTER COLUMN surface, CLUSTER
+    BY, and RESTORE all refuse a table carrying an unknown writer
+    feature."""
+    import time_series_prediction_spark.sources.deltalog as dl
+
+    table = str(tmp_path / "t")
+    dl.write_delta_log(
+        spark.range(10).selectExpr("id AS k", "id * 2 AS v"), table
+    )
+    dl.write_delta_log(
+        spark.createDataFrame([(50, 1)], "k long, v long"),
+        table, mode="append",
+    )
+    _f, meta, v, _t, _p = dl.delta_snapshot(spark, table)
+    fs = dl.fs_for(spark, table)
+    dl._commit_json(
+        fs, table, v + 1,
+        [{"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 7,
+            "writerFeatures": ["somethingNew"],
+        }}],
+        op="UPGRADE", meta=meta,
+    )
+    for op in (
+        lambda: dl.delta_set_table_property(
+            spark, table, "delta.appendOnly", "true"
+        ),
+        lambda: dl.delta_add_constraint(spark, table, "pos", "v >= 0"),
+        lambda: dl.delta_enable_column_mapping(spark, table),
+        lambda: dl.delta_cluster_by(spark, table, ["k"]),
+        lambda: dl.delta_restore(spark, table, 0),
+        lambda: dl.delta_enable_row_tracking(spark, table),
+    ):
+        with pytest.raises(
+            dl.DeltaProtocolUnsupported, match="somethingNew"
+        ):
+            op()
+    assert dl.read_delta_log(spark, table).count() == 11  # reads open

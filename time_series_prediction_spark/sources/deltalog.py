@@ -1843,6 +1843,7 @@ def delta_set_table_property(
     UPDATE / row-matching MERGE / overwrite / RESTORE are refused —
     the immutable-log contract ingest pipelines pin."""
     _files, meta, v, _txns, protocol = delta_snapshot(spark, path)
+    _check_writer_protocol(protocol)
     conf = dict(meta.get("configuration") or {})
     if value is None:
         if key not in conf:
@@ -2148,6 +2149,7 @@ def delta_set_identity_column(
     if step == 0:
         raise ValueError("identity step must be non-zero")
     _files, meta, v, _txns, protocol = delta_snapshot(spark, path)
+    _check_writer_protocol(protocol)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     field = next((f for f in schema.fields if f.name == name), None)
     if field is None:
@@ -2212,6 +2214,7 @@ def delta_set_generated_column(
     computed — including partition columns, the derive-the-date-dir
     use) and are validated when they carry it."""
     _files, meta, v, _txns, protocol = delta_snapshot(spark, path)
+    _check_writer_protocol(protocol)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     names = [f.name for f in schema.fields]
     if name not in names:
@@ -2433,6 +2436,7 @@ def delta_enable_column_mapping(spark: SparkSession, path: str) -> int:
     from pyspark.sql.types import StructField
 
     _files, meta, v, _txns, protocol = delta_snapshot(spark, path)
+    _check_writer_protocol(protocol)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     if _column_mapping(meta, schema):
         return v
@@ -2837,6 +2841,7 @@ def delta_add_constraint(
     if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
         raise ValueError(f"constraint name {name!r} must be an identifier")
     files, meta, v, _txns, protocol = delta_snapshot(spark, path)
+    _check_writer_protocol(protocol)
     if f"{_CONSTRAINT_PREFIX}{name}" in (meta.get("configuration") or {}):
         raise ValueError(f"constraint {name!r} already exists")
     _enforce_constraints(
@@ -4031,6 +4036,7 @@ def delta_restore(spark: SparkSession, path: str, version: int) -> int:
 
     old_files, old_meta, _ov, _t, _p = delta_snapshot(spark, path, version)
     cur_files, cur_meta, cur_v, _t2, _p2 = delta_snapshot(spark, path)
+    _check_writer_protocol(_p2)
     _refuse_append_only(cur_meta, "RESTORE")
     if version == cur_v:
         return cur_v
