@@ -378,3 +378,102 @@ def test_batch_read_row_tracked_clustered_table(spark, tmp_path):
         for r in dl.read_delta_log(spark, t).collect()
     )
     assert got == want and len(got) == 520
+
+
+def test_stream_composes_with_stateful_aggregation(spark, tmp_path):
+    """The DS stream is a real structured-streaming source: a
+    groupBy aggregation over it maintains state across bounded
+    microbatches (update mode), ending at the same totals as a batch
+    aggregation over the table."""
+    t = str(tmp_path / "t")
+    for i in range(3):
+        dl.write_delta_log(
+            spark.range(20 * i, 20 * i + 20).selectExpr(
+                "id AS k", "id % 4 AS g", "id * 2 AS v"
+            ),
+            t, mode="overwrite" if i == 0 else "append",
+        )
+    q = (
+        spark.readStream.format("tspdelta")
+        .option("maxVersionsPerBatch", "1").load(t)
+        .groupBy("g")
+        .agg({"v": "sum", "k": "count"})
+        .writeStream.outputMode("update")
+        .format("memory").queryName("tspds_agg")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # update mode emits per-batch rows; the LAST row per group is the
+    # final state — compare against the batch truth
+    import pandas as pd
+
+    got = spark.sql("SELECT * FROM tspds_agg").toPandas()
+    last = got.groupby("g").last()
+    want = (
+        dl.read_delta_log(spark, t)
+        .groupBy("g").agg({"v": "sum", "k": "count"})
+        .toPandas().set_index("g").sort_index()
+    )
+    assert last["sum(v)"].sort_index().tolist() == want[
+        "sum(v)"
+    ].tolist()
+    assert last["count(k)"].sort_index().tolist() == want[
+        "count(k)"
+    ].tolist()
+
+
+def test_stream_foreachbatch_merge_upsert(spark, tmp_path):
+    """The lakehouse upsert pattern through the format API: a DS
+    stream of change batches folded into a downstream native table
+    with foreachBatch + delta_merge — final state equals the
+    last-writer-wins truth, exactly once."""
+    src = str(tmp_path / "src")
+    # three commits updating overlapping keys: last write wins
+    dl.write_delta_log(
+        spark.range(10).selectExpr(
+            "id AS k", "CAST(0 AS BIGINT) AS v"
+        ),
+        src, mode="overwrite",
+    )
+    dl.write_delta_log(
+        spark.range(5, 15).selectExpr(
+            "id AS k", "CAST(1 AS BIGINT) AS v"
+        ),
+        src, mode="append",
+    )
+    dl.write_delta_log(
+        spark.range(12, 18).selectExpr(
+            "id AS k", "CAST(2 AS BIGINT) AS v"
+        ),
+        src, mode="append",
+    )
+    dst = str(tmp_path / "dst")
+    dl.write_delta_log(
+        spark.createDataFrame([], "k long, v long"), dst,
+        mode="overwrite",
+    )
+
+    def upsert(batch_df, batch_id):
+        # bounded windows deliver one commit per microbatch, so each
+        # key appears at most once per batch; merge key-wise
+        dl.delta_merge(spark, dst, batch_df, key="k")
+
+    q = (
+        spark.readStream.format("tspdelta")
+        .option("maxVersionsPerBatch", "1").load(src)
+        .writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["k"]: r["v"]
+        for r in dl.read_delta_log(spark, dst).collect()
+    }
+    want = {k: 0 for k in range(10)}
+    want.update({k: 1 for k in range(5, 15)})
+    want.update({k: 2 for k in range(12, 18)})
+    assert got == want

@@ -5244,3 +5244,41 @@ def test_writer_gate_covers_metadata_paths(spark, tmp_path):
         ):
             op()
     assert dl.read_delta_log(spark, table).count() == 11  # reads open
+
+
+def test_history_surfaces_r13_operations(spark, tmp_path):
+    """DESCRIBE HISTORY lists the r13 operation names — CONVERT,
+    CLUSTER BY, OPTIMIZE INCREMENTAL, REORG PURGE — with
+    operationMetrics on the data-bearing ones."""
+    import time_series_prediction_spark.sources.deltalog as dl
+
+    t = str(tmp_path / "t")
+    spark.range(400).selectExpr(
+        "id % 7 AS grp", "id AS k", "id % 3 AS v"
+    ).write.parquet(t)
+    dl.delta_convert_to_delta(spark, t)
+    dl.delta_enable_column_mapping(spark, t)
+    dl.delta_cluster_by(spark, t, ["grp", "k"])
+    dl.delta_optimize(spark, t, target_files=2)
+    dl.write_delta_log(  # overlaps the clustered k ranges
+        spark.range(20, 40).selectExpr(
+            "id % 7 AS grp", "id AS k", "CAST(9 AS BIGINT) AS v"
+        ),
+        t, mode="append",
+    )
+    dl.delta_optimize_incremental(spark, t, target_files=2)
+    dl.delta_drop_column(spark, t, "v")
+    dl.delta_reorg_purge(spark, t)
+    ops = [h["operation"] for h in dl.delta_history(spark, t)]
+    for want in (
+        "CONVERT", "CLUSTER BY", "OPTIMIZE", "OPTIMIZE INCREMENTAL",
+        "REORG PURGE",
+    ):
+        assert want in ops, (want, ops)
+    reorg = next(
+        h for h in dl.delta_history(spark, t)
+        if h["operation"] == "REORG PURGE"
+    )
+    om = reorg.get("operationMetrics") or {}
+    assert int(om.get("numAddedFiles", 0)) >= 1
+    assert int(om.get("numRemovedFiles", 0)) >= 1
