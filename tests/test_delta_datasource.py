@@ -477,3 +477,74 @@ def test_stream_foreachbatch_merge_upsert(spark, tmp_path):
     want.update({k: 1 for k in range(5, 15)})
     want.update({k: 2 for k in range(12, 18)})
     assert got == want
+
+
+def test_sink_carries_ict_on_enabled_tables(spark, tmp_path):
+    """ADVICE r13 (medium): a table with
+    delta.enableInCommitTimestamps=true must get an inCommitTimestamp
+    on EVERY post-enablement commit — including the DS sink's, which
+    used to pass meta=None and land bare commits, breaking the
+    monotone chain and version_at_timestamp precedence."""
+    import json as _json
+
+    t = str(tmp_path / "t")
+    dl.write_delta_log(
+        spark.range(5).selectExpr("id AS k", "id * 2 AS v"), t
+    )
+    dl.delta_set_table_property(
+        spark, t, "delta.enableInCommitTimestamps", "true"
+    )
+    v_en = dl.delta_snapshot(spark, t)[2]
+
+    def _ict(v: int) -> int | None:
+        p = os.path.join(t, "_delta_log", f"{v:020d}.json")
+        for line in open(p).read().splitlines():
+            d = _json.loads(line)
+            if "commitInfo" in d:
+                return d["commitInfo"].get("inCommitTimestamp")
+        return None
+
+    spark.range(100, 103).selectExpr(
+        "id AS k", "id * 2 AS v"
+    ).write.format("tspdelta").mode("append").save(t)
+    v1 = dl.delta_snapshot(spark, t)[2]
+    assert v1 == v_en + 1
+    assert _ict(v1) is not None  # the sink's commit carries ICT
+    assert _ict(v1) > _ict(v_en)  # strictly monotone chain
+    # a second DS append keeps the chain strictly increasing
+    spark.range(200, 202).selectExpr(
+        "id AS k", "id * 2 AS v"
+    ).write.format("tspdelta").mode("append").save(t)
+    v2 = dl.delta_snapshot(spark, t)[2]
+    assert _ict(v2) > _ict(v1)
+    # version_at_timestamp resolves through the DS-written commits
+    assert dl.version_at_timestamp(spark, t, _ict(v1)) == v1
+    assert dl.version_at_timestamp(spark, t, _ict(v2)) == v2
+    assert dl.read_delta_log(spark, t).count() == 10
+
+
+def test_user_schema_does_not_bypass_protocol_gates(spark, tmp_path):
+    """ADVICE r13 (low): .schema(...) skips DataSource.schema() — the
+    one place the protocol gate and column-mapping refusal ran. A
+    column-mapped table read with a user schema would come back as
+    silent all-nulls (files carry physical names); the readers must
+    re-run the gates themselves."""
+    t = str(tmp_path / "t")
+    dl.write_delta_log(
+        spark.range(5).selectExpr("id AS k", "id * 2 AS v"), t
+    )
+    dl.delta_enable_column_mapping(spark, t)
+    with pytest.raises(Exception, match="column-mapped"):
+        spark.read.format("tspdelta").schema(
+            "k long, v long"
+        ).load(t).collect()
+    with pytest.raises(Exception, match="column-mapped"):
+        q = (
+            spark.readStream.format("tspdelta")
+            .schema("k long, v long").load(t)
+            .writeStream.format("noop").start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()

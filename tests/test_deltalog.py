@@ -4707,6 +4707,82 @@ def test_reorg_table_apply_purge(spark, tmp_path):
     }
 
 
+def test_reorg_purge_stats_blind_dropped_column(spark, tmp_path):
+    """ADVICE r13 (high): a dropped column that is STATS-BLIND
+    (timestamps never appear in add.stats — `_encode_stat` has no
+    faithful order-preserving encoding for them) must still be
+    physically erased by REORG PURGE. Pre-fix, the file's stats keys
+    (k, s only) looked clean against the allowed set, the footer
+    fallback never ran, and REORG silently returned without erasing
+    the dropped timestamp's bytes. Stats may only prove DIRTY now;
+    CLEAN comes from the footer or the field-id ledger."""
+    import pyarrow.parquet as pq
+
+    import time_series_prediction_spark.sources.deltalog as dl
+
+    table = str(tmp_path / "t")
+    dl.write_delta_log(
+        spark.range(50).selectExpr(
+            "id AS k",
+            "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id)"
+            " AS ts",
+            "CAST(id AS STRING) AS s",
+        ),
+        table, mode="overwrite",
+    )
+    dl.delta_enable_column_mapping(spark, table)
+    # the landed file is stats-bearing for k and s but blind on ts
+    files0, meta0, v0, _t, _p = dl.delta_snapshot(spark, table)
+    blind = [
+        dl._stats_phys_cols(a) for a in files0.values() if a.get("stats")
+    ]
+    assert blind and all("ts" not in (c or set()) for c in blind)
+
+    dl.delta_drop_column(spark, table, "ts")  # metadata-only
+    v1 = dl.delta_snapshot(spark, table)[2]
+    v2 = dl.delta_reorg_purge(spark, table)
+    assert v2 == v1 + 1  # MUST rewrite — the ts bytes are purgeable
+    files1, *_ = dl.delta_snapshot(spark, table)
+    for rel in files1:
+        names = pq.ParquetFile(
+            os.path.join(table, rel)
+        ).schema_arrow.names
+        assert "ts" not in names  # bytes physically gone
+    got = dl.read_delta_log(spark, table)
+    assert got.count() == 50 and set(got.columns) == {"k", "s"}
+    # idempotent — and the id ledger now has a retired id, so the
+    # second pass proves cleanliness via footers, not stats
+    assert dl.delta_reorg_purge(spark, table) == v2
+
+
+def test_reorg_purge_id_ledger_shortcut(spark, tmp_path):
+    """Companion to the stats-blind fix: a mapped table that NEVER
+    dropped a column has a contiguous field-id ledger
+    (`_no_retired_field_ids` True), so REORG proves every non-DV file
+    clean with zero footer reads; after a drop the ledger has a gap
+    and the shortcut must disengage."""
+    import json as _json
+
+    import time_series_prediction_spark.sources.deltalog as dl
+    from pyspark.sql.types import StructType
+
+    table = str(tmp_path / "t")
+    dl.write_delta_log(
+        spark.range(20).selectExpr("id AS k", "id * 2 AS v"),
+        table, mode="overwrite",
+    )
+    dl.delta_enable_column_mapping(spark, table)
+    _f, meta, v0, _t, _p = dl.delta_snapshot(spark, table)
+    schema = StructType.fromJson(_json.loads(meta["schemaString"]))
+    assert dl._no_retired_field_ids(meta, schema)
+    assert dl.delta_reorg_purge(spark, table) == v0  # clean no-op
+
+    dl.delta_drop_column(spark, table, "v")
+    _f, meta, _v, _t, _p = dl.delta_snapshot(spark, table)
+    schema = StructType.fromJson(_json.loads(meta["schemaString"]))
+    assert not dl._no_retired_field_ids(meta, schema)  # id 2 retired
+
+
 def test_changes_since_rate_bounded_backlog(spark, tmp_path):
     """VERDICT r12 Next #4: a consumer that falls behind must not get
     the whole backlog as one unbounded microbatch. A 3-commit backlog
@@ -4840,6 +4916,53 @@ def test_checkpoint_interval_and_policy_properties(spark, tmp_path):
     assert got == 7
 
 
+def test_num_indexed_cols_counts_leaves(spark):
+    """ADVICE r13 (low): dataSkippingNumIndexedCols counts the first N
+    LEAF columns depth-first (struct leaves individually), matching
+    delta-spark's DataSkippingReader — not the first N top-level
+    fields. With schema (s struct<a,b,c>, x, y) and N=3, the struct
+    consumes all three leaf slots: x and y are NOT indexed."""
+    import time_series_prediction_spark.sources.deltalog as dl
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    inner = StructType(
+        [StructField(n, LongType()) for n in ("a", "b", "c")]
+    )
+    schema = StructType(
+        [
+            StructField("s", inner),
+            StructField("x", LongType()),
+            StructField("y", LongType()),
+        ]
+    )
+    meta = {
+        "schemaString": schema.json(),
+        "configuration": {"delta.dataSkippingNumIndexedCols": "3"},
+    }
+    got = dl._indexed_stat_cols(meta, ["s", "x", "y"])
+    assert got == {"s"}  # struct eats leaf slots 0..2
+    # N=4 reaches the first leaf past the struct
+    meta["configuration"]["delta.dataSkippingNumIndexedCols"] = "4"
+    assert dl._indexed_stat_cols(meta, ["s", "x", "y"]) == {"s", "x"}
+    # flat schemas behave exactly as before (leaves == fields)
+    flat = StructType(
+        [StructField(n, LongType()) for n in ("a", "b", "c")]
+    )
+    meta2 = {
+        "schemaString": flat.json(),
+        "configuration": {"delta.dataSkippingNumIndexedCols": "2"},
+    }
+    assert dl._indexed_stat_cols(meta2, ["a", "b", "c"]) == {"a", "b"}
+    # physical columns outside the schema always keep stats
+    assert dl._indexed_stat_cols(meta2, ["a", "b", "c", "_rt"]) == {
+        "a", "b", "_rt",
+    }
+
+
 def test_data_skipping_stats_properties(spark, tmp_path):
     """delta.dataSkippingNumIndexedCols limits min/max/nullCount to
     the first N schema columns (numRecords always recorded — row
@@ -4954,6 +5077,78 @@ def test_log_retention_metadata_cleanup(spark, tmp_path):
     )
     dl.write_checkpoint(spark, table)
     assert dl.delta_cleanup_metadata(spark, table) == []
+
+
+def test_log_cleanup_contiguous_prefix_under_inversion(spark, tmp_path):
+    """ADVICE r13 (low): per-file timestamp deletion can punch a HOLE
+    in the log when mtime/ICT inversions occur (copied file, pre-ICT
+    commits) — v deleted while v-1 survives, so time travel to any
+    retained version above the hole raises. Cleanup must monotonize
+    timestamps ascending and delete a CONTIGUOUS prefix, exactly
+    delta-spark's BufferingLogDeletionIterator."""
+    import time_series_prediction_spark.sources.deltalog as dl
+
+    table = str(tmp_path / "t")
+    log = os.path.join(table, "_delta_log")
+    for i in range(5):  # v0..v4
+        dl.write_delta_log(
+            spark.createDataFrame([(i, i)], "k long, v long"),
+            table, mode="overwrite" if i == 0 else "append",
+        )
+    dl.delta_set_table_property(  # v5
+        spark, table, "delta.logRetentionDuration", "interval 0 days"
+    )
+    dl.write_checkpoint(spark, table)  # ceiling at v5
+
+    def _set_ts(v: int, ts: int) -> None:
+        p = os.path.join(log, f"{v:020d}.json")
+        lines = open(p).read().splitlines()
+        out = []
+        for line in lines:
+            d = json.loads(line)
+            if "commitInfo" in d:
+                d["commitInfo"]["timestamp"] = ts
+                d["commitInfo"].pop("inCommitTimestamp", None)
+            out.append(json.dumps(d))
+        open(p, "w").write("\n".join(out) + "\n")
+        # drop Hadoop LocalFileSystem's hidden checksum sidecar — the
+        # direct rewrite invalidated it and fs.read_text would raise
+        side = os.path.join(log, f".{v:020d}.json.crc")
+        if os.path.exists(side):
+            os.unlink(side)
+
+    # v1's timestamp is INVERTED high (a copy bumped it); v2..v4 sit
+    # between — naive per-file deletion at cutoff=3000 would delete
+    # v0, v2, v3, v4 and retain v1: a hole right under the ceiling
+    _set_ts(0, 1000)
+    _set_ts(1, 5000)
+    _set_ts(2, 2000)
+    _set_ts(3, 2500)
+    _set_ts(4, 2600)
+    deleted = dl.delta_cleanup_metadata(spark, table, now_ms=3000)
+    assert f"{0:020d}.json" in deleted
+    # monotonization lifts v2..v4 above v1's 5000: all retained
+    for v in (1, 2, 3, 4):
+        assert f"{v:020d}.json" not in deleted
+        assert os.path.exists(os.path.join(log, f"{v:020d}.json"))
+    # the retained range is CONTIGUOUS — no hole between surviving
+    # commits (v1..v5 all present), so incremental tail consumers
+    # (delta_changes_since) can replay any window inside it
+    surviving = sorted(
+        int(n[:20]) for n in os.listdir(log)
+        if n.endswith(".json") and n[:20].isdigit()
+    )
+    assert surviving == list(range(surviving[0], surviving[-1] + 1))
+    assert dl.read_delta_log(spark, table).count() == 5
+    ch = dl.delta_changes_since(spark, table, 1)
+    assert ch[0].count() > 0  # tail replay across the retained range
+    # a later cleanup past every timestamp clears the rest, still
+    # leaving the ceiling intact
+    deleted2 = dl.delta_cleanup_metadata(
+        spark, table, now_ms=10_000_000
+    )
+    assert {f"{v:020d}.json" for v in (1, 2, 3, 4)} <= set(deleted2)
+    assert dl.read_delta_log(spark, table).count() == 5
 
 
 def test_writer_feature_gating(spark, tmp_path):

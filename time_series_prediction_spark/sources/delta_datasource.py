@@ -215,6 +215,154 @@ def _partitions_for(
     ]
 
 
+# ---- load-time file pruning (VERDICT r13 Next #1) -------------------
+#
+# pushFilters is POISONED on Spark 4.1.2 (scan-reuse hazard — see
+# _read_file_partition's docstring), so pruning rides a LOAD-TIME
+# option instead::
+#
+#     spark.read.format("tspdelta")
+#          .option("prune", "o_orderdate >= '1995-01-01' AND bucket = 2")
+#          .load(path)
+#
+# Each distinct option set creates a DISTINCT DSv2 relation, so a
+# pruned scan can never be silently reused by sibling plans of an
+# unpruned DataFrame (the hazard's shape) — partitions() output is
+# FIXED per relation. Grammar: conjunctions of ``col OP literal``
+# with OP in >= <= > < = == != ; literals are numbers, 'quoted
+# strings', or 'YYYY-MM-DD' dates. A file is skipped only when its
+# add.stats min/max range (or exact Hive partition value) PROVABLY
+# excludes a clause; stats-blind columns never prune. The option is
+# an OPTIMIZATION HINT for scan I/O, not a filter: rows from
+# surviving files still flow, so keep the .where() — exactly
+# partition-pruning semantics.
+
+_PRUNE_CLAUSE_RE = re.compile(
+    r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*(>=|<=|!=|==|=|>|<)\s*"
+    r"('(?:[^']|'')*'|-?\d+(?:\.\d+)?)\s*$"
+)
+_ISO_DATE_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+
+
+def _parse_prune(expr: str, colnames: set[str]) -> list[tuple]:
+    """``prune`` option → [(col, op, literal)] conjunction. Raises on
+    anything outside the grammar or naming an unknown column — a
+    silently-ignored prune would masquerade as a working one."""
+    clauses: list[tuple] = []
+    for part in re.split(r"(?i)\s+AND\s+", expr.strip()):
+        m = _PRUNE_CLAUSE_RE.match(part)
+        if not m:
+            raise ValueError(
+                f"tspdelta prune: cannot parse clause {part!r} — "
+                "supported grammar: col OP literal [AND ...] with OP "
+                "in >= <= > < = == != and literals as numbers or "
+                "'quoted strings' / 'YYYY-MM-DD' dates"
+            )
+        col, op, lit = m.groups()
+        if col not in colnames:
+            raise ValueError(
+                f"tspdelta prune: column {col!r} is not in the table "
+                f"schema ({sorted(colnames)})"
+            )
+        op = "==" if op == "=" else op
+        if lit.startswith("'"):
+            clauses.append((col, op, lit[1:-1].replace("''", "'")))
+        else:
+            clauses.append((col, op, float(lit)))
+    return clauses
+
+
+def _cmp(x, op: str, v) -> bool:
+    if op == ">=":
+        return x >= v
+    if op == "<=":
+        return x <= v
+    if op == ">":
+        return x > v
+    if op == "<":
+        return x < v
+    if op == "==":
+        return x == v
+    return x != v
+
+
+def _days_since_epoch(s: str) -> float:
+    import datetime as _dt
+
+    return float(
+        (_dt.date.fromisoformat(s) - _dt.date(1970, 1, 1)).days
+    )
+
+
+def _range_excludes(lo, hi, op: str, v) -> bool:
+    """True when [lo, hi] (either bound possibly absent) provably
+    contains NO value satisfying ``x OP v``."""
+    if op == ">=":
+        return hi is not None and hi < v
+    if op == ">":
+        return hi is not None and hi <= v
+    if op == "<=":
+        return lo is not None and lo > v
+    if op == "<":
+        return lo is not None and lo >= v
+    if op == "==":
+        return (hi is not None and v > hi) or (
+            lo is not None and v < lo
+        )
+    # != prunes only a constant file
+    return lo is not None and hi is not None and lo == hi == v
+
+
+def _file_skipped(add: dict, clauses: list[tuple]) -> bool:
+    """True when ANY conjunct provably excludes every row of the file
+    (partition value mismatch or disjoint stats range). Missing
+    stats / type mismatches keep the file — pruning is an
+    optimization, never a semantics change."""
+    pv = add.get("partitionValues") or {}
+    stats = None
+    if add.get("stats"):
+        try:
+            stats = json.loads(add["stats"])
+        except ValueError:
+            stats = None
+    for col, op, val in clauses:
+        if col in pv:
+            raw = pv[col]
+            if raw is None:
+                return True  # null never satisfies a comparison
+            if isinstance(val, float):
+                try:
+                    x = float(raw)
+                except (TypeError, ValueError):
+                    continue  # type mismatch: keep
+                if not _cmp(x, op, val):
+                    return True
+            elif not _cmp(str(raw), op, val):
+                return True
+            continue
+        if not stats:
+            continue
+        lo = (stats.get("minValues") or {}).get(col)
+        hi = (stats.get("maxValues") or {}).get(col)
+        if lo is None and hi is None:
+            continue  # stats-blind column: keep
+        ref = lo if lo is not None else hi
+        v = val
+        if isinstance(ref, (int, float)) and not isinstance(
+            ref, bool
+        ):
+            if isinstance(val, str):
+                if _ISO_DATE_RE.match(val):
+                    v = _days_since_epoch(val)  # date stat encoding
+                else:
+                    continue  # string literal vs numeric stats: keep
+        elif not isinstance(val, str):
+            continue  # numeric literal vs string stats: keep
+        if _range_excludes(lo, hi, op, v):
+            return True
+    return False
+
+
 def _read_file_partition(
     part: _FilePartition, schema: StructType
 ) -> Iterator:
@@ -262,9 +410,19 @@ def _read_file_partition(
 
 class _TspDeltaBatchReader(DataSourceReader):
     def __init__(self, path: str, schema: StructType) -> None:
+        from time_series_prediction_spark.sources.deltalog import (
+            _check_protocol,
+        )
+
         self._schema = schema
         self._path = path
-        self._files, _meta, _v, _txns, _proto = _local_snapshot(path)
+        self._files, meta, _v, _txns, proto = _local_snapshot(path)
+        # ADVICE r13 (low): a user-supplied .schema(...) bypasses
+        # DataSource.schema() — the protocol gate and column-mapping
+        # refusal must ALSO run here, or a mapped/unsupported table
+        # reads as silent all-nulls (files carry physical names)
+        _check_protocol(proto)
+        _table_schema(meta)
         self._pushed: list = []
 
     def partitions(self):
@@ -282,10 +440,18 @@ class _TspDeltaStreamReader(DataSourceStreamReader):
     ``deltalog.delta_changes_since``, same rules, same refusals."""
 
     def __init__(self, path: str, schema: StructType, options) -> None:
+        from time_series_prediction_spark.sources.deltalog import (
+            _check_protocol,
+        )
+
         self._path = _strip_scheme(path)
         self._schema = schema
         sv = options.get("startingVersion", "earliest")
-        _files, _meta, latest, _txns, _proto = _local_snapshot(path)
+        _files, meta, latest, _txns, proto = _local_snapshot(path)
+        # same bypass guard as the batch reader: .schema(...) skips
+        # DataSource.schema(), so gate here too
+        _check_protocol(proto)
+        _table_schema(meta)
         if str(sv).lower() == "earliest":
             self._start = -1
         elif str(sv).lower() == "latest":
@@ -405,6 +571,12 @@ class _LocalLogFS:
         with open(_strip_scheme(p), "w") as f:
             f.write(s)
 
+    def read_text(self, p: str) -> str:
+        # _commit_json's ICT chain (_prev_ict/_last_cp_ict) reads the
+        # previous commit / _last_checkpoint through the fs seam
+        with open(_strip_scheme(p)) as f:
+            return f.read()
+
     def rename(self, src: str, dst: str) -> bool:
         src, dst = _strip_scheme(src), _strip_scheme(dst)
         try:
@@ -522,6 +694,7 @@ class _TspDeltaWriter(DataSourceWriter, DataSourceStreamWriter):
         exists = os.path.isdir(os.path.join(self._path, _LOG_DIR))
         actions: list[dict] = []
         prev_files: dict = {}
+        meta = None  # existing table's metadata → _commit_json's ICT
         if exists:
             from time_series_prediction_spark.sources.deltalog import (
                 _generated_columns,
@@ -639,12 +812,18 @@ class _TspDeltaWriter(DataSourceWriter, DataSourceStreamWriter):
         actions.extend(
             _adds_for_files(fs, self._path, visible, True, stats)
         )
+        # meta flows through so ICT-enabled tables get their
+        # inCommitTimestamp (ADVICE r13 medium): _commit_json seeds
+        # the monotone chain via _prev_ict/_last_cp_ict through
+        # _LocalLogFS.read_text — a post-enablement commit without
+        # ICT would break version_at_timestamp/DESCRIBE HISTORY
+        # precedence and real Delta readers may reject the table
         _commit_json(
             fs, self._path, next_v, actions,
             op="STREAMING UPDATE" if self._streaming else (
                 "OVERWRITE" if self._overwrite else "APPEND"
             ),
-            meta=None,
+            meta=meta,
         )
 
 

@@ -1279,7 +1279,27 @@ def _indexed_stat_cols(
         return None
     if n < 0 or not schema_phys:
         return None
-    return set(schema_phys[:n]) | (set(cols) - set(schema_phys))
+    # ADVICE r13 (low): the property counts the first N LEAF columns
+    # in depth-first schema order (delta-spark's DataSkippingReader
+    # semantics) — struct leaves count individually; array/map/atomic
+    # fields are one leaf each. A top-level field is indexed when ANY
+    # of its leaves falls inside the first N (this writer records
+    # top-level stats only, and struct columns are stats-blind in the
+    # footer kernel regardless, so per-leaf splitting has no finer
+    # effect here).
+    def _leaves(dt) -> int:
+        if isinstance(dt, StructType):
+            return sum(_leaves(f.dataType) for f in dt.fields)
+        return 1
+
+    indexed: set[str] = set()
+    pos = 0
+    for f, phys in zip(schema.fields, schema_phys):
+        span = _leaves(f.dataType)
+        if pos < n:
+            indexed.add(phys)
+        pos += span
+    return indexed | (set(cols) - set(schema_phys))
 
 
 def _stats_for_files(
@@ -4935,7 +4955,14 @@ def _stats_phys_cols(add: dict) -> set[str] | None:
     JSON (minValues/maxValues/nullCount key union), or ``None`` when
     the add carries no parseable stats. Nested leaves report their
     top-level segment — dropping a whole struct column drops every
-    leaf under it."""
+    leaf under it.
+
+    CAUTION (ADVICE r13): this is a LOWER bound on the file's column
+    inventory, never the inventory itself — stats-blind columns
+    (timestamps, FLBA decimals, undecodable binary, all-null columns,
+    anything outside dataSkippingStatsColumns/NumIndexedCols) never
+    appear in the key union. Stats may therefore prove a file DIRTY
+    (a key outside the allowed set) but can never prove it CLEAN."""
     s = add.get("stats")
     if not s:
         return None
@@ -4951,6 +4978,34 @@ def _stats_phys_cols(add: dict) -> set[str] | None:
     return {k.split(".", 1)[0] for k in keys}
 
 
+def _no_retired_field_ids(meta: dict, schema: StructType) -> bool:
+    """True when, under column mapping, every field id 1..maxColumnId
+    is still live on a top-level schema field. DROP COLUMN retires
+    the dropped field's id forever (re-adds mint fresh ids past
+    maxColumnId), so a contiguous ledger proves no column was EVER
+    dropped — and therefore no live file can carry orphan physical
+    bytes. Any gap, missing id metadata, or nested-leaf id scheme
+    (converted tables) returns False and callers fall back to the
+    per-file footer proof — conservative, never unsound."""
+    cfg = meta.get("configuration") or {}
+    try:
+        max_id = int(cfg.get("delta.columnMapping.maxColumnId", 0))
+    except (TypeError, ValueError):
+        return False
+    if max_id <= 0:
+        return False
+    ids: set[int] = set()
+    for f in schema.fields:
+        fid = (f.metadata or {}).get("delta.columnMapping.id")
+        if fid is None:
+            return False
+        try:
+            ids.add(int(fid))
+        except (TypeError, ValueError):
+            return False
+    return ids == set(range(1, max_id + 1))
+
+
 def delta_reorg_purge(
     spark: SparkSession, path: str, target_files: int = 8
 ) -> int:
@@ -4962,10 +5017,16 @@ def delta_reorg_purge(
     files that still carry purgeable state —
 
     * files whose parquet data includes a physical column no longer
-      in the table schema (detected from the add's own stats keys,
-      zero extra I/O; statless files fall back to ONE driver-side
-      footer read each, and join the rewrite conservatively when the
-      footer is unreachable), and
+      in the table schema. Detection (ADVICE r13 hardening): the
+      add's stats keys can only prove a file DIRTY (stats-blind
+      columns — timestamps, undecodable binary, all-null, anything
+      outside the dataSkipping properties — never appear in the key
+      union, so a clean-looking key set proves nothing); proving a
+      file CLEAN takes either the table-level field-id ledger
+      (``_no_retired_field_ids`` — contiguous ids ⇒ no column was
+      ever dropped ⇒ every file clean, zero I/O, the common case) or
+      ONE driver-side parquet-footer read for that file, joining the
+      rewrite conservatively when the footer is unreachable, and
     * files carrying deletion vectors (tombstoned rows materialize
       away) —
 
@@ -5029,14 +5090,25 @@ def delta_reorg_purge(
         except Exception:  # noqa: BLE001 — unreadable: be conservative
             return None
 
+    # contiguous field-id ledger ⇒ no column ever dropped ⇒ only DV
+    # files carry purgeable state (zero footer reads, the common case)
+    never_dropped = bool(mapping) and _no_retired_field_ids(
+        meta, schema
+    )
     subset: dict[str, dict] = {}
     for rel, add in files.items():
         if add.get("deletionVector"):
             subset[rel] = add
             continue
-        cols_in_file = _stats_phys_cols(add)
-        if cols_in_file is None:
-            cols_in_file = _footer_cols(rel)
+        if never_dropped:
+            continue
+        cols_in_stats = _stats_phys_cols(add)
+        if cols_in_stats and (cols_in_stats - allowed):
+            subset[rel] = add  # stats prove DIRTY — no footer read
+            continue
+        # stats can never prove CLEAN (stats-blind columns are absent
+        # from the key union) — only the footer enumerates the file
+        cols_in_file = _footer_cols(rel)
         if cols_in_file is None or (cols_in_file - allowed):
             subset[rel] = add
     if not subset:
@@ -5974,12 +6046,18 @@ def delta_cleanup_metadata(
                 pass
         return ts
 
-    deleted: list[str] = []
+    # ADVICE r13 (low): deleting each commit on its own timestamp can
+    # leave a HOLE when ICT/mtime inversions occur (mtime fallback
+    # after a copy, pre-ICT commits) — version v gone while v-1 and
+    # v+1 survive, so time travel to the retained v+1 raises "missing
+    # commit v" even inside the retention window. Do what delta-spark
+    # does (BufferingLogDeletionIterator): monotonize the per-version
+    # timestamps ascending (each at least predecessor+1), then delete
+    # a CONTIGUOUS prefix — every version strictly below the first
+    # one whose adjusted timestamp survives the cutoff.
+    by_version: dict[int, list[str]] = {}
     for n in names:
         if not n[:20].isdigit():
-            continue
-        v = int(n[:20])
-        if v >= ceiling:
             continue
         if not (
             n.endswith(".json")
@@ -5987,7 +6065,24 @@ def delta_cleanup_metadata(
             or ".checkpoint" in n
         ):
             continue
-        if _commit_ts(n) <= cutoff:
+        by_version.setdefault(int(n[:20]), []).append(n)
+    running = -1
+    drop_below = ceiling  # default: every pre-ceiling version expired
+    for v in sorted(by_version):
+        if v >= ceiling:
+            break
+        ns = by_version[v]
+        js = [n for n in ns if n.endswith(".json")]
+        ts = _commit_ts(js[0] if js else ns[0])
+        running = max(running + 1, ts)
+        if running > cutoff:
+            drop_below = v  # first version that survives the cutoff
+            break
+    deleted: list[str] = []
+    for v in sorted(by_version):
+        if v >= min(drop_below, ceiling):
+            break
+        for n in by_version[v]:
             fs.delete(os.path.join(log, n))
             deleted.append(n)
     return sorted(deleted)
