@@ -2477,6 +2477,52 @@ GROUP BY k % 4
 """
 
 
+def orders_delta_pyds_pruned_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The Python Data Source's LOAD-TIME pruning path (r13 VERDICT
+    Next #1, ``delta_datasource._parse_prune``): the converted
+    DV-bearing table read through ``format('tspdelta')`` with
+    ``.option('prune', 'bucket = 1 AND o_orderkey < 900000000')`` —
+    the Hive partition value skips 3 of 4 bucket directories at
+    ``partitions()`` time and the stats range skips the post-convert
+    append file, so the scan opens only bucket-1's original files.
+    Pruning is an I/O hint with partition-pruning semantics, so the
+    matching ``.where()`` stays on (rows of surviving files all
+    flow); because each option set is a DISTINCT DSv2 relation, the
+    pruned scan can never be reused by sibling unpruned plans — the
+    measured Spark 4.1.2 pushFilters hazard does not apply."""
+    from time_series_prediction_spark.sources.delta_datasource import (
+        TspDeltaDataSource,
+    )
+
+    data = _orders_convert_layout(spark, sf_dir)
+    spark.dataSource.register(TspDeltaDataSource)
+    return (
+        spark.read.format("tspdelta")
+        .option("prune", "bucket = 1 AND o_orderkey < 900000000")
+        .load(data)
+        .where("bucket = 1 AND o_orderkey < 900000000")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("price_cents").cast("long").alias("total_cents"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        )
+    )
+
+
+ORDERS_DELTA_PYDS_PRUNED_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+FROM orders
+WHERE o_orderkey % 19 <> 0
+  AND o_orderkey % 4 = 1
+  AND o_orderkey < 900000000
+"""
+
+
 _DELTA_INCR_SPEC = "delta-orders-incr|v1|cluster-bucket-key|2ticks"
 
 
@@ -3394,6 +3440,10 @@ TABLE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "orders_delta_pyds_scan": (
         orders_delta_pyds_scan,
         ORDERS_DELTA_CONVERT_SQL,
+    ),
+    "orders_delta_pyds_pruned_scan": (
+        orders_delta_pyds_pruned_scan,
+        ORDERS_DELTA_PYDS_PRUNED_SQL,
     ),
     "events_delta_bounded_tail_scan": (
         events_delta_bounded_tail_scan,

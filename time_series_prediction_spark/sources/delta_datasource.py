@@ -4,6 +4,9 @@ rate-bounded streaming reads through Spark's own ``format(...)`` API.
 ``spark.dataSource.register(TspDeltaDataSource)`` then::
 
     spark.read.format("tspdelta").load("/path/to/table")
+    (spark.read.format("tspdelta")         # stats/partition pruning
+          .option("prune", "o_orderdate >= '1995-01-01'")
+          .load("/path/to/table").where("o_orderdate >= '1995-01-01'"))
     (spark.readStream.format("tspdelta")
           .option("maxVersionsPerBatch", "1")
           .load("/path/to/table"))
@@ -378,9 +381,12 @@ def _read_file_partition(
     reused it and returned 50 instead of 400. Any pushFilters that
     changes partitions() output poisons sibling plans this way (the
     feature ships default-off as spark.sql.python.filterPushdown.
-    enabled). File pruning for this table format therefore lives in
-    the JVM-side reader (`deltalog.read_delta_pruned`); revisit when
-    the upstream cache keys scans by pushed-filter set."""
+    enabled). File pruning for this format instead rides the
+    LOAD-TIME ``prune`` option (r14 — see the block above
+    ``_parse_prune``): fixed per relation, immune to scan reuse; the
+    JVM-side reader (`deltalog.read_delta_pruned`) remains the
+    fastest batch path. Revisit pushFilters when the upstream cache
+    keys scans by pushed-filter set."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -409,7 +415,9 @@ def _read_file_partition(
 
 
 class _TspDeltaBatchReader(DataSourceReader):
-    def __init__(self, path: str, schema: StructType) -> None:
+    def __init__(
+        self, path: str, schema: StructType, options=None
+    ) -> None:
         from time_series_prediction_spark.sources.deltalog import (
             _check_protocol,
         )
@@ -422,7 +430,17 @@ class _TspDeltaBatchReader(DataSourceReader):
         # refusal must ALSO run here, or a mapped/unsupported table
         # reads as silent all-nulls (files carry physical names)
         _check_protocol(proto)
-        _table_schema(meta)
+        table_schema = _table_schema(meta)
+        expr = (options or {}).get("prune")
+        if expr:
+            clauses = _parse_prune(
+                expr, {f.name for f in table_schema.fields}
+            )
+            self._files = {
+                rel: add
+                for rel, add in self._files.items()
+                if not _file_skipped(add, clauses)
+            }
         self._pushed: list = []
 
     def partitions(self):
@@ -852,7 +870,7 @@ class TspDeltaDataSource(DataSource):
         return _table_schema(meta)
 
     def reader(self, schema: StructType) -> DataSourceReader:
-        return _TspDeltaBatchReader(self._path(), schema)
+        return _TspDeltaBatchReader(self._path(), schema, self.options)
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         return _TspDeltaStreamReader(self._path(), schema, self.options)
