@@ -4611,6 +4611,95 @@ def test_incremental_optimize_multicolumn_overlap(spark, tmp_path):
     assert final == before
 
 
+def test_incremental_optimize_partitioned_per_partition(spark, tmp_path):
+    """VERDICT r13 Next #2: a Hive-partitioned clustered table (the
+    shape CONVERT TO DELTA produces) runs the ZCube overlap logic PER
+    PARTITION — an append into one partition rewrites only that
+    partition's overlapping files, settled cubes in untouched
+    partitions survive with their exact paths, a repeat tick is a
+    strict no-op, and row ids stay intact throughout."""
+    import time_series_prediction_spark.sources.deltalog as dl
+
+    table = str(tmp_path / "t")
+    dl.write_delta_log(
+        spark.range(400).selectExpr(
+            "CAST(id % 2 AS LONG) AS p", "id AS k", "id * 2 AS v"
+        ),
+        table, mode="overwrite", partition_cols=["p"],
+    )
+    dl.delta_enable_row_tracking(spark, table)
+    dl.delta_cluster_by(spark, table, ["k"])
+    dl.delta_optimize(spark, table, target_files=4)  # full cluster
+    files0, *_ = dl.delta_snapshot(spark, table)
+    p0_files = {r for r in files0 if r.startswith("p=0")}
+    p1_files = {r for r in files0 if r.startswith("p=1")}
+    assert len(p0_files) >= 3 and len(p1_files) >= 3
+    for add in files0.values():
+        assert add["tags"]["ZCUBE_ID"]  # full OPTIMIZE stamped cubes
+
+    # a narrow k-range append into p=0 ONLY: overlaps a couple of
+    # p=0's disjoint k-boxes, touches nothing in p=1
+    dl.write_delta_log(
+        spark.createDataFrame(
+            [(0, 50 + i, 1) for i in range(20)],
+            "p long, k long, v long",
+        ),
+        table, mode="append", partition_cols=["p"],
+    )
+    before = {
+        (r["p"], r["k"], r["v"]): r["_row_id"]
+        for r in dl.read_delta_with_row_ids(spark, table).collect()
+    }
+    v1 = dl.delta_snapshot(spark, table)[2]
+    v2 = dl.delta_optimize_incremental(spark, table, target_files=4)
+    assert v2 == v1 + 1
+    files1 = set(dl.delta_snapshot(spark, table)[0])
+    # EVERY settled p=1 file survives with its exact path
+    assert p1_files <= files1
+    # p=0 rewrote only the overlapped slice: some settled p=0 files
+    # survive too (the append's k-range misses their boxes)
+    assert p0_files & files1, (sorted(p0_files), sorted(files1))
+    # the rewrite landed back under the partition layout
+    assert all(
+        r.startswith(("p=0", "p=1")) for r in files1
+    ), sorted(files1)
+    after = {
+        (r["p"], r["k"], r["v"]): r["_row_id"]
+        for r in dl.read_delta_with_row_ids(spark, table).collect()
+    }
+    assert after == before  # data AND ids identical
+
+    # converged: the repeat tick is a strict no-op
+    assert dl.delta_optimize_incremental(spark, table) == v2
+
+    # and a second append into the OTHER partition dirties only it
+    dl.write_delta_log(
+        spark.createDataFrame(
+            [(1, 51 + 2 * i, 1) for i in range(10)],
+            "p long, k long, v long",
+        ),
+        table, mode="append", partition_cols=["p"],
+    )
+    files_pre = {
+        r for r in dl.delta_snapshot(spark, table)[0]
+        if r.startswith("p=0")
+    }
+    v3 = dl.delta_optimize_incremental(spark, table, target_files=4)
+    files2 = set(dl.delta_snapshot(spark, table)[0])
+    assert files_pre <= files2  # p=0 fully untouched this time
+    assert dl.delta_optimize_incremental(spark, table) == v3
+    got = sorted(
+        (r["p"], r["k"]) for r in dl.read_delta_log(spark, table)
+        .where("k between 50 and 70").collect()
+    )
+    want = sorted(
+        [(i % 2, i) for i in range(50, 71)]
+        + [(0, 50 + i) for i in range(20) if 50 + i <= 70]
+        + [(1, 51 + 2 * i) for i in range(10) if 51 + 2 * i <= 70]
+    )
+    assert got == want
+
+
 def test_reorg_table_apply_purge(spark, tmp_path):
     """VERDICT r12 Next #2 — REORG TABLE ... APPLY (PURGE): ALTER
     DROP COLUMN is metadata-only, so the dropped column's bytes stay

@@ -2633,6 +2633,129 @@ GROUP BY k % 5
 """
 
 
+_DELTA_PART_INCR_SPEC = "delta-orders-part-incr|v1|part3-cluster-key"
+
+
+def orders_delta_partitioned_incremental_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PER-PARTITION incremental OPTIMIZE (r13 VERDICT Next #2): a
+    Hive-partitioned row-tracked table — the exact shape CONVERT TO
+    DELTA leaves behind — clustered on o_orderkey, full-OPTIMIZEd,
+    then appended into ONE partition at a time with an incremental
+    tick after each. The build asserts the per-partition O(batch)
+    contract loudly: every settled file in the UNTOUCHED partitions
+    survives with its exact path (the old behavior routed partitioned
+    tables to a full rewrite), a repeat tick is a strict no-op, and
+    row ids stay unique. The oracle states the final logical content
+    relationally."""
+    from time_series_prediction_spark.sources.deltalog import (
+        delta_cluster_by,
+        delta_enable_row_tracking,
+        delta_optimize,
+        delta_optimize_incremental,
+        delta_snapshot,
+        read_delta_with_row_ids,
+        write_delta_log,
+    )
+    from time_series_prediction_spark.sources.io import read_delta
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    root = os.path.join(tempfile.gettempdir(), "tsp_layouts")
+    fs = fs_for(spark, root)
+    st = fs.status(src)
+    if st is None:
+        raise FileNotFoundError(src)
+    ident = (
+        f"{fs.qualified(src)}|{st[0]}|{st[1]}|{_DELTA_PART_INCR_SPEC}"
+    )
+    key = hashlib.md5(ident.encode()).hexdigest()[:16]
+    path = os.path.join(root, f"orders_deltapincr_{key}")
+
+    def _build(tmp: str) -> None:
+        data = os.path.join(tmp, "data")
+        base = _orders_state(spark, sf_dir).select(
+            (F.col("o_orderkey") % 3).cast("long").alias("pbucket"),
+            "o_orderkey",
+            "price_cents",
+        )
+        mk = base.agg(F.max("o_orderkey")).first()[0]
+        write_delta_log(
+            base.where("o_orderkey % 2 = 0"), data,
+            mode="overwrite", partition_cols=["pbucket"],
+        )
+        delta_enable_row_tracking(spark, data)
+        delta_cluster_by(spark, data, ["o_orderkey"])
+        delta_optimize(spark, data, target_files=4)
+        # one append per tick, each into a SINGLE partition
+        appends = [
+            (1, f"o_orderkey % 2 = 1 AND o_orderkey % 3 = 1 "
+                f"AND o_orderkey * 10 <= {mk}"),
+            (2, f"o_orderkey % 2 = 1 AND o_orderkey % 3 = 2 "
+                f"AND o_orderkey * 10 > {mk} * 9"),
+        ]
+        for pb, pred in appends:
+            pre = set(delta_snapshot(spark, data)[0])
+            other = {
+                r for r in pre if not r.startswith(f"pbucket={pb}/")
+            }
+            write_delta_log(
+                base.where(pred), data, mode="append",
+                partition_cols=["pbucket"],
+            )
+            delta_optimize_incremental(spark, data, target_files=4)
+            files_after, _m, v, _t, _p = delta_snapshot(spark, data)
+            if not other <= set(files_after):
+                raise AssertionError(
+                    "incremental tick rewrote settled files in an "
+                    "UNTOUCHED partition — the per-partition O(batch) "
+                    "contract is broken"
+                )
+            if delta_optimize_incremental(spark, data) != v:
+                raise AssertionError(
+                    "repeat incremental tick was not a no-op"
+                )
+        ids = [
+            r["_row_id"]
+            for r in read_delta_with_row_ids(spark, data)
+            .select("_row_id").collect()
+        ]
+        if len(ids) != len(set(ids)):
+            raise AssertionError("row ids not unique after ticks")
+
+    ensure_artifact(spark, path, ident, _build)
+    return (
+        read_delta(spark, os.path.join(path, "data"))
+        .groupBy("pbucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("price_cents").cast("long").alias("total_cents"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        )
+    )
+
+
+ORDERS_DELTA_PART_INCR_SQL = """
+WITH mx AS (SELECT max(o_orderkey) AS mk FROM orders),
+cur AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+  WHERE o_orderkey % 2 = 0
+     OR (o_orderkey % 2 = 1 AND o_orderkey % 3 = 1
+         AND o_orderkey * 10 <= (SELECT mk FROM mx))
+     OR (o_orderkey % 2 = 1 AND o_orderkey % 3 = 2
+         AND o_orderkey * 10 > (SELECT mk FROM mx) * 9)
+)
+SELECT CAST(k % 3 AS BIGINT) AS pbucket,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST(sum(k) AS BIGINT) AS key_sum
+FROM cur
+GROUP BY k % 3
+"""
+
+
 _CLONE_SPEC = "cow-clone|v1|restore-to-1"
 
 
@@ -3432,6 +3555,10 @@ TABLE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "orders_delta_incremental_scan": (
         orders_delta_incremental_scan,
         ORDERS_DELTA_INCR_SQL,
+    ),
+    "orders_delta_partitioned_incremental_scan": (
+        orders_delta_partitioned_incremental_scan,
+        ORDERS_DELTA_PART_INCR_SQL,
     ),
     "orders_delta_convert_scan": (
         orders_delta_convert_scan,

@@ -4750,64 +4750,21 @@ def _stat_range(add: dict, phys: str):
     return lo, hi
 
 
-def delta_optimize_incremental(
-    spark: SparkSession, path: str, target_files: int = 8
-) -> int:
-    """Incremental OPTIMIZE for a CLUSTERED table: rewrite ONLY the
-    files whose clustering-key ranges OVERLAP another file's (plus
-    DV-bearing and statless files), leaving well-clustered files —
-    disjoint key ranges, the state a prior full OPTIMIZE leaves —
-    untouched. This is liquid clustering's maintenance shape: after
-    the initial cluster, each round's cost is proportional to the
-    NEWLY APPENDED data (one fresh file overlaps a handful of
-    clustered ranges; the table's settled bulk never rewrites), not
-    to the table — the difference between O(batch) and O(100 TB) per
-    maintenance tick.
-
-    Overlap is measured on EVERY clustering column's per-file min/max
-    stats: two files are overlapping only when their bounding boxes
-    intersect on ALL clustering columns (files disjoint on ANY column
-    hold disjoint key sets — a sound test, and on a table clustered by
-    (low-cardinality, high-cardinality) keys it no longer rewrites
-    everything every tick the way a leading-key-only test does).
-    Files co-written by a clustering rewrite carry one ``ZCUBE_ID``
-    add tag; a dirty pair must involve at least one UNTAGGED file
-    (a fresh append, a DML rewrite) — settled cubes are never
-    re-merged by the incremental path (their residual bounding-box
-    overlap and shared range boundaries are irreducible Morton
-    geometry; Databricks' own ZCube rule), which is what makes a
-    converged table a strict no-op and each tick O(new data).
-    Cube-vs-cube compaction is the full ``delta_optimize``'s job.
-    Any file without usable stats on every
-    clustering column joins the rewrite set. Partitioned tables route
-    to the full ``delta_optimize`` (per-dir accounting lives there).
-    Row-tracked tables preserve every rewritten row's id via the
-    materialized columns; kept files keep theirs trivially. Commits
-    ``remove`` + ``add`` all dataChange=false. Returns the committed
-    version (unchanged when nothing overlaps)."""
-    import math as _math
-
-    files, meta, v, _txns, _proto, domains = delta_snapshot_ex(
-        spark, path
-    )
-    _check_writer_protocol(_proto)
-    cols = _clustering_columns(domains)
-    if not cols:
-        raise ValueError(
-            "table is not clustered — delta_cluster_by first, or use "
-            "delta_optimize for plain bin-pack/ZORDER"
-        )
-    schema = StructType.fromJson(json.loads(meta["schemaString"]))
-    part_cols = list(meta.get("partitionColumns") or [])
-    if part_cols:
-        return delta_optimize(spark, path, target_files=target_files)
-    if not files:
-        return v
-    mapping = _column_mapping(meta, schema)
-    phys = [mapping.get(c, c) for c in cols]
+def _incr_dirty_rels(
+    group: dict[str, dict], phys: list[str]
+) -> set[str]:
+    """The incremental-OPTIMIZE rewrite set for ONE partition's files
+    (the whole table when unpartitioned): DV-bearing files, files
+    without usable stats on every clustering column, and every file
+    in an ALL-column bounding-box overlap pair involving at least one
+    un-ZCube-tagged file. Endpoint sweep on the lowest-concurrency
+    clustering column, comparison-budgeted; degenerate/mixed stats
+    degrade to the sound full-group superset. Files in DIFFERENT
+    partitions hold disjoint rows by construction, so callers run
+    this per partitionValues group and union."""
     dirty: set[str] = set()
     boxes: list[tuple[list, list, str, str | None]] = []
-    for rel, add in files.items():
+    for rel, add in group.items():
         if add.get("deletionVector"):
             dirty.add(rel)  # materialize hidden rows away
         ranges = [_stat_range(add, p) for p in phys]
@@ -4873,6 +4830,82 @@ def delta_optimize_incremental(
         # mixed stat types / degenerate stats: no cheap sound overlap
         # order — full rewrite set (the original superset behavior)
         dirty.update(rel for _lo, _hi, rel, _z in boxes)
+    return dirty
+
+
+def delta_optimize_incremental(
+    spark: SparkSession, path: str, target_files: int = 8
+) -> int:
+    """Incremental OPTIMIZE for a CLUSTERED table: rewrite ONLY the
+    files whose clustering-key ranges OVERLAP another file's (plus
+    DV-bearing and statless files), leaving well-clustered files —
+    disjoint key ranges, the state a prior full OPTIMIZE leaves —
+    untouched. This is liquid clustering's maintenance shape: after
+    the initial cluster, each round's cost is proportional to the
+    NEWLY APPENDED data (one fresh file overlaps a handful of
+    clustered ranges; the table's settled bulk never rewrites), not
+    to the table — the difference between O(batch) and O(100 TB) per
+    maintenance tick.
+
+    Overlap is measured on EVERY clustering column's per-file min/max
+    stats: two files are overlapping only when their bounding boxes
+    intersect on ALL clustering columns (files disjoint on ANY column
+    hold disjoint key sets — a sound test, and on a table clustered by
+    (low-cardinality, high-cardinality) keys it no longer rewrites
+    everything every tick the way a leading-key-only test does).
+    Files co-written by a clustering rewrite carry one ``ZCUBE_ID``
+    add tag; a dirty pair must involve at least one UNTAGGED file
+    (a fresh append, a DML rewrite) — settled cubes are never
+    re-merged by the incremental path (their residual bounding-box
+    overlap and shared range boundaries are irreducible Morton
+    geometry; Databricks' own ZCube rule), which is what makes a
+    converged table a strict no-op and each tick O(new data).
+    Cube-vs-cube compaction is the full ``delta_optimize``'s job.
+    Any file without usable stats on every
+    clustering column joins the rewrite set.
+
+    Hive-PARTITIONED tables (r13 VERDICT Next #2 — the exact shape
+    ``delta_convert_to_delta`` produces, the 100 TB norm) run the
+    same overlap/ZCube logic PER PARTITION: each partitionValues
+    group is swept independently (files in different partitions hold
+    disjoint rows by construction), so an append into one partition
+    dirties only that partition's overlapping files — settled cubes
+    in untouched partitions are never scanned, never rewritten, and
+    the O(batch) maintenance contract holds. The rewrite lands back
+    under the partition layout (per-dir z-order via
+    ``write_zordered_partitioned``).
+
+    Row-tracked tables preserve every rewritten row's id via the
+    materialized columns; kept files keep theirs trivially. Commits
+    ``remove`` + ``add`` all dataChange=false. Returns the committed
+    version (unchanged when nothing overlaps)."""
+    import math as _math
+
+    files, meta, v, _txns, _proto, domains = delta_snapshot_ex(
+        spark, path
+    )
+    _check_writer_protocol(_proto)
+    cols = _clustering_columns(domains)
+    if not cols:
+        raise ValueError(
+            "table is not clustered — delta_cluster_by first, or use "
+            "delta_optimize for plain bin-pack/ZORDER"
+        )
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    part_cols = list(meta.get("partitionColumns") or [])
+    if not files:
+        return v
+    mapping = _column_mapping(meta, schema)
+    phys = [mapping.get(c, c) for c in cols]
+    groups: dict[tuple, dict[str, dict]] = {}
+    for rel, add in files.items():
+        key = tuple(
+            sorted((add.get("partitionValues") or {}).items())
+        )
+        groups.setdefault(key, {})[rel] = add
+    dirty: set[str] = set()
+    for group in groups.values():
+        dirty |= _incr_dirty_rels(group, phys)
     subset = {rel: files[rel] for rel in dirty}
     if not subset:
         return v  # every file already disjoint, nothing hidden
@@ -4902,6 +4935,7 @@ def delta_optimize_incremental(
     df, land_part_cols = _rename_physical(df, meta, schema, part_cols)
     from time_series_prediction_spark.operators.zorder import (
         write_zordered,
+        write_zordered_partitioned,
     )
 
     zcols = [mapping.get(c, c) for c in cols]
@@ -4913,8 +4947,17 @@ def delta_optimize_incremental(
         ),
     )
 
-    def writer(d, stage):  # noqa: ANN001 — _land_batch callback
-        write_zordered(d, stage, zcols, n_files=n_out)
+    if land_part_cols:
+        # dirty files land back under their partition dirs, z-ordered
+        # within each (only dirty partitions appear in the scan)
+        def writer(d, stage):  # noqa: ANN001 — _land_batch callback
+            write_zordered_partitioned(
+                d, stage, zcols, land_part_cols,
+                files_per_partition=n_out,
+            )
+    else:
+        def writer(d, stage):  # noqa: ANN001 — _land_batch callback
+            write_zordered(d, stage, zcols, n_files=n_out)
 
     base, new_files = _land_batch(
         spark, fs, df, path, land_part_cols, writer=writer
