@@ -301,26 +301,88 @@ def test_interleaved_plans_stay_correct(spark, tmp_path):
     ) == list(range(350, 400))
 
 
-def test_sink_refuses_invariant_bearing_tables(spark, tmp_path):
-    """The DS sink lands raw batches with no SparkSession — tables
-    whose write path must enforce or derive per-row state (CHECK
-    constraints, generated/identity columns, row tracking,
-    append-only overwrites) refuse with the enforcing writer named,
-    instead of being silently corrupted."""
+def test_sink_enforces_check_constraints(spark, tmp_path):
+    """VERDICT r13 Next #6: the DS sink now ENFORCES CHECK
+    constraints executor-side per batch (DuckDB over the task's
+    arrow table) instead of refusing constrained tables — a valid
+    batch lands, a violating batch fails the write with the
+    constraint named, nothing half-visible lands, and staged files
+    are cleaned."""
     t1 = str(tmp_path / "t1")
-    dl.write_delta_log(
-        spark.range(5).selectExpr("id AS k", "id * 2 AS v"), t1
+    dl.write_delta_log(  # v NULLABLE: NULL must pass CHECK below
+        spark.createDataFrame(
+            [(i, i * 2) for i in range(5)], "k long, v long"
+        ),
+        t1,
     )
     dl.delta_add_constraint(spark, t1, "v_pos", "v >= 0")
-    with pytest.raises(Exception, match="CHECK constraints"):
+    # a valid batch passes the per-task check and commits
+    spark.range(3).selectExpr(
+        "id + 100 AS k", "id * 2 AS v"
+    ).write.format("tspdelta").mode("append").save(t1)
+    assert dl.read_delta_log(spark, t1).count() == 8
+    # a violating batch refuses, names the constraint, lands nothing
+    with pytest.raises(Exception, match="v_pos"):
         spark.range(3).selectExpr(
-            "id AS k", "id * 2 AS v"
+            "id AS k", "-1 - id AS v"
         ).write.format("tspdelta").mode("append").save(t1)
-    assert dl.read_delta_log(spark, t1).count() == 5  # untouched
+    assert dl.read_delta_log(spark, t1).count() == 8  # untouched
     assert not [
         n for n in os.listdir(t1) if n.startswith(".tspds-stage-")
     ]
+    # NULL passes CHECK (SQL semantics): only FALSE violates
+    spark.sql(
+        "SELECT CAST(200 AS LONG) AS k, CAST(NULL AS LONG) AS v"
+    ).write.format("tspdelta").mode("append").save(t1)
+    assert dl.read_delta_log(spark, t1).count() == 9
+    # the JVM-side enforcing writer agrees with what the sink landed
+    got = dl.read_delta_log(spark, t1)
+    assert got.where("v < 0").count() == 0
 
+
+def test_sink_materializes_generated_columns(spark, tmp_path):
+    """A batch OMITTING a generated column gets it materialized from
+    the stored expression executor-side (the classic derived-date
+    use); a batch CARRYING one is verified cell-by-cell — a
+    contradicting value refuses. The staged files carry the full
+    table schema, stats included."""
+    t = str(tmp_path / "t")
+    dl.write_delta_log(
+        spark.range(5).selectExpr(
+            "id AS k", "id * 2 AS v", "id % 4 AS g"
+        ),
+        t,
+    )
+    dl.delta_set_generated_column(spark, t, "g", "k % 4")
+    # omit g: materialized per batch
+    spark.range(100, 104).selectExpr(
+        "id AS k", "id * 2 AS v"
+    ).write.format("tspdelta").mode("append").save(t)
+    got = {
+        r["k"]: r["g"]
+        for r in dl.read_delta_log(spark, t).where("k >= 100").collect()
+    }
+    assert got == {k: k % 4 for k in range(100, 104)}
+    # carry g with a WRONG value: refused cell-by-cell
+    with pytest.raises(Exception, match="generated"):
+        spark.sql(
+            "SELECT CAST(200 AS LONG) AS k, CAST(1 AS LONG) AS v, "
+            "CAST(99 AS LONG) AS g"
+        ).write.format("tspdelta").mode("append").save(t)
+    # carry g with the RIGHT value: lands
+    spark.sql(
+        "SELECT CAST(201 AS LONG) AS k, CAST(1 AS LONG) AS v, "
+        "CAST(201 % 4 AS LONG) AS g"
+    ).write.format("tspdelta").mode("append").save(t)
+    assert dl.read_delta_log(spark, t).where("k = 201").count() == 1
+
+
+def test_sink_refuses_invariant_bearing_tables(spark, tmp_path):
+    """The DS sink lands raw batches with no SparkSession — tables
+    whose write path must DERIVE per-row state (identity columns,
+    row tracking) or whose mode contradicts a table property
+    (append-only overwrites) still refuse with the enforcing writer
+    named, instead of being silently corrupted."""
     t2 = str(tmp_path / "t2")
     dl.write_delta_log(
         spark.range(5).selectExpr("id AS k", "id * 2 AS v"), t2

@@ -2633,6 +2633,106 @@ GROUP BY k % 5
 """
 
 
+_DELTA_PYDS_CONS_SPEC = "delta-orders-pyds-cons|v1|check+generated"
+
+
+def orders_delta_pyds_constrained_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The Python-DS sink writing into an INVARIANT-BEARING table
+    (r13 VERDICT Next #6, ``delta_datasource._enforce_batch``): a
+    table with a CHECK constraint (price_cents >= 0) and a generated
+    column (bucket = o_orderkey % 4) takes DS appends — the sink
+    enforces the constraint and materializes the omitted generated
+    column EXECUTOR-side per arrow batch (DuckDB over the task's
+    batch, the same per-row cost shape as the JVM writer's
+    enforcement scan). The build also asserts a violating batch
+    refuses with the constraint named and lands nothing. The oracle
+    states the final logical content relationally."""
+    from time_series_prediction_spark.sources.delta_datasource import (
+        TspDeltaDataSource,
+    )
+    from time_series_prediction_spark.sources.deltalog import (
+        delta_add_constraint,
+        delta_set_generated_column,
+        read_delta_log,
+        write_delta_log,
+    )
+    from time_series_prediction_spark.sources.io import read_delta
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    root = os.path.join(tempfile.gettempdir(), "tsp_layouts")
+    fs = fs_for(spark, root)
+    st = fs.status(src)
+    if st is None:
+        raise FileNotFoundError(src)
+    ident = (
+        f"{fs.qualified(src)}|{st[0]}|{st[1]}|{_DELTA_PYDS_CONS_SPEC}"
+    )
+    key = hashlib.md5(ident.encode()).hexdigest()[:16]
+    path = os.path.join(root, f"orders_pydscons_{key}")
+
+    def _build(tmp: str) -> None:
+        data = os.path.join(tmp, "data")
+        spark.dataSource.register(TspDeltaDataSource)
+        base = _orders_state(spark, sf_dir).select(
+            "o_orderkey",
+            "price_cents",
+            (F.col("o_orderkey") % 4).cast("long").alias("bucket"),
+        )
+        write_delta_log(
+            base.where("o_orderkey % 2 = 0"), data, mode="overwrite"
+        )
+        delta_add_constraint(spark, data, "price_pos",
+                             "price_cents >= 0")
+        delta_set_generated_column(
+            spark, data, "bucket", "CAST(o_orderkey % 4 AS BIGINT)"
+        )
+        # DS append WITHOUT the generated column: materialized per
+        # batch, constraint checked per batch
+        base.where("o_orderkey % 2 = 1").drop("bucket").write.format(
+            "tspdelta"
+        ).mode("append").save(data)
+        n = read_delta_log(spark, data).count()
+        # a violating batch must refuse and land nothing
+        try:
+            spark.sql(
+                "SELECT CAST(999999999 AS LONG) AS o_orderkey, "
+                "CAST(-1 AS LONG) AS price_cents"
+            ).write.format("tspdelta").mode("append").save(data)
+            raise AssertionError(
+                "DS sink accepted a CHECK-violating batch"
+            )
+        except AssertionError:
+            raise
+        except Exception:
+            pass  # the refusal — expected
+        if read_delta_log(spark, data).count() != n:
+            raise AssertionError("violating batch landed rows")
+
+    ensure_artifact(spark, path, ident, _build)
+    return (
+        read_delta(spark, os.path.join(path, "data"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("price_cents").cast("long").alias("total_cents"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        )
+    )
+
+
+ORDERS_DELTA_PYDS_CONS_SQL = """
+SELECT CAST(o_orderkey % 4 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+FROM orders
+GROUP BY o_orderkey % 4
+"""
+
+
 _DELTA_PART_INCR_SPEC = "delta-orders-part-incr|v1|part3-cluster-key"
 
 
@@ -3571,6 +3671,10 @@ TABLE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "orders_delta_pyds_pruned_scan": (
         orders_delta_pyds_pruned_scan,
         ORDERS_DELTA_PYDS_PRUNED_SQL,
+    ),
+    "orders_delta_pyds_constrained_scan": (
+        orders_delta_pyds_constrained_scan,
+        ORDERS_DELTA_PYDS_CONS_SQL,
     ),
     "events_delta_bounded_tail_scan": (
         events_delta_bounded_tail_scan,

@@ -624,6 +624,76 @@ class _StagedFiles(WriterCommitMessage):
     files: list
 
 
+def _sql_expr_for_duckdb(expr: str) -> str:
+    """Delta stores constraint / generation expressions as Spark-SQL
+    strings; the SparkSession-free sink evaluates them with DuckDB
+    over the task's arrow batch. The shared ANSI core (comparisons,
+    arithmetic, CASE, CAST, string functions) is dialect-identical;
+    the one syntactic difference that shows up in practice is
+    identifier quoting (backticks vs double quotes). Anything DuckDB
+    cannot parse fails the write loudly with the enforcing writer
+    named — never silently unenforced."""
+    return expr.replace("`", '"')
+
+
+def _enforce_batch(
+    tbl, constraints: list, generated: dict, target_schema
+):
+    """Executor-side invariant enforcement for one arrow batch
+    (r13 VERDICT Next #6): materialize MISSING generated columns,
+    verify PRESENT ones cell-by-cell (null-safe), then evaluate every
+    CHECK constraint — a row where the expression IS FALSE fails the
+    task (SQL CHECK semantics: NULL passes). DuckDB runs the
+    expressions zero-copy over the batch; per-task cost is
+    proportional to the batch, the same scale shape as the JVM-side
+    enforcement scan. Returns the batch cast to the table schema."""
+    import duckdb
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    con = duckdb.connect()
+    con.register("batch", tbl)
+    missing = [c for c in generated if c not in tbl.column_names]
+    if missing:
+        sel = "SELECT batch.*" + "".join(
+            f', ({_sql_expr_for_duckdb(generated[c])}) AS "{c}"'
+            for c in missing
+        )
+        tbl = con.execute(sel + " FROM batch").arrow()
+        con.register("batch", tbl)
+    for c in generated:
+        if c in missing:
+            continue
+        bad = con.execute(
+            f"SELECT count(*) FROM batch WHERE "
+            f'({_sql_expr_for_duckdb(generated[c])}) IS DISTINCT '
+            f'FROM "{c}"'
+        ).fetchone()[0]
+        if bad:
+            raise ValueError(
+                f"tspdelta sink: {bad} row(s) contradict generated "
+                f"column {c!r}'s expression {generated[c]!r}"
+            )
+    for name, expr in constraints:
+        bad = con.execute(
+            f"SELECT count(*) FROM batch WHERE "
+            f"({_sql_expr_for_duckdb(expr)}) IS FALSE"
+        ).fetchone()[0]
+        if bad:
+            raise ValueError(
+                f"tspdelta sink: CHECK constraint {name!r} "
+                f"({expr}) violated by {bad} row(s) — batch refused"
+            )
+    target = to_arrow_schema(target_schema)
+    for f in target_schema.fields:  # NOT NULL is an invariant too
+        if not f.nullable and tbl[f.name].null_count:
+            raise ValueError(
+                f"tspdelta sink: NOT NULL column {f.name!r} received "
+                f"{tbl[f.name].null_count} null value(s) — batch "
+                "refused"
+            )
+    return tbl.select(target.names).cast(target)
+
+
 def _rows_to_table(iterator, schema: StructType):
     """Executor-side: Rows → one arrow table cast to the sink schema."""
     import pyarrow as pa
@@ -668,6 +738,38 @@ class _TspDeltaWriter(DataSourceWriter, DataSourceStreamWriter):
         self._overwrite = overwrite
         self._streaming = streaming
         self._app_id = options.get("txnAppId", "tspdelta-sink")
+        # invariant-enforcement plan (r13 VERDICT Next #6): captured
+        # at plan time from the log, enforced executor-side per batch
+        # in write(); commit() re-checks the plan is still current
+        self._constraints: list = []  # [(name, sql)]
+        self._generated: dict = {}  # col -> sql
+        self._full_schema: StructType | None = None
+        try:
+            import duckdb  # noqa: F401 — the expression engine
+
+            self._can_enforce = True
+        except ImportError:
+            self._can_enforce = False
+        if os.path.isdir(os.path.join(self._path, _LOG_DIR)):
+            from time_series_prediction_spark.sources.deltalog import (
+                _generated_columns,
+                _schema_invariants,
+                _table_constraints,
+            )
+
+            _f, meta, _v, _t, _p = _local_snapshot(self._path)
+            try:
+                have = _table_schema(meta)
+            except ValueError:
+                have = None  # column-mapped: commit refuses anyway
+            if have is not None:
+                cons = {
+                    **_schema_invariants(have),
+                    **_table_constraints(meta),
+                }
+                self._constraints = sorted(cons.items())
+                self._generated = _generated_columns(have)
+                self._full_schema = have
 
     # -- executor side -------------------------------------------------
     def write(self, iterator):
@@ -678,6 +780,11 @@ class _TspDeltaWriter(DataSourceWriter, DataSourceStreamWriter):
         tbl = _rows_to_table(iterator, self._schema)
         if tbl is None:
             return _StagedFiles([])
+        if (self._constraints or self._generated) and self._can_enforce:
+            tbl = _enforce_batch(
+                tbl, self._constraints, self._generated,
+                self._full_schema or self._schema,
+            )
         os.makedirs(self._path, exist_ok=True)
         rel = f"part-{_uuid.uuid4()}.snappy.parquet"
         staged = os.path.join(self._path, f".tspds-stage-{rel}")
@@ -728,16 +835,23 @@ class _TspDeltaWriter(DataSourceWriter, DataSourceStreamWriter):
             _check_writer_protocol(proto)
             _table_schema(meta)  # column-mapped tables refuse
             have = StructType.fromJson(json.loads(meta["schemaString"]))
-            # this sink lands RAW batches: tables whose write path
-            # must enforce or derive per-row state would be silently
-            # corrupted by it — refuse, naming the writer that
-            # maintains each invariant (SparkSession-free commit
-            # can't run the enforcement scans)
+            from time_series_prediction_spark.sources.deltalog import (
+                _schema_invariants,
+            )
+
+            # CHECK constraints / invariants / generated columns are
+            # enforced EXECUTOR-side in write() (r14); identity and
+            # row tracking still need the id-assigning writer, and
+            # everything needs the DuckDB expression engine — refuse
+            # what cannot be enforced, naming the remedy
+            gen = _generated_columns(have)
+            cons = {**_schema_invariants(have), **_table_constraints(meta)}
             blockers = []
-            if _table_constraints(meta):
-                blockers.append("CHECK constraints")
-            if _generated_columns(have):
-                blockers.append("generated columns")
+            if (cons or gen) and not self._can_enforce:
+                blockers.append(
+                    "CHECK constraints/generated columns (duckdb — "
+                    "the sink's expression engine — is unavailable)"
+                )
             if _identity_columns(have):
                 blockers.append("identity columns")
             if _row_tracking_on(meta):
@@ -751,11 +865,29 @@ class _TspDeltaWriter(DataSourceWriter, DataSourceStreamWriter):
                     "writer (deltalog.write_delta_log / the DML "
                     "surface), not a raw-batch sink"
                 )
+            if (
+                sorted(cons.items()) != self._constraints
+                or gen != self._generated
+            ):
+                self._cleanup(messages)
+                raise ValueError(
+                    "tspdelta sink: the table's constraints or "
+                    "generated columns changed between plan time and "
+                    "commit — the staged batches were not checked "
+                    "against the new set; re-run the write"
+                )
             if self._overwrite:
                 _refuse_append_only(meta, "overwrite")
-            if [(f.name, f.dataType) for f in have.fields] != [
+            want_cols = [(f.name, f.dataType) for f in have.fields]
+            got_cols = [
                 (f.name, f.dataType) for f in self._schema.fields
-            ]:
+            ]
+            # a batch may omit generated columns — write() materialized
+            # them, so the staged files already carry the full schema
+            want_minus_gen = [
+                (n, t) for n, t in want_cols if n not in gen
+            ]
+            if got_cols not in (want_cols, want_minus_gen):
                 raise ValueError(
                     "tspdelta sink: batch schema differs from the "
                     "table's — schema evolution goes through "
@@ -825,7 +957,12 @@ class _TspDeltaWriter(DataSourceWriter, DataSourceStreamWriter):
                     }
                 )
         stats = _stats_for_files(
-            visible, [f.name for f in self._schema.fields], self._path
+            visible,
+            [
+                f.name
+                for f in (self._full_schema or self._schema).fields
+            ],
+            self._path,
         )
         actions.extend(
             _adds_for_files(fs, self._path, visible, True, stats)
