@@ -77,6 +77,45 @@ def keras_cnn_factory(
     return make
 
 
+def numpy_cnn_factory(
+    weights_path: str, x_days: int = 365, horizon: int = 92
+) -> ModelFactory:
+    """Load the reference-topology 1-D CNN trained by the pure-NumPy
+    backend (``model/numpy_cnn.py`` — r13 VERDICT Next #3) from its
+    ``.npz`` weights. Same ModelFn contract as ``keras_cnn_factory``;
+    the model loads once per Python worker through the iterator
+    pandas_udf, exactly like the keras path."""
+
+    def make() -> ModelFn:
+        from time_series_prediction_spark.model.numpy_cnn import (
+            NumpyCNN1D,
+        )
+
+        model = NumpyCNN1D.load(weights_path)
+
+        def predict(x: np.ndarray) -> np.ndarray:
+            return model.predict(
+                x.reshape(-1, x_days)
+            ).reshape(-1, horizon)
+
+        return predict
+
+    return make
+
+
+def cnn_factory(
+    weights_path: str, x_days: int = 365, horizon: int = 92
+) -> ModelFactory:
+    """Backend dispatch for the reference CNN: keras when tensorflow
+    imports (preferred — ``.keras``/SavedModel weights), else the
+    NumPy trainer's ``.npz`` weights. The extension decides which
+    artifact the path names; tensorflow's absence only blocks the
+    keras artifact."""
+    if weights_path.endswith(".npz"):
+        return numpy_cnn_factory(weights_path, x_days, horizon)
+    return keras_cnn_factory(weights_path, x_days, horizon)
+
+
 def scoring_udf(factory: ModelFactory, horizon: int = 92) -> Column:
     """Iterator pandas_udf: model built once per worker, Arrow batches
     streamed through (reference reloads per batch — scoring.py:317)."""
