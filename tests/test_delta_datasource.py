@@ -653,6 +653,16 @@ def test_prune_option_skips_files(spark, tmp_path):
     # prune is a scan hint, not a filter: surviving files' rows flow
     assert pruned.count() == 100  # the whole last commit
 
+    # pruning EVERYTHING yields a clean empty relation, not a crash
+    # (Spark hands the reader a None partition when partitions()
+    # is empty)
+    none_left = (
+        spark.read.format("tspdelta")
+        .option("prune", "k > 100000").load(t)
+    )
+    assert none_left.count() == 0
+    assert none_left.columns == ["k", "grp", "v"]
+
     # unknown column / bad grammar refuse loudly
     with pytest.raises(Exception, match="not in the table schema"):
         spark.read.format("tspdelta").option(

@@ -392,6 +392,8 @@ def _read_file_partition(
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_schema
 
+    if part is None or not part.file_path:
+        return  # zero-file scan (everything pruned): empty relation
     target = to_arrow_schema(schema)
     tbl = pq.read_table(part.file_path)
     if part.dv_positions:
