@@ -141,6 +141,7 @@ def main() -> None:
         "cold_queries": cold,
         "control_observed": control_observed,
         "control_band": _CONTROL_BANDS,
+        "control_band_sf": 0.1,  # bands measured at sf0.1, quiet
         "sf": sf,
     }
     side = Path(__file__).resolve().parent / "bench_times.json"
@@ -158,6 +159,7 @@ def main() -> None:
                 "warmup_seconds": warmup_total,
                 "control_observed": control_observed,
                 "control_band": _CONTROL_BANDS,
+                "control_band_sf": 0.1,
                 "sf": sf,
             }
         )
