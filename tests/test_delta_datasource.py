@@ -703,3 +703,108 @@ def test_prune_option_interleaved_relations_stay_correct(spark, tmp_path):
     # (its one surviving file spans k 300..399)
     assert pruned.where("k < 360").count() == 60
     assert pruned.count() == 100
+
+
+def test_sink_partitioned_layout(spark, tmp_path):
+    """r14: the DS sink writes Hive-partitioned layouts natively —
+    .option('partitionBy', ...) creates a partitioned table, appends
+    to an existing partitioned table follow its recorded layout, the
+    files live under partition dirs WITHOUT the partition column's
+    bytes (path + add.partitionValues carry it, delta-spark's shape),
+    and both the JVM reader and the DS reader get typed partition
+    columns back."""
+    import pyarrow.parquet as pq
+
+    t = str(tmp_path / "t")
+    spark.range(20).selectExpr(
+        "id AS k", "CAST(id % 3 AS LONG) AS p", "id * 2 AS v"
+    ).write.format("tspdelta").option("partitionBy", "p").mode(
+        "append"
+    ).save(t)
+    files, meta, _v, _t, _p = dl.delta_snapshot(spark, t)
+    assert meta["partitionColumns"] == ["p"]
+    for rel, add in files.items():
+        assert rel.startswith("p=")
+        assert add["partitionValues"].keys() == {"p"}
+        names = pq.ParquetFile(os.path.join(t, rel)).schema_arrow.names
+        assert "p" not in names  # partition bytes live in the path
+    got = dl.read_delta_log(spark, t)
+    assert dict(got.dtypes)["p"] == "bigint"
+    assert got.where("p = 1").count() == 7  # ids 1,4,7,10,13,16,19
+
+    # append through the sink follows the recorded layout
+    spark.sql(
+        "SELECT CAST(100 AS LONG) k, CAST(1 AS LONG) p, "
+        "CAST(0 AS LONG) v"
+    ).write.format("tspdelta").mode("append").save(t)
+    assert dl.read_delta_log(spark, t).where("p = 1").count() == 8
+    # DS reader agrees with the JVM reader bit-for-bit
+    a = sorted(map(tuple, dl.read_delta_log(spark, t).collect()))
+    b = sorted(
+        map(tuple, spark.read.format("tspdelta").load(t).collect())
+    )
+    assert a == b
+    # pruning on the partition value opens only that dir's files
+    pruned = (
+        spark.read.format("tspdelta").option("prune", "p = 1").load(t)
+    )
+    assert pruned.count() == 8
+    # missing partition column refuses loudly
+    with pytest.raises(Exception, match="partition columns"):
+        spark.range(2).selectExpr("id AS k", "id AS v").write.format(
+            "tspdelta"
+        ).mode("append").save(t)
+
+
+def test_sink_partitioned_generated_column(spark, tmp_path):
+    """The classic derive-the-partition use: a GENERATED partition
+    column omitted by the batch is materialized executor-side, then
+    routes the row into its partition dir."""
+    t = str(tmp_path / "t")
+    dl.write_delta_log(
+        spark.range(6).selectExpr(
+            "id AS k", "id * 2 AS v", "id % 2 AS p"
+        ),
+        t, mode="overwrite", partition_cols=["p"],
+    )
+    dl.delta_set_generated_column(spark, t, "p", "k % 2")
+    spark.range(100, 104).selectExpr(
+        "id AS k", "id * 2 AS v"
+    ).write.format("tspdelta").mode("append").save(t)
+    got = {
+        r["k"]: r["p"]
+        for r in dl.read_delta_log(spark, t).where("k >= 100").collect()
+    }
+    assert got == {k: k % 2 for k in range(100, 104)}
+    files, *_ = dl.delta_snapshot(spark, t)
+    assert all(rel.startswith("p=") for rel in files)
+
+
+def test_stream_sink_partitioned(spark, tmp_path):
+    """readStream → partitioned DS sink: partition dirs + exactly-once
+    txn tokens compose."""
+    src = str(tmp_path / "src")
+    for i in range(2):
+        dl.write_delta_log(
+            spark.range(10 * i, 10 * i + 10).selectExpr(
+                "id AS k", "CAST(id % 2 AS LONG) AS p"
+            ),
+            src, mode="overwrite" if i == 0 else "append",
+        )
+    dst = str(tmp_path / "dst")
+    q = (
+        spark.readStream.format("tspdelta")
+        .option("maxVersionsPerBatch", "1").load(src)
+        .writeStream.format("tspdelta")
+        .option("partitionBy", "p")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start(dst)
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = dl.read_delta_log(spark, dst)
+    assert got.count() == 20
+    assert got.where("p = 1").count() == 10
+    files, meta, *_ = dl.delta_snapshot(spark, dst)
+    assert meta["partitionColumns"] == ["p"]
+    assert all(rel.startswith("p=") for rel in files)

@@ -2733,6 +2733,95 @@ GROUP BY o_orderkey % 4
 """
 
 
+_DELTA_PYDS_PART_SPEC = "delta-orders-pyds-part|v1|partitionBy5"
+
+
+def orders_delta_pyds_partitioned_sink_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The Python-DS sink's PARTITIONED write path (r14 —
+    ``delta_datasource._TspDeltaWriter.write``'s per-partition split):
+    a new table created with ``.option('partitionBy', 'bucket')``
+    through ``df.write.format('tspdelta')``, appended once more
+    through the same sink — each task stages one file per partition
+    tuple under the Hive rel path, partition values live in the path
+    + add.partitionValues (never in the file's bytes), exactly the
+    layout delta-spark writes. Read back through the JVM-side native
+    reader; the oracle states the logical content relationally."""
+    from time_series_prediction_spark.sources.delta_datasource import (
+        TspDeltaDataSource,
+    )
+    from time_series_prediction_spark.sources.io import read_delta
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    root = os.path.join(tempfile.gettempdir(), "tsp_layouts")
+    fs = fs_for(spark, root)
+    st = fs.status(src)
+    if st is None:
+        raise FileNotFoundError(src)
+    ident = (
+        f"{fs.qualified(src)}|{st[0]}|{st[1]}|{_DELTA_PYDS_PART_SPEC}"
+    )
+    key = hashlib.md5(ident.encode()).hexdigest()[:16]
+    path = os.path.join(root, f"orders_pydspart_{key}")
+
+    def _build(tmp: str) -> None:
+        import pyarrow.parquet as pq
+
+        from time_series_prediction_spark.sources.deltalog import (
+            delta_snapshot,
+        )
+
+        data = os.path.join(tmp, "data")
+        spark.dataSource.register(TspDeltaDataSource)
+        base = _orders_state(spark, sf_dir).select(
+            (F.col("o_orderkey") % 5).cast("long").alias("bucket"),
+            "o_orderkey",
+            "price_cents",
+        )
+        base.where("o_orderkey % 2 = 0").write.format(
+            "tspdelta"
+        ).option("partitionBy", "bucket").mode("append").save(data)
+        base.where("o_orderkey % 2 = 1").write.format(
+            "tspdelta"
+        ).mode("append").save(data)
+        files, meta, _v, _t, _p = delta_snapshot(spark, data)
+        if meta["partitionColumns"] != ["bucket"]:
+            raise AssertionError("partition layout not recorded")
+        for rel in files:
+            if not rel.startswith("bucket="):
+                raise AssertionError(f"file outside partition dir: {rel}")
+            names = pq.ParquetFile(
+                os.path.join(data, rel)
+            ).schema_arrow.names
+            if "bucket" in names:
+                raise AssertionError(
+                    "partition column bytes landed in the data file"
+                )
+
+    ensure_artifact(spark, path, ident, _build)
+    return (
+        read_delta(spark, os.path.join(path, "data"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("price_cents").cast("long").alias("total_cents"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        )
+    )
+
+
+ORDERS_DELTA_PYDS_PART_SQL = """
+SELECT CAST(o_orderkey % 5 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+FROM orders
+GROUP BY o_orderkey % 5
+"""
+
+
 _DELTA_PART_INCR_SPEC = "delta-orders-part-incr|v1|part3-cluster-key"
 
 
@@ -3675,6 +3764,10 @@ TABLE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "orders_delta_pyds_constrained_scan": (
         orders_delta_pyds_constrained_scan,
         ORDERS_DELTA_PYDS_CONS_SQL,
+    ),
+    "orders_delta_pyds_partitioned_sink_scan": (
+        orders_delta_pyds_partitioned_sink_scan,
+        ORDERS_DELTA_PYDS_PART_SQL,
     ),
     "events_delta_bounded_tail_scan": (
         events_delta_bounded_tail_scan,

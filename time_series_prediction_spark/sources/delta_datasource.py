@@ -235,7 +235,11 @@ def _partitions_for(
 # with OP in >= <= > < = == != ; literals are numbers, 'quoted
 # strings', or 'YYYY-MM-DD' dates. A file is skipped only when its
 # add.stats min/max range (or exact Hive partition value) PROVABLY
-# excludes a clause; stats-blind columns never prune. The option is
+# excludes a clause; stats-blind columns never prune. String-typed
+# stats compare lexicographically (sound for ISO dates; against a
+# FOREIGN writer's ISO-timestamp stats pass a full timestamp
+# literal, not a bare date — this writer's own timestamp columns are
+# stats-blind and simply never prune). The option is
 # an OPTIMIZATION HINT for scan I/O, not a filter: rows from
 # surviving files still flow, so keep the .where() — exactly
 # partition-pruning semantics.
@@ -726,10 +730,21 @@ class _TspDeltaWriter(DataSourceWriter, DataSourceStreamWriter):
     SKIPPED — the exactly-once discipline of
     ``deltalog.delta_stream_sink`` through Spark's own format API.
     ``abort`` deletes the staged files; nothing half-visible ever
-    lands. Existing tables must match the sink schema exactly and
-    pass the writer-feature gate (schema evolution, partitions, and
-    column mapping stay with ``deltalog.write_delta_log`` — named in
-    the refusals)."""
+    lands.
+
+    r14 surface: CHECK constraints / invariants / generated columns
+    are ENFORCED executor-side per batch (``_enforce_batch`` — DuckDB
+    over the task's arrow table), and Hive-PARTITIONED layouts write
+    natively — each task splits its batch by partition tuple and
+    stages one file per (task, partition) under the Hive rel path,
+    partition values living in the path + add.partitionValues exactly
+    as delta-spark writes them (`.option("partitionBy", "a,b")`
+    creates a new partitioned table; existing tables follow their
+    recorded layout). Existing tables must match the sink schema
+    (minus omitted generated columns) and pass the writer-feature
+    gate; schema evolution, column mapping, identity columns, and row
+    tracking stay with ``deltalog.write_delta_log`` — named in the
+    refusals."""
 
     def __init__(
         self, path: str, schema: StructType, options,
@@ -752,6 +767,10 @@ class _TspDeltaWriter(DataSourceWriter, DataSourceStreamWriter):
             self._can_enforce = True
         except ImportError:
             self._can_enforce = False
+        # partition layout: an existing table's partitionColumns win;
+        # a NEW table takes .option("partitionBy", "a,b")
+        pb = options.get("partitionBy", "")
+        self._part_cols = [c.strip() for c in pb.split(",") if c.strip()]
         if os.path.isdir(os.path.join(self._path, _LOG_DIR)):
             from time_series_prediction_spark.sources.deltalog import (
                 _generated_columns,
@@ -760,6 +779,7 @@ class _TspDeltaWriter(DataSourceWriter, DataSourceStreamWriter):
             )
 
             _f, meta, _v, _t, _p = _local_snapshot(self._path)
+            self._part_cols = list(meta.get("partitionColumns") or [])
             try:
                 have = _table_schema(meta)
             except ValueError:
@@ -774,6 +794,22 @@ class _TspDeltaWriter(DataSourceWriter, DataSourceStreamWriter):
                 self._full_schema = have
 
     # -- executor side -------------------------------------------------
+    @staticmethod
+    def _hive_value(v) -> str:
+        """Protocol string form of a partition value for the Hive
+        path component (``_adds_for_files`` unquotes it back into
+        partitionValues)."""
+        import urllib.parse
+
+        if v is None:
+            raise ValueError(
+                "tspdelta sink: NULL partition values are not "
+                "supported — route through deltalog.write_delta_log"
+            )
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        return urllib.parse.quote(str(v), safe="")
+
     def write(self, iterator):
         import uuid as _uuid
 
@@ -788,10 +824,50 @@ class _TspDeltaWriter(DataSourceWriter, DataSourceStreamWriter):
                 self._full_schema or self._schema,
             )
         os.makedirs(self._path, exist_ok=True)
-        rel = f"part-{_uuid.uuid4()}.snappy.parquet"
-        staged = os.path.join(self._path, f".tspds-stage-{rel}")
-        pq.write_table(tbl, staged)
-        return _StagedFiles([(rel, staged)])
+        if not self._part_cols:
+            rel = f"part-{_uuid.uuid4()}.snappy.parquet"
+            staged = os.path.join(self._path, f".tspds-stage-{rel}")
+            pq.write_table(tbl, staged)
+            return _StagedFiles([(rel, staged)])
+        # partitioned layout: split the batch by partition tuple and
+        # stage one file per (task, partition) under the Hive rel
+        # path; partition columns are dropped from the file's data —
+        # they live in the path + add.partitionValues, exactly what
+        # delta-spark writes (per-task cost stays proportional to the
+        # batch; distinct-partition count per batch is the file count,
+        # the same trade every partitioned writer makes)
+        import pyarrow as pa
+
+        missing = [c for c in self._part_cols if c not in tbl.column_names]
+        if missing:
+            raise ValueError(
+                f"tspdelta sink: partition columns {missing} absent "
+                "from the batch"
+            )
+        keys = [tuple(r) for r in zip(
+            *(tbl[c].to_pylist() for c in self._part_cols)
+        )]
+        data_cols = [
+            n for n in tbl.column_names if n not in self._part_cols
+        ]
+        staged_out: list = []
+        order: dict[tuple, int] = {}
+        for k in keys:
+            order.setdefault(k, len(order))
+        for combo in order:
+            mask = pa.array([k == combo for k in keys])
+            sub = tbl.filter(mask).select(data_cols)
+            dirs = "/".join(
+                f"{c}={self._hive_value(v)}"
+                for c, v in zip(self._part_cols, combo)
+            )
+            rel = f"{dirs}/part-{_uuid.uuid4()}.snappy.parquet"
+            staged = os.path.join(
+                self._path, f".tspds-stage-{_uuid.uuid4().hex}.parquet"
+            )
+            pq.write_table(sub, staged)
+            staged_out.append((rel, staged))
+        return _StagedFiles(staged_out)
 
     # -- driver side ---------------------------------------------------
     def _cleanup(self, messages) -> None:
@@ -895,10 +971,15 @@ class _TspDeltaWriter(DataSourceWriter, DataSourceStreamWriter):
                     "table's — schema evolution goes through "
                     "deltalog.write_delta_log"
                 )
-            if meta.get("partitionColumns"):
+            if (
+                list(meta.get("partitionColumns") or [])
+                != self._part_cols
+            ):
+                self._cleanup(messages)
                 raise ValueError(
-                    "tspdelta sink writes unpartitioned tables only — "
-                    "partitioned layouts go through write_delta_log"
+                    "tspdelta sink: the table's partition layout "
+                    "changed between plan time and commit — re-run "
+                    "the write"
                 )
             next_v = v + 1
             if self._streaming and batchId is not None:
@@ -922,12 +1003,22 @@ class _TspDeltaWriter(DataSourceWriter, DataSourceStreamWriter):
                             "provider": "parquet", "options": {}
                         },
                         "schemaString": self._schema.json(),
-                        "partitionColumns": [],
+                        "partitionColumns": list(self._part_cols),
                         "configuration": {},
                         "createdTime": 0,
                     }
                 }
             )
+            bad = [
+                c for c in self._part_cols
+                if c not in {f.name for f in self._schema.fields}
+            ]
+            if bad:
+                self._cleanup(messages)
+                raise ValueError(
+                    f"tspdelta sink: partitionBy columns {bad} are "
+                    "not in the batch schema"
+                )
         if self._streaming and batchId is not None:
             actions.append(
                 {
@@ -941,6 +1032,7 @@ class _TspDeltaWriter(DataSourceWriter, DataSourceStreamWriter):
         visible: list[str] = []
         for rel, spath in staged:
             dst = os.path.join(self._path, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
             if not fs.rename(spath, dst):
                 raise RuntimeError(f"staged part collision at {dst}")
             visible.append(dst)
