@@ -808,3 +808,41 @@ def test_stream_sink_partitioned(spark, tmp_path):
     files, meta, *_ = dl.delta_snapshot(spark, dst)
     assert meta["partitionColumns"] == ["p"]
     assert all(rel.startswith("p=") for rel in files)
+
+
+def test_stream_prune_option(spark, tmp_path):
+    """The prune option on readStream: each microbatch's file set is
+    stats/partition-pruned before becoming partitions — a keyed tail
+    skips commits' files that provably exclude its range, and the
+    delivered rows (post-where) match the unpruned stream's."""
+    src = str(tmp_path / "src")
+    for i in range(3):
+        dl.write_delta_log(
+            spark.range(100 * i, 100 * i + 100).selectExpr(
+                "id AS k", "CAST(id % 2 AS LONG) AS grp"
+            ).coalesce(1),
+            src, mode="overwrite" if i == 0 else "append",
+        )
+    q = (
+        spark.readStream.format("tspdelta")
+        .option("maxVersionsPerBatch", "1")
+        .option("prune", "k >= 200").load(src)
+        .writeStream.format("memory").queryName("tspds_prune")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        r["k"]
+        for r in spark.sql(
+            "SELECT * FROM tspds_prune WHERE k >= 200"
+        ).collect()
+    )
+    assert got == list(range(200, 300))
+    # the pruned stream skipped the first two commits' files entirely
+    data_batches = [
+        p for p in q.recentProgress if p["numInputRows"] > 0
+    ]
+    assert len(data_batches) == 1
+    assert data_batches[0]["numInputRows"] == 100

@@ -488,6 +488,18 @@ class _TspDeltaStreamReader(DataSourceStreamReader):
         self._ignore_deletes = (
             str(options.get("ignoreDeletes", "false")).lower() == "true"
         )
+        # the batch reader's load-time pruning, applied per microbatch
+        # file set: a keyed tail (one partition, one key range) skips
+        # files whose stats provably exclude it — same grammar, same
+        # prove-to-skip soundness, same distinct-relation immunity
+        expr = options.get("prune")
+        self._prune = (
+            _parse_prune(
+                expr, {f.name for f in _table_schema(meta).fields}
+            )
+            if expr
+            else None
+        )
 
     def initialOffset(self) -> dict:
         return {"version": self._start}
@@ -573,6 +585,12 @@ class _TspDeltaStreamReader(DataSourceStreamReader):
                             continue
                         if a.get("dataChange", True):
                             new_adds[rel] = a
+        if self._prune:
+            new_adds = {
+                rel: a
+                for rel, a in new_adds.items()
+                if not _file_skipped(a, self._prune)
+            }
         return _partitions_for(self._path, new_adds)
 
     def read(self, partition):  # executor side
