@@ -154,16 +154,19 @@ def test_stream_delete_refusal_and_ignore(spark, tmp_path):
 
 
 def test_refusals(spark, tmp_path):
-    """Column-mapped tables name the remedy; a pathless load fails."""
+    """A pathless load fails; a WRITE to a column-mapped table names
+    the remedy (reads work since r14 — see the mapped-read tests)."""
     t = str(tmp_path / "t")
     dl.write_delta_log(
         spark.range(5).selectExpr("id AS k", "id * 2 AS v"), t
     )
     dl.delta_enable_column_mapping(spark, t)
-    with pytest.raises(Exception, match="column-mapped"):
-        spark.read.format("tspdelta").load(t).collect()
     with pytest.raises(Exception, match="requires a path"):
         spark.read.format("tspdelta").load().collect()
+    with pytest.raises(Exception, match="column-mapped"):
+        spark.range(3).selectExpr(
+            "id AS k", "id * 2 AS v"
+        ).write.format("tspdelta").mode("append").save(t)
 
 
 def test_batch_reads_through_checkpointed_log(spark, tmp_path):
@@ -587,29 +590,51 @@ def test_sink_carries_ict_on_enabled_tables(spark, tmp_path):
 
 def test_user_schema_does_not_bypass_protocol_gates(spark, tmp_path):
     """ADVICE r13 (low): .schema(...) skips DataSource.schema() — the
-    one place the protocol gate and column-mapping refusal ran. A
-    column-mapped table read with a user schema would come back as
-    silent all-nulls (files carry physical names); the readers must
-    re-run the gates themselves."""
+    one place the protocol gate ran. An unsupported-reader-feature
+    table read with a user schema must still refuse; and a MAPPED
+    table read with a user schema must still resolve physical names
+    through the plan (not silent all-nulls)."""
+    from tests.test_deltalog import _add, _commit, _meta, _write_parquet
+
     t = str(tmp_path / "t")
-    dl.write_delta_log(
-        spark.range(5).selectExpr("id AS k", "id * 2 AS v"), t
-    )
-    dl.delta_enable_column_mapping(spark, t)
-    with pytest.raises(Exception, match="column-mapped"):
+    os.makedirs(t)
+    sch = "k long"
+    _write_parquet(spark, os.path.join(t, "A.parquet"), [(1,)], sch)
+    _commit(t, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["variantType"]}},
+        _meta(spark.createDataFrame([], sch).schema.json()),
+        _add("A.parquet"),
+    ])
+    with pytest.raises(Exception, match="variantType|reader"):
         spark.read.format("tspdelta").schema(
-            "k long, v long"
+            "k long"
         ).load(t).collect()
-    with pytest.raises(Exception, match="column-mapped"):
+    with pytest.raises(Exception, match="variantType|reader"):
         q = (
             spark.readStream.format("tspdelta")
-            .schema("k long, v long").load(t)
+            .schema("k long").load(t)
             .writeStream.format("noop").start()
         )
         try:
             q.processAllAvailable()
         finally:
             q.stop()
+
+    # mapped table + user schema: the plan still resolves physical
+    # names — values come back, never silent nulls
+    t2 = str(tmp_path / "t2")
+    dl.write_delta_log(
+        spark.range(5).selectExpr("id AS k", "id * 2 AS v"), t2
+    )
+    dl.delta_enable_column_mapping(spark, t2)
+    dl.delta_rename_column(spark, t2, "v", "val")
+    got = sorted(
+        map(tuple, spark.read.format("tspdelta").schema(
+            "k long, val long"
+        ).load(t2).collect())
+    )
+    assert got == [(i, i * 2) for i in range(5)]
 
 
 def test_prune_option_skips_files(spark, tmp_path):
@@ -846,3 +871,124 @@ def test_stream_prune_option(spark, tmp_path):
     ]
     assert len(data_batches) == 1
     assert data_batches[0]["numInputRows"] == 100
+
+
+def test_batch_read_column_mapped_name_mode(spark, tmp_path):
+    """r14: column-mapped tables READ through the DS — 'name' mode
+    with the full ALTER life (rename, drop, re-add under a fresh UUID
+    physical name): the DS read matches the JVM-side native reader
+    bit-for-bit, and prune clauses on LOGICAL names translate to the
+    physical stats keys."""
+    t = str(tmp_path / "t")
+    for i in range(2):
+        dl.write_delta_log(
+            spark.range(50 * i, 50 * i + 50).selectExpr(
+                "id AS k", "id * 2 AS v", "CAST(id AS STRING) AS s"
+            ).coalesce(1),
+            t, mode="overwrite" if i == 0 else "append",
+        )
+    dl.delta_enable_column_mapping(spark, t)
+    dl.delta_rename_column(spark, t, "v", "val")  # metadata-only
+    dl.delta_drop_column(spark, t, "s")
+    dl.delta_add_column(spark, t, "s", "string")  # fresh physical
+    want = dl.read_delta_log(spark, t)
+    got = spark.read.format("tspdelta").load(t)
+    # names+types match (nullability differs by design: the DS keeps
+    # the schemaString's flags, the JVM parquet scan is all-nullable)
+    assert [(f.name, f.dataType) for f in got.schema.fields] == [
+        (f.name, f.dataType) for f in want.schema.fields
+    ]
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # the re-added column reads as nulls (old physical bytes cannot
+    # resurrect), the renamed one carries its values
+    assert got.where("s IS NOT NULL").count() == 0
+    assert got.where("val = 98").count() == 1
+    # prune on the LOGICAL renamed name hits the physical stats keys
+    pruned = (
+        spark.read.format("tspdelta")
+        .option("prune", "k >= 50").load(t)
+    )
+    assert pruned.rdd.getNumPartitions() == 1  # one of two files
+    assert pruned.where("k >= 50").count() == 50
+
+
+def test_batch_read_column_mapped_id_mode(spark, tmp_path):
+    """'id' mode: the file's internal names match NEITHER logical nor
+    physical names — only parquet field-id resolution yields rows
+    (name-based resolution would return nulls). Mirrors the JVM-side
+    test_column_mapping_id_mode_reads through the DS."""
+    import json as _json
+
+    import pyarrow as pa
+
+    from tests.test_deltalog import (
+        _add,
+        _commit,
+        _meta,
+        _write_parquet_field_ids,
+    )
+
+    t = str(tmp_path / "t")
+    os.makedirs(t)
+    _write_parquet_field_ids(
+        os.path.join(t, "A.parquet"),
+        [
+            ("junk_1", 1, pa.int64(), [1, 2, 3]),
+            ("junk_2", 2, pa.string(), ["a", "b", "c"]),
+        ],
+    )
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-aaa"}},
+            {"name": "v", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-bbb"}},
+        ],
+    }
+    meta = _meta(_json.dumps(schema))
+    meta["metaData"]["configuration"] = {
+        "delta.columnMapping.mode": "id"
+    }
+    _commit(t, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        meta,
+        _add("A.parquet"),
+    ])
+    got = spark.read.format("tspdelta").load(t)
+    assert got.columns == ["k", "v"]
+    assert sorted(map(tuple, got.collect())) == [
+        (1, "a"), (2, "b"), (3, "c")
+    ]
+
+
+def test_stream_read_column_mapped(spark, tmp_path):
+    """readStream over a mapped table: microbatches come back under
+    LOGICAL names with physical-name resolution per file."""
+    src = str(tmp_path / "src")
+    dl.write_delta_log(
+        spark.range(10).selectExpr("id AS k", "id * 2 AS v"), src
+    )
+    dl.delta_enable_column_mapping(spark, src)
+    dl.delta_rename_column(spark, src, "v", "val")
+    dl.write_delta_log(  # post-rename append (UUID-free: same phys)
+        spark.createDataFrame([(100, 7)], "k long, val long"),
+        src, mode="append",
+    )
+    q = (
+        spark.readStream.format("tspdelta")
+        .option("maxVersionsPerBatch", "1").load(src)
+        .writeStream.format("memory").queryName("tspds_mapped")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        map(tuple, spark.sql("SELECT k, val FROM tspds_mapped").collect())
+    )
+    assert got == [(i, i * 2) for i in range(10)] + [(100, 7)]

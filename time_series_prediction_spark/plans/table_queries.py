@@ -1626,6 +1626,46 @@ def orders_delta_alter_scan(
     )
 
 
+def orders_delta_pyds_mapped_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Column-mapped tables through the PYTHON data source (r14 —
+    ``delta_datasource._resolution_plan``): the SAME fully-ALTERed
+    layout as ``orders_delta_alter_scan`` (mapping + rename + drop +
+    same-name re-add + post-ALTER append), scanned via
+    ``format('tspdelta')`` — each logical column resolves by parquet
+    field id, then physical name, then partitionValues, exactly the
+    JVM reader's precedence, so the two paths share one oracle. The
+    re-added column reads all-null over pre-drop files (dropped
+    values can never resurrect)."""
+    from time_series_prediction_spark.sources.delta_datasource import (
+        TspDeltaDataSource,
+    )
+
+    # build (or reuse) the alter layout through its own query's path
+    orders_delta_alter_scan(spark, sf_dir)
+    src = os.path.join(sf_dir, "orders.parquet")
+    root = os.path.join(tempfile.gettempdir(), "tsp_layouts")
+    fs = fs_for(spark, root)
+    st = fs.status(src)
+    ident = f"{fs.qualified(src)}|{st[0]}|{st[1]}|{_DELTA_ALTER_SPEC}"
+    key = hashlib.md5(ident.encode()).hexdigest()[:16]
+    data = os.path.join(root, f"orders_deltaalter_{key}", "data")
+    spark.dataSource.register(TspDeltaDataSource)
+    return (
+        spark.read.format("tspdelta").load(data)
+        .groupBy(
+            F.coalesce(F.col("o_orderpriority"), F.lit("<dropped>"))
+            .alias("priority"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("total_cents"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        )
+    )
+
+
 ORDERS_DELTA_ALTER_SQL = """
 WITH cur AS (
   -- the drop + same-name re-add nulls the column over old files
@@ -3768,6 +3808,10 @@ TABLE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "orders_delta_pyds_partitioned_sink_scan": (
         orders_delta_pyds_partitioned_sink_scan,
         ORDERS_DELTA_PYDS_PART_SQL,
+    ),
+    "orders_delta_pyds_mapped_scan": (
+        orders_delta_pyds_mapped_scan,
+        ORDERS_DELTA_ALTER_SQL,
     ),
     "events_delta_bounded_tail_scan": (
         events_delta_bounded_tail_scan,

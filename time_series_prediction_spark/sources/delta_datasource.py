@@ -24,11 +24,13 @@ exactly-once resume rides Spark's own checkpointed offsets.
 
 Scope (documented, honest): paths must be visible to driver and
 executors via the local/shared filesystem (the data-source worker has
-no SparkSession, hence no Hadoop FS); column-mapped tables are
-refused with the remedy (use ``sources/io.read_delta`` — the JVM-side
-reader — for those); the JVM reader also remains the faster BATCH
-path. The streaming surface is the point: Spark has no other way to
-``readStream`` this table without the delta jars.
+no SparkSession, hence no Hadoop FS). Column-mapped tables READ fine
+(r14 — logical columns resolve by parquet field id, then physical
+name, then partitionValues, the JVM reader's precedence); their raw
+WRITES still refuse (physical-name/field-id writing stays with
+``deltalog.write_delta_log``). The JVM reader also remains the faster
+BATCH path. The streaming surface is the point: Spark has no other
+way to ``readStream`` this table without the delta jars.
 
 Reference parity note: the reference materializes Delta tables only
 through delta-spark (``src/demo/training.py:70-90``); this module is
@@ -167,6 +169,45 @@ def _local_snapshot(path: str) -> tuple[dict, dict, int, dict]:
 
 
 def _table_schema(meta: dict) -> StructType:
+    """The table's LOGICAL schema. Column-mapped tables are readable
+    (r14 — ``_resolution_plan`` resolves logical → physical/field-id
+    at scan time); an unknown mapping mode raises through
+    ``_column_mapping``."""
+    from time_series_prediction_spark.sources.deltalog import (
+        _column_mapping,
+    )
+
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    _column_mapping(meta, schema)  # unknown modes refuse here
+    return schema
+
+
+def _resolution_plan(meta: dict) -> dict | None:
+    """logical column → (physical name, parquet field id | None), or
+    None for unmapped tables (physical == logical). Under 'name' mode
+    files carry physicalName columns; under 'id' mode data columns
+    resolve by PARQUET field id FIRST (a foreign id-mode writer's
+    internal names match neither logical nor physical names) with
+    physicalName as the fallback — the same precedence as the
+    JVM-side reader (`deltalog._scan_files`). partitionValues stay
+    keyed by physicalName per the protocol."""
+    from time_series_prediction_spark.sources.deltalog import (
+        _column_field_ids,
+        _column_mapping,
+    )
+
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    mapping = _column_mapping(meta, schema)
+    if not mapping:
+        return None
+    fids = _column_field_ids(meta, schema)
+    return {
+        f.name: (mapping.get(f.name, f.name), fids.get(f.name))
+        for f in schema.fields
+    }
+
+
+def _refuse_mapped_write(meta: dict) -> None:
     from time_series_prediction_spark.sources.deltalog import (
         _column_mapping,
     )
@@ -174,11 +215,27 @@ def _table_schema(meta: dict) -> StructType:
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     if _column_mapping(meta, schema):
         raise ValueError(
-            "tspdelta: column-mapped tables are not supported by the "
-            "Python data source — read them through "
-            "sources/io.read_delta (the JVM-side native reader)"
+            "tspdelta sink: column-mapped tables need the "
+            "physical-name/field-id writer — use "
+            "deltalog.write_delta_log (reads through this format "
+            "work fine)"
         )
-    return schema
+
+
+def _field_id_index(arrow_schema) -> dict[int, int]:
+    """parquet field id → column position, from the arrow schema's
+    PARQUET:field_id field metadata (absent on files written without
+    ids — then the dict is empty and name resolution applies)."""
+    out: dict[int, int] = {}
+    for i, fld in enumerate(arrow_schema):
+        v = (fld.metadata or {}).get(b"PARQUET:field_id")
+        if v is None:
+            continue
+        try:
+            out[int(v)] = i
+        except ValueError:
+            continue
+    return out
 
 
 @dataclass
@@ -371,11 +428,14 @@ def _file_skipped(add: dict, clauses: list[tuple]) -> bool:
 
 
 def _read_file_partition(
-    part: _FilePartition, schema: StructType
+    part: _FilePartition, schema: StructType, plan: dict | None = None
 ) -> Iterator:
     """Executor-side read: pyarrow parquet scan, DV mask, partition
     columns attached as typed constants, columns ordered to the table
     schema — yielded as arrow RecordBatches (the vectorized path).
+    ``plan`` (column-mapped tables) resolves each logical column by
+    parquet field id first, then physical name; partitionValues are
+    keyed by physical name per the protocol.
 
     NO pushFilters implementation, deliberately (r13 finding, kept as
     a warning to future rounds): Spark 4.1.2 caches the built V2 scan
@@ -404,18 +464,23 @@ def _read_file_partition(
         mask = np.ones(tbl.num_rows, dtype=bool)
         mask[np.asarray(part.dv_positions, dtype=np.int64)] = False
         tbl = tbl.filter(pa.array(mask))
+    fid_idx = _field_id_index(tbl.schema) if plan else {}
     cols = []
     for f in target:
-        if f.name in tbl.column_names:
-            cols.append(tbl[f.name].cast(f.type))
-        elif f.name in part.partition_values:
-            raw = part.partition_values[f.name]
-            s = pa.array(
+        phys, fid = (plan or {}).get(f.name, (f.name, None))
+        col = None
+        if fid is not None and fid in fid_idx:
+            col = tbl.column(fid_idx[fid]).cast(f.type)
+        elif phys in tbl.column_names:
+            col = tbl[phys].cast(f.type)
+        elif phys in part.partition_values:
+            raw = part.partition_values[phys]
+            col = pa.array(
                 [raw] * tbl.num_rows, type=pa.string()
-            )
-            cols.append(s.cast(f.type))
-        else:
-            cols.append(pa.nulls(tbl.num_rows, type=f.type))
+            ).cast(f.type)
+        if col is None:
+            col = pa.nulls(tbl.num_rows, type=f.type)
+        cols.append(col)
     out = pa.Table.from_arrays(cols, schema=target)
     yield from out.to_batches()
 
@@ -432,16 +497,21 @@ class _TspDeltaBatchReader(DataSourceReader):
         self._path = path
         self._files, meta, _v, _txns, proto = _local_snapshot(path)
         # ADVICE r13 (low): a user-supplied .schema(...) bypasses
-        # DataSource.schema() — the protocol gate and column-mapping
-        # refusal must ALSO run here, or a mapped/unsupported table
+        # DataSource.schema() — the protocol gate and the mapping
+        # plan must ALSO build here, or a mapped/unsupported table
         # reads as silent all-nulls (files carry physical names)
         _check_protocol(proto)
         table_schema = _table_schema(meta)
+        self._plan = _resolution_plan(meta)
         expr = (options or {}).get("prune")
         if expr:
             clauses = _parse_prune(
                 expr, {f.name for f in table_schema.fields}
             )
+            if self._plan:  # stats/partitionValues use PHYSICAL names
+                clauses = [
+                    (self._plan[c][0], op, v) for c, op, v in clauses
+                ]
             self._files = {
                 rel: add
                 for rel, add in self._files.items()
@@ -453,7 +523,9 @@ class _TspDeltaBatchReader(DataSourceReader):
         return _partitions_for(self._path, self._files)
 
     def read(self, partition):  # executor side
-        return _read_file_partition(partition, self._schema)
+        return _read_file_partition(
+            partition, self._schema, self._plan
+        )
 
 
 class _TspDeltaStreamReader(DataSourceStreamReader):
@@ -476,6 +548,7 @@ class _TspDeltaStreamReader(DataSourceStreamReader):
         # DataSource.schema(), so gate here too
         _check_protocol(proto)
         _table_schema(meta)
+        self._plan = _resolution_plan(meta)
         if str(sv).lower() == "earliest":
             self._start = -1
         elif str(sv).lower() == "latest":
@@ -500,6 +573,11 @@ class _TspDeltaStreamReader(DataSourceStreamReader):
             if expr
             else None
         )
+        if self._prune and self._plan:  # stats keys are PHYSICAL
+            self._prune = [
+                (self._plan[c][0], op, v)
+                for c, op, v in self._prune
+            ]
 
     def initialOffset(self) -> dict:
         return {"version": self._start}
@@ -594,7 +672,9 @@ class _TspDeltaStreamReader(DataSourceStreamReader):
         return _partitions_for(self._path, new_adds)
 
     def read(self, partition):  # executor side
-        return _read_file_partition(partition, self._schema)
+        return _read_file_partition(
+            partition, self._schema, self._plan
+        )
 
     def commit(self, end: dict) -> None:
         self._pos = max(self._pos, end["version"])
@@ -798,10 +878,9 @@ class _TspDeltaWriter(DataSourceWriter, DataSourceStreamWriter):
 
             _f, meta, _v, _t, _p = _local_snapshot(self._path)
             self._part_cols = list(meta.get("partitionColumns") or [])
-            try:
-                have = _table_schema(meta)
-            except ValueError:
-                have = None  # column-mapped: commit refuses anyway
+            have = _table_schema(meta)
+            if _resolution_plan(meta) is not None:
+                have = None  # column-mapped: commit refuses the write
             if have is not None:
                 cons = {
                     **_schema_invariants(have),
@@ -929,7 +1008,7 @@ class _TspDeltaWriter(DataSourceWriter, DataSourceStreamWriter):
                 self._path
             )
             _check_writer_protocol(proto)
-            _table_schema(meta)  # column-mapped tables refuse
+            _refuse_mapped_write(meta)  # reads work; raw writes don't
             have = StructType.fromJson(json.loads(meta["schemaString"]))
             from time_series_prediction_spark.sources.deltalog import (
                 _schema_invariants,
