@@ -386,16 +386,6 @@ def test_sink_refuses_invariant_bearing_tables(spark, tmp_path):
     row tracking) or whose mode contradicts a table property
     (append-only overwrites) still refuse with the enforcing writer
     named, instead of being silently corrupted."""
-    t2 = str(tmp_path / "t2")
-    dl.write_delta_log(
-        spark.range(5).selectExpr("id AS k", "id * 2 AS v"), t2
-    )
-    dl.delta_enable_row_tracking(spark, t2)
-    with pytest.raises(Exception, match="row tracking"):
-        spark.range(3).selectExpr(
-            "id AS k", "id * 2 AS v"
-        ).write.format("tspdelta").mode("append").save(t2)
-
     t3 = str(tmp_path / "t3")
     dl.write_delta_log(
         spark.range(5).selectExpr("id AS k", "id * 2 AS v"), t3
@@ -992,3 +982,75 @@ def test_stream_read_column_mapped(spark, tmp_path):
         map(tuple, spark.sql("SELECT k, val FROM tspds_mapped").collect())
     )
     assert got == [(i, i * 2) for i in range(10)] + [(100, 7)]
+
+
+def test_sink_row_tracked_append(spark, tmp_path):
+    """r14: the DS sink appends to ROW-TRACKED tables — fresh rows
+    get fresh baseRowIds allocated from the delta.rowTracking
+    high-water-mark domain (SparkSession-free, counts from the adds'
+    stats), the advanced HWM lands atomically with the adds, existing
+    rows keep their ids exactly, and all ids stay unique. A replayed
+    streaming batch never double-allocates."""
+    t = str(tmp_path / "t")
+    dl.write_delta_log(
+        spark.range(10).selectExpr("id AS k", "id * 2 AS v"), t
+    )
+    dl.delta_enable_row_tracking(spark, t)
+    before = {
+        r["k"]: r["_row_id"]
+        for r in dl.read_delta_with_row_ids(spark, t).collect()
+    }
+    spark.range(100, 105).selectExpr(
+        "id AS k", "id * 2 AS v"
+    ).write.format("tspdelta").mode("append").save(t)
+    rows = dl.read_delta_with_row_ids(spark, t).collect()
+    after = {r["k"]: r["_row_id"] for r in rows}
+    for k, rid in before.items():
+        assert after[k] == rid  # preservation: untouched rows keep ids
+    ids = [r["_row_id"] for r in rows]
+    assert len(ids) == len(set(ids)) == 15  # fresh, unique
+    # the new adds carry baseRowId + defaultRowCommitVersion and the
+    # HWM domain advanced
+    files, _m, v, _t, _p, domains = dl.delta_snapshot_ex(spark, t)
+    assert all(
+        a.get("baseRowId") is not None for a in files.values()
+    )
+    import json as _json
+
+    hwm = _json.loads(domains["delta.rowTracking"])[
+        "rowIdHighWaterMark"
+    ]
+    assert hwm == max(ids)
+    # a second sink append keeps allocating past the new HWM
+    spark.range(200, 203).selectExpr(
+        "id AS k", "id * 2 AS v"
+    ).write.format("tspdelta").mode("append").save(t)
+    ids2 = [
+        r["_row_id"]
+        for r in dl.read_delta_with_row_ids(spark, t).collect()
+    ]
+    assert len(ids2) == len(set(ids2)) == 18
+
+    # streaming sink: exactly-once replay never double-allocates
+    src_t = str(tmp_path / "src")
+    dl.write_delta_log(
+        spark.range(20).selectExpr("id AS k", "id * 2 AS v"), src_t
+    )
+    dst = str(tmp_path / "dst")
+    dl.write_delta_log(
+        spark.range(0).selectExpr("id AS k", "id * 2 AS v"), dst
+    )
+    dl.delta_enable_row_tracking(spark, dst)
+    q = (
+        spark.readStream.format("tspdelta").load(src_t)
+        .writeStream.format("tspdelta")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start(dst)
+    )
+    q.processAllAvailable()
+    q.stop()
+    sids = [
+        r["_row_id"]
+        for r in dl.read_delta_with_row_ids(spark, dst).collect()
+    ]
+    assert len(sids) == len(set(sids)) == 20

@@ -2862,6 +2862,94 @@ GROUP BY o_orderkey % 5
 """
 
 
+_DELTA_PYDS_RT_SPEC = "delta-orders-pyds-rt|v1|hwm-append"
+
+
+def orders_delta_pyds_rowtracked_sink_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The Python-DS sink appending to a ROW-TRACKED table (r14 —
+    ``delta_datasource._attach_row_tracking_local``): fresh
+    baseRowIds allocated SparkSession-free from the
+    ``delta.rowTracking`` high-water-mark domain, committed
+    atomically with the adds. The build asserts the invariants the
+    oracle can't see — pre-existing rows keep their exact ids after
+    the sink append, all ids unique, every live add carries a base —
+    while the returned result is the table's logical content, stated
+    relationally."""
+    from time_series_prediction_spark.sources.delta_datasource import (
+        TspDeltaDataSource,
+    )
+    from time_series_prediction_spark.sources.deltalog import (
+        delta_enable_row_tracking,
+        read_delta_with_row_ids,
+        write_delta_log,
+    )
+    from time_series_prediction_spark.sources.io import read_delta
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    root = os.path.join(tempfile.gettempdir(), "tsp_layouts")
+    fs = fs_for(spark, root)
+    st = fs.status(src)
+    if st is None:
+        raise FileNotFoundError(src)
+    ident = f"{fs.qualified(src)}|{st[0]}|{st[1]}|{_DELTA_PYDS_RT_SPEC}"
+    key = hashlib.md5(ident.encode()).hexdigest()[:16]
+    path = os.path.join(root, f"orders_pydsrt_{key}")
+
+    def _build(tmp: str) -> None:
+        data = os.path.join(tmp, "data")
+        spark.dataSource.register(TspDeltaDataSource)
+        base = _orders_state(spark, sf_dir).select(
+            "o_orderkey", "price_cents"
+        )
+        write_delta_log(
+            base.where("o_orderkey % 2 = 0"), data, mode="overwrite"
+        )
+        delta_enable_row_tracking(spark, data)
+        before = {
+            r["o_orderkey"]: r["_row_id"]
+            for r in read_delta_with_row_ids(spark, data).collect()
+        }
+        base.where("o_orderkey % 2 = 1").write.format(
+            "tspdelta"
+        ).mode("append").save(data)
+        rows = read_delta_with_row_ids(spark, data).collect()
+        after = {r["o_orderkey"]: r["_row_id"] for r in rows}
+        for k, rid in before.items():
+            if after[k] != rid:
+                raise AssertionError(
+                    "sink append disturbed an existing row id"
+                )
+        ids = [r["_row_id"] for r in rows]
+        if len(ids) != len(set(ids)):
+            raise AssertionError("duplicate row ids after DS append")
+
+    ensure_artifact(spark, path, ident, _build)
+    return (
+        read_delta(spark, os.path.join(path, "data"))
+        .groupBy(
+            (F.col("o_orderkey") % 2).cast("long").alias("parity")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("price_cents").cast("long").alias("total_cents"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        )
+    )
+
+
+ORDERS_DELTA_PYDS_RT_SQL = """
+SELECT CAST(o_orderkey % 2 AS BIGINT) AS parity,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+FROM orders
+GROUP BY o_orderkey % 2
+"""
+
+
 _DELTA_PART_INCR_SPEC = "delta-orders-part-incr|v1|part3-cluster-key"
 
 
@@ -3812,6 +3900,10 @@ TABLE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "orders_delta_pyds_mapped_scan": (
         orders_delta_pyds_mapped_scan,
         ORDERS_DELTA_ALTER_SQL,
+    ),
+    "orders_delta_pyds_rowtracked_sink_scan": (
+        orders_delta_pyds_rowtracked_sink_scan,
+        ORDERS_DELTA_PYDS_RT_SQL,
     ),
     "events_delta_bounded_tail_scan": (
         events_delta_bounded_tail_scan,

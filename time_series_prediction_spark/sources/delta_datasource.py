@@ -85,6 +85,14 @@ def _local_snapshot(path: str) -> tuple[dict, dict, int, dict]:
     data-source workers don't have one): newest usable checkpoint
     (classic / multi-part / v2-with-sidecars) + trailing commit
     JSONs. Returns (files, metaData, version, txns, protocol)."""
+    return _local_snapshot_ex(path)[:5]
+
+
+def _local_snapshot_ex(
+    path: str,
+) -> tuple[dict, dict, int, dict, dict, dict]:
+    """``_local_snapshot`` + the metadata-domain map (the rowTracking
+    high-water mark lives in ``delta.rowTracking``)."""
     import pyarrow.parquet as pq
 
     from time_series_prediction_spark.sources.deltalog import (
@@ -165,7 +173,7 @@ def _local_snapshot(path: str) -> tuple[dict, dict, int, dict]:
     if meta[0] is None:
         raise ValueError(f"log under {log} carries no metaData action")
     proto = meta[1] or {"minReaderVersion": 1, "minWriterVersion": 2}
-    return state, meta[0], v, txns, proto
+    return state, meta[0], v, txns, proto, meta[2]
 
 
 def _table_schema(meta: dict) -> StructType:
@@ -815,6 +823,55 @@ def _rows_to_table(iterator, schema: StructType):
     return pa.Table.from_arrays(arrays, schema=target)
 
 
+def _is_row_tracked(meta: dict) -> bool:
+    from time_series_prediction_spark.sources.deltalog import (
+        _row_tracking_on,
+    )
+
+    return _row_tracking_on(meta)
+
+
+def _attach_row_tracking_local(
+    new_adds: list[dict],
+    actions: list[dict],
+    path: str,
+    domains: dict,
+    version: int,
+) -> None:
+    """SparkSession-free twin of ``deltalog._attach_row_tracking``
+    (r14): assign ``baseRowId`` / ``defaultRowCommitVersion`` to the
+    sink's fresh adds from the ``delta.rowTracking`` high-water-mark
+    domain and append the advanced HWM action. Row counts come from
+    the adds' own stats; a statless add (batch wider than the stats
+    ceiling) gets ONE driver-side footer-metadata read — never a row
+    scan. The preservation invariant holds trivially: the sink only
+    creates NEW rows, and existing files' ids are untouched."""
+    import urllib.parse
+
+    import pyarrow.parquet as pq
+
+    from time_series_prediction_spark.sources.deltalog import (
+        _add_num_records,
+        _rt_hwm,
+        _rt_hwm_action,
+    )
+
+    base = _strip_scheme(path)
+    next_id = _rt_hwm(domains) + 1
+    for act in new_adds:
+        a = act.get("add")
+        if a is None or a.get("baseRowId") is not None:
+            continue
+        n = _add_num_records(a)
+        if n is None:
+            f = os.path.join(base, urllib.parse.unquote(a["path"]))
+            n = pq.ParquetFile(f).metadata.num_rows
+        a["baseRowId"] = next_id
+        a["defaultRowCommitVersion"] = int(version)
+        next_id += int(n)
+    actions.append(_rt_hwm_action(next_id - 1))
+
+
 class _TspDeltaWriter(DataSourceWriter, DataSourceStreamWriter):
     """Batch AND streaming sink into the native log, SparkSession-free
     (the data-source workers have none): tasks stage hidden parquet
@@ -840,9 +897,11 @@ class _TspDeltaWriter(DataSourceWriter, DataSourceStreamWriter):
     creates a new partitioned table; existing tables follow their
     recorded layout). Existing tables must match the sink schema
     (minus omitted generated columns) and pass the writer-feature
-    gate; schema evolution, column mapping, identity columns, and row
-    tracking stay with ``deltalog.write_delta_log`` — named in the
-    refusals."""
+    gate. Row-tracked tables take sink appends (r14 —
+    ``_attach_row_tracking_local`` allocates fresh baseRowIds from
+    the HWM domain, committed atomically); schema evolution, column
+    mapping, and identity columns stay with
+    ``deltalog.write_delta_log`` — named in the refusals."""
 
     def __init__(
         self, path: str, schema: StructType, options,
@@ -1000,12 +1059,11 @@ class _TspDeltaWriter(DataSourceWriter, DataSourceStreamWriter):
                 _generated_columns,
                 _identity_columns,
                 _refuse_append_only,
-                _row_tracking_on,
                 _table_constraints,
             )
 
-            prev_files, meta, v, txns, proto = _local_snapshot(
-                self._path
+            prev_files, meta, v, txns, proto, domains = (
+                _local_snapshot_ex(self._path)
             )
             _check_writer_protocol(proto)
             _refuse_mapped_write(meta)  # reads work; raw writes don't
@@ -1029,8 +1087,6 @@ class _TspDeltaWriter(DataSourceWriter, DataSourceStreamWriter):
                 )
             if _identity_columns(have):
                 blockers.append("identity columns")
-            if _row_tracking_on(meta):
-                blockers.append("row tracking")
             if blockers:
                 self._cleanup(messages)
                 raise ValueError(
@@ -1155,9 +1211,19 @@ class _TspDeltaWriter(DataSourceWriter, DataSourceStreamWriter):
             ],
             self._path,
         )
-        actions.extend(
-            _adds_for_files(fs, self._path, visible, True, stats)
-        )
+        new_adds = _adds_for_files(fs, self._path, visible, True, stats)
+        if meta is not None and _is_row_tracked(meta):
+            # r14: fresh appended rows get fresh ids — baseRowId
+            # allocated from the rowTracking high-water-mark domain,
+            # counts from the adds' own stats (one driver-side footer
+            # read for any statless file, bounded by the batch), the
+            # advanced HWM committed atomically with the adds. The
+            # put-if-absent commit race makes concurrent allocations
+            # safe: the loser's commit never lands.
+            _attach_row_tracking_local(
+                new_adds, actions, self._path, domains, next_v
+            )
+        actions.extend(new_adds)
         # meta flows through so ICT-enabled tables get their
         # inCommitTimestamp (ADVICE r13 medium): _commit_json seeds
         # the monotone chain via _prev_ict/_last_cp_ict through
