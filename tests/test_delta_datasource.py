@@ -1054,3 +1054,109 @@ def test_sink_row_tracked_append(spark, tmp_path):
         for r in dl.read_delta_with_row_ids(spark, dst).collect()
     ]
     assert len(sids) == len(set(sids)) == 20
+
+
+def test_batch_read_change_feed(spark, tmp_path):
+    """r14 CDF through the DS: .option('readChangeFeed','true') +
+    startingVersion returns typed rows from pure snapshot algebra —
+    DV growth emits exactly the newly-dead positions as 'delete',
+    appends as 'insert', and folding the feed reproduces the snapshot
+    diff (the deltalog.delta_changes_feed contract, multiset
+    semantics)."""
+    t = str(tmp_path / "t")
+    dl.write_delta_log(
+        spark.range(10).selectExpr("id AS k", "id * 2 AS v"), t
+    )
+    dl.delta_delete(spark, t, "k IN (2, 3)")       # v1: DV delete
+    dl.write_delta_log(
+        spark.range(100, 103).selectExpr("id AS k", "id * 2 AS v"),
+        t, mode="append",                           # v2
+    )
+    feed = (
+        spark.read.format("tspdelta")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0").load(t)
+    )
+    assert feed.columns == ["k", "v", "_change_type"]
+    got = sorted(
+        (r["_change_type"], r["k"]) for r in feed.collect()
+    )
+    assert got == [
+        ("delete", 2), ("delete", 3),
+        ("insert", 100), ("insert", 101), ("insert", 102),
+    ]
+    # from -1: the whole current state arrives as inserts (live rows
+    # only — the DV'd positions never appear)
+    all_feed = (
+        spark.read.format("tspdelta")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "-1").load(t)
+    )
+    ks = sorted(r["k"] for r in all_feed.collect())
+    assert ks == [k for k in range(10) if k not in (2, 3)] + [100, 101, 102]
+    assert all(
+        r["_change_type"] == "insert" for r in all_feed.collect()
+    )
+    # a rewrite-shaped delete folds to the exact snapshot diff even
+    # though the compaction re-emits balanced pairs
+    v_pre = dl.delta_snapshot(spark, t)[2]
+    dl.delta_delete(spark, t, "k = 5", max_dv_rows=0)  # rewrite
+    feed2 = (
+        spark.read.format("tspdelta")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", str(v_pre)).load(t)
+    )
+    from collections import Counter
+
+    net = Counter()
+    for r in feed2.collect():
+        net[(r["k"], r["v"])] += 1 if r["_change_type"] == "insert" else -1
+    assert {k: n for k, n in net.items() if n} == {(5, 10): -1}
+    # option hygiene: no startingVersion / prune combination refuse
+    with pytest.raises(Exception, match="startingVersion"):
+        spark.read.format("tspdelta").option(
+            "readChangeFeed", "true"
+        ).load(t).collect()
+    with pytest.raises(Exception, match="prune does not compose"):
+        spark.read.format("tspdelta").option(
+            "readChangeFeed", "true"
+        ).option("startingVersion", "0").option(
+            "prune", "k > 1"
+        ).load(t).collect()
+
+
+def test_stream_read_change_feed(spark, tmp_path):
+    """readStream with readChangeFeed: a DV-delete commit streams as
+    typed 'delete' rows instead of refusing, bounded windows intact."""
+    t = str(tmp_path / "t")
+    dl.write_delta_log(
+        spark.range(10).selectExpr("id AS k", "id * 2 AS v"), t
+    )
+    dl.delta_delete(spark, t, "k IN (1, 4)")
+    dl.write_delta_log(
+        spark.range(50, 53).selectExpr("id AS k", "id * 2 AS v"),
+        t, mode="append",
+    )
+    q = (
+        spark.readStream.format("tspdelta")
+        .option("readChangeFeed", "true")
+        .option("maxVersionsPerBatch", "1").load(t)
+        .writeStream.format("memory").queryName("tspds_cdf")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM tspds_cdf").collect()
+    net = {}
+    for r in rows:
+        net[r["k"]] = net.get(r["k"], 0) + (
+            1 if r["_change_type"] == "insert" else -1
+        )
+    live = {k: n for k, n in net.items() if n}
+    assert live == {
+        **{k: 1 for k in range(10) if k not in (1, 4)},
+        **{k: 1 for k in (50, 51, 52)},
+    }
+    # the delete batch delivered typed rows (no refusal)
+    assert any(r["_change_type"] == "delete" for r in rows)

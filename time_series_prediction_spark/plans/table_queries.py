@@ -1007,6 +1007,36 @@ def orders_delta_cdf_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_delta_pyds_cdf_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Change-data-feed through the PYTHON data source (r14 —
+    ``spark.read.format('tspdelta').option('readChangeFeed','true')``):
+    the SAME DV layout and window as ``orders_delta_cdf_scan``, so
+    the two paths share one oracle — the DS reader's snapshot-algebra
+    diff (``delta_datasource._cdf_partitions``) must emit exactly the
+    rows ``deltalog.delta_changes_feed`` emits: each DV-killed row
+    once, typed 'delete', no inserts in the window."""
+    from time_series_prediction_spark.sources.delta_datasource import (
+        TspDeltaDataSource,
+    )
+
+    data = orders_delta_dv_layout(spark, sf_dir)
+    spark.dataSource.register(TspDeltaDataSource)
+    return (
+        spark.read.format("tspdelta")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0").load(data)
+        .groupBy(
+            F.col("_change_type").alias("change_type"), "o_orderstatus"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("price_cents").cast("long").alias("total_cents"),
+        )
+    )
+
+
 ORDERS_DELTA_CDF_SQL = """
 SELECT 'delete' AS change_type,
        o_orderstatus,
@@ -3904,6 +3934,10 @@ TABLE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "orders_delta_pyds_rowtracked_sink_scan": (
         orders_delta_pyds_rowtracked_sink_scan,
         ORDERS_DELTA_PYDS_RT_SQL,
+    ),
+    "orders_delta_pyds_cdf_scan": (
+        orders_delta_pyds_cdf_scan,
+        ORDERS_DELTA_CDF_SQL,
     ),
     "events_delta_bounded_tail_scan": (
         events_delta_bounded_tail_scan,

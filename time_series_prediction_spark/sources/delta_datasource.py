@@ -10,6 +10,10 @@ rate-bounded streaming reads through Spark's own ``format(...)`` API.
     (spark.readStream.format("tspdelta")
           .option("maxVersionsPerBatch", "1")
           .load("/path/to/table"))
+    (spark.read.format("tspdelta")         # change data feed
+          .option("readChangeFeed", "true")
+          .option("startingVersion", "0")  # changes AFTER v0
+          .load("/path/to/table"))         # ... or readStream
 
 This is the Spark-4-idiomatic packaging of ``sources/deltalog``: the
 log replay (metadata) runs driver-side in the data-source worker, and
@@ -89,10 +93,13 @@ def _local_snapshot(path: str) -> tuple[dict, dict, int, dict]:
 
 
 def _local_snapshot_ex(
-    path: str,
+    path: str, version: int | None = None
 ) -> tuple[dict, dict, int, dict, dict, dict]:
     """``_local_snapshot`` + the metadata-domain map (the rowTracking
-    high-water mark lives in ``delta.rowTracking``)."""
+    high-water mark lives in ``delta.rowTracking``). ``version`` pins
+    the replay (time travel — the CDF window's BEFORE snapshot);
+    commits below the newest checkpoint must still exist or the
+    replay raises."""
     import pyarrow.parquet as pq
 
     from time_series_prediction_spark.sources.deltalog import (
@@ -114,6 +121,12 @@ def _local_snapshot_ex(
     if not commits and not cps:
         raise ValueError(f"no delta log entries under {log}")
     v = max(list(commits) + list(cps))
+    if version is not None:
+        if version > v:
+            raise ValueError(
+                f"version {version} beyond latest {v} under {log}"
+            )
+        v = int(version)
     state: dict[str, dict] = {}
     meta: list = [None, None, {}]
     txns: dict[str, int] = {}
@@ -144,8 +157,9 @@ def _local_snapshot_ex(
                 sidecars.append(sc["path"])
         return sidecars
 
-    if cps:
-        cp_v = max(cv for cv in cps if cv <= v)
+    usable_cps = [cv for cv in cps if cv <= v]
+    if usable_cps:
+        cp_v = max(usable_cps)
         rows = []
         for part in cps[cp_v]:
             rows.extend(
@@ -249,11 +263,16 @@ def _field_id_index(arrow_schema) -> dict[int, int]:
 @dataclass
 class _FilePartition(InputPartition):
     """One live data file: absolute path, Hive partition values
-    (protocol string form), and resolved DV row positions."""
+    (protocol string form), and resolved DV row positions. CDF
+    partitions additionally carry ``change_type`` ('insert' |
+    'delete') and, for DV-delta changes, the exact row positions to
+    emit (``include_positions``); plain scans leave both None."""
 
     file_path: str
     partition_values: dict = field(default_factory=dict)
     dv_positions: list = field(default_factory=list)
+    change_type: str | None = None
+    include_positions: list | None = None
 
 
 def _resolve_dv(path: str, add: dict) -> list[int]:
@@ -281,6 +300,74 @@ def _partitions_for(
         )
         for rel, add in sorted(files.items())
     ]
+
+
+def _cdf_on(options) -> bool:
+    return str(
+        (options or {}).get("readChangeFeed", "false")
+    ).lower() == "true"
+
+
+def _cdf_partitions(
+    path: str, before: dict, after: dict
+) -> list[_FilePartition]:
+    """Change-data-feed partitions from pure snapshot algebra — the
+    SparkSession-free twin of ``deltalog.delta_changes_feed``
+    (file:4434), same multiset semantics:
+
+    * file only in AFTER  → its live rows are 'insert';
+    * file only in BEFORE → its before-live rows are 'delete' (a
+      vacuumed file raises at read time: the feed's history is gone);
+    * file in BOTH → DV growth emits the newly-dead positions as
+      'delete', DV shrink the resurrected positions as 'insert'.
+
+    Folding the feed reproduces the snapshot diff exactly:
+    ``snapshot(end) = snapshot(start) + inserts − deletes``."""
+    import urllib.parse
+
+    base = _strip_scheme(path)
+    out: list[_FilePartition] = []
+
+    def _dv(add: dict) -> set:
+        return set(_resolve_dv(path, add))
+
+    for rel, add in sorted(after.items()):
+        fp = os.path.join(base, urllib.parse.unquote(rel))
+        pv = dict(add.get("partitionValues") or {})
+        if rel not in before:
+            out.append(
+                _FilePartition(
+                    fp, pv, sorted(_dv(add)), change_type="insert"
+                )
+            )
+            continue
+        grown = _dv(add) - _dv(before[rel])
+        shrunk = _dv(before[rel]) - _dv(add)
+        if grown:
+            out.append(
+                _FilePartition(
+                    fp, pv, [], change_type="delete",
+                    include_positions=sorted(grown),
+                )
+            )
+        if shrunk:
+            out.append(
+                _FilePartition(
+                    fp, pv, [], change_type="insert",
+                    include_positions=sorted(shrunk),
+                )
+            )
+    for rel, add in sorted(before.items()):
+        if rel in after:
+            continue
+        fp = os.path.join(base, urllib.parse.unquote(rel))
+        out.append(
+            _FilePartition(
+                fp, dict(add.get("partitionValues") or {}),
+                sorted(_dv(add)), change_type="delete",
+            )
+        )
+    return out
 
 
 # ---- load-time file pruning (VERDICT r13 Next #1) -------------------
@@ -468,13 +555,24 @@ def _read_file_partition(
         return  # zero-file scan (everything pruned): empty relation
     target = to_arrow_schema(schema)
     tbl = pq.read_table(part.file_path)
-    if part.dv_positions:
+    if part.include_positions is not None:
+        mask = np.zeros(tbl.num_rows, dtype=bool)
+        mask[np.asarray(part.include_positions, dtype=np.int64)] = True
+        tbl = tbl.filter(pa.array(mask))
+    elif part.dv_positions:
         mask = np.ones(tbl.num_rows, dtype=bool)
         mask[np.asarray(part.dv_positions, dtype=np.int64)] = False
         tbl = tbl.filter(pa.array(mask))
     fid_idx = _field_id_index(tbl.schema) if plan else {}
     cols = []
     for f in target:
+        if f.name == "_change_type" and part.change_type is not None:
+            cols.append(
+                pa.array([part.change_type] * tbl.num_rows).cast(
+                    f.type
+                )
+            )
+            continue
         phys, fid = (plan or {}).get(f.name, (f.name, None))
         col = None
         if fid is not None and fid in fid_idx:
@@ -512,6 +610,30 @@ class _TspDeltaBatchReader(DataSourceReader):
         table_schema = _table_schema(meta)
         self._plan = _resolution_plan(meta)
         expr = (options or {}).get("prune")
+        self._cdf_parts = None
+        if _cdf_on(options):
+            # batch CDF: every change AFTER startingVersion
+            # (exclusive — deltalog.delta_changes_feed's contract)
+            if expr:
+                raise ValueError(
+                    "tspdelta: prune does not compose with "
+                    "readChangeFeed (deletes come from files a prune "
+                    "would skip) — drop one of the options"
+                )
+            sv = (options or {}).get("startingVersion")
+            if sv is None:
+                raise ValueError(
+                    "tspdelta readChangeFeed batch read needs "
+                    ".option('startingVersion', N) — changes are "
+                    "emitted for versions AFTER N"
+                )
+            start = int(sv)
+            before = (
+                {} if start < 0
+                else _local_snapshot_ex(_strip_scheme(path), start)[0]
+            )
+            self._cdf_parts = _cdf_partitions(path, before, self._files)
+            return
         if expr:
             clauses = _parse_prune(
                 expr, {f.name for f in table_schema.fields}
@@ -528,6 +650,8 @@ class _TspDeltaBatchReader(DataSourceReader):
         self._pushed: list = []
 
     def partitions(self):
+        if self._cdf_parts is not None:
+            return self._cdf_parts or [_FilePartition("")]
         return _partitions_for(self._path, self._files)
 
     def read(self, partition):  # executor side
@@ -574,6 +698,13 @@ class _TspDeltaStreamReader(DataSourceStreamReader):
         # files whose stats provably exclude it — same grammar, same
         # prove-to-skip soundness, same distinct-relation immunity
         expr = options.get("prune")
+        self._cdf = _cdf_on(options)
+        if self._cdf and expr:
+            raise ValueError(
+                "tspdelta: prune does not compose with "
+                "readChangeFeed (deletes come from files a prune "
+                "would skip) — drop one of the options"
+            )
         self._prune = (
             _parse_prune(
                 expr, {f.name for f in _table_schema(meta).fields}
@@ -624,6 +755,19 @@ class _TspDeltaStreamReader(DataSourceStreamReader):
         # re-sync the admission ratchet with Spark's checkpointed
         # start (the source of truth after a restart)
         self._pos = max(self._pos, start["version"], end["version"])
+        if self._cdf:
+            # change-data-feed microbatch: the snapshot diff between
+            # the window's endpoints, typed rows instead of the
+            # add-tail (deletes are DATA here — no refusal, no
+            # ignoreDeletes needed)
+            before = (
+                {} if start["version"] < 0
+                else _local_snapshot_ex(
+                    self._path, start["version"]
+                )[0]
+            )
+            after = _local_snapshot_ex(self._path, end["version"])[0]
+            return _cdf_partitions(self._path, before, after)
         log = os.path.join(self._path, _LOG_DIR)
         new_adds: dict[str, dict] = {}
         removed: set[str] = set()
@@ -1261,7 +1405,15 @@ class TspDeltaDataSource(DataSource):
 
         _files, meta, _v, _txns, proto = _local_snapshot(self._path())
         _check_protocol(proto)
-        return _table_schema(meta)
+        schema = _table_schema(meta)
+        if _cdf_on(self.options):
+            from pyspark.sql.types import StringType, StructField
+
+            schema = StructType(
+                list(schema.fields)
+                + [StructField("_change_type", StringType())]
+            )
+        return schema
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return _TspDeltaBatchReader(self._path(), schema, self.options)
