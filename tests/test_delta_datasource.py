@@ -1160,3 +1160,70 @@ def test_stream_read_change_feed(spark, tmp_path):
     }
     # the delete batch delivered typed rows (no refusal)
     assert any(r["_change_type"] == "delete" for r in rows)
+
+
+def test_batch_time_travel_options(spark, tmp_path):
+    """r14: VERSION AS OF / TIMESTAMP AS OF through the DS —
+    .option('versionAsOf', N) pins the snapshot replay;
+    .option('timestampAsOf', ...) resolves by the protocol precedence
+    (inCommitTimestamp, else commitInfo.timestamp, else mtime) to the
+    newest commit at-or-before; a pre-history timestamp refuses."""
+    import json as _json
+
+    t = str(tmp_path / "t")
+    for i in range(3):  # v0..v2
+        dl.write_delta_log(
+            spark.range(10 * i, 10 * i + 10).selectExpr(
+                "id AS k", "id * 2 AS v"
+            ),
+            t, mode="overwrite" if i == 0 else "append",
+        )
+    for ver in range(3):
+        got = sorted(
+            r["k"]
+            for r in spark.read.format("tspdelta")
+            .option("versionAsOf", str(ver)).load(t).collect()
+        )
+        want = sorted(
+            r["k"]
+            for r in dl.read_delta_log(spark, t, version=ver).collect()
+        )
+        assert got == want == list(range(10 * (ver + 1)))
+
+    # timestampAsOf: pin commit timestamps, then resolve between them
+    log = os.path.join(t, "_delta_log")
+
+    def _set_ts(v, ts):
+        p = os.path.join(log, f"{v:020d}.json")
+        out = []
+        for line in open(p).read().splitlines():
+            d = _json.loads(line)
+            if "commitInfo" in d:
+                d["commitInfo"]["timestamp"] = ts
+                d["commitInfo"].pop("inCommitTimestamp", None)
+            out.append(_json.dumps(d))
+        open(p, "w").write("\n".join(out) + "\n")
+        side = os.path.join(log, f".{v:020d}.json.crc")
+        if os.path.exists(side):
+            os.unlink(side)
+
+    _set_ts(0, 1000)
+    _set_ts(1, 2000)
+    _set_ts(2, 3000)
+    got = spark.read.format("tspdelta").option(
+        "timestampAsOf", "2500"
+    ).load(t)
+    assert got.count() == 20  # v1 is the newest at-or-before 2500
+    with pytest.raises(Exception, match="predates"):
+        spark.read.format("tspdelta").option(
+            "timestampAsOf", "500"
+        ).load(t).collect()
+    with pytest.raises(Exception, match="exclusive"):
+        spark.read.format("tspdelta").option(
+            "timestampAsOf", "2500"
+        ).option("versionAsOf", "1").load(t).collect()
+    # version pin + schema at that version compose with collect()
+    v0 = spark.read.format("tspdelta").option(
+        "versionAsOf", "0"
+    ).load(t)
+    assert sorted(r["k"] for r in v0.collect()) == list(range(10))

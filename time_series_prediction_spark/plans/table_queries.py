@@ -2527,6 +2527,44 @@ def orders_delta_pyds_scan(
     )
 
 
+def orders_delta_pyds_timetravel_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """VERSION AS OF through the Python DS (r14 —
+    ``.option('versionAsOf', 0)``): the converted table's v0 is the
+    PRE-DML state (CONVERT referenced every original file verbatim;
+    the DV DELETE and append came later), so the pinned replay must
+    serve the untouched original content — the oracle states it
+    straight off raw orders. Shares ``_orders_convert_layout``."""
+    from time_series_prediction_spark.sources.delta_datasource import (
+        TspDeltaDataSource,
+    )
+
+    data = _orders_convert_layout(spark, sf_dir)
+    spark.dataSource.register(TspDeltaDataSource)
+    return (
+        spark.read.format("tspdelta")
+        .option("versionAsOf", "0").load(data)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("price_cents").cast("long").alias("total_cents"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        )
+    )
+
+
+ORDERS_DELTA_PYDS_TT_SQL = """
+SELECT CAST(o_orderkey % 4 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+FROM orders
+GROUP BY o_orderkey % 4
+"""
+
+
 ORDERS_DELTA_CONVERT_SQL = """
 WITH cur AS (
   SELECT o_orderkey AS k,
@@ -3938,6 +3976,10 @@ TABLE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "orders_delta_pyds_cdf_scan": (
         orders_delta_pyds_cdf_scan,
         ORDERS_DELTA_CDF_SQL,
+    ),
+    "orders_delta_pyds_timetravel_scan": (
+        orders_delta_pyds_timetravel_scan,
+        ORDERS_DELTA_PYDS_TT_SQL,
     ),
     "events_delta_bounded_tail_scan": (
         events_delta_bounded_tail_scan,

@@ -302,6 +302,70 @@ def _partitions_for(
     ]
 
 
+def _pinned_version(path: str, options) -> int | None:
+    """``versionAsOf`` / ``timestampAsOf`` (ISO date[time] or epoch
+    millis) resolved SparkSession-free — timestamp precedence per the
+    protocol: commitInfo.inCommitTimestamp, else commitInfo.timestamp,
+    else file mtime; the newest commit at-or-before wins; predating
+    the first retained commit raises (cleaned history must never
+    silently answer with a later snapshot)."""
+    v = (options or {}).get("versionAsOf")
+    ts = (options or {}).get("timestampAsOf")
+    if v is not None and ts is not None:
+        raise ValueError(
+            "tspdelta: versionAsOf and timestampAsOf are exclusive"
+        )
+    if v is not None:
+        return int(v)
+    if ts is None:
+        return None
+    try:
+        ts_ms = int(ts)
+    except ValueError:
+        import datetime as _dt
+
+        s = str(ts)
+        dt = (
+            _dt.datetime.fromisoformat(s)
+            if " " in s or "T" in s
+            else _dt.datetime.combine(
+                _dt.date.fromisoformat(s), _dt.time()
+            )
+        )
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=_dt.timezone.utc)
+        ts_ms = int(dt.timestamp() * 1000)
+    log = os.path.join(_strip_scheme(path), _LOG_DIR)
+    stamps: list[tuple[int, int]] = []
+    for n in os.listdir(log):
+        if not (n.endswith(".json") and n[:20].isdigit()):
+            continue
+        p = os.path.join(log, n)
+        t = int(os.stat(p).st_mtime * 1000)
+        for line in open(p).read().splitlines():
+            if '"commitInfo"' not in line:
+                continue
+            try:
+                ci = json.loads(line).get("commitInfo") or {}
+            except ValueError:
+                continue
+            ict = ci.get("inCommitTimestamp", ci.get("timestamp"))
+            if ict is not None:
+                t = int(ict)
+            break
+        stamps.append((int(n[:20]), t))
+    if not stamps:
+        raise ValueError(f"no delta commits under {log}")
+    eligible = [ver for ver, m in stamps if m <= ts_ms]
+    if not eligible:
+        first_v, first_m = min(stamps)
+        raise ValueError(
+            f"timestamp {ts_ms} predates the first retained commit "
+            f"(v{first_v} at {first_m}); earlier history was cleaned"
+        )
+    return max(eligible)
+
+
 def _cdf_on(options) -> bool:
     return str(
         (options or {}).get("readChangeFeed", "false")
@@ -601,7 +665,10 @@ class _TspDeltaBatchReader(DataSourceReader):
 
         self._schema = schema
         self._path = path
-        self._files, meta, _v, _txns, proto = _local_snapshot(path)
+        pin = _pinned_version(path, options)
+        self._files, meta, _v, _txns, proto, _dom = (
+            _local_snapshot_ex(_strip_scheme(path), pin)
+        )
         # ADVICE r13 (low): a user-supplied .schema(...) bypasses
         # DataSource.schema() — the protocol gate and the mapping
         # plan must ALSO build here, or a mapped/unsupported table
@@ -1403,7 +1470,10 @@ class TspDeltaDataSource(DataSource):
             _check_protocol,
         )
 
-        _files, meta, _v, _txns, proto = _local_snapshot(self._path())
+        pin = _pinned_version(self._path(), self.options)
+        _files, meta, _v, _txns, proto, _dom = _local_snapshot_ex(
+            _strip_scheme(self._path()), pin
+        )
         _check_protocol(proto)
         schema = _table_schema(meta)
         if _cdf_on(self.options):
