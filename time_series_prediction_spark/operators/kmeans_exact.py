@@ -126,7 +126,7 @@ def _argmin_expr(cents_literal: str) -> str:
 # one sample collect + train instead of three
 from time_series_prediction_spark.session_memo import session_memo
 
-_FIT_CACHE: dict[tuple, tuple[list, np.ndarray]] = session_memo({})
+_FIT_CACHE: dict[tuple, tuple[list, np.ndarray, np.ndarray]] = session_memo({})
 
 
 def _fit(
@@ -135,26 +135,74 @@ def _fit(
     sample_cap: int,
     n_iters: int,
     cache_key: str | None = None,
-) -> tuple[list[tuple[int, list[int], int]], DataFrame, np.ndarray]:
+) -> tuple[list[tuple[int, list[int], int]], DataFrame, np.ndarray, np.ndarray]:
     """Train the exact-integer cells on the bounded deterministic
     sample; returns (centroids, quantized corpus frame, sample
-    matrix) — the matrix so PQ codebook training reuses the same
-    collected sample."""
+    matrix, sample vec_ids) — the matrix so PQ codebook training
+    reuses the same collected sample, the ids so bounded query panels
+    (vec_id < n_queries ≤ sample_cap) come from the SAME collect
+    instead of a second Spark job (guide §1.2: don't pay twice)."""
     q = emb.select("vec_id", quantize("embedding").alias("qv"))
     key = (cache_key, n_cells, sample_cap, n_iters)
     if cache_key is not None and key in _FIT_CACHE:
-        cents, V = _FIT_CACHE[key]
-        return cents, q, V
-    sample = (
-        q.where(F.col("vec_id") < sample_cap)
-        .orderBy("vec_id")
-        .collect()
-    )
+        cents, V, ids = _FIT_CACHE[key]
+        return cents, q, V, ids
+    # collect unordered, sort driver-side: same deterministic vec_id
+    # order as the old .orderBy("vec_id") without its sort exchange
+    sample = q.where(F.col("vec_id") < sample_cap).collect()
+    sample.sort(key=lambda r: r.vec_id)
     V = np.array([r.qv for r in sample], dtype=np.int64)
+    ids = np.array([r.vec_id for r in sample], dtype=np.int64)
     cents = _train(V, n_cells, n_iters)
     if cache_key is not None:
-        _FIT_CACHE[key] = (cents, V)
-    return cents, q, V
+        _FIT_CACHE[key] = (cents, V, ids)
+    return cents, q, V, ids
+
+
+def _assign_cells_pass(
+    q: DataFrame,
+    cents: list[tuple[int, list[int], int]],
+) -> DataFrame:
+    """One Arrow-batched corpus pass producing (vec_id, qv, cell, nrm):
+    coarse-cell argmin + exact integer norm in vectorized NumPy with
+    the identical op sequence the interpreted JVM fold
+    (``_argmin_expr``) mirrors — ``_dists_to``'s sequential-cumsum
+    contract, argmin-first-minimum = lowest cell (``cents`` stay in
+    ascending cell order through training), |qv|≤2^20 so the int64
+    norm ≤ d·2^40 is exact and its double conversion lossless. This is
+    the same proven replacement ``_assign_encode_pass`` made for the
+    PQ encode (which measured the JVM HOF fold ~5× slower than the
+    batch math); r14 profiling showed the plain-IVF/SemDeDup
+    assignment fold running interpreted on ONE task for ~0.5-0.9 s
+    per query — guide §4.2 (vectorized native code inside the Python
+    boundary) applied to the last interpreted full-corpus fold."""
+    import pandas as pd
+
+    cent_np = [(c, np.array(s, np.int64), m) for c, s, m in cents]
+    cell_labels = np.array([c for c, _s, _m in cent_np], dtype=np.int32)
+
+    def _pass(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf["qv"].tolist(), dtype=np.int64)
+            D = np.stack(
+                [_dists_to(V, s, m) for _c, s, m in cent_np], axis=1
+            )
+            cell = cell_labels[np.argmin(D, axis=1)]
+            nrm = np.sqrt((V * V).sum(axis=1).astype(np.float64))
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "qv": pdf["qv"],
+                    "cell": cell,
+                    "nrm": nrm,
+                }
+            )
+
+    return q.mapInPandas(
+        _pass, "vec_id long, qv array<bigint>, cell int, nrm double"
+    )
 
 
 def lloyd_assign(
@@ -164,20 +212,14 @@ def lloyd_assign(
     n_iters: int = N_ITERS,
     cache_key: str | None = None,
 ) -> DataFrame:
-    """(vec_id, qv, nrm, cell) for the full corpus, cells from the
+    """(vec_id, qv, cell, nrm) for the full corpus, cells from the
     deterministic exact-integer Lloyd procedure above. The returned
     frame is materialized — it feeds both sides of the pair join and
-    the membership counts, so the assignment fold is paid once."""
-    cents, q, _ = _fit(emb, n_cells, sample_cap, n_iters, cache_key)
-    full = q.withColumn("cell", F.expr(_argmin_expr(_cents_literal(cents))))
-    return materialize(
-        full.withColumn(
-            "nrm",
-            F.expr(
-                "sqrt(CAST(aggregate(qv, 0L, (a, v) -> a + v * v) AS DOUBLE))"
-            ),
-        )
-    )
+    the membership counts, so the assignment pass is paid once;
+    ``eager=False`` defers the checkpoint job to the caller's first
+    action (one job instead of two)."""
+    cents, q, _, _ = _fit(emb, n_cells, sample_cap, n_iters, cache_key)
+    return materialize(_assign_cells_pass(q, cents), eager=False)
 
 
 def _probe_expr(cents_literal: str, nprobe: int) -> str:
@@ -216,16 +258,9 @@ def ivf_ann_exact(
     |q·v| ≤ d·2^40 ≪ 2^63 at d = 64, so the dot never rounds."""
     from pyspark.sql.window import Window
 
-    cents, q, _ = _fit(emb, n_cells, sample_cap, n_iters, cache_key)
+    cents, q, _, _ = _fit(emb, n_cells, sample_cap, n_iters, cache_key)
     lit = _cents_literal(cents)
-    corpus = materialize(
-        q.withColumn("cell", F.expr(_argmin_expr(lit))).withColumn(
-            "nrm",
-            F.expr(
-                "sqrt(CAST(aggregate(qv, 0L, (a, v) -> a + v * v) AS DOUBLE))"
-            ),
-        )
-    )
+    corpus = materialize(_assign_cells_pass(q, cents), eager=False)
     queries = corpus.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("qv").alias("q_qv"),
@@ -428,48 +463,6 @@ def _train_pq(
     ]
 
 
-def _adc_lut_expr(
-    qrows: list,
-    books: list[list[tuple[int, list[int], int]]],
-    n_sub: int,
-    sd: int,
-) -> str:
-    """ADC as a precomputed LUT literal: for the (bounded) query set,
-    every (query, subspace, code) distance is computed driver-side
-    with the exact ``_dists_to`` op sequence and shipped as a
-    ``map<query_id, array<array<double>>>`` literal — the classic PQ
-    LUT. Per candidate pair the JVM then folds 16 O(1) lookups in
-    subspace order instead of re-deriving 16 sd-dim distance folds
-    (Spark HOF lambdas are interpreted, so the lookup form is ~3×
-    cheaper). Doubles serialize via shortest round-trip repr — exact
-    on parse, so the fold consumes bit-identical terms to the
-    oracle's ``pair_d``."""
-    book_np = [
-        [(np.array(s, np.int64), m) for _c, s, m in bs] for bs in books
-    ]
-    entries = []
-    for r in qrows:
-        qv = np.array(r["qv"], dtype=np.int64)[None, :]
-        subs = []
-        for sb in range(n_sub):
-            qsub = qv[:, sb * sd:(sb + 1) * sd]
-            ds = [
-                float(_dists_to(qsub, s, m)[0]) for s, m in book_np[sb]
-            ]
-            subs.append(
-                "array(" + ", ".join(f"{d!r}D" for d in ds) + ")"
-            )
-        entries.append(
-            f"{int(r['vec_id'])}, array({', '.join(subs)})"
-        )
-    lut = "map(" + ", ".join(entries) + ")"
-    return (
-        f"aggregate(sequence(0, {n_sub - 1}), 0D, (acc, t) -> acc + "
-        f"element_at(element_at(element_at({lut}, query_id), t + 1), "
-        f"element_at(codes, t + 1) + 1))"
-    )
-
-
 def _assign_encode_pass(
     q: DataFrame,
     cents: list[tuple[int, list[int], int]],
@@ -561,40 +554,94 @@ def pq_ann_exact(
     win PQ exists for."""
     from pyspark.sql.window import Window
 
-    cents, q, V = _fit(emb, n_cells, sample_cap, n_iters, cache_key)
+    import pandas as pd
+
+    cents, q, V, ids = _fit(emb, n_cells, sample_cap, n_iters, cache_key)
     dims = V.shape[1]
     if dims % n_sub:
         raise ValueError(f"dims {dims} not divisible by n_sub {n_sub}")
     sd = dims // n_sub
     books = _train_pq(V, n_sub, n_codes, n_iters)
     clit = _cents_literal(cents)
-    corpus = materialize(_assign_encode_pass(q, cents, books, n_sub, sd))
+    corpus = materialize(
+        _assign_encode_pass(q, cents, books, n_sub, sd), eager=False
+    )
     queries = corpus.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
-        F.col("qv").alias("q_qv"),
-        F.col("nrm").alias("q_nrm"),
         F.explode(F.expr(_probe_expr(clit, nprobe))).alias("cell"),
     )
-    cand = queries.join(corpus, "cell").where(
-        F.col("vec_id") != F.col("query_id")
-    )
-    qrows = (
-        q.where(F.col("vec_id") < n_queries).orderBy("vec_id").collect()
-    )
-    scored = cand.withColumn(
-        "adc", F.expr(_adc_lut_expr(qrows, books, n_sub, sd))
+    # the bounded query panel (vec_id < n_queries ≤ sample_cap) is a
+    # prefix of the already-collected training sample — no second
+    # Spark job to fetch it
+    if n_queries > sample_cap:
+        raise ValueError("n_queries must be <= sample_cap")
+    panel = (ids < n_queries)
+    qids = ids[panel]
+    # per-(query, subspace, code) ADC distances, precomputed
+    # driver-side with the exact _dists_to op sequence (as before)
+    book_np = [
+        [(np.array(s, np.int64), m) for _c, s, m in bs] for bs in books
+    ]
+    lut = np.empty((len(qids), n_sub, max(len(b) for b in books)))
+    for qi, qv in enumerate(V[panel]):
+        qrow = qv[None, :]
+        for sb in range(n_sub):
+            qsub = qrow[:, sb * sd:(sb + 1) * sd]
+            for code, (s, m) in enumerate(book_np[sb]):
+                lut[qi, sb, code] = _dists_to(qsub, s, m)[0]
+    qpos = {int(qid): i for i, qid in enumerate(qids)}
+
+    # candidate join ships (query_id, cell) × (vec_id, cell, codes) —
+    # codes are n_sub small ints; the 64-dim vectors never enter the
+    # exchange (guide §2.3/§8: decide on lightweight proxies, attach
+    # payloads once at the end)
+    cand = queries.join(
+        corpus.select("cell", "vec_id", "codes"), "cell"
+    ).where(F.col("vec_id") != F.col("query_id"))
+
+    def _adc_pass(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            qi = pdf["query_id"].map(qpos).to_numpy(dtype=np.int64)
+            vals = lut[qi[:, None], np.arange(n_sub)[None, :], codes]
+            # sequential left fold in subspace order — cumsum matches
+            # the oracle's ordered list_reduce exactly
+            adc = np.cumsum(vals, axis=1)[:, -1]
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "vec_id": pdf["vec_id"],
+                    "adc": adc,
+                }
+            )
+
+    scored = cand.select("query_id", "vec_id", "codes").mapInPandas(
+        _adc_pass, "query_id long, vec_id long, adc double"
     )
     wa = Window.partitionBy("query_id").orderBy(
         F.asc("adc"), F.asc("vec_id")
     )
     short = scored.withColumn("_rn", F.row_number().over(wa)).where(
         F.col("_rn") <= shortlist
+    ).select("query_id", "vec_id")
+    # exact re-rank: attach vectors to the ≤ shortlist·n_queries
+    # survivors only
+    qvecs = corpus.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    rer = (
+        short.join(corpus.select("vec_id", "qv", "nrm"), "vec_id")
+        .join(F.broadcast(qvecs), "query_id")
     )
     dot = (
         "CAST(aggregate(zip_with(q_qv, qv, (a, b) -> a * b), 0L, "
         "(a, x) -> a + x) AS DOUBLE)"
     )
-    rer = short.withColumn(
+    rer = rer.withColumn(
         "cosine", F.expr(dot) / (F.col("q_nrm") * F.col("nrm"))
     )
     wk = Window.partitionBy("query_id").orderBy(
@@ -799,63 +846,80 @@ def lsh_ann_exact(
 
     The bucket pass is one Arrow-batched int64 matmul per table
     (exact in int64 — |qv·p| ≤ d·2^20·2^13 ≪ 2^63), the declared
-    vectorized-Python case."""
+    vectorized-Python case.
+
+    Plan shape (r14): the BOUNDED query panel (``n_queries`` rows) is
+    collected once and travels in-closure — the broadcast side of the
+    candidate equi-join — so the corpus pays exactly ONE vectorized
+    pass that buckets each row, matches it against every query's
+    (table, bucket) pair, and scores the surviving candidates with an
+    exact int64 matmul cosine. The r13 shape exploded the corpus ×16
+    tables, self-joined, and shipped both 64-dim vectors per
+    candidate through a dropDuplicates exchange — four array columns
+    per pair moved twice (guide §2.3/§8: shuffle keys, not payloads)
+    and every surviving pair paid an interpreted 64-term fold. Same
+    candidate set, same arithmetic, zero payload shuffles; corpus-side
+    cost at any scale is one scan + the final per-query top-k
+    exchange (rows ≤ candidates, never the corpus)."""
     import pandas as pd
     from pyspark.sql.window import Window
-    from pyspark.sql.functions import pandas_udf
 
     planes = _lsh_planes_int(n_planes, n_tables, seed, dim)
     pows = (1 << np.arange(n_planes, dtype=np.int64))
 
-    @pandas_udf("array<bigint>")
-    def _buckets(vs):  # pandas Series -> pandas Series
-        if len(vs) == 0:
-            return pd.Series([], dtype=object)
-        mat = np.array(vs.tolist(), dtype=np.int64)
+    def _bucketize(mat: np.ndarray) -> np.ndarray:
         out = np.empty((len(mat), n_tables), dtype=np.int64)
         for t in range(n_tables):
             bits = (mat @ planes[t].T) > 0  # exact integer signs
             out[:, t] = bits @ pows
-        return pd.Series(list(out))
+        return out
 
     q = emb.select("vec_id", quantize("embedding").alias("qv"))
-    b = q.select(
-        "vec_id",
-        "qv",
-        F.expr(
-            "sqrt(CAST(aggregate(qv, 0L, (a, v) -> a + v * v) AS DOUBLE))"
-        ).alias("nrm"),
-        F.posexplode(_buckets(F.col("qv"))).alias("tbl", "bucket"),
-    )
-    qb = b.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("qv").alias("q_qv"),
-        F.col("nrm").alias("q_nrm"),
-        "tbl",
-        "bucket",
-    )
-    cand = (
-        qb.join(b, ["tbl", "bucket"])
-        .where(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "q_qv", "q_nrm", "vec_id", "qv", "nrm")
-        .dropDuplicates(["query_id", "vec_id"])
-    )
-    dot = (
-        "CAST(aggregate(zip_with(q_qv, qv, (a, b) -> a * b), 0L, "
-        "(a, x) -> a + x) AS DOUBLE)"
-    )
-    scored = cand.withColumn(
-        "cosine", F.expr(dot) / (F.col("q_nrm") * F.col("nrm"))
+    panel = q.where(F.col("vec_id") < n_queries).collect()
+    panel.sort(key=lambda r: r.vec_id)
+    qids = np.array([r.vec_id for r in panel], dtype=np.int64)
+    Q = np.array([r.qv for r in panel], dtype=np.int64)
+    if len(panel) == 0:
+        QB = np.empty((0, n_tables), dtype=np.int64)
+        qnrm = np.empty((0,), dtype=np.float64)
+    else:
+        QB = _bucketize(Q)
+        qnrm = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
+
+    def _score(batches):
+        for pdf in batches:
+            if not len(pdf) or len(qids) == 0:
+                continue
+            V = np.array(pdf["qv"].tolist(), dtype=np.int64)
+            B = _bucketize(V)
+            vids = pdf["vec_id"].to_numpy()
+            nrm = np.sqrt((V * V).sum(axis=1).astype(np.float64))
+            dots = (V @ Q.T).astype(np.float64)  # exact ≤ d·2^40
+            for qi in range(len(qids)):
+                hit = (B == QB[qi][None, :]).any(axis=1)
+                hit &= vids != qids[qi]
+                if not hit.any():
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "query_id": qids[qi],
+                        "corpus_id": vids[hit],
+                        "cosine": dots[hit, qi] / (qnrm[qi] * nrm[hit]),
+                    }
+                )
+
+    scored = q.mapInPandas(
+        _score, "query_id long, corpus_id long, cosine double"
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("vec_id")
+        F.desc("cosine"), F.asc("corpus_id")
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(
             "query_id",
-            F.col("vec_id").alias("corpus_id"),
+            "corpus_id",
             "cosine",
             F.col("rank").cast("int").alias("rank"),
         )

@@ -177,8 +177,7 @@ def embedding_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     question (when arrivals shift the distribution enough to warrant
     retraining) is observable from these same occupancy counts."""
     from time_series_prediction_spark.operators.kmeans_exact import (
-        _argmin_expr,
-        _cents_literal,
+        _assign_cells_pass,
         _fit,
     )
     from time_series_prediction_spark.operators.materialize import (
@@ -186,21 +185,21 @@ def embedding_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = read_table(spark, sf_dir, "embeddings")
-    cents, q, _ = _fit(
+    cents, q, _, _ = _fit(
         emb, n_cells=16, sample_cap=_INC_SPLIT, n_iters=2,
         cache_key=f"ivf-inc|{sf_dir}",
     )
-    lit = _cents_literal(cents)
-    base = materialize(
-        q.where(F.col("vec_id") < _INC_SPLIT).withColumn(
-            "cell", F.expr(_argmin_expr(lit))
-        )
+    # ONE vectorized assignment pass under the frozen quantizer
+    # (guide §4.2; the arrivals' add() discipline is unchanged — the
+    # same frozen centroids assign both segments), materialized once
+    # and split, instead of two eager checkpoints each paying the
+    # interpreted 16×64 argmin fold over its segment
+    assigned = materialize(
+        _assign_cells_pass(q, cents).select("vec_id", "qv", "cell"),
+        eager=False,
     )
-    arrivals = materialize(
-        q.where(F.col("vec_id") >= _INC_SPLIT).withColumn(
-            "cell", F.expr(_argmin_expr(lit))
-        )
-    )
+    base = assigned.where(F.col("vec_id") < _INC_SPLIT)
+    arrivals = assigned.where(F.col("vec_id") >= _INC_SPLIT)
     return (
         base.unionByName(arrivals)
         .groupBy(F.col("cell").cast("long").alias("cell"))
@@ -247,37 +246,29 @@ def embedding_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: cosine = exact bigint dot / double norms (the
     embedding_cosine_topk contract); votes are integers; every
-    ranking has a total tie-break. Plan: queries broadcast against
-    ONE corpus scan (the brute-force baseline — the IVF/PQ family is
-    the scale path for large query sets), then two tiny windows."""
-    from time_series_prediction_spark.operators.similarity import quantize
+    ranking has a total tie-break. Plan: the bounded query panel
+    rides in-closure of ONE vectorized corpus pass
+    (similarity.panel_cosine_scores — the brute-force baseline; the
+    IVF/PQ family is the scale path for large query sets), then two
+    tiny windows."""
+    from time_series_prediction_spark.operators.similarity import (
+        panel_cosine_scores,
+    )
     from pyspark.sql.window import Window
 
     emb = read_table(spark, sf_dir, "embeddings")
-    q = emb.select(
-        "vec_id",
-        "label",
-        quantize("embedding").alias("qv"),
-    ).withColumn(
-        "nrm",
-        F.expr(
-            "sqrt(CAST(aggregate(qv, 0L, (a, v) -> a + v * v) AS DOUBLE))"
-        ),
-    )
-    queries = q.where(F.col("vec_id") < _KNN_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("label").alias("true_label"),
-        F.col("qv").alias("q_qv"),
-        F.col("nrm").alias("q_nrm"),
-    )
-    dot = (
-        "CAST(aggregate(zip_with(q_qv, qv, (a, b) -> a * b), 0L, "
-        "(a, x) -> a + x) AS DOUBLE)"
-    )
-    scored = (
-        q.crossJoin(F.broadcast(queries))
-        .where(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cosine", F.expr(dot) / (F.col("q_nrm") * F.col("nrm")))
+    scored = panel_cosine_scores(
+        emb,
+        emb.where(F.col("vec_id") < _KNN_QUERIES),
+        exclude="self",
+        label_col="label",
+        emit_labels=True,
+    ).select(
+        "query_id",
+        F.col("query_label").alias("true_label"),
+        F.col("corpus_id").alias("vec_id"),
+        F.col("corpus_label").alias("label"),
+        "cosine",
     )
     wk = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("vec_id")

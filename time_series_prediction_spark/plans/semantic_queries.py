@@ -133,22 +133,14 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 cross-label nearest corpus vectors for the first 10
     vectors as queries (hard negatives for contrastive training)."""
     emb = read_table(spark, sf_dir, "embeddings")
-    c = emb.select(
-        F.col("vec_id").alias("corpus_id"),
-        F.col("label").alias("corpus_label"),
-        similarity.quantize("embedding").alias("cvec"),
-    )
-    q = emb.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("label").alias("query_label"),
-        similarity.quantize("embedding").alias("qvec"),
-    )
-    scored = c.join(
-        F.broadcast(q), F.col("corpus_label") != F.col("query_label")
-    ).select(
-        "query_id",
-        "corpus_id",
-        similarity.cosine_expr("qvec", "cvec").alias("cosine"),
+    # bounded panel in-closure of one vectorized corpus pass
+    # (similarity.panel_cosine_scores): identical pairs + arithmetic,
+    # interpreted per-pair folds → one exact int64 matmul per batch
+    scored = similarity.panel_cosine_scores(
+        emb,
+        emb.where(F.col("vec_id") < 10),
+        exclude="label",
+        label_col="label",
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
     return (
