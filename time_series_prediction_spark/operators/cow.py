@@ -587,14 +587,33 @@ def version_changes(
             f"versions {v_old} and {v_new} commit identical file sets"
         )
     sample = added or removed or common
-    probe = spark.read.parquet(sample[0])
+    # each side's RECORDED schema (written with the commit) makes the
+    # scans inference-free: spark.read.parquet without .schema() runs
+    # a footer-inference Spark job per distinct file list — three
+    # fixed-overhead jobs per change-feed call that the manifest
+    # already knows the answer to (guide §1.2/§6: don't pay planning
+    # jobs for metadata the table format records). Files predating a
+    # column read it as null under the recorded shape, which is
+    # exactly what mergeSchema produced. Versions without _schema.json
+    # (pre-recording tables) keep the probe+mergeSchema path.
+    from time_series_prediction_spark.streaming.layout import (
+        version_schema_struct,
+    )
+
+    st_old = version_schema_struct(spark, root, v_old)
+    st_new = version_schema_struct(spark, root, v_new)
+
+    def _side_scan(files: list[str], st):
+        if st is None:
+            probe = spark.read.parquet(sample[0])
+            return _scan_files(spark, files, probe, merge_schema=True)
+        if files:
+            return spark.read.schema(st).parquet(*files)
+        return spark.createDataFrame([], st)
+
     # VISIBLE rows on each side: file scans minus that side's DV
-    new_rows = apply_dv(
-        _scan_files(spark, added, probe, merge_schema=True), dv_b
-    )
-    old_rows = apply_dv(
-        _scan_files(spark, removed, probe, merge_schema=True), dv_a
-    )
+    new_rows = apply_dv(_side_scan(added, st_new), dv_b)
+    old_rows = apply_dv(_side_scan(removed, st_old), dv_a)
     # rows newly tombstoned inside files BOTH versions share: visible
     # at v_old, hidden at v_new — fetch only the common files whose
     # stats can contain a delta key
@@ -607,7 +626,11 @@ def version_changes(
         kcols = list(dv_delta.columns)  # tuple DV for composite keys
         cand = _overlapping_files(man_common, kcols, dv_delta)
         if cand:
-            extra = spark.read.parquet(*cand).join(
+            rd = (
+                spark.read if st_new is None
+                else spark.read.schema(st_new)
+            )
+            extra = rd.parquet(*cand).join(
                 F.broadcast(dv_delta), kcols, "left_semi"
             )
             extra_deletes = apply_dv(extra, dv_a)
@@ -617,13 +640,29 @@ def version_changes(
     # align across a possible schema-evolution boundary: a column the
     # old version lacks reads as null there and diffs correctly
     new_rows, old_rows = _align_columns(new_rows, old_rows)
-    inserts = new_rows.exceptAll(old_rows).withColumn(
-        "_change", F.lit("insert")
+    # symmetric multiset diff in ONE signed aggregation: Spark plans
+    # each exceptAll as union → aggregate → replicate, so the old
+    # inserts/deletes pair scanned both sides twice and shuffled
+    # twice; one ±1 tag + one full-row groupBy produces the identical
+    # multiset (rows with n_new > n_old are inserts × the excess,
+    # n_old > n_new deletes × the deficit) with one scan of each side
+    # and one exchange (guide §2.4: remove shuffles outright)
+    cols = list(new_rows.columns)
+    tagged = new_rows.withColumn("_side", F.lit(1)).unionByName(
+        old_rows.withColumn("_side", F.lit(-1))
     )
-    deletes = old_rows.exceptAll(new_rows).withColumn(
-        "_change", F.lit("delete")
+    out = (
+        tagged.groupBy(*cols)
+        .agg(F.sum("_side").alias("_d"))
+        .where(F.col("_d") != 0)
+        .select(
+            *cols,
+            F.expr(
+                "explode(array_repeat(CASE WHEN _d > 0 THEN 'insert' "
+                "ELSE 'delete' END, CAST(abs(_d) AS INT)))"
+            ).alias("_change"),
+        )
     )
-    out = inserts.unionByName(deletes)
     if extra_deletes is not None:
         extra_deletes, out_a = _align_columns(
             extra_deletes.withColumn("_change", F.lit("delete")), out

@@ -369,6 +369,77 @@ JOIN ests eab ON eab.g = p.t1 || '|' || p.t2
 """
 
 
+def portable_hll_group_registers_sql(
+    table: str,
+    m: int = 256,
+    id_col: str = "user_id",
+    group_col: str = "event_type",
+) -> str:
+    """The register fold of ``portable_hll_overlap_sql`` ALONE:
+    (et, bucket, rho) per group — byte-identical arithmetic to the
+    regs CTE inside the one-text overlap SQL. Split out so an engine
+    whose planner INLINES multiply-referenced CTEs (Spark) can
+    materialize this fold once and run the overlap algebra over the
+    pinned result: the one-text form re-planned the full hash-chain
+    subtree per reference (~12 copies of the scan, 88 Exchanges at
+    m=1024 — r14 plan audit), while DuckDB materializes shared CTEs
+    itself and keeps running the single text."""
+    assert m & (m - 1) == 0, "m must be a power of two"
+    base = (
+        f"base AS (SELECT {group_col} AS et, "
+        f"{id_col} % {M - 1} + 1 AS xa, {id_col} % {M - 1} + 1 AS xb "
+        f"FROM {table} WHERE {id_col} IS NOT NULL "
+        f"AND {group_col} IS NOT NULL)"
+    )
+    rounds = [
+        _sq_chain_cte(f"h{k + 1}", f"h{k}" if k else "base", "et", "xa", "xb", k)
+        for k in range(_HASH_ROUNDS)
+    ]
+    last = f"h{_HASH_ROUNDS}"
+    return f"""
+WITH {base},
+{", ".join(rounds)}
+SELECT et, xa % {m} AS bucket, MAX({_rho_case("xb")}) AS rho
+FROM {last} GROUP BY et, xa % {m}
+"""
+
+
+def portable_hll_overlap_from_regs_sql(regs_table: str, m: int = 256) -> str:
+    """The overlap algebra of ``portable_hll_overlap_sql`` over an
+    already-computed (et, bucket, rho) register table — the remaining
+    CTE chain of the one-text form, token for token, so estimates are
+    bit-identical to running the single text."""
+    assert m & (m - 1) == 0, "m must be a power of two"
+    return f"""
+WITH regs AS (SELECT et, bucket, rho FROM {regs_table}),
+types AS (SELECT DISTINCT et FROM regs),
+pairs AS (
+  SELECT a.et AS t1, b.et AS t2 FROM types a JOIN types b ON a.et < b.et
+),
+gregs AS (
+  SELECT et AS g, bucket, rho FROM regs
+  UNION ALL
+  SELECT p.t1 || '|' || p.t2 AS g, r.bucket, r.rho
+  FROM pairs p JOIN regs r ON r.et = p.t1
+  UNION ALL
+  SELECT p.t1 || '|' || p.t2 AS g, r.bucket, r.rho
+  FROM pairs p JOIN regs r ON r.et = p.t2
+),
+reg AS (SELECT g, bucket, MAX(rho) AS rho FROM gregs GROUP BY g, bucket),
+{_estimate_ctes(m, g="g")},
+ests AS ({_estimate_select(m, g="g", est_alias="est")})
+SELECT p.t1 AS type_a,
+       p.t2 AS type_b,
+       ea.est AS users_a,
+       eb.est AS users_b,
+       ea.est + eb.est - eab.est AS overlap_est
+FROM pairs p
+JOIN ests ea ON ea.g = p.t1
+JOIN ests eb ON eb.g = p.t2
+JOIN ests eab ON eab.g = p.t1 || '|' || p.t2
+"""
+
+
 def portable_quantile_sql(
     table: str,
     value_expr: str = "l_extendedprice",

@@ -37,6 +37,8 @@ from pyspark.sql import functions as F
 from time_series_prediction_spark.operators.sketch_portable import (
     portable_hll_daily_sql,
     portable_hll_estimate_sql,
+    portable_hll_group_registers_sql,
+    portable_hll_overlap_from_regs_sql,
     portable_hll_overlap_sql,
     portable_hll_registers_sql,
     portable_quantile_sql,
@@ -125,9 +127,31 @@ def events_type_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     this touches the raw data once and derives EVERY pairwise
     combination from g×256 register rows. Accuracy vs exact overlaps
     pinned in tests; the oracle value-hash-checks the full algebra
-    (hash → registers → merge → estimator → inclusion-exclusion)."""
+    (hash → registers → merge → estimator → inclusion-exclusion).
+
+    r14: the Spark side materializes the register fold ONCE and runs
+    the overlap algebra over the pinned g×m rows — Spark's planner
+    inlines multiply-referenced CTEs, so the one-text form re-planned
+    the full hash-chain scan per reference (12 scans, 88 Exchanges in
+    the r14 plan audit; guide §2.4). The DuckDB oracle keeps the
+    single text (it materializes shared CTEs itself); both halves of
+    the split are token-identical fragments of it, so estimates stay
+    bit-identical."""
+    from time_series_prediction_spark.operators.materialize import (
+        materialize,
+    )
+
     read_table(spark, sf_dir, "events").createOrReplaceTempView("_psk_events")
-    return spark.sql(_TYPE_OVERLAP_SPARK)
+    regs = materialize(
+        spark.sql(
+            portable_hll_group_registers_sql("_psk_events", m=_HLL_M)
+        ),
+        eager=False,
+    )
+    regs.createOrReplaceTempView("_psk_overlap_regs")
+    return spark.sql(
+        portable_hll_overlap_from_regs_sql("_psk_overlap_regs", m=_HLL_M)
+    )
 
 
 # ---------------------------------------------------------------------------
