@@ -168,3 +168,27 @@ def test_second_merge_uses_fresh_generation_sidecar(spark, tmp_path):
     assert len(removed) == 1  # exactly the v1 merge generation's file
     row = read_committed(spark, path).where(F.col("k") == k).collect()
     assert [(r["k"], r["v"]) for r in row] == [(k, -2)]
+
+
+def test_python_xxh64_positions_match_jvm(spark):
+    """The driver-side probe's Python xxhash64 twin must be
+    bit-identical to the JVM hash the index build uses — pinned over
+    negatives, zero, boundary values, and both probe seeds/sizes."""
+    from time_series_prediction_spark.operators.bloomindex import (
+        _positions,
+        _positions_py,
+        _xxh64_long,
+    )
+
+    values = [0, 1, -1, 3, 47, 1100, 14990, 149990,
+              2**62, -(2**62), 2**63 - 1, -(2**63)]
+    for seed in (77, 78, 42):
+        jvm = spark.createDataFrame(
+            [(v,) for v in values], "_v long"
+        ).select(
+            F.xxhash64(F.col("_v"), F.lit(seed)).alias("h"),
+            _positions(F.col("_v"), 1 << 17, seed).alias("ps"),
+        ).collect()
+        for v, row in zip(values, jvm):
+            assert _xxh64_long(v, seed) == row["h"], (v, seed)
+            assert _positions_py(v, 1 << 17, seed) == list(row["ps"]), v

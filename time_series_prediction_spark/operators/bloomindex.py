@@ -36,6 +36,74 @@ from pyspark.sql import functions as F
 
 _K = 4  # probes per value (double hashing)
 
+# xxHash64 primes (public spec; Spark's XXH64 uses the same values)
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _hash_long_lane(value: int, seed: int) -> int:
+    """One 8-byte xxHash64 lane + avalanche (``XXH64.hashLong`` of
+    the public spec / Spark's XXH64.java), unsigned-in, unsigned-out."""
+    v = value & _M64
+    h = (seed + _P5 + 8) & _M64
+    k1 = _rotl64((v * _P2) & _M64, 31) * _P1 & _M64
+    h ^= k1
+    h = (_rotl64(h, 27) * _P1 + _P4) & _M64
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def _hash_int_lane(value: int, seed: int) -> int:
+    """One 4-byte xxHash64 lane + avalanche (``XXH64.hashInt``)."""
+    h = (seed + _P5 + 4) & _M64
+    h ^= ((value & 0xFFFFFFFF) * _P1) & _M64
+    h = (_rotl64(h, 23) * _P2 + _P3) & _M64
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def _xxh64_long(value: int, seed: int) -> int:
+    """What Spark's ``xxhash64(longCol, lit(seed))`` computes: the
+    EXPRESSION hashes every argument as a column, folding the running
+    hash in as the next lane's seed starting from the expression's
+    fixed seed 42 — and a Python-int literal binds as IntegerType, so
+    the chain is hashInt(seed, hashLong(value, 42)), NOT
+    hashLong(value, seed). Returns the signed int64 Spark returns;
+    bit-equality against the JVM is pinned in tests/test_cow_bloom.py."""
+    h = _hash_long_lane(value & _M64, 42)
+    h = _hash_int_lane(seed, h)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def _positions_py(value: int, bits: int, seed: int) -> list[int]:
+    """Driver-side twin of ``_positions`` for integer values — the
+    same K Kirsch-Mitzenmacher positions from the same two xxhash64
+    draws, with Java int64 wraparound and pmod semantics."""
+    h1 = _xxh64_long(value, seed)
+    h2 = _xxh64_long(value, seed + 1)
+    out = []
+    for i in range(_K):
+        s = (h1 + i * h2) & _M64
+        s = s - (1 << 64) if s >= (1 << 63) else s  # signed wrap
+        out.append(s % bits if bits > 0 else 0)  # python % == pmod
+    return out
+
 
 def _bits_for(max_rows: int, bits_per_row: int) -> int:
     bits = 1 << max(12, (max_rows * bits_per_row - 1).bit_length())
@@ -152,34 +220,37 @@ def bloom_may_contain_files(
     metadata-sized index frame."""
     if not values:
         return []
-    # each value's positions, one row per (value, probe); a file
-    # survives if SOME value has ALL K of its bits set
-    rows = (
-        spark.createDataFrame(
-            [(i, v) for i, v in enumerate(values)],
-            "vid int, _v " + ("string" if isinstance(values[0], str) else "long"),
-        )
-        .select("vid", F.posexplode(_positions(F.col("_v"), bits, seed)))
-        .withColumnRenamed("col", "p")
-        .select(
-            "vid",
-            (F.col("p") / 64).cast("long").alias("slot"),
-            F.expr("shiftleft(1L, CAST(p % 64 AS INT))").alias("m"),
-        )
-    )
-    hits = (
-        F.broadcast(rows)
-        .crossJoin(index)
-        .withColumn(
-            "hit",
-            F.expr(
-                "exists(entries, e -> e.slot = slot AND (e.mask & m) != 0)"
-            ),
-        )
-        .groupBy("file", "vid")
-        .agg(F.min(F.col("hit").cast("int")).alias("all_hit"))
-        .where(F.col("all_hit") == 1)
-        .select("file")
-        .distinct()
-    )
-    return sorted(r["file"] for r in hits.collect())
+    # the index is METADATA-SIZED by construction (sparse slots per
+    # file), and an IN-list is a bounded key panel — so the probe
+    # runs driver-side with ZERO Spark jobs for integer keys: bit
+    # positions come from the Python xxhash64 twin (bit-equality with
+    # the JVM pinned in tests), index rows arrive via one Arrow
+    # toPandas, and the all-K-bits test is plain dict lookups. The
+    # r14 measurements: every DataFrame-shaped probe (crossJoin +
+    # exists HOF, explode + equi-join, or even a 5-row
+    # createDataFrame→collect) paid 0.6-1.5 s of fixed job/RPC
+    # overhead per lookup regardless of data size. Large/unbounded
+    # key batches keep the distributed
+    # ``bloom_may_contain_files_df`` path.
+    if all(isinstance(v, int) for v in values):
+        pos_lists = [_positions_py(v, bits, seed) for v in values]
+    else:  # string keys: JVM hash via one narrow job
+        pos_lists = [
+            r["ps"]
+            for r in spark.createDataFrame(
+                [(v,) for v in values], "_v string"
+            )
+            .select(_positions(F.col("_v"), bits, seed).alias("ps"))
+            .collect()
+        ]
+    pidx = index.select("file", "entries").toPandas()
+    out = []
+    for file, entries in zip(pidx["file"], pidx["entries"]):
+        masks = {e["slot"]: e["mask"] for e in entries}
+        for ps in pos_lists:
+            # Python ints are two's-complement under &, so negative
+            # int64 masks test bit 63 correctly
+            if all(masks.get(p // 64, 0) & (1 << (p % 64)) for p in ps):
+                out.append(file)
+                break
+    return sorted(out)

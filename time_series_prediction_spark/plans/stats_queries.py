@@ -145,18 +145,23 @@ def ts_seasonality_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: daily rollup (one shuffle), ×|periods| phase rollup
     with map-side combine, then per-user tiny-group folds — no
-    Python, no self-joins, state per user is |periods|·p cells."""
+    Python, no self-joins, state per user is |periods|·p cells.
+
+    r14 plan shape: ONE aggregation chain. The per-user totals
+    (n, s, ss) are exact-integer sums, so they re-derive from the
+    phase rollup of any one period (Σ_g ng = n, Σ_g sg = s,
+    Σ_g ssg = ss — regrouping an exact sum) instead of a second
+    events→daily→user subtree; and bigp/t fold from the SAME
+    (user, p) aggregation via collect_list instead of a separate
+    product rollup joined back (the r14 plan audit counted 22
+    Exchanges and two full events scans; now one scan, 4 Exchanges;
+    guide §2.4 — remove shuffles outright)."""
     ev = read_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "user_id", F.to_date("ts").alias("day")
     ).agg(
         F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("cents")
     )
-    u = daily.groupBy("user_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("cents").cast("long").alias("s"),
-        F.sum(F.expr("cents * cents")).cast("long").alias("ss"),
-    ).where(F.col("n") >= _SEAS_MIN_DAYS)
     phased = daily.select(
         "user_id",
         "cents",
@@ -168,26 +173,37 @@ def ts_seasonality_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = phased.groupBy("user_id", "p", "phase").agg(
         F.sum("cents").cast("long").alias("sg"),
         F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum(F.expr("cents * cents")).cast("long").alias("ssg"),
     )
-    pp = g.groupBy("user_id", "p").agg(
-        F.expr(
-            "aggregate(collect_list(ng), CAST(1 AS BIGINT),"
-            " (acc, x) -> acc * x)"
-        ).alias("bigp")
-    )
-    tt = (
-        g.join(pp, ["user_id", "p"])
-        .groupBy("user_id", "p")
+    g2 = (
+        g.groupBy("user_id", "p")
         .agg(
-            F.sum(
-                F.expr("CAST(sg * sg AS DECIMAL(38,0)) * (bigp div ng)")
-            ).alias("t"),
-            F.max("bigp").alias("bigp"),
+            F.sum("ng").cast("long").alias("n"),
+            F.sum("sg").cast("long").alias("s"),
+            F.sum("ssg").cast("long").alias("ss"),
+            F.collect_list(F.struct("sg", "ng")).alias("cells"),
+        )
+        .where(F.col("n") >= _SEAS_MIN_DAYS)
+        .withColumn(
+            "bigp",
+            F.expr(
+                "aggregate(cells, CAST(1 AS BIGINT),"
+                " (acc, c) -> acc * c.ng)"
+            ),
+        )
+        .withColumn(
+            "t",
+            # exact-integer decimal sum — order-free, identical to the
+            # former SUM over the joined rollup
+            F.expr(
+                "aggregate(cells, CAST(0 AS DECIMAL(38,0)), (acc, c) ->"
+                " CAST(acc + CAST(c.sg * c.sg AS DECIMAL(38,0))"
+                " * (bigp div c.ng) AS DECIMAL(38,0)))"
+            ),
         )
     )
     scored = (
-        tt.join(u, "user_id")
-        .where(F.expr("n * ss - s * s > 0"))
+        g2.where(F.expr("n * ss - s * s > 0"))
         .select(
             "user_id",
             "p",
