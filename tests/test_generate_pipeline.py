@@ -164,3 +164,31 @@ def test_generator_duckdb_bit_parity(spark):
         b = np.asarray(du["b"][i], dtype=np.float32)
         assert len(a) == n_days and len(b) == n_days
         assert (a.view("int32") == b.view("int32")).all(), f"series {i}"
+
+
+def test_numpy_generator_matches_expression_twin(spark):
+    """The r14 Arrow-batch generator must reproduce the retired
+    pure-expression chain VALUE-EXACTLY (same md5 draw map, same
+    operand order, bround-absorbed transcendental ulps) — pinned over
+    multiple seeds and series counts."""
+    from time_series_prediction_spark.sources.generate import (
+        _generate_series_frame_expr,
+    )
+
+    for seedv, nn in ((42, 30), (7, 20)):
+        a = (
+            generate_series_frame(spark, nn, seed=seedv)
+            .orderBy("primaryaccountholder")
+            .collect()
+        )
+        b = (
+            _generate_series_frame_expr(spark, nn, seed=seedv)
+            .orderBy("primaryaccountholder")
+            .collect()
+        )
+        assert len(a) == len(b) == nn
+        for ra, rb in zip(a, b):
+            assert ra["primaryaccountholder"] == rb["primaryaccountholder"]
+            assert ra["signal_type"] == rb["signal_type"]
+            assert ra["transactiondate"] == rb["transactiondate"]
+            assert ra["balance"] == rb["balance"]
