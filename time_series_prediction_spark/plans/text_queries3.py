@@ -474,7 +474,10 @@ def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = toks.groupBy("token").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
-    tot = toks.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    # n_total == Σ c exactly (every occurrence counted once), so the
+    # global total regroups the vocabulary aggregate instead of paying
+    # a third scan+tokenize pass over documents (guide §2.4).
+    tot = counts.agg(F.sum("c").cast("long").alias("n_total"))
     j = (
         toks.join(counts, "token")
         .crossJoin(F.broadcast(tot))
