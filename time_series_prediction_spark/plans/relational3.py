@@ -484,32 +484,60 @@ def part_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence: top-50 pairs of part types bought
     in the same order. Plan shape: ONE shuffle (groupBy order) collects
     each basket's sorted distinct types, then ordered pairs are
-    generated IN-ARRAY and exploded — no self equi-join, so the
-    order-keyed subtree is computed once, and the quadratic blow-up is
-    bounded per order (basket size), never global; lexical tiebreaks
-    make the top-50 cut engine-independent."""
-    li = read_table(spark, sf_dir, "lineitem")
-    part = read_table(spark, sf_dir, "part")
-    ot = (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("p_type")).alias("ts"))
+    generated by a pair of codegen'd explodes — no self equi-join, so
+    the order-keyed subtree is computed once, and the quadratic
+    blow-up is bounded per order (basket size), never global.
+
+    r14 (guide §2.3/§4.1): the ~25-char p_type strings are
+    dictionary-encoded to ints BEFORE the basket shuffle — codes are
+    assigned in lexical order (a 150-row window), so every array sort,
+    pair direction and the top-50 tie-break are bit-identical on codes
+    — and the interpreted nested-``transform`` pair lambda is replaced
+    by posexplode+slice+explode, which stays inside WholeStageCodegen.
+    Strings rejoin only on the 50-row result."""
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
     )
-    pairs = ot.select(
-        F.explode(
-            F.expr(
-                "CASE WHEN size(ts) < 2 THEN array() ELSE "
-                "flatten(transform(sequence(0, size(ts) - 2), i -> "
-                "transform(sequence(i + 1, size(ts) - 1), j -> "
-                "struct(ts[i] AS type_a, ts[j] AS type_b)))) END"
-            )
-        ).alias("p")
-    ).select("p.*")
-    return (
-        pairs.groupBy("type_a", "type_b")
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    # lexical dictionary: code order == string order, so the top-50
+    # cut on codes selects exactly the rows the string cut would
+    types = part.select("p_type").distinct().withColumn(
+        "tcode", F.row_number().over(Window.orderBy("p_type")).cast("int")
+    )
+    pcode = part.join(F.broadcast(types), "p_type").select(
+        "p_partkey", "tcode"
+    )
+    ot = (
+        li.join(F.broadcast(pcode), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("tcode")).alias("ts"))
+        .where(F.size("ts") >= 2)
+    )
+    pairs = ot.select("ts", F.posexplode("ts").alias("i", "code_a")).select(
+        "code_a",
+        F.explode(F.expr("slice(ts, i + 2, size(ts) - i - 1)")).alias(
+            "code_b"
+        ),
+    )
+    cnt = (
+        pairs.groupBy("code_a", "code_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
-        .orderBy(F.desc("n_orders"), F.asc("type_a"), F.asc("type_b"))
+        .orderBy(F.desc("n_orders"), F.asc("code_a"), F.asc("code_b"))
         .limit(50)
+    )
+    ta = types.select(
+        F.col("tcode").alias("code_a"), F.col("p_type").alias("type_a")
+    )
+    tb = types.select(
+        F.col("tcode").alias("code_b"), F.col("p_type").alias("type_b")
+    )
+    return (
+        cnt.join(F.broadcast(ta), "code_a")
+        .join(F.broadcast(tb), "code_b")
+        .select("type_a", "type_b", "n_orders")
+        .orderBy(F.desc("n_orders"), F.asc("type_a"), F.asc("type_b"))
     )
 
 
