@@ -233,6 +233,64 @@ def _probe_expr(cents_literal: str, nprobe: int) -> str:
     )
 
 
+def _probe_cells(
+    cents: list[tuple[int, list[int], int]],
+    V: np.ndarray,
+    ids: np.ndarray,
+    n_queries: int,
+    nprobe: int,
+) -> list[tuple[int, int]]:
+    """The ``nprobe`` nearest cells per query — (distance asc, cell
+    asc), the probe fold's tie discipline — computed DRIVER-side on
+    the already-collected training sample (the query panel is the
+    ``vec_id < n_queries ≤ sample_cap`` prefix of it). Replaces the
+    JVM ``_probe_expr`` evaluation, whose plan carried the full
+    centroid literal (n_cells × dims int literals) and a corpus-scan
+    consumer just to reach the ≤ n_queries panel rows (guide §1.2:
+    bounded driver work beats a Spark job + giant-literal parse).
+    Same ``_dists_to`` op sequence, so the cell lists are
+    bit-identical to the fold's."""
+    panel = ids < n_queries
+    qids = ids[panel]
+    Q = V[panel]
+    out: list[tuple[int, int]] = []
+    if not len(qids):
+        return out
+    D = np.stack(
+        [_dists_to(Q, np.array(s, np.int64), m) for _c, s, m in cents],
+        axis=1,
+    )
+    cells = [int(c) for c, _s, _m in cents]
+    for qi, qid in enumerate(qids):
+        order = sorted(
+            range(len(cells)), key=lambda j: (D[qi, j], cells[j])
+        )[:nprobe]
+        out.extend((int(qid), cells[j]) for j in order)
+    return out
+
+
+def _probe_map_expr(
+    cents: list[tuple[int, list[int], int]],
+    V: np.ndarray,
+    ids: np.ndarray,
+    n_queries: int,
+    nprobe: int,
+) -> str:
+    """``element_at(<map>, vec_id)`` SQL fragment mapping each panel
+    query to its driver-computed probe-cell list (order preserved —
+    distance asc, cell asc). ~n_queries·nprobe small int literals vs
+    the retired per-row argmin fold over the full n_cells × dims
+    centroid literal."""
+    by_q: dict[int, list[int]] = {}
+    for qid, cell in _probe_cells(cents, V, ids, n_queries, nprobe):
+        by_q.setdefault(qid, []).append(cell)
+    entries = ", ".join(
+        f"{qid}L, array({', '.join(str(c) for c in cells)})"
+        for qid, cells in by_q.items()
+    )
+    return f"element_at(map({entries}), vec_id)"
+
+
 def ivf_ann_exact(
     emb: DataFrame,
     k: int = 5,
@@ -258,16 +316,22 @@ def ivf_ann_exact(
     |q·v| ≤ d·2^40 ≪ 2^63 at d = 64, so the dot never rounds."""
     from pyspark.sql.window import Window
 
-    cents, q, _, _ = _fit(emb, n_cells, sample_cap, n_iters, cache_key)
-    lit = _cents_literal(cents)
+    cents, q, V, ids = _fit(emb, n_cells, sample_cap, n_iters, cache_key)
+    if n_queries > sample_cap:
+        raise ValueError("n_queries must be <= sample_cap")
     corpus = materialize(_assign_cells_pass(q, cents), eager=False)
+    # probe lists computed driver-side from the training sample (the
+    # panel is its prefix) and attached as a tiny map literal — the
+    # per-row argmin fold over the full centroid literal is gone
     queries = corpus.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("qv").alias("q_qv"),
         F.col("nrm").alias("q_nrm"),
-        F.explode(F.expr(_probe_expr(lit, nprobe))).alias("cell"),
+        F.explode(
+            F.expr(_probe_map_expr(cents, V, ids, n_queries, nprobe))
+        ).alias("cell"),
     )
-    cand = queries.join(corpus, "cell").where(
+    cand = F.broadcast(queries).join(corpus, "cell").where(
         F.col("vec_id") != F.col("query_id")
     )
     dot = (
@@ -562,19 +626,21 @@ def pq_ann_exact(
         raise ValueError(f"dims {dims} not divisible by n_sub {n_sub}")
     sd = dims // n_sub
     books = _train_pq(V, n_sub, n_codes, n_iters)
-    clit = _cents_literal(cents)
     corpus = materialize(
         _assign_encode_pass(q, cents, books, n_sub, sd), eager=False
     )
-    queries = corpus.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.explode(F.expr(_probe_expr(clit, nprobe))).alias("cell"),
-    )
     # the bounded query panel (vec_id < n_queries ≤ sample_cap) is a
-    # prefix of the already-collected training sample — no second
-    # Spark job to fetch it
+    # prefix of the already-collected training sample — probe lists
+    # come from it driver-side as a tiny map literal, so the giant
+    # centroid-literal probe plan disappears
     if n_queries > sample_cap:
         raise ValueError("n_queries must be <= sample_cap")
+    queries = corpus.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(
+            F.expr(_probe_map_expr(cents, V, ids, n_queries, nprobe))
+        ).alias("cell"),
+    )
     panel = (ids < n_queries)
     qids = ids[panel]
     # per-(query, subspace, code) ADC distances, precomputed
@@ -595,7 +661,7 @@ def pq_ann_exact(
     # codes are n_sub small ints; the 64-dim vectors never enter the
     # exchange (guide §2.3/§8: decide on lightweight proxies, attach
     # payloads once at the end)
-    cand = queries.join(
+    cand = F.broadcast(queries).join(
         corpus.select("cell", "vec_id", "codes"), "cell"
     ).where(F.col("vec_id") != F.col("query_id"))
 
