@@ -343,9 +343,11 @@ def corpus_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     # the benchmark subset feeds three consumers (leak source, its own
     # count, the shingle side): pin it once instead of re-scanning the
-    # corpus per consumer
+    # corpus per consumer; the n_bench count right below materializes
+    # the deferred checkpoint (one job, not two)
     bench = materialize(
-        docs.where(F.col("doc_id") % 25 == 0).select("doc_id", "text")
+        docs.where(F.col("doc_id") % 25 == 0).select("doc_id", "text"),
+        eager=False,
     )
     leak_src = bench.select(
         (F.col("doc_id") / 25).cast("bigint").alias("_k"),
@@ -366,20 +368,21 @@ def corpus_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("text"),
         )
     )
+    # r14 (guide §2.4): the equi-join runs on the raw shingle strings —
+    # md5 on both sides selected exactly the same pairs (the oracle's
+    # md5 keys are injective on this key space) while hashing the full
+    # train explosion; and ``word_shingles`` is already per-doc
+    # distinct, so the old ``b_sh.distinct()`` was a no-op shuffle
     t_sh = train.select(
         "doc_id",
         F.explode(word_shingles("text", _DECON_N)).alias("shingle"),
-    ).select("doc_id", F.md5("shingle").alias("h"))
-    b_sh = (
-        bench.select(
-            F.col("doc_id").alias("bench_id"),
-            F.explode(word_shingles("text", _DECON_N)).alias("shingle"),
-        )
-        .select("bench_id", F.md5("shingle").alias("h"))
-        .distinct()
+    )
+    b_sh = bench.select(
+        F.col("doc_id").alias("bench_id"),
+        F.explode(word_shingles("text", _DECON_N)).alias("shingle"),
     )
     return (
-        t_sh.join(F.broadcast(b_sh), "h")
+        t_sh.join(F.broadcast(b_sh), "shingle")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_shared_shingles"),
