@@ -576,12 +576,22 @@ def doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         portable_ln_stage_cols,
     )
 
+    from time_series_prediction_spark.operators.materialize import (
+        materialize,
+    )
+
     docs = read_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     ).where(F.col("token") != "")
-    tf = toks.groupBy("doc_id", "token").agg(
-        F.count(F.lit(1)).cast("long").alias("tf")
+    # tf feeds both the df regroup and the score join: pin it once
+    # (deferred) instead of re-tokenizing the corpus per consumer
+    # (guide §2.4)
+    tf = materialize(
+        toks.groupBy("doc_id", "token").agg(
+            F.count(F.lit(1)).cast("long").alias("tf")
+        ),
+        eager=False,
     )
     df_t = tf.groupBy("token").agg(
         F.count(F.lit(1)).cast("long").alias("df")
@@ -700,6 +710,10 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         portable_ln_stage_cols,
     )
 
+    from time_series_prediction_spark.operators.materialize import (
+        materialize,
+    )
+
     docs = read_table(spark, sf_dir, "documents")
     n_t = len(_BM25_TERMS)
     per_doc = docs.select(
@@ -715,6 +729,11 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, t in enumerate(_BM25_TERMS)
         ],
     )
+    # (doc_id, dl, tf_*) is a narrow integer relation feeding both the
+    # corpus-stats reduce and the scoring scan: pin it once so the
+    # tokenize folds run a single corpus pass (guide §2.4); the idf
+    # broadcast build materializes the deferred checkpoint
+    per_doc = materialize(per_doc, eager=False)
     stats = per_doc.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("sum_dl"),
