@@ -9,13 +9,21 @@ import random
 import pytest
 
 from time_series_prediction_spark.operators.components import (
+    DRIVER_EDGE_CAP_CONF,
     connected_components,
 )
 
 
-def _spark_components(spark, edge_list, **kw):
+def _spark_components(spark, edge_list, driver_cap="0", **kw):
+    """Default driver_cap='0' pins the DISTRIBUTED loop — these tests
+    exist to prove pointer jumping; the bounded driver fast path has
+    its own equivalence test below."""
     edges = spark.createDataFrame(edge_list, "src long, dst long")
-    rows = connected_components(edges, **kw).collect()
+    spark.conf.set(DRIVER_EDGE_CAP_CONF, driver_cap)
+    try:
+        rows = connected_components(edges, **kw).collect()
+    finally:
+        spark.conf.unset(DRIVER_EDGE_CAP_CONF)
     return {r["vertex"]: r["component"] for r in rows}
 
 
@@ -60,6 +68,26 @@ def test_random_graph_matches_union_find(spark):
     got = _spark_components(spark, edge_list, max_iterations=15)
     want = _union_find(edge_list)
     assert got == want
+
+
+def test_driver_fast_path_matches_loop(spark):
+    """The bounded driver union-find (edge count <= cap) must produce
+    exactly the labels the distributed loop converges to."""
+    rng = random.Random(11)
+    edge_list = [
+        (rng.randrange(400), rng.randrange(400)) for _ in range(220)
+    ]
+    edge_list = [(a, b) for a, b in edge_list if a != b]
+    loop = _spark_components(spark, edge_list, max_iterations=15)
+    fast = _spark_components(
+        spark, edge_list, driver_cap="100000", max_iterations=15
+    )
+    assert fast == loop == _union_find(edge_list)
+
+
+def test_driver_fast_path_empty_edges(spark):
+    got = _spark_components(spark, [], driver_cap="100000")
+    assert got == {}
 
 
 def test_nonconvergence_raises(spark):

@@ -34,6 +34,42 @@ from pyspark.sql import functions as F
 
 from time_series_prediction_spark.operators.materialize import materialize
 
+# Bounded driver fast path (guide §1.2: the per-round fixed job cost
+# dominates on small graphs — a dup-pair graph of ≤ this many edges is
+# metadata-sized, the same discipline as the CoW manifest's 100 K-key
+# cap with distributed fallback). 0 disables the fast path.
+DRIVER_EDGE_CAP_CONF = "spark.tsp.cc.driverEdgeCap"
+_DRIVER_EDGE_CAP_DEFAULT = 100_000
+
+
+def _driver_components(rows: list) -> list[tuple[int, int]]:
+    """Union-find over collected (a, b) edges; component = min vertex
+    of the set — identical to the converged min-label propagation."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for r in rows:
+        a, b = r[0], r[1]
+        for v in (a, b):
+            if v not in parent:
+                parent[v] = v
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    cmin: dict[int, int] = {}
+    for v in parent:
+        r = find(v)
+        if r not in cmin or v < cmin[r]:
+            cmin[r] = v
+    return [(v, cmin[find(v)]) for v in sorted(parent)]
+
 
 def connected_components(
     edges: DataFrame,
@@ -55,6 +91,27 @@ def connected_components(
     fwd = materialize(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     )
+    spark = edges.sparkSession
+    cap = int(
+        spark.conf.get(DRIVER_EDGE_CAP_CONF, str(_DRIVER_EDGE_CAP_DEFAULT))
+    )
+    if cap > 0 and fwd.count() <= cap:
+        # metadata-sized graph: one collect of the (already pinned)
+        # edge list + driver union-find replaces ~log(diameter) rounds
+        # of join+checkpoint+count jobs; result provably identical
+        # (component = min reachable vertex either way)
+        assign = _driver_components(fwd.collect())
+        if assign and len(assign) <= 20_000:
+            # VALUES literal -> LocalTableScan: downstream actions
+            # (broadcast builds, collects) run zero extra jobs, unlike
+            # an RDD-backed createDataFrame
+            rows = ", ".join(f"({v}L, {c}L)" for v, c in assign)
+            return spark.sql(
+                f"SELECT * FROM (VALUES {rows}) AS t(vertex, component)"
+            )
+        return spark.createDataFrame(
+            assign, "vertex long, component long"
+        )
     und = (
         fwd.unionAll(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
