@@ -152,6 +152,29 @@ def test_simhash_separates_near_dups_from_random_pairs(spark, sf_dir):
     assert near_mean < far_mean * 0.6, f"near={near_mean:.1f} far={far_mean:.1f}"
 
 
+def test_simhash_sigs_pass_matches_expression(spark, sf_dir):
+    """The Arrow/NumPy signature pass must be bit-identical to the
+    simhash64 expression fold on the real fixture corpus — including
+    dropped short/empty docs."""
+    from time_series_prediction_spark.sources.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    via_expr = {
+        r["doc_id"]: r["sig"]
+        for r in docs.select(
+            "doc_id", dedup.word_shingles().alias("shingles")
+        )
+        .where(F.size("shingles") > 0)
+        .select("doc_id", dedup.simhash64("shingles").alias("sig"))
+        .collect()
+    }
+    via_pass = {
+        r["doc_id"]: r["sig"]
+        for r in dedup.simhash_sigs_pass(docs).collect()
+    }
+    assert via_pass == via_expr
+
+
 def test_simhash_blocking_plan_scales():
     """Plan math: fixture scale degenerates to the classic four 16-bit
     words; web scale widens keys so EXPECTED bucket membership

@@ -356,6 +356,64 @@ def hamming64(a: str, b: str) -> Column:
     return F.expr(f"bit_count({a} ^ {b})")
 
 
+def simhash_sigs_pass(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, sig): the SimHash signature stage as ONE Arrow-batched
+    pass — hashlib md5 + NumPy bit votes replacing ``simhash64``'s 64
+    interpreted ``filter`` folds per document (guide §4.2; the same
+    proven md5-twin discipline as the series generator). Bit-identical
+    to the expression path (pinned in tests/test_text_queries.py):
+    the shingle hash is int(md5 hex[:16], 16) == (hi<<32)|lo two's-
+    complement, a bit is set iff 2·(set votes) > |shingles|, and docs
+    with fewer than ``n`` tokens (or no shingles) drop exactly as the
+    ``size(shingles) > 0`` filter drops them."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    shifts = np.arange(64, dtype=np.uint64)
+
+    def _pass(batches):
+        for pdf in batches:
+            ids: list[int] = []
+            sigs: list[int] = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                toks = text.split(" ")
+                if len(toks) < n:
+                    continue
+                sh = dict.fromkeys(
+                    " ".join(toks[i:i + n])
+                    for i in range(len(toks) - n + 1)
+                )
+                H = np.array(
+                    [
+                        int.from_bytes(
+                            hashlib.md5(s.encode()).digest()[:8], "big"
+                        )
+                        for s in sh
+                    ],
+                    dtype=np.uint64,
+                )
+                bits = (H[:, None] >> shifts[None, :]) & np.uint64(1)
+                setbits = 2 * bits.sum(axis=0, dtype=np.int64) > len(H)
+                sig = (
+                    setbits.astype(np.uint64) << shifts
+                ).sum(dtype=np.uint64)
+                ids.append(did)
+                sigs.append(int(np.int64(sig)))
+            yield pd.DataFrame({id_col: ids, "sig": sigs}).astype(
+                {id_col: "int64", "sig": "int64"}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        _pass, f"{id_col} long, sig long"
+    )
+
+
 def simhash_blocking_plan(
     n_docs: int,
     guarantee_hamming: int = 3,
@@ -434,11 +492,12 @@ def simhash_near_pairs(
     if n_docs is None:
         n_docs = df.count()  # narrow count — sizing only
     m, combos = simhash_blocking_plan(n_docs, 3, target_bucket)
-    sigs = (
-        ensure_parallelism(df)
-        .select(F.col(id_col), word_shingles(text_col, n).alias("shingles"))
-        .where(F.size("shingles") > 0)
-        .select(F.col(id_col), simhash64("shingles").alias("sig"))
+    # project BEFORE the parallelizing shuffle: only (id, text) cross
+    # the exchange (guide §2.3), and the signature stage is the
+    # vectorized Arrow pass, not the 64-filter-fold expression
+    sigs = simhash_sigs_pass(
+        ensure_parallelism(df.select(id_col, text_col)),
+        text_col=text_col, id_col=id_col, n=n,
     )
     keys = ", ".join(_block_key_expr("sig", c, m) for c in combos)
     banded = sigs.select(
