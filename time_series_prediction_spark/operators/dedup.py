@@ -123,6 +123,19 @@ def word_shingles(text_col: str = "text", n: int = 3) -> Column:
     )
 
 
+def word_shingles_of_tokens(tokens_col: str, n: int = 3) -> Column:
+    """``word_shingles`` over an ALREADY-TOKENIZED array column (a
+    bound attribute, e.g. a Generate output — no re-tokenize risk and
+    no let-binding trick needed). Same shingle construction and same
+    empty-array short-doc contract."""
+    joined = " || ' ' || ".join(f"{tokens_col}[i + {j}]" for j in range(n))
+    return F.expr(
+        f"CASE WHEN size({tokens_col}) < {n} THEN array() ELSE "
+        f"array_distinct(transform(sequence(0, size({tokens_col}) - {n}), "
+        f"i -> {joined})) END"
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

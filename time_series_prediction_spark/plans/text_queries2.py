@@ -732,23 +732,33 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assert dedup.prefix_blocking_plan(_documents_count(spark, sf_dir)) == _FP_TOKENS
     docs = read_table(spark, sf_dir, "documents")
-    base = docs.select("doc_id", "lang", "text")
-    fragment = docs.select(
-        (F.col("doc_id") + 2000000).alias("doc_id"),
-        "lang",
-        F.expr(
-            "array_join(slice(split(text, ' '), 1, "
-            "greatest(CAST(floor(size(split(text, ' ')) * 0.6) AS INT), 3)), ' ')"
-        ).alias("text"),
+    # r14 (guide §2.4): base + fragment come out of ONE corpus scan via
+    # an in-row explode of two token structs — the old unionAll scanned
+    # and re-tokenized documents twice. The fragment's token array is
+    # slice(tokens, 1, k), exactly split(array_join(slice(...), ' '))
+    # since tokens cannot contain the delimiter.
+    frag_k = (
+        "greatest(CAST(floor(size(split(text, ' ')) * 0.6) AS INT), 3)"
     )
-    both = base.unionAll(fragment)
+    both = docs.select(
+        F.explode(
+            F.expr(
+                "array("
+                "named_struct('doc_id', doc_id, 'lang', lang,"
+                " 'toks', split(text, ' ')),"
+                "named_struct('doc_id', doc_id + CAST(2000000 AS BIGINT),"
+                " 'lang', lang,"
+                f" 'toks', slice(split(text, ' '), 1, {frag_k})))"
+            )
+        ).alias("r")
+    ).select("r.doc_id", "r.lang", "r.toks")
     sh = both.select(
         "doc_id",
         "lang",
         F.expr(
-            f"md5(array_join(slice(split(text, ' '), 1, {_FP_TOKENS}), ' '))"
+            f"md5(array_join(slice(toks, 1, {_FP_TOKENS}), ' '))"
         ).alias("fp"),
-        dedup.word_shingles("text", 3).alias("shingles"),
+        dedup.word_shingles_of_tokens("toks", 3).alias("shingles"),
     )
     sh = materialize(sh)
     a, b = sh.alias("a"), sh.alias("b")
