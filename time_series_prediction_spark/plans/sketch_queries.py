@@ -280,31 +280,46 @@ def corpus_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         cms_perms,
     )
 
+    from time_series_prediction_spark.operators.materialize import (
+        materialize,
+    )
+
     docs = read_table(spark, sf_dir, "documents")
     toks = docs.select(
         F.explode(F.split(F.col("text"), " ")).alias("token")
     ).where(F.col("token") != "")
-    hashed = toks.select(
-        "token",
+    # r14 (guide §2.3 — aggregate first): cell counts regroup exactly
+    # from per-token counts (c(k,bucket) = Σ count over tokens hashing
+    # there), so md5 runs once per DISTINCT vocabulary entry instead of
+    # once per occurrence, the corpus is tokenized once (the counts
+    # relation is pinned for its two consumers), and only vocabulary-
+    # sized rows flow into the sketch fold.
+    counts = materialize(
+        toks.groupBy("token").agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact")
+        ),
+        eager=False,
+    )
+    hashed = counts.select(
+        "n_exact",
         F.expr(
             "CAST(conv(substr(md5(token), 1, 7), 16, 10) AS BIGINT)"
         ).alias("h"),
     )
     perms = cms_perms()
     cells = hashed.select(
+        "n_exact",
         F.posexplode(
             F.array(
                 *[F.expr(cms_bucket_sql("h", a, b)) for a, b in perms]
             )
-        ).alias("k", "bucket")
+        ).alias("k", "bucket"),
     )
     sketch = cells.groupBy("k", "bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+        F.sum("n_exact").cast("long").alias("c")
     )
     cand = (
-        toks.groupBy("token")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
-        .orderBy(F.desc("n_exact"), F.asc("token"))
+        counts.orderBy(F.desc("n_exact"), F.asc("token"))
         .limit(15)
     )
     cand_cells = cand.select(
