@@ -66,6 +66,29 @@ def _dists_to(V: np.ndarray, s: np.ndarray, m: int) -> np.ndarray:
     return np.cumsum(sq, axis=1)[:, -1] / float(int(m) * int(m))
 
 
+def _dists_to_all(
+    V: np.ndarray, cents: list[tuple[int, np.ndarray, int]]
+) -> np.ndarray:
+    """(n, n_cells) distances of every row to every centroid in ONE
+    tensor op — replaces a per-cell Python loop of ``_dists_to``
+    calls. Bit-identical: the residual ``v·m − S`` stays exact int64
+    (|v|≤2^20, m≤4096 ⇒ |v·m|≤2^32, |S|≤2^32), the square is the
+    same one double product per element, and the dim-order ``cumsum``
+    runs per (cell, row) exactly as the scalar path does."""
+    if not cents:
+        return np.empty((len(V), 0), dtype=np.float64)
+    S = np.stack([s for _c, s, _m in cents])             # (C, d) int64
+    M = np.array([int(m) for _c, _s, m in cents], dtype=np.int64)
+    T = (V[None, :, :] * M[:, None, None] - S[:, None, :]).astype(
+        np.float64
+    )
+    sq = T * T
+    d = np.cumsum(sq, axis=2)[:, :, -1] / (M * M).astype(np.float64)[
+        :, None
+    ]
+    return d.T
+
+
 def _train(V: np.ndarray, n_cells: int, n_iters: int) -> list[tuple[int, list[int], int]]:
     """Exact-integer Lloyd over the sample matrix ``V`` (rows already
     in vec_id order). Returns sorted (cell, S, m) triples."""
@@ -77,7 +100,7 @@ def _train(V: np.ndarray, n_cells: int, n_iters: int) -> list[tuple[int, list[in
         first = int(np.nonzero(stripe == c)[0][0])
         cents.append((int(c), V[first].copy(), 1))
     for _ in range(n_iters):
-        dist = np.stack([_dists_to(V, s, m) for _, s, m in cents], axis=1)
+        dist = _dists_to_all(V, cents)
         pick = np.argmin(dist, axis=1)  # first minimum = lowest cell
         nxt = []
         for col, (cell, _, _) in enumerate(cents):
@@ -256,9 +279,8 @@ def _probe_cells(
     out: list[tuple[int, int]] = []
     if not len(qids):
         return out
-    D = np.stack(
-        [_dists_to(Q, np.array(s, np.int64), m) for _c, s, m in cents],
-        axis=1,
+    D = _dists_to_all(
+        Q, [(c, np.array(s, np.int64), m) for c, s, m in cents]
     )
     cells = [int(c) for c, _s, _m in cents]
     for qi, qid in enumerate(qids):
@@ -649,12 +671,12 @@ def pq_ann_exact(
         [(np.array(s, np.int64), m) for _c, s, m in bs] for bs in books
     ]
     lut = np.empty((len(qids), n_sub, max(len(b) for b in books)))
-    for qi, qv in enumerate(V[panel]):
-        qrow = qv[None, :]
-        for sb in range(n_sub):
-            qsub = qrow[:, sb * sd:(sb + 1) * sd]
-            for code, (s, m) in enumerate(book_np[sb]):
-                lut[qi, sb, code] = _dists_to(qsub, s, m)[0]
+    Qp = V[panel]
+    for sb in range(n_sub):
+        Qsub = Qp[:, sb * sd:(sb + 1) * sd]
+        lut[:, sb, : len(book_np[sb])] = _dists_to_all(
+            Qsub, [(0, s, m) for s, m in book_np[sb]]
+        )
     qpos = {int(qid): i for i, qid in enumerate(qids)}
 
     # candidate join ships (query_id, cell) × (vec_id, cell, codes) —
