@@ -548,3 +548,51 @@ def test_dpp_scan_plans_runtime_partition_pruning(spark, sf_dir):
     df = events_dpp_scan(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_local_rows_df_values_equivalence(spark):
+    """local_rows_df must return the same rows as createDataFrame for
+    every type it claims to support (incl. NULLs, quotes, NaN/inf
+    doubles) AND plan as a LocalTableScan (zero extra Spark jobs per
+    consumer action), falling back to createDataFrame above the row
+    cap or for unsupported types."""
+    from time_series_prediction_spark.operators import localrel
+    from time_series_prediction_spark.operators.localrel import (
+        local_rows_df,
+    )
+
+    rows = [
+        ("it's", 1, True, 1.5),
+        (None, None, None, float("nan")),
+        ("b\\slash", -7, False, float("-inf")),
+    ]
+    ddl = "s string, n bigint, b boolean, d double"
+    got = local_rows_df(spark, rows, ddl)
+    want = spark.createDataFrame(rows, ddl)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan, plan
+
+    def key(r):
+        return tuple(
+            (repr(v) if v == v else "nan") if v is not None else "∅"
+            for v in r
+        )
+
+    assert sorted(map(key, got.collect())) == sorted(
+        map(key, want.collect())
+    )
+
+    # above the cap: plain createDataFrame (RDD-backed), same rows
+    many = [(f"k{i}", i, True, 0.5) for i in range(5)]
+    cap = localrel.MAX_VALUES_ROWS
+    try:
+        localrel.MAX_VALUES_ROWS = 3
+        big = local_rows_df(spark, many, ddl)
+        assert "LocalTableScan" not in (
+            big._jdf.queryExecution().executedPlan().toString()
+        )
+        assert sorted(map(tuple, big.collect())) == sorted(
+            map(tuple, spark.createDataFrame(many, ddl).collect())
+        )
+    finally:
+        localrel.MAX_VALUES_ROWS = cap

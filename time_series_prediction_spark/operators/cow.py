@@ -285,7 +285,11 @@ def _manifest_df(
         rows = [
             tuple(r.get(c) for c in cols) for r in tbl.to_pylist()
         ]
-        return spark.createDataFrame(rows, _MANIFEST_SCHEMA)
+        from time_series_prediction_spark.operators.localrel import (
+            local_rows_df,
+        )
+
+        return local_rows_df(spark, rows, _MANIFEST_SCHEMA)
     return spark.read.parquet(vdir)
 
 
@@ -619,7 +623,15 @@ def version_changes(
     # stats can contain a delta key
     extra_deletes = None
     if dv_delta is not None and common:
-        cdf = spark.createDataFrame([(f,) for f in common], "file string")
+        from time_series_prediction_spark.operators.localrel import (
+            local_rows_df,
+        )
+
+        # VALUES LocalRelation: the semi-join build evaluates this per
+        # action; an RDD-backed frame would pay a Python job each time
+        cdf = local_rows_df(
+            spark, [(f,) for f in common], "file string"
+        )
         man_common = _manifest_version(spark, root, v_new).join(
             cdf, "file", "left_semi"
         )
@@ -912,7 +924,13 @@ def _commit_rewrite(
             if r["file"] not in touched_set
         ]
     if touched:
-        tdf = spark.createDataFrame([(f,) for f in touched], "file string")
+        from time_series_prediction_spark.operators.localrel import (
+            local_rows_df,
+        )
+
+        tdf = local_rows_df(
+            spark, [(f,) for f in touched], "file string"
+        )
         kept = man.join(tdf, "file", "left_anti")
     else:
         kept = man

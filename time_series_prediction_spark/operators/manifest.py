@@ -313,7 +313,14 @@ def build_stats_manifest(
     if len(files) <= _LOCAL_STATS_MAX_FILES:
         rows = _local_stats_rows(files, cols, base)
         if rows is not None:
-            return spark.createDataFrame(rows, _MANIFEST_SCHEMA)
+            from time_series_prediction_spark.operators.localrel import (
+                local_rows_df,
+            )
+
+            # VALUES LocalRelation: manifest frames are re-evaluated
+            # by every consumer action; the RDD form paid a Python
+            # parallelize job each time
+            return local_rows_df(spark, rows, _MANIFEST_SCHEMA)
     file_df = spark.createDataFrame(
         [(f,) for f in files], "file string"
     ).repartition(min(len(files), 64))
@@ -369,7 +376,14 @@ def build_stats_manifest_for_files(
     if len(files) <= _LOCAL_STATS_MAX_FILES:
         rows = _local_stats_rows(files, cols, resolved)
         if rows is not None:
-            return spark.createDataFrame(rows, _MANIFEST_SCHEMA)
+            from time_series_prediction_spark.operators.localrel import (
+                local_rows_df,
+            )
+
+            # VALUES LocalRelation: manifest frames are re-evaluated
+            # by every consumer action; the RDD form paid a Python
+            # parallelize job each time
+            return local_rows_df(spark, rows, _MANIFEST_SCHEMA)
     tmp = spark.createDataFrame([(f,) for f in files], "file string")
     return _footer_stats(
         tmp.repartition(min(len(files), 64)), cols, base=resolved
