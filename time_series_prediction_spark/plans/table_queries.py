@@ -489,8 +489,12 @@ def orders_cow_view_maintenance(
 ) -> DataFrame:
     """Incremental materialized-view maintenance: a per-priority
     rollup built ONCE over the v0 snapshot, then kept current by
-    folding each commit's change feed (v0→v1 merge, v1→v2 delete)
+    folding the commits' change feeds (v0→v1 merge, v1→v2 delete)
     through ``apply_cdc_to_rollup`` — history is never re-read. The
+    two feeds fold as ONE concatenated feed: per-key state is a plain
+    sum of signed contributions, so fold(fold(view,c1),c2) ==
+    fold(view, c1 ∪ c2) exactly (the intermediate ``n != 0`` filter
+    only ever drops keys whose additive state is all-zero). The
     oracle recomputes the final state from scratch, so the comparison
     pins fold(commits) == full recompute exactly."""
     from time_series_prediction_spark.operators.incremental import (
@@ -506,11 +510,12 @@ def orders_cow_view_maintenance(
             F.sum("price_cents").cast("bigint").alias("total"),
         )
     )
-    for v_old, v_new in ((0, 1), (1, 2)):
-        changes = version_changes(spark, data, v_old, v_new)
-        view = apply_cdc_to_rollup(
-            view, changes, ["o_orderpriority"], "price_cents"
-        )
+    feed = version_changes(spark, data, 0, 1).unionByName(
+        version_changes(spark, data, 1, 2)
+    )
+    view = apply_cdc_to_rollup(
+        view, feed, ["o_orderpriority"], "price_cents"
+    )
     return view.select(
         "o_orderpriority",
         F.col("n").alias("n_orders"),

@@ -405,8 +405,9 @@ def _cdf_partitions(
                 )
             )
             continue
-        grown = _dv(add) - _dv(before[rel])
-        shrunk = _dv(before[rel]) - _dv(add)
+        dv_after, dv_before = _dv(add), _dv(before[rel])
+        grown = dv_after - dv_before
+        shrunk = dv_before - dv_after
         if grown:
             out.append(
                 _FilePartition(
