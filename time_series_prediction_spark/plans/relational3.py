@@ -490,24 +490,30 @@ def part_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     r14 (guide §2.3/§4.1): the ~25-char p_type strings are
     dictionary-encoded to ints BEFORE the basket shuffle — codes are
-    assigned in lexical order (a 150-row window), so every array sort,
-    pair direction and the top-50 tie-break are bit-identical on codes
-    — and the interpreted nested-``transform`` pair lambda is replaced
-    by posexplode+slice+explode, which stays inside WholeStageCodegen.
-    Strings rejoin only on the 50-row result."""
-    from pyspark.sql import Window
-
+    assigned in lexical order, so every array sort, pair direction and
+    the top-50 tie-break are bit-identical on codes — and the
+    interpreted nested-``transform`` pair lambda is replaced by
+    posexplode+slice+explode, which stays inside WholeStageCodegen.
+    The dictionary itself is DRIVER-side (guide §1.2): p_type is the
+    fixed TPC-H 6×5×5 = 150-value domain at EVERY scale factor, so one
+    bounded distinct-collect replaces a window subplan that three
+    separate broadcast builds (pcode, ta, tb) each re-computed —
+    encode/decode become literal-map lookups, no joins at all."""
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
     part = read_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     # lexical dictionary: code order == string order, so the top-50
     # cut on codes selects exactly the rows the string cut would
-    types = part.select("p_type").distinct().withColumn(
-        "tcode", F.row_number().over(Window.orderBy("p_type")).cast("int")
+    tvals = sorted(
+        r[0] for r in part.select("p_type").distinct().collect()
     )
-    pcode = part.join(F.broadcast(types), "p_type").select(
-        "p_partkey", "tcode"
+    enc = F.create_map(
+        *[x for t, i in zip(tvals, range(1, len(tvals) + 1))
+          for x in (F.lit(t), F.lit(i))]
+    )
+    pcode = part.select(
+        "p_partkey", F.element_at(enc, F.col("p_type")).alias("tcode")
     )
     ot = (
         li.join(F.broadcast(pcode), F.col("l_partkey") == F.col("p_partkey"))
@@ -527,16 +533,16 @@ def part_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_orders"), F.asc("code_a"), F.asc("code_b"))
         .limit(50)
     )
-    ta = types.select(
-        F.col("tcode").alias("code_a"), F.col("p_type").alias("type_a")
-    )
-    tb = types.select(
-        F.col("tcode").alias("code_b"), F.col("p_type").alias("type_b")
+    dec = F.create_map(
+        *[x for t, i in zip(tvals, range(1, len(tvals) + 1))
+          for x in (F.lit(i), F.lit(t))]
     )
     return (
-        cnt.join(F.broadcast(ta), "code_a")
-        .join(F.broadcast(tb), "code_b")
-        .select("type_a", "type_b", "n_orders")
+        cnt.select(
+            F.element_at(dec, F.col("code_a")).alias("type_a"),
+            F.element_at(dec, F.col("code_b")).alias("type_b"),
+            "n_orders",
+        )
         .orderBy(F.desc("n_orders"), F.asc("type_a"), F.asc("type_b"))
     )
 

@@ -489,7 +489,17 @@ def _documents_count(spark: SparkSession, sf_dir: str) -> int:
     key = (spark.sparkContext.applicationId, sf_dir)
     n = _NDOCS_CACHE.get(key)
     if n is None:
-        n = read_table(spark, sf_dir, "documents").count()
+        # plan sizing needs the row count, which the parquet footer
+        # already records exactly — a metadata read, not a scan job
+        # (guide §1.2: metadata-sized state should cost metadata).
+        # Non-local layouts fall back to the count job.
+        path = os.path.join(sf_dir, "documents.parquet")
+        if os.path.isfile(path):
+            import pyarrow.parquet as pq
+
+            n = pq.ParquetFile(path).metadata.num_rows
+        else:
+            n = read_table(spark, sf_dir, "documents").count()
         _NDOCS_CACHE[key] = n
     return n
 
