@@ -59,34 +59,49 @@ _SCALE = 1 << 20
 
 def _dists_to(V: np.ndarray, s: np.ndarray, m: int) -> np.ndarray:
     """Per-row distance of int64 matrix ``V`` (n, d) to one centroid:
-    exact residuals, double squares, SEQUENTIAL dim-order sum
-    (``cumsum``, not pairwise ``sum``) — the engines' fold order."""
-    t = (V * int(m) - s[None, :]).astype(np.float64)
-    sq = t * t
-    return np.cumsum(sq, axis=1)[:, -1] / float(int(m) * int(m))
+    exact residuals, double squares, SEQUENTIAL dim-order sum — the
+    engines' fold order. The fold runs as one in-place accumulator
+    add per dimension (acc_j = acc_{j-1} + sq_j, the same per-element
+    rounding sequence as ``cumsum(...)[:, -1]``) so no (n, d) prefix
+    array is ever materialized."""
+    mi = int(m)
+    acc: np.ndarray | None = None
+    for j in range(V.shape[1]):
+        t = (V[:, j] * mi - int(s[j])).astype(np.float64)
+        t *= t
+        acc = t if acc is None else acc.__iadd__(t)
+    assert acc is not None
+    acc /= float(mi * mi)
+    return acc
 
 
 def _dists_to_all(
     V: np.ndarray, cents: list[tuple[int, np.ndarray, int]]
 ) -> np.ndarray:
     """(n, n_cells) distances of every row to every centroid in ONE
-    tensor op — replaces a per-cell Python loop of ``_dists_to``
+    vectorized pass — replaces a per-cell Python loop of ``_dists_to``
     calls. Bit-identical: the residual ``v·m − S`` stays exact int64
     (|v|≤2^20, m≤4096 ⇒ |v·m|≤2^32, |S|≤2^32), the square is the
-    same one double product per element, and the dim-order ``cumsum``
-    runs per (cell, row) exactly as the scalar path does."""
+    same one double product per element, and the dim-order sum runs
+    per (cell, row) as one in-place (n, n_cells) accumulator add per
+    dimension — the identical per-element rounding sequence as the
+    scalar path's cumsum, without the (C, n, d) residual/square/prefix
+    tensors the previous tensor formulation materialized (cache-sized
+    slices instead of DRAM-bound 30 MB temporaries: ~2× measured)."""
     if not cents:
         return np.empty((len(V), 0), dtype=np.float64)
     S = np.stack([s for _c, s, _m in cents])             # (C, d) int64
     M = np.array([int(m) for _c, _s, m in cents], dtype=np.int64)
-    T = (V[None, :, :] * M[:, None, None] - S[:, None, :]).astype(
-        np.float64
-    )
-    sq = T * T
-    d = np.cumsum(sq, axis=2)[:, :, -1] / (M * M).astype(np.float64)[
-        :, None
-    ]
-    return d.T
+    acc: np.ndarray | None = None
+    for j in range(V.shape[1]):
+        t = (V[:, j, None] * M[None, :] - S[None, :, j]).astype(
+            np.float64
+        )
+        t *= t
+        acc = t if acc is None else acc.__iadd__(t)
+    assert acc is not None
+    acc /= (M * M).astype(np.float64)[None, :]
+    return acc
 
 
 def _train(V: np.ndarray, n_cells: int, n_iters: int) -> list[tuple[int, list[int], int]]:
@@ -209,9 +224,7 @@ def _assign_cells_pass(
             if not len(pdf):
                 continue
             V = np.array(pdf["qv"].tolist(), dtype=np.int64)
-            D = np.stack(
-                [_dists_to(V, s, m) for _c, s, m in cent_np], axis=1
-            )
+            D = _dists_to_all(V, cent_np)   # (n, C), cents order
             cell = cell_labels[np.argmin(D, axis=1)]
             nrm = np.sqrt((V * V).sum(axis=1).astype(np.float64))
             yield pd.DataFrame(
@@ -575,15 +588,13 @@ def _assign_encode_pass(
             if not len(pdf):
                 continue
             V = np.array(pdf["qv"].tolist(), dtype=np.int64)
-            D = np.stack(
-                [_dists_to(V, s, m) for _c, s, m in cent_np], axis=1
-            )
+            D = _dists_to_all(V, cent_np)   # (n, C), cents order
             cell = cell_labels[np.argmin(D, axis=1)]
             codes = np.empty((len(V), n_sub), dtype=np.int32)
             for sb in range(n_sub):
                 Vs = V[:, sb * sd:(sb + 1) * sd]
-                Ds = np.stack(
-                    [_dists_to(Vs, s, m) for s, m in book_np[sb]], axis=1
+                Ds = _dists_to_all(
+                    Vs, [(0, s, m) for s, m in book_np[sb]]
                 )
                 codes[:, sb] = np.argmin(Ds, axis=1)  # dense positions
             nrm = np.sqrt((V * V).sum(axis=1).astype(np.float64))
@@ -694,9 +705,12 @@ def pq_ann_exact(
             codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
             qi = pdf["query_id"].map(qpos).to_numpy(dtype=np.int64)
             vals = lut[qi[:, None], np.arange(n_sub)[None, :], codes]
-            # sequential left fold in subspace order — cumsum matches
-            # the oracle's ordered list_reduce exactly
-            adc = np.cumsum(vals, axis=1)[:, -1]
+            # sequential left fold in subspace order — one in-place
+            # column add per subspace, the same per-element rounding
+            # sequence as the oracle's ordered list_reduce
+            adc = vals[:, 0].copy()
+            for j in range(1, vals.shape[1]):
+                adc += vals[:, j]
             yield pd.DataFrame(
                 {
                     "query_id": pdf["query_id"],
