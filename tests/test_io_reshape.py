@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import datetime as dt
+import os
 
 from pyspark.sql import functions as F
 
@@ -85,3 +86,42 @@ def test_tz_for_zone_id_offsets_and_regions():
     )
     # unparseable id: documented UTC fallback, never a crash
     assert _tz_for_zone_id("bogus/zone").utcoffset(probe) == dt.timedelta(0)
+
+
+def test_read_table_plan_memo(spark, sf_dir, tmp_path):
+    """read_table memoizes the analyzed plan per (session, path, mtime):
+    repeat calls return the same DataFrame object, the bench-boundary
+    memo reset drops it, and a rewritten table invalidates the entry."""
+    import shutil
+
+    from time_series_prediction_spark.session_memo import clear_session_memos
+    from time_series_prediction_spark.sources import io as iomod
+
+    a = read_table(spark, sf_dir, "region")
+    b = read_table(spark, sf_dir, "region")
+    assert a is b  # memo hit within a session
+
+    clear_session_memos()
+    c = read_table(spark, sf_dir, "region")
+    assert c is not a  # pass boundary pays first-touch again
+    assert c.count() == a.count()
+
+    # a rewrite (new mtime/size) must invalidate, not serve stale plans
+    src = f"{sf_dir}/region.parquet"
+    dst_dir = tmp_path / "sfcopy"
+    dst_dir.mkdir()
+    dst = dst_dir / "region.parquet"
+    if os.path.isdir(src):
+        shutil.copytree(src, dst)
+    else:
+        shutil.copy(src, dst)
+    d1 = read_table(spark, str(dst_dir), "region")
+    n1 = d1.count()
+    sub = d1.limit(max(n1 - 1, 1))
+    sub.toPandas().to_parquet("/tmp/_region_sub.parquet")
+    shutil.rmtree(dst) if os.path.isdir(dst) else os.remove(dst)
+    shutil.copy("/tmp/_region_sub.parquet", dst)
+    os.utime(dst, ns=(os.stat(dst).st_mtime_ns + 10**9,) * 2)
+    d2 = read_table(spark, str(dst_dir), "region")
+    assert d2 is not d1
+    assert d2.count() == max(n1 - 1, 1)

@@ -24,6 +24,19 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from time_series_prediction_spark.session_memo import session_memo
+
+# Plan-object memo for fixture-table scans (guide §5: driver overhead
+# off the query path). A bench pass issues ~190 read_table calls over
+# 10 distinct tables, and every spark.read.parquet call pays
+# ~110-160 ms of driver-side DataSource resolution + footer schema
+# inference for a DataFrame that is immutable and freely reusable.
+# Keyed on (path, mtime_ns, size) and guarded on session identity; no
+# DATA is cached — this memoizes the analyzed plan handle only, and
+# bench.py clears it at every pass boundary like all session memos,
+# so each timed pass still pays one first-touch inference per table.
+_READ_TABLE_MEMO: dict = session_memo({})
+
 TPCH_TABLES = (
     "region",
     "nation",
@@ -71,7 +84,21 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # (to_date/datediff over events.ts) must agree with the tz-naive
     # DuckDB oracle (CAST(ts AS DATE)) regardless of host locale.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = None
+    if key is not None:
+        hit = _READ_TABLE_MEMO.get(key)
+        # `is spark` guards cross-session reuse: a DataFrame is bound
+        # to the session that planned it. The memo value keeps a strong
+        # reference to that session, so the identity check cannot alias
+        # a recycled object id.
+        if hit is not None and hit[0] is spark:
+            return hit[1]
+    df = spark.read.parquet(path)
     ts_type = dict(df.dtypes).get("ts")
     if name == "events" and ts_type == "bigint":
         # integer division — float division loses microsecond precision
@@ -84,6 +111,8 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # pinned UTC above, so the NTZ→TZ cast is a pure reinterpretation
         # (bit-identical instant) and matches DuckDB's naive TIMESTAMP.
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if key is not None:
+        _READ_TABLE_MEMO[key] = (spark, df)
     return df
 
 
