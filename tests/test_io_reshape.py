@@ -118,10 +118,51 @@ def test_read_table_plan_memo(spark, sf_dir, tmp_path):
     d1 = read_table(spark, str(dst_dir), "region")
     n1 = d1.count()
     sub = d1.limit(max(n1 - 1, 1))
-    sub.toPandas().to_parquet("/tmp/_region_sub.parquet")
+    # under tmp_path, not a fixed /tmp name (ADVICE r14: fixed paths
+    # collide under parallel test runs and leave litter on failure)
+    sub_path = str(tmp_path / "_region_sub.parquet")
+    sub.toPandas().to_parquet(sub_path)
     shutil.rmtree(dst) if os.path.isdir(dst) else os.remove(dst)
-    shutil.copy("/tmp/_region_sub.parquet", dst)
+    shutil.copy(sub_path, dst)
     os.utime(dst, ns=(os.stat(dst).st_mtime_ns + 10**9,) * 2)
     d2 = read_table(spark, str(dst_dir), "region")
     assert d2 is not d1
     assert d2.count() == max(n1 - 1, 1)
+
+
+def test_read_table_memo_directory_part_rewrite_invalidates(
+    spark, sf_dir, tmp_path
+):
+    """Directory datasets (ADVICE r14): an in-place part-file rewrite
+    leaves the directory's own mtime/size unchanged, so the memo key
+    folds per-entry stats — touching one part file must invalidate."""
+    src_dir = tmp_path / "dirds"
+    src_dir.mkdir()
+    region = read_table(spark, sf_dir, "region")
+    region.coalesce(1).write.parquet(str(src_dir / "region.parquet"))
+    d1 = read_table(spark, str(src_dir), "region")
+    assert read_table(spark, str(src_dir), "region") is d1  # memo hit
+    part = next(
+        p
+        for p in (src_dir / "region.parquet").iterdir()
+        if p.name.endswith(".parquet")
+    )
+    os.utime(part, ns=(os.stat(part).st_mtime_ns + 10**9,) * 2)
+    d2 = read_table(spark, str(src_dir), "region")
+    assert d2 is not d1  # key changed -> fresh plan
+
+
+def test_read_table_memo_evicts_foreign_session_entries(spark, sf_dir):
+    """ADVICE r14: a memo entry whose owning session is not the caller
+    is EVICTED on probe (not just skipped), so stopped sessions don't
+    stay pinned for process lifetime."""
+    from time_series_prediction_spark.sources.io import _READ_TABLE_MEMO
+
+    d1 = read_table(spark, sf_dir, "region")
+    key = next(
+        k for k, v in _READ_TABLE_MEMO.items() if v[1] is d1
+    )
+    _READ_TABLE_MEMO[key] = (object(), d1)  # simulate a dead session
+    d2 = read_table(spark, sf_dir, "region")
+    assert d2 is not d1
+    assert _READ_TABLE_MEMO[key][0] is spark  # rebuilt, not pinned

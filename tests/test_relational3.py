@@ -82,3 +82,25 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
         assert got.count() == want.count()
         assert got.exceptAll(want).count() == 0
         assert want.exceptAll(got).count() == 0
+
+
+def test_cooccurrence_dict_cap_fallback_identical(spark, sf_dir):
+    """r15 cap-with-fallback (VERDICT r14 Next #5): with the driver
+    dictionary disabled (cap=0) part_type_cooccurrence runs the
+    distributed row_number dictionary and returns EXACTLY the same
+    rows in the same order as the driver-map path."""
+    from time_series_prediction_spark.plans.relational3 import (
+        TYPE_DICT_CAP_CONF,
+        part_type_cooccurrence,
+    )
+
+    fast = [tuple(r) for r in part_type_cooccurrence(spark, sf_dir).collect()]
+    spark.conf.set(TYPE_DICT_CAP_CONF, "0")
+    try:
+        slow = [
+            tuple(r) for r in part_type_cooccurrence(spark, sf_dir).collect()
+        ]
+    finally:
+        spark.conf.unset(TYPE_DICT_CAP_CONF)
+    assert fast == slow
+    assert len(fast) > 0

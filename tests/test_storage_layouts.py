@@ -167,3 +167,39 @@ def tmp_path():
         import pathlib
 
         yield pathlib.Path(d)
+
+
+def test_bloom_probe_cap_fallback_identical(spark, sf_dir):
+    """r15 cap-with-fallback (VERDICT r14 Next #5): the driver-side
+    bloom probe pulls at most cap+1 index rows; with the driver path
+    disabled (cap=0) the distributed probe returns the identical
+    may-contain file list for both present and absent keys."""
+    from time_series_prediction_spark.operators.bloomindex import (
+        DRIVER_FILE_CAP_CONF,
+        bloom_may_contain_files,
+    )
+    from time_series_prediction_spark.plans.layout_queries import (
+        _BLOOM_SEED,
+        _LOOKUP_KEYS,
+        orders_bloom_layout,
+    )
+
+    path, bits = orders_bloom_layout(spark, sf_dir)
+    idx = spark.read.parquet(path + "/_bloomidx")
+    panels = [
+        [k for k in _LOOKUP_KEYS if k < 1500] or _LOOKUP_KEYS,
+        [987654321],
+        ["s1", "s2"],  # string keys exercise the JVM-hash branch
+    ]
+    for keys in panels:
+        fast = bloom_may_contain_files(
+            spark, idx, keys, bits, seed=_BLOOM_SEED
+        )
+        spark.conf.set(DRIVER_FILE_CAP_CONF, "0")
+        try:
+            slow = bloom_may_contain_files(
+                spark, idx, keys, bits, seed=_BLOOM_SEED
+            )
+        finally:
+            spark.conf.unset(DRIVER_FILE_CAP_CONF)
+        assert fast == slow, keys

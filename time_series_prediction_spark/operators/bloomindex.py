@@ -36,6 +36,14 @@ from pyspark.sql import functions as F
 
 _K = 4  # probes per value (double hashing)
 
+# Bounded driver probe (guide §5 / the components.py driverEdgeCap
+# discipline): the index is one row PER FILE, so at 100 TB file counts
+# the Arrow toPandas pull is O(files), not metadata-sized. Indexes up
+# to this many rows take the zero-job driver path; larger ones fall
+# back to the distributed probe. 0 disables the driver path outright.
+DRIVER_FILE_CAP_CONF = "spark.tsp.bloom.driverFileCap"
+_DRIVER_FILE_CAP_DEFAULT = 100_000
+
 # xxHash64 primes (public spec; Spark's XXH64 uses the same values)
 _P1 = 0x9E3779B185EBCA87
 _P2 = 0xC2B2AE3D27D4EB4F
@@ -229,9 +237,34 @@ def bloom_may_contain_files(
     # r14 measurements: every DataFrame-shaped probe (crossJoin +
     # exists HOF, explode + equi-join, or even a 5-row
     # createDataFrame→collect) paid 0.6-1.5 s of fixed job/RPC
-    # overhead per lookup regardless of data size. Large/unbounded
-    # key batches keep the distributed
-    # ``bloom_may_contain_files_df`` path.
+    # overhead per lookup regardless of data size. r15: the pull is
+    # CAPPED — the index is one row per FILE, so at 100 TB file
+    # counts it is O(files), not metadata-sized; a limit(cap+1)
+    # collect bounds driver memory and anything larger keeps the
+    # distributed ``bloom_may_contain_files_df`` path
+    # (r14 VERDICT Next #5).
+    cap = int(
+        spark.conf.get(DRIVER_FILE_CAP_CONF, str(_DRIVER_FILE_CAP_DEFAULT))
+    )
+    pidx = (
+        index.select("file", "entries").limit(cap + 1).toPandas()
+        if cap > 0
+        else None
+    )
+    if pidx is None or len(pidx) > cap:
+        # index bigger than the driver budget (or driver path disabled):
+        # distributed probe, identical all-K-bits semantics
+        ktype = (
+            "long" if all(isinstance(v, int) for v in values) else "string"
+        )
+        keys = spark.createDataFrame([(v,) for v in values], f"_v {ktype}")
+        return bloom_may_contain_files_df(
+            spark,
+            index.withColumn("bits", F.lit(int(bits))),
+            keys,
+            "_v",
+            seed=seed,
+        )
     if all(isinstance(v, int) for v in values):
         pos_lists = [_positions_py(v, bits, seed) for v in values]
     else:  # string keys: JVM hash via one narrow job
@@ -243,7 +276,6 @@ def bloom_may_contain_files(
             .select(_positions(F.col("_v"), bits, seed).alias("ps"))
             .collect()
         ]
-    pidx = index.select("file", "entries").toPandas()
     out = []
     for file, entries in zip(pidx["file"], pidx["entries"]):
         masks = {e["slot"]: e["mask"] for e in entries}

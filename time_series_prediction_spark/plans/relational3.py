@@ -16,8 +16,17 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+# Bounded driver dictionary for part_type_cooccurrence (r14 VERDICT
+# Next #5 — the components.py driverEdgeCap discipline): p_type is
+# the fixed 150-value TPC-H domain at every SF, but the distinct
+# collect must stay bounded on ANY input; over the cap the query
+# falls back to the distributed lexical row_number dictionary.
+# 0 disables the driver path.
+TYPE_DICT_CAP_CONF = "spark.tsp.cooc.typeDictCap"
+_TYPE_DICT_CAP_DEFAULT = 100_000
 
 from time_series_prediction_spark.plans.relational import _cents
 from time_series_prediction_spark.sources.io import read_table
@@ -504,17 +513,46 @@ def part_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = read_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     # lexical dictionary: code order == string order, so the top-50
-    # cut on codes selects exactly the rows the string cut would
-    tvals = sorted(
-        r[0] for r in part.select("p_type").distinct().collect()
+    # cut on codes selects exactly the rows the string cut would.
+    # r15 (VERDICT Next #5): the collect is CAPPED — limit(cap+1)
+    # bounds the driver pull; a dictionary over the cap falls back to
+    # the distributed lexical row_number dictionary (identical codes,
+    # identical result; pinned by test via cap=0).
+    cap = int(
+        spark.conf.get(TYPE_DICT_CAP_CONF, str(_TYPE_DICT_CAP_DEFAULT))
     )
-    enc = F.create_map(
-        *[x for t, i in zip(tvals, range(1, len(tvals) + 1))
-          for x in (F.lit(t), F.lit(i))]
+    tvals = (
+        sorted(
+            r[0]
+            for r in part.select("p_type")
+            .distinct()
+            .limit(cap + 1)
+            .collect()
+        )
+        if cap > 0
+        else None
     )
-    pcode = part.select(
-        "p_partkey", F.element_at(enc, F.col("p_type")).alias("tcode")
-    )
+    driver_dict = tvals is not None and len(tvals) <= cap
+    if driver_dict:
+        enc = F.create_map(
+            *[x for t, i in zip(tvals, range(1, len(tvals) + 1))
+              for x in (F.lit(t), F.lit(i))]
+        )
+        pcode = part.select(
+            "p_partkey", F.element_at(enc, F.col("p_type")).alias("tcode")
+        )
+    else:
+        tdict = (
+            part.select("p_type")
+            .distinct()
+            .select(
+                "p_type",
+                F.row_number()
+                .over(Window.orderBy(F.asc("p_type")))
+                .alias("tcode"),
+            )
+        )
+        pcode = part.join(tdict, "p_type").select("p_partkey", "tcode")
     ot = (
         li.join(F.broadcast(pcode), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_orderkey")
@@ -533,17 +571,30 @@ def part_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_orders"), F.asc("code_a"), F.asc("code_b"))
         .limit(50)
     )
-    dec = F.create_map(
-        *[x for t, i in zip(tvals, range(1, len(tvals) + 1))
-          for x in (F.lit(i), F.lit(t))]
-    )
-    return (
-        cnt.select(
+    if driver_dict:
+        dec = F.create_map(
+            *[x for t, i in zip(tvals, range(1, len(tvals) + 1))
+              for x in (F.lit(i), F.lit(t))]
+        )
+        decoded = cnt.select(
             F.element_at(dec, F.col("code_a")).alias("type_a"),
             F.element_at(dec, F.col("code_b")).alias("type_b"),
             "n_orders",
         )
-        .orderBy(F.desc("n_orders"), F.asc("type_a"), F.asc("type_b"))
+    else:
+        da = tdict.select(
+            F.col("tcode").alias("code_a"), F.col("p_type").alias("type_a")
+        )
+        db = tdict.select(
+            F.col("tcode").alias("code_b"), F.col("p_type").alias("type_b")
+        )
+        decoded = (
+            cnt.join(F.broadcast(da), "code_a")
+            .join(F.broadcast(db), "code_b")
+            .select("type_a", "type_b", "n_orders")
+        )
+    return decoded.orderBy(
+        F.desc("n_orders"), F.asc("type_a"), F.asc("type_b")
     )
 
 

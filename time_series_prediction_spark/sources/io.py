@@ -77,17 +77,28 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     conf, not a Spark-core conf) so read_table works on ANY SparkSession —
     including vanilla ones the engine didn't build. Relying on session.py
     defaults alone broke every events read on external harness sessions.
+    r15: provisioning happens on the memo MISS path only — a hit proves
+    this session already ran the full path, so the two conf RPCs
+    (~190 × 2 per bench pass) are not re-paid per call (guide §5 /
+    r14 VERDICT Next #1).
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # Self-provision UTC alongside the nanos conf: external vanilla
-    # sessions inherit the host timezone, and date bucketing
-    # (to_date/datediff over events.ts) must agree with the tz-naive
-    # DuckDB oracle (CAST(ts AS DATE)) regardless of host locale.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     try:
         st = os.stat(path)
-        key = (path, st.st_mtime_ns, st.st_size)
+        if os.path.isdir(path):
+            # directory dataset (ADVICE r14): a part file rewritten in
+            # place leaves the directory's own mtime/size unchanged —
+            # fold per-entry stats into the key so that invalidates too
+            parts = tuple(
+                sorted(
+                    (e.name, e.stat().st_mtime_ns, e.stat().st_size)
+                    for e in os.scandir(path)
+                    if e.is_file()
+                )
+            )
+            key = (path, parts)
+        else:
+            key = (path, st.st_mtime_ns, st.st_size)
     except OSError:
         key = None
     if key is not None:
@@ -96,8 +107,19 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # to the session that planned it. The memo value keeps a strong
         # reference to that session, so the identity check cannot alias
         # a recycled object id.
-        if hit is not None and hit[0] is spark:
-            return hit[1]
+        if hit is not None:
+            if hit[0] is spark:
+                return hit[1]
+            # stale entry from another (possibly stopped) session:
+            # evict so dead sessions aren't pinned for process
+            # lifetime (ADVICE r14)
+            del _READ_TABLE_MEMO[key]
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Self-provision UTC alongside the nanos conf: external vanilla
+    # sessions inherit the host timezone, and date bucketing
+    # (to_date/datediff over events.ts) must agree with the tz-naive
+    # DuckDB oracle (CAST(ts AS DATE)) regardless of host locale.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     ts_type = dict(df.dtypes).get("ts")
     if name == "events" and ts_type == "bigint":
