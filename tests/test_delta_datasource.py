@@ -1227,3 +1227,48 @@ def test_batch_time_travel_options(spark, tmp_path):
         "versionAsOf", "0"
     ).load(t)
     assert sorted(r["k"] for r in v0.collect()) == list(range(10))
+
+
+def test_snapshot_capture_equals_pinned_replay(spark, tmp_path):
+    """r15 (VERDICT Next #3): the single-replay CDF window — state
+    captured at ``capture_at`` during one log pass must equal the
+    separate pinned replay at every version, and a checkpoint ABOVE
+    the capture point must return None (the caller's fallback to the
+    pinned replay, which this also pins as result-identical)."""
+    from time_series_prediction_spark.sources.delta_datasource import (
+        _local_snapshot_ex,
+    )
+
+    t = str(tmp_path / "t")
+    dl.write_delta_log(
+        spark.range(10).selectExpr("id AS k", "id * 2 AS v"), t
+    )                                                  # v0
+    dl.delta_delete(spark, t, "k IN (2, 3)")           # v1: DV delete
+    dl.write_delta_log(
+        spark.range(100, 103).selectExpr("id AS k", "id * 2 AS v"),
+        t, mode="append",                              # v2
+    )
+    for cap in (0, 1, 2):
+        got = _local_snapshot_ex(t, None, capture_at=cap)[6]
+        want = _local_snapshot_ex(t, cap)[0]
+        assert got == want, cap
+    # checkpoint at v2 wipes commits 0..2: capture below it is
+    # impossible in one pass -> None (fallback path), while capture AT
+    # the checkpoint version still works
+    dl.write_checkpoint(spark, t, clean_old_commits=True)
+    dl.write_delta_log(
+        spark.range(200, 202).selectExpr("id AS k", "id * 2 AS v"),
+        t, mode="append",                              # v3
+    )
+    assert _local_snapshot_ex(t, None, capture_at=1)[6] is None
+    got2 = _local_snapshot_ex(t, None, capture_at=2)[6]
+    want2 = _local_snapshot_ex(t, 2)[0]
+    assert got2 == want2
+    # and the CDF read over the checkpointed window still answers
+    feed = (
+        spark.read.format("tspdelta")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "2").load(t)
+    )
+    got3 = sorted((r["_change_type"], r["k"]) for r in feed.collect())
+    assert got3 == [("insert", 200), ("insert", 201)]

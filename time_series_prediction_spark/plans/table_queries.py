@@ -1023,11 +1023,11 @@ def orders_delta_pyds_cdf_scan(
     rows ``deltalog.delta_changes_feed`` emits: each DV-killed row
     once, typed 'delete', no inserts in the window."""
     from time_series_prediction_spark.sources.delta_datasource import (
-        TspDeltaDataSource,
+        register_tspdelta,
     )
 
     data = orders_delta_dv_layout(spark, sf_dir)
-    spark.dataSource.register(TspDeltaDataSource)
+    register_tspdelta(spark)
     return (
         spark.read.format("tspdelta")
         .option("readChangeFeed", "true")
@@ -1674,7 +1674,7 @@ def orders_delta_pyds_mapped_scan(
     re-added column reads all-null over pre-drop files (dropped
     values can never resurrect)."""
     from time_series_prediction_spark.sources.delta_datasource import (
-        TspDeltaDataSource,
+        register_tspdelta,
     )
 
     # build (or reuse) the alter layout through its own query's path
@@ -1686,7 +1686,7 @@ def orders_delta_pyds_mapped_scan(
     ident = f"{fs.qualified(src)}|{st[0]}|{st[1]}|{_DELTA_ALTER_SPEC}"
     key = hashlib.md5(ident.encode()).hexdigest()[:16]
     data = os.path.join(root, f"orders_deltaalter_{key}", "data")
-    spark.dataSource.register(TspDeltaDataSource)
+    register_tspdelta(spark)
     return (
         spark.read.format("tspdelta").load(data)
         .groupBy(
@@ -2345,7 +2345,7 @@ def events_delta_pyds_stream_scan(
     — equal to the raw-events oracle only if every bounded batch
     delivered and landed exactly once."""
     from time_series_prediction_spark.sources.delta_datasource import (
-        TspDeltaDataSource,
+        register_tspdelta,
     )
     from time_series_prediction_spark.sources.deltalog import (
         delta_snapshot,
@@ -2364,7 +2364,7 @@ def events_delta_pyds_stream_scan(
     path = os.path.join(root, f"events_pydstream_{key}")
 
     def _build(tmp: str) -> None:
-        spark.dataSource.register(TspDeltaDataSource)
+        register_tspdelta(spark)
         data = os.path.join(tmp, "data")
         sink = os.path.join(tmp, "sink")
         ev = read_table(spark, sf_dir, "events").select(
@@ -2516,11 +2516,11 @@ def orders_delta_pyds_scan(
     columns, arrow-batch handoff). Same oracle as the JVM-side read —
     the two paths must agree bit-for-bit."""
     from time_series_prediction_spark.sources.delta_datasource import (
-        TspDeltaDataSource,
+        register_tspdelta,
     )
 
     data = _orders_convert_layout(spark, sf_dir)
-    spark.dataSource.register(TspDeltaDataSource)
+    register_tspdelta(spark)
     return (
         spark.read.format("tspdelta").load(data)
         .groupBy("bucket")
@@ -2542,11 +2542,11 @@ def orders_delta_pyds_timetravel_scan(
     serve the untouched original content — the oracle states it
     straight off raw orders. Shares ``_orders_convert_layout``."""
     from time_series_prediction_spark.sources.delta_datasource import (
-        TspDeltaDataSource,
+        register_tspdelta,
     )
 
     data = _orders_convert_layout(spark, sf_dir)
-    spark.dataSource.register(TspDeltaDataSource)
+    register_tspdelta(spark)
     return (
         spark.read.format("tspdelta")
         .option("versionAsOf", "0").load(data)
@@ -2606,11 +2606,11 @@ def orders_delta_pyds_pruned_scan(
     pruned scan can never be reused by sibling unpruned plans — the
     measured Spark 4.1.2 pushFilters hazard does not apply."""
     from time_series_prediction_spark.sources.delta_datasource import (
-        TspDeltaDataSource,
+        register_tspdelta,
     )
 
     data = _orders_convert_layout(spark, sf_dir)
-    spark.dataSource.register(TspDeltaDataSource)
+    register_tspdelta(spark)
     return (
         spark.read.format("tspdelta")
         .option("prune", "bucket = 1 AND o_orderkey < 900000000")
@@ -2763,7 +2763,7 @@ def orders_delta_pyds_constrained_scan(
     refuses with the constraint named and lands nothing. The oracle
     states the final logical content relationally."""
     from time_series_prediction_spark.sources.delta_datasource import (
-        TspDeltaDataSource,
+        register_tspdelta,
     )
     from time_series_prediction_spark.sources.deltalog import (
         delta_add_constraint,
@@ -2787,7 +2787,7 @@ def orders_delta_pyds_constrained_scan(
 
     def _build(tmp: str) -> None:
         data = os.path.join(tmp, "data")
-        spark.dataSource.register(TspDeltaDataSource)
+        register_tspdelta(spark)
         base = _orders_state(spark, sf_dir).select(
             "o_orderkey",
             "price_cents",
@@ -2862,7 +2862,7 @@ def orders_delta_pyds_partitioned_sink_scan(
     layout delta-spark writes. Read back through the JVM-side native
     reader; the oracle states the logical content relationally."""
     from time_series_prediction_spark.sources.delta_datasource import (
-        TspDeltaDataSource,
+        register_tspdelta,
     )
     from time_series_prediction_spark.sources.io import read_delta
 
@@ -2886,7 +2886,7 @@ def orders_delta_pyds_partitioned_sink_scan(
         )
 
         data = os.path.join(tmp, "data")
-        spark.dataSource.register(TspDeltaDataSource)
+        register_tspdelta(spark)
         base = _orders_state(spark, sf_dir).select(
             (F.col("o_orderkey") % 5).cast("long").alias("bucket"),
             "o_orderkey",
@@ -2951,7 +2951,7 @@ def orders_delta_pyds_rowtracked_sink_scan(
     while the returned result is the table's logical content, stated
     relationally."""
     from time_series_prediction_spark.sources.delta_datasource import (
-        TspDeltaDataSource,
+        register_tspdelta,
     )
     from time_series_prediction_spark.sources.deltalog import (
         delta_enable_row_tracking,
@@ -2972,7 +2972,7 @@ def orders_delta_pyds_rowtracked_sink_scan(
 
     def _build(tmp: str) -> None:
         data = os.path.join(tmp, "data")
-        spark.dataSource.register(TspDeltaDataSource)
+        register_tspdelta(spark)
         base = _orders_state(spark, sf_dir).select(
             "o_orderkey", "price_cents"
         )

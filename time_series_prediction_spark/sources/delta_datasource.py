@@ -60,6 +60,15 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
+from time_series_prediction_spark.session_memo import session_memo
+
+# One registration per session (r15): ``spark.dataSource.register``
+# pickles the class and crosses py4j on every call (~15 ms), and the
+# pyds query family re-registered per query build. Keyed on session
+# identity, registered in session_memo so the bench's pass boundary
+# re-pays it like any other session-scoped setup.
+_REGISTER_MEMO: dict = session_memo({})
+
 _LOG_DIR = "_delta_log"
 
 
@@ -93,13 +102,20 @@ def _local_snapshot(path: str) -> tuple[dict, dict, int, dict]:
 
 
 def _local_snapshot_ex(
-    path: str, version: int | None = None
-) -> tuple[dict, dict, int, dict, dict, dict]:
+    path: str, version: int | None = None, capture_at: int | None = None
+) -> tuple:
     """``_local_snapshot`` + the metadata-domain map (the rowTracking
     high-water mark lives in ``delta.rowTracking``). ``version`` pins
     the replay (time travel — the CDF window's BEFORE snapshot);
     commits below the newest checkpoint must still exist or the
-    replay raises."""
+    replay raises.
+
+    ``capture_at`` (r15, VERDICT Next #3): also capture the files
+    state as of that version DURING the same replay and return it as
+    a 7th element — one log pass serves both ends of a CDF window
+    instead of two full replays. ``None`` is returned in that slot
+    when the replay starts from a checkpoint PAST the capture point
+    (the caller then falls back to a second pinned replay)."""
     import pyarrow.parquet as pq
 
     from time_series_prediction_spark.sources.deltalog import (
@@ -157,6 +173,7 @@ def _local_snapshot_ex(
                 sidecars.append(sc["path"])
         return sidecars
 
+    captured: dict | None = None
     usable_cps = [cv for cv in cps if cv <= v]
     if usable_cps:
         cp_v = max(usable_cps)
@@ -172,6 +189,8 @@ def _local_snapshot_ex(
                 ).to_pylist()
             )
         start = cp_v + 1
+        if capture_at is not None and capture_at == cp_v:
+            captured = dict(state)
     for cv in range(start, v + 1):
         p = commits.get(cv)
         if p is None:
@@ -184,9 +203,15 @@ def _local_snapshot_ex(
                 if line:
                     d = json.loads(line)
                     _apply_rows([d])
+        if capture_at is not None and capture_at == cv:
+            # shallow copy is enough: _apply_rows rebinds fresh action
+            # dicts, it never mutates ones already in ``state``
+            captured = dict(state)
     if meta[0] is None:
         raise ValueError(f"log under {log} carries no metaData action")
     proto = meta[1] or {"minReaderVersion": 1, "minWriterVersion": 2}
+    if capture_at is not None:
+        return state, meta[0], v, txns, proto, meta[2], captured
     return state, meta[0], v, txns, proto, meta[2]
 
 
@@ -656,9 +681,39 @@ def _read_file_partition(
     yield from out.to_batches()
 
 
+def _snapshot_bundle(path: str, options) -> tuple:
+    """One log replay serving the whole read resolution (r15, VERDICT
+    Next #3): ``DataSource.schema()`` builds this bundle, the pickled
+    instance carries it into the plan worker, and the batch reader
+    consumes it — schema() and reader() no longer replay the log
+    independently. For a CDF read the BEFORE state is captured
+    mid-replay (``capture_at``), so the window costs ONE pass unless
+    a checkpoint above the window start forces the second pinned
+    replay. Returns (pin, after-6-tuple, before_files|None)."""
+    pin = _pinned_version(path, options)
+    stripped = _strip_scheme(path)
+    start: int | None = None
+    if _cdf_on(options):
+        sv = (options or {}).get("startingVersion")
+        if sv is not None:  # missing sv raises in the reader, as before
+            start = int(sv)
+    if start is not None and start >= 0:
+        *after, captured = _local_snapshot_ex(
+            stripped, pin, capture_at=start
+        )
+        before = (
+            captured
+            if captured is not None
+            else _local_snapshot_ex(stripped, start)[0]
+        )
+        return pin, tuple(after), before
+    after = _local_snapshot_ex(stripped, pin)
+    return pin, tuple(after), ({} if start is not None else None)
+
+
 class _TspDeltaBatchReader(DataSourceReader):
     def __init__(
-        self, path: str, schema: StructType, options=None
+        self, path: str, schema: StructType, options=None, bundle=None
     ) -> None:
         from time_series_prediction_spark.sources.deltalog import (
             _check_protocol,
@@ -666,10 +721,10 @@ class _TspDeltaBatchReader(DataSourceReader):
 
         self._schema = schema
         self._path = path
-        pin = _pinned_version(path, options)
-        self._files, meta, _v, _txns, proto, _dom = (
-            _local_snapshot_ex(_strip_scheme(path), pin)
-        )
+        if bundle is None:
+            bundle = _snapshot_bundle(path, options)
+        pin, after, before_files = bundle
+        self._files, meta, _v, _txns, proto, _dom = after
         # ADVICE r13 (low): a user-supplied .schema(...) bypasses
         # DataSource.schema() — the protocol gate and the mapping
         # plan must ALSO build here, or a mapped/unsupported table
@@ -695,12 +750,11 @@ class _TspDeltaBatchReader(DataSourceReader):
                     ".option('startingVersion', N) — changes are "
                     "emitted for versions AFTER N"
                 )
-            start = int(sv)
-            before = (
-                {} if start < 0
-                else _local_snapshot_ex(_strip_scheme(path), start)[0]
+            # before_files came out of the bundle's single replay
+            # (captured at startingVersion, or {} for a negative one)
+            self._cdf_parts = _cdf_partitions(
+                path, before_files, self._files
             )
-            self._cdf_parts = _cdf_partitions(path, before, self._files)
             return
         if expr:
             clauses = _parse_prune(
@@ -1451,6 +1505,15 @@ class _TspDeltaWriter(DataSourceWriter, DataSourceStreamWriter):
         )
 
 
+def register_tspdelta(spark) -> None:
+    """Idempotent per-session ``spark.dataSource.register`` (see
+    ``_REGISTER_MEMO`` above)."""
+    if _REGISTER_MEMO.get("session") is spark:
+        return
+    spark.dataSource.register(TspDeltaDataSource)
+    _REGISTER_MEMO["session"] = spark
+
+
 class TspDeltaDataSource(DataSource):
     """``format("tspdelta")`` — see module docstring."""
 
@@ -1471,10 +1534,15 @@ class TspDeltaDataSource(DataSource):
             _check_protocol,
         )
 
-        pin = _pinned_version(self._path(), self.options)
-        _files, meta, _v, _txns, proto, _dom = _local_snapshot_ex(
-            _strip_scheme(self._path()), pin
-        )
+        # ONE replay per read resolution (r15): the bundle is kept on
+        # the instance, which Spark pickles from the create-data-source
+        # worker into the plan worker — reader() reuses it instead of
+        # replaying the log again. Strictly within one load(): every
+        # query build calls .load() afresh, so no state crosses a
+        # query (or bench-pass) boundary.
+        self._bundle = _snapshot_bundle(self._path(), self.options)
+        _pin, after, _before = self._bundle
+        _files, meta, _v, _txns, proto, _dom = after
         _check_protocol(proto)
         schema = _table_schema(meta)
         if _cdf_on(self.options):
@@ -1487,7 +1555,10 @@ class TspDeltaDataSource(DataSource):
         return schema
 
     def reader(self, schema: StructType) -> DataSourceReader:
-        return _TspDeltaBatchReader(self._path(), schema, self.options)
+        return _TspDeltaBatchReader(
+            self._path(), schema, self.options,
+            bundle=getattr(self, "_bundle", None),
+        )
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         return _TspDeltaStreamReader(self._path(), schema, self.options)
