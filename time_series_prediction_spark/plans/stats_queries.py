@@ -68,19 +68,48 @@ def lineitem_correlation_matrix(
     li = read_table(spark, sf_dir, "lineitem").selectExpr(
         *[f"{e} AS {c}" for c, e in _MEASURES.items()]
     )
+    # r15 (guide §2.3 narrower types, re-measured after r14's rejection
+    # turned out to be a count()-pruned mis-measurement): each exact
+    # DECIMAL(38,0) sum is accumulated as THREE int64 limb sums of the
+    # int64 per-row product p — p & (2²¹−1), (p>>21) & (2²¹−1), p>>42 —
+    # and reconstructed to the IDENTICAL decimal afterwards
+    # (s = l0 + l1·2²¹ + l2·2⁴²; partial sums stay under int64 to ~2⁴¹
+    # rows, comfortably past 100 TB). All measures are non-negative by
+    # construction (quantities, cents, percent points), which the limb
+    # split requires. Noop-sink A/B at sf0.1: 0.61–0.69 s (decimal) →
+    # 0.42–0.44 s (limbs), stats verified value-identical, so every
+    # downstream corr double sees bit-identical operands.
+    _names = (
+        [f"s_{c}" for c in _MEASURES]
+        + [f"ss_{c}" for c in _MEASURES]
+        + [f"sp_{a}_{b}" for a, b in _PAIRS]
+    )
+    _exprs = (
+        list(_MEASURES)
+        + [f"{c} * {c}" for c in _MEASURES]
+        + [f"{a} * {b}" for a, b in _PAIRS]
+    )
+    _m21 = (1 << 21) - 1
     aggs = [F.count(F.lit(1)).cast("long").alias("n")]
-    for c in _MEASURES:
-        aggs.append(F.sum(F.col(c).cast("decimal(38,0)")).alias(f"s_{c}"))
+    for nm, ex in zip(_names, _exprs):
+        aggs.append(F.sum(F.expr(f"({ex}) & {_m21}")).alias(f"{nm}_l0"))
         aggs.append(
-            F.sum(F.expr(f"CAST({c} * {c} AS DECIMAL(38,0))"))
-            .alias(f"ss_{c}")
+            F.sum(F.expr(f"(({ex}) >> 21) & {_m21}")).alias(f"{nm}_l1")
         )
-    for a, b in _PAIRS:
-        aggs.append(
-            F.sum(F.expr(f"CAST({a} * {b} AS DECIMAL(38,0))"))
-            .alias(f"sp_{a}_{b}")
-        )
-    stats = li.agg(*aggs)
+        aggs.append(F.sum(F.expr(f"({ex}) >> 42")).alias(f"{nm}_l2"))
+    stats = li.agg(*aggs).select(
+        "n",
+        *[
+            F.expr(
+                f"CAST({nm}_l0 AS DECIMAL(38,0))"
+                f" + CAST({nm}_l1 AS DECIMAL(38,0))"
+                f" * CAST({1 << 21} AS DECIMAL(38,0))"
+                f" + CAST({nm}_l2 AS DECIMAL(38,0))"
+                f" * CAST({1 << 42} AS DECIMAL(38,0))"
+            ).alias(nm)
+            for nm in _names
+        ],
+    )
     stack_args = ", ".join(
         f"'{a}~{b}', {_corr_expr(a, b)}" for a, b in _PAIRS
     )
